@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev-only, never shipped).
+
+Runs each SparkEntry query's parquet dump (produced by `graft.Verify`)
+against its DuckDB oracle on the same sf dir, compares sorted rows.
+
+Usage: python3 dev/check.py <sfDir> <outDir>
+"""
+import json, sys, math
+import duckdb
+
+def norm(v):
+    # exact compare, even for floats — queries are designed to produce
+    # bit-identical doubles in Spark and DuckDB (integer-cents sums)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return str(v) if v is not None else None
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+            want = con.execute(sql).fetchall()
+            got_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
+            want_cols = [d[0] for d in con.execute(
+                f"SELECT * FROM ({sql}) LIMIT 0").description]
+            # driver sorts columns by name before hashing values
+            gi = [got_cols.index(c) for c in sorted(got_cols)]
+            wi = [want_cols.index(c) for c in sorted(want_cols)]
+            g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
+            w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+            if sorted(got_cols) != sorted(want_cols):
+                print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+                n_fail += 1
+            elif g != w:
+                diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
+                print(f"FAIL {name}: rows {len(g)} vs {len(w)}; first diffs: {diff}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(g)} rows)")
+                n_pass += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

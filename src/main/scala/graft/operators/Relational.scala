@@ -1,0 +1,445 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational parity operators.
+  *
+  * Each operator re-expresses a capability the reference either implements
+  * in its engine or requires its example stream's user functions to perform
+  * (reference: sample.config.yaml:68-207, app/utils/extractor.py,
+  * app/utils/loader.py). The reference executes these eagerly in pandas /
+  * pushed-down SQL; here every operator is a lazy Catalyst plan so filter
+  * pushdown, column pruning, partial aggregation and join planning are
+  * automatic, and the same plan scales from sf0.001 parquet to a
+  * 1000-executor cluster.
+  *
+  * Conventions (driver oracle compare, see Verify.scala):
+  *   - every query ends in a deterministic ORDER BY;
+  *   - money/double aggregates are computed in exact integer cents —
+  *     `sum(round(x*100))/100.0` — identically in Spark and the oracle
+  *     SQL. Per-term rounding to integers makes the sum order-independent
+  *     and bit-identical across engines (double sums of raw values are
+  *     not: partial-aggregation order differs), so even an exact hash
+  *     compare passes. Final rounding, when used, is only ever to integer
+  *     after scaling (round(x*10^k)/10^k agrees between Java HALF_UP and
+  *     C round-half-away; round(x, k>0) does not at repr boundaries);
+  *   - column names/aliases match the oracle SQL exactly.
+  */
+object Relational {
+
+  /** Exact integer cents of a money expression — see class doc. */
+  private def cents(c: Column): Column = round(c * lit(100))
+
+  /** Flagship (SURVEY §7.3): the example_stream's analytical core — the
+    * "high-value customers report" (reference sample.config.yaml:80-122:
+    * grades x students join + aggregate + threshold classification), mapped
+    * to lineitem x orders x customer revenue.
+    *
+    * Scale notes: lineitem-orders is a large-large equi-join -> shuffle on
+    * the join key (sort-merge or AQE-chosen); customer is small relative to
+    * the fact table and AQE broadcast-promotes it at bench scale. The
+    * revenue aggregate is partial (map-side) before the final shuffle.
+    */
+  def flagshipRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+      .filter(col("rev_cents") >= 200000000.0)
+      .select(col("c_custkey"), col("c_name"), (col("rev_cents") / 100.0).as("revenue"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val flagshipOracle =
+    """SELECT c_custkey, c_name, sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |HAVING sum(round(l_extendedprice * (1 - l_discount) * 100)) >= 200000000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H Q1-style scan+filter+aggregate: the canonical "does the filter
+    * reach the parquet scan and does the aggregate combine map-side" probe.
+    */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0).as("sum_disc_price"),
+        (sum(cents(col("l_quantity"))) / count(lit(1)) / 100.0).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"))) / count(lit(1)) / 100.0).as("avg_price"),
+        (sum(cents(col("l_discount"))) / count(lit(1)) / 100.0).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(round(l_quantity * 100)) / 100.0 AS sum_qty,
+      |  sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+      |  sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS sum_disc_price,
+      |  sum(round(l_quantity * 100)) / count(*) / 100.0 AS avg_qty,
+      |  sum(round(l_extendedprice * 100)) / count(*) / 100.0 AS avg_price,
+      |  sum(round(l_discount * 100)) / count(*) / 100.0 AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** IN-list pushdown from a prior step's collected id list (reference
+    * mechanism: extractor.py:66-74 `::ids::` -> `?, ?, ...` expansion, fed
+    * by a `step:` ref, sample.config.yaml:124-140).
+    *
+    * The collect() is the reference's explicit driver materialization
+    * boundary. Scale note: beyond ~1e5 ids this must become a (broadcast)
+    * semi-join instead — graft.connect.ParamBinder.filterByIds does that
+    * switch automatically; here the dimension side is tiny by construction.
+    */
+  def sqlExtractInlist(s: SparkSession, d: String): DataFrame = {
+    val ids: Array[Long] = Tables.supplier(s, d)
+      .filter(col("s_acctbal") > 5000.0)
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey").isin(ids: _*))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+           (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_price"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private val inlistOracle =
+    """SELECT l_suppkey, count(*) AS n_items, sum(round(l_extendedprice * 100)) / 100.0 AS sum_price
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Anti-join: mailing list minus exclusion list (reference
+    * sample.config.yaml:162-168 `filter_mailing_list` removing
+    * no_email_list rows — a pandas merge in a user transform there, a
+    * broadcast left-anti join here). */
+  def antiJoinMailingList(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val noEmail = c.filter(col("c_acctbal") < 0.0).select(col("c_custkey"))
+    c.join(broadcast(noEmail), Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val antiJoinOracle =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join: orders of flagged customers (reference
+    * sample.config.yaml:124-140 — parents of selected students, done there
+    * by IN-list SQL rewriting; done here as a real left-semi join which
+    * Catalyst can push/broadcast). */
+  def semiJoinParents(s: SparkSession, d: String): DataFrame = {
+    val flagged = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 8000.0)
+      .select(col("c_custkey").as("o_custkey"))
+    Tables.orders(s, d)
+      .join(broadcast(flagged), Seq("o_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val semiJoinOracle =
+    """SELECT o_orderpriority, count(*) AS n_orders, sum(round(o_totalprice * 100)) / 100.0 AS sum_price
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 8000)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Aggregate + threshold classification (reference
+    * sample.config.yaml:98-106 `determine_high_achievers`: avg grade >=
+    * threshold). Threshold compares exact integer cents; output is
+    * avg rounded to whole cents (order-independent, engine-identical). */
+  private def classify(s: SparkSession, d: String, highSide: Boolean): DataFrame = {
+    val base = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("sum_cents"), count(lit(1)).as("n"))
+    val avgCents = col("sum_cents") / col("n")
+    val filtered =
+      if (highSide) base.filter(avgCents >= 30000000.0)
+      else base.filter(avgCents < 15000000.0)
+    filtered
+      .select(col("c_custkey"), col("c_name"),
+        (round(col("sum_cents") / col("n")) / 100.0).as("avg_order_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def classifyHighAchievers(s: SparkSession, d: String): DataFrame = classify(s, d, highSide = true)
+  def classifyAtRisk(s: SparkSession, d: String): DataFrame = classify(s, d, highSide = false)
+
+  private def classifyOracle(cond: String) =
+    s"""SELECT c_custkey, c_name, round(sum(round(o_totalprice * 100)) / count(*)) / 100.0 AS avg_order_price
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |HAVING sum(round(o_totalprice * 100)) / count(*) $cond
+       |ORDER BY c_custkey""".stripMargin
+
+  /** Multi-key rollup report (reference sample.config.yaml:115-122
+    * `get_admin_report`). nation is a classic tiny dimension -> explicit
+    * broadcast so the fact side never shuffles for it. */
+  def adminReport(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(countDistinct(col("c_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"),
+           (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .orderBy(col("n_name"), col("c_mktsegment"))
+
+  private val adminReportOracle =
+    """SELECT n_name, c_mktsegment,
+      |  count(DISTINCT c_custkey) AS n_customers,
+      |  count(*) AS n_orders,
+      |  sum(round(o_totalprice * 100)) / 100.0 AS sum_price
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN orders ON o_custkey = c_custkey
+      |GROUP BY n_name, c_mktsegment
+      |ORDER BY n_name, c_mktsegment""".stripMargin
+
+  /** Column -> id list projection (reference sample.config.yaml:142-150
+    * `get_id_lists`; the DataFrame the runner would collect() into a
+    * `python_list`-style StepOutput). */
+  def idProjection(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey")).distinct()
+      .orderBy(col("c_custkey"))
+
+  private val idProjectionOracle =
+    """SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Recipient resolution: literal addresses ∪ a step-produced list,
+    * deduplicated (reference loader.py:67-84 + sample.config.yaml:191-193).
+    */
+  def recipientUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val literals = Seq("admin@district.example", "registrar@district.example").toDF("email")
+    val fromStep = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(concat(lit("cust"), col("c_custkey").cast("string"), lit("@example.com")).as("email"))
+    literals.union(fromStep).distinct().orderBy(col("email"))
+  }
+
+  private val recipientUnionOracle =
+    """SELECT email FROM (VALUES ('admin@district.example'), ('registrar@district.example')) t(email)
+      |UNION
+      |SELECT 'cust' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email
+      |FROM customer WHERE c_acctbal > 9000
+      |ORDER BY email""".stripMargin
+
+  /** Declared-schema cast batch (reference extractor.py:104 df.astype +
+    * the TABLE-COLUMN-ALIAS MAP channel, extractor.py:122-172). Note
+    * floor() before the double->int cast: Spark casts truncate, DuckDB
+    * casts round, floor makes both explicit. */
+  def schemaCast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").cast("string").as("okey_str"),
+        floor(col("l_quantity")).cast("int").as("qty_int"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        upper(col("l_returnflag")).as("flag_up"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val schemaCastOracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_orderkey AS VARCHAR) AS okey_str,
+      |  CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+      |  CAST(l_shipdate AS DATE) AS ship_date,
+      |  upper(l_returnflag) AS flag_up
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** SCHOOL_YEAR macro as a Column expression (reference macros.py:4-10:
+    * month <= 7 -> year, else year+1), applied to a data column instead of
+    * wall-clock `now` so it is deterministic/oracle-checkable (SURVEY §7.5).
+    */
+  def schoolYear(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(month(col("o_orderdate")) <= 7, year(col("o_orderdate")))
+          .otherwise(year(col("o_orderdate")) + 1).as("school_year"))
+      .orderBy(col("o_orderkey"))
+
+  private val schoolYearOracle =
+    """SELECT o_orderkey,
+      |  CAST(CASE WHEN month(o_orderdate) <= 7 THEN year(o_orderdate)
+      |       ELSE year(o_orderdate) + 1 END AS INTEGER) AS school_year
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** YYYYMMDD macro (reference macros.py:13-16; implements the *intended*
+    * "%Y%m%d", not defect D12's "%Y%M%D"). */
+  def yyyymmdd(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("yyyymmdd"))
+      .orderBy(col("o_orderkey"))
+
+  private val yyyymmddOracle =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS yyyymmdd
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- Set operations (SURVEY §2.6) ----
+
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val b = c.filter(col("c_acctbal") > 9000.0).select(col("c_custkey").as("custkey"))
+    a.union(b).distinct().orderBy(col("custkey"))
+  }
+
+  private val setUnionOracle =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+      |ORDER BY custkey""".stripMargin
+
+  def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    val b = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    a.intersect(b).orderBy(col("custkey"))
+  }
+
+  private val setIntersectOracle =
+    """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  def setExcept(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+    val b = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    a.except(b).orderBy(col("custkey"))
+  }
+
+  private val setExceptOracle =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  /** Top-k per group via ranking window (SURVEY §2.5 extension surface:
+    * top customers per nation by account balance). */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"),
+              col("c_acctbal").as("acctbal"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  private val topkOracle =
+    """SELECT n_name, CAST(rk AS INTEGER) AS rk, c_custkey, c_name, c_acctbal AS acctbal
+      |FROM (
+      |  SELECT n_name, c_custkey, c_name, c_acctbal,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      |WHERE rk <= 3
+      |ORDER BY n_name, rk""".stripMargin
+
+  /** Grouping-set rollup (SURVEY §2.4 "Absent" row -> built-in rollup). */
+  def rollupReport(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), (sum(cents(col("c_acctbal"))) / 100.0).as("sum_bal"))
+      .select(coalesce(col("n_name"), lit("_ALL_")).as("nation"),
+              coalesce(col("c_mktsegment"), lit("_ALL_")).as("segment"),
+              col("n_customers"), col("sum_bal"))
+      .orderBy(col("nation"), col("segment"))
+
+  private val rollupOracle =
+    """SELECT coalesce(n_name, '_ALL_') AS nation, coalesce(c_mktsegment, '_ALL_') AS segment,
+      |  count(*) AS n_customers, sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  def cubeReport(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), (sum(cents(col("c_acctbal"))) / 100.0).as("sum_bal"))
+      .select(coalesce(col("n_name"), lit("_ALL_")).as("nation"),
+              coalesce(col("c_mktsegment"), lit("_ALL_")).as("segment"),
+              col("n_customers"), col("sum_bal"))
+      .orderBy(col("nation"), col("segment"))
+
+  private val cubeOracle =
+    """SELECT coalesce(n_name, '_ALL_') AS nation, coalesce(c_mktsegment, '_ALL_') AS segment,
+      |  count(*) AS n_customers, sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE(n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flagship_revenue"       -> (flagshipRevenue _),
+    "q1_agg"                 -> (q1Agg _),
+    "sql_extract_inlist"     -> (sqlExtractInlist _),
+    "anti_join_mailing_list" -> (antiJoinMailingList _),
+    "semi_join_parents"      -> (semiJoinParents _),
+    "classify_high_achievers" -> (classifyHighAchievers _),
+    "classify_at_risk"       -> (classifyAtRisk _),
+    "admin_report"           -> (adminReport _),
+    "id_projection"          -> (idProjection _),
+    "recipient_union"        -> (recipientUnion _),
+    "schema_cast"            -> (schemaCast _),
+    "school_year"            -> (schoolYear _),
+    "yyyymmdd"               -> (yyyymmdd _),
+    "set_union"              -> (setUnion _),
+    "set_intersect"          -> (setIntersect _),
+    "set_except"             -> (setExcept _),
+    "topk_per_group"         -> (topkPerGroup _),
+    "rollup_report"          -> (rollupReport _),
+    "cube_report"            -> (cubeReport _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flagship_revenue"       -> flagshipOracle,
+    "q1_agg"                 -> q1Oracle,
+    "sql_extract_inlist"     -> inlistOracle,
+    "anti_join_mailing_list" -> antiJoinOracle,
+    "semi_join_parents"      -> semiJoinOracle,
+    "classify_high_achievers" -> classifyOracle(">= 30000000"),
+    "classify_at_risk"       -> classifyOracle("< 15000000"),
+    "admin_report"           -> adminReportOracle,
+    "id_projection"          -> idProjectionOracle,
+    "recipient_union"        -> recipientUnionOracle,
+    "schema_cast"            -> schemaCastOracle,
+    "school_year"            -> schoolYearOracle,
+    "yyyymmdd"               -> yyyymmddOracle,
+    "set_union"              -> setUnionOracle,
+    "set_intersect"          -> setIntersectOracle,
+    "set_except"             -> setExceptOracle,
+    "topk_per_group"         -> topkOracle,
+    "rollup_report"          -> rollupOracle,
+    "cube_report"            -> cubeOracle,
+  )
+}
