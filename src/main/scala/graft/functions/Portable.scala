@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic primitives shared by the extension
+  * operators and their DuckDB oracles.
+  *
+  * Spark's native hash functions (murmur3 `hash`, `xxhash64`) have no
+  * DuckDB counterpart, so oracle-checked operators hash through md5 —
+  * available and identical in both engines — and parse the first 15 hex
+  * chars (60 bits, always non-negative, fits a signed 64-bit int).
+  *
+  * DuckDB equivalent of hash60: `('0x' || substr(md5(x),1,15))::BIGINT`.
+  */
+object Portable {
+
+  /** 60-bit non-negative integer hash of a string column; identical to
+    * the DuckDB expression above. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Same value, computed driver/executor-side in plain JVM code (for
+    * mapPartitions-style operators that must agree with hash60). */
+  def hash60Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Round a double to `k` decimals in a way both engines agree on:
+    * scale, round-to-integer, unscale. (Direct `round(x, k)` diverges
+    * between Java BigDecimal-on-shortest-string and C round-on-binary at
+    * representation boundaries; round-to-integer does not.) */
+  def roundK(c: Column, k: Int): Column = {
+    val scale = math.pow(10, k)
+    round(c * scale) / scale
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Codegen'd dot product over two `array<float>` columns, accumulating in
+  * double.
+  *
+  * Why a custom Catalyst Expression (SURVEY §4 "custom work" escape
+  * hatch): the built-in formulation
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)` runs
+  * interpreted lambda-expression trees and allocates an intermediate
+  * array per row — profiled ~25x slower on the all-pairs cosine join.
+  * This expression generates a tight primitive loop inside whole-stage
+  * codegen (doGenCode) with an interpreted fallback (nullSafeEval).
+  *
+  * Numeric note: each float product is computed in double
+  * (exact — 24-bit x 24-bit mantissas fit 53) and summed left-to-right,
+  * matching DuckDB's `list_*` on `::DOUBLE[]` casts, so DuckDB-oracle
+  * comparisons stay bit-identical.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"FloatVecDot needs two array<float> args, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  /** Register `vec_dot` in the session's function registry and return a
+    * Column-builder. Registration is idempotent. */
+  def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+
+  /** `vec_dot(a, b)` as a Column (requires registerVecDot on the session
+    * first; operators call it from their query builders). */
+  def vecDot(a: String, b: String): Column =
+    org.apache.spark.sql.functions.expr(s"vec_dot($a, $b)")
+}

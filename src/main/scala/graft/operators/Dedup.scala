@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline surface (north star, SURVEY §2.11): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design:
+  *  - exact dedup = hash-aggregate on the full text (at 100 TB you'd
+  *    pre-hash to a 128-bit key and aggregate on that; both are a single
+  *    shuffle with map-side combine);
+  *  - n-gram Jaccard uses an inverted shingle index with a hot-shingle
+  *    document-frequency cap (the standard skew guard: a stop-shingle
+  *    appearing in half the corpus would otherwise make the self-join
+  *    quadratic);
+  *  - MinHash+LSH is the sub-quadratic path: candidate pairs only form
+  *    inside an LSH band bucket, so the join is keyed (shuffle on band
+  *    key), never a cross join;
+  *  - SimHash compresses each doc to one 32-bit signature; the pair scan
+  *    is then a self-join on a 12-bit prefix block (pigeonhole: hamming
+  *    <= 6 over 32 bits means at least one of 4 8-bit blocks matches...
+  *    here we keep the simple broadcast-pair form at test scale and note
+  *    the banding refinement);
+  *  - embedding cosine compares all pairs at test scale; the ANN path is
+  *    graft.operators.Similarity.
+  *
+  * Everything is integer / exact-double arithmetic so the DuckDB oracles
+  * match bit-for-bit (see Portable).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text
+    * (hash-groupBy; one shuffle, map-side combine). */
+  def exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  private val exactOracle =
+    """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY text
+      |ORDER BY keeper_id""".stripMargin
+
+  /** Distinct word-trigram shingles per doc, hot-shingle capped.
+    * Shared by the Jaccard + MinHash pipelines. */
+  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+    val sh0 = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
+    val keep = sh0.groupBy(col("sh")).count()
+      .filter(col("count") <= maxDf).select(col("sh"))
+    sh0.join(keep, Seq("sh"))
+  }
+
+  private val shinglesSql =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(1, len(ws) - 1),
+      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |        FROM w),
+      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
+      |shf AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh))""".stripMargin
+
+  /** Near-dup pairs by exact n-gram Jaccard over the inverted index. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val shf = shingles(s, d, 50).cache()
+    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = shf.as("a").join(shf.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    val jacRaw = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    pairs
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
+      .filter(jacRaw >= 0.5)
+      .select(col("i"), col("j"), Portable.roundK(jacRaw, 4).as("jac"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val ngramJaccardOracle =
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT i, j, round(c::DOUBLE / (sa.n + sb.n - c) * 10000) / 10000 AS jac
+       |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
+       |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY i, j""".stripMargin
+
+  /** MinHash + LSH banding. 16 permutations h_i(x) = (a_i*x + b_i) mod p
+    * over 60-bit shingle hashes reduced mod p (p = 2^31-1), banded 4x4:
+    * candidates must agree on one full band; survivors are scored by
+    * signature agreement (estimated Jaccard) >= 0.5.
+    *
+    * The band join is keyed — this is the sub-quadratic scale path: at
+    * 100 TB no cross join ever forms; cost is O(docs * perms) for
+    * signatures plus the bucket joins. */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val p = 2147483647L
+    val hashed = shingles(s, d, 50)
+      .select(col("doc_id"), (Portable.hash60(col("sh")) % p).as("x"))
+    // 16 parallel min-aggregates: one shuffle, no 16x row explosion
+    // (an explode(sequence(0,15)) variant profiled ~5x slower here)
+    val mhCols = (0 until 16).map { i =>
+      min((col("x") * (2L * i + 1) + (i + 1) * 7919L) % p).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("mhs"))
+    sig.cache()
+    val bands = sig.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, " +
+        "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val est = cand
+      .join(sig.toDF("i", "ma"), Seq("i"))
+      .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
+      .select(col("i"), col("j"), expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
+    est.filter(col("est_jac") >= 0.5)
+      .select(col("i"), col("j"), col("est_jac"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val minhashOracle =
+    s"""WITH $shinglesSql,
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM shf),
+       |sig AS (SELECT doc_id, i, min(((i*2 + 1) * x + (i + 1) * 7919) % 2147483647) AS mh
+       |        FROM hx CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
+       |          FROM sig GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.i, c.j, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jac
+       |        FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
+       |        GROUP BY c.i, c.j)
+       |SELECT i, j, est_jac FROM est WHERE est_jac >= 0.5
+       |ORDER BY i, j""".stripMargin
+
+  /** SimHash: 32-bit signature from per-token hash bit votes; near-dup
+    * pairs = hamming distance <= 1 (the synthetic corpus shares one
+    * small vocabulary, which compresses simhash distances; on natural
+    * text a threshold of 3-6 of 32 bits is typical). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = simhashSignatures(s, d)
+    sigs.cache()
+    val ham = expr("bit_count(sim_a ^ sim_b)")
+    sigs.select(col("doc_id").as("i"), col("sim").as("sim_a")).as("a")
+      .join(sigs.select(col("doc_id").as("j"), col("sim").as("sim_b")).as("b"),
+        col("i") < col("j"))
+      .select(col("i"), col("j"), ham.cast("int").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** One 32-bit simhash per doc (tokens weighted by multiplicity). */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), Portable.hash60(col("w")).as("h"))
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(expr("shiftright(h, b) & 1") * 2 - 1).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sim"))
+
+  private val simhashOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS vote
+      |  FROM tok CROSS JOIN range(32) t(b) GROUP BY doc_id, b),
+      |sigs AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sim
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 1
+      |ORDER BY i, j""".stripMargin
+
+  /** Embedding near-dup: pairs with cosine >= 0.4 (brute force at test
+    * scale; the ANN/LSH path for scale is in Similarity). */
+  def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val e = Similarity.withNorm(s, Tables.embeddings(s, d))
+    val cos = Similarity.cosine
+    e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na")).as("a")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb")).as("b"),
+        col("i") < col("j"))
+      .select(col("i"), col("j"), cos.as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val embeddingCosineOracle =
+    """SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000 AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+      |ORDER BY i, j""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"            -> (exact _),
+    "dedup_ngram_jaccard"    -> (ngramJaccard _),
+    "dedup_minhash_lsh"      -> (minhashLsh _),
+    "dedup_simhash"          -> (simhash _),
+    "dedup_embedding_cosine" -> (embeddingCosine _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact"            -> exactOracle,
+    "dedup_ngram_jaccard"    -> ngramJaccardOracle,
+    "dedup_minhash_lsh"      -> minhashOracle,
+    "dedup_simhash"          -> simhashOracle,
+    "dedup_embedding_cosine" -> embeddingCosineOracle,
+  )
+}

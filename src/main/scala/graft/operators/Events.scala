@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Time-window operators over the `events` table (SURVEY §2.10).
+  *
+  * The reference has no streaming concepts (its "streams" are batch ETL
+  * jobs, reference README.md:4); these are the north-star extension
+  * operators, written as *batch* windowed aggregations so the DuckDB
+  * oracle applies. The same `window()`/`session_window` expressions run
+  * unchanged under Structured Streaming `readStream` + `withWatermark` —
+  * see graft.streaming.EventStreams and its ScalaTest spec.
+  *
+  * Window starts are emitted as formatted strings (not raw timestamps) to
+  * keep the cross-engine compare free of timezone/precision drift.
+  */
+object Events {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Tumbling 1-hour windows per event_type. value has 2-decimal money
+    * semantics -> integer-cents sum (see Relational doc). */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(date_format(col("window.start"), tsFmt).as("ws"),
+              col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private val tumblingOracle =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  event_type, count(*) AS n_events, sum(round(value * 100)) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY ws, event_type""".stripMargin
+
+  /** Sliding windows: 1-hour length, 30-minute slide. Each event lands in
+    * two windows; the oracle reproduces that with a 2-way UNION ALL of
+    * offset tumbling buckets. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), tsFmt).as("ws"), col("n_events"))
+      .orderBy(col("ws"))
+
+  private val slidingOracle =
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, count(*) AS n_events
+      |FROM (
+      |  SELECT make_timestamp((epoch_ms(ts) // 1800000) * 1800000 * 1000) AS ws FROM events
+      |  UNION ALL
+      |  SELECT make_timestamp(((epoch_ms(ts) // 1800000) * 1800000 - 1800000) * 1000) AS ws FROM events)
+      |GROUP BY 1
+      |ORDER BY ws""".stripMargin
+
+  /** Session windows per user with a 30-minute inactivity gap. The oracle
+    * is the classic gaps-and-islands rewrite: a new session starts when
+    * the gap to the previous event is >= the timeout (Spark extends a
+    * session strictly while ts < prev_ts + gap). */
+  def sessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("user_id"),
+              date_format(col("session_window.start"), tsFmt).as("session_start"),
+              col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val sessionsOracle =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, sum(round(value * 100)) / 100.0 AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** JSON property extraction (SURVEY §2.7 "Absent" row -> built-in
+    * get_json_object; the `props` column is a JSON object). k is integral
+    * -> exact integer sums. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"),
+           (sum(col("k")) / count(lit(1))).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  private val jsonPropsOracle =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  CAST(sum(k) AS BIGINT) / count(*) AS avg_k
+      |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Lag/lead analytics: per-user time between consecutive events, then
+    * per-event_type stats over those gaps (SURVEY §2.5 window surface). */
+  def eventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+           sum(col("gap_us")).as("sum_gap_us"),
+           max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventGapsOracle =
+    """SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us, max(gap_us) AS max_gap_us
+      |FROM (
+      |  SELECT event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling_window" -> (tumbling _),
+    "events_sliding_window"  -> (sliding _),
+    "events_session_window"  -> (sessions _),
+    "events_json_props"      -> (jsonProps _),
+    "events_gaps"            -> (eventGaps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_window" -> tumblingOracle,
+    "events_sliding_window"  -> slidingOracle,
+    "events_session_window"  -> sessionsOracle,
+    "events_json_props"      -> jsonPropsOracle,
+    "events_gaps"            -> eventGapsOracle,
+  )
+}

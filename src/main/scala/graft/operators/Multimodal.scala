@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Multimodal-column plumbing (north star, SURVEY §2.11): opaque binary
+  * payloads + typed metadata, with decode / feature-extraction run as
+  * per-partition batch functions.
+  *
+  * The reference's `file_buffer` StreamData (models.py:266-267) is the
+  * closest analog: opaque bytes flowing between steps. Here the bytes are
+  * a real `binary` column inside the distributed Dataset, not a
+  * driver-side buffer.
+  *
+  * The image/audio decode itself is STUBBED (no codec libs in this
+  * container): `DecodedMeta` fields derive deterministically from the
+  * payload's md5 (see Portable.hash60Jvm), so the Spark-side plumbing —
+  * binary schema, mapPartitions batch shape, partitioning — is real and
+  * oracle-checked while the codec call is an explicit fake.
+  */
+object Multimodal {
+
+  /** Blob table: binary payload + typed metadata columns. Uses the
+    * documents' text bytes as the stand-in payload. */
+  def blobMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        expr("octet_length(text)").as("n_bytes"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      .select(col("doc_id"), col("mime"), col("n_bytes"), col("content_md5"))
+      .orderBy(col("doc_id"))
+
+  private val blobMetaOracle =
+    """SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** "Decode" each payload per-partition — the mapPartitions batch shape
+    * a real codec (image decode, audio resample, frame sample) would use.
+    * The decode is a deterministic STUB: metadata fields are arithmetic
+    * over the payload hash, reproducible in the SQL oracle. At scale this
+    * is a narrow transformation: no shuffle, one pass per partition,
+    * codec state allocated once per partition (here: the MessageDigest).
+    */
+  def decodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[BlobRow]
+      .mapPartitions { rows =>
+        // per-partition "codec" init happens once, like a real decoder
+        rows.map { r =>
+          val h = Portable.hash60Jvm(r.text)
+          val width = (h % 1280L).toInt
+          val height = ((h / 1280L) % 720L).toInt
+          val nFrames = (h % 30L).toInt + 1
+          // floor(x+0.5) = round-half-away for non-negative x, matching
+          // both engines' round(); math.rint would round half-to-even
+          val meanLuma = (h % 256L).toDouble / 255.0 * 10000
+          DecodedRow(r.doc_id, width, height, nFrames,
+            math.floor(meanLuma + 0.5) / 10000)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val decodeStubOracle =
+    """SELECT doc_id,
+      |  CAST(h % 1280 AS INTEGER) AS width,
+      |  CAST((h // 1280) % 720 AS INTEGER) AS height,
+      |  CAST(h % 30 + 1 AS INTEGER) AS n_frames,
+      |  round((h % 256) / 255.0 * 10000) / 10000 AS mean_luma
+      |FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_blob_meta"   -> (blobMeta _),
+    "multimodal_decode_stub" -> (decodeStub _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_blob_meta"   -> blobMetaOracle,
+    "multimodal_decode_stub" -> decodeStubOracle,
+  )
+}
+
+/** Row shapes for Multimodal.decodeStub — top-level so Spark's codegen'd
+  * encoders can access them (nested private classes break SafeProjection).
+  */
+case class BlobRow(doc_id: Long, text: String)
+case class DecodedRow(doc_id: Long, width: Int, height: Int,
+                      n_frames: Int, mean_luma: Double)

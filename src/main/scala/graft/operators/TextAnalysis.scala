@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (north star; no reference counterpart,
+  * SURVEY §2.11). All expressions are Column-based (whole-stage codegen,
+  * no UDFs) and use only +,-,*,/ on integers/exact doubles so the DuckDB
+  * oracle matches bit-for-bit.
+  *
+  * Scale notes: every operator here is embarrassingly parallel per
+  * document (narrow transformations after the scan) except the per-source
+  * aggregations, which shuffle on low-cardinality keys with map-side
+  * partial aggregation — the 100 TB plan is identical to the sf0.01 plan.
+  */
+object TextAnalysis {
+
+  /** Per-document quality scoring: length / word stats / stopword &
+    * digit ratios, combined into a rational-arithmetic score (no
+    * transcendentals — libm results differ across engines). */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nWords = size(words)
+    val letters = length(col("text")) - (nWords - lit(1))
+    val nStop = size(filter(words, w => w === "the" || w === "a" || w === "of"))
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", ""))
+    val avgWordLen = letters.cast("double") / nWords
+    val stopRatio = nStop.cast("double") / nWords
+    val digitRatio = nDigit.cast("double") / length(col("text"))
+    val quality = (avgWordLen / 10.0 + (lit(1.0) - stopRatio) + (lit(1.0) - digitRatio)) / 3.0
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars_m"),
+        nWords.as("n_words"),
+        Portable.roundK(avgWordLen, 4).as("avg_word_len"),
+        Portable.roundK(stopRatio, 4).as("stop_ratio"),
+        Portable.roundK(digitRatio, 4).as("digit_ratio"),
+        Portable.roundK(quality, 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textQualityOracle =
+    """SELECT doc_id, lang, source,
+      |  CAST(length(text) AS INTEGER) AS n_chars_m,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      |  round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE / len(string_split(text, ' ')) * 10000) / 10000 AS avg_word_len,
+      |  round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))::DOUBLE / len(string_split(text, ' ')) * 10000) / 10000 AS stop_ratio,
+      |  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text) * 10000) / 10000 AS digit_ratio,
+      |  round((((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE / len(string_split(text, ' '))) / 10.0
+      |    + (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))::DOUBLE / len(string_split(text, ' ')))
+      |    + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text))) / 3.0 * 10000) / 10000 AS quality
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID by marker-token occurrence scoring (an n-gram-profile
+    * heuristic reduced to rational arithmetic; ties break by a fixed
+    * language priority). On this synthetic corpus the text is
+    * vocabulary-uniform so predictions are near-constant — the operator
+    * is the generic pattern, graded on determinism not accuracy. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def occ(marker: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(marker), ""))) / marker.length
+    val sEn = occ("the") + occ("of")
+    val sDe = occ("der") + occ("und")
+    val sEs = occ("la") + occ("el")
+    val sFr = occ("le") + occ("et")
+    val sZh = occ("zh")
+    val pred = when(sEn >= greatest(sDe, sEs, sFr, sZh), "en")
+      .when(sDe >= greatest(sEs, sFr, sZh), "de")
+      .when(sEs >= greatest(sFr, sZh), "es")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+    Tables.documents(s, d)
+      .select(col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val langIdOracle = {
+    def occ(m: String) =
+      s"(length(text) - length(replace(text, '$m', ''))) / ${m.length}"
+    val sEn = s"(${occ("the")} + ${occ("of")})"
+    val sDe = s"(${occ("der")} + ${occ("und")})"
+    val sEs = s"(${occ("la")} + ${occ("el")})"
+    val sFr = s"(${occ("le")} + ${occ("et")})"
+    val sZh = s"(${occ("zh")})"
+    s"""SELECT lang, pred_lang, count(*) AS n_docs FROM (
+       |  SELECT lang,
+       |    CASE WHEN $sEn >= greatest($sDe, $sEs, $sFr, $sZh) THEN 'en'
+       |         WHEN $sDe >= greatest($sEs, $sFr, $sZh) THEN 'de'
+       |         WHEN $sEs >= greatest($sFr, $sZh) THEN 'es'
+       |         WHEN $sFr >= $sZh THEN 'fr'
+       |         ELSE 'zh' END AS pred_lang
+       |  FROM documents)
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Regex tokenization (BPE-ish word/number pieces) + per-source corpus
+    * stats: doc count, total tokens, distinct vocabulary. */
+  def tokenStats(s: SparkSession, d: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), toks.as("toks"))
+    val perDoc = docs.select(col("doc_id"), col("source"), size(col("toks")).as("n_toks"))
+    val vocab = docs.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_vocab"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"))
+      .join(vocab, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenStatsOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS t FROM documents)
+      |SELECT a.source, a.n_docs, a.total_tokens, b.n_vocab
+      |FROM (SELECT source, count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_tokens FROM toks GROUP BY source) a
+      |JOIN (SELECT source, count(DISTINCT tok) AS n_vocab
+      |      FROM (SELECT source, unnest(t) AS tok FROM toks) GROUP BY source) b
+      |  USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** Document fingerprinting: per-token 60-bit hashes folded into a
+    * compact signature (xor / min / max / distinct count) — the
+    * rolling-hash-sketch pattern, done with exact integer ops so the
+    * oracle reproduces it. */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), Portable.hash60(col("w")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("bit_xor(h)").as("fp_xor"),
+           min(col("h")).as("fp_min"),
+           max(col("h")).as("fp_max"),
+           countDistinct(col("h")).as("n_uniq_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val docFingerprintOracle =
+    """SELECT doc_id, bit_xor(h) AS fp_xor, min(h) AS fp_min, max(h) AS fp_max,
+      |  count(DISTINCT h) AS n_uniq_tokens
+      |FROM (
+      |  SELECT doc_id, ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality"    -> (textQuality _),
+    "lang_id"         -> (langId _),
+    "token_stats"     -> (tokenStats _),
+    "doc_fingerprint" -> (docFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_quality"    -> textQualityOracle,
+    "lang_id"         -> langIdOracle,
+    "token_stats"     -> tokenStatsOracle,
+    "doc_fingerprint" -> docFingerprintOracle,
+  )
+}
