@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.config.ConfigLoader
+import graft.connect.{CsvCodec, LocalFs}
+import graft.model._
+import graft.runner.{Connectors, StreamRunner}
+
+/** Demo driver: runs the example stream (the reference's
+  * sample.config.yaml analog, fixtures in src/test/resources) end-to-end
+  * over sf0.001 with local connectors, printing the run summary.
+  * Usage: dev/run.sh graft.StreamDemo [sfDir] [workDir]
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = args.lift(1).getOrElse(
+      Files.createTempDirectory("graft_demo").toString)
+    val res = "src/test/resources"
+    def read(n: String) =
+      new String(Files.readAllBytes(Paths.get(res, n)), StandardCharsets.UTF_8)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shareRoot = s"$work/share"
+    new LocalFs(shareRoot).put("lists", "no_email_list.csv",
+      read("no_email_list.csv").getBytes(StandardCharsets.UTF_8))
+    Seq("customer", "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+
+    val stream = ConfigLoader.loadStream(read("stream_config.yaml"), "example_stream",
+      sys.env ++ Map("DB_URL" -> "spark:views", "SHARE_ROOT" -> shareRoot,
+        "OUT_ROOT" -> s"$work/out"))
+
+    val functions: Map[String, StreamRunner.TransformFn] = Map(
+      "classify_customers" -> { ins =>
+        val df = ins("raw_customers").asInstanceOf[TableOut].df
+        val high = df.filter(col("c_acctbal") > 5000.0)
+        Map("high_value" -> TableOut(high),
+          "customer_ids" -> ListOut(high.select("c_custkey").collect().map(_.getLong(0)).toSeq))
+      },
+      "filter_mailing_list" -> { ins =>
+        val high = ins("high_value").asInstanceOf[TableOut].df
+        val noEmail = CsvCodec.decode(spark, ins("no_email_csv").asInstanceOf[BlobOut].bytes,
+          StructType(Seq(StructField("email", StringType))))
+        val mailing = high.withColumn("email",
+            concat(lit("cust"), col("c_custkey").cast("string"), lit("@district.example")))
+          .join(broadcast(noEmail), Seq("email"), "left_anti")
+        Map("mailing_list" -> TableOut(mailing),
+          "recipient_list" -> ListOut(mailing.select("email").collect().map(_.getString(0)).toSeq))
+      },
+      "build_report_email" -> { ins =>
+        val report = ins("flagged_orders").asInstanceOf[TableOut].df
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_custkey"))
+        Map("report_table" -> TableOut(report),
+          "report_email" -> EmailOut(EmailMessage("High-value customer report",
+            "noreply@district.example", Seq.empty, "Report attached.",
+            Seq(EmailAttachment("report.csv", "text/csv", CsvCodec.encode(report))))))
+      })
+
+    val conn = Connectors(
+      runSql = (_, sql) => spark.sql(sql),
+      fs = Map("district_share" -> new LocalFs(shareRoot),
+               "report_share" -> new LocalFs(s"$work/out")),
+      emailOutDir = s"$work/mail",
+      queryFiles = read,
+      today = LocalDate.now())
+
+    val state = new StreamRunner(spark, stream, functions, conn).run()
+    println(s"run ${state.runId} stream=${state.streamName} status=${state.status}")
+    state.stepOutputs.foreach { case (k, v) =>
+      val desc = v match {
+        case TableOut(df) => s"table[${df.columns.mkString(",")}] rows=${df.count()}"
+        case ListOut(vs)  => s"list(n=${vs.size})"
+        case BlobOut(b, fn, _) => s"blob($fn, ${b.length}B)"
+        case EmailOut(m)  => s"email('${m.subject}', ${m.attachments.size} attachment)"
+        case other        => other.toString.take(60)
+      }
+      println(f"  output $k%-16s $desc")
+    }
+    state.destResponses.foreach(r =>
+      println(s"  sink ${r.destinationName}: ${r.status} — ${r.message}"))
+    println(s"artifacts under $work")
+    spark.stop()
+  }
+}

@@ -1,0 +1,132 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import scala.jdk.CollectionConverters._
+import graft.model._
+
+/** YAML stream-config loader (reference: app/utils/config.py:12-37) —
+  * dotenv/`${VAR}` interpolation (config.py:28,40-46), YAML parse, and
+  * construction of the validated `Stream` ADT (the Pydantic stage,
+  * models.py:26-192), including the dependency-graph check the reference
+  * had only planned (README.md:109).
+  *
+  * YAML parsing uses jackson-dataformat-yaml (ships in the Spark
+  * classpath); the parsed tree is walked manually into the sealed ADT so
+  * config errors surface as specific messages, not bind exceptions.
+  */
+object ConfigLoader {
+
+  private val envRe = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+
+  /** config.py:28: substitute `${VAR}` from the environment (injectable
+    * for tests). Unknown variables are an error — the reference would
+    * silently leave the placeholder and fail downstream. */
+  def interpolate(raw: String, env: Map[String, String]): String =
+    envRe.replaceAllIn(raw, m => {
+      val k = m.group(1)
+      scala.util.matching.Regex.quoteReplacement(
+        env.getOrElse(k, throw new IllegalArgumentException(s"undefined config variable $${$k}")))
+    })
+
+  def loadStream(yamlText: String, streamName: String,
+                 env: Map[String, String] = sys.env): Stream = {
+    val mapper = new ObjectMapper(new YAMLFactory())
+    val root = mapper.readValue(interpolate(yamlText, env), classOf[java.util.Map[String, Object]])
+    val streams = obj(root.asScala.toMap, "streams")
+    val raw = streams.getOrElse(streamName,
+      throw new NoSuchElementException(
+        s"no stream '$streamName' in config (have: ${streams.keys.mkString(", ")})"))
+      .asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+    buildStream(streamName, raw).validated
+  }
+
+  private def obj(m: Map[String, Object], k: String): Map[String, Object] =
+    m.get(k) match {
+      case Some(v: java.util.Map[_, _]) =>
+        v.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+      case _ => Map.empty
+    }
+
+  private def list(m: Map[String, Object], k: String): Seq[Map[String, Object]] =
+    m.get(k) match {
+      case Some(v: java.util.List[_]) =>
+        v.asScala.toSeq.map(_.asInstanceOf[java.util.Map[String, Object]].asScala.toMap)
+      case _ => Seq.empty
+    }
+
+  private def str(m: Map[String, Object], k: String, ctx: String): String =
+    m.get(k) match {
+      case Some(s) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(s"$ctx: missing required field '$k'")
+    }
+
+  private def strOpt(m: Map[String, Object], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(_.toString)
+
+  private def strList(m: Map[String, Object], k: String): Seq[String] =
+    m.get(k) match {
+      case Some(v: java.util.List[_]) => v.asScala.toSeq.map(_.toString)
+      case Some(s) if s != null => Seq(s.toString) // scalar form (fixes D10)
+      case _ => Seq.empty
+    }
+
+  private def buildStream(name: String, raw: Map[String, Object]): Stream = {
+    val sources = list(raw, "sources").map { s =>
+      val n = str(s, "name", s"stream '$name' source")
+      str(s, "protocol", s"source '$n'") match {
+        case "sql" => SqlSource(n, strOpt(s, "driver").getOrElse(""),
+          str(s, "url", s"source '$n'"),
+          strOpt(s, "user").getOrElse(""), strOpt(s, "password").getOrElse(""))
+        case "smb" => SmbSource(n, str(s, "mount_path", s"source '$n'"))
+        case "sftp" => SftpSource(n, str(s, "host", s"source '$n'"),
+          strOpt(s, "port").map(_.toInt).getOrElse(22),
+          strOpt(s, "user").getOrElse(""), strOpt(s, "password").getOrElse(""))
+        case "drive" => DriveSource(n, str(s, "folder_id", s"source '$n'"))
+        case other => throw new IllegalArgumentException(
+          s"source '$n': unknown protocol '$other'")
+      }
+    }
+    val dests = list(raw, "destinations").map { d =>
+      val n = str(d, "name", s"stream '$name' destination")
+      str(d, "protocol", s"destination '$n'") match {
+        case "smtp" => SmtpDestination(n, str(d, "host", s"dest '$n'"),
+          strOpt(d, "port").map(_.toInt).getOrElse(587),
+          str(d, "default_sender_email", s"dest '$n'"),
+          strOpt(d, "user"), strOpt(d, "password"))
+        case "smb" => SmbDestination(n, str(d, "mount_path", s"dest '$n'"))
+        case "sftp" => SftpDestination(n, str(d, "host", s"dest '$n'"),
+          strOpt(d, "port").map(_.toInt).getOrElse(22),
+          strOpt(d, "user").getOrElse(""), strOpt(d, "password").getOrElse(""))
+        case "drive" => DriveDestination(n, str(d, "folder_id", s"dest '$n'"))
+        case other => throw new IllegalArgumentException(
+          s"destination '$n': unknown protocol '$other'")
+      }
+    }
+    val steps = list(raw, "steps").map { st =>
+      val n = str(st, "name", s"stream '$name' step")
+      str(st, "step_type", s"step '$n'") match {
+        case "extract" if st.contains("query_file") =>
+          SqlExtractStep(n, str(st, "source", s"step '$n'"),
+            str(st, "query_file", s"step '$n'"),
+            obj(st, "params").map { case (k, v) => k -> v.toString },
+            str(st, "output", s"step '$n'"))
+        case "extract" =>
+          FileExtractStep(n, str(st, "source", s"step '$n'"),
+            str(st, "remote_file", s"step '$n'"), str(st, "output", s"step '$n'"))
+        case "transform" =>
+          TransformStep(n, str(st, "function", s"step '$n'"),
+            strList(st, "input"), strList(st, "output"))
+        case "load" if st.contains("recipients") =>
+          SmtpLoadStep(n, str(st, "destination", s"step '$n'"),
+            str(st, "input", s"step '$n'"), strList(st, "recipients"))
+        case "load" =>
+          FileLoadStep(n, str(st, "destination", s"step '$n'"),
+            str(st, "input", s"step '$n'"), str(st, "remote_dir", s"step '$n'"))
+        case other => throw new IllegalArgumentException(
+          s"step '$n': unknown step_type '$other'") // discriminator, models.py:119-121
+      }
+    }
+    Stream(name, sources, dests, steps)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.connect
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV encode/decode between DataFrames and in-memory buffers
+  * (reference: `df_to_csv_buffer`, app/utils/transformutils.py:7-13, and
+  * the example stream's CSV-parse-in-a-transform,
+  * sample.config.yaml:73-78,162-168).
+  *
+  * Single-buffer semantics are inherently driver-side (an email
+  * attachment, one file on a share) — fine for sink-sized data. The
+  * distributed path for big tables is `df.write.csv(dir)`, which these
+  * helpers deliberately do not replace.
+  */
+object CsvCodec {
+
+  /** DataFrame -> CSV bytes (header, utf-8), driver-side.
+    * Uses Spark's own CSV writer semantics for quoting/escaping by
+    * round-tripping through the datasource on a temp dir; keeps exact
+    * parity with `decode`. */
+  def encode(df: DataFrame): Array[Byte] = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    try {
+      val dir = new java.io.File(tmp, "out")
+      df.coalesce(1).write.option("header", "true").csv(dir.toString)
+      val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
+      java.nio.file.Files.readAllBytes(part.toPath)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
+  /** CSV bytes -> DataFrame with an explicit schema (schema-on-read; the
+    * reference leaves buffers untyped until a user transform parses
+    * them). */
+  def decode(spark: SparkSession, bytes: Array[Byte], schema: StructType): DataFrame = {
+    import spark.implicits._
+    val lines = new String(bytes, StandardCharsets.UTF_8)
+      .split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
+    val ds = spark.createDataset(lines)
+    spark.read.option("header", "true").schema(schema).csv(ds)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.connect
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.Base64
+import graft.model.{DestinationResponse, EmailMessage}
+
+/** Email sink (reference: `_smtp_load`, app/utils/loader.py:26-65).
+  *
+  * The offline harness has no SMTP egress, so `send` serializes an
+  * RFC-822 message with MIME multipart attachments to `<outDir>/<name>
+  * .eml` — the production impl would hand the same byte stream to an
+  * SMTP client (STARTTLS + optional login, loader.py:44-50).
+  *
+  * Mirrors the reference's per-sink failure capture (loader.py:53-59):
+  * `send` never throws; failures come back as a failure
+  * DestinationResponse while the run continues.
+  */
+final class EmailSink(outDir: String, destinationName: String) {
+
+  def send(msg: EmailMessage, recipients: Seq[String], nowMs: Long): DestinationResponse =
+    try {
+      require(recipients.nonEmpty, "no recipients resolved")
+      val eml = render(msg, recipients)
+      Files.createDirectories(Paths.get(outDir))
+      val safe = msg.subject.replaceAll("[^A-Za-z0-9._-]+", "_").take(60)
+      val target = Paths.get(outDir).resolve(s"$safe.eml")
+      Files.write(target, eml.getBytes(StandardCharsets.UTF_8))
+      DestinationResponse(destinationName, "success",
+        s"wrote ${target.toString}", Some(1L), nowMs)
+    } catch {
+      case e: Exception =>
+        DestinationResponse(destinationName, "failure",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}", None, nowMs)
+    }
+
+  /** RFC-822 + MIME multipart rendering (fixes defect D11: attachments
+    * carry explicit mime type and bytes). */
+  private[connect] def render(msg: EmailMessage, recipients: Seq[String]): String = {
+    val boundary = "----graft-" + Integer.toHexString(msg.subject.hashCode)
+    val sb = new StringBuilder
+    sb.append(s"From: ${msg.from}\r\n")
+    sb.append(s"To: ${recipients.mkString(", ")}\r\n")
+    sb.append(s"Subject: ${msg.subject}\r\n")
+    sb.append("MIME-Version: 1.0\r\n")
+    if (msg.attachments.isEmpty) {
+      sb.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+      sb.append(msg.body).append("\r\n")
+    } else {
+      sb.append(s"""Content-Type: multipart/mixed; boundary="$boundary"\r\n\r\n""")
+      sb.append(s"--$boundary\r\n")
+      sb.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+      sb.append(msg.body).append("\r\n")
+      msg.attachments.foreach { a =>
+        sb.append(s"--$boundary\r\n")
+        sb.append(s"Content-Type: ${a.mime}; name=\"${a.fileName}\"\r\n")
+        sb.append("Content-Transfer-Encoding: base64\r\n")
+        sb.append(s"Content-Disposition: attachment; filename=\"${a.fileName}\"\r\n\r\n")
+        sb.append(Base64.getMimeEncoder.encodeToString(a.bytes)).append("\r\n")
+      }
+      sb.append(s"--$boundary--\r\n")
+    }
+    sb.toString
+  }
+}
+
+object EmailSink {
+  /** Recipient resolution (loader.py:67-84, fixing defect D9): literal
+    * addresses pass through, `step:<name>` refs pull a prior list
+    * output; the result is flattened and deduplicated preserving order.
+    */
+  def resolveRecipients(declared: Seq[String],
+                        stepOutputs: scala.collection.Map[String, graft.model.StepOutput]): Seq[String] = {
+    val flat = declared.flatMap {
+      case r if r.startsWith("step:") =>
+        val ref = r.stripPrefix("step:")
+        stepOutputs.getOrElse(ref,
+          throw new NoSuchElementException(s"no step output named '$ref' for recipients")) match {
+          case graft.model.ListOut(vs) => vs.map(_.toString)
+          case graft.model.ScalarOut(s) => Seq(s.fold(identity, _.toString))
+          case other => throw new IllegalArgumentException(
+            s"recipient ref '$ref' must be a list/scalar, got ${other.getClass.getSimpleName}")
+        }
+      case lit => Seq(lit)
+    }
+    flat.distinct
+  }
+}

@@ -1,0 +1,31 @@
+package graft.connect
+
+import java.time.LocalDate
+
+/** Config macro registry (reference: app/utils/macros.py; resolved in
+  * param binding, extractor.py:115-117, via `macro:<name>` values).
+  *
+  * The clock is injected (`today`) instead of wall-clock so macro results
+  * are deterministic and testable (SURVEY §7.5 non-determinism risk).
+  */
+object Macros {
+
+  /** macros.py:4-10: month <= 7 -> current year, else year + 1 (the
+    * label of the academic year the date falls in). */
+  def schoolYear(today: LocalDate): String = {
+    val y = if (today.getMonthValue <= 7) today.getYear else today.getYear + 1
+    y.toString
+  }
+
+  /** macros.py:13-16 *intended* behavior: current date as yyyyMMdd.
+    * (The reference's literal code has defect D12 — "%Y%M%D" formats
+    * minutes and mm/dd/yy; we implement the intent, "%Y%m%d".) */
+  def yyyymmdd(today: LocalDate): String =
+    today.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+
+  /** macros.py:19 `macro_registry`. */
+  def registry(today: LocalDate): Map[String, () => String] = Map(
+    "SCHOOL_YEAR" -> (() => schoolYear(today)),
+    "YYYYMMDD"    -> (() => yyyymmdd(today)),
+  )
+}

@@ -1,0 +1,116 @@
+package graft.connect
+
+import java.time.LocalDate
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, col}
+import graft.model._
+
+/** Query-parameter resolution and binding (reference:
+  * app/utils/extractor.py:57-79 + 107-120).
+  *
+  * Resolution (`_resolve_query_params`): `step:<name>` pulls a prior
+  * step's output (list/scalar; a TableOut forces a single-column
+  * collect — the explicit driver materialization boundary),
+  * `macro:<name>` calls the registry, anything else is a literal.
+  *
+  * Binding (`::key::` -> `?` with list expansion, extractor.py:64-74):
+  * produces (boundSql, orderedParams) for a real JDBC path, plus an
+  * `inlineSql` variant with safely-quoted literals for engines that take
+  * plain SQL text.
+  */
+object ParamBinder {
+
+  private val placeholderRe = "::([A-Za-z0-9_]+)::".r
+
+  /** Resolved parameter value: scalar or list. */
+  sealed trait Resolved
+  final case class One(value: Any) extends Resolved
+  final case class Many(values: Seq[Any]) extends Resolved
+
+  /** extractor.py:107-120, with the TableOut->list collect boundary. */
+  def resolve(params: Map[String, String],
+              stepOutputs: scala.collection.Map[String, StepOutput],
+              today: LocalDate): Map[String, Resolved] = {
+    val macros = Macros.registry(today)
+    params.map { case (k, v) =>
+      val r =
+        if (v.startsWith("step:")) {
+          val ref = v.stripPrefix("step:")
+          stepOutputs.getOrElse(ref,
+            throw new NoSuchElementException(s"param '$k': no step output named '$ref'")) match {
+            case ListOut(vs)  => Many(vs)
+            case ScalarOut(s) => One(s.fold(identity, identity))
+            case TableOut(df) =>
+              // single-column table ref -> collected id list (SURVEY §7.5:
+              // beyond ~1e5 rows use filterByIds' semi-join path instead)
+              require(df.columns.length == 1,
+                s"param '$k': step ref '$ref' must be a single-column table")
+              Many(df.collect().toSeq.map(_.get(0)))
+            case other => throw new IllegalArgumentException(
+              s"param '$k': step output '$ref' of ${other.getClass.getSimpleName} is not bindable")
+          }
+        } else if (v.startsWith("macro:")) {
+          val name = v.stripPrefix("macro:")
+          One(macros.getOrElse(name,
+            throw new NoSuchElementException(s"param '$k': unknown macro '$name'"))())
+        } else One(v)
+      k -> r
+    }
+  }
+
+  /** extractor.py:64-74: rewrite `::key::` to `?` binds; a list value
+    * expands to `?, ?, ...`. Returns the bound SQL and the parameters in
+    * placeholder order. Unknown placeholders throw (the reference would
+    * silently leave them and fail at the database). */
+  def bind(sql: String, resolved: Map[String, Resolved]): (String, Seq[Any]) = {
+    val ordered = Seq.newBuilder[Any]
+    val bound = placeholderRe.replaceAllIn(sql, m => {
+      val key = m.group(1)
+      resolved.getOrElse(key,
+        throw new NoSuchElementException(s"no value for placeholder ::$key::")) match {
+        case One(v)   => ordered += v; "?"
+        case Many(vs) => ordered ++= vs; vs.map(_ => "?").mkString(", ")
+      }
+    })
+    (bound, ordered.result())
+  }
+
+  /** Same rewrite but inlining safely-quoted literals — the offline path
+    * used when the "source database" is a parquet-backed view queried as
+    * SQL text. */
+  def inlineSql(sql: String, resolved: Map[String, Resolved]): String =
+    placeholderRe.replaceAllIn(sql, m => {
+      val key = m.group(1)
+      resolved.getOrElse(key,
+        throw new NoSuchElementException(s"no value for placeholder ::$key::")) match {
+        case One(v)   => quote(v)
+        case Many(vs) => vs.map(quote).mkString(", ")
+      }
+    })
+
+  private def quote(v: Any): String = v match {
+    case null => "NULL"
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Double | _: Float) => n.toString
+    case b: Boolean => b.toString.toUpperCase
+    case s => "'" + s.toString.replace("'", "''") + "'"
+  }
+
+  /** IN-list filter with the scale switch (SURVEY §7.5): small id sets
+    * collect to an `isin` (which Catalyst can push into the scan); large
+    * sets stay distributed as a broadcast left-semi join. `threshold` is
+    * the max collected size. */
+  def filterByIds(df: DataFrame, keyCol: String, ids: DataFrame,
+                  threshold: Int = 100000): DataFrame = {
+    require(ids.columns.length == 1, "ids frame must have exactly one column")
+    val sample = ids.limit(threshold + 1).collect()
+    if (sample.length <= threshold) {
+      val vals = sample.map(_.get(0)).toSeq
+      df.filter(col(keyCol).isin(vals: _*))
+    } else {
+      // large id set: stay distributed; AQE picks broadcast vs shuffled
+      // semi-join from the actual post-distinct size
+      val idCol = ids.columns.head
+      df.join(ids.distinct(), col(keyCol) === col(idCol), "left_semi")
+    }
+  }
+}

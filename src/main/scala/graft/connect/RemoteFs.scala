@@ -1,0 +1,47 @@
+package graft.connect
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Remote-filesystem connector surface (reference: SMB mounts and SFTP
+  * sessions, app/utils/extractor.py:29-50 / loader.py:111-172).
+  *
+  * The offline harness ships a local-filesystem implementation; real
+  * SMB/SFTP impls would implement the same trait (and at cluster scale
+  * the fetch path stages to shared storage and hands Spark a URI rather
+  * than driver-side bytes).
+  *
+  * Direction semantics fix the reference's defect D4 (its
+  * `_fileshare_extract` opened the *source* file for write and copied
+  * from the write handle, truncating the remote file): `fetch` only ever
+  * reads the remote side; `put` only ever writes it.
+  */
+trait RemoteFs {
+  /** Read remote_file (relative to the mount/root) into memory. */
+  def fetch(relPath: String): Array[Byte]
+  /** Write bytes to remote_dir/fileName (relative to the mount/root),
+    * creating directories as needed. Returns the absolute target path. */
+  def put(relDir: String, fileName: String, bytes: Array[Byte]): String
+  /** Copy a local file to the remote side (loader.py:104-107 file_path
+    * branch). */
+  def putFile(relDir: String, fileName: String, localPath: String): String =
+    put(relDir, fileName, Files.readAllBytes(Paths.get(localPath)))
+}
+
+/** Local-directory implementation (tests + offline harness). */
+final class LocalFs(root: String) extends RemoteFs {
+  private def resolve(rel: String): Path = {
+    val p = Paths.get(root).resolve(rel).normalize()
+    require(p.startsWith(Paths.get(root).normalize()),
+      s"path escapes mount root: '$rel'")
+    p
+  }
+  override def fetch(relPath: String): Array[Byte] =
+    Files.readAllBytes(resolve(relPath))
+  override def put(relDir: String, fileName: String, bytes: Array[Byte]): String = {
+    val dir = resolve(relDir)
+    Files.createDirectories(dir)
+    val target = dir.resolve(fileName)
+    Files.write(target, bytes)
+    target.toString
+  }
+}

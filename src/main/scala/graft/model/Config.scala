@@ -1,0 +1,172 @@
+package graft.model
+
+/** Stream-config ADT — the reference's Pydantic discriminated unions
+  * (app/utils/models.py:26-192) as sealed traits with smart-constructor
+  * validation (the "analyzer" stage, SURVEY §1.3).
+  *
+  * Intended-behavior fixes baked in (SURVEY §0 defect list):
+  *  - D2: dispatch key is the declared `protocol` ("smb"), never
+  *    "fileshare";
+  *  - D7: the load-step union includes SmtpLoadStep;
+  *  - D8: transform function reference is a plain name string resolved
+  *    against the stream's function registry (config.py:32-35).
+  */
+object Validate {
+  /** models.py:196-200/205-209: remote paths must not start or end with
+    * "/" (they are joined onto a mount path). */
+  def remotePath(p: String, what: String): String = {
+    require(!p.startsWith("/") && !p.endsWith("/"),
+      s"$what must not have leading/trailing slash: '$p'")
+    p
+  }
+  /** models.py:210-214 + 217-219: query files are bare .sql file names. */
+  def queryFile(p: String): String = {
+    require(p.endsWith(".sql"), s"query_file must end in .sql: '$p'")
+    require(!p.contains("/"), s"query_file must be a bare file name: '$p'")
+    p
+  }
+  /** models.py:70 EmailStr. */
+  private val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$".r
+  def email(e: String): String = {
+    require(emailRe.matches(e), s"invalid email address: '$e'")
+    e
+  }
+}
+
+// ---- Sources (models.py:26-59) ----
+sealed trait Source { def name: String; def protocol: String }
+final case class SqlSource(name: String, driver: String, url: String,
+                           user: String = "", password: String = "") extends Source {
+  val protocol = "sql"
+}
+final case class SmbSource(name: String, mountPath: String) extends Source {
+  val protocol = "smb"
+}
+final case class SftpSource(name: String, host: String, port: Int = 22,
+                            user: String = "", password: String = "") extends Source {
+  val protocol = "sftp"
+}
+final case class DriveSource(name: String, folderId: String) extends Source {
+  val protocol = "drive"
+}
+
+// ---- Destinations (models.py:62-97) ----
+sealed trait Destination { def name: String; def protocol: String }
+final case class SmtpDestination(name: String, host: String, port: Int,
+                                 defaultSenderEmail: String,
+                                 user: Option[String] = None,
+                                 password: Option[String] = None) extends Destination {
+  Validate.email(defaultSenderEmail)
+  val protocol = "smtp"
+}
+final case class SmbDestination(name: String, mountPath: String) extends Destination {
+  val protocol = "smb"
+}
+final case class SftpDestination(name: String, host: String, port: Int = 22,
+                                 user: String = "", password: String = "") extends Destination {
+  val protocol = "sftp"
+}
+final case class DriveDestination(name: String, folderId: String) extends Destination {
+  val protocol = "drive"
+}
+
+// ---- Steps (models.py:101-192) ----
+sealed trait Step { def name: String; def stepType: String }
+
+/** SQL extract (models.py:138-152): query file + `::param::` bindings.
+  * Param values may be literals, `step:<name>` refs, or `macro:<name>`
+  * refs (extractor.py:107-120). */
+final case class SqlExtractStep(name: String, source: String, queryFile: String,
+                                params: Map[String, String] = Map.empty,
+                                output: String) extends Step {
+  Validate.queryFile(queryFile)
+  val stepType = "extract"
+}
+
+/** File extract over smb/sftp/drive (models.py:155-172; direction fixed
+  * vs defect D4). */
+final case class FileExtractStep(name: String, source: String, remoteFile: String,
+                                 output: String) extends Step {
+  Validate.remotePath(remoteFile, "remote_file")
+  val stepType = "extract"
+}
+
+/** Transform (models.py:106-116,225-236): named inputs -> named outputs
+  * through a registered table-level function. A scalar `input` in config
+  * normalizes to a one-element list (fixes defect D10). */
+final case class TransformStep(name: String, function: String,
+                               input: Seq[String], output: Seq[String]) extends Step {
+  require(input.nonEmpty, s"transform '$name' needs at least one input")
+  require(output.nonEmpty, s"transform '$name' needs at least one output")
+  val stepType = "transform"
+}
+
+/** File load over smb/sftp/drive (models.py:155-172 load side;
+  * loader.py:86-139). */
+final case class FileLoadStep(name: String, destination: String, input: String,
+                              remoteDir: String) extends Step {
+  Validate.remotePath(remoteDir, "remote_dir")
+  val stepType = "load"
+}
+
+/** SMTP load (models.py:175-186; loader.py:26-65). Recipients are
+  * literal addresses or `step:<name>` list refs (loader.py:67-84). */
+final case class SmtpLoadStep(name: String, destination: String, input: String,
+                              recipients: Seq[String]) extends Step {
+  require(recipients.nonEmpty, s"smtp load '$name' needs recipients")
+  recipients.filterNot(_.startsWith("step:")).foreach(Validate.email)
+  val stepType = "load"
+}
+
+/** A stream: the config-declared pipeline (models.py:101-135 +
+  * sample.config.yaml structure). */
+final case class Stream(
+    name: String,
+    sources: Seq[Source],
+    destinations: Seq[Destination],
+    steps: Seq[Step]) {
+
+  val sourceByName: Map[String, Source] = sources.map(s => s.name -> s).toMap
+  val destByName: Map[String, Destination] = destinations.map(d => d.name -> d).toMap
+
+  /** The reference's planned-but-unbuilt dependency check (README.md:109):
+    * every input / `step:` reference resolves to an output of an earlier
+    * step, every source/destination name exists. Returns all violations.
+    */
+  def dependencyErrors: Seq[String] = {
+    val errs = Seq.newBuilder[String]
+    var produced = Set.empty[String]
+    steps.foreach {
+      case s: SqlExtractStep =>
+        if (!sourceByName.contains(s.source)) errs += s"step '${s.name}': unknown source '${s.source}'"
+        s.params.values.filter(_.startsWith("step:")).map(_.stripPrefix("step:")).foreach { ref =>
+          if (!produced.contains(ref)) errs += s"step '${s.name}': unresolved step ref '$ref'"
+        }
+        produced += s.output
+      case s: FileExtractStep =>
+        if (!sourceByName.contains(s.source)) errs += s"step '${s.name}': unknown source '${s.source}'"
+        produced += s.output
+      case s: TransformStep =>
+        s.input.foreach { in =>
+          if (!produced.contains(in)) errs += s"step '${s.name}': unresolved input '$in'"
+        }
+        produced ++= s.output
+      case s: FileLoadStep =>
+        if (!destByName.contains(s.destination)) errs += s"step '${s.name}': unknown destination '${s.destination}'"
+        if (!produced.contains(s.input)) errs += s"step '${s.name}': unresolved input '${s.input}'"
+      case s: SmtpLoadStep =>
+        if (!destByName.contains(s.destination)) errs += s"step '${s.name}': unknown destination '${s.destination}'"
+        if (!produced.contains(s.input)) errs += s"step '${s.name}': unresolved input '${s.input}'"
+        s.recipients.filter(_.startsWith("step:")).map(_.stripPrefix("step:")).foreach { ref =>
+          if (!produced.contains(ref)) errs += s"step '${s.name}': unresolved recipient ref '$ref'"
+        }
+    }
+    errs.result()
+  }
+
+  def validated: Stream = {
+    val errs = dependencyErrors
+    require(errs.isEmpty, s"invalid stream '$name':\n  ${errs.mkString("\n  ")}")
+    this
+  }
+}

@@ -1,0 +1,72 @@
+package graft.model
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+
+/** Runtime data model — the Spark-native re-expression of the reference's
+  * `StreamData` tagged union (reference: app/utils/models.py:242-297) and
+  * run-state objects (models.py:300-321).
+  *
+  * Tabular data stays a lazy DataFrame (the reference materializes pandas
+  * frames eagerly); scalars/lists exist only at explicit driver
+  * materialization points (`step:` references into query params or
+  * recipient lists — the one eager boundary, SURVEY §7.5).
+  */
+sealed trait StepOutput
+
+/** data_format="dataframe" (models.py:262-263). */
+final case class TableOut(df: DataFrame) extends StepOutput
+
+/** data_format="file_buffer" (models.py:266-267): opaque bytes + the
+  * file name carried for file sinks (models.py:254). */
+final case class BlobOut(bytes: Array[Byte], fileName: String = "no_file_name",
+                         metadata: Map[String, String] = Map.empty) extends StepOutput
+
+/** data_format="file_path" (models.py:278-279). */
+final case class PathOut(path: String, fileName: String) extends StepOutput
+
+/** data_format="python_string" / "python_int" (models.py:282-287). */
+final case class ScalarOut(value: Either[String, Long]) extends StepOutput
+object ScalarOut {
+  def apply(s: String): ScalarOut = ScalarOut(Left(s))
+  def apply(i: Long): ScalarOut = ScalarOut(Right(i))
+}
+
+/** data_format="python_list" (models.py:290-291): query-param id lists,
+  * recipient lists. */
+final case class ListOut(values: Seq[Any]) extends StepOutput
+
+/** data_format="python_dict" (models.py:294-295). */
+final case class DictOut(values: Map[String, Any]) extends StepOutput
+
+/** data_format="email_message" (models.py:270-275). */
+final case class EmailOut(msg: EmailMessage) extends StepOutput
+
+/** Domain object for the SMTP sink (reference builds
+  * email.message.EmailMessage in transformutils.py:16-33; fixes defect
+  * D11 — attachments carry (name, bytes) with an explicit mime type). */
+final case class EmailMessage(
+    subject: String,
+    from: String,
+    to: Seq[String],
+    body: String,
+    attachments: Seq[EmailAttachment] = Seq.empty)
+
+final case class EmailAttachment(fileName: String, mime: String, bytes: Array[Byte])
+
+/** Per-sink outcome record (models.py:300-305). */
+final case class DestinationResponse(
+    destinationName: String,
+    status: String, // "success" | "failure"
+    message: String,
+    recordsProcessed: Option[Long],
+    timestampMs: Long)
+
+/** Run lifecycle state (models.py:308-321; transitions
+  * datastream.py:22-25,49-53). */
+final class RunState(val runId: String, val streamName: String, val startTimeMs: Long) {
+  var status: String = "running" // running | success | failed
+  var endTimeMs: Option[Long] = None
+  val stepOutputs: mutable.LinkedHashMap[String, StepOutput] = mutable.LinkedHashMap.empty
+  val destResponses: mutable.ArrayBuffer[DestinationResponse] = mutable.ArrayBuffer.empty
+}

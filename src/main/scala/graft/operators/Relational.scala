@@ -399,7 +399,25 @@ object Relational {
       |GROUP BY CUBE(n_name, c_mktsegment)
       |ORDER BY nation, segment""".stripMargin
 
+  /** CSV encode->decode roundtrip through the production codec
+    * (reference df_to_csv_buffer, transformutils.py:7-13 + the CSV
+    * decode the example stream needs, sample.config.yaml:73-78). Doubles
+    * survive textually (Java shortest-roundtrip formatting). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = Tables.customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val bytes = graft.connect.CsvCodec.encode(df)
+    graft.connect.CsvCodec.decode(s, bytes, StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType))))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val csvRoundtripOracle =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_roundtrip"          -> (csvRoundtrip _),
     "flagship_revenue"       -> (flagshipRevenue _),
     "q1_agg"                 -> (q1Agg _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
@@ -422,6 +440,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "csv_roundtrip"          -> csvRoundtripOracle,
     "flagship_revenue"       -> flagshipOracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,

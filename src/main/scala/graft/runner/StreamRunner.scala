@@ -1,0 +1,164 @@
+package graft.runner
+
+import java.time.LocalDate
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.connect._
+import graft.model._
+
+/** Everything a stream needs to touch the outside world, injected so the
+  * offline harness can substitute local implementations (SURVEY §7.1).
+  *
+  * @param runSql      executes bound SQL against a named SQL source (the
+  *                    JDBC boundary, extractor.py:89-105; offline: Spark
+  *                    SQL over parquet-backed temp views)
+  * @param fs          remote filesystems by source/destination name
+  * @param emailOutDir where the offline EmailSink writes .eml files
+  * @param queryFiles  query-file name -> SQL text (the datastream dir
+  *                    read, extractor.py:63 intent, fixing defect D6)
+  * @param today       injected clock for macros (SURVEY §7.5)
+  * @param nowMs       injected millis clock for run/response timestamps
+  */
+final case class Connectors(
+    runSql: (SqlSource, String) => DataFrame,
+    fs: Map[String, RemoteFs] = Map.empty,
+    emailOutDir: String = "target/tmp/emails",
+    queryFiles: String => String = n => throw new NoSuchElementException(s"no query file '$n'"),
+    today: LocalDate = LocalDate.now(),
+    nowMs: () => Long = () => System.currentTimeMillis())
+
+/** Table-level user transform (SURVEY §2.8): named step outputs in,
+  * named step outputs out — DataFrames stay lazy Catalyst plans inside.
+  * (The reference's TransformFunc/EmailBuilder surface,
+  * models.py:225-236.) */
+object StreamRunner {
+  type TransformFn = Map[String, StepOutput] => Map[String, StepOutput]
+}
+
+/** The step interpreter (reference: app/utils/datastream.py:27-53).
+  *
+  * Execution semantics preserved from the reference:
+  *  - steps run strictly in config order (dataflow edges are `step:`
+  *    refs and transform inputs);
+  *  - extract/transform failures are fatal: status=failed, rethrow
+  *    (errors.py:15-24 log-and-terminate);
+  *  - load failures are captured as failure DestinationResponses and the
+  *    run continues (loader.py:53-59,127-133,160-166 asymmetry).
+  *
+  * Spark-native difference: table outputs stay *lazy* plans; only sinks
+  * and `step:`-collects force execution, so Catalyst sees whole
+  * multi-step pipelines (SURVEY §3 EP1 rebuild note).
+  */
+final class StreamRunner(spark: SparkSession, stream: Stream,
+                         functions: Map[String, StreamRunner.TransformFn],
+                         conn: Connectors) {
+
+  def run(): RunState = {
+    val state = new RunState(UUID.randomUUID().toString, stream.name, conn.nowMs())
+    try {
+      stream.steps.foreach {
+        case s: SqlExtractStep  => state.stepOutputs(s.output) = sqlExtract(s, state)
+        case s: FileExtractStep => state.stepOutputs(s.output) = fileExtract(s)
+        case s: TransformStep   => runTransform(s, state)
+        case s: FileLoadStep    => state.destResponses += fileLoad(s, state)
+        case s: SmtpLoadStep    => state.destResponses += smtpLoad(s, state)
+      }
+      state.status = "success"
+    } catch {
+      case e: Throwable =>
+        state.status = "failed"
+        state.endTimeMs = Some(conn.nowMs())
+        throw e
+    }
+    state.endTimeMs = Some(conn.nowMs())
+    state
+  }
+
+  /** EP2 (SURVEY §3): resolve params -> bind -> execute -> TableOut. */
+  private def sqlExtract(s: SqlExtractStep, state: RunState): StepOutput = {
+    val src = stream.sourceByName(s.source) match {
+      case q: SqlSource => q
+      case other => throw new IllegalArgumentException(
+        s"step '${s.name}': source '${other.name}' is ${other.protocol}, not sql")
+    }
+    val resolved = ParamBinder.resolve(s.params, state.stepOutputs, conn.today)
+    val sql = ParamBinder.inlineSql(conn.queryFiles(s.queryFile), resolved)
+    TableOut(conn.runSql(src, sql))
+  }
+
+  /** Fileshare/SFTP extract (extractor.py:29-50, direction fixed — D4);
+    * dispatch keyed on the declared protocol (fixes D2). */
+  private def fileExtract(s: FileExtractStep): StepOutput = {
+    val src = stream.sourceByName(s.source)
+    src.protocol match {
+      case "smb" | "sftp" =>
+        val fsImpl = conn.fs.getOrElse(s.source,
+          throw new NoSuchElementException(s"no filesystem connector for source '${s.source}'"))
+        BlobOut(fsImpl.fetch(s.remoteFile), fileName = s.remoteFile.split('/').last)
+      case "drive" =>
+        throw new UnsupportedOperationException(
+          "drive extract is declared but unimplemented (reference stub, extractor.py:52-55)")
+      case p => throw new IllegalArgumentException(
+        s"step '${s.name}': protocol '$p' cannot file-extract")
+    }
+  }
+
+  /** datastream.py:40-43 with the output-contract check
+    * (README.md:86-89): a transform must return exactly its declared
+    * output names. */
+  private def runTransform(s: TransformStep, state: RunState): Unit = {
+    val fn = functions.getOrElse(s.function,
+      throw new NoSuchElementException(s"step '${s.name}': no registered function '${s.function}'"))
+    val missing = s.input.filterNot(state.stepOutputs.contains)
+    require(missing.isEmpty, s"step '${s.name}': missing inputs ${missing.mkString(", ")}")
+    val outs = fn(s.input.map(n => n -> state.stepOutputs(n)).toMap)
+    require(outs.keySet == s.output.toSet,
+      s"step '${s.name}': function returned ${outs.keySet.mkString(",")} but config declares ${s.output.mkString(",")}")
+    state.stepOutputs ++= outs
+  }
+
+  /** loader.py:86-139/141-172: path assembly + format check + put;
+    * failures captured, not fatal. */
+  private def fileLoad(s: FileLoadStep, state: RunState): DestinationResponse =
+    try {
+      val fsImpl = conn.fs.getOrElse(s.destination,
+        throw new NoSuchElementException(s"no filesystem connector for destination '${s.destination}'"))
+      val (written, records) = state.stepOutputs.getOrElse(s.input,
+        throw new NoSuchElementException(s"no step output '${s.input}'")) match {
+        case BlobOut(bytes, fileName, _) =>
+          (fsImpl.put(s.remoteDir, fileName, bytes), None)
+        case PathOut(path, fileName) =>
+          (fsImpl.putFile(s.remoteDir, fileName, path), None)
+        case TableOut(df) =>
+          // table -> single CSV artifact on the share (df_to_csv_buffer
+          // + put; record count comes free from the materialization)
+          val bytes = CsvCodec.encode(df)
+          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes),
+            Some(new String(bytes, "UTF-8").linesIterator.size - 1L))
+        case other => throw new IllegalArgumentException(
+          s"step '${s.name}': cannot file-load ${other.getClass.getSimpleName}")
+      }
+      DestinationResponse(s.destination, "success", s"wrote $written", records, conn.nowMs())
+    } catch {
+      case e: Exception =>
+        DestinationResponse(s.destination, "failure",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}", None, conn.nowMs())
+    }
+
+  /** loader.py:26-65: format check + recipient resolution + send. */
+  private def smtpLoad(s: SmtpLoadStep, state: RunState): DestinationResponse =
+    try {
+      val msg = state.stepOutputs.getOrElse(s.input,
+        throw new NoSuchElementException(s"no step output '${s.input}'")) match {
+        case EmailOut(m) => m
+        case other => throw new IllegalArgumentException(
+          s"step '${s.name}': smtp load needs an email_message, got ${other.getClass.getSimpleName}")
+      }
+      val recipients = EmailSink.resolveRecipients(s.recipients, state.stepOutputs)
+      new EmailSink(conn.emailOutDir, s.destination).send(msg, recipients, conn.nowMs())
+    } catch {
+      case e: Exception =>
+        DestinationResponse(s.destination, "failure",
+          s"${e.getClass.getSimpleName}: ${e.getMessage}", None, conn.nowMs())
+    }
+}

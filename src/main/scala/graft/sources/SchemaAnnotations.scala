@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** The TABLE-COLUMN-ALIAS MAP channel (reference:
+  * app/utils/extractor.py:122-172 + _template/query.sql:14-18): a
+  * structured SQL comment block inside a query file declares
+  * (table, column[, alias]) triples; the extractor looks each pair's
+  * type up in the source catalog and casts the result frame.
+  *
+  * Offline there is no OpenEdge catalog, so the lookup function is
+  * injected (tests use a fixed map; a JDBC impl would query the
+  * catalog). The type table mirrors extractor.py:182-206 with Spark
+  * types (SURVEY §1.4), improving `numeric -> object` to a real decimal.
+  */
+object SchemaAnnotations {
+
+  final case class ColumnRef(table: String, column: String, alias: String)
+
+  // query.sql:14-18 block shape:
+  //   --[ TABLE-COLUMN-ALIAS MAP ]
+  //   -- TABLE,COLUMN[,ALIAS]
+  private val headerRe = "(?i)--\\s*\\[\\s*TABLE-COLUMN-ALIAS MAP\\s*\\]".r
+  private val rowRe = "^--\\s*([^,\\s]+)\\s*,\\s*([^,\\s]+)\\s*(?:,\\s*([^,\\s]+))?\\s*$".r
+
+  /** Parse the annotation block (extractor.py:132-137). Rows before the
+    * header line are ignored; the block ends at the first non-comment
+    * line after it. */
+  def parse(sql: String): Seq[ColumnRef] = {
+    val lines = sql.split("\r?\n").toIndexedSeq
+    val start = lines.indexWhere(l => headerRe.findFirstIn(l).isDefined)
+    if (start < 0) Seq.empty
+    else lines.drop(start + 1)
+      .takeWhile(_.trim.startsWith("--"))
+      .map(_.trim)
+      .collect { case rowRe(t, c, a) => ColumnRef(t, c, Option(a).getOrElse(c)) }
+  }
+
+  /** OpenEdge/SQL type name -> Spark type (extractor.py:182-206). */
+  val typeMap: Map[String, DataType] = Map(
+    "character" -> StringType, "varchar" -> StringType, "lvarchar" -> StringType,
+    "bit" -> BooleanType,
+    "tinyint" -> ByteType, "smallint" -> ShortType,
+    "integer" -> IntegerType, "bigint" -> LongType,
+    "numeric" -> DecimalType(38, 18),
+    "real" -> FloatType, "float" -> DoubleType, "double precision" -> DoubleType,
+    "date" -> DateType, "timestamp" -> TimestampType,
+    "time" -> DayTimeIntervalType(), "timestamp_timezone" -> TimestampType,
+    "varbinary" -> BinaryType, "varbina" -> BinaryType, "lvarbinary" -> BinaryType,
+  )
+
+  /** Apply declared types: for each annotated alias present in the frame,
+    * cast it (extractor.py:104 df.astype). Unknown catalog entries fall
+    * back to string, mirroring extractor.py:168-169; lookup failures are
+    * skipped entirely (graceful fallback, extractor.py:162-164). */
+  def applyCasts(df: DataFrame, refs: Seq[ColumnRef],
+                 catalogType: (String, String) => Option[String]): DataFrame = {
+    val casts = refs.flatMap { r =>
+      if (!df.columns.contains(r.alias)) None
+      else catalogType(r.table, r.column)
+        .map(t => r.alias -> typeMap.getOrElse(t.toLowerCase, StringType))
+    }.toMap
+    if (casts.isEmpty) df
+    else df.select(df.columns.map { c =>
+      casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }: _*)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the events operators (SURVEY §2.10).
+  *
+  * The reference has no streaming engine (its "streams" are batch ETL
+  * jobs); this is the north-star extension surface. Each transform here
+  * is the same Column expression used by the batch operators in
+  * graft.operators.Events — the point of the Spark-native design is that
+  * one declarative plan serves both `spark.read` and `spark.readStream`.
+  *
+  * Scale notes: watermarks bound state (late data beyond the watermark
+  * is dropped); `dropDuplicates` keeps only ids younger than the
+  * watermark in state — without it, stream dedup state grows forever.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windowed counts per event_type, watermarked. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           (sum(round(col("value") * 100)) / 100.0).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Session windows per user (30-minute gap), watermarked. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+              col("n_events"))
+
+  /** Exactly-once-per-id stream dedup: duplicates of an event_id within
+    * the watermark horizon are dropped, state is GC'd past it. */
+  def dedupeStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+}

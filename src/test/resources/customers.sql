@@ -1,0 +1,10 @@
+-- Customers of one market segment (example_stream's raw_students
+-- analog; exercises scalar + macro params and the schema annotation
+-- block, reference _template/query.sql:1-18).
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_mktsegment = ::segment::
+  AND ::year:: >= '2000'
+--[ TABLE-COLUMN-ALIAS MAP ]
+-- PUB.CUSTOMER,CUST-KEY,c_custkey
+-- PUB.CUSTOMER,ACCT-BAL,c_acctbal

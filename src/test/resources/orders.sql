@@ -1,0 +1,6 @@
+-- Orders of flagged customers (example_stream's parents-of-selected
+-- analog; exercises the IN-list expansion, reference query.sql:12 +
+-- extractor.py:66-74).
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (::ids::)

@@ -1,0 +1,47 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+import scala.io.Source
+
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  private def yamlText: String = {
+    val in = getClass.getResourceAsStream("/stream_config.yaml")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private val env = Map(
+    "DB_URL" -> "jdbc:test://db", "SHARE_ROOT" -> "/tmp/share", "OUT_ROOT" -> "/tmp/out")
+
+  test("loads and validates the example stream (config.py:12-37)") {
+    val s = ConfigLoader.loadStream(yamlText, "example_stream", env)
+    assert(s.sources.map(_.name) == Seq("sis_db", "district_share"))
+    assert(s.sourceByName("sis_db").asInstanceOf[SqlSource].url == "jdbc:test://db")
+    assert(s.sourceByName("district_share").asInstanceOf[SmbSource].mountPath == "/tmp/share")
+    assert(s.destinations.size == 2)
+    assert(s.steps.size == 8)
+    val extract = s.steps.head.asInstanceOf[SqlExtractStep]
+    assert(extract.params == Map("segment" -> "BUILDING", "year" -> "macro:SCHOOL_YEAR"))
+    // scalar `input:` normalizes to a one-element list (defect D10 intent)
+    val classify = s.steps.collect { case t: TransformStep if t.name == "classify" => t }.head
+    assert(classify.input == Seq("raw_customers"))
+  }
+
+  test("${VAR} interpolation fails loudly on undefined vars (config.py:28)") {
+    assertThrows[IllegalArgumentException](
+      ConfigLoader.loadStream(yamlText, "example_stream", Map("DB_URL" -> "x")))
+  }
+
+  test("dependency errors reject bad_stream (README.md:109)") {
+    val e = intercept[IllegalArgumentException](
+      ConfigLoader.loadStream(yamlText, "bad_stream", env))
+    assert(e.getMessage.contains("unresolved input 'never_produced'"))
+  }
+
+  test("unknown stream name lists available streams") {
+    val e = intercept[NoSuchElementException](
+      ConfigLoader.loadStream(yamlText, "nope", env))
+    assert(e.getMessage.contains("example_stream"))
+  }
+}

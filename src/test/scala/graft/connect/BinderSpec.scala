@@ -1,0 +1,87 @@
+package graft.connect
+
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+
+/** Param resolution + `::x::` binding (reference extractor.py:57-79,
+  * 107-120; fixes defect D1's broken replace call by construction). */
+class BinderSpec extends AnyFunSuite {
+
+  private val today = LocalDate.of(2026, 3, 1)
+
+  test("scalar, macro and step refs resolve (extractor.py:107-120)") {
+    val outputs = Map[String, StepOutput](
+      "ids" -> ListOut(Seq(1L, 2L, 3L)),
+      "code" -> ScalarOut("X42"))
+    val r = ParamBinder.resolve(Map(
+      "campus" -> "literal042",
+      "year" -> "macro:SCHOOL_YEAR",
+      "ids" -> "step:ids",
+      "code" -> "step:code"), outputs, today)
+    assert(r("campus") == ParamBinder.One("literal042"))
+    assert(r("year") == ParamBinder.One("2026")) // March -> month<=7 -> 2026
+    assert(r("ids") == ParamBinder.Many(Seq(1L, 2L, 3L)))
+    assert(r("code") == ParamBinder.One("X42"))
+  }
+
+  test("unknown step/macro refs fail loudly") {
+    assertThrows[NoSuchElementException](
+      ParamBinder.resolve(Map("x" -> "step:nope"), Map.empty, today))
+    assertThrows[NoSuchElementException](
+      ParamBinder.resolve(Map("x" -> "macro:NOPE"), Map.empty, today))
+  }
+
+  test("bind rewrites ::key:: to ? and expands lists (extractor.py:64-74)") {
+    val (sql, params) = ParamBinder.bind(
+      "SELECT * FROM t WHERE c = ::code:: AND id IN (::ids::)",
+      Map("code" -> ParamBinder.One("I"),
+          "ids" -> ParamBinder.Many(Seq(7, 8, 9))))
+    assert(sql == "SELECT * FROM t WHERE c = ? AND id IN (?, ?, ?)")
+    assert(params == Seq("I", 7, 8, 9))
+  }
+
+  test("inlineSql quotes strings and inlines numbers") {
+    val sql = ParamBinder.inlineSql(
+      "SELECT * FROM t WHERE name = ::n:: AND id IN (::ids::)",
+      Map("n" -> ParamBinder.One("O'Brien"),
+          "ids" -> ParamBinder.Many(Seq(1L, 2L))))
+    assert(sql == "SELECT * FROM t WHERE name = 'O''Brien' AND id IN (1, 2)")
+  }
+
+  test("missing placeholder value throws") {
+    assertThrows[NoSuchElementException](
+      ParamBinder.bind("SELECT ::a::", Map.empty))
+  }
+
+  test("property: bound SQL never retains a placeholder (SURVEY §5.3)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val keys = (1 to (1 + rnd.nextInt(5)))
+        .map(_ => "k" + rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).distinct
+      val sql = keys.map(k => rnd.alphanumeric.take(rnd.nextInt(10)).mkString + s" ::$k:: ")
+        .mkString("SELECT ", "", " FROM t")
+      val resolved = keys.map { k =>
+        k -> (if (rnd.nextBoolean()) ParamBinder.One(rnd.nextInt(100))
+              else ParamBinder.Many(Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(100))))
+      }.toMap
+      val (bound, params) = ParamBinder.bind(sql, resolved)
+      assert(!bound.contains("::"))
+      assert(params.size == bound.count(_ == '?'))
+    }
+  }
+
+  test("filterByIds small set uses isin, both paths agree") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = (1L to 100L).toDF("k")
+    val ids = Seq(3L, 5L, 8L).toDF("id")
+    val small = ParamBinder.filterByIds(df, "k", ids, threshold = 10)
+    val large = ParamBinder.filterByIds(df, "k", ids, threshold = 1)
+    assert(small.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 8L))
+    assert(large.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 8L))
+    // the small path is an isin filter (no join in the plan)
+    assert(!small.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    assert(large.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+  }
+}

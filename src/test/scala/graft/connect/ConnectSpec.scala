@@ -1,0 +1,119 @@
+package graft.connect
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.time.LocalDate
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.model._
+import graft.sources.SchemaAnnotations
+
+class MacrosSpec extends AnyFunSuite {
+  test("SCHOOL_YEAR: month<=7 -> year, else year+1 (macros.py:4-10)") {
+    assert(Macros.schoolYear(LocalDate.of(2026, 7, 31)) == "2026")
+    assert(Macros.schoolYear(LocalDate.of(2026, 8, 1)) == "2027")
+    assert(Macros.schoolYear(LocalDate.of(2026, 1, 15)) == "2026")
+  }
+  test("YYYYMMDD formats %Y%m%d — the D12 *intended* behavior") {
+    assert(Macros.yyyymmdd(LocalDate.of(2026, 3, 7)) == "20260307")
+  }
+}
+
+class LocalFsSpec extends AnyFunSuite {
+  test("put/fetch roundtrip — read direction fixed (defect D4)") {
+    val root = Files.createTempDirectory("graft_fs").toString
+    val fs = new LocalFs(root)
+    val payload = "hello,world\n1,2\n".getBytes(StandardCharsets.UTF_8)
+    // seed a 'remote' file, then fetch must return its bytes unmodified
+    fs.put("inbox", "data.csv", payload)
+    assert(fs.fetch("inbox/data.csv").toSeq == payload.toSeq)
+    // and the remote file must still exist untouched (D4 truncated it)
+    assert(Files.size(java.nio.file.Paths.get(root, "inbox", "data.csv")) == payload.length)
+  }
+  test("paths cannot escape the mount root") {
+    val fs = new LocalFs(Files.createTempDirectory("graft_fs2").toString)
+    assertThrows[IllegalArgumentException](fs.fetch("../etc/passwd"))
+  }
+}
+
+class EmailSinkSpec extends AnyFunSuite {
+  private val msg = EmailMessage("Weekly report", "noreply@example.com",
+    Seq("ignored@example.com"), "See attached.",
+    Seq(EmailAttachment("r.csv", "text/csv", "a,b\n1,2\n".getBytes)))
+
+  test("send writes a parseable .eml with attachment (loader.py:26-65)") {
+    val out = Files.createTempDirectory("graft_eml").toString
+    val resp = new EmailSink(out, "mail").send(msg, Seq("a@x.co", "b@x.co"), 123L)
+    assert(resp.status == "success")
+    val eml = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "Weekly_report.eml")), StandardCharsets.UTF_8)
+    assert(eml.contains("To: a@x.co, b@x.co"))
+    assert(eml.contains("Subject: Weekly report"))
+    assert(eml.contains("Content-Disposition: attachment; filename=\"r.csv\""))
+    assert(eml.contains(java.util.Base64.getMimeEncoder.encodeToString("a,b\n1,2\n".getBytes)))
+  }
+
+  test("failures are captured, not thrown (loader.py:53-59)") {
+    val resp = new EmailSink("/dev/null/impossible", "mail").send(msg, Seq("a@x.co"), 1L)
+    assert(resp.status == "failure")
+  }
+
+  test("recipient resolution flattens literals + step lists (loader.py:67-84, D9 fixed)") {
+    val outputs = Map[String, StepOutput](
+      "extra" -> ListOut(Seq("c@x.co", "a@x.co")))
+    val r = EmailSink.resolveRecipients(Seq("a@x.co", "step:extra", "b@x.co"), outputs)
+    assert(r == Seq("a@x.co", "c@x.co", "b@x.co"))
+  }
+}
+
+class CsvCodecSpec extends AnyFunSuite {
+  test("encode/decode roundtrip preserves rows and types (transformutils.py:7-13)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1L, "O'Brien, Pat", 3.5), (2L, "plain", -1.0)).toDF("id", "name", "score")
+    val bytes = CsvCodec.encode(df)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val back = CsvCodec.decode(spark, bytes, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "O'Brien, Pat", 3.5), (2L, "plain", -1.0)))
+  }
+}
+
+class SchemaAnnotationsSpec extends AnyFunSuite {
+  private val sql =
+    """SELECT SE."STUDENT-ID" AS student_id, SE."GRADE" AS grade
+      |FROM PUB."STUDENT-ENTITY" SE
+      |--[ TABLE-COLUMN-ALIAS MAP ]
+      |-- PUB.STUDENT-ENTITY,STUDENT-ID,student_id
+      |-- PUB.STUDENT-ENTITY,GRADE,grade
+      |-- PUB.STUDENT-ENTITY,PLAIN
+      |
+      |WHERE 1 = 1""".stripMargin
+
+  test("parses the comment block (extractor.py:132-137, query.sql:14-18)") {
+    val refs = SchemaAnnotations.parse(sql)
+    assert(refs == Seq(
+      SchemaAnnotations.ColumnRef("PUB.STUDENT-ENTITY", "STUDENT-ID", "student_id"),
+      SchemaAnnotations.ColumnRef("PUB.STUDENT-ENTITY", "GRADE", "grade"),
+      SchemaAnnotations.ColumnRef("PUB.STUDENT-ENTITY", "PLAIN", "PLAIN")))
+    assert(SchemaAnnotations.parse("SELECT 1 -- no map").isEmpty)
+  }
+
+  test("applies catalog-driven casts (extractor.py:104,182-206)") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val df = Seq(("7", "3.25")).toDF("student_id", "grade")
+    val catalog: (String, String) => Option[String] = {
+      case (_, "STUDENT-ID") => Some("integer")
+      case (_, "GRADE")      => Some("numeric")
+      case _                 => None
+    }
+    val cast = SchemaAnnotations.applyCasts(df, SchemaAnnotations.parse(sql), catalog)
+    assert(cast.schema("student_id").dataType == IntegerType)
+    assert(cast.schema("grade").dataType == DecimalType(38, 18))
+    val row = cast.collect().head
+    assert(row.getInt(0) == 7)
+  }
+}

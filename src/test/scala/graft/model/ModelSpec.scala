@@ -1,0 +1,77 @@
+package graft.model
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config-ADT validation (reference models.py:196-219 path rules,
+  * models.py:70 email) and the intended-behavior fixes from SURVEY §0's
+  * defect list. */
+class ModelSpec extends AnyFunSuite {
+
+  test("remote paths reject leading/trailing slash (models.py:196-209)") {
+    assertThrows[IllegalArgumentException](
+      FileExtractStep("s", "src", "/abs/path.csv", "out"))
+    assertThrows[IllegalArgumentException](
+      FileLoadStep("s", "dst", "in", "dir/trailing/"))
+    // valid forms pass
+    FileExtractStep("s", "src", "rel/path.csv", "out")
+    FileLoadStep("s", "dst", "in", "reports/daily")
+  }
+
+  test("query files must be bare .sql names (models.py:210-219)") {
+    assertThrows[IllegalArgumentException](
+      SqlExtractStep("s", "db", "query.txt", Map.empty, "out"))
+    assertThrows[IllegalArgumentException](
+      SqlExtractStep("s", "db", "dir/query.sql", Map.empty, "out"))
+    SqlExtractStep("s", "db", "query.sql", Map.empty, "out")
+  }
+
+  test("smtp destination validates sender email (models.py:70)") {
+    assertThrows[IllegalArgumentException](
+      SmtpDestination("m", "host", 587, "not-an-email"))
+    SmtpDestination("m", "host", 587, "noreply@example.com")
+  }
+
+  test("D7 intent: SMTP load steps are a valid load-step kind") {
+    // the reference's LoadStep union wrongly included SqlExtractStep
+    // instead of SmtpLoadStep (models.py:132-135) — here it constructs
+    val s = SmtpLoadStep("send", "mail", "report", Seq("a@b.co", "step:more"))
+    assert(s.stepType == "load")
+  }
+
+  test("smtp literal recipients are validated, step refs are not") {
+    assertThrows[IllegalArgumentException](
+      SmtpLoadStep("send", "mail", "report", Seq("bogus")))
+    SmtpLoadStep("send", "mail", "report", Seq("step:anything", "ok@example.com"))
+  }
+
+  test("D2 intent: dispatch key equals the declared protocol 'smb'") {
+    assert(SmbSource("share", "/mnt/x").protocol == "smb")
+    assert(SmbDestination("share", "/mnt/x").protocol == "smb")
+  }
+
+  test("dependency check finds unresolved refs (README.md:109)") {
+    val stream = Stream("s",
+      sources = Seq(SqlSource("db", "drv", "url")),
+      destinations = Seq(SmbDestination("out", "/mnt/out")),
+      steps = Seq(
+        SqlExtractStep("e1", "db", "q.sql", Map("ids" -> "step:missing"), "t1"),
+        TransformStep("t", "fn", Seq("t1", "never_made"), Seq("t2")),
+        FileLoadStep("l", "out", "t2", "dir"),
+        FileLoadStep("l2", "nodest", "t2", "dir")))
+    val errs = stream.dependencyErrors
+    assert(errs.exists(_.contains("unresolved step ref 'missing'")))
+    assert(errs.exists(_.contains("unresolved input 'never_made'")))
+    assert(errs.exists(_.contains("unknown destination 'nodest'")))
+    assertThrows[IllegalArgumentException](stream.validated)
+  }
+
+  test("a well-formed stream validates") {
+    Stream("ok",
+      sources = Seq(SqlSource("db", "drv", "url")),
+      destinations = Seq(SmtpDestination("mail", "h", 587, "noreply@example.com")),
+      steps = Seq(
+        SqlExtractStep("e", "db", "q.sql", Map.empty, "t1"),
+        TransformStep("t", "fn", Seq("t1"), Seq("report", "recips")),
+        SmtpLoadStep("send", "mail", "report", Seq("step:recips")))).validated
+  }
+}

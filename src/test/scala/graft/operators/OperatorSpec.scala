@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec, Tables}
+import graft.functions.Portable
+
+/** Operator-level invariants and plan-shape assertions (the oracle
+  * compare in Verify covers exact values; these cover structure, scale
+  * hygiene, and the non-oracle approximate paths). */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry/flagship returns rows at sf0.001 (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      withClue(s"query $name should produce a schema and run: ") {
+        assert(n >= 0)
+      }
+    }
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val plan = Relational.q1Agg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"expected shipdate pushdown in:\n$plan")
+  }
+
+  test("flagship plan: no cartesian product, aggregation is partial") {
+    val plan = Relational.flagshipRevenue(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("anti-join result is a subset of the left side") {
+    val left = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0)).toSet
+    val anti = Relational.antiJoinMailingList(spark, sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(anti.subsetOf(left))
+  }
+
+  test("dedup_exact partitions the corpus: keeper counts sum to doc count") {
+    val total = Tables.documents(spark, sf).count()
+    val sums = Dedup.exact(spark, sf).agg(sum("n_copies")).collect().head.getLong(0)
+    assert(sums == total)
+  }
+
+  test("dedup is idempotent: re-deduping keepers yields all singletons") {
+    val keepers = Dedup.exact(spark, sf).select(col("keeper_id"))
+    val docs = Tables.documents(spark, sf)
+      .join(keepers, col("doc_id") === col("keeper_id"))
+    val redup = docs.groupBy(col("text")).count().filter(col("count") > 1).count()
+    assert(redup == 0)
+  }
+
+  test("FloatVecDot matches a driver-side dot product") {
+    graft.functions.VectorOps.registerVecDot(spark)
+    val rows = Tables.embeddings(spark, sf).limit(3)
+      .withColumn("dot", expr("vec_dot(embedding, embedding)"))
+      .select(col("embedding"), col("dot")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val expect = v.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(r.getDouble(1) - expect) < 1e-12)
+    }
+  }
+
+  test("LSH top-k recall vs brute force >= 0.5 on the test corpus") {
+    val brute = Similarity.bruteTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall below floor")
+  }
+
+  test("hash60 JVM and Column implementations agree") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "", "äöü", "the quick brown fox")
+    val fromCol = words.toDF("w")
+      .select(Portable.hash60(col("w"))).collect().map(_.getLong(0)).toSeq
+    assert(fromCol == words.map(Portable.hash60Jvm))
+  }
+
+  test("minhash LSH candidates contain every true high-jaccard pair (sf0.001)") {
+    // LSH with 4x4 bands at est>=0.5 must recover pairs the exact
+    // n-gram jaccard marks as >= 0.7 (banding guarantees kick in well
+    // above the 0.5 threshold)
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .filter(col("jac") >= 0.7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLsh(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- mh
+    assert(missed.isEmpty || missed.size.toDouble / math.max(exact.size, 1) <= 0.2,
+      s"minhash missed too many true pairs: $missed")
+  }
+}

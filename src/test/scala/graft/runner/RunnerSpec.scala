@@ -1,0 +1,146 @@
+package graft.runner
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.config.ConfigLoader
+import graft.connect.{CsvCodec, LocalFs}
+import graft.runner.Connectors
+import graft.model._
+import scala.io.Source
+
+/** Golden end-to-end stream (SURVEY §5.4): the example_stream analog
+  * runs extract -> transform -> load over sf0.001 testdata with local
+  * connectors, asserting final artifacts. */
+class RunnerSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    try Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def buildHarness(): (Stream, Connectors, String, String) = {
+    val shareRoot = Files.createTempDirectory("graft_share").toString
+    val outRoot = Files.createTempDirectory("graft_out").toString
+    val emailDir = Files.createTempDirectory("graft_mail").toString
+    // seed the 'remote' no-email list on the share
+    new LocalFs(shareRoot).put("lists", "no_email_list.csv",
+      resource("no_email_list.csv").getBytes(StandardCharsets.UTF_8))
+    val stream = ConfigLoader.loadStream(resource("stream_config.yaml"), "example_stream",
+      Map("DB_URL" -> "spark:local", "SHARE_ROOT" -> shareRoot, "OUT_ROOT" -> outRoot))
+    // the "source database": parquet tables as temp views, SQL via Spark
+    Seq("customer", "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+    }
+    val conn = Connectors(
+      runSql = (_, sql) => spark.sql(sql),
+      fs = Map("district_share" -> new LocalFs(shareRoot),
+               "report_share" -> new LocalFs(outRoot)),
+      emailOutDir = emailDir,
+      queryFiles = n => resource(n),
+      today = LocalDate.of(2026, 3, 1),
+      nowMs = () => 1234567890L)
+    (stream, conn, outRoot, emailDir)
+  }
+
+  private val functions: Map[String, StreamRunner.TransformFn] = Map(
+    // avg-threshold classification analog (sample.config.yaml:98-113)
+    "classify_customers" -> { ins =>
+      val df = ins("raw_customers").asInstanceOf[TableOut].df
+      val high = df.filter(col("c_acctbal") > 5000.0)
+      val ids = high.select(col("c_custkey")).collect().map(_.getLong(0)).toSeq
+      Map("high_value" -> TableOut(high), "customer_ids" -> ListOut(ids))
+    },
+    // CSV decode + anti-join exclusion (sample.config.yaml:162-168)
+    "filter_mailing_list" -> { ins =>
+      val high = ins("high_value").asInstanceOf[TableOut].df
+      val csv = ins("no_email_csv").asInstanceOf[BlobOut].bytes
+      val noEmail = CsvCodec.decode(SparkSpec.session, csv,
+        StructType(Seq(StructField("email", StringType))))
+      val withEmail = high.withColumn("email",
+        concat(lit("cust"), col("c_custkey").cast("string"), lit("@district.example")))
+      val mailing = withEmail.join(broadcast(noEmail), Seq("email"), "left_anti")
+      val recipients = mailing.select(col("email")).collect().map(_.getString(0)).toSeq
+      Map("mailing_list" -> TableOut(mailing), "recipient_list" -> ListOut(recipients))
+    },
+    // report rollup + email build (sample.config.yaml:115-122, 171-186)
+    "build_report_email" -> { ins =>
+      val orders = ins("flagged_orders").asInstanceOf[TableOut].df
+      val report = orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_custkey"))
+      val msg = EmailMessage("High-value customer report", "noreply@district.example",
+        Seq.empty, "Report attached.",
+        Seq(EmailAttachment("report.csv", "text/csv", CsvCodec.encode(report))))
+      Map("report_email" -> EmailOut(msg), "report_table" -> TableOut(report))
+    })
+
+  test("golden stream: extract -> transform -> load end-to-end") {
+    val (stream, conn, outRoot, emailDir) = buildHarness()
+    val state = new StreamRunner(spark, stream, functions, conn).run()
+
+    assert(state.status == "success")
+    assert(state.endTimeMs.contains(1234567890L))
+    assert(state.stepOutputs.keySet == Set("raw_customers", "flagged_orders",
+      "no_email_csv", "high_value", "customer_ids", "mailing_list",
+      "recipient_list", "report_email", "report_table"))
+
+    // both sinks reported success
+    assert(state.destResponses.map(_.status) == Seq("success", "success"))
+
+    // file sink artifact: CSV on the share with header + rows
+    val csvPath = Paths.get(outRoot, "reports", "daily", "report_table.csv")
+    assert(Files.exists(csvPath))
+    val csvLines = new String(Files.readAllBytes(csvPath), StandardCharsets.UTF_8)
+      .linesIterator.toSeq
+    assert(csvLines.head == "o_custkey,n_orders,total")
+    assert(csvLines.size - 1 > 0)
+    assert(state.destResponses.head.recordsProcessed.contains(csvLines.size - 1L))
+
+    // email sink artifact: .eml with literal + step: recipients resolved
+    val eml = new String(Files.readAllBytes(
+      Paths.get(emailDir, "High-value_customer_report.eml")), StandardCharsets.UTF_8)
+    assert(eml.contains("admin@district.example"))
+    val ids = state.stepOutputs("customer_ids").asInstanceOf[ListOut].values
+    assert(ids.nonEmpty)
+    // excluded addresses (no_email_list) never appear
+    assert(!eml.contains("cust3@district.example"))
+    // flagged orders really are the semi-join of collected ids
+    val flagged = state.stepOutputs("flagged_orders").asInstanceOf[TableOut].df
+    val orderCust = flagged.select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(orderCust.subsetOf(ids.map(_.asInstanceOf[Long]).toSet))
+  }
+
+  test("load failures are captured; extract failures are fatal (loader.py:53-59 vs errors.py)") {
+    val (stream, conn, _, _) = buildHarness()
+    // break the file destination: point it at an unwritable path
+    val badConn = conn.copy(fs = conn.fs.updated("report_share",
+      new LocalFs("/proc/impossible")))
+    val state = new StreamRunner(spark, stream, functions, badConn).run()
+    assert(state.status == "success") // run survives sink failure
+    assert(state.destResponses.map(_.status) == Seq("failure", "success"))
+
+    // break an extract: missing query file -> run fails and status says so
+    val badConn2 = conn.copy(queryFiles = _ => throw new RuntimeException("boom"))
+    val runner = new StreamRunner(spark, stream, functions, badConn2)
+    val e = intercept[RuntimeException](runner.run())
+    assert(e.getMessage == "boom")
+  }
+
+  test("transform output contract is enforced (README.md:86-89)") {
+    val (stream, conn, _, _) = buildHarness()
+    val badFns = functions.updated("classify_customers",
+      (_: Map[String, StepOutput]) => Map("wrong_name" -> ListOut(Seq(1))))
+    val e = intercept[IllegalArgumentException](
+      new StreamRunner(spark, stream, badFns, conn).run())
+    assert(e.getMessage.contains("classify"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Structured Streaming specs: the same window expressions as the batch
+  * operators, driven through MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumbling window counts aggregate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    in.addData(
+      Ev(1, t(5), 1, "click", 1.0), Ev(2, t(10), 1, "click", 2.0),
+      Ev(3, t(20), 2, "view", 5.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, t(40), 2, "click", 1.5))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq == Seq(("click", 3L, 4.5), ("view", 1L, 5.0)))
+  }
+
+  test("stream dedup drops repeated event_ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupeStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData(Ev(1, t(5), 1, "click", 1.0), Ev(1, t(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(1, t(6), 1, "click", 1.0), Ev(2, t(7), 1, "view", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(in.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    // user 1: two events 10 min apart (one session), then one 40 min
+    // later (second session)
+    in.addData(Ev(1, t(0), 1, "click", 1.0), Ev(2, t(10), 1, "click", 1.0),
+               Ev(3, t(50), 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(_._2.getTime)
+    q.stop()
+    assert(rows.map(_._3).toSeq == Seq(2L, 1L))
+    assert(rows.head._2 == t(0) && rows(1)._2 == t(50))
+  }
+}
