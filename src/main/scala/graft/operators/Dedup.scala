@@ -55,6 +55,7 @@ object Dedup {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
+      .cache() // used by both the df-cap filter and the index join
     val keep = sh0.groupBy(col("sh")).count()
       .filter(col("count") <= maxDf).select(col("sh"))
     sh0.join(keep, Seq("sh"))
@@ -169,16 +170,23 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** One 32-bit simhash per doc (tokens weighted by multiplicity). */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+  /** One 32-bit simhash per doc (tokens weighted by multiplicity).
+    * 32 parallel bit-vote aggregates in a single shuffle — a
+    * explode(sequence(0,31)) formulation multiplies the token rows 32x
+    * for no benefit. */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val votes = (0 until 32).map { b =>
+      sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b")
+    }
     Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), Portable.hash60(col("w")).as("h"))
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 31)")).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(expr("shiftright(h, b) & 1") * 2 - 1).as("vote"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sim"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, 1L << b).otherwise(0L))
+          .reduce(_ + _).as("sim"))
+  }
 
   private val simhashOracle =
     """WITH tok AS (

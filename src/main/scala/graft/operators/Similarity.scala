@@ -65,35 +65,35 @@ object Similarity {
       |ORDER BY qid, rk""".stripMargin
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * hash60 of "p:d" mapped to [-1, 1). */
+    * hash60 of "p:d" mapped to [-1, 1), as float so the codegen'd
+    * vec_dot computes the projections. */
   private def planesDf(s: SparkSession, nPlanes: Int, dim: Int): DataFrame = {
     import s.implicits._
     val rows = for (p <- 0 until nPlanes; dd <- 0 until dim) yield {
       val h = Portable.hash60Jvm(s"$p:$dd")
-      (p, dd, (h.toDouble / (1L << 59).toDouble) - 1.0)
+      (p, dd, ((h.toDouble / (1L << 59).toDouble) - 1.0).toFloat)
     }
     rows.toDF("plane", "dim", "w")
   }
 
   /** Per-table LSH signature: for each of `nTables` hash tables, the
-    * k sign bits of dot(v, hyperplane). Output: (vec_id, emb, nrm, tbl,
-    * sig) — one row per (vector, table). */
+    * k sign bits of dot(v, hyperplane). Output: (vec_id, tbl, sig) —
+    * one row per (vector, table); join back to the vectors for
+    * embeddings/norms. */
   private[operators] def signatures(s: SparkSession, d: String,
                                     nTables: Int, bitsPerTable: Int): DataFrame = {
-    val dim = 64
-    val planes = planesDf(s, nTables * bitsPerTable, dim)
+    VectorOps.registerVecDot(s)
+    val planes = planesDf(s, nTables * bitsPerTable, 64)
       .withColumn("tbl", (col("plane") / bitsPerTable).cast("int"))
       .withColumn("bit", col("plane") % bitsPerTable)
       .groupBy(col("tbl"), col("bit"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, w))), x -> x.w)").as("pw"))
-    val e = withNorm(s, Tables.embeddings(s, d))
-      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    e.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("tbl"), col("bit"),
-        expr("aggregate(zip_with(vd, pw, (x, y) -> x * y), 0D, (acc, v) -> acc + v)").as("dot"))
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("tbl"), col("bit"),
+        expr("vec_dot(embedding, pw)").as("dot"))
       .groupBy(col("vec_id"), col("tbl"))
-      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"),
-           first(col("embedding")).as("emb"), first(col("nrm")).as("nrm"))
+      .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
   }
 
   /** Approximate top-k via the OR-construction: L independent tables of
@@ -111,20 +111,20 @@ object Similarity {
     val sigs = signatures(s, d, nTables, k).cache()
     // probe buckets: own sig + each one-bit flip, per table
     val probes = sigs
-      .select(col("vec_id").as("qid"), col("emb").as("va"), col("nrm").as("na"), col("tbl"),
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("tbl"),
         explode(expr(s"concat(array(sig), transform(sequence(0, ${k - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
-      .filter(col("qid") < 20)
-    val cands = sigs.select(col("vec_id").as("nid"), col("emb").as("vb"),
-      col("nrm").as("nb"), col("tbl"), col("sig").as("bucket"))
+    val cands = sigs.select(col("vec_id").as("nid"), col("tbl"), col("sig").as("bucket"))
+    val vecs = withNorm(s, Tables.embeddings(s, d)).cache()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_raw").desc, col("nid").asc)
     probes.join(cands, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-      .join(sigs.groupBy(col("vec_id").as("qid"))
-        .agg(first(col("emb")).as("va"), first(col("nrm")).as("na")), Seq("qid"))
-      .join(sigs.groupBy(col("vec_id").as("nid"))
-        .agg(first(col("emb")).as("vb"), first(col("nrm")).as("nb")), Seq("nid"))
+      .join(broadcast(vecs.select(col("vec_id").as("qid"),
+        col("embedding").as("va"), col("nrm").as("na"))), Seq("qid"))
+      .join(broadcast(vecs.select(col("vec_id").as("nid"),
+        col("embedding").as("vb"), col("nrm").as("nb"))), Seq("nid"))
       .select(col("qid"), col("nid"), cosine.as("cos_raw"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
