@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Portable
+
+/** Advanced relational operators beyond the reference's surface: as-of
+  * join, range join, pivot, exact percentiles, deterministic sampling,
+  * approximate distinct (SURVEY §2.3/2.4/2.5 "Absent" rows — the
+  * extension north star).
+  *
+  * The as-of and range joins deliberately avoid naive range-predicate
+  * joins (which Catalyst executes as a broadcast nested loop — quadratic
+  * at scale): as-of uses the union + ordered-window carry-forward
+  * pattern (one shuffle per key column), range join uses time-bucket
+  * candidate generation (equi-join on bucket, then exact filter).
+  */
+object AdvancedOps {
+
+  private val tsFmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Orders deduplicated to one row per (customer, date) so the as-of
+    * pick is unambiguous in both engines. */
+  private def orderSnaps(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+           expr("max_by(o_totalprice, o_orderkey)").as("o_totalprice"))
+
+  /** As-of join: each event picks the customer's most recent order with
+    * o_orderdate <= ts.
+    *
+    * Implementation: tag and union both sides, sort per key by
+    * (time, tag) — order rows before event rows at equal timestamps so
+    * same-instant orders are visible — and carry the last non-null
+    * order columns forward with an ordered window. One shuffle on the
+    * key, no range predicate, scales linearly; the DuckDB oracle uses
+    * its native ASOF JOIN. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"), lit(null).cast("long").as("ok"),
+        lit(null).cast("double").as("total"))
+    val od = orderSnaps(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("t"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("ok"), col("o_totalprice").as("total"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .withColumn("asof_total", last(col("total"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"),
+        date_format(col("t"), tsFmt).as("ts"),
+        col("asof_orderkey"), col("asof_total"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofOracle =
+    """WITH snaps AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+      |         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  s.o_orderkey AS asof_orderkey, s.o_totalprice AS asof_total
+      |FROM events e ASOF LEFT JOIN snaps s
+      |  ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Range (interval) self-join: ordered pairs of same-user events at
+    * most 10 minutes apart. Candidates come from an equi-join on
+    * 10-minute time buckets (each left row probes its own and the next
+    * bucket), then the exact interval filter — the standard bucketing
+    * rewrite that keeps the join keyed at scale. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bucketUs = 600000000L // 10 min in microseconds
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = base
+      .withColumn("bucket", explode(array(
+        floor(col("us") / bucketUs), floor(col("us") / bucketUs) + 1)))
+      .select(col("user_id"), col("bucket"),
+        col("event_id").as("i"), col("us").as("us_a"))
+    val b = base
+      .withColumn("bucket", floor(col("us") / bucketUs))
+      .select(col("user_id"), col("bucket"),
+        col("event_id").as("j"), col("us").as("us_b"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("us_b") >= col("us_a") &&
+              col("us_b") - col("us_a") <= bucketUs &&
+              col("i") =!= col("j"))
+      .select(col("user_id"), col("i"), col("j"),
+        (col("us_b") - col("us_a")).as("gap_us")).distinct()
+      .orderBy(col("user_id"), col("i"), col("j"))
+  }
+
+  private val rangeOracle =
+    """SELECT a.user_id, a.event_id AS i, b.event_id AS j,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts >= a.ts
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) <= 600000000
+      |  AND a.event_id <> b.event_id
+      |ORDER BY a.user_id, i, j""".stripMargin
+
+  /** Pivot: per-user event counts spread across event_type columns
+    * (explicit value list — no extra distinct-scan job, deterministic
+    * column order). */
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  private val pivotOracle =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * SQL percentile_cont semantics). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(Portable.roundK(expr("percentile(value, 0.5D)"), 4).as("p50"),
+           Portable.roundK(expr("percentile(value, 0.9D)"), 4).as("p90"),
+           Portable.roundK(expr("percentile(value, 0.99D)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  private val percentilesOracle =
+    """SELECT event_type,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value) * 10000) / 10000 AS p50,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value) * 10000) / 10000 AS p90,
+      |  round(percentile_cont(0.99) WITHIN GROUP (ORDER BY value) * 10000) / 10000 AS p99
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Deterministic hash sampling (df.sample is seed/partitioning
+    * dependent and engine-specific; hash-mod sampling reproduces
+    * everywhere — the only sane way to sample a 100 TB corpus
+    * repeatably). Keeps ~5% of documents. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(Portable.hash60(col("text")) % 20 === 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val hashSampleOracle =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 20 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** HyperLogLog++ distinct sketch next to the exact count. No oracle
+    * (sketch estimates are engine-specific); the exact side is covered
+    * by `admin_report`-style countDistinct oracles, and the spec checks
+    * the estimate lands within the configured relative error. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join_events_orders" -> (asofJoin _),
+    "range_join_events"       -> (rangeJoin _),
+    "pivot_event_counts"      -> (pivotCounts _),
+    "event_percentiles"       -> (percentiles _),
+    "hash_sample"             -> (hashSample _),
+    "approx_distinct"         -> (approxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join_events_orders" -> asofOracle,
+    "range_join_events"       -> rangeOracle,
+    "pivot_event_counts"      -> pivotOracle,
+    "event_percentiles"       -> percentilesOracle,
+    "hash_sample"             -> hashSampleOracle,
+  )
+}
