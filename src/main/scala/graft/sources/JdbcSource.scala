@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.SqlSource
+
+/** Production JDBC path for SQL extract steps (reference:
+  * app/utils/extractor.py:81-105 — JayDeBeApi over JPype; here
+  * `spark.read.format("jdbc")` so the scan is distributed and Catalyst
+  * pushes the query to the source).
+  *
+  * Design (SURVEY §3 EP2 rebuild):
+  *  - the bound query goes down whole via the `query` option — total
+  *    pushdown, exactly the reference's delegation model;
+  *  - the TABLE-COLUMN-ALIAS MAP (SchemaAnnotations) becomes a
+  *    `customSchema` option instead of a post-read cast, so JDBC type
+  *    mapping happens at scan time;
+  *  - partitioned reads (partitionColumn/lowerBound/upperBound/
+  *    numPartitions) parallelize the extract across executors — the
+  *    piece the single-threaded reference could never do. fetchsize
+  *    keeps the per-task cursor streaming.
+  *
+  * The offline harness cannot open sockets, so `read` is exercised in
+  * tests only down to the option map (`options` is pure); the
+  * parquet-backed `Connectors.runSql` covers end-to-end semantics.
+  */
+object JdbcSource {
+
+  final case class Partitioning(column: String, lower: Long, upper: Long, num: Int)
+
+  /** Assemble the DataFrameReader option map for a bound query. */
+  def options(src: SqlSource, boundSql: String,
+              customSchema: Option[String] = None,
+              partitioning: Option[Partitioning] = None,
+              fetchSize: Int = 10000): Map[String, String] = {
+    require(!boundSql.contains("::"), s"unbound placeholder in query: $boundSql")
+    val base = Map(
+      "url" -> src.url,
+      "query" -> boundSql,
+      "fetchsize" -> fetchSize.toString,
+      "pushDownPredicate" -> "true",
+      "pushDownAggregate" -> "true",
+      "pushDownLimit" -> "true")
+    val drv = if (src.driver.nonEmpty) Map("driver" -> src.driver) else Map.empty
+    val auth = (if (src.user.nonEmpty) Map("user" -> src.user) else Map.empty) ++
+      (if (src.password.nonEmpty) Map("password" -> src.password) else Map.empty)
+    val schema = customSchema.map(cs => Map("customSchema" -> cs)).getOrElse(Map.empty)
+    val parts = partitioning.map { p =>
+      Map("partitionColumn" -> p.column, "lowerBound" -> p.lower.toString,
+          "upperBound" -> p.upper.toString, "numPartitions" -> p.num.toString)
+    }.getOrElse(Map.empty)
+    base ++ drv ++ auth ++ schema ++ parts
+  }
+
+  /** Render SchemaAnnotations refs + catalog types as a JDBC
+    * customSchema string ("alias TYPE, ..."). */
+  def customSchemaFor(refs: Seq[SchemaAnnotations.ColumnRef],
+                      catalogType: (String, String) => Option[String]): Option[String] = {
+    val parts = refs.flatMap { r =>
+      catalogType(r.table, r.column).map { t =>
+        val spark = SchemaAnnotations.typeMap.getOrElse(t.toLowerCase,
+          org.apache.spark.sql.types.StringType)
+        s"${r.alias} ${spark.sql}"
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.mkString(", "))
+  }
+
+  def read(spark: SparkSession, src: SqlSource, boundSql: String,
+           customSchema: Option[String] = None,
+           partitioning: Option[Partitioning] = None): DataFrame =
+    spark.read.format("jdbc")
+      .options(options(src, boundSql, customSchema, partitioning))
+      .load()
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.SqlSource
+
+class JdbcSourceSpec extends AnyFunSuite {
+
+  private val src = SqlSource("sis", "org.test.Driver", "jdbc:test://h/db", "u", "pw")
+
+  test("option map carries query, driver, auth, pushdown flags") {
+    val o = JdbcSource.options(src, "SELECT * FROM t WHERE id IN (1, 2)")
+    assert(o("url") == "jdbc:test://h/db")
+    assert(o("query") == "SELECT * FROM t WHERE id IN (1, 2)")
+    assert(o("driver") == "org.test.Driver")
+    assert(o("user") == "u" && o("password") == "pw")
+    assert(o("pushDownPredicate") == "true")
+    assert(!o.contains("customSchema") && !o.contains("partitionColumn"))
+  }
+
+  test("unbound placeholders are rejected") {
+    assertThrows[IllegalArgumentException](
+      JdbcSource.options(src, "SELECT * FROM t WHERE id = ::id::"))
+  }
+
+  test("partitioned read options parallelize the scan") {
+    val o = JdbcSource.options(src, "SELECT 1",
+      partitioning = Some(JdbcSource.Partitioning("id", 0L, 100000L, 16)))
+    assert(o("partitionColumn") == "id" && o("numPartitions") == "16")
+    assert(o("lowerBound") == "0" && o("upperBound") == "100000")
+  }
+
+  test("annotation map renders as a customSchema option (extractor.py:122-172)") {
+    val refs = Seq(
+      SchemaAnnotations.ColumnRef("PUB.S", "ID", "student_id"),
+      SchemaAnnotations.ColumnRef("PUB.S", "GPA", "gpa"),
+      SchemaAnnotations.ColumnRef("PUB.S", "UNKNOWN", "u"))
+    val catalog: (String, String) => Option[String] = {
+      case (_, "ID")  => Some("integer")
+      case (_, "GPA") => Some("float")
+      case _          => None
+    }
+    assert(JdbcSource.customSchemaFor(refs, catalog)
+      .contains("student_id INT, gpa DOUBLE"))
+    assert(JdbcSource.customSchemaFor(Seq.empty, catalog).isEmpty)
+  }
+}
