@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact top-k largest doubles per group as a typed Aggregator
+  * (SURVEY §2.8: the aggregate-extension surface — Aggregator[IN,BUF,OUT]
+  * with map-side partial aggregation).
+  *
+  * Why: the window-function top-k (`row_number over (order by v desc)`)
+  * sorts every group fully; this aggregator carries only k values per
+  * partition and merges them — O(n log k) work, O(k) state, and the
+  * partial/final split means the shuffle moves at most k doubles per
+  * group per partition. That is the shape that survives a hot group with
+  * billions of rows.
+  */
+final case class TopKAgg(k: Int) extends Aggregator[Double, Array[Double], Seq[Double]] {
+
+  /** Buffer: up to k values, ascending (index 0 = current cutoff). */
+  override def zero: Array[Double] = Array.empty
+
+  override def reduce(buf: Array[Double], v: Double): Array[Double] =
+    if (buf.length < k) { (buf :+ v).sorted }
+    else if (v > buf(0)) { buf(0) = v; buf.sorted }
+    else buf
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val all = a ++ b
+    java.util.Arrays.sort(all)
+    all.takeRight(k)
+  }
+
+  override def finish(buf: Array[Double]): Seq[Double] =
+    buf.sorted(Ordering[Double].reverse).toSeq
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}

@@ -176,7 +176,31 @@ object AdvancedOps {
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Top-k per group via the custom TopKAgg Aggregator (O(k) state per
+    * group vs the window-function full sort; see functions.TopKAgg).
+    * Ties at the cutoff keep identical value multisets, so the
+    * window-SQL oracle applies. */
+  def topkAggregate(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(3), org.apache.spark.sql.Encoders.scalaDouble)
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(topk(col("o_totalprice")).as("vals"))
+      .select(col("o_orderpriority"), posexplode(col("vals")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+        col("col").as("price"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  private val topkAggOracle =
+    """SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_totalprice AS price
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
     "range_join_events"       -> (rangeJoin _),
     "pivot_event_counts"      -> (pivotCounts _),
@@ -186,6 +210,7 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,
     "range_join_events"       -> rangeOracle,
     "pivot_event_counts"      -> pivotOracle,

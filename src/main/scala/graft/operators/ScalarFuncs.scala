@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function coverage (SURVEY §2.7): string, date, conditional and
+  * null-handling functions as codegen'd Column expressions, each with an
+  * exact DuckDB-oracle equivalent. The reference exposes none of these
+  * natively (they lived inside opaque pandas transforms); here they are
+  * first-class engine surface.
+  */
+object ScalarFuncs {
+
+  /** String functions over customer names/segments. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_up"),
+        lower(col("c_name")).as("name_lo"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_pfx"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("key_pad"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        trim(lit("  x  ")).as("trimmed"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("name_repl"))
+      .orderBy(col("c_custkey"))
+
+  private val stringOracle =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_up,
+      |  lower(c_name) AS name_lo,
+      |  CAST(length(c_name) AS INTEGER) AS name_len,
+      |  substr(c_name, 1, 8) AS name_pfx,
+      |  concat_ws('|', c_mktsegment, c_name) AS joined,
+      |  regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+      |  lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS key_pad,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  trim('  x  ') AS trimmed,
+      |  replace(c_name, 'Customer', 'Cust') AS name_repl
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Date/time functions over order dates. */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(add_months(col("o_orderdate").cast("date"), 3), "yyyy-MM-dd").as("plus3m"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  private val dateOracle =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      |  CAST(month(o_orderdate) AS INTEGER) AS m,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_to_2002,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Null handling: nullif / coalesce / nvl2-style conditionals plus
+    * null-aware aggregation (the testdata has no natural nulls, so
+    * nullif manufactures them deterministically). */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal_pos"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("seg_or_null")).as("n_nonnull_seg"),
+        count(col("bal_pos")).as("n_pos_bal"),
+        (sum(round(coalesce(col("bal_pos"), lit(0.0)) * 100)) / 100.0).as("sum_pos_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  private val nullOracle =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  count(nullif(c_mktsegment, 'BUILDING')) AS n_nonnull_seg,
+      |  count(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) AS n_pos_bal,
+      |  sum(round(coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0) * 100)) / 100.0 AS sum_pos_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Skew-resistant two-stage aggregation: pre-aggregate on a salted
+    * key, then combine — the standard rewrite when one group dominates
+    * (at 100 TB a hot key would otherwise pin one reducer; AQE's skew
+    * handling covers joins but not single hot aggregation keys). The
+    * final result is salt-invariant, so the plain GROUP BY oracle
+    * applies. */
+  def skewSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+           sum(round(col("l_extendedprice") * 100)).as("pc"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pn")).as("n_items"),
+           (sum(col("pc")) / 100.0).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  private val skewOracle =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  sum(round(l_extendedprice * 100)) / 100.0 AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "string_funcs"    -> (stringFuncs _),
+    "date_funcs"      -> (dateFuncs _),
+    "null_handling"   -> (nullHandling _),
+    "skew_salted_agg" -> (skewSaltedAgg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "string_funcs"    -> stringOracle,
+    "date_funcs"      -> dateOracle,
+    "null_handling"   -> nullOracle,
+    "skew_salted_agg" -> skewOracle,
+  )
+}

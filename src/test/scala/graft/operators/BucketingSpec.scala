@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** Bucketed co-located joins (SURVEY §4: "co-locate joins via bucketing"
+  * — the shuffle-elimination strategy for repeated large-large joins at
+  * scale). Writing both sides bucketed on the join key means the join
+  * plan has no shuffle exchange at all. */
+class BucketingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("join of co-bucketed tables runs without a shuffle exchange") {
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("b_lineitem")
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("b_orders")
+
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // force a real (non-broadcast, non-adaptive) join so the exchange
+      // structure is observable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+
+      // control: the same join over raw parquet DOES shuffle
+      val raw = Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
+        .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
