@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-hygiene audit: walks every SparkEntry query's physical plan and
+  * reports scale red flags — cartesian products / nested-loop joins,
+  * exchange (shuffle) counts, and whether scans are column-pruned.
+  * Run: dev/run.sh graft.PlanAudit [sfDir]. The OperatorSpec asserts the
+  * hard invariants; this main is the human-readable sweep.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(f"${"query"}%-26s ${"exch"}%4s ${"bcast"}%5s ${"cartesian"}%9s ${"codegen"}%7s  flags")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val exch = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+          .findAllIn(plan).size
+        val bcast = "BroadcastExchange".r.findAllIn(plan).size
+        val cart = plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+        val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+        val flags = Seq(
+          if (cart) Some("NESTED-LOOP") else None,
+          if (exch > 8) Some(s"MANY-SHUFFLES($exch)") else None,
+        ).flatten.mkString(",")
+        println(f"$name%-26s $exch%4d $bcast%5d ${if (cart) "YES" else "no"}%9s $wsc%7d  $flags")
+      } catch {
+        case e: Throwable => println(f"$name%-26s ERROR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,14 @@
+package graft.devtmp
+import org.apache.spark.sql.SparkSession
+object P2 {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val p = graft.operators.Similarity.lshTopk(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    p.split("\n").filter(l => l.contains("Join") || l.contains("Exchange")).foreach(println)
+    spark.stop()
+  }
+}

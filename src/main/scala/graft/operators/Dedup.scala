@@ -55,11 +55,24 @@ object Dedup {
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
-      .cache() // used by both the df-cap filter and the index join
-    val keep = sh0.groupBy(col("sh")).count()
-      .filter(col("count") <= maxDf).select(col("sh"))
-    sh0.join(keep, Seq("sh"))
+    // hot-shingle document-frequency cap as a count window: one shuffle
+    // on sh (a groupBy+self-join formulation costs three)
+    sh0.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("sh"))
   }
+
+  /** Ordered (i < j) pairs from each bucket's sorted id list — pair
+    * generation as one shuffle (groupBy bucket) instead of an
+    * inverted-index self-join (two shuffles of the same data). Bucket
+    * sizes are bounded (df cap / LSH band selectivity), so the
+    * combination explosion is O(bucket^2) with small buckets. */
+  private def explodePairs(bucketed: DataFrame): DataFrame =
+    bucketed.filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, xi) -> transform(slice(ids, xi + 2, size(ids) - xi - 1), y -> struct(x AS i, y AS j))))")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
 
   private val shinglesSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -75,9 +88,9 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val shf = shingles(s, d, 50).cache()
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = shf.as("a").join(shf.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val pairs = explodePairs(
+        shf.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+      .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"))
     val jacRaw = col("c").cast("double") / (col("na") + col("nb") - col("c"))
     pairs
@@ -124,10 +137,10 @@ object Dedup {
         "transform(sequence(0, 3), b -> struct(b AS band, " +
         "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val cand = explodePairs(
+        bands.groupBy(col("band"), col("bkey"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+      .distinct()
     val est = cand
       .join(sig.toDF("i", "ma"), Seq("i"))
       .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
@@ -157,16 +170,30 @@ object Dedup {
   /** SimHash: 32-bit signature from per-token hash bit votes; near-dup
     * pairs = hamming distance <= 1 (the synthetic corpus shares one
     * small vocabulary, which compresses simhash distances; on natural
-    * text a threshold of 3-6 of 32 bits is typical). */
+    * text a threshold of 3-6 of 32 bits is typical, with
+    * correspondingly more/narrower bands).
+    *
+    * Pair generation is keyed, not quadratic: by pigeonhole, hamming
+    * <= 1 over 32 bits means the two 16-bit halves can differ in at
+    * most one bit, so at least one half matches exactly — candidates
+    * come from an equi-join on (band, half), then the exact hamming
+    * filter. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSignatures(s, d)
-    sigs.cache()
-    val ham = expr("bit_count(sim_a ^ sim_b)")
-    sigs.select(col("doc_id").as("i"), col("sim").as("sim_a")).as("a")
-      .join(sigs.select(col("doc_id").as("j"), col("sim").as("sim_b")).as("b"),
-        col("i") < col("j"))
-      .select(col("i"), col("j"), ham.cast("int").as("hamming"))
+    val sigs = simhashSignatures(s, d).cache()
+    val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
+        struct(lit(0).as("b"), expr("sim & 65535").as("h")),
+        struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
+      .select(col("doc_id"), col("sim"), col("bd.b").as("b"), col("bd.h").as("h"))
+    // bucket by (band, half); docs with hamming <= 1 share >= 1 bucket
+    bands.groupBy(col("b"), col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, xi) -> transform(slice(ps, xi + 2, size(ps) - xi - 1), y -> " +
+        "struct(x.doc_id AS i, y.doc_id AS j, CAST(bit_count(x.sim ^ y.sim) AS INT) AS hamming))))")).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .filter(col("hamming") <= 1)
+      .distinct()
       .orderBy(col("i"), col("j"))
   }
 

@@ -121,7 +121,35 @@ object ScalarFuncs {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Array/higher-order functions over the embedding vectors (§2.7
+    * "array" row; the norm goes through the codegen'd vec_dot). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorOps.registerVecDot(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_min(col("embedding")).as("min_el"),
+        array_max(col("embedding")).as("max_el"),
+        element_at(col("embedding"), 1).as("first_el"),
+        graft.functions.Portable.roundK(
+          sqrt(expr("vec_dot(embedding, embedding)")), 4).as("l2_norm"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val arrayOracle =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  list_min(embedding) AS min_el,
+      |  list_max(embedding) AS max_el,
+      |  embedding[1] AS first_el,
+      |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) * 10000) / 10000 AS l2_norm,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_funcs"     -> (arrayFuncs _),
     "string_funcs"    -> (stringFuncs _),
     "date_funcs"      -> (dateFuncs _),
     "null_handling"   -> (nullHandling _),
@@ -129,6 +157,7 @@ object ScalarFuncs {
   )
 
   val oracles: Map[String, String] = Map(
+    "array_funcs"     -> arrayOracle,
     "string_funcs"    -> stringOracle,
     "date_funcs"      -> dateOracle,
     "null_handling"   -> nullOracle,

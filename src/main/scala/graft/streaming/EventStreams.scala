@@ -40,4 +40,31 @@ object EventStreams {
   def dedupeStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * event count + value total, updated each micro-batch. The state
+    * (one UserTotals per user) lives in the state store; a production
+    * deployment bounds it with GroupStateTimeout. */
+  def runningUserTotals(spark: org.apache.spark.sql.SparkSession,
+                        events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(0L, 0.0))
+          val (n, tot) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, t), (_, v)) => (c + 1, t + v)
+          }
+          val next = UserTotals(n, tot)
+          state.update(next)
+          (userId, next.n, math.rint(next.total * 100) / 100)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
 }
+
+/** State record for EventStreams.runningUserTotals. */
+case class UserTotals(n: Long, total: Double)

@@ -52,6 +52,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.runningUserTotals(spark, in.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    in.addData(Ev(1, t(1), 7, "click", 2.0), Ev(2, t(2), 7, "click", 3.0))
+    q.processAllAvailable()
+    in.addData(Ev(3, t(3), 7, "view", 5.0), Ev(4, t(4), 9, "view", 1.0))
+    q.processAllAvailable()
+    // memory sink in update mode appends each batch's updates; the
+    // latest row per user carries the accumulated state
+    val rows = spark.table("running").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    val latest = rows.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    assert(latest(7L) == ((7L, 3L, 10.0)))
+    assert(latest(9L) == ((9L, 1L, 1.0)))
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
