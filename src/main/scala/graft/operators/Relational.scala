@@ -399,6 +399,32 @@ object Relational {
       |GROUP BY CUBE(n_name, c_mktsegment)
       |ORDER BY nation, segment""".stripMargin
 
+  /** Explicit GROUPING SETS through the spark.sql surface (the
+    * DataFrame API exposes only rollup/cube; arbitrary set lists go
+    * through SQL — also exercises temp-view registration, the offline
+    * stand-in for the reference's pushed-down SQL text). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_gs")
+    Tables.nation(s, d).createOrReplaceTempView("nation_gs")
+    s.sql(
+      """SELECT coalesce(n_name, '_ALL_') AS nation,
+        |  coalesce(c_mktsegment, '_ALL_') AS segment,
+        |  count(*) AS n_customers,
+        |  sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
+        |FROM customer_gs JOIN nation_gs ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation, segment""".stripMargin)
+  }
+
+  private val groupingSetsOracle =
+    """SELECT coalesce(n_name, '_ALL_') AS nation,
+      |  coalesce(c_mktsegment, '_ALL_') AS segment,
+      |  count(*) AS n_customers,
+      |  sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY nation, segment""".stripMargin
+
   /** CSV encode->decode roundtrip through the production codec
     * (reference df_to_csv_buffer, transformutils.py:7-13 + the CSV
     * decode the example stream needs, sample.config.yaml:73-78). Doubles
@@ -418,6 +444,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
+    "grouping_sets"          -> (groupingSets _),
     "flagship_revenue"       -> (flagshipRevenue _),
     "q1_agg"                 -> (q1Agg _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
@@ -441,6 +468,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "csv_roundtrip"          -> csvRoundtripOracle,
+    "grouping_sets"          -> groupingSetsOracle,
     "flagship_revenue"       -> flagshipOracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,

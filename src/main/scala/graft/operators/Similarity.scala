@@ -132,9 +132,68 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the clustered alternative
+    * to LSH: partition vectors into cells around centroids (seeded
+    * deterministically from the first vectors, refined with one Lloyd
+    * iteration of elementwise means), then search only the query's
+    * nProbe nearest cells. At 100 TB the cell assignment is a broadcast
+    * join against a tiny centroid table and candidate search touches
+    * ~nProbe/nCells of the corpus. No SQL oracle (approximate); the
+    * spec checks recall vs bruteTopk. */
+  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    VectorOps.registerVecDot(s)
+    val nCells = 16
+    val nProbe = 4
+    val e = withNorm(s, Tables.embeddings(s, d)).cache()
+    // seed centroids from the first nCells vectors (deterministic)
+    val seed = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          (expr("vec_dot(embedding, cv)") / col("nrm")).as("score"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(score, -cid))").as("cell"))
+    // one Lloyd iteration: new centroid = elementwise mean of its cell;
+    // the refined centroid table is tiny by construction, so collect it
+    // to the driver and re-broadcast (cuts the lineage — otherwise every
+    // downstream branch re-runs the training subtree)
+    val refinedRows = e.join(assign(seed), Seq("vec_id"))
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cv"))
+      .select(col("cell").as("cid"), col("cv"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val refined = refinedRows.toSeq.toDF("cid", "cv")
+    val cells = e.join(assign(refined), Seq("vec_id")).cache()
+    // queries probe their nProbe nearest refined cells
+    val probes = e.filter(col("vec_id") < 20)
+      .crossJoin(broadcast(refined))
+      .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"),
+        col("cid"), expr("vec_dot(embedding, cv)").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("va"), col("na"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_raw").desc, col("nid").asc)
+    probes.join(cells.select(col("vec_id").as("nid"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("cell")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine.as("cos_raw")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("nid"), Portable.roundK(col("cos_raw"), 4).as("cos"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopk _),
     "similarity_topk_lsh"   -> (lshTopk _),
+    "similarity_topk_ivf"   -> (ivfTopk _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall

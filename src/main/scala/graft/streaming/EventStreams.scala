@@ -64,6 +64,23 @@ object EventStreams {
       }
       .toDF("user_id", "n_events", "total_value")
   }
+  /** Stream-stream inner join: clicks joined to purchases by the same
+    * user within 30 minutes after the click. Both sides watermarked so
+    * join state is GC'd; the time-range condition bounds buffering
+    * (unbounded stream-stream joins never release state). */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    c.join(p,
+      col("user_id") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+  }
 }
 
 /** State record for EventStreams.runningUserTotals. */

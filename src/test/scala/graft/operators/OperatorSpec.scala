@@ -83,6 +83,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall below floor")
   }
 
+  test("IVF top-k recall vs brute force >= 0.5 on the test corpus") {
+    val brute = Similarity.bruteTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+  }
+
   test("hash60 JVM and Column implementations agree") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "", "äöü", "the quick brown fox")

@@ -73,6 +73,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest(9L) == ((9L, 1L, 1.0)))
   }
 
+  test("stream-stream join matches purchases within the click window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, t(0), 7, "click", 0.0), Ev(2, t(1), 8, "click", 0.0))
+    purchases.addData(
+      Ev(10, t(20), 7, "purchase", 9.99),  // within 30 min of click 1
+      Ev(11, t(45), 8, "purchase", 5.00))  // outside click 2's window
+    q.processAllAvailable()
+    val rows = spark.table("c2p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    q.stop()
+    assert(rows.toSeq == Seq((7L, 1L, 10L, 9.99)))
+  }
+
+  test("foreachBatch sink lands each micro-batch in parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val in = MemoryStream[Ev]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+      }
+      .outputMode("append").start()
+    in.addData(Ev(1, t(0), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(2, t(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
