@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo of the GraftExtensions Catalyst rule: a fresh session
+  * with the extension installed rewrites a 2000-literal IN predicate
+  * into a left-semi join (visible in the optimized plan) with identical
+  * results. Usage: dev/run.sh graft.ExtensionDemo
+  */
+object ExtensionDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val ids = (0L until 2000L).map(_ * 3)
+    val q = li.filter(col("l_orderkey").isin(ids: _*))
+      .filter(col("l_quantity") > 10)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    val hasSemi = optimized.contains("LeftSemi")
+    val n = q.count()
+    // control: same predicate evaluated without the rewrite
+    val manual = li.filter(col("l_quantity") > 10)
+      .collect().count(r => ids.contains(r.getLong(0)))
+    println(s"optimized plan uses LeftSemi: $hasSemi")
+    println(s"rows via rule: $n, rows via driver filter: $manual, match: ${n == manual}")
+    spark.stop()
+  }
+}

@@ -139,7 +139,53 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Running (cumulative) per-user totals in event order — ordered
+    * window with exact integer-cents accumulation. */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        (sum(round(col("value") * 100)).over(w) / 100.0).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy(col("event_id"))
+  }
+
+  private val runningOracle =
+    """SELECT event_id, user_id,
+      |  sum(round(value * 100)) OVER w / 100.0 AS running_value,
+      |  count(*) OVER w AS running_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |ORDER BY event_id""".stripMargin
+
+  /** Latest record per key ("keep newest" dedup — the SCD/compaction
+    * primitive a 100 TB event log needs; one shuffle via ranking). */
+  def latestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        date_format(col("ts"), tsFmt).as("last_ts"), col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  private val latestOracle =
+    """SELECT user_id, event_id AS last_event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type AS last_type
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_running_totals"  -> (runningTotals _),
+    "latest_per_key"         -> (latestPerKey _),
     "events_tumbling_window" -> (tumbling _),
     "events_sliding_window"  -> (sliding _),
     "events_session_window"  -> (sessions _),
@@ -148,6 +194,8 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_running_totals"  -> runningOracle,
+    "latest_per_key"         -> latestOracle,
     "events_tumbling_window" -> tumblingOracle,
     "events_sliding_window"  -> slidingOracle,
     "events_session_window"  -> sessionsOracle,

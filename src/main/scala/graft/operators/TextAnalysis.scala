@@ -150,7 +150,50 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms per document, with the idf kept rational
+    * (tf * N / df instead of tf * ln(N/df) — libm log results are not
+    * bit-identical across engines; the ranking is what matters and is
+    * preserved for fixed N). */
+  def tfidfTopTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_raw").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score_raw"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"),
+        Portable.roundK(col("score_raw"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val tfidfOracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |total AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    (tf.tf * total.n_docs)::DOUBLE / dfreq.df AS score_raw
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+      |ranked AS (
+      |  SELECT doc_id, term, score_raw,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, term ASC) AS rk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rk AS INTEGER) AS rk, term,
+      |  round(score_raw * 10000) / 10000 AS score
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
     "lang_id"         -> (langId _),
     "token_stats"     -> (tokenStats _),
@@ -158,6 +201,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" -> tfidfOracle,
     "text_quality"    -> textQualityOracle,
     "lang_id"         -> langIdOracle,
     "token_stats"     -> tokenStatsOracle,

@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.InternalRow
+
+/** Catalyst optimizer extension: rewrite `col IN (<huge literal list>)`
+  * into a left-semi join against a LocalRelation of the values.
+  *
+  * Why (SURVEY §7.5 "step: scalar boundary"): the reference's IN-list
+  * mechanism (extractor.py:66-74) collects id lists into the query text.
+  * Past a few thousand literals that is poison at scale — the predicate
+  * codegens into a giant lookup, every task re-evaluates it, and
+  * pushdown breaks. A semi-join against a broadcast LocalRelation is the
+  * plan you actually want; this rule makes the engine apply the rewrite
+  * automatically instead of trusting every query author to remember
+  * (ParamBinder.filterByIds does it at the API layer; this covers plans
+  * that arrive as raw predicates, e.g. from `spark.sql` text).
+  *
+  * Registered via SparkSessionExtensions (see [[GraftExtensions]]):
+  *   SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * or `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+case class LargeInListToSemiJoin(threshold: Int = 1000) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      rewrite(cond) match {
+        case Some((attr, values, rest)) =>
+          val outAttr = attr.newInstance().withName(attr.name + "__inlist")
+          val rows = values.map(v => InternalRow(v)).toSeq
+          val rel = LocalRelation(Seq(outAttr), rows)
+          Join(
+            rest.map(Filter(_, child)).getOrElse(child),
+            rel, LeftSemi,
+            Some(EqualTo(attr, outAttr)), JoinHint.NONE)
+        case None => f
+      }
+  }
+
+  /** If some conjunct is `attr IN (literals...)` (or the optimizer's
+    * InSet form) above threshold, split it out. */
+  private def rewrite(cond: Expression)
+      : Option[(Attribute, Array[Any], Option[Expression])] = {
+    val conjuncts = splitConjuncts(cond)
+    val hit = conjuncts.zipWithIndex.collectFirst {
+      case (In(attr: Attribute, vs), idx)
+          if vs.length >= threshold && vs.forall(_.isInstanceOf[Literal]) =>
+        (attr, vs.map(_.asInstanceOf[Literal].value).toArray, idx)
+      case (InSet(attr: Attribute, hset), idx) if hset.size >= threshold =>
+        (attr, hset.toArray, idx)
+    }
+    hit.map { case (attr, values, idx) =>
+      val rest = conjuncts.patch(idx, Nil, 1)
+      (attr, values,
+        rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And))
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** Session-extension installer (spark.sql.extensions entry point). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => LargeInListToSemiJoin())
+}

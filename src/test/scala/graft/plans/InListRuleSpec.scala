@@ -1,0 +1,40 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class InListRuleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  private def semiJoins(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect { case j: Join if j.joinType == LeftSemi => j }
+
+  test("large literal IN-list rewrites to a left-semi join") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val plan = df.filter(col("id").isin((0L until 1500L).map(_ * 2): _*))
+      .queryExecution.analyzed
+    val out = LargeInListToSemiJoin(1000)(plan)
+    assert(semiJoins(out).nonEmpty)
+  }
+
+  test("small lists and extra conjuncts are preserved") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val small = df.filter(col("id").isin(1L, 2L, 3L)).queryExecution.analyzed
+    assert(semiJoins(LargeInListToSemiJoin(1000)(small)).isEmpty)
+
+    val mixed = df.filter(col("id").isin((0L until 1200L): _*) && col("id") > 10)
+      .queryExecution.analyzed
+    val out = LargeInListToSemiJoin(1000)(mixed)
+    assert(semiJoins(out).nonEmpty)
+    // the non-IN conjunct survives as a Filter
+    assert(out.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty)
+  }
+}
