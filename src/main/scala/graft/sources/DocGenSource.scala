@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Portable
+
+/** DataSource V2 connector: a deterministic synthetic-documents
+  * generator — `spark.read.format("graft.sources.DocGenSource")
+  * .option("rows", n).option("partitions", p).load()`.
+  *
+  * Why a DSv2 source: the reference's extract layer is inherently
+  * single-process (one JDBC cursor / one SFTP stream); the Spark-native
+  * answer to "load 100 TB" is a connector that *plans partitions* so a
+  * thousand executors each produce/read their slice independently. This
+  * source demonstrates the full surface on a dependency-free generator:
+  * TableProvider -> ScanBuilder (with column pruning:
+  * SupportsPushDownRequiredColumns) -> planned InputPartitions ->
+  * per-partition readers. Rows derive from Portable.hash60Jvm(seed:id),
+  * so content is reproducible across runs and partition layouts.
+  */
+class DocGenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGenSource.fullSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new DocGenTable()
+}
+
+object DocGenSource {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false)))
+
+  private val vocab = Array("spark", "query", "table", "scan", "join",
+    "filter", "window", "batch", "stream", "merge", "sort", "hash",
+    "column", "row", "data", "key", "value", "agg", "the", "fast")
+  private val langs = Array("en", "de", "es", "fr", "zh")
+
+  /** Deterministic row i for a given seed. */
+  def row(seed: Long, i: Long): (Long, String, String, Int) = {
+    val h = Portable.hash60Jvm(s"$seed:$i")
+    val n = (h % 40L).toInt + 5
+    val sb = new StringBuilder
+    var x = h
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append(vocab(((x >>> 33) % vocab.length).toInt))
+      k += 1
+    }
+    (i, sb.toString, langs((h % langs.length).toInt), n)
+  }
+}
+
+class DocGenTable extends Table with SupportsRead {
+  override def name(): String = "graft_docgen"
+  override def schema(): StructType = DocGenSource.fullSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DocGenScanBuilder(
+      options.getLong("rows", 1000L),
+      options.getInt("partitions", 4),
+      options.getLong("seed", 42L))
+}
+
+class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = DocGenSource.fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DocGenScan(rows, partitions, seed, required)
+}
+
+class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = (rows + partitions - 1) / partitions
+    (0 until partitions).map { p =>
+      DocGenPartition(p.toLong * per, math.min((p + 1).toLong * per, rows))
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(seed, required.fieldNames)
+}
+
+case class DocGenPartition(start: Long, end: Long) extends InputPartition
+
+class DocGenReaderFactory(seed: Long, fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end }
+      override def get(): InternalRow = {
+        val (id, text, lang, n) = DocGenSource.row(seed, i)
+        // only materialize the pruned columns
+        InternalRow.fromSeq(fields.toSeq.map {
+          case "doc_id"   => id
+          case "text"     => UTF8String.fromString(text)
+          case "lang"     => UTF8String.fromString(lang)
+          case "n_tokens" => n
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+class DocGenSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private def read(rows: Long, parts: Int) =
+    spark.read.format("graft.sources.DocGenSource")
+      .option("rows", rows).option("partitions", parts).load()
+
+  test("generates the requested rows across planned partitions") {
+    val df = read(1000, 8)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 1000)
+    assert(df.select(countDistinct(col("doc_id"))).collect().head.getLong(0) == 1000)
+  }
+
+  test("content is deterministic and partition-layout independent") {
+    val a = read(200, 2).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    val b = read(200, 7).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("column pruning reaches the reader (SupportsPushDownRequiredColumns)") {
+    val df = read(100, 2).select("doc_id", "lang")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("BatchScan graft_docgen") && !scan.contains("n_tokens"),
+      s"pruned scan should not read n_tokens:\n$scan")
+    assert(df.collect().length == 100)
+  }
+
+  test("feeds downstream operators like any table") {
+    val df = read(500, 4)
+    val byLang = df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.values.sum == 500)
+    assert(byLang.keySet.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+}
