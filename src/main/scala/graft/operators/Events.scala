@@ -183,7 +183,30 @@ object Events {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** JSON-to-map functions over props (§2.7 map row): parse the JSON
+    * object into map<string,long>, inspect keys/values. */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_id"),
+        size(col("m")).as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id"))
+
+  private val mapFuncsOracle =
+    """SELECT event_id,
+      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+      |  array_to_string(json_keys(props), ',') AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
     "latest_per_key"         -> (latestPerKey _),
     "events_tumbling_window" -> (tumbling _),
@@ -194,6 +217,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,
     "latest_per_key"         -> latestOracle,
     "events_tumbling_window" -> tumblingOracle,

@@ -79,14 +79,40 @@ object Multimodal {
       |FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling: explode each "video" payload into per-frame rows
+    * (every 5th frame), with deterministic per-frame features — the
+    * row-multiplying half of a decode pipeline (decode -> sample ->
+    * featurize), kept oracle-checkable through hash arithmetic. At
+    * scale this explode is the operator that turns a blob table into a
+    * training-sample table; it is narrow (no shuffle) and its output
+    * row count is bounded by the sampling stride. */
+  def frameSample(s: SparkSession, d: String): DataFrame =
+    decodeStub(s, d)
+      .select(col("doc_id"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 5)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        pmod(col("doc_id") * 31 + col("frame_idx") * 17, lit(1000)).as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val frameSampleOracle =
+    """WITH dec AS (
+      |  SELECT doc_id, CAST(h % 30 + 1 AS INTEGER) AS n_frames
+      |  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents))
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |  (doc_id * 31 + frame_idx * 17) % 1000 AS frame_sig
+      |FROM (SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM dec)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_blob_meta"   -> (blobMeta _),
-    "multimodal_decode_stub" -> (decodeStub _),
+    "multimodal_blob_meta"    -> (blobMeta _),
+    "multimodal_decode_stub"  -> (decodeStub _),
+    "multimodal_frame_sample" -> (frameSample _),
   )
 
   val oracles: Map[String, String] = Map(
-    "multimodal_blob_meta"   -> blobMetaOracle,
-    "multimodal_decode_stub" -> decodeStubOracle,
+    "multimodal_blob_meta"    -> blobMetaOracle,
+    "multimodal_decode_stub"  -> decodeStubOracle,
+    "multimodal_frame_sample" -> frameSampleOracle,
   )
 }
 

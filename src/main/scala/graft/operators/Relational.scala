@@ -329,6 +329,39 @@ object Relational {
       |SELECT o_custkey AS custkey FROM orders
       |ORDER BY custkey""".stripMargin
 
+  /** Multiset (ALL) variants — duplicate-preserving set algebra. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey").as("custkey"))
+    a.exceptAll(b).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("custkey"))
+  }
+
+  private val setExceptAllOracle =
+    """SELECT custkey, count(*) AS n FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT ALL
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+      |GROUP BY custkey
+      |ORDER BY custkey""".stripMargin
+
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("custkey"))
+  }
+
+  private val setIntersectAllOracle =
+    """SELECT custkey, count(*) AS n FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  INTERSECT ALL
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+      |GROUP BY custkey
+      |ORDER BY custkey""".stripMargin
+
   def setExcept(s: SparkSession, d: String): DataFrame = {
     val a = Tables.customer(s, d).select(col("c_custkey").as("custkey"))
     val b = Tables.orders(s, d).select(col("o_custkey").as("custkey"))
@@ -461,6 +494,8 @@ object Relational {
     "set_union"              -> (setUnion _),
     "set_intersect"          -> (setIntersect _),
     "set_except"             -> (setExcept _),
+    "set_except_all"         -> (setExceptAll _),
+    "set_intersect_all"      -> (setIntersectAll _),
     "topk_per_group"         -> (topkPerGroup _),
     "rollup_report"          -> (rollupReport _),
     "cube_report"            -> (cubeReport _),
@@ -485,6 +520,8 @@ object Relational {
     "set_union"              -> setUnionOracle,
     "set_intersect"          -> setIntersectOracle,
     "set_except"             -> setExceptOracle,
+    "set_except_all"         -> setExceptAllOracle,
+    "set_intersect_all"      -> setIntersectAllOracle,
     "topk_per_group"         -> topkOracle,
     "rollup_report"          -> rollupOracle,
     "cube_report"            -> cubeOracle,

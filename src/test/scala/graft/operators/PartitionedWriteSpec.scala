@@ -1,0 +1,39 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** Partitioned parquet layout + partition pruning — the storage-layout
+  * half of the 100 TB design: a corpus partitioned by a low-cardinality
+  * column (language, date, source) lets every language-scoped job read
+  * 1/N of the data, enforced by Catalyst partition pruning rather than
+  * convention. */
+class PartitionedWriteSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitionBy writes hive-style dirs and filters prune partitions") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Tables.documents(spark, sf)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$out/docs")
+
+    // hive-style directory per language
+    val dirs = new java.io.File(s"$out/docs").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("lang=de", "lang=en", "lang=es", "lang=fr", "lang=zh"))
+
+    val back = spark.read.parquet(s"$out/docs")
+    val en = back.filter(col("lang") === "en")
+    // the filter becomes a partition filter on the scan, not a data filter
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in:\n$plan")
+    // and the pruned read matches the unpartitioned source
+    val expected = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").count()
+    assert(en.count() == expected)
+  }
+}
