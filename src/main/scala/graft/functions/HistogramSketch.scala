@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Fixed-bin histogram sketch as a TypedImperativeAggregate — the
+  * mutable-buffer aggregate surface (SURVEY §2.8) used for sketches the
+  * declarative path can't express (HLL, quantile digests, ...).
+  *
+  * Buffer = bin counts over [lo, hi) plus underflow/overflow; buffers
+  * merge by vector addition, so the aggregate is partial/final like any
+  * built-in: each partition sketches locally and the shuffle moves one
+  * O(bins) array per group — the shape that lets a 100 TB column be
+  * profiled in one pass. Output: the bin-count array (callers derive
+  * approximate quantiles/cdf; see HistogramSketchSpec).
+  */
+case class HistogramSketchAgg(
+    child: Expression,
+    bins: Int,
+    lo: Double,
+    hi: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // bins regular buckets + [0]=underflow + [bins+1]=overflow
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bins + 2)
+
+  override def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      val idx =
+        if (x < lo) 0
+        else if (x >= hi) bins + 1
+        else 1 + ((x - lo) / (hi - lo) * bins).toInt
+      buf(math.min(idx, bins + 1)) += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HistogramSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HistogramSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object HistogramSketch {
+  /** Register `hist_sketch(col)` with fixed bins/range for a session. */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               bins: Int, lo: Double, hi: Double): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hist_sketch",
+      exprs => HistogramSketchAgg(exprs.head, bins, lo, hi).toAggregateExpression(),
+      "scala_udf")
+
+  /** Approximate quantile from a sketch's bin counts. */
+  def quantile(counts: Seq[Long], q: Double, bins: Int, lo: Double, hi: Double): Double = {
+    val total = counts.sum
+    val target = q * total
+    var acc = 0L
+    var i = 0
+    while (i < counts.length && acc + counts(i) < target) { acc += counts(i); i += 1 }
+    if (i == 0) lo
+    else if (i >= bins + 1) hi
+    else {
+      val width = (hi - lo) / bins
+      val binStart = lo + (i - 1) * width
+      val inBin = if (counts(i) == 0) 0.0 else (target - acc) / counts(i)
+      binStart + inBin * width
+    }
+  }
+}

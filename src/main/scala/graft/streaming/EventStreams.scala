@@ -81,7 +81,52 @@ object EventStreams {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
+  /** Custom sessionization via flatMapGroupsWithState: buffer events
+    * per user, emit one closed-session record when the event-time
+    * timeout fires (watermark passes last event + gap). Unlike
+    * session_window aggregation this shape can emit arbitrary records
+    * (zero or many per group per batch) and carry arbitrary state.
+    * Event-time timeouts (not processing-time) keep the stream
+    * data-driven: no wall-clock wakeup batches, state GC'd by
+    * watermark progress. */
+  def closedSessions(spark: org.apache.spark.sql.SparkSession,
+                     events: DataFrame,
+                     gapMs: Long = 30 * 60 * 1000L,
+                     watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.withWatermark("ts", watermark)
+      // keep the watermarked `ts` column itself — projecting it away
+      // (e.g. casting to long here) drops the watermark and event-time
+      // timeouts refuse to run
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: org.apache.spark.sql.streaming.GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val buf = state.get
+            state.remove()
+            Iterator((userId, buf.n, buf.firstSec, buf.lastSec))
+          } else {
+            val prev = state.getOption.getOrElse(SessionBuf(0, Long.MaxValue, Long.MinValue))
+            val next = rows.foldLeft(prev) { case (b, (_, ts)) =>
+              val sec = ts.getTime / 1000L
+              SessionBuf(b.n + 1, math.min(b.firstSec, sec), math.max(b.lastSec, sec))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastSec * 1000L + gapMs)
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "n_events", "first_sec", "last_sec")
+  }
 }
 
 /** State record for EventStreams.runningUserTotals. */
 case class UserTotals(n: Long, total: Double)
+
+/** State record for EventStreams.closedSessions. */
+case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)

@@ -110,6 +110,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("flatMapGroupsWithState emits closed sessions when the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Ev]
+    val q = EventStreams.closedSessions(spark, in.toDF())
+      .writeStream.format("memory").queryName("closed")
+      .outputMode("append").start()
+    in.addData(Ev(1, t(0), 7, "click", 1.0), Ev(2, t(5), 7, "click", 1.0))
+    q.processAllAvailable()
+    assert(spark.table("closed").count() == 0) // session still open
+    // event two hours later pushes the watermark past user 7's
+    // last-event + 30min gap -> the event-time timeout fires
+    in.addData(Ev(3, Timestamp.valueOf("2024-01-01 12:30:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:31:00"), 9, "view", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("closed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((7L, 2L)))
+  }
+
   test("session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
