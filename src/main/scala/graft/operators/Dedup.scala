@@ -49,8 +49,11 @@ object Dedup {
 
   /** Distinct word-trigram shingles per doc, hot-shingle capped.
     * Shared by the Jaccard + MinHash pipelines. */
-  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame = {
-    val sh0 = Tables.documents(s, d)
+  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    shinglesOf(Tables.documents(s, d), maxDf)
+
+  private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
+    val sh0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -120,23 +123,59 @@ object Dedup {
     * The band join is keyed — this is the sub-quadratic scale path: at
     * 100 TB no cross join ever forms; cost is O(docs * perms) for
     * signatures plus the bucket joins. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** 16-perm minhash signature array per doc (see minhashLsh). */
+  private def minhashSigs(docs: DataFrame, maxDf: Int): DataFrame = {
     val p = 2147483647L
-    val hashed = shingles(s, d, 50)
+    val hashed = shinglesOf(docs, maxDf)
       .select(col("doc_id"), (Portable.hash60(col("sh")) % p).as("x"))
-    // 16 parallel min-aggregates: one shuffle, no 16x row explosion
-    // (an explode(sequence(0,15)) variant profiled ~5x slower here)
     val mhCols = (0 until 16).map { i =>
       min((col("x") * (2L * i + 1) + (i + 1) * 7919L) % p).as(s"mh$i")
     }
-    val sig = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
       .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("mhs"))
-    sig.cache()
-    val bands = sig.select(col("doc_id"), explode(expr(
+  }
+
+  /** Band keys (4 bands x 4 rows) for a signature frame. */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, " +
         "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+  /** Incremental (delta-style) dedup: admit only the batch docs that are
+    * neither exact duplicates (of the existing corpus or of earlier
+    * batch docs) nor near-duplicates of the existing corpus (sharing a
+    * minhash LSH band). The existing side is touched only through its
+    * text-hash and signature-band indexes — at 100 TB those are the
+    * compact precomputed artifacts a corpus maintains between batches,
+    * so each increment costs O(batch), not O(corpus). */
+  def incremental(s: SparkSession, existing: DataFrame, batch: DataFrame): DataFrame = {
+    val exIdx = existing.select(Portable.hash60(col("text")).as("thash")).distinct()
+    val batchKeep = batch
+      .withColumn("thash", Portable.hash60(col("text")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("thash"))
+          .orderBy(col("doc_id"))))
+      .filter(col("rn") === 1) // in-batch exact dedup, lowest id wins
+      .join(broadcast(exIdx), Seq("thash"), "left_anti") // vs corpus
+      .drop("rn")
+    val exBands = bandKeys(minhashSigs(existing, 50))
+      .select(col("band"), col("bkey")).distinct()
+    val nearDup = bandKeys(minhashSigs(batchKeep, 50))
+      .join(exBands, Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id")).distinct()
+    batchKeep.join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+  }
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    // signatures use 16 parallel min-aggregates: one shuffle, no 16x
+    // row explosion (an explode(sequence(0,15)) variant profiled ~5x
+    // slower here)
+    val sig = minhashSigs(Tables.documents(s, d), 50)
+    sig.cache()
+    val bands = bandKeys(sig)
     val cand = explodePairs(
         bands.groupBy(col("band"), col("bkey"))
           .agg(sort_array(collect_list(col("doc_id"))).as("ids")))

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** Incremental dedup: a new batch against an existing corpus admits
+  * only genuinely new documents. */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("drops exact dups, in-batch dups and near-dups; keeps new docs") {
+    import spark.implicits._
+    val existing = Tables.documents(spark, sf).select("doc_id", "text")
+    val someExisting = existing.orderBy("doc_id").limit(2)
+      .collect().map(_.getString(1))
+    // near-dup of an existing doc: same word sequence minus the last word
+    val near = someExisting.head.split(" ").dropRight(1).mkString(" ")
+    val fresh1 = "completely novel wording about nothing in the corpus vocabulary one"
+    val fresh2 = "another entirely new document with its own words two three four"
+    val batch = Seq(
+      (10001L, someExisting(0)),  // exact dup of corpus
+      (10002L, fresh1),           // new
+      (10003L, fresh1),           // in-batch exact dup of 10002
+      (10004L, near),             // near-dup of corpus (shares minhash bands)
+      (10005L, fresh2)            // new
+    ).toDF("doc_id", "text")
+
+    val admitted = Dedup.incremental(spark, existing, batch)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(admitted.toSeq == Seq(10002L, 10005L))
+  }
+
+  test("an empty batch and a disjoint batch behave sanely") {
+    import spark.implicits._
+    val existing = Tables.documents(spark, sf).select("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.incremental(spark, existing, empty).count() == 0)
+    val disjoint = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    assert(Dedup.incremental(spark, existing, disjoint).count() == 1)
+  }
+}
