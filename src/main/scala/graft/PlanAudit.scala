@@ -31,7 +31,8 @@ object PlanAudit {
         ).flatten.mkString(",")
         println(f"$name%-26s $exch%4d $bcast%5d ${if (cart) "YES" else "no"}%9s $wsc%7d  $flags")
       } catch {
-        case e: Throwable => println(f"$name%-26s ERROR ${e.getMessage.take(60)}")
+        case e: Throwable =>
+          println(f"$name%-26s ERROR ${String.valueOf(e.getMessage).take(60)}")
       }
     }
     spark.stop()

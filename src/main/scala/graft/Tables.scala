@@ -21,16 +21,24 @@ object Tables {
   // column pruning, which an InMemoryRelation would mask. Keyed weakly
   // by session so stopped sessions drop their entries.
   private val factTables = Set("lineitem", "orders")
-  private val memo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+  // values hold the DataFrame only weakly: a DataFrame strongly
+  // references its SparkSession, and a strong value would pin the
+  // WeakHashMap key forever (the classic value->key leak). If the weak
+  // ref is collected, re-reading is cheap and Spark's CacheManager
+  // dedupes the .cache() by plan, so no double-caching occurs.
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = synchronized {
     val bySession = memo.computeIfAbsent(spark,
-      _ => scala.collection.mutable.Map.empty[String, DataFrame])
-    bySession.getOrElseUpdate(s"$dir/$name", {
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (factTables(name)) df else df.cache()
-    })
+      _ => scala.collection.mutable.Map.empty)
+    val key = s"$dir/$name"
+    bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val df = if (factTables(name)) raw else raw.cache()
+      bySession(key) = new java.lang.ref.WeakReference(df)
+      df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

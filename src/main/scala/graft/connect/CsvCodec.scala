@@ -38,12 +38,14 @@ object CsvCodec {
 
   /** CSV bytes -> DataFrame with an explicit schema (schema-on-read; the
     * reference leaves buffers untyped until a user transform parses
-    * them). */
+    * them). Parses from a temp file with multiLine on — pre-splitting
+    * the bytes on newlines would corrupt quoted fields containing
+    * embedded newlines, which `encode` legitimately produces. */
   def decode(spark: SparkSession, bytes: Array[Byte], schema: StructType): DataFrame = {
-    import spark.implicits._
-    val lines = new String(bytes, StandardCharsets.UTF_8)
-      .split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
-    val ds = spark.createDataset(lines)
-    spark.read.option("header", "true").schema(schema).csv(ds)
+    val tmp = java.nio.file.Files.createTempFile("graft_csv_in", ".csv")
+    java.nio.file.Files.write(tmp, bytes)
+    tmp.toFile.deleteOnExit()
+    spark.read.option("header", "true").option("multiLine", "true")
+      .schema(schema).csv(tmp.toString)
   }
 }

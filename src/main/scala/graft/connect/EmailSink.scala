@@ -23,8 +23,16 @@ final class EmailSink(outDir: String, destinationName: String) {
       require(recipients.nonEmpty, "no recipients resolved")
       val eml = render(msg, recipients)
       Files.createDirectories(Paths.get(outDir))
-      val safe = msg.subject.replaceAll("[^A-Za-z0-9._-]+", "_").take(60)
-      val target = Paths.get(outDir).resolve(s"$safe.eml")
+      // subject + content-hash suffix: distinct messages with colliding
+      // sanitized subjects get distinct files (identical content is
+      // idempotent); empty subjects still get a visible name
+      val safe = {
+        val s = msg.subject.replaceAll("[^A-Za-z0-9._-]+", "_").take(60)
+        if (s.isEmpty || s.forall(_ == '_')) "message" else s
+      }
+      val suffix = Integer.toHexString(
+        java.util.Arrays.hashCode(eml.getBytes(StandardCharsets.UTF_8)))
+      val target = Paths.get(outDir).resolve(s"$safe-$suffix.eml")
       Files.write(target, eml.getBytes(StandardCharsets.UTF_8))
       DestinationResponse(destinationName, "success",
         s"wrote ${target.toString}", Some(1L), nowMs)

@@ -68,7 +68,10 @@ object ParamBinder {
       val key = m.group(1)
       resolved.getOrElse(key,
         throw new NoSuchElementException(s"no value for placeholder ::$key::")) match {
-        case One(v)   => ordered += v; "?"
+        case One(v) => ordered += v; "?"
+        // empty list: "IN ()" is invalid SQL; "IN (NULL)" matches no
+        // rows, which is the correct semantics of an empty id set
+        case Many(vs) if vs.isEmpty => "NULL"
         case Many(vs) => ordered ++= vs; vs.map(_ => "?").mkString(", ")
       }
     })
@@ -83,8 +86,9 @@ object ParamBinder {
       val key = m.group(1)
       resolved.getOrElse(key,
         throw new NoSuchElementException(s"no value for placeholder ::$key::")) match {
-        case One(v)   => quote(v)
-        case Many(vs) => vs.map(quote).mkString(", ")
+        case One(v)                 => quote(v)
+        case Many(vs) if vs.isEmpty => "NULL" // see bind(): empty IN set
+        case Many(vs)               => vs.map(quote).mkString(", ")
       }
     })
 

@@ -38,6 +38,11 @@ final class LocalFs(root: String) extends RemoteFs {
   override def fetch(relPath: String): Array[Byte] =
     Files.readAllBytes(resolve(relPath))
   override def put(relDir: String, fileName: String, bytes: Array[Byte]): String = {
+    // fileName is a single path element — a "../"-bearing name from an
+    // unvalidated config would otherwise sidestep the mount-root guard
+    require(!fileName.contains('/') && !fileName.contains('\\') &&
+      fileName.nonEmpty && fileName != "." && fileName != "..",
+      s"file name must be a bare name: '$fileName'")
     val dir = resolve(relDir)
     Files.createDirectories(dir)
     val target = dir.resolve(fileName)

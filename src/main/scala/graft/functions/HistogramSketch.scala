@@ -42,8 +42,10 @@ case class HistogramSketchAgg(
       val idx =
         if (x < lo) 0
         else if (x >= hi) bins + 1
-        else 1 + ((x - lo) / (hi - lo) * bins).toInt
-      buf(math.min(idx, bins + 1)) += 1
+        // clamp: IEEE rounding can push (x-lo)/(hi-lo)*bins to `bins`
+        // for x just below hi, which must stay in the last real bin
+        else math.min(1 + ((x - lo) / (hi - lo) * bins).toInt, bins)
+      buf(idx) += 1
     }
     buf
   }

@@ -143,30 +143,42 @@ object Dedup {
         "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
+  /** Corpus dedup indexes: (distinct text hashes, distinct LSH band
+    * keys). These are the compact artifacts a corpus maintains between
+    * batches — computed once, persisted, and extended with each admitted
+    * batch, so increments cost O(batch) instead of O(corpus). */
+  def dedupIndexes(existing: DataFrame): (DataFrame, DataFrame) = (
+    existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
+    bandKeys(minhashSigs(existing, 50)).select(col("band"), col("bkey")).distinct())
+
   /** Incremental (delta-style) dedup: admit only the batch docs that are
     * neither exact duplicates (of the existing corpus or of earlier
-    * batch docs) nor near-duplicates of the existing corpus (sharing a
-    * minhash LSH band). The existing side is touched only through its
-    * text-hash and signature-band indexes — at 100 TB those are the
-    * compact precomputed artifacts a corpus maintains between batches,
-    * so each increment costs O(batch), not O(corpus). */
-  def incremental(s: SparkSession, existing: DataFrame, batch: DataFrame): DataFrame = {
-    val exIdx = existing.select(Portable.hash60(col("text")).as("thash")).distinct()
+    * batch docs) nor near-duplicates of the corpus (sharing a minhash
+    * LSH band). Takes the precomputed corpus indexes; join strategy is
+    * left to AQE (at scale the hash index is far bigger than a
+    * broadcast, while a small batch side still broadcasts). */
+  def incrementalWithIndexes(s: SparkSession, exTextHashes: DataFrame,
+                             exBands: DataFrame, batch: DataFrame): DataFrame = {
     val batchKeep = batch
       .withColumn("thash", Portable.hash60(col("text")))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("thash"))
           .orderBy(col("doc_id"))))
       .filter(col("rn") === 1) // in-batch exact dedup, lowest id wins
-      .join(broadcast(exIdx), Seq("thash"), "left_anti") // vs corpus
+      .join(exTextHashes, Seq("thash"), "left_anti") // vs corpus
       .drop("rn")
-    val exBands = bandKeys(minhashSigs(existing, 50))
-      .select(col("band"), col("bkey")).distinct()
     val nearDup = bandKeys(minhashSigs(batchKeep, 50))
       .join(exBands, Seq("band", "bkey"), "left_semi")
       .select(col("doc_id")).distinct()
     batchKeep.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
+  }
+
+  /** Convenience form computing the corpus indexes inline (fine at test
+    * scale; real deployments persist dedupIndexes between batches). */
+  def incremental(s: SparkSession, existing: DataFrame, batch: DataFrame): DataFrame = {
+    val (thashes, bands) = dedupIndexes(existing)
+    incrementalWithIndexes(s, thashes, bands, batch)
   }
 
   def minhashLsh(s: SparkSession, d: String): DataFrame = {

@@ -33,9 +33,13 @@ object JdbcSource {
               partitioning: Option[Partitioning] = None,
               fetchSize: Int = 10000): Map[String, String] = {
     require(!boundSql.contains("::"), s"unbound placeholder in query: $boundSql")
-    val base = Map(
+    // Spark rejects `query` + `partitionColumn` together; a partitioned
+    // read must go through `dbtable` with the query as a derived table.
+    val queryOpt =
+      if (partitioning.isDefined) Map("dbtable" -> s"($boundSql) graft_q")
+      else Map("query" -> boundSql)
+    val base = queryOpt ++ Map(
       "url" -> src.url,
-      "query" -> boundSql,
       "fetchsize" -> fetchSize.toString,
       "pushDownPredicate" -> "true",
       "pushDownAggregate" -> "true",

@@ -45,8 +45,9 @@ class EmailSinkSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_eml").toString
     val resp = new EmailSink(out, "mail").send(msg, Seq("a@x.co", "b@x.co"), 123L)
     assert(resp.status == "success")
-    val eml = new String(Files.readAllBytes(
-      java.nio.file.Paths.get(out, "Weekly_report.eml")), StandardCharsets.UTF_8)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".eml"))
+    assert(files.length == 1 && files.head.getName.startsWith("Weekly_report-"))
+    val eml = new String(Files.readAllBytes(files.head.toPath), StandardCharsets.UTF_8)
     assert(eml.contains("To: a@x.co, b@x.co"))
     assert(eml.contains("Subject: Weekly report"))
     assert(eml.contains("Content-Disposition: attachment; filename=\"r.csv\""))

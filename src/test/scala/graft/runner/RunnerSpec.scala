@@ -105,8 +105,10 @@ class RunnerSpec extends AnyFunSuite {
     assert(state.destResponses.head.recordsProcessed.contains(csvLines.size - 1L))
 
     // email sink artifact: .eml with literal + step: recipients resolved
-    val eml = new String(Files.readAllBytes(
-      Paths.get(emailDir, "High-value_customer_report.eml")), StandardCharsets.UTF_8)
+    val emlFiles = new java.io.File(emailDir).listFiles()
+      .filter(_.getName.startsWith("High-value_customer_report-"))
+    assert(emlFiles.length == 1)
+    val eml = new String(Files.readAllBytes(emlFiles.head.toPath), StandardCharsets.UTF_8)
     assert(eml.contains("admin@district.example"))
     val ids = state.stepOutputs("customer_ids").asInstanceOf[ListOut].values
     assert(ids.nonEmpty)

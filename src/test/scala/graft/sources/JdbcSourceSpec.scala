@@ -27,6 +27,10 @@ class JdbcSourceSpec extends AnyFunSuite {
       partitioning = Some(JdbcSource.Partitioning("id", 0L, 100000L, 16)))
     assert(o("partitionColumn") == "id" && o("numPartitions") == "16")
     assert(o("lowerBound") == "0" && o("upperBound") == "100000")
+    // Spark rejects `query` + `partitionColumn` together: partitioned
+    // reads must route the SQL through dbtable as a derived table
+    assert(!o.contains("query"))
+    assert(o("dbtable") == "(SELECT 1) graft_q")
   }
 
   test("annotation map renders as a customSchema option (extractor.py:122-172)") {
