@@ -137,6 +137,24 @@ class RunnerSpec extends AnyFunSuite {
     assert(e.getMessage == "boom")
   }
 
+  test("an empty collected id list binds as a no-row IN predicate") {
+    val (stream, conn, _, _) = buildHarness()
+    // classification threshold nothing can meet -> zero customer_ids ->
+    // orders.sql's "IN (::ids::)" must bind to a no-row predicate, not
+    // invalid "IN ()" SQL
+    val fns = functions.updated("classify_customers",
+      { ins: Map[String, StepOutput] =>
+        val df = ins("raw_customers").asInstanceOf[TableOut].df
+        val none = df.filter(col("c_acctbal") > 1e12)
+        Map("high_value" -> TableOut(none), "customer_ids" -> ListOut(Seq.empty))
+      })
+    val state = new StreamRunner(spark, stream, fns, conn).run()
+    assert(state.status == "success")
+    assert(state.stepOutputs("flagged_orders").asInstanceOf[TableOut].df.count() == 0)
+    // the literal admin recipient remains, so the send still succeeds
+    assert(state.destResponses.last.status == "success")
+  }
+
   test("transform output contract is enforced (README.md:86-89)") {
     val (stream, conn, _, _) = buildHarness()
     val badFns = functions.updated("classify_customers",
