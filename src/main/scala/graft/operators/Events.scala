@@ -205,7 +205,44 @@ object Events {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Moving per-user 1-hour window via a RANGE frame (every event sees
+    * the events in (t-1h, t]) plus first/last_value over the same
+    * ordering — the continuous counterpart of the tumbling windows.
+    * Spark's range frames need a numeric ordering column, so the frame
+    * runs over epoch microseconds on both engines. */
+  def movingUserWindow(s: SparkSession, d: String): DataFrame = {
+    val wRange = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L + 1, 0) // (t - 1h, t]
+    val wRows = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(wRange).as("n_last_hour"),
+        (sum(round(col("value") * 100)).over(wRange) / 100.0).as("sum_last_hour"),
+        first(col("event_id")).over(wRows).as("first_event"),
+        last(col("event_id")).over(wRows).as("last_event"))
+      .orderBy(col("event_id"))
+  }
+
+  private val movingWindowOracle =
+    """SELECT event_id, user_id,
+      |  count(*) OVER wr AS n_last_hour,
+      |  sum(round(value * 100)) OVER wr / 100.0 AS sum_last_hour,
+      |  first_value(event_id) OVER wo AS first_event,
+      |  last_value(event_id) OVER wo AS last_event
+      |FROM events
+      |WINDOW
+      |  wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |         RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW),
+      |  wo AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
     "latest_per_key"         -> (latestPerKey _),
@@ -217,6 +254,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,
     "latest_per_key"         -> latestOracle,
