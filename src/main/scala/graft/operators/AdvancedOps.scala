@@ -199,7 +199,55 @@ object AdvancedOps {
       |WHERE rk <= 3
       |ORDER BY o_orderpriority, rk""".stripMargin
 
+  /** Skyline (Pareto frontier) of parts: minimize p_size, maximize
+    * p_retailprice (pattern from the retrieved "Integration of Skyline
+    * Queries into Spark SQL", EDBT 2023 — see PAPERS.md).
+    *
+    * Two-phase distributed evaluation: a local skyline per partition
+    * (skylines compose — the global skyline is a subset of the union of
+    * local ones), then one final pass over the merged candidates. Local
+    * skylines of random data are tiny, so the single-partition merge is
+    * safe at scale; a naive dominance anti-join would be a quadratic
+    * nested loop. Equal points do not dominate each other (strict
+    * dominance), so duplicates survive, matching the NOT EXISTS oracle.
+    */
+  def skylineParts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def localSkyline(rows: Iterator[(Long, Int, Double)]): Iterator[(Long, Int, Double)] = {
+      val sky = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      rows.foreach { r =>
+        val dominated = sky.exists(p =>
+          p._2 <= r._2 && p._3 >= r._3 && (p._2 < r._2 || p._3 > r._3))
+        if (!dominated) {
+          val beaten = sky.filter(p =>
+            r._2 <= p._2 && r._3 >= p._3 && (r._2 < p._2 || r._3 > p._3))
+          sky --= beaten
+          sky += r
+        }
+      }
+      sky.iterator
+    }
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .as[(Long, Int, Double)]
+      .mapPartitions(localSkyline)
+      .repartition(1)
+      .mapPartitions(localSkyline)
+      .toDF("p_partkey", "p_size", "p_retailprice")
+      .orderBy(col("p_partkey"))
+  }
+
+  private val skylineOracle =
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_size <= a.p_size AND b.p_retailprice >= a.p_retailprice
+      |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
     "range_join_events"       -> (rangeJoin _),
@@ -210,6 +258,7 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,
     "range_join_events"       -> rangeOracle,
