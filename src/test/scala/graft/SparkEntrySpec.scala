@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Contract invariants for the driver entry point. */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private val modules: Seq[(String, Map[String, _])] = Seq(
+    "Relational" -> Relational.queries, "Events" -> Events.queries,
+    "TextAnalysis" -> TextAnalysis.queries, "Dedup" -> Dedup.queries,
+    "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
+    "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries)
+
+  test("query names are globally unique (Map ++ would silently shadow)") {
+    val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query; oracle SQL is placeholder-free") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // `::x::` is a binder placeholder; bare `::TYPE` is DuckDB cast syntax
+    val placeholder = "::[A-Za-z0-9_]+::".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(placeholder.findFirstIn(sql).isEmpty,
+        s"$name oracle has an unbound placeholder")
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle lacks ORDER BY")
+    }
+  }
+}
