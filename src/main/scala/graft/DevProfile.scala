@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only stage profiler / recall checker for the dedup pipeline (not
+  * part of the library surface; run via dev/run.sh graft.DevProfile
+  * [mode] [sfDirs...]). */
+object DevProfile {
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("dedup")
+    val dirs = if (args.length > 1) args.drop(1).toSeq
+               else Seq("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"${(System.nanoTime() - t0) / 1e9}%7.2f  $name (rows=$n)")
+    }
+    mode match {
+      case "cosine" =>
+        for (d <- dirs) {
+          val blocked = operators.Dedup.embeddingCosine(spark, d)
+          val brute = operators.Dedup.embeddingCosineBrute(spark, d)
+          val b = blocked.collect().map(_.toString).toSet
+          val x = brute.collect().map(_.toString).toSet
+          println(s"$d blocked=${b.size} brute=${x.size} " +
+            s"missing=${(x -- b).size} extra=${(b -- x).size} equal=${b == x}")
+        }
+      case "cosparts" =>
+        import org.apache.spark.sql.functions._
+        val d = dirs.head
+        val sigs = operators.Similarity.signatures(spark, d, 20, 4).cache()
+        t("sigs")(sigs.count())
+        val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
+          explode(expr(s"concat(array(sig), transform(sequence(0, 3), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
+        t("probes")(probes.count())
+        val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
+        val joined = probes.join(idx, Seq("tbl", "bucket")).filter(col("i") < col("j"))
+        t("cand join")(joined.count())
+        val cand = joined.select(col("i"), col("j")).distinct()
+        t("cand distinct")(cand.count())
+        t("full")(operators.Dedup.embeddingCosine(spark, d).count())
+      case _ =>
+        for (d <- dirs) {
+          t(s"ngram_jaccard $d")(operators.Dedup.ngramJaccard(spark, d).count())
+          t(s"minhash_lsh $d")(operators.Dedup.minhashLsh(spark, d).count())
+          t(s"simhash $d")(operators.Dedup.simhash(spark, d).count())
+          t(s"embedding_cosine $d")(operators.Dedup.embeddingCosine(spark, d).count())
+        }
+    }
+    spark.stop()
+  }
+}

