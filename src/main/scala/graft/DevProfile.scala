@@ -33,6 +33,20 @@ object DevProfile {
           println(s"$d blocked=${b.size} brute=${x.size} " +
             s"missing=${(x -- b).size} extra=${(b -- x).size} equal=${b == x}")
         }
+      case "oneq" =>
+        // dump a single query + its oracle for dev/check.py iteration:
+        // dev/run.sh graft.DevProfile oneq <name> <sfDir> <outDir>
+        val Seq(name, sfDir, outDir) = args.drop(1).toSeq
+        new java.io.File(outDir).mkdirs()
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        def q(str: String): String = "\"" + str.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        } + "\""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+          s"{${q(name)}: ${q(SparkEntry.oracleSql(name))}}")
       case "cosparts" =>
         import org.apache.spark.sql.functions._
         val d = dirs.head

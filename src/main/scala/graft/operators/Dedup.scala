@@ -99,15 +99,32 @@ object Dedup {
     left.join(right, keys).filter(col("i") < col("j"))
   }
 
-  private val shinglesSql =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-      |       WHERE len(string_split(text, ' ')) >= 3),
-      |sh0 AS (SELECT DISTINCT doc_id,
-      |          unnest(list_transform(range(1, len(ws) - 1),
-      |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |        FROM w),
-      |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 50),
-      |shf AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh))""".stripMargin
+  /** DuckDB CTE chain computing the capped shingle set of `src` (the df
+    * cap is relative to `src` itself, mirroring shinglesOf's input-frame
+    * scoping). CTE names take prefix `p` so two sources can coexist in
+    * one oracle query (see incrementalOracle). */
+  private def shinglesSqlOf(src: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |${p}sh0 AS (SELECT DISTINCT doc_id,
+       |          unnest(list_transform(range(1, len(ws) - 1),
+       |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |        FROM ${p}w),
+       |${p}keep AS (SELECT sh FROM ${p}sh0 GROUP BY sh HAVING count(*) <= 50),
+       |${p}shf AS (SELECT s.doc_id, s.sh FROM ${p}sh0 s JOIN ${p}keep USING (sh))""".stripMargin
+
+  private val shinglesSql = shinglesSqlOf("documents", "")
+
+  /** DuckDB CTE chain from capped shingles to minhash LSH band keys of
+    * `src` (16 perms, 4x4 bands — mirrors minhashSigs/bandKeys). Emits
+    * `${p}bands(doc_id, band, bkey)`. */
+  private def minhashBandsSqlOf(src: String, p: String): String =
+    s"""${shinglesSqlOf(src, p)},
+       |${p}hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM ${p}shf),
+       |${p}sig AS (SELECT doc_id, i, min(((i*2 + 1) * x + (i + 1) * 7919) % 2147483647) AS mh
+       |        FROM ${p}hx CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+       |${p}bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
+       |          FROM ${p}sig GROUP BY doc_id, i // 4)""".stripMargin
 
   /** Near-dup pairs by exact n-gram Jaccard over the inverted index. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -205,6 +222,37 @@ object Dedup {
     incrementalWithIndexes(s, thashes, bands, batch)
   }
 
+  /** Oracle-checked fixture for incremental dedup: the first 300 docs
+    * are the established corpus, the rest arrive as one batch; returns
+    * the admitted batch docs (neither exact dups of corpus/earlier
+    * batch rows nor sharing a minhash LSH band with the corpus). */
+  def incrementalQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incremental(s, docs.filter(col("doc_id") < 300),
+        docs.filter(col("doc_id") >= 300))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalOracle =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id < 300),
+       |batch AS (SELECT * FROM documents WHERE doc_id >= 300),
+       |corpus_thash AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS thash FROM corpus),
+       |batch_rn AS (
+       |  SELECT doc_id, text, ('0x' || substr(md5(text), 1, 15))::BIGINT AS thash,
+       |    row_number() OVER (PARTITION BY ('0x' || substr(md5(text), 1, 15))::BIGINT
+       |                       ORDER BY doc_id) AS rn
+       |  FROM batch),
+       |batch_keep AS (
+       |  SELECT doc_id, text FROM batch_rn b WHERE rn = 1
+       |    AND NOT EXISTS (SELECT 1 FROM corpus_thash c WHERE c.thash = b.thash)),
+       |${minhashBandsSqlOf("corpus", "c_")},
+       |${minhashBandsSqlOf("batch_keep", "b_")},
+       |near AS (SELECT DISTINCT b.doc_id
+       |         FROM b_bands b JOIN c_bands c ON b.band = c.band AND b.bkey = c.bkey)
+       |SELECT doc_id, text FROM batch_keep k
+       |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = k.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     // signatures use 16 parallel min-aggregates: one shuffle, no 16x
     // row explosion (an explode(sequence(0,15)) variant profiled ~5x
@@ -227,12 +275,7 @@ object Dedup {
   }
 
   private val minhashOracle =
-    s"""WITH $shinglesSql,
-       |hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM shf),
-       |sig AS (SELECT doc_id, i, min(((i*2 + 1) * x + (i + 1) * 7919) % 2147483647) AS mh
-       |        FROM hx CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
-       |bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
-       |          FROM sig GROUP BY doc_id, i // 4),
+    s"""WITH ${minhashBandsSqlOf("documents", "")},
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -390,6 +433,7 @@ object Dedup {
     "dedup_minhash_lsh"      -> (minhashLsh _),
     "dedup_simhash"          -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_incremental"      -> (incrementalQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -398,5 +442,6 @@ object Dedup {
     "dedup_minhash_lsh"      -> minhashOracle,
     "dedup_simhash"          -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingCosineOracle,
+    "dedup_incremental"      -> incrementalOracle,
   )
 }
