@@ -15,15 +15,25 @@ object Bench {
     // costs ~2s; without it the first timed query absorbs ~8s of
     // one-time warmup noise.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failing query must surface as an error entry, not bench as a
+    // (fast) timing — timings cover successes only
+    val results: Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        name -> (try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+                 catch { case e: Throwable =>
+                   Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") })
+      }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.values.collect { case Right(v) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,8 +24,10 @@ object ExtensionDemo {
     val optimized = q.queryExecution.optimizedPlan.toString
     val hasSemi = optimized.contains("LeftSemi")
     val n = q.count()
-    // control: same predicate evaluated without the rewrite
-    val manual = li.filter(col("l_quantity") > 10)
+    // control: same predicate evaluated without the rewrite (select the
+    // key explicitly — positional getLong(0) would silently read the
+    // wrong column if the parquet column order ever changed)
+    val manual = li.filter(col("l_quantity") > 10).select("l_orderkey")
       .collect().count(r => ids.contains(r.getLong(0)))
     println(s"optimized plan uses LeftSemi: $hasSemi")
     println(s"rows via rule: $n, rows via driver filter: $manual, match: ${n == manual}")

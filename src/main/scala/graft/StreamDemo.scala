@@ -72,7 +72,7 @@ object StreamDemo {
       })
 
     val conn = Connectors(
-      runSql = (_, sql) => spark.sql(sql),
+      runSql = (_, sql, args) => spark.sql(sql, args.toArray),
       fs = Map("district_share" -> new LocalFs(shareRoot),
                "report_share" -> new LocalFs(s"$work/out")),
       emailOutDir = s"$work/mail",

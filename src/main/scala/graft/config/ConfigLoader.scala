@@ -127,6 +127,39 @@ object ConfigLoader {
           s"step '$n': unknown step_type '$other'") // discriminator, models.py:119-121
       }
     }
-    Stream(name, sources, dests, steps)
+    Stream(name, sources, dests, steps,
+      logFile = strOpt(raw, "log_file"),
+      logLevel = strOpt(raw, "log_level"))
   }
+
+  /** config.py:23 `load_dotenv()`: parse a `.env` file of KEY=VALUE
+    * lines — `#` comments and blank lines skipped, optional leading
+    * `export `, optional single/double quotes around the value. Returns
+    * empty when the file is absent (python-dotenv behavior). */
+  def dotenv(path: java.nio.file.Path = java.nio.file.Paths.get(".env")): Map[String, String] =
+    if (!java.nio.file.Files.isRegularFile(path)) Map.empty
+    else {
+      val lineRe = "^(?:export\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.*)$".r
+      java.nio.file.Files.readAllLines(path, java.nio.charset.StandardCharsets.UTF_8)
+        .asScala.iterator
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .collect { case lineRe(k, v0) =>
+          val v = v0.trim
+          val unq =
+            if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
+                                  (v.head == '\'' && v.last == '\'')))
+              v.substring(1, v.length - 1)
+            else v
+          k -> unq
+        }
+        .toMap
+    }
+
+  /** The production env-resolution order (config.py:23-28): `.env`
+    * values fill gaps, the real environment wins — python-dotenv's
+    * default `load_dotenv(override=False)`. */
+  def envWithDotenv(path: java.nio.file.Path = java.nio.file.Paths.get(".env"),
+                    env: Map[String, String] = sys.env): Map[String, String] =
+    dotenv(path) ++ env
 }

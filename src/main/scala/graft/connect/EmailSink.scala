@@ -16,7 +16,8 @@ import graft.model.{DestinationResponse, EmailMessage}
   * `send` never throws; failures come back as a failure
   * DestinationResponse while the run continues.
   */
-final class EmailSink(outDir: String, destinationName: String) {
+final class EmailSink(outDir: String, destinationName: String,
+                      defaultSender: Option[String] = None) {
 
   def send(msg: EmailMessage, recipients: Seq[String], nowMs: Long): DestinationResponse =
     try {
@@ -43,13 +44,23 @@ final class EmailSink(outDir: String, destinationName: String) {
     }
 
   /** RFC-822 + MIME multipart rendering (fixes defect D11: attachments
-    * carry explicit mime type and bytes). */
+    * carry explicit mime type and bytes).
+    *
+    * Header values are CR/LF-sanitized: this exact byte stream goes to
+    * an SMTP client in production, so a step-derived subject or address
+    * containing "\r\n" would otherwise inject arbitrary headers. An
+    * empty sender falls back to the destination's default_sender_email
+    * (models.py:70). */
   private[connect] def render(msg: EmailMessage, recipients: Seq[String]): String = {
+    val from = Seq(msg.from, defaultSender.getOrElse(""))
+      .map(_.trim).find(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "message has no sender and destination has no default_sender_email"))
     val boundary = "----graft-" + Integer.toHexString(msg.subject.hashCode)
     val sb = new StringBuilder
-    sb.append(s"From: ${msg.from}\r\n")
-    sb.append(s"To: ${recipients.mkString(", ")}\r\n")
-    sb.append(s"Subject: ${msg.subject}\r\n")
+    sb.append(s"From: ${header(from)}\r\n")
+    sb.append(s"To: ${header(recipients.mkString(", "))}\r\n")
+    sb.append(s"Subject: ${header(msg.subject)}\r\n")
     sb.append("MIME-Version: 1.0\r\n")
     if (msg.attachments.isEmpty) {
       sb.append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
@@ -61,34 +72,43 @@ final class EmailSink(outDir: String, destinationName: String) {
       sb.append(msg.body).append("\r\n")
       msg.attachments.foreach { a =>
         sb.append(s"--$boundary\r\n")
-        sb.append(s"Content-Type: ${a.mime}; name=\"${a.fileName}\"\r\n")
+        sb.append(s"Content-Type: ${header(a.mime)}; name=\"${header(a.fileName)}\"\r\n")
         sb.append("Content-Transfer-Encoding: base64\r\n")
-        sb.append(s"Content-Disposition: attachment; filename=\"${a.fileName}\"\r\n\r\n")
+        sb.append(s"Content-Disposition: attachment; filename=\"${header(a.fileName)}\"\r\n\r\n")
         sb.append(Base64.getMimeEncoder.encodeToString(a.bytes)).append("\r\n")
       }
       sb.append(s"--$boundary--\r\n")
     }
     sb.toString
   }
+
+  /** Collapse CR/LF (and other control chars) in a header value to a
+    * single space — header injection guard. */
+  private def header(v: String): String =
+    v.map(c => if (c < ' ' || c == 0x7f) ' ' else c)
+      .replaceAll("  +", " ")
 }
 
 object EmailSink {
   /** Recipient resolution (loader.py:67-84, fixing defect D9): literal
     * addresses pass through, `step:<name>` refs pull a prior list
     * output; the result is flattened and deduplicated preserving order.
-    */
+    * Step-resolved values get the same Validate.email check the config
+    * layer applies to literals (SmtpLoadStep) — addresses sourced from
+    * table contents are untrusted input. */
   def resolveRecipients(declared: Seq[String],
                         stepOutputs: scala.collection.Map[String, graft.model.StepOutput]): Seq[String] = {
     val flat = declared.flatMap {
       case r if r.startsWith("step:") =>
         val ref = r.stripPrefix("step:")
-        stepOutputs.getOrElse(ref,
+        val vs = stepOutputs.getOrElse(ref,
           throw new NoSuchElementException(s"no step output named '$ref' for recipients")) match {
-          case graft.model.ListOut(vs) => vs.map(_.toString)
+          case graft.model.ListOut(values) => values.map(_.toString)
           case graft.model.ScalarOut(s) => Seq(s.fold(identity, _.toString))
           case other => throw new IllegalArgumentException(
             s"recipient ref '$ref' must be a list/scalar, got ${other.getClass.getSimpleName}")
         }
+        vs.map(graft.model.Validate.email)
       case lit => Seq(lit)
     }
     flat.distinct

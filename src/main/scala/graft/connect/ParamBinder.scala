@@ -22,6 +22,10 @@ object ParamBinder {
 
   private val placeholderRe = "::([A-Za-z0-9_]+)::".r
 
+  /** Max rows a `step:` TableOut ref may collect into a bound id list;
+    * larger sets must stay distributed via filterByIds. */
+  val collectThreshold = 100000
+
   /** Resolved parameter value: scalar or list. */
   sealed trait Resolved
   final case class One(value: Any) extends Resolved
@@ -41,11 +45,18 @@ object ParamBinder {
             case ListOut(vs)  => Many(vs)
             case ScalarOut(s) => One(s.fold(identity, identity))
             case TableOut(df) =>
-              // single-column table ref -> collected id list (SURVEY §7.5:
-              // beyond ~1e5 rows use filterByIds' semi-join path instead)
+              // single-column table ref -> collected id list, guarded by
+              // the same ~1e5 threshold as filterByIds: an unbounded
+              // collect here is a driver OOM waiting for a hostile
+              // config (SURVEY §7.5)
               require(df.columns.length == 1,
                 s"param '$k': step ref '$ref' must be a single-column table")
-              Many(df.collect().toSeq.map(_.get(0)))
+              val sample = df.limit(collectThreshold + 1).collect()
+              require(sample.length <= collectThreshold,
+                s"param '$k': step ref '$ref' exceeds $collectThreshold rows; " +
+                "keep the filter distributed (ParamBinder.filterByIds semi-join) " +
+                "instead of binding an id list")
+              Many(sample.toSeq.map(_.get(0)))
             case other => throw new IllegalArgumentException(
               s"param '$k': step output '$ref' of ${other.getClass.getSimpleName} is not bindable")
           }
@@ -78,9 +89,16 @@ object ParamBinder {
     (bound, ordered.result())
   }
 
-  /** Same rewrite but inlining safely-quoted literals — the offline path
-    * used when the "source database" is a parquet-backed view queried as
-    * SQL text. */
+  /** Same rewrite but inlining quoted literals, for engines that only
+    * accept plain SQL text. Quoting is ANSI: `''` doubling, backslash
+    * is an ordinary character. That is only safe against engines
+    * parsing string literals the ANSI way (DuckDB, Postgres
+    * standard_conforming_strings) — under backslash-escape dialects
+    * (MySQL default; Spark unless
+    * spark.sql.parser.escapedStringLiterals=true) a value ending in
+    * `\` would escape the closing quote. StreamRunner therefore never
+    * executes this output: its extract path uses bind() with real
+    * positional parameters (Spark parameterized SQL / JDBC). */
   def inlineSql(sql: String, resolved: Map[String, Resolved]): String =
     placeholderRe.replaceAllIn(sql, m => {
       val key = m.group(1)

@@ -119,12 +119,19 @@ final case class SmtpLoadStep(name: String, destination: String, input: String,
 }
 
 /** A stream: the config-declared pipeline (models.py:101-135 +
-  * sample.config.yaml structure). */
+  * sample.config.yaml structure).
+  *
+  * `logFile`/`logLevel` mirror the per-stream `log_file`/`log_level`
+  * keys (sample.config.yaml:1-2,71): level accepts Python numeric
+  * levels (10/20/30/40) or names (debug/info/warn/error); both default
+  * to the runner's defaults when absent. */
 final case class Stream(
     name: String,
     sources: Seq[Source],
     destinations: Seq[Destination],
-    steps: Seq[Step]) {
+    steps: Seq[Step],
+    logFile: Option[String] = None,
+    logLevel: Option[String] = None) {
 
   val sourceByName: Map[String, Source] = sources.map(s => s.name -> s).toMap
   val destByName: Map[String, Destination] = destinations.map(d => d.name -> d).toMap

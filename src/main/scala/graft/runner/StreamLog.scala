@@ -1,0 +1,106 @@
+package graft.runner
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.time.Instant
+import org.slf4j.{LoggerFactory, MDC}
+import graft.model.Stream
+
+/** Centralized per-stream run logging (reference: StreamLogger,
+  * app/utils/logger.py:7-45, wired via sample.config.yaml:1-2,71).
+  *
+  * Mapped onto the JVM idiom: one shared slf4j logger (`graft.stream`)
+  * with the stream name carried in MDC key `"stream"` — set/cleared by
+  * StreamRunner.run — plus an optional per-stream log *file* and a
+  * per-stream *level* gate, both config-driven (`log_file`/
+  * `log_level`).
+  *
+  * Intended-behavior fix for defect D15 (logger.py:24,36-38,44-45: the
+  * reference mutates one process-global logger — every StreamLogger
+  * construction permanently adds another filter + file handler, so a
+  * long-lived process duplicates every line N times and leaks the last
+  * stream's name into other streams' records): each StreamLog instance
+  * owns its own level gate and file path; constructing any number of
+  * them mutates no global state, and the stream name comes from the
+  * instance, never a global filter.
+  *
+  * Levels accept Python numerics (logger.py default_log_level = 10)
+  * or names. The reference also always appends to a default
+  * `errors.log` in the CWD (logger.py:34-37); a library writing files
+  * nobody asked for is a defect, so here a file is written only when
+  * `log_file` is configured. */
+final class StreamLog private (streamName: String, minLevel: Int,
+                               logFile: Option[String]) {
+
+  private val slf = LoggerFactory.getLogger("graft.stream")
+
+  def debug(msg: => String): Unit = log(StreamLog.Debug, msg)
+  def info(msg: => String): Unit  = log(StreamLog.Info, msg)
+  def warn(msg: => String): Unit  = log(StreamLog.Warn, msg)
+  def error(msg: => String): Unit = log(StreamLog.Error, msg)
+
+  private def log(level: Int, msg: => String): Unit =
+    if (level >= minLevel) {
+      val m = msg
+      level match {
+        case StreamLog.Debug => slf.debug(m)
+        case StreamLog.Info  => slf.info(m)
+        case StreamLog.Warn  => slf.warn(m)
+        case _               => slf.error(m)
+      }
+      logFile.foreach { f =>
+        // the reference's record format (logger.py:26-28), one line
+        val line = s"${StreamLog.levelName(level)}:\t${Instant.now()}:\t$streamName:\t$m\n"
+        val p = Paths.get(f)
+        Option(p.getParent).foreach(Files.createDirectories(_))
+        Files.write(p, line.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND): Unit
+      }
+    }
+}
+
+object StreamLog {
+  final val Debug = 10
+  final val Info  = 20
+  final val Warn  = 30
+  final val Error = 40
+
+  /** The MDC key carrying the current stream name during a run. */
+  final val MdcKey = "stream"
+
+  private[runner] def levelName(l: Int): String = l match {
+    case Debug => "DEBUG"
+    case Info  => "INFO"
+    case Warn  => "WARNING"
+    case _     => "ERROR"
+  }
+
+  /** "20" | "info" | "INFO" -> numeric level (logger.py accepts both
+    * via logging's int|str). Unknown names are an error. */
+  def parseLevel(s: String): Int = s.trim.toLowerCase match {
+    case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt
+    case "debug" => Debug
+    case "info" => Info
+    case "warn" | "warning" => Warn
+    case "error" => Error
+    case other => throw new IllegalArgumentException(s"unknown log level '$other'")
+  }
+
+  /** Build from the stream's config-driven fields (defaults mirror
+    * logger.py:30-31: DEBUG; no default file — see class doc). */
+  def forStream(stream: Stream): StreamLog =
+    new StreamLog(stream.name,
+      stream.logLevel.map(parseLevel).getOrElse(Debug), stream.logFile)
+
+  /** Run `body` with the stream name in MDC (cleared after, restoring
+    * any outer value so nested runs don't clobber each other). */
+  def withMdc[A](streamName: String)(body: => A): A = {
+    val prev = Option(MDC.get(MdcKey))
+    MDC.put(MdcKey, streamName)
+    try body
+    finally prev match {
+      case Some(v) => MDC.put(MdcKey, v)
+      case None    => MDC.remove(MdcKey)
+    }
+  }
+}

@@ -9,9 +9,12 @@ import graft.model._
 /** Everything a stream needs to touch the outside world, injected so the
   * offline harness can substitute local implementations (SURVEY §7.1).
   *
-  * @param runSql      executes bound SQL against a named SQL source (the
-  *                    JDBC boundary, extractor.py:89-105; offline: Spark
-  *                    SQL over parquet-backed temp views)
+  * @param runSql      executes bound SQL (`?` placeholders) with its
+  *                    positional parameters against a named SQL source
+  *                    (the JDBC boundary, extractor.py:89-105 — the
+  *                    reference binds real JDBC params, never inlined
+  *                    text; offline: Spark parameterized SQL over
+  *                    parquet-backed temp views, `spark.sql(sql, args)`)
   * @param fs          remote filesystems by source/destination name
   * @param emailOutDir where the offline EmailSink writes .eml files
   * @param queryFiles  query-file name -> SQL text (the datastream dir
@@ -20,7 +23,7 @@ import graft.model._
   * @param nowMs       injected millis clock for run/response timestamps
   */
 final case class Connectors(
-    runSql: (SqlSource, String) => DataFrame,
+    runSql: (SqlSource, String, Seq[Any]) => DataFrame,
     fs: Map[String, RemoteFs] = Map.empty,
     emailOutDir: String = "target/tmp/emails",
     queryFiles: String => String = n => throw new NoSuchElementException(s"no query file '$n'"),
@@ -53,24 +56,34 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
                          functions: Map[String, StreamRunner.TransformFn],
                          conn: Connectors) {
 
-  def run(): RunState = {
+  private val log = StreamLog.forStream(stream)
+
+  def run(): RunState = StreamLog.withMdc(stream.name) {
     val state = new RunState(UUID.randomUUID().toString, stream.name, conn.nowMs())
+    log.info(s"run ${state.runId} started (${stream.steps.size} steps)")
     try {
-      stream.steps.foreach {
-        case s: SqlExtractStep  => state.stepOutputs(s.output) = sqlExtract(s, state)
-        case s: FileExtractStep => state.stepOutputs(s.output) = fileExtract(s)
-        case s: TransformStep   => runTransform(s, state)
-        case s: FileLoadStep    => state.destResponses += fileLoad(s, state)
-        case s: SmtpLoadStep    => state.destResponses += smtpLoad(s, state)
+      stream.steps.foreach { step =>
+        log.debug(s"step '${step.name}' (${step.stepType})")
+        step match {
+          case s: SqlExtractStep  => state.stepOutputs(s.output) = sqlExtract(s, state)
+          case s: FileExtractStep => state.stepOutputs(s.output) = fileExtract(s)
+          case s: TransformStep   => runTransform(s, state)
+          case s: FileLoadStep    => state.destResponses += fileLoad(s, state)
+          case s: SmtpLoadStep    => state.destResponses += smtpLoad(s, state)
+        }
       }
       state.status = "success"
     } catch {
       case e: Throwable =>
         state.status = "failed"
         state.endTimeMs = Some(conn.nowMs())
+        log.error(s"run ${state.runId} failed: ${e.getMessage}")
         throw e
     }
     state.endTimeMs = Some(conn.nowMs())
+    val captured = state.destResponses.count(_.status == "failure")
+    log.info(s"run ${state.runId} succeeded" +
+      (if (captured > 0) s" ($captured load failure(s) captured)" else ""))
     state
   }
 
@@ -82,8 +95,13 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
         s"step '${s.name}': source '${other.name}' is ${other.protocol}, not sql")
     }
     val resolved = ParamBinder.resolve(s.params, state.stepOutputs, conn.today)
-    val sql = ParamBinder.inlineSql(conn.queryFiles(s.queryFile), resolved)
-    TableOut(conn.runSql(src, sql))
+    // real parameter binding, mirroring the reference's JDBC `?` path
+    // (extractor.py:64-74): values never become SQL text, so quoting /
+    // escape-dialect mismatches (ANSI '' vs backslash) cannot corrupt
+    // or inject — ParamBinder.inlineSql exists only for text-only
+    // engines and is not used here
+    val (sql, params) = ParamBinder.bind(conn.queryFiles(s.queryFile), resolved)
+    TableOut(conn.runSql(src, sql, params))
   }
 
   /** Fileshare/SFTP extract (extractor.py:29-50, direction fixed — D4);
@@ -131,23 +149,34 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
           (fsImpl.putFile(s.remoteDir, fileName, path), None)
         case TableOut(df) =>
           // table -> single CSV artifact on the share (df_to_csv_buffer
-          // + put; record count comes free from the materialization)
+          // + put). Record count comes from the DataFrame, not from
+          // counting physical lines in the buffer: encode() emits
+          // quoted fields with embedded newlines, so a line count
+          // overcounts those records.
           val bytes = CsvCodec.encode(df)
-          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes),
-            Some(new String(bytes, "UTF-8").linesIterator.size - 1L))
+          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes), Some(df.count()))
         case other => throw new IllegalArgumentException(
           s"step '${s.name}': cannot file-load ${other.getClass.getSimpleName}")
       }
       DestinationResponse(s.destination, "success", s"wrote $written", records, conn.nowMs())
     } catch {
       case e: Exception =>
+        log.warn(s"load '${s.name}' captured failure: ${e.getMessage}")
         DestinationResponse(s.destination, "failure",
           s"${e.getClass.getSimpleName}: ${e.getMessage}", None, conn.nowMs())
     }
 
-  /** loader.py:26-65: format check + recipient resolution + send. */
+  /** loader.py:26-65: format check + recipient resolution + send. The
+    * destination's default_sender_email backs an empty message sender
+    * (models.py:70 intent). */
   private def smtpLoad(s: SmtpLoadStep, state: RunState): DestinationResponse =
     try {
+      val dest = stream.destByName.getOrElse(s.destination,
+        throw new NoSuchElementException(s"no destination '${s.destination}'")) match {
+        case d: SmtpDestination => d
+        case other => throw new IllegalArgumentException(
+          s"step '${s.name}': destination '${other.name}' is ${other.protocol}, not smtp")
+      }
       val msg = state.stepOutputs.getOrElse(s.input,
         throw new NoSuchElementException(s"no step output '${s.input}'")) match {
         case EmailOut(m) => m
@@ -155,9 +184,11 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
           s"step '${s.name}': smtp load needs an email_message, got ${other.getClass.getSimpleName}")
       }
       val recipients = EmailSink.resolveRecipients(s.recipients, state.stepOutputs)
-      new EmailSink(conn.emailOutDir, s.destination).send(msg, recipients, conn.nowMs())
+      new EmailSink(conn.emailOutDir, s.destination, Some(dest.defaultSenderEmail))
+        .send(msg, recipients, conn.nowMs())
     } catch {
       case e: Exception =>
+        log.warn(s"load '${s.name}' captured failure: ${e.getMessage}")
         DestinationResponse(s.destination, "failure",
           s"${e.getClass.getSimpleName}: ${e.getMessage}", None, conn.nowMs())
     }

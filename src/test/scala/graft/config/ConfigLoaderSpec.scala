@@ -44,4 +44,44 @@ class ConfigLoaderSpec extends AnyFunSuite {
       ConfigLoader.loadStream(yamlText, "nope", env))
     assert(e.getMessage.contains("example_stream"))
   }
+
+  test("per-stream log_file / log_level parse into the Stream ADT (sample.config.yaml:1-2,71)") {
+    val s = ConfigLoader.loadStream(
+      """streams:
+        |  s1:
+        |    log_file: /tmp/s1.log
+        |    log_level: 20
+        |    sources: []
+        |    destinations: []
+        |    steps: []
+        |""".stripMargin, "s1")
+    assert(s.logFile.contains("/tmp/s1.log"))
+    assert(s.logLevel.contains("20"))
+    // absent keys stay None (runner defaults apply)
+    val bare = ConfigLoader.loadStream(
+      "streams:\n  s2:\n    steps: []\n", "s2")
+    assert(bare.logFile.isEmpty && bare.logLevel.isEmpty)
+  }
+
+  test("dotenv: absent file -> empty; KEY=VALUE, comments, export, quotes (config.py:23)") {
+    assert(ConfigLoader.dotenv(java.nio.file.Paths.get("/nonexistent/.env")).isEmpty)
+    val f = java.nio.file.Files.createTempFile("graft_env", ".env")
+    java.nio.file.Files.writeString(f,
+      """# comment
+        |DB_URL=jdbc:dotenv://db
+        |export TOKEN = "se=cret"
+        |QUOTED='a b'
+        |
+        |not a valid line
+        |""".stripMargin)
+    val m = ConfigLoader.dotenv(f)
+    assert(m == Map("DB_URL" -> "jdbc:dotenv://db", "TOKEN" -> "se=cret", "QUOTED" -> "a b"))
+  }
+
+  test("dotenv fills gaps but the real environment wins (load_dotenv override=False)") {
+    val f = java.nio.file.Files.createTempFile("graft_env2", ".env")
+    java.nio.file.Files.writeString(f, "A=from_file\nB=only_file\n")
+    val merged = ConfigLoader.envWithDotenv(f, Map("A" -> "from_env"))
+    assert(merged("A") == "from_env" && merged("B") == "only_file")
+  }
 }

@@ -32,6 +32,20 @@ class BinderSpec extends AnyFunSuite {
       ParamBinder.resolve(Map("x" -> "macro:NOPE"), Map.empty, today))
   }
 
+  test("a TableOut step ref beyond the collect threshold fails with the semi-join hint") {
+    val spark = graft.SparkSpec.session
+    val big = spark.range(ParamBinder.collectThreshold + 1L).toDF("id")
+    val e = intercept[IllegalArgumentException](
+      ParamBinder.resolve(Map("ids" -> "step:big"),
+        Map[String, StepOutput]("big" -> TableOut(big)), today))
+    assert(e.getMessage.contains("filterByIds"))
+    // at the threshold it still collects
+    val ok = spark.range(3).toDF("id")
+    assert(ParamBinder.resolve(Map("ids" -> "step:ok"),
+      Map[String, StepOutput]("ok" -> TableOut(ok)), today)("ids")
+      == ParamBinder.Many(Seq(0L, 1L, 2L)))
+  }
+
   test("bind rewrites ::key:: to ? and expands lists (extractor.py:64-74)") {
     val (sql, params) = ParamBinder.bind(
       "SELECT * FROM t WHERE c = ::code:: AND id IN (::ids::)",

@@ -65,6 +65,38 @@ class EmailSinkSpec extends AnyFunSuite {
     val r = EmailSink.resolveRecipients(Seq("a@x.co", "step:extra", "b@x.co"), outputs)
     assert(r == Seq("a@x.co", "c@x.co", "b@x.co"))
   }
+
+  test("step-resolved recipients are validated like literals") {
+    val outputs = Map[String, StepOutput](
+      "extra" -> ListOut(Seq("ok@x.co", "not-an-address")))
+    assertThrows[IllegalArgumentException](
+      EmailSink.resolveRecipients(Seq("step:extra"), outputs))
+  }
+
+  test("empty sender falls back to the destination default (models.py:70)") {
+    val out = Files.createTempDirectory("graft_eml_fb").toString
+    val sink = new EmailSink(out, "mail", Some("fallback@example.com"))
+    val resp = sink.send(msg.copy(from = ""), Seq("a@x.co"), 1L)
+    assert(resp.status == "success")
+    val eml = new String(Files.readAllBytes(
+      new java.io.File(out).listFiles().head.toPath), StandardCharsets.UTF_8)
+    assert(eml.contains("From: fallback@example.com\r\n"))
+    // no sender anywhere -> captured failure, not a blank From header
+    val none = new EmailSink(out, "mail", None).send(msg.copy(from = " "), Seq("a@x.co"), 1L)
+    assert(none.status == "failure" && none.message.contains("default_sender_email"))
+  }
+
+  test("header values are CRLF-sanitized (injection guard)") {
+    val out = Files.createTempDirectory("graft_eml_crlf").toString
+    val evil = msg.copy(subject = "Hi\r\nBcc: victim@example.com", attachments = Seq.empty)
+    val resp = new EmailSink(out, "mail").send(evil, Seq("a@x.co"), 1L)
+    assert(resp.status == "success")
+    val eml = new String(Files.readAllBytes(
+      new java.io.File(out).listFiles().head.toPath), StandardCharsets.UTF_8)
+    // the CRLF collapsed: "Bcc:" never starts a line of its own
+    assert(!eml.linesIterator.exists(_.startsWith("Bcc:")))
+    assert(eml.contains("Subject: Hi Bcc: victim@example.com\r\n"))
+  }
 }
 
 class CsvCodecSpec extends AnyFunSuite {

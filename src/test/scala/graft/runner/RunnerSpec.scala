@@ -40,7 +40,7 @@ class RunnerSpec extends AnyFunSuite {
       spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
     }
     val conn = Connectors(
-      runSql = (_, sql) => spark.sql(sql),
+      runSql = (_, sql, args) => spark.sql(sql, args.toArray),
       fs = Map("district_share" -> new LocalFs(shareRoot),
                "report_share" -> new LocalFs(outRoot)),
       emailOutDir = emailDir,
@@ -153,6 +153,34 @@ class RunnerSpec extends AnyFunSuite {
     assert(state.stepOutputs("flagged_orders").asInstanceOf[TableOut].df.count() == 0)
     // the literal admin recipient remains, so the send still succeeds
     assert(state.destResponses.last.status == "success")
+  }
+
+  test("run carries the stream name in MDC and honors per-stream level/file (logger.py:7-45)") {
+    val (stream0, conn, _, _) = buildHarness()
+    val logPath = Files.createTempDirectory("graft_log").resolve("stream.log")
+    val stream = stream0.copy(logFile = Some(logPath.toString), logLevel = Some("20"))
+    @volatile var mdcDuring: String = null
+    val fns = functions.updated("classify_customers", { ins: Map[String, StepOutput] =>
+      mdcDuring = org.slf4j.MDC.get(StreamLog.MdcKey)
+      functions("classify_customers")(ins)
+    })
+    assert(new StreamRunner(spark, stream, fns, conn).run().status == "success")
+    assert(mdcDuring == "example_stream") // set during the run...
+    assert(org.slf4j.MDC.get(StreamLog.MdcKey) == null) // ...cleared after
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(logPath).asScala.toSeq
+    assert(lines.exists(l => l.startsWith("INFO") && l.contains("example_stream")))
+    // level 20 gates the per-step DEBUG lines
+    assert(!lines.exists(_.startsWith("DEBUG")))
+    // D15 NOT reproduced: a second run appends the same line count —
+    // the reference's global-handler accumulation would double it
+    new StreamRunner(spark, stream, functions, conn).run()
+    assert(Files.readAllLines(logPath).size == 2 * lines.size)
+    // level 10 includes the per-step DEBUG lines
+    val dbgPath = Files.createTempDirectory("graft_log_dbg").resolve("s.log")
+    val dbgStream = stream0.copy(logFile = Some(dbgPath.toString), logLevel = Some("debug"))
+    new StreamRunner(spark, dbgStream, functions, conn).run()
+    assert(Files.readAllLines(dbgPath).asScala.exists(_.startsWith("DEBUG")))
   }
 
   test("transform output contract is enforced (README.md:86-89)") {
