@@ -71,6 +71,27 @@ object AdvancedOps {
       |  ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** The same as-of semantics through the dedicated physical operator
+    * (graft.plans.AsofJoinExec — logical node + SparkStrategy + sorted
+    * merge exec) instead of the union+window rewrite above. Sharing the
+    * window form's DuckDB oracle makes the custom exec itself
+    * oracle-checked. */
+  def asofJoinExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("t_us"))
+    val od = orderSnaps(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+    graft.plans.AsofJoinOps
+      .asofJoin(ev, od, "user_id", "o_custkey", "t_us", "o_us")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), tsFmt).as("ts"),
+        col("o_orderkey").as("asof_orderkey"),
+        col("o_totalprice").as("asof_total"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval) self-join: ordered pairs of same-user events at
     * most 10 minutes apart. Candidates come from an equi-join on
     * 10-minute time buckets (each left row probes its own and the next
@@ -250,6 +271,7 @@ object AdvancedOps {
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
+    "asof_join_custom_exec"   -> (asofJoinExec _),
     "range_join_events"       -> (rangeJoin _),
     "pivot_event_counts"      -> (pivotCounts _),
     "event_percentiles"       -> (percentiles _),
@@ -261,6 +283,7 @@ object AdvancedOps {
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,
+    "asof_join_custom_exec"   -> asofOracle,
     "range_join_events"       -> rangeOracle,
     "pivot_event_counts"      -> pivotOracle,
     "event_percentiles"       -> percentilesOracle,

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** AS-OF JOIN as a first-class physical operator — the whole-operator
+  * Catalyst surface (logical node -> SparkStrategy -> SparkPlan) from
+  * SURVEY §2's custom-operator ladder.
+  *
+  * Semantics (backward, inclusive — the common "latest state at event
+  * time" join; DuckDB `ASOF LEFT JOIN`, pandas `merge_asof`): for each
+  * left row, append the right row with the same key and the greatest
+  * time <= the left row's time, or nulls when none exists.
+  *
+  * Why a dedicated operator: Spark has no as-of join. Expressing it
+  * declaratively needs either a range join (quadratic blowup between
+  * key collisions) or the union + ordered-window + last(ignoreNulls)
+  * rewrite (operators/AdvancedOps.asofJoin) — correct, but it pays a
+  * union, a window sort over BOTH sides fused into one partition
+  * stream, and carries every left column through null padding. The
+  * dedicated exec declares hash distribution + (key, time) ordering
+  * requirements to Catalyst — EnsureRequirements plans ordinary hash
+  * shuffles + sorts, exactly the SortMergeJoin machinery — and then
+  * streams both sorted sides through a single forward merge pass:
+  * O(n log n) in the shuffle sorts, O(n) merge, no row expansion, spill
+  * handled by the standard sort operators, and co-partitioned inputs
+  * (e.g. bucketed tables) skip the shuffle entirely. At 100 TB this is
+  * the same scaling story as a sort-merge equi-join.
+  *
+  * Constraints: single atomic-typed key per side; time columns must be
+  * LongType (epoch micros etc.) — cast/`unix_micros` at the call site;
+  * for a deterministic match the right side should be unique per
+  * (key, time) (dedupe upstream, as orderSnaps does). */
+final case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
+                          leftKey: Expression, rightKey: Expression,
+                          leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsofJoin into its exec node. Installed via
+  * `spark.experimental.extraStrategies` (AsofJoinOps.install) or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sort-merge as-of join: children are hash-clustered on the key and
+  * sorted by (key, time) — both enforced by EnsureRequirements — so
+  * each co-partition pair merges in one forward pass: advance the right
+  * cursor while its (key, time) is <= the left row's, remembering the
+  * last row seen for the current key; that row is the as-of match. */
+final case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
+                              leftTime: Expression, rightTime: Expression,
+                              left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val lKey = BindReferences.bindReference(leftKey, lOut)
+        val rKey = BindReferences.bindReference(rightKey, rOut)
+        val lTime = BindReferences.bindReference(leftTime, lOut)
+        val rTime = BindReferences.bindReference(rightTime, rOut)
+        val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+        val proj = UnsafeProjection.create(outAttrs.map(a => a: Expression), outAttrs)
+        val joined = new JoinedRow
+        val nullRight = new GenericInternalRow(rOut.size)
+        // rows from exec iterators are reused buffers; the cursor and
+        // candidate must hold copies
+        var rRow: InternalRow = null
+        var rKeyVal: Any = null
+        var rTimeVal: Long = 0L
+        def advance(): Unit =
+          if (rIter.hasNext) {
+            rRow = rIter.next().copy()
+            rKeyVal = rKey.eval(rRow)
+            rTimeVal = rTime.eval(rRow).asInstanceOf[Long]
+          } else rRow = null
+        advance()
+        var cand: InternalRow = null
+        var candKey: Any = null
+        lIter.map { l =>
+          val lk = lKey.eval(l)
+          if (lk == null) proj(joined(l, nullRight)) // null keys never match
+          else {
+            // drop right rows sorting before this key (null right keys
+            // sort first under Ascending and never match)
+            while (rRow != null &&
+                   (rKeyVal == null || keyOrd.compare(rKeyVal, lk) < 0)) advance()
+            // consume right rows at this key up to the left time; the
+            // last is the as-of candidate and stays valid for later
+            // left rows of the same key (times ascend on both sides)
+            val lt = lTime.eval(l).asInstanceOf[Long]
+            while (rRow != null && keyOrd.compare(rKeyVal, lk) == 0 && rTimeVal <= lt) {
+              cand = rRow; candKey = rKeyVal; advance()
+            }
+            val hit = cand != null && keyOrd.compare(candKey, lk) == 0
+            proj(joined(l, if (hit) cand else nullRight))
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level entry point. */
+object AsofJoinOps {
+
+  /** Install the planner strategy once per session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
+
+  /** Backward-inclusive as-of join of `left` with `right` on
+    * `leftKey = rightKey`, matching the greatest `rightTime` <=
+    * `leftTime` per row. Time columns must be LongType. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    def attr(df: DataFrame, name: String): Attribute =
+      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in [${df.columns.mkString(", ")}]"))
+    val (lt, rt) = (attr(left, leftTime), attr(right, rightTime))
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"as-of time columns must be LongType (got ${lt.dataType}/${rt.dataType}); " +
+      "use unix_micros()/cast at the call site")
+    org.apache.spark.sql.graft.PlanDf.ofRows(spark,
+      AsofJoin(left.queryExecution.analyzed, right.queryExecution.analyzed,
+        attr(left, leftKey), attr(right, rightKey), lt, rt))
+  }
+}

@@ -69,6 +69,8 @@ case class LargeInListToSemiJoin(threshold: Int = 1000) extends Rule[LogicalPlan
 
 /** Session-extension installer (spark.sql.extensions entry point). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LargeInListToSemiJoin())
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge to `Dataset.ofRows` for building a DataFrame over a custom
+  * logical node (graft.plans.AsofJoin). The constructor is
+  * `private[sql]`, so third-party planner extensions conventionally
+  * expose it from a subpackage of `org.apache.spark.sql` — the same
+  * extension-point workaround used across the Spark ecosystem. Nothing
+  * else in graft lives outside the `graft` namespace. */
+object PlanDf {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

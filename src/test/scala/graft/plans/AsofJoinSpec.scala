@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The custom as-of join operator: plan shape, edge semantics on a
+  * hand-built fixture, and agreement with the declarative union+window
+  * rewrite on real data (the DuckDB oracle covers exact values via
+  * asof_join_custom_exec in CORRECTNESS). */
+class AsofJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fixture = {
+    import spark.implicits._
+    // left: (key, time, label); right: (key, time, state)
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "early"),
+      (2L, 50L, "c"), (3L, 7L, "nomatch")
+    ).toDF("k", "t", "label").repartition(5)
+    val right = Seq(
+      (1L, 10L, "s1@10"), (1L, 15L, "s1@15"),
+      (2L, 49L, "s2@49"), (2L, 51L, "s2@51"),
+      (4L, 1L, "unused")
+    ).toDF("k2", "t2", "state").repartition(3)
+    (left, right)
+  }
+
+  test("physical plan contains the AsofJoinExec node with sorted children") {
+    val (l, r) = fixture
+    val df = AsofJoinOps.asofJoin(l, r, "k", "k2", "t", "t2")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"expected AsofJoinExec in:\n$plan")
+    assert(plan.contains("Sort"), "EnsureRequirements should add (key,time) sorts")
+  }
+
+  test("backward-inclusive semantics: latest state at or before each time, nulls when none") {
+    val (l, r) = fixture
+    val got = AsofJoinOps.asofJoin(l, r, "k", "k2", "t", "t2")
+      .select("label", "state").collect()
+      .map(row => row.getString(0) -> Option(row.getString(1))).toMap
+    assert(got == Map(
+      "early"   -> None,          // before any state for key 1
+      "a"       -> Some("s1@10"), // inclusive match at equal time
+      "b"       -> Some("s1@15"), // latest <= 20, not the first
+      "c"       -> Some("s2@49"), // 51 is in the future
+      "nomatch" -> None))         // key absent on the right
+  }
+
+  test("agrees with the union+window rewrite on real data") {
+    val viaExec = graft.operators.AdvancedOps.queries("asof_join_custom_exec")(spark, sf)
+      .collect().map(_.toString).toSet
+    val viaWindow = graft.operators.AdvancedOps.queries("asof_join_events_orders")(spark, sf)
+      .collect().map(_.toString).toSet
+    assert(viaExec == viaWindow)
+  }
+
+  test("time columns must be LongType") {
+    val (l, r) = fixture
+    assertThrows[IllegalArgumentException](
+      AsofJoinOps.asofJoin(l.withColumn("t", col("t").cast("int")), r, "k", "k2", "t", "t2"))
+  }
+}
