@@ -24,10 +24,7 @@ object Bench {
                  catch { case e: Throwable =>
                    Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") })
       }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    import JsonUtil.jstr
     val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }

@@ -40,13 +40,9 @@ object DevProfile {
         new java.io.File(outDir).mkdirs()
         SparkEntry.queries(name)(spark, sfDir).coalesce(1)
           .write.mode("overwrite").parquet(s"$outDir/$name")
-        def q(str: String): String = "\"" + str.flatMap {
-          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-        } + "\""
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-          s"{${q(name)}: ${q(SparkEntry.oracleSql(name))}}")
+          s"{${JsonUtil.jstr(name)}: ${JsonUtil.jstr(SparkEntry.oracleSql(name))}}")
       case "cosparts" =>
         import org.apache.spark.sql.functions._
         val d = dirs.head

@@ -1,0 +1,17 @@
+package graft
+
+/** Minimal JSON string escaping shared by the driver-contract mains
+  * (Verify / Bench / DevProfile) — backslash, quote, and ALL control
+  * chars (<0x20): a tab or CR in builder-authored SQL or an error
+  * message would otherwise make the driver's json.load fail. */
+object JsonUtil {
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

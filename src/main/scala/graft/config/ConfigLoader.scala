@@ -150,7 +150,10 @@ object ConfigLoader {
             if (v.length >= 2 && ((v.head == '"' && v.last == '"') ||
                                   (v.head == '\'' && v.last == '\'')))
               v.substring(1, v.length - 1)
-            else v
+            else
+              // unquoted values drop inline comments (whitespace + '#'),
+              // matching python-dotenv; quoted values keep '#' literally
+              v.replaceFirst("\\s+#.*$", "")
           k -> unq
         }
         .toMap

@@ -20,13 +20,24 @@ object CsvCodec {
     * Uses Spark's own CSV writer semantics for quoting/escaping by
     * round-tripping through the datasource on a temp dir; keeps exact
     * parity with `decode`. */
-  def encode(df: DataFrame): Array[Byte] = {
+  def encode(df: DataFrame): Array[Byte] = encodeWithCount(df)._1
+
+  /** encode + exact record count in ONE materialization: the count is
+    * re-parsed from the written file with the same CSV datasource
+    * (multiLine, so quoted embedded newlines count as one record) —
+    * re-counting the DataFrame would re-run its whole uncached lineage
+    * a second time, and a raw line count would overcount multi-line
+    * fields. */
+  def encodeWithCount(df: DataFrame): (Array[Byte], Long) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     try {
       val dir = new java.io.File(tmp, "out")
       df.coalesce(1).write.option("header", "true").csv(dir.toString)
       val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
-      java.nio.file.Files.readAllBytes(part.toPath)
+      val n = df.sparkSession.read
+        .option("header", "true").option("multiLine", "true")
+        .csv(part.toString).count()
+      (java.nio.file.Files.readAllBytes(part.toPath), n)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

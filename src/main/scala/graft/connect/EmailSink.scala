@@ -72,9 +72,9 @@ final class EmailSink(outDir: String, destinationName: String,
       sb.append(msg.body).append("\r\n")
       msg.attachments.foreach { a =>
         sb.append(s"--$boundary\r\n")
-        sb.append(s"Content-Type: ${header(a.mime)}; name=\"${header(a.fileName)}\"\r\n")
+        sb.append(s"Content-Type: ${header(a.mime)}; name=\"${quotedParam(a.fileName)}\"\r\n")
         sb.append("Content-Transfer-Encoding: base64\r\n")
-        sb.append(s"Content-Disposition: attachment; filename=\"${header(a.fileName)}\"\r\n\r\n")
+        sb.append(s"Content-Disposition: attachment; filename=\"${quotedParam(a.fileName)}\"\r\n\r\n")
         sb.append(Base64.getMimeEncoder.encodeToString(a.bytes)).append("\r\n")
       }
       sb.append(s"--$boundary--\r\n")
@@ -87,6 +87,12 @@ final class EmailSink(outDir: String, destinationName: String,
   private def header(v: String): String =
     v.map(c => if (c < ' ' || c == 0x7f) ' ' else c)
       .replaceAll("  +", " ")
+
+  /** Header + quoted-string position (filename=/name="..."): a literal
+    * '"' would close the quoted parameter and inject further params, so
+    * swap it for an apostrophe on top of the control-char collapse. */
+  private def quotedParam(v: String): String =
+    header(v).replace('"', '\'')
 }
 
 object EmailSink {

@@ -258,6 +258,11 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy(col("i"), col("j"))
+
+  /** Memoized unordered near-dup pair frame — clusters() consumes this
+    * directly so it never pays the query-facing total sort. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
     memoized(s, s"minhashPairs:$d") {
       // signatures use 16 parallel min-aggregates: one shuffle, no 16x
       // row explosion (an explode(sequence(0,15)) variant profiled ~5x
@@ -276,7 +281,7 @@ object Dedup {
           "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
       est.filter(col("est_jac") >= 0.5)
         .select(col("i"), col("j"), col("est_jac"))
-    }.orderBy(col("i"), col("j"))
+    }
 
   private val minhashOracle =
     s"""WITH ${minhashBandsSqlOf("documents", "")},
@@ -448,7 +453,7 @@ object Dedup {
     * same join-per-round skeleton. The DuckDB oracle computes the same
     * components via a recursive transitive-closure CTE. */
   def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashLsh(s, d).select(col("i"), col("j"))
+    val pairs = minhashPairs(s, d).select(col("i"), col("j"))
     val edges = pairs
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
       .toDF("a", "b").localCheckpoint()

@@ -101,27 +101,38 @@ final case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
         var rRow: InternalRow = null
         var rKeyVal: Any = null
         var rTimeVal: Long = 0L
-        def advance(): Unit =
-          if (rIter.hasNext) {
+        // null-keyed or null-timed right rows can never be an as-of
+        // match (SQL comparison semantics) — drop them at the cursor so
+        // they neither match nor stall the merge. They sort first
+        // within their key group (Ascending default NullsFirst), so
+        // skipping preserves the forward-only invariant.
+        def advance(): Unit = {
+          var ok = false
+          while (!ok && rIter.hasNext) {
             rRow = rIter.next().copy()
             rKeyVal = rKey.eval(rRow)
-            rTimeVal = rTime.eval(rRow).asInstanceOf[Long]
-          } else rRow = null
+            val t = rTime.eval(rRow)
+            if (rKeyVal != null && t != null) {
+              rTimeVal = t.asInstanceOf[Long]
+              ok = true
+            }
+          }
+          if (!ok) rRow = null
+        }
         advance()
         var cand: InternalRow = null
         var candKey: Any = null
         lIter.map { l =>
           val lk = lKey.eval(l)
-          if (lk == null) proj(joined(l, nullRight)) // null keys never match
+          val ltAny = lTime.eval(l)
+          if (lk == null || ltAny == null) proj(joined(l, nullRight)) // never matches
           else {
-            // drop right rows sorting before this key (null right keys
-            // sort first under Ascending and never match)
-            while (rRow != null &&
-                   (rKeyVal == null || keyOrd.compare(rKeyVal, lk) < 0)) advance()
+            // drop right rows sorting before this key
+            while (rRow != null && keyOrd.compare(rKeyVal, lk) < 0) advance()
             // consume right rows at this key up to the left time; the
             // last is the as-of candidate and stays valid for later
             // left rows of the same key (times ascend on both sides)
-            val lt = lTime.eval(l).asInstanceOf[Long]
+            val lt = ltAny.asInstanceOf[Long]
             while (rRow != null && keyOrd.compare(rKeyVal, lk) == 0 && rTimeVal <= lt) {
               cand = rRow; candKey = rKeyVal; advance()
             }
@@ -154,16 +165,36 @@ object AsofJoinOps {
                leftTime: String, rightTime: String): DataFrame = {
     val spark = left.sparkSession
     install(spark)
-    def attr(df: DataFrame, name: String): Attribute =
-      df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+    val leftPlan = left.queryExecution.analyzed
+    // Self-join safety: when the right side shares lineage with the
+    // left, its attributes carry the same exprIds, and the output
+    // projection would silently bind right columns to left values
+    // (Dataset.join dedups this during analysis; this API constructs
+    // the node from analyzed children, so it must dedup itself).
+    val rightRaw = right.queryExecution.analyzed
+    val leftIds = leftPlan.outputSet
+    val rightPlan =
+      if (rightRaw.output.exists(leftIds.contains))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rightRaw.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rightRaw)
+      else rightRaw
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
-          s"no column '$name' in [${df.columns.mkString(", ")}]"))
-    val (lt, rt) = (attr(left, leftTime), attr(right, rightTime))
+          s"no column '$name' on the $side side [${plan.output.map(_.name).mkString(", ")}]"))
+    val lk = attr(leftPlan, leftKey, "left")
+    val rk = attr(rightPlan, rightKey, "right")
+    val (lt, rt) = (attr(leftPlan, leftTime, "left"), attr(rightPlan, rightTime, "right"))
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"as-of time columns must be LongType (got ${lt.dataType}/${rt.dataType}); " +
       "use unix_micros()/cast at the call site")
+    require(lk.dataType == rk.dataType,
+      s"as-of key columns must have the same type " +
+      s"(got ${lk.dataType} vs ${rk.dataType}) — mismatched types would " +
+      "hash-partition to different partitions and fail mid-merge")
     org.apache.spark.sql.graft.PlanDf.ofRows(spark,
-      AsofJoin(left.queryExecution.analyzed, right.queryExecution.analyzed,
-        attr(left, leftKey), attr(right, rightKey), lt, rt))
+      AsofJoin(leftPlan, rightPlan, lk, rk, lt, rt))
   }
 }

@@ -149,12 +149,12 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
           (fsImpl.putFile(s.remoteDir, fileName, path), None)
         case TableOut(df) =>
           // table -> single CSV artifact on the share (df_to_csv_buffer
-          // + put). Record count comes from the DataFrame, not from
-          // counting physical lines in the buffer: encode() emits
-          // quoted fields with embedded newlines, so a line count
-          // overcounts those records.
-          val bytes = CsvCodec.encode(df)
-          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes), Some(df.count()))
+          // + put). The record count comes from a CSV-aware parse of
+          // the written artifact (one materialization of the lineage;
+          // see CsvCodec.encodeWithCount) — a raw line count would
+          // overcount quoted embedded newlines.
+          val (bytes, n) = CsvCodec.encodeWithCount(df)
+          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes), Some(n))
         case other => throw new IllegalArgumentException(
           s"step '${s.name}': cannot file-load ${other.getClass.getSimpleName}")
       }

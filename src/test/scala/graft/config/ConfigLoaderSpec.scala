@@ -68,14 +68,16 @@ class ConfigLoaderSpec extends AnyFunSuite {
     val f = java.nio.file.Files.createTempFile("graft_env", ".env")
     java.nio.file.Files.writeString(f,
       """# comment
-        |DB_URL=jdbc:dotenv://db
-        |export TOKEN = "se=cret"
+        |DB_URL=jdbc:dotenv://db # prod instance
+        |export TOKEN = "se=cret # keep"
         |QUOTED='a b'
         |
         |not a valid line
         |""".stripMargin)
     val m = ConfigLoader.dotenv(f)
-    assert(m == Map("DB_URL" -> "jdbc:dotenv://db", "TOKEN" -> "se=cret", "QUOTED" -> "a b"))
+    // unquoted values drop inline comments; quoted values keep '#'
+    assert(m == Map("DB_URL" -> "jdbc:dotenv://db",
+      "TOKEN" -> "se=cret # keep", "QUOTED" -> "a b"))
   }
 
   test("dotenv fills gaps but the real environment wins (load_dotenv override=False)") {

@@ -97,6 +97,17 @@ class EmailSinkSpec extends AnyFunSuite {
     assert(!eml.linesIterator.exists(_.startsWith("Bcc:")))
     assert(eml.contains("Subject: Hi Bcc: victim@example.com\r\n"))
   }
+
+  test("attachment names cannot escape the quoted filename parameter") {
+    val out = Files.createTempDirectory("graft_eml_q").toString
+    val evil = msg.copy(attachments = Seq(
+      EmailAttachment("""r"; foo="bar.txt""", "text/csv", "x".getBytes)))
+    assert(new EmailSink(out, "mail").send(evil, Seq("a@x.co"), 1L).status == "success")
+    val eml = new String(Files.readAllBytes(
+      new java.io.File(out).listFiles().head.toPath), StandardCharsets.UTF_8)
+    assert(eml.contains("filename=\"r'; foo='bar.txt\""))
+    assert(!eml.contains("foo=\"bar"))
+  }
 }
 
 class CsvCodecSpec extends AnyFunSuite {

@@ -57,6 +57,37 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(viaExec == viaWindow)
   }
 
+  test("null keys/times never match and never stall the merge cursor") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(-3L), "neg"),   // matches the -5 state, past a null-time row
+      (Some(1L), Option.empty[Long], "nullt"), // null left time -> no match
+      (Option.empty[Long], Some(10L), "nullk") // null left key -> no match
+    ).toDF("k", "t", "label").repartition(3)
+    val right = Seq(
+      (Some(1L), Option.empty[Long], "skipme"), // null right time: never a match
+      (Some(1L), Some(-5L), "s@-5"),
+      (Option.empty[Long], Some(1L), "nullkey")
+    ).toDF("k2", "t2", "state").repartition(2)
+    val got = AsofJoinOps.asofJoin(left, right, "k", "k2", "t", "t2")
+      .select("label", "state").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("neg" -> Some("s@-5"), "nullt" -> None, "nullk" -> None))
+  }
+
+  test("self-join lineage: right columns carry the matched row, not left echoes") {
+    import spark.implicits._
+    // latest previous event of the same user — right side IS the left side
+    val ev = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("k", "t", "label")
+    val prev = ev.select(col("k").as("k2"), (col("t") + 1).as("t2"),
+      col("label").as("prev_label")) // +1 so a row never matches itself
+    val got = AsofJoinOps.asofJoin(ev, prev, "k", "k2", "t", "t2")
+      .select("label", "prev_label").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map("a" -> None, "b" -> Some("a"), "c" -> Some("b")))
+  }
+
   test("time columns must be LongType") {
     val (l, r) = fixture
     assertThrows[IllegalArgumentException](
