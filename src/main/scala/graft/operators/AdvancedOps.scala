@@ -186,6 +186,34 @@ object AdvancedOps {
       |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 20 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Stratified deterministic sampling — the corpus-balancing step of
+    * a training-data pipeline: per-stratum keep-rates (here per lang,
+    * downsampling the dominant strata) applied with the same hash-mod
+    * trick as hashSample, so the sample is reproducible across
+    * engines, partitionings, and reruns. A rate map swap covers
+    * up/down-weighting any stratum; at 100 TB this is a narrow
+    * filter — no shuffle, no sort, fully pushdown-friendly. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rates = Map("en" -> 2, "de" -> 5, "es" -> 5, "fr" -> 10, "zh" -> 10)
+    val keepMod = rates.foldLeft(lit(20)) { case (acc, (lang, m)) =>
+      when(col("lang") === lang, lit(m)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .filter(Portable.hash60(col("text")) % keepMod === 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val stratifiedSampleOracle =
+    """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+      |FROM documents
+      |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT %
+      |  (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 5 WHEN 'es' THEN 5
+      |             WHEN 'fr' THEN 10 WHEN 'zh' THEN 10 ELSE 20 END) = 0
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** HyperLogLog++ distinct sketch next to the exact count. No oracle
     * (sketch estimates are engine-specific); the exact side is covered
     * by `admin_report`-style countDistinct oracles, and the spec checks
@@ -276,6 +304,7 @@ object AdvancedOps {
     "pivot_event_counts"      -> (pivotCounts _),
     "event_percentiles"       -> (percentiles _),
     "hash_sample"             -> (hashSample _),
+    "stratified_sample"       -> (stratifiedSample _),
     "approx_distinct"         -> (approxDistinct _),
   )
 
@@ -288,5 +317,6 @@ object AdvancedOps {
     "pivot_event_counts"      -> pivotOracle,
     "event_percentiles"       -> percentilesOracle,
     "hash_sample"             -> hashSampleOracle,
+    "stratified_sample"       -> stratifiedSampleOracle,
   )
 }
