@@ -1,0 +1,203 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** t-digest (Dunning & Ertl, "Computing Extremely Accurate Quantiles
+  * Using t-Digests") — the adaptive, mergeable quantile sketch: tiny
+  * centroids near the tails (where rank error matters most), wide ones
+  * in the middle, bounded by the k1 scale function
+  * k(q) = (delta / 2pi) * asin(2q - 1). Complements the fixed-bin
+  * HistogramSketchAgg: no a-priori [lo, hi) range, and relative rank
+  * error ~ q(1-q)/delta instead of a fixed absolute bin width.
+  *
+  * The merging-digest formulation: points buffer unsorted; compression
+  * sorts centroids+buffer by mean and greedily coalesces neighbors
+  * while the accumulated quantile span stays within one k-unit. Buffers
+  * merge by concatenation + recompression, so the aggregate is
+  * partial/final like any built-in — each partition sketches locally
+  * and the shuffle moves O(delta) doubles per group: the one-pass
+  * 100 TB percentile profile. */
+final class TDigest(val compression: Double) extends Serializable {
+  private var means = new Array[Double](0)
+  private var weights = new Array[Double](0)
+  private var nCentroids = 0
+  private val bufCap = math.max(32, (8 * compression).toInt)
+  private val bufM = new Array[Double](bufCap)
+  private val bufW = new Array[Double](bufCap)
+  private var bufN = 0
+  private var dMin = Double.PositiveInfinity
+  private var dMax = Double.NegativeInfinity
+
+  def add(x: Double, w: Double = 1.0): Unit = {
+    if (bufN == bufCap) compress()
+    bufM(bufN) = x; bufW(bufN) = w; bufN += 1
+    if (x < dMin) dMin = x
+    if (x > dMax) dMax = x
+  }
+
+  def mergeWith(other: TDigest): Unit = {
+    other.compress()
+    var i = 0
+    while (i < other.nCentroids) { add(other.means(i), other.weights(i)); i += 1 }
+    if (other.dMin < dMin) dMin = other.dMin
+    if (other.dMax > dMax) dMax = other.dMax
+  }
+
+  def totalWeight: Double = {
+    compress()
+    var t = 0.0; var i = 0
+    while (i < nCentroids) { t += weights(i); i += 1 }
+    t
+  }
+
+  private def k(q: Double): Double =
+    compression / (2 * math.Pi) * math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
+  private def kInv(kk: Double): Double =
+    (math.sin(kk * 2 * math.Pi / compression) + 1) / 2
+
+  /** Sort pending points with existing centroids and re-coalesce under
+    * the k1 bound. */
+  def compress(): Unit = {
+    if (bufN == 0 && nCentroids > 0) return
+    val n = nCentroids + bufN
+    if (n == 0) return
+    val m = new Array[Double](n)
+    val w = new Array[Double](n)
+    System.arraycopy(means, 0, m, 0, nCentroids)
+    System.arraycopy(weights, 0, w, 0, nCentroids)
+    System.arraycopy(bufM, 0, m, nCentroids, bufN)
+    System.arraycopy(bufW, 0, w, nCentroids, bufN)
+    bufN = 0
+    val order = (0 until n).sortBy(m(_))
+    var total = 0.0
+    order.foreach(i => total += w(i))
+    val outM = new Array[Double](n)
+    val outW = new Array[Double](n)
+    var out = -1
+    var wSoFar = 0.0 // weight of CLOSED centroids (excludes the open one)
+    var qLimit = kInv(k(0.0) + 1.0)
+    order.foreach { i =>
+      if (out >= 0 && (wSoFar + outW(out) + w(i)) / total <= qLimit) {
+        // weighted-mean fold into the open centroid
+        val nw = outW(out) + w(i)
+        outM(out) = outM(out) + (m(i) - outM(out)) * w(i) / nw
+        outW(out) = nw
+      } else {
+        if (out >= 0) { wSoFar += outW(out); qLimit = kInv(k(wSoFar / total) + 1.0) }
+        out += 1; outM(out) = m(i); outW(out) = w(i)
+      }
+    }
+    nCentroids = out + 1
+    means = java.util.Arrays.copyOf(outM, nCentroids)
+    weights = java.util.Arrays.copyOf(outW, nCentroids)
+  }
+
+  /** Standard centroid-midpoint interpolation, tails clamped to the
+    * observed min/max. */
+  def quantile(q: Double): Double = {
+    compress()
+    if (nCentroids == 0) return Double.NaN
+    if (nCentroids == 1) return means(0)
+    val total = totalWeight
+    val target = q * total
+    var cum = 0.0
+    var i = 0
+    while (i < nCentroids) {
+      val mid = cum + weights(i) / 2
+      if (target < mid) {
+        if (i == 0) {
+          val prevMid = 0.0
+          val frac = if (mid == prevMid) 0.0 else (target - prevMid) / (mid - prevMid)
+          return dMin + (means(0) - dMin) * frac
+        }
+        val prevMid = cum - weights(i - 1) / 2
+        val frac = (target - prevMid) / (mid - prevMid)
+        return means(i - 1) + (means(i) - means(i - 1)) * frac
+      }
+      cum += weights(i)
+      i += 1
+    }
+    dMax
+  }
+
+  def serialized: Array[Byte] = {
+    compress()
+    val bb = ByteBuffer.allocate(8 * (3 + 2 * nCentroids))
+    bb.putDouble(dMin).putDouble(dMax).putDouble(nCentroids.toDouble)
+    var i = 0
+    while (i < nCentroids) { bb.putDouble(means(i)).putDouble(weights(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object TDigest {
+  def deserialize(compression: Double, bytes: Array[Byte]): TDigest = {
+    val t = new TDigest(compression)
+    val bb = ByteBuffer.wrap(bytes)
+    val mn = bb.getDouble; val mx = bb.getDouble
+    val n = bb.getDouble.toInt
+    var i = 0
+    while (i < n) { t.add(bb.getDouble, bb.getDouble); i += 1 }
+    t.compress()
+    if (n > 0) { t.dMin = mn; t.dMax = mx } // restore true observed extremes
+    t
+  }
+}
+
+/** `tdigest_quantiles(col)`: one t-digest per group, evaluated at the
+  * registered quantile points; output array<double>. */
+case class TDigestAgg(
+    child: Expression,
+    compression: Double,
+    quantiles: Seq[Double],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TDigest] {
+
+  require(compression >= 20, "compression below 20 gives useless accuracy")
+  require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1))
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buf: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: TDigest, b: TDigest): TDigest = { a.mergeWith(b); a }
+
+  override def eval(buf: TDigest): Any =
+    ArrayData.toArrayData(quantiles.map(buf.quantile).toArray)
+
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialized
+  override def deserialize(bytes: Array[Byte]): TDigest =
+    TDigest.deserialize(compression, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object TDigestAgg {
+  /** Register `tdigest_quantiles(col)` for a session with fixed
+    * compression + quantile points. */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               compression: Double, quantiles: Seq[Double]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tdigest_quantiles",
+      exprs => TDigestAgg(exprs.head, compression, quantiles).toAggregateExpression(),
+      "scala_udf")
+}

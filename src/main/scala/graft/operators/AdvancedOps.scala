@@ -186,6 +186,23 @@ object AdvancedOps {
       |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 20 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-group quantiles via the t-digest sketch (functions.TDigest) —
+    * the one-pass mergeable path for percentile profiles at corpus
+    * scale, next to the exact `percentiles` query (exact percentile
+    * buffers the whole group; the digest moves O(compression) doubles
+    * per group through the shuffle). No SQL oracle (sketch estimates
+    * are implementation-specific); TDigestSpec asserts a <=2% rank
+    * error against the exact distribution. */
+  def tdigestQuantiles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("tdigest_quantiles(value)").as("qs"))
+      .select(col("event_type"), col("qs")(0).as("p50_est"),
+        col("qs")(1).as("p90_est"), col("qs")(2).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Stratified deterministic sampling — the corpus-balancing step of
     * a training-data pipeline: per-stratum keep-rates (here per lang,
     * downsampling the dominant strata) applied with the same hash-mod
@@ -306,6 +323,7 @@ object AdvancedOps {
     "hash_sample"             -> (hashSample _),
     "stratified_sample"       -> (stratifiedSample _),
     "approx_distinct"         -> (approxDistinct _),
+    "tdigest_percentiles"     -> (tdigestQuantiles _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** t-digest accuracy and merge behavior. The gate is RANK error (the
+  * quantity the digest bounds): for an estimate v of quantile q over
+  * data D, |rank(v)/|D| - q| must stay small — value-space error is
+  * unbounded for skewed data and is the wrong metric. */
+class TDigestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rankError(sorted: Array[Double], v: Double, q: Double): Double = {
+    val rank = sorted.count(_ <= v).toDouble / sorted.length
+    math.abs(rank - q)
+  }
+
+  test("driver-side digest: uniform + skewed streams within 1% rank error") {
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99)
+    // deterministic shuffle of 0..99999 (LCG), plus a heavy-tail stream
+    for (data <- Seq(
+        Array.tabulate(100000)(i => ((i * 48271L) % 100003L).toDouble),
+        Array.tabulate(100000)(i => { val x = ((i * 69621L) % 99991L).toDouble / 99991.0; 1.0 / (1.0 - 0.999 * x) }))) {
+      val t = new TDigest(100)
+      data.foreach(t.add(_))
+      val sorted = data.sorted
+      qs.foreach { q =>
+        val err = rankError(sorted, t.quantile(q), q)
+        assert(err <= 0.01, s"rank error $err at q=$q")
+      }
+    }
+  }
+
+  test("digests merge associatively within the same bound") {
+    val data = Array.tabulate(60000)(i => ((i * 48271L) % 60013L).toDouble)
+    val parts = data.grouped(7001).map { chunk =>
+      val t = new TDigest(100); chunk.foreach(t.add(_)); t
+    }.toSeq
+    val merged = new TDigest(100)
+    parts.foreach(merged.mergeWith)
+    val sorted = data.sorted
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      assert(rankError(sorted, merged.quantile(q), q) <= 0.015)
+    }
+  }
+
+  test("tdigest_quantiles aggregate: <=2% rank error per event_type at local[*] parallelism") {
+    val est = graft.operators.AdvancedOps.queries("tdigest_percentiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted
+      }
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (typ, (p50, p90, p99)) =>
+      val sorted = exact(typ).toArray
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (q, v) =>
+        val err = rankError(sorted, v, q)
+        assert(err <= 0.02, s"$typ q=$q rank error $err")
+      }
+    }
+  }
+
+  test("serialization roundtrip preserves quantiles") {
+    val t = new TDigest(100)
+    (1 to 10000).foreach(i => t.add(((i * 40503L) % 10007L).toDouble))
+    val back = TDigest.deserialize(100, t.serialized)
+    Seq(0.05, 0.5, 0.95).foreach { q =>
+      assert(math.abs(t.quantile(q) - back.quantile(q)) < 1e-9)
+    }
+  }
+}
