@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import scala.jdk.CollectionConverters._
+
+/** DSv2 write path: distributed part files + manifest commit marker,
+  * no staging leftovers, content roundtrip. */
+class ShareSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  test("distributed write commits part files + manifest, no staging files remain") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sharesink").toString
+    val df = (0L until 1000L).map(i => (i, s"name,$i", i * 1.5))
+      .toDF("id", "name", "score").repartition(7)
+    df.write.format("graft.sources.ShareSink")
+      .option("path", dir).mode("append").save()
+
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.count(_.startsWith("part-")) == 7)
+    assert(files.contains("_MANIFEST"))
+    assert(!files.exists(_.startsWith("_tmp_")), s"staging leftovers: ${files.toSeq}")
+
+    // manifest header + per-part row counts sum to the input size
+    val manifest = Files.readAllLines(Paths.get(dir, "_MANIFEST"), StandardCharsets.UTF_8).asScala
+    assert(manifest.head == "id,name,score")
+    assert(manifest.tail.map(_.split(",")(1).toLong).sum == 1000L)
+
+    // roundtrip: quoted delimiters survive
+    val back = spark.read.schema(df.schema)
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString).toSeq: _*)
+    assert(back.count() == 1000L)
+    assert(back.agg(sum($"id")).head.getLong(0) == (0L until 1000L).sum)
+    assert(back.filter($"name" === "name,42").count() == 1L)
+  }
+}
