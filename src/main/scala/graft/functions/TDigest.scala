@@ -193,11 +193,19 @@ case class TDigestAgg(
 
 object TDigestAgg {
   /** Register `tdigest_quantiles(col)` for a session with fixed
-    * compression + quantile points. */
+    * compression + quantile points. The argument is cast to double up
+    * front (inputTypes can't be declared here — AbstractDataType is
+    * private[sql] in this Spark build), so int/long/float columns work
+    * instead of throwing ClassCastException mid-task. */
   def register(spark: org.apache.spark.sql.SparkSession,
                compression: Double, quantiles: Seq[Double]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_quantiles",
-      exprs => TDigestAgg(exprs.head, compression, quantiles).toAggregateExpression(),
+      { exprs =>
+        require(exprs.length == 1, s"tdigest_quantiles takes 1 argument, got ${exprs.length}")
+        TDigestAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType),
+          compression, quantiles).toAggregateExpression()
+      },
       "scala_udf")
 }

@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -62,26 +63,53 @@ private[sources] class ShareSinkTable(schema: StructType, path: String) extends 
 private[sources] case class SharePartFile(staged: String, rows: Long)
   extends WriterCommitMessage
 
+/** One instance per write job; `gen` makes this generation's part
+  * names unique so an append never renames over a previous commit's
+  * files. Single-writer-per-directory is assumed (the standard
+  * FileOutputCommitter contract) — the orphan sweep in commit would
+  * otherwise delete a concurrent job's staging files. */
 private[sources] class ShareBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  private val gen = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ShareWriterFactory(path, schema)
 
-  /** Atomic finalize: rename winners to part files, then the manifest
-    * commit marker last. */
+  /** Finalize: rename winners to generation-unique part files, sweep
+    * staging orphans from task attempts that died without abort(),
+    * then stage + atomically rename the manifest commit marker last —
+    * a torn manifest is never observable. Append semantics: an
+    * existing manifest's part list is carried forward. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val parts = messages.collect { case SharePartFile(staged, rows) => (staged, rows) }
       .sortBy(_._1)
     val names = parts.zipWithIndex.map { case ((staged, rows), i) =>
-      val target = f"part-$i%05d.csv"
+      val target = f"part-$gen-$i%05d.csv"
       Files.move(Paths.get(staged), dir.resolve(target),
         StandardCopyOption.ATOMIC_MOVE)
       s"$target,$rows"
     }
-    Files.write(dir.resolve("_MANIFEST"),
-      (s"${schema.fieldNames.mkString(",")}\n" + names.mkString("\n") + "\n")
+    // orphaned staging files (task attempt died before abort ran)
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("_tmp_"))
+      .foreach(Files.deleteIfExists(_))
+    val header = schema.fieldNames.mkString(",")
+    val manifest = dir.resolve("_MANIFEST")
+    val previous =
+      if (Files.exists(manifest)) {
+        val lines = Files.readAllLines(manifest, StandardCharsets.UTF_8).asScala
+          .filter(_.nonEmpty)
+        require(lines.headOption.contains(header),
+          s"append schema mismatch: existing manifest header '${lines.headOption.getOrElse("")}' != '$header'")
+        lines.drop(1).toSeq
+      } else Seq.empty
+    val tmpManifest = dir.resolve(s"_MANIFEST._tmp_$gen")
+    Files.write(tmpManifest,
+      ((header +: (previous ++ names)).mkString("\n") + "\n")
         .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpManifest, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

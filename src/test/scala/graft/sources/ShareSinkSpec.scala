@@ -39,4 +39,46 @@ class ShareSinkSpec extends AnyFunSuite {
     assert(back.agg(sum($"id")).head.getLong(0) == (0L until 1000L).sum)
     assert(back.filter($"name" === "name,42").count() == 1L)
   }
+
+  test("a second append keeps the first generation's parts and extends the manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sharesink_app").toString
+    def write(lo: Long, hi: Long, parts: Int): Unit =
+      (lo until hi).map(i => (i, s"n$i", 0.0)).toDF("id", "name", "score")
+        .repartition(parts)
+        .write.format("graft.sources.ShareSink").option("path", dir)
+        .mode("append").save()
+    write(0L, 1000L, 5)
+    write(1000L, 1500L, 3)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("part-")) == 8) // nothing overwritten
+    val manifest = Files.readAllLines(Paths.get(dir, "_MANIFEST"), StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+    assert(manifest.tail.size == 8)
+    assert(manifest.tail.map(_.split(",")(1).toLong).sum == 1500L)
+    val back = spark.read.schema(
+        (0L until 0L).map(i => (i, "", 0.0)).toDF("id", "name", "score").schema)
+      .csv(new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toString).toSeq: _*)
+    assert(back.count() == 1500L)
+    // appending a different schema is rejected at commit
+    import org.apache.spark.sql.AnalysisException
+    val e = intercept[Exception](
+      Seq((1L, 2L)).toDF("a", "b").write.format("graft.sources.ShareSink")
+        .option("path", dir).mode("append").save())
+    assert(e.getMessage.contains("schema mismatch") ||
+      e.getCause != null && e.getCause.getMessage.contains("schema mismatch"))
+  }
+
+  test("an empty write commits a parseable manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sharesink_empty").toString
+    Seq.empty[(Long, String)].toDF("id", "name")
+      .write.format("graft.sources.ShareSink").option("path", dir)
+      .mode("append").save()
+    val manifest = Files.readAllLines(Paths.get(dir, "_MANIFEST"), StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty)
+    assert(manifest.head == "id,name")
+    assert(manifest.tail.forall(_.split(",").length == 2)) // no blank/corrupt entries
+  }
 }
