@@ -186,6 +186,33 @@ object AdvancedOps {
       |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 20 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** FULL OUTER join — the one join shape the reference's pipelines
+    * never needed but a complete relational surface must have: per-
+    * customer order counts in 1995 vs 1996, keeping customers active
+    * in only one of the years (nulls on the other side). Plan is a
+    * standard shuffled sort-merge full-outer on the grouping key. */
+  def fullOuterYears(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    def yr(y: Int, keyName: String, cntName: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(keyName))
+        .agg(count(lit(1)).cast("long").as(cntName))
+    yr(1995, "k95", "n_1995")
+      .join(yr(1996, "k96", "n_1996"), col("k95") === col("k96"), "full_outer")
+      .select(coalesce(col("k95"), col("k96")).as("custkey"),
+        col("n_1995"), col("n_1996"))
+      .orderBy(col("custkey"))
+  }
+
+  private val fullOuterOracle =
+    """WITH y95 AS (SELECT o_custkey, count(*) AS n_1995 FROM orders
+      |             WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+      |y96 AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+      |        WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+      |SELECT coalesce(y95.o_custkey, y96.o_custkey) AS custkey, n_1995, n_1996
+      |FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+      |ORDER BY custkey""".stripMargin
+
   /** Per-group quantiles via the t-digest sketch (functions.TDigest) —
     * the one-pass mergeable path for percentile profiles at corpus
     * scale, next to the exact `percentiles` query (exact percentile
@@ -324,6 +351,7 @@ object AdvancedOps {
     "stratified_sample"       -> (stratifiedSample _),
     "approx_distinct"         -> (approxDistinct _),
     "tdigest_percentiles"     -> (tdigestQuantiles _),
+    "full_outer_years"        -> (fullOuterYears _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +364,6 @@ object AdvancedOps {
     "event_percentiles"       -> percentilesOracle,
     "hash_sample"             -> hashSampleOracle,
     "stratified_sample"       -> stratifiedSampleOracle,
+    "full_outer_years"        -> fullOuterOracle,
   )
 }
