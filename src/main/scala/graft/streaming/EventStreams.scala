@@ -35,11 +35,17 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
               col("n_events"))
 
-  /** Exactly-once-per-id stream dedup: duplicates of an event_id within
-    * the watermark horizon are dropped, state is GC'd past it. */
+  /** Exactly-once-per-id stream dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` drops duplicates of an event_id
+    * arriving within the watermark horizon and evicts each key's state
+    * once the watermark passes it. A plain `dropDuplicates("event_id")`
+    * would NOT bound state here — eviction only happens when the
+    * event-time column is part of the dedup key, so keyed-only dedup
+    * state grows with every id ever seen (the classic
+    * unbounded-state-store failure at stream scale). */
   def dedupeStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Custom keyed state via mapGroupsWithState: running per-user
     * event count + value total, updated each micro-batch. The state
