@@ -1,6 +1,31 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** Time each query; a failing query surfaces as an error entry, not
+    * as a (fast) timing — timings cover successes only. */
+  def runQueries(spark: SparkSession, sfDir: String,
+                 queries: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, Either[String, Double]] =
+    queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      name -> (try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+               catch { case e: Throwable =>
+                 Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") })
+    }
+
+  /** The one-line driver-contract JSON. */
+  def renderJson(results: Map[String, Either[String, Double]], sfDir: String): String = {
+    import JsonUtil.jstr
+    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val total = results.values.collect { case Right(v) => v }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,22 +40,7 @@ object Bench {
     // costs ~2s; without it the first timed query absorbs ~8s of
     // one-time warmup noise.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // a failing query must surface as an error entry, not bench as a
-    // (fast) timing — timings cover successes only
-    val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        name -> (try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-                 catch { case e: Throwable =>
-                   Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") })
-      }
-    import JsonUtil.jstr
-    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
-      .mkString("{", ",", "}")
-    val total = results.values.collect { case Right(v) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(renderJson(runQueries(spark, sfDir, SparkEntry.queries), sfDir))
     spark.stop()
   }
 }

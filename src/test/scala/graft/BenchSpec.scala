@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench contract: failures become error entries (never timings),
+  * and the JSON line stays parseable with hostile error messages. */
+class BenchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a broken query lands in errors, not in the timings") {
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, d) => Tables.region(s, d)),
+      "broken_query" -> ((_, _) =>
+        throw new RuntimeException("boom \"quoted\"\nwith newline")))
+    val results = Bench.runQueries(spark, sf, queries)
+    assert(results("ok_query").isRight)
+    assert(results("broken_query").isLeft)
+    val json = Bench.renderJson(results, sf)
+    // parseable despite quotes/newlines in the message; the broken
+    // query appears only under errors
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(tree.get("queries").has("ok_query"))
+    assert(!tree.get("queries").has("broken_query"))
+    assert(tree.get("errors").get("broken_query").asText.contains("boom"))
+    assert(tree.get("value").asDouble >= 0)
+  }
+}
