@@ -186,6 +186,33 @@ object AdvancedOps {
       |WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 20 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** UNPIVOT (wide -> long, the inverse of pivotCounts): the per-type
+    * count columns melt back into (user_id, event_type, n) rows via
+    * the stack() generator — a narrow per-row expansion, no shuffle
+    * beyond the upstream pivot's. Zero cells are kept so the shape is
+    * exactly rows x types. */
+  def unpivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    pivotCounts(s, d)
+      .select(col("user_id"),
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val unpivotOracle =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+      |    count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+      |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+      |    count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, event_type, n
+      |FROM p UNPIVOT INCLUDE NULLS (n FOR event_type IN (click, error, purchase, signup, view))
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** FULL OUTER join — the one join shape the reference's pipelines
     * never needed but a complete relational surface must have: per-
     * customer order counts in 1995 vs 1996, keeping customers active
@@ -352,6 +379,7 @@ object AdvancedOps {
     "approx_distinct"         -> (approxDistinct _),
     "tdigest_percentiles"     -> (tdigestQuantiles _),
     "full_outer_years"        -> (fullOuterYears _),
+    "unpivot_event_counts"    -> (unpivotCounts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -365,5 +393,6 @@ object AdvancedOps {
     "hash_sample"             -> hashSampleOracle,
     "stratified_sample"       -> stratifiedSampleOracle,
     "full_outer_years"        -> fullOuterOracle,
+    "unpivot_event_counts"    -> unpivotOracle,
   )
 }
