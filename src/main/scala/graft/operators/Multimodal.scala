@@ -103,16 +103,77 @@ object Multimodal {
       |FROM (SELECT doc_id, unnest(range(0, n_frames, 5)) AS frame_idx FROM dec)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize planning: the vision-model preprocessing step — scale each
+    * decoded image to fit 224x224 preserving aspect ratio (integer
+    * arithmetic, floor division, so both engines agree bit-for-bit).
+    * The pixel resample itself belongs inside the decode stub's
+    * per-partition batch; the dimension planning shown here is the
+    * part the engine owns (it sizes the output table and the shuffle
+    * that follows). Zero-dim payloads (possible under the stubbed
+    * decode) clamp the divisor to 1. */
+  def resizePlan(s: SparkSession, d: String): DataFrame =
+    decodeStub(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        greatest(greatest(col("width"), col("height")), lit(1)).as("maxdim"))
+      .select(col("doc_id"), col("width"), col("height"),
+        ((col("width") * 224) / col("maxdim")).cast("int").as("out_w"),
+        ((col("height") * 224) / col("maxdim")).cast("int").as("out_h"),
+        Portable.roundK(lit(224.0) / col("maxdim"), 6).as("scale"))
+      .orderBy(col("doc_id"))
+
+  private val resizePlanOracle =
+    """WITH dec AS (
+      |  SELECT doc_id, CAST(h % 1280 AS INTEGER) AS width,
+      |         CAST((h // 1280) % 720 AS INTEGER) AS height
+      |  FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)),
+      |m AS (SELECT doc_id, width, height,
+      |        greatest(greatest(width, height), 1) AS maxdim FROM dec)
+      |SELECT doc_id, width, height,
+      |  CAST((width * 224) // maxdim AS INTEGER) AS out_w,
+      |  CAST((height * 224) // maxdim AS INTEGER) AS out_h,
+      |  round(224.0 / maxdim * 1000000) / 1000000 AS scale
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Feature extraction: one fixed-width feature vector per blob — the
+    * featurize step between decode and embedding. Features are 12-bit
+    * integers cut from md5 hex slices of the payload (the deterministic
+    * stand-in for real codec features; the Spark-side shape — a
+    * narrow per-row transform emitting array<bigint> — is what a real
+    * extractor produces). */
+  def featureExtract(s: SparkSession, d: String): DataFrame = {
+    val feats = (0 until 8).map(i =>
+      expr(s"CAST(conv(substr(md5(CAST(text AS BINARY)), ${i * 3 + 1}, 3), 16, 10) AS BIGINT)"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), array(feats: _*).as("features"))
+      .select(col("doc_id"), col("features"),
+        expr("aggregate(features, 0L, (a, x) -> a + x)").as("feat_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val featureExtractOracle = {
+    val feats = (0 until 8)
+      .map(i => s"('0x' || substr(md5(text), ${i * 3 + 1}, 3))::BIGINT")
+      .mkString(", ")
+    s"""SELECT doc_id, [$feats] AS features,
+       |  list_sum([$feats]) AS feat_sum
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_blob_meta"    -> (blobMeta _),
-    "multimodal_decode_stub"  -> (decodeStub _),
-    "multimodal_frame_sample" -> (frameSample _),
+    "multimodal_blob_meta"       -> (blobMeta _),
+    "multimodal_decode_stub"     -> (decodeStub _),
+    "multimodal_frame_sample"    -> (frameSample _),
+    "multimodal_resize_plan"     -> (resizePlan _),
+    "multimodal_feature_extract" -> (featureExtract _),
   )
 
   val oracles: Map[String, String] = Map(
-    "multimodal_blob_meta"    -> blobMetaOracle,
-    "multimodal_decode_stub"  -> decodeStubOracle,
-    "multimodal_frame_sample" -> frameSampleOracle,
+    "multimodal_blob_meta"       -> blobMetaOracle,
+    "multimodal_decode_stub"     -> decodeStubOracle,
+    "multimodal_frame_sample"    -> frameSampleOracle,
+    "multimodal_resize_plan"     -> resizePlanOracle,
+    "multimodal_feature_extract" -> featureExtractOracle,
   )
 }
 
