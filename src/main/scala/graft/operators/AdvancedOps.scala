@@ -131,15 +131,17 @@ object AdvancedOps {
   /** Pivot: per-user event counts spread across event_type columns
     * (explicit value list — no extra distinct-scan job, deterministic
     * column order). */
-  def pivotCounts(s: SparkSession, d: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  /** Shared by pivot/unpivot — a type added here reaches both melts
+    * (and both oracle column lists must follow). */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("user_id"))
-      .pivot("event_type", types)
+      .pivot("event_type", eventTypes)
       .count()
-      .na.fill(0L, types)
+      .na.fill(0L, eventTypes)
       .orderBy(col("user_id"))
-  }
 
   private val pivotOracle =
     """SELECT user_id,
@@ -192,11 +194,10 @@ object AdvancedOps {
     * beyond the upstream pivot's. Zero cells are kept so the shape is
     * exactly rows x types. */
   def unpivotCounts(s: SparkSession, d: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    val stackArgs = eventTypes.map(t => s"'$t', `$t`").mkString(", ")
     pivotCounts(s, d)
       .select(col("user_id"),
-        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+        expr(s"stack(${eventTypes.size}, $stackArgs) AS (event_type, n)"))
       .orderBy(col("user_id"), col("event_type"))
   }
 

@@ -155,7 +155,7 @@ object Multimodal {
       .map(i => s"('0x' || substr(md5(text), ${i * 3 + 1}, 3))::BIGINT")
       .mkString(", ")
     s"""SELECT doc_id, [$feats] AS features,
-       |  list_sum([$feats]) AS feat_sum
+       |  CAST(list_sum([$feats]) AS BIGINT) AS feat_sum
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
