@@ -436,6 +436,39 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       |ORDER BY i, j""".stripMargin
 
+  /** Edit-distance rescoring of the LSH candidate pairs: exact
+    * Levenshtein over the minhash band candidates only — the standard
+    * two-stage shape (cheap blocking, expensive exact measure inside
+    * the candidate set). All-pairs Levenshtein is unthinkable at
+    * corpus scale; candidates are a keyed join output, so this stays
+    * O(candidates * len^2). Both engines implement classic
+    * single-character-op Levenshtein, so the scores are identical
+    * integers. */
+  def editDistance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    minhashPairs(s, d).select(col("i"), col("j"))
+      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), Seq("i"))
+      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), Seq("j"))
+      .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).as("edit_dist"))
+      .filter(col("edit_dist") <= 40)
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val editDistanceOracle =
+    s"""WITH ${minhashBandsSqlOf("documents", "")},
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.i, c.j, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jac
+       |        FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
+       |        GROUP BY c.i, c.j),
+       |pairs AS (SELECT i, j FROM est WHERE est_jac >= 0.5)
+       |SELECT p.i, p.j, CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+       |FROM pairs p JOIN documents da ON da.doc_id = p.i
+       |             JOIN documents db ON db.doc_id = p.j
+       |WHERE levenshtein(da.text, db.text) <= 40
+       |ORDER BY i, j""".stripMargin
+
   /** Near-dup cluster assignment: connected components over the
     * minhash-LSH pair graph — the step after pair generation in a real
     * dedup pipeline (keep one doc per cluster, not per pair). Output:
@@ -505,6 +538,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_incremental"      -> (incrementalQuery _),
     "dedup_clusters"         -> (clusters _),
+    "dedup_edit_distance"    -> (editDistance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,5 +549,6 @@ object Dedup {
     "dedup_embedding_cosine" -> embeddingCosineOracle,
     "dedup_incremental"      -> incrementalOracle,
     "dedup_clusters"         -> clustersOracle,
+    "dedup_edit_distance"    -> editDistanceOracle,
   )
 }

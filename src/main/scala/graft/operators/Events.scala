@@ -241,7 +241,34 @@ object Events {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  /** Rank-family window functions (ntile / percent_rank / cume_dist)
+    * per event_type over value — the quartile-bucketing / relative-
+    * standing forms the earlier window queries don't cover. The order
+    * key includes event_id so the total order is tie-free and the
+    * rank fractions are the same exact small-integer divisions in
+    * both engines. */
+  def rankFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        graft.functions.Portable.roundK(percent_rank().over(w), 6).as("pct_rank"),
+        graft.functions.Portable.roundK(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rankFuncsOracle =
+    """SELECT event_id, event_type, value,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank,
+      |  round(cume_dist() OVER w * 1000000) / 1000000 AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rank_funcs"      -> (rankFuncs _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
@@ -254,6 +281,7 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_rank_funcs"      -> rankFuncsOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,
