@@ -458,6 +458,40 @@ object Relational {
       |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       |ORDER BY nation, segment""".stripMargin
 
+  /** Correlated scalar subqueries through the spark.sql surface —
+    * customers above their own segment's average balance. Exercises
+    * Catalyst's decorrelation (RewriteCorrelatedScalarSubquery turns
+    * both subqueries into aggregate joins; nothing executes per-row).
+    * The comparison is kept in exact integer arithmetic
+    * (cents * count > cents-sum), so membership at the boundary cannot
+    * flip on a double-division ulp between engines. */
+  def aboveSegmentAvg(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer_corr")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |FROM customer_corr c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer_corr c2
+        |       WHERE c2.c_mktsegment = c.c_mktsegment)
+        |    > (SELECT CAST(sum(round(c_acctbal * 100)) AS BIGINT)
+        |       FROM customer_corr c3
+        |       WHERE c3.c_mktsegment = c.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val aboveSegmentAvgOracle =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |FROM customer c
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+      |      (SELECT count(*) FROM customer c2
+      |       WHERE c2.c_mktsegment = c.c_mktsegment)
+      |    > (SELECT CAST(sum(round(c_acctbal * 100)) AS BIGINT)
+      |       FROM customer c3
+      |       WHERE c3.c_mktsegment = c.c_mktsegment)
+      |ORDER BY c_custkey""".stripMargin
+
   /** CSV encode->decode roundtrip through the production codec
     * (reference df_to_csv_buffer, transformutils.py:7-13 + the CSV
     * decode the example stream needs, sample.config.yaml:73-78). Doubles
@@ -478,6 +512,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
     "grouping_sets"          -> (groupingSets _),
+    "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
     "q1_agg"                 -> (q1Agg _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
@@ -504,6 +539,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "csv_roundtrip"          -> csvRoundtripOracle,
     "grouping_sets"          -> groupingSetsOracle,
+    "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,
