@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.plans.AsofJoinOps
+
+/** The DataFrame-first library surface — every operator the fixture
+  * queries exercise, over caller-supplied frames instead of the
+  * testdata tables. Column contracts:
+  *
+  *  - document frames: `doc_id: long`, `text: string`;
+  *  - embedding frames: `vec_id: long`, `embedding: array<float>[64]`;
+  *  - pair frames: `i: long`, `j: long` (undirected, i < j).
+  *
+  * Each delegates to the operator module that owns the implementation
+  * (and its scaladoc'd scale design); the fixture query of the same
+  * name is the oracle-checked correctness witness.
+  */
+object GraftOps {
+
+  // ---- deduplication ----
+
+  /** Exact dedup: (keeper_id, n_copies) per identical text. */
+  def exactDedup(docs: DataFrame): DataFrame = Dedup.exactOf(docs)
+
+  /** Near-dup pairs by exact n-gram Jaccard (inverted shingle index,
+    * hot-shingle df cap). */
+  def ngramJaccardPairs(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    Dedup.ngramJaccardOf(docs, maxDf)
+
+  /** Near-dup pairs by MinHash + LSH banding (est_jac >= 0.5). */
+  def minhashPairs(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    Dedup.minhashPairsOf(docs, maxDf)
+
+  /** Near-dup pairs by SimHash half-band blocking (hamming <= 1). */
+  def simhashPairs(docs: DataFrame): DataFrame = Dedup.simhashPairsOf(docs)
+
+  /** Embedding near-dup pairs: exact cosine >= threshold inside
+    * random-hyperplane LSH blocks. */
+  def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
+                           threshold: Double = 0.4): DataFrame =
+    Dedup.embeddingCosineOf(spark, embeddings, threshold)
+
+  /** Connected components over an undirected pair frame:
+    * (doc_id, cluster = component min). */
+  def dupClusters(pairs: DataFrame): DataFrame = Dedup.clustersOf(pairs)
+
+  /** Incremental dedup: admit batch docs that are neither exact dups
+    * nor near-dups of the corpus (precompute corpus indexes with
+    * [[Dedup.dedupIndexes]] to pay O(batch) per increment). */
+  def incrementalDedup(spark: SparkSession, corpus: DataFrame,
+                       batch: DataFrame): DataFrame =
+    Dedup.incremental(spark, corpus, batch)
+
+  // ---- text ----
+
+  /** Fixed-size overlapping token chunks (pre-embedding step). */
+  def chunks(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    TextAnalysis.chunksOf(docs, chunkSize, stride)
+
+  // ---- time series ----
+
+  /** Backward-inclusive as-of join (dedicated sort-merge physical
+    * operator); time columns must be LongType. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String): DataFrame =
+    AsofJoinOps.asofJoin(left, right, leftKey, rightKey, leftTime, rightTime)
+}

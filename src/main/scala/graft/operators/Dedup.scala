@@ -36,13 +36,17 @@ import graft.functions.Portable
 object Dedup {
 
   /** Exact dedup: keep the lowest doc_id per identical text
-    * (hash-groupBy; one shuffle, map-side combine). */
-  def exact(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    * (hash-groupBy; one shuffle, map-side combine). Frame-based form
+    * for library callers; the fixture query below binds the testdata. */
+  def exactOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
+
+  def exact(s: SparkSession, d: String): DataFrame =
+    exactOf(Tables.documents(s, d))
 
   private val exactOracle =
     """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -130,9 +134,15 @@ object Dedup {
        |${p}bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
        |          FROM ${p}sig GROUP BY doc_id, i // 4)""".stripMargin
 
-  /** Near-dup pairs by exact n-gram Jaccard over the inverted index. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val shf = shingles(s, d, 50)
+  /** Near-dup pairs by exact n-gram Jaccard over the inverted index —
+    * frame-based form over any (doc_id, text) frame. */
+  def ngramJaccardOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    ngramJaccardFromShingles(shinglesOf(docs, maxDf))
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardFromShingles(shingles(s, d, 50))
+
+  private def ngramJaccardFromShingles(shf: DataFrame): DataFrame = {
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = pairsOnKey(shf, "doc_id", Seq("sh"))
       .groupBy(col("i"), col("j"))
@@ -260,28 +270,36 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d).orderBy(col("i"), col("j"))
 
+  /** Frame-based minhash-LSH near-dup pairs over any (doc_id, text)
+    * frame (unordered; callers sort). */
+  def minhashPairsOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    minhashPairsFromShingles(shinglesOf(docs, maxDf))
+
   /** Memoized unordered near-dup pair frame — clusters() consumes this
     * directly so it never pays the query-facing total sort. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    memoized(s, s"minhashPairs:$d") {
-      // signatures use 16 parallel min-aggregates: one shuffle, no 16x
-      // row explosion (an explode(sequence(0,15)) variant profiled ~5x
-      // slower here); built from the session-shared cached shingle frame
-      val sig = minhashSigsFromShingles(shingles(s, d, 50)).cache()
-      sig.count() // materialize once — the band + estimate branches below
-                  // would otherwise race to populate the cache in one job
-      val bands = bandKeys(sig)
-      val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
-        .select(col("i"), col("j"))
-        .distinct()
-      val est = cand
-        .join(sig.toDF("i", "ma"), Seq("i"))
-        .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
-        .select(col("i"), col("j"), expr(
-          "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
-      est.filter(col("est_jac") >= 0.5)
-        .select(col("i"), col("j"), col("est_jac"))
-    }
+    memoized(s, s"minhashPairs:$d")(
+      minhashPairsFromShingles(shingles(s, d, 50)))
+
+  private def minhashPairsFromShingles(shf: DataFrame): DataFrame = {
+    // signatures use 16 parallel min-aggregates: one shuffle, no 16x
+    // row explosion (an explode(sequence(0,15)) variant profiled ~5x
+    // slower here); built from the session-shared cached shingle frame
+    val sig = minhashSigsFromShingles(shf).cache()
+    sig.count() // materialize once — the band + estimate branches below
+                // would otherwise race to populate the cache in one job
+    val bands = bandKeys(sig)
+    val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
+      .select(col("i"), col("j"))
+      .distinct()
+    val est = cand
+      .join(sig.toDF("i", "ma"), Seq("i"))
+      .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
+      .select(col("i"), col("j"), expr(
+        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
+    est.filter(col("est_jac") >= 0.5)
+      .select(col("i"), col("j"), col("est_jac"))
+  }
 
   private val minhashOracle =
     s"""WITH ${minhashBandsSqlOf("documents", "")},
@@ -305,8 +323,12 @@ object Dedup {
     * most one bit, so at least one half matches exactly — candidates
     * come from an equi-join on (band, half), then the exact hamming
     * filter. */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSignatures(s, d).cache()
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairsOf(Tables.documents(s, d))
+
+  /** Frame-based simhash near-dup pairs over any (doc_id, text) frame. */
+  def simhashPairsOf(docs: DataFrame): DataFrame = {
+    val sigs = simhashSignaturesOf(docs).cache()
     sigs.count() // materialize once before the two-sided bucket join
     val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
         struct(lit(0).as("b"), expr("sim & 65535").as("h")),
@@ -330,11 +352,14 @@ object Dedup {
     * 32 parallel bit-vote aggregates in a single shuffle — a
     * explode(sequence(0,31)) formulation multiplies the token rows 32x
     * for no benefit. */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashSignaturesOf(Tables.documents(s, d))
+
+  def simhashSignaturesOf(docs: DataFrame): DataFrame = {
     val votes = (0 until 32).map { b =>
       sum(expr(s"(shiftright(h, $b) & 1) * 2 - 1")).as(s"v$b")
     }
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), Portable.hash60(col("w")).as("h"))
       .groupBy(col("doc_id"))
@@ -387,11 +412,16 @@ object Dedup {
     * sub-quadratic. What the blocking buys even here is plan shape:
     * keyed equi-joins that shuffle-partition by bucket instead of a
     * single-node BroadcastNestedLoopJoin. */
-  def embeddingCosine(s: SparkSession, d: String): DataFrame = {
-    val nTables = 20
-    val bits = 4
-    val e = Similarity.withNorm(s, Tables.embeddings(s, d))
-    val sigs = Similarity.signatures(s, d, nTables, bits).cache()
+  def embeddingCosine(s: SparkSession, d: String): DataFrame =
+    embeddingCosineOf(s, Tables.embeddings(s, d))
+
+  /** Frame-based form over any (vec_id, embedding: array<float>)
+    * frame. */
+  def embeddingCosineOf(s: SparkSession, emb: DataFrame,
+                        threshold: Double = 0.4,
+                        nTables: Int = 20, bits: Int = 4): DataFrame = {
+    val e = Similarity.withNorm(s, emb)
+    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).cache()
     sigs.count() // materialize once before the probe/index branches
     val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
       explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
@@ -408,7 +438,7 @@ object Dedup {
       .join(broadcast(e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))), Seq("i"))
       .join(broadcast(e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))), Seq("j"))
       .select(col("i"), col("j"), cos.as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= threshold)
       .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
       .distinct()
       .orderBy(col("i"), col("j"))
@@ -485,10 +515,16 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
     * same join-per-round skeleton. The DuckDB oracle computes the same
     * components via a recursive transitive-closure CTE. */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("i"), col("j"))
-    val edges = pairs
-      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clustersOf(minhashPairs(s, d))
+
+  /** Frame-based connected components over any undirected pair frame
+    * with `i`/`j` columns (extra columns ignored); returns
+    * (doc_id, cluster = component min). */
+  def clustersOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("i"), col("j"))
+    val edges = p
+      .union(p.select(col("j").as("i"), col("i").as("j")))
       .toDF("a", "b").localCheckpoint()
     var labels = edges.select(col("a").as("v")).distinct()
       .withColumn("lbl", col("v")).localCheckpoint()

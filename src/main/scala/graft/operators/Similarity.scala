@@ -88,10 +88,16 @@ object Similarity {
     * consumers (Dedup.embeddingCosine) can assert join-keyed-only
     * plans. */
   private[graft] def signatures(s: SparkSession, d: String,
-                                    nTables: Int, bitsPerTable: Int): DataFrame = {
+                                    nTables: Int, bitsPerTable: Int): DataFrame =
+    signaturesOf(s, Tables.embeddings(s, d), nTables, bitsPerTable)
+
+  /** Frame-based form over any (vec_id, embedding: array<float>[64])
+    * frame. */
+  private[graft] def signaturesOf(s: SparkSession, emb: DataFrame,
+                                  nTables: Int, bitsPerTable: Int): DataFrame = {
     VectorOps.registerVecDot(s)
     val planes = typedlit(planeWeights(nTables, bitsPerTable, 64))
-    Tables.embeddings(s, d)
+    emb
       .select(col("vec_id"), col("embedding"), explode(planes).as("pl"))
       .select(col("vec_id"), col("pl._1").as("tbl"), col("pl._2").as("bit"),
         expr("vec_dot(embedding, pl._3)").as("dot"))

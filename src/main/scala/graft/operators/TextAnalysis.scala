@@ -200,13 +200,17 @@ object TextAnalysis {
     * tokens; per-doc chunk counts scale with length and the explode is
     * narrow (no shuffle before the final sort). */
   def chunkDocuments(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    chunksOf(Tables.documents(s, d))
+
+  /** Frame-based form over any (doc_id, text) frame. */
+  def chunksOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
-        explode(expr("sequence(0, CAST(floor((size(ws) - 1) / 40) AS INT))")).as("chunk_ix"))
+        explode(expr(s"sequence(0, CAST(floor((size(ws) - 1) / $stride) AS INT))")).as("chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"),
-        expr("concat_ws(' ', slice(ws, chunk_ix * 40 + 1, 50))").as("chunk_text"),
-        expr("size(slice(ws, chunk_ix * 40 + 1, 50))").as("n_tokens"))
+        expr(s"concat_ws(' ', slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("chunk_text"),
+        expr(s"size(slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_ix"))
 
   private val chunkOracle =

@@ -1,0 +1,78 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The DataFrame-first surface works on arbitrary caller frames — not
+  * just the testdata tables the fixture queries bind. */
+class GraftOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+      (4L, "completely different content about spark catalyst optimizer internals and planning"),
+      (5L, "another unrelated document mentioning shuffle partitions and adaptive execution")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per text") {
+    val kept = GraftOps.exactDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("ngram jaccard + minhash + simhash find the planted near-dups and nothing else") {
+    val expect = Set((1L, 2L), (1L, 3L), (2L, 3L))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(GraftOps.ngramJaccardPairs(docs)) == expect)
+    assert(pairsOf(GraftOps.minhashPairs(docs)) == expect)
+    assert(pairsOf(GraftOps.simhashPairs(docs)) == expect)
+  }
+
+  test("dup clusters collapse the pair graph to component minima") {
+    val clusters = GraftOps.dupClusters(GraftOps.minhashPairs(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("incremental dedup admits only genuinely new batch docs") {
+    import spark.implicits._
+    val corpus = docs.filter($"doc_id" <= 3)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of corpus
+      (11L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of corpus
+      (12L, "fresh material on watermarks state stores and streaming joins entirely")
+    ).toDF("doc_id", "text")
+    val admitted = GraftOps.incrementalDedup(spark, corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(12L))
+  }
+
+  test("chunks honor custom size/stride on a caller frame") {
+    import spark.implicits._
+    val one = Seq((7L, (1 to 25).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = GraftOps.chunks(one, chunkSize = 10, stride = 5).collect()
+    assert(rows.length == 5) // starts 0,5,10,15,20
+    assert(rows.head.getAs[String]("chunk_text").startsWith("w1 w2"))
+    assert(rows.last.getAs[Int]("n_tokens") == 5) // tail chunk
+  }
+
+  test("embedding cosine pairs over a caller embedding frame") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    def perturb(eps: Float) = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0f) }
+    val emb = Seq(
+      (1L, base), (2L, perturb(0.01f)),               // near-identical pair
+      (3L, (0 until 64).map(i => math.cos(i * 1.3 + 1).toFloat)) // unrelated
+    ).toDF("vec_id", "embedding")
+    val pairs = GraftOps.embeddingCosinePairs(spark, emb, threshold = 0.95)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
