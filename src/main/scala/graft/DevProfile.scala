@@ -33,25 +33,6 @@ object DevProfile {
           println(s"$d blocked=${b.size} brute=${x.size} " +
             s"missing=${(x -- b).size} extra=${(b -- x).size} equal=${b == x}")
         }
-      case "shingles" =>
-        import org.apache.spark.sql.functions._
-        val d = dirs.head
-        val docs = Tables.documents(spark, d)
-        def sh0 = docs
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
-        val winVariant = sh0.withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-          .filter(col("df") <= 50).select(col("doc_id"), col("sh"))
-        val sh0c = sh0.cache()
-        val keep = sh0c.groupBy(col("sh")).agg(count(lit(1)).as("n")).filter(col("n") <= 50).select("sh")
-        val joinVariant = sh0c.join(keep, Seq("sh"), "left_semi")
-        for (_ <- 1 to 2) {
-          t("window df-cap")(winVariant.count())
-          t("semi-join df-cap")(joinVariant.count())
-        }
       case "oneq" =>
         // dump a single query + its oracle for dev/check.py iteration:
         // dev/run.sh graft.DevProfile oneq <name> <sfDir> <outDir>

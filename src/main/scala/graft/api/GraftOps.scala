@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.plans.AsofJoinOps
 
@@ -28,7 +28,9 @@ object GraftOps {
   def ngramJaccardPairs(docs: DataFrame, maxDf: Int = 50): DataFrame =
     Dedup.ngramJaccardOf(docs, maxDf)
 
-  /** Near-dup pairs by MinHash + LSH banding (est_jac >= 0.5). */
+  /** Near-dup pairs by MinHash + LSH banding (est_jac >= 0.5).
+    * Unordered (partition-dependent row order); sort on (i, j) if a
+    * deterministic order matters. */
   def minhashPairs(docs: DataFrame, maxDf: Int = 50): DataFrame =
     Dedup.minhashPairsOf(docs, maxDf)
 
@@ -37,20 +39,30 @@ object GraftOps {
 
   /** Embedding near-dup pairs: exact cosine >= threshold inside
     * random-hyperplane LSH blocks. */
-  def embeddingCosinePairs(spark: SparkSession, embeddings: DataFrame,
+  def embeddingCosinePairs(embeddings: DataFrame,
                            threshold: Double = 0.4): DataFrame =
-    Dedup.embeddingCosineOf(spark, embeddings, threshold)
+    Dedup.embeddingCosineOf(embeddings, threshold)
 
   /** Connected components over an undirected pair frame:
     * (doc_id, cluster = component min). */
   def dupClusters(pairs: DataFrame): DataFrame = Dedup.clustersOf(pairs)
 
   /** Incremental dedup: admit batch docs that are neither exact dups
-    * nor near-dups of the corpus (precompute corpus indexes with
-    * [[Dedup.dedupIndexes]] to pay O(batch) per increment). */
-  def incrementalDedup(spark: SparkSession, corpus: DataFrame,
-                       batch: DataFrame): DataFrame =
-    Dedup.incremental(spark, corpus, batch)
+    * nor near-dups of the corpus. Recomputes the corpus indexes
+    * inline; between batches, persist [[dedupIndexes]] and use
+    * [[incrementalDedupWithIndexes]] to pay O(batch) per increment. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    Dedup.incremental(corpus, batch)
+
+  /** The compact corpus artifacts incremental dedup maintains between
+    * batches: (distinct text hashes, distinct LSH band keys). */
+  def dedupIndexes(corpus: DataFrame): (DataFrame, DataFrame) =
+    Dedup.dedupIndexes(corpus)
+
+  /** O(batch) incremental dedup against precomputed corpus indexes. */
+  def incrementalDedupWithIndexes(textHashes: DataFrame, bands: DataFrame,
+                                  batch: DataFrame): DataFrame =
+    Dedup.incrementalWithIndexes(textHashes, bands, batch)
 
   // ---- text ----
 

@@ -212,7 +212,7 @@ object Dedup {
     * LSH band). Takes the precomputed corpus indexes; join strategy is
     * left to AQE (at scale the hash index is far bigger than a
     * broadcast, while a small batch side still broadcasts). */
-  def incrementalWithIndexes(s: SparkSession, exTextHashes: DataFrame,
+  def incrementalWithIndexes(exTextHashes: DataFrame,
                              exBands: DataFrame, batch: DataFrame): DataFrame = {
     val batchKeep = batch
       .withColumn("thash", Portable.hash60(col("text")))
@@ -231,9 +231,9 @@ object Dedup {
 
   /** Convenience form computing the corpus indexes inline (fine at test
     * scale; real deployments persist dedupIndexes between batches). */
-  def incremental(s: SparkSession, existing: DataFrame, batch: DataFrame): DataFrame = {
+  def incremental(existing: DataFrame, batch: DataFrame): DataFrame = {
     val (thashes, bands) = dedupIndexes(existing)
-    incrementalWithIndexes(s, thashes, bands, batch)
+    incrementalWithIndexes(thashes, bands, batch)
   }
 
   /** Oracle-checked fixture for incremental dedup: the first 300 docs
@@ -242,7 +242,7 @@ object Dedup {
     * batch rows nor sharing a minhash LSH band with the corpus). */
   def incrementalQuery(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    incremental(s, docs.filter(col("doc_id") < 300),
+    incremental(docs.filter(col("doc_id") < 300),
         docs.filter(col("doc_id") >= 300))
       .orderBy(col("doc_id"))
   }
@@ -284,10 +284,11 @@ object Dedup {
   private def minhashPairsFromShingles(shf: DataFrame): DataFrame = {
     // signatures use 16 parallel min-aggregates: one shuffle, no 16x
     // row explosion (an explode(sequence(0,15)) variant profiled ~5x
-    // slower here); built from the session-shared cached shingle frame
-    val sig = minhashSigsFromShingles(shf).cache()
-    sig.count() // materialize once — the band + estimate branches below
-                // would otherwise race to populate the cache in one job
+    // slower here). localCheckpoint materializes the signature frame
+    // once (eagerly) before the band + estimate branches consume it
+    // twice; unlike cache(), its blocks are GC'd with the frame, so
+    // repeated library calls don't accumulate pinned storage.
+    val sig = minhashSigsFromShingles(shf).localCheckpoint()
     val bands = bandKeys(sig)
     val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
       .select(col("i"), col("j"))
@@ -328,8 +329,9 @@ object Dedup {
 
   /** Frame-based simhash near-dup pairs over any (doc_id, text) frame. */
   def simhashPairsOf(docs: DataFrame): DataFrame = {
-    val sigs = simhashSignaturesOf(docs).cache()
-    sigs.count() // materialize once before the two-sided bucket join
+    // eager single materialization before the two-sided bucket join;
+    // GC-cleaned blocks (see minhashPairsFromShingles note)
+    val sigs = simhashSignaturesOf(docs).localCheckpoint()
     val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
         struct(lit(0).as("b"), expr("sim & 65535").as("h")),
         struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
@@ -413,16 +415,24 @@ object Dedup {
     * keyed equi-joins that shuffle-partition by bucket instead of a
     * single-node BroadcastNestedLoopJoin. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame =
-    embeddingCosineOf(s, Tables.embeddings(s, d))
+    embeddingCosineOf(Tables.embeddings(s, d))
 
   /** Frame-based form over any (vec_id, embedding: array<float>)
-    * frame. */
-  def embeddingCosineOf(s: SparkSession, emb: DataFrame,
+    * frame. The threshold floor exists because the LSH blocking
+    * parameters are tuned for cos >= 0.4 (see the capture analysis
+    * above) — a lower threshold would silently miss qualifying pairs,
+    * so it is rejected rather than served incompletely. */
+  def embeddingCosineOf(emb: DataFrame,
                         threshold: Double = 0.4,
                         nTables: Int = 20, bits: Int = 4): DataFrame = {
+    require(threshold >= 0.4,
+      s"threshold $threshold below the 0.4 floor the blocking parameters guarantee capture for")
+    require(nTables >= 1 && bits >= 1, "need nTables >= 1 and bits >= 1")
+    val s = emb.sparkSession
     val e = Similarity.withNorm(s, emb)
-    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).cache()
-    sigs.count() // materialize once before the probe/index branches
+    // eager single materialization; GC-cleaned blocks (see
+    // minhashPairsFromShingles note)
+    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint()
     val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
       explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
     val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))

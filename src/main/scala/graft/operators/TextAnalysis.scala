@@ -203,7 +203,10 @@ object TextAnalysis {
     chunksOf(Tables.documents(s, d))
 
   /** Frame-based form over any (doc_id, text) frame. */
-  def chunksOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+  def chunksOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need stride > 0 and chunkSize >= stride (got $chunkSize/$stride) — " +
+      "a stride beyond the chunk size would silently drop tokens")
     docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("ws"),
@@ -212,6 +215,7 @@ object TextAnalysis {
         expr(s"concat_ws(' ', slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("chunk_text"),
         expr(s"size(slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_ix"))
+  }
 
   private val chunkOracle =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

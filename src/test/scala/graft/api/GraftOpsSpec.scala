@@ -49,7 +49,7 @@ class GraftOpsSpec extends AnyFunSuite {
       (11L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of corpus
       (12L, "fresh material on watermarks state stores and streaming joins entirely")
     ).toDF("doc_id", "text")
-    val admitted = GraftOps.incrementalDedup(spark, corpus, batch)
+    val admitted = GraftOps.incrementalDedup(corpus, batch)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(12L))
   }
@@ -71,7 +71,7 @@ class GraftOpsSpec extends AnyFunSuite {
       (1L, base), (2L, perturb(0.01f)),               // near-identical pair
       (3L, (0 until 64).map(i => math.cos(i * 1.3 + 1).toFloat)) // unrelated
     ).toDF("vec_id", "embedding")
-    val pairs = GraftOps.embeddingCosinePairs(spark, emb, threshold = 0.95)
+    val pairs = GraftOps.embeddingCosinePairs(emb, threshold = 0.95)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }

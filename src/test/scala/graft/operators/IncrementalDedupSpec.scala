@@ -28,7 +28,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
       (10005L, fresh2)            // new
     ).toDF("doc_id", "text")
 
-    val admitted = Dedup.incremental(spark, existing, batch)
+    val admitted = Dedup.incremental(existing, batch)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(admitted.toSeq == Seq(10002L, 10005L))
   }
@@ -37,8 +37,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     import spark.implicits._
     val existing = Tables.documents(spark, sf).select("doc_id", "text")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    assert(Dedup.incremental(spark, existing, empty).count() == 0)
+    assert(Dedup.incremental(existing, empty).count() == 0)
     val disjoint = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
-    assert(Dedup.incremental(spark, existing, disjoint).count() == 1)
+    assert(Dedup.incremental(existing, disjoint).count() == 1)
   }
 }
