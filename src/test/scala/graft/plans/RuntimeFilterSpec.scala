@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+/** Runtime bloom-filter join pruning: for a selective dimension filter
+  * joined against a big fact side, Spark can inject a bloom filter
+  * built from the dimension keys into the fact scan
+  * (spark.sql.optimizer.runtime.bloomFilter.*) — at 100 TB this is the
+  * row-level pruning that keeps a fact scan from shuffling rows that
+  * can never join. The engine provides it; this spec pins the
+  * configuration knowledge (thresholds must admit the creation side /
+  * application side) and asserts the filter actually lands in the
+  * optimized plan, so a conf regression can't silently drop the
+  * optimization. */
+class RuntimeFilterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("a selective dim filter injects a bloom filter into the fact side") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale data is far below the production thresholds
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // a broadcast join would bypass the runtime filter path entirely
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val selectiveOrders = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 490000.0) // ~top 1% of orders
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, sf)
+        .join(selectiveOrders, col("l_orderkey") === col("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"expected an injected bloom filter in:\n$optimized")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+}
