@@ -64,6 +64,39 @@ object Relational {
       |HAVING sum(round(l_extendedprice * (1 - l_discount) * 100)) >= 200000000
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q3-style shipping-priority top-k: selective filters on all
+    * three tables push into the scans, the joins shuffle on the order
+    * key (AQE broadcast-promotes the filtered customer side), and the
+    * final top-10 plans as TakeOrderedAndProject — no global sort ever
+    * materializes. Revenue uses the integer-cents convention. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+      .select(col("l_orderkey"), (col("rev_cents") / 100.0).as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3Oracle =
+    """SELECT l_orderkey,
+      |  sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
   /** TPC-H Q1-style scan+filter+aggregate: the canonical "does the filter
     * reach the parquet scan and does the aggregate combine map-side" probe.
     */
@@ -515,6 +548,7 @@ object Relational {
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
     "q1_agg"                 -> (q1Agg _),
+    "q3_shipping_priority"   -> (q3Shipping _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
     "anti_join_mailing_list" -> (antiJoinMailingList _),
     "semi_join_parents"      -> (semiJoinParents _),
@@ -541,6 +575,7 @@ object Relational {
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,
+    "q3_shipping_priority"   -> q3Oracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,
     "anti_join_mailing_list" -> antiJoinOracle,
