@@ -12,6 +12,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+
+  /** Run `body` with session confs temporarily set, restoring prior
+    * values (or unsetting keys that had none) afterwards — the one
+    * save/mutate/restore implementation shared by every spec that
+    * tweaks planner behavior. */
+  def withConfs[A](spark: SparkSession, pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -25,13 +25,12 @@ class BucketingSpec extends AnyFunSuite {
       .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("b_orders")
 
-    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       // force a real (non-broadcast, non-adaptive) join so the exchange
       // structure is observable
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.SparkSpec.withConfs(spark,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
       val joined = spark.table("b_lineitem")
         .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
@@ -44,9 +43,8 @@ class BucketingSpec extends AnyFunSuite {
         .join(Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
           col("l_orderkey") === col("o_orderkey"))
       assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+      }
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }

@@ -20,20 +20,13 @@ class RuntimeFilterSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   test("a selective dim filter injects a bloom filter into the fact side") {
-    val conf = spark.conf
-    val saved = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold"
-    ).map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    SparkSpec.withConfs(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       // test-scale data is far below the production thresholds
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
       // a broadcast join would bypass the runtime filter path entirely
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val selectiveOrders = Tables.orders(spark, sf)
         .filter(col("o_totalprice") > 490000.0) // ~top 1% of orders
         .select(col("o_orderkey"))
@@ -43,9 +36,6 @@ class RuntimeFilterSpec extends AnyFunSuite {
       assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
         s"expected an injected bloom filter in:\n$optimized")
       assert(joined.count() > 0)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
   }
 }
