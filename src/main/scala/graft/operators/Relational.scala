@@ -97,6 +97,44 @@ object Relational {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q5-style local-supplier volume: the six-table join chain
+    * (region -> nation -> customer/supplier -> orders -> lineitem) with
+    * the same-nation constraint. The three dimension tables are tiny
+    * and broadcast; the fact joins shuffle on their keys; the final
+    * rollup groups on a 25-value key. The classic probe that join
+    * ordering + broadcast promotion survive a deep chain. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d).join(asia, col("n_regionkey") === col("r_regionkey"))
+    val c = Tables.customer(s, d).join(n, col("c_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val sup = Tables.supplier(s, d)
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                 col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_cents"))
+      .select(col("n_name"), (col("rev_cents") / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q5Oracle =
+    """SELECT n_name, sum(round(l_extendedprice * (1 - l_discount) * 100)) / 100.0 AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   /** TPC-H Q1-style scan+filter+aggregate: the canonical "does the filter
     * reach the parquet scan and does the aggregate combine map-side" probe.
     */
@@ -549,6 +587,7 @@ object Relational {
     "flagship_revenue"       -> (flagshipRevenue _),
     "q1_agg"                 -> (q1Agg _),
     "q3_shipping_priority"   -> (q3Shipping _),
+    "q5_local_supplier"      -> (q5LocalSupplier _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
     "anti_join_mailing_list" -> (antiJoinMailingList _),
     "semi_join_parents"      -> (semiJoinParents _),
@@ -576,6 +615,7 @@ object Relational {
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,
     "q3_shipping_priority"   -> q3Oracle,
+    "q5_local_supplier"      -> q5Oracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,
     "anti_join_mailing_list" -> antiJoinOracle,
