@@ -135,6 +135,30 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Nested-data shaping: roll each order's line items into a sorted
+    * array<struct> column (the denormalized document shape a feature
+    * store / training-example builder emits), carrying the count
+    * alongside. One shuffle on the group key; the struct packing is
+    * narrow. The compare is nested-type-safe because both engines'
+    * results are read back through the same reader. */
+  def nestedOrderLines(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+             col("l_quantity").as("qty")))).as("lines"),
+           count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 6)
+      .select(col("l_orderkey"), col("n_lines"), col("lines"))
+      .orderBy(col("l_orderkey"))
+
+  private val nestedOrderLinesOracle =
+    """SELECT l_orderkey, count(*) AS n_lines,
+      |  list_sort(list(struct_pack(ln := l_linenumber, qty := l_quantity))) AS lines
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |HAVING count(*) >= 6
+      |ORDER BY l_orderkey""".stripMargin
+
   /** TPC-H Q1-style scan+filter+aggregate: the canonical "does the filter
     * reach the parquet scan and does the aggregate combine map-side" probe.
     */
@@ -588,6 +612,7 @@ object Relational {
     "q1_agg"                 -> (q1Agg _),
     "q3_shipping_priority"   -> (q3Shipping _),
     "q5_local_supplier"      -> (q5LocalSupplier _),
+    "nested_order_lines"     -> (nestedOrderLines _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
     "anti_join_mailing_list" -> (antiJoinMailingList _),
     "semi_join_parents"      -> (semiJoinParents _),
@@ -616,6 +641,7 @@ object Relational {
     "flagship_revenue"       -> flagshipOracle,
     "q3_shipping_priority"   -> q3Oracle,
     "q5_local_supplier"      -> q5Oracle,
+    "nested_order_lines"     -> nestedOrderLinesOracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,
     "anti_join_mailing_list" -> antiJoinOracle,
