@@ -87,6 +87,14 @@ object EventStreams {
       col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
   }
+  /** Stream-static enrichment: join each streaming event to a static
+    * dimension frame (the canonical fact-stream x dim-table pattern).
+    * The static side needs no watermark and holds no join state — at
+    * scale it is broadcast (or re-read per micro-batch for slowly
+    * changing dims), so state stays bounded by definition. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, Seq("user_id"), "left")
+
   /** Custom sessionization via flatMapGroupsWithState: buffer events
     * per user, emit one closed-session record when the event-time
     * timeout fires (watermark passes last event + gap). Unlike

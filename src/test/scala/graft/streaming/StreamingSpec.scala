@@ -52,6 +52,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-static join enriches events with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = EventStreams.enrichWithDim(in.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(Ev(1, t(1), 1, "click", 1.0), Ev(2, t(2), 2, "view", 2.0),
+      Ev(3, t(3), 9, "click", 3.0)) // user 9 has no dim row
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
