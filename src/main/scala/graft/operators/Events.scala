@@ -241,6 +241,39 @@ object Events {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY event_id""".stripMargin
 
+  /** Forward-looking windows (lead): each event paired with the user's
+    * NEXT event type and the seconds until it — the conversion-funnel
+    * complement of the lag-based eventGaps. Limited to click events
+    * with a successor; rolled up per (event_type, next_type) so the
+    * output is a compact transition matrix. */
+  def nextEventFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("event_type") === "click" && col("next_type").isNotNull)
+      .select(col("next_type"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("wait_us"))
+      .groupBy(col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+           sum(col("wait_us")).as("sum_wait_us"),
+           min(col("wait_us")).as("min_wait_us"))
+      .orderBy(col("next_type"))
+  }
+
+  private val nextEventFunnelOracle =
+    """SELECT next_type, count(*) AS n_transitions,
+      |  CAST(sum(wait_us) AS BIGINT) AS sum_wait_us, min(wait_us) AS min_wait_us
+      |FROM (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts) AS wait_us
+      |  FROM events)
+      |WHERE event_type = 'click' AND next_type IS NOT NULL
+      |GROUP BY next_type
+      |ORDER BY next_type""".stripMargin
+
   /** Rank-family window functions (ntile / percent_rank / cume_dist)
     * per event_type over value — the quartile-bucketing / relative-
     * standing forms the earlier window queries don't cover. The order
@@ -269,6 +302,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rank_funcs"      -> (rankFuncs _),
+    "events_next_funnel"     -> (nextEventFunnel _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
@@ -282,6 +316,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_rank_funcs"      -> rankFuncsOracle,
+    "events_next_funnel"     -> nextEventFunnelOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,

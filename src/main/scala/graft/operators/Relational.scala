@@ -135,6 +135,28 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** Part-catalog profile per brand: size spread and integer-cents
+    * price stats — covers the part dimension beyond the skyline query
+    * (low-cardinality rollup, map-side combine). */
+  def partBrandProfile(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+           min(col("p_size")).as("min_size"),
+           max(col("p_size")).as("max_size"),
+           (sum(cents(col("p_retailprice"))) / 100.0).as("sum_price"),
+           countDistinct(col("p_type")).as("n_types"))
+      .orderBy(col("p_brand"))
+
+  private val partBrandProfileOracle =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  min(p_size) AS min_size, max(p_size) AS max_size,
+      |  sum(round(p_retailprice * 100)) / 100.0 AS sum_price,
+      |  count(DISTINCT p_type) AS n_types
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** Nested-data shaping: roll each order's line items into a sorted
     * array<struct> column (the denormalized document shape a feature
     * store / training-example builder emits), carrying the count
@@ -613,6 +635,7 @@ object Relational {
     "q3_shipping_priority"   -> (q3Shipping _),
     "q5_local_supplier"      -> (q5LocalSupplier _),
     "nested_order_lines"     -> (nestedOrderLines _),
+    "part_brand_profile"     -> (partBrandProfile _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
     "anti_join_mailing_list" -> (antiJoinMailingList _),
     "semi_join_parents"      -> (semiJoinParents _),
@@ -642,6 +665,7 @@ object Relational {
     "q3_shipping_priority"   -> q3Oracle,
     "q5_local_supplier"      -> q5Oracle,
     "nested_order_lines"     -> nestedOrderLinesOracle,
+    "part_brand_profile"     -> partBrandProfileOracle,
     "q1_agg"                 -> q1Oracle,
     "sql_extract_inlist"     -> inlistOracle,
     "anti_join_mailing_list" -> antiJoinOracle,
