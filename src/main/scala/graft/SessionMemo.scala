@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped get-or-build memo of cached DataFrames — the one
+  * implementation behind Tables.load and Dedup's shared intermediate
+  * frames.
+  *
+  * Keys hold the session weakly (stopped sessions drop their entries);
+  * values hold the DataFrame weakly because a DataFrame strongly
+  * references its SparkSession and a strong value would pin the
+  * WeakHashMap key forever (the classic value->key leak). If a weak
+  * value is collected, rebuilding is cheap and Spark's CacheManager
+  * dedupes the `.cache()` by plan, so no double-caching occurs.
+  *
+  * The lock guards only map access; `build` runs OUTSIDE it (it may
+  * trigger Spark jobs — materialization must not serialize unrelated
+  * sessions). A racing duplicate build is benign: first-put wins and
+  * CacheManager plan-dedup collapses the duplicate cache.
+  *
+  * `clear(session)` unpersists and drops everything memoized for a
+  * session — the release valve for long-lived applications cycling
+  * through many datasets. */
+final class SessionMemo {
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+
+  private def bySession(s: SparkSession) = synchronized {
+    memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+  }
+
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val m = bySession(s)
+    val cached = synchronized(m.get(key).flatMap(r => Option(r.get())))
+    cached.getOrElse {
+      val df = build.cache()
+      synchronized {
+        m.get(key).flatMap(r => Option(r.get())).getOrElse {
+          m(key) = new java.lang.ref.WeakReference(df)
+          df
+        }
+      }
+    }
+  }
+
+  /** Unpersist and forget every frame memoized for `s`. */
+  def clear(s: SparkSession): Unit = synchronized {
+    Option(memo.get(s)).foreach { m =>
+      m.values.flatMap(r => Option(r.get())).foreach(_.unpersist())
+      m.clear()
+    }
+  }
+}

@@ -12,33 +12,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reference's "push the SQL down to the source" design.
   */
 object Tables {
-  // Per-session memo of cached dimension tables: a query batch
-  // (Verify/Bench run all ~60 queries in one session) re-reads the
-  // same parquet dozens of times; caching the dimension-sized tables
-  // turns those repeat scans into in-memory columnar reads. The fact
-  // tables (lineitem, orders) stay uncached on purpose — at the 100 TB
-  // target facts stream from storage and rely on predicate pushdown /
-  // column pruning, which an InMemoryRelation would mask. Keyed weakly
-  // by session so stopped sessions drop their entries.
+  // Per-session memo of cached dimension tables (shared SessionMemo
+  // machinery — see its scaladoc): a query batch (Verify/Bench run all
+  // ~80 queries in one session) re-reads the same parquet dozens of
+  // times; caching the dimension-sized tables turns those repeat scans
+  // into in-memory columnar reads. The fact tables (lineitem, orders)
+  // stay uncached on purpose — at the 100 TB target facts stream from
+  // storage and rely on predicate pushdown / column pruning, which an
+  // InMemoryRelation would mask.
   private val factTables = Set("lineitem", "orders")
-  // values hold the DataFrame only weakly: a DataFrame strongly
-  // references its SparkSession, and a strong value would pin the
-  // WeakHashMap key forever (the classic value->key leak). If the weak
-  // ref is collected, re-reading is cheap and Spark's CacheManager
-  // dedupes the .cache() by plan, so no double-caching occurs.
-  private val memo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+  private[graft] val memo = new SessionMemo
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = synchronized {
-    val bySession = memo.computeIfAbsent(spark,
-      _ => scala.collection.mutable.Map.empty)
-    val key = s"$dir/$name"
-    bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      val df = if (factTables(name)) raw else raw.cache()
-      bySession(key) = new java.lang.ref.WeakReference(df)
-      df
-    }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    def read = spark.read.parquet(s"$dir/$name.parquet")
+    if (factTables(name)) read
+    else memo.getOrBuild(spark, s"$dir/$name")(read)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -53,25 +53,20 @@ object Dedup {
       |FROM documents GROUP BY text
       |ORDER BY keeper_id""".stripMargin
 
-  // Per-session memo of cached intermediate frames (same pattern and
-  // rationale as Tables.memo): ngramJaccard and minhashLsh both start
-  // from the identical capped shingle set, clusters reuses minhashLsh's
-  // pair list, and a Verify/Bench session runs all of them — sharing
-  // one InMemoryRelation per stage saves re-running the whole
+  // Per-session memo of cached intermediate frames (shared SessionMemo
+  // machinery): ngramJaccard and minhashLsh both start from the
+  // identical capped shingle set, clusters reuses minhashLsh's pair
+  // list, and a Verify/Bench session runs all of them — sharing one
+  // InMemoryRelation per stage saves re-running the whole
   // split+explode+hash pipeline (~3-5s per repeat at sf0.1).
-  private val memo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+  private val memo = new graft.SessionMemo
+
+  /** Release every cached dedup intermediate for a session — the
+    * valve for long-lived applications cycling through many corpora. */
+  def clearMemo(s: SparkSession): Unit = memo.clear(s)
 
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      val bySession = memo.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty)
-      bySession.get(key).flatMap(r => Option(r.get())).getOrElse {
-        val df = build.cache()
-        bySession(key) = new java.lang.ref.WeakReference(df)
-        df
-      }
-    }
+    memo.getOrBuild(s, key)(build)
 
   /** Distinct word-trigram shingles per doc, hot-shingle capped.
     * Shared (memoized per session) by the Jaccard + MinHash pipelines. */
@@ -425,9 +420,22 @@ object Dedup {
   def embeddingCosineOf(emb: DataFrame,
                         threshold: Double = 0.4,
                         nTables: Int = 20, bits: Int = 4): DataFrame = {
-    require(threshold >= 0.4,
-      s"threshold $threshold below the 0.4 floor the blocking parameters guarantee capture for")
     require(nTables >= 1 && bits >= 1, "need nTables >= 1 and bits >= 1")
+    // Enforce the capture analysis itself rather than just the default
+    // parameters: a threshold-boundary pair disagrees per sign bit with
+    // q = arccos(threshold)/pi, one table captures it (exact or one
+    // flipped bit) with p^bits + bits*p^(bits-1)*q, and the OR over
+    // tables must make a miss negligible — otherwise the result would
+    // silently violate the "every pair >= threshold" contract.
+    val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val p = 1.0 - q
+    val capturePerTable =
+      math.pow(p, bits) + bits * math.pow(p, bits - 1) * q
+    val missProb = math.pow(1.0 - capturePerTable, nTables)
+    require(missProb <= 1e-4,
+      f"LSH parameters (nTables=$nTables, bits=$bits) give miss probability " +
+      f"$missProb%.2g per threshold-boundary pair (need <= 1e-4); raise nTables " +
+      "or lower bits for this threshold")
     val s = emb.sparkSession
     val e = Similarity.withNorm(s, emb)
     // eager single materialization; GC-cleaned blocks (see
@@ -530,8 +538,12 @@ object Dedup {
 
   /** Frame-based connected components over any undirected pair frame
     * with `i`/`j` columns (extra columns ignored); returns
-    * (doc_id, cluster = component min). */
-  def clustersOf(pairs: DataFrame): DataFrame = {
+    * (doc_id, cluster = component min). `maxRounds` bounds the driver
+    * loop at the component diameter — near-dup graphs are shallow, but
+    * a caller clustering genuinely deep chain graphs should raise it
+    * (or switch to the logarithmic large-star/small-star rewrite the
+    * class doc cites). */
+  def clustersOf(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val p = pairs.select(col("i"), col("j"))
     val edges = p
       .union(p.select(col("j").as("i"), col("i").as("j")))
@@ -542,7 +554,8 @@ object Dedup {
     var rounds = 0
     while (changed > 0) {
       rounds += 1
-      require(rounds <= 50, s"component propagation did not converge in 50 rounds")
+      require(rounds <= maxRounds,
+        s"component propagation did not converge in $maxRounds rounds; raise maxRounds for deep components")
       val nbrMin = edges
         .join(labels.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nl")).as("nm"))

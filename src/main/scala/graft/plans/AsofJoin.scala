@@ -68,6 +68,15 @@ final case class AsofJoinExec(leftKey: Expression, rightKey: Expression,
                               leftTime: Expression, rightTime: Expression,
                               left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
+  // the merge unboxes times as Long and compares keys with one
+  // ordering — fail at planning with a readable message instead of an
+  // executor-side ClassCastException (AsofJoinOps checks this too, but
+  // the node and strategy are public)
+  require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+    s"as-of time expressions must be LongType (got ${leftTime.dataType}/${rightTime.dataType})")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key expressions must share a type (got ${leftKey.dataType} vs ${rightKey.dataType})")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -180,10 +189,19 @@ object AsofJoinOps {
             org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
           rightRaw)
       else rightRaw
+    // resolve like Spark does: honor spark.sql.caseSensitive and error
+    // on ambiguity instead of silently binding the first duplicate
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"no column '$name' on the $side side [${plan.output.map(_.name).mkString(", ")}]"))
+      plan.output.filter(a =>
+        if (caseSensitive) a.name == name else a.name.equalsIgnoreCase(name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$name' on the $side side [${plan.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$name' on the $side side (${many.size} matches)")
+      }
     val lk = attr(leftPlan, leftKey, "left")
     val rk = attr(rightPlan, rightKey, "right")
     val (lt, rt) = (attr(leftPlan, leftTime, "left"), attr(rightPlan, rightTime, "right"))
