@@ -63,6 +63,32 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(rows.last.getAs[Int]("n_tokens") == 5) // tail chunk
   }
 
+  test("LSH parameters that break the capture guarantee are rejected") {
+    import spark.implicits._
+    val emb = Seq((1L, (0 until 64).map(_.toFloat))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.embeddingCosineOf(emb, threshold = 0.4, nTables = 1))
+    assert(e.getMessage.contains("miss probability"))
+    // chunk geometry that would drop tokens is rejected too
+    val docs1 = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](
+      GraftOps.chunks(docs1, chunkSize = 10, stride = 20))
+  }
+
+  test("SessionMemo caches on build, reuses, and clear() unpersists") {
+    import org.apache.spark.storage.StorageLevel
+    val m = new graft.SessionMemo
+    var builds = 0
+    def build = { builds += 1; spark.range(100).toDF("v") }
+    val df = m.getOrBuild(spark, "k")(build)
+    assert(m.getOrBuild(spark, "k")(build) eq df) // reused, not rebuilt
+    assert(builds == 1)
+    df.count()
+    assert(df.storageLevel != StorageLevel.NONE)
+    m.clear(spark)
+    assert(df.storageLevel == StorageLevel.NONE) // released
+  }
+
   test("embedding cosine pairs over a caller embedding frame") {
     import spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
