@@ -150,13 +150,25 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Driver-gate projection of [[featureExtract]]: the harness comparator
+    * pandas-sorts result rows and cannot hash array cells, so the fixture
+    * emits the eight features as scalar columns `f0..f7`. The array form
+    * above stays the library API (spec-covered in MultimodalSpec). */
+  def featureExtractFlat(s: SparkSession, d: String): DataFrame = {
+    val flat = (0 until 8).map(i => col("features").getItem(i).as(s"f$i"))
+    featureExtract(s, d)
+      .select((col("doc_id") +: flat :+ col("feat_sum")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   private val featureExtractOracle = {
     val feats = (0 until 8)
-      .map(i => s"('0x' || substr(md5(text), ${i * 3 + 1}, 3))::BIGINT")
+      .map(i => s"('0x' || substr(md5(text), ${i * 3 + 1}, 3))::BIGINT AS f$i")
       .mkString(", ")
-    s"""SELECT doc_id, [$feats] AS features,
-       |  CAST(list_sum([$feats]) AS BIGINT) AS feat_sum
-       |FROM documents
+    val sum = (0 until 8).map(i => s"f$i").mkString(" + ")
+    s"""SELECT doc_id, f0, f1, f2, f3, f4, f5, f6, f7,
+       |  CAST($sum AS BIGINT) AS feat_sum
+       |FROM (SELECT doc_id, $feats FROM documents)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -165,7 +177,7 @@ object Multimodal {
     "multimodal_decode_stub"     -> (decodeStub _),
     "multimodal_frame_sample"    -> (frameSample _),
     "multimodal_resize_plan"     -> (resizePlan _),
-    "multimodal_feature_extract" -> (featureExtract _),
+    "multimodal_feature_extract" -> (featureExtractFlat _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -161,8 +161,9 @@ object Relational {
     * array<struct> column (the denormalized document shape a feature
     * store / training-example builder emits), carrying the count
     * alongside. One shuffle on the group key; the struct packing is
-    * narrow. The compare is nested-type-safe because both engines'
-    * results are read back through the same reader. */
+    * narrow. This array<struct> form is the library API; the driver's
+    * pandas-based comparator cannot hash array cells, so the fixture
+    * query is the long-form projection [[nestedOrderLinesLong]]. */
   def nestedOrderLines(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
@@ -173,13 +174,24 @@ object Relational {
       .select(col("l_orderkey"), col("n_lines"), col("lines"))
       .orderBy(col("l_orderkey"))
 
+  /** Driver-gate projection of [[nestedOrderLines]]: each packed struct
+    * exploded back to one scalar row `(l_orderkey, n_lines, ln, qty)` —
+    * exercises the same groupBy/collect_list/sort_array pipeline while
+    * keeping every output cell hashable by the harness comparator. */
+  def nestedOrderLinesLong(s: SparkSession, d: String): DataFrame =
+    nestedOrderLines(s, d)
+      .select(col("l_orderkey"), col("n_lines"), explode(col("lines")).as("line"))
+      .select(col("l_orderkey"), col("n_lines"),
+        col("line.ln").as("ln"), col("line.qty").as("qty"))
+      .orderBy(col("l_orderkey"), col("ln"))
+
   private val nestedOrderLinesOracle =
-    """SELECT l_orderkey, count(*) AS n_lines,
-      |  list_sort(list(struct_pack(ln := l_linenumber, qty := l_quantity))) AS lines
+    """SELECT l_orderkey, n_lines, l_linenumber AS ln, l_quantity AS qty
       |FROM lineitem
-      |GROUP BY l_orderkey
-      |HAVING count(*) >= 6
-      |ORDER BY l_orderkey""".stripMargin
+      |JOIN (SELECT l_orderkey, count(*) AS n_lines
+      |      FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6) g
+      |USING (l_orderkey)
+      |ORDER BY l_orderkey, ln""".stripMargin
 
   /** TPC-H Q1-style scan+filter+aggregate: the canonical "does the filter
     * reach the parquet scan and does the aggregate combine map-side" probe.
@@ -634,7 +646,7 @@ object Relational {
     "q1_agg"                 -> (q1Agg _),
     "q3_shipping_priority"   -> (q3Shipping _),
     "q5_local_supplier"      -> (q5LocalSupplier _),
-    "nested_order_lines"     -> (nestedOrderLines _),
+    "nested_order_lines"     -> (nestedOrderLinesLong _),
     "part_brand_profile"     -> (partBrandProfile _),
     "sql_extract_inlist"     -> (sqlExtractInlist _),
     "anti_join_mailing_list" -> (antiJoinMailingList _),

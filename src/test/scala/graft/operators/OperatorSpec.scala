@@ -117,6 +117,41 @@ class OperatorSpec extends AnyFunSuite {
       s"missing=${(brute -- blocked).size} extra=${(blocked -- brute).size}")
   }
 
+  test("featureExtract array form agrees with the flat fixture projection") {
+    // the driver gate checks featureExtractFlat; this ties the
+    // array-typed library form to it cell-for-cell
+    val arr = Multimodal.featureExtract(spark, sf)
+      .select(col("doc_id"), col("features"), col("feat_sum"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    val flat = Multimodal.featureExtractFlat(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (1 to 8).map(r.getLong).toList, r.getLong(9)))
+      .toSeq.sortBy(_._1)
+    assert(arr == flat)
+    assert(arr.forall { case (_, fs, s) => fs.length == 8 && fs.sum == s })
+  }
+
+  test("nestedOrderLines array form agrees with the long fixture projection") {
+    val arr = Relational.nestedOrderLines(spark, sf)
+      .select(col("l_orderkey"), col("n_lines"), explode(col("lines")).as("l"))
+      .select(col("l_orderkey"), col("n_lines"), col("l.ln"), col("l.qty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val long = Relational.nestedOrderLinesLong(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(arr == long && arr.nonEmpty)
+    // array form invariant: lines are sorted by ln and count matches
+    Relational.nestedOrderLines(spark, sf).collect().foreach { r =>
+      val lns = r.getSeq[org.apache.spark.sql.Row](2).map(_.getInt(0))
+      assert(lns == lns.sorted && lns.size == r.getLong(1))
+    }
+  }
+
   test("minhash LSH candidates contain every true high-jaccard pair (sf0.001)") {
     // LSH with 4x4 bands at est>=0.5 must recover pairs the exact
     // n-gram jaccard marks as >= 0.7 (banding guarantees kick in well
