@@ -46,7 +46,7 @@ object DevProfile {
       case "cosparts" =>
         import org.apache.spark.sql.functions._
         val d = dirs.head
-        val sigs = operators.Similarity.signatures(spark, d, 20, 4).cache()
+        val sigs = operators.Similarity.signatures(spark, d, 20, 4).localCheckpoint()
         t("sigs")(sigs.count())
         val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
           explode(expr(s"concat(array(sig), transform(sequence(0, 3), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))

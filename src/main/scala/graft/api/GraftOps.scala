@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.plans.AsofJoinOps
 
@@ -63,6 +63,13 @@ object GraftOps {
   def incrementalDedupWithIndexes(textHashes: DataFrame, bands: DataFrame,
                                   batch: DataFrame): DataFrame =
     Dedup.incrementalWithIndexes(textHashes, bands, batch)
+
+  /** IVF approximate top-5 cosine neighbors over a caller embedding
+    * frame; `isQuery` selects the query rows. Centroid seeding is
+    * id-layout independent (portable-hash pick, not id-range). */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
 
   // ---- text ----
 

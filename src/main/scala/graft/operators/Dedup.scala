@@ -438,23 +438,26 @@ object Dedup {
       "or lower bits for this threshold")
     val s = emb.sparkSession
     val e = Similarity.withNorm(s, emb)
-    // eager single materialization; GC-cleaned blocks (see
-    // minhashPairsFromShingles note)
-    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint()
-    val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
-      explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
-    val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
     val cos = Similarity.cosine
     // Candidate rows repeat per matching (table, probe) — instead of a
     // distinct over the raw candidate stream (a multi-million-row
     // shuffle), score the codegen'd cosine on every occurrence via
-    // broadcast vector lookups and dedupe only the few rows that
-    // survive the threshold (measured 3x faster end-to-end). At corpus
-    // scale the broadcast hint goes and AQE picks the join side.
-    probes.join(idx, Seq("tbl", "bucket"))
-      .filter(col("i") < col("j"))
-      .join(broadcast(e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na"))), Seq("i"))
-      .join(broadcast(e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb"))), Seq("j"))
+    // vector lookups and dedupe only the few rows that survive the
+    // threshold (measured 3x faster end-to-end). The lookup joins take
+    // a broadcast hint only when the optimizer's own size estimate
+    // fits the session's broadcast threshold — an unconditional hint
+    // would OOM the driver on a 100 GB embedding frame, where the
+    // right call (shuffle join or AQE promotion) is the planner's.
+    val thr = org.apache.spark.sql.graft.PlanDf.autoBroadcastThreshold(s)
+    val hintOk = thr > 0 &&
+      org.apache.spark.sql.graft.PlanDf.statsSizeInBytes(e) <= thr
+    def lookup(as: String, v: String, n: String): DataFrame = {
+      val sel = e.select(col("vec_id").as(as), col("embedding").as(v), col("nrm").as(n))
+      if (hintOk) broadcast(sel) else sel
+    }
+    embeddingCandidates(emb, nTables, bits)
+      .join(lookup("i", "va", "na"), Seq("i"))
+      .join(lookup("j", "vb", "nb"), Seq("j"))
       .select(col("i"), col("j"), cos.as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
@@ -462,17 +465,40 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** The non-distinct LSH candidate (i, j) stream behind
+    * embeddingCosineOf: pairs sharing a (table, bucket) exactly or at
+    * one flipped signature bit, keyed equi-join only. Exposed so specs
+    * can assert the candidate set is genuinely sub-quadratic at
+    * production thresholds (count distinct pairs vs n(n-1)/2). */
+  private[graft] def embeddingCandidates(emb: DataFrame,
+                                         nTables: Int, bits: Int): DataFrame = {
+    val s = emb.sparkSession
+    // eager single materialization; GC-cleaned blocks (see
+    // minhashPairsFromShingles note)
+    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint()
+    val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
+      explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
+    val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
+    probes.join(idx, Seq("tbl", "bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+  }
+
   /** The exhaustive all-pairs form — blocked-path recall baseline for
     * specs only; its BroadcastNestedLoopJoin is the scale-killer the
     * LSH blocking in embeddingCosine exists to avoid. */
-  private[graft] def embeddingCosineBrute(s: SparkSession, d: String): DataFrame = {
-    val e = Similarity.withNorm(s, Tables.embeddings(s, d))
+  private[graft] def embeddingCosineBrute(s: SparkSession, d: String): DataFrame =
+    embeddingCosineBruteOf(Tables.embeddings(s, d))
+
+  private[graft] def embeddingCosineBruteOf(emb: DataFrame,
+                                            threshold: Double = 0.4): DataFrame = {
+    val e = Similarity.withNorm(emb.sparkSession, emb)
     val cos = Similarity.cosine
     e.select(col("vec_id").as("i"), col("embedding").as("va"), col("nrm").as("na")).as("a")
       .join(e.select(col("vec_id").as("j"), col("embedding").as("vb"), col("nrm").as("nb")).as("b"),
         col("i") < col("j"))
       .select(col("i"), col("j"), cos.as("cos_raw"))
-      .filter(col("cos_raw") >= 0.4)
+      .filter(col("cos_raw") >= threshold)
       .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
       .orderBy(col("i"), col("j"))
   }

@@ -117,14 +117,17 @@ object Similarity {
   def lshTopk(s: SparkSession, d: String): DataFrame = {
     val nTables = 8
     val k = 6
-    val sigs = signatures(s, d, nTables, k).cache()
+    // localCheckpoint, not cache: eager single materialization whose
+    // blocks are GC'd with the frame, so repeated library calls don't
+    // accumulate pinned storage (same policy as Dedup's intermediates)
+    val sigs = signatures(s, d, nTables, k).localCheckpoint()
     // probe buckets: own sig + each one-bit flip, per table
     val probes = sigs
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("tbl"),
         explode(expr(s"concat(array(sig), transform(sequence(0, ${k - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
     val cands = sigs.select(col("vec_id").as("nid"), col("tbl"), col("sig").as("bucket"))
-    val vecs = withNorm(s, Tables.embeddings(s, d)).cache()
+    val vecs = withNorm(s, Tables.embeddings(s, d)).localCheckpoint()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_raw").desc, col("nid").asc)
     probes.join(cands, Seq("tbl", "bucket"))
@@ -149,20 +152,32 @@ object Similarity {
     * join against a tiny centroid table and candidate search touches
     * ~nProbe/nCells of the corpus. No SQL oracle (approximate); the
     * spec checks recall vs bruteTopk. */
-  def ivfTopk(s: SparkSession, d: String): DataFrame = {
+  def ivfTopk(s: SparkSession, d: String): DataFrame =
+    ivfTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
+
+  /** Frame-based IVF top-k over any (vec_id, embedding) frame;
+    * `isQuery` selects the query rows. Centroid seeding is id-layout
+    * independent: the nCells lowest portable-hash ids (a TakeOrdered,
+    * not a full sort), so frames whose ids start at 10^6 — or are
+    * arbitrary longs — seed identically well. */
+  private[graft] def ivfTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column,
+                               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     VectorOps.registerVecDot(s)
-    val nCells = 16
-    val nProbe = 4
-    val e = withNorm(s, Tables.embeddings(s, d)).cache()
+    // localCheckpoint, not cache: eager, GC-cleaned blocks (see lshTopk)
+    val e = withNorm(s, emb).localCheckpoint()
     // The centroid table is driver-resident by design (k-means
     // centroids are the canonical tiny broadcast state; nCells rows).
     // Attaching it as an exploded literal keeps the assignment plan a
     // Generate node — a crossJoin(broadcast(...)) of the same data
     // plans as BroadcastNestedLoopJoin, which the plan-hygiene spec
-    // forbids. Seeds are the first nCells vectors (deterministic).
-    val seed: Seq[(Int, Seq[Float])] = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+    // forbids. Seeds: deterministic pseudo-random pick by portable id
+    // hash, re-labelled 0..nCells-1 on the driver.
+    val seed: Seq[(Int, Seq[Float])] = e
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(Portable.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCells)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
     def assign(cents: Seq[(Int, Seq[Float])]): DataFrame =
       e.select(col("vec_id"), col("nrm"), col("embedding"),
           explode(typedlit(cents)).as("c"))
@@ -181,9 +196,9 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cv"))
       .select(col("cell").as("cid"), col("cv"))
       .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val cells = e.join(assign(refined), Seq("vec_id")).cache()
+    val cells = e.join(assign(refined), Seq("vec_id")).localCheckpoint()
     // queries probe their nProbe nearest refined cells
-    val probes = e.filter(col("vec_id") < 20)
+    val probes = e.filter(isQuery)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(typedlit(refined)).as("c"))
       .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"),

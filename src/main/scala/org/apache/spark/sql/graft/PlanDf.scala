@@ -13,4 +13,15 @@ object PlanDf {
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The session's broadcast-join size threshold in bytes (<= 0 when
+    * auto-broadcast is disabled). `sessionState` is `private[sql]`,
+    * hence exposed from this subpackage. */
+  def autoBroadcastThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
+  /** Optimizer size estimate for a frame (bytes) — what the planner
+    * itself would consult for broadcast decisions; no jobs run. */
+  def statsSizeInBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
 }

@@ -89,6 +89,67 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(df.storageLevel == StorageLevel.NONE) // released
   }
 
+  test("broadcast hint is withheld when auto-broadcast is disabled") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 40).map(i =>
+      (i.toLong, IndexedSeq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    SparkSpec.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = graft.operators.Dedup.embeddingCosineOf(emb)
+      df.collect() // finalize the adaptive plan through this Dataset
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+        "embedding-side joins must not broadcast when the threshold forbids it")
+    }
+    // and with the default threshold the small frame IS broadcast
+    val df2 = graft.operators.Dedup.embeddingCosineOf(emb)
+    df2.collect()
+    assert(df2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("embedding LSH blocking is sub-quadratic at production threshold (cos >= 0.8)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def randVec() = IndexedSeq.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 150).map(i => (i.toLong, randVec()))
+    // planted near-dups: cos(v, 0.95v + 0.31w) ~ 0.95 for near-orthogonal
+    // random w in 64-d — comfortably above the 0.8 threshold, while
+    // random base pairs sit at cos ~ N(0, 1/64), 6+ sigma below it
+    val planted = (0 until 15).map { i =>
+      (1000L + i, bases(i)._2.zip(randVec()).map { case (x, y) => (x * 0.95 + y * 0.31).toFloat })
+    }
+    val emb = (bases ++ planted).toDF("vec_id", "embedding")
+    val nTables = 66; val bits = 16 // miss prob 9.4e-5 at the 0.8 boundary
+    val blocked = graft.operators.Dedup
+      .embeddingCosineOf(emb, threshold = 0.8, nTables = nTables, bits = bits)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = graft.operators.Dedup.embeddingCosineBruteOf(emb, threshold = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"missing=${brute -- blocked} extra=${blocked -- brute}")
+    assert(brute.size >= 15) // every planted pair qualifies
+    // the point of the production threshold: the candidate set is a
+    // small fraction of all pairs, not near-all-pairs as at cos 0.4
+    val n = 165L
+    val candidates = graft.operators.Dedup
+      .embeddingCandidates(emb, nTables, bits).distinct().count()
+    assert(candidates < n * (n - 1) / 2 / 10,
+      s"$candidates candidates of ${n * (n - 1) / 2} pairs — blocking isn't pruning")
+  }
+
+  test("ivf top-k seeds centroids independent of id layout") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // ids offset by 10^6: the old vec_id < nCells seeding finds zero rows here
+    val emb = (0 until 200).map(i =>
+      (1000000L + i, IndexedSeq.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val res = GraftOps.ivfTopK(emb, org.apache.spark.sql.functions.col("vec_id") < 1000020L)
+      .collect()
+    assert(res.length == 100) // 20 queries x top-5
+    assert(res.forall(r => r.getLong(0) >= 1000000L && r.getLong(2) >= 1000000L))
+  }
+
   test("embedding cosine pairs over a caller embedding frame") {
     import spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
