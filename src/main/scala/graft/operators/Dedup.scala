@@ -69,9 +69,14 @@ object Dedup {
     memo.getOrBuild(s, key)(build)
 
   /** Distinct word-trigram shingles per doc, hot-shingle capped.
-    * Shared (memoized per session) by the Jaccard + MinHash pipelines. */
+    * Shared (memoized per session) by the Jaccard + MinHash pipelines.
+    * The memoized build is localCheckpointed: the split+explode+window
+    * lineage is cut once, so every consumer's plan starts from the
+    * materialized blocks instead of replaying (and double-printing)
+    * the shingle subtree per join side. */
   private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
-    memoized(s, s"shingles:$d#$maxDf")(shinglesOf(Tables.documents(s, d), maxDf))
+    memoized(s, s"shingles:$d#$maxDf")(
+      shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint())
 
   private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
     val sh0 = docs
@@ -80,11 +85,16 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
     // hot-shingle document-frequency cap as a count window: one shuffle
-    // on sh (a groupBy+self-join formulation costs three)
+    // on sh (a groupBy+self-join formulation costs three). The per-doc
+    // capped-shingle count `n` rides along for the Jaccard pipeline;
+    // consumers that ignore it (minhash) don't pay — column pruning
+    // drops the unused window expression and its exchange.
     sh0.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("sh"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("sh"), col("n"))
   }
 
   /** Ordered (i < j) candidate pairs sharing a bucket key: a keyed
@@ -138,14 +148,17 @@ object Dedup {
     ngramJaccardFromShingles(shingles(s, d, 50))
 
   private def ngramJaccardFromShingles(shf: DataFrame): DataFrame = {
-    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = pairsOnKey(shf, "doc_id", Seq("sh"))
+    // the per-doc shingle count `n` (computed in shinglesOf) rides into
+    // the pair join, so the union sizes |A|, |B| come out of the pair
+    // aggregation itself (max of a per-i/per-j constant) instead of
+    // two post-agg joins back to a sizes frame — 4 fewer exchanges
+    val pairs = shf.select(col("doc_id").as("i"), col("sh"), col("n").as("na"))
+      .join(shf.select(col("doc_id").as("j"), col("sh"), col("n").as("nb")), Seq("sh"))
+      .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
     val jacRaw = col("c").cast("double") / (col("na") + col("nb") - col("c"))
     pairs
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
       .filter(jacRaw >= 0.5)
       .select(col("i"), col("j"), Portable.roundK(jacRaw, 4).as("jac"))
       .orderBy(col("i"), col("j"))
@@ -217,9 +230,17 @@ object Dedup {
       .filter(col("rn") === 1) // in-batch exact dedup, lowest id wins
       .join(exTextHashes, Seq("thash"), "left_anti") // vs corpus
       .drop("rn")
+      // eager single materialization (O(batch), GC-cleaned blocks):
+      // batchKeep feeds both the band computation and the final
+      // anti-join — without the cut its window+anti subtree plans and
+      // runs twice
+      .localCheckpoint()
+    // no distinct on the near-dup ids: the anti-join below is
+    // indifferent to duplicate right-side keys, so the extra shuffle
+    // bought nothing
     val nearDup = bandKeys(minhashSigs(batchKeep, 50))
       .join(exBands, Seq("band", "bkey"), "left_semi")
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"))
     batchKeep.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
   }

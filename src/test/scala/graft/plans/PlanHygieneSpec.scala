@@ -29,4 +29,20 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"nested-loop plans in: ${offenders.mkString(", ")}")
   }
+
+  test("no query exceeds the shuffle-exchange budget") {
+    // Generous ceiling (the audited worst case is 6 after the round-3
+    // trims; most queries sit at 1-3): a regression that quietly
+    // doubles a query's shuffles fails here before it reaches a bench.
+    // Counts what PlanAudit counts — shuffle exchanges in the physical
+    // plan text, cached/checkpointed subtrees excluded by construction.
+    val budget = 8
+    val exchange = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val n = exchange.findAllIn(plan).size
+      if (n > budget) Some(s"$name($n)") else None
+    }
+    assert(over.isEmpty, s"over the $budget-exchange budget: ${over.mkString(", ")}")
+  }
 }
