@@ -25,6 +25,12 @@ trait RemoteFs {
     * branch). */
   def putFile(relDir: String, fileName: String, localPath: String): String =
     put(relDir, fileName, Files.readAllBytes(Paths.get(localPath)))
+  /** The destination directory as a path Spark tasks can write to
+    * directly, when this filesystem is a mount (SMB shares are OS
+    * mounts; the reference's loads write through them). None for
+    * protocol-only transports (SFTP), which must take the driver-side
+    * byte path. Enables the distributed ShareSink load route. */
+  def mountPath(relDir: String): Option[String] = None
 }
 
 /** Local-directory implementation (tests + offline harness). */
@@ -49,4 +55,6 @@ final class LocalFs(root: String) extends RemoteFs {
     Files.write(target, bytes)
     target.toString
   }
+  override def mountPath(relDir: String): Option[String] =
+    Some(resolve(relDir).toString)
 }

@@ -21,6 +21,14 @@ import graft.model._
   *                    read, extractor.py:63 intent, fixing defect D6)
   * @param today       injected clock for macros (SURVEY §7.5)
   * @param nowMs       injected millis clock for run/response timestamps
+  * @param distributedLoadThresholdBytes table file-loads whose optimizer
+  *                    size estimate exceeds this take the distributed
+  *                    ShareSink route (per-partition writers, two-phase
+  *                    commit) when the destination is mounted; below it
+  *                    the reference-parity single driver-side CSV buffer
+  *                    is used. A 100 TB table can never transit the
+  *                    driver; a 2 KB report shouldn't pay a commit
+  *                    protocol.
   */
 final case class Connectors(
     runSql: (SqlSource, String, Seq[Any]) => DataFrame,
@@ -28,7 +36,8 @@ final case class Connectors(
     emailOutDir: String = "target/tmp/emails",
     queryFiles: String => String = n => throw new NoSuchElementException(s"no query file '$n'"),
     today: LocalDate = LocalDate.now(),
-    nowMs: () => Long = () => System.currentTimeMillis())
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    distributedLoadThresholdBytes: Long = 256L * 1024 * 1024)
 
 /** Table-level user transform (SURVEY §2.8): named step outputs in,
   * named step outputs out — DataFrames stay lazy Catalyst plans inside.
@@ -148,13 +157,37 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
         case PathOut(path, fileName) =>
           (fsImpl.putFile(s.remoteDir, fileName, path), None)
         case TableOut(df) =>
-          // table -> single CSV artifact on the share (df_to_csv_buffer
-          // + put). The record count comes from a CSV-aware parse of
-          // the written artifact (one materialization of the lineage;
-          // see CsvCodec.encodeWithCount) — a raw line count would
-          // overcount quoted embedded newlines.
-          val (bytes, n) = CsvCodec.encodeWithCount(df)
-          (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes), Some(n))
+          val est = org.apache.spark.sql.graft.PlanDf.statsSizeInBytes(df)
+          val mount = fsImpl.mountPath(s.remoteDir)
+          if (est > conn.distributedLoadThresholdBytes && mount.isDefined) {
+            // scale route: per-partition DataWriters staging to the
+            // mounted share with two-phase commit (graft.sources
+            // .ShareSink) — the table never transits the driver. The
+            // record count is the sum of per-part rows recorded in the
+            // committed _MANIFEST (no second pass over the data).
+            val target = java.nio.file.Paths
+              .get(mount.get, s"${s.input}.csv.d").toString
+            df.write.format("graft.sources.ShareSink")
+              .option("path", target).mode("append").save()
+            val n = java.nio.file.Files
+              .readAllLines(java.nio.file.Paths.get(target, "_MANIFEST"))
+              .stream().skip(1).filter(l => !l.isEmpty)
+              .mapToLong(l => l.substring(l.lastIndexOf(',') + 1).toLong).sum()
+            (target, Some(n))
+          } else {
+            if (est > conn.distributedLoadThresholdBytes)
+              log.warn(s"load '${s.name}': table estimate $est bytes exceeds the " +
+                "distributed threshold but the destination exposes no mount; " +
+                "falling back to the driver-side buffer")
+            // reference-parity route: single CSV artifact
+            // (df_to_csv_buffer + put). The record count comes from a
+            // CSV-aware parse of the written artifact (one
+            // materialization of the lineage; see CsvCodec
+            // .encodeWithCount) — a raw line count would overcount
+            // quoted embedded newlines.
+            val (bytes, n) = CsvCodec.encodeWithCount(df)
+            (fsImpl.put(s.remoteDir, s"${s.input}.csv", bytes), Some(n))
+          }
         case other => throw new IllegalArgumentException(
           s"step '${s.name}': cannot file-load ${other.getClass.getSimpleName}")
       }

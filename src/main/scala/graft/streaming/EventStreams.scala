@@ -137,6 +137,41 @@ object EventStreams {
       }
       .toDF("user_id", "n_events", "first_sec", "last_sec")
   }
+  /** Replay-idempotent ShareSink micro-batch writer: each batch lands
+    * in its own `batch-<id>` directory whose committed `_MANIFEST` is
+    * the marker — a batch replayed after a crash-before-checkpoint
+    * finds the marker and is skipped, so the sink stays exactly-once
+    * even though foreachBatch itself is at-least-once. Returns whether
+    * this call wrote. */
+  def writeBatchToShare(batch: DataFrame, outDir: String, batchId: Long): Boolean = {
+    val dir = java.nio.file.Paths.get(outDir, f"batch-$batchId%05d")
+    if (java.nio.file.Files.exists(dir.resolve("_MANIFEST"))) false
+    else {
+      batch.write.format("graft.sources.ShareSink")
+        .option("path", dir.toString).mode("append").save()
+      true
+    }
+  }
+
+  /** End-to-end streaming dedup -> committed share files: watermarked
+    * exactly-once-per-id dedup (bounded state, see dedupeStream)
+    * feeding the two-phase-commit ShareSink through an idempotent
+    * foreachBatch. The checkpoint carries both the source offsets and
+    * the dedup state store, so a stopped/crashed query restarted on
+    * the same checkpoint keeps suppressing ids it saw before the
+    * restart. Columns are cast to ShareSink's atomic types. */
+  def dedupToShare(events: DataFrame, outDir: String,
+                   checkpoint: String,
+                   watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupeStream(events, watermark)
+      .select(col("event_id"), col("ts").cast("long").as("ts_sec"),
+        col("user_id"), col("event_type"), col("value"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchToShare(batch, outDir, batchId): Unit
+      }
+      .start()
 }
 
 /** State record for EventStreams.runningUserTotals. */

@@ -121,6 +121,28 @@ class RunnerSpec extends AnyFunSuite {
     assert(orderCust.subsetOf(ids.map(_.asInstanceOf[Long]).toSet))
   }
 
+  test("a table load above the size threshold takes the distributed ShareSink route") {
+    val (stream, conn0, outRoot, _) = buildHarness()
+    // threshold 0: every table estimate exceeds it, forcing the
+    // distributed route for the mounted report_share destination
+    val conn = conn0.copy(distributedLoadThresholdBytes = 0L)
+    val state = new StreamRunner(spark, stream, functions, conn).run()
+    assert(state.status == "success")
+    assert(state.destResponses.head.status == "success")
+    // committed artifact: part files + _MANIFEST in the .csv.d dir,
+    // no staging leftovers
+    val dir = Paths.get(outRoot, "reports", "daily", "report_table.csv.d")
+    assert(Files.exists(dir.resolve("_MANIFEST")))
+    val listed = Files.list(dir).iterator()
+    val names = Iterator.continually(listed).takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+    assert(names.exists(_.startsWith("part-")))
+    assert(!names.exists(_.startsWith("_tmp_")))
+    // recordsProcessed (manifest row sum) matches the table count
+    val expected = state.stepOutputs("report_table").asInstanceOf[TableOut].df.count()
+    assert(expected > 0)
+    assert(state.destResponses.head.recordsProcessed.contains(expected))
+  }
+
   test("load failures are captured; extract failures are fatal (loader.py:53-59 vs errors.py)") {
     val (stream, conn, _, _) = buildHarness()
     // break the file destination: point it at an unwritable path

@@ -128,6 +128,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("streaming dedup -> ShareSink e2e survives stop-and-restart with state intact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val out = Files.createTempDirectory("graft_share_stream").toString
+    val ckpt = Files.createTempDirectory("graft_share_ckpt").toString
+    val in = MemoryStream[Ev]
+
+    val q1 = EventStreams.dedupToShare(in.toDF(), out, ckpt)
+    in.addData(
+      Ev(1, t(5), 1, "click", 1.0), Ev(1, t(5), 1, "click", 1.0), // in-batch dup
+      Ev(2, t(6), 2, "view", 2.0))
+    q1.processAllAvailable()
+    q1.stop() // "crash": the query goes away, checkpoint + state remain
+
+    // restart on the same checkpoint: the dedup state store must still
+    // suppress id 1, and the sink keeps appending new batch dirs
+    val q2 = EventStreams.dedupToShare(in.toDF(), out, ckpt)
+    in.addData(
+      Ev(1, t(7), 1, "click", 1.0), // duplicate from BEFORE the restart
+      Ev(3, t(8), 3, "click", 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // committed batch dirs: every _MANIFEST present, no staging litter
+    val batchDirs = Files.list(Paths.get(out)).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("batch-")).sortBy(_.toString)
+    assert(batchDirs.nonEmpty)
+    batchDirs.foreach { d =>
+      assert(Files.exists(d.resolve("_MANIFEST")), s"uncommitted batch dir $d")
+      val names = Files.list(d).iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(!names.exists(_.startsWith("_tmp_")))
+    }
+    // exactly one landed row per unique event_id across the whole run
+    def manifestRows(d: java.nio.file.Path): Long =
+      Files.readAllLines(d.resolve("_MANIFEST")).asScala.drop(1)
+        .filter(_.nonEmpty).map(l => l.substring(l.lastIndexOf(',') + 1).toLong).sum
+    assert(batchDirs.map(manifestRows).sum == 3L) // ids 1, 2, 3 once each
+    // and the landed CSV rows really are the three unique ids
+    val landed = batchDirs.flatMap { d =>
+      Files.readAllLines(d.resolve("_MANIFEST")).asScala.drop(1).filter(_.nonEmpty)
+        .map(l => d.resolve(l.split(",")(0)))
+    }.flatMap(p => Files.readAllLines(p).asScala)
+      .map(_.split(",")(0).toLong).sorted
+    assert(landed == Seq(1L, 2L, 3L))
+    // replaying a committed batch is a no-op (the crash-replay guard)
+    import org.apache.spark.sql.functions.lit
+    val replayed = spark.range(1).select(
+      lit(99L).as("event_id"), lit(0L).as("ts_sec"), lit(9L).as("user_id"),
+      lit("x").as("event_type"), lit(0.0).as("value"))
+    val firstCommitted = batchDirs.head.getFileName.toString.stripPrefix("batch-").toLong
+    assert(!EventStreams.writeBatchToShare(replayed, out, firstCommitted))
+    assert(batchDirs.map(manifestRows).sum == 3L) // unchanged
+  }
+
   test("flatMapGroupsWithState emits closed sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
