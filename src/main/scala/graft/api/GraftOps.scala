@@ -37,6 +37,12 @@ object GraftOps {
   /** Near-dup pairs by SimHash half-band blocking (hamming <= 1). */
   def simhashPairs(docs: DataFrame): DataFrame = Dedup.simhashPairsOf(docs)
 
+  /** Directional quote-inclusion near-dups: max containment >= 0.9
+    * (catches a short doc quoted wholesale inside a long one, which
+    * Jaccard misses). */
+  def containmentPairs(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    Dedup.containmentPairsOf(docs, maxDf)
+
   /** Embedding near-dup pairs: exact cosine >= threshold inside
     * random-hyperplane LSH blocks. */
   def embeddingCosinePairs(embeddings: DataFrame,
@@ -70,6 +76,13 @@ object GraftOps {
   def ivfTopK(embeddings: DataFrame, isQuery: Column,
               nCells: Int = 16, nProbe: Int = 4): DataFrame =
     Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
+
+  /** Interleaved z-value of two `bits`-bit grid coordinates — sort or
+    * range-partition by it to co-locate rows close in both dimensions
+    * (file-level min/max pruning for 2-D predicates; see ZOrderSpec). */
+  def zOrderValue(cx: org.apache.spark.sql.Column, cy: org.apache.spark.sql.Column,
+                  bits: Int = 6): org.apache.spark.sql.Column =
+    graft.operators.Profiling.zValue(cx, cy, bits)
 
   // ---- text ----
 

@@ -175,6 +175,44 @@ object Dedup {
        |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.5
        |ORDER BY i, j""".stripMargin
 
+  /** Shingle-containment near-dup pairs: max(|A∩B|/|A|, |A∩B|/|B|)
+    * >= 0.9 — the directional measure Jaccard misses. A short document
+    * quoted wholesale inside a long one has tiny Jaccard (the union is
+    * dominated by the long doc) but containment ~1; training-data dedup
+    * cares about exactly that quote-inclusion shape. Same inverted
+    * shingle index and keyed self-join as the Jaccard pipeline (the
+    * memoized frame is shared), one extra max. */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(shingles(s, d, 50))
+
+  def containmentPairsOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    containmentOf(shinglesOf(docs, maxDf))
+
+  private def containmentOf(shf: DataFrame): DataFrame = {
+    val pairs = shf.select(col("doc_id").as("i"), col("sh"), col("n").as("na"))
+      .join(shf.select(col("doc_id").as("j"), col("sh"), col("n").as("nb")), Seq("sh"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+    val cont = greatest(col("c") / col("na"), col("c") / col("nb"))
+    pairs
+      .filter(cont >= 0.9)
+      .select(col("i"), col("j"), Portable.roundK(cont, 4).as("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val containmentOracle =
+    s"""WITH $shinglesSql,
+       |szc AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT i, j,
+       |  round(greatest(c / sa.n, c / sb.n) * 10000) / 10000 AS containment
+       |FROM p JOIN szc sa ON p.i = sa.doc_id JOIN szc sb ON p.j = sb.doc_id
+       |WHERE greatest(c / sa.n, c / sb.n) >= 0.9
+       |ORDER BY i, j""".stripMargin
+
   /** MinHash + LSH banding. 16 permutations h_i(x) = (a_i*x + b_i) mod p
     * over 60-bit shingle hashes reduced mod p (p = 2^31-1), banded 4x4:
     * candidates must agree on one full band; survivors are scored by
@@ -309,11 +347,17 @@ object Dedup {
     val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
       .select(col("i"), col("j"))
       .distinct()
+    // signature agreement as 16 unrolled element comparisons: the
+    // zip_with/aggregate HOF form is CodegenFallback (interpreted) in
+    // the hot pair loop, while getItem comparisons stay inside
+    // whole-stage codegen (same lesson as pairsOnKey)
+    val agree = (0 until 16)
+      .map(i => when(col("ma").getItem(i) === col("mb").getItem(i), 1).otherwise(0))
+      .reduce(_ + _)
     val est = cand
       .join(sig.toDF("i", "ma"), Seq("i"))
       .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
-      .select(col("i"), col("j"), expr(
-        "aggregate(zip_with(ma, mb, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v) / 16.0D").as("est_jac"))
+      .select(col("i"), col("j"), (agree.cast("double") / 16.0d).as("est_jac"))
     est.filter(col("est_jac") >= 0.5)
       .select(col("i"), col("j"), col("est_jac"))
   }
@@ -645,6 +689,7 @@ object Dedup {
     "dedup_incremental"      -> (incrementalQuery _),
     "dedup_clusters"         -> (clusters _),
     "dedup_edit_distance"    -> (editDistance _),
+    "dedup_containment"      -> (containment _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -656,5 +701,6 @@ object Dedup {
     "dedup_incremental"      -> incrementalOracle,
     "dedup_clusters"         -> clustersOracle,
     "dedup_edit_distance"    -> editDistanceOracle,
+    "dedup_containment"      -> containmentOracle,
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Portable
+
+/** Dataset profiling / curation operators — the "dataset card" surface a
+  * training-data pipeline runs over every corpus drop (SURVEY §2.11
+  * north star): exact distribution moments, integer-domain outlier
+  * flags, token histograms, value-weighted sampling, and Z-order cell
+  * assignment for locality-preserving layout.
+  *
+  * Determinism strategy (see Portable and the Relational scaladoc):
+  * every aggregate that feeds a double is computed from EXACT integer
+  * sums first — cents ints in decimal(38,0)/HUGEINT so no sum ever
+  * overflows or rounds — and only the final closed-form expression
+  * drops to IEEE double, which both engines evaluate identically.
+  * Outlier detection never leaves the integer domain at all.
+  *
+  * Scale notes: moments/histograms are single hash-aggregates with
+  * map-side combine; outliers are one window shuffle on the group key;
+  * weighted sampling is a narrow filter (partitioning-independent by
+  * construction — the keep decision hashes the row key, not the
+  * partition); Z-order cell assignment is pure bit arithmetic inside
+  * whole-stage codegen.
+  */
+object Profiling {
+
+  /** Exact first/second moments + correlation per group, from integer
+    * cents sums. The direct corr()/stddev() aggregates are
+    * order-dependent in their float accumulation and can differ between
+    * engines by ulps; (n, Σx, Σx², Σxy) in exact decimal cannot. */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
+      round(col("l_quantity") * 100).cast("decimal(38,0)").as("qc"),
+      round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("pc"))
+    val n = col("n")
+    def dbl(c: Column) = c.cast("double")
+    val varQ = dbl(n * col("sq2") - col("sq") * col("sq"))
+    val varP = dbl(n * col("sp2") - col("sp") * col("sp"))
+    li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qc")).as("sq"), sum(col("qc") * col("qc")).as("sq2"),
+        sum(col("pc")).as("sp"), sum(col("pc") * col("pc")).as("sp2"),
+        sum(col("qc") * col("pc")).as("sqp"))
+      .select(col("l_returnflag"), n,
+        Portable.roundK(dbl(col("sq")) / n / 100.0, 4).as("mean_qty"),
+        Portable.roundK(sqrt(varQ / (n * (n - 1))) / 100.0, 4).as("stddev_qty"),
+        Portable.roundK(dbl(n * col("sqp") - col("sq") * col("sp"))
+          / (sqrt(varQ) * sqrt(varP)), 4).as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val statsMomentsOracle =
+    """WITH c AS (SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS HUGEINT) AS qc,
+      |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS pc
+      |  FROM lineitem),
+      |a AS (SELECT l_returnflag, count(*) AS n,
+      |    sum(qc) AS sq, sum(qc*qc) AS sq2,
+      |    sum(pc) AS sp, sum(pc*pc) AS sp2, sum(qc*pc) AS sqp
+      |  FROM c GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((sq::DOUBLE / n / 100.0) * 10000) / 10000 AS mean_qty,
+      |  round((sqrt((n*sq2 - sq*sq)::DOUBLE / (n*(n-1))) / 100.0) * 10000) / 10000 AS stddev_qty,
+      |  round(((n*sqp - sq*sp)::DOUBLE / (sqrt((n*sq2 - sq*sq)::DOUBLE) * sqrt((n*sp2 - sp*sp)::DOUBLE))) * 10000) / 10000 AS corr_qty_price
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
+  /** Per-language token-count outliers (|z| > 2) decided entirely in
+    * integer arithmetic: x is an outlier iff (n*x - Σx)² > 4*(n*Σx² -
+    * (Σx)²) — the z-score inequality cleared of divisions, so there is
+    * no float to disagree on. One window shuffle on lang. */
+  def outlierDocs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+    val dev = col("n") * col("x") - col("sx")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sx2", sum(col("x") * col("x")).over(w))
+      .filter(dev * dev > lit(4L) * (col("n") * col("sx2") - col("sx") * col("sx")))
+      .select(col("doc_id"), col("lang"), col("x").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val outlierDocsOracle =
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS x FROM documents),
+      |w AS (SELECT doc_id, lang, x,
+      |    count(*) OVER (PARTITION BY lang) AS n,
+      |    sum(x)  OVER (PARTITION BY lang) AS sx,
+      |    sum(x*x) OVER (PARTITION BY lang) AS sx2
+      |  FROM t)
+      |SELECT doc_id, lang, x AS n_tokens FROM w
+      |WHERE (n*x - sx)*(n*x - sx) > 4*(n*sx2 - sx*sx)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token-count histogram per language: fixed-width 25-token buckets
+    * with a tail bucket at 19 — the single-shuffle alternative to the
+    * mergeable HistogramSketchAgg when bucket edges are known. */
+  def tokenHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        least(expr("CAST(size(split(text, ' ')) AS BIGINT) div 25"), lit(19L)).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("bucket"))
+
+  private val tokenHistogramOracle =
+    """SELECT lang, least(len(string_split(text, ' ')) // 25, 19) AS bucket,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY lang, bucket""".stripMargin
+
+  /** Value-weighted sampling: keep probability proportional to
+    * o_totalprice (capped at ~1), decided by a portable hash of the row
+    * key against the scaled weight. Deterministic, partitioning- and
+    * engine-independent — reruns and backfills keep identical rows,
+    * unlike rand()-based sampling. Narrow (no shuffle before the
+    * presentation sort). */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter((Portable.hash60(col("o_orderkey").cast("string")) % 10000) <
+        least(floor(col("o_totalprice") / 50.0d).cast("long"), lit(9999L)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  private val weightedSampleOracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 10000
+      |      < least(CAST(floor(o_totalprice / 50) AS BIGINT), 9999)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Z-order cell assignment: interleave the low 6 bits of two grid
+    * coordinates (user bucket x hour-of-day) into one locality key.
+    * Rows close in both dimensions get close z values, so range-
+    * partitioning/sorting by z co-locates them — the layout trick that
+    * turns two-dimensional predicates into tight file-level min/max
+    * pruning at 100 TB (see ZOrderSpec for the pruning demonstration).
+    * Pure bit arithmetic, whole-stage codegen. */
+  def zorderCells(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select((col("user_id") % 64).as("cx"), hour(col("ts")).cast("long").as("cy"))
+    e.select(zValue(col("cx"), col("cy"), 6).as("z"))
+      .groupBy(col("z"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("z"))
+  }
+
+  /** The interleaved z-value of two `bits`-bit coordinates. */
+  private[graft] def zValue(cx: Column, cy: Column, bits: Int): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(cx, b).bitwiseAND(1), 2 * b) +
+        shiftleft(shiftright(cy, b).bitwiseAND(1), 2 * b + 1)
+    }.reduce(_ + _)
+
+  private val zorderCellsOracle = {
+    val terms = (0 until 6).map(b =>
+      s"(((cx >> $b) & 1) << ${2 * b}) + (((cy >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    s"""WITH g AS (SELECT user_id % 64 AS cx, hour(ts) AS cy FROM events)
+       |SELECT $terms AS z, count(*) AS n_events
+       |FROM g GROUP BY 1
+       |ORDER BY z""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_moments"   -> (statsMoments _),
+    "outlier_docs"    -> (outlierDocs _),
+    "token_histogram" -> (tokenHistogram _),
+    "weighted_sample" -> (weightedSample _),
+    "zorder_cells"    -> (zorderCells _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_moments"   -> statsMomentsOracle,
+    "outlier_docs"    -> outlierDocsOracle,
+    "token_histogram" -> tokenHistogramOracle,
+    "weighted_sample" -> weightedSampleOracle,
+    "zorder_cells"    -> zorderCellsOracle,
+  )
+}

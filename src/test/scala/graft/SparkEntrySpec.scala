@@ -10,7 +10,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Relational" -> Relational.queries, "Events" -> Events.queries,
     "TextAnalysis" -> TextAnalysis.queries, "Dedup" -> Dedup.queries,
     "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
-    "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries)
+    "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries,
+    "Profiling" -> Profiling.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** The point of zorder_cells: range-partitioning by the interleaved
+  * z-value co-locates rows that are close in BOTH grid dimensions, so a
+  * two-dimensional box predicate concentrates in a handful of files —
+  * at 100 TB that is the difference between file-level min/max pruning
+  * skipping ~everything and a full scan. A round-robin layout of the
+  * same rows spreads every box across every file. */
+class ZOrderSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  test("z-ordered layout concentrates a 2-D box in few files; round-robin does not") {
+    import spark.implicits._
+    // one full 64x64 grid
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("cx"), (col("id") / 64).cast("long").as("cy"))
+    val z = Profiling.zValue(col("cx"), col("cy"), 6)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rrDir = java.nio.file.Files.createTempDirectory("graft_rr").toString
+    grid.withColumn("z", z).repartitionByRange(16, col("z"))
+      .sortWithinPartitions(col("z")).write.mode("overwrite").parquet(zDir)
+    grid.withColumn("z", z).repartition(16).write.mode("overwrite").parquet(rrDir)
+
+    // the box cx,cy in [0,8) is exactly z in [0,64): 1/64 of the grid
+    def filesWithHits(dir: String): Long = spark.read.parquet(dir)
+      .filter(col("cx") < 8 && col("cy") < 8)
+      .select(input_file_name()).distinct().count()
+    val zHits = filesWithHits(zDir)
+    val rrHits = filesWithHits(rrDir)
+    assert(zHits <= 2, s"z-order layout scattered the box over $zHits files")
+    assert(rrHits >= 12, s"expected round-robin to scatter (got $rrHits) — test is vacuous")
+    // both layouts agree on the answer, of course
+    assert(spark.read.parquet(zDir).filter(col("cx") < 8 && col("cy") < 8).count() == 64L)
+  }
+}
