@@ -142,21 +142,30 @@ object Dedup {
   /** Near-dup pairs by exact n-gram Jaccard over the inverted index —
     * frame-based form over any (doc_id, text) frame. */
   def ngramJaccardOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
-    ngramJaccardFromShingles(shinglesOf(docs, maxDf))
+    ngramJaccardFromShingles(pairCounts(shinglesOf(docs, maxDf)))
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardFromShingles(shingles(s, d, 50))
+    ngramJaccardFromShingles(pairCountsMemo(s, d))
 
-  private def ngramJaccardFromShingles(shf: DataFrame): DataFrame = {
-    // the per-doc shingle count `n` (computed in shinglesOf) rides into
-    // the pair join, so the union sizes |A|, |B| come out of the pair
-    // aggregation itself (max of a per-i/per-j constant) instead of
-    // two post-agg joins back to a sizes frame — 4 fewer exchanges
-    val pairs = shf.select(col("doc_id").as("i"), col("sh"), col("n").as("na"))
+  /** (i, j, c=|A∩B|, na=|A|, nb=|B|) for every doc pair sharing >= 1
+    * capped shingle — the one aggregation both set-overlap measures
+    * (Jaccard, containment) reduce to a filter over. Memoized per
+    * session for the fixture paths. */
+  private def pairCounts(shf: DataFrame): DataFrame =
+    shf.select(col("doc_id").as("i"), col("sh"), col("n").as("na"))
       .join(shf.select(col("doc_id").as("j"), col("sh"), col("n").as("nb")), Seq("sh"))
       .filter(col("i") < col("j"))
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+
+  private def pairCountsMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"pairCounts:$d")(pairCounts(shingles(s, d, 50)))
+
+  // the per-doc shingle count `n` (computed in shinglesOf) rides into
+  // the pair join, so the union sizes |A|, |B| come out of the pair
+  // aggregation itself (max of a per-i/per-j constant) instead of
+  // two post-agg joins back to a sizes frame — 4 fewer exchanges
+  private def ngramJaccardFromShingles(pairs: DataFrame): DataFrame = {
     val jacRaw = col("c").cast("double") / (col("na") + col("nb") - col("c"))
     pairs
       .filter(jacRaw >= 0.5)
@@ -183,17 +192,12 @@ object Dedup {
     * shingle index and keyed self-join as the Jaccard pipeline (the
     * memoized frame is shared), one extra max. */
   def containment(s: SparkSession, d: String): DataFrame =
-    containmentOf(shingles(s, d, 50))
+    containmentFromPairs(pairCountsMemo(s, d))
 
   def containmentPairsOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
-    containmentOf(shinglesOf(docs, maxDf))
+    containmentFromPairs(pairCounts(shinglesOf(docs, maxDf)))
 
-  private def containmentOf(shf: DataFrame): DataFrame = {
-    val pairs = shf.select(col("doc_id").as("i"), col("sh"), col("n").as("na"))
-      .join(shf.select(col("doc_id").as("j"), col("sh"), col("n").as("nb")), Seq("sh"))
-      .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("c"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+  private def containmentFromPairs(pairs: DataFrame): DataFrame = {
     val cont = greatest(col("c") / col("na"), col("c") / col("nb"))
     pairs
       .filter(cont >= 0.9)

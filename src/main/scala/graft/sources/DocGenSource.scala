@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,39 +74,95 @@ class DocGenTable extends Table with SupportsRead {
       options.getLong("seed", 42L))
 }
 
+/** Pruning + pushdown: required columns shrink the materialized row;
+  * doc_id range predicates shrink the PLANNED PARTITIONS (the DSv2
+  * analog of partition pruning — at 100 TB a `doc_id between` touches
+  * only the overlapping slices, and the executors for every other
+  * slice are never launched); a lang equality is evaluated inside the
+  * reader. All accepted filters are enforced exactly, so Spark drops
+  * its own Filter node for them — only residuals stay in the plan. */
 class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = DocGenSource.fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var idLo = 0L
+  private var idHi = Long.MaxValue // [idLo, idHi)
+  private var langEq: Option[String] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new DocGenScan(rows, partitions, seed, required)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case EqualTo("doc_id", _: Number) | GreaterThan("doc_id", _: Number) |
+           GreaterThanOrEqual("doc_id", _: Number) |
+           LessThan("doc_id", _: Number) | LessThanOrEqual("doc_id", _: Number) |
+           EqualTo("lang", _: String) | IsNotNull(_) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("doc_id", v: Number) =>
+        idLo = math.max(idLo, v.longValue); idHi = math.min(idHi, v.longValue + 1)
+      case GreaterThan("doc_id", v: Number) => idLo = math.max(idLo, v.longValue + 1)
+      case GreaterThanOrEqual("doc_id", v: Number) => idLo = math.max(idLo, v.longValue)
+      case LessThan("doc_id", v: Number) => idHi = math.min(idHi, v.longValue)
+      case LessThanOrEqual("doc_id", v: Number) => idHi = math.min(idHi, v.longValue + 1)
+      case EqualTo("lang", v: String) => langEq = Some(v)
+      case _ => () // IsNotNull: vacuous, every generated column is non-null
+    }
+    pushed = accepted
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new DocGenScan(rows, partitions, seed, required, idLo, idHi, langEq)
 }
 
-class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType)
+class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType,
+                 idLo: Long = 0L, idHi: Long = Long.MaxValue,
+                 langEq: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_docgen rows=$rows PushedIdRange=[$idLo,${math.min(idHi, rows)})" +
+      langEq.fold("")(l => s" PushedLang=$l")
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + partitions - 1) / partitions
-    (0 until partitions).map { p =>
-      DocGenPartition(p.toLong * per, math.min((p + 1).toLong * per, rows))
+    (0 until partitions).flatMap { p =>
+      val start = math.max(p.toLong * per, idLo)
+      val end = math.min(math.min((p + 1).toLong * per, rows), idHi)
+      if (start < end) Some(DocGenPartition(start, end)) else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(seed, required.fieldNames)
+    new DocGenReaderFactory(seed, required.fieldNames, langEq)
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition
 
-class DocGenReaderFactory(seed: Long, fields: Array[String])
+class DocGenReaderFactory(seed: Long, fields: Array[String],
+                          langEq: Option[String] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DocGenPartition]
     new PartitionReader[InternalRow] {
       private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
+      private var current: (Long, String, String, Int) = _
+      override def next(): Boolean = {
+        // advance past rows the pushed lang filter rejects
+        while (i + 1 < p.end) {
+          i += 1
+          val r = DocGenSource.row(seed, i)
+          if (langEq.forall(_ == r._3)) { current = r; return true }
+        }
+        false
+      }
       override def get(): InternalRow = {
-        val (id, text, lang, n) = DocGenSource.row(seed, i)
+        val (id, text, lang, n) = current
         // only materialize the pruned columns
         InternalRow.fromSeq(fields.toSeq.map {
           case "doc_id"   => id

@@ -32,6 +32,29 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(df.collect().length == 100)
   }
 
+  test("doc_id range pushdown prunes planned partitions (SupportsPushDownFilters)") {
+    // 10000 rows in 8 slices of 1250; [2500, 5000) overlaps slices 2-3 only
+    val df = read(10000, 8).filter(col("doc_id") >= 2500 && col("doc_id") < 5000)
+    assert(df.rdd.getNumPartitions == 2,
+      "non-overlapping partitions must not be planned at all")
+    assert(df.count() == 2500)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedIdRange=[2500,5000)"), s"expected pushed range in:\n$plan")
+    // fully enforced at the source: Spark keeps no residual doc_id
+    // Filter node ("RuntimeFilters: []" in the scan description is not one)
+    assert(!plan.contains("Filter ("), s"pushed filters should leave no Filter node:\n$plan")
+  }
+
+  test("lang equality pushdown filters inside the reader and matches post-scan filtering") {
+    val pushed = read(2000, 4).filter(col("lang") === "de")
+    val control = read(2000, 4).collect().filter(_.getAs[String]("lang") == "de")
+    assert(pushed.count() == control.length)
+    assert(control.nonEmpty)
+    val ids = pushed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == control.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    assert(!pushed.queryExecution.executedPlan.toString.contains("Filter ("))
+  }
+
   test("feeds downstream operators like any table") {
     val df = read(500, 4)
     val byLang = df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
