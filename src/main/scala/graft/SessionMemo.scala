@@ -29,11 +29,26 @@ final class SessionMemo {
     memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
   }
 
-  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  def getOrBuild(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    getOrBuildImpl(s, key, cacheIt = true)(build)
+
+  /** Memoize a builder whose result is ALREADY materialized (e.g. it
+    * ends in `localCheckpoint()`). Calling `.cache()` on such a frame
+    * would store the data twice — and because every rebuild of a
+    * checkpointed frame is a fresh RDD-backed plan, CacheManager's
+    * plan-dedup can never collapse the duplicates: after a weak-ref
+    * GC + rebuild, the orphaned entry would stay pinned beyond
+    * clear()'s reach. So: no cache; the checkpoint blocks themselves
+    * are the store, and they are GC'd with the frame. */
+  def getOrBuildMaterialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    getOrBuildImpl(s, key, cacheIt = false)(build)
+
+  private def getOrBuildImpl(s: SparkSession, key: String, cacheIt: Boolean)
+                            (build: => DataFrame): DataFrame = {
     val m = bySession(s)
     val cached = synchronized(m.get(key).flatMap(r => Option(r.get())))
     cached.getOrElse {
-      val df = build.cache()
+      val df = if (cacheIt) build.cache() else build
       synchronized {
         m.get(key).flatMap(r => Option(r.get())).getOrElse {
           m(key) = new java.lang.ref.WeakReference(df)

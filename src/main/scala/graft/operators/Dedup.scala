@@ -73,9 +73,16 @@ object Dedup {
     * The memoized build is localCheckpointed: the split+explode+window
     * lineage is cut once, so every consumer's plan starts from the
     * materialized blocks instead of replaying (and double-printing)
-    * the shingle subtree per join side. */
+    * the shingle subtree per join side. Memoized WITHOUT an extra
+    * cache — the checkpoint blocks are the store (see
+    * SessionMemo.getOrBuildMaterialized). Trade-off, stated plainly:
+    * localCheckpoint truncates lineage, so on a real cluster losing an
+    * executor that held blocks makes downstream consumers fail rather
+    * than recompute — acceptable for session-scoped derived frames
+    * that rebuild from source in seconds, the same call any retry
+    * makes anyway. */
   private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
-    memoized(s, s"shingles:$d#$maxDf")(
+    memo.getOrBuildMaterialized(s, s"shingles:$d#$maxDf")(
       shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint())
 
   private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
@@ -514,16 +521,13 @@ object Dedup {
     // vector lookups and dedupe only the few rows that survive the
     // threshold (measured 3x faster end-to-end). The lookup joins take
     // a broadcast hint only when the optimizer's own size estimate
-    // fits the session's broadcast threshold — an unconditional hint
-    // would OOM the driver on a 100 GB embedding frame, where the
-    // right call (shuffle join or AQE promotion) is the planner's.
-    val thr = org.apache.spark.sql.graft.PlanDf.autoBroadcastThreshold(s)
-    val hintOk = thr > 0 &&
-      org.apache.spark.sql.graft.PlanDf.statsSizeInBytes(e) <= thr
-    def lookup(as: String, v: String, n: String): DataFrame = {
-      val sel = e.select(col("vec_id").as(as), col("embedding").as(v), col("nrm").as(n))
-      if (hintOk) broadcast(sel) else sel
-    }
+    // fits the session's broadcast threshold (Similarity
+    // .maybeBroadcast) — an unconditional hint would OOM the driver on
+    // a 100 GB embedding frame, where the right call (shuffle join or
+    // AQE promotion) is the planner's.
+    def lookup(as: String, v: String, n: String): DataFrame =
+      Similarity.maybeBroadcast(
+        e.select(col("vec_id").as(as), col("embedding").as(v), col("nrm").as(n)))
     embeddingCandidates(emb, nTables, bits)
       .join(lookup("i", "va", "na"), Seq("i"))
       .join(lookup("j", "vb", "nb"), Seq("j"))

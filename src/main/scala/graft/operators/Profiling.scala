@@ -69,31 +69,34 @@ object Profiling {
       |FROM a ORDER BY l_returnflag""".stripMargin
 
   /** Per-language token-count outliers (|z| > 2) decided entirely in
-    * integer arithmetic: x is an outlier iff (n*x - Σx)² > 4*(n*Σx² -
+    * exact arithmetic: x is an outlier iff (n*x - Σx)² > 4*(n*Σx² -
     * (Σx)²) — the z-score inequality cleared of divisions, so there is
-    * no float to disagree on. One window shuffle on lang. */
+    * no float to disagree on. Operands ride in decimal(38,0)/HUGEINT:
+    * at 10⁹ docs per language the squared deviation reaches ~10²⁶,
+    * past Long but nowhere near 10³⁸. One window shuffle on lang. */
   def outlierDocs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
-    val dev = col("n") * col("x") - col("sx")
+    val dev = col("n") * col("xd") - col("sx")
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("x"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("sx", sum(col("x")).over(w))
-      .withColumn("sx2", sum(col("x") * col("x")).over(w))
-      .filter(dev * dev > lit(4L) * (col("n") * col("sx2") - col("sx") * col("sx")))
+      .withColumn("xd", col("x").cast("decimal(38,0)"))
+      .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+      .withColumn("sx", sum(col("xd")).over(w))
+      .withColumn("sx2", sum(col("xd") * col("xd")).over(w))
+      .filter(dev * dev > lit(4) * (col("n") * col("sx2") - col("sx") * col("sx")))
       .select(col("doc_id"), col("lang"), col("x").as("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
   private val outlierDocsOracle =
-    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS x FROM documents),
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' '))::HUGEINT AS x FROM documents),
       |w AS (SELECT doc_id, lang, x,
       |    count(*) OVER (PARTITION BY lang) AS n,
       |    sum(x)  OVER (PARTITION BY lang) AS sx,
       |    sum(x*x) OVER (PARTITION BY lang) AS sx2
       |  FROM t)
-      |SELECT doc_id, lang, x AS n_tokens FROM w
+      |SELECT doc_id, lang, CAST(x AS BIGINT) AS n_tokens FROM w
       |WHERE (n*x - sx)*(n*x - sx) > 4*(n*sx2 - sx*sx)
       |ORDER BY doc_id""".stripMargin
 

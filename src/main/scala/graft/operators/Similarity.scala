@@ -36,6 +36,17 @@ object Similarity {
   private[operators] def cosine: Column =
     expr("vec_dot(va, vb)") / (col("na") * col("nb"))
 
+  /** Broadcast hint gated on the optimizer's own size estimate vs the
+    * session threshold — an unconditional hint OOMs the driver on a
+    * corpus-sized frame, where join-side choice belongs to the
+    * planner/AQE. Shared by every similarity/dedup lookup join. */
+  private[operators] def maybeBroadcast(df: DataFrame): DataFrame = {
+    val thr = org.apache.spark.sql.graft.PlanDf.autoBroadcastThreshold(df.sparkSession)
+    if (thr > 0 && org.apache.spark.sql.graft.PlanDf.statsSizeInBytes(df) <= thr)
+      broadcast(df)
+    else df
+  }
+
   /** Exact top-5 cosine neighbors for query vectors (vec_id < 20). */
   def bruteTopk(s: SparkSession, d: String): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d))
@@ -133,9 +144,9 @@ object Similarity {
     probes.join(cands, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid")).distinct()
-      .join(broadcast(vecs.select(col("vec_id").as("qid"),
+      .join(maybeBroadcast(vecs.select(col("vec_id").as("qid"),
         col("embedding").as("va"), col("nrm").as("na"))), Seq("qid"))
-      .join(broadcast(vecs.select(col("vec_id").as("nid"),
+      .join(maybeBroadcast(vecs.select(col("vec_id").as("nid"),
         col("embedding").as("vb"), col("nrm").as("nb"))), Seq("nid"))
       .select(col("qid"), col("nid"), cosine.as("cos_raw"))
       .withColumn("rk", row_number().over(w))

@@ -165,15 +165,25 @@ final class StreamRunner(spark: SparkSession, stream: Stream,
             // .ShareSink) — the table never transits the driver. The
             // record count is the sum of per-part rows recorded in the
             // committed _MANIFEST (no second pass over the data).
+            // Load semantics are REPLACE, matching the driver-side
+            // route (Files.write truncates): ShareSink's append mode
+            // carries prior manifests forward, so a re-run would
+            // silently double the artifact — clear the target first.
             val target = java.nio.file.Paths
-              .get(mount.get, s"${s.input}.csv.d").toString
+              .get(mount.get, s"${s.input}.csv.d")
+            if (java.nio.file.Files.isDirectory(target)) {
+              val entries = java.nio.file.Files.list(target)
+              val paths = try entries.toArray(new Array[java.nio.file.Path](_))
+                          finally entries.close()
+              paths.foreach(p => java.nio.file.Files.delete(p))
+            }
             df.write.format("graft.sources.ShareSink")
-              .option("path", target).mode("append").save()
+              .option("path", target.toString).mode("append").save()
             val n = java.nio.file.Files
-              .readAllLines(java.nio.file.Paths.get(target, "_MANIFEST"))
+              .readAllLines(target.resolve("_MANIFEST"))
               .stream().skip(1).filter(l => !l.isEmpty)
               .mapToLong(l => l.substring(l.lastIndexOf(',') + 1).toLong).sum()
-            (target, Some(n))
+            (target.toString, Some(n))
           } else {
             if (est > conn.distributedLoadThresholdBytes)
               log.warn(s"load '${s.name}': table estimate $est bytes exceeds the " +

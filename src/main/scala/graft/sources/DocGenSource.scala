@@ -89,9 +89,17 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
   private var idLo = 0L
   private var idHi = Long.MaxValue // [idLo, idHi)
   private var langEq: Option[String] = None
+  private var impossible = false // conjunction can match no row
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** v + 1 saturating at Long.MaxValue (no wrap to MinValue that would
+    * re-admit everything — the filters are claimed fully enforced).
+    * Saturation is exact for the exclusive upper bound: no generated
+    * id can equal MaxValue, so [lo, MaxValue) covers `<= MaxValue`. */
+  private def succ(v: Long): Long =
+    if (v == Long.MaxValue) v else v + 1
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
@@ -103,12 +111,18 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
     }
     accepted.foreach {
       case EqualTo("doc_id", v: Number) =>
-        idLo = math.max(idLo, v.longValue); idHi = math.min(idHi, v.longValue + 1)
-      case GreaterThan("doc_id", v: Number) => idLo = math.max(idLo, v.longValue + 1)
+        idLo = math.max(idLo, v.longValue); idHi = math.min(idHi, succ(v.longValue))
+      case GreaterThan("doc_id", v: Number) =>
+        if (v.longValue == Long.MaxValue) impossible = true // nothing exceeds it
+        else idLo = math.max(idLo, v.longValue + 1)
       case GreaterThanOrEqual("doc_id", v: Number) => idLo = math.max(idLo, v.longValue)
       case LessThan("doc_id", v: Number) => idHi = math.min(idHi, v.longValue)
-      case LessThanOrEqual("doc_id", v: Number) => idHi = math.min(idHi, v.longValue + 1)
-      case EqualTo("lang", v: String) => langEq = Some(v)
+      case LessThanOrEqual("doc_id", v: Number) => idHi = math.min(idHi, succ(v.longValue))
+      case EqualTo("lang", v: String) =>
+        // two different pushed equalities on the same column = no rows;
+        // keeping only the last would return the wrong non-empty result
+        if (langEq.exists(_ != v)) impossible = true
+        langEq = Some(v)
       case _ => () // IsNotNull: vacuous, every generated column is non-null
     }
     pushed = accepted
@@ -118,7 +132,8 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new DocGenScan(rows, partitions, seed, required, idLo, idHi, langEq)
+    new DocGenScan(rows, partitions, seed, required,
+      if (impossible) 0L else idLo, if (impossible) 0L else idHi, langEq)
 }
 
 class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType,

@@ -141,6 +141,16 @@ class RunnerSpec extends AnyFunSuite {
     val expected = state.stepOutputs("report_table").asInstanceOf[TableOut].df.count()
     assert(expected > 0)
     assert(state.destResponses.head.recordsProcessed.contains(expected))
+    // load semantics are REPLACE: a re-run must not double the artifact
+    // (ShareSink append would otherwise carry the old manifest forward)
+    val state2 = new StreamRunner(spark, stream, functions, conn).run()
+    assert(state2.destResponses.head.recordsProcessed.contains(expected))
+    def manifestRows = Files.readAllLines(dir.resolve("_MANIFEST")).size - 1
+    assert(state2.destResponses.head.status == "success" && manifestRows >= 1)
+    val totalRows = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(dir.resolve("_MANIFEST"))).asScala.drop(1)
+      .filter(_.nonEmpty).map(l => l.substring(l.lastIndexOf(',') + 1).toLong).sum
+    assert(totalRows == expected)
   }
 
   test("load failures are captured; extract failures are fatal (loader.py:53-59 vs errors.py)") {

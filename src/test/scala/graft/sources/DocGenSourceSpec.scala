@@ -55,6 +55,15 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(!pushed.queryExecution.executedPlan.toString.contains("Filter ("))
   }
 
+  test("pushdown edge cases: conflicting lang equalities and Long.MaxValue bounds") {
+    // two different pushed equalities on lang can match nothing — only
+    // the last one applied would wrongly return all 'en' rows
+    assert(read(100, 2).filter(col("lang") === "de" && col("lang") === "en").count() == 0)
+    // bounds at Long.MaxValue must saturate, not wrap to MinValue
+    assert(read(100, 2).filter(col("doc_id") <= Long.MaxValue).count() == 100)
+    assert(read(100, 2).filter(col("doc_id") > Long.MaxValue).count() == 0)
+  }
+
   test("feeds downstream operators like any table") {
     val df = read(500, 4)
     val byLang = df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
