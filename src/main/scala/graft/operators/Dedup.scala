@@ -355,9 +355,13 @@ object Dedup {
     // repeated library calls don't accumulate pinned storage.
     val sig = minhashSigsFromShingles(shf).localCheckpoint()
     val bands = bandKeys(sig)
+    // candidate rows repeat once per shared band (<= 4x): score every
+    // occurrence and dedupe only the survivors — a distinct over the
+    // raw candidate stream shuffles ~1M rows to save re-running a
+    // cheap codegen'd signature compare (same trade as
+    // embeddingCosineOf's post-threshold distinct)
     val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
       .select(col("i"), col("j"))
-      .distinct()
     // signature agreement as 16 unrolled element comparisons: the
     // zip_with/aggregate HOF form is CodegenFallback (interpreted) in
     // the hot pair loop, while getItem comparisons stay inside
@@ -366,11 +370,12 @@ object Dedup {
       .map(i => when(col("ma").getItem(i) === col("mb").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
     val est = cand
-      .join(sig.toDF("i", "ma"), Seq("i"))
-      .join(sig.toDF("j2", "mb"), col("j") === col("j2"))
+      .join(Similarity.maybeBroadcast(sig.toDF("i", "ma")), Seq("i"))
+      .join(Similarity.maybeBroadcast(sig.toDF("j2", "mb")), col("j") === col("j2"))
       .select(col("i"), col("j"), (agree.cast("double") / 16.0d).as("est_jac"))
     est.filter(col("est_jac") >= 0.5)
       .select(col("i"), col("j"), col("est_jac"))
+      .distinct()
   }
 
   private val minhashOracle =
