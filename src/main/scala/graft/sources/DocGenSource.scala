@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -83,7 +84,7 @@ class DocGenTable extends Table with SupportsRead {
   * its own Filter node for them — only residuals stay in the plan. */
 class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = DocGenSource.fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var idLo = 0L
@@ -131,20 +132,40 @@ class DocGenScanBuilder(rows: Long, partitions: Int, seed: Long)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  private var countStar = false
+
+  /** COUNT(*) with no grouping is pure partition arithmetic here: the
+    * answer is the width of the (filter-narrowed) id range — no row is
+    * ever generated. Declined when a lang filter was pushed (then the
+    * count depends on content) or for any other aggregate; Spark falls
+    * back to counting produced rows. Partial pushdown: each planned
+    * partition reports its own width and Spark sums them. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val ok = langEq.isEmpty && aggregation.groupByExpressions.isEmpty &&
+      aggregation.aggregateExpressions.length == 1 &&
+      aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) countStar = true
+    ok
+  }
+
   override def build(): Scan =
     new DocGenScan(rows, partitions, seed, required,
-      if (impossible) 0L else idLo, if (impossible) 0L else idHi, langEq)
+      if (impossible) 0L else idLo, if (impossible) 0L else idHi, langEq,
+      countStar)
 }
 
 class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType,
                  idLo: Long = 0L, idHi: Long = Long.MaxValue,
-                 langEq: Option[String] = None)
+                 langEq: Option[String] = None, countStar: Boolean = false)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStar) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_docgen rows=$rows PushedIdRange=[$idLo,${math.min(idHi, rows)})" +
-      langEq.fold("")(l => s" PushedLang=$l")
+      langEq.fold("")(l => s" PushedLang=$l") +
+      (if (countStar) " PushedCountStar" else "")
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + partitions - 1) / partitions
     (0 until partitions).flatMap { p =>
@@ -154,7 +175,22 @@ class DocGenScan(rows: Long, partitions: Int, seed: Long, required: StructType,
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocGenReaderFactory(seed, required.fieldNames, langEq)
+    if (countStar) new DocGenCountFactory
+    else new DocGenReaderFactory(seed, required.fieldNames, langEq)
+}
+
+/** Emits one pre-aggregated row per planned partition: its id-range
+  * width. Spark's partial-aggregate pushdown sums these. */
+class DocGenCountFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocGenPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(p.end - p.start)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class DocGenPartition(start: Long, end: Long) extends InputPartition

@@ -64,6 +64,24 @@ class DocGenSourceSpec extends AnyFunSuite {
     assert(read(100, 2).filter(col("doc_id") > Long.MaxValue).count() == 0)
   }
 
+  test("count(*) pushdown answers from partition arithmetic, no row generation") {
+    // a trillion rows: only possible because no row is ever generated
+    val huge = read(1000L * 1000 * 1000 * 1000, 8)
+    assert(huge.count() == 1000L * 1000 * 1000 * 1000)
+    // composes with the pushed id range
+    assert(huge.filter(col("doc_id") >= 100 && col("doc_id") < 2000000100L).count() == 2000000000L)
+    val df = read(10000, 4)
+    assert(df.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedCountStar"))
+    // with a pushed lang filter the count depends on content -> declined,
+    // and the row-generating path still answers correctly
+    val langCount = df.filter(col("lang") === "en")
+    assert(!langCount.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedCountStar"))
+    assert(langCount.count() ==
+      df.collect().count(_.getAs[String]("lang") == "en"))
+  }
+
   test("feeds downstream operators like any table") {
     val df = read(500, 4)
     val byLang = df.groupBy(col("lang")).agg(count(lit(1)).as("n"))
