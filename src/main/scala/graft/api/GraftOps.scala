@@ -84,11 +84,36 @@ object GraftOps {
                   bits: Int = 6): org.apache.spark.sql.Column =
     graft.operators.Profiling.zValue(cx, cy, bits)
 
-  // ---- text ----
+  // ---- text / profiling ----
 
   /** Fixed-size overlapping token chunks (pre-embedding step). */
   def chunks(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
     TextAnalysis.chunksOf(docs, chunkSize, stride)
+
+  /** Per-document quality scoring (length/word/stopword/digit ratios,
+    * rational arithmetic only). */
+  def textQuality(docs: DataFrame): DataFrame = TextAnalysis.textQualityOf(docs)
+
+  /** The marker-token language-ID prediction as a Column over `text` —
+    * attach with `docs.withColumn("pred_lang", GraftOps.langPrediction)`. */
+  def langPrediction: Column = TextAnalysis.langPrediction
+
+  /** Per-language token-count outliers (|z| > 2), exact integer/decimal
+    * arithmetic throughout. */
+  def outlierDocs(docs: DataFrame): DataFrame =
+    graft.operators.Profiling.outlierDocsOf(docs)
+
+  /** Token-count histogram per language (fixed-width buckets + tail). */
+  def tokenHistogram(docs: DataFrame, bucketWidth: Int = 25,
+                     tailBucket: Int = 19): DataFrame =
+    graft.operators.Profiling.tokenHistogramOf(docs, bucketWidth, tailBucket)
+
+  /** Weight-proportional deterministic sampling: keep rows where
+    * hash(key) mod 10000 < keepProbBasisPoints (re-runs keep identical
+    * rows; partitioning-independent). */
+  def weightedSample(df: DataFrame, key: Column,
+                     keepProbBasisPoints: Column): DataFrame =
+    graft.operators.Profiling.weightedSampleOf(df, key, keepProbBasisPoints)
 
   // ---- time series ----
 

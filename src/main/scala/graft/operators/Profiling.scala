@@ -74,10 +74,13 @@ object Profiling {
     * no float to disagree on. Operands ride in decimal(38,0)/HUGEINT:
     * at 10⁹ docs per language the squared deviation reaches ~10²⁶,
     * past Long but nowhere near 10³⁸. One window shuffle on lang. */
-  def outlierDocs(s: SparkSession, d: String): DataFrame = {
+  def outlierDocs(s: SparkSession, d: String): DataFrame =
+    outlierDocsOf(Tables.documents(s, d))
+
+  def outlierDocsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
     val dev = col("n") * col("xd") - col("sx")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("x"))
       .withColumn("xd", col("x").cast("decimal(38,0)"))
@@ -104,9 +107,14 @@ object Profiling {
     * with a tail bucket at 19 — the single-shuffle alternative to the
     * mergeable HistogramSketchAgg when bucket edges are known. */
   def tokenHistogram(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    tokenHistogramOf(Tables.documents(s, d))
+
+  def tokenHistogramOf(docs: DataFrame, bucketWidth: Int = 25,
+                       tailBucket: Int = 19): DataFrame =
+    docs
       .select(col("lang"),
-        least(expr("CAST(size(split(text, ' ')) AS BIGINT) div 25"), lit(19L)).as("bucket"))
+        least(expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $bucketWidth"),
+          lit(tailBucket.toLong)).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("bucket"))
@@ -124,11 +132,18 @@ object Profiling {
     * unlike rand()-based sampling. Narrow (no shuffle before the
     * presentation sort). */
   def weightedSample(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .filter((Portable.hash60(col("o_orderkey").cast("string")) % 10000) <
-        least(floor(col("o_totalprice") / 50.0d).cast("long"), lit(9999L)))
+    weightedSampleOf(Tables.orders(s, d), col("o_orderkey"),
+        floor(col("o_totalprice") / 50.0d))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
+
+  /** Keep rows where hash(key) mod 10000 < keepProbBasisPoints (capped
+    * at 9999) — weight-proportional deterministic sampling over any
+    * frame. */
+  def weightedSampleOf(df: DataFrame, key: Column,
+                       keepProbBasisPoints: Column): DataFrame =
+    df.filter((Portable.hash60(key.cast("string")) % 10000) <
+      least(keepProbBasisPoints.cast("long"), lit(9999L)))
 
   private val weightedSampleOracle =
     """SELECT o_orderkey, o_custkey, o_totalprice

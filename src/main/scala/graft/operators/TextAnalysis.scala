@@ -21,7 +21,12 @@ object TextAnalysis {
   /** Per-document quality scoring: length / word stats / stopword &
     * digit ratios, combined into a rational-arithmetic score (no
     * transcendentals — libm results differ across engines). */
-  def textQuality(s: SparkSession, d: String): DataFrame = {
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    textQualityOf(Tables.documents(s, d))
+
+  /** Frame-based form over any (doc_id, text[, lang, source]) frame;
+    * extra metadata columns pass through when present. */
+  def textQualityOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val nWords = size(words)
     val letters = length(col("text")) - (nWords - lit(1))
@@ -31,14 +36,15 @@ object TextAnalysis {
     val stopRatio = nStop.cast("double") / nWords
     val digitRatio = nDigit.cast("double") / length(col("text"))
     val quality = (avgWordLen / 10.0 + (lit(1.0) - stopRatio) + (lit(1.0) - digitRatio)) / 3.0
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("source"),
+    val meta = Seq("lang", "source").filter(docs.columns.contains).map(col)
+    docs
+      .select((col("doc_id") +: meta) ++ Seq(
         length(col("text")).as("n_chars_m"),
         nWords.as("n_words"),
         Portable.roundK(avgWordLen, 4).as("avg_word_len"),
         Portable.roundK(stopRatio, 4).as("stop_ratio"),
         Portable.roundK(digitRatio, 4).as("digit_ratio"),
-        Portable.roundK(quality, 4).as("quality"))
+        Portable.roundK(quality, 4).as("quality")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -60,7 +66,8 @@ object TextAnalysis {
     * language priority). On this synthetic corpus the text is
     * vocabulary-uniform so predictions are near-constant — the operator
     * is the generic pattern, graded on determinism not accuracy. */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  /** The per-document language prediction column (see langId). */
+  def langPrediction: org.apache.spark.sql.Column = {
     def occ(marker: String) =
       (length(col("text")) - length(regexp_replace(col("text"), java.util.regex.Pattern.quote(marker), ""))) / marker.length
     val sEn = occ("the") + occ("of")
@@ -68,17 +75,19 @@ object TextAnalysis {
     val sEs = occ("la") + occ("el")
     val sFr = occ("le") + occ("et")
     val sZh = occ("zh")
-    val pred = when(sEn >= greatest(sDe, sEs, sFr, sZh), "en")
+    when(sEn >= greatest(sDe, sEs, sFr, sZh), "en")
       .when(sDe >= greatest(sEs, sFr, sZh), "de")
       .when(sEs >= greatest(sFr, sZh), "es")
       .when(sFr >= sZh, "fr")
       .otherwise("zh")
+  }
+
+  def langId(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("lang"), pred.as("pred_lang"))
+      .select(col("lang"), langPrediction.as("pred_lang"))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
-  }
 
   private val langIdOracle = {
     def occ(m: String) =

@@ -150,6 +150,31 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(0) >= 1000000L && r.getLong(2) >= 1000000L))
   }
 
+  test("text/profiling frame forms work over caller frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val withLang = docs.withColumn("lang", lit("en"))
+    // quality: one row per doc, quality in (0, 1], meta passes through
+    val q = GraftOps.textQuality(withLang).collect()
+    assert(q.length == 5 && q.forall(r => r.getAs[Double]("quality") > 0))
+    assert(q.head.schema.fieldNames.contains("lang"))
+    // language prediction attaches as a column
+    val preds = withLang.withColumn("pred", GraftOps.langPrediction)
+      .select("pred").collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "zh")))
+    // histogram buckets cover all docs
+    val hist = GraftOps.tokenHistogram(withLang, bucketWidth = 5)
+    assert(hist.agg(sum("n_docs")).collect().head.getLong(0) == 5)
+    // outliers: a planted 200-token doc among 12-token docs is flagged
+    val skewed = withLang.union(Seq((99L,
+      (1 to 200).map(i => s"tok$i").mkString(" "), "en")).toDF("doc_id", "text", "lang"))
+    val out = GraftOps.outlierDocs(skewed).collect()
+    assert(out.map(_.getLong(0)).contains(99L))
+    // weighted sample: prob 0 keeps nothing, ~max keeps everything
+    assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(0)).count() == 0)
+    assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(9999)).count() >= 4)
+  }
+
   test("embedding cosine pairs over a caller embedding frame") {
     import spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
