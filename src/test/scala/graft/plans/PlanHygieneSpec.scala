@@ -45,4 +45,17 @@ class PlanHygieneSpec extends AnyFunSuite {
     }
     assert(over.isEmpty, s"over the $budget-exchange budget: ${over.mkString(", ")}")
   }
+
+  test("rank-limited windows plan WindowGroupLimit (partial top-k before the shuffle)") {
+    // rank <= k over a window triggers Spark's group-limit pushdown:
+    // each map task keeps only its own top-k rows per key, so the
+    // shuffle carries O(groups * k), not O(rows) — the difference
+    // between a top-5-per-customer over 100 TB shuffling ~nothing and
+    // shuffling everything. Pin the shape so a refactor (e.g. filtering
+    // on a derived column) can't silently lose it.
+    for (q <- Seq("topk_per_group", "latest_per_key")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown:\n$plan")
+    }
+  }
 }
