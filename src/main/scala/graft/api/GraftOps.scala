@@ -61,14 +61,17 @@ object GraftOps {
     Dedup.incremental(corpus, batch)
 
   /** The compact corpus artifacts incremental dedup maintains between
-    * batches: (distinct text hashes, distinct LSH band keys). */
-  def dedupIndexes(corpus: DataFrame): (DataFrame, DataFrame) =
+    * batches: distinct text hashes, distinct LSH band keys, and the
+    * corpus hot-shingle stoplist (a small batch cannot measure its own
+    * document frequencies, so the skew guard must come from the
+    * corpus). */
+  def dedupIndexes(corpus: DataFrame): Dedup.DedupIndexes =
     Dedup.dedupIndexes(corpus)
 
   /** O(batch) incremental dedup against precomputed corpus indexes. */
-  def incrementalDedupWithIndexes(textHashes: DataFrame, bands: DataFrame,
+  def incrementalDedupWithIndexes(indexes: Dedup.DedupIndexes,
                                   batch: DataFrame): DataFrame =
-    Dedup.incrementalWithIndexes(textHashes, bands, batch)
+    Dedup.incrementalWithIndexes(indexes, batch)
 
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is

@@ -85,24 +85,35 @@ object Dedup {
     memo.getOrBuildMaterialized(s, s"shingles:$d#$maxDf")(
       shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint())
 
-  private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame = {
-    val sh0 = docs
+  /** Distinct word-trigram shingles per doc, uncapped. */
+  private def rawShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
+
+  private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame =
     // hot-shingle document-frequency cap as a count window: one shuffle
     // on sh (a groupBy+self-join formulation costs three). The per-doc
     // capped-shingle count `n` rides along for the Jaccard pipeline;
     // consumers that ignore it (minhash) don't pay — column pruning
     // drops the unused window expression and its exchange.
-    sh0.withColumn("df", count(lit(1)).over(
+    rawShinglesOf(docs).withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
       .filter(col("df") <= maxDf)
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("sh"), col("n"))
-  }
+
+  /** The corpus's hot-shingle stoplist: shingles appearing in more than
+    * `maxDf` documents (boilerplate, headers, stop-phrases). Tiny by
+    * construction; the third persistable artifact in [[DedupIndexes]]. */
+  def hotShinglesOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
+    rawShinglesOf(docs)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("sh"))
 
   /** Ordered (i < j) candidate pairs sharing a bucket key: a keyed
     * self-equi-join on the bucket columns. An earlier form generated
@@ -123,28 +134,36 @@ object Dedup {
     * cap is relative to `src` itself, mirroring shinglesOf's input-frame
     * scoping). CTE names take prefix `p` so two sources can coexist in
     * one oracle query (see incrementalOracle). */
-  private def shinglesSqlOf(src: String, p: String): String =
+  /** DuckDB CTEs for the raw (uncapped) distinct per-doc shingle set of
+    * `src`: emits `${p}w`, `${p}sh0`. */
+  private def rawShinglesSqlOf(src: String, p: String): String =
     s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src
        |       WHERE len(string_split(text, ' ')) >= 3),
        |${p}sh0 AS (SELECT DISTINCT doc_id,
        |          unnest(list_transform(range(1, len(ws) - 1),
        |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-       |        FROM ${p}w),
+       |        FROM ${p}w)""".stripMargin
+
+  private def shinglesSqlOf(src: String, p: String): String =
+    s"""${rawShinglesSqlOf(src, p)},
        |${p}keep AS (SELECT sh FROM ${p}sh0 GROUP BY sh HAVING count(*) <= 50),
        |${p}shf AS (SELECT s.doc_id, s.sh FROM ${p}sh0 s JOIN ${p}keep USING (sh))""".stripMargin
 
   private val shinglesSql = shinglesSqlOf("documents", "")
 
-  /** DuckDB CTE chain from capped shingles to minhash LSH band keys of
-    * `src` (16 perms, 4x4 bands — mirrors minhashSigs/bandKeys). Emits
-    * `${p}bands(doc_id, band, bkey)`. */
-  private def minhashBandsSqlOf(src: String, p: String): String =
-    s"""${shinglesSqlOf(src, p)},
-       |${p}hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM ${p}shf),
+  /** DuckDB CTEs from a `${p}shf(doc_id, sh)` shingle set to minhash
+    * LSH band keys (16 perms, 4x4 bands — mirrors minhashSigs/
+    * bandKeys). Emits `${p}bands(doc_id, band, bkey)`. */
+  private def bandsFromShfSql(p: String): String =
+    s"""${p}hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM ${p}shf),
        |${p}sig AS (SELECT doc_id, i, min(((i*2 + 1) * x + (i + 1) * 7919) % 2147483647) AS mh
        |        FROM ${p}hx CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
        |${p}bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
        |          FROM ${p}sig GROUP BY doc_id, i // 4)""".stripMargin
+
+  private def minhashBandsSqlOf(src: String, p: String): String =
+    s"""${shinglesSqlOf(src, p)},
+       |${bandsFromShfSql(p)}""".stripMargin
 
   /** Near-dup pairs by exact n-gram Jaccard over the inverted index —
     * frame-based form over any (doc_id, text) frame. */
@@ -255,40 +274,58 @@ object Dedup {
         "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
-  /** Corpus dedup indexes: (distinct text hashes, distinct LSH band
-    * keys). These are the compact artifacts a corpus maintains between
-    * batches — computed once, persisted, and extended with each admitted
-    * batch, so increments cost O(batch) instead of O(corpus). */
-  def dedupIndexes(existing: DataFrame): (DataFrame, DataFrame) = (
-    existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
-    bandKeys(minhashSigs(existing, 50)).select(col("band"), col("bkey")).distinct())
+  /** The compact persistable artifacts a corpus maintains between
+    * dedup batches: distinct text hashes (exact dedup), distinct LSH
+    * band keys (near-dup blocking), and the corpus hot-shingle
+    * stoplist. The stoplist matters: a small batch cannot measure its
+    * own document frequencies meaningfully (no shingle repeats 50
+    * times in a 100-doc batch), so the skew/noise guard for batch band
+    * computation must come from the corpus — otherwise corpus
+    * boilerplate shingles that the corpus side capped away would still
+    * enter the batch's signatures and miss real near-dups. */
+  final case class DedupIndexes(textHashes: DataFrame, bands: DataFrame,
+                                stopShingles: DataFrame)
+
+  /** Build [[DedupIndexes]] for a corpus — computed once, persisted,
+    * extended with each admitted batch, so increments cost O(batch)
+    * instead of O(corpus). */
+  def dedupIndexes(existing: DataFrame, maxDf: Int = 50): DedupIndexes =
+    DedupIndexes(
+      existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
+      bandKeys(minhashSigs(existing, maxDf)).select(col("band"), col("bkey")).distinct(),
+      hotShinglesOf(existing, maxDf))
 
   /** Incremental (delta-style) dedup: admit only the batch docs that are
     * neither exact duplicates (of the existing corpus or of earlier
     * batch docs) nor near-duplicates of the corpus (sharing a minhash
-    * LSH band). Takes the precomputed corpus indexes; join strategy is
-    * left to AQE (at scale the hash index is far bigger than a
-    * broadcast, while a small batch side still broadcasts). */
-  def incrementalWithIndexes(exTextHashes: DataFrame,
-                             exBands: DataFrame, batch: DataFrame): DataFrame = {
+    * LSH band; batch shingles filtered by the corpus stoplist). Takes
+    * the precomputed corpus indexes; join strategy is left to AQE (at
+    * scale the hash index is far bigger than a broadcast, while a
+    * small batch side still broadcasts). */
+  def incrementalWithIndexes(idx: DedupIndexes, batch: DataFrame): DataFrame = {
     val batchKeep = batch
       .withColumn("thash", Portable.hash60(col("text")))
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("thash"))
           .orderBy(col("doc_id"))))
       .filter(col("rn") === 1) // in-batch exact dedup, lowest id wins
-      .join(exTextHashes, Seq("thash"), "left_anti") // vs corpus
+      .join(idx.textHashes, Seq("thash"), "left_anti") // vs corpus
       .drop("rn")
       // eager single materialization (O(batch), GC-cleaned blocks):
       // batchKeep feeds both the band computation and the final
       // anti-join — without the cut its window+anti subtree plans and
       // runs twice
       .localCheckpoint()
+    // batch shingles are filtered by the CORPUS stoplist (see
+    // DedupIndexes scaladoc), not a batch-local df cap that a small
+    // batch could never trigger
+    val batchShingles = rawShinglesOf(batchKeep)
+      .join(idx.stopShingles, Seq("sh"), "left_anti")
     // no distinct on the near-dup ids: the anti-join below is
     // indifferent to duplicate right-side keys, so the extra shuffle
     // bought nothing
-    val nearDup = bandKeys(minhashSigs(batchKeep, 50))
-      .join(exBands, Seq("band", "bkey"), "left_semi")
+    val nearDup = bandKeys(minhashSigsFromShingles(batchShingles))
+      .join(idx.bands, Seq("band", "bkey"), "left_semi")
       .select(col("doc_id"))
     batchKeep.join(nearDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
@@ -296,10 +333,8 @@ object Dedup {
 
   /** Convenience form computing the corpus indexes inline (fine at test
     * scale; real deployments persist dedupIndexes between batches). */
-  def incremental(existing: DataFrame, batch: DataFrame): DataFrame = {
-    val (thashes, bands) = dedupIndexes(existing)
-    incrementalWithIndexes(thashes, bands, batch)
-  }
+  def incremental(existing: DataFrame, batch: DataFrame): DataFrame =
+    incrementalWithIndexes(dedupIndexes(existing), batch)
 
   /** Oracle-checked fixture for incremental dedup: the first 300 docs
     * are the established corpus, the rest arrive as one batch; returns
@@ -325,7 +360,11 @@ object Dedup {
        |  SELECT doc_id, text FROM batch_rn b WHERE rn = 1
        |    AND NOT EXISTS (SELECT 1 FROM corpus_thash c WHERE c.thash = b.thash)),
        |${minhashBandsSqlOf("corpus", "c_")},
-       |${minhashBandsSqlOf("batch_keep", "b_")},
+       |c_hot AS (SELECT sh FROM c_sh0 GROUP BY sh HAVING count(*) > 50),
+       |${rawShinglesSqlOf("batch_keep", "b_")},
+       |b_shf AS (SELECT s.doc_id, s.sh FROM b_sh0 s
+       |          WHERE NOT EXISTS (SELECT 1 FROM c_hot h WHERE h.sh = s.sh)),
+       |${bandsFromShfSql("b_")},
        |near AS (SELECT DISTINCT b.doc_id
        |         FROM b_bands b JOIN c_bands c ON b.band = c.band AND b.bkey = c.bkey)
        |SELECT doc_id, text FROM batch_keep k

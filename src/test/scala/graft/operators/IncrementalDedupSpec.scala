@@ -33,6 +33,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(admitted.toSeq == Seq(10002L, 10005L))
   }
 
+  test("corpus stoplist keeps boilerplate out of batch signatures") {
+    import spark.implicits._
+    // 26-word boilerplate shared by every corpus doc -> its trigrams
+    // exceed maxDf and land on the stoplist; the corpus BANDS are
+    // therefore built from each doc's content trigrams only
+    val boiler = "these terms of service apply to all users of this site always " +
+      "and by continuing to browse you accept every provision stated in full below"
+    def content(i: Int) = s"district report for campus $i covering enrollment attendance and staffing data"
+    val corpus = (1 to 4).map(i => (i.toLong, s"$boiler ${content(i)}")).toDF("doc_id", "text")
+    val idx = Dedup.dedupIndexes(corpus, maxDf = 2)
+    val stop = idx.stopShingles.collect().map(_.getString(0)).toSet
+    assert(stop.contains("these terms of") && stop.contains("terms of service"))
+    val batch = Seq(
+      // near-dup of corpus doc 1: same content minus the last word
+      (10L, s"$boiler ${content(1).split(" ").dropRight(1).mkString(" ")}"),
+      // genuinely fresh payload behind the same boilerplate
+      (11L, s"$boiler gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    // corpus-stoplist semantics: batch signatures are content-only, so
+    // the near-dup is caught and the fresh doc admitted
+    val admitted = Dedup.incrementalWithIndexes(idx, batch)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(admitted == Seq(11L),
+      "near-dup behind boilerplate must be dropped; fresh payload admitted")
+    // contrast (the old batch-local-cap semantics, where a small batch
+    // never triggers the cap): boilerplate dominates the batch minhash
+    // while corpus bands are content-based -> the near-dup sails through
+    val noStop = idx.copy(stopShingles = Seq.empty[String].toDF("sh"))
+    val admittedNoStop = Dedup.incrementalWithIndexes(noStop, batch)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(admittedNoStop.contains(10L),
+      "expected the no-stoplist contrast to miss the boilerplate-masked near-dup (test premise)")
+  }
+
   test("an empty batch and a disjoint batch behave sanely") {
     import spark.implicits._
     val existing = Tables.documents(spark, sf).select("doc_id", "text")
