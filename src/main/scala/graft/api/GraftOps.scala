@@ -118,6 +118,11 @@ object GraftOps {
                      keepProbBasisPoints: Column): DataFrame =
     graft.operators.Profiling.weightedSampleOf(df, key, keepProbBasisPoints)
 
+  /** Exact per-group moments (n, mean, stddev, corr) for two numeric
+    * columns — integer cents sums, engine-deterministic. */
+  def statsMoments(df: DataFrame, group: Column, x: Column, y: Column): DataFrame =
+    graft.operators.Profiling.statsMomentsOf(df, group, x, y)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

@@ -32,25 +32,36 @@ object Profiling {
     * cents sums. The direct corr()/stddev() aggregates are
     * order-dependent in their float accumulation and can differ between
     * engines by ulps; (n, Σx, Σx², Σxy) in exact decimal cannot. */
-  def statsMoments(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_returnflag"),
-      round(col("l_quantity") * 100).cast("decimal(38,0)").as("qc"),
-      round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("pc"))
+  def statsMoments(s: SparkSession, d: String): DataFrame =
+    statsMomentsOf(Tables.lineitem(s, d), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumnsRenamed(Map("mean_x" -> "mean_qty",
+        "stddev_x" -> "stddev_qty", "corr_xy" -> "corr_qty_price"))
+
+  /** Generic frame form: exact (n, mean_x, stddev_x, corr_xy) per
+    * `group` for any two numeric columns, integerized at cents
+    * precision. Output group column keeps its source name. */
+  def statsMomentsOf(df: DataFrame, group: Column,
+                     x: Column, y: Column): DataFrame = {
+    val src = df.select(group,
+      round(x * 100).cast("decimal(38,0)").as("qc"),
+      round(y * 100).cast("decimal(38,0)").as("pc"))
+    val groupName = src.columns.head
     val n = col("n")
     def dbl(c: Column) = c.cast("double")
     val varQ = dbl(n * col("sq2") - col("sq") * col("sq"))
     val varP = dbl(n * col("sp2") - col("sp") * col("sp"))
-    li.groupBy(col("l_returnflag"))
+    src.groupBy(col(groupName))
       .agg(count(lit(1)).as("n"),
         sum(col("qc")).as("sq"), sum(col("qc") * col("qc")).as("sq2"),
         sum(col("pc")).as("sp"), sum(col("pc") * col("pc")).as("sp2"),
         sum(col("qc") * col("pc")).as("sqp"))
-      .select(col("l_returnflag"), n,
-        Portable.roundK(dbl(col("sq")) / n / 100.0, 4).as("mean_qty"),
-        Portable.roundK(sqrt(varQ / (n * (n - 1))) / 100.0, 4).as("stddev_qty"),
+      .select(col(groupName), n,
+        Portable.roundK(dbl(col("sq")) / n / 100.0, 4).as("mean_x"),
+        Portable.roundK(sqrt(varQ / (n * (n - 1))) / 100.0, 4).as("stddev_x"),
         Portable.roundK(dbl(n * col("sqp") - col("sq") * col("sp"))
-          / (sqrt(varQ) * sqrt(varP)), 4).as("corr_qty_price"))
-      .orderBy(col("l_returnflag"))
+          / (sqrt(varQ) * sqrt(varP)), 4).as("corr_xy"))
+      .orderBy(col(groupName))
   }
 
   private val statsMomentsOracle =

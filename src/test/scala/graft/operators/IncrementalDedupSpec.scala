@@ -67,6 +67,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "expected the no-stoplist contrast to miss the boilerplate-masked near-dup (test premise)")
   }
 
+  test("indexes survive a parquet persist/reload round-trip (the production path)") {
+    import spark.implicits._
+    val existing = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch = Seq(
+      (10001L, existing.orderBy("doc_id").limit(1).collect().head.getString(1)), // exact dup
+      (10002L, "a wholly new document that resembles nothing in the corpus")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.incrementalWithIndexes(Dedup.dedupIndexes(existing), batch)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    // persist the three artifacts, reload, and get the same admissions
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val idx = Dedup.dedupIndexes(existing)
+    idx.textHashes.write.mode("overwrite").parquet(s"$dir/thash")
+    idx.bands.write.mode("overwrite").parquet(s"$dir/bands")
+    idx.stopShingles.write.mode("overwrite").parquet(s"$dir/stop")
+    val reloaded = Dedup.DedupIndexes(
+      spark.read.parquet(s"$dir/thash"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/stop"))
+    val viaDisk = Dedup.incrementalWithIndexes(reloaded, batch)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(viaDisk == direct && direct == Seq(10002L))
+  }
+
   test("an empty batch and a disjoint batch behave sanely") {
     import spark.implicits._
     val existing = Tables.documents(spark, sf).select("doc_id", "text")
