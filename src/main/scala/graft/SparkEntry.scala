@@ -14,12 +14,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      AdvancedOps.queries ++ ScalarFuncs.queries ++ Profiling.queries
+      AdvancedOps.queries ++ ScalarFuncs.queries ++ Profiling.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      AdvancedOps.oracles ++ ScalarFuncs.oracles ++ Profiling.oracles
+      AdvancedOps.oracles ++ ScalarFuncs.oracles ++ Profiling.oracles ++
+      Curation.oracles
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Portable
+
+/** Corpus-curation operators — the steps between "deduped documents"
+  * and "training batches" (SURVEY §2.11 north star): balanced per-
+  * stratum sampling, weighted source mixing, and token-budget sequence
+  * packing. All integer/hash arithmetic (engine-deterministic,
+  * partitioning-independent); every window partitions on a real key
+  * (lang/source), never a global single-partition sort — the one
+  * global ordering (the mixture) is a TakeOrdered top-k, not a full
+  * sort.
+  */
+object Curation {
+
+  /** Balanced sampling: exactly `n` docs per language (fewer only when
+    * a stratum is smaller), chosen by portable id hash so the pick is
+    * stable across runs, engines, and partitionings — the class-
+    * balancing step before training, where rate-based sampling
+    * (stratified_sample) cannot hit exact per-class counts. */
+  def stratifiedFixedN(s: SparkSession, d: String): DataFrame =
+    stratifiedFixedNOf(Tables.documents(s, d), col("lang"), 50)
+
+  def stratifiedFixedNOf(docs: DataFrame, stratum: Column, n: Int): DataFrame = {
+    val src = docs.select(col("doc_id"), stratum)
+    val stratumName = src.columns(1)
+    src
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(stratumName))
+          .orderBy(Portable.hash60(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= n)
+      .select(col("doc_id"), col(stratumName))
+      .orderBy(col("doc_id"))
+  }
+
+  private val stratifiedFixedNOracle =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 50
+      |ORDER BY doc_id""".stripMargin
+
+  /** Weighted source interleave (training-data mixing): source s with
+    * weight w contributes its k-th document at mix position ~ k/w, so
+    * a weight-3 source appears 3x as often as a weight-1 source in any
+    * prefix of the mixture — the standard sampling-temperature shape.
+    * Deterministic: weights hash from the source name (1..3 here; a
+    * caller supplies real weights), within-source order is doc_id, and
+    * the first 500 mixture rows come off a TakeOrdered (top-k merge),
+    * not a global sort. */
+  def mixSources(s: SparkSession, d: String): DataFrame = {
+    val w = (Portable.hash60(col("source")) % 3 + 1).as("w")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), w)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST((rn * 1000000) div w AS BIGINT)").as("mix_key"))
+      .orderBy(col("mix_key"), col("source"), col("doc_id"))
+      .limit(500)
+  }
+
+  private val mixSourcesOracle =
+    """SELECT doc_id, source, (rn * 1000000) // w AS mix_key FROM (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(source), 1, 15))::BIGINT % 3 + 1 AS w,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |ORDER BY mix_key, source, doc_id
+      |LIMIT 500""".stripMargin
+
+  /** Token-budget sequence packing (contiguous form): per language,
+    * docs in doc_id order accumulate into bins of ~2048 tokens; a
+    * doc's bin is the bin of its starting offset (docs are not split).
+    * The greedy first-fit packers are inherently sequential; the
+    * contiguous cumulative-sum form is the distributed-friendly
+    * equivalent (one running-sum window per stratum) and is what
+    * sequence-building pipelines actually ship. Output is per-bin
+    * shape stats — the thing a batch builder sizes against. */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    packSequencesOf(Tables.documents(s, d), 2048)
+
+  def packSequencesOf(docs: DataFrame, budget: Int): DataFrame = {
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", cum)
+      .withColumn("bin", expr(s"CAST((cum - n_tokens) div $budget AS BIGINT)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  private val packSequencesOracle =
+    """SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
+      |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents))
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_fixed_n" -> (stratifiedFixedN _),
+    "mix_sources"        -> (mixSources _),
+    "pack_sequences"     -> (packSequences _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stratified_fixed_n" -> stratifiedFixedNOracle,
+    "mix_sources"        -> mixSourcesOracle,
+    "pack_sequences"     -> packSequencesOracle,
+  )
+}
