@@ -108,15 +108,54 @@ object Curation {
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** The whole training-prep pipeline as ONE lazy DataFrame program —
+    * near-dup cluster dedup (keep each component's min; exact dups are
+    * pair-connected so the same pass removes them), a residual exact
+    * dedup for shingle-less tiny docs, then a minimum-length gate.
+    * Catalyst sees the full chain: the cluster frame joins in once,
+    * filters fuse, and nothing materializes between "stages". The
+    * memoized pair frame is shared with the rest of the dedup family,
+    * so in a session that already deduped, this costs one join + one
+    * window more. */
+  def trainingPrep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepNear = docs
+      .join(Dedup.clusters(s, d), Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+    keepNear
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .filter(col("n_tokens") >= 12)
+      .orderBy(col("doc_id"))
+  }
+
+  private val trainingPrepOracle =
+    s"""WITH RECURSIVE ${Dedup.clusterCtesSql},
+       |keep1 AS (SELECT d.doc_id, d.lang, d.text
+       |          FROM documents d LEFT JOIN comp c USING (doc_id)
+       |          WHERE c.cluster IS NULL OR c.cluster = d.doc_id),
+       |keep2 AS (SELECT doc_id, lang, text FROM (
+       |  SELECT k.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+       |  FROM keep1 k) WHERE rk = 1)
+       |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+       |FROM keep2
+       |WHERE len(string_split(text, ' ')) >= 12
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
     "pack_sequences"     -> (packSequences _),
+    "training_prep"      -> (trainingPrep _),
   )
 
   val oracles: Map[String, String] = Map(
     "stratified_fixed_n" -> stratifiedFixedNOracle,
     "mix_sources"        -> mixSourcesOracle,
     "pack_sequences"     -> packSequencesOracle,
+    "training_prep"      -> trainingPrepOracle,
   )
 }

@@ -714,8 +714,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private val clustersOracle =
-    s"""WITH RECURSIVE ${minhashBandsSqlOf("documents", "")},
+  /** Shared CTE chain: minhash pairs -> transitive closure -> `comp
+    * (doc_id, cluster)` — the recursive-CTE mirror of clustersOf,
+    * reused by the clusters oracle and the training-prep pipeline
+    * oracle. */
+  private[operators] val clusterCtesSql =
+    s"""${minhashBandsSqlOf("documents", "")},
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
@@ -727,9 +731,13 @@ object Dedup {
        |walk(a, b) AS (
        |  SELECT a, b FROM edges
        |  UNION
-       |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
-       |SELECT a AS doc_id, least(a, min(b)) AS cluster
-       |FROM walk GROUP BY a
+       |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+       |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |         FROM walk GROUP BY a)""".stripMargin
+
+  private val clustersOracle =
+    s"""WITH RECURSIVE $clusterCtesSql
+       |SELECT doc_id, cluster FROM comp
        |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
