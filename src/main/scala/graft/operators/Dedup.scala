@@ -677,7 +677,12 @@ object Dedup {
     * same join-per-round skeleton. The DuckDB oracle computes the same
     * components via a recursive transitive-closure CTE. */
   def clusters(s: SparkSession, d: String): DataFrame =
-    clustersOf(minhashPairs(s, d))
+    // memoized: the propagation loop's output labels are already
+    // materialized (localCheckpoint per round), so the memo stores the
+    // frame without re-caching; dedup_clusters and training_prep share
+    // one loop execution per session
+    memo.getOrBuildMaterialized(s, s"clusters:$d")(
+      clustersOf(minhashPairs(s, d)))
 
   /** Frame-based connected components over any undirected pair frame
     * with `i`/`j` columns (extra columns ignored); returns
