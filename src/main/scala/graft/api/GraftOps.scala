@@ -64,9 +64,11 @@ object GraftOps {
     * batches: distinct text hashes, distinct LSH band keys, and the
     * corpus hot-shingle stoplist (a small batch cannot measure its own
     * document frequencies, so the skew guard must come from the
-    * corpus). */
-  def dedupIndexes(corpus: DataFrame): Dedup.DedupIndexes =
-    Dedup.dedupIndexes(corpus)
+    * corpus). Pass the SAME `maxDf` used for the batch pipelines
+    * (ngramJaccardPairs / minhashPairs) so index and pipeline apply
+    * one consistent skew guard. */
+  def dedupIndexes(corpus: DataFrame, maxDf: Int = 50): Dedup.DedupIndexes =
+    Dedup.dedupIndexes(corpus, maxDf)
 
   /** O(batch) incremental dedup against precomputed corpus indexes. */
   def incrementalDedupWithIndexes(indexes: Dedup.DedupIndexes,

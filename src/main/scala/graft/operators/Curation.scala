@@ -26,15 +26,17 @@ object Curation {
     stratifiedFixedNOf(Tables.documents(s, d), col("lang"), 50)
 
   def stratifiedFixedNOf(docs: DataFrame, stratum: Column, n: Int): DataFrame = {
-    val src = docs.select(col("doc_id"), stratum)
-    val stratumName = src.columns(1)
-    src
+    // positional rename so a caller stratum named "rn" (or anything
+    // else) can never collide with the working aliases
+    val stratumName = docs.select(stratum).columns.head
+    docs.select(col("doc_id"), stratum).toDF("doc_id", "s")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col(stratumName))
+        Window.partitionBy(col("s"))
           .orderBy(Portable.hash60(col("doc_id").cast("string")), col("doc_id"))))
       .filter(col("rn") <= n)
-      .select(col("doc_id"), col(stratumName))
+      .select(col("doc_id"), col("s"))
       .orderBy(col("doc_id"))
+      .withColumnRenamed("s", stratumName)
   }
 
   private val stratifiedFixedNOracle =

@@ -93,14 +93,19 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))")).as("sh"))
 
-  private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame =
-    // hot-shingle document-frequency cap as a count window: one shuffle
-    // on sh (a groupBy+self-join formulation costs three). The per-doc
-    // capped-shingle count `n` rides along for the Jaccard pipeline;
-    // consumers that ignore it (minhash) don't pay — column pruning
-    // drops the unused window expression and its exchange.
+  /** Raw shingles annotated with per-shingle document frequency — the
+    * common stage the capped set and the hot stoplist both filter. */
+  private def shinglesWithDf(docs: DataFrame): DataFrame =
+    // the df cap as a count window: one shuffle on sh (a
+    // groupBy+self-join formulation costs three)
     rawShinglesOf(docs).withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+
+  private def shinglesOf(docs: DataFrame, maxDf: Int): DataFrame =
+    // The per-doc capped-shingle count `n` rides along for the Jaccard
+    // pipeline; consumers that ignore it (minhash) don't pay — column
+    // pruning drops the unused window expression and its exchange.
+    shinglesWithDf(docs)
       .filter(col("df") <= maxDf)
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
@@ -110,10 +115,9 @@ object Dedup {
     * `maxDf` documents (boilerplate, headers, stop-phrases). Tiny by
     * construction; the third persistable artifact in [[DedupIndexes]]. */
   def hotShinglesOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
-    rawShinglesOf(docs)
-      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    shinglesWithDf(docs)
       .filter(col("df") > maxDf)
-      .select(col("sh"))
+      .select(col("sh")).distinct()
 
   /** Ordered (i < j) candidate pairs sharing a bucket key: a keyed
     * self-equi-join on the bucket columns. An earlier form generated
@@ -130,12 +134,9 @@ object Dedup {
     left.join(right, keys).filter(col("i") < col("j"))
   }
 
-  /** DuckDB CTE chain computing the capped shingle set of `src` (the df
-    * cap is relative to `src` itself, mirroring shinglesOf's input-frame
-    * scoping). CTE names take prefix `p` so two sources can coexist in
-    * one oracle query (see incrementalOracle). */
   /** DuckDB CTEs for the raw (uncapped) distinct per-doc shingle set of
-    * `src`: emits `${p}w`, `${p}sh0`. */
+    * `src`: emits `${p}w`, `${p}sh0`. CTE names take prefix `p` so two
+    * sources can coexist in one oracle query (see incrementalOracle). */
   private def rawShinglesSqlOf(src: String, p: String): String =
     s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src
        |       WHERE len(string_split(text, ' ')) >= 3),
@@ -144,6 +145,9 @@ object Dedup {
        |                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |        FROM ${p}w)""".stripMargin
 
+  /** DuckDB CTE chain computing the capped shingle set of `src` (the df
+    * cap is relative to `src` itself, mirroring shinglesOf's input-frame
+    * scoping); adds `${p}keep`, `${p}shf` over the raw CTEs. */
   private def shinglesSqlOf(src: String, p: String): String =
     s"""${rawShinglesSqlOf(src, p)},
        |${p}keep AS (SELECT sh FROM ${p}sh0 GROUP BY sh HAVING count(*) <= 50),
@@ -288,12 +292,18 @@ object Dedup {
 
   /** Build [[DedupIndexes]] for a corpus — computed once, persisted,
     * extended with each admitted batch, so increments cost O(batch)
-    * instead of O(corpus). */
-  def dedupIndexes(existing: DataFrame, maxDf: Int = 50): DedupIndexes =
+    * instead of O(corpus). The df-annotated shingle frame is
+    * materialized once (localCheckpoint) and serves both the band and
+    * stoplist artifacts — without the cut, the corpus's most expensive
+    * stage (split+explode+hash) would run twice. */
+  def dedupIndexes(existing: DataFrame, maxDf: Int = 50): DedupIndexes = {
+    val wdf = shinglesWithDf(existing).localCheckpoint()
     DedupIndexes(
       existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
-      bandKeys(minhashSigs(existing, maxDf)).select(col("band"), col("bkey")).distinct(),
-      hotShinglesOf(existing, maxDf))
+      bandKeys(minhashSigsFromShingles(wdf.filter(col("df") <= maxDf)))
+        .select(col("band"), col("bkey")).distinct(),
+      wdf.filter(col("df") > maxDf).select(col("sh")).distinct())
+  }
 
   /** Incremental (delta-style) dedup: admit only the batch docs that are
     * neither exact duplicates (of the existing corpus or of earlier

@@ -40,28 +40,32 @@ object Profiling {
 
   /** Generic frame form: exact (n, mean_x, stddev_x, corr_xy) per
     * `group` for any two numeric columns, integerized at cents
-    * precision. Output group column keeps its source name. */
+    * precision. Internals are positionally renamed (toDF), so caller
+    * column names can never collide with the working aliases; the
+    * output group column keeps its source name. */
   def statsMomentsOf(df: DataFrame, group: Column,
                      x: Column, y: Column): DataFrame = {
+    val groupName = df.select(group).columns.head
     val src = df.select(group,
-      round(x * 100).cast("decimal(38,0)").as("qc"),
-      round(y * 100).cast("decimal(38,0)").as("pc"))
-    val groupName = src.columns.head
+        round(x * 100).cast("decimal(38,0)"),
+        round(y * 100).cast("decimal(38,0)"))
+      .toDF("g", "qc", "pc")
     val n = col("n")
     def dbl(c: Column) = c.cast("double")
     val varQ = dbl(n * col("sq2") - col("sq") * col("sq"))
     val varP = dbl(n * col("sp2") - col("sp") * col("sp"))
-    src.groupBy(col(groupName))
+    src.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(col("qc")).as("sq"), sum(col("qc") * col("qc")).as("sq2"),
         sum(col("pc")).as("sp"), sum(col("pc") * col("pc")).as("sp2"),
         sum(col("qc") * col("pc")).as("sqp"))
-      .select(col(groupName), n,
+      .select(col("g"), n,
         Portable.roundK(dbl(col("sq")) / n / 100.0, 4).as("mean_x"),
         Portable.roundK(sqrt(varQ / (n * (n - 1))) / 100.0, 4).as("stddev_x"),
         Portable.roundK(dbl(n * col("sqp") - col("sq") * col("sp"))
           / (sqrt(varQ) * sqrt(varP)), 4).as("corr_xy"))
-      .orderBy(col(groupName))
+      .orderBy(col("g"))
+      .withColumnRenamed("g", groupName)
   }
 
   private val statsMomentsOracle =
@@ -121,7 +125,9 @@ object Profiling {
     tokenHistogramOf(Tables.documents(s, d))
 
   def tokenHistogramOf(docs: DataFrame, bucketWidth: Int = 25,
-                       tailBucket: Int = 19): DataFrame =
+                       tailBucket: Int = 19): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive (got $bucketWidth)")
+    require(tailBucket >= 0, s"tailBucket must be non-negative (got $tailBucket)")
     docs
       .select(col("lang"),
         least(expr(s"CAST(size(split(text, ' ')) AS BIGINT) div $bucketWidth"),
@@ -129,6 +135,7 @@ object Profiling {
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("bucket"))
+  }
 
   private val tokenHistogramOracle =
     """SELECT lang, least(len(string_split(text, ' ')) // 25, 19) AS bucket,
@@ -143,18 +150,21 @@ object Profiling {
     * unlike rand()-based sampling. Narrow (no shuffle before the
     * presentation sort). */
   def weightedSample(s: SparkSession, d: String): DataFrame =
+    // the fixture caps at 9999 basis points (matching its oracle);
+    // the library form itself allows 10000 = keep-all
     weightedSampleOf(Tables.orders(s, d), col("o_orderkey"),
-        floor(col("o_totalprice") / 50.0d))
+        least(floor(col("o_totalprice") / 50.0d), lit(9999L)))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
-  /** Keep rows where hash(key) mod 10000 < keepProbBasisPoints (capped
-    * at 9999) — weight-proportional deterministic sampling over any
-    * frame. */
+  /** Keep rows where hash(key) mod 10000 < keepProbBasisPoints —
+    * weight-proportional deterministic sampling over any frame.
+    * 10000 basis points (or more, capped there) keeps every row; 0
+    * keeps none. */
   def weightedSampleOf(df: DataFrame, key: Column,
                        keepProbBasisPoints: Column): DataFrame =
     df.filter((Portable.hash60(key.cast("string")) % 10000) <
-      least(keepProbBasisPoints.cast("long"), lit(9999L)))
+      least(keepProbBasisPoints.cast("long"), lit(10000L)))
 
   private val weightedSampleOracle =
     """SELECT o_orderkey, o_custkey, o_totalprice

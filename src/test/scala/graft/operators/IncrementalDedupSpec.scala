@@ -89,6 +89,12 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val viaDisk = Dedup.incrementalWithIndexes(reloaded, batch)
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(viaDisk == direct && direct == Seq(10002L))
+    // clean the temp artifacts (reverse walk: files before dirs)
+    import scala.jdk.CollectionConverters._
+    val walked = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walked.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walked.close()
   }
 
   test("an empty batch and a disjoint batch behave sanely") {
