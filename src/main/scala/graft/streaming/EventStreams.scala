@@ -137,6 +137,34 @@ object EventStreams {
       }
       .toDF("user_id", "n_events", "first_sec", "last_sec")
   }
+  /** Streaming per-stratum quota sampler: admit at most `quota` events
+    * per event_type over the stream's lifetime, first-arrival-first
+    * (within a micro-batch, lowest event_id first for determinism).
+    * The admitted count per key is the only state — one long per
+    * stratum, exact across restarts because it lives in the state
+    * store. The streaming face of Curation.stratifiedFixedN: a corpus
+    * builder that must stop collecting a class once it has enough
+    * cannot re-scan history to count. */
+  def quotaSample(spark: org.apache.spark.sql.SparkSession,
+                  events: DataFrame, quota: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("event_type", "event_id").as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[QuotaUsed]) =>
+          val used = state.getOption.map(_.n).getOrElse(0L)
+          val room = (quota - used).max(0L)
+          val admitted = rows.map(_._2).toSeq.sorted.take(room.toInt)
+          if (admitted.nonEmpty) state.update(QuotaUsed(used + admitted.size))
+          admitted.iterator.map(id => (key, id))
+      }
+      .toDF("event_type", "event_id")
+  }
+
   /** Replay-idempotent ShareSink micro-batch writer: each batch lands
     * in its own `batch-<id>` directory whose committed `_MANIFEST` is
     * the marker — a batch replayed after a crash-before-checkpoint
@@ -176,6 +204,9 @@ object EventStreams {
 
 /** State record for EventStreams.runningUserTotals. */
 case class UserTotals(n: Long, total: Double)
+
+/** State record for EventStreams.quotaSample. */
+case class QuotaUsed(n: Long)
 
 /** State record for EventStreams.closedSessions. */
 case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)

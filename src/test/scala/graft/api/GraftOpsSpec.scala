@@ -170,9 +170,9 @@ class GraftOpsSpec extends AnyFunSuite {
       (1 to 200).map(i => s"tok$i").mkString(" "), "en")).toDF("doc_id", "text", "lang"))
     val out = GraftOps.outlierDocs(skewed).collect()
     assert(out.map(_.getLong(0)).contains(99L))
-    // weighted sample: prob 0 keeps nothing, ~max keeps everything
+    // weighted sample: prob 0 keeps nothing, 10000 basis points = ALL
     assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(0)).count() == 0)
-    assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(9999)).count() >= 4)
+    assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(10000)).count() == 5)
   }
 
   test("embedding cosine pairs over a caller embedding frame") {

@@ -184,6 +184,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDirs.map(manifestRows).sum == 3L) // unchanged
   }
 
+  test("quota sampler admits at most N per stratum across batches and restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_quota_ckpt").toString
+    val in = MemoryStream[Ev]
+    // foreachBatch sink: the memory sink cannot recover from a
+    // checkpoint, and restart-with-state is the point of this test
+    val collected = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def start() = EventStreams.quotaSample(spark, in.toDF(), quota = 2)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getString(0), r.getLong(1)))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(Ev(3, t(0), 1, "click", 1.0), Ev(1, t(1), 1, "click", 1.0),
+      Ev(9, t(2), 2, "view", 1.0))
+    q1.processAllAvailable()
+    q1.stop() // restart with state: 2 clicks used, 1 view used
+    val q2 = start()
+    in.addData(Ev(5, t(3), 1, "click", 1.0), // click quota already full
+      Ev(8, t(4), 2, "view", 1.0),           // fills the view quota
+      Ev(7, t(5), 2, "view", 1.0))           // over it
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = collected.synchronized(collected.toSet)
+    // 2 clicks (lowest ids of batch one), 2 views (9 then 7 — the
+    // second batch admits its lowest id first)
+    assert(rows == Set(("click", 1L), ("click", 3L), ("view", 9L), ("view", 7L)))
+  }
+
   test("flatMapGroupsWithState emits closed sessions when the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
