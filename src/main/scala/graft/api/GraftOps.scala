@@ -75,6 +75,18 @@ object GraftOps {
                                   batch: DataFrame): DataFrame =
     Dedup.incrementalWithIndexes(indexes, batch)
 
+  /** Benchmark decontamination: drop corpus docs that exactly match or
+    * near-dup (share a minhash band with) any benchmark document — the
+    * eval-leakage scrub every training corpus needs. This is the
+    * incremental-dedup machinery pointed the other way: indexes are
+    * built on the (small) benchmark, the corpus streams through as the
+    * "batch", and what would be "admitted" is exactly the clean
+    * corpus. Persist the benchmark's [[dedupIndexes]] to scrub many
+    * corpus drops against one eval suite. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    maxDf: Int = 50): DataFrame =
+    Dedup.incrementalWithIndexes(Dedup.dedupIndexes(benchmark, maxDf), corpus)
+
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is
     * id-layout independent (portable-hash pick, not id-range). */

@@ -147,11 +147,74 @@ object Curation {
        |WHERE len(string_split(text, ' ')) >= 12
        |ORDER BY doc_id""".stripMargin
 
+  /** Cross-source near-dup overlap matrix: how many near-dup pairs
+    * connect each (source, source) cell — the contamination audit run
+    * before any train/eval split ("is eval-source content duplicated
+    * inside the training sources?"). Reuses the session-memoized
+    * minhash pair frame; the matrix itself is a low-cardinality
+    * aggregate. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    Dedup.minhashLsh(s, d)
+      .join(src.select(col("doc_id").as("i"), col("source").as("source_a")), Seq("i"))
+      .join(src.select(col("doc_id").as("j"), col("source").as("source_b")), Seq("j"))
+      .select(least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi"))
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  private val sourceOverlapOracle =
+    s"""WITH ${Dedup.minhashPairsCtesSql}
+       |SELECT least(da.source, db.source) AS src_lo,
+       |       greatest(da.source, db.source) AS src_hi,
+       |       count(*) AS n_pairs
+       |FROM pairs p JOIN documents da ON da.doc_id = p.i
+       |             JOIN documents db ON db.doc_id = p.j
+       |GROUP BY 1, 2
+       |ORDER BY src_lo, src_hi""".stripMargin
+
+  /** Quality decile tiers per language: ntile(10) over the text-quality
+    * score (ties broken by doc_id so the tiling is deterministic in
+    * both engines), with per-tier doc counts and exact mean quality —
+    * the "keep the top-k deciles" curation gate. */
+  def qualityTiers(s: SparkSession, d: String): DataFrame = {
+    val scored = TextAnalysis.textQualityOf(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), col("quality"))
+    scored
+      .withColumn("tier", ntile(10).over(
+        Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        Portable.roundK(sum(round(col("quality") * 10000)) / 10000.0 / count(lit(1)), 4)
+          .as("mean_quality"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  private val qualityTiersOracle = {
+    // quality exactly as the text_quality oracle computes it
+    val quality =
+      """round((((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE / len(string_split(text, ' '))) / 10.0
+        |    + (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of')))::DOUBLE / len(string_split(text, ' ')))
+        |    + (1.0 - length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text))) / 3.0 * 10000) / 10000""".stripMargin
+    s"""WITH scored AS (SELECT doc_id, lang, $quality AS quality FROM documents),
+       |tiered AS (SELECT lang, quality,
+       |    ntile(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS tier
+       |  FROM scored)
+       |SELECT lang, CAST(tier AS INTEGER) AS tier, count(*) AS n_docs,
+       |  round((sum(round(quality * 10000)) / 10000.0 / count(*)) * 10000) / 10000 AS mean_quality
+       |FROM tiered GROUP BY lang, tier
+       |ORDER BY lang, tier""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
     "pack_sequences"     -> (packSequences _),
     "training_prep"      -> (trainingPrep _),
+    "source_overlap"     -> (sourceOverlap _),
+    "quality_tiers"      -> (qualityTiers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -159,5 +222,7 @@ object Curation {
     "mix_sources"        -> mixSourcesOracle,
     "pack_sequences"     -> packSequencesOracle,
     "training_prep"      -> trainingPrepOracle,
+    "source_overlap"     -> sourceOverlapOracle,
+    "quality_tiers"      -> qualityTiersOracle,
   )
 }

@@ -729,11 +729,10 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Shared CTE chain: minhash pairs -> transitive closure -> `comp
-    * (doc_id, cluster)` — the recursive-CTE mirror of clustersOf,
-    * reused by the clusters oracle and the training-prep pipeline
-    * oracle. */
-  private[operators] val clusterCtesSql =
+  /** Shared CTE chain ending in `pairs(i, j)` — the minhash-LSH
+    * near-dup pairs of `documents`, reused by the clusters and
+    * source-overlap oracles. */
+  private[operators] val minhashPairsCtesSql =
     s"""${minhashBandsSqlOf("documents", "")},
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |         FROM bands a JOIN bands b
@@ -741,7 +740,14 @@ object Dedup {
        |est AS (SELECT c.i, c.j, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jac
        |        FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
        |        GROUP BY c.i, c.j),
-       |pairs AS (SELECT i, j FROM est WHERE est_jac >= 0.5),
+       |pairs AS (SELECT i, j FROM est WHERE est_jac >= 0.5)""".stripMargin
+
+  /** Shared CTE chain: minhash pairs -> transitive closure -> `comp
+    * (doc_id, cluster)` — the recursive-CTE mirror of clustersOf,
+    * reused by the clusters oracle and the training-prep pipeline
+    * oracle. */
+  private[operators] val clusterCtesSql =
+    s"""$minhashPairsCtesSql,
        |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
        |walk(a, b) AS (
        |  SELECT a, b FROM edges

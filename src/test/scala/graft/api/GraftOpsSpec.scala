@@ -150,6 +150,22 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(0) >= 1000000L && r.getLong(2) >= 1000000L))
   }
 
+  test("decontamination scrubs exact and near benchmark matches from a corpus") {
+    import spark.implicits._
+    val benchmark = Seq(
+      (1L, "what is the capital of france the answer is paris of course today"),
+      (2L, "name the largest planet in our solar system it is jupiter clearly")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "what is the capital of france the answer is paris of course today"), // exact leak
+      (101L, "name the largest planet in our solar system it is jupiter surely"),  // near leak
+      (102L, "an innocuous training document about cooking pasta with fresh basil and garlic")
+    ).toDF("doc_id", "text")
+    val clean = GraftOps.decontaminate(corpus, benchmark)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(clean == Seq(102L))
+  }
+
   test("text/profiling frame forms work over caller frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
