@@ -75,17 +75,16 @@ object GraftOps {
                                   batch: DataFrame): DataFrame =
     Dedup.incrementalWithIndexes(indexes, batch)
 
-  /** Benchmark decontamination: drop corpus docs that exactly match or
+  /** Benchmark decontamination: drop corpus rows that exactly match or
     * near-dup (share a minhash band with) any benchmark document — the
-    * eval-leakage scrub every training corpus needs. This is the
-    * incremental-dedup machinery pointed the other way: indexes are
-    * built on the (small) benchmark, the corpus streams through as the
-    * "batch", and what would be "admitted" is exactly the clean
-    * corpus. Persist the benchmark's [[dedupIndexes]] to scrub many
-    * corpus drops against one eval suite. */
+    * eval-leakage scrub every training corpus needs. All corpus
+    * columns pass through; the corpus is not deduplicated against
+    * itself; the boilerplate stoplist is measured on the corpus (the
+    * side big enough to measure document frequencies), so shared
+    * preambles cannot cause false scrubs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     maxDf: Int = 50): DataFrame =
-    Dedup.incrementalWithIndexes(Dedup.dedupIndexes(benchmark, maxDf), corpus)
+    Dedup.decontaminateOf(corpus, benchmark, maxDf)
 
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is

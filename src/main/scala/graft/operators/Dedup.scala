@@ -346,6 +346,39 @@ object Dedup {
   def incremental(existing: DataFrame, batch: DataFrame): DataFrame =
     incrementalWithIndexes(dedupIndexes(existing), batch)
 
+  /** Benchmark decontamination: every corpus row whose text neither
+    * exactly matches nor near-dups (shares a minhash band with) any
+    * benchmark document. Differences from incremental dedup, which
+    * points the same machinery the other way: ALL corpus columns pass
+    * through, the corpus is NOT deduplicated against itself (two
+    * identical clean docs both survive — this is a scrub, not a
+    * dedup), and the hot-shingle stoplist is measured on the CORPUS,
+    * the side large enough to measure document frequencies — so
+    * corpus-wide boilerplate (license headers, prompt templates)
+    * cannot dominate the signatures and scrub docs that merely share
+    * a preamble with a benchmark item. */
+  def decontaminateOf(corpus: DataFrame, benchmark: DataFrame,
+                      maxDf: Int = 50): DataFrame = {
+    // stoplist from the big side; tiny by construction, cut eagerly so
+    // the two signature pipelines below don't replay the corpus scan
+    val stop = hotShinglesOf(corpus, maxDf).localCheckpoint()
+    def bandsOf(docs: DataFrame) =
+      bandKeys(minhashSigsFromShingles(
+        rawShinglesOf(docs).join(stop, Seq("sh"), "left_anti")))
+    val benchHashes = benchmark
+      .select(Portable.hash60(col("text")).as("thash")).distinct()
+    val benchBands = bandsOf(benchmark)
+      .select(col("band"), col("bkey")).distinct()
+    val keepExact = corpus
+      .withColumn("thash", Portable.hash60(col("text")))
+      .join(benchHashes, Seq("thash"), "left_anti")
+      .drop("thash")
+    val nearIds = bandsOf(keepExact.select(col("doc_id"), col("text")))
+      .join(benchBands, Seq("band", "bkey"), "left_semi")
+      .select(col("doc_id"))
+    keepExact.join(nearIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Oracle-checked fixture for incremental dedup: the first 300 docs
     * are the established corpus, the rest arrive as one batch; returns
     * the admitted batch docs (neither exact dups of corpus/earlier

@@ -157,10 +157,21 @@ object EventStreams {
         (key: String, rows: Iterator[(String, Long)],
          state: org.apache.spark.sql.streaming.GroupState[QuotaUsed]) =>
           val used = state.getOption.map(_.n).getOrElse(0L)
-          val room = (quota - used).max(0L)
-          val admitted = rows.map(_._2).toSeq.sorted.take(room.toInt)
-          if (admitted.nonEmpty) state.update(QuotaUsed(used + admitted.size))
-          admitted.iterator.map(id => (key, id))
+          val room = (quota - used).max(0L).toInt
+          if (room == 0) Iterator.empty // quota-full steady state: O(1)
+          else {
+            // bounded max-heap selection of the `room` lowest ids —
+            // never buffers or sorts the whole group (a skewed stratum
+            // can be millions of rows per micro-batch)
+            val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+            rows.foreach { case (_, id) =>
+              if (heap.size < room) heap.enqueue(id)
+              else if (id < heap.head) { heap.dequeue(); heap.enqueue(id) }
+            }
+            val admitted = heap.dequeueAll.reverse
+            if (admitted.nonEmpty) state.update(QuotaUsed(used + admitted.size))
+            admitted.iterator.map(id => (key, id))
+          }
       }
       .toDF("event_type", "event_id")
   }

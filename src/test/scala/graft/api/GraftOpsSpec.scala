@@ -166,6 +166,29 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(clean == Seq(102L))
   }
 
+  test("decontamination is a scrub, not a dedup: clean dups and metadata survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val benchmark = Seq((1L, "the held out evaluation question nobody should train on ever")).toDF("doc_id", "text")
+    val twin = "two identical clean training documents that must both survive intact"
+    val corpus = Seq(
+      (100L, twin, "web"), (200L, twin, "books"), // intra-corpus exact dups, NOT benchmark leaks
+      (300L, "the held out evaluation question nobody should train on ever", "web")
+    ).toDF("doc_id", "text", "source")
+    val clean = GraftOps.decontaminate(corpus, benchmark)
+    // both clean twins survive (no intra-corpus dedup) with all columns
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(100L, 200L))
+    // corpus-wide boilerplate shared with a benchmark doc does not scrub:
+    // 60 corpus docs open with the same 13-word preamble (df >> maxDf=2,
+    // so it lands on the corpus stoplist) and carry distinct payloads
+    val preamble = "this document is provided under the terms of the public license agreement"
+    val bigCorpus = (0 until 60).map(i =>
+      (i.toLong, s"$preamble payload$i alpha$i beta$i gamma$i", "web")).toDF("doc_id", "text", "source")
+    val bench2 = Seq((1L, s"$preamble completely different benchmark question entirely")).toDF("doc_id", "text")
+    assert(GraftOps.decontaminate(bigCorpus, bench2, maxDf = 2).count() == 60L)
+  }
+
   test("text/profiling frame forms work over caller frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
