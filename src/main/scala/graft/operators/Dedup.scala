@@ -379,6 +379,40 @@ object Dedup {
     keepExact.join(nearIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Oracle-checked decontamination fixture: every 97th document plays
+    * the benchmark; the rest are the corpus to scrub. */
+  def decontaminateQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateOf(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateOracle =
+    s"""WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+       |corp AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+       |${rawShinglesSqlOf("corp", "cr_")},
+       |stop AS (SELECT sh FROM cr_sh0 GROUP BY sh HAVING count(*) > 50),
+       |${rawShinglesSqlOf("bench", "bn_")},
+       |bn_shf AS (SELECT s.doc_id, s.sh FROM bn_sh0 s
+       |           WHERE NOT EXISTS (SELECT 1 FROM stop h WHERE h.sh = s.sh)),
+       |${bandsFromShfSql("bn_")},
+       |bench_thash AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS thash FROM bench),
+       |ke AS (SELECT * FROM corp c WHERE NOT EXISTS (
+       |  SELECT 1 FROM bench_thash t
+       |  WHERE t.thash = ('0x' || substr(md5(c.text), 1, 15))::BIGINT)),
+       |${rawShinglesSqlOf("ke", "ke_")},
+       |ke_shf AS (SELECT s.doc_id, s.sh FROM ke_sh0 s
+       |           WHERE NOT EXISTS (SELECT 1 FROM stop h WHERE h.sh = s.sh)),
+       |${bandsFromShfSql("ke_")},
+       |near AS (SELECT DISTINCT k.doc_id
+       |         FROM ke_bands k JOIN bn_bands b ON k.band = b.band AND k.bkey = b.bkey)
+       |SELECT doc_id, lang, source FROM ke
+       |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = ke.doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle-checked fixture for incremental dedup: the first 300 docs
     * are the established corpus, the rest arrive as one batch; returns
     * the admitted batch docs (neither exact dups of corpus/earlier
@@ -804,6 +838,7 @@ object Dedup {
     "dedup_clusters"         -> (clusters _),
     "dedup_edit_distance"    -> (editDistance _),
     "dedup_containment"      -> (containment _),
+    "dedup_decontaminate"    -> (decontaminateQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -816,5 +851,6 @@ object Dedup {
     "dedup_clusters"         -> clustersOracle,
     "dedup_edit_distance"    -> editDistanceOracle,
     "dedup_containment"      -> containmentOracle,
+    "dedup_decontaminate"    -> decontaminateOracle,
   )
 }
