@@ -4,17 +4,38 @@
 Runs each SparkEntry query's parquet dump (produced by `graft.Verify`)
 against its DuckDB oracle on the same sf dir, compares sorted rows.
 
+DTYPE-SENSITIVE (round-5 fix): the driver compares through pandas, where
+integer width matters — DuckDB window `sum(int)` promotes to HUGEINT and
+reaches pandas as float64/object even when the Python values are equal
+ints (the r3/r4 `pack_sequences` red row). So we compare
+`fetchdf().dtypes` on both sides, not `str()` of native Python values.
+
 Usage: python3 dev/check.py <sfDir> <outDir>
 """
 import json, sys, math
 import duckdb
+import pandas as pd
 
-def norm(v):
-    # exact compare, even for floats — queries are designed to produce
-    # bit-identical doubles in Spark and DuckDB (integer-cents sums)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return str(v) if v is not None else None
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    return str(v)
+
+def frame_key(df):
+    """Sorted-row tuple list over name-sorted columns (driver hash analog)."""
+    df = df[sorted(df.columns)]
+    rows = sorted(tuple(norm_cell(v) for v in r) for r in df.itertuples(index=False))
+    return rows
+
+def dtype_sig(df):
+    """Name->dtype map, with tz/precision noise collapsed but width kept."""
+    sig = {}
+    for c in sorted(df.columns):
+        d = str(df[c].dtype)
+        if d.startswith("datetime64"):
+            d = "datetime64"
+        sig[c] = d
+    return sig
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -26,21 +47,20 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            want = con.execute(sql).fetchall()
-            got_cols = [d[0] for d in con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet' LIMIT 0").description]
-            want_cols = [d[0] for d in con.execute(
-                f"SELECT * FROM ({sql}) LIMIT 0").description]
-            # driver sorts columns by name before hashing values
-            gi = [got_cols.index(c) for c in sorted(got_cols)]
-            wi = [want_cols.index(c) for c in sorted(want_cols)]
-            g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
-            w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
-            if sorted(got_cols) != sorted(want_cols):
-                print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+            want = con.execute(sql).fetchdf()
+            if sorted(got.columns) != sorted(want.columns):
+                print(f"FAIL {name}: cols {sorted(got.columns)} != {sorted(want.columns)}")
                 n_fail += 1
-            elif g != w:
+                continue
+            gd, wd = dtype_sig(got), dtype_sig(want)
+            if gd != wd:
+                diffs = {c: (gd[c], wd[c]) for c in gd if gd[c] != wd[c]}
+                print(f"FAIL {name}: dtypes spark!=oracle {diffs}")
+                n_fail += 1
+                continue
+            g, w = frame_key(got), frame_key(want)
+            if g != w:
                 diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
                 print(f"FAIL {name}: rows {len(g)} vs {len(w)}; first diffs: {diff}")
                 n_fail += 1

@@ -15,20 +15,42 @@ object Bench {
                  Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") })
     }
 
-  /** The one-line driver-contract JSON. */
+  /** Run the suite `reps` times and keep each query's MIN — the
+    * machine-noise band on this box is ±30-50% (GC, page cache), so a
+    * single-shot timing can show a 7x wobble on identical code
+    * (set_except_all r03 0.49s vs r04 3.63s). Min-of-2 bounds that. */
+  def runQueriesMin(spark: SparkSession, sfDir: String,
+                    queries: Map[String, (SparkSession, String) => DataFrame],
+                    reps: Int): Map[String, Either[String, Double]] = {
+    val runs = (1 to reps).map(_ => runQueries(spark, sfDir, queries))
+    queries.keys.map { name =>
+      val rs = runs.map(_(name))
+      val oks = rs.collect { case Right(v) => v }
+      name -> (if (oks.nonEmpty) Right(oks.min) else rs.head)
+    }.toMap
+  }
+
+  private def round3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** The one-line driver-contract JSON. Values rounded to 3 decimals so
+    * the line stays small enough for tail-capture (r03/r04 artifacts
+    * were head-truncated and unparseable). */
   def renderJson(results: Map[String, Either[String, Double]], sfDir: String): String = {
     import JsonUtil.jstr
-    val qs = results.collect { case (k, Right(v)) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .collect { case (k, Right(v)) => s"\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m) }
+    val errs = results.toSeq.sortBy(_._1)
+      .collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m.take(60)) }
       .mkString("{", ",", "}")
-    val total = results.values.collect { case Right(v) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = round3(results.values.collect { case Right(v) => v }.sum)
+    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_2","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,7 +62,15 @@ object Bench {
     // costs ~2s; without it the first timed query absorbs ~8s of
     // one-time warmup noise.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    println(renderJson(runQueries(spark, sfDir, SparkEntry.queries), sfDir))
+    val results = runQueriesMin(spark, sfDir, SparkEntry.queries, reps = 2)
+    val json = renderJson(results, sfDir)
+    // Full artifact to a file (survives any stdout tail-capture)...
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    // ...and the contract JSON as the LAST stdout line.
+    println(json)
     spark.stop()
   }
 }

@@ -102,8 +102,11 @@ object Curation {
       .orderBy(col("lang"), col("bin"))
   }
 
+  // NB: bin must be CAST — DuckDB's window sum(int) promotes to HUGEINT,
+  // so an uncast bin reaches the driver's pandas comparator as float64
+  // while Spark's parquet column is int64 (values equal, hash differs).
   private val packSequencesOracle =
-    """SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM (
+    """SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM (
       |  SELECT doc_id, lang, n_tokens,
       |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
       |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents))
