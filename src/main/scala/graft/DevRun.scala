@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev helper: run ONE SparkEntry query (or a comma list) and dump the
+  * same artifacts Verify does, so `dev/check.py <sfDir> <outDir>`
+  * oracle-checks just those queries — a seconds-long iteration loop vs
+  * the full 93-query Verify run. Usage:
+  *   dev/run.sh graft.DevRun <sfDir> <outDir> <name>[,<name>...]
+  */
+object DevRun {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, namesCsv) = args
+    val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[devrun] wrote $outDir/$name")
+    }
+    val json = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      .map { case (k, v) => s"${JsonUtil.jstr(k)}: ${JsonUtil.jstr(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

@@ -828,6 +828,148 @@ object Dedup {
        |SELECT doc_id, cluster FROM comp
        |ORDER BY doc_id""".stripMargin
 
+  /** Chunk-level (partial-overlap) dedup: whole-doc MinHash misses a
+    * document that embeds 30% of another, because the host's extra
+    * content dilutes the signature. Chunk both docs into fixed
+    * token-aligned windows, hash each chunk to a 60-bit key, and flag
+    * doc pairs sharing >= `minShared` chunk hashes via the inverted
+    * chunk index — the same keyed equi-join shape as the shingle
+    * pipelines, never all-pairs. The hot-chunk df cap is the skew
+    * guard (corpus-wide boilerplate chunks would otherwise square the
+    * bucket). At 100 TB only the 60-bit hash crosses the shuffle, not
+    * chunk text. */
+  def chunkOverlapPairsOf(docs: DataFrame, chunkSize: Int = 8,
+                          minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    val chunks = TextAnalysis.chunksRawOf(docs, chunkSize, chunkSize)
+      .filter(col("n_tokens") === chunkSize) // full windows only: a clipped tail chunk can't equal an aligned full one
+      .select(col("doc_id"), Portable.hash60(col("chunk_text")).as("ch"))
+      .distinct() // a chunk repeated within one doc counts once toward overlap
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("ch"))
+    pairsOnKey(chunks, "doc_id", Seq("ch"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).cast("int").as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
+  /** Oracle-checked fixture: the corpus has no true partial overlaps
+    * below sf0.1, so every 50th doc is made to embed its predecessor's
+    * first 16 tokens (two aligned 8-token chunks) — the host is first
+    * truncated to a chunk boundary so the embedded span lands aligned,
+    * exactly the situation chunk overlap catches and whole-doc
+    * signatures miss. */
+  def chunkOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val donor = docs.select((col("doc_id") + 1).as("doc_id"),
+      expr("slice(split(text, ' '), 1, 16)").as("donor16"))
+    val fixture = docs.join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0 && col("donor16").isNotNull,
+          expr("concat_ws(' ', concat(slice(split(text, ' '), 1, " +
+               "CAST(floor(size(split(text, ' ')) / 8) * 8 AS INT)), donor16))"))
+          .otherwise(col("text")).as("text"))
+    chunkOverlapPairsOf(fixture).orderBy(col("i"), col("j"))
+  }
+
+  private val chunkOverlapOracle =
+    """WITH ws0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |donor AS (SELECT doc_id + 1 AS doc_id, list_slice(ws, 1, 16) AS donor16 FROM ws0),
+      |fx AS (SELECT w.doc_id,
+      |  CASE WHEN w.doc_id % 50 = 0 AND d.donor16 IS NOT NULL
+      |    THEN array_to_string(list_slice(w.ws, 1, (len(w.ws) // 8) * 8) || d.donor16, ' ')
+      |    ELSE w.text END AS text
+      |  FROM ws0 w LEFT JOIN donor d USING (doc_id)),
+      |w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM fx),
+      |ck AS (SELECT doc_id, ws, unnest(range((len(ws) - 1) // 8 + 1)) AS k FROM w2),
+      |ch0 AS (SELECT doc_id, list_slice(ws, k * 8 + 1, k * 8 + 8) AS cw FROM ck),
+      |ch AS (SELECT DISTINCT doc_id,
+      |         ('0x' || substr(md5(array_to_string(cw, ' ')), 1, 15))::BIGINT AS ch
+      |       FROM ch0 WHERE len(cw) = 8),
+      |kept AS (SELECT doc_id, ch FROM ch
+      |         QUALIFY count(*) OVER (PARTITION BY ch) <= 50),
+      |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+      |          FROM kept a JOIN kept b ON a.ch = b.ch AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT i, j, CAST(shared AS INTEGER) AS shared_chunks
+      |FROM pairs WHERE shared >= 2 ORDER BY i, j""".stripMargin
+
+  /** Exact substring decontamination: the shingle/band scrub above is
+    * probabilistic; this variant is deterministic — hash every full
+    * `window`-token rolling window (stride 1) on both sides and drop
+    * any corpus doc sharing >= 1 window hash with the benchmark (the
+    * GPT-3/PaLM n-gram-collision convention; 13 tokens is their
+    * published window). Cost model at 100 TB: the corpus explodes x L
+    * windows, but only a 60-bit hash per window reaches the shuffle,
+    * and the benchmark side is tiny — the join is a semi-join into a
+    * broadcast-size hash set. Docs shorter than `window` produce no
+    * windows and are never flagged (match them with the exact-hash
+    * scrub in decontaminateOf). */
+  def decontaminateExactWindowOf(corpus: DataFrame, benchmark: DataFrame,
+                                 window: Int = 13): DataFrame = {
+    def windowHashes(docs: DataFrame) = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${window - 1}), " +
+        s"i -> concat_ws(' ', slice(ws, i, $window)))")).as("wtext"))
+      .select(col("doc_id"), Portable.hash60(col("wtext")).as("wh"))
+    val benchWindows = windowHashes(benchmark).select(col("wh")).distinct()
+    val contaminated = windowHashes(corpus)
+      .join(Similarity.maybeBroadcast(benchWindows), Seq("wh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Oracle-checked fixture (same benchmark split as
+    * decontaminateQuery): every 89th corpus doc gets one benchmark
+    * doc's full text appended — verbatim contamination embedded in a
+    * longer doc, which the exact-window scrub must catch
+    * deterministically. */
+  def decontaminateExactWindowQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val benchPick = bench.select((col("doc_id") / 97).cast("long").as("pick"),
+      col("text").as("bench_text"))
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("pick", col("doc_id") % 5)
+      .join(Similarity.maybeBroadcast(benchPick), Seq("pick"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("doc_id") % 89 === 3 && col("bench_text").isNotNull,
+          concat(col("text"), lit(" "), col("bench_text")))
+          .otherwise(col("text")).as("text"))
+    decontaminateExactWindowOf(corpus, bench)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminateExactWindowOracle =
+    """WITH bench AS (SELECT * FROM documents WHERE doc_id % 97 = 0),
+      |bpick AS (SELECT doc_id // 97 AS pick, text AS bench_text FROM bench),
+      |corp AS (SELECT c.doc_id, c.lang, c.source,
+      |  CASE WHEN c.doc_id % 89 = 3 AND b.bench_text IS NOT NULL
+      |    THEN c.text || ' ' || b.bench_text ELSE c.text END AS text
+      |  FROM (SELECT *, doc_id % 5 AS pick FROM documents WHERE doc_id % 97 <> 0) c
+      |  LEFT JOIN bpick b USING (pick)),
+      |b0 AS (SELECT string_split(text, ' ') AS ws FROM bench
+      |       WHERE len(string_split(text, ' ')) >= 13),
+      |b1 AS (SELECT ws, unnest(range(1, len(ws) - 11)) AS i FROM b0),
+      |bw AS (SELECT DISTINCT ('0x' || substr(md5(
+      |         array_to_string(list_slice(ws, i, i + 12), ' ')), 1, 15))::BIGINT AS wh
+      |       FROM b1),
+      |c0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corp
+      |       WHERE len(string_split(text, ' ')) >= 13),
+      |c1 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS i FROM c0),
+      |cw AS (SELECT doc_id, ('0x' || substr(md5(
+      |         array_to_string(list_slice(ws, i, i + 12), ' ')), 1, 15))::BIGINT AS wh
+      |       FROM c1),
+      |bad AS (SELECT DISTINCT doc_id FROM cw WHERE EXISTS (
+      |  SELECT 1 FROM bw WHERE bw.wh = cw.wh))
+      |SELECT doc_id, lang, source FROM corp
+      |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = corp.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -839,6 +981,8 @@ object Dedup {
     "dedup_edit_distance"    -> (editDistance _),
     "dedup_containment"      -> (containment _),
     "dedup_decontaminate"    -> (decontaminateQuery _),
+    "dedup_chunk_overlap"    -> (chunkOverlap _),
+    "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -852,5 +996,7 @@ object Dedup {
     "dedup_edit_distance"    -> editDistanceOracle,
     "dedup_containment"      -> containmentOracle,
     "dedup_decontaminate"    -> decontaminateOracle,
+    "dedup_chunk_overlap"    -> chunkOverlapOracle,
+    "decontaminate_exact_window" -> decontaminateExactWindowOracle,
   )
 }

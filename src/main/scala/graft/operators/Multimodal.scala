@@ -172,12 +172,103 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Perceptual-hash signature per blob: a 60-bit pHash-style summary
+    * computed inside the per-partition decode (same narrow mapPartitions
+    * shape as [[decodeStub]] — a real pHash DCTs the decoded pixels;
+    * the stub votes over the payload's token features instead, so
+    * near-identical payloads land at small hamming distance and the
+    * signature is reproducible in the SQL oracle). 60 bits, not 64,
+    * because the engine's portable cross-engine hash (Portable.hash60)
+    * yields 60 usable bits — the banding math below is unchanged. */
+  def phashSignaturesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[BlobRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val votes = new Array[Int](60)
+          val toks = r.text.split(" ")
+          var i = 0
+          while (i < toks.length) {
+            val h = Portable.hash60Jvm(toks(i))
+            var b = 0
+            while (b < 60) {
+              votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+              b += 1
+            }
+            i += 1
+          }
+          var ph = 0L
+          var b = 0
+          while (b < 60) { if (votes(b) > 0) ph |= (1L << b); b += 1 }
+          PhashRow(r.doc_id, ph)
+        }
+      }
+      .toDF()
+  }
+
+  /** Near-dup pairs over blob pHashes at hamming <= 2: by pigeonhole,
+    * two signatures within hamming 2 of each other over 3 disjoint
+    * 20-bit bands must agree exactly on at least one band — candidates
+    * come from a keyed equi-join on (band, value), never all-pairs
+    * (the same guarantee [[Dedup.simhashPairsOf]] uses, widened to 60
+    * bits / distance 2). 20-bit band values keep buckets selective:
+    * expected bucket size is n / 2^20 per band. */
+  def phashDedupOf(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val sigs = phashSignaturesOf(docs).localCheckpoint()
+    val bands = phashBandsOf(sigs)
+    bands.select(col("doc_id").as("i"), col("phash").as("pi"), col("b"), col("v"))
+      .join(bands.select(col("doc_id").as("j"), col("phash").as("pj"), col("b"), col("v")),
+        Seq("b", "v"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        expr("CAST(bit_count(pi ^ pj) AS INT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The pre-verification candidate set (band-bucket collisions) —
+    * exposed so specs can assert it stays far below n^2/2. */
+  private[operators] def phashCandidatesOf(docs: DataFrame): DataFrame = {
+    val bands = phashBandsOf(phashSignaturesOf(docs).localCheckpoint())
+    bands.select(col("doc_id").as("i"), col("b"), col("v"))
+      .join(bands.select(col("doc_id").as("j"), col("b"), col("v")), Seq("b", "v"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  private def phashBandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("phash"), explode(array(
+        (0 until 3).map(b => struct(lit(b).as("b"),
+          expr(s"shiftright(phash, ${b * 20}) & 1048575").as("v"))): _*)).as("bd"))
+      .select(col("doc_id"), col("phash"), col("bd.b").as("b"), col("bd.v").as("v"))
+
+  def phashDedup(s: SparkSession, d: String): DataFrame =
+    phashDedupOf(Tables.documents(s, d)).orderBy(col("i"), col("j"))
+
+  private val phashDedupOracle = {
+    val bits = (0 until 60).map(b =>
+      s"CASE WHEN sum(((h >> $b) & 1) * 2 - 1) > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hx AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM tok),
+       |sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS phash FROM hx GROUP BY doc_id),
+       |bd AS (SELECT doc_id, phash, unnest([0, 1, 2]) AS b FROM sig),
+       |bk AS (SELECT doc_id, phash, b, (phash >> (b * 20)) & 1048575 AS v FROM bd)
+       |SELECT DISTINCT a.doc_id AS i, k.doc_id AS j,
+       |  CAST(bit_count(xor(a.phash, k.phash)) AS INTEGER) AS hamming
+       |FROM bk a JOIN bk k ON a.b = k.b AND a.v = k.v AND a.doc_id < k.doc_id
+       |WHERE bit_count(xor(a.phash, k.phash)) <= 2
+       |ORDER BY i, j""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_blob_meta"       -> (blobMeta _),
     "multimodal_decode_stub"     -> (decodeStub _),
     "multimodal_frame_sample"    -> (frameSample _),
     "multimodal_resize_plan"     -> (resizePlan _),
     "multimodal_feature_extract" -> (featureExtractFlat _),
+    "multimodal_phash_dedup"     -> (phashDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +277,7 @@ object Multimodal {
     "multimodal_frame_sample"    -> frameSampleOracle,
     "multimodal_resize_plan"     -> resizePlanOracle,
     "multimodal_feature_extract" -> featureExtractOracle,
+    "multimodal_phash_dedup"     -> phashDedupOracle,
   )
 }
 
@@ -195,3 +287,4 @@ object Multimodal {
 case class BlobRow(doc_id: Long, text: String)
 case class DecodedRow(doc_id: Long, width: Int, height: Int,
                       n_frames: Int, mean_luma: Double)
+case class PhashRow(doc_id: Long, phash: Long)

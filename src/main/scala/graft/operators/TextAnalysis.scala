@@ -212,7 +212,13 @@ object TextAnalysis {
     chunksOf(Tables.documents(s, d))
 
   /** Frame-based form over any (doc_id, text) frame. */
-  def chunksOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+  def chunksOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    chunksRawOf(docs, chunkSize, stride).orderBy(col("doc_id"), col("chunk_ix"))
+
+  /** Unsorted chunk stream — pipeline stages (e.g. chunk-overlap dedup)
+    * consume this form so the query-facing total sort isn't paid inside
+    * a larger plan. */
+  def chunksRawOf(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame = {
     require(stride > 0 && chunkSize >= stride,
       s"need stride > 0 and chunkSize >= stride (got $chunkSize/$stride) — " +
       "a stride beyond the chunk size would silently drop tokens")
@@ -223,7 +229,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_ix"),
         expr(s"concat_ws(' ', slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("chunk_text"),
         expr(s"size(slice(ws, chunk_ix * $stride + 1, $chunkSize))").as("n_tokens"))
-      .orderBy(col("doc_id"), col("chunk_ix"))
   }
 
   private val chunkOracle =
@@ -272,6 +277,76 @@ object TextAnalysis {
       |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'), 30) AS tail30
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Intra-document repetition removal (the CCNet/RefinedWeb corpus-
+    * cleanup step): drop every repeat of a line within a document,
+    * matching on the lowercase-trimmed form but keeping the first
+    * occurrence's original text, then reassemble the document in
+    * original line order.
+    *
+    * Scale shape: one narrow line explode, then two hash aggregations —
+    * first on (doc_id, normalized line) with map-side combine to pick
+    * each line's first position, then on doc_id to reassemble. A doc's
+    * lines all hash to the same reducer family, so state is bounded by
+    * the longest document, never the corpus. */
+  def repetitionTrimOf(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        size(split(col("text"), sep)).as("nb"),
+        posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+    val kept = lines
+      .groupBy(col("doc_id"), lower(trim(col("line"))).as("norm"))
+      .agg(max(col("nb")).as("nb"), min(col("pos")).as("pos"),
+        min_by(col("line"), col("pos")).as("line"))
+    kept.groupBy(col("doc_id"))
+      .agg(
+        max(col("nb")).cast("int").as("n_lines_before"),
+        count(lit(1)).cast("int").as("n_lines_after"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("text"))
+  }
+
+  /** Oracle-checked fixture: the corpus has no newlines, so line
+    * structure is synthesized identically in both engines — tokens
+    * chopped into 8-token lines, three case-variants of a boilerplate
+    * line planted at head/middle/tail, and the first content line
+    * repeated at the end. The trim must keep exactly one boilerplate
+    * copy (the first, original case) and drop the repeated line. */
+  def repetitionTrim(s: SparkSession, d: String): DataFrame = {
+    val lineArr = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/8) AS INT)), " +
+        "k -> concat_ws(' ', slice(ws, k*8+1, 8)))").as("lines"))
+    val fixture = lineArr.select(col("doc_id"),
+      array_join(concat(
+        array(lit("Subscribe To Our Newsletter")),
+        col("lines"),
+        array(lit("subscribe to our newsletter")),
+        slice(col("lines"), 1, 1),
+        array(lit("SUBSCRIBE TO OUR NEWSLETTER"))), "\n").as("text"))
+    repetitionTrimOf(fixture).orderBy(col("doc_id"))
+  }
+
+  private val repetitionTrimOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lx AS (SELECT doc_id,
+      |  list_transform(range((len(ws) - 1) // 8 + 1),
+      |    k -> array_to_string(list_slice(ws, k * 8 + 1, k * 8 + 8), ' ')) AS lines
+      |  FROM w),
+      |fx AS (SELECT doc_id, array_to_string(
+      |  ['Subscribe To Our Newsletter'] || lines || ['subscribe to our newsletter']
+      |    || list_slice(lines, 1, 1) || ['SUBSCRIBE TO OUR NEWSLETTER'],
+      |  chr(10)) AS text FROM lx),
+      |l2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+      |e AS (SELECT doc_id, len(ls) AS nb, ls, unnest(range(len(ls))) AS k FROM l2),
+      |ln AS (SELECT doc_id, nb, k, ls[k + 1] AS line FROM e),
+      |kept AS (SELECT doc_id, max(nb) AS nb, min(k) AS pos, min_by(line, k) AS line
+      |         FROM ln GROUP BY doc_id, lower(trim(line)))
+      |SELECT doc_id, CAST(max(nb) AS INTEGER) AS n_lines_before,
+      |  CAST(count(*) AS INTEGER) AS n_lines_after,
+      |  string_agg(line, chr(10) ORDER BY pos) AS text
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -280,6 +355,7 @@ object TextAnalysis {
     "doc_fingerprint" -> (docFingerprint _),
     "chunk_documents" -> (chunkDocuments _),
     "pii_redact"      -> (piiRedact _),
+    "repetition_trim" -> (repetitionTrim _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +366,6 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprintOracle,
     "chunk_documents" -> chunkOracle,
     "pii_redact"      -> piiOracle,
+    "repetition_trim" -> repetitionTrimOracle,
   )
 }

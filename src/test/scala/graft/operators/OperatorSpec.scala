@@ -165,4 +165,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(missed.isEmpty || missed.size.toDouble / math.max(exact.size, 1) <= 0.2,
       s"minhash missed too many true pairs: $missed")
   }
+
+  test("phash dedup: near-identical payloads pair up, candidate set << n^2/2") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // planted near-dup: clone one payload with a single token changed
+    val base = docs.filter(col("doc_id") === 7).collect().head.getString(1)
+    val toks = base.split(" "); toks(toks.length / 2) = "PERTURBED"
+    val planted = docs.union(Seq((100007L, toks.mkString(" "))).toDF("doc_id", "text"))
+    val pairs = Multimodal.phashDedupOf(planted)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 100007L)),
+      s"one-token perturbation should stay within hamming 2; got ${pairs.size} pairs")
+    // banding must prune: candidates far below the all-pairs count
+    val n = planted.count()
+    val cand = Multimodal.phashCandidatesOf(planted).count()
+    assert(cand < n * (n - 1) / 2 / 20,
+      s"candidate set $cand not << ${n * (n - 1) / 2} (banding not selective)")
+  }
+
+  test("chunkOverlap catches a 30%-embed that whole-doc minhash misses") {
+    import spark.implicits._
+    val vocab = (0 until 200).map(i => s"w$i")
+    val hostOwn = (0 until 56).map(i => vocab(i % 97)) // 56 = 7 full 8-token chunks
+    val donor = (0 until 24).map(i => vocab((i * 13 + 5) % 199))
+    val docs = Seq(
+      (1L, donor.mkString(" ")),
+      (2L, (hostOwn ++ donor).mkString(" ")), // host embeds all of donor, aligned
+      (3L, (0 until 48).map(i => vocab((i * 7 + 3) % 193)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val overlap = Dedup.chunkOverlapPairsOf(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlap == Set((1L, 2L)), s"expected exactly the embed pair, got $overlap")
+    // whole-doc minhash at est>=0.5 misses it: donor is only 30% of host
+    val mh = Dedup.minhashPairsOf(docs)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mh.contains((1L, 2L)),
+      s"minhash unexpectedly caught the partial embed (fixture too similar): $mh")
+  }
+
+  test("exact-window decontamination scrubs verbatim embeds, keeps clean docs") {
+    import spark.implicits._
+    val vocab = (0 until 100).map(i => s"t$i")
+    val benchText = (0 until 20).map(i => vocab((i * 3) % 97)).mkString(" ")
+    val clean = (0 until 40).map(i => vocab((i * 11 + 7) % 89)).mkString(" ")
+    val corpus = Seq(
+      (10L, s"$clean $benchText $clean"), // verbatim embed mid-doc
+      (11L, clean),
+      (12L, vocab.take(10).mkString(" ")) // shorter than the window: never flagged
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateExactWindowOf(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), s"expected the contaminated doc scrubbed, got $kept")
+  }
+
+  test("repetitionTrim drops repeated boilerplate lines, keeps first occurrence & order") {
+    import spark.implicits._
+    val doc = Seq(
+      (1L, Seq("Buy Now!", "alpha beta", "buy now!", "gamma delta",
+               "  BUY NOW!  ", "alpha beta", "epsilon").mkString("\n")),
+      (2L, "only line")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionTrimOf(doc)
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 7 && out(0).getInt(2) == 4)
+    // first-occurrence casing wins; original order preserved
+    assert(out(0).getString(3) == Seq("Buy Now!", "alpha beta", "gamma delta", "epsilon").mkString("\n"))
+    assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
+  }
 }
