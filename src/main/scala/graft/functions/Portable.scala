@@ -20,12 +20,26 @@ object Portable {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Same value, computed driver/executor-side in plain JVM code (for
-    * mapPartitions-style operators that must agree with hash60). */
+    * mapPartitions-style operators that must agree with hash60).
+    * Thread-local digest + direct byte arithmetic: the first 15 hex
+    * chars are the digest's top 60 bits, so build a big-endian long
+    * from bytes 0-7 and drop the low nibble — no hex-string round-trip
+    * (the formatted version cost ~16 String.format calls per hash and
+    * dominated the per-token signature loops). */
   def hash60Jvm(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var b = 0L
+    var i = 0
+    while (i < 8) { b = (b << 8) | (d(i) & 0xffL); i += 1 }
+    b >>> 4
   }
 
   /** Round a double to `k` decimals in a way both engines agree on:

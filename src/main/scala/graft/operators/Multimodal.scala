@@ -185,12 +185,25 @@ object Multimodal {
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[BlobRow]
       .mapPartitions { rows =>
+        // per-partition token-hash memo (natural corpora repeat tokens
+        // heavily); size-capped so a pathological vocabulary can't
+        // balloon executor memory
+        val hmemo = new java.util.HashMap[String, java.lang.Long]()
+        def tokHash(w: String): Long = {
+          val c = hmemo.get(w)
+          if (c ne null) c.longValue
+          else {
+            val v = Portable.hash60Jvm(w)
+            if (hmemo.size < (1 << 16)) hmemo.put(w, v)
+            v
+          }
+        }
         rows.map { r =>
           val votes = new Array[Int](60)
           val toks = r.text.split(" ")
           var i = 0
           while (i < toks.length) {
-            val h = Portable.hash60Jvm(toks(i))
+            val h = tokHash(toks(i))
             var b = 0
             while (b < 60) {
               votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
