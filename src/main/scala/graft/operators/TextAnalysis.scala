@@ -347,6 +347,72 @@ object TextAnalysis {
       |  string_agg(line, chr(10) ORDER BY pos) AS text
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021, Table A1),
+    * re-expressed over whitespace tokens (the corpus has no line or char
+    * structure worth measuring, so the char-fraction variants become
+    * token-fraction variants — documented deviation):
+    *   - dup_word_frac:    1 - distinct_tokens / tokens (repeated-position mass)
+    *   - top_bigram_frac:  tokens covered by the single most frequent bigram
+    *   - dup_5gram_frac:   5-gram positions whose gram occurs more than once
+    *
+    * Scale shape: distinct-token count is a narrow `array_distinct` (no
+    * shuffle); bigrams and 5-grams ride ONE tagged explode into one
+    * (doc_id, k, gram) hash-agg then one doc_id hash-agg, so per-reducer
+    * state is bounded by a single document's gram count. One join back
+    * to the narrow base, keyed on doc_id. */
+  def qualitySignals(s: SparkSession, d: String): DataFrame =
+    qualitySignalsOf(Tables.documents(s, d))
+
+  def qualitySignalsOf(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).as("n"), size(array_distinct(col("ws"))).as("nd"))
+    def tagged(k: Int) = expr(
+      s"CASE WHEN size(ws) >= $k THEN transform(sequence(1, size(ws) - ${k - 1}), " +
+      s"i -> struct($k AS k, concat_ws(' ', slice(ws, i, $k)) AS g)) " +
+      "ELSE CAST(array() AS array<struct<k:int,g:string>>) END")
+    val gramAgg = tok
+      .select(col("doc_id"), explode(concat(tagged(2), tagged(5))).as("kg"))
+      .groupBy(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("k") === 2, col("c"))).as("top_bi"),
+        sum(when(col("k") === 5 && col("c") >= 2, col("c")).otherwise(lit(0))).as("dup5"),
+        sum(when(col("k") === 5, col("c"))).as("n5"))
+    tok.select(col("doc_id"), col("n"), col("nd"))
+      .join(gramAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        Portable.roundK(lit(1.0) - col("nd").cast("double") / col("n"), 4)
+          .as("dup_word_frac"),
+        Portable.roundK(coalesce(lit(2.0) * col("top_bi") / col("n"), lit(0.0)), 4)
+          .as("top_bigram_frac"),
+        Portable.roundK(coalesce(col("dup5").cast("double") / col("n5"), lit(0.0)), 4)
+          .as("dup_5gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySignalsOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM t),
+      |g AS (
+      |  SELECT doc_id, 2 AS k, array_to_string(list_slice(ws, i, i + 1), ' ') AS gm
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)
+      |  UNION ALL
+      |  SELECT doc_id, 5 AS k, array_to_string(list_slice(ws, i, i + 4), ' ') AS gm
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)),
+      |gc AS (SELECT doc_id, k, gm, count(*) AS c FROM g GROUP BY 1, 2, 3),
+      |ga AS (SELECT doc_id,
+      |    max(CASE WHEN k = 2 THEN c END) AS top_bi,
+      |    sum(CASE WHEN k = 5 AND c >= 2 THEN c ELSE 0 END) AS dup5,
+      |    sum(CASE WHEN k = 5 THEN c END) AS n5
+      |  FROM gc GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+      |  round((1.0 - b.nd::DOUBLE / b.n) * 10000) / 10000 AS dup_word_frac,
+      |  round(coalesce(2.0 * ga.top_bi / b.n, 0.0) * 10000) / 10000 AS top_bigram_frac,
+      |  round(coalesce(ga.dup5::DOUBLE / ga.n5, 0.0) * 10000) / 10000 AS dup_5gram_frac
+      |FROM base b LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -356,6 +422,7 @@ object TextAnalysis {
     "chunk_documents" -> (chunkDocuments _),
     "pii_redact"      -> (piiRedact _),
     "repetition_trim" -> (repetitionTrim _),
+    "quality_signals" -> (qualitySignals _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -367,5 +434,6 @@ object TextAnalysis {
     "chunk_documents" -> chunkOracle,
     "pii_redact"      -> piiOracle,
     "repetition_trim" -> repetitionTrimOracle,
+    "quality_signals" -> qualitySignalsOracle,
   )
 }

@@ -220,6 +220,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(11L, 12L), s"expected the contaminated doc scrubbed, got $kept")
   }
 
+  test("qualitySignals flags engineered repetition, scores clean text near zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(10)("spam ham").mkString(" ")),         // one bigram dominates
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),       // all-distinct clean doc
+      (3L, "a b c d e a b c d e a b c d e")                  // every 5-gram repeated
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualitySignalsOf(docs).orderBy("doc_id").collect()
+    // doc 1: 20 tokens, 2 distinct; "spam ham" occurs 10x -> covers 20/20 tokens
+    assert(out(0).getInt(1) == 20)
+    assert(out(0).getDouble(2) == 0.9)    // 1 - 2/20
+    assert(out(0).getDouble(3) == 1.0)    // 2*10/20
+    assert(out(0).getDouble(4) > 0.9)     // nearly every 5-gram repeats
+    // doc 2: no repetition anywhere
+    assert(out(1).getDouble(2) == 0.0 && out(1).getDouble(3) < 0.1 &&
+      out(1).getDouble(4) == 0.0)
+    // doc 3: 15 tokens, 5 distinct; all 11 5-gram positions are dup positions
+    assert(out(2).getDouble(4) == 1.0)
+  }
+
   test("repetitionTrim drops repeated boilerplate lines, keeps first occurrence & order") {
     import spark.implicits._
     val doc = Seq(
