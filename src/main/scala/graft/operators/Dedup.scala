@@ -970,6 +970,83 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = corp.doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-document paragraph dedup (the CCNet corpus-cleanup step that
+    * `repetitionTrim` does within a doc): a paragraph appearing in two
+    * or more documents is boilerplate and is removed from ALL of them
+    * (CCNet drops every copy, not every-but-one), then each document is
+    * reassembled in original paragraph order. A document reduced to
+    * nothing stays in the output with empty text so the corpus row set
+    * is preserved.
+    *
+    * Scale shape: paragraphs are counted and joined by their 60-bit
+    * portable hash, not the string — the count/join shuffle carries
+    * 8 bytes per paragraph (CCNet itself dedups on hashes); the
+    * reassembly is one doc-keyed hash-agg bounded by the longest
+    * document. ~4 keyed exchanges, no all-pairs anywhere. */
+  def paragraphDedupGlobalOf(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+      .withColumn("h", Portable.hash60(col("line")))
+    val counts = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = lines.join(counts, Seq("h")).filter(col("ndocs") < 2)
+    docs.select(col("doc_id"), size(split(col("text"), sep)).as("nb"))
+      .join(kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("na"),
+          concat_ws(sep, transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text2")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nb").cast("int").as("n_lines_before"),
+        (col("nb") - coalesce(col("na"), lit(0L))).cast("int").as("n_removed"),
+        coalesce(col("text2"), lit("")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle-checked fixture: the corpus has no paragraph structure, so
+    * both engines chop tokens into 10-token pseudo-paragraphs and plant
+    * one constant boilerplate paragraph at the head of every 25th doc —
+    * the scrub must remove exactly those plants (from every carrier)
+    * plus any naturally shared paragraph. */
+  def paragraphDedupGlobal(s: SparkSession, d: String): DataFrame = {
+    val lineArr = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/10) AS INT)), " +
+        "k -> concat_ws(' ', slice(ws, k*10+1, 10)))").as("lines"))
+    val fixture = lineArr.select(col("doc_id"),
+      array_join(when(col("doc_id") % 25 === 0,
+          concat(array(lit(ParagraphBoiler)), col("lines")))
+        .otherwise(col("lines")), "\n").as("text"))
+    paragraphDedupGlobalOf(fixture)
+  }
+
+  private val ParagraphBoiler =
+    "all rights reserved contact us terms of service privacy policy"
+
+  private val paragraphDedupOracle =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lx AS (SELECT doc_id,
+      |  list_transform(range((len(ws) - 1) // 10 + 1),
+      |    k -> array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 10), ' ')) AS lines
+      |  FROM w),
+      |fx AS (SELECT doc_id, array_to_string(
+      |  CASE WHEN doc_id % 25 = 0 THEN ['$ParagraphBoiler'] || lines ELSE lines END,
+      |  chr(10)) AS text FROM lx),
+      |l2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fx),
+      |e AS (SELECT doc_id, len(ls) AS nb, ls, unnest(range(len(ls))) AS k FROM l2),
+      |ln AS (SELECT doc_id, nb, k AS pos, ls[k + 1] AS line,
+      |       ('0x' || substr(md5(ls[k + 1]), 1, 15))::BIGINT AS h FROM e),
+      |c AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM ln GROUP BY 1),
+      |kept AS (SELECT ln.* FROM ln JOIN c USING (h) WHERE ndocs < 2),
+      |agg AS (SELECT doc_id, count(*) AS na,
+      |        string_agg(line, chr(10) ORDER BY pos) AS text2 FROM kept GROUP BY 1),
+      |base AS (SELECT doc_id, len(ls) AS nb FROM l2)
+      |SELECT b.doc_id, CAST(b.nb AS INTEGER) AS n_lines_before,
+      |  CAST(b.nb - coalesce(a.na, 0) AS INTEGER) AS n_removed,
+      |  coalesce(a.text2, '') AS text
+      |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -983,6 +1060,7 @@ object Dedup {
     "dedup_decontaminate"    -> (decontaminateQuery _),
     "dedup_chunk_overlap"    -> (chunkOverlap _),
     "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
+    "paragraph_dedup"        -> (paragraphDedupGlobal _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -998,5 +1076,6 @@ object Dedup {
     "dedup_decontaminate"    -> decontaminateOracle,
     "dedup_chunk_overlap"    -> chunkOverlapOracle,
     "decontaminate_exact_window" -> decontaminateExactWindowOracle,
+    "paragraph_dedup"        -> paragraphDedupOracle,
   )
 }

@@ -240,6 +240,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).getDouble(4) == 1.0)
   }
 
+  test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
+    import spark.implicits._
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, Seq(boiler, "unique alpha", "unique beta").mkString("\n")),
+      (2L, Seq("unique gamma", boiler).mkString("\n")),
+      (3L, boiler) // reduced to nothing — must survive as an empty row
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedupGlobalOf(docs).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // boiler dropped from ALL carriers, including the first
+    assert(out(0).getString(3) == "unique alpha\nunique beta" && out(0).getInt(2) == 1)
+    assert(out(1).getString(3) == "unique gamma" && out(1).getInt(2) == 1)
+    assert(out(2).getString(3) == "" && out(2).getInt(1) == 1 && out(2).getInt(2) == 1)
+  }
+
   test("repetitionTrim drops repeated boilerplate lines, keeps first occurrence & order") {
     import spark.implicits._
     val doc = Seq(
