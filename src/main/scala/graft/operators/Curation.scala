@@ -78,6 +78,58 @@ object Curation {
       |ORDER BY mix_key, source, doc_id
       |LIMIT 500""".stripMargin
 
+  /** Temperature-weighted source sampling (the multilingual-corpus
+    * balancing rule, alpha = 0.5): source s is kept at a rate making
+    * its expected share proportional to sqrt(count_s), so big sources
+    * are downweighted and small sources upweighted, at an overall
+    * target of half the corpus. The keep decision hashes the doc id
+    * (partitioning-independent, reproducible); the per-source rates
+    * are exact-integer arithmetic until one final closed-form double
+    * expression, so both engines agree bit-for-bit — in particular the
+    * sqrt terms are floored to integer micro-units BEFORE summing
+    * (float sums are order-dependent; integer sums are not).
+    *
+    * Scale shape: one low-cardinality count shuffle; rates broadcast
+    * back; the keep filter is a narrow hash compare in codegen. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame =
+    mixTemperatureOf(Tables.documents(s, d), col("source"), 0.5)
+
+  def mixTemperatureOf(docs: DataFrame, source: Column,
+                       targetFrac: Double): DataFrame = {
+    val srcName = docs.select(source).columns.head
+    val base = docs.select(col("doc_id"), source).toDF("doc_id", "s")
+    val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .withColumn("sqi", floor(sqrt(col("c").cast("double")) * 1e6).cast("long"))
+    val totals = counts.agg(sum(col("sqi")).as("st"), sum(col("c")).as("n"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("ppm", floor(least(lit(1.0),
+          col("sqi").cast("double") / col("st") * floor(col("n") * targetFrac) / col("c"))
+        * 1e6).cast("long"))
+      .select(col("s"), col("ppm"))
+    base.join(broadcast(rates), Seq("s"))
+      .filter(Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+        % 1000000 < col("ppm"))
+      .select(col("doc_id"), col("s"), col("ppm"))
+      .orderBy(col("doc_id"))
+      .withColumnRenamed("s", srcName)
+  }
+
+  private val mixTemperatureOracle =
+    """WITH b AS (SELECT doc_id, source AS s FROM documents),
+      |c0 AS (SELECT s, count(*) AS c FROM b GROUP BY 1),
+      |c1 AS (SELECT s, c,
+      |       CAST(floor(sqrt(c::DOUBLE) * 1000000) AS BIGINT) AS sqi FROM c0),
+      |t AS (SELECT CAST(sum(sqi) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS n
+      |      FROM c1),
+      |r AS (SELECT s, CAST(floor(least(1.0,
+      |        sqi::DOUBLE / st * floor(n * 0.5) / c) * 1000000) AS BIGINT) AS ppm
+      |      FROM c1, t)
+      |SELECT b.doc_id, b.s AS source, r.ppm
+      |FROM b JOIN r USING (s)
+      |WHERE ('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 1000000 < r.ppm
+      |ORDER BY doc_id""".stripMargin
+
   /** Token-budget sequence packing (contiguous form): per language,
     * docs in doc_id order accumulate into bins of ~2048 tokens; a
     * doc's bin is the bin of its starting offset (docs are not split).
@@ -214,6 +266,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
+    "mix_temperature"    -> (mixTemperature _),
     "pack_sequences"     -> (packSequences _),
     "training_prep"      -> (trainingPrep _),
     "source_overlap"     -> (sourceOverlap _),
@@ -223,6 +276,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "stratified_fixed_n" -> stratifiedFixedNOracle,
     "mix_sources"        -> mixSourcesOracle,
+    "mix_temperature"    -> mixTemperatureOracle,
     "pack_sequences"     -> packSequencesOracle,
     "training_prep"      -> trainingPrepOracle,
     "source_overlap"     -> sourceOverlapOracle,

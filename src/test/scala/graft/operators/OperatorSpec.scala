@@ -240,6 +240,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).getDouble(4) == 1.0)
   }
 
+  test("mixTemperature upweights small sources, is partitioning-independent") {
+    import spark.implicits._
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = Curation.mixTemperatureOf(docs, col("source"), 0.5)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5, target=500: small's sqrt-share (10/40) wants 125 > 100 -> keep all;
+    // big's share (30/40) wants 375 of 900 -> rate .4167, hash noise around it
+    assert(bySrc("small") == 100L, s"small source should be fully kept: $bySrc")
+    assert(bySrc("big") > 300L && bySrc("big") < 450L, s"big source ~375: $bySrc")
+    // keep decision hashes the doc id: repartitioning cannot change the pick
+    val again = Curation.mixTemperatureOf(docs.repartition(13), col("source"), 0.5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
