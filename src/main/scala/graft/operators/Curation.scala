@@ -100,8 +100,13 @@ object Curation {
     val base = docs.select(col("doc_id"), source).toDF("doc_id", "s")
     val counts = base.groupBy(col("s")).agg(count(lit(1)).as("c"))
       .withColumn("sqi", floor(sqrt(col("c").cast("double")) * 1e6).cast("long"))
-    val totals = counts.agg(sum(col("sqi")).as("st"), sum(col("c")).as("n"))
-    val rates = counts.crossJoin(broadcast(totals))
+    // corpus totals as a whole-partition window over the tiny per-source
+    // counts frame (one row per source) — a crossJoin(broadcast(agg))
+    // of the same data would plan as BroadcastNestedLoopJoin
+    val all = Window.partitionBy(lit(0))
+    val rates = counts
+      .withColumn("st", sum(col("sqi")).over(all))
+      .withColumn("n", sum(col("c")).over(all))
       .withColumn("ppm", floor(least(lit(1.0),
           col("sqi").cast("double") / col("st") * floor(col("n") * targetFrac) / col("c"))
         * 1e6).cast("long"))
@@ -129,6 +134,46 @@ object Curation {
       |WHERE ('0x' || substr(md5('mix:' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
       |      % 1000000 < r.ppm
       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global corpus shuffle — the "shuffle the training
+    * data" step, as a reproducible total order: every doc gets a
+    * position 0..n-1 in portable-hash order, the same on every run,
+    * engine, and partitioning. NOT a single global sort: the hash key's
+    * top bits form `buckets` range buckets (bucket asc + key asc ==
+    * global key asc), per-bucket counts prefix-sum into offsets on a
+    * `buckets`-row frame, and each doc's position is its bucket offset
+    * plus its rank within the bucket — so the only per-row window
+    * partitions by bucket, and the corpus-size work is one keyed
+    * shuffle. At 100 TB raise `buckets` so each bucket fits an
+    * executor (the offsets frame stays tiny either way). */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    corpusShuffleOf(Tables.documents(s, d), bucketBits = 6)
+
+  def corpusShuffleOf(docs: DataFrame, bucketBits: Int): DataFrame = {
+    val div = 1L << (60 - bucketBits)
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("k", Portable.hash60(
+        concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .withColumn("b", expr(s"CAST(k div ${div}L AS INT)"))
+    val offsets = keyed.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("b"), col("off"))
+    keyed.join(broadcast(offsets), Seq("b"))
+      .withColumn("pos", col("off") + row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("pos"))
+  }
+
+  private val corpusShuffleOracle =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
+      |FROM (SELECT doc_id,
+      |  ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+      |  FROM documents)
+      |ORDER BY pos""".stripMargin
 
   /** Token-budget sequence packing (contiguous form): per language,
     * docs in doc_id order accumulate into bins of ~2048 tokens; a
@@ -267,6 +312,7 @@ object Curation {
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
     "mix_temperature"    -> (mixTemperature _),
+    "corpus_shuffle"     -> (corpusShuffle _),
     "pack_sequences"     -> (packSequences _),
     "training_prep"      -> (trainingPrep _),
     "source_overlap"     -> (sourceOverlap _),
@@ -277,6 +323,7 @@ object Curation {
     "stratified_fixed_n" -> stratifiedFixedNOracle,
     "mix_sources"        -> mixSourcesOracle,
     "mix_temperature"    -> mixTemperatureOracle,
+    "corpus_shuffle"     -> corpusShuffleOracle,
     "pack_sequences"     -> packSequencesOracle,
     "training_prep"      -> trainingPrepOracle,
     "source_overlap"     -> sourceOverlapOracle,

@@ -230,15 +230,87 @@ object Similarity {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space, then
+    * drop near-duplicates only WITHIN a cluster — the clusters bound the
+    * pair join, which is what makes semantic dedup feasible at corpus
+    * scale (the global pair space is n², the within-cluster space is
+    * ~n²/k and keyed). Determinism: the k cluster "centroids" are the k
+    * vectors with the smallest portable id hash (no iterative k-means —
+    * both engines must agree bit-for-bit), assignment takes the rounded-
+    * cosine argmax with seed-id tiebreak, and a vector is dropped iff a
+    * lower-id vector in its cluster has rounded cosine >= tau. Seeds
+    * broadcast; the pair join is an equi-join on cluster id. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedupOf(s, Tables.embeddings(s, d), k = 8, tau = 0.4)
+
+  def semanticDedupOf(s: SparkSession, emb: DataFrame,
+                      k: Int, tau: Double): DataFrame = {
+    // localCheckpoint: e feeds seeds, assignment, and both pair-join
+    // sides — eager single materialization, GC-cleaned (see lshTopk)
+    val e = withNorm(s, emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
+    // the k "centroids" are driver-resident by design (tiny, like IVF's
+    // centroid table); an exploded literal keeps assignment a Generate
+    // node — crossJoin(broadcast(...)) would plan the BNLJ the
+    // plan-hygiene spec forbids
+    val seeds: Seq[(Long, Seq[Float], Double)] = e
+      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val asg = e
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(typedlit(seeds)).as("c"))
+      .select(col("vec_id"), col("c._1").as("sid"),
+        Portable.roundK(expr("vec_dot(embedding, c._2)")
+          / (col("nrm") * col("c._3")), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sid").as("cluster"))
+    val ea = asg.join(e, Seq("vec_id"))
+    val a = ea.select(col("vec_id").as("ida"), col("cluster"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = ea.select(col("vec_id").as("idb"), col("cluster"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val drops = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
+      .filter(Portable.roundK(cosine, 4) >= tau)
+      .select(col("idb").as("vec_id")).distinct()
+    asg.join(drops, Seq("vec_id"), "left_anti").orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sd AS (SELECT vec_id AS sid, v AS sv FROM e
+      |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |           vec_id
+      |  LIMIT 8),
+      |asg0 AS (SELECT e.vec_id, sd.sid,
+      |  round(list_cosine_similarity(e.v, sd.sv) * 10000) / 10000 AS cos FROM e, sd),
+      |asg AS (SELECT vec_id, sid AS cluster FROM (
+      |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, sid) AS rn FROM asg0)
+      |  WHERE rn = 1),
+      |p AS (SELECT DISTINCT b.vec_id AS drop_id
+      |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id
+      |  JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE round(list_cosine_similarity(ea.v, eb.v) * 10000) / 10000 >= 0.4)
+      |SELECT vec_id, cluster FROM asg
+      |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.drop_id = asg.vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopk _),
     "similarity_topk_lsh"   -> (lshTopk _),
     "similarity_topk_ivf"   -> (ivfTopk _),
+    "semantic_dedup"        -> (semanticDedup _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall
     * spec against bruteTopk) — driver records a rows-only check. */
   val oracles: Map[String, String] = Map(
     "similarity_topk_brute" -> bruteTopkOracle,
+    "semantic_dedup"        -> semanticDedupOracle,
   )
 }

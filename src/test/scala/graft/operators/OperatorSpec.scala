@@ -257,6 +257,41 @@ class OperatorSpec extends AnyFunSuite {
       .sameElements(again.select("doc_id").collect().map(_.getLong(0)).sorted))
   }
 
+  test("corpusShuffle is a stable permutation; its per-row window is bucketed") {
+    import spark.implicits._
+    val docs = (1L to 1000L).toDF("doc_id")
+    val out = Curation.corpusShuffleOf(docs, bucketBits = 4)
+    val pos = out.select("pos").collect().map(_.getLong(0))
+    assert(pos.sorted.sameElements(0L until 1000L), "positions must be 0..n-1 exactly")
+    val again = Curation.corpusShuffleOf(docs.repartition(17), bucketBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val first = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(first == again, "shuffle order must not depend on input partitioning")
+    // the corpus-size row_number window partitions on the hash bucket,
+    // never on a single global partition
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("row_number") &&
+      plan.matches("(?s).*windowspecdefinition\\(b#.*"),
+      s"expected a b-partitioned row_number window in:\n$plan")
+  }
+
+  test("semanticDedup drops a planted duplicate vector, keeps cluster minima") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // plant an exact copy of vector 7 under a fresh high id: same
+    // cluster, cosine 1.0 -> must be dropped; the original must survive
+    val dup = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.semanticDedupOf(spark, emb.unionByName(dup), k = 8, tau = 0.4)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(7L) && !kept.contains(1000007L),
+      s"planted duplicate should be dropped, original kept")
+    // the lowest id in every cluster can never be dropped
+    val minPerCluster = Similarity.semanticDedupOf(spark, emb, k = 8, tau = 0.4)
+    val clusters = minPerCluster.groupBy("cluster").count().collect()
+    assert(clusters.nonEmpty && clusters.forall(_.getLong(1) >= 1L))
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
