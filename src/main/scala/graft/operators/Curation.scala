@@ -186,7 +186,10 @@ object Curation {
   def packSequences(s: SparkSession, d: String): DataFrame =
     packSequencesOf(Tables.documents(s, d), 2048)
 
-  def packSequencesOf(docs: DataFrame, budget: Int): DataFrame = {
+  /** The shared binning step: (doc_id, lang, n_tokens, bin) where a
+    * doc's bin is the `budget`-bin of its per-language running-sum
+    * starting offset. One window shuffle on lang. */
+  private def binnedDocs(docs: DataFrame, budget: Int): DataFrame = {
     val cum = sum(col("n_tokens")).over(
       Window.partitionBy(col("lang")).orderBy(col("doc_id")))
     docs
@@ -194,16 +197,54 @@ object Curation {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("cum", cum)
       .withColumn("bin", expr(s"CAST((cum - n_tokens) div $budget AS BIGINT)"))
+  }
+
+  def packSequencesOf(docs: DataFrame, budget: Int): DataFrame =
+    binnedDocs(docs, budget)
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("lang"), col("bin"))
-  }
 
   // NB: bin must be CAST — DuckDB's window sum(int) promotes to HUGEINT,
   // so an uncast bin reaches the driver's pandas comparator as float64
   // while Spark's parquet column is int64 (values equal, hash differs).
   private val packSequencesOracle =
     """SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
+      |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents))
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
+  /** The materialized packing artifact: per (lang, bin), the ordered
+    * doc-id list a sequence builder would concatenate, plus fill
+    * statistics against the token budget — `pack_sequences` is the
+    * shape report, this is the manifest a downstream batcher consumes.
+    * Same single window + one doc-bounded hash-agg. */
+  def packManifest(s: SparkSession, d: String): DataFrame =
+    packManifestOf(Tables.documents(s, d), 2048)
+
+  def packManifestOf(docs: DataFrame, budget: Int): DataFrame =
+    binnedDocs(docs, budget)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        concat_ws(",", transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("doc_ids"))
+      .select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+        col("doc_ids"),
+        Portable.roundK(col("sum_tokens").cast("double") / budget, 4)
+          .as("fill_frac"),
+        greatest(lit(0L), lit(budget.toLong) - col("sum_tokens"))
+          .as("n_pad_tokens"))
+      .orderBy(col("lang"), col("bin"))
+
+  private val packManifestOracle =
+    """SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+      |  round(CAST(sum(n_tokens) AS BIGINT)::DOUBLE / 2048 * 10000) / 10000 AS fill_frac,
+      |  CAST(greatest(0, 2048 - sum(n_tokens)) AS BIGINT) AS n_pad_tokens
+      |FROM (
       |  SELECT doc_id, lang, n_tokens,
       |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
       |  FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents))
@@ -314,6 +355,7 @@ object Curation {
     "mix_temperature"    -> (mixTemperature _),
     "corpus_shuffle"     -> (corpusShuffle _),
     "pack_sequences"     -> (packSequences _),
+    "pack_manifest"      -> (packManifest _),
     "training_prep"      -> (trainingPrep _),
     "source_overlap"     -> (sourceOverlap _),
     "quality_tiers"      -> (qualityTiers _),
@@ -325,6 +367,7 @@ object Curation {
     "mix_temperature"    -> mixTemperatureOracle,
     "corpus_shuffle"     -> corpusShuffleOracle,
     "pack_sequences"     -> packSequencesOracle,
+    "pack_manifest"      -> packManifestOracle,
     "training_prep"      -> trainingPrepOracle,
     "source_overlap"     -> sourceOverlapOracle,
     "quality_tiers"      -> qualityTiersOracle,

@@ -206,12 +206,49 @@ object Profiling {
        |ORDER BY z""".stripMargin
   }
 
+  /** The dataset card in one query: per-source corpus composition
+    * (docs, tokens, language spread, exact-dup headroom, mean length)
+    * plus a rolled-up TOTAL row — what every corpus drop publishes
+    * alongside the data. One rollup aggregate over the scan; the
+    * distinct-count columns are the expensive part at 100 TB and would
+    * move to approx_count_distinct there (the exact forms stay here so
+    * the oracle can check them). */
+  def corpusCard(s: SparkSession, d: String): DataFrame =
+    corpusCardOf(Tables.documents(s, d))
+
+  def corpusCardOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        Portable.roundK(sum(col("nt")).cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"))
+      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_distinct_texts"), col("mean_tokens"))
+      .orderBy(col("source"))
+
+  private val corpusCardOracle =
+    """SELECT coalesce(source, 'TOTAL') AS source, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT text) AS n_distinct_texts,
+      |  round(sum(len(string_split(text, ' ')))::DOUBLE / count(*) * 10000) / 10000 AS mean_tokens
+      |FROM documents
+      |GROUP BY ROLLUP(source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_moments"   -> (statsMoments _),
     "outlier_docs"    -> (outlierDocs _),
     "token_histogram" -> (tokenHistogram _),
     "weighted_sample" -> (weightedSample _),
     "zorder_cells"    -> (zorderCells _),
+    "corpus_card"     -> (corpusCard _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +257,6 @@ object Profiling {
     "token_histogram" -> tokenHistogramOracle,
     "weighted_sample" -> weightedSampleOracle,
     "zorder_cells"    -> zorderCellsOracle,
+    "corpus_card"     -> corpusCardOracle,
   )
 }

@@ -413,6 +413,54 @@ object TextAnalysis {
       |  round(coalesce(ga.dup5::DOUBLE / ga.n5, 0.0) * 10000) / 10000 AS dup_5gram_frac
       |FROM base b LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Bigram-rarity scoring — the language-model-perplexity proxy that
+    * stays engine-deterministic: instead of training an LM (log-probs
+    * are transcendental; libm results differ across engines), score
+    * each document by how COMMON its bigrams are in the corpus itself.
+    * A low mean/min global bigram frequency marks unusual, noisy, or
+    * out-of-domain text — the same ranking role perplexity filters play
+    * in CCNet-style pipelines, in pure integer arithmetic until one
+    * final division.
+    *
+    * Scale shape: one global bigram count (hash-agg, map-side combine —
+    * the count table is vocabulary-bounded, far smaller than the
+    * corpus), one equi-join of doc bigrams to counts keyed on the gram
+    * (AQE handles hot-gram skew), one doc-keyed agg. */
+  def bigramRarity(s: SparkSession, d: String): DataFrame =
+    bigramRarityOf(Tables.documents(s, d))
+
+  def bigramRarityOf(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+        "i -> concat_ws(' ', slice(ws, i, 2))) " +
+        "ELSE CAST(array() AS array<string>) END")).as("g"))
+    val freq = bi.groupBy(col("g")).agg(count(lit(1)).as("gf"))
+    bi.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("gf")).as("sf"), min(col("gf")).as("min_bigram_freq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Portable.roundK(col("sf").cast("double") / col("n_bigrams"), 4)
+          .as("mean_bigram_freq"),
+        col("min_bigram_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  // NB: sum(gf) would promote to HUGEINT in DuckDB; it only feeds the
+  // double division, so no output cast is needed — but n_bigrams and
+  // min_bigram_freq must stay BIGINT on both sides.
+  private val bigramRarityOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |b AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+      |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
+      |f AS (SELECT g, count(*) AS gf FROM b GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round((sum(gf)::DOUBLE / count(*)) * 10000) / 10000 AS mean_bigram_freq,
+      |  CAST(min(gf) AS BIGINT) AS min_bigram_freq
+      |FROM b JOIN f USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -423,6 +471,7 @@ object TextAnalysis {
     "pii_redact"      -> (piiRedact _),
     "repetition_trim" -> (repetitionTrim _),
     "quality_signals" -> (qualitySignals _),
+    "bigram_rarity"   -> (bigramRarity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -435,5 +484,6 @@ object TextAnalysis {
     "pii_redact"      -> piiOracle,
     "repetition_trim" -> repetitionTrimOracle,
     "quality_signals" -> qualitySignalsOracle,
+    "bigram_rarity"   -> bigramRarityOracle,
   )
 }

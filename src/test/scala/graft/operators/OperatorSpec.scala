@@ -292,6 +292,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(clusters.nonEmpty && clusters.forall(_.getLong(1) >= 1L))
   }
 
+  test("bigramRarity: common-bigram docs score high, rare-bigram docs low") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramRarityOf(docs).orderBy("doc_id").collect()
+    // "a b" occurs in both docs (freq 2); "b c"/"b d" are unique (freq 1)
+    assert(out(0).getLong(1) == 2 && out(0).getDouble(2) == 1.5 &&
+      out(0).getLong(3) == 1L)
+    assert(out(1).getDouble(2) == 1.5)
+  }
+
+  test("corpusCard TOTAL row reconciles with the per-source rows") {
+    val rows = Profiling.corpusCard(spark, sf).collect()
+    val (total, per) = rows.partition(_.getString(0) == "TOTAL")
+    assert(total.length == 1 && per.nonEmpty)
+    assert(total.head.getLong(1) == per.map(_.getLong(1)).sum, "n_docs adds up")
+    assert(total.head.getLong(2) == per.map(_.getLong(2)).sum, "n_tokens adds up")
+    assert(per.forall(_.getLong(3) <= total.head.getLong(3)), "langs subset")
+  }
+
+  test("packManifest doc lists tile the corpus; fill stats match the budget") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val m = Curation.packManifestOf(docs, 2048).collect()
+    val listed = m.flatMap(_.getString(4).split(",")).map(_.toLong)
+    assert(listed.length == docs.count(), "every doc appears exactly once")
+    assert(listed.toSet.size == listed.length)
+    m.foreach { r =>
+      val sum = r.getLong(3); val pad = r.getLong(6)
+      assert(pad == math.max(0L, 2048L - sum), s"pad vs sum mismatch: $r")
+    }
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
