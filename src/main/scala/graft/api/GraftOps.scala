@@ -136,6 +136,75 @@ object GraftOps {
   def statsMoments(df: DataFrame, group: Column, x: Column, y: Column): DataFrame =
     graft.operators.Profiling.statsMomentsOf(df, group, x, y)
 
+  // ---- corpus cleanup / curation ----
+
+  /** Intra-document repeated-line removal (CCNet/RefinedWeb cleanup):
+    * keeps each line's first occurrence, reassembles in order. */
+  def repetitionTrim(docs: DataFrame, sep: String = "\n"): DataFrame =
+    TextAnalysis.repetitionTrimOf(docs, sep)
+
+  /** Cross-document paragraph dedup: a paragraph appearing in >= 2 docs
+    * is removed from ALL of them; docs reassemble in original order. */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n"): DataFrame =
+    Dedup.paragraphDedupGlobalOf(docs, sep)
+
+  /** Gopher-style repetition quality signals per doc (dup-word,
+    * top-bigram, and duplicated-5-gram token fractions). */
+  def qualitySignals(docs: DataFrame): DataFrame =
+    TextAnalysis.qualitySignalsOf(docs)
+
+  /** Corpus-frequency bigram rarity per doc — the engine-deterministic
+    * perplexity-filter proxy (low mean/min = unusual text). */
+  def bigramRarity(docs: DataFrame): DataFrame =
+    TextAnalysis.bigramRarityOf(docs)
+
+  /** Chunk-level partial-overlap duplicate pairs (docs sharing >= k
+    * aligned token chunks), keyed chunk-hash join. */
+  def chunkOverlapPairs(docs: DataFrame, chunkSize: Int = 8,
+                        minShared: Int = 2): DataFrame =
+    Dedup.chunkOverlapPairsOf(docs, chunkSize, minShared)
+
+  /** Exact rolling-window decontamination: drop corpus docs containing
+    * any benchmark `window`-token span verbatim (GPT-3 convention). */
+  def decontaminateExactWindow(corpus: DataFrame, benchmark: DataFrame,
+                               window: Int = 13): DataFrame =
+    Dedup.decontaminateExactWindowOf(corpus, benchmark, window)
+
+  /** SemDeDup-style semantic dedup over an embedding frame: hash-picked
+    * seed clusters, near-dup drop within clusters only. */
+  def semanticDedup(spark: org.apache.spark.sql.SparkSession,
+                    embeddings: DataFrame, k: Int = 8,
+                    tau: Double = 0.9): DataFrame =
+    Similarity.semanticDedupOf(spark, embeddings, k, tau)
+
+  /** Exact per-stratum fixed-N balanced sampling (portable-hash pick). */
+  def stratifiedFixedN(docs: DataFrame, stratum: Column, n: Int): DataFrame =
+    graft.operators.Curation.stratifiedFixedNOf(docs, stratum, n)
+
+  /** Temperature-weighted source sampling (shares ∝ sqrt(count),
+    * hash-decided keeps, reproducible). */
+  def mixTemperature(docs: DataFrame, source: Column,
+                     targetFrac: Double = 0.5): DataFrame =
+    graft.operators.Curation.mixTemperatureOf(docs, source, targetFrac)
+
+  /** Reproducible global training-data shuffle without a global sort
+    * (bucketed rank; raise bucketBits with corpus size). */
+  def corpusShuffle(docs: DataFrame, bucketBits: Int = 6): DataFrame =
+    graft.operators.Curation.corpusShuffleOf(docs, bucketBits)
+
+  /** Token-budget sequence packing: per-(lang, bin) shape stats. */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame =
+    graft.operators.Curation.packSequencesOf(docs, budget)
+
+  /** The packing manifest a batch builder consumes: ordered doc ids +
+    * fill stats per (lang, bin). */
+  def packManifest(docs: DataFrame, budget: Int = 2048): DataFrame =
+    graft.operators.Curation.packManifestOf(docs, budget)
+
+  /** Per-source + TOTAL dataset-card aggregate. */
+  def corpusCard(docs: DataFrame): DataFrame =
+    graft.operators.Profiling.corpusCardOf(docs)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

@@ -214,6 +214,37 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(GraftOps.weightedSample(withLang, col("doc_id"), lit(10000)).count() == 5)
   }
 
+  test("corpus cleanup/curation façade works over caller frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq(
+      (1L, "shared boilerplate line\nalpha beta gamma"),
+      (2L, "shared boilerplate line\ndelta epsilon zeta"),
+      (3L, "unique content here entirely")).toDF("doc_id", "text")
+    // cross-doc paragraph scrub removes the shared line from both
+    val pd = GraftOps.paragraphDedup(corpus).collect()
+    assert(pd.forall(r => !r.getString(3).contains("boilerplate")))
+    // repetition signals flag an engineered doc
+    val sig = GraftOps.qualitySignals(
+      Seq((9L, Seq.fill(8)("x y").mkString(" "))).toDF("doc_id", "text")).head()
+    assert(sig.getAs[Double]("top_bigram_frac") == 1.0)
+    // rarity: every doc gets a score over any caller frame
+    assert(GraftOps.bigramRarity(corpus).count() == 3)
+    // curation chain: temperature mix + shuffle + manifest
+    val docs2 = (1L to 100L).map(i => (i, if (i <= 80) "big" else "small", "en",
+      s"tok$i word${i % 7} filler")).toDF("doc_id", "source", "lang", "text")
+    val mixed = GraftOps.mixTemperature(docs2, col("source"))
+    assert(mixed.count() > 0 && mixed.columns.contains("source"))
+    val shuf = GraftOps.corpusShuffle(docs2, bucketBits = 3)
+    assert(shuf.select("pos").collect().map(_.getLong(0)).sorted
+      .sameElements(0L until 100L))
+    val man = GraftOps.packManifest(docs2, budget = 16)
+    assert(man.agg(sum("n_docs")).collect().head.getLong(0) == 100L)
+    // dataset card total row present
+    assert(GraftOps.corpusCard(docs2.drop("source").withColumn("source", lit("s")))
+      .filter(col("source") === "TOTAL").count() == 1)
+  }
+
   test("embedding cosine pairs over a caller embedding frame") {
     import spark.implicits._
     val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
