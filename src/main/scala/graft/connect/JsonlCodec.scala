@@ -1,0 +1,54 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines encode/decode between DataFrames and in-memory buffers —
+  * the corpus interchange format every LLM-data pipeline speaks (one
+  * JSON object per line; what CsvCodec is to the reference's CSV
+  * buffers, this is to `{"text": ...}` corpus drops). Same contract as
+  * CsvCodec (reference: `df_to_csv_buffer`,
+  * app/utils/transformutils.py:7-13): Spark's own JSON datasource does
+  * the quoting/escaping on both directions, so encode/decode are exact
+  * inverses.
+  *
+  * Single-buffer semantics are driver-side by design (sink-sized data);
+  * the distributed path for corpus-scale JSONL is `df.write.json(dir)` /
+  * `spark.read.schema(...).json(dir)`, which these helpers deliberately
+  * do not replace.
+  */
+object JsonlCodec {
+
+  /** DataFrame -> JSONL bytes (utf-8), driver-side. */
+  def encode(df: DataFrame): Array[Byte] = encodeWithCount(df)._1
+
+  /** encode + exact record count in ONE materialization (the count is
+    * the written file's line count — JSONL is one record per line by
+    * construction, so no re-parse is needed). */
+  def encodeWithCount(df: DataFrame): (Array[Byte], Long) = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
+    try {
+      val dir = new java.io.File(tmp, "out")
+      df.coalesce(1).write.json(dir.toString)
+      val part = dir.listFiles().filter(_.getName.endsWith(".json")).head
+      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      val n = bytes.count(_ == '\n'.toByte).toLong
+      (bytes, n)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
+
+  /** JSONL bytes -> DataFrame with an explicit schema (schema-on-read,
+    * same policy as CsvCodec.decode). */
+  def decode(spark: SparkSession, bytes: Array[Byte], schema: StructType): DataFrame = {
+    val tmp = java.nio.file.Files.createTempFile("graft_jsonl_in", ".jsonl")
+    java.nio.file.Files.write(tmp, bytes)
+    tmp.toFile.deleteOnExit()
+    spark.read.schema(schema).json(tmp.toString)
+  }
+}

@@ -638,8 +638,26 @@ object Relational {
   private val csvRoundtripOracle =
     """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** JSONL buffer roundtrip over the documents table — the corpus
+    * interchange format (one JSON object per line); encode/decode use
+    * Spark's JSON datasource on both directions so escaping is exact. */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val bytes = graft.connect.JsonlCodec.encode(df)
+    graft.connect.JsonlCodec.decode(s, bytes, StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("text", StringType))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val jsonlRoundtripOracle =
+    """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
+    "jsonl_roundtrip"        -> (jsonlRoundtrip _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
@@ -671,6 +689,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "csv_roundtrip"          -> csvRoundtripOracle,
+    "jsonl_roundtrip"        -> jsonlRoundtripOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,

@@ -125,6 +125,26 @@ class CsvCodecSpec extends AnyFunSuite {
   }
 }
 
+class JsonlCodecSpec extends AnyFunSuite {
+  test("encode/decode roundtrip survives quotes, newlines, unicode, backslashes") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, "embedded \"quotes\" and , commas"),
+      (3L, "line one\nline two\ttabbed"),
+      (4L, "unicode: éß中文 emoji 😀"),
+      (5L, "back\\slash and {json: \"braces\"}"))
+    val df = rows.toDF("doc_id", "text")
+    val (bytes, n) = JsonlCodec.encodeWithCount(df)
+    assert(n == 5L, "one JSONL record per row")
+    val back = JsonlCodec.decode(spark, bytes, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == rows, "byte-exact text after the roundtrip")
+  }
+}
+
 class SchemaAnnotationsSpec extends AnyFunSuite {
   private val sql =
     """SELECT SE."STUDENT-ID" AS student_id, SE."GRADE" AS grade
