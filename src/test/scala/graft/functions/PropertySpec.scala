@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+/** Property-based invariants for the cross-engine primitives and the
+  * corpus-cleanup operators — randomized inputs where the example-based
+  * specs pin single scenarios. Kept to a few hundred cases per property
+  * (each Spark-backed property pays a job per sample batch, so those
+  * run on one driver-side collect over a generated frame instead). */
+class PropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  private def check(p: Prop, minSuccess: Int = 200): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(minSuccess), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("hash60Jvm equals the hash60 Column path on arbitrary strings") {
+    import spark.implicits._
+    // the JVM loop (per-token signature paths) and the codegen'd column
+    // expression MUST agree bit-for-bit — minhash/simhash correctness
+    // rests on it. One Spark job over a generated corpus, not one per
+    // scalacheck sample.
+    val gen = Gen.listOfN(500, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOfN(8, Gen.oneOf("é", "ß", "中", "😀", "\\", "\"", "\n", " ", "ك"))
+        .map(_.mkString)))
+    val samples = gen.sample.get.distinct
+    val viaColumn = samples.toDF("s")
+      .select(col("s"), Portable.hash60(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(Portable.hash60Jvm(s) == viaColumn(s),
+        s"JVM/column hash divergence on ${s.take(40).replace("\n", "\\n")}")
+    }
+  }
+
+  test("hash60 is non-negative and fits 60 bits") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = Portable.hash60Jvm(s)
+      h >= 0L && h < (1L << 60)
+    })
+  }
+
+  test("roundK is idempotent and within half-ulp of the target grid") {
+    import spark.implicits._
+    val doubles = Gen.listOfN(2000,
+      Gen.chooseNum(-1e6, 1e6, 0.0, 1.0, -1.0, 0.12345, 99.99995)).sample.get
+    val rows = doubles.toDF("x")
+      .select(col("x"), Portable.roundK(col("x"), 4).as("r"),
+        Portable.roundK(Portable.roundK(col("x"), 4), 4).as("rr"))
+      .collect()
+    rows.foreach { r =>
+      val (x, r1, r2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(r1 == r2, s"roundK not idempotent at $x")
+      assert(math.abs(r1 - x) <= 0.00005 + math.ulp(x), s"roundK drifted at $x")
+    }
+  }
+
+  test("paragraphDedup never invents lines and is idempotent (random corpora)") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll")
+    val docGen = Gen.listOfN(4, lineGen).map(_.mkString("\n"))
+    val corpus = Gen.listOfN(12, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = corpus.toDF("doc_id", "text")
+    val out1 = Dedup.paragraphDedupGlobalOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val inLines = corpus.toMap.view.mapValues(_.split("\n").toSet).toMap
+    out1.foreach { case (id, txt) =>
+      val outLines = if (txt.isEmpty) Set.empty[String] else txt.split("\n").toSet
+      assert(outLines.subsetOf(inLines(id)), s"doc $id gained lines")
+    }
+    // a second pass removes nothing: survivors are globally unique lines
+    val again = Dedup.paragraphDedupGlobalOf(
+        corpus.map { case (i, _) => (i, out1(i)) }.filter(_._2.nonEmpty)
+          .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    again.foreach { case (id, txt) => assert(txt == out1(id), s"not idempotent: $id") }
+  }
+
+  test("corpusShuffle emits a permutation for arbitrary id sets") {
+    import spark.implicits._
+    val ids = Gen.listOfN(300, Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2))
+      .sample.get.distinct
+    val pos = Curation.corpusShuffleOf(ids.toDF("doc_id"), bucketBits = 5)
+      .select("pos").collect().map(_.getLong(0)).sorted
+    assert(pos.sameElements(0L until ids.length.toLong),
+      s"positions not a permutation for ${ids.length} ids")
+  }
+
+  test("qualitySignals fractions stay in [0,1] on random token soups") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2")
+    val docGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.mkString(" "))
+    val docs = Gen.listOfN(40, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    TextAnalysis.qualitySignalsOf(docs).collect().foreach { r =>
+      Seq(2, 3, 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"fraction out of range: $r")
+      }
+    }
+  }
+}
