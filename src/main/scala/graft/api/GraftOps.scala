@@ -205,6 +205,16 @@ object GraftOps {
   def corpusCard(docs: DataFrame): DataFrame =
     graft.operators.Profiling.corpusCardOf(docs)
 
+  /** Winnowing fingerprint selection (MOSS): min-hash-per-window 5-gram
+    * fingerprints; any shared run of >= w+4 tokens shares one. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =
+    TextAnalysis.winnowFingerprintsOf(docs, w)
+
+  /** Feature-hashed, L2-normalized TF document vectors (long form) —
+    * the model-free bridge from text into the embedding operators. */
+  def hashedTf(docs: DataFrame, dim: Int = 64): DataFrame =
+    TextAnalysis.hashedTfOf(docs, dim)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

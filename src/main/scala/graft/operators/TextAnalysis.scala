@@ -461,6 +461,107 @@ object TextAnalysis {
       |FROM b JOIN f USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprint selection (the MOSS scheme, Schleimer et al.
+    * 2003): hash every 5-gram, then from every window of `w = 4`
+    * consecutive positions keep the minimal hash, rightmost on ties —
+    * guarantees any shared run of >= w + k - 1 tokens shares a selected
+    * fingerprint, at ~2/(w+1) the density of the full hash stream.
+    *
+    * The rightmost-minimum pick needs no self-join: each position packs
+    * (hash mod 2^20, reversed position) into one 40-bit key whose
+    * window MINIMUM is exactly "smallest hash, rightmost position";
+    * unpacking the key recovers the selected position. So the whole
+    * selection is one per-doc ordered window + one keyed join back for
+    * the full 60-bit fingerprint — no quadratic step, state bounded by
+    * the longest document. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFingerprintsOf(Tables.documents(s, d))
+
+  def winnowFingerprintsOf(docs: DataFrame, w: Int = 4): DataFrame = {
+    val m = 1L << 20
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nw"), posexplode(expr(
+        "CASE WHEN size(ws) >= 5 THEN transform(sequence(1, size(ws) - 4), " +
+        "i -> concat_ws(' ', slice(ws, i, 5))) " +
+        "ELSE CAST(array() AS array<string>) END")).as(Seq("pos", "g")))
+      .select(col("doc_id"), (col("nw") - 4).as("n5"), col("pos"),
+        Portable.hash60(col("g")).as("h"))
+      .withColumn("k", (col("h") % m) * m + (lit(m - 1) - col("pos")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val selected = grams
+      .withColumn("wmin", min(col("k")).over(win))
+      .filter(col("pos") <= col("n5") - w) // valid window starts only
+      .select(col("doc_id"), (lit(m - 1) - (col("wmin") % m)).as("selpos"))
+      .distinct()
+    // renamed projection: selected and grams share lineage, so a direct
+    // self-join on doc_id would hit Spark's ambiguous-column trap
+    val lookup = grams.select(col("doc_id").as("ldoc"),
+      col("pos").as("lpos"), col("h"))
+    selected.join(lookup,
+        col("doc_id") === col("ldoc") && col("selpos") === col("lpos"))
+      .select(col("doc_id"), col("lpos").cast("long").as("pos"),
+        col("h").as("fp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val winnowOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id, len(ws) - 4 AS n5, i - 1 AS pos,
+      |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 4), ' ')), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)
+      |  WHERE len(ws) >= 5),
+      |k AS (SELECT doc_id, n5, pos, h,
+      |    (h % 1048576) * 1048576 + (1048575 - pos) AS kk FROM g),
+      |wm AS (SELECT doc_id, n5, pos,
+      |    min(kk) OVER (PARTITION BY doc_id ORDER BY pos
+      |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      |  FROM k),
+      |sel AS (SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) AS selpos
+      |  FROM wm WHERE pos <= n5 - 4)
+      |SELECT s.doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS fp
+      |FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.selpos
+      |ORDER BY s.doc_id, pos""".stripMargin
+
+  /** Feature-hashed TF document vectors (the hashing trick): every
+    * token hashes into one of `dim` buckets; per-doc bucket counts,
+    * L2-normalized, are a model-free document embedding — the bridge
+    * from raw text into the embedding operators (semantic dedup / ANN)
+    * when no learned encoder is available. Long form (doc_id, bucket,
+    * tf, weight): sparse, driver-comparable, and pivotable to a dense
+    * array<float> in one collect_list (see the spec wiring it into
+    * semanticDedup).
+    *
+    * Scale shape: one explode + one (doc, bucket) hash-agg (map-side
+    * combine; state bounded by dim per doc) + one per-doc window for
+    * the norm. */
+  def hashedTf(s: SparkSession, d: String): DataFrame =
+    hashedTfOf(Tables.documents(s, d), 64)
+
+  def hashedTfOf(docs: DataFrame, dim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), (Portable.hash60(col("tok")) % dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .withColumn("nrm2", sum(col("tf") * col("tf")).over(w))
+      .select(col("doc_id"), col("bucket"), col("tf"),
+        Portable.roundK(col("tf").cast("double") / sqrt(col("nrm2").cast("double")), 4)
+          .as("weight"))
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
+  private val hashedTfOracle =
+    """WITH b AS (SELECT doc_id,
+      |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 64 AS bucket
+      |  FROM documents),
+      |tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+      |n AS (SELECT doc_id, bucket, tf,
+      |    sum(tf * tf) OVER (PARTITION BY doc_id) AS nrm2 FROM tf)
+      |SELECT doc_id, bucket, tf,
+      |  round(tf::DOUBLE / sqrt(nrm2::DOUBLE) * 10000) / 10000 AS weight
+      |FROM n ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -472,6 +573,8 @@ object TextAnalysis {
     "repetition_trim" -> (repetitionTrim _),
     "quality_signals" -> (qualitySignals _),
     "bigram_rarity"   -> (bigramRarity _),
+    "winnow_fingerprints" -> (winnowFingerprints _),
+    "hashed_tf"       -> (hashedTf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -485,5 +588,7 @@ object TextAnalysis {
     "repetition_trim" -> repetitionTrimOracle,
     "quality_signals" -> qualitySignalsOracle,
     "bigram_rarity"   -> bigramRarityOracle,
+    "winnow_fingerprints" -> winnowOracle,
+    "hashed_tf"       -> hashedTfOracle,
   )
 }

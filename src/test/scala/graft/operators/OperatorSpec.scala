@@ -324,6 +324,41 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing guarantee: docs sharing >= w+k-1 tokens share a fingerprint") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ") // w+k-1 = 4+5-1 = 8
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $shared epsilon zeta eta theta"),
+      (2L, s"one two three four five $shared six seven eight nine"),
+      (3L, "totally unrelated text with enough tokens to fingerprint fine")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintsOf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared 8-token run must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "unrelated docs should not collide")
+    // density: roughly 2/(w+1) of positions get selected, never more than all
+    assert(fps(1L).size < 13)
+  }
+
+  test("hashedTf vectors feed semanticDedup: exact text dups get dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa lambda")
+    ).toDF("doc_id", "text")
+    val tf = TextAnalysis.hashedTfOf(docs, 64)
+    // pivot long form -> dense array<float> indexed by bucket
+    val dense = tf.groupBy(col("doc_id")).agg(
+      expr("transform(sequence(0, 63), b -> CAST(coalesce(" +
+        "element_at(map_from_arrays(collect_list(CAST(bucket AS INT)), " +
+        "collect_list(weight)), b), 0.0D) AS FLOAT))").as("embedding"))
+      .withColumnRenamed("doc_id", "vec_id")
+    val kept = Similarity.semanticDedupOf(spark, dense, k = 2, tau = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"dup text should share a vector and be dropped: $kept")
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
