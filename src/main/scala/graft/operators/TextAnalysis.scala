@@ -469,40 +469,37 @@ object TextAnalysis {
     *
     * The rightmost-minimum pick needs no self-join: each position packs
     * (hash mod 2^20, reversed position) into one 40-bit key whose
-    * window MINIMUM is exactly "smallest hash, rightmost position";
-    * unpacking the key recovers the selected position. So the whole
-    * selection is one per-doc ordered window + one keyed join back for
-    * the full 60-bit fingerprint — no quadratic step, state bounded by
-    * the longest document. */
+    * window MINIMUM is exactly "smallest hash, rightmost position",
+    * and a second window over the SAME per-doc ordering gathers the w
+    * preceding starts' unpacked picks so each row flags itself selected
+    * locally. Both windows share one partitioning, so the whole
+    * algorithm costs a single doc-keyed exchange — no join, no
+    * quadratic step, state bounded by the longest document. */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     winnowFingerprintsOf(Tables.documents(s, d))
 
   def winnowFingerprintsOf(docs: DataFrame, w: Int = 4): DataFrame = {
     val m = 1L << 20
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nw"), posexplode(expr(
         "CASE WHEN size(ws) >= 5 THEN transform(sequence(1, size(ws) - 4), " +
         "i -> concat_ws(' ', slice(ws, i, 5))) " +
         "ELSE CAST(array() AS array<string>) END")).as(Seq("pos", "g")))
-      .select(col("doc_id"), (col("nw") - 4).as("n5"), col("pos"),
-        Portable.hash60(col("g")).as("h"))
+      .select(col("doc_id"), (col("nw") - 4).as("n5"),
+        col("pos").cast("long").as("pos"), Portable.hash60(col("g")).as("h"))
       .withColumn("k", (col("h") % m) * m + (lit(m - 1) - col("pos")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(0, w - 1)
-    val selected = grams
-      .withColumn("wmin", min(col("k")).over(win))
-      .filter(col("pos") <= col("n5") - w) // valid window starts only
-      .select(col("doc_id"), (lit(m - 1) - (col("wmin") % m)).as("selpos"))
-      .distinct()
-    // renamed projection: selected and grams share lineage, so a direct
-    // self-join on doc_id would hit Spark's ambiguous-column trap
-    val lookup = grams.select(col("doc_id").as("ldoc"),
-      col("pos").as("lpos"), col("h"))
-    selected.join(lookup,
-        col("doc_id") === col("ldoc") && col("selpos") === col("lpos"))
-      .select(col("doc_id"), col("lpos").cast("long").as("pos"),
-        col("h").as("fp"))
+    grams
+      .withColumn("wmin", min(col("k")).over(byPos.rowsBetween(0, w - 1)))
+      // each valid start j's pick, unpacked; null for non-starts
+      .withColumn("pick", when(col("pos") <= col("n5") - w,
+        lit(m - 1) - (col("wmin") % m)))
+      // the picks of the w starts whose window contains this row
+      .withColumn("picks",
+        collect_list(col("pick")).over(byPos.rowsBetween(-(w - 1), 0)))
+      .filter(array_contains(col("picks"), col("pos")))
+      .select(col("doc_id"), col("pos"), col("h").as("fp"))
       .orderBy(col("doc_id"), col("pos"))
   }
 
