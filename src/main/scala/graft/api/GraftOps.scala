@@ -215,6 +215,16 @@ object GraftOps {
   def hashedTf(docs: DataFrame, dim: Int = 64): DataFrame =
     TextAnalysis.hashedTfOf(docs, dim)
 
+  /** Content-defined chunking (Rabin-style boundaries): per-chunk span
+    * stats + order-preserving chunk hash; insertions disturb chunks
+    * locally, not globally. */
+  def cdcChunks(docs: DataFrame, mask: Int = 16): DataFrame =
+    TextAnalysis.cdcChunksOf(docs, mask)
+
+  /** Out-of-vocabulary rate vs the corpus' own top-k tokens. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame =
+    TextAnalysis.oovRateOf(docs, vocabSize)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

@@ -559,6 +559,85 @@ object TextAnalysis {
       |  round(tf::DOUBLE / sqrt(nrm2::DOUBLE) * 10000) / 10000 AS weight
       |FROM n ORDER BY doc_id, bucket""".stripMargin
 
+  /** Content-defined chunking (Rabin-style): a token whose hash is
+    * 0 mod `mask` STARTS a new chunk, so chunk boundaries depend only
+    * on content — an insertion shifts at most one chunk, which is what
+    * makes CDC the storage-dedup splitter (vs fixed windows, where one
+    * inserted token shifts every later boundary). Output: per-chunk
+    * span stats + an order-preserving chunk hash, ready for an exact
+    * chunk-level dedup join.
+    *
+    * Shape: one per-doc running-sum window + one (doc, chunk) hash-agg
+    * bounded by the longest document. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, d))
+
+  def cdcChunksOf(docs: DataFrame, mask: Int = 16): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("chunk", sum(
+        when(Portable.hash60(col("tok")) % mask === 0, lit(1L)).otherwise(lit(0L)))
+        .over(byPos))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_tokens"),
+        Portable.hash60(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk"))
+  }
+
+  private val cdcOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)),
+      |c AS (SELECT doc_id, pos, tok,
+      |    sum(CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 = 0
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      |  FROM e)
+      |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+      |  CAST(min(pos) AS BIGINT) AS start_pos, count(*) AS n_tokens,
+      |  ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT AS chunk_hash
+      |FROM c GROUP BY doc_id, chunk
+      |ORDER BY doc_id, chunk""".stripMargin
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * tokens — the vocabulary-coverage signal a tokenizer/quality gate
+    * reads (high OOV = noisy or out-of-domain text). The vocabulary is
+    * deterministic (count desc, token asc) and vocabulary-bounded, so
+    * it rides a TakeOrdered and broadcasts into a narrow probe. */
+  def oovRate(s: SparkSession, d: String): DataFrame =
+    oovRateOf(Tables.documents(s, d), 20)
+
+  def oovRateOf(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .select(col("doc_id"), when(col("vtok").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        Portable.roundK(col("n_oov").cast("double") / col("n_tokens"), 4)
+          .as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val oovOracle =
+    """WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+      |v AS (SELECT tok AS vtok FROM c ORDER BY c DESC, tok LIMIT 20),
+      |j AS (SELECT doc_id, CASE WHEN vtok IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM e LEFT JOIN v ON e.tok = v.vtok)
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  round(sum(oov)::DOUBLE / count(*) * 10000) / 10000 AS oov_rate
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -572,6 +651,8 @@ object TextAnalysis {
     "bigram_rarity"   -> (bigramRarity _),
     "winnow_fingerprints" -> (winnowFingerprints _),
     "hashed_tf"       -> (hashedTf _),
+    "cdc_chunks"      -> (cdcChunks _),
+    "oov_rate"        -> (oovRate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -587,5 +668,7 @@ object TextAnalysis {
     "bigram_rarity"   -> bigramRarityOracle,
     "winnow_fingerprints" -> winnowOracle,
     "hashed_tf"       -> hashedTfOracle,
+    "cdc_chunks"      -> cdcOracle,
+    "oov_rate"        -> oovOracle,
   )
 }

@@ -359,6 +359,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L), s"dup text should share a vector and be dropped: $kept")
   }
 
+  test("cdcChunks: an insertion disturbs chunks locally, not globally") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).filter(col("doc_id") === 3L)
+      .select("text").head().getString(0)
+    val toks = base.split(" ")
+    val edited = (toks.take(5) :+ "INSERTED").mkString(" ") + " " +
+      toks.drop(5).mkString(" ")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunksOf(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(4)).toSet).toMap
+    val shared = chunks(1L) & chunks(2L)
+    // content-defined boundaries: all chunks after the edit realign, so
+    // most chunk hashes survive the insertion (fixed windows keep none)
+    assert(shared.size >= chunks(1L).size - 2,
+      s"expected local disturbance only: ${chunks(1L).size} vs shared ${shared.size}")
+  }
+
+  test("oovRate: in-vocabulary docs score 0, gibberish scores 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common words words here here"),
+      (2L, "common words here"),
+      (3L, "xqzzy gribble flurp")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRateOf(docs, vocabSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 1.0, s"got $out")
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
