@@ -22,10 +22,13 @@ object TextAnalysis {
     * digit ratios, combined into a rational-arithmetic score (no
     * transcendentals — libm results differ across engines). */
   def textQuality(s: SparkSession, d: String): DataFrame =
-    textQualityOf(Tables.documents(s, d))
+    textQualityOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   /** Frame-based form over any (doc_id, text[, lang, source]) frame;
-    * extra metadata columns pass through when present. */
+    * extra metadata columns pass through when present. No presentation
+    * sort here — it would cost library callers a global range exchange
+    * and bar the operator from streaming plans (the oracle fixture
+    * above adds its own ORDER BY). */
   def textQualityOf(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val nWords = size(words)
@@ -45,7 +48,6 @@ object TextAnalysis {
         Portable.roundK(stopRatio, 4).as("stop_ratio"),
         Portable.roundK(digitRatio, 4).as("digit_ratio"),
         Portable.roundK(quality, 4).as("quality")): _*)
-      .orderBy(col("doc_id"))
   }
 
   private val textQualityOracle =

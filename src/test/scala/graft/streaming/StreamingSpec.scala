@@ -36,6 +36,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("click", 3L, 4.5), ("view", 1L, 5.0)))
   }
 
+  test("text quality gate + hash dedup run unchanged over a document stream") {
+    // the per-doc text operators are narrow, so the same expressions the
+    // batch pipeline uses drop into readStream -> filter -> append as-is:
+    // a streaming corpus-ingest quality gate needs no new operator code
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val gated = graft.operators.TextAnalysis.textQualityOf(docs.withColumn("lang", lit("en")))
+      .filter(col("n_words") >= 3 && col("digit_ratio") < 0.3)
+      .dropDuplicates("n_chars_m", "n_words") // streaming-safe exact-ish dedup key
+    val q = gated.writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    in.addData((1L, "good clean document text here"),
+      (2L, "no"),                       // too short -> gated
+      (3L, "1 2 3 4 5 6 7 8 9 0 1 2")) // digit soup -> gated
+    q.processAllAvailable()
+    in.addData((4L, "good clean document text here"), // dup of 1 -> dropped
+      (5L, "another acceptable clean document"))
+    q.processAllAvailable()
+    val kept = spark.table("qgate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 5L), s"gate+dedup should keep 1 and 5, got $kept")
+  }
+
   test("stream dedup drops repeated event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
