@@ -24,6 +24,7 @@ object Curation {
     * (stratified_sample) cannot hit exact per-class counts. */
   def stratifiedFixedN(s: SparkSession, d: String): DataFrame =
     stratifiedFixedNOf(Tables.documents(s, d), col("lang"), 50)
+      .orderBy(col("doc_id"))
 
   def stratifiedFixedNOf(docs: DataFrame, stratum: Column, n: Int): DataFrame = {
     // positional rename so a caller stratum named "rn" (or anything
@@ -35,7 +36,6 @@ object Curation {
           .orderBy(Portable.hash60(col("doc_id").cast("string")), col("doc_id"))))
       .filter(col("rn") <= n)
       .select(col("doc_id"), col("s"))
-      .orderBy(col("doc_id"))
       .withColumnRenamed("s", stratumName)
   }
 
@@ -93,6 +93,7 @@ object Curation {
     * back; the keep filter is a narrow hash compare in codegen. */
   def mixTemperature(s: SparkSession, d: String): DataFrame =
     mixTemperatureOf(Tables.documents(s, d), col("source"), 0.5)
+      .orderBy(col("doc_id"))
 
   def mixTemperatureOf(docs: DataFrame, source: Column,
                        targetFrac: Double): DataFrame = {
@@ -115,7 +116,6 @@ object Curation {
       .filter(Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
         % 1000000 < col("ppm"))
       .select(col("doc_id"), col("s"), col("ppm"))
-      .orderBy(col("doc_id"))
       .withColumnRenamed("s", srcName)
   }
 
@@ -147,7 +147,7 @@ object Curation {
     * shuffle. At 100 TB raise `buckets` so each bucket fits an
     * executor (the offsets frame stays tiny either way). */
   def corpusShuffle(s: SparkSession, d: String): DataFrame =
-    corpusShuffleOf(Tables.documents(s, d), bucketBits = 6)
+    corpusShuffleOf(Tables.documents(s, d), bucketBits = 6).orderBy(col("pos"))
 
   def corpusShuffleOf(docs: DataFrame, bucketBits: Int): DataFrame = {
     val div = 1L << (60 - bucketBits)
@@ -164,7 +164,6 @@ object Curation {
       .withColumn("pos", col("off") + row_number().over(
         Window.partitionBy(col("b")).orderBy(col("k"), col("doc_id"))) - 1)
       .select(col("doc_id"), col("pos"))
-      .orderBy(col("pos"))
   }
 
   private val corpusShuffleOracle =
@@ -184,7 +183,7 @@ object Curation {
     * sequence-building pipelines actually ship. Output is per-bin
     * shape stats — the thing a batch builder sizes against. */
   def packSequences(s: SparkSession, d: String): DataFrame =
-    packSequencesOf(Tables.documents(s, d), 2048)
+    packSequencesOf(Tables.documents(s, d), 2048).orderBy(col("lang"), col("bin"))
 
   /** The shared binning step: (doc_id, lang, n_tokens, bin) where a
     * doc's bin is the `budget`-bin of its per-language running-sum
@@ -203,7 +202,6 @@ object Curation {
     binnedDocs(docs, budget)
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy(col("lang"), col("bin"))
 
   // NB: bin must be CAST — DuckDB's window sum(int) promotes to HUGEINT,
   // so an uncast bin reaches the driver's pandas comparator as float64
@@ -222,7 +220,7 @@ object Curation {
     * shape report, this is the manifest a downstream batcher consumes.
     * Same single window + one doc-bounded hash-agg. */
   def packManifest(s: SparkSession, d: String): DataFrame =
-    packManifestOf(Tables.documents(s, d), 2048)
+    packManifestOf(Tables.documents(s, d), 2048).orderBy(col("lang"), col("bin"))
 
   def packManifestOf(docs: DataFrame, budget: Int): DataFrame =
     binnedDocs(docs, budget)
@@ -236,7 +234,6 @@ object Curation {
           .as("fill_frac"),
         greatest(lit(0L), lit(budget.toLong) - col("sum_tokens"))
           .as("n_pad_tokens"))
-      .orderBy(col("lang"), col("bin"))
 
   private val packManifestOracle =
     """SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,

@@ -43,10 +43,9 @@ object Dedup {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
-      .orderBy(col("keeper_id"))
 
   def exact(s: SparkSession, d: String): DataFrame =
-    exactOf(Tables.documents(s, d))
+    exactOf(Tables.documents(s, d)).orderBy(col("keeper_id"))
 
   private val exactOracle =
     """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -175,7 +174,7 @@ object Dedup {
     ngramJaccardFromShingles(pairCounts(shinglesOf(docs, maxDf)))
 
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    ngramJaccardFromShingles(pairCountsMemo(s, d))
+    ngramJaccardFromShingles(pairCountsMemo(s, d)).orderBy(col("i"), col("j"))
 
   /** (i, j, c=|A∩B|, na=|A|, nb=|B|) for every doc pair sharing >= 1
     * capped shingle — the one aggregation both set-overlap measures
@@ -200,7 +199,6 @@ object Dedup {
     pairs
       .filter(jacRaw >= 0.5)
       .select(col("i"), col("j"), Portable.roundK(jacRaw, 4).as("jac"))
-      .orderBy(col("i"), col("j"))
   }
 
   private val ngramJaccardOracle =
@@ -222,7 +220,7 @@ object Dedup {
     * shingle index and keyed self-join as the Jaccard pipeline (the
     * memoized frame is shared), one extra max. */
   def containment(s: SparkSession, d: String): DataFrame =
-    containmentFromPairs(pairCountsMemo(s, d))
+    containmentFromPairs(pairCountsMemo(s, d)).orderBy(col("i"), col("j"))
 
   def containmentPairsOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
     containmentFromPairs(pairCounts(shinglesOf(docs, maxDf)))
@@ -232,7 +230,6 @@ object Dedup {
     pairs
       .filter(cont >= 0.9)
       .select(col("i"), col("j"), Portable.roundK(cont, 4).as("containment"))
-      .orderBy(col("i"), col("j"))
   }
 
   private val containmentOracle =
@@ -517,7 +514,7 @@ object Dedup {
     * come from an equi-join on (band, half), then the exact hamming
     * filter. */
   def simhash(s: SparkSession, d: String): DataFrame =
-    simhashPairsOf(Tables.documents(s, d))
+    simhashPairsOf(Tables.documents(s, d)).orderBy(col("i"), col("j"))
 
   /** Frame-based simhash near-dup pairs over any (doc_id, text) frame. */
   def simhashPairsOf(docs: DataFrame): DataFrame = {
@@ -539,7 +536,6 @@ object Dedup {
         expr("CAST(bit_count(si ^ sj) AS INT)").as("hamming"))
       .filter(col("hamming") <= 1)
       .distinct()
-      .orderBy(col("i"), col("j"))
   }
 
   /** One 32-bit simhash per doc (tokens weighted by multiplicity).
@@ -607,7 +603,7 @@ object Dedup {
     * keyed equi-joins that shuffle-partition by bucket instead of a
     * single-node BroadcastNestedLoopJoin. */
   def embeddingCosine(s: SparkSession, d: String): DataFrame =
-    embeddingCosineOf(Tables.embeddings(s, d))
+    embeddingCosineOf(Tables.embeddings(s, d)).orderBy(col("i"), col("j"))
 
   /** Frame-based form over any (vec_id, embedding: array<float>)
     * frame. The threshold floor exists because the LSH blocking
@@ -656,7 +652,6 @@ object Dedup {
       .filter(col("cos_raw") >= threshold)
       .select(col("i"), col("j"), Portable.roundK(col("cos_raw"), 4).as("cos"))
       .distinct()
-      .orderBy(col("i"), col("j"))
   }
 
   /** The non-distinct LSH candidate (i, j) stream behind
@@ -759,7 +754,7 @@ object Dedup {
     // frame without re-caching; dedup_clusters and training_prep share
     // one loop execution per session
     memo.getOrBuildMaterialized(s, s"clusters:$d")(
-      clustersOf(minhashPairs(s, d)))
+      clustersOf(minhashPairs(s, d))).orderBy(col("doc_id"))
 
   /** Frame-based connected components over any undirected pair frame
     * with `i`/`j` columns (extra columns ignored); returns
@@ -793,7 +788,6 @@ object Dedup {
       labels = next
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
-      .orderBy(col("doc_id"))
   }
 
   /** Shared CTE chain ending in `pairs(i, j)` — the minhash-LSH
@@ -1000,7 +994,6 @@ object Dedup {
       .select(col("doc_id"), col("nb").cast("int").as("n_lines_before"),
         (col("nb") - coalesce(col("na"), lit(0L))).cast("int").as("n_removed"),
         coalesce(col("text2"), lit("")).as("text"))
-      .orderBy(col("doc_id"))
   }
 
   /** Oracle-checked fixture: the corpus has no paragraph structure, so
@@ -1018,7 +1011,7 @@ object Dedup {
       array_join(when(col("doc_id") % 25 === 0,
           concat(array(lit(ParagraphBoiler)), col("lines")))
         .otherwise(col("lines")), "\n").as("text"))
-    paragraphDedupGlobalOf(fixture)
+    paragraphDedupGlobalOf(fixture).orderBy(col("doc_id"))
   }
 
   private val ParagraphBoiler =

@@ -37,6 +37,7 @@ object Profiling {
         col("l_quantity"), col("l_extendedprice"))
       .withColumnsRenamed(Map("mean_x" -> "mean_qty",
         "stddev_x" -> "stddev_qty", "corr_xy" -> "corr_qty_price"))
+      .orderBy(col("l_returnflag"))
 
   /** Generic frame form: exact (n, mean_x, stddev_x, corr_xy) per
     * `group` for any two numeric columns, integerized at cents
@@ -64,7 +65,6 @@ object Profiling {
         Portable.roundK(sqrt(varQ / (n * (n - 1))) / 100.0, 4).as("stddev_x"),
         Portable.roundK(dbl(n * col("sqp") - col("sq") * col("sp"))
           / (sqrt(varQ) * sqrt(varP)), 4).as("corr_xy"))
-      .orderBy(col("g"))
       .withColumnRenamed("g", groupName)
   }
 
@@ -90,7 +90,7 @@ object Profiling {
     * at 10⁹ docs per language the squared deviation reaches ~10²⁶,
     * past Long but nowhere near 10³⁸. One window shuffle on lang. */
   def outlierDocs(s: SparkSession, d: String): DataFrame =
-    outlierDocsOf(Tables.documents(s, d))
+    outlierDocsOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   def outlierDocsOf(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
@@ -104,7 +104,6 @@ object Profiling {
       .withColumn("sx2", sum(col("xd") * col("xd")).over(w))
       .filter(dev * dev > lit(4) * (col("n") * col("sx2") - col("sx") * col("sx")))
       .select(col("doc_id"), col("lang"), col("x").as("n_tokens"))
-      .orderBy(col("doc_id"))
   }
 
   private val outlierDocsOracle =
@@ -122,7 +121,7 @@ object Profiling {
     * with a tail bucket at 19 — the single-shuffle alternative to the
     * mergeable HistogramSketchAgg when bucket edges are known. */
   def tokenHistogram(s: SparkSession, d: String): DataFrame =
-    tokenHistogramOf(Tables.documents(s, d))
+    tokenHistogramOf(Tables.documents(s, d)).orderBy(col("lang"), col("bucket"))
 
   def tokenHistogramOf(docs: DataFrame, bucketWidth: Int = 25,
                        tailBucket: Int = 19): DataFrame = {
@@ -134,7 +133,6 @@ object Profiling {
           lit(tailBucket.toLong)).as("bucket"))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("bucket"))
   }
 
   private val tokenHistogramOracle =
@@ -214,7 +212,7 @@ object Profiling {
     * move to approx_count_distinct there (the exact forms stay here so
     * the oracle can check them). */
   def corpusCard(s: SparkSession, d: String): DataFrame =
-    corpusCardOf(Tables.documents(s, d))
+    corpusCardOf(Tables.documents(s, d)).orderBy(col("source"))
 
   def corpusCardOf(docs: DataFrame): DataFrame =
     docs
@@ -230,7 +228,6 @@ object Profiling {
       .select(coalesce(col("source"), lit("TOTAL")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_langs"),
         col("n_distinct_texts"), col("mean_tokens"))
-      .orderBy(col("source"))
 
   private val corpusCardOracle =
     """SELECT coalesce(source, 'TOTAL') AS source, count(*) AS n_docs,

@@ -165,6 +165,7 @@ object Similarity {
     * spec checks recall vs bruteTopk. */
   def ivfTopk(s: SparkSession, d: String): DataFrame =
     ivfTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
+      .orderBy(col("qid"), col("rk"))
 
   /** Frame-based IVF top-k over any (vec_id, embedding) frame;
     * `isQuery` selects the query rows. Centroid seeding is id-layout
@@ -227,7 +228,6 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("nid"), Portable.roundK(col("cos_raw"), 4).as("cos"))
-      .orderBy(col("qid"), col("rk"))
   }
 
   /** SemDeDup-style semantic dedup: cluster the embedding space, then
@@ -242,6 +242,7 @@ object Similarity {
     * broadcast; the pair join is an equi-join on cluster id. */
   def semanticDedup(s: SparkSession, d: String): DataFrame =
     semanticDedupOf(s, Tables.embeddings(s, d), k = 8, tau = 0.4)
+      .orderBy(col("vec_id"))
 
   def semanticDedupOf(s: SparkSession, emb: DataFrame,
                       k: Int, tau: Double): DataFrame = {
@@ -276,7 +277,7 @@ object Similarity {
     val drops = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
       .filter(Portable.roundK(cosine, 4) >= tau)
       .select(col("idb").as("vec_id")).distinct()
-    asg.join(drops, Seq("vec_id"), "left_anti").orderBy(col("vec_id"))
+    asg.join(drops, Seq("vec_id"), "left_anti")
   }
 
   private val semanticDedupOracle =

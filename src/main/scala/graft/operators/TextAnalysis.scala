@@ -363,7 +363,7 @@ object TextAnalysis {
     * state is bounded by a single document's gram count. One join back
     * to the narrow base, keyed on doc_id. */
   def qualitySignals(s: SparkSession, d: String): DataFrame =
-    qualitySignalsOf(Tables.documents(s, d))
+    qualitySignalsOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   def qualitySignalsOf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -391,7 +391,6 @@ object TextAnalysis {
           .as("top_bigram_frac"),
         Portable.roundK(coalesce(col("dup5").cast("double") / col("n5"), lit(0.0)), 4)
           .as("dup_5gram_frac"))
-      .orderBy(col("doc_id"))
   }
 
   private val qualitySignalsOracle =
@@ -429,7 +428,7 @@ object TextAnalysis {
     * corpus), one equi-join of doc bigrams to counts keyed on the gram
     * (AQE handles hot-gram skew), one doc-keyed agg. */
   def bigramRarity(s: SparkSession, d: String): DataFrame =
-    bigramRarityOf(Tables.documents(s, d))
+    bigramRarityOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   def bigramRarityOf(docs: DataFrame): DataFrame = {
     val bi = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -446,7 +445,6 @@ object TextAnalysis {
         Portable.roundK(col("sf").cast("double") / col("n_bigrams"), 4)
           .as("mean_bigram_freq"),
         col("min_bigram_freq"))
-      .orderBy(col("doc_id"))
   }
 
   // NB: sum(gf) would promote to HUGEINT in DuckDB; it only feeds the
@@ -478,7 +476,7 @@ object TextAnalysis {
     * algorithm costs a single doc-keyed exchange — no join, no
     * quadratic step, state bounded by the longest document. */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
-    winnowFingerprintsOf(Tables.documents(s, d))
+    winnowFingerprintsOf(Tables.documents(s, d)).orderBy(col("doc_id"), col("pos"))
 
   def winnowFingerprintsOf(docs: DataFrame, w: Int = 4): DataFrame = {
     val m = 1L << 20
@@ -502,7 +500,6 @@ object TextAnalysis {
         collect_list(col("pick")).over(byPos.rowsBetween(-(w - 1), 0)))
       .filter(array_contains(col("picks"), col("pos")))
       .select(col("doc_id"), col("pos"), col("h").as("fp"))
-      .orderBy(col("doc_id"), col("pos"))
   }
 
   private val winnowOracle =
@@ -536,7 +533,7 @@ object TextAnalysis {
     * combine; state bounded by dim per doc) + one per-doc window for
     * the norm. */
   def hashedTf(s: SparkSession, d: String): DataFrame =
-    hashedTfOf(Tables.documents(s, d), 64)
+    hashedTfOf(Tables.documents(s, d), 64).orderBy(col("doc_id"), col("bucket"))
 
   def hashedTfOf(docs: DataFrame, dim: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
@@ -547,7 +544,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("bucket"), col("tf"),
         Portable.roundK(col("tf").cast("double") / sqrt(col("nrm2").cast("double")), 4)
           .as("weight"))
-      .orderBy(col("doc_id"), col("bucket"))
   }
 
   private val hashedTfOracle =
@@ -572,7 +568,7 @@ object TextAnalysis {
     * Shape: one per-doc running-sum window + one (doc, chunk) hash-agg
     * bounded by the longest document. */
   def cdcChunks(s: SparkSession, d: String): DataFrame =
-    cdcChunksOf(Tables.documents(s, d))
+    cdcChunksOf(Tables.documents(s, d)).orderBy(col("doc_id"), col("chunk"))
 
   def cdcChunksOf(docs: DataFrame, mask: Int = 16): DataFrame = {
     val byPos = org.apache.spark.sql.expressions.Window
@@ -588,7 +584,6 @@ object TextAnalysis {
         Portable.hash60(concat_ws(" ", transform(
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           x => x.getField("tok")))).as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk"))
   }
 
   private val cdcOracle =
@@ -612,7 +607,7 @@ object TextAnalysis {
     * deterministic (count desc, token asc) and vocabulary-bounded, so
     * it rides a TakeOrdered and broadcasts into a narrow probe. */
   def oovRate(s: SparkSession, d: String): DataFrame =
-    oovRateOf(Tables.documents(s, d), 20)
+    oovRateOf(Tables.documents(s, d), 20).orderBy(col("doc_id"))
 
   def oovRateOf(docs: DataFrame, vocabSize: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -627,7 +622,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         Portable.roundK(col("n_oov").cast("double") / col("n_tokens"), 4)
           .as("oov_rate"))
-      .orderBy(col("doc_id"))
   }
 
   private val oovOracle =

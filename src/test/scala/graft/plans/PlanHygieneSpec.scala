@@ -46,6 +46,51 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(over.isEmpty, s"over the $budget-exchange budget: ${over.mkString(", ")}")
   }
 
+  test("frame forms plan no global sort (no range-partition exchange)") {
+    // Presentation ORDER BYs live in the oracle fixture wrappers only:
+    // a frame form that global-sorts charges every library caller a
+    // range exchange for nothing and is illegal in streaming plans.
+    // A global sort physically manifests as Exchange rangepartitioning;
+    // window-local sorts and TakeOrderedAndProject do not.
+    import spark.implicits._
+    import graft.operators._
+    val docs = graft.Tables.documents(spark, sf)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val forms: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "textQualityOf" -> TextAnalysis.textQualityOf(docs),
+      "qualitySignalsOf" -> TextAnalysis.qualitySignalsOf(docs),
+      "bigramRarityOf" -> TextAnalysis.bigramRarityOf(docs),
+      "winnowFingerprintsOf" -> TextAnalysis.winnowFingerprintsOf(docs),
+      "hashedTfOf" -> TextAnalysis.hashedTfOf(docs, 64),
+      "cdcChunksOf" -> TextAnalysis.cdcChunksOf(docs),
+      "oovRateOf" -> TextAnalysis.oovRateOf(docs, 20),
+      "repetitionTrimOf" -> TextAnalysis.repetitionTrimOf(docs),
+      "paragraphDedupGlobalOf" -> Dedup.paragraphDedupGlobalOf(docs),
+      "exactOf" -> Dedup.exactOf(docs),
+      "ngramJaccardOf" -> Dedup.ngramJaccardOf(docs),
+      "containmentPairsOf" -> Dedup.containmentPairsOf(docs),
+      "minhashPairsOf" -> Dedup.minhashPairsOf(docs),
+      "simhashPairsOf" -> Dedup.simhashPairsOf(docs),
+      "embeddingCosineOf" -> Dedup.embeddingCosineOf(emb),
+      "clustersOf" -> Dedup.clustersOf(pairs),
+      "stratifiedFixedNOf" -> Curation.stratifiedFixedNOf(docs, org.apache.spark.sql.functions.col("lang"), 5),
+      "mixTemperatureOf" -> Curation.mixTemperatureOf(docs, org.apache.spark.sql.functions.col("source"), 0.5),
+      "corpusShuffleOf" -> Curation.corpusShuffleOf(docs, 4),
+      "packSequencesOf" -> Curation.packSequencesOf(docs, 2048),
+      "packManifestOf" -> Curation.packManifestOf(docs, 2048),
+      "outlierDocsOf" -> Profiling.outlierDocsOf(docs),
+      "tokenHistogramOf" -> Profiling.tokenHistogramOf(docs),
+      "corpusCardOf" -> Profiling.corpusCardOf(docs),
+      "semanticDedupOf" -> Similarity.semanticDedupOf(spark, emb, 4, 0.4),
+    )
+    val offenders = forms.flatMap { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("Exchange rangepartitioning")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"global sorts in frame forms: ${offenders.mkString(", ")}")
+  }
+
   test("rank-limited windows plan WindowGroupLimit (partial top-k before the shuffle)") {
     // rank <= k over a window triggers Spark's group-limit pushdown:
     // each map task keeps only its own top-k rows per key, so the
