@@ -225,6 +225,17 @@ object GraftOps {
   def oovRate(docs: DataFrame, vocabSize: Int): DataFrame =
     TextAnalysis.oovRateOf(docs, vocabSize)
 
+  /** Gopher-rules filter verdict: the repetition signals composed into
+    * keep/drop with the first failed rule recorded. */
+  def gopherFilter(docs: DataFrame): DataFrame =
+    TextAnalysis.gopherFilterOf(docs)
+
+  /** Deterministic hash-keyed train/val/test split (permille buckets);
+    * a doc never migrates between splits as the corpus grows. */
+  def datasetSplit(docs: DataFrame, trainPermille: Int = 980,
+                   valPermille: Int = 10): DataFrame =
+    graft.operators.Curation.datasetSplitOf(docs, trainPermille, valPermille)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

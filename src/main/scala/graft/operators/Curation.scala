@@ -248,6 +248,35 @@ object Curation {
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** Deterministic train/val/test split: each doc's portable id hash
+    * lands in one of 1000 permille buckets — 980 train / 10 val / 10
+    * test. Hash-keyed (not random): re-runs, backfills, and engines all
+    * agree, and a doc can never migrate between splits when the corpus
+    * around it changes — the property random splits lose on every
+    * re-shuffle. Narrow codegen filter; zero shuffles before the
+    * summary agg. */
+  def datasetSplit(s: SparkSession, d: String): DataFrame =
+    datasetSplitOf(Tables.documents(s, d), 980, 10)
+      .orderBy(col("split"), col("doc_id"))
+
+  def datasetSplitOf(docs: DataFrame, trainPermille: Int,
+                     valPermille: Int): DataFrame = {
+    val b = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
+    docs.select(col("doc_id"),
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  private val datasetSplitOracle =
+    """SELECT doc_id,
+      |  CASE WHEN b < 980 THEN 'train' WHEN b < 990 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |  ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS b
+      |  FROM documents)
+      |ORDER BY split, doc_id""".stripMargin
+
   /** The whole training-prep pipeline as ONE lazy DataFrame program —
     * near-dup cluster dedup (keep each component's min; exact dups are
     * pair-connected so the same pass removes them), a residual exact
@@ -351,6 +380,7 @@ object Curation {
     "mix_sources"        -> (mixSources _),
     "mix_temperature"    -> (mixTemperature _),
     "corpus_shuffle"     -> (corpusShuffle _),
+    "dataset_split"      -> (datasetSplit _),
     "pack_sequences"     -> (packSequences _),
     "pack_manifest"      -> (packManifest _),
     "training_prep"      -> (trainingPrep _),
@@ -363,6 +393,7 @@ object Curation {
     "mix_sources"        -> mixSourcesOracle,
     "mix_temperature"    -> mixTemperatureOracle,
     "corpus_shuffle"     -> corpusShuffleOracle,
+    "dataset_split"      -> datasetSplitOracle,
     "pack_sequences"     -> packSequencesOracle,
     "pack_manifest"      -> packManifestOracle,
     "training_prep"      -> trainingPrepOracle,

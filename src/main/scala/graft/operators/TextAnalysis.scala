@@ -634,6 +634,38 @@ object TextAnalysis {
       |  round(sum(oov)::DOUBLE / count(*) * 10000) / 10000 AS oov_rate
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The Gopher-rules filter verdict: the repetition signals composed
+    * into the actual keep/drop decision a cleaning pipeline ships, with
+    * the FIRST failed rule recorded (rule order is the contract —
+    * operators downstream aggregate drop reasons). Thresholds sit at
+    * this corpus' p88-p92 so both branches are exercised. Same shape
+    * as qualitySignals plus one narrow CASE. */
+  def gopherFilter(s: SparkSession, d: String): DataFrame =
+    gopherFilterOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  def gopherFilterOf(docs: DataFrame): DataFrame =
+    qualitySignalsOf(docs)
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("top_bigram_frac") > 0.12, "repetitive_bigram")
+          .when(col("dup_5gram_frac") > 0.10, "repetitive_5gram")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_tokens"), col("reason"),
+        (col("reason") === "keep").as("keep"))
+
+  private val gopherFilterOracle =
+    s"""WITH qs AS (${qualitySignalsOracle.stripSuffix(" ORDER BY doc_id")})
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'
+       |       WHEN dup_5gram_frac > 0.10 THEN 'repetitive_5gram'
+       |       ELSE 'keep' END AS reason,
+       |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'
+       |       WHEN dup_5gram_frac > 0.10 THEN 'repetitive_5gram'
+       |       ELSE 'keep' END) = 'keep' AS keep
+       |FROM qs ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -649,6 +681,7 @@ object TextAnalysis {
     "hashed_tf"       -> (hashedTf _),
     "cdc_chunks"      -> (cdcChunks _),
     "oov_rate"        -> (oovRate _),
+    "gopher_filter"   -> (gopherFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -666,5 +699,6 @@ object TextAnalysis {
     "hashed_tf"       -> hashedTfOracle,
     "cdc_chunks"      -> cdcOracle,
     "oov_rate"        -> oovOracle,
+    "gopher_filter"   -> gopherFilterOracle,
   )
 }

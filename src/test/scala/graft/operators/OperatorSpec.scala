@@ -387,6 +387,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1L) == 0.0 && out(2L) == 0.0 && out(3L) == 1.0, s"got $out")
   }
 
+  test("datasetSplit: ~98/1/1 proportions, stable under corpus growth") {
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    val split = Curation.datasetSplitOf(docs, 980, 10).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val counts = split.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1900 && counts("val") < 50 && counts("test") < 50, s"$counts")
+    // a doc's split never changes when other docs arrive (hash-keyed)
+    val bigger = Curation.datasetSplitOf((1L to 4000L).toDF("doc_id"), 980, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.forall { case (id, s) => bigger(id) == s })
+  }
+
+  test("gopherFilter applies rules in order and keeps clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short text"),                                   // too_short fires first
+      (2L, Seq.fill(15)("spam ham").mkString(" ")),          // repetitive_bigram
+      (3L, (1 to 30).map(i => s"w$i").mkString(" "))         // clean
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilterOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ("too_short", false))
+    assert(out(2L) == ("repetitive_bigram", false))
+    assert(out(3L) == ("keep", true))
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
