@@ -269,6 +269,10 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sid").as("cluster"))
+      // eager once: the assignment feeds both pair-join sides and the
+      // final anti-join — without the cut its explode+window subtree
+      // executes three times (same policy as e above)
+      .localCheckpoint()
     val ea = asg.join(e, Seq("vec_id"))
     val a = ea.select(col("vec_id").as("ida"), col("cluster"),
       col("embedding").as("va"), col("nrm").as("na"))
