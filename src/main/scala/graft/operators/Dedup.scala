@@ -978,13 +978,16 @@ object Dedup {
     * reassembly is one doc-keyed hash-agg bounded by the longest
     * document. ~4 keyed exchanges, no all-pairs anywhere. */
   def paragraphDedupGlobalOf(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    // quote: split() takes a regex but sep is a literal (it is also the
+    // literal concat_ws reassembly separator) — see repetitionTrimOf
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col("doc_id"),
-        posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+        posexplode(split(col("text"), sepRe)).as(Seq("pos", "line")))
       .withColumn("h", Portable.hash60(col("line")))
     val counts = lines.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     val kept = lines.join(counts, Seq("h")).filter(col("ndocs") < 2)
-    docs.select(col("doc_id"), size(split(col("text"), sep)).as("nb"))
+    docs.select(col("doc_id"), size(split(col("text"), sepRe)).as("nb"))
       .join(kept.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("na"),
           concat_ws(sep, transform(

@@ -200,7 +200,11 @@ object Multimodal {
         }
         rows.map { r =>
           val votes = new Array[Int](60)
-          val toks = r.text.split(" ")
+          // limit -1: keep trailing empty tokens, matching SQL
+          // split/string_split semantics (Java's limit-0 split strips
+          // them, which would flip per-bit tallies vs the oracle on any
+          // text ending in the separator)
+          val toks = r.text.split(" ", -1)
           var i = 0
           while (i < toks.length) {
             val h = tokHash(toks(i))

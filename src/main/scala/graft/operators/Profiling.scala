@@ -224,13 +224,18 @@ object Profiling {
         countDistinct(col("lang")).as("n_langs"),
         countDistinct(col("text")).as("n_distinct_texts"),
         Portable.roundK(sum(col("nt")).cast("double") / count(lit(1)), 4)
-          .as("mean_tokens"))
-      .select(coalesce(col("source"), lit("TOTAL")).as("source"),
+          .as("mean_tokens"),
+        grouping(col("source")).as("gflag"))
+      // grouping(), not coalesce: a corpus with a genuine NULL source
+      // group must not collide with the rolled-up TOTAL row
+      .select(when(col("gflag") === 1, lit("TOTAL"))
+          .otherwise(coalesce(col("source"), lit("NULL"))).as("source"),
         col("n_docs"), col("n_tokens"), col("n_langs"),
         col("n_distinct_texts"), col("mean_tokens"))
 
   private val corpusCardOracle =
-    """SELECT coalesce(source, 'TOTAL') AS source, count(*) AS n_docs,
+    """SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
+      |       ELSE coalesce(source, 'NULL') END AS source, count(*) AS n_docs,
       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |  count(DISTINCT lang) AS n_langs,
       |  count(DISTINCT text) AS n_distinct_texts,

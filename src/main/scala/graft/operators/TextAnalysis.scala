@@ -291,9 +291,13 @@ object TextAnalysis {
     * lines all hash to the same reducer family, so state is bounded by
     * the longest document, never the corpus. */
   def repetitionTrimOf(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    // quote: split() takes a regex but sep is a literal (and is used
+    // literally in the concat_ws reassembly) — an unquoted "." or "|"
+    // separator would split between every character
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col("doc_id"),
-        size(split(col("text"), sep)).as("nb"),
-        posexplode(split(col("text"), sep)).as(Seq("pos", "line")))
+        size(split(col("text"), sepRe)).as("nb"),
+        posexplode(split(col("text"), sepRe)).as(Seq("pos", "line")))
     val kept = lines
       .groupBy(col("doc_id"), lower(trim(col("line"))).as("norm"))
       .agg(max(col("nb")).as("nb"), min(col("pos")).as("pos"),
@@ -387,7 +391,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
         Portable.roundK(lit(1.0) - col("nd").cast("double") / col("n"), 4)
           .as("dup_word_frac"),
-        Portable.roundK(coalesce(lit(2.0) * col("top_bi") / col("n"), lit(0.0)), 4)
+        // capped at 1.0: overlapping occurrences of a self-repeating
+        // bigram ("a a a") can cover a position twice, so 2*count/n
+        // alone can exceed the nominal token-fraction range
+        Portable.roundK(least(lit(1.0),
+          coalesce(lit(2.0) * col("top_bi") / col("n"), lit(0.0))), 4)
           .as("top_bigram_frac"),
         Portable.roundK(coalesce(col("dup5").cast("double") / col("n5"), lit(0.0)), 4)
           .as("dup_5gram_frac"))
@@ -410,7 +418,7 @@ object TextAnalysis {
       |  FROM gc GROUP BY 1)
       |SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
       |  round((1.0 - b.nd::DOUBLE / b.n) * 10000) / 10000 AS dup_word_frac,
-      |  round(coalesce(2.0 * ga.top_bi / b.n, 0.0) * 10000) / 10000 AS top_bigram_frac,
+      |  round(least(1.0, coalesce(2.0 * ga.top_bi / b.n, 0.0)) * 10000) / 10000 AS top_bigram_frac,
       |  round(coalesce(ga.dup5::DOUBLE / ga.n5, 0.0) * 10000) / 10000 AS dup_5gram_frac
       |FROM base b LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
 
@@ -437,14 +445,19 @@ object TextAnalysis {
         "i -> concat_ws(' ', slice(ws, i, 2))) " +
         "ELSE CAST(array() AS array<string>) END")).as("g"))
     val freq = bi.groupBy(col("g")).agg(count(lit(1)).as("gf"))
-    bi.join(freq, Seq("g"))
+    val perDoc = bi.join(freq, Seq("g"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("gf")).as("sf"), min(col("gf")).as("min_bigram_freq"))
-      .select(col("doc_id"), col("n_bigrams"),
-        Portable.roundK(col("sf").cast("double") / col("n_bigrams"), 4)
-          .as("mean_bigram_freq"),
-        col("min_bigram_freq"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("gf")).as("sf"), min(col("gf")).as("mf"))
+    // left join from the corpus so sub-2-token docs keep a (zeroed)
+    // score row — a rarity FILTER must see exactly the short/noisy
+    // docs an inner join would silently drop
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(Portable.roundK(col("sf").cast("double") / col("nb"), 4),
+          lit(0.0)).as("mean_bigram_freq"),
+        coalesce(col("mf"), lit(0L)).as("min_bigram_freq"))
   }
 
   // NB: sum(gf) would promote to HUGEINT in DuckDB; it only feeds the
@@ -454,12 +467,16 @@ object TextAnalysis {
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |b AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 1), ' ') AS g
       |      FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM t)),
-      |f AS (SELECT g, count(*) AS gf FROM b GROUP BY 1)
-      |SELECT doc_id, count(*) AS n_bigrams,
-      |  round((sum(gf)::DOUBLE / count(*)) * 10000) / 10000 AS mean_bigram_freq,
-      |  CAST(min(gf) AS BIGINT) AS min_bigram_freq
-      |FROM b JOIN f USING (g)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |f AS (SELECT g, count(*) AS gf FROM b GROUP BY 1),
+      |a AS (SELECT doc_id, count(*) AS nb,
+      |    round((sum(gf)::DOUBLE / count(*)) * 10000) / 10000 AS mf_mean,
+      |    CAST(min(gf) AS BIGINT) AS mf_min
+      |  FROM b JOIN f USING (g) GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(a.nb, 0) AS n_bigrams,
+      |  coalesce(a.mf_mean, 0.0) AS mean_bigram_freq,
+      |  coalesce(a.mf_min, 0) AS min_bigram_freq
+      |FROM documents d LEFT JOIN a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprint selection (the MOSS scheme, Schleimer et al.
     * 2003): hash every 5-gram, then from every window of `w = 4`
@@ -468,18 +485,23 @@ object TextAnalysis {
     * fingerprint, at ~2/(w+1) the density of the full hash stream.
     *
     * The rightmost-minimum pick needs no self-join: each position packs
-    * (hash mod 2^20, reversed position) into one 40-bit key whose
-    * window MINIMUM is exactly "smallest hash, rightmost position",
-    * and a second window over the SAME per-doc ordering gathers the w
-    * preceding starts' unpacked picks so each row flags itself selected
-    * locally. Both windows share one partitioning, so the whole
-    * algorithm costs a single doc-keyed exchange — no join, no
-    * quadratic step, state bounded by the longest document. */
+    * (hash mod 2^18, reversed position in a 2^42 field) into one 60-bit
+    * key whose window MINIMUM is exactly "smallest hash, rightmost
+    * position" — the wide position field means documents up to 4x10^12
+    * grams can never wrap it, and hash ties still break by RELATIVE
+    * order inside the window, so selection stays content-local and the
+    * matching guarantee holds. A second window over the SAME per-doc
+    * ordering gathers the w preceding starts' unpacked picks so each
+    * row flags itself selected locally. Both windows share one
+    * partitioning, so the whole algorithm costs a single doc-keyed
+    * exchange — no join, no quadratic step, state bounded by the
+    * longest document. */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     winnowFingerprintsOf(Tables.documents(s, d)).orderBy(col("doc_id"), col("pos"))
 
   def winnowFingerprintsOf(docs: DataFrame, w: Int = 4): DataFrame = {
-    val m = 1L << 20
+    val mh = 1L << 18 // hash field
+    val m = 1L << 42  // position field (reversed); k = h18 * m + (m-1-pos) < 2^60
     val byPos = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -489,7 +511,7 @@ object TextAnalysis {
         "ELSE CAST(array() AS array<string>) END")).as(Seq("pos", "g")))
       .select(col("doc_id"), (col("nw") - 4).as("n5"),
         col("pos").cast("long").as("pos"), Portable.hash60(col("g")).as("h"))
-      .withColumn("k", (col("h") % m) * m + (lit(m - 1) - col("pos")))
+      .withColumn("k", (col("h") % mh) * m + (lit(m - 1) - col("pos")))
     grams
       .withColumn("wmin", min(col("k")).over(byPos.rowsBetween(0, w - 1)))
       // each valid start j's pick, unpacked; null for non-starts
@@ -509,12 +531,12 @@ object TextAnalysis {
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM t)
       |  WHERE len(ws) >= 5),
       |k AS (SELECT doc_id, n5, pos, h,
-      |    (h % 1048576) * 1048576 + (1048575 - pos) AS kk FROM g),
+      |    (h % 262144) * 4398046511104 + (4398046511103 - pos) AS kk FROM g),
       |wm AS (SELECT doc_id, n5, pos,
       |    min(kk) OVER (PARTITION BY doc_id ORDER BY pos
       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
       |  FROM k),
-      |sel AS (SELECT DISTINCT doc_id, 1048575 - (wmin % 1048576) AS selpos
+      |sel AS (SELECT DISTINCT doc_id, 4398046511103 - (wmin % 4398046511104) AS selpos
       |  FROM wm WHERE pos <= n5 - 4)
       |SELECT s.doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS fp
       |FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.selpos

@@ -240,9 +240,17 @@ class GraftOpsSpec extends AnyFunSuite {
       .sameElements(0L until 100L))
     val man = GraftOps.packManifest(docs2, budget = 16)
     assert(man.agg(sum("n_docs")).collect().head.getLong(0) == 100L)
-    // dataset card total row present
-    assert(GraftOps.corpusCard(docs2.drop("source").withColumn("source", lit("s")))
-      .filter(col("source") === "TOTAL").count() == 1)
+    // dataset card total row present — and a genuine NULL source group
+    // must NOT collide with the rolled-up TOTAL row
+    val nullish = docs2.withColumn("source",
+      when(col("doc_id") % 2 === 0, col("source")))
+    val card = GraftOps.corpusCard(nullish).collect()
+    assert(card.count(_.getString(0) == "TOTAL") == 1)
+    assert(card.count(_.getString(0) == "NULL") == 1)
+    // separator metachars are literal, not regex
+    val dotted = Seq((1L, "x.y.x"), (2L, "x.z")).toDF("doc_id", "text")
+    assert(GraftOps.repetitionTrim(dotted, sep = ".").orderBy("doc_id")
+      .collect()(0).getString(3) == "x.y")
   }
 
   test("embedding cosine pairs over a caller embedding frame") {

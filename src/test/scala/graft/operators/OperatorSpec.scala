@@ -225,7 +225,8 @@ class OperatorSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, Seq.fill(10)("spam ham").mkString(" ")),         // one bigram dominates
       (2L, (1 to 30).map(i => s"w$i").mkString(" ")),       // all-distinct clean doc
-      (3L, "a b c d e a b c d e a b c d e")                  // every 5-gram repeated
+      (3L, "a b c d e a b c d e a b c d e"),                 // every 5-gram repeated
+      (4L, "a a a")                                          // overlapping self-bigram
     ).toDF("doc_id", "text")
     val out = TextAnalysis.qualitySignalsOf(docs).orderBy("doc_id").collect()
     // doc 1: 20 tokens, 2 distinct; "spam ham" occurs 10x -> covers 20/20 tokens
@@ -238,6 +239,8 @@ class OperatorSpec extends AnyFunSuite {
       out(1).getDouble(4) == 0.0)
     // doc 3: 15 tokens, 5 distinct; all 11 5-gram positions are dup positions
     assert(out(2).getDouble(4) == 1.0)
+    // doc 4: overlapping "a a" covers positions twice — capped at 1.0
+    assert(out(3).getDouble(3) == 1.0)
   }
 
   test("mixTemperature upweights small sources, is partitioning-independent") {
@@ -294,12 +297,15 @@ class OperatorSpec extends AnyFunSuite {
 
   test("bigramRarity: common-bigram docs score high, rare-bigram docs low") {
     import spark.implicits._
-    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "solo")).toDF("doc_id", "text")
     val out = TextAnalysis.bigramRarityOf(docs).orderBy("doc_id").collect()
     // "a b" occurs in both docs (freq 2); "b c"/"b d" are unique (freq 1)
     assert(out(0).getLong(1) == 2 && out(0).getDouble(2) == 1.5 &&
       out(0).getLong(3) == 1L)
     assert(out(1).getDouble(2) == 1.5)
+    // a sub-2-token doc keeps a zeroed score row (a rarity filter must
+    // see short docs, not silently lose them)
+    assert(out(2).getLong(1) == 0L && out(2).getDouble(2) == 0.0)
   }
 
   test("corpusCard TOTAL row reconciles with the per-source rows") {
