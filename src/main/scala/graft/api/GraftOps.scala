@@ -170,6 +170,13 @@ object GraftOps {
                                window: Int = 13): DataFrame =
     Dedup.decontaminateExactWindowOf(corpus, benchmark, window)
 
+  /** Semantic decontamination: drop corpus rows whose embedding is
+    * cosine-near any benchmark vector (LSH-blocked, keyed joins only).
+    * Corpus and benchmark id spaces must be disjoint. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.4): DataFrame =
+    Dedup.decontaminateSemanticOf(corpus, benchmark, threshold)
+
   /** SemDeDup-style semantic dedup over an embedding frame: hash-picked
     * seed clusters, near-dup drop within clusters only. */
   def semanticDedup(spark: org.apache.spark.sql.SparkSession,

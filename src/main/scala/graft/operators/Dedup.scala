@@ -1043,6 +1043,54 @@ object Dedup {
       |  coalesce(a.text2, '') AS text
       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Semantic decontamination: drop corpus vectors whose embedding is
+    * cosine-near any benchmark vector — the eval-leakage scrub for
+    * paraphrased contamination that the exact/shingle scrubs cannot
+    * see. Rides the LSH-blocked cosine pair machinery (capture-
+    * analyzed, keyed joins only), then classifies each pair by which
+    * side is benchmark; the corpus partner of any corpus-bench pair is
+    * scrubbed via one anti-join. Fixture split: every 97th vector plays
+    * the benchmark (mirroring decontaminateQuery's document split). */
+  def decontaminateSemanticQuery(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isBench = col("vec_id") % 97 === 0
+    decontaminateSemanticOf(emb.filter(!isBench), emb.filter(isBench))
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Frame-based form over (vec_id, embedding[, ...]) corpus/benchmark
+    * frames with DISJOINT id spaces (the pair machinery identifies rows
+    * by id; overlapping ids would conflate sides). All corpus columns
+    * pass through; the corpus is not deduplicated against itself. */
+  def decontaminateSemanticOf(corpus: DataFrame, benchmark: DataFrame,
+                              threshold: Double = 0.4): DataFrame = {
+    val all = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(benchmark.select(col("vec_id"), col("embedding")))
+    val benchIds = benchmark.select(col("vec_id").as("bid"))
+    val pairs = embeddingCosineOf(all, threshold).select(col("i"), col("j"))
+    def partnersOf(side: String, other: String) =
+      pairs.join(Similarity.maybeBroadcast(benchIds), col(side) === col("bid"))
+        .select(col(other).as("vec_id"))
+    val bad = partnersOf("i", "j").unionByName(partnersOf("j", "i"))
+      .distinct()
+      // a benchmark vector near another benchmark vector is not a
+      // corpus scrub target
+      .join(Similarity.maybeBroadcast(benchIds),
+        col("vec_id") === col("bid"), "left_anti")
+    corpus.join(bad, Seq("vec_id"), "left_anti")
+  }
+
+  private val decontaminateSemanticOracle =
+    """WITH corp AS (SELECT vec_id, label, embedding FROM embeddings
+      |             WHERE vec_id % 97 <> 0),
+      |bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+      |bad AS (SELECT DISTINCT c.vec_id FROM corp c JOIN bench b
+      |  ON list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4)
+      |SELECT vec_id, label FROM corp
+      |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.vec_id = corp.vec_id)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -1057,6 +1105,7 @@ object Dedup {
     "dedup_chunk_overlap"    -> (chunkOverlap _),
     "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
     "paragraph_dedup"        -> (paragraphDedupGlobal _),
+    "decontaminate_semantic" -> (decontaminateSemanticQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1073,5 +1122,6 @@ object Dedup {
     "dedup_chunk_overlap"    -> chunkOverlapOracle,
     "decontaminate_exact_window" -> decontaminateExactWindowOracle,
     "paragraph_dedup"        -> paragraphDedupOracle,
+    "decontaminate_semantic" -> decontaminateSemanticOracle,
   )
 }

@@ -420,6 +420,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ("keep", true))
   }
 
+  test("semantic decontamination scrubs near-bench vectors, keeps far ones") {
+    import spark.implicits._
+    val base = (0 until 64).map(i => math.sin(i * 0.7).toFloat)
+    val far = (0 until 64).map(i => math.cos(i * 1.3 + 1).toFloat)
+    val nearBase = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) 0.01f else 0f) }
+    val corpus = Seq((10L, nearBase), (11L, far)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(1))
+    val bench = Seq((1000L, base)).toDF("vec_id", "embedding")
+    val kept = Dedup.decontaminateSemanticOf(corpus, bench, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"paraphrase-near vector should be scrubbed: $kept")
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
