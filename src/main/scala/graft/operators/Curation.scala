@@ -277,6 +277,44 @@ object Curation {
       |  FROM documents)
       |ORDER BY split, doc_id""".stripMargin
 
+  /** The whole modern cleanup pipeline as ONE lazy DataFrame program:
+    * Gopher-rules quality gate -> deterministic train split -> token-
+    * budget packing, composed from the library operators with nothing
+    * materialized between "stages" — Catalyst sees one plan, fuses the
+    * narrow gate/split filters into the scans, and the only shuffles
+    * are the gate's gram aggregation and the packer's per-language
+    * window. The per-step operators are each oracle-checked alone;
+    * this query oracle-checks their composition. */
+  def corpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = TextAnalysis.gopherFilterOf(docs)
+      .filter(col("keep")).select(col("doc_id"))
+    val train = datasetSplitOf(docs, 980, 10)
+      .filter(col("split") === "train").select(col("doc_id"))
+    packSequencesOf(docs.join(kept, Seq("doc_id")).join(train, Seq("doc_id")), 2048)
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  private val corpusPipelineOracle = {
+    val signals = TextAnalysis.qualitySignalsOracle.stripSuffix(" ORDER BY doc_id")
+    s"""WITH qs AS ($signals),
+       |keep AS (SELECT doc_id FROM qs
+       |  WHERE NOT (n_tokens < 20 OR top_bigram_frac > 0.12
+       |             OR dup_5gram_frac > 0.10)),
+       |tr AS (SELECT doc_id FROM documents
+       |  WHERE ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 1000 < 980),
+       |cl AS (SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens
+       |  FROM documents d JOIN keep USING (doc_id) JOIN tr USING (doc_id)),
+       |binned AS (SELECT doc_id, lang, n_tokens,
+       |  (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
+       |  FROM cl)
+       |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM binned GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
+  }
+
   /** The whole training-prep pipeline as ONE lazy DataFrame program —
     * near-dup cluster dedup (keep each component's min; exact dups are
     * pair-connected so the same pass removes them), a residual exact
@@ -381,6 +419,7 @@ object Curation {
     "mix_temperature"    -> (mixTemperature _),
     "corpus_shuffle"     -> (corpusShuffle _),
     "dataset_split"      -> (datasetSplit _),
+    "corpus_pipeline"    -> (corpusPipeline _),
     "pack_sequences"     -> (packSequences _),
     "pack_manifest"      -> (packManifest _),
     "training_prep"      -> (trainingPrep _),
@@ -394,6 +433,7 @@ object Curation {
     "mix_temperature"    -> mixTemperatureOracle,
     "corpus_shuffle"     -> corpusShuffleOracle,
     "dataset_split"      -> datasetSplitOracle,
+    "corpus_pipeline"    -> corpusPipelineOracle,
     "pack_sequences"     -> packSequencesOracle,
     "pack_manifest"      -> packManifestOracle,
     "training_prep"      -> trainingPrepOracle,

@@ -401,7 +401,7 @@ object TextAnalysis {
           .as("dup_5gram_frac"))
   }
 
-  private val qualitySignalsOracle =
+  private[operators] val qualitySignalsOracle =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM t),
       |g AS (

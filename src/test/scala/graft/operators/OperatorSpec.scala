@@ -433,6 +433,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(11L), s"paraphrase-near vector should be scrubbed: $kept")
   }
 
+  test("corpusPipeline equals the manual gate->split->pack composition") {
+    val docs = Tables.documents(spark, sf)
+    val pipeline = Curation.corpusPipeline(spark, sf).collect()
+    val kept = TextAnalysis.gopherFilterOf(docs)
+      .filter(col("keep")).select("doc_id")
+    val train = Curation.datasetSplitOf(docs, 980, 10)
+      .filter(col("split") === "train").select("doc_id")
+    val manual = Curation.packSequencesOf(
+        docs.join(kept, "doc_id").join(train, "doc_id"), 2048)
+      .orderBy(col("lang"), col("bin")).collect()
+    assert(pipeline.sameElements(manual))
+    assert(pipeline.nonEmpty && pipeline.map(_.getLong(2)).sum < docs.count(),
+      "the gate+split must actually drop documents")
+  }
+
   test("paragraphDedupGlobal removes shared paragraphs from every carrier (CCNet)") {
     import spark.implicits._
     val boiler = "all rights reserved"
