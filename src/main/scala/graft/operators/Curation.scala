@@ -296,7 +296,7 @@ object Curation {
   }
 
   private val corpusPipelineOracle = {
-    val signals = TextAnalysis.qualitySignalsOracle.stripSuffix(" ORDER BY doc_id")
+    val signals = TextAnalysis.qualitySignalsCore
     s"""WITH qs AS ($signals),
        |keep AS (SELECT doc_id FROM qs
        |  WHERE NOT (n_tokens < 20 OR top_bigram_frac > 0.12

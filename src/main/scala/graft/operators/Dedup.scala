@@ -610,16 +610,16 @@ object Dedup {
     * parameters are tuned for cos >= 0.4 (see the capture analysis
     * above) — a lower threshold would silently miss qualifying pairs,
     * so it is rejected rather than served incompletely. */
-  def embeddingCosineOf(emb: DataFrame,
-                        threshold: Double = 0.4,
-                        nTables: Int = 20, bits: Int = 4): DataFrame = {
+  /** Enforce the capture analysis itself rather than just the default
+    * parameters: a threshold-boundary pair disagrees per sign bit with
+    * q = arccos(threshold)/pi, one table captures it (exact or one
+    * flipped bit) with p^bits + bits*p^(bits-1)*q, and the OR over
+    * tables must make a miss negligible — otherwise the result would
+    * silently violate the "every pair >= threshold" contract. Shared by
+    * every consumer of the LSH candidate machinery. */
+  private[operators] def requireLshCapture(threshold: Double,
+                                           nTables: Int, bits: Int): Unit = {
     require(nTables >= 1 && bits >= 1, "need nTables >= 1 and bits >= 1")
-    // Enforce the capture analysis itself rather than just the default
-    // parameters: a threshold-boundary pair disagrees per sign bit with
-    // q = arccos(threshold)/pi, one table captures it (exact or one
-    // flipped bit) with p^bits + bits*p^(bits-1)*q, and the OR over
-    // tables must make a miss negligible — otherwise the result would
-    // silently violate the "every pair >= threshold" contract.
     val q = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     val p = 1.0 - q
     val capturePerTable =
@@ -629,6 +629,12 @@ object Dedup {
       f"LSH parameters (nTables=$nTables, bits=$bits) give miss probability " +
       f"$missProb%.2g per threshold-boundary pair (need <= 1e-4); raise nTables " +
       "or lower bits for this threshold")
+  }
+
+  def embeddingCosineOf(emb: DataFrame,
+                        threshold: Double = 0.4,
+                        nTables: Int = 20, bits: Int = 4): DataFrame = {
+    requireLshCapture(threshold, nTables, bits)
     val s = emb.sparkSession
     val e = Similarity.withNorm(s, emb)
     val cos = Similarity.cosine
@@ -1061,18 +1067,40 @@ object Dedup {
 
   /** Frame-based form over (vec_id, embedding[, ...]) corpus/benchmark
     * frames with DISJOINT id spaces (the pair machinery identifies rows
-    * by id; overlapping ids would conflate sides). All corpus columns
-    * pass through; the corpus is not deduplicated against itself. */
+    * by id; an overlap would conflate sides and silently KEEP leaked
+    * rows, so it is rejected up front rather than computed wrong). All
+    * corpus columns pass through; the corpus is not deduplicated
+    * against itself — and corpus-corpus candidate pairs are semi-joined
+    * away BEFORE cosine scoring, so the expensive lookups/score run
+    * only on the ~|corpus|x|bench| cross-side candidates, not the
+    * ~|corpus|^2 self-pairs a naive reuse of the pair operator would
+    * score and discard. */
   def decontaminateSemanticOf(corpus: DataFrame, benchmark: DataFrame,
-                              threshold: Double = 0.4): DataFrame = {
+                              threshold: Double = 0.4,
+                              nTables: Int = 20, bits: Int = 4): DataFrame = {
+    requireLshCapture(threshold, nTables, bits)
+    val benchIds = benchmark.select(col("vec_id").as("bid"))
+    require(corpus.select(col("vec_id"))
+        .join(benchIds, col("vec_id") === col("bid"), "left_semi")
+        .limit(1).isEmpty,
+      "corpus and benchmark vec_id spaces overlap — re-key one side " +
+      "(overlapping ids would conflate sides and silently keep leaked rows)")
+    val s = corpus.sparkSession
     val all = corpus.select(col("vec_id"), col("embedding"))
       .unionByName(benchmark.select(col("vec_id"), col("embedding")))
-    val benchIds = benchmark.select(col("vec_id").as("bid"))
-    val pairs = embeddingCosineOf(all, threshold).select(col("i"), col("j"))
-    def partnersOf(side: String, other: String) =
-      pairs.join(Similarity.maybeBroadcast(benchIds), col(side) === col("bid"))
-        .select(col(other).as("vec_id"))
-    val bad = partnersOf("i", "j").unionByName(partnersOf("j", "i"))
+    val cands = embeddingCandidates(all, nTables, bits)
+    def benchSide(side: String) = cands.join(
+      Similarity.maybeBroadcast(benchIds.withColumnRenamed("bid", side)),
+      Seq(side), "left_semi")
+    val e = Similarity.withNorm(s, all)
+    def lookup(as: String, v: String, n: String) = Similarity.maybeBroadcast(
+      e.select(col("vec_id").as(as), col("embedding").as(v), col("nrm").as(n)))
+    def scored(df: DataFrame, partner: String) = df
+      .join(lookup("i", "va", "na"), Seq("i"))
+      .join(lookup("j", "vb", "nb"), Seq("j"))
+      .filter(Similarity.cosine >= threshold)
+      .select(col(partner).as("vec_id"))
+    val bad = scored(benchSide("i"), "j").unionByName(scored(benchSide("j"), "i"))
       .distinct()
       // a benchmark vector near another benchmark vector is not a
       // corpus scrub target

@@ -401,7 +401,10 @@ object TextAnalysis {
           .as("dup_5gram_frac"))
   }
 
-  private[operators] val qualitySignalsOracle =
+  /** The unordered signals SQL — the shared core that gopher_filter and
+    * corpus_pipeline embed as a CTE (a nested ORDER BY would be dead
+    * weight there). */
+  private[operators] val qualitySignalsCore =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |base AS (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd FROM t),
       |g AS (
@@ -420,7 +423,9 @@ object TextAnalysis {
       |  round((1.0 - b.nd::DOUBLE / b.n) * 10000) / 10000 AS dup_word_frac,
       |  round(least(1.0, coalesce(2.0 * ga.top_bi / b.n, 0.0)) * 10000) / 10000 AS top_bigram_frac,
       |  round(coalesce(ga.dup5::DOUBLE / ga.n5, 0.0) * 10000) / 10000 AS dup_5gram_frac
-      |FROM base b LEFT JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin
+      |FROM base b LEFT JOIN ga USING (doc_id)""".stripMargin
+
+  private val qualitySignalsOracle = qualitySignalsCore + " ORDER BY doc_id"
 
   /** Bigram-rarity scoring — the language-model-perplexity proxy that
     * stays engine-deterministic: instead of training an LM (log-probs
@@ -676,7 +681,7 @@ object TextAnalysis {
         (col("reason") === "keep").as("keep"))
 
   private val gopherFilterOracle =
-    s"""WITH qs AS (${qualitySignalsOracle.stripSuffix(" ORDER BY doc_id")})
+    s"""WITH qs AS ($qualitySignalsCore)
        |SELECT doc_id, n_tokens,
        |  CASE WHEN n_tokens < 20 THEN 'too_short'
        |       WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'

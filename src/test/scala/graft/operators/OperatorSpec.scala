@@ -433,18 +433,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(kept == Set(11L), s"paraphrase-near vector should be scrubbed: $kept")
   }
 
-  test("corpusPipeline equals the manual gate->split->pack composition") {
-    val docs = Tables.documents(spark, sf)
-    val pipeline = Curation.corpusPipeline(spark, sf).collect()
-    val kept = TextAnalysis.gopherFilterOf(docs)
-      .filter(col("keep")).select("doc_id")
-    val train = Curation.datasetSplitOf(docs, 980, 10)
-      .filter(col("split") === "train").select("doc_id")
-    val manual = Curation.packSequencesOf(
-        docs.join(kept, "doc_id").join(train, "doc_id"), 2048)
-      .orderBy(col("lang"), col("bin")).collect()
-    assert(pipeline.sameElements(manual))
-    assert(pipeline.nonEmpty && pipeline.map(_.getLong(2)).sum < docs.count(),
+  test("corpusPipeline matches a from-first-principles driver recomputation") {
+    // independent expectation: plain Scala maps/loops, no DataFrames —
+    // only Portable.hash60Jvm is shared (itself pinned against the
+    // column path by PropertySpec), so a bug anywhere in the composed
+    // gate/split/pack plan shows up here
+    def round4(x: Double) = math.rint(x * 10000) / 10000
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val cleaned = rows.flatMap { case (id, lang, text) =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      def gramCounts(k: Int) = toks.sliding(k).toSeq
+        .filter(_.length == k).map(_.mkString(" "))
+        .groupBy(identity).view.mapValues(_.size)
+      val topFrac =
+        if (n < 2) 0.0
+        else round4(math.min(1.0, 2.0 * gramCounts(2).values.max / n))
+      val g5 = gramCounts(5)
+      val dup5Frac =
+        if (n < 5) 0.0
+        else round4(g5.values.filter(_ >= 2).sum.toDouble / g5.values.sum)
+      val keep = !(n < 20 || topFrac > 0.12 || dup5Frac > 0.10)
+      val train = graft.functions.Portable.hash60Jvm(s"split:$id") % 1000 < 980
+      if (keep && train) Some((lang, id, n.toLong)) else None
+    }
+    val expected = cleaned.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).map { case (_, _, nt) =>
+        cum += nt; (lang, (cum - nt) / 2048, nt)
+      }.groupBy { case (_, bin, _) => bin }.toSeq.map { case (bin, xs) =>
+        (lang, bin, xs.size.toLong, xs.map(_._3).sum)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Curation.corpusPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"pipeline diverged from driver recomputation")
+    assert(got.nonEmpty && got.map(_._3).sum < rows.length,
       "the gate+split must actually drop documents")
   }
 
