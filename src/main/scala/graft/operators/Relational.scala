@@ -234,9 +234,9 @@ object Relational {
     * switch automatically; here the dimension side is tiny by construction.
     */
   def sqlExtractInlist(s: SparkSession, d: String): DataFrame = {
-    val ids: Array[Long] = Tables.supplier(s, d)
+    val ids: IndexedSeq[Long] = Tables.supplier(s, d)
       .filter(col("s_acctbal") > 5000.0)
-      .select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
+      .select(col("s_suppkey")).collect().map(_.getLong(0)).sorted.toIndexedSeq
     Tables.lineitem(s, d)
       .filter(col("l_suppkey").isin(ids: _*))
       .groupBy(col("l_suppkey"))

@@ -63,7 +63,7 @@ object SchemaAnnotations {
         .map(t => r.alias -> typeMap.getOrElse(t.toLowerCase, StringType))
     }.toMap
     if (casts.isEmpty) df
-    else df.select(df.columns.map { c =>
+    else df.select(df.columns.toIndexedSeq.map { c =>
       casts.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
     }: _*)
   }
