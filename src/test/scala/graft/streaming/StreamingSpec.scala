@@ -63,6 +63,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"gate+dedup should keep 1 and 5, got $kept")
   }
 
+  test("JSONL file-source ingest streams through the quality gate") {
+    // the real corpus-ingest shape: JSONL drops landing in a directory,
+    // readStream picks each file up as a micro-batch, the narrow gate
+    // runs unchanged, kept docs append to the sink
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def drop(name: String, rows: Seq[(Long, String)]): Unit = {
+      val bytes = graft.connect.JsonlCodec.encode(rows.toDF("doc_id", "text"))
+      val tmp = dir.resolve(s".$name.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve(name)) // atomic visibility
+    }
+    drop("batch1.jsonl", Seq(
+      (1L, "a perfectly reasonable clean document"),
+      (2L, "no")))
+    val gated = graft.operators.TextAnalysis.textQualityOf(
+        spark.readStream.schema(schema).json(dir.toString)
+          .withColumn("lang", lit("en")))
+      .filter(col("n_words") >= 3)
+    val q = gated.writeStream.format("memory").queryName("jsonl_ingest")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    drop("batch2.jsonl", Seq((3L, "another good document arrives later")))
+    q.processAllAvailable()
+    val kept = spark.table("jsonl_ingest").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 3L), s"file-source gate should keep 1 and 3: $kept")
+  }
+
   test("stream dedup drops repeated event_ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
