@@ -95,6 +95,44 @@ class PropertySpec extends AnyFunSuite {
       s"positions not a permutation for ${ids.length} ids")
   }
 
+  test("cdcChunks tile every document exactly (random token soups)") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2", "h3")
+    val docGen = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.mkString(" "))
+    val corpus = Gen.listOfN(30, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val docs = corpus.toDF("doc_id", "text")
+    val chunks = TextAnalysis.cdcChunksOf(docs).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    corpus.foreach { case (id, text) =>
+      val n = text.split(" ", -1).length.toLong
+      val cs = chunks(id).sortBy(_._1)
+      assert(cs.map(_._3).sum == n, s"doc $id: chunks must cover all $n tokens")
+      // spans are contiguous: each chunk starts where the previous ended
+      val starts = cs.map(_._2)
+      val expected = cs.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+      assert(starts.sameElements(expected), s"doc $id: non-contiguous spans")
+    }
+  }
+
+  test("datasetSplit respects arbitrary permille parameters") {
+    import spark.implicits._
+    val docs = (1L to 3000L).toDF("doc_id")
+    // one Spark job per scalacheck sample would be too slow; spot-check
+    // three widely spread parameter pairs instead
+    for ((tr, va) <- Seq((500, 250), (900, 50), (998, 1))) {
+      val counts = Curation.datasetSplitOf(docs, tr, va)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = 3000.0
+      assert(math.abs(counts.getOrElse("train", 0L) - n * tr / 1000) < n * 0.05,
+        s"train share off for ($tr, $va): $counts")
+      assert(counts.values.sum == 3000L)
+    }
+  }
+
   test("qualitySignals fractions stay in [0,1] on random token soups") {
     import spark.implicits._
     val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2")
