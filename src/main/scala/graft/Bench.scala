@@ -41,9 +41,11 @@ object Bench {
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** The one-line driver-contract JSON. Values rounded to 3 decimals so
-    * the line stays small enough for tail-capture (r03/r04 artifacts
-    * were head-truncated and unparseable). */
+  /** The full artifact JSON (per-query timings + errors). This goes to
+    * `bench_out.json` ONLY — at 114 queries it is ~2.4 KB, which is
+    * larger than the driver's 2,000-char stdout tail capture, so it
+    * must never be the last printed line (r03/r04/r05 artifacts were
+    * head-truncated and unparseable for exactly that reason). */
   def renderJson(results: Map[String, Either[String, Double]], sfDir: String,
                  reps: Int = 2): String = {
     import JsonUtil.jstr
@@ -55,6 +57,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = round3(results.values.collect { case Right(v) => v }.sum)
     s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+  }
+
+  /** The driver-contract summary — the LAST stdout line. Kept tiny
+    * (≤300 bytes: total/counts only, no per-query map) so the driver's
+    * 2,000-char tail capture always contains the whole line. Per-query
+    * detail lives in `bench_out.json` (see renderJson). */
+  def renderSummary(results: Map[String, Either[String, Double]], sfDir: String,
+                    reps: Int = 2, outFile: String = "bench_out.json"): String = {
+    val total = round3(results.values.collect { case Right(v) => v }.sum)
+    val nErr = results.values.count(_.isLeft)
+    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","n":${results.size},"errors":$nErr,"sf":"$sfDir","out":"$outFile"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,13 +88,14 @@ object Bench {
     val reps = 2
     val results = runQueriesMin(spark, sfDir, SparkEntry.queries, reps)
     val json = renderJson(results, sfDir, reps)
-    // Full artifact to a file (survives any stdout tail-capture)...
+    // Full artifact (per-query map) to a file only — it exceeds the
+    // driver's stdout tail capture and must never be printed last.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    // ...and the contract JSON as the LAST stdout line.
-    println(json)
+    // The LAST stdout line is the tiny (≤300-byte) summary.
+    println(renderSummary(results, sfDir, reps, outFile))
     spark.stop()
   }
 }

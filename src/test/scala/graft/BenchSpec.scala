@@ -26,4 +26,22 @@ class BenchSpec extends AnyFunSuite {
     assert(tree.get("errors").get("broken_query").asText.contains("boom"))
     assert(tree.get("value").asDouble >= 0)
   }
+
+  test("the last-line summary stays under 300 bytes even at full suite size") {
+    // The driver tail-captures 2,000 chars of stdout; three rounds of
+    // BENCH artifacts were unparseable because the final line carried
+    // the full per-query map (~2.4 KB at 114 queries). The summary line
+    // must stay tiny no matter how many queries the suite grows to.
+    val results: Map[String, Either[String, Double]] =
+      (1 to 500).map(i => f"query_with_a_long_name_$i%03d" -> (Right(123.456): Either[String, Double])).toMap +
+        ("broken" -> Left("some error message"))
+    val line = Bench.renderSummary(results, "/root/testdata/sf0.1")
+    assert(line.getBytes("UTF-8").length <= 300, s"summary line too long: $line")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(tree.get("metric").asText == "total")
+    assert(tree.get("value").asDouble > 0)
+    assert(tree.get("n").asInt == 501)
+    assert(tree.get("errors").asInt == 1)
+    assert(!tree.has("queries"))
+  }
 }
