@@ -744,56 +744,98 @@ object Dedup {
     * (doc_id, cluster) for every doc in at least one near-dup pair,
     * cluster = the component's minimum doc_id.
     *
-    * Iterative min-label propagation to fixpoint: each round joins the
-    * edge list with current labels and takes the elementwise min —
-    * one keyed shuffle per round, rounds bounded by component diameter
-    * (near-dup clusters are shallow; the sf0.1 corpus converges in 2).
-    * Lineage is cut per round with localCheckpoint, the standard guard
-    * for iterative DataFrame algorithms. At billion-edge scale the
-    * round count drops with the large-star/small-star rewrite
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    * same join-per-round skeleton. The DuckDB oracle computes the same
-    * components via a recursive transitive-closure CTE. */
+    * Alternating large-star/small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", CIKM'14) to a
+    * star-graph fixpoint — round count is O(log^2 n) worst case and
+    * ~log(diameter) in practice, where naive min-label propagation
+    * needs ~diameter rounds (a 64-node chain: 5 rounds vs 63; see
+    * OperatorSpec's long-chain fixture). Lineage is cut per round with
+    * localCheckpoint, the standard guard for iterative DataFrame
+    * algorithms. The DuckDB oracle computes the same components via a
+    * recursive transitive-closure CTE. */
   def clusters(s: SparkSession, d: String): DataFrame =
-    // memoized: the propagation loop's output labels are already
+    // memoized: the star-contraction loop's output labels are already
     // materialized (localCheckpoint per round), so the memo stores the
     // frame without re-caching; dedup_clusters and training_prep share
     // one loop execution per session
     memo.getOrBuildMaterialized(s, s"clusters:$d")(
       clustersOf(minhashPairs(s, d))).orderBy(col("doc_id"))
 
+  /** One large-star round: every node links its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. Shrinks tall
+    * components toward their minimum in halving steps. */
+  private def largeStarRound(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bidir.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge large→small, then link
+    * each node's smaller neighbors (and the node itself) to the
+    * minimum among them. */
+  private def smallStarRound(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** The unexecuted plan of ONE large-star + small-star round over a
+    * (u, v) edge frame — exposed so PlanAudit can audit the join shape
+    * that actually dominates the iterative runtime; inside clustersOf
+    * each round's plan is truncated by localCheckpoint before any
+    * post-hoc audit can see it. */
+  def clusterRoundPlanOf(edges: DataFrame): DataFrame =
+    smallStarRound(largeStarRound(edges))
+
   /** Frame-based connected components over any undirected pair frame
     * with `i`/`j` columns (extra columns ignored); returns
     * (doc_id, cluster = component min). `maxRounds` bounds the driver
-    * loop at the component diameter — near-dup graphs are shallow, but
-    * a caller clustering genuinely deep chain graphs should raise it
-    * (or switch to the logarithmic large-star/small-star rewrite the
-    * class doc cites). */
-  def clustersOf(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val p = pairs.select(col("i"), col("j"))
-    val edges = p
-      .union(p.select(col("j").as("i"), col("i").as("j")))
-      .toDF("a", "b").localCheckpoint()
-    var labels = edges.select(col("a").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
-    var changed = 1L
+    * loop; with star contraction the bound is logarithmic in component
+    * size, so 50 covers any graph that fits in a cluster. */
+  def clustersOf(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    clustersWithRounds(pairs, maxRounds)._1
+
+  /** clustersOf plus the number of large/small-star rounds executed —
+    * the convergence-speed observable the long-chain spec pins down. */
+  def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    val p = pairs.select(col("i"), col("j")).filter(col("i") =!= col("j"))
+    var edges = p.select(col("i").as("u"), col("j").as("v"))
+      .distinct().localCheckpoint()
+    var cnt = edges.count()
     var rounds = 0
-    while (changed > 0) {
+    var converged = cnt == 0L
+    while (!converged) {
       rounds += 1
       require(rounds <= maxRounds,
-        s"component propagation did not converge in $maxRounds rounds; raise maxRounds for deep components")
-      val nbrMin = edges
-        .join(labels.select(col("v").as("b"), col("lbl").as("nl")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nl")).as("nm"))
-      val next = labels
-        .join(nbrMin.select(col("a").as("v"), col("nm")), Seq("v"), "left")
-        .select(col("v"), least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      changed = next.join(labels.select(col("v"), col("lbl").as("old")), Seq("v"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+        s"star contraction did not converge in $maxRounds rounds")
+      val next = smallStarRound(largeStarRound(edges)).localCheckpoint()
+      val nextCnt = next.count()
+      // both sides are distinct sets, so equal count + empty one-sided
+      // difference = set equality; at the fixpoint every component is a
+      // star rooted at its minimum node
+      converged = nextCnt == cnt && next.except(edges).isEmpty
+      edges = next
+      cnt = nextCnt
     }
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster"))
+    val nodes = p.select(col("i").as("doc_id"))
+      .union(p.select(col("j").as("doc_id"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("cluster")),
+        Seq("doc_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(coalesce(col("cluster"), col("doc_id"))).as("cluster"))
+    (labels, rounds)
   }
 
   /** Shared CTE chain ending in `pairs(i, j)` — the minhash-LSH

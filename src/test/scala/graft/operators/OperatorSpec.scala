@@ -278,6 +278,27 @@ class OperatorSpec extends AnyFunSuite {
       s"expected a b-partitioned row_number window in:\n$plan")
   }
 
+  test("star-contraction clusters converge logarithmically on a long chain") {
+    import spark.implicits._
+    // A 64-node chain has diameter 63: naive min-label propagation
+    // needs ~63 rounds (one hop per round — it would blow the default
+    // maxRounds=50 guard); alternating large-star/small-star contracts
+    // the chain in halving steps, so the round count is logarithmic.
+    val chain = (0L until 63L).map(k => (k, k + 1)).toDF("i", "j")
+    val (labels, rounds) = Dedup.clustersWithRounds(chain)
+    assert(rounds <= 12, s"expected ~log2(64) rounds on a 64-chain, took $rounds")
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 64 && out.forall(_._2 == 0L),
+      "every chain node must label to the component minimum 0")
+    // disjoint components stay disjoint: a second chain offset by 1000
+    // must keep its own minimum, and singleton-free output covers only
+    // paired nodes
+    val two = chain.union((1000L until 1003L).map(k => (k, k + 1)).toDF("i", "j"))
+    val lbl2 = Dedup.clustersOf(two).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl2.size == 68 && lbl2(1003L) == 1000L && lbl2(63L) == 0L)
+  }
+
   test("semanticDedup drops a planted duplicate vector, keeps cluster minima") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
