@@ -763,13 +763,15 @@ object Dedup {
 
   /** One large-star round: every node links its strictly-larger
     * neighbors to the minimum of its closed neighborhood. Shrinks tall
-    * components toward their minimum in halving steps. */
+    * components toward their minimum in halving steps. The
+    * neighborhood minimum is a window-min over the node key — one
+    * shuffle, no join-back (a groupBy+join formulation costs two extra
+    * exchanges per round). */
   private def largeStarRound(edges: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val bidir = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u"), least(col("u"), col("mn")).as("m"))
-    bidir.join(mins, Seq("u"))
+    bidir.withColumn("m", least(col("u"), min(col("v")).over(w)))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -778,14 +780,14 @@ object Dedup {
 
   /** One small-star round: orient every edge large→small, then link
     * each node's smaller neighbors (and the node itself) to the
-    * minimum among them. */
+    * minimum among them. Window-min, same as largeStarRound. */
   private def smallStarRound(edges: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-    oriented.join(mins, Seq("u"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(mins.select(col("u"), col("m").as("v")))
+    val wm = oriented.withColumn("m", min(col("v")).over(w))
+    wm.select(col("v").as("u"), col("m").as("v"))
+      .union(wm.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
