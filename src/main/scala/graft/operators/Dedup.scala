@@ -1014,6 +1014,107 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = corp.doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-internal exact-substring dedup — the deterministic
+    * complement to MinHash (which needs whole-doc similarity) and to
+    * chunk-overlap (which needs chunk-ALIGNED overlap): flag doc pairs
+    * sharing a verbatim run of >= `window + minRun - 1` tokens at ANY
+    * offset. Every stride-1 `window`-token rolling window is hashed
+    * (only the 60-bit hash crosses the shuffle); matches between two
+    * docs land on a diagonal (pos_i - pos_j constant), and a gaps-and-
+    * islands pass per diagonal measures the longest consecutive run —
+    * `minRun` consecutive matching windows == a `window + minRun - 1`
+    * token verbatim overlap. Skew guards: within-doc duplicate window
+    * hashes keep only their first position (a pathologically repetitive
+    * doc would otherwise square its own match list), and windows in
+    * more than `maxDf` docs are dropped as corpus boilerplate (same cap
+    * as the shingle pipelines). Output: (i, j, overlap_tokens) with
+    * i < j; a dedup pass keeps the lower doc_id of each pair. */
+  def exactSubstringPairsOf(docs: DataFrame, window: Int = 13,
+                            minRun: Int = 8, maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= window)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${window - 1}), " +
+        s"i -> concat_ws(' ', slice(ws, i, $window)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        Portable.hash60(col("col")).as("wh"))
+    // one hash-agg keeps each window's first in-doc position (the
+    // within-doc repetition guard), and because (doc_id, wh) is unique
+    // after it, a plain window-count over wh IS the document frequency
+    // — no countDistinct, no anti-join-back (saves 3 exchanges)
+    val kept = wins0
+      .groupBy(col("doc_id"), col("wh")).agg(min(col("pos")).as("pos"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("pos"), col("wh"))
+    val matches = kept.select(col("wh"), col("doc_id").as("i"), col("pos").as("pi"))
+      .join(kept.select(col("wh"), col("doc_id").as("j"), col("pos").as("pj")), Seq("wh"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), (col("pi") - col("pj")).as("d"), col("pi"))
+    matches
+      .withColumn("g", col("pi") - row_number().over(
+        Window.partitionBy(col("i"), col("j"), col("d")).orderBy(col("pi"))))
+      .groupBy(col("i"), col("j"), col("d"), col("g"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("i"), col("j"))
+      .agg(max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .select(col("i"), col("j"),
+        (col("max_run") + lit(window - 1)).cast("int").as("overlap_tokens"))
+  }
+
+  /** Oracle-checked fixture: every 70th doc gets 20 tokens copied from
+    * its predecessor starting at token 2 — a verbatim span that is
+    * contiguous in both docs but chunk-UNALIGNED in the host, so
+    * chunk-overlap (aligned 8-token chunks) misses it while the rolling
+    * window catches it deterministically. Donors shorter than 21
+    * tokens plant nothing (the slice would shorten below the 20-token
+    * detection floor). */
+  def exactSubstring(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val donor = docs
+      .filter(size(split(col("text"), " ")) >= 21)
+      .select((col("doc_id") + 1).as("doc_id"),
+        expr("concat_ws(' ', slice(split(text, ' '), 2, 20))").as("donor20"))
+    val fixture = docs.join(donor, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 70 === 0 && col("donor20").isNotNull,
+          concat(col("text"), lit(" "), col("donor20")))
+          .otherwise(col("text")).as("text"))
+    exactSubstringPairsOf(fixture).orderBy(col("i"), col("j"))
+  }
+
+  private val exactSubstringOracle =
+    """WITH ws0 AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+      |donor AS (SELECT doc_id + 1 AS doc_id,
+      |            array_to_string(list_slice(ws, 2, 21), ' ') AS donor20
+      |          FROM ws0 WHERE len(ws) >= 21),
+      |fx AS (SELECT w.doc_id,
+      |  CASE WHEN w.doc_id % 70 = 0 AND d.donor20 IS NOT NULL
+      |    THEN w.text || ' ' || d.donor20 ELSE w.text END AS text
+      |  FROM ws0 w LEFT JOIN donor d USING (doc_id)),
+      |c0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM fx
+      |       WHERE len(string_split(text, ' ')) >= 13),
+      |c1 AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 11)) AS pos FROM c0),
+      |cw0 AS (SELECT doc_id, pos, ('0x' || substr(md5(
+      |          array_to_string(list_slice(ws, pos, pos + 12), ' ')), 1, 15))::BIGINT AS wh
+      |        FROM c1),
+      |cw AS (SELECT doc_id, pos, wh FROM cw0
+      |       QUALIFY row_number() OVER (PARTITION BY doc_id, wh ORDER BY pos) = 1),
+      |hot AS (SELECT wh FROM cw GROUP BY wh HAVING count(DISTINCT doc_id) > 50),
+      |kept AS (SELECT * FROM cw WHERE wh NOT IN (SELECT wh FROM hot)),
+      |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos - b.pos AS d, a.pos AS pi
+      |      FROM kept a JOIN kept b ON a.wh = b.wh AND a.doc_id < b.doc_id),
+      |isl AS (SELECT i, j, d, pi,
+      |          pi - row_number() OVER (PARTITION BY i, j, d ORDER BY pi) AS g
+      |        FROM m),
+      |runs AS (SELECT i, j, count(*) AS run FROM isl GROUP BY i, j, d, g),
+      |mx AS (SELECT i, j, max(run) AS max_run FROM runs GROUP BY i, j)
+      |SELECT i, j, CAST(max_run + 12 AS INTEGER) AS overlap_tokens
+      |FROM mx WHERE max_run >= 8 ORDER BY i, j""".stripMargin
+
   /** Cross-document paragraph dedup (the CCNet corpus-cleanup step that
     * `repetitionTrim` does within a doc): a paragraph appearing in two
     * or more documents is boilerplate and is removed from ALL of them
@@ -1175,6 +1276,7 @@ object Dedup {
     "dedup_containment"      -> (containment _),
     "dedup_decontaminate"    -> (decontaminateQuery _),
     "dedup_chunk_overlap"    -> (chunkOverlap _),
+    "dedup_exact_substring"  -> (exactSubstring _),
     "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
     "paragraph_dedup"        -> (paragraphDedupGlobal _),
     "decontaminate_semantic" -> (decontaminateSemanticQuery _),
@@ -1192,6 +1294,7 @@ object Dedup {
     "dedup_containment"      -> containmentOracle,
     "dedup_decontaminate"    -> decontaminateOracle,
     "dedup_chunk_overlap"    -> chunkOverlapOracle,
+    "dedup_exact_substring"  -> exactSubstringOracle,
     "decontaminate_exact_window" -> decontaminateExactWindowOracle,
     "paragraph_dedup"        -> paragraphDedupOracle,
     "decontaminate_semantic" -> decontaminateSemanticOracle,

@@ -278,6 +278,31 @@ class OperatorSpec extends AnyFunSuite {
       s"expected a b-partitioned row_number window in:\n$plan")
   }
 
+  test("exact-substring dedup catches an unaligned verbatim span chunk-overlap misses") {
+    import spark.implicits._
+    // 20 tokens copied from the donor's position 5 land at host
+    // position 38: contiguous in both docs, aligned in neither's
+    // 8-token chunk grid. Chunk overlap needs >= 2 shared ALIGNED
+    // chunks and sees zero; the stride-1 rolling window sees 8
+    // consecutive 13-token windows = a 20-token verbatim overlap.
+    val donorToks = (1 to 30).map(k => s"d$k")
+    val span = donorToks.slice(4, 24)
+    val host = ((1 to 37).map(k => s"h$k") ++ span).mkString(" ")
+    val docs = Seq((1L, donorToks.mkString(" ")), (2L, host)).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairsOf(docs).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L &&
+      pairs(0).getLong(1) == 2L && pairs(0).getInt(2) == 20,
+      s"expected one (1,2,20) pair, got ${pairs.mkString(", ")}")
+    assert(Dedup.chunkOverlapPairsOf(docs).isEmpty,
+      "aligned chunk overlap must miss the unaligned span")
+    // a 19-token span (7 consecutive windows) stays under the minRun=8
+    // detection floor
+    val host19 = ((1 to 37).map(k => s"h$k") ++ span.take(19)).mkString(" ")
+    val docs19 = Seq((1L, donorToks.mkString(" ")), (2L, host19)).toDF("doc_id", "text")
+    assert(Dedup.exactSubstringPairsOf(docs19).isEmpty,
+      "sub-floor overlap must not be flagged")
+  }
+
   test("star-contraction clusters converge logarithmically on a long chain") {
     import spark.implicits._
     // A 64-node chain has diameter 63: naive min-label propagation

@@ -71,6 +71,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "ngramJaccardOf" -> Dedup.ngramJaccardOf(docs),
       "containmentPairsOf" -> Dedup.containmentPairsOf(docs),
       "minhashPairsOf" -> Dedup.minhashPairsOf(docs),
+      "exactSubstringPairsOf" -> Dedup.exactSubstringPairsOf(docs),
       "simhashPairsOf" -> Dedup.simhashPairsOf(docs),
       "embeddingCosineOf" -> Dedup.embeddingCosineOf(emb),
       "clustersOf" -> Dedup.clustersOf(pairs),
