@@ -693,6 +693,95 @@ object TextAnalysis {
        |       ELSE 'keep' END) = 'keep' AS keep
        |FROM qs ORDER BY doc_id""".stripMargin
 
+  /** Fasttext-style linear quality scorer — the trained-classifier
+    * corpus gate of the CCNet/GPT-3 pipelines, kept deterministic and
+    * MLlib-free: score = sigma(w·tf + b) where w is the per-bucket
+    * mean hashed-TF weight of the corpus' own Gopher-keep stratum
+    * minus its Gopher-drop stratum (a Rocchio/nearest-centroid linear
+    * discriminant over hashedTfOf vectors — public method, weights
+    * derived from the corpus itself, no external artifacts).
+    *
+    * Determinism: the 4-decimal TF weights and 6-decimal w entries
+    * cross the dot product as exact longs, so `quality_logit` is an
+    * exact integer both engines agree on. Sigma is monotone, so the
+    * integer logit IS the quality ranking and `high_quality` =
+    * logit > 0 is the gate verdict — applying exp() would only add
+    * cross-libm rounding risk (the bigramRarity scaladoc's lesson).
+    *
+    * Scale shape: hashedTf (explode + doc-bucket agg + per-doc
+    * window), one doc-keyed labels join, a (bucket, class) agg into a
+    * dim-row weight vector that broadcasts into the scoring join —
+    * nothing wider than the corpus ever shuffles. Long-arithmetic
+    * bounds: w4 <= 1e4, |w6| <= 1e10, so dim * max-product ~ 6e15 <<
+    * Long.MaxValue at dim 64; corpora needing much larger dims should
+    * move the logit to DECIMAL. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoreOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  def qualityScoreOf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val tf = hashedTfOf(docs, dim)
+      .select(col("doc_id"), col("bucket"),
+        round(col("weight") * 10000).cast("long").as("w4"))
+    val labels = gopherFilterOf(docs).select(col("doc_id"), col("keep"))
+    val classCounts = labels.groupBy(col("keep")).agg(count(lit(1)).as("n"))
+    // per-(bucket, class) weight sums; a bucket absent from a class
+    // contributes the correct 0 to that class mean by construction
+    val sums = tf.join(labels, Seq("doc_id"))
+      .groupBy(col("bucket"), col("keep")).agg(sum(col("w4")).as("s"))
+    // The dim-row weight vector is driver-resident by design (same
+    // blessed pattern as the IVF centroid table, Similarity.ivfTopkOf):
+    // training it runs once, eagerly, at plan construction, and the
+    // scoring plan stays at the hashedTf shape plus one broadcast
+    // hash join — re-deriving w lazily inside the returned plan would
+    // re-run the whole labels pipeline on every downstream branch.
+    val wvec: Seq[(Long, Long)] = sums.join(broadcast(classCounts), Seq("keep"))
+      .select(col("bucket"), col("keep"),
+        (col("s").cast("double") / col("n")).as("m"))
+      .groupBy(col("bucket"))
+      .agg(round(sum(when(col("keep"), col("m")).otherwise(-col("m"))) * 1e6)
+        .cast("long").as("w6"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    val s = docs.sparkSession
+    import s.implicits._
+    val wDf = wvec.toDF("bucket", "w6")
+    tf.join(broadcast(wDf), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w4") * col("w6")).as("quality_logit"))
+      .select(col("doc_id"), col("quality_logit"),
+        (col("quality_logit") > 0L).as("high_quality"))
+  }
+
+  private val qualityScoreOracle =
+    s"""WITH bk AS (SELECT doc_id,
+       |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 64 AS bucket
+       |  FROM documents),
+       |tfq AS (SELECT doc_id, bucket, count(*) AS tf FROM bk GROUP BY 1, 2),
+       |nq AS (SELECT doc_id, bucket, tf,
+       |    sum(tf * tf) OVER (PARTITION BY doc_id) AS nrm2 FROM tfq),
+       |v AS (SELECT doc_id, bucket,
+       |    CAST(round((round(tf::DOUBLE / sqrt(nrm2::DOUBLE) * 10000) / 10000) * 10000) AS BIGINT) AS w4
+       |  FROM nq),
+       |qs AS ($qualitySignalsCore),
+       |lbl AS (SELECT doc_id,
+       |    (CASE WHEN n_tokens < 20 THEN 'too_short'
+       |          WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram'
+       |          WHEN dup_5gram_frac > 0.10 THEN 'repetitive_5gram'
+       |          ELSE 'keep' END) = 'keep' AS keep
+       |  FROM qs),
+       |cc AS (SELECT keep, count(*) AS n FROM lbl GROUP BY 1),
+       |sc AS (SELECT bucket, keep, CAST(sum(w4) AS BIGINT) AS s
+       |       FROM v JOIN lbl USING (doc_id) GROUP BY 1, 2),
+       |mm AS (SELECT bucket, keep, sc.s::DOUBLE / cc.n AS m
+       |       FROM sc JOIN cc USING (keep)),
+       |w AS (SELECT bucket,
+       |    CAST(round(sum(CASE WHEN keep THEN m ELSE -m END) * 1000000) AS BIGINT) AS w6
+       |  FROM mm GROUP BY 1)
+       |SELECT v.doc_id,
+       |  CAST(sum(v.w4 * w.w6) AS BIGINT) AS quality_logit,
+       |  CAST(sum(v.w4 * w.w6) AS BIGINT) > 0 AS high_quality
+       |FROM v JOIN w USING (bucket)
+       |GROUP BY v.doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -709,6 +798,7 @@ object TextAnalysis {
     "cdc_chunks"      -> (cdcChunks _),
     "oov_rate"        -> (oovRate _),
     "gopher_filter"   -> (gopherFilter _),
+    "quality_score"   -> (qualityScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +817,6 @@ object TextAnalysis {
     "cdc_chunks"      -> cdcOracle,
     "oov_rate"        -> oovOracle,
     "gopher_filter"   -> gopherFilterOracle,
+    "quality_score"   -> qualityScoreOracle,
   )
 }

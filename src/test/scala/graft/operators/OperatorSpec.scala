@@ -278,6 +278,25 @@ class OperatorSpec extends AnyFunSuite {
       s"expected a b-partitioned row_number window in:\n$plan")
   }
 
+  test("qualityScore ranking correlates with the Gopher-filter verdicts") {
+    val docs = Tables.documents(spark, sf)
+    val lbl = TextAnalysis.gopherFilterOf(docs).select(col("doc_id"), col("keep"))
+    val rows = TextAnalysis.qualityScoreOf(docs)
+      .join(lbl, Seq("doc_id")).select("quality_logit", "keep").collect()
+    val keepS = rows.filter(_.getBoolean(1)).map(_.getLong(0).toDouble)
+    val dropS = rows.filterNot(_.getBoolean(1)).map(_.getLong(0).toDouble)
+    assert(keepS.nonEmpty && dropS.nonEmpty, "both strata must be populated")
+    // the Rocchio discriminant guarantees the class-mean logit gap is
+    // ||mu_keep - mu_drop||^2 > 0 on its own training strata
+    assert(keepS.sum / keepS.size > dropS.sum / dropS.size,
+      "keep-class mean logit must exceed drop-class mean logit")
+    // ranking quality: AUC = P(random keep doc outranks random drop doc)
+    val auc = keepS.map(k =>
+      dropS.count(_ < k) + 0.5 * dropS.count(_ == k)).sum /
+      (keepS.size.toDouble * dropS.size)
+    assert(auc > 0.6, f"AUC $auc%.3f too close to chance")
+  }
+
   test("exact-substring dedup catches an unaligned verbatim span chunk-overlap misses") {
     import spark.implicits._
     // 20 tokens copied from the donor's position 5 land at host

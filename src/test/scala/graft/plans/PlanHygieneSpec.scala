@@ -63,6 +63,7 @@ class PlanHygieneSpec extends AnyFunSuite {
       "bigramRarityOf" -> TextAnalysis.bigramRarityOf(docs),
       "winnowFingerprintsOf" -> TextAnalysis.winnowFingerprintsOf(docs),
       "hashedTfOf" -> TextAnalysis.hashedTfOf(docs, 64),
+      "qualityScoreOf" -> TextAnalysis.qualityScoreOf(docs),
       "cdcChunksOf" -> TextAnalysis.cdcChunksOf(docs),
       "oovRateOf" -> TextAnalysis.oovRateOf(docs, 20),
       "repetitionTrimOf" -> TextAnalysis.repetitionTrimOf(docs),
