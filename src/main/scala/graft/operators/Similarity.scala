@@ -244,35 +244,22 @@ object Similarity {
     semanticDedupOf(s, Tables.embeddings(s, d), k = 8, tau = 0.4)
       .orderBy(col("vec_id"))
 
+  /** k MUST scale with corpus size: the within-cluster pair join costs
+    * O(n²/k) total, so a fixed k at growing n re-quadratizes exactly
+    * what the clustering exists to avoid. SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540) runs ~10⁵ clusters over billions of embeddings;
+    * the rule of thumb is k ≈ n / targetClusterSize with target
+    * cluster sizes of 10³–10⁴ rows. The k=8 in the fixture query is
+    * sized for the sf0.01–0.1 test corpus only — the k=64 spec proves
+    * results stay correct under a larger k with offset ids while the
+    * candidate-pair space shrinks ~k-fold. */
   def semanticDedupOf(s: SparkSession, emb: DataFrame,
                       k: Int, tau: Double): DataFrame = {
     // localCheckpoint: e feeds seeds, assignment, and both pair-join
     // sides — eager single materialization, GC-cleaned (see lshTopk)
     val e = withNorm(s, emb)
       .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
-    // the k "centroids" are driver-resident by design (tiny, like IVF's
-    // centroid table); an exploded literal keeps assignment a Generate
-    // node — crossJoin(broadcast(...)) would plan the BNLJ the
-    // plan-hygiene spec forbids
-    val seeds: Seq[(Long, Seq[Float], Double)] = e
-      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
-        col("vec_id"))
-      .limit(k)
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-    val asg = e
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(typedlit(seeds)).as("c"))
-      .select(col("vec_id"), col("c._1").as("sid"),
-        Portable.roundK(expr("vec_dot(embedding, c._2)")
-          / (col("nrm") * col("c._3")), 4).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sid").as("cluster"))
-      // eager once: the assignment feeds both pair-join sides and the
-      // final anti-join — without the cut its explode+window subtree
-      // executes three times (same policy as e above)
-      .localCheckpoint()
+    val asg = assignClusters(e, k)
     val ea = asg.join(e, Seq("vec_id"))
     val a = ea.select(col("vec_id").as("ida"), col("cluster"),
       col("embedding").as("va"), col("nrm").as("na"))
@@ -283,6 +270,41 @@ object Similarity {
       .select(col("idb").as("vec_id")).distinct()
     asg.join(drops, Seq("vec_id"), "left_anti")
   }
+
+  /** Deterministic cluster assignment over a normed frame: the k
+    * "centroids" are the k vectors with the smallest portable id hash,
+    * driver-resident by design (tiny, like IVF's centroid table); an
+    * exploded literal keeps assignment a Generate node — a
+    * crossJoin(broadcast(...)) would plan the BNLJ the plan-hygiene
+    * spec forbids. */
+  private def assignClusters(e: DataFrame, k: Int): DataFrame = {
+    val seeds: Seq[(Long, Seq[Float], Double)] = e
+      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(k)
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(typedlit(seeds)).as("c"))
+      .select(col("vec_id"), col("c._1").as("sid"),
+        Portable.roundK(expr("vec_dot(embedding, c._2)")
+          / (col("nrm") * col("c._3")), 4).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sid").as("cluster"))
+      // eager once: the assignment feeds both pair-join sides and the
+      // final anti-join — without the cut its explode+window subtree
+      // executes three times (same policy as e)
+      .localCheckpoint()
+  }
+
+  /** The bare (vec_id, cluster) assignment — exposed for the k-scaling
+    * spec, which measures the within-cluster candidate-pair count
+    * sum(n_c choose 2) directly. */
+  private[graft] def semanticAssignmentsOf(s: SparkSession, emb: DataFrame,
+                                           k: Int): DataFrame =
+    assignClusters(withNorm(s, emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint(), k)
 
   private val semanticDedupOracle =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -360,6 +360,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(clusters.nonEmpty && clusters.forall(_.getLong(1) >= 1L))
   }
 
+  test("semanticDedup k-scaling: k=64 over offset ids stays correct, pairs shrink ~k-fold") {
+    // the within-cluster pair space is O(n^2/k): growing k must shrink
+    // candidates ~k-fold while the drop/keep semantics stay intact, and
+    // seeding must not depend on the id layout (offset ids de-fixture)
+    val emb = Tables.embeddings(spark, sf)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"), col("label"))
+    val dup = emb.filter(col("vec_id") === 5000007L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val out = Similarity.semanticDedupOf(spark, emb.unionByName(dup), k = 64, tau = 0.4)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(5000007L) && !kept.contains(6000007L),
+      "planted duplicate dropped and original kept at k=64 over offset ids")
+    def candidatePairs(k: Int): Long = Similarity
+      .semanticAssignmentsOf(spark, emb, k)
+      .groupBy("cluster").count().collect()
+      .map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
+    val p8 = candidatePairs(8)
+    val p64 = candidatePairs(64)
+    assert(p64 * 4 < p8,
+      s"expected ~8x candidate-pair shrink from k=8 to k=64, got $p8 -> $p64")
+  }
+
   test("bigramRarity: common-bigram docs score high, rare-bigram docs low") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "solo")).toDF("doc_id", "text")
