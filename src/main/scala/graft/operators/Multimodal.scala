@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
@@ -279,6 +279,71 @@ object Multimodal {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** CLIP-style image–text coherence gate — the standard multimodal
+    * curation step: score each (blob, caption) pair's embedding cosine
+    * and drop pairs below `tau` (mis-captioned or boilerplate-caption
+    * samples). The two encoders are deterministic STUBS (no model in
+    * this container): 8 signed 12-bit features cut from the payload's /
+    * caption's md5, centered at 0 so random pairs score ~0 while a
+    * caption derived from its own image scores 1.0 — the Spark-side
+    * shape (shared embedding space, `zip_with` dot product, rounded
+    * cosine, threshold verdict) is exactly what a real CLIP scorer
+    * runs. Because pairs arrive 1:1, the gate is a NARROW transform —
+    * zero shuffles, nothing crosses the wire; only cross-pair retrieval
+    * (e.g. re-matching blobs to better captions) needs the banded
+    * machinery of [[Dedup.embeddingCosineOf]]. Zero-norm vectors gate
+    * to coherence 0 rather than NaN. */
+  def pairGateOf(pairs: DataFrame, tau: Double = 0.0): DataFrame = {
+    def vec(c: Column) = array((0 until 8).map(i =>
+      conv(substring(md5(c), i * 3 + 1, 3), 16, 10).cast("long") - 2048L): _*)
+    pairs
+      .withColumn("iv", vec(col("payload")))
+      .withColumn("tv", vec(col("caption").cast("binary")))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(iv, tv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("na2", expr("aggregate(iv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("nb2", expr("aggregate(tv, 0L, (acc, x) -> acc + x * x)"))
+      .select(col("doc_id"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(0.0))
+          .otherwise(Portable.roundK(
+            col("dot") / sqrt((col("na2") * col("nb2")).cast("double")), 4))
+          .as("coherence"))
+      .select(col("doc_id"), col("coherence"),
+        (col("coherence") >= tau).as("keep"))
+  }
+
+  /** Oracle-checked fixture: every 7th doc's caption is its own text
+    * (a coherent pair — the stub encoders agree exactly, cosine 1.0);
+    * the rest caption with the reversed text (independent hash — a
+    * mismatched pair scoring near 0). */
+  def pairGate(s: SparkSession, d: String): DataFrame =
+    pairGateOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 7 === 0, col("text"))
+          .otherwise(reverse(col("text"))).as("caption")))
+      .orderBy(col("doc_id"))
+
+  private val pairGateOracle = {
+    def feats(src: String, p: String) = (0 until 8)
+      .map(i => s"('0x' || substr(md5($src), ${i * 3 + 1}, 3))::BIGINT - 2048 AS $p$i")
+      .mkString(", ")
+    val dot = (0 until 8).map(i => s"i$i * t$i").mkString(" + ")
+    val na2 = (0 until 8).map(i => s"i$i * i$i").mkString(" + ")
+    val nb2 = (0 until 8).map(i => s"t$i * t$i").mkString(" + ")
+    s"""WITH f AS (SELECT doc_id, text,
+       |    CASE WHEN doc_id % 7 = 0 THEN text ELSE reverse(text) END AS caption
+       |  FROM documents),
+       |x AS (SELECT doc_id, ${feats("text", "i")}, ${feats("caption", "t")} FROM f),
+       |s AS (SELECT doc_id, $dot AS dot, $na2 AS na2, $nb2 AS nb2 FROM x),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0
+       |         ELSE round(dot / sqrt((na2 * nb2)::DOUBLE) * 10000) / 10000
+       |    END AS coherence
+       |  FROM s)
+       |SELECT doc_id, coherence, coherence >= 0.0 AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_blob_meta"       -> (blobMeta _),
     "multimodal_decode_stub"     -> (decodeStub _),
@@ -286,6 +351,7 @@ object Multimodal {
     "multimodal_resize_plan"     -> (resizePlan _),
     "multimodal_feature_extract" -> (featureExtractFlat _),
     "multimodal_phash_dedup"     -> (phashDedup _),
+    "multimodal_pair_gate"       -> (pairGate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -295,6 +361,7 @@ object Multimodal {
     "multimodal_resize_plan"     -> resizePlanOracle,
     "multimodal_feature_extract" -> featureExtractOracle,
     "multimodal_phash_dedup"     -> phashDedupOracle,
+    "multimodal_pair_gate"       -> pairGateOracle,
   )
 }
 

@@ -278,6 +278,26 @@ class OperatorSpec extends AnyFunSuite {
       s"expected a b-partitioned row_number window in:\n$plan")
   }
 
+  test("multimodal pair gate: self-captioned pairs score 1.0, plan is narrow") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"), // coherent
+      (2L, "the quick brown fox", "stock photo watermark")) // mismatched
+      .toDF("doc_id", "text", "caption")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("caption"))
+    // tau just below the self-coherence ceiling: only an exact-match
+    // encoding survives (an 8-dim stub cosine between independent
+    // hashes is wide-variance, so a mid-range tau would be flaky)
+    val out = Multimodal.pairGateOf(pairs, tau = 0.99).orderBy("doc_id").collect()
+    assert(out(0).getDouble(1) == 1.0 && out(0).getBoolean(2),
+      "a caption encoding identical to its image must score exactly 1.0")
+    assert(out(1).getDouble(1) < 0.99 && !out(1).getBoolean(2),
+      s"independent caption should score below tau, got ${out(1).getDouble(1)}")
+    // 1:1 pairs gate narrowly: no exchange of any kind in the plan
+    val plan = Multimodal.pairGateOf(pairs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pair gate must be a narrow transform:\n$plan")
+  }
+
   test("qualityScore ranking correlates with the Gopher-filter verdicts") {
     val docs = Tables.documents(spark, sf)
     val lbl = TextAnalysis.gopherFilterOf(docs).select(col("doc_id"), col("keep"))
