@@ -32,12 +32,20 @@ object CsvCodec {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toFile
     try {
       val dir = new java.io.File(tmp, "out")
-      df.coalesce(1).write.option("header", "true").csv(dir.toString)
-      val part = dir.listFiles().filter(_.getName.endsWith(".csv")).head
-      val n = df.sparkSession.read
-        .option("header", "true").option("multiLine", "true")
-        .csv(part.toString).count()
-      (java.nio.file.Files.readAllBytes(part.toPath), n)
+      df.coalesce(1).write.option("header", "true")
+        .option("compression", "none").csv(dir.toString)
+      // an empty frame writes no part file at all (Spark's
+      // EmptyDirectoryDataWriter) — encode it as zero bytes / zero rows;
+      // compression is pinned off so a session codec can't change the
+      // part-file extension this listing matches on
+      dir.listFiles().filter(_.getName.endsWith(".csv")).headOption match {
+        case Some(part) =>
+          val n = df.sparkSession.read
+            .option("header", "true").option("multiLine", "true")
+            .csv(part.toString).count()
+          (java.nio.file.Files.readAllBytes(part.toPath), n)
+        case None => (Array.empty[Byte], 0L)
+      }
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

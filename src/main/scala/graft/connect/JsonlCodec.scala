@@ -24,14 +24,19 @@ object JsonlCodec {
 
   /** encode + exact record count in ONE materialization (the count is
     * the written file's line count — JSONL is one record per line by
-    * construction, so no re-parse is needed). */
+    * construction, so no re-parse is needed). An empty frame produces
+    * no part file at all (Spark's EmptyDirectoryDataWriter) and encodes
+    * to zero bytes; compression is pinned off so the part-file
+    * extension can't drift under a session-level codec setting. */
   def encodeWithCount(df: DataFrame): (Array[Byte], Long) = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile
     try {
       val dir = new java.io.File(tmp, "out")
-      df.coalesce(1).write.json(dir.toString)
-      val part = dir.listFiles().filter(_.getName.endsWith(".json")).head
-      val bytes = java.nio.file.Files.readAllBytes(part.toPath)
+      df.coalesce(1).write.option("compression", "none").json(dir.toString)
+      val bytes = dir.listFiles().filter(_.getName.endsWith(".json"))
+        .headOption
+        .map(p => java.nio.file.Files.readAllBytes(p.toPath))
+        .getOrElse(Array.empty[Byte])
       val n = bytes.count(_ == '\n'.toByte).toLong
       (bytes, n)
     } finally {

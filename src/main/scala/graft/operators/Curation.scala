@@ -95,6 +95,15 @@ object Curation {
     mixTemperatureOf(Tables.documents(s, d), col("source"), 0.5)
       .orderBy(col("doc_id"))
 
+  /** Under-target note: a source whose temperature-scaled keep rate
+    * exceeds 1.0 is capped there (can't sample more than it has), and
+    * the shortfall is NOT redistributed to the uncapped sources — the
+    * realized corpus fraction can land measurably below `targetFrac`
+    * when small sources saturate (the spec observes ~475 kept of a
+    * 500-doc target). This matches the published temperature-mixing
+    * convention (rates are per-source, independent); a caller needing
+    * the exact global fraction should iterate rate normalization over
+    * the uncapped sources. */
   def mixTemperatureOf(docs: DataFrame, source: Column,
                        targetFrac: Double): DataFrame = {
     val srcName = docs.select(source).columns.head
@@ -261,6 +270,11 @@ object Curation {
 
   def datasetSplitOf(docs: DataFrame, trainPermille: Int,
                      valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"split permilles must be non-negative and sum to <= 1000, got " +
+        s"train=$trainPermille val=$valPermille (a silent overlap would " +
+        "mis-assign the val band and shrink test to nothing)")
     val b = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 1000
     docs.select(col("doc_id"),
       when(b < trainPermille, "train")

@@ -1225,6 +1225,15 @@ object Dedup {
                               nTables: Int = 20, bits: Int = 4): DataFrame = {
     requireLshCapture(threshold, nTables, bits)
     val benchIds = benchmark.select(col("vec_id").as("bid"))
+    // NOTE: this disjointness check is EAGER — it runs a (cheap,
+    // semi-join + limit-1) Spark job at plan-construction time, the one
+    // operator in the library that does. Deliberate trade-off: checking
+    // lazily inside the returned plan would surface the violation only
+    // when (and on whichever branch) the caller first executes, after
+    // the leak-keeping plan has already been handed out; a precondition
+    // on data SHAPE belongs at the API boundary, like the require on
+    // LSH capture above. Callers composing many lazy frames should bind
+    // this operator last.
     require(corpus.select(col("vec_id"))
         .join(benchIds, col("vec_id") === col("bid"), "left_semi")
         .limit(1).isEmpty,

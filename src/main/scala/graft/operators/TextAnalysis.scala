@@ -519,8 +519,15 @@ object TextAnalysis {
       .withColumn("k", (col("h") % mh) * m + (lit(m - 1) - col("pos")))
     grams
       .withColumn("wmin", min(col("k")).over(byPos.rowsBetween(0, w - 1)))
-      // each valid start j's pick, unpacked; null for non-starts
-      .withColumn("pick", when(col("pos") <= col("n5") - w,
+      // each valid start j's pick, unpacked; null for non-starts. A doc
+      // with fewer than w grams has no full window — classic winnowing
+      // still selects the minimum of the partial stream (one
+      // fingerprint), so position 0 acts as the single valid start and
+      // its frame, truncated at the partition end, IS that minimum;
+      // without this, docs of 5..w+3 tokens were silently
+      // unfingerprintable.
+      .withColumn("pick", when(
+        col("pos") <= col("n5") - w || (col("pos") === 0 && col("n5") < w),
         lit(m - 1) - (col("wmin") % m)))
       // the picks of the w starts whose window contains this row
       .withColumn("picks",
@@ -542,7 +549,7 @@ object TextAnalysis {
       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
       |  FROM k),
       |sel AS (SELECT DISTINCT doc_id, 4398046511103 - (wmin % 4398046511104) AS selpos
-      |  FROM wm WHERE pos <= n5 - 4)
+      |  FROM wm WHERE pos <= n5 - 4 OR (pos = 0 AND n5 < 4))
       |SELECT s.doc_id, CAST(g.pos AS BIGINT) AS pos, g.h AS fp
       |FROM sel s JOIN g ON g.doc_id = s.doc_id AND g.pos = s.selpos
       |ORDER BY s.doc_id, pos""".stripMargin

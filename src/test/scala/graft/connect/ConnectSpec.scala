@@ -143,6 +143,20 @@ class JsonlCodecSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(back.toSeq == rows, "byte-exact text after the roundtrip")
   }
+
+  test("an empty frame encodes to zero records without crashing (both codecs)") {
+    // JSONL: Spark's EmptyDirectoryDataWriter emits no part file at all
+    // for an empty frame — encode as (empty, 0), not NoSuchElement.
+    // CSV: the writer still emits the header line, so the bytes are the
+    // header-only file and the record count is 0.
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val (jb, jn) = JsonlCodec.encodeWithCount(empty)
+    assert(jb.isEmpty && jn == 0L)
+    val (cb, cn) = CsvCodec.encodeWithCount(empty)
+    assert(new String(cb, "UTF-8").trim == "doc_id,text" && cn == 0L)
+  }
 }
 
 class SchemaAnnotationsSpec extends AnyFunSuite {

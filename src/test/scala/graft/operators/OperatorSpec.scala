@@ -453,6 +453,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(fps(1L).size < 13)
   }
 
+  test("winnowing fingerprints short docs (fewer grams than the window)") {
+    import spark.implicits._
+    // 6 tokens = two 5-grams < w=4: classic winnowing selects the
+    // minimum of the partial stream — exactly one fingerprint, equal to
+    // the smaller gram hash (rightmost on ties); sub-5-token docs have
+    // no grams at all and stay unfingerprintable by construction
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprintsOf(docs).collect()
+    assert(fps.length == 1 && fps(0).getLong(0) == 1L,
+      s"expected exactly one fingerprint for doc 1, got ${fps.mkString(", ")}")
+    val hashes = docs.filter(col("doc_id") === 1L)
+      .select(explode(expr("transform(sequence(1, 2), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))")).as("g"))
+      .select(graft.functions.Portable.hash60(col("g")))
+      .collect().map(_.getLong(0))
+    assert(fps(0).getLong(2) == hashes.min, "the pick must be the stream minimum")
+  }
+
   test("hashedTf vectors feed semanticDedup: exact text dups get dropped") {
     import spark.implicits._
     val docs = Seq(
