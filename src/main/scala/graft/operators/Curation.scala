@@ -341,7 +341,7 @@ object Curation {
   def trainingPrep(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val keepNear = docs
-      .join(Dedup.clusters(s, d), Seq("doc_id"), "left")
+      .join(Dedup.clustersUnsorted(s, d), Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
     keepNear
       .withColumn("rk", row_number().over(

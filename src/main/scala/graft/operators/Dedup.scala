@@ -754,12 +754,17 @@ object Dedup {
     * algorithms. The DuckDB oracle computes the same components via a
     * recursive transitive-closure CTE. */
   def clusters(s: SparkSession, d: String): DataFrame =
-    // memoized: the star-contraction loop's output labels are already
-    // materialized (localCheckpoint per round), so the memo stores the
-    // frame without re-caching; dedup_clusters and training_prep share
-    // one loop execution per session
+    clustersUnsorted(s, d).orderBy(col("doc_id"))
+
+  /** The memoized labels WITHOUT the presentation sort — composed
+    * queries (keepBest, training_prep) consume this form so they don't
+    * inherit a dead range exchange. The memo stores the frame without
+    * re-caching (the star-contraction loop's output is already
+    * materialized by its per-round localCheckpoint); dedup_clusters and
+    * the composed queries share one loop execution per session. */
+  private[operators] def clustersUnsorted(s: SparkSession, d: String): DataFrame =
     memo.getOrBuildMaterialized(s, s"clusters:$d")(
-      clustersOf(minhashPairs(s, d))).orderBy(col("doc_id"))
+      clustersOf(minhashPairs(s, d)))
 
   /** One large-star round: every node links its strictly-larger
     * neighbors to the minimum of its closed neighborhood. Shrinks tall
@@ -812,8 +817,13 @@ object Dedup {
     * the convergence-speed observable the long-chain spec pins down. */
   def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val p = pairs.select(col("i"), col("j")).filter(col("i") =!= col("j"))
-    var edges = p.select(col("i").as("u"), col("j").as("v"))
+    // the seed edges are the ONE materialization of the caller's pair
+    // lineage; everything downstream (rounds AND the node set) derives
+    // from this checkpoint so the returned labels never re-execute the
+    // pair pipeline
+    val edges0 = p.select(col("i").as("u"), col("j").as("v"))
       .distinct().localCheckpoint()
+    var edges = edges0
     var cnt = edges.count()
     var rounds = 0
     var converged = cnt == 0L
@@ -830,8 +840,8 @@ object Dedup {
       edges = next
       cnt = nextCnt
     }
-    val nodes = p.select(col("i").as("doc_id"))
-      .union(p.select(col("j").as("doc_id"))).distinct()
+    val nodes = edges0.select(col("u").as("doc_id"))
+      .union(edges0.select(col("v").as("doc_id"))).distinct()
     val labels = nodes
       .join(edges.select(col("u").as("doc_id"), col("v").as("cluster")),
         Seq("doc_id"), "left")
@@ -839,6 +849,40 @@ object Dedup {
       .agg(min(coalesce(col("cluster"), col("doc_id"))).as("cluster"))
     (labels, rounds)
   }
+
+  /** Cluster survivorship — keep the BEST document per near-dup
+    * cluster, not the lowest-id one: real pipelines (CCNet, RefinedWeb)
+    * pick the canonical copy by quality, because boilerplate-stripped
+    * or higher-quality variants of the same content should win.
+    * Composes the connected-component labels with the linear quality
+    * scorer's integer logits; per cluster the argmax survives
+    * (logit desc, doc_id asc on ties — deterministic). One doc-keyed
+    * join + one cluster-keyed window; at 100 TB both shuffle on keys
+    * already produced by their upstream operators. */
+  def keepBestPerClusterOf(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_logit").desc, col("doc_id").asc)
+    clusters.select(col("doc_id"), col("cluster"))
+      .join(scores.select(col("doc_id"), col("quality_logit")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id"), col("quality_logit"))
+  }
+
+  def keepBest(s: SparkSession, d: String): DataFrame =
+    keepBestPerClusterOf(clustersUnsorted(s, d),
+      TextAnalysis.qualityScoreOf(Tables.documents(s, d)))
+      .orderBy(col("cluster"))
+
+  private lazy val keepBestOracle =
+    s"""WITH RECURSIVE $clusterCtesSql,
+       |q AS (${TextAnalysis.qualityScoreCore})
+       |SELECT c.cluster, c.doc_id, q.quality_logit
+       |FROM comp c JOIN q USING (doc_id)
+       |QUALIFY row_number() OVER (PARTITION BY c.cluster
+       |        ORDER BY q.quality_logit DESC, c.doc_id) = 1
+       |ORDER BY cluster""".stripMargin
 
   /** Shared CTE chain ending in `pairs(i, j)` — the minhash-LSH
     * near-dup pairs of `documents`, reused by the clusters and
@@ -1286,6 +1330,7 @@ object Dedup {
     "dedup_decontaminate"    -> (decontaminateQuery _),
     "dedup_chunk_overlap"    -> (chunkOverlap _),
     "dedup_exact_substring"  -> (exactSubstring _),
+    "dedup_keep_best"        -> (keepBest _),
     "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
     "paragraph_dedup"        -> (paragraphDedupGlobal _),
     "decontaminate_semantic" -> (decontaminateSemanticQuery _),
@@ -1304,6 +1349,7 @@ object Dedup {
     "dedup_decontaminate"    -> decontaminateOracle,
     "dedup_chunk_overlap"    -> chunkOverlapOracle,
     "dedup_exact_substring"  -> exactSubstringOracle,
+    "dedup_keep_best"        -> keepBestOracle,
     "decontaminate_exact_window" -> decontaminateExactWindowOracle,
     "paragraph_dedup"        -> paragraphDedupOracle,
     "decontaminate_semantic" -> decontaminateSemanticOracle,

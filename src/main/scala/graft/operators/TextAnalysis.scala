@@ -758,7 +758,9 @@ object TextAnalysis {
         (col("quality_logit") > 0L).as("high_quality"))
   }
 
-  private val qualityScoreOracle =
+  /** The unordered quality-score SQL — shared with the cluster
+    * survivorship oracle (Dedup.keepBest), which embeds it as a CTE. */
+  private[operators] val qualityScoreCore =
     s"""WITH bk AS (SELECT doc_id,
        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT % 64 AS bucket
        |  FROM documents),
@@ -787,7 +789,9 @@ object TextAnalysis {
        |  CAST(sum(v.w4 * w.w6) AS BIGINT) AS quality_logit,
        |  CAST(sum(v.w4 * w.w6) AS BIGINT) > 0 AS high_quality
        |FROM v JOIN w USING (bucket)
-       |GROUP BY v.doc_id ORDER BY doc_id""".stripMargin
+       |GROUP BY v.doc_id""".stripMargin
+
+  private val qualityScoreOracle = qualityScoreCore + " ORDER BY doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),

@@ -342,6 +342,19 @@ class OperatorSpec extends AnyFunSuite {
       "sub-floor overlap must not be flagged")
   }
 
+  test("cluster survivorship keeps the best-scoring doc, not the lowest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster")
+    val scores = Seq((1L, 10L), (2L, 50L), (3L, 50L), (9L, -5L))
+      .toDF("doc_id", "quality_logit")
+    val out = Dedup.keepBestPerClusterOf(clusters, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // cluster 1: docs 2 and 3 tie at 50 -> lower id 2 survives (NOT the
+    // cluster-min doc 1, whose score is worse); singleton keeps itself
+    assert(out.toSeq == Seq((1L, 2L, 50L), (9L, 9L, -5L)),
+      s"got ${out.mkString(", ")}")
+  }
+
   test("star-contraction clusters converge logarithmically on a long chain") {
     import spark.implicits._
     // A 64-node chain has diameter 63: naive min-label propagation
