@@ -1,0 +1,136 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) — the fixed-memory
+  * heavy-hitters counter that completes the sketch family next to
+  * TDigest (quantiles) and HistogramSketch (fixed bins): `depth`
+  * independent hash rows of `width` counters; an item's estimate is the
+  * MIN over its row cells, so estimates never undercount and
+  * overcount by at most eps*N (eps ~ e/width) with probability
+  * 1 - (1/2)^depth.
+  *
+  * Why it matters at 100 TB: exact token counts need a vocabulary-sized
+  * aggregation state; the sketch moves exactly depth*width longs per
+  * group through the shuffle regardless of vocabulary, and sketches
+  * merge by elementwise addition — the partial/final aggregate shape.
+  * Hashing uses the engine's portable 60-bit convention (row-salted),
+  * so a sketch is reproducible across runs, partitionings, and JVMs. */
+final class CountMin(val depth: Int, val width: Int) extends Serializable {
+  val table: Array[Long] = new Array[Long](depth * width)
+  var total: Long = 0L
+
+  private def cell(row: Int, key: String): Int =
+    row * width + (Portable.hash60Jvm(s"cm$row:$key") % width).toInt
+
+  def add(key: String, c: Long = 1L): Unit = {
+    var r = 0
+    while (r < depth) { table(cell(r, key)) += c; r += 1 }
+    total += c
+  }
+
+  def estimate(key: String): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val v = table(cell(r, key))
+      if (v < best) best = v
+      r += 1
+    }
+    if (best == Long.MaxValue) 0L else best
+  }
+
+  def mergeWith(other: CountMin): Unit = {
+    require(other.depth == depth && other.width == width,
+      "count-min sketches merge only with identical dimensions")
+    var i = 0
+    while (i < table.length) { table(i) += other.table(i); i += 1 }
+    total += other.total
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * (1 + table.length))
+    bb.putLong(total)
+    var i = 0
+    while (i < table.length) { bb.putLong(table(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object CountMin {
+  def deserialize(depth: Int, width: Int, bytes: Array[Byte]): CountMin = {
+    val cm = new CountMin(depth, width)
+    val bb = ByteBuffer.wrap(bytes)
+    cm.total = bb.getLong
+    var i = 0
+    while (i < cm.table.length) { cm.table(i) = bb.getLong; i += 1 }
+    cm
+  }
+}
+
+/** `count_min_estimates(col)`: one sketch per group over the string
+  * column, evaluated at the registered probe keys; output
+  * array<bigint> of estimates aligned with the probes, with the
+  * sketch's total appended last (so callers can bound the error term
+  * eps*N without a second aggregation). */
+case class CountMinAgg(
+    child: Expression,
+    probes: Seq[String],
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[CountMin] {
+
+  require(depth >= 1 && width >= 16, "degenerate sketch dimensions")
+  require(probes.nonEmpty, "register at least one probe key")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CountMin = new CountMin(depth, width)
+
+  override def update(buf: CountMin, input: InternalRow): CountMin = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.toString)
+    buf
+  }
+
+  override def merge(a: CountMin, b: CountMin): CountMin = { a.mergeWith(b); a }
+
+  override def eval(buf: CountMin): Any =
+    ArrayData.toArrayData(probes.map(buf.estimate).toArray :+ buf.total)
+
+  override def serialize(buf: CountMin): Array[Byte] = buf.serialized
+  override def deserialize(bytes: Array[Byte]): CountMin =
+    CountMin.deserialize(depth, width, bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object CountMinAgg {
+  /** Register `count_min_estimates(col)` for a session with fixed probe
+    * keys and sketch dimensions (the probe list must be driver-known —
+    * the standard heavy-hitters flow finds candidates first, then
+    * sketches the stream). */
+  def register(spark: org.apache.spark.sql.SparkSession,
+               probes: Seq[String], depth: Int = 4, width: Int = 1024): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min_estimates",
+      { exprs =>
+        require(exprs.length == 1, s"count_min_estimates takes 1 argument, got ${exprs.length}")
+        CountMinAgg(exprs.head, probes, depth, width).toAggregateExpression()
+      },
+      "scala_udf")
+}

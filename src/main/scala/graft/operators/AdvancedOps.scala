@@ -258,6 +258,32 @@ object AdvancedOps {
       .orderBy(col("event_type"))
   }
 
+  /** Heavy hitters via the count-min sketch (functions.CountMin) — the
+    * fixed-memory companion to the exact top-terms query: exact token
+    * counting needs vocabulary-sized aggregation state, the sketch
+    * moves exactly depth*width longs per group regardless of
+    * vocabulary and merges elementwise (partial/final shape). The
+    * standard flow: find candidate terms first (here the exact top-10
+    * via a TakeOrdered — tiny, driver-resident like the IVF
+    * centroids), then probe the sketch for their estimates. No SQL
+    * oracle (sketch internals are implementation-specific); the spec
+    * asserts the CMS guarantee est in [true, true + eps*N] against
+    * exact counts. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(10)
+      .collect().map(_.getString(0)).toSeq
+    graft.functions.CountMinAgg.register(s, probes)
+    toks.agg(expr("count_min_estimates(tok)").as("es"))
+      .select(posexplode(expr(s"slice(es, 1, ${probes.size})"))
+        .as(Seq("i", "est_count")))
+      .select(element_at(typedlit(probes), col("i") + 1).as("term"),
+        col("est_count"))
+      .orderBy(col("term"))
+  }
+
   /** Stratified deterministic sampling — the corpus-balancing step of
     * a training-data pipeline: per-stratum keep-rates (here per lang,
     * downsampling the dominant strata) applied with the same hash-mod
@@ -379,6 +405,7 @@ object AdvancedOps {
     "stratified_sample"       -> (stratifiedSample _),
     "approx_distinct"         -> (approxDistinct _),
     "tdigest_percentiles"     -> (tdigestQuantiles _),
+    "heavy_hitters"           -> (heavyHitters _),
     "full_outer_years"        -> (fullOuterYears _),
     "unpivot_event_counts"    -> (unpivotCounts _),
   )

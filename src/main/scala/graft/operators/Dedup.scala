@@ -872,7 +872,7 @@ object Dedup {
 
   def keepBest(s: SparkSession, d: String): DataFrame =
     keepBestPerClusterOf(clustersUnsorted(s, d),
-      TextAnalysis.qualityScoreOf(Tables.documents(s, d)))
+      TextAnalysis.qualityScoreShared(s, d))
       .orderBy(col("cluster"))
 
   private lazy val keepBestOracle =

@@ -723,7 +723,16 @@ object TextAnalysis {
     * Long.MaxValue at dim 64; corpora needing much larger dims should
     * move the logit to DECIMAL. */
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    qualityScoreOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+    qualityScoreShared(s, d).orderBy(col("doc_id"))
+
+  /** Session-memoized scored frame — quality_score and the cluster
+    * survivorship query (dedup_keep_best) share one training pass and
+    * one cached scoring per session, the same sharing policy as the
+    * dedup family's pair frames (Bench clears all memos at rep
+    * boundaries, so cold timings stay honest). */
+  private[operators] def qualityScoreShared(s: SparkSession, d: String): DataFrame =
+    Tables.memo.getOrBuild(s, s"quality_score:$d")(
+      qualityScoreOf(Tables.documents(s, d)))
 
   def qualityScoreOf(docs: DataFrame, dim: Int = 64): DataFrame = {
     val tf = hashedTfOf(docs, dim)

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch: the structural guarantee (never undercount, bounded
+  * overcount) against exact counts, merge correctness, and the query's
+  * distributed partial/final path. */
+class CountMinSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("estimates never undercount and overcount within eps*N") {
+    val cm = new CountMin(4, 1024)
+    val keys = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    keys.foreach(cm.add(_))
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = math.ceil(2.72 * keys.size / 1024).toLong
+    exact.foreach { case (k, n) =>
+      val e = cm.estimate(k)
+      assert(e >= n, s"undercount on $k: $e < $n")
+      assert(e - n <= bound, s"overcount on $k beyond eps*N: $e vs $n (bound $bound)")
+    }
+    assert(cm.estimate("never-seen") <= bound)
+  }
+
+  test("merge equals sketching the union; serialization roundtrips") {
+    val a = new CountMin(4, 256)
+    val b = new CountMin(4, 256)
+    val c = new CountMin(4, 256)
+    (1 to 100).foreach(i => { a.add(s"x$i"); c.add(s"x$i") })
+    (50 to 150).foreach(i => { b.add(s"x$i"); c.add(s"x$i") })
+    a.mergeWith(CountMin.deserialize(4, 256, b.serialized))
+    assert(a.total == c.total)
+    (1 to 150).foreach(i =>
+      assert(a.estimate(s"x$i") == c.estimate(s"x$i"), s"merge mismatch at x$i"))
+  }
+
+  test("heavy_hitters query: sketch estimates bracket the exact top-10 counts") {
+    val out = graft.SparkEntry.queries("heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.size == 10)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val bound = math.ceil(2.72 * n / 1024).toLong
+    out.foreach { case (term, est) =>
+      val truth = exact(term)
+      assert(est >= truth && est - truth <= bound,
+        s"$term: est $est vs exact $truth (bound $bound)")
+    }
+  }
+}
