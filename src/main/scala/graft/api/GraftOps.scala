@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.AsofJoinOps
 
 /** The DataFrame-first library surface — every operator the fixture
@@ -163,6 +163,34 @@ object GraftOps {
   def chunkOverlapPairs(docs: DataFrame, chunkSize: Int = 8,
                         minShared: Int = 2): DataFrame =
     Dedup.chunkOverlapPairsOf(docs, chunkSize, minShared)
+
+  /** Corpus-internal exact-substring pairs: (i, j, overlap_tokens) for
+    * doc pairs sharing >= window + minRun - 1 verbatim tokens at any
+    * offset (rolling window hashes + gaps-and-islands diagonals). */
+  def exactSubstringPairs(docs: DataFrame, window: Int = 13,
+                          minRun: Int = 8): DataFrame =
+    Dedup.exactSubstringPairsOf(docs, window, minRun)
+
+  /** Bloom-prefiltered exact delta dedup: batch rows whose text is not
+    * in history; the broadcast sketch only prunes, results are exact. */
+  def bloomDeltaDedup(history: DataFrame, batch: DataFrame,
+                      fpp: Double = 0.01): DataFrame =
+    Dedup.bloomDeltaDedupOf(history, batch, fpp)
+
+  /** Quality-based cluster survivorship: keep each cluster's
+    * highest-quality doc (logit desc, id asc). */
+  def keepBestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame =
+    Dedup.keepBestPerClusterOf(clusters, scores)
+
+  /** Fasttext-style linear quality scorer over hashed-TF vectors;
+    * integer logit, high_quality = logit > 0. */
+  def qualityScore(docs: DataFrame, dim: Int = 64): DataFrame =
+    TextAnalysis.qualityScoreOf(docs, dim)
+
+  /** CLIP-style (blob, caption) coherence gate: rounded stub-encoder
+    * cosine + threshold verdict; a fully narrow transform. */
+  def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
+    Multimodal.pairGateOf(pairs, tau)
 
   /** Exact rolling-window decontamination: drop corpus docs containing
     * any benchmark `window`-token span verbatim (GPT-3 convention). */

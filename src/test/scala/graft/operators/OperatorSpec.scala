@@ -342,6 +342,31 @@ class OperatorSpec extends AnyFunSuite {
       "sub-floor overlap must not be flagged")
   }
 
+  test("bloom delta dedup equals the exact anti-join and the prefilter prunes") {
+    import spark.implicits._
+    val history = Tables.documents(spark, sf)
+    val batch = history.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        when(col("doc_id") % 20 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel"))).as("text"))
+    val kept = Dedup.bloomDeltaDedupOf(history, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // ground truth: plain exact anti-join on text
+    val expected = batch.join(history.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected, "sketch must be invisible to semantics")
+    assert(kept.nonEmpty && kept.size < batch.count(),
+      "fixture must exercise both drop and keep branches")
+    // the prefilter's candidate set ~ true dups + fpp * |batch| — far
+    // below the full batch, which is the whole point of the sketch
+    val nBatch = batch.count()
+    val nTrueDups = nBatch - expected.size
+    val nCand = Dedup.bloomCandidatesOf(history, batch).count()
+    assert(nCand >= nTrueDups, "no false negatives, ever")
+    assert(nCand <= nTrueDups + math.max(2L, (0.05 * nBatch).toLong),
+      s"prefilter should prune: $nCand candidates of $nBatch batch rows ($nTrueDups true dups)")
+  }
+
   test("cluster survivorship keeps the best-scoring doc, not the lowest id") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster")
