@@ -735,9 +735,13 @@ object TextAnalysis {
       qualityScoreOf(Tables.documents(s, d)))
 
   def qualityScoreOf(docs: DataFrame, dim: Int = 64): DataFrame = {
+    // one materialization: the TF frame feeds the (eager) training agg
+    // AND the returned scoring join — without the cut the explode +
+    // doc-bucket agg would run twice (same policy as semanticDedup's e)
     val tf = hashedTfOf(docs, dim)
       .select(col("doc_id"), col("bucket"),
         round(col("weight") * 10000).cast("long").as("w4"))
+      .localCheckpoint()
     val labels = gopherFilterOf(docs).select(col("doc_id"), col("keep"))
     val classCounts = labels.groupBy(col("keep")).agg(count(lit(1)).as("n"))
     // per-(bucket, class) weight sums; a bucket absent from a class
