@@ -133,6 +133,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("exactSubstring detects a 20-token planted run at ANY offset, never below floor") {
+    import spark.implicits._
+    // detection must be offset-independent (the property chunk-overlap
+    // lacks): plant the same 20-token span at randomized host offsets
+    // and doc lengths; every planted pair is flagged with
+    // overlap_tokens >= 20, and sub-floor (13..19-token) plants never are
+    val span = (1 to 20).map(i => s"s$i")
+    val offsets = Gen.listOfN(12, Gen.chooseNum(0, 60)).sample.get.distinct
+    val donor = (0L, ("pre " * 3 + span.mkString(" ") + " post").trim)
+    val hosts = offsets.zipWithIndex.map { case (off, i) =>
+      val filler = (1 to off).map(k => s"h${i}_$k")
+      ((i + 1).toLong, (filler ++ span).mkString(" "))
+    }
+    val subFloor = (900L, ((1 to 9).map(k => s"z$k") ++ span.take(19)).mkString(" "))
+    val docs = (donor +: hosts :+ subFloor).toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    hosts.foreach { case (id, _) =>
+      assert(pairs.exists(p => (p._1 == 0L && p._2 == id || p._1 == id) && p._3 >= 20),
+        s"planted span missed for host $id (offset-dependence bug)")
+    }
+    assert(!pairs.exists(p => p._1 == 900L || p._2 == 900L),
+      "a 19-token overlap must stay under the detection floor")
+  }
+
+  test("count-min never undercounts on arbitrary key multisets") {
+    val keyGen = Gen.chooseNum(1, 200).map(i => s"k$i")
+    check(Prop.forAll(Gen.listOfN(300, keyGen)) { keys =>
+      val cm = new CountMin(4, 256)
+      keys.foreach(cm.add(_))
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      exact.forall { case (k, n) => cm.estimate(k) >= n } &&
+        cm.total == keys.size
+    }, minSuccess = 50)
+  }
+
   test("qualitySignals fractions stay in [0,1] on random token soups") {
     import spark.implicits._
     val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2")

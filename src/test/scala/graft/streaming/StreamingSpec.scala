@@ -63,6 +63,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"gate+dedup should keep 1 and 5, got $kept")
   }
 
+  test("multimodal pair gate runs unchanged over a streaming pair feed") {
+    // the coherence gate is a fully narrow transform (spec-pinned
+    // Exchange-free), so it is legal in append streaming as-is — the
+    // shape a live captioned-blob ingest pipeline needs
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Long, String, String)]
+    val pairs = in.toDF().toDF("doc_id", "text", "caption")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("caption"))
+    val q = graft.operators.Multimodal.pairGateOf(pairs, tau = 0.99)
+      .filter(col("keep"))
+      .writeStream.format("memory").queryName("pgate")
+      .outputMode("append").start()
+    in.addData((1L, "a cat on a mat", "a cat on a mat"),      // coherent
+      (2L, "a cat on a mat", "buy cheap watches now"))        // mismatched
+    q.processAllAvailable()
+    val kept = spark.table("pgate").select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L), s"only the coherent pair should pass, got $kept")
+  }
+
   test("JSONL file-source ingest streams through the quality gate") {
     // the real corpus-ingest shape: JSONL drops landing in a directory,
     // readStream picks each file up as a micro-batch, the narrow gate
