@@ -41,13 +41,17 @@ object PlanAudit {
     // frame only sees the post-checkpoint stub — the per-round join
     // plan, which is what actually dominates their runtime, is audited
     // here explicitly via the operator's unexecuted round-plan hook.
+    // The seed build is eager (localCheckpoint runs a job), so it lives
+    // inside the same per-row error isolation as every other query.
     import org.apache.spark.sql.functions.col
-    // seed edges are checkpointed exactly as clustersOf checkpoints
-    // them before the loop, so this row shows one round's work alone
-    val seedEdges = graft.operators.Dedup
-      .minhashPairsOf(graft.Tables.documents(spark, sfDir))
-      .select(col("i").as("u"), col("j").as("v")).localCheckpoint()
-    auditRow("dedup_clusters/round", graft.operators.Dedup.clusterRoundPlanOf(seedEdges))
+    auditRow("dedup_clusters/round", {
+      // seed edges are checkpointed exactly as clustersOf checkpoints
+      // them before the loop, so this row shows one round's work alone
+      val seedEdges = graft.operators.Dedup
+        .minhashPairsOf(graft.Tables.documents(spark, sfDir))
+        .select(col("i").as("u"), col("j").as("v")).localCheckpoint()
+      graft.operators.Dedup.clusterRoundPlanOf(seedEdges)
+    })
     spark.stop()
   }
 }

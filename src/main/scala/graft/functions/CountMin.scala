@@ -19,26 +19,38 @@ import org.apache.spark.sql.types._
   * aggregation state; the sketch moves exactly depth*width longs per
   * group through the shuffle regardless of vocabulary, and sketches
   * merge by elementwise addition — the partial/final aggregate shape.
-  * Hashing uses the engine's portable 60-bit convention (row-salted),
-  * so a sketch is reproducible across runs, partitionings, and JVMs. */
+  * Hashing uses the engine's portable 60-bit convention with
+  * Kirsch–Mitzenmacher double hashing: ONE digest per item yields two
+  * 30-bit halves (h1, h2) and row r probes (h1 + r*h2) mod width —
+  * per-digest cost is constant in depth (a row-salted digest per row
+  * would 4x the CPU of the per-token inner loop), and the sketch stays
+  * reproducible across runs, partitionings, and JVMs. */
 final class CountMin(val depth: Int, val width: Int) extends Serializable {
   val table: Array[Long] = new Array[Long](depth * width)
   var total: Long = 0L
 
-  private def cell(row: Int, key: String): Int =
-    row * width + (Portable.hash60Jvm(s"cm$row:$key") % width).toInt
+  private def h1h2(key: String): (Long, Long) = {
+    val h = Portable.hash60Jvm(s"cm:$key")
+    // force h2 odd so successive rows never collapse onto one cell
+    (h & 0x3FFFFFFFL, ((h >>> 30) & 0x3FFFFFFFL) | 1L)
+  }
 
   def add(key: String, c: Long = 1L): Unit = {
+    val (a, b) = h1h2(key)
     var r = 0
-    while (r < depth) { table(cell(r, key)) += c; r += 1 }
+    while (r < depth) {
+      table(r * width + ((a + r * b) % width).toInt) += c
+      r += 1
+    }
     total += c
   }
 
   def estimate(key: String): Long = {
+    val (a, b) = h1h2(key)
     var best = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val v = table(cell(r, key))
+      val v = table(r * width + ((a + r * b) % width).toInt)
       if (v < best) best = v
       r += 1
     }

@@ -768,15 +768,24 @@ object Dedup {
 
   /** One large-star round: every node links its strictly-larger
     * neighbors to the minimum of its closed neighborhood. Shrinks tall
-    * components toward their minimum in halving steps. The
-    * neighborhood minimum is a window-min over the node key — one
-    * shuffle, no join-back (a groupBy+join formulation costs two extra
-    * exchanges per round). */
+    * components toward their minimum in halving steps.
+    *
+    * Skew note: star contraction deliberately CREATES hub nodes (a
+    * converged component is a star whose root's degree is the
+    * component size), so the per-node minimum must stay skew-tolerant.
+    * groupBy partial-aggregates map-side (each map task contributes
+    * one row per key to the shuffle regardless of degree) and the
+    * join-back is an equi-join AQE's skew handling can split — a
+    * window-min formulation saves two exchanges but funnels a whole
+    * component's edges into one window task per round, which is
+    * exactly the straggler/OOM shape at billion-edge scale. */
   private def largeStarRound(edges: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val bidir = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    bidir.withColumn("m", least(col("u"), min(col("v")).over(w)))
+    val mins = bidir.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bidir.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
@@ -785,14 +794,15 @@ object Dedup {
 
   /** One small-star round: orient every edge large→small, then link
     * each node's smaller neighbors (and the node itself) to the
-    * minimum among them. Window-min, same as largeStarRound. */
+    * minimum among them. groupBy+join for skew tolerance, same as
+    * largeStarRound. */
   private def smallStarRound(edges: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
     val oriented = edges.select(
       greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val wm = oriented.withColumn("m", min(col("v")).over(w))
-    wm.select(col("v").as("u"), col("m").as("v"))
-      .union(wm.select(col("u"), col("m").as("v")))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    oriented.join(mins, Seq("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
   }
@@ -816,14 +826,16 @@ object Dedup {
   /** clustersOf plus the number of large/small-star rounds executed —
     * the convergence-speed observable the long-chain spec pins down. */
   def clustersWithRounds(pairs: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
-    val p = pairs.select(col("i"), col("j")).filter(col("i") =!= col("j"))
-    // the seed edges are the ONE materialization of the caller's pair
+    // the seed pairs are the ONE materialization of the caller's pair
     // lineage; everything downstream (rounds AND the node set) derives
-    // from this checkpoint so the returned labels never re-execute the
-    // pair pipeline
-    val edges0 = p.select(col("i").as("u"), col("j").as("v"))
+    // from this checkpoint so the labels never re-execute the pair
+    // pipeline. Self-pairs (i == j) carry no edge but DO name a node —
+    // they are kept here for the node set and dropped from the
+    // contraction seed, so a doc whose only pair is reflexive still
+    // labels to itself per the contract.
+    val p0 = pairs.select(col("i").as("u"), col("j").as("v"))
       .distinct().localCheckpoint()
-    var edges = edges0
+    var edges = p0.filter(col("u") =!= col("v"))
     var cnt = edges.count()
     var rounds = 0
     var converged = cnt == 0L
@@ -840,13 +852,18 @@ object Dedup {
       edges = next
       cnt = nextCnt
     }
-    val nodes = edges0.select(col("u").as("doc_id"))
-      .union(edges0.select(col("v").as("doc_id"))).distinct()
+    val nodes = p0.select(col("u").as("doc_id"))
+      .union(p0.select(col("v").as("doc_id"))).distinct()
+    // materialized: every consumer (dedup_clusters, keepBest,
+    // trainingPrep) reads the labels without re-running the 3-shuffle
+    // derivation — and the memo's getOrBuildMaterialized contract
+    // (store without caching) holds because this IS a checkpoint
     val labels = nodes
       .join(edges.select(col("u").as("doc_id"), col("v").as("cluster")),
         Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(min(coalesce(col("cluster"), col("doc_id"))).as("cluster"))
+      .localCheckpoint()
     (labels, rounds)
   }
 
@@ -871,22 +888,17 @@ object Dedup {
     * results exact either way. */
   def bloomDeltaDedupOf(history: DataFrame, batch: DataFrame,
                         fpp: Double = 0.01): DataFrame = {
-    val s = history.sparkSession
-    val hTexts = history.select(col("text"))
-    val expected = math.max(1L, hTexts.count())
-    val bf = hTexts.stat.bloomFilter("text", expected, fpp)
-    val bfB = s.sparkContext.broadcast(bf)
-    val might = udf((t: String) => t != null && bfB.value.mightContainString(t))
-    val confirmed = batch.filter(might(col("text")))
+    val confirmed = bloomCandidatesOf(history, batch, fpp)
       .select(col("doc_id"), col("text"))
-      .join(hTexts.distinct(), Seq("text"), "left_semi")
+      .join(history.select(col("text")).distinct(), Seq("text"), "left_semi")
       .select(col("doc_id"))
     batch.join(confirmed, Seq("doc_id"), "left_anti")
   }
 
-  /** The bloom-positive candidate set before exact verification —
-    * exposed so the spec can assert the prefilter actually prunes
-    * (candidates ~ true dups + fpp * batch, far below the batch). */
+  /** The bloom-positive candidate set before exact verification — the
+    * shared filter-build for bloomDeltaDedupOf, and exposed so the
+    * spec can assert the prefilter actually prunes (candidates ~ true
+    * dups + fpp * batch, far below the batch). */
   private[operators] def bloomCandidatesOf(history: DataFrame, batch: DataFrame,
                                            fpp: Double = 0.01): DataFrame = {
     val s = history.sparkSession

@@ -304,7 +304,12 @@ object Multimodal {
       .withColumn("na2", expr("aggregate(iv, 0L, (acc, x) -> acc + x * x)"))
       .withColumn("nb2", expr("aggregate(tv, 0L, (acc, x) -> acc + x * x)"))
       .select(col("doc_id"),
-        when(col("na2") === 0 || col("nb2") === 0, lit(0.0))
+        // null payload/caption makes the feature arithmetic null —
+        // coalesce(...=== 0) folds that case into the zero-norm branch
+        // so every row gets a DEFINITE verdict (a null `keep` would
+        // escape both filter(keep) and filter(!keep))
+        when(coalesce(col("na2"), lit(0L)) === 0 ||
+             coalesce(col("nb2"), lit(0L)) === 0, lit(0.0))
           .otherwise(Portable.roundK(
             col("dot") / sqrt((col("na2") * col("nb2")).cast("double")), 4))
           .as("coherence"))

@@ -296,6 +296,15 @@ class OperatorSpec extends AnyFunSuite {
     // 1:1 pairs gate narrowly: no exchange of any kind in the plan
     val plan = Multimodal.pairGateOf(pairs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"pair gate must be a narrow transform:\n$plan")
+    // a null caption (common in scraped feeds) must get a DEFINITE
+    // verdict — coherence 0.0, keep decided by tau — never a null keep
+    // that escapes both filter(keep) and filter(!keep)
+    val withNull = Seq((3L, Some("img bytes"), None: Option[String]))
+      .toDF("doc_id", "text", "caption")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("caption"))
+    val r = Multimodal.pairGateOf(withNull, tau = 0.5).collect()(0)
+    assert(r.getDouble(1) == 0.0 && !r.getBoolean(2) && !r.isNullAt(2),
+      "null caption must gate to coherence 0.0 / keep=false")
   }
 
   test("qualityScore ranking correlates with the Gopher-filter verdicts") {
@@ -399,6 +408,13 @@ class OperatorSpec extends AnyFunSuite {
     val lbl2 = Dedup.clustersOf(two).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(lbl2.size == 68 && lbl2(1003L) == 1000L && lbl2(63L) == 0L)
+    // contract: every doc in at least one pair gets a label — a doc
+    // whose ONLY pair is reflexive (i == j) still labels to itself
+    val withSelf = chain.union(Seq((5000L, 5000L)).toDF("i", "j"))
+    val lbl3 = Dedup.clustersOf(withSelf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lbl3(5000L) == 5000L && lbl3.size == 65,
+      "self-paired docs must keep their own label, not vanish")
   }
 
   test("semanticDedup drops a planted duplicate vector, keeps cluster minima") {
