@@ -192,6 +192,30 @@ object GraftOps {
   def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
     Multimodal.pairGateOf(pairs, tau)
 
+  /** C4-style line + page cleaning (terminal punctuation, min words,
+    * javascript lines; brace / lorem-ipsum / blocklist / min-sentence
+    * pages) — fully narrow. */
+  def c4Clean(docs: DataFrame, sep: String = "\n", minWords: Int = 5,
+              blocklist: Seq[String] = Seq("viagra", "xxx")): DataFrame =
+    TextAnalysis.c4CleanOf(docs, sep, minWords, blocklist)
+
+  /** Whitespace/control normalization (CRLF, tabs, control chars,
+    * space runs) — the pre-tokenization cleanup pass; fully narrow. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    TextAnalysis.normalizeTextOf(docs)
+
+  /** Per-source reputation stats (pass permille of a cheap doc rule)
+    * with a keep verdict per source. */
+  def domainReputation(docs: DataFrame, minTokens: Int = 20,
+                       floorPermille: Int = 880): DataFrame =
+    TextAnalysis.domainReputationOf(docs, minTokens, floorPermille)
+
+  /** Docs surviving the domain gate — broadcast semi-join against the
+    * kept sources. */
+  def domainFilter(docs: DataFrame, minTokens: Int = 20,
+                   floorPermille: Int = 880): DataFrame =
+    TextAnalysis.domainFilterOf(docs, minTokens, floorPermille)
+
   /** Exact rolling-window decontamination: drop corpus docs containing
     * any benchmark `window`-token span verbatim (GPT-3 convention). */
   def decontaminateExactWindow(corpus: DataFrame, benchmark: DataFrame,

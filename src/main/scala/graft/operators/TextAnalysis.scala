@@ -806,6 +806,227 @@ object TextAnalysis {
 
   private val qualityScoreOracle = qualityScoreCore + " ORDER BY doc_id"
 
+  /** C4-style corpus cleaning (Raffel et al. 2020 §2.2 — the public
+    * "Colossal Clean Crawled Corpus" heuristics) over line-structured
+    * documents.
+    *
+    * Line rules (a line is dropped unless it):
+    *   - ends in terminal punctuation (`.` `!` `?` or a closing quote),
+    *   - has at least `minWords` whitespace-separated words,
+    *   - does not mention "javascript" (case-insensitive).
+    * Page rules (the whole document is dropped if):
+    *   - it contains a curly brace,
+    *   - it contains the phrase "lorem ipsum",
+    *   - it matches any blocklist word (C4 uses the public LDNOOBW
+    *     list; the default here is a tiny stand-in — pass the real
+    *     list at deployment),
+    *   - fewer than 3 sentences survive the line rules (sentence ≈
+    *     terminal punctuation mark in the kept text — a documented
+    *     approximation of C4's sentence splitter, exact cross-engine).
+    *
+    * Scale shape: fully narrow — the line rules run as an array
+    * `filter` lambda inside the row (no explode) and the page rules
+    * are row-local predicates, so at 100 TB this whole operator is one
+    * map stage glued to the scan; the only exchanges in a pipeline
+    * using it are whatever the caller adds downstream. */
+  def c4CleanOf(docs: DataFrame, sep: String = "\n", minWords: Int = 5,
+                blocklist: Seq[String] = Seq("viagra", "xxx")): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val blockRe =
+      "\\b(" + blocklist.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"
+    docs
+      .withColumn("ls", split(col("text"), sepRe))
+      .withColumn("kept", expr(
+        s"""filter(ls, l -> size(split(trim(l), ' ')) >= $minWords
+           | AND right(trim(l), 1) IN ('.', '!', '?', '"')
+           | AND NOT contains(lower(l), 'javascript'))""".stripMargin))
+      .filter(!col("text").contains("{") && !col("text").contains("}"))
+      .filter(!lower(col("text")).contains("lorem ipsum"))
+      .filter(!lower(col("text")).rlike(blockRe))
+      .withColumn("ktext", concat_ws(sep, col("kept")))
+      .withColumn("n_sentences",
+        length(regexp_replace(col("ktext"), "[^.!?]", "")).cast("int"))
+      .filter(col("n_sentences") >= 3)
+      .select(col("doc_id"),
+        size(col("ls")).cast("int").as("n_lines_before"),
+        size(col("kept")).cast("int").as("n_lines_after"),
+        col("n_sentences"),
+        col("ktext").as("text"))
+  }
+
+  /** Oracle-checked fixture: the corpus has no newlines, so line
+    * structure is synthesized identically in both engines — 8-token
+    * lines each closed with a period (valid under every line rule),
+    * plus three planted lines every doc that each violate exactly one
+    * line rule, and three doc-killing plants keyed on doc_id residues
+    * (curly brace, lorem ipsum, blocklist word). */
+  def c4Clean(s: SparkSession, d: String): DataFrame = {
+    val lineArr = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/8) AS INT)), " +
+        "k -> concat(concat_ws(' ', slice(ws, k*8+1, 8)), '.'))").as("lines"))
+    def plant(cond: org.apache.spark.sql.Column, line: String) =
+      when(cond, array(lit(line))).otherwise(expr("CAST(array() AS array<string>)"))
+    val fixture = lineArr.select(col("doc_id"),
+      array_join(concat(
+        array(lit("Subscribe now.")),
+        col("lines"),
+        array(lit("Please enable javascript to view this content.")),
+        array(lit("All rights reserved and more words here")),
+        plant(col("doc_id") % 7 === 0, "function f() { return 0; }"),
+        plant(col("doc_id") % 11 === 3, "Lorem ipsum dolor sit amet consectetur."),
+        plant(col("doc_id") % 13 === 5, "Cheap viagra offers available here today.")),
+        "\n").as("text"))
+    c4CleanOf(fixture).orderBy(col("doc_id"))
+  }
+
+  private val c4CleanOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |lx AS (SELECT doc_id,
+      |  list_transform(range((len(ws) - 1) // 8 + 1),
+      |    k -> array_to_string(list_slice(ws, k * 8 + 1, k * 8 + 8), ' ') || '.') AS lines
+      |  FROM w),
+      |fx AS (SELECT doc_id, array_to_string(
+      |  ['Subscribe now.'] || lines
+      |    || ['Please enable javascript to view this content.']
+      |    || ['All rights reserved and more words here']
+      |    || (CASE WHEN doc_id % 7 = 0 THEN ['function f() { return 0; }']
+      |             ELSE CAST([] AS VARCHAR[]) END)
+      |    || (CASE WHEN doc_id % 11 = 3 THEN ['Lorem ipsum dolor sit amet consectetur.']
+      |             ELSE CAST([] AS VARCHAR[]) END)
+      |    || (CASE WHEN doc_id % 13 = 5 THEN ['Cheap viagra offers available here today.']
+      |             ELSE CAST([] AS VARCHAR[]) END),
+      |  chr(10)) AS text FROM lx),
+      |sp AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM fx),
+      |kp AS (SELECT doc_id, text, len(ls) AS nb,
+      |  list_filter(ls, l -> len(string_split(trim(l), ' ')) >= 5
+      |    AND right(trim(l), 1) IN ('.', '!', '?', '"')
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM sp),
+      |o AS (SELECT doc_id, nb, len(kept) AS na,
+      |    array_to_string(kept, chr(10)) AS ktext
+      |  FROM kp
+      |  WHERE NOT contains(text, '{') AND NOT contains(text, '}')
+      |    AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT regexp_matches(lower(text), '\b(viagra|xxx)\b'))
+      |SELECT doc_id, CAST(nb AS INTEGER) AS n_lines_before,
+      |  CAST(na AS INTEGER) AS n_lines_after,
+      |  CAST(length(regexp_replace(ktext, '[^.!?]', '', 'g')) AS INTEGER) AS n_sentences,
+      |  ktext AS text
+      |FROM o
+      |WHERE length(regexp_replace(ktext, '[^.!?]', '', 'g')) >= 3
+      |ORDER BY doc_id""".stripMargin
+
+  /** Whitespace/control-character normalization — the ftfy-lite
+    * cleanup pass web-scrape pipelines run before any tokenization:
+    *   1. CRLF / lone CR → LF,
+    *   2. tabs → spaces,
+    *   3. strip the remaining ASCII control characters (keeping LF),
+    *   4. collapse space runs to one space,
+    *   5. trim spaces around newlines and at both document ends.
+    * Unicode NFC is deliberately NOT attempted here: no cross-engine
+    * exactness guarantee (and the corpus is ASCII); plug a dedicated
+    * normalizer at the same seam when one is available.
+    *
+    * Fully narrow (five codegen'd regexp_replace steps fused into the
+    * scan's map stage); the 100 TB plan is the sf0.01 plan. */
+  def normalizeTextOf(docs: DataFrame): DataFrame = {
+    val t0 = regexp_replace(col("text"), "\r\n?", "\n")
+    val t1 = regexp_replace(t0, "\t", " ")
+    val t2 = regexp_replace(t1, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val t3 = regexp_replace(t2, " +", " ")
+    val t4 = regexp_replace(t3, " *\n *", "\n")
+    val t5 = regexp_replace(t4, "^[\n ]+|[\n ]+$", "")
+    docs.select(col("doc_id"), t5.as("text"),
+      length(t5).cast("int").as("n_chars"))
+  }
+
+  /** Oracle-checked fixture: corpus text wrapped in a deterministic
+    * mess — leading tab+spaces, a BEL in a header line, CRLF and lone
+    * CR line breaks, a unit-separator control, double spaces, and
+    * trailing whitespace — normalized back to clean single-spaced
+    * LF-separated text. */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("\t A \u0007 header line. \r\n"),
+        col("text"),
+        lit("  \u001F trailing mess \r last\tline.  ")).as("text"))
+    normalizeTextOf(fixture).orderBy(col("doc_id"))
+  }
+
+  private val textNormalizeOracle =
+    """WITH fx AS (SELECT doc_id,
+      |  chr(9) || ' A ' || chr(7) || ' header line. ' || chr(13) || chr(10)
+      |    || text
+      |    || '  ' || chr(31) || ' trailing mess ' || chr(13) || ' last'
+      |    || chr(9) || 'line.  ' AS text
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text,
+      |    '\r\n?', chr(10), 'g'),
+      |    '\t', ' ', 'g'),
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+      |    ' +', ' ', 'g'),
+      |    ' *\n *', chr(10), 'g'),
+      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+      |  FROM fx)
+      |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Domain/source-level reputation gate — the per-domain quality
+    * stage of public web pipelines (RefinedWeb/DCLM run UT1 blocklists
+    * plus per-domain aggregate heuristics): per source, the permille
+    * of documents passing a cheap per-doc rule (>= minTokens tokens
+    * AND mean word length in [3, 10] letters, computed in exact
+    * integer arithmetic), with sources below `floorPermille` marked
+    * dropped — spam/SEO farms concentrate by domain, so gating the
+    * domain catches what per-doc rules miss.
+    *
+    * Scale shape: one narrow per-doc signal, then one hash aggregation
+    * on the low-cardinality source key with map-side partial
+    * aggregation — at 100 TB the shuffle moves one row per (source ×
+    * map task), never per document. */
+  def domainReputationOf(docs: DataFrame, minTokens: Int = 20,
+                         floorPermille: Int = 880): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val letters = length(col("text")) - (n - lit(1))
+    val pass = (n >= minTokens) && (letters >= n * 3) && (letters <= n * 10)
+    docs
+      .select(col("source"), when(pass, 1L).otherwise(0L).as("p"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"))
+      .select(col("source"), col("n_docs"),
+        (col("n_pass") * 1000L / col("n_docs")).as("pass_permille"))
+      .withColumn("kept", col("pass_permille") >= floorPermille)
+  }
+
+  /** Documents surviving the domain gate: a broadcast semi-join of the
+    * corpus against the kept sources (the reputation table is ~one row
+    * per domain — trivially broadcastable even web-scale). */
+  def domainFilterOf(docs: DataFrame, minTokens: Int = 20,
+                     floorPermille: Int = 880): DataFrame = {
+    val kept = domainReputationOf(docs, minTokens, floorPermille)
+      .filter(col("kept")).select(col("source"))
+    docs.join(broadcast(kept), Seq("source"), "left_semi")
+  }
+
+  def domainFilter(s: SparkSession, d: String): DataFrame =
+    domainReputationOf(Tables.documents(s, d)).orderBy(col("source"))
+
+  private val domainFilterOracle =
+    """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n,
+      |    length(text) - (len(string_split(text, ' ')) - 1) AS letters
+      |  FROM documents),
+      |a AS (SELECT source, count(*) AS n_docs,
+      |    sum(CASE WHEN n >= 20 AND letters >= n * 3 AND letters <= n * 10
+      |             THEN 1 ELSE 0 END) AS n_pass
+      |  FROM t GROUP BY 1)
+      |SELECT source, n_docs, n_pass * 1000 // n_docs AS pass_permille,
+      |  n_pass * 1000 // n_docs >= 880 AS kept
+      |FROM a ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -823,6 +1044,9 @@ object TextAnalysis {
     "oov_rate"        -> (oovRate _),
     "gopher_filter"   -> (gopherFilter _),
     "quality_score"   -> (qualityScore _),
+    "c4_clean"        -> (c4Clean _),
+    "text_normalize"  -> (textNormalize _),
+    "domain_filter"   -> (domainFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -842,5 +1066,8 @@ object TextAnalysis {
     "oov_rate"        -> oovOracle,
     "gopher_filter"   -> gopherFilterOracle,
     "quality_score"   -> qualityScoreOracle,
+    "c4_clean"        -> c4CleanOracle,
+    "text_normalize"  -> textNormalizeOracle,
+    "domain_filter"   -> domainFilterOracle,
   )
 }

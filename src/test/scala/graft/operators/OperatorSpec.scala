@@ -682,4 +682,62 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0).getString(3) == Seq("Buy Now!", "alpha beta", "gamma delta", "epsilon").mkString("\n"))
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
   }
+
+  test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {
+    import spark.implicits._
+    val good = "one two three four five six seven eight."
+    val docs = Seq(
+      // every line rule violated once; three good sentences survive
+      (1L, Seq(good, "Too short.", good, "no terminal punctuation here at all",
+               "Please enable javascript on this page now.", good).mkString("\n")),
+      // page rules: brace, lorem ipsum, blocklist word each kill a doc
+      (2L, Seq(good, good, good, "code block { inside }").mkString("\n")),
+      (3L, Seq(good, good, good, "Lorem Ipsum dolor sit amet today friends.").mkString("\n")),
+      (4L, Seq(good, good, good, "Cheap viagra offers available right here today.").mkString("\n")),
+      // survives the line rules but not the 3-sentence floor
+      (5L, Seq(good, good, "tiny").mkString("\n"))).toDF("doc_id", "text")
+    val out = TextAnalysis.c4CleanOf(docs).orderBy("doc_id").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    assert(out(0).getInt(1) == 6 && out(0).getInt(2) == 3 && out(0).getInt(3) == 3)
+    assert(out(0).getString(4) == Seq(good, good, good).mkString("\n"))
+    // fully narrow: the line rules are an array lambda, the page rules
+    // row-local predicates — no exchange of any kind in the plan
+    val plan = TextAnalysis.c4CleanOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Clean must stay a map stage:\n$plan")
+  }
+
+  test("normalizeText cleans a messy doc and is idempotent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "\t A  messy  doc. \r\n second\t\tline \r third  one. "),
+      (2L, "already clean.")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeTextOf(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "A messy doc.\nsecond line\nthird one.")
+    assert(out(0).getInt(2) == out(0).getString(1).length)
+    assert(out(1).getString(1) == "already clean.")
+    // idempotence: a normalized corpus passes through unchanged
+    val again = TextAnalysis.normalizeTextOf(
+      TextAnalysis.normalizeTextOf(docs).select(col("doc_id"), col("text")))
+      .orderBy("doc_id").collect()
+    assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))))
+  }
+
+  test("domain gate drops the low-reputation source wholesale, keeps the clean one") {
+    import spark.implicits._
+    val clean = (1L to 30L).map(i =>
+      (i, "good", "one two three four five six seven eight nine ten " * 2 + "end"))
+    val spam = (31L to 60L).map(i =>
+      (i, "farm", if (i % 3 == 0) "short spam" else "x " * 25 + "y"))
+    val docs = (clean ++ spam).toDF("doc_id", "source", "text")
+    val rep = TextAnalysis.domainReputationOf(docs).orderBy("source").collect()
+    val bySrc = rep.map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(bySrc("good") && !bySrc("farm"))
+    // the doc-level gate removes every farm doc, keeps every good doc
+    val kept = TextAnalysis.domainFilterOf(docs)
+    assert(kept.count() == 30 && kept.filter(col("source") === "farm").count() == 0)
+    // the reputation table joins back as a broadcast, never a shuffle
+    // of the corpus side
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast semi-join:\n$plan")
+  }
 }
