@@ -89,6 +89,14 @@ object GraftOps {
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is
     * id-layout independent (portable-hash pick, not id-range). */
+  /** IVF-PQ approximate top-k: coarse cells + product-quantized codes
+    * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist. */
+  def ivfpqTopK(embeddings: DataFrame, isQuery: Column,
+                nCells: Int = 16, nProbe: Int = 6,
+                m: Int = 8, ksub: Int = 16, rerank: Int = 48): DataFrame =
+    Similarity.ivfpqTopkOf(embeddings.sparkSession, embeddings, isQuery,
+      nCells, nProbe, m, ksub, rerank)
+
   def ivfTopK(embeddings: DataFrame, isQuery: Column,
               nCells: Int = 16, nProbe: Int = 4): DataFrame =
     Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)

@@ -92,6 +92,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
+  test("IVF-PQ top-k recall vs brute force >= 0.5; re-rank recovers the probe ceiling") {
+    val brute = Similarity.bruteTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfpqTopk(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall below floor")
+    // the exact re-rank must recover (nearly) everything the probed
+    // cells admit: an unbounded shortlist may beat the default by at
+    // most 0.1 recall — otherwise ADC ranking is dropping true
+    // neighbors the cells actually contained
+    val ceiling = Similarity.ivfpqTopkOf(spark,
+        Tables.embeddings(spark, sf), col("vec_id") < 20, rerank = 100000)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ceilRecall = (brute & ceiling).size.toDouble / brute.size
+    assert(ceilRecall - recall <= 0.1,
+      s"ADC shortlist leaves $ceilRecall - $recall recall on the table")
+  }
+
   test("hash60 JVM and Column implementations agree") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "", "äöü", "the quick brown fox")

@@ -85,6 +85,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "tokenHistogramOf" -> Profiling.tokenHistogramOf(docs),
       "corpusCardOf" -> Profiling.corpusCardOf(docs),
       "semanticDedupOf" -> Similarity.semanticDedupOf(spark, emb, 4, 0.4),
+      "c4CleanOf" -> TextAnalysis.c4CleanOf(docs),
+      "normalizeTextOf" -> TextAnalysis.normalizeTextOf(docs),
+      "domainReputationOf" -> TextAnalysis.domainReputationOf(docs),
+      "ivfpqTopkOf" -> Similarity.ivfpqTopkOf(spark, emb,
+        org.apache.spark.sql.functions.col("vec_id") < 20),
     )
     val offenders = forms.flatMap { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString
