@@ -176,6 +176,49 @@ object EventStreams {
       .toDF("event_type", "event_id")
   }
 
+  /** Streaming exact text dedup for corpus ingest — the streaming face
+    * of `Dedup.bloomDeltaDedupOf` / `incrementalDedup`: admit a document
+    * iff its content hash has never appeared in the stream's lifetime.
+    * Keyed flatMapGroupsWithState on the portable 60-bit text hash;
+    * the state is ONE marker per distinct content — that marker set IS
+    * the dedup index, irreducible for lifetime exact dedup, so
+    * NoTimeout is deliberate (content seen once must stay seen; unlike
+    * event-id dedup there is no horizon after which a duplicate becomes
+    * acceptable). At scale the markers live in the RocksDB state store,
+    * sized by distinct corpus content, not stream length.
+    *
+    * Within a micro-batch the lowest doc_id wins — deterministic, and
+    * the same keeper convention as the batch `Dedup.exactOf`. Equality
+    * is hash-exact (collision odds ~n²/2⁶¹); the batch delta-dedup
+    * path re-verifies by full text where exactness must be absolute. */
+  def streamingTextDedup(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col("doc_id"), col("text"),
+        graft.functions.Portable.hash60(col("text")).as("h"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[SeenContent]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // single pass for the lowest doc_id — never buffers the
+            // group (a viral duplicate can be millions of rows/batch)
+            var bestId = Long.MaxValue
+            var bestText: String = null
+            rows.foreach { case (id, txt, _) =>
+              if (id < bestId) { bestId = id; bestText = txt }
+            }
+            state.update(SeenContent(1L))
+            Iterator((bestId, bestText))
+          }
+      }
+      .toDF("doc_id", "text")
+  }
+
   /** Replay-idempotent ShareSink micro-batch writer: each batch lands
     * in its own `batch-<id>` directory whose committed `_MANIFEST` is
     * the marker — a batch replayed after a crash-before-checkpoint
@@ -215,6 +258,9 @@ object EventStreams {
 
 /** State record for EventStreams.runningUserTotals. */
 case class UserTotals(n: Long, total: Double)
+
+/** Marker state for streamingTextDedup: presence means "seen". */
+case class SeenContent(seen: Long)
 
 /** State record for EventStreams.quotaSample. */
 case class QuotaUsed(n: Long)

@@ -267,6 +267,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDirs.map(manifestRows).sum == 3L) // unchanged
   }
 
+  test("streaming text dedup admits each content once, lowest doc_id wins, survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tdedup_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def start() = EventStreams.streamingTextDedup(spark,
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData((7L, "alpha doc"), (3L, "alpha doc"), // in-batch dup: 3 wins
+      (5L, "beta doc"))
+    q1.processAllAvailable()
+    q1.stop() // crash: checkpointed content markers must persist
+    val q2 = start()
+    in.addData((9L, "alpha doc"),  // duplicate from BEFORE the restart
+      (11L, "gamma doc"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = collected.synchronized(collected.toSet)
+    assert(rows == Set((3L, "alpha doc"), (5L, "beta doc"), (11L, "gamma doc")),
+      s"lifetime content dedup violated: $rows")
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
