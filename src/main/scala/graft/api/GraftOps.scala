@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.AsofJoinOps
 
 /** The DataFrame-first library surface — every operator the fixture
@@ -89,6 +89,10 @@ object GraftOps {
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is
     * id-layout independent (portable-hash pick, not id-range). */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
+
   /** IVF-PQ approximate top-k: coarse cells + product-quantized codes
     * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist. */
   def ivfpqTopK(embeddings: DataFrame, isQuery: Column,
@@ -96,10 +100,6 @@ object GraftOps {
                 m: Int = 8, ksub: Int = 16, rerank: Int = 48): DataFrame =
     Similarity.ivfpqTopkOf(embeddings.sparkSession, embeddings, isQuery,
       nCells, nProbe, m, ksub, rerank)
-
-  def ivfTopK(embeddings: DataFrame, isQuery: Column,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame =
-    Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
 
   /** Interleaved z-value of two `bits`-bit grid coordinates — sort or
     * range-partition by it to co-locate rows close in both dimensions
@@ -199,6 +199,17 @@ object GraftOps {
     * cosine + threshold verdict; a fully narrow transform. */
   def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
     Multimodal.pairGateOf(pairs, tau)
+
+  /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
+    * returns the driver-built merge table. */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 16,
+                minFreq: Long = 2L): DataFrame =
+    Bpe.bpeMergesOf(docs, nMerges, minFreq)
+
+  /** Tokenize with a learned merge list — chained narrow fold passes,
+    * zero shuffles. */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    Bpe.bpeTokenizeOf(docs, merges)
 
   /** C4-style line + page cleaning (terminal punctuation, min words,
     * javascript lines; brace / lorem-ipsum / blocklist / min-sentence

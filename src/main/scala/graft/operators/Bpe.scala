@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer training over the corpus (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — the public BPE algorithm every modern LLM tokenizer
+  * descends from), plus the matching corpus tokenizer.
+  *
+  * Scale shape — the key trick is the textbook one: merges are learned
+  * on the WORD-TYPE table (distinct words + frequencies), never the
+  * corpus. One corpus-wide shuffle builds the type table (~10⁷–10⁸
+  * rows for web-scale corpora — cluster-sized, but orders of magnitude
+  * below the corpus); each merge round is then one pair-count hash
+  * aggregation over the types, a TakeOrdered(1) for the argmax pair,
+  * and one narrow fold-expression pass applying the merge. The symbol
+  * frame localCheckpoints per round (the clustersOf policy) so lineage
+  * does not stack across rounds. Merge application is greedy
+  * left-to-right non-overlapping — the published convention — as a
+  * fold over the symbol array (no UDF; stays inside Catalyst).
+  *
+  * Determinism: counts are exact integers; the argmax pair breaks ties
+  * by (count desc, left asc, right asc). No SQL oracle (the rounds are
+  * inherently iterative); the spec pins the classic worked example and
+  * the tokenizer round-trip. */
+object Bpe {
+
+  /** Greedy left-to-right non-overlapping replacement of the adjacent
+    * symbol pair (l, r) with their concatenation, as a fold expression
+    * over the symbol-array column `colName`. Accumulator carries
+    * (output-so-far, pending symbol); a match consumes the pending
+    * symbol, anything else flushes it. */
+  private def applyMerge(colName: String, l: String, r: String): Column =
+    expr(foldSql(colName, l, r))
+
+  /** The word-type table: distinct whitespace words with corpus
+    * frequencies, symbolized as characters plus the `</w>` end-of-word
+    * marker. */
+  private def wordTypes(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("sym"))
+
+  /** Learn `nMerges` BPE merges; stop early when the best pair's
+    * weighted frequency drops below `minFreq`. Returns the driver-built
+    * merge table (rank, left, right, merged, freq) — a vocabulary is
+    * driver-resident by design, like the IVF centroid table. */
+  def bpeMergesOf(docs: DataFrame, nMerges: Int = 8,
+                  minFreq: Long = 2L): DataFrame = {
+    val s = docs.sparkSession
+    var types = wordTypes(docs).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var done = false
+    var rank = 1
+    var sinceCut = 0
+    while (rank <= nMerges && !done) {
+      // weighted adjacent-pair counts over the type table — one
+      // hash-agg; TakeOrdered(1) for the deterministic argmax
+      val best = types
+        .select(col("freq"), explode(expr(
+          "zip_with(slice(sym, 1, size(sym) - 1), slice(sym, 2, size(sym) - 1), " +
+          "(a, b) -> struct(a AS l, b AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(2) < minFreq) done = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        // narrow merge application; lineage cut every 4 rounds — a
+        // checkpoint job per round doubles the round count for a table
+        // whose fold pass is cheap, while unbounded chaining re-folds
+        // every prior merge each round (O(k²) passes); stride 4 bounds
+        // the chain depth at constant job overhead
+        types = types.select(col("word"), col("freq"),
+          applyMerge("sym", l, r).as("sym"))
+        sinceCut += 1
+        if (sinceCut == 4) { types = types.localCheckpoint(); sinceCut = 0 }
+        rank += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** Tokenize a corpus with a learned merge list: the merges apply in
+    * rank order, each as the same narrow fold expression — `nMerges`
+    * chained map stages, zero shuffles. Output keeps the symbol array
+    * and its length (the token count that sequence packing budgets
+    * by). */
+  def bpeTokenizeOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      expr("transform(filter(split(text, ' '), w -> length(w) > 0), " +
+           "w -> concat(split(w, ''), array('</w>')))").as("words"))
+    val merged = merges.foldLeft(base) { case (df, (l, r)) =>
+      df.select(col("doc_id"),
+        expr(s"transform(words, sym -> ${foldSql("sym", l, r)})").as("words"))
+    }
+    merged.select(col("doc_id"),
+      expr("flatten(words)").as("tokens"),
+      expr("size(flatten(words))").cast("int").as("n_tokens"))
+  }
+
+  /** The merge fold as SQL text, shared by the type-table pass
+    * (`applyMerge`) and the tokenizer's per-word lambda (where the
+    * outer transform binds `sym`). */
+  private def foldSql(arrayRef: String, l: String, r: String): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    s"""aggregate($arrayRef,
+       |  struct(CAST(array() AS array<string>) AS out, CAST(NULL AS STRING) AS prev),
+       |  (acc, s) -> IF(acc.prev = ${q(l)} AND s = ${q(r)},
+       |    struct(concat(acc.out, array(${q(l + r)})) AS out, CAST(NULL AS STRING) AS prev),
+       |    struct(IF(acc.prev IS NULL, acc.out, concat(acc.out, array(acc.prev))) AS out,
+       |           CAST(s AS STRING) AS prev)),
+       |  acc -> IF(acc.prev IS NULL, acc.out, concat(acc.out, array(acc.prev))))""".stripMargin
+  }
+
+  /** Fixture query: 16 merges over the documents table. No oracle
+    * (iterative); the driver records a rows-only check and the spec
+    * pins the worked example. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMergesOf(Tables.documents(s, d)).orderBy(col("rank"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

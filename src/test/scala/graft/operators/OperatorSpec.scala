@@ -702,6 +702,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
   }
 
+  test("BPE learns the classic worked example; tokenizer round-trips and shrinks") {
+    import spark.implicits._
+    // Sennrich et al.'s canonical fixture: {low x5, lower x2, newest x6,
+    // widest x3} — the first merges must combine 'e s' (freq 9, in
+    // newest+widest), then 'es t' (9), then 'est </w>' (9)
+    val corpus = Seq((1L,
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.bpeMergesOf(corpus, nMerges = 8).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.take(3).toSeq == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L)),
+      s"first merges diverge from the worked example: ${merges.toSeq}")
+    // tokenize with the learned merges: exact round-trip (tokens concat
+    // back to the words) and strictly fewer tokens than characters
+    val mseq = merges.map(m => (m._1, m._2)).toSeq
+    val tok = Bpe.bpeTokenizeOf(corpus, mseq).collect()(0)
+    val tokens = tok.getSeq[String](1)
+    val rebuilt = tokens.mkString("").replace("</w>", " ").trim
+    assert(rebuilt == corpus.collect()(0).getString(1))
+    assert(tok.getInt(2) < corpus.collect()(0).getString(1).replace(" ", "").length,
+      "BPE tokens should compress below character count")
+    // merged symbols must never span a word boundary
+    assert(tokens.forall(t => !t.contains(" ")))
+  }
+
   test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {
     import spark.implicits._
     val good = "one two three four five six seven eight."
