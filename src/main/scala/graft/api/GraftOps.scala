@@ -223,6 +223,17 @@ object GraftOps {
   def normalizeText(docs: DataFrame): DataFrame =
     TextAnalysis.normalizeTextOf(docs)
 
+  /** Per-document zlib compression ratio (repetitive text compresses
+    * well, noise barely) — Dolma-style quality signal; narrow. */
+  def compressionRatio(docs: DataFrame): DataFrame =
+    TextAnalysis.compressionRatioOf(docs)
+
+  /** Deterministic hash-bucketed negative sampling for contrastive
+    * pairs: k negatives per anchor via a keyed bucket join. */
+  def negativeSamples(embeddings: DataFrame, isQuery: Column,
+                      k: Int = 5, buckets: Int = 16): DataFrame =
+    Similarity.negativeSamplesOf(embeddings, isQuery, k, buckets)
+
   /** Per-source reputation stats (pass permille of a cheap doc rule)
     * with a keep verdict per source. */
   def domainReputation(docs: DataFrame, minTokens: Int = 20,

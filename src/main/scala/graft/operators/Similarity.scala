@@ -379,6 +379,57 @@ object Similarity {
       .select(col("qid"), col("rk"), col("nid"), Portable.roundK(col("cos_raw"), 4).as("cos"))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor draws k pseudo-random negatives from the corpus,
+    * reproducibly (same corpus → same negatives, any partitioning).
+    *
+    * Scale shape — the naive "rank all candidates per anchor by
+    * hash(anchor, candidate)" is an O(|anchors| × corpus) cross join.
+    * Instead, candidates pre-bucket by hash(id) % buckets (a narrow
+    * transform) and each anchor draws only from its own hash-chosen
+    * bucket: a keyed equi-join that touches ~corpus/buckets rows per
+    * anchor. Size `buckets` so corpus/buckets ≈ 100·k — plenty of
+    * randomness, negligible scan. The within-bucket rank is a
+    * rank-limited window (plans WindowGroupLimit: each map task keeps
+    * its own top-k before the shuffle). Collisions with an anchor's
+    * true neighbors are accepted, as in standard in-batch negative
+    * sampling; compose with decontaminateSemanticOf to scrub them. */
+  def negativeSamplesOf(emb: DataFrame, isQuery: Column,
+                        k: Int = 5, buckets: Int = 16): DataFrame = {
+    val cand = emb.select(col("vec_id").as("nid"),
+      (Portable.hash60(col("vec_id").cast("string")) % buckets).as("bucket"))
+    val anch = emb.filter(isQuery).select(col("vec_id").as("qid"),
+      (Portable.hash60(concat(lit("neg:"), col("vec_id").cast("string"))) % buckets)
+        .as("bucket"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("h").asc, col("nid").asc)
+    anch.join(cand, Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        Portable.hash60(concat(col("qid").cast("string"), lit(":"),
+          col("nid").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("int").as("rk"), col("nid"))
+  }
+
+  def negativeSamples(s: SparkSession, d: String): DataFrame =
+    negativeSamplesOf(Tables.embeddings(s, d), col("vec_id") < 20)
+      .orderBy(col("qid"), col("rk"))
+
+  private val negativeSamplesOracle =
+    """WITH c AS (SELECT vec_id AS nid,
+      |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS qid,
+      |    ('0x' || substr(md5('neg:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket
+      |  FROM embeddings WHERE vec_id < 20),
+      |p AS (SELECT qid, nid,
+      |    ('0x' || substr(md5(CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM a JOIN c USING (bucket) WHERE qid <> nid)
+      |SELECT qid, CAST(rk AS INTEGER) AS rk, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY h, nid) AS rk FROM p)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   /** SemDeDup-style semantic dedup: cluster the embedding space, then
     * drop near-duplicates only WITHIN a cluster — the clusters bound the
     * pair join, which is what makes semantic dedup feasible at corpus
@@ -482,6 +533,7 @@ object Similarity {
     "similarity_topk_ivf"   -> (ivfTopk _),
     "similarity_topk_ivfpq" -> (ivfpqTopk _),
     "semantic_dedup"        -> (semanticDedup _),
+    "negative_samples"      -> (negativeSamples _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall
@@ -489,5 +541,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "similarity_topk_brute" -> bruteTopkOracle,
     "semantic_dedup"        -> semanticDedupOracle,
+    "negative_samples"      -> negativeSamplesOracle,
   )
 }

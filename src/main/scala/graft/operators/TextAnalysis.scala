@@ -1027,6 +1027,43 @@ object TextAnalysis {
       |  n_pass * 1000 // n_docs >= 880 AS kept
       |FROM a ORDER BY source""".stripMargin
 
+  /** Per-document zlib compression ratio — the quality signal the
+    * Dolma/RedPajama signal sets carry ("documents that compress too
+    * well are repetitive; documents that barely compress are noise"):
+    * ratio = deflate(text).length / text.length, 4-decimal rounded.
+    *
+    * This is the one operator family where an expression cannot do the
+    * work (a DEFLATE stream is inherently imperative), so it uses the
+    * sanctioned mapPartitions escape hatch: one Deflater + one output
+    * buffer per partition, reused across rows — per-row allocation of
+    * a Deflater would dominate the cost at corpus scale. Fully narrow;
+    * deterministic for a fixed zlib level (the DEFLATE algorithm is
+    * deterministic given level and input). No SQL oracle (DuckDB has
+    * no deflate); spec-pinned instead. */
+  def compressionRatioOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, t) =>
+          val in = Option(t).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset(); defl.setInput(in); defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          val ratio =
+            if (in.length == 0) 1.0
+            else math.rint(n.toDouble / in.length * 10000) / 10000
+          (id, in.length.toLong, n, ratio)
+        }
+      }.toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+  }
+
+  def compressionRatio(s: SparkSession, d: String): DataFrame =
+    compressionRatioOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -1047,6 +1084,7 @@ object TextAnalysis {
     "c4_clean"        -> (c4Clean _),
     "text_normalize"  -> (textNormalize _),
     "domain_filter"   -> (domainFilter _),
+    "compression_ratio" -> (compressionRatio _),
   )
 
   val oracles: Map[String, String] = Map(

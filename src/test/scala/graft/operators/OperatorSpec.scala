@@ -702,6 +702,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
   }
 
+  test("negative samples: k per anchor, never self, deterministic, WindowGroupLimit") {
+    val out = Similarity.negativeSamples(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val perAnchor = rows.groupBy(_._1)
+    assert(perAnchor.size == 20 && perAnchor.values.forall(_.length == 5))
+    assert(rows.forall { case (q, _, n) => q != n }, "anchor sampled as its own negative")
+    // reproducible draw: a second run returns the identical sample
+    val again = Similarity.negativeSamples(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sameElements(again))
+    // the rank-limited window pushes partial top-k below the shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"lost the group-limit pushdown:\n$plan")
+  }
+
+  test("compression ratio separates repetitive boilerplate from varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "subscribe now and save money today " * 50),
+      (2L, (1 to 220).map(i => Portable.hash60Jvm(s"w$i").toString).mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatioOf(docs).orderBy("doc_id").collect()
+    val repetitive = out(0).getDouble(3)
+    val varied = out(1).getDouble(3)
+    assert(repetitive < 0.1, s"50x-repeated phrase should crush: $repetitive")
+    assert(varied > repetitive * 3, s"varied $varied vs repetitive $repetitive")
+    assert(out(2).getDouble(3) == 1.0 && out(2).getLong(1) == 0L) // empty doc convention
+    // deterministic across runs (fixed zlib level)
+    val again = TextAnalysis.compressionRatioOf(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getDouble(3)).sameElements(again.map(_.getDouble(3))))
+  }
+
   test("BPE learns the classic worked example; tokenizer round-trips and shrinks") {
     import spark.implicits._
     // Sennrich et al.'s canonical fixture: {low x5, lower x2, newest x6,
