@@ -219,6 +219,75 @@ object EventStreams {
       .toDF("doc_id", "text")
   }
 
+  /** The 32-bit simhash as a fully narrow fold expression — bit-for-bit
+    * the same signature as the batch `Dedup.simhashSignaturesOf`
+    * (token hash votes, ties → 0), but with no shuffle: tokens hash
+    * once (`transform`), then one fold accumulates the 32 votes.
+    * Narrowness is what lets the signature ride a streaming plan in
+    * front of keyed state. */
+  private[streaming] def simhashNarrowSig: org.apache.spark.sql.Column =
+    expr(
+      """aggregate(
+        |  zip_with(
+        |    aggregate(
+        |      transform(split(text, ' '),
+        |        w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)),
+        |      array_repeat(CAST(0 AS INT), 32),
+        |      (acc, h) -> zip_with(acc, sequence(0, 31),
+        |        (a, b) -> a + CAST((shiftright(h, b) & 1) * 2 - 1 AS INT))),
+        |    sequence(0, 31),
+        |    (v, b) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+        |  CAST(0 AS BIGINT), (x, y) -> x + y)""".stripMargin)
+
+  /** Streaming simhash near-dup gate — the streaming face of
+    * `Dedup.simhashPairsOf`: admit a document iff no prior stream
+    * document in its signature band sits within `hamming` bits.
+    *
+    * Banding trade, stated honestly: the batch operator blocks on BOTH
+    * 16-bit halves (pigeonhole-complete for hamming <= 1); a streaming
+    * gate gets ONE state key per document, so it bands on the upper
+    * half only and misses near-dups whose differing bit falls in that
+    * half (~50% of distance-1 pairs; distance-0 pairs — identical
+    * signatures — are always caught). Run the batch pass periodically
+    * over the accumulated corpus to sweep the remainder: the gate is
+    * the cheap always-on filter, not the exactness guarantee.
+    *
+    * State: per band, the signatures seen (FIFO-capped at
+    * `maxPerBucket` — at 2^16 bands × 1024 longs the store tops out at
+    * ~0.5 GB, and a hotter band degrades recall, never correctness).
+    * Within a micro-batch the group sorts by doc_id (bounded by the
+    * batch's slice of one band) so admission is deterministic. */
+  def streamingNearDupGate(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, hamming: Int = 1,
+                           maxPerBucket: Int = 1024): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(col("doc_id"), simhashNarrowSig.as("sim"))
+      .select(col("doc_id"), col("sim"),
+        expr("shiftright(sim, 16) & 65535").as("band"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[BandSigs]) =>
+          val seen = scala.collection.mutable.ArrayDeque.from(
+            state.getOption.map(_.sigs).getOrElse(Seq.empty))
+          val admitted = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            val dup = seen.exists(s => java.lang.Long.bitCount(s ^ sig) <= hamming)
+            if (!dup) {
+              admitted += ((id, sig))
+              seen.append(sig)
+              if (seen.size > maxPerBucket) seen.removeHead()
+            }
+          }
+          if (admitted.nonEmpty) state.update(BandSigs(seen.toSeq))
+          admitted.iterator
+      }
+      .toDF("doc_id", "sim")
+  }
+
   /** Replay-idempotent ShareSink micro-batch writer: each batch lands
     * in its own `batch-<id>` directory whose committed `_MANIFEST` is
     * the marker — a batch replayed after a crash-before-checkpoint
@@ -261,6 +330,9 @@ case class UserTotals(n: Long, total: Double)
 
 /** Marker state for streamingTextDedup: presence means "seen". */
 case class SeenContent(seen: Long)
+
+/** Per-band signature memory for streamingNearDupGate. */
+case class BandSigs(sigs: Seq[Long])
 
 /** State record for EventStreams.quotaSample. */
 case class QuotaUsed(n: Long)

@@ -296,6 +296,55 @@ class StreamingSpec extends AnyFunSuite {
       s"lifetime content dedup violated: $rows")
   }
 
+  test("streaming near-dup gate: narrow sig matches batch simhash; near-dups dropped across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // construction: in "alpha alpha beta" the doubled token outvotes the
+    // single one on every bit (votes 2*s1 + s2 are sign(s1)), so any
+    // "alpha alpha X" has the identical signature — a true near-dup at
+    // hamming 0 that is NOT an exact text dup
+    val base = "alpha alpha beta"
+    val near = "alpha alpha gamma"
+    val other = "zeta eta theta iota kappa"
+    val batchSigs = graft.operators.Dedup.simhashSignaturesOf(
+        Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(batchSigs(1L) == batchSigs(2L), "majority-vote construction broken")
+    // the narrow streaming signature must equal the batch signature
+    val narrowSigs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+      .select(col("doc_id"), EventStreams.simhashNarrowSig.as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(narrowSigs == batchSigs, s"narrow $narrowSigs != batch $batchSigs")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndgate_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = EventStreams.streamingNearDupGate(spark,
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(_.getLong(0))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData((10L, base), (11L, near), // same band, hamming 0 -> 11 dropped
+      (12L, other))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start() // restart: band state must persist
+    in.addData((13L, near),              // still a near-dup of 10
+      (14L, "completely unrelated sentence about mountains and rivers"))
+    q2.processAllAvailable()
+    q2.stop()
+    val got = collected.synchronized(collected.toSet)
+    assert(got.contains(10L) && got.contains(12L) && got.contains(14L),
+      s"distinct docs must pass: $got")
+    assert(!got.contains(11L) && !got.contains(13L),
+      s"near-dups must be gated, including across restart: $got")
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
