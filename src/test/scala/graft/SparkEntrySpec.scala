@@ -11,7 +11,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "TextAnalysis" -> TextAnalysis.queries, "Dedup" -> Dedup.queries,
     "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
     "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries,
-    "Profiling" -> Profiling.queries, "Curation" -> Curation.queries)
+    "Profiling" -> Profiling.queries, "Curation" -> Curation.queries,
+    "Bpe" -> Bpe.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
