@@ -276,6 +276,12 @@ object GraftOps {
                      targetFrac: Double = 0.5): DataFrame =
     graft.operators.Curation.mixTemperatureOf(docs, source, targetFrac)
 
+  /** Deterministic source replication for multi-epoch mixtures:
+    * factorPermille 2500 ≈ 2.5 copies/row, 500 ≈ half kept, 1000 =
+    * identity; (doc_id, copy) unique for downstream interleaving. */
+  def upsampleSources(docs: DataFrame, factorPermille: Column): DataFrame =
+    graft.operators.Curation.upsampleSourcesOf(docs, factorPermille)
+
   /** Reproducible global training-data shuffle without a global sort
     * (bucketed rank; raise bucketBits with corpus size). */
   def corpusShuffle(docs: DataFrame, bucketBits: Int = 6): DataFrame =

@@ -427,6 +427,52 @@ object Curation {
        |ORDER BY lang, tier""".stripMargin
   }
 
+  /** Deterministic source upsampling/downsampling by replication — the
+    * multi-epoch side of mixture building that [[mixTemperatureOf]]
+    * cannot express (its keep-rates cap at 1.0): a per-row
+    * `factorPermille` of 2500 keeps ~2.5 copies of each row (2 whole
+    * copies, plus a third for the hash-chosen 50%), 500 keeps ~half
+    * the rows, 1000 is the identity. Replication is the standard way
+    * high-quality sources see multiple epochs inside one training
+    * pass (the data-mixing convention in public LLM recipes).
+    *
+    * Deterministic and partitioning-independent: the fractional copy
+    * is hash-decided per doc, so re-runs produce identical output.
+    * The output carries a `copy` index — (doc_id, copy) is unique, so
+    * downstream corpus shuffling can interleave replicas instead of
+    * training them back-to-back. Fully narrow (explode of a per-row
+    * sequence; no shuffle). */
+  def upsampleSourcesOf(docs: DataFrame, factorPermille: Column): DataFrame = {
+    val srcName = docs.select(col("source")).columns.head
+    docs.select(col("doc_id"), col("source"), factorPermille.cast("int").as("f"))
+      .withColumn("k", (col("f") / 1000).cast("int") +
+        when(Portable.hash60(concat(lit("ups:"), col("doc_id").cast("string")))
+          % 1000 < col("f") % 1000, 1).otherwise(0))
+      .select(col("doc_id"), col("source").as(srcName),
+        explode(expr(
+          "CASE WHEN k <= 0 THEN CAST(array() AS array<int>) " +
+          "ELSE CAST(sequence(1, k) AS array<int>) END")).as("copy"))
+  }
+
+  def upsampleSources(s: SparkSession, d: String): DataFrame =
+    upsampleSourcesOf(Tables.documents(s, d),
+      when(col("source").isin("src0", "src1"), 2500)
+        .when(col("source") === "src2", 500)
+        .otherwise(1000))
+      .orderBy(col("doc_id"), col("copy"))
+
+  private val upsampleOracle =
+    """WITH f AS (SELECT doc_id, source,
+      |    CASE WHEN source IN ('src0', 'src1') THEN 2500
+      |         WHEN source = 'src2' THEN 500 ELSE 1000 END AS f
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, f // 1000
+      |    + CASE WHEN ('0x' || substr(md5('ups:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |             % 1000 < f % 1000 THEN 1 ELSE 0 END AS k
+      |  FROM f)
+      |SELECT doc_id, source, CAST(unnest(range(k)) + 1 AS INTEGER) AS copy
+      |FROM k ORDER BY doc_id, copy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
@@ -439,6 +485,7 @@ object Curation {
     "training_prep"      -> (trainingPrep _),
     "source_overlap"     -> (sourceOverlap _),
     "quality_tiers"      -> (qualityTiers _),
+    "upsample_sources"   -> (upsampleSources _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -453,5 +500,6 @@ object Curation {
     "training_prep"      -> trainingPrepOracle,
     "source_overlap"     -> sourceOverlapOracle,
     "quality_tiers"      -> qualityTiersOracle,
+    "upsample_sources"   -> upsampleOracle,
   )
 }

@@ -702,6 +702,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
   }
 
+  test("upsampling replicates by factor, factor 1000 is identity, copies are unique") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i =>
+      (i, if (i <= 100) "hot" else if (i <= 200) "cold" else "base", "t"))
+      .toDF("doc_id", "source", "text")
+    val factor = when(col("source") === "hot", 3250)
+      .when(col("source") === "cold", 400).otherwise(1000)
+    val out = Curation.upsampleSourcesOf(docs, factor)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // hot: 3 whole copies + ~25% fractional; cold: ~40% kept; base: exact
+    assert(bySrc("base") == 200, s"factor 1000 must be identity: $bySrc")
+    assert(bySrc("hot") >= 300 && bySrc("hot") <= 350, s"hot ~325: $bySrc")
+    assert(bySrc("cold") >= 25 && bySrc("cold") <= 55, s"cold ~40: $bySrc")
+    // (doc_id, copy) unique; copy indices contiguous from 1
+    assert(out.distinct.length == out.length)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length)) }
+    // deterministic re-run
+    val again = Curation.upsampleSourcesOf(docs, factor)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.sorted.sameElements(again.sorted))
+  }
+
   test("negative samples: k per anchor, never self, deterministic, WindowGroupLimit") {
     val out = Similarity.negativeSamples(spark, sf)
     val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
