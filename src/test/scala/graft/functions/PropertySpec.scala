@@ -169,6 +169,75 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccess = 50)
   }
 
+  test("normalizeText output is canonical and idempotent on random messy strings") {
+    import spark.implicits._
+    // random interleavings of words, control chars, CR/LF/tab, space runs
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const("  "), Gen.const("\t"),
+      Gen.const("\r\n"), Gen.const("\r"), Gen.const("\n"),
+      Gen.const(""), Gen.const(""), Gen.const(" x "))
+    val docGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, piece))
+      .map(_.mkString)
+    val docs = Gen.listOfN(60, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.normalizeTextOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    once.values.foreach { t =>
+      assert(!t.exists(c => c < ' ' && c != '\n'), s"control char survived: ${t.map(_.toInt)}")
+      assert(!t.contains("  ") && !t.contains(" \n") && !t.contains("\n "),
+        s"whitespace not canonical: '$t'")
+      assert(t == t.trim, s"edges not trimmed: '$t'")
+    }
+    val twice = TextAnalysis.normalizeTextOf(
+        once.toSeq.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(twice == once, "normalizeText must be idempotent")
+  }
+
+  test("c4Clean keeps a subsequence of input lines on random corpora") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf(
+      "one two three four five six.",     // survives
+      "short.",                           // < 5 words
+      "no terminal punctuation at all here", // no punct
+      "some good javascript words linger here.", // javascript
+      "seven eight nine ten eleven twelve?")  // survives
+    val docGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, lineGen))
+    val corpus = Gen.listOfN(30, docGen).sample.get.zipWithIndex
+      .map { case (ls, i) => (i.toLong, ls.mkString("\n"), ls) }
+    val docs = corpus.map(c => (c._1, c._2)).toDF("doc_id", "text")
+    val byId = corpus.map(c => c._1 -> c._3).toMap
+    TextAnalysis.c4CleanOf(docs).collect().foreach { r =>
+      val (id, before, after, kept) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4).split("\n").toSeq)
+      val orig = byId(id)
+      assert(before == orig.length && after == kept.length && after <= before)
+      // kept must be a subsequence of the original line sequence
+      val it = orig.iterator
+      assert(kept.forall(k => it.contains(k)), s"order/invention violation in doc $id")
+      // every kept line satisfies the line rules
+      kept.foreach { l =>
+        assert(l.trim.split(" ").length >= 5 && "!?.\"".contains(l.trim.last)
+          && !l.toLowerCase.contains("javascript"))
+      }
+    }
+  }
+
+  test("upsample copy counts obey the factor law on random factors") {
+    import spark.implicits._
+    val rows = Gen.listOfN(120, Gen.chooseNum(0, 4000)).sample.get.zipWithIndex
+      .map { case (f, i) => (i.toLong, s"s${f % 7}", f) }
+    val docs = rows.toDF("doc_id", "source", "f")
+    val out = Curation.upsampleSourcesOf(docs, col("f"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    rows.foreach { case (id, _, f) =>
+      val k = copies.getOrElse(id, 0)
+      assert(k == f / 1000 || k == f / 1000 + 1,
+        s"doc $id factor $f produced $k copies")
+    }
+  }
+
   test("qualitySignals fractions stay in [0,1] on random token soups") {
     import spark.implicits._
     val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2")
