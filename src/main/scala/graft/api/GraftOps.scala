@@ -228,6 +228,17 @@ object GraftOps {
   def compressionRatio(docs: DataFrame): DataFrame =
     TextAnalysis.compressionRatioOf(docs)
 
+  /** Sentence segmentation with character offsets (terminal punct +
+    * space boundary; exact cross-engine). */
+  def sentences(docs: DataFrame): DataFrame =
+    TextAnalysis.sentencesOf(docs)
+
+  /** Total-variation distance between two corpora's hashed-token
+    * distributions — exact integer arithmetic; the drift gate before
+    * admitting a new crawl batch. */
+  def corpusDrift(ref: DataFrame, cur: DataFrame, dim: Int = 64): DataFrame =
+    graft.operators.Profiling.corpusDriftOf(ref, cur, dim)
+
   /** Deterministic hash-bucketed negative sampling for contrastive
     * pairs: k negatives per anchor via a keyed bucket join. */
   def negativeSamples(embeddings: DataFrame, isQuery: Column,

@@ -244,6 +244,69 @@ object Profiling {
       |GROUP BY ROLLUP(source)
       |ORDER BY source""".stripMargin
 
+  /** Corpus drift: total-variation distance between two corpora's
+    * hashed-token-bucket distributions — the monitoring gate a
+    * continuously-ingesting pipeline runs before admitting a new crawl
+    * batch (vocabulary/topic shift shows up as TV distance even when
+    * doc-level stats look unchanged).
+    *
+    * TV = ½ Σ_b |p_b − q_b| is computed EXACTLY:
+    * Σ_b |c_b·m − d_b·n| stays in integers (cross-multiplied, no
+    * per-bucket division, so summation order cannot matter) and only
+    * the final scaled value divides once — micro-units, floor — making
+    * the result bit-identical in both engines.
+    *
+    * Scale shape: one token-bucket hash aggregation per corpus
+    * (map-side combined, `dim` rows out), a `dim`-row outer join, one
+    * scalar aggregation. The corpora never join row-to-row. */
+  def corpusDriftOf(ref: DataFrame, cur: DataFrame, dim: Int = 64): DataFrame = {
+    def buckets(df: DataFrame, cname: String) = df
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select((graft.functions.Portable.hash60(col("w")) % dim).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cname))
+    val joined = buckets(ref, "c_ref")
+      .join(buckets(cur, "c_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_ref"), lit(0L)).as("c"),
+        coalesce(col("c_cur"), lit(0L)).as("d"))
+    val all = Window.partitionBy(lit(0))
+    joined
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("m", sum(col("d")).over(all))
+      .select(col("n"), col("m"),
+        abs(col("c") * col("m") - col("d") * col("n")).as("num"))
+      .groupBy(col("n").as("n_ref_tokens"), col("m").as("n_cur_tokens"))
+      .agg(floor(sum(col("num")) * 1000000L / (lit(2L) * col("n") * col("m")))
+        .cast("long").as("tv_e6"))
+  }
+
+  /** Fixture: even vs odd doc_ids of the same corpus — a near-zero
+    * drift baseline (the spec plants a real shift). */
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    corpusDriftOf(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+  }
+
+  private val corpusDriftOracle =
+    """WITH rb AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+      |    count(*) AS c
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |        WHERE doc_id % 2 = 0) GROUP BY 1),
+      |cb AS (SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket,
+      |    count(*) AS d
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      |        WHERE doc_id % 2 = 1) GROUP BY 1),
+      |j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+      |    coalesce(c, 0) AS c, coalesce(d, 0) AS d
+      |  FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS m FROM j)
+      |SELECT n AS n_ref_tokens, m AS n_cur_tokens,
+      |  CAST(floor(CAST(sum(abs(c * m - d * n)) AS BIGINT) * 1000000
+      |       / (2 * n * m)) AS BIGINT) AS tv_e6
+      |FROM j, t GROUP BY n, m
+      |ORDER BY n_ref_tokens""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_moments"   -> (statsMoments _),
     "outlier_docs"    -> (outlierDocs _),
@@ -251,6 +314,7 @@ object Profiling {
     "weighted_sample" -> (weightedSample _),
     "zorder_cells"    -> (zorderCells _),
     "corpus_card"     -> (corpusCard _),
+    "corpus_drift"    -> (corpusDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +324,6 @@ object Profiling {
     "weighted_sample" -> weightedSampleOracle,
     "zorder_cells"    -> zorderCellsOracle,
     "corpus_card"     -> corpusCardOracle,
+    "corpus_drift"    -> corpusDriftOracle,
   )
 }

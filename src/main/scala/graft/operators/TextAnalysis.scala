@@ -1064,6 +1064,67 @@ object TextAnalysis {
   def compressionRatio(s: SparkSession, d: String): DataFrame =
     compressionRatioOf(Tables.documents(s, d)).orderBy(col("doc_id"))
 
+  /** Sentence segmentation with character offsets — the unit step under
+    * sentence-level dedup (C4 §2.2 dedups at three-sentence spans) and
+    * offset-preserving chunking for citation/attribution pipelines.
+    * Boundary rule: terminal punctuation followed by a space (a
+    * deliberate simple rule, exact cross-engine; abbreviation handling
+    * belongs to a model-based splitter behind the same seam).
+    *
+    * RE2 (DuckDB) has no lookbehind, so instead of splitting on
+    * "(?<=[.!?]) " the boundary space is first rewritten to a
+    * record-separator control (U+001E) with a capture-group
+    * replacement — both engines support backreferences — then split on
+    * that. Offsets reconstruct from a cumulative window sum, one
+    * doc-keyed shuffle; everything else is narrow. */
+  def sentencesOf(docs: DataFrame): DataFrame = {
+    val marked = regexp_replace(col("text"), "([.!?]) ", "$1\u001E")
+    docs
+      .select(col("doc_id"),
+        posexplode(split(marked, "\u001E")).as(Seq("sent_idx", "sentence")))
+      .withColumn("char_offset",
+        (sum(length(col("sentence")) + 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("sent_idx")))
+          - (length(col("sentence")) + 1)).cast("long"))
+      .filter(length(col("sentence")) > 0)
+      .select(col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
+        col("char_offset"), col("sentence"))
+  }
+
+  /** Oracle-checked fixture: corpus tokens chopped into 8-token
+    * sentences joined with ". " (the corpus itself has no sentence
+    * punctuation), then segmented back. */
+  def sentences(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), concat(array_join(expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/8) AS INT)), " +
+        "k -> concat_ws(' ', slice(ws, k*8+1, 8)))"), ". "), lit(".")).as("text"))
+    sentencesOf(fixture).orderBy(col("doc_id"), col("sent_idx"))
+  }
+
+  private val sentencesOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |fx AS (SELECT doc_id, array_to_string(
+      |    list_transform(range((len(ws) - 1) // 8 + 1),
+      |      k -> array_to_string(list_slice(ws, k * 8 + 1, k * 8 + 8), ' ')),
+      |    '. ') || '.' AS text FROM w),
+      |mk AS (SELECT doc_id,
+      |    string_split(regexp_replace(text, '([.!?]) ', '\1' || chr(30), 'g'),
+      |                 chr(30)) AS ls
+      |  FROM fx),
+      |e AS (SELECT doc_id, ls, unnest(range(len(ls))) AS k FROM mk),
+      |sen AS (SELECT doc_id, k AS sent_idx, ls[k + 1] AS sentence FROM e),
+      |off AS (SELECT doc_id, sent_idx, sentence,
+      |    sum(length(sentence) + 1) OVER (PARTITION BY doc_id ORDER BY sent_idx)
+      |      - (length(sentence) + 1) AS char_offset
+      |  FROM sen)
+      |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx,
+      |  CAST(char_offset AS BIGINT) AS char_offset, sentence
+      |FROM off WHERE length(sentence) > 0
+      |ORDER BY doc_id, sent_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -1085,6 +1146,7 @@ object TextAnalysis {
     "text_normalize"  -> (textNormalize _),
     "domain_filter"   -> (domainFilter _),
     "compression_ratio" -> (compressionRatio _),
+    "sentences"       -> (sentences _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1107,5 +1169,6 @@ object TextAnalysis {
     "c4_clean"        -> c4CleanOracle,
     "text_normalize"  -> textNormalizeOracle,
     "domain_filter"   -> domainFilterOracle,
+    "sentences"       -> sentencesOracle,
   )
 }

@@ -702,6 +702,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getString(3) == "only line")
   }
 
+  test("sentences: offsets index into the original text; boundaries on terminal punct") {
+    import spark.implicits._
+    val text = "One two. Three four! Five six? Last tail"
+    val docs = Seq((1L, text), (2L, "no punctuation at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.sentencesOf(docs).orderBy("doc_id", "sent_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(d1.map(_._3).toSeq ==
+      Seq("One two.", "Three four!", "Five six?", "Last tail"))
+    // each offset indexes the sentence's exact position in the original
+    d1.foreach { case (_, off, s) =>
+      assert(text.substring(off.toInt, off.toInt + s.length) == s,
+        s"offset $off wrong for '$s'")
+    }
+    // a punctuation-free doc is one sentence at offset 0
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(2) == 0L)
+  }
+
+  test("corpusDrift: zero on identical corpora, maximal on disjoint vocabularies") {
+    import spark.implicits._
+    val a = (1L to 50L).map(i => (i, s"alpha beta gamma w${i % 5}")).toDF("doc_id", "text")
+    val same = Profiling.corpusDriftOf(a, a).collect()(0)
+    assert(same.getLong(2) == 0L, s"identical corpora must have TV 0: $same")
+    val b = (1L to 50L).map(i => (i, s"zeta eta theta q${i % 5}")).toDF("doc_id", "text")
+    // bucketed TV lower-bounds true TV: disjoint vocabularies land near
+    // 1.0 minus whatever mass the 64 hash buckets happen to collide
+    val disjoint = Profiling.corpusDriftOf(a, b).collect()(0)
+    assert(disjoint.getLong(2) >= 900000L, s"disjoint vocab must hit TV near 1: $disjoint")
+    // a planted shift moves TV strictly away from the baseline
+    val shifted = a.withColumn("text",
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(" spamword spamword")))
+        .otherwise(col("text")))
+    val drift = Profiling.corpusDriftOf(a, shifted).collect()(0).getLong(2)
+    assert(drift > 0L && drift < 999999L, s"partial shift should be strictly between: $drift")
+  }
+
   test("upsampling replicates by factor, factor 1000 is identity, copies are unique") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
