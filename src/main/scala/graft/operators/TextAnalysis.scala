@@ -367,7 +367,16 @@ object TextAnalysis {
     * state is bounded by a single document's gram count. One join back
     * to the narrow base, keyed on doc_id. */
   def qualitySignals(s: SparkSession, d: String): DataFrame =
-    qualitySignalsOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+    qualitySignalsShared(s, d).orderBy(col("doc_id"))
+
+  /** Session-memoized signal frame: quality_signals, gopher_filter,
+    * and the quality-score training labels all derive from this ONE
+    * gram-aggregation pass (the most expensive text scan in the
+    * library) instead of re-running it per consumer. Bench clears
+    * memos at rep boundaries, so cold timings stay honest. */
+  private[operators] def qualitySignalsShared(s: SparkSession, d: String): DataFrame =
+    Tables.memo.getOrBuild(s, s"quality_signals:$d")(
+      qualitySignalsOf(Tables.documents(s, d)))
 
   def qualitySignalsOf(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -675,10 +684,15 @@ object TextAnalysis {
     * this corpus' p88-p92 so both branches are exercised. Same shape
     * as qualitySignals plus one narrow CASE. */
   def gopherFilter(s: SparkSession, d: String): DataFrame =
-    gopherFilterOf(Tables.documents(s, d)).orderBy(col("doc_id"))
+    gopherVerdict(qualitySignalsShared(s, d)).orderBy(col("doc_id"))
 
   def gopherFilterOf(docs: DataFrame): DataFrame =
-    qualitySignalsOf(docs)
+    gopherVerdict(qualitySignalsOf(docs))
+
+  /** The narrow verdict derivation over a signals frame — split out so
+    * the memoized signal pass feeds it directly. */
+  private def gopherVerdict(signals: DataFrame): DataFrame =
+    signals
       .withColumn("reason",
         when(col("n_tokens") < 20, "too_short")
           .when(col("top_bigram_frac") > 0.12, "repetitive_bigram")
@@ -732,9 +746,15 @@ object TextAnalysis {
     * boundaries, so cold timings stay honest). */
   private[operators] def qualityScoreShared(s: SparkSession, d: String): DataFrame =
     Tables.memo.getOrBuild(s, s"quality_score:$d")(
-      qualityScoreOf(Tables.documents(s, d)))
+      qualityScoreOf(Tables.documents(s, d),
+        labels = Some(gopherVerdict(qualitySignalsShared(s, d))
+          .select(col("doc_id"), col("keep")))))
 
-  def qualityScoreOf(docs: DataFrame, dim: Int = 64): DataFrame = {
+  /** `labels` lets a caller supply a precomputed (doc_id, keep) frame —
+    * the shared entry points pass the memoized signal pass so training
+    * doesn't re-run the corpus' most expensive gram aggregation. */
+  def qualityScoreOf(docs: DataFrame, dim: Int = 64,
+                     labels: Option[DataFrame] = None): DataFrame = {
     // one materialization: the TF frame feeds the (eager) training agg
     // AND the returned scoring join — without the cut the explode +
     // doc-bucket agg would run twice (same policy as semanticDedup's e)
@@ -742,11 +762,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("bucket"),
         round(col("weight") * 10000).cast("long").as("w4"))
       .localCheckpoint()
-    val labels = gopherFilterOf(docs).select(col("doc_id"), col("keep"))
-    val classCounts = labels.groupBy(col("keep")).agg(count(lit(1)).as("n"))
+    val lbl = labels.getOrElse(
+      gopherFilterOf(docs).select(col("doc_id"), col("keep")))
+    val classCounts = lbl.groupBy(col("keep")).agg(count(lit(1)).as("n"))
     // per-(bucket, class) weight sums; a bucket absent from a class
     // contributes the correct 0 to that class mean by construction
-    val sums = tf.join(labels, Seq("doc_id"))
+    val sums = tf.join(lbl, Seq("doc_id"))
       .groupBy(col("bucket"), col("keep")).agg(sum(col("w4")).as("s"))
     // The dim-row weight vector is driver-resident by design (same
     // blessed pattern as the IVF centroid table, Similarity.ivfTopkOf):
