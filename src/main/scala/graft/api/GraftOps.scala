@@ -200,6 +200,12 @@ object GraftOps {
   def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
     Multimodal.pairGateOf(pairs, tau)
 
+  /** Nearest-centroid label classification over embeddings: tag each
+    * test vector with the class whose train-split sum-centroid it is
+    * most cosine-similar to (exact integer sums, one final divide). */
+  def centroidClassify(train: DataFrame, test: DataFrame): DataFrame =
+    Similarity.centroidClassifyOf(train, test)
+
   /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
     * returns the driver-built merge table. */
   def bpeMerges(docs: DataFrame, nMerges: Int = 16,

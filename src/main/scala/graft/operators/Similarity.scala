@@ -527,6 +527,86 @@ object Similarity {
       |WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.drop_id = asg.vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  /** Nearest-centroid label classification over embeddings — the
+    * embedding-space domain/topic tagger of curation pipelines (the
+    * cheap stand-in for a trained classifier head: label unlabeled
+    * vectors with the class whose training-set centroid they are most
+    * cosine-similar to; cf. the fastText-style quality/domain gates of
+    * CCNet and DCLM, here over the embedding column instead of TF).
+    *
+    * Determinism: cosine against the MEAN centroid equals cosine
+    * against the SUM centroid (scale invariance), so no per-class
+    * division ever happens — centroid components are exact 1e4-scaled
+    * long sums (order-independent), the class norm is an exact decimal
+    * sum, and the only floating-point steps are one cast, one sqrt and
+    * one division per (vector, class): correctly-rounded functions of
+    * bit-identical inputs in both engines (the corpus_drift policy).
+    * The test vector's own norm divides out of the per-vector argmax.
+    *
+    * Scale shape: one explode+agg over the train split builds a
+    * (classes × dim)-row centroid table — tiny at any corpus size, so
+    * broadcast; scoring is an equi-join on the dimension index (never
+    * vector × vector), one keyed agg, one per-vector argmax window.
+    * The long dot product holds to ~10⁸ train rows per class at this
+    * scaling; beyond that, widen `dot` to decimal like `n2`. */
+  def centroidClassifyOf(train: DataFrame, test: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tr = train
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label").as("cand"), col("pos"),
+        round(col("x").cast("double") * 10000).cast("long").as("x4"))
+    val cent = tr.groupBy(col("cand"), col("pos")).agg(sum(col("x4")).as("s4"))
+    // all-zero centroids are dropped rather than scored: 0/0 -> NaN
+    // ordering is the one cross-engine nondeterminism in this plan
+    val norms = cent.groupBy(col("cand"))
+      .agg(sum(col("s4").cast(dec38) * col("s4")).as("n2"))
+      .filter(col("n2") > 0)
+    val te = test
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("x").cast("double") * 10000).cast("long").as("x4"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    te.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("cand"))
+      .agg(sum(col("x4") * col("s4")).as("dot"))
+      .join(broadcast(norms), Seq("cand"))
+      .withColumn("score", col("dot").cast("double") / sqrt(col("n2").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("cand").as("pred"))
+  }
+
+  /** Fixture split: every 5th vector is the unlabeled "test" side. */
+  def centroidClassify(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    centroidClassifyOf(e.filter(col("vec_id") % 5 =!= 0),
+        e.filter(col("vec_id") % 5 === 0))
+      .orderBy(col("vec_id"))
+  }
+
+  private val centroidClassifyOracle =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |ex AS (SELECT vec_id, label, v, unnest(range(len(v))) AS pos FROM e),
+      |xt AS (SELECT vec_id, label, pos,
+      |  CAST(round(v[pos + 1] * 10000) AS BIGINT) AS x4 FROM ex),
+      |tr AS (SELECT label AS cand, pos, SUM(x4) AS s4 FROM xt
+      |  WHERE vec_id % 5 <> 0 GROUP BY 1, 2),
+      |nm AS (SELECT cand, SUM(s4 * s4) AS n2 FROM tr GROUP BY 1
+      |  HAVING SUM(s4 * s4) > 0),
+      |dt AS (SELECT t.vec_id, t.label, tr.cand, SUM(t.x4 * tr.s4) AS dot
+      |  FROM xt t JOIN tr ON t.pos = tr.pos
+      |  WHERE t.vec_id % 5 = 0 GROUP BY 1, 2, 3),
+      |sc AS (SELECT d.vec_id, d.label, d.cand,
+      |    CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS score
+      |  FROM dt d JOIN nm n USING (cand))
+      |SELECT vec_id, CAST(label AS INTEGER) AS label, CAST(cand AS INTEGER) AS pred
+      |FROM (SELECT vec_id, label, cand,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cand) AS rn
+      |  FROM sc)
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopk _),
     "similarity_topk_lsh"   -> (lshTopk _),
@@ -534,6 +614,7 @@ object Similarity {
     "similarity_topk_ivfpq" -> (ivfpqTopk _),
     "semantic_dedup"        -> (semanticDedup _),
     "negative_samples"      -> (negativeSamples _),
+    "centroid_classify"     -> (centroidClassify _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall
@@ -542,5 +623,6 @@ object Similarity {
     "similarity_topk_brute" -> bruteTopkOracle,
     "semantic_dedup"        -> semanticDedupOracle,
     "negative_samples"      -> negativeSamplesOracle,
+    "centroid_classify"     -> centroidClassifyOracle,
   )
 }

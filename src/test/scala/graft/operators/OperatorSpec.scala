@@ -436,6 +436,29 @@ class OperatorSpec extends AnyFunSuite {
       "self-paired docs must keep their own label, not vanish")
   }
 
+  test("centroidClassify recovers planted well-separated classes exactly") {
+    import spark.implicits._
+    // class c concentrates on axis c with small deterministic jitter on
+    // every dim — centroids are near-orthogonal, so nearest-centroid
+    // cosine must recover every held-out label
+    def vec(axis: Int, seed: Int): Seq[Float] =
+      (0 until 64).map(d =>
+        (if (d == axis) 1f else 0f) + 0.02f * (((seed * 31 + d) % 7) - 3)).toSeq
+    val train = (0 until 30).map(i => (i.toLong, vec(i % 3, i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val test = (100 until 112).map(i => (i.toLong, vec(i % 3, i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidClassifyOf(train, test).collect()
+    assert(out.length == 12)
+    assert(out.forall(r => r.getInt(2) == r.getInt(1)),
+      "every held-out vector must classify to its own class centroid")
+    // a class absent from training can never be predicted; its test
+    // vectors still get SOME known-class label (never dropped)
+    val out2 = Similarity.centroidClassifyOf(
+      train.filter(col("label") =!= 2), test).collect()
+    assert(out2.length == 12 && out2.forall(_.getInt(2) != 2))
+  }
+
   test("semanticDedup drops a planted duplicate vector, keeps cluster minima") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
