@@ -206,6 +206,11 @@ object GraftOps {
   def centroidClassify(train: DataFrame, test: DataFrame): DataFrame =
     Similarity.centroidClassifyOf(train, test)
 
+  /** BM25 top-k sparse retrieval (k1=1.2, b=0.75; log-free rational
+    * idf) of docs against a (qid, term) query frame. */
+  def bm25Topk(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
+    TextAnalysis.bm25TopkOf(docs, queries, k)
+
   /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
     * returns the driver-built merge table. */
   def bpeMerges(docs: DataFrame, nMerges: Int = 16,

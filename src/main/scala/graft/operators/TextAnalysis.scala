@@ -204,6 +204,114 @@ object TextAnalysis {
       |FROM ranked WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 top-k sparse retrieval (Robertson's probabilistic weighting;
+    * k1=1.2, b=0.75) — the lexical complement of the dense ANN path:
+    * rank documents against small keyword queries by term-frequency
+    * saturation and document-length normalization. `queries` is a
+    * (qid, term) frame; returns the top k docs per qid.
+    *
+    * Determinism: the textbook ln-idf is libm territory (not
+    * bit-identical across engines — the tfidfTopTerms policy), so idf
+    * stays the raw rational (2N−2df+1)/(2df+1), and multiplying the
+    * saturation term through by 10·T·N clears k1, b and avgdl = T/N
+    * into integers: each per-term score is ONE division of two exact
+    * long products — bit-identical doubles in both engines — then
+    * rounded to 1e-4 and summed as longs, so the per-doc total is
+    * order-independent. When T·tf approaches 2^62 at corpus scale,
+    * widen the products to decimal (the qualityScore logit policy).
+    *
+    * Scale shape: the distinct query-term list broadcasts against the
+    * (doc, term) TF frame, so only matching postings ever leave the
+    * scan; df comes from those postings, not the full vocabulary;
+    * corpus constants N and T are driver-resident scalars (the
+    * tfidf/IVF-centroid pattern — a crossJoin against the 1-row agg
+    * would plan the forbidden BNLJ). Never query×corpus. */
+  def bm25TopkOf(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // doc length rides a window over the TF frame (one doc-keyed
+    // exchange) instead of a second toks aggregation + doc-keyed join
+    // back — it must cover ALL of the doc's terms, so it sits BEFORE
+    // the query-term filter
+    val tfdl = tf.withColumn("dl",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    // corpus constants as driver scalars (tfidfTopTerms policy; a
+    // crossJoin against the 1-row agg would plan the forbidden BNLJ);
+    // eager but outside the returned plan
+    val stats = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val nDocs = stats.getLong(0)
+    val totTok = stats.getLong(1)
+    val qt = queries.select(col("qid"), col("term")).distinct()
+    val terms = qt.select(col("term")).distinct()
+    // df per query term from its own postings (tf is unique per
+    // (doc, term), so a plain count is the doc frequency)
+    val dfq = tfdl.join(broadcast(terms), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val num = (lit(2L) * nDocs - lit(2L) * col("df") + lit(1L)) *
+      lit(22L) * col("tf") * lit(totTok)
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * totTok * col("tf") + lit(3L) * totTok + lit(9L) * col("dl") * nDocs)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score4").desc, col("doc_id").asc)
+    tfdl.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        round(num.cast("double") / den.cast("double") * 10000)
+          .cast("long").as("s4"))
+      .groupBy(col("qid"), col("doc_id")).agg(sum(col("s4")).as("score4"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("score4"))
+  }
+
+  /** Fixture: five spread doc_ids (present at every SF) query with
+    * their own first four tokens — each must at least retrieve itself. */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qs = docs.filter(col("doc_id").isin(3L, 97L, 151L, 263L, 419L))
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("term"))
+      .filter(col("term") =!= "")
+    bm25TopkOf(docs, qs).orderBy(col("qid"), col("rk"))
+  }
+
+  private val bm25Oracle =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY 1),
+      |st AS (SELECT count(*) AS n, sum(dl) AS t FROM dl),
+      |q AS (SELECT DISTINCT qid, term FROM (
+      |    SELECT doc_id AS qid,
+      |      unnest(list_slice(string_split(text, ' '), 1, 4)) AS term
+      |    FROM documents WHERE doc_id IN (3, 97, 151, 263, 419))
+      |  WHERE term <> ''),
+      |dfq AS (SELECT term, count(*) AS df FROM tf
+      |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+      |sc AS (SELECT q.qid, tf.doc_id,
+      |    -- parenthesized (num/den)*10000 to mirror the engine's
+      |    -- floating-op order exactly (left-assoc 10000*num/den differs
+      |    -- in the last ulp)
+      |    CAST(round((
+      |      CAST((2*st.n - 2*dfq.df + 1) * 22 * tf.tf * st.t AS DOUBLE) /
+      |      CAST((2*dfq.df + 1) *
+      |        (10*st.t*tf.tf + 3*st.t + 9*dl.dl*st.n) AS DOUBLE)
+      |      ) * 10000) AS BIGINT) AS s4
+      |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+      |    JOIN dl ON tf.doc_id = dl.doc_id, st),
+      |agg AS (SELECT qid, doc_id, sum(s4) AS score4 FROM sc GROUP BY 1, 2),
+      |r AS (SELECT qid, doc_id, score4, row_number() OVER (
+      |    PARTITION BY qid ORDER BY score4 DESC, doc_id) AS rk FROM agg)
+      |SELECT qid, CAST(rk AS INTEGER) AS rk, doc_id,
+      |  CAST(score4 AS BIGINT) AS score4
+      |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+
   /** Fixed-size overlapping chunking (50-token windows, stride 40) —
     * the standard pre-embedding step of a training/RAG pipeline. Chunk
     * starts are stride multiples below the token count, so every token
@@ -1168,6 +1276,7 @@ object TextAnalysis {
     "domain_filter"   -> (domainFilter _),
     "compression_ratio" -> (compressionRatio _),
     "sentences"       -> (sentences _),
+    "bm25_topk"       -> (bm25Topk _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1191,5 +1300,6 @@ object TextAnalysis {
     "text_normalize"  -> textNormalizeOracle,
     "domain_filter"   -> domainFilterOracle,
     "sentences"       -> sentencesOracle,
+    "bm25_topk"       -> bm25Oracle,
   )
 }

@@ -436,6 +436,27 @@ class OperatorSpec extends AnyFunSuite {
       "self-paired docs must keep their own label, not vanish")
   }
 
+  test("bm25Topk retrieves term-bearing docs only and length-normalizes") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "zzuniq alpha beta gamma delta"),
+      (1L, "zzuniq " + Seq.fill(50)("filler").mkString(" ")),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "common common common common")
+    ).toDF("doc_id", "text")
+    val qs = Seq((100L, "zzuniq")).toDF("qid", "term")
+    val out = TextAnalysis.bm25TopkOf(docs, qs).collect()
+    // only docs containing the term score; with equal tf the SHORTER
+    // doc must rank first (b=0.75 length normalization)
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+    // a multi-term query accumulates per-term scores: doc 2 shares four
+    // terms with the query and must outrank the single-term doc 0
+    val qs2 = Seq((200L, "alpha"), (200L, "beta"), (200L, "gamma"),
+      (200L, "epsilon")).toDF("qid", "term")
+    val out2 = TextAnalysis.bm25TopkOf(docs, qs2).collect()
+    assert(out2.head.getLong(2) == 2L)
+  }
+
   test("centroidClassify recovers planted well-separated classes exactly") {
     import spark.implicits._
     // class c concentrates on axis c with small deterministic jitter on
