@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
-import graft.operators.{Bpe, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.plans.AsofJoinOps
 
 /** The DataFrame-first library surface — every operator the fixture
@@ -210,6 +210,13 @@ object GraftOps {
     * idf) of docs against a (qid, term) query frame. */
   def bm25Topk(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =
     TextAnalysis.bm25TopkOf(docs, queries, k)
+
+  /** Token-budgeted source mixing: each source contributes docs in
+    * portable-hash order until its token budget is reached; `budget`
+    * must be constant within a source. Bucketed two-phase running sum
+    * (skew-safe — no source ever funnels into one window task). */
+  def mixTokenBudget(docs: DataFrame, source: Column, budget: Column): DataFrame =
+    Curation.mixTokenBudgetOf(docs, source, budget)
 
   /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
     * returns the driver-built merge table. */

@@ -473,6 +473,65 @@ object Curation {
       |SELECT doc_id, source, CAST(unnest(range(k)) + 1 AS INTEGER) AS copy
       |FROM k ORDER BY doc_id, copy""".stripMargin
 
+  /** Token-budgeted source mixing: each source contributes docs, in
+    * portable-hash order, until its TOKEN budget is reached — the unit
+    * LLM data mixes actually target (mixSources/mixTemperature work in
+    * doc counts). A doc is kept iff it STARTS inside its source's
+    * budget (the binnedDocs convention), so realized tokens can exceed
+    * the budget by at most one doc; `budget` is a per-row expression
+    * over the caller's columns that must be constant within a source.
+    *
+    * Scale shape — a naive per-source running-sum window funnels every
+    * doc of a source through ONE window task (sources are
+    * low-cardinality: the hub-skew shape flagged on dedup_clusters).
+    * Instead the hash order is split into 256 RANGE buckets of the
+    * 60-bit hash (bucket = h >> 52, so (bucket, h, id) order == (h, id)
+    * order): per-(source, bucket) token subtotals aggregate with
+    * map-side combine into a tiny frame, bucket start offsets come
+    * from a window over THAT, and each doc's global running sum is its
+    * bucket start plus a within-bucket window — 256-way parallel per
+    * source, identical results (spec-asserted against the naive
+    * single-window form). */
+  def mixTokenBudgetOf(docs: DataFrame, source: Column,
+                       budget: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), source.as("mix_source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        budget.cast("long").as("budget"))
+      .withColumn("h", Portable.hash60(col("doc_id").cast("string")))
+      .withColumn("bkt", shiftright(col("h"), 52))
+    val starts = base.groupBy(col("mix_source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("start", sum(col("bt")).over(
+        Window.partitionBy(col("mix_source")).orderBy(col("bkt"))) - col("bt"))
+      .select(col("mix_source"), col("bkt"), col("start"))
+    val wIn = Window.partitionBy(col("mix_source"), col("bkt"))
+      .orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(starts), Seq("mix_source", "bkt"))
+      .withColumn("cum", col("start") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("mix_source"), col("n_tokens"))
+  }
+
+  /** Fixture budgets hash from the source name (1..3 × 400 tokens — the
+    * mixSources weight convention, sized so every source truncates:
+    * the test corpus holds ~1.3-1.5k tokens per source). */
+  def mixTokenBudget(s: SparkSession, d: String): DataFrame =
+    mixTokenBudgetOf(Tables.documents(s, d), col("source"),
+      (Portable.hash60(col("source")) % 3 + 1) * lit(400L))
+      .orderBy(col("doc_id"))
+
+  private val mixTokenBudgetOracle =
+    """SELECT doc_id, mix_source, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+      |  SELECT doc_id, source AS mix_source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               doc_id) AS cum,
+      |    (('0x' || substr(md5(source), 1, 15))::BIGINT % 3 + 1) * 400 AS budget
+      |  FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      |        FROM documents))
+      |WHERE cum - n_tokens < budget
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
@@ -486,6 +545,7 @@ object Curation {
     "source_overlap"     -> (sourceOverlap _),
     "quality_tiers"      -> (qualityTiers _),
     "upsample_sources"   -> (upsampleSources _),
+    "mix_token_budget"   -> (mixTokenBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -501,5 +561,6 @@ object Curation {
     "source_overlap"     -> sourceOverlapOracle,
     "quality_tiers"      -> qualityTiersOracle,
     "upsample_sources"   -> upsampleOracle,
+    "mix_token_budget"   -> mixTokenBudgetOracle,
   )
 }

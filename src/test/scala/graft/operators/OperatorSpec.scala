@@ -436,6 +436,38 @@ class OperatorSpec extends AnyFunSuite {
       "self-paired docs must keep their own label, not vanish")
   }
 
+  test("mixTokenBudget: bucketed running sum == naive window; budget semantics") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val budget = (Portable.hash60(col("source")) % 3 + 1) * lit(400L)
+    val got = Curation.mixTokenBudgetOf(docs, col("source"), budget)
+    // naive single-window-per-source formulation (the skew-prone shape
+    // the two-phase bucketed form exists to avoid) must agree exactly
+    val naive = docs
+      .select(col("doc_id"), col("source").as("mix_source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        budget.cast("long").as("budget"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("mix_source"))
+          .orderBy(Portable.hash60(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("cum") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("mix_source"), col("n_tokens"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-phase bucketed selection must equal the naive per-source window")
+    // budgets bind: every source's realized tokens stay under budget
+    // plus its largest kept doc (a doc is kept iff it STARTS in budget)
+    val over = got.groupBy(col("mix_source"))
+      .agg(sum(col("n_tokens")).as("tok"), max(col("n_tokens")).as("mx"))
+      .join(docs.select(col("source").as("mix_source"), budget.as("b")).distinct(),
+        Seq("mix_source"))
+      .filter(col("tok") >= col("b") + col("mx")).count()
+    assert(over == 0L, "realized tokens may exceed budget by < one doc only")
+    // and at least one source actually truncated at this fixture size
+    val keptDocs = got.count()
+    assert(keptDocs > 0 && keptDocs < docs.count(),
+      "fixture budgets must actually truncate")
+  }
+
   test("bm25Topk retrieves term-bearing docs only and length-normalizes") {
     import spark.implicits._
     val docs = Seq(
