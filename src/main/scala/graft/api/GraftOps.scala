@@ -218,6 +218,12 @@ object GraftOps {
   def mixTokenBudget(docs: DataFrame, source: Column, budget: Column): DataFrame =
     Curation.mixTokenBudgetOf(docs, source, budget)
 
+  /** Quality-ramped soft sampling over a scored (doc_id, quality_logit)
+    * frame: keep probability ramps from floorPpm at the corpus minimum
+    * logit to 100% at the maximum; hash-keyed, reproducible. */
+  def qualitySample(scored: DataFrame, floorPpm: Long = 100000L): DataFrame =
+    TextAnalysis.qualitySampleOf(scored, floorPpm)
+
   /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
     * returns the driver-built merge table. */
   def bpeMerges(docs: DataFrame, nMerges: Int = 16,

@@ -935,6 +935,55 @@ object TextAnalysis {
 
   private val qualityScoreOracle = qualityScoreCore + " ORDER BY doc_id"
 
+  /** Quality-ramped soft sampling (the DCLM/perplexity-sampling family:
+    * downweight low-quality text instead of erasing it): a doc's keep
+    * probability ramps linearly with its quality logit from a 10% floor
+    * at the corpus minimum to 100% at the maximum, and the keep
+    * decision hashes the doc id (partitioning-independent). The corpus
+    * min/max logits are driver scalars (the tfidf/N,T pattern — exact
+    * longs, order-independent); the ramp is integer arithmetic with one
+    * `div` whose operands are non-negative, so truncation == floor in
+    * both engines (the mixSources precedent). A hard gate keeps only
+    * logit > 0 (gopherFilter verdicts); this keeps a graded sample of
+    * everything — the knob between "filter" and "keep all". */
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    qualitySampleOf(qualityScoreShared(s, d)).orderBy(col("doc_id"))
+
+  def qualitySampleOf(scored: DataFrame, floorPpm: Long = 100000L): DataFrame = {
+    require(floorPpm >= 0L && floorPpm <= 1000000L,
+      s"floorPpm must be a permille-of-thousand in [0, 1000000], got $floorPpm")
+    // the logit rides at the w4*w6 1e10 scale (~1e13 observed), so the
+    // ramp works in 1e6-logit units — ramp resolution 1e-6 of the
+    // logit range, and ppm products stay far inside long in BOTH
+    // engines (DuckDB overflows BIGINT products just like ANSI Spark).
+    // The min subtracts BEFORE the scale-down so every `div` operand
+    // is non-negative: Spark `div` truncates toward zero while DuckDB
+    // `//` floors, and they only agree on non-negatives.
+    val mm = scored.agg(min(col("quality_logit")), max(col("quality_logit"))).head()
+    val lo = mm.getLong(0)
+    val spanK = math.max(1L, (mm.getLong(1) - lo) / 1000000L)
+    scored
+      .withColumn("ppm", expr(
+        s"CAST($floorPpm + ((${1000000L - floorPpm} * ((quality_logit - ($lo)) div 1000000)) div $spanK) AS BIGINT)"))
+      .filter(Portable.hash60(concat(lit("qsamp:"), col("doc_id").cast("string")))
+        % 1000000L < col("ppm"))
+      .select(col("doc_id"), col("quality_logit"), col("ppm"))
+  }
+
+  private val qualitySampleOracle =
+    s"""WITH q AS ($qualityScoreCore),
+       |mm AS (SELECT min(quality_logit) AS lo,
+       |  greatest(1, (max(quality_logit) - min(quality_logit)) // 1000000) AS spank
+       |  FROM q)
+       |SELECT doc_id, quality_logit, ppm FROM (
+       |  SELECT q.doc_id, q.quality_logit,
+       |    CAST(100000 + (900000 * ((q.quality_logit - mm.lo) // 1000000)) // mm.spank
+       |      AS BIGINT) AS ppm
+       |  FROM q, mm)
+       |WHERE ('0x' || substr(md5('qsamp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |  % 1000000 < ppm
+       |ORDER BY doc_id""".stripMargin
+
   /** C4-style corpus cleaning (Raffel et al. 2020 §2.2 — the public
     * "Colossal Clean Crawled Corpus" heuristics) over line-structured
     * documents.
@@ -1277,6 +1326,7 @@ object TextAnalysis {
     "compression_ratio" -> (compressionRatio _),
     "sentences"       -> (sentences _),
     "bm25_topk"       -> (bm25Topk _),
+    "quality_sample"  -> (qualitySample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1301,5 +1351,6 @@ object TextAnalysis {
     "domain_filter"   -> domainFilterOracle,
     "sentences"       -> sentencesOracle,
     "bm25_topk"       -> bm25Oracle,
+    "quality_sample"  -> qualitySampleOracle,
   )
 }

@@ -436,6 +436,28 @@ class OperatorSpec extends AnyFunSuite {
       "self-paired docs must keep their own label, not vanish")
   }
 
+  test("qualitySample ramps keep-rate with the logit; negative logits safe") {
+    import spark.implicits._
+    // synthetic scored frame spanning negative..positive logits at the
+    // observed 1e10-1e13 scale; the ramp must keep the top half at a
+    // visibly higher rate than the bottom half, never outside
+    // [floorPpm, 1e6], and survive negative logits (the div/floor
+    // cross-engine trap is non-negativity of every operand)
+    val scored = (0 until 2000)
+      .map(i => (i.toLong, (i.toLong - 1000L) * 10000000000L))
+      .toDF("doc_id", "quality_logit")
+    val out = TextAnalysis.qualitySampleOf(scored).select("doc_id", "ppm")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (_, p) => p >= 100000L && p <= 1000000L })
+    val lowKept = rows.count(_._1 < 1000)
+    val highKept = rows.count(_._1 >= 1000)
+    assert(highKept > lowKept * 2,
+      s"top-half keep count $highKept should dominate bottom-half $lowKept")
+    // determinism: same input, same sample
+    val again = TextAnalysis.qualitySampleOf(scored).select("doc_id", "ppm")
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == rows.toSet)
+  }
+
   test("mixTokenBudget: bucketed running sum == naive window; budget semantics") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
