@@ -224,6 +224,11 @@ object GraftOps {
   def qualitySample(scored: DataFrame, floorPpm: Long = 100000L): DataFrame =
     TextAnalysis.qualitySampleOf(scored, floorPpm)
 
+  /** Materialized training sequences: per (lang, bin), member texts
+    * concatenated in doc_id order with an end-of-document separator. */
+  def packConcat(docs: DataFrame, budget: Int, sep: String = "<|eod|>"): DataFrame =
+    Curation.packConcatOf(docs, budget, sep)
+
   /** Learn BPE merges on the corpus' word-type table (Sennrich 2016);
     * returns the driver-built merge table. */
   def bpeMerges(docs: DataFrame, nMerges: Int = 16,

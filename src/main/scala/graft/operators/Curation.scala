@@ -257,6 +257,46 @@ object Curation {
       |GROUP BY lang, bin
       |ORDER BY lang, bin""".stripMargin
 
+  /** The materialized training sequences themselves: per (lang, bin),
+    * the member docs' texts concatenated in doc_id order with an
+    * end-of-document separator — pack_sequences reports bin shapes,
+    * pack_manifest lists members, this emits the payload a tokenizer
+    * consumes. Same single running-sum window; the concat is one
+    * doc-bounded hash-agg (collect_list is bounded by a bin's ~budget
+    * tokens, then sorted in-row — no extra shuffle for ordering). */
+  def packConcat(s: SparkSession, d: String): DataFrame =
+    packConcatOf(Tables.documents(s, d), 2048).orderBy(col("lang"), col("bin"))
+
+  def packConcatOf(docs: DataFrame, budget: Int,
+                   sep: String = "<|eod|>"): DataFrame = {
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("lang")).orderBy(col("doc_id")))
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", cum)
+      .withColumn("bin", expr(s"CAST((cum - n_tokens) div $budget AS BIGINT)"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("sequence"))
+      .select(col("lang"), col("bin"), col("n_docs"), col("sum_tokens"),
+        col("sequence"))
+  }
+
+  private val packConcatOracle =
+    """SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  string_agg(text, '<|eod|>' ORDER BY doc_id) AS sequence
+      |FROM (
+      |  SELECT doc_id, lang, text, n_tokens,
+      |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens) // 2048 AS bin
+      |  FROM (SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tokens
+      |        FROM documents))
+      |GROUP BY lang, bin
+      |ORDER BY lang, bin""".stripMargin
+
   /** Deterministic train/val/test split: each doc's portable id hash
     * lands in one of 1000 permille buckets — 980 train / 10 val / 10
     * test. Hash-keyed (not random): re-runs, backfills, and engines all
@@ -546,6 +586,7 @@ object Curation {
     "quality_tiers"      -> (qualityTiers _),
     "upsample_sources"   -> (upsampleSources _),
     "mix_token_budget"   -> (mixTokenBudget _),
+    "pack_concat"        -> (packConcat _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -562,5 +603,6 @@ object Curation {
     "quality_tiers"      -> qualityTiersOracle,
     "upsample_sources"   -> upsampleOracle,
     "mix_token_budget"   -> mixTokenBudgetOracle,
+    "pack_concat"        -> packConcatOracle,
   )
 }

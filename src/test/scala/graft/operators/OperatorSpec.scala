@@ -436,6 +436,27 @@ class OperatorSpec extends AnyFunSuite {
       "self-paired docs must keep their own label, not vanish")
   }
 
+  test("packConcat sequences split back into the manifest's docs in order") {
+    val docs = Tables.documents(spark, sf)
+    val seqs = Curation.packConcatOf(docs, 2048)
+    val manifest = Curation.packManifestOf(docs, 2048)
+      .select(col("lang"), col("bin"), col("doc_ids"))
+    val joined = seqs.join(manifest, Seq("lang", "bin")).collect()
+    assert(joined.nonEmpty)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    joined.foreach { r =>
+      val seq = r.getAs[String]("sequence")
+      val ids = r.getAs[String]("doc_ids").split(",").map(_.toLong)
+      val parts = seq.split(java.util.regex.Pattern.quote("<|eod|>"), -1)
+      assert(parts.length == ids.length,
+        s"bin ${r.getAs[Long]("bin")}: ${parts.length} parts vs ${ids.length} ids")
+      ids.zip(parts).foreach { case (id, part) =>
+        assert(part == texts(id), s"doc $id text mismatch inside the sequence")
+      }
+    }
+  }
+
   test("qualitySample ramps keep-rate with the logit; negative logits safe") {
     import spark.implicits._
     // synthetic scored frame spanning negative..positive logits at the
