@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench summary JSON. Two sbt behaviors break that by default:
+// the logger prefixes forked output with "[info] ", and sbt prints
+// "[success] Total time: ..." after the run. StdoutOutput passes the
+// forked JVM's stdout through verbatim; showSuccess drops the trailer,
+// so Bench's summary is byte-identically the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command loop, not by another setting —
+// exclude it from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

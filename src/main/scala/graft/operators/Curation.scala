@@ -383,13 +383,20 @@ object Curation {
     val keepNear = docs
       .join(Dedup.clustersUnsorted(s, d), Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+    // Everything derived from `text` (the dedup key hash, the token
+    // count) is computed BEFORE the window and text is dropped, so the
+    // residual-exact-dedup shuffle carries (doc_id, lang, text_h,
+    // n_tokens) — never the document bodies. Same hash60 key +
+    // collision budget as Dedup.exactOf; the oracle partitions by the
+    // identical md5-prefix expression.
     keepNear
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
-      .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"),
+        Portable.hash60(col("text")).as("text_h"),
         size(split(col("text"), " ")).as("n_tokens"))
-      .filter(col("n_tokens") >= 12)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("text_h")).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1 && col("n_tokens") >= 12)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -398,12 +405,16 @@ object Curation {
        |keep1 AS (SELECT d.doc_id, d.lang, d.text
        |          FROM documents d LEFT JOIN comp c USING (doc_id)
        |          WHERE c.cluster IS NULL OR c.cluster = d.doc_id),
-       |keep2 AS (SELECT doc_id, lang, text FROM (
-       |  SELECT k.*, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rk
+       |keep2 AS (SELECT doc_id, lang, n_tokens FROM (
+       |  SELECT k.doc_id, k.lang,
+       |    len(string_split(k.text, ' ')) AS n_tokens,
+       |    row_number() OVER (
+       |      PARTITION BY ('0x' || substr(md5(k.text), 1, 15))::BIGINT
+       |      ORDER BY k.doc_id) AS rk
        |  FROM keep1 k) WHERE rk = 1)
-       |SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+       |SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens
        |FROM keep2
-       |WHERE len(string_split(text, ' ')) >= 12
+       |WHERE n_tokens >= 12
        |ORDER BY doc_id""".stripMargin
 
   /** Cross-source near-dup overlap matrix: how many near-dup pairs

@@ -36,11 +36,20 @@ import graft.functions.Portable
 object Dedup {
 
   /** Exact dedup: keep the lowest doc_id per identical text
-    * (hash-groupBy; one shuffle, map-side combine). Frame-based form
-    * for library callers; the fixture query below binds the testdata. */
+    * (hash-groupBy; one shuffle, map-side combine). The grouping key is
+    * `hash60(text)`, not the text itself — at 100 TB the shuffle then
+    * carries a (long, id) pair per row instead of every document's full
+    * body (house convention, same as paragraph_dedup and the streaming
+    * exact gate). The 60-bit collision budget is accepted and stated:
+    * P[any collision] ≈ n²/2^61, ~3e-8 at a billion documents — and the
+    * DuckDB oracle groups by the identical md5-prefix expression, so
+    * the check stays bit-exact rather than collision-modulo.
+    * Frame-based form for library callers; the fixture query below
+    * binds the testdata. */
   def exactOf(docs: DataFrame): DataFrame =
     docs
-      .groupBy(col("text"))
+      .select(Portable.hash60(col("text")).as("text_h"), col("doc_id"))
+      .groupBy(col("text_h"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
 
@@ -49,7 +58,7 @@ object Dedup {
 
   private val exactOracle =
     """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-      |FROM documents GROUP BY text
+      |FROM documents GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT
       |ORDER BY keeper_id""".stripMargin
 
   // Per-session memo of cached intermediate frames (shared SessionMemo
@@ -63,6 +72,20 @@ object Dedup {
   /** Release every cached dedup intermediate for a session — the
     * valve for long-lived applications cycling through many corpora. */
   def clearMemo(s: SparkSession): Unit = memo.clear(s)
+
+  /** Force-build every session-memoized shared frame (capped shingles,
+    * pair counts, minhash pairs, cluster labels). Bench runs this as a
+    * dedicated `_memo_warmup` entry after each memo clear, so the
+    * one-time build cost carries a stable name in the per-query map
+    * instead of landing on whichever consumer query runs first (which
+    * made r06's source_overlap number incomparable to r05's). The
+    * materialized memos (shingles, clusters) build eagerly via
+    * localCheckpoint; the cache()-backed ones need an action. */
+  def warmMemos(s: SparkSession, d: String): Unit = {
+    pairCountsMemo(s, d).count()
+    minhashPairs(s, d).count()
+    clustersUnsorted(s, d).count()
+  }
 
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     memo.getOrBuild(s, key)(build)
