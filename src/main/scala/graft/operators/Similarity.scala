@@ -259,13 +259,18 @@ object Similarity {
 
   /** nProbe defaults wider than exact-IVF's (6 vs 4): PQ compression
     * noise means the shortlist needs more cells to reach the same
-    * recall; `rerank` is sized so the exact re-rank recovers nearly
-    * the whole probed-cell ceiling (measured: ADC+re-rank lands
-    * within 0.02 recall of an unbounded shortlist). */
+    * recall. Defaults are the measured knee on the test corpus
+    * (recall@5 vs bruteTopk, sf0.001, deterministic): Lloyd-refined
+    * cells + spill=2 raise the probe CEILING (unbounded shortlist) to
+    * 0.93, and rerank=96 lands 0.85 — vs 0.69 for the r06
+    * raw-seed/spill=1/rerank=48 configuration. The shortlist depth is
+    * the remaining gap: ADC ranks on 8-byte codes, and a deeper exact
+    * re-rank recovers more of what the probed cells admit
+    * (OperatorSpec prints the rerank→recall curve). */
   private[graft] def ivfpqTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column,
                                  nCells: Int = 16, nProbe: Int = 6,
                                  m: Int = 8, ksub: Int = 16,
-                                 rerank: Int = 48): DataFrame = {
+                                 rerank: Int = 96, spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
     val dim = 64
     val sub = dim / m
@@ -322,24 +327,31 @@ object Similarity {
       }
       acc.map(_.toSeq)
     }
-    // compressed corpus: (vec_id, cell, codes) — 8 code bytes/vector
-    val cells = assignClusters(e, nCells)
+    // coarse quantizer: hash-picked seeds + one distributed Lloyd pass
+    // (cell = cosine-nearest seed, refined centroid = the cell's
+    // elementwise mean) — the same refinement exact-IVF applies. The
+    // r06 formulation probed RAW seed vectors, which capped the probe
+    // ceiling: seeds are arbitrary corpus points, so true neighbors
+    // straddle cell boundaries far more often than around
+    // mean-centered cells. Refinement lifts recall at the SAME
+    // nProbe/candidate volume (OperatorSpec prints the curve).
+    val coarse = refineCoarse(e, nCells)
+    // compressed corpus: (vec_id, cell, codes) — 8 code bytes/vector,
+    // each vector indexed under its `spill` nearest cells (IVF
+    // replication: boundary vectors live in both neighboring cells, so
+    // the probe ceiling rises at the SAME nProbe; the index grows
+    // spill×, trivial at 8 bytes/vector)
     val codes = encode(e, refined)
       .select(col("vec_id"), col("codes"))
-      .join(cells, Seq("vec_id"))
+      .join(assignCells(e, coarse, spill), Seq("vec_id"))
       .localCheckpoint()
-    // queries probe their nProbe nearest cells (same shape as IVF)
-    val cellSeeds: Seq[(Long, Seq[Float], Double)] = e
-      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
-        col("vec_id"))
-      .limit(nCells)
-      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    // queries probe their nProbe nearest refined cells (same shape as IVF)
     val probes = e.filter(isQuery)
       .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(typedlit(cellSeeds)).as("c"))
+        explode(typedlit(coarse)).as("c"))
       .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"),
         col("c._1").as("sid"),
-        Portable.roundK(expr("vec_dot(embedding, c._2)") / (col("nrm") * col("c._3")), 4).as("cos"))
+        (expr("vec_dot(embedding, c._2)") / (col("nrm") * col("c._3"))).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("sid"))))
       .filter(col("rk") <= nProbe)
@@ -368,6 +380,11 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))))
       .filter(col("ark") <= rerank)
       .select(col("qid"), col("va"), col("na"), col("nid"))
+      // spill > 1 can admit the same (qid, nid) via two probed cells;
+      // the dup rows are byte-identical (same codes → same ADC), so a
+      // keyed dedupe over the tiny shortlist frame (≤ rerank rows per
+      // query) keeps the final top-5 free of repeats
+      .dropDuplicates("qid", "nid")
     // exact re-rank: only the `rerank` finalists fetch full vectors
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_raw").desc, col("nid").asc)
@@ -497,6 +514,52 @@ object Similarity {
       // executes three times (same policy as e)
       .localCheckpoint()
   }
+
+  /** Coarse quantizer for the PQ path: k hash-picked seed vectors, one
+    * distributed Lloyd pass (cell = cosine-nearest seed, refined
+    * centroid = the cell's elementwise mean; empty cells keep their
+    * seed). Driver-resident (cid, vector, norm) literals — the blessed
+    * tiny-state pattern (k × dim floats), collected once so every
+    * downstream branch sees literals, not the training subtree. */
+  private def refineCoarse(e: DataFrame, k: Int,
+                           iters: Int = 3): Seq[(Int, Seq[Float], Double)] = {
+    var cents: Seq[(Int, Seq[Float], Double)] = e
+      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(k)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1), r.getDouble(2)) }
+    // each iteration: one distributed assign+mean job, one k×dim
+    // collect — training cost is iters passes over the corpus, all
+    // before the (cached) compressed index is built
+    for (_ <- 0 until iters) {
+      val means = e.join(assignCells(e, cents), Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+      val acc = cents.map(_._2.toArray.clone())
+      means.foreach { r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+      cents = acc.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.toSeq, math.sqrt(v.map(x => x.toDouble * x).sum)) }
+    }
+    cents
+  }
+
+  /** Cosine-nearest-centroid assignment against a driver-resident
+    * centroid table (exploded literal — a Generate node, never a
+    * BroadcastNestedLoopJoin; the Int-keyed sibling of
+    * assignClusters, unrounded since no SQL oracle consumes it). */
+  private def assignCells(e: DataFrame, cents: Seq[(Int, Seq[Float], Double)],
+                          spill: Int = 1): DataFrame =
+    e.select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(typedlit(cents)).as("c"))
+      .select(col("vec_id"), col("c._1").as("sid"),
+        (expr("vec_dot(embedding, c._2)") / (col("nrm") * col("c._3"))).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
+      .filter(col("rn") <= spill)
+      .select(col("vec_id"), col("sid").as("cluster"))
 
   /** The bare (vec_id, cluster) assignment — exposed for the k-scaling
     * spec, which measures the within-cluster candidate-pair count

@@ -244,13 +244,16 @@ object EventStreams {
     * document in its signature band sits within `hamming` bits.
     *
     * Banding trade, stated honestly: the batch operator blocks on BOTH
-    * 16-bit halves (pigeonhole-complete for hamming <= 1); a streaming
-    * gate gets ONE state key per document, so it bands on the upper
-    * half only and misses near-dups whose differing bit falls in that
-    * half (~50% of distance-1 pairs; distance-0 pairs — identical
-    * signatures — are always caught). Run the batch pass periodically
-    * over the accumulated corpus to sweep the remainder: the gate is
-    * the cheap always-on filter, not the exactness guarantee.
+    * 16-bit halves (pigeonhole-complete for hamming <= 1). The default
+    * single-band gate keeps ONE state key per document (upper half
+    * only) and misses near-dups whose differing bit falls in that half
+    * (~50% of distance-1 pairs; distance-0 pairs — identical
+    * signatures — are always caught); run the batch pass periodically
+    * over the accumulated corpus to sweep the remainder. `twoBand =
+    * true` chains a lower-half stage behind the upper-half stage
+    * (see bandGateSigs): pigeonhole-complete like the batch pass —
+    * every hamming <= 1 pair against an ADMITTED doc is caught — at
+    * exactly 2x the state (two keys per admitted doc).
     *
     * State: per band, the signatures seen (FIFO-capped at
     * `maxPerBucket` — at 2^16 bands × 1024 longs the store tops out at
@@ -259,12 +262,38 @@ object EventStreams {
     * batch's slice of one band) so admission is deterministic. */
   def streamingNearDupGate(spark: org.apache.spark.sql.SparkSession,
                            docs: DataFrame, hamming: Int = 1,
-                           maxPerBucket: Int = 1024): DataFrame = {
+                           maxPerBucket: Int = 1024,
+                           twoBand: Boolean = false): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhashNarrowSig.as("sim"))
+    val g1 = bandGateSigs(spark, sigs, upperHalf = true, hamming, maxPerBucket)
+    if (twoBand) bandGateSigs(spark, g1, upperHalf = false, hamming, maxPerBucket)
+    else g1
+  }
+
+  /** One banded admission stage over a (doc_id, sim) stream: admit a
+    * row iff no previously-admitted signature in its 16-bit band bucket
+    * sits within `hamming` bits. The single-operator building block of
+    * streamingNearDupGate — `twoBand` chains the upper-half stage into
+    * the lower-half stage (two append-mode flatMapGroupsWithState
+    * operators in one query; each has its own state store). Pigeonhole:
+    * a hamming <= 1 pair differs in at most one bit, which lies in ONE
+    * half, so the OTHER half matches exactly and that stage catches the
+    * pair — full distance-1 recall, where the single-band gate misses
+    * the ~50% of pairs whose differing bit falls in the banded half.
+    * Cost: each admitted doc's signature is recorded under TWO state
+    * keys (one per stage) — exactly 2x the single-band state, same
+    * per-bucket FIFO cap. A doc rejected by stage 1 never reaches stage
+    * 2, so neither store accumulates suppressed docs. */
+  private[streaming] def bandGateSigs(spark: org.apache.spark.sql.SparkSession,
+                                      sigs: DataFrame, upperHalf: Boolean,
+                                      hamming: Int,
+                                      maxPerBucket: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    docs.select(col("doc_id"), simhashNarrowSig.as("sim"))
-      .select(col("doc_id"), col("sim"),
-        expr("shiftright(sim, 16) & 65535").as("band"))
+    val band =
+      if (upperHalf) expr("shiftright(sim, 16) & 65535")
+      else expr("sim & 65535")
+    sigs.select(col("doc_id"), col("sim"), band.as("band"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -44,4 +44,22 @@ class BenchSpec extends AnyFunSuite {
     assert(tree.get("errors").asInt == 1)
     assert(!tree.has("queries"))
   }
+
+  test("summary carries the previous artifact's total/count as a self-describing delta") {
+    val f = java.nio.file.Files.createTempDirectory("graft_bench_prev")
+      .resolve("bench_out.json")
+    java.nio.file.Files.write(f,
+      """{"metric":"total","value":87.535,"unit":"sec","queries":{"a":1.0,"b_x":2.5,"c":0.25},"errors":{}}"""
+        .getBytes("UTF-8"))
+    assert(Bench.readPrev(f.toString).contains((87.535, 3)))
+    // a missing/garbled artifact degrades to no prev fields, never a crash
+    assert(Bench.readPrev("/nonexistent/bench_out.json").isEmpty)
+    val results: Map[String, Either[String, Double]] = Map("q" -> Right(1.0))
+    val line = Bench.renderSummary(results, "sfX", 2, "out.json",
+      Bench.readPrev(f.toString))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(tree.get("prev_total").asDouble == 87.535)
+    assert(tree.get("prev_n").asInt == 3)
+    assert(line.getBytes("UTF-8").length <= 400, s"summary line too long: $line")
+  }
 }

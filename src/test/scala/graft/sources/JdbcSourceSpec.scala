@@ -3,7 +3,7 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 import graft.model.SqlSource
 
-class JdbcSourceSpec extends AnyFunSuite {
+class JdbcSourceSpec extends AnyFunSuite with graft.SparkSpec {
 
   private val src = SqlSource("sis", "org.test.Driver", "jdbc:test://h/db", "u", "pw")
 
@@ -31,6 +31,54 @@ class JdbcSourceSpec extends AnyFunSuite {
     // reads must route the SQL through dbtable as a derived table
     assert(!o.contains("query"))
     assert(o("dbtable") == "(SELECT 1) graft_q")
+  }
+
+  test("end-to-end JDBC round trip over embedded Derby: pushed query, customSchema, partitioned read") {
+    // Derby ships with Spark (/opt/spark/jars/derby*.jar) as the
+    // metastore engine — a pure-Java in-memory database, so the REAL
+    // `spark.read.format("jdbc")` path runs offline: driver loading,
+    // query pushdown, customSchema typing and the partitioned scan all
+    // execute end-to-end instead of stopping at the option map.
+    System.setProperty("derby.stream.error.file",
+      java.nio.file.Files.createTempDirectory("graft_derby").resolve("derby.log").toString)
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE students (id INT, name VARCHAR(32), gpa DOUBLE)")
+      val ins = conn.prepareStatement("INSERT INTO students VALUES (?, ?, ?)")
+      for (i <- 1 to 20) {
+        ins.setInt(1, i); ins.setString(2, s"s$i"); ins.setDouble(3, 1.0 + (i % 4))
+        ins.executeUpdate()
+      }
+      ins.close(); st.close()
+    } finally conn.close()
+
+    val derby = SqlSource("derby", "org.apache.derby.iapi.jdbc.AutoloadedDriver", url)
+    // pushed query + customSchema: the filter travels down whole inside
+    // the `query` option (the reference's total-delegation model) and
+    // the annotation types apply at scan time
+    val df = JdbcSource.read(spark, derby,
+      """SELECT id AS "student_id", name AS "name", gpa AS "gpa" FROM students WHERE gpa >= 3.0""",
+      customSchema = Some("student_id INT, gpa DOUBLE"))
+    val rows = df.collect()
+    assert(df.columns.toSeq == Seq("student_id", "name", "gpa"))
+    assert(df.schema("student_id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(rows.length == 10 && rows.forall(_.getDouble(2) >= 3.0))
+
+    // partitioned read: the derived-table route (`dbtable`) splits the
+    // scan into numPartitions range-bounded cursors
+    val pdf = JdbcSource.read(spark, derby,
+      """SELECT id AS "id", gpa AS "gpa" FROM students""",
+      partitioning = Some(JdbcSource.Partitioning("id", 1L, 21L, 4)))
+    assert(pdf.rdd.getNumPartitions == 4)
+    assert(pdf.count() == 20)
+    assert(pdf.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 210L)
+
+    // in-memory Derby signals successful drop via SQLException (08006)
+    intercept[java.sql.SQLException] {
+      java.sql.DriverManager.getConnection("jdbc:derby:memory:graftjdbc;drop=true")
+    }: Unit
   }
 
   test("annotation map renders as a customSchema option (extractor.py:122-172)") {

@@ -345,6 +345,72 @@ class StreamingSpec extends AnyFunSuite {
       s"near-dups must be gated, including across restart: $got")
   }
 
+  test("two-band near-dup gate is pigeonhole-complete at distance 1; single band misses the banded half") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Synthetic signatures give exact control over WHERE the differing
+    // bit falls — impossible to construct reliably through text. Four
+    // well-separated base signatures, each with a distance-1 twin:
+    // two twins differ in the LOWER half (bit 3 / bit 14 — the upper
+    // band matches, so even the single-band gate catches them), two in
+    // the UPPER half (bit 17 / bit 30 — the single-band gate's
+    // documented ~50% miss; only the lower-half stage catches them).
+    val bases = Seq(0x11112222L, 0x33334444L, 0x55556666L, 0x77778888L)
+    // bases first (micro-batch 1), then their twins (micro-batch 2),
+    // so every twin is suppressed by cross-batch state, not in-batch
+    // sorting
+    val docs: Seq[(Long, Long)] =
+      Seq(1L -> bases(0), 3L -> bases(1), 5L -> bases(2), 7L -> bases(3),
+        2L -> (bases(0) ^ (1L << 3)),   // lower-half twin of 1
+        4L -> (bases(1) ^ (1L << 14)),  // lower-half twin of 3
+        6L -> (bases(2) ^ (1L << 17)),  // upper-half twin of 5
+        8L -> (bases(3) ^ (1L << 30)))  // upper-half twin of 7
+    // ground truth = the batch pass's pair semantics (hamming <= 1,
+    // pigeonhole-complete): every (base, twin) pair, nothing else
+    val expectPairs = for {
+      Seq((i, si), (j, sj)) <- docs.combinations(2).toSeq
+      if java.lang.Long.bitCount(si ^ sj) <= 1
+    } yield (i, j)
+    assert(expectPairs.toSet ==
+      Set((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)), s"construction: $expectPairs")
+
+    def runGate(twoBand: Boolean): Set[Long] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_2band_ckpt").toString
+      val in = MemoryStream[(Long, Long)]
+      val sigs = in.toDF().toDF("doc_id", "sim")
+      val g1 = EventStreams.bandGateSigs(spark, sigs, upperHalf = true,
+        hamming = 1, maxPerBucket = 1024)
+      val gated = if (twoBand) EventStreams.bandGateSigs(spark, g1,
+        upperHalf = false, hamming = 1, maxPerBucket = 1024) else g1
+      val collected = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = gated.writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.collect().map(_.getLong(0))
+          collected.synchronized { collected ++= rows }: Unit
+        }
+        .outputMode("append").start()
+      in.addData(docs.take(4): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(4): _*)
+      q.processAllAvailable()
+      q.stop()
+      collected.synchronized(collected.toSet)
+    }
+
+    val admittedOne = runGate(twoBand = false)
+    val admittedTwo = runGate(twoBand = true)
+    // two-band: pigeonhole-complete — exactly the four bases survive,
+    // every batch-pass pair's later member is gated, at 2x state
+    // (each admitted doc's signature under one upper + one lower key)
+    assert(admittedTwo == Set(1L, 3L, 5L, 7L),
+      s"two-band gate must catch ALL distance-1 twins: $admittedTwo")
+    // single band: catches the lower-half twins (2, 4) whose upper
+    // band matches, and misses the upper-half twins (6, 8) — the
+    // documented ~50% distance-1 trade the twoBand parameter removes
+    assert(admittedOne == Set(1L, 3L, 5L, 6L, 7L, 8L),
+      s"single-band gate should miss exactly the upper-half twins: $admittedOne")
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
