@@ -151,6 +151,13 @@ object GraftOps {
   def repetitionTrim(docs: DataFrame, sep: String = "\n"): DataFrame =
     TextAnalysis.repetitionTrimOf(docs, sep)
 
+  /** Source-scoped boilerplate scrub: a paragraph in >= permille‰ of a
+    * source's docs (>= minDocs) is site furniture, removed from all of
+    * that source's docs. Doc frames need a `source: string` column. */
+  def boilerplateScrub(docs: DataFrame, sep: String = "\n",
+                       permille: Int = 300, minDocs: Int = 3): DataFrame =
+    Dedup.boilerplateScrubOf(docs, sep, permille, minDocs)
+
   /** Cross-document paragraph dedup: a paragraph appearing in >= 2 docs
     * is removed from ALL of them; docs reassemble in original order. */
   def paragraphDedup(docs: DataFrame, sep: String = "\n"): DataFrame =
@@ -370,6 +377,23 @@ object GraftOps {
   def datasetSplit(docs: DataFrame, trainPermille: Int = 980,
                    valPermille: Int = 10): DataFrame =
     graft.operators.Curation.datasetSplitOf(docs, trainPermille, valPermille)
+
+  // ---- n-gram language-model statistics ----
+
+  /** Order-n gram count table (KenLM stage 1): one shuffle, map-side
+    * combine. */
+  def ngramCounts(docs: DataFrame, n: Int = 3): DataFrame =
+    graft.operators.NgramLm.ngramCountsOf(docs, n)
+
+  /** Good-Turing count-of-counts (N_c: distinct grams seen exactly c
+    * times) — the discount-estimation input. */
+  def ngramCountOfCounts(docs: DataFrame, n: Int = 3): DataFrame =
+    graft.operators.NgramLm.countOfCountsOf(docs, n)
+
+  /** Kneser-Ney continuation counts N1+(·w): distinct left contexts
+    * per word. */
+  def knContinuationCounts(docs: DataFrame): DataFrame =
+    graft.operators.NgramLm.knContinuationOf(docs)
 
   // ---- time series ----
 

@@ -1341,6 +1341,102 @@ object Dedup {
       |  coalesce(a.text2, '') AS text
       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Source-scoped boilerplate scrub (the RefinedWeb/WET-style
+    * header-footer removal): a paragraph appearing in at least
+    * `permille`‰ of a SOURCE's documents (and in at least `minDocs` of
+    * them) is site furniture — navigation, subscribe banners, license
+    * footers — and is removed from every document of that source.
+    * Differs from paragraphDedupGlobalOf (CCNet) in both scope and
+    * test: CCNet drops any paragraph duplicated ANYWHERE (>= 2 docs,
+    * corpus-global); the boilerplate gate is a RATIO against the
+    * source's own size, so a quotation shared by two documents of a
+    * large domain survives here while that domain's every-page footer
+    * does not.
+    *
+    * Scale shape: paragraphs are counted and anti-joined by
+    * (source, hash60) — an 8-byte hash plus the low-cardinality source
+    * key in the shuffle, never paragraph text; per-source document
+    * totals are a tiny aggregate joined back on the source key; the
+    * reassembly is the same doc-keyed bounded hash-agg as
+    * paragraphDedupGlobalOf. Keyed exchanges only, no all-pairs. */
+  def boilerplateScrubOf(docs: DataFrame, sep: String = "\n",
+                         permille: Int = 300, minDocs: Int = 3): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = docs.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), sepRe)).as(Seq("pos", "line")))
+      .withColumn("h", Portable.hash60(col("line")))
+    val srcSizes = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("nsrc"))
+    val boiler = lines.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(srcSizes, Seq("source"))
+      .filter(col("df") >= minDocs && col("df") * 1000 >= col("nsrc") * permille)
+      .select(col("source"), col("h"))
+    val kept = lines.join(boiler, Seq("source", "h"), "left_anti")
+    docs.select(col("doc_id"), col("source"), size(split(col("text"), sepRe)).as("nb"))
+      .join(kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("na"),
+          concat_ws(sep, transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("text2")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("nb").cast("int").as("n_lines_before"),
+        (col("nb") - coalesce(col("na"), lit(0L))).cast("int").as("n_removed"),
+        coalesce(col("text2"), lit("")).as("text"))
+  }
+
+  /** Oracle-checked fixture: 10-token pseudo-paragraphs (the
+    * paragraph_dedup chop), with each source's own banner planted at
+    * the head of a hash-chosen ~40% of its documents (the plant must be
+    * hash-keyed: doc_ids are round-robin across sources, so any
+    * modulo-of-id rule would plant into all-or-none of a source). The
+    * scrub must remove exactly the planted banners — 40% clears the
+    * 30% ratio gate — plus any natural paragraph crossing it. */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val lineArr = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("source"), expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/10) AS INT)), " +
+        "k -> concat_ws(' ', slice(ws, k*10+1, 10)))").as("lines"))
+    val planted = Portable.hash60(concat(lit("bp:"), col("doc_id").cast("string"))) % 5 < 2
+    val fixture = lineArr.select(col("doc_id"), col("source"),
+      array_join(when(planted,
+          concat(array(concat(lit(BoilerBanner), col("source"))), col("lines")))
+        .otherwise(col("lines")), "\n").as("text"))
+    boilerplateScrubOf(fixture).orderBy(col("doc_id"))
+  }
+
+  private val BoilerBanner = "subscribe to the newsletter of "
+
+  private val boilerplateOracle =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |lx AS (SELECT doc_id, source,
+      |  list_transform(range((len(ws) - 1) // 10 + 1),
+      |    k -> array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 10), ' ')) AS lines
+      |  FROM w),
+      |fx AS (SELECT doc_id, source, array_to_string(
+      |  CASE WHEN ('0x' || substr(md5('bp:' || doc_id), 1, 15))::BIGINT % 5 < 2
+      |       THEN ['$BoilerBanner' || source] || lines ELSE lines END,
+      |  chr(10)) AS text FROM lx),
+      |l2 AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM fx),
+      |e AS (SELECT doc_id, source, len(ls) AS nb, ls, unnest(range(len(ls))) AS k FROM l2),
+      |ln AS (SELECT doc_id, source, nb, k AS pos, ls[k + 1] AS line,
+      |       ('0x' || substr(md5(ls[k + 1]), 1, 15))::BIGINT AS h FROM e),
+      |sz AS (SELECT source, count(DISTINCT doc_id) AS nsrc FROM l2 GROUP BY 1),
+      |c AS (SELECT source, h, count(DISTINCT doc_id) AS df FROM ln GROUP BY 1, 2),
+      |boiler AS (SELECT c.source, c.h FROM c JOIN sz USING (source)
+      |           WHERE df >= 3 AND df * 1000 >= nsrc * 300),
+      |kept AS (SELECT ln.* FROM ln LEFT JOIN boiler b
+      |           ON ln.source = b.source AND ln.h = b.h WHERE b.h IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS na,
+      |        string_agg(line, chr(10) ORDER BY pos) AS text2 FROM kept GROUP BY 1),
+      |base AS (SELECT doc_id, source, len(ls) AS nb FROM l2)
+      |SELECT b.doc_id, b.source, CAST(b.nb AS INTEGER) AS n_lines_before,
+      |  CAST(b.nb - coalesce(a.na, 0) AS INTEGER) AS n_removed,
+      |  coalesce(a.text2, '') AS text
+      |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Semantic decontamination: drop corpus vectors whose embedding is
     * cosine-near any benchmark vector — the eval-leakage scrub for
     * paraphrased contamination that the exact/shingle scrubs cannot
@@ -1437,6 +1533,7 @@ object Dedup {
     "dedup_bloom_delta"      -> (bloomDelta _),
     "decontaminate_exact_window" -> (decontaminateExactWindowQuery _),
     "paragraph_dedup"        -> (paragraphDedupGlobal _),
+    "boilerplate_scrub"      -> (boilerplateScrub _),
     "decontaminate_semantic" -> (decontaminateSemanticQuery _),
   )
 
@@ -1457,6 +1554,7 @@ object Dedup {
     "dedup_bloom_delta"      -> bloomDeltaOracle,
     "decontaminate_exact_window" -> decontaminateExactWindowOracle,
     "paragraph_dedup"        -> paragraphDedupOracle,
+    "boilerplate_scrub"      -> boilerplateOracle,
     "decontaminate_semantic" -> decontaminateSemanticOracle,
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** N-gram language-model count statistics — the stage-1 tables of
+  * count-based LM training (KenLM: Heafield 2011 "KenLM: Faster and
+  * Smaller Language Model Queries"; smoothing inputs from Good 1953 /
+  * Kneser & Ney 1995). Classic corpus-scale workloads the reference's
+  * delegation model never touches but a 100 TB training-data pipeline
+  * runs routinely: raw n-gram counts, the count-of-counts table
+  * (Good-Turing / modified-KN discounts come from N_1, N_2, ... — the
+  * number of distinct grams seen exactly c times), and Kneser-Ney
+  * continuation counts (N1+(·w): in how many DISTINCT left contexts a
+  * word appears — the famous "san Francisco" correction: "Francisco"
+  * is frequent but occurs after almost nothing except "san", so its
+  * continuation probability is tiny even though its unigram count is
+  * large).
+  *
+  * Scale shape: gram generation is a fully narrow explode; the count
+  * table is ONE shuffle keyed on the gram with map-side partial
+  * aggregation — the canonical trillions-of-rows combine workload
+  * (grams repeat heavily, so the map-side combiner collapses most of
+  * the volume before the exchange). Count-of-counts is a second tiny
+  * aggregation whose key cardinality is bounded by the maximum count,
+  * not the vocabulary. Continuation counts are a two-phase distinct
+  * aggregate on (prev, w). The top-k fixtures plan
+  * TakeOrderedAndProject — per-partition heaps, never a global sort
+  * exchange.
+  */
+object NgramLm {
+
+  /** All order-`n` grams of the corpus, one row per occurrence. */
+  private[graft] def gramsOf(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(split(col("text"), " ").as("ws"))
+      // sequence(0, negative) would generate a DESCENDING range —
+      // short documents must be excluded before the transform
+      .filter(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(0, size(ws) - $n), k -> concat_ws(' ', slice(ws, k + 1, $n)))"))
+        .as("gram"))
+
+  /** (gram, cnt) count table for order-`n` grams. */
+  def ngramCountsOf(docs: DataFrame, n: Int): DataFrame =
+    gramsOf(docs, n).groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+
+  /** Good-Turing count-of-counts: (cnt, n_grams) — how many distinct
+    * order-`n` grams occur exactly `cnt` times. */
+  def countOfCountsOf(docs: DataFrame, n: Int): DataFrame =
+    ngramCountsOf(docs, n).groupBy(col("cnt")).agg(count(lit(1)).as("n_grams"))
+
+  /** Kneser-Ney continuation counts: (w, n_contexts) — the number of
+    * distinct words preceding `w` anywhere in the corpus. */
+  def knContinuationOf(docs: DataFrame): DataFrame =
+    docs
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "k -> struct(element_at(ws, k + 1) AS prev, element_at(ws, k + 2) AS w))"))
+        .as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.w").as("w"))
+      .groupBy(col("w")).agg(countDistinct(col("prev")).as("n_contexts"))
+
+  // ---- fixtures on the documents table (trigram order) ----
+
+  def ngramCounts(s: SparkSession, d: String): DataFrame =
+    ngramCountsOf(Tables.documents(s, d), 3)
+      .orderBy(col("cnt").desc, col("gram")).limit(20)
+
+  private val ngramCountsOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT unnest(list_transform(range(len(ws) - 2),
+      |        k -> array_to_string(list_slice(ws, k + 1, k + 3), ' '))) AS gram
+      |      FROM t WHERE len(ws) >= 3)
+      |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+      |ORDER BY cnt DESC, gram LIMIT 20""".stripMargin
+
+  def ngramCountOfCounts(s: SparkSession, d: String): DataFrame =
+    countOfCountsOf(Tables.documents(s, d), 3).orderBy(col("cnt"))
+
+  private val countOfCountsOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT unnest(list_transform(range(len(ws) - 2),
+      |        k -> array_to_string(list_slice(ws, k + 1, k + 3), ' '))) AS gram
+      |      FROM t WHERE len(ws) >= 3),
+      |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+      |SELECT cnt, count(*) AS n_grams FROM c GROUP BY cnt ORDER BY cnt""".stripMargin
+
+  def knContinuation(s: SparkSession, d: String): DataFrame =
+    knContinuationOf(Tables.documents(s, d))
+      .orderBy(col("n_contexts").desc, col("w")).limit(20)
+
+  private val knContinuationOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT ws, unnest(range(len(ws) - 1)) AS k
+      |      FROM t WHERE len(ws) >= 2),
+      |b AS (SELECT DISTINCT ws[k + 1] AS prev, ws[k + 2] AS w FROM e)
+      |SELECT w, count(*) AS n_contexts FROM b GROUP BY w
+      |ORDER BY n_contexts DESC, w LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_counts"          -> (ngramCounts _),
+    "ngram_count_of_counts" -> (ngramCountOfCounts _),
+    "kn_continuation"       -> (knContinuation _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ngram_counts"          -> ngramCountsOracle,
+    "ngram_count_of_counts" -> countOfCountsOracle,
+    "kn_continuation"       -> knContinuationOracle,
+  )
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hand-worked examples for the n-gram LM count tables (the fixture
+  * queries are oracle-checked against DuckDB; these pin the semantics
+  * on corpora small enough to count by hand). */
+class NgramLmSpec extends SparkSpec {
+
+  test("trigram counts and count-of-counts match hand counts") {
+    import spark.implicits._
+    // doc1 trigrams: "a b a", "b a b", "a b c"; doc2: "a b a", "b a b"
+    val docs = Seq((1L, "a b a b c"), (2L, "a b a b")).toDF("doc_id", "text")
+    val counts = NgramLm.ngramCountsOf(docs, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b a" -> 2L, "b a b" -> 2L, "a b c" -> 1L))
+    val coc = NgramLm.countOfCountsOf(docs, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(coc == Map(1L -> 1L, 2L -> 2L)) // N_1 = 1 gram, N_2 = 2 grams
+    // documents shorter than the order contribute nothing (and must not
+    // hit sequence()'s descending-range behavior on a negative bound)
+    val short = Seq((3L, "a b")).toDF("doc_id", "text")
+    assert(NgramLm.ngramCountsOf(short, 3).count() == 0)
+  }
+
+  test("KN continuation counts rank by context diversity, not frequency") {
+    import spark.implicits._
+    // the classic correction: "francisco" appears 3 times but ONLY
+    // after "san"; "york" appears 3 times after 3 distinct contexts.
+    // Raw unigram counts tie — continuation counts must not.
+    val docs = Seq(
+      (1L, "san francisco"), (2L, "san francisco"), (3L, "san francisco"),
+      (4L, "new york"), (5L, "old york"), (6L, "near york"))
+      .toDF("doc_id", "text")
+    val cont = NgramLm.knContinuationOf(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont("francisco") == 1L, s"francisco: $cont")
+    assert(cont("york") == 3L, s"york: $cont")
+  }
+
+  test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
+    for (q <- Seq("ngram_counts", "kn_continuation")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q should plan a per-partition top-k heap:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$q plans a global sort:\n$plan")
+    }
+  }
+}

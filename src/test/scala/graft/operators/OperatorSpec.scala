@@ -817,6 +817,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).getString(3) == "" && out(2).getInt(1) == 1 && out(2).getInt(2) == 1)
   }
 
+  test("boilerplateScrub is ratio-gated per source: footers go, cross-doc quotes stay") {
+    import spark.implicits._
+    val footerA = "subscribe to site a"
+    // source a: 10 docs, footer on 4 (40% >= 30%, df 4 >= 3) -> scrubbed;
+    // a quote shared by 2 docs (20% < 30%, df 2 < 3) -> kept — the case
+    // CCNet's global >= 2-docs rule would wrongly remove.
+    // source b: the SAME footer text on 2 of 10 docs (20%) -> kept
+    // there: the gate is per-source, not global.
+    val a = (1L to 10L).map { i =>
+      val parts = Seq(s"body a $i") ++
+        (if (i <= 4) Seq(footerA) else Nil) ++
+        (if (i == 5 || i == 6) Seq("shared quote") else Nil)
+      (i, "a", parts.mkString("\n"))
+    }
+    val b = (11L to 20L).map { i =>
+      val parts = Seq(s"body b $i") ++ (if (i <= 12) Seq(footerA) else Nil)
+      (i, "b", parts.mkString("\n"))
+    }
+    val docs = (a ++ b).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateScrubOf(docs).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getInt(3), r.getString(4))).toMap
+    for (i <- 1L to 4L)
+      assert(out(i) == (1, s"body a $i"), s"footer must be scrubbed from doc $i: ${out(i)}")
+    for (i <- Seq(5L, 6L))
+      assert(out(i) == (0, s"body a $i\nshared quote"),
+        s"sub-threshold shared quote must survive: ${out(i)}")
+    for (i <- Seq(11L, 12L))
+      assert(out(i) == (0, s"body b $i\n$footerA"),
+        s"source b is under ratio — its copies of the footer stay: ${out(i)}")
+  }
+
   test("repetitionTrim drops repeated boilerplate lines, keeps first occurrence & order") {
     import spark.implicits._
     val doc = Seq(
