@@ -46,6 +46,7 @@ object Bench {
       val w0 = System.nanoTime()
       val warm: Either[String, Double] =
         try { graft.operators.Dedup.warmMemos(spark, sfDir)
+              graft.operators.TextAnalysis.warmMemos(spark, sfDir)
               Right((System.nanoTime() - w0) / 1e9) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }

@@ -6,24 +6,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * implementation behind Tables.load and Dedup's shared intermediate
   * frames.
   *
-  * Keys hold the session weakly (stopped sessions drop their entries);
-  * values hold the DataFrame weakly because a DataFrame strongly
-  * references its SparkSession and a strong value would pin the
-  * WeakHashMap key forever (the classic value->key leak). If a weak
-  * value is collected, rebuilding is cheap and Spark's CacheManager
-  * dedupes the `.cache()` by plan, so no double-caching occurs.
+  * Sessions are held weakly (an unreferenced session's entries become
+  * collectable); the memoized DataFrames are held STRONGLY within a
+  * session's map. An earlier revision held the values weakly too, on
+  * the theory that a collected entry rebuilds cheaply because
+  * CacheManager dedupes `.cache()` by plan — but that theory only
+  * covers lazily-built cached frames. For the two expensive memo
+  * classes it silently failed: a frame whose BUILD does eager driver
+  * work (the quality scorer trains its weight vector on construction)
+  * re-runs that work on every rebuild, and a checkpoint-materialized
+  * frame (cluster labels, shingle blocks) rebuilds as a brand-new RDD
+  * lineage that no plan-dedup can collapse. Any GC between two
+  * consumers re-ran multi-second builds — measured as dedup_keep_best
+  * benching 6.5 s where its actual plan runs in 0.3 s. The cost of
+  * strong values is that a memoized frame pins its session until
+  * `clear(session)` — the documented release valve, which Bench
+  * exercises at every rep boundary.
   *
   * The lock guards only map access; `build` runs OUTSIDE it (it may
   * trigger Spark jobs — materialization must not serialize unrelated
   * sessions). A racing duplicate build is benign: first-put wins and
-  * CacheManager plan-dedup collapses the duplicate cache.
-  *
-  * `clear(session)` unpersists and drops everything memoized for a
-  * session — the release valve for long-lived applications cycling
-  * through many datasets. */
+  * CacheManager plan-dedup collapses the duplicate cache. */
 final class SessionMemo {
   private val memo = new java.util.WeakHashMap[SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.WeakReference[DataFrame]]]()
+    scala.collection.mutable.Map[String, DataFrame]]()
 
   private def bySession(s: SparkSession) = synchronized {
     memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
@@ -34,34 +40,25 @@ final class SessionMemo {
 
   /** Memoize a builder whose result is ALREADY materialized (e.g. it
     * ends in `localCheckpoint()`). Calling `.cache()` on such a frame
-    * would store the data twice — and because every rebuild of a
-    * checkpointed frame is a fresh RDD-backed plan, CacheManager's
-    * plan-dedup can never collapse the duplicates: after a weak-ref
-    * GC + rebuild, the orphaned entry would stay pinned beyond
-    * clear()'s reach. So: no cache; the checkpoint blocks themselves
-    * are the store, and they are GC'd with the frame. */
+    * would store the data twice — the checkpoint blocks themselves are
+    * the store, and they are released with the frame. */
   def getOrBuildMaterialized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     getOrBuildImpl(s, key, cacheIt = false)(build)
 
   private def getOrBuildImpl(s: SparkSession, key: String, cacheIt: Boolean)
                             (build: => DataFrame): DataFrame = {
     val m = bySession(s)
-    val cached = synchronized(m.get(key).flatMap(r => Option(r.get())))
+    val cached = synchronized(m.get(key))
     cached.getOrElse {
       val df = if (cacheIt) build.cache() else build
-      synchronized {
-        m.get(key).flatMap(r => Option(r.get())).getOrElse {
-          m(key) = new java.lang.ref.WeakReference(df)
-          df
-        }
-      }
+      synchronized(m.getOrElseUpdate(key, df))
     }
   }
 
   /** Unpersist and forget every frame memoized for `s`. */
   def clear(s: SparkSession): Unit = synchronized {
     Option(memo.get(s)).foreach { m =>
-      m.values.flatMap(r => Option(r.get())).foreach(_.unpersist())
+      m.values.foreach(_.unpersist())
       m.clear()
     }
   }

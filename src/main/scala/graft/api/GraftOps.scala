@@ -395,6 +395,12 @@ object GraftOps {
   def knContinuationCounts(docs: DataFrame): DataFrame =
     graft.operators.NgramLm.knContinuationOf(docs)
 
+  /** Stupid-backoff match-level histogram per doc vs an LM corpus:
+    * (n_trigrams, hits3, hits2, hits1, oov) — the integer-exact core
+    * of a CCNet-style LM quality/domain-shift filter. */
+  def lmBackoffHits(docs: DataFrame, lmDocs: DataFrame): DataFrame =
+    graft.operators.NgramLm.lmBackoffHitsOf(docs, lmDocs)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

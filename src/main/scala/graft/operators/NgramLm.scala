@@ -64,6 +64,63 @@ object NgramLm {
       .select(col("bg.prev").as("prev"), col("bg.w").as("w"))
       .groupBy(col("w")).agg(countDistinct(col("prev")).as("n_contexts"))
 
+  /** Stupid-backoff match-level histogram (Brants et al. 2007 "Large
+    * Language Models in Machine Translation" — the web-scale smoothing
+    * that backs off without discounts): score `docs` against n-gram
+    * tables trained on `lmDocs`, reporting per document how many
+    * trigram occurrences matched at order 3, backed off to the final
+    * bigram, backed off to the final unigram, or were OOV. This is the
+    * integer-exact core of the CCNet-style LM quality filter: the
+    * levels are exactly the branch taken by a stupid-backoff scorer
+    * P(w3|w1 w2) -> P(w3|w2) -> P(w3), so the histogram is the
+    * discrete shape of the doc's LM score without a single float.
+    *
+    * Scale shape: corpus-side trigram occurrences collapse to
+    * (doc_id, gram-hash) counts in one keyed shuffle; the three LM
+    * membership joins run on the DISTINCT trigram-type table (types
+    * per corpus ≪ occurrences — grams repeat heavily), each keyed on a
+    * 60-bit gram hash so no shuffle carries gram text; one keyed join
+    * back and a doc-keyed agg finish. Hash collisions (~n²/2^61 across
+    * gram types) are the house 60-bit budget. */
+  def lmBackoffHitsOf(docs: DataFrame, lmDocs: DataFrame): DataFrame = {
+    def lmGrams(n: Int, out: String) =
+      gramsOf(lmDocs, n)
+        .select(graft.functions.Portable.hash60(col("gram")).as(out)).distinct()
+    val occ = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 3), k -> struct(" +
+          "concat_ws(' ', slice(ws, k + 1, 3)) AS g3, " +
+          "concat_ws(' ', slice(ws, k + 2, 2)) AS g2, " +
+          "element_at(ws, k + 3) AS g1))")).as("t"))
+      .select(col("doc_id"),
+        graft.functions.Portable.hash60(col("t.g3")).as("h3"),
+        graft.functions.Portable.hash60(col("t.g2")).as("h2"),
+        graft.functions.Portable.hash60(col("t.g1")).as("h1"))
+      .groupBy(col("doc_id"), col("h3"), col("h2"), col("h1"))
+      .agg(count(lit(1)).as("cnt"))
+    val lvl = occ.select(col("h3"), col("h2"), col("h1")).distinct()
+      .join(lmGrams(3, "h3").withColumn("m3", lit(1)), Seq("h3"), "left")
+      .join(lmGrams(2, "h2").withColumn("m2", lit(1)), Seq("h2"), "left")
+      .join(lmGrams(1, "h1").withColumn("m1", lit(1)), Seq("h1"), "left")
+      .select(col("h3"), col("h2"), col("h1"),
+        when(col("m3") === 1, 3).when(col("m2") === 1, 2)
+          .when(col("m1") === 1, 1).otherwise(0).as("lv"))
+    def lvlSum(l: Int, out: String) =
+      sum(when(col("lv") === l, col("cnt")).otherwise(0L)).as(out)
+    val perDoc = occ.join(lvl, Seq("h3", "h2", "h1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_trigrams"), lvlSum(3, "hits3"),
+        lvlSum(2, "hits2"), lvlSum(1, "hits1"), lvlSum(0, "oov"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("hits3"), lit(0L)).as("hits3"),
+        coalesce(col("hits2"), lit(0L)).as("hits2"),
+        coalesce(col("hits1"), lit(0L)).as("hits1"),
+        coalesce(col("oov"), lit(0L)).as("oov"))
+  }
+
   // ---- fixtures on the documents table (trigram order) ----
 
   def ngramCounts(s: SparkSession, d: String): DataFrame =
@@ -101,15 +158,67 @@ object NgramLm {
       |SELECT w, count(*) AS n_contexts FROM b GROUP BY w
       |ORDER BY n_contexts DESC, w LIMIT 20""".stripMargin
 
+  /** Oracle-checked fixture: LM trained on the first half of the
+    * sources (src0-src9), every document scored against it — the
+    * domain-shift reading: held-in docs match mostly at order 3,
+    * held-out docs reveal how much of their phrasing the reference
+    * slice covers. The oracle joins on gram STRINGS (the hash is an
+    * implementation detail; both engines agree wherever hash60 is
+    * collision-free, the stated 60-bit budget). */
+  def lmBackoffHits(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmBackoffHitsOf(docs,
+      docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmBackoffHitsOracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT doc_id, ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM w WHERE len(ws) >= 3)),
+      |lm AS (SELECT ws FROM w WHERE CAST(substr(source, 4) AS INT) < 10),
+      |lm3 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM lm WHERE len(ws) >= 3)),
+      |lm2 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2
+      |        FROM (SELECT ws, unnest(range(len(ws) - 1)) AS k
+      |              FROM lm WHERE len(ws) >= 2)),
+      |lm1 AS (SELECT DISTINCT unnest(ws) AS w1 FROM lm),
+      |lvl AS (SELECT t.doc_id,
+      |          CASE WHEN l3.w1 IS NOT NULL THEN 3
+      |               WHEN l2.w1 IS NOT NULL THEN 2
+      |               WHEN l1.w1 IS NOT NULL THEN 1 ELSE 0 END AS lv
+      |        FROM tri t
+      |        LEFT JOIN lm3 l3 ON t.w1 = l3.w1 AND t.w2 = l3.w2 AND t.w3 = l3.w3
+      |        LEFT JOIN lm2 l2 ON t.w2 = l2.w1 AND t.w3 = l2.w2
+      |        LEFT JOIN lm1 l1 ON t.w3 = l1.w1),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |          CAST(sum(CASE WHEN lv = 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+      |          CAST(sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits2,
+      |          CAST(sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+      |          CAST(sum(CASE WHEN lv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov
+      |        FROM lvl GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+      |  CAST(coalesce(a.hits3, 0) AS BIGINT) AS hits3,
+      |  CAST(coalesce(a.hits2, 0) AS BIGINT) AS hits2,
+      |  CAST(coalesce(a.hits1, 0) AS BIGINT) AS hits1,
+      |  CAST(coalesce(a.oov, 0) AS BIGINT) AS oov
+      |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_counts"          -> (ngramCounts _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "kn_continuation"       -> (knContinuation _),
+    "lm_backoff_hits"       -> (lmBackoffHits _),
   )
 
   val oracles: Map[String, String] = Map(
     "ngram_counts"          -> ngramCountsOracle,
     "ngram_count_of_counts" -> countOfCountsOracle,
     "kn_continuation"       -> knContinuationOracle,
+    "lm_backoff_hits"       -> lmBackoffHitsOracle,
   )
 }

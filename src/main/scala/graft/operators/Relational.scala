@@ -655,9 +655,28 @@ object Relational {
   private val jsonlRoundtripOracle =
     """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
 
+  /** ORC file roundtrip over the documents table — the columnar
+    * interchange format besides parquet that Spark ships a native
+    * vectorized reader for (predicate pushdown + column pruning work
+    * the same; the pushdown is spec-asserted). The write lands under a
+    * per-sf temp dir with overwrite mode, so repeated bench reps reuse
+    * one directory instead of accumulating litter. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_orc_${math.abs(d.hashCode)}").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy(col("doc_id"))
+  }
+
+  private val orcRoundtripOracle =
+    """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
     "jsonl_roundtrip"        -> (jsonlRoundtrip _),
+    "orc_roundtrip"          -> (orcRoundtrip _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
@@ -690,6 +709,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "csv_roundtrip"          -> csvRoundtripOracle,
     "jsonl_roundtrip"        -> jsonlRoundtripOracle,
+    "orc_roundtrip"          -> orcRoundtripOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,

@@ -477,6 +477,15 @@ object TextAnalysis {
   def qualitySignals(s: SparkSession, d: String): DataFrame =
     qualitySignalsShared(s, d).orderBy(col("doc_id"))
 
+  /** Force-build the session-memoized text-quality frames (signal
+    * pass + scored frame). Bench runs this inside its `_memo_warmup`
+    * entry next to Dedup.warmMemos for the same reason: in sorted-name
+    * execution order the first consumer is `dedup_keep_best`, which
+    * would otherwise absorb the whole quality-pipeline build into its
+    * own number. */
+  def warmMemos(s: SparkSession, d: String): Unit =
+    qualityScoreShared(s, d).count()
+
   /** Session-memoized signal frame: quality_signals, gopher_filter,
     * and the quality-score training labels all derive from this ONE
     * gram-aggregation pass (the most expensive text scan in the

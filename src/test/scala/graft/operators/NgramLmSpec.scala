@@ -39,6 +39,29 @@ class NgramLmSpec extends SparkSpec {
     assert(cont("york") == 3L, s"york: $cont")
   }
 
+  test("stupid-backoff hits take the deepest matching order") {
+    import spark.implicits._
+    // LM corpus: trigrams {"the cat sat"}, bigrams {"the cat","cat sat"},
+    // unigrams {the, cat, sat}
+    val lm = Seq((100L, "the cat sat")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on"), // "the cat sat" -> order 3; "cat sat on":
+                              // no tri, backoff "sat on" no, "on" no -> OOV
+      (2L, "a cat sat here"), // "a cat sat": backoff bigram "cat sat" -> 2;
+                              // "cat sat here": "sat here" no, "here" no -> OOV
+      (3L, "x y cat"),        // only unigram "cat" known -> 1
+      (4L, "hi"))             // too short: no trigrams at all
+      .toDF("doc_id", "text")
+    val out = NgramLm.lmBackoffHitsOf(docs, lm).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0L, 0L, 1L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 1L, 0L, 1L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((1L, 0L, 0L, 1L, 0L)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)), s"doc 4: ${out(4L)}")
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)

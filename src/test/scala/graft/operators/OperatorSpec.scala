@@ -848,6 +848,16 @@ class OperatorSpec extends AnyFunSuite {
         s"source b is under ratio — its copies of the footer stay: ${out(i)}")
   }
 
+  test("ORC roundtrip preserves rows and pushes predicates into the scan") {
+    val back = Relational.orcRoundtrip(spark, sf)
+    assert(back.count() == graft.Tables.documents(spark, sf).count())
+    // the written files support pushdown exactly like parquet
+    val filtered = back.filter(col("doc_id") < 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("LessThan(doc_id,100)"),
+      s"ORC scan must carry the pushed predicate:\n$scan")
+  }
+
   test("repetitionTrim drops repeated boilerplate lines, keeps first occurrence & order") {
     import spark.implicits._
     val doc = Seq(
