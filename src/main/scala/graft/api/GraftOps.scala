@@ -401,6 +401,12 @@ object GraftOps {
   def lmBackoffHits(docs: DataFrame, lmDocs: DataFrame): DataFrame =
     graft.operators.NgramLm.lmBackoffHitsOf(docs, lmDocs)
 
+  /** Per-source n-gram diversity profile (distinct-n in permille, gram
+    * orders 1..maxN) — the mode-collapse detector for synthetic or
+    * model-generated corpora. Doc frames need a `source` column. */
+  def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame =
+    graft.operators.NgramLm.ngramDiversityOf(docs, maxN)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

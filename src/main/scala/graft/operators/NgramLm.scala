@@ -121,6 +121,54 @@ object NgramLm {
         coalesce(col("oov"), lit(0L)).as("oov"))
   }
 
+  /** Per-source n-gram diversity profile: for each source and gram
+    * order 1..3, total gram occurrences, distinct grams, and the
+    * distinct/total ratio in integer permille — the distinct-n
+    * diversity metric used to detect mode collapse in synthetic /
+    * model-generated corpora (low distinct-permille at order 2-3 =
+    * the generator loops phrasing; human text sits much higher).
+    *
+    * Scale shape: ONE narrow pass explodes all three orders as
+    * (source, n, gram-hash) rows; the count + count-distinct is a
+    * two-phase keyed aggregate on (source, n) with map-side partial
+    * aggregation; output is sources x 3 rows. The permille division
+    * is floor-on-non-negative, identical in both engines. */
+  def ngramDiversityOf(docs: DataFrame, maxN: Int = 3): DataFrame = {
+    val rows = docs.select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxN), n ->
+           |  CASE WHEN size(ws) >= n THEN
+           |    transform(sequence(0, size(ws) - n),
+           |      k -> struct(n AS n, concat_ws(' ', slice(ws, k + 1, n)) AS g))
+           |  ELSE array() END))""".stripMargin)).as("t"))
+      .select(col("source"), col("t.n").as("n"),
+        graft.functions.Portable.hash60(col("t.g")).as("h"))
+    rows.groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("h")).as("n_distinct"))
+      // integer div: both operands non-negative, so Spark's truncating
+      // DIV and DuckDB's flooring // agree (the house division rule)
+      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+        expr("CAST(n_distinct * 1000 DIV n_grams AS BIGINT)").as("distinct_permille"))
+  }
+
+  def ngramDiversity(s: SparkSession, d: String): DataFrame =
+    ngramDiversityOf(Tables.documents(s, d))
+      .orderBy(col("source"), col("n"))
+
+  private val ngramDiversityOracle =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT source, ws, unnest([1, 2, 3]) AS n FROM w),
+      |p AS (SELECT source, ws, n, unnest(range(len(ws) - n + 1)) AS k
+      |      FROM e WHERE len(ws) >= n),
+      |g AS (SELECT source, n,
+      |        array_to_string(list_slice(ws, k + 1, k + n), ' ') AS gram
+      |      FROM p)
+      |SELECT source, CAST(n AS INT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+      |  CAST(count(DISTINCT gram) * 1000 // count(*) AS BIGINT) AS distinct_permille
+      |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
+
   // ---- fixtures on the documents table (trigram order) ----
 
   def ngramCounts(s: SparkSession, d: String): DataFrame =
@@ -213,6 +261,7 @@ object NgramLm {
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "kn_continuation"       -> (knContinuation _),
     "lm_backoff_hits"       -> (lmBackoffHits _),
+    "ngram_diversity"       -> (ngramDiversity _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +269,6 @@ object NgramLm {
     "ngram_count_of_counts" -> countOfCountsOracle,
     "kn_continuation"       -> knContinuationOracle,
     "lm_backoff_hits"       -> lmBackoffHitsOracle,
+    "ngram_diversity"       -> ngramDiversityOracle,
   )
 }

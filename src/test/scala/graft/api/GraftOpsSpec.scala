@@ -89,6 +89,19 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(df.storageLevel == StorageLevel.NONE) // released
   }
 
+  test("SessionMemo entries survive GC (strong values; weak refs re-ran eager builds)") {
+    val m = new graft.SessionMemo
+    var builds = 0
+    def build = { builds += 1; spark.range(10).toDF("v") }
+    val df = m.getOrBuildMaterialized(spark, "gc")(build)
+    System.gc(); System.runFinalization(); System.gc()
+    // a WeakReference-valued memo loses the entry at the first GC and
+    // re-runs the build — for eager-build frames (scorer training,
+    // checkpointed labels) that silently re-paid multi-second work
+    assert(m.getOrBuildMaterialized(spark, "gc")(build) eq df)
+    assert(builds == 1)
+  }
+
   test("broadcast hint is withheld when auto-broadcast is disabled") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

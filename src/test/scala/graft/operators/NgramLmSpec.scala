@@ -62,6 +62,27 @@ class NgramLmSpec extends SparkSpec {
     assert(out(4L) == ((0L, 0L, 0L, 0L, 0L)), s"doc 4: ${out(4L)}")
   }
 
+  test("ngram diversity separates a looping source from a varied one") {
+    import spark.implicits._
+    val docs = Seq(
+      // mode-collapsed generator: the same clause over and over
+      (1L, "loop", "the end the end the end the end"),
+      // varied text of the same token count
+      (2L, "vary", "one two three four five six seven eight"))
+      .toDF("doc_id", "source", "text")
+    val out = NgramLm.ngramDiversityOf(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // loop: 8 unigrams of 2 distinct (250 permille); vary: 8 of 8 (1000)
+    assert(out(("loop", 1)) == ((8L, 2L, 250L)), s"${out(("loop", 1))}")
+    assert(out(("vary", 1)) == ((8L, 8L, 1000L)))
+    // loop bigrams: 7 occurrences, 2 distinct ("the end", "end the")
+    assert(out(("loop", 2)) == ((7L, 2L, 285L)))
+    assert(out(("vary", 2)) == ((7L, 7L, 1000L)))
+    // trigram diversity collapses hardest on the loop
+    assert(out(("loop", 3))._2 == 2L && out(("vary", 3))._2 == 6L)
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
