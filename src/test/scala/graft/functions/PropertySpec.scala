@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => ScTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkSpec
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{Curation, Dedup, NgramLm, TextAnalysis}
 
 /** Property-based invariants for the cross-engine primitives and the
   * corpus-cleanup operators — randomized inputs where the example-based
@@ -236,6 +236,66 @@ class PropertySpec extends AnyFunSuite {
       assert(k == f / 1000 || k == f / 1000 + 1,
         s"doc $id factor $f produced $k copies")
     }
+  }
+
+  private def randomDocs(nDocs: Int, maxLen: Int, seed: Long = 0L) = {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2", "hh")
+    val docGen = Gen.chooseNum(1, maxLen).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.mkString(" "))
+    Gen.listOfN(nDocs, docGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, s"src${i % 3}", t) }
+      .toDF("doc_id", "source", "text")
+  }
+
+  test("ngram count tables conserve occurrence totals on random corpora") {
+    val docs = randomDocs(60, 40)
+    val texts = docs.collect().map(_.getString(2))
+    val expectedOcc = texts.map(t => math.max(0, t.split(" ").length - 2)).sum.toLong
+    val counts = NgramLm.ngramCountsOf(docs, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(counts.map(_._2).sum == expectedOcc, "sum of gram counts != occurrences")
+    assert(counts.forall(_._2 >= 1))
+    // count-of-counts re-aggregates the same mass: sum(cnt * n_grams)
+    // == occurrences, sum(n_grams) == distinct grams
+    val coc = NgramLm.countOfCountsOf(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(coc.map { case (c, n) => c * n }.sum == expectedOcc)
+    assert(coc.map(_._2).sum == counts.length.toLong)
+  }
+
+  test("backoff levels partition the trigram mass; self-scoring is all order-3") {
+    val docs = randomDocs(50, 30)
+    NgramLm.lmBackoffHitsOf(docs, docs).collect().foreach { r =>
+      val (n, h3, h2, h1, oov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(h3 + h2 + h1 + oov == n, s"levels must partition the mass: $r")
+      // every trigram of the corpus is in its own LM by construction
+      assert(h3 == n && h2 == 0 && h1 == 0 && oov == 0, s"self-score not order-3: $r")
+    }
+  }
+
+  test("ngram diversity ratios stay in (0, 1000] with distinct <= total") {
+    NgramLm.ngramDiversityOf(randomDocs(60, 25)).collect().foreach { r =>
+      val (total, distinct, pm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(distinct >= 1 && distinct <= total, s"distinct out of range: $r")
+      assert(pm >= 1 && pm <= 1000, s"permille out of range: $r")
+      assert(pm == distinct * 1000 / total, s"permille formula drift: $r")
+    }
+  }
+
+  test("boilerplateScrub is a no-op when every paragraph is unique") {
+    import spark.implicits._
+    // paragraph = doc index repeated: globally unique by construction
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"src${i % 3}", s"p$i a\np$i b")).toDF("doc_id", "source", "text")
+    val out = Dedup.boilerplateScrubOf(docs).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      assert(r.getInt(3) == 0, s"unique paragraph removed: $r")
+    }
+    val texts = out.map(r => r.getLong(0) -> r.getString(4)).toMap
+    (0 until 30).foreach(i => assert(texts(i.toLong) == s"p$i a\np$i b"))
   }
 
   test("qualitySignals fractions stay in [0,1] on random token soups") {
