@@ -6,9 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * implementation behind Tables.load and Dedup's shared intermediate
   * frames.
   *
-  * Sessions are held weakly (an unreferenced session's entries become
-  * collectable); the memoized DataFrames are held STRONGLY within a
-  * session's map. An earlier revision held the values weakly too, on
+  * The memoized DataFrames are held STRONGLY. Be precise about the
+  * lifecycle consequence: a DataFrame references its SparkSession, and
+  * the WeakHashMap holds its per-session map (and thus those
+  * DataFrames) strongly, so a session WITH memoized entries is pinned
+  * — value→key reachability defeats the weak key — until `clear
+  * (session)` drops them. The weak keying only lets a session that
+  * never memoized anything (or was clear()ed) be collected. Callers
+  * that cycle through many sessions MUST call clear() per session;
+  * the library's own mains do (Bench clears at every rep boundary).
+  *
+  * An earlier revision held the values weakly too, on
   * the theory that a collected entry rebuilds cheaply because
   * CacheManager dedupes `.cache()` by plan — but that theory only
   * covers lazily-built cached frames. For the two expensive memo

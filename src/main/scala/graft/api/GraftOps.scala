@@ -94,12 +94,16 @@ object GraftOps {
     Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
 
   /** IVF-PQ approximate top-k: coarse cells + product-quantized codes
-    * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist. */
+    * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist.
+    * Defaults mirror the tuned operator (nProbe=6, rerank=96, spill=2 —
+    * the measured 0.85-recall operating point); with spill replication
+    * a shallower rerank starves the unique-candidate depth. */
   def ivfpqTopK(embeddings: DataFrame, isQuery: Column,
                 nCells: Int = 16, nProbe: Int = 6,
-                m: Int = 8, ksub: Int = 16, rerank: Int = 48): DataFrame =
+                m: Int = 8, ksub: Int = 16, rerank: Int = 96,
+                spill: Int = 2): DataFrame =
     Similarity.ivfpqTopkOf(embeddings.sparkSession, embeddings, isQuery,
-      nCells, nProbe, m, ksub, rerank)
+      nCells, nProbe, m, ksub, rerank, spill)
 
   /** Interleaved z-value of two `bits`-bit grid coordinates — sort or
     * range-partition by it to co-locate rows close in both dimensions

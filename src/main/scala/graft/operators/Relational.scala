@@ -662,8 +662,11 @@ object Relational {
     * per-sf temp dir with overwrite mode, so repeated bench reps reuse
     * one directory instead of accumulating litter. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    // per-sf AND per-JVM: reps within one process reuse (overwrite) the
+    // dir, but a concurrent JVM (bench + spark-shell iteration loop)
+    // must not race another process's overwrite against its lazy read
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_orc_${math.abs(d.hashCode)}").toString
+      s"graft_orc_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .write.mode("overwrite").orc(dir)

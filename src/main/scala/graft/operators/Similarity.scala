@@ -200,12 +200,18 @@ object Similarity {
     // one Lloyd iteration: new centroid = elementwise mean of its cell;
     // collecting the tiny refined table also cuts the lineage —
     // otherwise every downstream branch re-runs the training subtree
+    // mean as an exact integer-scaled sum / count, not float avg():
+    // partial-aggregate merge order varies run to run, and a last-ulp
+    // wobble in a centroid can flip a boundary vector's cell — the
+    // 1e-7 quantization is far below float32 resolution and buys
+    // bit-stable centroids (the recall specs assert fixed floors)
     val refined: Seq[(Int, Seq[Float])] = e.join(assign(seed), Seq("vec_id"))
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg(sum(round(col("col") * lit(1e7)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
       .groupBy(col("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> CAST(x.m AS FLOAT))").as("cv"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sx, n))), x -> CAST(x.sx / 1e7 / x.n AS FLOAT))").as("cv"))
       .select(col("cell").as("cid"), col("cv"))
       .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
     val cells = e.join(assign(refined), Seq("vec_id")).localCheckpoint()
@@ -317,13 +323,17 @@ object Similarity {
       .withColumn("s", (col("pos") / sub).cast("int"))
       .withColumn("c", element_at(col("codes"), col("s") + 1))
       .groupBy(col("s"), col("c"), col("pos"))
-      .agg(avg(col("x")).as("mu"))
+      // exact integer-scaled sum, not float avg(): merge-order-stable
+      // centroids (see refineCoarse for the rationale)
+      .agg(sum(round(col("x") * lit(1e7)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
       .collect()
     val refined: Seq[Seq[Float]] = {
       val acc = seedCb.map(_.toArray.clone())
       refinedRows.foreach { r =>
         val ss = r.getInt(0); val c = r.getInt(1); val pos = r.getInt(2)
-        acc(ss * ksub + c)(pos - ss * sub) = r.getDouble(3).toFloat
+        acc(ss * ksub + c)(pos - ss * sub) =
+          (r.getLong(3).toDouble / 1e7 / r.getLong(4)).toFloat
       }
       acc.map(_.toSeq)
     }
@@ -376,15 +386,16 @@ object Similarity {
       .withColumn("cb", typedlit(refined))
       .withColumn("cbn", typedlit(refined.map(v => v.map(x => x.toDouble * x).sum)))
       .select(col("qid"), col("va"), col("na"), col("vec_id").as("nid"), adc.as("adc"))
+      // spill > 1 can admit the same (qid, nid) via two probed cells;
+      // the dup rows are byte-identical (same codes → same ADC). Dedupe
+      // BEFORE the rank filter: a duplicate inside the top-`rerank`
+      // would burn a shortlist slot and halve the unique candidate
+      // depth the rerank parameter was tuned for
+      .dropDuplicates("qid", "nid")
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))))
       .filter(col("ark") <= rerank)
       .select(col("qid"), col("va"), col("na"), col("nid"))
-      // spill > 1 can admit the same (qid, nid) via two probed cells;
-      // the dup rows are byte-identical (same codes → same ADC), so a
-      // keyed dedupe over the tiny shortlist frame (≤ rerank rows per
-      // query) keeps the final top-5 free of repeats
-      .dropDuplicates("qid", "nid")
     // exact re-rank: only the `rerank` finalists fetch full vectors
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_raw").desc, col("nid").asc)
@@ -536,10 +547,16 @@ object Similarity {
       val means = e.join(assignCells(e, cents), Seq("vec_id"))
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(avg(col("x")).as("mu"))
+        // exact integer-scaled sum, not float avg(): partial-agg merge
+        // order varies run to run and a last-ulp centroid wobble flips
+        // boundary cell assignments — deterministic training keeps the
+        // recall-floor specs meaningful
+        .agg(sum(round(col("x") * lit(1e7)).cast("long")).as("sx"),
+          count(lit(1)).as("n"))
         .collect()
       val acc = cents.map(_._2.toArray.clone())
-      means.foreach { r => acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat }
+      means.foreach { r => acc(r.getInt(0))(r.getInt(1)) =
+        (r.getLong(2).toDouble / 1e7 / r.getLong(3)).toFloat }
       cents = acc.toSeq.zipWithIndex.map { case (v, i) =>
         (i, v.toSeq, math.sqrt(v.map(x => x.toDouble * x).sum)) }
     }

@@ -253,7 +253,10 @@ object EventStreams {
     * true` chains a lower-half stage behind the upper-half stage
     * (see bandGateSigs): pigeonhole-complete like the batch pass —
     * every hamming <= 1 pair against an ADMITTED doc is caught — at
-    * exactly 2x the state (two keys per admitted doc).
+    * up to 2x the state. Suppression can additionally chain through a
+    * stage-2-suppressed doc's stage-1 residue (within 2·hamming of an
+    * admitted doc — the cluster-transitive behavior of the batch
+    * connected-components pass; see bandGateSigs).
     *
     * State: per band, the signatures seen (FIFO-capped at
     * `maxPerBucket` — at 2^16 bands × 1024 longs the store tops out at
@@ -280,10 +283,17 @@ object EventStreams {
     * half, so the OTHER half matches exactly and that stage catches the
     * pair — full distance-1 recall, where the single-band gate misses
     * the ~50% of pairs whose differing bit falls in the banded half.
-    * Cost: each admitted doc's signature is recorded under TWO state
-    * keys (one per stage) — exactly 2x the single-band state, same
-    * per-bucket FIFO cap. A doc rejected by stage 1 never reaches stage
-    * 2, so neither store accumulates suppressed docs. */
+    * Cost and an honest statement of the chained semantics: each stage
+    * records every doc IT admits, and stage 1 cannot know stage 2's
+    * verdict — so a stage-2-suppressed doc leaves one signature behind
+    * in stage 1's store, and a later doc within `hamming` of THAT
+    * signature is suppressed too. Such a doc sits within 2·hamming of
+    * a finally-admitted doc: suppression is transitive through the
+    * near-dup chain, exactly what the batch pass's connected-components
+    * clustering does to the same pair graph (spec-pinned). State bound:
+    * two keys per finally-admitted doc plus one stage-1 key per
+    * stage-2-suppressed doc — between 1x and 2x the single-band store,
+    * same per-bucket FIFO cap. */
   private[streaming] def bandGateSigs(spark: org.apache.spark.sql.SparkSession,
                                       sigs: DataFrame, upperHalf: Boolean,
                                       hamming: Int,

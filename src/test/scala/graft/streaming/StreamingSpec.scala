@@ -411,6 +411,46 @@ class StreamingSpec extends AnyFunSuite {
       s"single-band gate should miss exactly the upper-half twins: $admittedOne")
   }
 
+  test("two-band gate suppression chains through a stage-2-suppressed doc's residue") {
+    // The documented chained semantics (bandGateSigs scaladoc): stage 1
+    // records every doc IT admits, including docs stage 2 later
+    // suppresses — so suppression can chain one hop through the
+    // residue. B (upper-half twin of A) is admitted by stage 1 (its
+    // upper band differs from A's), suppressed by stage 2, but leaves
+    // its signature in stage 1's store; C (upper-half-identical to B at
+    // hamming 1) is then suppressed by stage 1 even though its distance
+    // to the only ADMITTED doc A is 2 — C is a transitive member of
+    // A's near-dup cluster, exactly what the batch connected-components
+    // pass concludes from pairs (A,B), (B,C). D (a second upper twin of
+    // B) lands in a third stage-1 bucket and IS admitted: the chain
+    // only extends through matching bands.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val a = (0xABCDL << 16) | 0x00F0L
+    val b = a ^ (1L << 17)
+    val c = b ^ (1L << 3)  // same upper half as B
+    val d = b ^ (1L << 20) // differs from B (and A) in the upper half
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chain_ckpt").toString
+    val in = MemoryStream[(Long, Long)]
+    val g1 = EventStreams.bandGateSigs(spark, in.toDF().toDF("doc_id", "sim"),
+      upperHalf = true, hamming = 1, maxPerBucket = 1024)
+    val gated = EventStreams.bandGateSigs(spark, g1,
+      upperHalf = false, hamming = 1, maxPerBucket = 1024)
+    val collected = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = gated.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (bd: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = bd.collect().map(_.getLong(0))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    in.addData((1L, a)); q.processAllAvailable()
+    in.addData((2L, b)); q.processAllAvailable()
+    in.addData((3L, c), (4L, d)); q.processAllAvailable()
+    q.stop()
+    assert(collected.synchronized(collected.toSet) == Set(1L, 4L),
+      s"expected A admitted, B gated (stage 2), C gated (chained), D admitted: $collected")
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
