@@ -390,7 +390,12 @@ object Similarity {
       // the dup rows are byte-identical (same codes → same ADC). Dedupe
       // BEFORE the rank filter: a duplicate inside the top-`rerank`
       // would burn a shortlist slot and halve the unique candidate
-      // depth the rerank parameter was tuned for
+      // depth the rerank parameter was tuned for. The explicit qid
+      // repartition makes this ONE exchange for dedupe + window: a
+      // qid-hash distribution satisfies both the (qid, nid) grouping
+      // (subset rule) and the window's partitioning, where letting the
+      // dedupe demand (qid, nid) would shuffle twice
+      .repartition(col("qid"))
       .dropDuplicates("qid", "nid")
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))))
