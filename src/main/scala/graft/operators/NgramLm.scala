@@ -121,6 +121,72 @@ object NgramLm {
         coalesce(col("oov"), lit(0L)).as("oov"))
   }
 
+  /** Collocation / phrase mining with the word2vec phrase score
+    * (Mikolov et al. 2013 "Distributed Representations of Words and
+    * Phrases and their Compositionality", §4): bigrams scoring
+    *   score(w1, w2) = (c(w1 w2) - delta) * N / (c(w1) * c(w2))
+    * far above 1 are phrases ("new york"), not chance co-occurrences;
+    * the delta discount keeps rare-pair noise out. This is the pass a
+    * tokenizer/corpus pipeline runs to promote multi-word units before
+    * embedding training. Kept integer-exact in permille (the house
+    * rule): every factor is a BIGINT count, the division is a single
+    * truncating DIV on non-negatives (delta = minCount, so the
+    * numerator can't go negative past the HAVING gate).
+    *
+    * Scale shape: unigram and bigram counts are each ONE gram-keyed
+    * shuffle with map-side partial aggregation (grams repeat heavily,
+    * the combiner collapses volume before the exchange); N is a scalar
+    * aggregate derived from the unigram table (vocabulary-sized, not
+    * corpus-sized) broadcast back as a literal-like 1-row frame; the
+    * two count lookups are keyed joins against the vocabulary table —
+    * vocabulary ≪ bigram types ≪ occurrences, so nothing row-to-rows
+    * the corpus. Top-k plans TakeOrderedAndProject (per-partition
+    * heaps, no global sort exchange). */
+  def pmiCollocationsOf(docs: DataFrame, minCount: Int = 5,
+                        k: Int = 20): DataFrame = {
+    val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).as("n"))
+    val bi = docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), " +
+          "k -> struct(element_at(ws, k + 1) AS w1, element_at(ws, k + 2) AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    bi.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("cnt"),
+        expr(s"CAST((cnt - $minCount) * n * 1000 DIV (cw1 * cw2) AS BIGINT)")
+          .as("score_permille"))
+      .orderBy(col("score_permille").desc, col("w1"), col("w2")).limit(k)
+  }
+
+  def pmiCollocations(s: SparkSession, d: String): DataFrame =
+    pmiCollocationsOf(Tables.documents(s, d))
+
+  private val pmiCollocationsOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |u AS (SELECT unnest(ws) AS w FROM t),
+      |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM u GROUP BY w),
+      |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uc),
+      |b AS (SELECT ws[k + 1] AS w1, ws[k + 2] AS w2
+      |      FROM (SELECT ws, unnest(range(len(ws) - 1)) AS k
+      |            FROM t WHERE len(ws) >= 2)),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
+      |SELECT bc.w1, bc.w2, bc.cnt,
+      |  CAST((bc.cnt - 5) * tot.n * 1000 // (u1.cw * u2.cw) AS BIGINT)
+      |    AS score_permille
+      |FROM bc
+      |JOIN uc u1 ON bc.w1 = u1.w
+      |JOIN uc u2 ON bc.w2 = u2.w
+      |CROSS JOIN tot
+      |ORDER BY score_permille DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Per-source n-gram diversity profile: for each source and gram
     * order 1..3, total gram occurrences, distinct grams, and the
     * distinct/total ratio in integer permille — the distinct-n
@@ -262,6 +328,7 @@ object NgramLm {
     "kn_continuation"       -> (knContinuation _),
     "lm_backoff_hits"       -> (lmBackoffHits _),
     "ngram_diversity"       -> (ngramDiversity _),
+    "pmi_collocations"      -> (pmiCollocations _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +337,6 @@ object NgramLm {
     "kn_continuation"       -> knContinuationOracle,
     "lm_backoff_hits"       -> lmBackoffHitsOracle,
     "ngram_diversity"       -> ngramDiversityOracle,
+    "pmi_collocations"      -> pmiCollocationsOracle,
   )
 }
