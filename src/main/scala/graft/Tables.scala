@@ -36,17 +36,45 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects unless the legacy nanos-as-long conf is on.
-    * Read the nanos as Long and rebuild a microsecond timestamp (integer
-    * DIV — a double division would lose precision at 1e18 nanos).
-    * DuckDB reads the same column natively, also truncating to micros,
-    * so oracle SQL sees identical values. */
+  /** events.parquet has shipped in two physical layouts for `ts`, so the
+    * loader is schema-adaptive:
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects nanos unless the
+    *    legacy nanos-as-long conf is on; we read the nanos as Long and
+    *    rebuild a microsecond timestamp (integer DIV — a double division
+    *    would lose precision at 1e18 nanos).
+    *  - timestamp[us] (isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast to the session-TZ TimestampType (session TZ is
+    *    pinned to UTC, so the cast is value-preserving) for parity with
+    *    DuckDB's naive-timestamp oracle reads and with downstream
+    *    TimestampType arithmetic.
+    *
+    * Either way consumers see a `ts: TimestampType` column with identical
+    * values. The legacy conf is scoped: set only for the duration of the
+    * read and restored afterward, so loading events does not permanently
+    * mutate session state. Any third layout fails loudly here (and in
+    * TablesSpec's layout fixtures) rather than in 19 query rows. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev    = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
+    try {
+      val raw = load(s, d, "events")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported parquet-read type $other; expected " +
+              "TIMESTAMP(NANOS)-as-long, timestamp[us] NTZ, or TimestampType")
+      }
+    } finally prev match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None    => s.conf.unset(confKey)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -129,15 +129,24 @@ object NgramLm {
     * the delta discount keeps rare-pair noise out. This is the pass a
     * tokenizer/corpus pipeline runs to promote multi-word units before
     * embedding training. Kept integer-exact in permille (the house
-    * rule): every factor is a BIGINT count, the division is a single
+    * rule): every factor is a count, the division is a single
     * truncating DIV on non-negatives (delta = minCount, so the
-    * numerator can't go negative past the HAVING gate).
+    * numerator can't go negative past the HAVING gate). Both the
+    * numerator (cnt - delta) * N * 1000 and the denominator cw1 * cw2
+    * grow as corpus^2-ish products, past int64 at ~1e10 tokens, so the
+    * intermediates are widened to DECIMAL(38,0) here and HUGEINT in
+    * the oracle — exact integers to 1e38, far beyond any corpus — and
+    * only the final quotient (bounded: permille of a probability
+    * ratio) is narrowed back to BIGINT.
     *
     * Scale shape: unigram and bigram counts are each ONE gram-keyed
     * shuffle with map-side partial aggregation (grams repeat heavily,
     * the combiner collapses volume before the exchange); N is a scalar
-    * aggregate derived from the unigram table (vocabulary-sized, not
-    * corpus-sized) broadcast back as a literal-like 1-row frame; the
+    * aggregate over the unigram table (vocabulary-sized, not
+    * corpus-sized) taken as a driver-side scalar per the tfidfTopTerms
+    * policy — a crossJoin against the 1-row agg would plan the
+    * forbidden BroadcastNestedLoopJoin (eager, but outside the
+    * returned plan, and the aggregate's input is the vocabulary); the
     * two count lookups are keyed joins against the vocabulary table —
     * vocabulary ≪ bigram types ≪ occurrences, so nothing row-to-rows
     * the corpus. Top-k plans TakeOrderedAndProject (per-partition
@@ -146,7 +155,7 @@ object NgramLm {
                         k: Int = 20): DataFrame = {
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val n = uni.agg(sum(col("cw")).as("n"))
+    val nTot = uni.agg(sum(col("cw"))).head().getLong(0)
     val bi = docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
@@ -158,9 +167,10 @@ object NgramLm {
       .filter(col("cnt") >= minCount)
     bi.join(uni.select(col("w").as("w1"), col("cw").as("cw1")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("cw").as("cw2")), Seq("w2"))
-      .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("cnt"),
-        expr(s"CAST((cnt - $minCount) * n * 1000 DIV (cw1 * cw2) AS BIGINT)")
+        expr(s"CAST(CAST(cnt - $minCount AS DECIMAL(38,0)) * " +
+          s"CAST($nTot AS DECIMAL(38,0)) * 1000 " +
+          "DIV (CAST(cw1 AS DECIMAL(38,0)) * cw2) AS BIGINT)")
           .as("score_permille"))
       .orderBy(col("score_permille").desc, col("w1"), col("w2")).limit(k)
   }
@@ -179,7 +189,7 @@ object NgramLm {
       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
       |       FROM b GROUP BY w1, w2 HAVING count(*) >= 5)
       |SELECT bc.w1, bc.w2, bc.cnt,
-      |  CAST((bc.cnt - 5) * tot.n * 1000 // (u1.cw * u2.cw) AS BIGINT)
+      |  CAST(CAST(bc.cnt - 5 AS HUGEINT) * tot.n * 1000 // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT)
       |    AS score_permille
       |FROM bc
       |JOIN uc u1 ON bc.w1 = u1.w

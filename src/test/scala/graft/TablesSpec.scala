@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.types.TimestampType
+
+/** Pins `Tables.events`' schema-adaptive load across both physical `ts`
+  * layouts the harness has shipped (TIMESTAMP(NANOS) read as long via the
+  * legacy conf, and timestamp[us] NTZ — the r07 regeneration), plus a
+  * smoke sweep that every table loader analyzes at all three SFs. The
+  * fixtures under src/test/resources were written once with pyarrow
+  * (timestamp('ns') / timestamp('us'), same logical values).
+  */
+class TablesSpec extends SparkSpec {
+
+  /** Copy a resource parquet into a fresh dir as events.parquet and load
+    * it through Tables.events (the memo keys on the dir, so each fixture
+    * gets its own dir). */
+  private def loadFixture(resource: String) = {
+    val dir = Files.createTempDirectory("graft-events-layout")
+    val src = Paths.get(getClass.getResource(s"/$resource").toURI)
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Tables.events(spark, dir.toString)
+  }
+
+  private def tsStrings(resource: String): Seq[String] = {
+    val df = loadFixture(resource)
+    assert(df.schema("ts").dataType == TimestampType,
+      s"$resource should load ts as session-TZ TimestampType")
+    df.orderBy("event_id").collect().map(_.getTimestamp(1).toString).toSeq
+  }
+
+  test("events loads both nanos-long and micros-NTZ ts layouts identically") {
+    val nanos  = tsStrings("events_ts_nanos.parquet")
+    val micros = tsStrings("events_ts_micros.parquet")
+    assert(nanos.size == 5)
+    assert(nanos == micros, "the two layouts must yield identical timestamp values")
+    assert(nanos.head == "2024-01-01 00:00:00.0")
+  }
+
+  test("events load leaves the legacy nanos conf untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    loadFixture("events_ts_micros.parquet")
+    // The conf has a registered default of "false", so after unset+load
+    // getOption reports the default back — the load must not have left it
+    // flipped to "true".
+    assert(spark.conf.getOption(key).forall(_ == "false"),
+      "Tables.events must not permanently mutate session conf")
+    SparkSpec.withConfs(spark, key -> "false") {
+      loadFixture("events_ts_nanos.parquet")
+      assert(spark.conf.get(key) == "false", "prior conf value must be restored")
+    }
+  }
+
+  test("every table loader resolves and analyzes at all three SFs") {
+    val loaders: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("region" -> Tables.region _, "nation" -> Tables.nation _,
+        "customer" -> Tables.customer _, "supplier" -> Tables.supplier _,
+        "part" -> Tables.part _, "orders" -> Tables.orders _,
+        "lineitem" -> Tables.lineitem _, "events" -> Tables.events _,
+        "documents" -> Tables.documents _, "embeddings" -> Tables.embeddings _)
+    for (sf <- Seq("0.001", "0.01", "0.1"); (name, f) <- loaders) {
+      val dir = s"/root/testdata/sf$sf"
+      val df = f(spark, dir)
+      assert(df.schema.nonEmpty, s"$name at sf$sf must analyze")
+    }
+  }
+}

@@ -98,6 +98,43 @@ class PlanHygieneSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"global sorts in frame forms: ${offenders.mkString(", ")}")
   }
 
+  test("partition-less windows appear only in the documented allowlist") {
+    // A Window with an empty partition spec moves its whole input
+    // through ONE partition (the WindowExec "No Partition Defined"
+    // warning) — fatal on a corpus-sized frame, fine on a frame whose
+    // cardinality is bounded by construction. This pins the exact set
+    // of queries allowed to plan one, each with its bound stated, so a
+    // new global window (or one that silently moves onto a large
+    // frame) fails here instead of surfacing as a log warning nobody
+    // can triage at 100x (r7 verdict minor #3). Detection is on the
+    // optimized logical plan — robust to AQE wrapping, unlike plan
+    // text.
+    val allowed = Map(
+      // temperature mixer: per-source count frame (rows == distinct
+      // sources; testdata has ~10, production O(100s))
+      "mix_temperature" -> "per-source counts frame",
+      // distributed shuffle: prefix sum over the 2^bucketBits-row
+      // (=64) bucket-offsets frame; the corpus-sized work partitions
+      // by bucket
+      "corpus_shuffle" -> "64-row bucket-offsets frame",
+      // TV-distance totals over the dim-row (=64) token-bucket
+      // histogram join; corpora never join row-to-row
+      "corpus_drift" -> "64-row bucket-histogram frame")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) Some(name) else None
+    }.toSet
+    val undeclared = offenders -- allowed.keySet
+    val stale = allowed.keySet -- offenders
+    assert(undeclared.isEmpty,
+      s"undocumented partition-less windows in: ${undeclared.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"allowlist entries no longer planning a global window: ${stale.mkString(", ")}")
+  }
+
   test("rank-limited windows plan WindowGroupLimit (partial top-k before the shuffle)") {
     // rank <= k over a window triggers Spark's group-limit pushdown:
     // each map task keeps only its own top-k rows per key, so the
