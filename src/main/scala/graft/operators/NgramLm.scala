@@ -121,6 +121,100 @@ object NgramLm {
         coalesce(col("oov"), lit(0L)).as("oov"))
   }
 
+  /** CCNet-style LM quality tiering (Wenzek et al. 2020 "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): CCNet scores each document with a reference-corpus LM and
+    * splits the corpus into head / middle / tail perplexity buckets;
+    * training recipes then mix (or drop) by bucket. This is that gate
+    * in the house integer-exact form: the per-doc score is the
+    * order-weighted backoff match ratio in permille,
+    *   match‰ = (3·hits3 + 2·hits2 + 1·hits1) · 1000 DIV (3·n_trigrams)
+    * (a monotone stand-in for negative log-perplexity under a
+    * stupid-backoff LM — deeper matches = higher probability — with no
+    * float logs to disagree across engines), and tier boundaries are
+    * FIXED thresholds, not corpus quantiles: an ntile over all docs
+    * would be a corpus-sized global window (forbidden) and would also
+    * make a doc's tier depend on every other doc — thresholds keep the
+    * gate per-row, cheap, and stable across ingest batches. Docs with
+    * no trigram at all land in an explicit `empty` tier (CCNet drops
+    * them; surfacing the count is more honest than silently folding
+    * them into tail).
+    *
+    * Scale shape: lmBackoffHitsOf's keyed joins + ONE (tier)-keyed
+    * 4-row aggregate on the doc-level frame; per-doc arithmetic stays
+    * far inside int64 (hits <= n_trigrams <= doc tokens). Output is
+    * <= 4 rows: tier, doc count, trigram mass, mean match‰ (integer
+    * DIV; non-negative operands, house division rule). */
+  def lmQualityTiersOf(docs: DataFrame, lmDocs: DataFrame,
+                       headPermille: Int = 990,
+                       middlePermille: Int = 790): DataFrame = {
+    val scored = lmBackoffHitsOf(docs, lmDocs)
+      .withColumn("permille",
+        when(col("n_trigrams") === 0L, lit(0L)).otherwise(expr(
+          "CAST((3 * hits3 + 2 * hits2 + hits1) * 1000 DIV (3 * n_trigrams) AS BIGINT)")))
+      .withColumn("tier",
+        when(col("n_trigrams") === 0L, lit("empty"))
+          .when(col("permille") >= headPermille, lit("head"))
+          .when(col("permille") >= middlePermille, lit("middle"))
+          .otherwise(lit("tail")))
+    scored.groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        expr("CAST(sum(permille) DIV count(1) AS BIGINT)").as("mean_permille"))
+  }
+
+  /** Oracle-checked fixture: same LM slice as lm_backoff_hits
+    * (src0-src9), whole corpus tiered against it. */
+  def lmQualityTiers(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    lmQualityTiersOf(docs,
+      docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
+      .orderBy(col("tier"))
+  }
+
+  private val lmQualityTiersOracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT doc_id, ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM w WHERE len(ws) >= 3)),
+      |lm AS (SELECT ws FROM w WHERE CAST(substr(source, 4) AS INT) < 10),
+      |lm3 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM lm WHERE len(ws) >= 3)),
+      |lm2 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2
+      |        FROM (SELECT ws, unnest(range(len(ws) - 1)) AS k
+      |              FROM lm WHERE len(ws) >= 2)),
+      |lm1 AS (SELECT DISTINCT unnest(ws) AS w1 FROM lm),
+      |lvl AS (SELECT t.doc_id,
+      |          CASE WHEN l3.w1 IS NOT NULL THEN 3
+      |               WHEN l2.w1 IS NOT NULL THEN 2
+      |               WHEN l1.w1 IS NOT NULL THEN 1 ELSE 0 END AS lv
+      |        FROM tri t
+      |        LEFT JOIN lm3 l3 ON t.w1 = l3.w1 AND t.w2 = l3.w2 AND t.w3 = l3.w3
+      |        LEFT JOIN lm2 l2 ON t.w2 = l2.w1 AND t.w3 = l2.w2
+      |        LEFT JOIN lm1 l1 ON t.w3 = l1.w1),
+      |agg AS (SELECT doc_id, count(*) AS n_trigrams,
+      |          sum(CASE WHEN lv = 3 THEN 1 ELSE 0 END) AS hits3,
+      |          sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS hits2,
+      |          sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS hits1
+      |        FROM lvl GROUP BY 1),
+      |scored AS (SELECT d.doc_id,
+      |    coalesce(a.n_trigrams, 0) AS n_trigrams,
+      |    CASE WHEN coalesce(a.n_trigrams, 0) = 0 THEN 0
+      |         ELSE (3 * a.hits3 + 2 * a.hits2 + a.hits1) * 1000
+      |              // (3 * a.n_trigrams) END AS permille
+      |  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)),
+      |tiered AS (SELECT doc_id, n_trigrams, permille,
+      |    CASE WHEN n_trigrams = 0 THEN 'empty'
+      |         WHEN permille >= 990 THEN 'head'
+      |         WHEN permille >= 790 THEN 'middle'
+      |         ELSE 'tail' END AS tier
+      |  FROM scored)
+      |SELECT tier, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
+      |  CAST(sum(permille) // count(*) AS BIGINT) AS mean_permille
+      |FROM tiered GROUP BY tier ORDER BY tier""".stripMargin
+
   /** Collocation / phrase mining with the word2vec phrase score
     * (Mikolov et al. 2013 "Distributed Representations of Words and
     * Phrases and their Compositionality", §4): bigrams scoring
@@ -339,6 +433,7 @@ object NgramLm {
     "lm_backoff_hits"       -> (lmBackoffHits _),
     "ngram_diversity"       -> (ngramDiversity _),
     "pmi_collocations"      -> (pmiCollocations _),
+    "lm_quality_tiers"      -> (lmQualityTiers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -348,5 +443,6 @@ object NgramLm {
     "lm_backoff_hits"       -> lmBackoffHitsOracle,
     "ngram_diversity"       -> ngramDiversityOracle,
     "pmi_collocations"      -> pmiCollocationsOracle,
+    "lm_quality_tiers"      -> lmQualityTiersOracle,
   )
 }

@@ -48,9 +48,14 @@ object Similarity {
   }
 
   /** Exact top-5 cosine neighbors for query vectors (vec_id < 20). */
-  def bruteTopk(s: SparkSession, d: String): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") < 20)
+  def bruteTopk(s: SparkSession, d: String): DataFrame =
+    bruteTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
+
+  /** Frame form over any (vec_id, embedding) frame — also the exact
+    * baseline the quantization spec reruns over dequantized vectors. */
+  def bruteTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column): DataFrame = {
+    val e = withNorm(s, emb)
+    val q = e.filter(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"))
     val c = e.select(col("vec_id").as("nid"), col("embedding").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("qid"))
@@ -273,17 +278,54 @@ object Similarity {
     * the remaining gap: ADC ranks on 8-byte codes, and a deeper exact
     * re-rank recovers more of what the probed cells admit
     * (OperatorSpec prints the rerank→recall curve). */
-  private[graft] def ivfpqTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column,
-                                 nCells: Int = 16, nProbe: Int = 6,
-                                 m: Int = 8, ksub: Int = 16,
-                                 rerank: Int = 96, spill: Int = 2): DataFrame = {
-    VectorOps.registerVecDot(s)
+  /** Trained IVF-PQ index state: coarse cells (id, centroid, norm),
+    * the refined PQ codebook (m·ksub subspace centroids), the PQ
+    * geometry, and the compressed corpus (vec_id, codes, cluster).
+    * The driver-resident parts are ~nCells·dim + m·ksub·(dim/m)
+    * floats — KBs; the codes frame is the 8-bytes-per-vector index.
+    * Persistable via ivfpqSaveIndex / ivfpqLoadIndex: build once on
+    * the 100 TB corpus, reuse across query sessions without
+    * retraining (the incremental-dedup index policy applied to ANN). */
+  private[graft] case class IvfpqIndex(coarse: Seq[(Int, Seq[Float], Double)],
+                                       codebook: Seq[Seq[Float]],
+                                       m: Int, ksub: Int,
+                                       codes: DataFrame)
+
+  /** codes[s] = argmin_c ||v_s - cb[s*ksub+c]||^2, expanded to
+    * ||cb||^2 - 2 v_s . cb so the inner loop is the codegen'd vec_dot.
+    * The codebook rides as a literal column ("cb"/"cbn") so the expr
+    * string can reference it; it folds to a plan Literal, not per-row
+    * state. */
+  private def pqEncode(df: DataFrame, cb: Seq[Seq[Float]],
+                       m: Int, ksub: Int, sub: Int): DataFrame = {
+    val dist = s"""element_at(cbn, s * $ksub + c + 1)
+      | - 2.0D * vec_dot(slice(embedding, s * $sub + 1, $sub),
+      |                  element_at(cb, s * $ksub + c + 1))""".stripMargin
+    df.withColumn("cb", typedlit(cb))
+      .withColumn("cbn", typedlit(cb.map(v => v.map(x => x.toDouble * x).sum)))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  CAST(array_position(
+           |    transform(sequence(0, ${ksub - 1}), c -> $dist),
+           |    array_min(transform(sequence(0, ${ksub - 1}), c -> $dist))
+           |  ) AS INT) - 1)""".stripMargin))
+      .drop("cb", "cbn")
+  }
+
+  /** The norm'd positional frame both train and query run on —
+    * (vec_id, embedding, nrm), lineage cut once. */
+  private def ivfpqPrep(s: SparkSession, emb: DataFrame): DataFrame =
+    withNorm(s, emb)
+      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
+
+  /** Training half: seed + Lloyd-refine the PQ codebook, refine the
+    * coarse quantizer, encode the corpus. See ivfpqTopk scaladoc for
+    * the full design narrative. */
+  private[graft] def ivfpqTrainOf(s: SparkSession, e: DataFrame,
+                                  nCells: Int = 16, m: Int = 8,
+                                  ksub: Int = 16, spill: Int = 2): IvfpqIndex = {
     val dim = 64
     val sub = dim / m
-    // positional contract (vec_id, embedding, nrm) shared with
-    // assignClusters — extra metadata columns are dropped here
-    val e = withNorm(s, emb)
-      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
     // per-subspace seed codebook from the ksub hash-lowest ids' slices
     // (one TakeOrdered feeds all subspaces; decorrelation comes from the
     // Lloyd pass, not the seeds)
@@ -296,29 +338,10 @@ object Similarity {
     val seedCb: Seq[Seq[Float]] =
       for (ss <- 0 until m; c <- 0 until ksub)
         yield seedVecs(c).slice(ss * sub, (ss + 1) * sub)
-    // codes[s] = argmin_c ||v_s - cb[s*ksub+c]||^2, expanded to
-    // ||cb||^2 - 2 v_s . cb so the inner loop is the codegen'd vec_dot.
-    // The codebook rides as a literal column ("cb"/"cbn") so the expr
-    // string can reference it; it folds to a plan Literal, not per-row
-    // state.
-    def encode(df: DataFrame, cb: Seq[Seq[Float]]): DataFrame = {
-      val dist = s"""element_at(cbn, s * $ksub + c + 1)
-        | - 2.0D * vec_dot(slice(embedding, s * $sub + 1, $sub),
-        |                  element_at(cb, s * $ksub + c + 1))""".stripMargin
-      df.withColumn("cb", typedlit(cb))
-        .withColumn("cbn", typedlit(cb.map(v => v.map(x => x.toDouble * x).sum)))
-        .withColumn("codes", expr(
-          s"""transform(sequence(0, ${m - 1}), s ->
-             |  CAST(array_position(
-             |    transform(sequence(0, ${ksub - 1}), c -> $dist),
-             |    array_min(transform(sequence(0, ${ksub - 1}), c -> $dist))
-             |  ) AS INT) - 1)""".stripMargin))
-        .drop("cb", "cbn")
-    }
     // one distributed Lloyd pass: refined centroid = elementwise mean of
     // the slices encoded to it (absent cells keep their seed entry);
     // collecting the 1k-float table also cuts the training lineage
-    val refinedRows = encode(e, seedCb)
+    val refinedRows = pqEncode(e, seedCb, m, ksub, sub)
       .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("s", (col("pos") / sub).cast("int"))
       .withColumn("c", element_at(col("codes"), col("s") + 1))
@@ -351,10 +374,25 @@ object Similarity {
     // replication: boundary vectors live in both neighboring cells, so
     // the probe ceiling rises at the SAME nProbe; the index grows
     // spill×, trivial at 8 bytes/vector)
-    val codes = encode(e, refined)
+    val codes = pqEncode(e, refined, m, ksub, sub)
       .select(col("vec_id"), col("codes"))
       .join(assignCells(e, coarse, spill), Seq("vec_id"))
       .localCheckpoint()
+    IvfpqIndex(coarse, refined, m, ksub, codes)
+  }
+
+  /** Query half: probe, ADC-rank the shortlist, exact re-rank. Runs
+    * identically on a freshly trained or a loaded index. */
+  private[graft] def ivfpqQueryOf(s: SparkSession, e: DataFrame, idx: IvfpqIndex,
+                                  isQuery: Column, nProbe: Int = 6,
+                                  rerank: Int = 96): DataFrame = {
+    VectorOps.registerVecDot(s)
+    val m = idx.m
+    val ksub = idx.ksub
+    val sub = 64 / m
+    val coarse = idx.coarse
+    val refined = idx.codebook
+    val codes = idx.codes
     // queries probe their nProbe nearest refined cells (same shape as IVF)
     val probes = e.filter(isQuery)
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -410,6 +448,64 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("nid"), Portable.roundK(col("cos_raw"), 4).as("cos"))
+  }
+
+  private[graft] def ivfpqTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column,
+                                 nCells: Int = 16, nProbe: Int = 6,
+                                 m: Int = 8, ksub: Int = 16,
+                                 rerank: Int = 96, spill: Int = 2): DataFrame = {
+    VectorOps.registerVecDot(s)
+    val e = ivfpqPrep(s, emb)
+    ivfpqQueryOf(s, e, ivfpqTrainOf(s, e, nCells, m, ksub, spill), isQuery,
+      nProbe, rerank)
+  }
+
+  /** Persist a trained index: the codes frame as parquet (the actual
+    * at-scale payload, 8 bytes/vector — partitioned however the write
+    * lands; readers join it on `cluster`, so at 100 TB write it
+    * bucketed by cluster) plus a single tiny `meta` parquet holding
+    * the coarse cells, the codebook, and the PQ geometry. */
+  def ivfpqSaveIndex(idx: IvfpqIndex, path: String): Unit = {
+    idx.codes.write.mode("overwrite").parquet(path + "/codes")
+    val s = idx.codes.sparkSession
+    import s.implicits._
+    val meta: Seq[(String, Int, Seq[Float], Double)] =
+      idx.coarse.map { case (sid, v, n) => ("coarse", sid, v, n) } ++
+        idx.codebook.zipWithIndex.map { case (v, i) => ("cb", i, v, 0.0) } :+
+        (("param", idx.m, Seq.empty[Float], idx.ksub.toDouble))
+    meta.toDF("kind", "id", "vec", "x")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+  }
+
+  /** Load a persisted index. The meta frame is KBs (collected to the
+    * driver — the same residence the trainer gives it); the codes
+    * frame stays a lazy distributed scan. */
+  def ivfpqLoadIndex(s: SparkSession, path: String): IvfpqIndex = {
+    val meta = s.read.parquet(path + "/meta").collect()
+    val coarse = meta.filter(_.getString(0) == "coarse")
+      .map(r => (r.getInt(1), r.getSeq[Float](2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val cb = meta.filter(_.getString(0) == "cb")
+      .sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
+    val p = meta.find(_.getString(0) == "param")
+      .getOrElse(throw new IllegalStateException(s"no param row in $path/meta"))
+    IvfpqIndex(coarse, cb, p.getInt(1), p.getDouble(3).toInt,
+      s.read.parquet(path + "/codes"))
+  }
+
+  /** Fixture: train → save → load → query. Output identical to
+    * similarity_topk_ivfpq by construction (same centroids and codes
+    * round-trip bit-exactly through parquet floats); the spec asserts
+    * that equality, the driver records a rows-only check (no oracle —
+    * approximate family). Same per-sf/per-JVM temp-dir policy as
+    * orc_roundtrip. */
+  def ivfpqIndexRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+    val e = ivfpqPrep(s, Tables.embeddings(s, d))
+    ivfpqSaveIndex(ivfpqTrainOf(s, e), dir)
+    ivfpqQueryOf(s, e, ivfpqLoadIndex(s, dir), col("vec_id") < 20)
+      .orderBy(col("qid"), col("rk"))
   }
 
   /** Deterministic negative sampling for contrastive training pairs:
@@ -692,6 +788,71 @@ object Similarity {
       |  FROM sc)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage-side compression a 100 TB vector corpus ships before
+    * anything else (fp32 → int8 cuts at-rest bytes, scan I/O and
+    * shuffle volume 4×; IVF-PQ compresses the INDEX, this compresses
+    * the VECTORS, and real systems run both). Per-vector symmetric
+    * scheme: scale = max|x| / 127, code_i = round(x_i / scale) ∈
+    * [-127, 127] — one narrow map pass, no shuffle, no training, and
+    * dequantization is a single multiply.
+    *
+    * Cross-engine determinism: rounding is written as floor(v + 0.5)
+    * in BOTH engines (Spark round() and DuckDB round() disagree on
+    * negative-half cases — HALF_UP vs away-from-zero — but floor is
+    * floor everywhere), every float is cast to double before
+    * arithmetic (exact), and the operand order of each IEEE expression
+    * is kept textually identical on both sides, so codes and the e9
+    * fixed-point summaries hash-match exactly. A zero vector (maxabs
+    * = 0) quantizes to all-zero codes with scale 0 by explicit CASE
+    * in both engines. */
+  def quantizeInt8Of(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+      .withColumn("codes", expr(
+        "CASE WHEN maxabs = 0D THEN transform(embedding, v -> 0) " +
+          "ELSE transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 127 / maxabs + 0.5D) AS INT)) END"))
+      .withColumn("maxerr", expr(
+        "CASE WHEN maxabs = 0D THEN 0D " +
+          "ELSE array_max(zip_with(embedding, codes, " +
+          "(v, c) -> abs(CAST(v AS DOUBLE) - c * maxabs / 127))) END"))
+      .select(col("vec_id"), col("codes"),
+        expr("CAST(floor(maxabs / 127 * 1000000000D + 0.5D) AS BIGINT)")
+          .as("scale_e9"),
+        expr("CAST(aggregate(codes, 0L, (a, c) -> a + abs(c)) AS BIGINT)")
+          .as("l1_codes"),
+        expr("CAST(floor(maxerr * 1000000000D + 0.5D) AS BIGINT)")
+          .as("maxerr_e9"))
+
+  /** Oracle fixture: the integer summaries only (codes themselves are
+    * pinned by the spec's hand example; the l1/maxerr integers pin
+    * them transitively — a single flipped code moves l1_codes). */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    quantizeInt8Of(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("scale_e9"), col("l1_codes"), col("maxerr_e9"))
+      .orderBy(col("vec_id"))
+
+  private val embeddingQuantizeOracle =
+    """WITH m AS (SELECT vec_id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x,
+      |    list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+      |  FROM embeddings),
+      |c AS (SELECT vec_id, x, maxabs,
+      |    CASE WHEN maxabs = 0 THEN list_transform(x, v -> 0)
+      |         ELSE list_transform(x, v -> CAST(floor(v * 127 / maxabs + 0.5) AS INT)) END AS codes
+      |  FROM m)
+      |SELECT vec_id,
+      |  CAST(floor(maxabs / 127 * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+      |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS l1_codes,
+      |  CAST(floor(CASE WHEN maxabs = 0 THEN 0
+      |    ELSE list_max(list_transform(range(1, len(x) + 1),
+      |      i -> abs(x[i] - codes[i] * maxabs / 127))) END
+      |    * 1000000000 + 0.5) AS BIGINT) AS maxerr_e9
+      |FROM c
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopk _),
     "similarity_topk_lsh"   -> (lshTopk _),
@@ -700,6 +861,8 @@ object Similarity {
     "semantic_dedup"        -> (semanticDedup _),
     "negative_samples"      -> (negativeSamples _),
     "centroid_classify"     -> (centroidClassify _),
+    "embedding_quantize"    -> (embeddingQuantize _),
+    "ivfpq_index_roundtrip" -> (ivfpqIndexRoundtrip _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall
@@ -709,5 +872,6 @@ object Similarity {
     "semantic_dedup"        -> semanticDedupOracle,
     "negative_samples"      -> negativeSamplesOracle,
     "centroid_classify"     -> centroidClassifyOracle,
+    "embedding_quantize"    -> embeddingQuantizeOracle,
   )
 }

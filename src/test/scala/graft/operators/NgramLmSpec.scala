@@ -83,6 +83,34 @@ class NgramLmSpec extends SparkSpec {
     assert(out(("loop", 3))._2 == 2L && out(("vary", 3))._2 == 6L)
   }
 
+  test("LM quality tiers bucket by backoff match ratio with an explicit empty tier") {
+    import spark.implicits._
+    // LM corpus "a b c d e": trigrams {abc,bcd,cde}, bigrams
+    // {ab,bc,cd,de}, unigrams {a..e}. Spec thresholds 900/700 (the
+    // mechanism under test; the fixture's 990/790 defaults are tuned
+    // to the synthetic corpus).
+    val lm = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      // all trigrams at order 3 -> 1000 -> head
+      (1L, "a b c d e"),
+      // trigrams: "a b c" lv3, "b c d" lv3, "c d a": no tri, no "d a"
+      // bigram, "a" unigram -> lv1; (3+3+1)*1000 DIV 9 = 777 -> middle
+      (2L, "a b c d a"),
+      // every token OOV -> 0 -> tail
+      (3L, "x y z w"),
+      // no trigram at all -> empty tier
+      (4L, "hi"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.lmQualityTiersOf(docs, lm,
+        headPermille = 900, middlePermille = 700)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("head") == ((1L, 3L, 1000L)), s"head: $out")
+    assert(out("middle") == ((1L, 3L, 777L)), s"middle: $out")
+    assert(out("tail") == ((1L, 2L, 0L)), s"tail: $out")
+    assert(out("empty") == ((1L, 0L, 0L)), s"empty: $out")
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)

@@ -74,6 +74,46 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: hand-worked codes, zero-vector guard, neighbor preservation") {
+    import spark.implicits._
+    // hand vector: maxabs 1.0, scale 1/127; codes use floor(v+0.5)
+    // (half-up in BOTH engines — round() would diverge on -63.5)
+    val hand = Seq((1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+                   (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8Of(hand).orderBy("vec_id").collect()
+    val codes1 = rows(0).getSeq[Int](rows(0).fieldIndex("codes"))
+    assert(codes1 == Seq(127, -63, 32, 0), s"codes: $codes1")
+    val scale = 1.0 / 127
+    assert(rows(0).getLong(rows(0).fieldIndex("scale_e9")) ==
+      math.floor(scale * 1e9 + 0.5).toLong)
+    assert(rows(0).getLong(rows(0).fieldIndex("l1_codes")) == 222L)
+    val expectErr = Seq(1.0 - 127 * scale, -0.5 - (-63 * scale),
+      0.25 - 32 * scale, 0.0).map(math.abs).max
+    assert(rows(0).getLong(rows(0).fieldIndex("maxerr_e9")) ==
+      math.floor(expectErr * 1e9 + 0.5).toLong)
+    // zero vector: all-zero codes, zero scale and error — no NaN/null
+    val z = rows(1)
+    assert(z.getSeq[Int](z.fieldIndex("codes")).forall(_ == 0) &&
+      z.getLong(z.fieldIndex("scale_e9")) == 0L &&
+      z.getLong(z.fieldIndex("maxerr_e9")) == 0L)
+    // end-to-end: brute top-k over DEQUANTIZED vectors must agree with
+    // the fp32 ranking — the gate that int8 is usable for retrieval,
+    // not just smaller
+    val emb = Tables.embeddings(spark, sf)
+    val deq = Similarity.quantizeInt8Of(emb)
+      .select(col("vec_id"),
+        expr("transform(codes, c -> CAST(c * (scale_e9 / 1000000000D) AS FLOAT))")
+          .as("embedding"))
+    val brute = Similarity.bruteTopkOf(spark, emb, col("vec_id") < 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qBrute = Similarity.bruteTopkOf(spark, deq, col("vec_id") < 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & qBrute).size.toDouble / brute.size
+    info(f"int8 retrieval recall vs fp32: $recall%.3f")
+    assert(recall >= 0.9, s"int8 quantization recall $recall below floor")
+  }
+
   test("LSH top-k recall vs brute force >= 0.5 on the test corpus") {
     val brute = Similarity.bruteTopk(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -119,6 +159,19 @@ class OperatorSpec extends AnyFunSuite {
     // monotone in depth: a deeper exact re-rank can only help
     assert(curve.map(_._2) == curve.map(_._2).sorted,
       s"recall not monotone in shortlist depth: $curve")
+  }
+
+  test("IVF-PQ index save/load roundtrip reproduces the in-memory query bit-exactly") {
+    // trains twice (in-memory path + roundtrip path) — equality also
+    // re-pins training determinism: hash-picked seeds + integer-scaled
+    // Lloyd sums make centroids bit-stable, and parquet round-trips
+    // floats exactly, so a loaded index must be indistinguishable
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inMem = key(Similarity.ivfpqTopkOf(spark,
+      Tables.embeddings(spark, sf), col("vec_id") < 20).orderBy("qid", "rk"))
+    val loaded = key(Similarity.ivfpqIndexRoundtrip(spark, sf))
+    assert(inMem.nonEmpty && inMem == loaded)
   }
 
   test("hash60 JVM and Column implementations agree") {
