@@ -314,7 +314,7 @@ object Similarity {
 
   /** The norm'd positional frame both train and query run on —
     * (vec_id, embedding, nrm), lineage cut once. */
-  private def ivfpqPrep(s: SparkSession, emb: DataFrame): DataFrame =
+  private[graft] def ivfpqPrep(s: SparkSession, emb: DataFrame): DataFrame =
     withNorm(s, emb)
       .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
 
@@ -460,13 +460,20 @@ object Similarity {
       nProbe, rerank)
   }
 
-  /** Persist a trained index: the codes frame as parquet (the actual
-    * at-scale payload, 8 bytes/vector — partitioned however the write
-    * lands; readers join it on `cluster`, so at 100 TB write it
-    * bucketed by cluster) plus a single tiny `meta` parquet holding
-    * the coarse cells, the codebook, and the PQ geometry. */
+  /** Persist a trained index: the codes frame as parquet PARTITIONED
+    * BY the coarse cell (the actual at-scale payload, 8 bytes/vector)
+    * plus a single tiny `meta` parquet holding the coarse cells, the
+    * codebook, and the PQ geometry. Cell-partitioning is the on-disk
+    * analog of the probe: a query touches nProbe of nCells cells, and
+    * the probe→codes join's small (broadcastable) probe side makes the
+    * scan eligible for dynamic partition pruning — at 100 TB the
+    * loaded-index query reads ~nProbe/nCells of the index files
+    * instead of all of them. nCells directories of a few files each is
+    * also a sane file layout (cells are O(hundreds-thousands), not
+    * per-key). */
   def ivfpqSaveIndex(idx: IvfpqIndex, path: String): Unit = {
-    idx.codes.write.mode("overwrite").parquet(path + "/codes")
+    idx.codes.write.mode("overwrite").partitionBy("cluster")
+      .parquet(path + "/codes")
     val s = idx.codes.sparkSession
     import s.implicits._
     val meta: Seq[(String, Int, Seq[Float], Double)] =
@@ -491,6 +498,28 @@ object Similarity {
       .getOrElse(throw new IllegalStateException(s"no param row in $path/meta"))
     IvfpqIndex(coarse, cb, p.getInt(1), p.getDouble(3).toInt,
       s.read.parquet(path + "/codes"))
+  }
+
+  /** Incremental index growth: encode NEW vectors with the STORED
+    * codebook and assign them to the STORED coarse cells — no
+    * retraining, no touch of the existing codes. This is the daily
+    * embedding-ingest path at 100 TB: the full index rebuild is a
+    * corpus-wide job you run rarely; appends are narrow passes over
+    * the new batch only (encode is per-row against literal codebooks,
+    * assignment is the same Generate + top-spill pattern as training).
+    * The documented trade: a frozen codebook degrades as the embedding
+    * distribution drifts — monitor with corpus_drift-style TV distance
+    * on the cell-occupancy histogram and retrain past a threshold
+    * (the spec pins that appended-half recall stays within a stated
+    * gap of the trained-on-everything index). */
+  def ivfpqAppendOf(s: SparkSession, idx: IvfpqIndex, newEmb: DataFrame,
+                    spill: Int = 2): IvfpqIndex = {
+    VectorOps.registerVecDot(s)
+    val e = ivfpqPrep(s, newEmb)
+    val newCodes = pqEncode(e, idx.codebook, idx.m, idx.ksub, 64 / idx.m)
+      .select(col("vec_id"), col("codes"))
+      .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
+    idx.copy(codes = idx.codes.unionByName(newCodes))
   }
 
   /** Fixture: train → save → load → query. Output identical to

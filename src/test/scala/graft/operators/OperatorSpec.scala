@@ -172,6 +172,35 @@ class OperatorSpec extends AnyFunSuite {
       Tables.embeddings(spark, sf), col("vec_id") < 20).orderBy("qid", "rk"))
     val loaded = key(Similarity.ivfpqIndexRoundtrip(spark, sf))
     assert(inMem.nonEmpty && inMem == loaded)
+    // the persisted codes are cell-partitioned (cluster=N directories):
+    // the on-disk analog of the probe — a loaded-index query is
+    // eligible to prune to its nProbe cells instead of scanning all
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivfpq_${math.abs(sf.hashCode)}_${ProcessHandle.current().pid()}/codes")
+    val cells = Option(dir.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+    assert(cells.nonEmpty, s"expected cluster= partition dirs under $dir")
+  }
+
+  test("IVF-PQ append indexes new vectors with the frozen codebook at near-full recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = emb.filter(col("vec_id") < 20 || col("vec_id") % 2 === 0)
+    // train on queries + the even half, append the odd half
+    val idx = Similarity.ivfpqTrainOf(spark, Similarity.ivfpqPrep(spark, e))
+    val appended = Similarity.ivfpqAppendOf(spark, idx,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1))
+    // the appended index must cover the whole corpus exactly spill× each
+    val ids = appended.codes.select("vec_id").distinct().count()
+    assert(ids == emb.count(), s"appended index covers $ids ids")
+    val full = Similarity.ivfpqTopkOf(spark, emb, col("vec_id") < 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val eAll = Similarity.ivfpqPrep(spark, emb)
+    val got = Similarity.ivfpqQueryOf(spark, eAll, appended, col("vec_id") < 20)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (full & got).size.toDouble / full.size
+    info(f"append-index agreement with full-trained index: $agree%.3f")
+    // frozen half-corpus codebook vs full retrain: the stated drift gap
+    assert(agree >= 0.75, s"append-index agreement $agree below floor")
   }
 
   test("hash60 JVM and Column implementations agree") {
