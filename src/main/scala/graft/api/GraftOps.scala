@@ -411,6 +411,64 @@ object GraftOps {
   def ngramDiversity(docs: DataFrame, maxN: Int = 3): DataFrame =
     graft.operators.NgramLm.ngramDiversityOf(docs, maxN)
 
+  /** Word2vec-style phrase mining: bigrams scored by
+    * (c(w1w2)-delta)·N / (c(w1)·c(w2)) in integer permille, top-k. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+                      k: Int = 20): DataFrame =
+    graft.operators.NgramLm.pmiCollocationsOf(docs, minCount, k)
+
+  /** CCNet-style LM quality tiering: head/middle/tail/empty buckets by
+    * the stupid-backoff match ratio vs an LM corpus, with fixed
+    * permille thresholds (per-row, batch-stable — not corpus
+    * quantiles). */
+  def lmQualityTiers(docs: DataFrame, lmDocs: DataFrame,
+                     headPermille: Int = 990,
+                     middlePermille: Int = 790): DataFrame =
+    graft.operators.NgramLm.lmQualityTiersOf(docs, lmDocs,
+      headPermille, middlePermille)
+
+  // ---- embedding storage / index lifecycle ----
+
+  /** Symmetric per-vector int8 scalar quantization of `embedding`:
+    * (vec_id, codes, scale_e9, l1_codes, maxerr_e9). fp32 → int8 is
+    * the 4x at-rest / shuffle cut; dequantize as code · scale. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    Similarity.quantizeInt8Of(embeddings)
+
+  /** Train an IVF-PQ index (coarse cells + PQ codebook + compressed
+    * codes) for reuse across queries and sessions. */
+  def ivfpqTrain(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
+                 ksub: Int = 16, spill: Int = 2): Similarity.IvfpqIndex = {
+    val s = embeddings.sparkSession
+    Similarity.ivfpqTrainOf(s, Similarity.ivfpqPrep(s, embeddings),
+      nCells, m, ksub, spill)
+  }
+
+  /** Query a (trained or loaded) IVF-PQ index against the corpus frame
+    * that holds the full vectors for the exact re-rank. */
+  def ivfpqQuery(index: Similarity.IvfpqIndex, embeddings: DataFrame,
+                 isQuery: Column, nProbe: Int = 6,
+                 rerank: Int = 96): DataFrame = {
+    val s = embeddings.sparkSession
+    Similarity.ivfpqQueryOf(s, Similarity.ivfpqPrep(s, embeddings), index,
+      isQuery, nProbe, rerank)
+  }
+
+  /** Persist / restore an IVF-PQ index (codes parquet partitioned by
+    * coarse cell + a tiny meta parquet). */
+  def ivfpqSave(index: Similarity.IvfpqIndex, path: String): Unit =
+    Similarity.ivfpqSaveIndex(index, path)
+  def ivfpqLoad(spark: org.apache.spark.sql.SparkSession,
+                path: String): Similarity.IvfpqIndex =
+    Similarity.ivfpqLoadIndex(spark, path)
+
+  /** Append a new embedding batch to an existing index with the frozen
+    * codebook — the daily-ingest path; retrain when drift warrants. */
+  def ivfpqAppend(index: Similarity.IvfpqIndex,
+                  newEmbeddings: DataFrame, spill: Int = 2): Similarity.IvfpqIndex =
+    Similarity.ivfpqAppendOf(newEmbeddings.sparkSession, index,
+      newEmbeddings, spill)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

@@ -286,7 +286,7 @@ object Similarity {
     * Persistable via ivfpqSaveIndex / ivfpqLoadIndex: build once on
     * the 100 TB corpus, reuse across query sessions without
     * retraining (the incremental-dedup index policy applied to ANN). */
-  private[graft] case class IvfpqIndex(coarse: Seq[(Int, Seq[Float], Double)],
+  case class IvfpqIndex(coarse: Seq[(Int, Seq[Float], Double)],
                                        codebook: Seq[Seq[Float]],
                                        m: Int, ksub: Int,
                                        codes: DataFrame)
