@@ -513,13 +513,19 @@ object Similarity {
     * (the spec pins that appended-half recall stays within a stated
     * gap of the trained-on-everything index). */
   def ivfpqAppendOf(s: SparkSession, idx: IvfpqIndex, newEmb: DataFrame,
-                    spill: Int = 2): IvfpqIndex = {
+                    spill: Int = 2): IvfpqIndex =
+    idx.copy(codes = idx.codes.unionByName(ivfpqEncodeBatch(s, idx, newEmb, spill)))
+
+  /** Just the new batch's (vec_id, codes, cluster) rows against a
+    * frozen index — the unit both ivfpqAppendOf and the streaming
+    * ingest sink build on. */
+  def ivfpqEncodeBatch(s: SparkSession, idx: IvfpqIndex, newEmb: DataFrame,
+                       spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = ivfpqPrep(s, newEmb)
-    val newCodes = pqEncode(e, idx.codebook, idx.m, idx.ksub, 64 / idx.m)
+    pqEncode(e, idx.codebook, idx.m, idx.ksub, 64 / idx.m)
       .select(col("vec_id"), col("codes"))
       .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
-    idx.copy(codes = idx.codes.unionByName(newCodes))
   }
 
   /** Fixture: train → save → load → query. Output identical to

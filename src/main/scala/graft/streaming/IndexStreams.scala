@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming IVF-PQ index maintenance: a continuously-arriving
+  * embedding stream (the daily/hourly ingest of a 100 TB vector
+  * corpus) keeps a persisted index current WITHOUT retraining —
+  * each micro-batch is encoded against the index's frozen codebook
+  * (a narrow per-row pass; no shuffle beyond the spill-cell
+  * assignment) and lands as its own committed append under the index
+  * directory. Query sessions load base + committed appends as one
+  * index.
+  *
+  * Exactly-once: foreachBatch is at-least-once, so each batch writes
+  * into its own `appends/batch-<id>` directory and marks completion
+  * with a `_COMMITTED` file written AFTER the parquet lands (the
+  * writeBatchToShare policy, EventStreams.scala) — a batch replayed
+  * after a crash-before-checkpoint either finds the marker and skips,
+  * or overwrites the partial uncommitted directory and commits. A
+  * reader only ever sees committed appends, so a crash mid-write is
+  * invisible.
+  *
+  * Freshness/drift: appends inherit the frozen codebook's drift trade
+  * (see ivfpqAppendOf); compaction = periodically fold appends into a
+  * retrained base via ivfpqTrainOf + ivfpqSaveIndex and delete the
+  * appends dir.
+  */
+object IndexStreams {
+
+  /** Encode one micro-batch against the frozen index and commit it as
+    * `appends/batch-<id>` (cluster-partitioned like the base codes).
+    * Returns whether this call wrote (false = replay of a committed
+    * batch, skipped). */
+  def appendBatch(spark: SparkSession, idx: Similarity.IvfpqIndex,
+                  batch: DataFrame, indexPath: String, batchId: Long,
+                  spill: Int = 2): Boolean = {
+    val dir = Paths.get(indexPath, "appends", f"batch-$batchId%05d")
+    if (Files.exists(dir.resolve("_COMMITTED"))) false
+    else {
+      Similarity.ivfpqEncodeBatch(spark, idx, batch, spill)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(dir.resolve("codes").toString)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("_COMMITTED"), java.util.Arrays.asList(""))
+      true
+    }
+  }
+
+  /** Start the ingest stream: (vec_id, embedding) micro-batches →
+    * committed appends under `indexPath`. The index meta (codebook,
+    * cells) is loaded ONCE at start — the whole point of the frozen
+    * codebook is that ingest needs no corpus-wide work. */
+  def indexAppendStream(spark: SparkSession, embStream: DataFrame,
+                        indexPath: String, checkpoint: String,
+                        spill: Int = 2): StreamingQuery = {
+    val idx = Similarity.ivfpqLoadIndex(spark, indexPath)
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(spark, idx, batch, indexPath, batchId, spill): Unit
+      }
+      .start()
+  }
+
+  /** Load base + every COMMITTED append as one queryable index
+    * (uncommitted/partial append dirs are ignored by construction). */
+  def loadIndexWithAppends(spark: SparkSession, indexPath: String): Similarity.IvfpqIndex = {
+    val base = Similarity.ivfpqLoadIndex(spark, indexPath)
+    val appendsDir = Paths.get(indexPath, "appends")
+    val appended =
+      if (!Files.isDirectory(appendsDir)) Seq.empty[DataFrame]
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(appendsDir).iterator().asScala.toSeq
+          .filter(d => Files.exists(d.resolve("_COMMITTED")))
+          .sortBy(_.toString)
+          .map(d => spark.read.parquet(d.resolve("codes").toString))
+      }
+    base.copy(codes = (base.codes +: appended).reduce(_ unionByName _))
+  }
+}

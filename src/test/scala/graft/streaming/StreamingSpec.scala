@@ -524,4 +524,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._3).toSeq == Seq(2L, 1L))
     assert(rows.head._2 == t(0) && rows(1)._2 == t(50))
   }
+
+  test("streaming index append: frozen-codebook ingest is exactly-once and queryable") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-idx-stream")
+    val idxPath = tmp.resolve("index").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // base index trained on queries + the even half; the odd half streams in
+    val baseEmb = emb.filter(col("vec_id") < 20 || col("vec_id") % 2 === 0)
+    Similarity.ivfpqSaveIndex(
+      Similarity.ivfpqTrainOf(spark, Similarity.ivfpqPrep(spark, baseEmb)), idxPath)
+    val odd = emb.filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = IndexStreams.indexAppendStream(spark,
+      in.toDF().toDF("vec_id", "embedding"), idxPath,
+      tmp.resolve("ckpt").toString)
+    val (b1, b2) = odd.splitAt(odd.size / 2)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // union index covers the whole corpus, each id exactly spill (=2) rows
+    val full = IndexStreams.loadIndexWithAppends(spark, idxPath)
+    assert(full.codes.select("vec_id").distinct().count() == emb.count())
+    assert(full.codes.count() == 2 * emb.count(), "each id indexed spill x")
+    // replaying a committed batch is a no-op (crash-before-checkpoint guard)
+    val idx = Similarity.ivfpqLoadIndex(spark, idxPath)
+    assert(!IndexStreams.appendBatch(spark, idx, b1.toDF("vec_id", "embedding"),
+      idxPath, 0L))
+    assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
+      2 * emb.count(), "replay must not duplicate rows")
+    // an uncommitted (markerless) append dir is invisible to readers
+    val partial = tmp.resolve("index/appends/batch-00099")
+    Files.createDirectories(partial.resolve("codes"))
+    assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
+      2 * emb.count())
+    // the union index answers queries end-to-end
+    val got = Similarity.ivfpqQueryOf(spark,
+      Similarity.ivfpqPrep(spark, emb), full, col("vec_id") < 20)
+    assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+  }
 }
