@@ -54,7 +54,13 @@ object Tables {
     * read and restored afterward, so loading events does not permanently
     * mutate session state. Any third layout fails loudly here (and in
     * TablesSpec's layout fixtures) rather than in 19 query rows. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Serializes events()'s conf set/load/restore window: two concurrent
+    * first loads could otherwise interleave one thread's restore into
+    * the other's schema inference (the nanos layout would throw
+    * "Illegal Parquet type" mid-read). */
+  private val eventsLock = new Object
+
+  def events(s: SparkSession, d: String): DataFrame = eventsLock.synchronized {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val confKey = "spark.sql.legacy.parquet.nanosAsLong"

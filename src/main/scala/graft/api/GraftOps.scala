@@ -445,12 +445,15 @@ object GraftOps {
   }
 
   /** Query a (trained or loaded) IVF-PQ index against the corpus frame
-    * that holds the full vectors for the exact re-rank. */
+    * that holds the full vectors for the exact re-rank. The plan is
+    * fully lazy (no per-call corpus materialization) — a caller
+    * issuing many queries over one session can `.cache()` the corpus
+    * frame itself. */
   def ivfpqQuery(index: Similarity.IvfpqIndex, embeddings: DataFrame,
                  isQuery: Column, nProbe: Int = 6,
                  rerank: Int = 96): DataFrame = {
     val s = embeddings.sparkSession
-    Similarity.ivfpqQueryOf(s, Similarity.ivfpqPrep(s, embeddings), index,
+    Similarity.ivfpqQueryOf(s, Similarity.ivfpqPrepLazy(s, embeddings), index,
       isQuery, nProbe, rerank)
   }
 

@@ -249,7 +249,10 @@ object NgramLm {
                         k: Int = 20): DataFrame = {
     val uni = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val nTot = uni.agg(sum(col("cw"))).head().getLong(0)
+    // sum() over an empty unigram table is NULL — default 0 rather than
+    // NPE (the bigram side is empty too, so the score is never used)
+    val nTot = Option(uni.agg(sum(col("cw"))).head().getAs[java.lang.Long](0))
+      .map(_.toLong).getOrElse(0L)
     val bi = docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(

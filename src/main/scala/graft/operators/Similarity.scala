@@ -50,9 +50,12 @@ object Similarity {
   /** Exact top-5 cosine neighbors for query vectors (vec_id < 20). */
   def bruteTopk(s: SparkSession, d: String): DataFrame =
     bruteTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
+      .orderBy(col("qid"), col("rk"))
 
   /** Frame form over any (vec_id, embedding) frame — also the exact
-    * baseline the quantization spec reruns over dequantized vectors. */
+    * baseline the quantization spec reruns over dequantized vectors.
+    * No presentation sort (frame-form rule: the fixture wrapper pays
+    * the range exchange, library callers don't). */
   def bruteTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column): DataFrame = {
     val e = withNorm(s, emb)
     val q = e.filter(isQuery)
@@ -65,7 +68,6 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("nid"), Portable.roundK(col("cos_raw"), 4).as("cos"))
-      .orderBy(col("qid"), col("rk"))
   }
 
   private val bruteTopkOracle =
@@ -313,10 +315,18 @@ object Similarity {
   }
 
   /** The norm'd positional frame both train and query run on —
-    * (vec_id, embedding, nrm), lineage cut once. */
+    * (vec_id, embedding, nrm), lineage cut once. Training makes many
+    * passes over it, so the eager checkpoint pays for itself. */
   private[graft] def ivfpqPrep(s: SparkSession, emb: DataFrame): DataFrame =
     withNorm(s, emb)
       .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
+
+  /** Lazy prep for query-time callers (GraftOps.ivfpqQuery): no
+    * checkpoint — the returned plan scans the corpus on demand (twice,
+    * probe + rerank, both column-pruned), which at scale beats eagerly
+    * materializing the whole corpus on every query call. */
+  private[graft] def ivfpqPrepLazy(s: SparkSession, emb: DataFrame): DataFrame =
+    withNorm(s, emb).select(col("vec_id"), col("embedding"), col("nrm"))
 
   /** Training half: seed + Lloyd-refine the PQ codebook, refine the
     * coarse quantizer, encode the corpus. See ivfpqTopk scaladoc for
@@ -534,9 +544,15 @@ object Similarity {
     * that equality, the driver records a rows-only check (no oracle —
     * approximate family). Same per-sf/per-JVM temp-dir policy as
     * orc_roundtrip. */
-  def ivfpqIndexRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+  /** The roundtrip fixture's index directory for a given sf dir —
+    * shared with the spec's partition-layout assertion so the naming
+    * policy has exactly one definition. */
+  private[graft] def ivfpqRoundtripDir(d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivfpq_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+
+  def ivfpqIndexRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfpqRoundtripDir(d)
     val e = ivfpqPrep(s, Tables.embeddings(s, d))
     ivfpqSaveIndex(ivfpqTrainOf(s, e), dir)
     ivfpqQueryOf(s, e, ivfpqLoadIndex(s, dir), col("vec_id") < 20)

@@ -42,9 +42,15 @@ object IndexStreams {
     val dir = Paths.get(indexPath, "appends", f"batch-$batchId%05d")
     if (Files.exists(dir.resolve("_COMMITTED"))) false
     else {
-      Similarity.ivfpqEncodeBatch(spark, idx, batch, spill)
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(dir.resolve("codes").toString)
+      // an empty micro-batch (offset-only progress, recovered no-data
+      // batch) commits marker-only: writing an empty parquet dir would
+      // leave a schema-less directory that breaks every subsequent
+      // spark.read.parquet in loadIndexWithAppends
+      if (!batch.isEmpty) {
+        Similarity.ivfpqEncodeBatch(spark, idx, batch, spill)
+          .write.mode("overwrite").partitionBy("cluster")
+          .parquet(dir.resolve("codes").toString)
+      }
       Files.createDirectories(dir)
       Files.write(dir.resolve("_COMMITTED"), java.util.Arrays.asList(""))
       true
@@ -76,9 +82,18 @@ object IndexStreams {
       if (!Files.isDirectory(appendsDir)) Seq.empty[DataFrame]
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(appendsDir).iterator().asScala.toSeq
-          .filter(d => Files.exists(d.resolve("_COMMITTED")))
-          .sortBy(_.toString)
+        // Files.list holds an open DirectoryStream — close it (a
+        // periodically-reloading query service would otherwise leak
+        // one fd per reload)
+        val listing = Files.list(appendsDir)
+        val dirs =
+          try listing.iterator().asScala.toSeq.sortBy(_.toString)
+          finally listing.close()
+        dirs
+          // committed AND non-empty: marker-only dirs (empty batches)
+          // have no codes directory to read
+          .filter(d => Files.exists(d.resolve("_COMMITTED")) &&
+            Files.isDirectory(d.resolve("codes")))
           .map(d => spark.read.parquet(d.resolve("codes").toString))
       }
     base.copy(codes = (base.codes +: appended).reduce(_ unionByName _))

@@ -111,6 +111,14 @@ class NgramLmSpec extends SparkSpec {
     assert(out("empty") == ((1L, 0L, 0L)), s"empty: $out")
   }
 
+  test("pmi collocations degrade gracefully on an empty corpus") {
+    import spark.implicits._
+    // sum() over the empty unigram table is NULL — the driver-side
+    // corpus-total scalar must default to 0, not NPE
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(NgramLm.pmiCollocationsOf(empty).count() == 0)
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)

@@ -175,8 +175,7 @@ class OperatorSpec extends AnyFunSuite {
     // the persisted codes are cell-partitioned (cluster=N directories):
     // the on-disk analog of the probe — a loaded-index query is
     // eligible to prune to its nProbe cells instead of scanning all
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivfpq_${math.abs(sf.hashCode)}_${ProcessHandle.current().pid()}/codes")
+    val dir = new java.io.File(Similarity.ivfpqRoundtripDir(sf), "codes")
     val cells = Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
     assert(cells.nonEmpty, s"expected cluster= partition dirs under $dir")

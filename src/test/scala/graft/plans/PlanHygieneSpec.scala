@@ -90,6 +90,9 @@ class PlanHygieneSpec extends AnyFunSuite {
       "domainReputationOf" -> TextAnalysis.domainReputationOf(docs),
       "ivfpqTopkOf" -> Similarity.ivfpqTopkOf(spark, emb,
         org.apache.spark.sql.functions.col("vec_id") < 20),
+      "bruteTopkOf" -> Similarity.bruteTopkOf(spark, emb,
+        org.apache.spark.sql.functions.col("vec_id") < 20),
+      "quantizeInt8Of" -> Similarity.quantizeInt8Of(emb),
     )
     val offenders = forms.flatMap { case (name, df) =>
       val plan = df.queryExecution.executedPlan.toString

@@ -563,6 +563,13 @@ class StreamingSpec extends AnyFunSuite {
     Files.createDirectories(partial.resolve("codes"))
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
       2 * emb.count())
+    // an EMPTY batch commits marker-only (no schema-less parquet dir
+    // that would break every later load) and replays as a no-op
+    val empty = emb.filter(col("vec_id") < -1).select("vec_id", "embedding")
+    assert(IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L))
+    assert(!IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L))
+    assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
+      2 * emb.count(), "empty batch must not affect or break the index")
     // the union index answers queries end-to-end
     val got = Similarity.ivfpqQueryOf(spark,
       Similarity.ivfpqPrep(spark, emb), full, col("vec_id") < 20)
