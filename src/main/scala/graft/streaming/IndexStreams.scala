@@ -73,6 +73,19 @@ object IndexStreams {
       .start()
   }
 
+  /** Compaction: fold base + committed appends into a fresh index
+    * SNAPSHOT at `outPath` (merged cluster-partitioned codes + meta,
+    * written by ivfpqSaveIndex). The source index is left untouched —
+    * the caller swaps paths and deletes the old directory once the
+    * snapshot is complete, the standard immutable-snapshot pattern
+    * (an in-place merge would have a crash window where appends
+    * double-count against already-merged codes). Codebook and cells
+    * carry over unchanged; retraining against drift is a separate
+    * decision (ivfpqTrainOf on current data). */
+  def compactIndex(spark: SparkSession, indexPath: String,
+                   outPath: String): Unit =
+    Similarity.ivfpqSaveIndex(loadIndexWithAppends(spark, indexPath), outPath)
+
   /** Load base + every COMMITTED append as one queryable index
     * (uncommitted/partial append dirs are ignored by construction). */
   def loadIndexWithAppends(spark: SparkSession, indexPath: String): Similarity.IvfpqIndex = {

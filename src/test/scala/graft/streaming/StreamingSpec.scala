@@ -574,5 +574,20 @@ class StreamingSpec extends AnyFunSuite {
     val got = Similarity.ivfpqQueryOf(spark,
       Similarity.ivfpqPrep(spark, emb), full, col("vec_id") < 20)
     assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+    // compaction folds base + appends into a fresh standalone snapshot
+    // (source untouched) that loads without an appends dir and answers
+    // the same queries
+    val compactPath = tmp.resolve("index-compact").toString
+    IndexStreams.compactIndex(spark, idxPath, compactPath)
+    val compacted = Similarity.ivfpqLoadIndex(spark, compactPath)
+    assert(compacted.codes.count() == 2 * emb.count())
+    val gotC = Similarity.ivfpqQueryOf(spark,
+        Similarity.ivfpqPrep(spark, emb), compacted, col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotU = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotC == gotU, "compacted snapshot must answer identically")
+    // and the source index still loads with its appends intact
+    assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
+      2 * emb.count())
   }
 }
