@@ -179,6 +179,19 @@ class OperatorSpec extends AnyFunSuite {
     val cells = Option(dir.listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
     assert(cells.nonEmpty, s"expected cluster= partition dirs under $dir")
+    // and the payoff: the probe->codes join DYNAMICALLY prunes the
+    // cell-partitioned scan (PartitionFilters gains a dynamicpruning
+    // IN-subquery), so a loaded-index query reads ~nProbe/nCells of
+    // the index files at scale — pin it so a join/layout refactor
+    // can't silently lose the pruning
+    val loadedIdx = Similarity.ivfpqLoadIndex(spark,
+      Similarity.ivfpqRoundtripDir(sf))
+    val qplan = Similarity.ivfpqQueryOf(spark,
+        Similarity.ivfpqPrepLazy(spark, Tables.embeddings(spark, sf)),
+        loadedIdx, col("vec_id") < 20)
+      .queryExecution.executedPlan.toString
+    assert(qplan.toLowerCase.contains("dynamicpruning"),
+      s"loaded-index scan should be DPP-pruned:\n$qplan")
   }
 
   test("IVF-PQ append indexes new vectors with the frozen codebook at near-full recall") {
