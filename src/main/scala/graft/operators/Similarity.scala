@@ -289,9 +289,9 @@ object Similarity {
     * the 100 TB corpus, reuse across query sessions without
     * retraining (the incremental-dedup index policy applied to ANN). */
   case class IvfpqIndex(coarse: Seq[(Int, Seq[Float], Double)],
-                                       codebook: Seq[Seq[Float]],
-                                       m: Int, ksub: Int,
-                                       codes: DataFrame)
+                        codebook: Seq[Seq[Float]],
+                        m: Int, ksub: Int, dim: Int,
+                        codes: DataFrame)
 
   /** codes[s] = argmin_c ||v_s - cb[s*ksub+c]||^2, expanded to
     * ||cb||^2 - 2 v_s . cb so the inner loop is the codegen'd vec_dot.
@@ -334,8 +334,6 @@ object Similarity {
   private[graft] def ivfpqTrainOf(s: SparkSession, e: DataFrame,
                                   nCells: Int = 16, m: Int = 8,
                                   ksub: Int = 16, spill: Int = 2): IvfpqIndex = {
-    val dim = 64
-    val sub = dim / m
     // per-subspace seed codebook from the ksub hash-lowest ids' slices
     // (one TakeOrdered feeds all subspaces; decorrelation comes from the
     // Lloyd pass, not the seeds)
@@ -345,6 +343,16 @@ object Similarity {
         col("vec_id"))
       .limit(ksub)
       .collect().toSeq.map(_.getSeq[Float](1))
+    require(seedVecs.size == ksub,
+      s"IVF-PQ training needs at least ksub=$ksub vectors to seed the " +
+        s"codebook; the corpus has only ${seedVecs.size}")
+    // dim comes from the data, is persisted in the index meta, and
+    // drives every slice/probe downstream — a 128-dim corpus must not
+    // be silently encoded by its first 64 floats
+    val dim = seedVecs.head.size
+    require(dim % m == 0,
+      s"embedding dim $dim must be divisible by the PQ subspace count m=$m")
+    val sub = dim / m
     val seedCb: Seq[Seq[Float]] =
       for (ss <- 0 until m; c <- 0 until ksub)
         yield seedVecs(c).slice(ss * sub, (ss + 1) * sub)
@@ -388,7 +396,7 @@ object Similarity {
       .select(col("vec_id"), col("codes"))
       .join(assignCells(e, coarse, spill), Seq("vec_id"))
       .localCheckpoint()
-    IvfpqIndex(coarse, refined, m, ksub, codes)
+    IvfpqIndex(coarse, refined, m, ksub, dim, codes)
   }
 
   /** Query half: probe, ADC-rank the shortlist, exact re-rank. Runs
@@ -399,7 +407,7 @@ object Similarity {
     VectorOps.registerVecDot(s)
     val m = idx.m
     val ksub = idx.ksub
-    val sub = 64 / m
+    val sub = idx.dim / m
     val coarse = idx.coarse
     val refined = idx.codebook
     val codes = idx.codes
@@ -488,8 +496,9 @@ object Similarity {
     import s.implicits._
     val meta: Seq[(String, Int, Seq[Float], Double)] =
       idx.coarse.map { case (sid, v, n) => ("coarse", sid, v, n) } ++
-        idx.codebook.zipWithIndex.map { case (v, i) => ("cb", i, v, 0.0) } :+
-        (("param", idx.m, Seq.empty[Float], idx.ksub.toDouble))
+        idx.codebook.zipWithIndex.map { case (v, i) => ("cb", i, v, 0.0) } ++
+        Seq(("param", idx.m, Seq.empty[Float], idx.ksub.toDouble),
+          ("dim", idx.dim, Seq.empty[Float], 0.0))
     meta.toDF("kind", "id", "vec", "x")
       .coalesce(1).write.mode("overwrite").parquet(path + "/meta")
   }
@@ -506,7 +515,8 @@ object Similarity {
       .sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
     val p = meta.find(_.getString(0) == "param")
       .getOrElse(throw new IllegalStateException(s"no param row in $path/meta"))
-    IvfpqIndex(coarse, cb, p.getInt(1), p.getDouble(3).toInt,
+    val dim = meta.find(_.getString(0) == "dim").map(_.getInt(1)).getOrElse(64)
+    IvfpqIndex(coarse, cb, p.getInt(1), p.getDouble(3).toInt, dim,
       s.read.parquet(path + "/codes"))
   }
 
@@ -533,7 +543,7 @@ object Similarity {
                        spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = ivfpqPrep(s, newEmb)
-    pqEncode(e, idx.codebook, idx.m, idx.ksub, 64 / idx.m)
+    pqEncode(e, idx.codebook, idx.m, idx.ksub, idx.dim / idx.m)
       .select(col("vec_id"), col("codes"))
       .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
   }
@@ -870,6 +880,12 @@ object Similarity {
           "ELSE array_max(zip_with(embedding, codes, " +
           "(v, c) -> abs(CAST(v AS DOUBLE) - c * maxabs / 127))) END"))
       .select(col("vec_id"), col("codes"),
+        // full-precision scale for consumers: dequantize as
+        // codes * scale. The e9 summaries below are the ORACLE face —
+        // fixed-point integers floor to 0 below maxabs ~6.35e-8, so a
+        // tiny-but-nonzero vector dequantized via scale_e9 would
+        // collapse to zeros and collide with the zero-vector signature
+        expr("maxabs / 127").as("scale"),
         expr("CAST(floor(maxabs / 127 * 1000000000D + 0.5D) AS BIGINT)")
           .as("scale_e9"),
         expr("CAST(aggregate(codes, 0L, (a, c) -> a + abs(c)) AS BIGINT)")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -17,29 +17,45 @@ import graft.operators.Similarity
   * index.
   *
   * Exactly-once: foreachBatch is at-least-once, so each batch writes
-  * into its own `appends/batch-<id>` directory and marks completion
-  * with a `_COMMITTED` file written AFTER the parquet lands (the
-  * writeBatchToShare policy, EventStreams.scala) — a batch replayed
-  * after a crash-before-checkpoint either finds the marker and skips,
-  * or overwrites the partial uncommitted directory and commits. A
-  * reader only ever sees committed appends, so a crash mid-write is
-  * invisible.
+  * into its own `appends/<tag>-batch-<id>` directory and marks
+  * completion with a `_COMMITTED` file written AFTER the parquet lands
+  * (a commit MARKER, cousin of EventStreams.writeBatchToShare's
+  * `_MANIFEST`, which doubles as a file inventory — the two sinks
+  * share the per-batch-dir + marker protocol, not the marker format) —
+  * a batch replayed after a crash-before-checkpoint either finds the
+  * marker and skips, or overwrites the partial uncommitted directory
+  * and commits. A reader only ever sees committed appends, so a crash
+  * mid-write is invisible. The `tag` is derived from the CHECKPOINT
+  * path because batchIds are only unique per checkpoint: a stream
+  * restarted on a fresh checkpoint (or a second stream feeding the
+  * same index) restarts batch numbering at 0, and an untagged dir
+  * name would collide with the old run's committed batch 0 and
+  * silently drop the new data.
   *
   * Freshness/drift: appends inherit the frozen codebook's drift trade
-  * (see ivfpqAppendOf); compaction = periodically fold appends into a
-  * retrained base via ivfpqTrainOf + ivfpqSaveIndex and delete the
-  * appends dir.
+  * (see ivfpqAppendOf); compactIndex folds base + appends into a fresh
+  * snapshot; retraining against drift is ivfpqTrainOf + ivfpqSaveIndex
+  * on current data.
   */
 object IndexStreams {
 
+  /** Stable per-stream tag from the checkpoint path (batchIds are
+    * scoped to a checkpoint; the tag scopes the append dirs the same
+    * way). Same checkpoint → same tag across restarts. */
+  private[streaming] def streamTag(checkpoint: String): String =
+    f"${graft.functions.Portable.hash60Jvm(checkpoint) & 0xffffffffL}%08x"
+
+  private def batchDir(indexPath: String, tag: String, batchId: Long): Path =
+    Paths.get(indexPath, "appends", f"$tag%s-batch-$batchId%05d")
+
   /** Encode one micro-batch against the frozen index and commit it as
-    * `appends/batch-<id>` (cluster-partitioned like the base codes).
-    * Returns whether this call wrote (false = replay of a committed
-    * batch, skipped). */
+    * `appends/<tag>-batch-<id>` (cluster-partitioned like the base
+    * codes). Returns whether this call wrote (false = replay of a
+    * committed batch, skipped). */
   def appendBatch(spark: SparkSession, idx: Similarity.IvfpqIndex,
                   batch: DataFrame, indexPath: String, batchId: Long,
-                  spill: Int = 2): Boolean = {
-    val dir = Paths.get(indexPath, "appends", f"batch-$batchId%05d")
+                  spill: Int = 2, tag: String = "solo"): Boolean = {
+    val dir = batchDir(indexPath, tag, batchId)
     if (Files.exists(dir.resolve("_COMMITTED"))) false
     else {
       // an empty micro-batch (offset-only progress, recovered no-data
@@ -65,10 +81,11 @@ object IndexStreams {
                         indexPath: String, checkpoint: String,
                         spill: Int = 2): StreamingQuery = {
     val idx = Similarity.ivfpqLoadIndex(spark, indexPath)
+    val tag = streamTag(checkpoint)
     embStream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(spark, idx, batch, indexPath, batchId, spill): Unit
+        appendBatch(spark, idx, batch, indexPath, batchId, spill, tag): Unit
       }
       .start()
   }
@@ -79,36 +96,54 @@ object IndexStreams {
     * the caller swaps paths and deletes the old directory once the
     * snapshot is complete, the standard immutable-snapshot pattern
     * (an in-place merge would have a crash window where appends
-    * double-count against already-merged codes). Codebook and cells
-    * carry over unchanged; retraining against drift is a separate
-    * decision (ivfpqTrainOf on current data). */
+    * double-count against already-merged codes).
+    *
+    * The snapshot CARRIES the source's commit markers forward as
+    * marker-only append dirs: a batch that was committed but whose
+    * stream offset was not yet checkpointed will replay after the
+    * path swap, and without its marker under the new path it would
+    * append a second time — double-counting the batch the compaction
+    * already merged. Marker-only dirs cost one empty file each and
+    * readers skip them (no codes/). Codebook and cells carry over
+    * unchanged; retraining against drift is a separate decision
+    * (ivfpqTrainOf on current data). */
   def compactIndex(spark: SparkSession, indexPath: String,
-                   outPath: String): Unit =
+                   outPath: String): Unit = {
     Similarity.ivfpqSaveIndex(loadIndexWithAppends(spark, indexPath), outPath)
+    committedAppendDirs(indexPath).foreach { d =>
+      val marker = Paths.get(outPath, "appends", d.getFileName.toString)
+      Files.createDirectories(marker)
+      Files.write(marker.resolve("_COMMITTED"), java.util.Arrays.asList(""))
+    }
+  }
+
+  /** Committed append dirs under an index path, in name order. */
+  private def committedAppendDirs(indexPath: String): Seq[Path] = {
+    val appendsDir = Paths.get(indexPath, "appends")
+    if (!Files.isDirectory(appendsDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      // Files.list holds an open DirectoryStream — close it (a
+      // periodically-reloading query service would otherwise leak
+      // one fd per reload)
+      val listing = Files.list(appendsDir)
+      val dirs =
+        try listing.iterator().asScala.toSeq.sortBy(_.toString)
+        finally listing.close()
+      dirs.filter(d => Files.exists(d.resolve("_COMMITTED")))
+    }
+  }
 
   /** Load base + every COMMITTED append as one queryable index
-    * (uncommitted/partial append dirs are ignored by construction). */
+    * (uncommitted/partial and marker-only append dirs are ignored by
+    * construction). */
   def loadIndexWithAppends(spark: SparkSession, indexPath: String): Similarity.IvfpqIndex = {
     val base = Similarity.ivfpqLoadIndex(spark, indexPath)
-    val appendsDir = Paths.get(indexPath, "appends")
-    val appended =
-      if (!Files.isDirectory(appendsDir)) Seq.empty[DataFrame]
-      else {
-        import scala.jdk.CollectionConverters._
-        // Files.list holds an open DirectoryStream — close it (a
-        // periodically-reloading query service would otherwise leak
-        // one fd per reload)
-        val listing = Files.list(appendsDir)
-        val dirs =
-          try listing.iterator().asScala.toSeq.sortBy(_.toString)
-          finally listing.close()
-        dirs
-          // committed AND non-empty: marker-only dirs (empty batches)
-          // have no codes directory to read
-          .filter(d => Files.exists(d.resolve("_COMMITTED")) &&
-            Files.isDirectory(d.resolve("codes")))
-          .map(d => spark.read.parquet(d.resolve("codes").toString))
-      }
+    val appended = committedAppendDirs(indexPath)
+      // committed AND non-empty: marker-only dirs (empty batches,
+      // compaction-carried markers) have no codes directory to read
+      .filter(d => Files.isDirectory(d.resolve("codes")))
+      .map(d => spark.read.parquet(d.resolve("codes").toString))
     base.copy(codes = (base.codes +: appended).reduce(_ unionByName _))
   }
 }

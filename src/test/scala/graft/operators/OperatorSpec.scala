@@ -103,7 +103,7 @@ class OperatorSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val deq = Similarity.quantizeInt8Of(emb)
       .select(col("vec_id"),
-        expr("transform(codes, c -> CAST(c * (scale_e9 / 1000000000D) AS FLOAT))")
+        expr("transform(codes, c -> CAST(c * scale AS FLOAT))")
           .as("embedding"))
     val brute = Similarity.bruteTopkOf(spark, emb, col("vec_id") < 20)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -213,6 +213,14 @@ class OperatorSpec extends AnyFunSuite {
     info(f"append-index agreement with full-trained index: $agree%.3f")
     // frozen half-corpus codebook vs full retrain: the stated drift gap
     assert(agree >= 0.75, s"append-index agreement $agree below floor")
+  }
+
+  test("IVF-PQ training fails descriptively when the corpus can't seed the codebook") {
+    val tiny = Tables.embeddings(spark, sf).limit(5)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfpqTrainOf(spark, Similarity.ivfpqPrep(spark, tiny))
+    }
+    assert(ex.getMessage.contains("ksub"), s"got: ${ex.getMessage}")
   }
 
   test("hash60 JVM and Column implementations agree") {

@@ -541,9 +541,10 @@ class StreamingSpec extends AnyFunSuite {
     val odd = emb.filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect().toSeq
     val in = MemoryStream[(Long, Seq[Float])]
+    val ckpt = tmp.resolve("ckpt").toString
+    val tag = IndexStreams.streamTag(ckpt)
     val q = IndexStreams.indexAppendStream(spark,
-      in.toDF().toDF("vec_id", "embedding"), idxPath,
-      tmp.resolve("ckpt").toString)
+      in.toDF().toDF("vec_id", "embedding"), idxPath, ckpt)
     val (b1, b2) = odd.splitAt(odd.size / 2)
     in.addData(b1: _*); q.processAllAvailable()
     in.addData(b2: _*); q.processAllAvailable()
@@ -552,42 +553,61 @@ class StreamingSpec extends AnyFunSuite {
     val full = IndexStreams.loadIndexWithAppends(spark, idxPath)
     assert(full.codes.select("vec_id").distinct().count() == emb.count())
     assert(full.codes.count() == 2 * emb.count(), "each id indexed spill x")
-    // replaying a committed batch is a no-op (crash-before-checkpoint guard)
+    // replaying a committed batch is a no-op (crash-before-checkpoint
+    // guard) — same checkpoint tag, same batchId
     val idx = Similarity.ivfpqLoadIndex(spark, idxPath)
     assert(!IndexStreams.appendBatch(spark, idx, b1.toDF("vec_id", "embedding"),
-      idxPath, 0L))
+      idxPath, 0L, tag = tag))
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
       2 * emb.count(), "replay must not duplicate rows")
+    // but the SAME batchId from a DIFFERENT checkpoint (fresh-checkpoint
+    // restart, or a second ingest stream) is new data, not a replay —
+    // batchIds are only unique per checkpoint, so the dirs are tagged
+    val oneRow = emb.filter(col("vec_id") === 0).select("vec_id", "embedding")
+    assert(IndexStreams.appendBatch(spark, idx, oneRow, idxPath, 0L,
+      tag = IndexStreams.streamTag(tmp.resolve("ckpt2").toString)))
+    assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
+      2 * emb.count() + 2, "a new stream's batch 0 must land, not be dropped")
     // an uncommitted (markerless) append dir is invisible to readers
-    val partial = tmp.resolve("index/appends/batch-00099")
+    val partial = tmp.resolve(s"index/appends/$tag-batch-00099")
     Files.createDirectories(partial.resolve("codes"))
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
-      2 * emb.count())
+      2 * emb.count() + 2)
     // an EMPTY batch commits marker-only (no schema-less parquet dir
     // that would break every later load) and replays as a no-op
     val empty = emb.filter(col("vec_id") < -1).select("vec_id", "embedding")
-    assert(IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L))
-    assert(!IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L))
+    assert(IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L, tag = tag))
+    assert(!IndexStreams.appendBatch(spark, idx, empty, idxPath, 50L, tag = tag))
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
-      2 * emb.count(), "empty batch must not affect or break the index")
+      2 * emb.count() + 2, "empty batch must not affect or break the index")
     // the union index answers queries end-to-end
     val got = Similarity.ivfpqQueryOf(spark,
       Similarity.ivfpqPrep(spark, emb), full, col("vec_id") < 20)
     assert(got.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
     // compaction folds base + appends into a fresh standalone snapshot
-    // (source untouched) that loads without an appends dir and answers
-    // the same queries
+    // (source untouched) that answers the same queries
     val compactPath = tmp.resolve("index-compact").toString
     IndexStreams.compactIndex(spark, idxPath, compactPath)
     val compacted = Similarity.ivfpqLoadIndex(spark, compactPath)
-    assert(compacted.codes.count() == 2 * emb.count())
+    assert(compacted.codes.count() == 2 * emb.count() + 2)
     val gotC = Similarity.ivfpqQueryOf(spark,
         Similarity.ivfpqPrep(spark, emb), compacted, col("vec_id") < 20)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val gotU = got.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotU = Similarity.ivfpqQueryOf(spark,
+        Similarity.ivfpqPrep(spark, emb),
+        IndexStreams.loadIndexWithAppends(spark, idxPath), col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(gotC == gotU, "compacted snapshot must answer identically")
+    // the snapshot carries the source's commit markers: a batch that
+    // committed before compaction but replays after the path swap
+    // (offset not yet checkpointed) must be skipped, not double-applied
+    assert(!IndexStreams.appendBatch(spark, idx, b1.toDF("vec_id", "embedding"),
+      compactPath, 0L, tag = tag),
+      "compaction must carry commit markers so pre-compaction batches don't replay")
+    assert(IndexStreams.loadIndexWithAppends(spark, compactPath).codes.count() ==
+      2 * emb.count() + 2)
     // and the source index still loads with its appends intact
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
-      2 * emb.count())
+      2 * emb.count() + 2)
   }
 }
