@@ -278,4 +278,31 @@ class GraftOpsSpec extends AnyFunSuite {
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("embedding-storage and index-lifecycle facade composes end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // quantize: codes + full-precision scale + e9 summaries, one row per vector
+    val qz = GraftOps.quantizeInt8(emb)
+    assert(qz.columns.toSeq ==
+      Seq("vec_id", "codes", "scale", "scale_e9", "l1_codes", "maxerr_e9"))
+    assert(qz.count() == emb.count())
+    // LM tiers over a trivial self-LM: every doc fully matches -> head only
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tiers = GraftOps.lmQualityTiers(docs, docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiers.keySet.subsetOf(Set("head", "middle", "tail", "empty")))
+    assert(tiers.getOrElse("head", 0L) > 0)
+    // train -> save -> load -> append -> query through the facade only
+    val half = emb.filter(col("vec_id") < 20 || col("vec_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graftops-idx").toString
+    GraftOps.ivfpqSave(GraftOps.ivfpqTrain(half), dir)
+    val loaded = GraftOps.ivfpqLoad(spark, dir)
+    assert(loaded.dim == 64 && loaded.m == 8)
+    val appended = GraftOps.ivfpqAppend(loaded,
+      emb.filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1))
+    assert(appended.codes.select("vec_id").distinct().count() == emb.count())
+    val top = GraftOps.ivfpqQuery(appended, emb, col("vec_id") < 20)
+    assert(top.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+  }
 }
