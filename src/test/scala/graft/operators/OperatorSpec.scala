@@ -215,6 +215,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(agree >= 0.75, s"append-index agreement $agree below floor")
   }
 
+  test("IVF-PQ handles non-64-dim embeddings end-to-end (dim from data, not a literal)") {
+    import spark.implicits._
+    // 128-dim corpus: before dim was data-derived, slice(emb, s*8+1, 8)
+    // silently encoded only the first 64 floats
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, IndexedSeq.fill(128)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.ivfpqPrep(spark, emb)
+    val idx = Similarity.ivfpqTrainOf(spark, e, nCells = 4)
+    assert(idx.dim == 128 && idx.codebook.head.size == 128 / idx.m)
+    // probe every cell with an unbounded-deep shortlist: the ADC stage
+    // admits the whole corpus, so the exact re-rank must EQUAL brute
+    // force — any truncated-dim encoding would break the equality
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rk", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val got = key(Similarity.ivfpqQueryOf(spark, e, idx,
+      col("vec_id") < 10, nProbe = 4, rerank = 1000))
+    val brute = key(Similarity.bruteTopkOf(spark, emb, col("vec_id") < 10))
+    assert(got == brute, "full-probe IVF-PQ must match brute force at 128 dims")
+  }
+
   test("IVF-PQ training fails descriptively when the corpus can't seed the codebook") {
     val tiny = Tables.embeddings(spark, sf).limit(5)
     val ex = intercept[IllegalArgumentException] {
