@@ -427,6 +427,13 @@ object GraftOps {
     graft.operators.NgramLm.lmQualityTiersOf(docs, lmDocs,
       headPermille, middlePermille)
 
+  /** Corpus-saturation curve: distinct n-gram TYPES a batch adds over
+    * a corpus, per order — novelty collapsing toward 0‰ at orders 2-3
+    * means more of the source buys no new language. */
+  def ngramNovelty(corpus: DataFrame, batch: DataFrame,
+                   maxN: Int = 3): DataFrame =
+    graft.operators.NgramLm.ngramNoveltyOf(corpus, batch, maxN)
+
   // ---- embedding storage / index lifecycle ----
 
   /** Symmetric per-vector int8 scalar quantization of `embedding`:

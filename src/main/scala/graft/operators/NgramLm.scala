@@ -429,6 +429,74 @@ object NgramLm {
       |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus-saturation / novelty curve: how many DISTINCT n-gram TYPES
+    * a candidate batch adds on top of an existing corpus, per gram
+    * order — the diminishing-returns metric a crawl-ingest pipeline
+    * tracks to decide whether more of a source is still buying new
+    * language (novelty collapsing toward 0‰ at orders 2-3 = the source
+    * is saturated/mirrored; fresh domains hold high trigram novelty
+    * long after unigram novelty flattens).
+    *
+    * Scale shape: ONE multi-order explode per side (the
+    * ngramDiversity pattern) → distinct TYPE tables keyed on
+    * (n, 60-bit gram hash) — types ≪ occurrences, the distinct agg is
+    * map-side combined; novelty is a (n,h)-keyed LEFT join of batch
+    * types against corpus types (no gram text in any exchange)
+    * feeding a 3-row aggregate. Counts are types, not occurrences, so
+    * both sides collapse before the join. Hash collisions: the house
+    * ~n²/2^61 budget; the oracle joins on gram STRINGS. */
+  def ngramNoveltyOf(corpus: DataFrame, batch: DataFrame,
+                     maxN: Int = 3): DataFrame = {
+    def types(docs: DataFrame) = docs
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxN), n ->
+           |  CASE WHEN size(ws) >= n THEN
+           |    transform(sequence(0, size(ws) - n),
+           |      k -> struct(n AS n, concat_ws(' ', slice(ws, k + 1, n)) AS g))
+           |  ELSE array() END))""".stripMargin)).as("t"))
+      .select(col("t.n").as("n"),
+        graft.functions.Portable.hash60(col("t.g")).as("h"))
+      .distinct()
+    types(batch)
+      .join(types(corpus).withColumn("seen", lit(1)), Seq("n", "h"), "left")
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("batch_types"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("new_types"))
+      .select(col("n"), col("batch_types"), col("new_types"),
+        expr("CAST(new_types * 1000 DIV batch_types AS BIGINT)")
+          .as("novelty_permille"))
+  }
+
+  /** Oracle fixture: corpus = src0-src9 (the lm_backoff_hits slice),
+    * batch = every other source. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val inLm = substring(col("source"), 4, 10).cast("int") < 10
+    ngramNoveltyOf(docs.filter(inLm), docs.filter(!inLm))
+      .orderBy(col("n"))
+  }
+
+  private val ngramNoveltyOracle =
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |e AS (SELECT source, ws, unnest([1, 2, 3]) AS n FROM w),
+      |p AS (SELECT source, ws, n, unnest(range(len(ws) - n + 1)) AS k
+      |      FROM e WHERE len(ws) >= n),
+      |g AS (SELECT source, n,
+      |        array_to_string(list_slice(ws, k + 1, k + n), ' ') AS gram
+      |      FROM p),
+      |corpus AS (SELECT DISTINCT n, gram FROM g
+      |           WHERE CAST(substr(source, 4) AS INT) < 10),
+      |batch AS (SELECT DISTINCT n, gram FROM g
+      |          WHERE CAST(substr(source, 4) AS INT) >= 10)
+      |SELECT CAST(b.n AS INT) AS n,
+      |  CAST(count(*) AS BIGINT) AS batch_types,
+      |  CAST(sum(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+      |  CAST(sum(CASE WHEN c.gram IS NULL THEN 1 ELSE 0 END) * 1000
+      |    // count(*) AS BIGINT) AS novelty_permille
+      |FROM batch b LEFT JOIN corpus c ON b.n = c.n AND b.gram = c.gram
+      |GROUP BY b.n ORDER BY n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_counts"          -> (ngramCounts _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
@@ -437,6 +505,7 @@ object NgramLm {
     "ngram_diversity"       -> (ngramDiversity _),
     "pmi_collocations"      -> (pmiCollocations _),
     "lm_quality_tiers"      -> (lmQualityTiers _),
+    "ngram_novelty"         -> (ngramNovelty _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +516,6 @@ object NgramLm {
     "ngram_diversity"       -> ngramDiversityOracle,
     "pmi_collocations"      -> pmiCollocationsOracle,
     "lm_quality_tiers"      -> lmQualityTiersOracle,
+    "ngram_novelty"         -> ngramNoveltyOracle,
   )
 }

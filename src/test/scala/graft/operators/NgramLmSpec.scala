@@ -111,6 +111,20 @@ class NgramLmSpec extends SparkSpec {
     assert(out("empty") == ((1L, 0L, 0L)), s"empty: $out")
   }
 
+  test("ngram novelty counts new TYPES per order against a corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val batch = Seq((2L, "a b d")).toDF("doc_id", "text")
+    val out = NgramLm.ngramNoveltyOf(corpus, batch).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // unigrams: batch types {a,b,d}, new {d} -> 333 permille
+    assert(out(1) == ((3L, 1L, 333L)), s"n=1: $out")
+    // bigrams: {"a b","b d"}, new {"b d"} -> 500
+    assert(out(2) == ((2L, 1L, 500L)))
+    // trigrams: {"a b d"} all new -> 1000
+    assert(out(3) == ((1L, 1L, 1000L)))
+  }
+
   test("pmi collocations degrade gracefully on an empty corpus") {
     import spark.implicits._
     // sum() over the empty unigram table is NULL — the driver-side
