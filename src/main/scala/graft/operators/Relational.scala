@@ -676,10 +676,38 @@ object Relational {
   private val orcRoundtripOracle =
     """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
 
+  /** XML file roundtrip over the documents table — Spark 4's built-in
+    * XML source (the spark-xml package folded into core), the
+    * interchange format enterprise feeds still ship. Reader schema
+    * inference widens everything it can, so the read side re-selects
+    * with explicit casts; `ignoreSurroundingSpaces=false` preserves
+    * text verbatim (the default trims, which would break the
+    * byte-exact oracle compare). Same per-sf/per-JVM temp-dir policy
+    * as orc_roundtrip. */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_xml_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "documents").option("rowTag", "doc").save(dir)
+    s.read.format("xml")
+      .option("rowTag", "doc")
+      .option("ignoreSurroundingSpaces", "false")
+      .load(dir)
+      .select(col("doc_id").cast("long"), col("lang").cast("string"),
+        col("source").cast("string"), col("text").cast("string"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val xmlRoundtripOracle =
+    """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
     "jsonl_roundtrip"        -> (jsonlRoundtrip _),
     "orc_roundtrip"          -> (orcRoundtrip _),
+    "xml_roundtrip"          -> (xmlRoundtrip _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
@@ -713,6 +741,7 @@ object Relational {
     "csv_roundtrip"          -> csvRoundtripOracle,
     "jsonl_roundtrip"        -> jsonlRoundtripOracle,
     "orc_roundtrip"          -> orcRoundtripOracle,
+    "xml_roundtrip"          -> xmlRoundtripOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,
