@@ -1,0 +1,66 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WET-style crawl-record format: the multi-record plain-text shape
+  * web-crawl dumps ship (a version line, a header block, a blank line,
+  * then the payload — one record per document, concatenated). This is
+  * the ingest format a crawl-based LLM corpus actually arrives in, and
+  * the third text interchange codec beside CsvCodec / JsonlCodec.
+  *
+  * Distributed on both directions: write is a narrow projection to one
+  * record string per row through the text datasource; read splits
+  * records with the datasource's custom `lineSep` (no driver-side
+  * parsing, no mapPartitions) and parses headers/payload with
+  * expression-only ops, so both sides scale as plain scans.
+  *
+  * Payload fidelity: the payload is sliced by the Content-Length
+  * header (character count — real WET uses bytes; characters keep the
+  * slicing expression-portable), so internal newlines, blank lines and
+  * the writer's record-joining newline are all handled exactly. The
+  * ONE caveat, inherent to delimiter-split reading: a payload
+  * containing the record delimiter sequence ("\nWET/1.0\n") splits the
+  * record — the same class of constraint CSV places on unquoted
+  * payloads. Real WARC readers avoid it by honoring Content-Length
+  * with a custom record reader; at that point the split happens at
+  * arbitrary offsets and needs a length-aware input format, which this
+  * codec deliberately does not replace. The spec pins the documented
+  * failure mode.
+  */
+object WetCodec {
+
+  private val Version = "WET/1.0"
+
+  /** (doc_id, lang, source, text) → WET records under `dir`. */
+  def write(docs: DataFrame, dir: String): Unit =
+    docs.select(concat(
+        lit(Version + "\n"),
+        lit("Doc-Id: "), col("doc_id").cast("string"), lit("\n"),
+        lit("Lang: "), col("lang"), lit("\n"),
+        lit("Source: "), col("source"), lit("\n"),
+        lit("Content-Length: "), length(col("text")).cast("string"),
+        lit("\n\n"), col("text")).as("value"))
+      .write.mode("overwrite").option("compression", "none").text(dir)
+
+  /** WET records under `dir` → (doc_id, lang, source, text). */
+  def read(s: SparkSession, dir: String): DataFrame = {
+    // lineSep splits BETWEEN records; the first record of each file
+    // keeps its leading version line — strip it so records are uniform
+    val rec = s.read.option("lineSep", "\n" + Version + "\n").text(dir)
+      .select(regexp_replace(col("value"),
+        "^" + java.util.regex.Pattern.quote(Version) + "\n", "").as("rec"))
+    rec.select(
+      expr("CAST(regexp_extract(rec, '(?m)^Doc-Id: ([0-9]+)$', 1) AS BIGINT)")
+        .as("doc_id"),
+      expr("regexp_extract(rec, '(?m)^Lang: ([^\\n]*)$', 1)").as("lang"),
+      expr("regexp_extract(rec, '(?m)^Source: ([^\\n]*)$', 1)").as("source"),
+      // payload = Content-Length chars after the first blank line —
+      // exact under internal newlines AND the writer's trailing join
+      // newline on each file's last record
+      expr("substring(" +
+        "substring(rec, length(substring_index(rec, '\\n\\n', 1)) + 3), " +
+        "1, CAST(regexp_extract(rec, '(?m)^Content-Length: ([0-9]+)$', 1) AS INT))")
+        .as("text"))
+  }
+}

@@ -703,11 +703,29 @@ object Relational {
   private val xmlRoundtripOracle =
     """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
 
+  /** WET crawl-record roundtrip over the documents table — the
+    * multi-record text format crawl corpora arrive in (see
+    * connect/WetCodec.scala for the record grammar and the
+    * Content-Length payload-slicing fidelity story). Same
+    * per-sf/per-JVM temp-dir policy as orc_roundtrip. */
+  def wetRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_wet_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+    graft.connect.WetCodec.write(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")), dir)
+    graft.connect.WetCodec.read(s, dir).orderBy(col("doc_id"))
+  }
+
+  private val wetRoundtripOracle =
+    """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
     "jsonl_roundtrip"        -> (jsonlRoundtrip _),
     "orc_roundtrip"          -> (orcRoundtrip _),
     "xml_roundtrip"          -> (xmlRoundtrip _),
+    "wet_roundtrip"          -> (wetRoundtrip _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
@@ -742,6 +760,7 @@ object Relational {
     "jsonl_roundtrip"        -> jsonlRoundtripOracle,
     "orc_roundtrip"          -> orcRoundtripOracle,
     "xml_roundtrip"          -> xmlRoundtripOracle,
+    "wet_roundtrip"          -> wetRoundtripOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,
