@@ -32,8 +32,11 @@ object WetCodec {
 
   private val Version = "WET/1.0"
 
-  /** (doc_id, lang, source, text) → WET records under `dir`. */
-  def write(docs: DataFrame, dir: String): Unit =
+  /** (doc_id, lang, source, text) → WET records under `dir`.
+    * `codec` "gzip" matches how crawl dumps actually ship (wet.gz);
+    * the text datasource decompresses transparently on read, including
+    * under the custom lineSep record split. */
+  def write(docs: DataFrame, dir: String, codec: String = "none"): Unit =
     docs.select(concat(
         lit(Version + "\n"),
         lit("Doc-Id: "), col("doc_id").cast("string"), lit("\n"),
@@ -41,7 +44,7 @@ object WetCodec {
         lit("Source: "), col("source"), lit("\n"),
         lit("Content-Length: "), length(col("text")).cast("string"),
         lit("\n\n"), col("text")).as("value"))
-      .write.mode("overwrite").option("compression", "none").text(dir)
+      .write.mode("overwrite").option("compression", codec).text(dir)
 
   /** WET records under `dir` → (doc_id, lang, source, text). */
   def read(s: SparkSession, dir: String): DataFrame = {

@@ -224,5 +224,14 @@ class WetCodecSpec extends AnyFunSuite {
     WetCodec.write(bad, dir2)
     assert(WetCodec.read(spark, dir2).count() != 1,
       "a delimiter-colliding payload must visibly split, not silently roundtrip")
+    // gzip (how crawl dumps actually ship): transparent decompression
+    // must compose with the custom-lineSep record split
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-wet-gz").toString
+    WetCodec.write(docs, dir3, codec = "gzip")
+    val gzFiles = new java.io.File(dir3).listFiles().filter(_.getName.endsWith(".gz"))
+    assert(gzFiles.nonEmpty, "gzip write should produce .gz part files")
+    val backGz = WetCodec.read(spark, dir3).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(backGz.toSeq == orig.toSeq)
   }
 }
