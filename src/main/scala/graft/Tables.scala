@@ -53,7 +53,16 @@ object Tables {
     * values. The legacy conf is scoped: set only for the duration of the
     * read and restored afterward, so loading events does not permanently
     * mutate session state. Any third layout fails loudly here (and in
-    * TablesSpec's layout fixtures) rather than in 19 query rows. */
+    * TablesSpec's layout fixtures) rather than in 19 query rows.
+    *
+    * Execution-time assumption, stated explicitly: the conf is restored
+    * BEFORE the returned lazy plan executes. This is sound today because
+    * the nanos mapping is resolved at eager schema inference (verified:
+    * collect-after-restore succeeds, TablesSpec), but it depends on the
+    * parquet scan not re-reading session conf at execution time — a
+    * behavior a future Spark upgrade could change. TablesSpec's layout
+    * fixtures are the canary: they collect a nanos-layout file through
+    * this loader and would fail within seconds of such a shift. */
   /** Serializes events()'s conf set/load/restore window: two concurrent
     * first loads could otherwise interleave one thread's restore into
     * the other's schema inference (the nanos layout would throw

@@ -35,13 +35,23 @@ object WetCodec {
   /** (doc_id, lang, source, text) → WET records under `dir`.
     * `codec` "gzip" matches how crawl dumps actually ship (wet.gz);
     * the text datasource decompresses transparently on read, including
-    * under the custom lineSep record split. */
+    * under the custom lineSep record split.
+    *
+    * Header injection: a newline embedded in a header VALUE would split
+    * the header block and silently corrupt record framing (empty/wrong
+    * extracted fields on read), so lang/source are sanitized — CR/LF
+    * collapse to a single space — before they enter the record. The
+    * payload keeps its newlines verbatim (Content-Length covers them);
+    * only the header line discipline is enforced. */
+  private def hdr(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "[\\r\\n]+", " ")
+
   def write(docs: DataFrame, dir: String, codec: String = "none"): Unit =
     docs.select(concat(
         lit(Version + "\n"),
         lit("Doc-Id: "), col("doc_id").cast("string"), lit("\n"),
-        lit("Lang: "), col("lang"), lit("\n"),
-        lit("Source: "), col("source"), lit("\n"),
+        lit("Lang: "), hdr(col("lang")), lit("\n"),
+        lit("Source: "), hdr(col("source")), lit("\n"),
         lit("Content-Length: "), length(col("text")).cast("string"),
         lit("\n\n"), col("text")).as("value"))
       .write.mode("overwrite").option("compression", codec).text(dir)

@@ -399,12 +399,24 @@ object Similarity {
     IvfpqIndex(coarse, refined, m, ksub, dim, codes)
   }
 
+  /** Per-row dim guard against a persisted index's geometry: querying
+    * or appending a frame whose embedding dim differs from idx.dim
+    * would silently SLICE vectors into wrong codes/probes (the slice
+    * exprs are dim-parameterized) — fail loudly instead, mirroring the
+    * training-side `dim % m` guard. A narrow assert_true filter: zero
+    * cost on matching rows, and the error message carries both dims. */
+  private def requireDim(df: DataFrame, dim: Int): DataFrame =
+    df.filter(assert_true(size(col("embedding")) === lit(dim),
+      concat(lit(s"embedding dim mismatch: index expects $dim, frame has "),
+        size(col("embedding")))).isNull)
+
   /** Query half: probe, ADC-rank the shortlist, exact re-rank. Runs
     * identically on a freshly trained or a loaded index. */
-  private[graft] def ivfpqQueryOf(s: SparkSession, e: DataFrame, idx: IvfpqIndex,
+  private[graft] def ivfpqQueryOf(s: SparkSession, eIn: DataFrame, idx: IvfpqIndex,
                                   isQuery: Column, nProbe: Int = 6,
                                   rerank: Int = 96): DataFrame = {
     VectorOps.registerVecDot(s)
+    val e = requireDim(eIn, idx.dim)
     val m = idx.m
     val ksub = idx.ksub
     val sub = idx.dim / m
@@ -542,7 +554,7 @@ object Similarity {
   def ivfpqEncodeBatch(s: SparkSession, idx: IvfpqIndex, newEmb: DataFrame,
                        spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
-    val e = ivfpqPrep(s, newEmb)
+    val e = ivfpqPrep(s, requireDim(newEmb, idx.dim))
     pqEncode(e, idx.codebook, idx.m, idx.ksub, idx.dim / idx.m)
       .select(col("vec_id"), col("codes"))
       .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))

@@ -41,9 +41,13 @@ object IndexStreams {
 
   /** Stable per-stream tag from the checkpoint path (batchIds are
     * scoped to a checkpoint; the tag scopes the append dirs the same
-    * way). Same checkpoint → same tag across restarts. */
+    * way). Same checkpoint → same tag across restarts. The FULL 60-bit
+    * hash (15 hex chars): a truncated tag colliding between two
+    * checkpoints would alias one stream's append dirs onto the other's
+    * committed batches, silently skipping its batches as replays —
+    * nothing constrains the dir-name length, so spend the whole hash. */
   private[streaming] def streamTag(checkpoint: String): String =
-    f"${graft.functions.Portable.hash60Jvm(checkpoint) & 0xffffffffL}%08x"
+    f"${graft.functions.Portable.hash60Jvm(checkpoint)}%015x"
 
   private def batchDir(indexPath: String, tag: String, batchId: Long): Path =
     Paths.get(indexPath, "appends", f"$tag%s-batch-$batchId%05d")

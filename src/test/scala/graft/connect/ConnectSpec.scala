@@ -234,4 +234,22 @@ class WetCodecSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
     assert(backGz.toSeq == orig.toSeq)
   }
+
+  test("header values with embedded newlines are sanitized, not framing-corrupting") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // a newline inside lang/source would split the header block and
+    // corrupt framing — write collapses CR/LF runs to one space, so the
+    // record survives with a sanitized header and an intact payload
+    val docs = Seq((5L, "en\ninjected", "src\r\n9", "payload stays\nintact"))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-hdr").toString
+    WetCodec.write(docs, dir)
+    val back = WetCodec.read(spark, dir).collect()
+    assert(back.length == 1)
+    assert(back.head.getLong(0) == 5L)
+    assert(back.head.getString(1) == "en injected")
+    assert(back.head.getString(2) == "src 9")
+    assert(back.head.getString(3) == "payload stays\nintact")
+  }
 }

@@ -238,6 +238,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == brute, "full-probe IVF-PQ must match brute force at 128 dims")
   }
 
+  test("IVF-PQ query/append reject a dim-mismatched frame instead of mis-slicing it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def frame(dim: Int, n: Int) = (0 until n).map(i =>
+      (i.toLong, IndexedSeq.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfpqTrainOf(spark,
+      Similarity.ivfpqPrep(spark, frame(64, 60)), nCells = 4)
+    // training guards dim; before the guard, querying a 128-dim frame
+    // silently sliced each vector's first 64 floats into wrong probes
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val qEx = intercept[Throwable] {
+      Similarity.ivfpqQueryOf(spark,
+        Similarity.ivfpqPrep(spark, frame(128, 30)), idx,
+        col("vec_id") < 5).collect()
+    }
+    assert(chain(qEx).contains("dim mismatch"), s"got: ${chain(qEx)}")
+    val aEx = intercept[Throwable] {
+      Similarity.ivfpqEncodeBatch(spark, idx, frame(128, 10)).collect()
+    }
+    assert(chain(aEx).contains("dim mismatch"), s"got: ${chain(aEx)}")
+  }
+
   test("IVF-PQ training fails descriptively when the corpus can't seed the codebook") {
     val tiny = Tables.embeddings(spark, sf).limit(5)
     val ex = intercept[IllegalArgumentException] {
