@@ -479,6 +479,16 @@ object GraftOps {
     Similarity.ivfpqAppendOf(newEmbeddings.sparkSession, index,
       newEmbeddings, spill)
 
+  /** Index drift monitor + retrain trigger: TV distance (e6 fixed
+    * point) between the index's cell-occupancy histogram and the new
+    * batch's assignment under the frozen cells, with the boolean
+    * verdict `retrain = tv_e6 >= thresholdE6`. Run on each append
+    * candidate; `spill` must match the index's training spill. */
+  def ivfpqDrift(index: Similarity.IvfpqIndex, newEmbeddings: DataFrame,
+                 spill: Int = 2, thresholdE6: Long = 100000L): DataFrame =
+    Similarity.ivfpqDriftOf(newEmbeddings.sparkSession, index,
+      newEmbeddings, spill, thresholdE6)
+
   // ---- time series ----
 
   /** Backward-inclusive as-of join (dedicated sort-merge physical

@@ -560,6 +560,122 @@ object Similarity {
       .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
   }
 
+  /** Total-variation distance between two cell-occupancy histograms, in
+    * e6 fixed point — exact integer arithmetic end to end (the
+    * corpus_drift machinery keyed on cluster ids instead of token
+    * buckets): TV = Σ|c/n − d/m| / 2 computed as
+    * floor(Σ|c·m − d·n| · 10⁶ / (2·n·m)). The partition-less window
+    * runs over the joined HISTOGRAM (≤ nCells rows — bounded by index
+    * geometry, never by corpus size); the corpus-sized work is the two
+    * keyed occupancy counts feeding it. A cell present on one side only
+    * counts as 0 on the other via the full-outer join; cells absent
+    * from both contribute |0−0| = 0 and need no scaffold row.
+    *
+    * Arithmetic is DECIMAL(38,0) / HUGEINT end to end (the
+    * pmi_collocations widening): c·m and the summed numerator grow as
+    * corpus², past int64 near 3·10⁹ rows/side — exact integers to 10³⁸
+    * keep a 100 TB index honest, and only the bounded final quotient
+    * (≤ 10⁶) narrows back to BIGINT. The DIV is truncating on
+    * non-negative operands (house division rule, both engines agree). */
+  private[graft] def occupancyTvE6(refAsg: DataFrame, batchAsg: DataFrame,
+                                   thresholdE6: Long): DataFrame = {
+    def hist(df: DataFrame, cname: String) =
+      df.groupBy(col("cluster")).agg(count(lit(1)).as(cname))
+    val joined = hist(refAsg, "c_ref").join(hist(batchAsg, "c_bat"),
+        Seq("cluster"), "full_outer")
+      .select(coalesce(col("c_ref"), lit(0L)).as("c"),
+        coalesce(col("c_bat"), lit(0L)).as("d"))
+    val all = Window.partitionBy(lit(0))
+    joined
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("m", sum(col("d")).over(all))
+      .select(col("n"), col("m"),
+        expr("abs(CAST(c AS DECIMAL(38,0)) * m - CAST(d AS DECIMAL(38,0)) * n)")
+          .as("num"))
+      .groupBy(col("n").as("n_index"), col("m").as("n_batch"))
+      .agg(sum(col("num")).as("sum_num"))
+      .select(col("n_index"), col("n_batch"),
+        expr("CAST(sum_num * 1000000 DIV " +
+          "(2 * CAST(n_index AS DECIMAL(38,0)) * n_batch) AS BIGINT)")
+          .as("tv_e6"))
+      .withColumn("retrain", col("tv_e6") >= thresholdE6)
+  }
+
+  /** Index drift monitor + retrain trigger — the operator the
+    * ivfpqAppendOf scaladoc promises: a frozen codebook/coarse-cell set
+    * degrades as the embedding distribution drifts, and the cheap,
+    * always-available signal is WHERE new vectors land. Compares the
+    * index's stored cell-occupancy histogram (idx.codes — the 8-byte
+    * rows, never the vectors) against the incoming batch's assignment
+    * under the SAME frozen cells, as a total-variation distance in e6
+    * fixed point, plus the boolean verdict `retrain = tv_e6 >=
+    * thresholdE6`. Run it on each append candidate: a balanced batch
+    * (same distribution the index was trained on) scores near 0; a
+    * skewed batch (new domain, collapsed source) concentrates in few
+    * cells and trips the threshold → retrain with ivfpqTrainOf on
+    * current data, then compactIndex.
+    *
+    * `spill` must match the index's training spill so both histograms
+    * count each vector the same number of times (boundary replication
+    * is part of the distribution being compared). Default thresholdE6 =
+    * 100000 (TV 0.1): at TV 0.1, ~10% of the batch mass sits in cells
+    * the index geometry no longer represents — past the point where
+    * probe recall measurably decays (the drift spec demonstrates both
+    * sides). Scale shape: one keyed count over the codes frame, one
+    * narrow assignment pass + keyed count over the batch, one
+    * nCells-row join; nothing corpus-sized crosses an exchange
+    * unaggregated. */
+  def ivfpqDriftOf(s: SparkSession, idx: IvfpqIndex, newEmb: DataFrame,
+                   spill: Int = 2, thresholdE6: Long = 100000L): DataFrame = {
+    VectorOps.registerVecDot(s)
+    val batchAsg = assignCells(ivfpqPrep(s, requireDim(newEmb, idx.dim)),
+      idx.coarse, spill)
+    occupancyTvE6(idx.codes.select(col("cluster")), batchAsg, thresholdE6)
+  }
+
+  /** Oracle fixture for the drift machinery: "index" = even vec_ids,
+    * "batch" = odd vec_ids, both assigned against the SAME frozen seed
+    * set picked from the index half (exactly a live index's frozen-
+    * centroid situation, in the rounded-cosine form DuckDB can
+    * replicate — the semantic_dedup assignment + the corpus_drift TV,
+    * composed). An even/odd split of one corpus is the no-drift
+    * baseline, so tv_e6 lands near 0 and retrain = false; the spec
+    * plants a genuinely skewed batch against a real IvfpqIndex and
+    * trips the trigger. */
+  def indexDrift(s: SparkSession, d: String): DataFrame = {
+    VectorOps.registerVecDot(s)
+    val e = withNorm(s, Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint()
+    val ref = e.filter(col("vec_id") % 2 === 0)
+    val bat = e.filter(col("vec_id") % 2 === 1)
+    val seeds = pickSeeds(ref, 8)
+    occupancyTvE6(assignToSeeds(ref, seeds), assignToSeeds(bat, seeds), 100000L)
+  }
+
+  private val indexDriftOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sd AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 2 = 0
+      |  ORDER BY ('0x' || substr(md5('seed:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |           vec_id
+      |  LIMIT 8),
+      |asg0 AS (SELECT e.vec_id, sd.sid,
+      |  round(list_cosine_similarity(e.v, sd.sv) * 10000) / 10000 AS cos FROM e, sd),
+      |asg AS (SELECT vec_id, sid AS cluster FROM (
+      |    SELECT vec_id, sid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, sid) AS rn FROM asg0)
+      |  WHERE rn = 1),
+      |rh AS (SELECT cluster, count(*) AS c FROM asg WHERE vec_id % 2 = 0 GROUP BY 1),
+      |bh AS (SELECT cluster, count(*) AS d FROM asg WHERE vec_id % 2 = 1 GROUP BY 1),
+      |j AS (SELECT coalesce(rh.cluster, bh.cluster) AS cluster,
+      |    coalesce(c, 0) AS c, coalesce(d, 0) AS d
+      |  FROM rh FULL OUTER JOIN bh ON rh.cluster = bh.cluster),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS m FROM j),
+      |tv AS (SELECT n AS n_index, m AS n_batch,
+      |    CAST(sum(abs(CAST(c AS HUGEINT) * m - CAST(d AS HUGEINT) * n)) * 1000000
+      |      // (2 * CAST(n AS HUGEINT) * m) AS BIGINT) AS tv_e6
+      |  FROM j, t GROUP BY n, m)
+      |SELECT n_index, n_batch, tv_e6, tv_e6 >= 100000 AS retrain FROM tv""".stripMargin
+
   /** Fixture: train → save → load → query. Output identical to
     * similarity_topk_ivfpq by construction (same centroids and codes
     * round-trip bit-exactly through parquet floats); the spec asserts
@@ -679,12 +795,30 @@ object Similarity {
     * exploded literal keeps assignment a Generate node — a
     * crossJoin(broadcast(...)) would plan the BNLJ the plan-hygiene
     * spec forbids. */
-  private def assignClusters(e: DataFrame, k: Int): DataFrame = {
-    val seeds: Seq[(Long, Seq[Float], Double)] = e
-      .orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
+  private def assignClusters(e: DataFrame, k: Int): DataFrame =
+    assignToSeeds(e, pickSeeds(e, k))
+      // eager once: the assignment feeds both pair-join sides and the
+      // final anti-join — without the cut its explode+window subtree
+      // executes three times (same policy as e)
+      .localCheckpoint()
+
+  /** The k hash-lowest vectors of a normed frame as driver-resident
+    * (id, vector, norm) seed literals — the deterministic,
+    * id-layout-independent seed pick assignClusters and the drift
+    * fixture share. */
+  private def pickSeeds(e: DataFrame, k: Int): Seq[(Long, Seq[Float], Double)] =
+    e.orderBy(Portable.hash60(concat(lit("seed:"), col("vec_id").cast("string"))),
         col("vec_id"))
       .limit(k)
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+
+  /** Rounded-cosine argmax assignment of a normed frame against given
+    * seed literals (exploded literal — Generate, never BNLJ; rounding
+    * keeps the argmax oracle-exact). Split from assignClusters so the
+    * drift fixture can assign TWO frames against ONE frozen seed set —
+    * exactly the frozen-centroid situation a live index is in. */
+  private def assignToSeeds(e: DataFrame,
+                            seeds: Seq[(Long, Seq[Float], Double)]): DataFrame =
     e.select(col("vec_id"), col("embedding"), col("nrm"),
         explode(typedlit(seeds)).as("c"))
       .select(col("vec_id"), col("c._1").as("sid"),
@@ -694,11 +828,6 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("sid"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sid").as("cluster"))
-      // eager once: the assignment feeds both pair-join sides and the
-      // final anti-join — without the cut its explode+window subtree
-      // executes three times (same policy as e)
-      .localCheckpoint()
-  }
 
   /** Coarse quantizer for the PQ path: k hash-picked seed vectors, one
     * distributed Lloyd pass (cell = cosine-nearest seed, refined
@@ -942,6 +1071,7 @@ object Similarity {
     "centroid_classify"     -> (centroidClassify _),
     "embedding_quantize"    -> (embeddingQuantize _),
     "ivfpq_index_roundtrip" -> (ivfpqIndexRoundtrip _),
+    "index_drift"           -> (indexDrift _),
   )
 
   /** lshTopk has no oracle (approximate by design; covered by a recall
@@ -952,5 +1082,6 @@ object Similarity {
     "negative_samples"      -> negativeSamplesOracle,
     "centroid_classify"     -> centroidClassifyOracle,
     "embedding_quantize"    -> embeddingQuantizeOracle,
+    "index_drift"           -> indexDriftOracle,
   )
 }

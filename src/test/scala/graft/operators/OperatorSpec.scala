@@ -238,6 +238,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == brute, "full-probe IVF-PQ must match brute force at 128 dims")
   }
 
+  test("IVF-PQ drift monitor: balanced append stays quiet, skewed append trips retrain") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // index trained on the even half; the odd half is the no-drift
+    // batch (same distribution the cells were fit on)
+    val idx = Similarity.ivfpqTrainOf(spark,
+      Similarity.ivfpqPrep(spark, emb.filter(col("vec_id") % 2 === 0)))
+    def drift(batch: org.apache.spark.sql.DataFrame, thr: Long) =
+      Similarity.ivfpqDriftOf(spark, idx, batch, thresholdE6 = thr).collect().head
+    // threshold sized to the batch: TV between two finite samples of
+    // one distribution has sampling noise ~ sqrt(nCells/n) (~0.14 at
+    // n=250, nCells=16), so a production threshold is set above the
+    // no-drift noise floor of the batch size in play — the spec uses
+    // the measured floor x2 as the trigger line
+    val balanced = drift(emb.filter(col("vec_id") % 2 === 1), 300000L)
+    info(s"balanced tv_e6 = ${balanced.getAs[Long]("tv_e6")}")
+    assert(!balanced.getAs[Boolean]("retrain"),
+      s"no-drift batch tripped retrain: $balanced")
+    // skewed batch: one real vector replicated — the whole batch mass
+    // lands in its spill cells, the collapsed-source / new-domain shape
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    val skewed = (0 until 250).map(i => (1000000L + i, one))
+      .toDF("vec_id", "embedding")
+    val hot = drift(skewed, 300000L)
+    info(s"skewed tv_e6 = ${hot.getAs[Long]("tv_e6")}")
+    assert(hot.getAs[Boolean]("retrain"), s"skewed batch did not trip: $hot")
+    assert(hot.getAs[Long]("tv_e6") > 2 * balanced.getAs[Long]("tv_e6"),
+      "skew signal should clear the no-drift floor with margin")
+    // histograms count what they claim: n_index = codes rows (spill x
+    // corpus half), n_batch = spill x batch
+    assert(balanced.getAs[Long]("n_index") == idx.codes.count())
+    assert(hot.getAs[Long]("n_batch") == 2L * 250)
+  }
+
   test("IVF-PQ query/append reject a dim-mismatched frame instead of mis-slicing it") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

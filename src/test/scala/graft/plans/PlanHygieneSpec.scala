@@ -122,7 +122,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "corpus_shuffle" -> "64-row bucket-offsets frame",
       // TV-distance totals over the dim-row (=64) token-bucket
       // histogram join; corpora never join row-to-row
-      "corpus_drift" -> "64-row bucket-histogram frame")
+      "corpus_drift" -> "64-row bucket-histogram frame",
+      // same TV machinery over the CELL-occupancy histogram join
+      // (<= nCells rows, bounded by index geometry, never corpus size)
+      "index_drift" -> "nCells-row cell-histogram frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
