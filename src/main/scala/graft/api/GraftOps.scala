@@ -86,24 +86,44 @@ object GraftOps {
                     maxDf: Int = 50): DataFrame =
     Dedup.decontaminateOf(corpus, benchmark, maxDf)
 
+  /** Geometry resolution shared by the ANN/cluster entry points:
+    * an explicit positive `k` wins; `k <= 0` (the DEFAULT) derives it
+    * from a cheap column-pruned count(*) via [[Similarity.autoCells]]
+    * — `max(floor, n / targetCellSize)`, capped at the driver-literal
+    * ceiling. The count is one extra scan per call; the entry points
+    * below all train/cluster anyway (corpus-pass jobs), so it is
+    * noise there — and a caller who already knows n passes it
+    * explicitly. At the test SFs auto resolves to the old fixed
+    * defaults (16 / 8), so behavior only CHANGES where the old
+    * defaults were wrong: large corpora. */
+  private def resolveCells(emb: DataFrame, k: Int, targetCellSize: Int,
+                           floor: Int): Int =
+    if (k > 0) k else Similarity.autoCells(emb.count(), targetCellSize, floor)
+
   /** IVF approximate top-5 cosine neighbors over a caller embedding
     * frame; `isQuery` selects the query rows. Centroid seeding is
-    * id-layout independent (portable-hash pick, not id-range). */
+    * id-layout independent (portable-hash pick, not id-range).
+    * `nCells <= 0` (default) scales with the corpus — see
+    * [[Similarity.autoCells]]. */
   def ivfTopK(embeddings: DataFrame, isQuery: Column,
-              nCells: Int = 16, nProbe: Int = 4): DataFrame =
-    Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery, nCells, nProbe)
+              nCells: Int = 0, nProbe: Int = 4,
+              targetCellSize: Int = 256): DataFrame =
+    Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery,
+      resolveCells(embeddings, nCells, targetCellSize, floor = 16), nProbe)
 
   /** IVF-PQ approximate top-k: coarse cells + product-quantized codes
     * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist.
     * Defaults mirror the tuned operator (nProbe=6, rerank=96, spill=2 —
     * the measured 0.85-recall operating point); with spill replication
-    * a shallower rerank starves the unique-candidate depth. */
+    * a shallower rerank starves the unique-candidate depth.
+    * `nCells <= 0` (default) scales with the corpus. */
   def ivfpqTopK(embeddings: DataFrame, isQuery: Column,
-                nCells: Int = 16, nProbe: Int = 6,
+                nCells: Int = 0, nProbe: Int = 6,
                 m: Int = 8, ksub: Int = 16, rerank: Int = 96,
-                spill: Int = 2): DataFrame =
+                spill: Int = 2, targetCellSize: Int = 256): DataFrame =
     Similarity.ivfpqTopkOf(embeddings.sparkSession, embeddings, isQuery,
-      nCells, nProbe, m, ksub, rerank, spill)
+      resolveCells(embeddings, nCells, targetCellSize, floor = 16),
+      nProbe, m, ksub, rerank, spill)
 
   /** Interleaved z-value of two `bits`-bit grid coordinates — sort or
     * range-partition by it to co-locate rows close in both dimensions
@@ -311,11 +331,14 @@ object GraftOps {
     Dedup.decontaminateSemanticOf(corpus, benchmark, threshold)
 
   /** SemDeDup-style semantic dedup over an embedding frame: hash-picked
-    * seed clusters, near-dup drop within clusters only. */
+    * seed clusters, near-dup drop within clusters only. `k <= 0`
+    * (default) scales with the corpus — the within-cluster pair join
+    * costs O(n²/k), so k MUST grow with n (see Similarity.autoCells). */
   def semanticDedup(spark: org.apache.spark.sql.SparkSession,
-                    embeddings: DataFrame, k: Int = 8,
-                    tau: Double = 0.9): DataFrame =
-    Similarity.semanticDedupOf(spark, embeddings, k, tau)
+                    embeddings: DataFrame, k: Int = 0,
+                    tau: Double = 0.9, targetClusterSize: Int = 256): DataFrame =
+    Similarity.semanticDedupOf(spark, embeddings,
+      resolveCells(embeddings, k, targetClusterSize, floor = 8), tau)
 
   /** Exact per-stratum fixed-N balanced sampling (portable-hash pick). */
   def stratifiedFixedN(docs: DataFrame, stratum: Column, n: Int): DataFrame =
@@ -443,12 +466,17 @@ object GraftOps {
     Similarity.quantizeInt8Of(embeddings)
 
   /** Train an IVF-PQ index (coarse cells + PQ codebook + compressed
-    * codes) for reuse across queries and sessions. */
-  def ivfpqTrain(embeddings: DataFrame, nCells: Int = 16, m: Int = 8,
-                 ksub: Int = 16, spill: Int = 2): Similarity.IvfpqIndex = {
+    * codes) for reuse across queries and sessions. `nCells <= 0`
+    * (default) scales with the corpus: a 16-cell index over 10⁹
+    * vectors would put 6·10⁷ vectors behind every probe — geometry is
+    * a function of corpus size, not a constant. */
+  def ivfpqTrain(embeddings: DataFrame, nCells: Int = 0, m: Int = 8,
+                 ksub: Int = 16, spill: Int = 2,
+                 targetCellSize: Int = 256): Similarity.IvfpqIndex = {
     val s = embeddings.sparkSession
     Similarity.ivfpqTrainOf(s, Similarity.ivfpqPrep(s, embeddings),
-      nCells, m, ksub, spill)
+      resolveCells(embeddings, nCells, targetCellSize, floor = 16),
+      m, ksub, spill)
   }
 
   /** Query a (trained or loaded) IVF-PQ index against the corpus frame

@@ -560,6 +560,32 @@ object Similarity {
       .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
   }
 
+  /** Corpus-scaled cell/cluster count — the k∝n rule as CODE instead of
+    * scaladoc advice: `max(floor, ceil(n / targetCellSize))`, capped.
+    *
+    * Why k must scale: the SemDeDup within-cluster pair join costs
+    * O(n²/k) total, so a fixed k re-quadratizes at growing n exactly
+    * what clustering exists to avoid (Abbas et al. 2023 run ~10⁵
+    * clusters over billions of embeddings at target cluster sizes of
+    * 10³–10⁴); on the ANN side, per-query candidate volume is
+    * spill·nProbe·(n/nCells) — scaling nCells with n holds it at
+    * spill·nProbe·targetCellSize, a constant, instead of letting every
+    * query's shortlist grow linearly with the corpus.
+    *
+    * The cap is the driver-literal ceiling: centroids ride the plans as
+    * exploded literals (the blessed tiny-state pattern), and 65536
+    * cells × 64 dims × 4 B ≈ 16 MB is the sane upper bound for that.
+    * Past the cap, cell size grows linearly again — the handoff point
+    * to a hierarchical coarse quantizer (IMI / HNSW-coarse in FAISS
+    * terms), which is a different operator, not a bigger literal. */
+  def autoCells(n: Long, targetCellSize: Int = 256, floor: Int = 16,
+                cap: Int = 65536): Int = {
+    require(targetCellSize > 0 && floor > 0 && cap >= floor,
+      s"bad geometry bounds: target=$targetCellSize floor=$floor cap=$cap")
+    val want = (n + targetCellSize - 1) / targetCellSize
+    math.min(cap.toLong, math.max(floor.toLong, want)).toInt
+  }
+
   /** Total-variation distance between two cell-occupancy histograms, in
     * e6 fixed point — exact integer arithmetic end to end (the
     * corpus_drift machinery keyed on cluster ids instead of token

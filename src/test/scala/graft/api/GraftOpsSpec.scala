@@ -163,6 +163,49 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(res.forall(r => r.getLong(0) >= 1000000L && r.getLong(2) >= 1000000L))
   }
 
+  test("ANN/cluster geometry scales with corpus size; recall floor holds at auto geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // the rule itself: floor at small n, linear past floor x target, capped
+    assert(Similarity.autoCells(500) == 16)
+    assert(Similarity.autoCells(2000) == 16)        // test corpora keep old geometry
+    assert(Similarity.autoCells(1000000) == 3907)   // 1e6 vectors -> ~256/cell
+    assert(Similarity.autoCells(100000000000L) == 65536) // driver-literal cap
+    assert(Similarity.autoCells(500, floor = 8) == 8)
+    // auto == the old fixed default on the test corpus: facade callers
+    // see IDENTICAL results at test scale (deterministic pipeline)
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rk", "nid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(key(GraftOps.ivfTopK(emb, col("vec_id") < 20)) ==
+      key(Similarity.ivfTopkOf(spark, emb, col("vec_id") < 20, 16, 4)))
+    // end-to-end at TWO corpus sizes with a spec-sized target so the
+    // scaling is visible at test scale: 500 -> floor 16, 2000 -> 32
+    assert(Similarity.autoCells(500, targetCellSize = 64) == 16)
+    assert(Similarity.autoCells(2000, targetCellSize = 64) == 32)
+    // big corpus = 4 jitter copies of the real embeddings (structure
+    // preserved, deterministic), offset ids
+    val base: Seq[(Long, Seq[Float])] = emb.select("vec_id", "embedding")
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val rnd = new scala.util.Random(47)
+    val big = (0 until 4).flatMap { c =>
+      base.map { case (id, v) =>
+        (c * 10000L + id,
+          v.map(x => x + 0.02f * rnd.nextGaussian().toFloat): Seq[Float])
+      }
+    }.toDF("vec_id", "embedding")
+    val got = key(GraftOps.ivfTopK(big, col("vec_id") < 20, targetCellSize = 64))
+    val brute = key(Similarity.bruteTopkOf(spark, big, col("vec_id") < 20))
+    val recall = (got & brute).size.toDouble / brute.size
+    info(f"auto-geometry (nCells=32) recall on 2000-vector corpus: $recall%.3f")
+    assert(recall >= 0.5, s"recall $recall below floor at scaled geometry")
+    // and the point of scaling: expected cell size stays ~target, so
+    // per-query candidate volume is bounded by geometry, not corpus
+    assert(2000 / Similarity.autoCells(2000, targetCellSize = 64) <= 64)
+  }
+
   test("decontamination scrubs exact and near benchmark matches from a corpus") {
     import spark.implicits._
     val benchmark = Seq(
