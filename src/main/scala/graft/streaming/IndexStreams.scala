@@ -121,6 +121,92 @@ object IndexStreams {
     }
   }
 
+  // ---- versioned index root: pointer-swapped snapshots ----
+  //
+  // compactIndex writes an immutable snapshot at a NEW path and leaves
+  // the swap to the caller — correct, but "the caller swaps paths" is
+  // exactly where a concurrent reader can catch a half state if the
+  // swap is a delete+recreate. The versioned-root layout closes that:
+  //
+  //   root/_CURRENT      one line: the active snapshot dir name
+  //   root/v00000/       a full index dir (codes/, meta/, appends/)
+  //   root/v00001/       the next compacted snapshot
+  //
+  // Writers publish a snapshot by writing a TEMP pointer file and
+  // atomically renaming it over _CURRENT (ATOMIC_MOVE — the same
+  // two-phase discipline as the batch commit markers). A reader
+  // resolves the pointer at load time and then only ever touches that
+  // snapshot's immutable files: racing the rename yields the old or
+  // the new snapshot, never a mix. Old snapshot dirs are retained for
+  // in-flight readers; delete them once readers drain (retention is a
+  // deployment policy, not codec logic). An ingest stream targets the
+  // snapshot path it was started on — restart it on the new path after
+  // compactCurrent (the carried-forward commit markers make any
+  // replayed batch a no-op there).
+
+  private val CurrentFile = "_CURRENT"
+  private val VersionRe = "v(\\d{5})".r
+
+  /** The active snapshot name under a versioned root, if published. */
+  def currentVersion(root: String): Option[String] = {
+    val p = Paths.get(root, CurrentFile)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** The active snapshot's index path (for indexAppendStream etc.). */
+  def currentIndexPath(root: String): String =
+    Paths.get(root, currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no $CurrentFile pointer under $root — initIndexRoot first"))).toString
+
+  /** Atomically publish `version` as the active snapshot:
+    * write-new-then-rename, so a concurrent pointer read sees the old
+    * or the new value, never a torn file. */
+  def publishVersion(root: String, version: String): Unit = {
+    require(VersionRe.matches(version), s"bad snapshot name: $version")
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s".$CurrentFile.tmp")
+    Files.write(tmp, java.util.Arrays.asList(version))
+    Files.move(tmp, Paths.get(root, CurrentFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Initialize a versioned root: save `idx` as snapshot v00000 and
+    * publish the pointer. Returns the snapshot's index path. */
+  def initIndexRoot(idx: Similarity.IvfpqIndex, root: String): String = {
+    val dir = Paths.get(root, "v00000")
+    Similarity.ivfpqSaveIndex(idx, dir.toString)
+    publishVersion(root, "v00000")
+    dir.toString
+  }
+
+  /** Compact the ACTIVE snapshot (base + committed appends) into the
+    * next version dir, then swap the pointer — the full
+    * reader-safe compaction: readers loading via [[loadCurrent]]
+    * during the fold keep resolving the old snapshot; the swap is one
+    * atomic rename. Returns the new snapshot's index path; the old
+    * snapshot dir is left for in-flight readers. */
+  def compactCurrent(spark: SparkSession, root: String): String = {
+    val cur = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no $CurrentFile pointer under $root — initIndexRoot first"))
+    val n = cur match {
+      case VersionRe(d) => d.toInt
+      case other => throw new IllegalStateException(s"bad snapshot pointer: $other")
+    }
+    val next = f"v${n + 1}%05d"
+    compactIndex(spark, Paths.get(root, cur).toString,
+      Paths.get(root, next).toString)
+    publishVersion(root, next)
+    Paths.get(root, next).toString
+  }
+
+  /** Load the active snapshot (base + committed appends) via the
+    * pointer — the reader face of the versioned root. */
+  def loadCurrent(spark: SparkSession, root: String): Similarity.IvfpqIndex =
+    loadIndexWithAppends(spark, currentIndexPath(root))
+
   /** Committed append dirs under an index path, in name order. */
   private def committedAppendDirs(indexPath: String): Seq[Path] = {
     val appendsDir = Paths.get(indexPath, "appends")

@@ -610,4 +610,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(IndexStreams.loadIndexWithAppends(spark, idxPath).codes.count() ==
       2 * emb.count() + 2)
   }
+
+  test("versioned index root: pointer-swapped compaction is invisible to concurrent readers") {
+    import org.apache.spark.sql.functions.col
+    import java.nio.file.Files
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-idx-root")
+    val root = tmp.resolve("root").toString
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // an unpublished root fails loudly, not with a phantom path
+    intercept[IllegalStateException] { IndexStreams.currentIndexPath(root) }
+    val baseEmb = emb.filter(col("vec_id") < 20 || col("vec_id") % 2 === 0)
+    IndexStreams.initIndexRoot(
+      Similarity.ivfpqTrainOf(spark, Similarity.ivfpqPrep(spark, baseEmb)), root)
+    assert(IndexStreams.currentVersion(root).contains("v00000"))
+    // ingest lands under the ACTIVE snapshot (what indexAppendStream
+    // would do given currentIndexPath)
+    val idx = Similarity.ivfpqLoadIndex(spark, IndexStreams.currentIndexPath(root))
+    val odd = emb.filter(col("vec_id") >= 20 && col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+    assert(IndexStreams.appendBatch(spark, idx, odd,
+      IndexStreams.currentIndexPath(root), 0L))
+    def answers(i: Similarity.IvfpqIndex) = Similarity.ivfpqQueryOf(spark,
+        Similarity.ivfpqPrep(spark, emb), i, col("vec_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = answers(IndexStreams.loadCurrent(spark, root))
+    // DURING compaction: the next snapshot is fully written but the
+    // pointer has not swapped — a reader resolving the pointer still
+    // gets v00000 + appends, never a half state
+    IndexStreams.compactIndex(spark, IndexStreams.currentIndexPath(root),
+      tmp.resolve("root/v00001").toString)
+    assert(IndexStreams.currentVersion(root).contains("v00000"))
+    assert(answers(IndexStreams.loadCurrent(spark, root)) == before)
+    // the swap is one atomic rename; answers are unchanged across it
+    IndexStreams.publishVersion(root, "v00001")
+    assert(IndexStreams.currentIndexPath(root).endsWith("v00001"))
+    assert(answers(IndexStreams.loadCurrent(spark, root)) == before)
+    assert(!Files.exists(tmp.resolve("root/._CURRENT.tmp")),
+      "no torn temp pointer may remain after publish")
+    // compactCurrent = fold + swap in one call; old snapshots retained
+    // for in-flight readers (retention policy, not codec logic)
+    val v2 = IndexStreams.compactCurrent(spark, root)
+    assert(v2.endsWith("v00002") &&
+      IndexStreams.currentVersion(root).contains("v00002"))
+    assert(Files.isDirectory(tmp.resolve("root/v00000")))
+    assert(answers(IndexStreams.loadCurrent(spark, root)) == before)
+    // carried-forward commit markers survive BOTH hops: the
+    // pre-compaction batch 0 replayed against v00002 is a no-op
+    assert(!IndexStreams.appendBatch(spark, idx, odd, v2, 0L))
+    assert(IndexStreams.loadCurrent(spark, root).codes.count() == 2 * emb.count())
+    // malformed snapshot names are rejected before they can corrupt
+    // the pointer
+    intercept[IllegalArgumentException] {
+      IndexStreams.publishVersion(root, "v1/../escape")
+    }
+  }
 }
