@@ -317,6 +317,22 @@ object GraftOps {
                    floorPermille: Int = 880): DataFrame =
     TextAnalysis.domainFilterOf(docs, minTokens, floorPermille)
 
+  /** Adds `canonical_url` to a frame with a `url` column: fragment /
+    * default-port / tracking-param stripping, host lowercasing, param
+    * sort, trailing-slash policy — expression-only, fully narrow. */
+  def canonicalUrl(docs: DataFrame): DataFrame =
+    graft.operators.UrlOps.canonicalUrlOf(docs)
+
+  /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
+    * normalized URL — run BEFORE text dedup on crawl corpora. */
+  def urlDedup(docs: DataFrame): DataFrame =
+    graft.operators.UrlOps.urlDedupOf(docs)
+
+  /** The URL-deduped documents themselves (lowest doc_id per canonical
+    * URL wins; original columns preserved). */
+  def urlDedupedDocs(docs: DataFrame): DataFrame =
+    graft.operators.UrlOps.urlDedupedDocsOf(docs)
+
   /** Exact rolling-window decontamination: drop corpus docs containing
     * any benchmark `window`-token span verbatim (GPT-3 convention). */
   def decontaminateExactWindow(corpus: DataFrame, benchmark: DataFrame,

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable
+
+/** URL canonicalization + URL-keyed crawl dedup — the pass a
+  * crawl-ingest pipeline runs BEFORE text dedup: WET/WARC records carry
+  * a target-URI header (cf. WetCodec), the same page is fetched under
+  * dozens of surface forms (case-shifted hosts, default ports,
+  * fragments, tracking params, trailing slashes), and deduping on the
+  * normalized URL removes refetches at hash-key cost without touching
+  * document bodies at all. (CommonCrawl-style pipelines do exactly
+  * this; text-level dedup then handles mirrors on DIFFERENT urls.)
+  *
+  * The canonicalizer is expression-only (narrow, codegen'd, no UDF):
+  *  - fragment dropped (`#...` never reaches the server);
+  *  - scheme and host lowercased (case-insensitive by RFC 3986), path
+  *    and query left case-sensitive;
+  *  - default ports stripped (`http…:80`, `https…:443`); non-default
+  *    ports preserved;
+  *  - tracking params dropped: names starting `utm_` or in
+  *    {fbclid, gclid, msclkid} — the advertising-click ids that vary
+  *    per fetch without changing content;
+  *  - remaining query params sorted (param order is almost always
+  *    content-irrelevant; sorting canonicalizes `?a=1&b=2` vs
+  *    `?b=2&a=1`);
+  *  - trailing slash stripped from non-root paths; empty path → `/`.
+  *
+  * Contract: absolute `http(s)://` URLs (the crawl-record shape).
+  * Every rule is replicated verbatim in the DuckDB oracle, so the
+  * canonical STRINGS are hash-checked cross-engine, not just the
+  * group counts.
+  *
+  * Scale shape: canonicalization is fully narrow; the dedup groups on
+  * `hash60(canonical_url)` so the shuffle carries 8-byte keys (house
+  * convention, as Dedup.exactOf does for text bodies — URLs are short
+  * but a 100 TB crawl has ~10¹⁰ of them). */
+object UrlOps {
+
+  /** Adds `canonical_url` to a frame with a `url` column. Chained
+    * narrow withColumns (each step names the previous); intermediates
+    * dropped. */
+  def canonicalUrlOf(df: DataFrame): DataFrame =
+    df
+      .withColumn("_base", substring_index(col("url"), "#", 1))
+      .withColumn("_scheme", lower(regexp_extract(col("_base"), "^([^:/?#]+)://", 1)))
+      .withColumn("_after", expr("substring(_base, length(_scheme) + 4)"))
+      .withColumn("_hp", lower(regexp_extract(col("_after"), "^([^/?]*)", 1)))
+      .withColumn("_host", expr(
+        "CASE WHEN _scheme = 'http' AND _hp LIKE '%:80' THEN left(_hp, length(_hp) - 3) " +
+          "WHEN _scheme = 'https' AND _hp LIKE '%:443' THEN left(_hp, length(_hp) - 4) " +
+          "ELSE _hp END"))
+      .withColumn("_pathq", expr("substring(_after, length(_hp) + 1)"))
+      .withColumn("_rawpath", expr("substring_index(_pathq, '?', 1)"))
+      .withColumn("_q0", expr(
+        "CASE WHEN _pathq LIKE '%?%' THEN substring(_pathq, length(_rawpath) + 2) ELSE '' END"))
+      .withColumn("_path", expr(
+        "CASE WHEN _rawpath = '' THEN '/' " +
+          "WHEN _rawpath <> '/' AND _rawpath LIKE '%/' THEN left(_rawpath, length(_rawpath) - 1) " +
+          "ELSE _rawpath END"))
+      // left(name, 4) = 'utm_' instead of LIKE: `_` is a LIKE wildcard
+      // and escape-literal syntax differs across engines
+      .withColumn("_q", expr(
+        "array_join(array_sort(filter(split(_q0, '&'), x -> x <> '' AND NOT (" +
+          "left(substring_index(x, '=', 1), 4) = 'utm_' OR " +
+          "substring_index(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&')"))
+      .withColumn("canonical_url", expr(
+        "concat(_scheme, '://', _host, _path, " +
+          "CASE WHEN _q = '' THEN '' ELSE concat('?', _q) END)"))
+      .drop("_base", "_scheme", "_after", "_hp", "_host", "_pathq",
+        "_rawpath", "_q0", "_path", "_q")
+
+  /** The canonical-url column alone, for callers composing their own
+    * pipelines: `docs.transform(UrlOps.canonicalUrlOf)`. */
+  def canonicalUrl(df: DataFrame): Column = canonicalUrlOf(df)("canonical_url")
+
+  /** URL-keyed exact dedup over a (doc_id, url, ...) frame:
+    * (keeper_id = min doc_id, n_copies, url = the canonical form) per
+    * canonical URL. The keyed sibling of Dedup.exactOf — run this
+    * first, text dedup after. */
+  def urlDedupOf(docs: DataFrame): DataFrame =
+    canonicalUrlOf(docs)
+      .select(Portable.hash60(col("canonical_url")).as("h"),
+        col("doc_id"), col("canonical_url"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+        min(col("canonical_url")).as("url"))
+      .select(col("keeper_id"), col("n_copies"), col("url"))
+
+  /** The deduped documents themselves: rows whose doc_id is its
+    * canonical URL's keeper, original columns preserved. */
+  def urlDedupedDocsOf(docs: DataFrame): DataFrame = {
+    val c = canonicalUrlOf(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Portable.hash60(col("canonical_url")))
+      .orderBy(col("doc_id").asc)
+    c.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "canonical_url")
+  }
+
+  /** Oracle fixture: deterministic surface-form variants synthesized
+    * over the documents table — groups of 4 consecutive doc_ids share
+    * one logical page behind four fetch forms (base; case-shifted host
+    * + :443 + fragment; trailing slash + interleaved utm param;
+    * reordered params + tracking ids + fragment). Every group must
+    * collapse to its lowest id with the ONE canonical string. */
+  private val urlFixtureSql =
+    """CASE CAST(doc_id % 4 AS INT)
+      | WHEN 0 THEN concat('https://www.example.com/p/', CAST(doc_id DIV 4 AS STRING), '?a=1&b=2')
+      | WHEN 1 THEN concat('HTTPS://WWW.EXAMPLE.COM:443/p/', CAST(doc_id DIV 4 AS STRING), '?b=2&a=1#frag')
+      | WHEN 2 THEN concat('https://www.example.com:443/p/', CAST(doc_id DIV 4 AS STRING), '/?a=1&utm_source=rss&b=2')
+      | ELSE concat('https://www.example.com/p/', CAST(doc_id DIV 4 AS STRING), '/?b=2&a=1&utm_campaign=x&gclid=abc#sec')
+      |END""".stripMargin
+
+  def urlDedup(s: SparkSession, d: String): DataFrame =
+    urlDedupOf(Tables.documents(s, d).withColumn("url", expr(urlFixtureSql)))
+      .orderBy(col("keeper_id"))
+
+  private val urlDedupOracle =
+    """WITH u AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |   WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+      |   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#frag'
+      |   WHEN 2 THEN 'https://www.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_source=rss&b=2'
+      |   ELSE 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=x&gclid=abc#sec'
+      |  END AS url FROM documents),
+      |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS base FROM u),
+      |c2 AS (SELECT doc_id, base,
+      |  lower(regexp_extract(base, '^([^:/?#]+)://', 1)) AS scheme FROM c1),
+      |c3 AS (SELECT *, substring(base, length(scheme) + 4) AS aft FROM c2),
+      |c4 AS (SELECT *, lower(regexp_extract(aft, '^([^/?]*)', 1)) AS hp FROM c3),
+      |c5 AS (SELECT *,
+      |  CASE WHEN scheme = 'http' AND hp LIKE '%:80' THEN left(hp, length(hp) - 3)
+      |       WHEN scheme = 'https' AND hp LIKE '%:443' THEN left(hp, length(hp) - 4)
+      |       ELSE hp END AS host,
+      |  substring(aft, length(hp) + 1) AS pathq FROM c4),
+      |c6 AS (SELECT *, split_part(pathq, '?', 1) AS rawpath FROM c5),
+      |c7 AS (SELECT *,
+      |  CASE WHEN pathq LIKE '%?%' THEN substring(pathq, length(rawpath) + 2) ELSE '' END AS q0,
+      |  CASE WHEN rawpath = '' THEN '/'
+      |       WHEN rawpath <> '/' AND rawpath LIKE '%/' THEN left(rawpath, length(rawpath) - 1)
+      |       ELSE rawpath END AS path FROM c6),
+      |c8 AS (SELECT doc_id, scheme, host, path,
+      |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      |    x -> x <> '' AND NOT (left(split_part(x, '=', 1), 4) = 'utm_'
+      |      OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&') AS q
+      |  FROM c7),
+      |canon AS (SELECT doc_id,
+      |  scheme || '://' || host || path ||
+      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl FROM c8)
+      |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies,
+      |  min(curl) AS url
+      |FROM canon GROUP BY ('0x' || substr(md5(curl), 1, 15))::BIGINT
+      |ORDER BY keeper_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_dedup" -> (urlDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "url_dedup" -> urlDedupOracle,
+  )
+}

@@ -12,7 +12,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
     "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries,
     "Profiling" -> Profiling.queries, "Curation" -> Curation.queries,
-    "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries)
+    "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries,
+    "UrlOps" -> UrlOps.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Planted-variant coverage of every documented canonicalization rule
+  * — the fixture query exercises the composed pipeline against the
+  * DuckDB oracle; this pins each rule individually, including the
+  * near-miss cases the fixture's regular variants can't reach. */
+class UrlOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  test("canonicalizer applies every documented rule; near-miss names survive") {
+    import spark.implicits._
+    val urls = Seq(
+      // composite: host case + default https port + trailing slash +
+      // tracking param + param sort + fragment; path case PRESERVED
+      (1L, "https://www.Example.com:443/Path/To/Page/?b=2&utm_source=x&a=1#frag"),
+      (2L, "HTTP://EXAMPLE.ORG:80/index"),            // http default port
+      (3L, "http://example.org:8080/index"),          // non-default port kept
+      (4L, "https://example.com"),                    // empty path -> "/"
+      (5L, "https://example.com/?utm_campaign=only"), // query collapses away
+      (6L, "https://example.com/a?utmost=1&ref=kept"), // NOT tracking params
+      (7L, "https://example.com/"),                   // root slash stays
+      (8L, "https://example.com/a?gclid=x&fbclid=y&msclkid=z&id=7") // click ids
+    ).toDF("doc_id", "url")
+    val got = UrlOps.canonicalUrlOf(urls)
+      .select("doc_id", "canonical_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://www.example.com/Path/To/Page?a=1&b=2")
+    assert(got(2L) == "http://example.org/index")
+    assert(got(3L) == "http://example.org:8080/index")
+    assert(got(4L) == "https://example.com/")
+    assert(got(5L) == "https://example.com/")
+    assert(got(6L) == "https://example.com/a?ref=kept&utmost=1")
+    assert(got(7L) == "https://example.com/")
+    assert(got(8L) == "https://example.com/a?id=7")
+  }
+
+  test("url dedup collapses surface forms to the lowest id; deduped docs keep their columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://site.com/a?x=1", "body-a"),
+      (11L, "https://SITE.com:443/a/?x=1#f", "refetch of a"),
+      (12L, "https://site.com/a?x=1&utm_source=t", "tracked refetch of a"),
+      (20L, "https://site.com/b", "body-b")
+    ).toDF("doc_id", "url", "text")
+    val dedup = UrlOps.urlDedupOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(dedup.toSeq == Seq(
+      (10L, 3L, "https://site.com/a?x=1"),
+      (20L, 1L, "https://site.com/b")))
+    val kept = UrlOps.urlDedupedDocsOf(docs)
+    assert(kept.columns.toSeq == Seq("doc_id", "url", "text"),
+      "original columns, no canonicalization residue")
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L))
+  }
+}
