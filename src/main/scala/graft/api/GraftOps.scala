@@ -466,6 +466,36 @@ object GraftOps {
     graft.operators.NgramLm.lmQualityTiersOf(docs, lmDocs,
       headPermille, middlePermille)
 
+  /** Calibrate LM tier thresholds from a reference corpus (train-time
+    * quantiles of the scored distribution) — persist with
+    * [[lmSaveTierCalibration]] so every ingest batch applies identical
+    * boundaries. */
+  def lmCalibrateTiers(docs: DataFrame, lmDocs: DataFrame,
+                       headFrac: Double = 0.1, middleFrac: Double = 0.4)
+      : graft.operators.NgramLm.LmTierCalibration =
+    graft.operators.NgramLm.calibrateTiers(docs, lmDocs, headFrac, middleFrac)
+
+  /** Tier aggregate under a persisted calibration artifact. */
+  def lmQualityTiers(docs: DataFrame, lmDocs: DataFrame,
+                     cal: graft.operators.NgramLm.LmTierCalibration): DataFrame =
+    graft.operators.NgramLm.lmQualityTiersOf(docs, lmDocs, cal)
+
+  /** Per-document tier assignment (doc_id, n_trigrams, permille, tier)
+    * — the row-level gate the aggregate summarizes. */
+  def lmTierAssignments(docs: DataFrame, lmDocs: DataFrame,
+                        headPermille: Int = 990,
+                        middlePermille: Int = 790): DataFrame =
+    graft.operators.NgramLm.lmTierAssignmentsOf(docs, lmDocs,
+      headPermille, middlePermille)
+
+  def lmSaveTierCalibration(spark: org.apache.spark.sql.SparkSession,
+                            cal: graft.operators.NgramLm.LmTierCalibration,
+                            path: String): Unit =
+    graft.operators.NgramLm.saveTierCalibration(spark, cal, path)
+  def lmLoadTierCalibration(spark: org.apache.spark.sql.SparkSession,
+                            path: String): graft.operators.NgramLm.LmTierCalibration =
+    graft.operators.NgramLm.loadTierCalibration(spark, path)
+
   /** Corpus-saturation curve: distinct n-gram TYPES a batch adds over
     * a corpus, per order — novelty collapsing toward 0‰ at orders 2-3
     * means more of the source buys no new language. */

@@ -144,11 +144,34 @@ object NgramLm {
     * 4-row aggregate on the doc-level frame; per-doc arithmetic stays
     * far inside int64 (hits <= n_trigrams <= doc tokens). Output is
     * <= 4 rows: tier, doc count, trigram mass, mean match‰ (integer
-    * DIV; non-negative operands, house division rule). */
+    * DIV; non-negative operands, house division rule).
+    *
+    * Threshold provenance: the 990/790 defaults are a CALIBRATION
+    * ARTIFACT measured on the testdata corpus, kept as source defaults
+    * for oracle stability; production corpora derive their own with
+    * [[calibrateTiers]] (train-time quantiles over a reference corpus)
+    * and persist it via [[saveTierCalibration]]/[[loadTierCalibration]]
+    * so every ingest batch applies identical boundaries. */
   def lmQualityTiersOf(docs: DataFrame, lmDocs: DataFrame,
                        headPermille: Int = 990,
-                       middlePermille: Int = 790): DataFrame = {
-    val scored = lmBackoffHitsOf(docs, lmDocs)
+                       middlePermille: Int = 790): DataFrame =
+    lmTierAssignmentsOf(docs, lmDocs, headPermille, middlePermille)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_trigrams")).as("n_trigrams"),
+        expr("CAST(sum(permille) DIV count(1) AS BIGINT)").as("mean_permille"))
+
+  /** Per-document tier assignment: (doc_id, n_trigrams, permille,
+    * tier) — the row-level face the tier aggregate, the calibrator and
+    * the streaming gate all build on. Thresholds make the gate PER-ROW
+    * (a doc's tier never depends on the batch it arrived in); the
+    * 990/790 defaults are the calibration artifact measured on the
+    * testdata corpus — production pipelines calibrate their own with
+    * [[calibrateTiers]] and persist it. */
+  def lmTierAssignmentsOf(docs: DataFrame, lmDocs: DataFrame,
+                          headPermille: Int = 990,
+                          middlePermille: Int = 790): DataFrame =
+    lmBackoffHitsOf(docs, lmDocs)
       .withColumn("permille",
         when(col("n_trigrams") === 0L, lit(0L)).otherwise(expr(
           "CAST((3 * hits3 + 2 * hits2 + hits1) * 1000 DIV (3 * n_trigrams) AS BIGINT)")))
@@ -157,10 +180,72 @@ object NgramLm {
           .when(col("permille") >= headPermille, lit("head"))
           .when(col("permille") >= middlePermille, lit("middle"))
           .otherwise(lit("tail")))
-    scored.groupBy(col("tier"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_trigrams")).as("n_trigrams"),
-        expr("CAST(sum(permille) DIV count(1) AS BIGINT)").as("mean_permille"))
+      .select(col("doc_id"), col("n_trigrams"), col("permille"), col("tier"))
+
+  /** A persisted tier calibration: the two permille thresholds, as a
+    * train-time artifact (the IVF-PQ-meta policy applied to the LM
+    * gate). Thresholds-as-artifact keeps tier assignment
+    * ingest-batch-independent — a corpus-quantile ntile at apply time
+    * would make a doc's tier depend on every other doc in its batch
+    * (and plan a corpus-sized global window). */
+  case class LmTierCalibration(headPermille: Int, middlePermille: Int)
+
+  /** Calibrate tier thresholds from a REFERENCE corpus: head = the
+    * permille at the top-`headFrac` boundary of the scored
+    * distribution, middle = at `headFrac + middleFrac`. Exact and
+    * deterministic: the distribution collapses to a ≤1001-row
+    * (permille, count) histogram — one keyed aggregate over the scored
+    * docs, walked on the driver (bounded state by construction).
+    * Empty docs (no trigram) are excluded: they carry their own tier
+    * at apply time and would otherwise drag the quantiles. If the
+    * distribution is too concentrated the two thresholds can coincide
+    * — the middle tier is then empty, which is the honest answer for
+    * a corpus whose scores don't spread. */
+  def calibrateTiers(docs: DataFrame, lmDocs: DataFrame,
+                     headFrac: Double = 0.1,
+                     middleFrac: Double = 0.4): LmTierCalibration = {
+    require(headFrac > 0 && middleFrac > 0 && headFrac + middleFrac < 1,
+      s"bad tier fractions: head=$headFrac middle=$middleFrac")
+    val hist: Seq[(Long, Long)] = lmTierAssignmentsOf(docs, lmDocs)
+      .filter(col("n_trigrams") > 0)
+      .groupBy(col("permille")).agg(count(lit(1)).as("n"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+    require(hist.nonEmpty,
+      "calibration corpus has no scoreable (>= 3-token) documents")
+    val total = hist.map(_._2).sum
+    def thresholdAt(frac: Double): Int = {
+      val want = math.ceil(frac * total).toLong
+      var cum = 0L
+      var thr = hist.head._1
+      val it = hist.iterator
+      while (cum < want && it.hasNext) {
+        val (p, n) = it.next(); cum += n; thr = p
+      }
+      thr.toInt
+    }
+    LmTierCalibration(thresholdAt(headFrac), thresholdAt(headFrac + middleFrac))
+  }
+
+  /** Tier aggregate under a persisted calibration. */
+  def lmQualityTiersOf(docs: DataFrame, lmDocs: DataFrame,
+                       cal: LmTierCalibration): DataFrame =
+    lmQualityTiersOf(docs, lmDocs, cal.headPermille, cal.middlePermille)
+
+  /** Persist / restore a calibration (tiny single-row parquet, the
+    * ivfpqSaveIndex meta policy). */
+  def saveTierCalibration(s: SparkSession, cal: LmTierCalibration,
+                          path: String): Unit = {
+    import s.implicits._
+    Seq((cal.headPermille, cal.middlePermille))
+      .toDF("head_permille", "middle_permille")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadTierCalibration(s: SparkSession, path: String): LmTierCalibration = {
+    val r = s.read.parquet(path).collect().headOption.getOrElse(
+      throw new IllegalStateException(s"no calibration row under $path"))
+    LmTierCalibration(r.getAs[Int]("head_permille"),
+      r.getAs[Int]("middle_permille"))
   }
 
   /** Oracle-checked fixture: same LM slice as lm_backoff_hits

@@ -111,6 +111,46 @@ class NgramLmSpec extends SparkSpec {
     assert(out("empty") == ((1L, 0L, 0L)), s"empty: $out")
   }
 
+  test("tier calibration: thresholds from reference quantiles, persisted, batch-independent") {
+    import spark.implicits._
+    val lm = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // scored distribution: 1000, 777, 333, 0 (+ one empty doc excluded
+    // from calibration but tiered at apply time)
+    val docs = Seq(
+      (1L, "a b c d e"),   // all 3 trigrams at order 3 -> 1000
+      (2L, "a b c d a"),   // (3+3+1)*1000 DIV 9 = 777
+      (3L, "a b c x y"),   // one lv-3 trigram, rest OOV -> 333
+      (4L, "x y z w"),     // all OOV -> 0
+      (5L, "hi"))          // no trigram -> empty tier, not calibrated
+      .toDF("doc_id", "text")
+    // top 25% -> the 1000 boundary; next 50% -> walks to 333
+    val cal = NgramLm.calibrateTiers(docs, lm, headFrac = 0.25, middleFrac = 0.5)
+    assert(cal == NgramLm.LmTierCalibration(1000, 333), s"got $cal")
+    // roundtrip like the IVF-PQ meta
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmcal")
+      .resolve("cal").toString
+    NgramLm.saveTierCalibration(spark, cal, dir)
+    assert(NgramLm.loadTierCalibration(spark, dir) == cal)
+    // the aggregate face accepts the artifact
+    val tiers = NgramLm.lmQualityTiersOf(docs, lm, cal)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiers == Map("head" -> 1L, "middle" -> 2L, "tail" -> 1L, "empty" -> 1L),
+      s"got $tiers")
+    // batch independence: a FIXED calibration gives each doc the same
+    // tier whether it arrives alone or with the whole corpus
+    def asg(d: org.apache.spark.sql.DataFrame) =
+      NgramLm.lmTierAssignmentsOf(d, lm, cal.headPermille, cal.middlePermille)
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val whole = asg(docs)
+    val parts = asg(docs.filter($"doc_id" <= 2)) ++ asg(docs.filter($"doc_id" > 2))
+    assert(whole == parts, s"tiers drifted across batch splits: $whole vs $parts")
+    // degenerate spread: calibrating on a one-score corpus collapses
+    // both thresholds (empty middle tier — the honest answer)
+    val flat = NgramLm.calibrateTiers(Seq((9L, "a b c d e")).toDF("doc_id", "text"),
+      lm, headFrac = 0.2, middleFrac = 0.3)
+    assert(flat.headPermille == 1000 && flat.middlePermille == 1000)
+  }
+
   test("ngram novelty counts new TYPES per order against a corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
