@@ -496,6 +496,25 @@ object GraftOps {
                             path: String): graft.operators.NgramLm.LmTierCalibration =
     graft.operators.NgramLm.loadTierCalibration(spark, path)
 
+  /** Persist / restore a frozen LM (the three distinct gram-hash type
+    * tables) so per-batch scoring — including the streaming gate
+    * (EventStreams.lmGateStream) — never re-scans the reference
+    * corpus. */
+  def lmSaveIndex(lmDocs: DataFrame, path: String): Unit =
+    graft.operators.NgramLm.saveLmIndex(lmDocs, path)
+  def lmLoadIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): graft.operators.NgramLm.LmIndex =
+    graft.operators.NgramLm.loadLmIndex(spark, path)
+
+  /** Per-doc tier assignment against a frozen LM index — identical
+    * output to [[lmTierAssignments]] with the same LM corpus. */
+  def lmTierAssignmentsWithIndex(docs: DataFrame,
+                                 idx: graft.operators.NgramLm.LmIndex,
+                                 headPermille: Int = 990,
+                                 middlePermille: Int = 790): DataFrame =
+    graft.operators.NgramLm.lmTierAssignmentsWithIndex(docs, idx,
+      headPermille, middlePermille)
+
   /** Corpus-saturation curve: distinct n-gram TYPES a batch adds over
     * a corpus, per order — novelty collapsing toward 0‰ at orders 2-3
     * means more of the source buys no new language. */

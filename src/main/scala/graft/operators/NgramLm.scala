@@ -86,6 +86,17 @@ object NgramLm {
     def lmGrams(n: Int, out: String) =
       gramsOf(lmDocs, n)
         .select(graft.functions.Portable.hash60(col("gram")).as(out)).distinct()
+    lmBackoffHitsWithTables(docs,
+      lmGrams(3, "h3"), lmGrams(2, "h2"), lmGrams(1, "h1"))
+  }
+
+  /** The scoring core against pre-distinct gram-hash tables (lm3/lm2/
+    * lm1 with columns h3/h2/h1) — what lmBackoffHitsOf builds inline
+    * and what a FROZEN persisted [[LmIndex]] supplies directly, so a
+    * per-batch scorer (the streaming gate) never re-derives the LM
+    * side. */
+  private[graft] def lmBackoffHitsWithTables(docs: DataFrame, lm3: DataFrame,
+                                             lm2: DataFrame, lm1: DataFrame): DataFrame = {
     val occ = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -100,9 +111,9 @@ object NgramLm {
       .groupBy(col("doc_id"), col("h3"), col("h2"), col("h1"))
       .agg(count(lit(1)).as("cnt"))
     val lvl = occ.select(col("h3"), col("h2"), col("h1")).distinct()
-      .join(lmGrams(3, "h3").withColumn("m3", lit(1)), Seq("h3"), "left")
-      .join(lmGrams(2, "h2").withColumn("m2", lit(1)), Seq("h2"), "left")
-      .join(lmGrams(1, "h1").withColumn("m1", lit(1)), Seq("h1"), "left")
+      .join(lm3.withColumn("m3", lit(1)), Seq("h3"), "left")
+      .join(lm2.withColumn("m2", lit(1)), Seq("h2"), "left")
+      .join(lm1.withColumn("m1", lit(1)), Seq("h1"), "left")
       .select(col("h3"), col("h2"), col("h1"),
         when(col("m3") === 1, 3).when(col("m2") === 1, 2)
           .when(col("m1") === 1, 1).otherwise(0).as("lv"))
@@ -171,7 +182,13 @@ object NgramLm {
   def lmTierAssignmentsOf(docs: DataFrame, lmDocs: DataFrame,
                           headPermille: Int = 990,
                           middlePermille: Int = 790): DataFrame =
-    lmBackoffHitsOf(docs, lmDocs)
+    tiered(lmBackoffHitsOf(docs, lmDocs), headPermille, middlePermille)
+
+  /** Score → tier columns over a backoff-hits frame (the shared tail
+    * of both the inline and the frozen-index assignment paths). */
+  private def tiered(hits: DataFrame, headPermille: Int,
+                     middlePermille: Int): DataFrame =
+    hits
       .withColumn("permille",
         when(col("n_trigrams") === 0L, lit(0L)).otherwise(expr(
           "CAST((3 * hits3 + 2 * hits2 + hits1) * 1000 DIV (3 * n_trigrams) AS BIGINT)")))
@@ -247,6 +264,41 @@ object NgramLm {
     LmTierCalibration(r.getAs[Int]("head_permille"),
       r.getAs[Int]("middle_permille"))
   }
+
+  /** A frozen, persisted LM: the three distinct gram-hash TYPE tables
+    * the backoff scorer joins against (types ≪ occurrences — grams
+    * repeat heavily, so these are the small side of every membership
+    * join). Persisting them is what makes per-batch scoring O(batch):
+    * the DedupIndexes policy applied to the LM gate — the reference
+    * corpus is scanned once at train time, never per ingest batch. */
+  case class LmIndex(lm3: DataFrame, lm2: DataFrame, lm1: DataFrame)
+
+  /** Build + persist the frozen LM (three parquet dirs of 60-bit gram
+    * hashes). Pair with [[saveTierCalibration]] for the full gate
+    * artifact set. */
+  def saveLmIndex(lmDocs: DataFrame, path: String): Unit = {
+    def lmGrams(n: Int, out: String) =
+      gramsOf(lmDocs, n)
+        .select(graft.functions.Portable.hash60(col("gram")).as(out)).distinct()
+    lmGrams(3, "h3").write.mode("overwrite").parquet(path + "/lm3")
+    lmGrams(2, "h2").write.mode("overwrite").parquet(path + "/lm2")
+    lmGrams(1, "h1").write.mode("overwrite").parquet(path + "/lm1")
+  }
+
+  /** Load a frozen LM; the tables stay lazy distributed scans. */
+  def loadLmIndex(s: SparkSession, path: String): LmIndex =
+    LmIndex(s.read.parquet(path + "/lm3"), s.read.parquet(path + "/lm2"),
+      s.read.parquet(path + "/lm1"))
+
+  /** Per-document tier assignment against a FROZEN LM index — the
+    * batch unit the streaming gate runs per micro-batch. Identical
+    * output to [[lmTierAssignmentsOf]] with the same LM corpus
+    * (spec-pinned): hash60 round-trips parquet exactly. */
+  def lmTierAssignmentsWithIndex(docs: DataFrame, idx: LmIndex,
+                                 headPermille: Int = 990,
+                                 middlePermille: Int = 790): DataFrame =
+    tiered(lmBackoffHitsWithTables(docs, idx.lm3, idx.lm2, idx.lm1),
+      headPermille, middlePermille)
 
   /** Oracle-checked fixture: same LM slice as lm_backoff_hits
     * (src0-src9), whole corpus tiered against it. */

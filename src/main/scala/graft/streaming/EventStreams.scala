@@ -327,6 +327,88 @@ object EventStreams {
       .toDF("doc_id", "sim")
   }
 
+  /** Streaming LM quality gate — the streaming face of
+    * NgramLm.lmQualityTiersOf: each document micro-batch is scored
+    * against a FROZEN persisted LM index (the three distinct gram-hash
+    * tables, loaded lazily ONCE at stream start — the reference corpus
+    * is never re-scanned per batch) and tiered with FIXED permille
+    * thresholds (load them from a persisted LmTierCalibration); docs
+    * in `keepTiers` land as committed parquet batch dirs under
+    * `outDir`, with the (doc_id, text, n_trigrams, permille, tier)
+    * columns a downstream mixer wants.
+    *
+    * Why foreachBatch and not a pure streaming plan: the backoff score
+    * is joins + two keyed aggregations per doc — a shape append-mode
+    * streaming aggregation forbids; per-batch it is plain batch SQL
+    * against static LM tables, the same pattern as the index ingest
+    * sink. Exactly-once via the per-batch-dir + `_COMMITTED` marker
+    * protocol (shared discipline with IndexStreams.appendBatch): a
+    * replayed batch finds its marker and skips, a crash-partial dir is
+    * invisible to readers. Tier thresholds are per-row, so a doc's
+    * verdict never depends on which batch it arrived in — batch/stream
+    * agreement is spec-pinned. */
+  def lmGateStream(spark: org.apache.spark.sql.SparkSession,
+                   docs: DataFrame, lmIndexPath: String, outDir: String,
+                   checkpoint: String,
+                   headPermille: Int = 990, middlePermille: Int = 790,
+                   keepTiers: Seq[String] = Seq("head", "middle")): org.apache.spark.sql.streaming.StreamingQuery = {
+    val idx = graft.operators.NgramLm.loadLmIndex(spark, lmIndexPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmGateBatch(batch, idx, outDir, batchId,
+          headPermille, middlePermille, keepTiers): Unit
+      }
+      .start()
+  }
+
+  /** One gated micro-batch → `batch-<id>` parquet dir + `_COMMITTED`
+    * marker. Returns whether this call wrote (false = replay of a
+    * committed batch). Empty admitted sets still commit marker-only so
+    * the batch never re-runs (and no schema-less parquet dir is left
+    * to break readers). */
+  def lmGateBatch(batch: DataFrame, idx: graft.operators.NgramLm.LmIndex,
+                  outDir: String, batchId: Long,
+                  headPermille: Int, middlePermille: Int,
+                  keepTiers: Seq[String]): Boolean = {
+    val dir = java.nio.file.Paths.get(outDir, f"batch-$batchId%05d")
+    if (java.nio.file.Files.exists(dir.resolve("_COMMITTED"))) false
+    else {
+      val admitted = graft.operators.NgramLm
+        .lmTierAssignmentsWithIndex(batch, idx, headPermille, middlePermille)
+        .filter(col("tier").isin(keepTiers: _*))
+        .join(batch, Seq("doc_id"))
+      if (!admitted.isEmpty) {
+        admitted.write.mode("overwrite").parquet(dir.resolve("docs").toString)
+      }
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("_COMMITTED"),
+        java.util.Arrays.asList(""))
+      true
+    }
+  }
+
+  /** All committed gate output under `outDir` as one frame (the reader
+    * face; uncommitted/partial dirs are invisible by construction). */
+  def readGateOutput(spark: org.apache.spark.sql.SparkSession,
+                     outDir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(outDir)
+    val dirs =
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val listing = java.nio.file.Files.list(root)
+        try listing.iterator().asScala.toSeq.sortBy(_.toString)
+        finally listing.close()
+      }
+    val committed = dirs
+      .filter(d => java.nio.file.Files.exists(d.resolve("_COMMITTED")) &&
+        java.nio.file.Files.isDirectory(d.resolve("docs")))
+      .map(d => spark.read.parquet(d.resolve("docs").toString))
+    committed.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Replay-idempotent ShareSink micro-batch writer: each batch lands
     * in its own `batch-<id>` directory whose committed `_MANIFEST` is
     * the marker — a batch replayed after a crash-before-checkpoint

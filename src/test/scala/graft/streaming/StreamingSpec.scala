@@ -611,6 +611,63 @@ class StreamingSpec extends AnyFunSuite {
       2 * emb.count() + 2)
   }
 
+  test("streaming LM quality gate: frozen-index scoring agrees with batch, survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.NgramLm
+    val tmp = Files.createTempDirectory("graft-lmgate")
+    // frozen LM artifact built once at "train time"
+    val lm = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    NgramLm.saveLmIndex(lm, tmp.resolve("lm").toString)
+    // spec thresholds 900/700 (the NgramLmSpec hand corpus): scores
+    // 1000 / 777 / 333 / 0 / empty / 777
+    val docsAll = Seq(
+      (1L, "a b c d e"), (2L, "a b c d a"), (3L, "a b c x y"),
+      (4L, "x y z w"), (5L, "hi"), (6L, "b c d e b"))
+    val in = MemoryStream[(Long, String)]
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def start() = EventStreams.lmGateStream(spark,
+      in.toDF().toDF("doc_id", "text"), tmp.resolve("lm").toString, out, ckpt,
+      headPermille = 900, middlePermille = 700)
+    val q1 = start()
+    in.addData(docsAll.take(3): _*)
+    q1.processAllAvailable()
+    q1.stop() // "crash": checkpoint + committed dirs remain
+    val q2 = start() // restart on the same checkpoint
+    in.addData(docsAll.drop(3): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def landed = EventStreams.readGateOutput(spark, out)
+      .select("doc_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // stream verdicts == batch verdicts on the same corpus (per-row
+    // thresholds: a doc's tier can't depend on its batch)
+    val batch = NgramLm.lmTierAssignmentsOf(docsAll.toDF("doc_id", "text"),
+        lm, 900, 700)
+      .filter($"tier".isin("head", "middle"))
+      .select("doc_id", "tier").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(landed.toSet == batch.toSet &&
+      landed.toSet == Set((1L, "head"), (2L, "middle"), (6L, "middle")),
+      s"got ${landed.toSeq}")
+    assert(landed.length == 3, "no doc may land twice across the restart")
+    // the landed rows carry the original text for the downstream mixer
+    assert(EventStreams.readGateOutput(spark, out).columns.contains("text"))
+    // replaying a committed batch is a no-op (crash-replay guard)
+    val idx = NgramLm.loadLmIndex(spark, tmp.resolve("lm").toString)
+    assert(!EventStreams.lmGateBatch(docsAll.take(3).toDF("doc_id", "text"),
+      idx, out, 0L, 900, 700, Seq("head", "middle")))
+    assert(landed.length == 3)
+    // an all-rejected batch commits marker-only and replays as a no-op
+    assert(EventStreams.lmGateBatch(Seq((9L, "x y z w")).toDF("doc_id", "text"),
+      idx, out, 7L, 900, 700, Seq("head", "middle")))
+    assert(!EventStreams.lmGateBatch(Seq((9L, "x y z w")).toDF("doc_id", "text"),
+      idx, out, 7L, 900, 700, Seq("head", "middle")))
+    assert(landed.length == 3, "rejected docs must not land")
+  }
+
   test("versioned index root: pointer-swapped compaction is invisible to concurrent readers") {
     import org.apache.spark.sql.functions.col
     import java.nio.file.Files
