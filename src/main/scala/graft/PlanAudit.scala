@@ -52,6 +52,16 @@ object PlanAudit {
         .select(col("i").as("u"), col("j").as("v")).localCheckpoint()
       graft.operators.Dedup.clusterRoundPlanOf(seedEdges)
     })
+    // Skew-stress rows: the same audit over SkewFixture's hot-source
+    // shard (one source at 100× median with a 10k-copy duplicate text).
+    // Plan shape must be identical to the uniform-corpus rows above —
+    // the task-balance evidence lives in SkewStressSpec.
+    import org.apache.spark.sql.functions.lit
+    val skew = SkewFixture.docs(spark)
+    auditRow("skew:dedup_exact", graft.operators.Dedup.exactOf(skew))
+    auditRow("skew:minhash_pairs", graft.operators.Dedup.minhashPairsOf(skew))
+    auditRow("skew:mix_token_budget",
+      graft.operators.Curation.mixTokenBudgetOf(skew, col("source"), lit(1000000L)))
     spark.stop()
   }
 }

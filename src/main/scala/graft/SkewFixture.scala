@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic skewed-shard generator for skew-stress evidence.
+  *
+  * The plan-hygiene suite and PlanAudit sweep run on the harness
+  * testdata, whose sources are near-uniform — which means they never
+  * exercise the failure mode the two-phase dedup/mixing shapes exist to
+  * survive: one hot source (a dominant crawl domain) at ~100× the
+  * median source's row count, carrying a mass-duplicated boilerplate
+  * text (the hot groupBy key). This object builds that shard as a pure
+  * Column-expression plan over `spark.range` — fully distributed, no
+  * driver-side row materialization, and deterministic (md5-derived
+  * words keyed on doc_id; no Random/now()) so the SkewStressSpec
+  * bounds are reproducible run-over-run.
+  *
+  * Schema matches `documents.parquet` (doc_id, text, lang, source,
+  * n_chars) so every documents-shaped operator accepts it unchanged.
+  */
+object SkewFixture {
+
+  /** Rows in the hot source with default parameters. */
+  def hotRows(coldRows: Int = 200, hotFactor: Int = 100): Long =
+    coldRows.toLong * hotFactor
+
+  /** `coldSources` sources of `coldRows` docs each, plus one `hot`
+    * source at `hotFactor` × `coldRows` docs of which every
+    * `dupEvery`-th is a byte-identical canonical text (the mass
+    * duplicate). Defaults: 10×200 cold + 20,000 hot = 22,000 rows,
+    * 10,000 of them copies of one text. */
+  def docs(spark: SparkSession, coldSources: Int = 10, coldRows: Int = 200,
+           hotFactor: Int = 100, dupEvery: Int = 2): DataFrame = {
+    val coldTotal = coldSources.toLong * coldRows
+    val n = coldTotal + hotRows(coldRows, hotFactor)
+    // 12 md5-slice words per doc: enough for word-trigram shingling,
+    // unique per doc_id, and cheap to generate at any scale.
+    val words = (0 until 12).map(i =>
+      substring(md5(concat_ws("_", col("doc_id").cast("string"),
+        lit(i.toString))), 1, 8))
+    val canonical = lit((0 until 12).map(i => s"boiler$i").mkString(" "))
+    spark.range(0, n, 1, 32)
+      .select(col("id").as("doc_id"))
+      .withColumn("source",
+        when(col("doc_id") < coldTotal,
+          concat(lit("cold_"), (col("doc_id") % coldSources).cast("string")))
+          .otherwise(lit("hot")))
+      .withColumn("text",
+        when(col("source") === "hot" && col("doc_id") % dupEvery === 0,
+          canonical)
+          .otherwise(concat_ws(" ", words: _*)))
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{SkewFixture, SparkSpec}
+import graft.operators.{Curation, Dedup}
+
+/** Skew-stress evidence at the shape level: the dedup/mixing two-phase
+  * plans must (a) keep their exchange counts on a shard with one hot
+  * source at 100× the median — plan shape is data-independent — and
+  * (b) keep their reduce-side task balance there, measured as the
+  * max/median shuffle-read records across tasks of the dominant
+  * shuffle stage. The naive single-window formulation is measured
+  * alongside as the sensitivity control: it funnels the entire hot
+  * source into one task, so if the harness could not see that, the
+  * bounds here would be vacuous.
+  *
+  * AQE partition coalescing is pinned off for the measured runs only:
+  * at test scale (22k rows) AQE folds every reduce stage into one task
+  * regardless of key distribution, which would measure the coalescer,
+  * not the operator. At the 100 TB target partitions are far above the
+  * advisory size and never coalesce, so the uncoalesced layout is the
+  * one that scales.
+  */
+class SkewStressSpec extends SparkSpec {
+
+  /** (stageId, recordsRead) per completed task with nonzero shuffle
+    * reads; the listener bus is async, so readers poll for stability. */
+  private final class ShuffleTally extends SparkListener {
+    val reads = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+        reads.add((te.stageId, m.shuffleReadMetrics.recordsRead))
+    }
+  }
+
+  /** Runs `action` under a fresh tally and returns the per-task
+    * shuffle-read records of the DOMINANT stage (largest total read) —
+    * the stage where a skew funnel would physically appear. Tiny
+    * follow-up stages (the count()'s single-partition agg) are thereby
+    * excluded from the balance statistics. */
+  private def dominantStageReads(action: => Unit): Seq[Long] = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      SparkSpec.withConfs(spark,
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false")(action)
+      var last = -1; var stable = 0
+      val deadline = System.nanoTime + 15_000_000_000L
+      while (stable < 3 && System.nanoTime < deadline) {
+        Thread.sleep(100)
+        val now = tally.reads.size
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    } finally spark.sparkContext.removeSparkListener(tally)
+    import scala.jdk.CollectionConverters._
+    val byStage = tally.reads.asScala.toSeq.groupBy(_._1)
+    assert(byStage.nonEmpty, "no shuffle-reading tasks observed")
+    byStage.maxBy(_._2.map(_._2).sum)._2.map(_._2)
+  }
+
+  private def maxOverMedian(reads: Seq[Long]): Double = {
+    val sorted = reads.sorted
+    val median = sorted(sorted.size / 2).max(1L)
+    sorted.last.toDouble / median
+  }
+
+  private lazy val skewed = SkewFixture.docs(spark)
+  private lazy val balanced =
+    SkewFixture.docs(spark, coldSources = 10, coldRows = 200, hotFactor = 1)
+  private val nRows = 22000L
+
+  private def exchanges(df: DataFrame): Int =
+    ("Exchange hashpartitioning|Exchange rangepartitioning|" +
+      "Exchange SinglePartition").r
+      .findAllIn(df.queryExecution.executedPlan.toString).size
+
+  test("two-phase shapes keep their exchange counts on the skewed shard") {
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_exact" -> (d => Dedup.exactOf(d)),
+      "minhash_pairs" -> (d => Dedup.minhashPairsOf(d)),
+      "mix_token_budget" ->
+        (d => Curation.mixTokenBudgetOf(d, col("source"), lit(1000000L))))
+    for ((name, shape) <- shapes) {
+      val (b, s) = (exchanges(shape(balanced)), exchanges(shape(skewed)))
+      assert(b == s, s"$name: $b exchanges balanced vs $s skewed")
+    }
+  }
+
+  test("exact dedup: map-side combine collapses the 10k-copy hot key") {
+    val reads = dominantStageReads(Dedup.exactOf(skewed).count())
+    // Partial aggregation emits at most one record per (map task, key):
+    // the 10,000 canonical copies cross the wire as <= 32 records, so
+    // the reduce stage reads ~the distinct-key count, not the row count.
+    val total = reads.sum
+    assert(total < (nRows * 0.8).toLong,
+      s"reduce stage read $total records of $nRows input rows — " +
+        "partial aggregation is not collapsing the hot key map-side")
+    val ratio = maxOverMedian(reads)
+    assert(reads.size > 1 && ratio <= 3.0,
+      s"task imbalance ${ratio}x across ${reads.size} tasks: $reads")
+  }
+
+  test("mix_token_budget: bucketed windows hold balance where the naive single window funnels") {
+    val hot = SkewFixture.hotRows()
+    val twoPhase = dominantStageReads(
+      Curation.mixTokenBudgetOf(skewed, col("source"), lit(1000000L)).count())
+    // (source, bkt) spreads the hot source over 256 buckets; no reduce
+    // task may hold much more than its fair share of the corpus.
+    assert(twoPhase.size > 1 && twoPhase.max <= (nRows * 0.4).toLong,
+      s"two-phase max task read ${twoPhase.max} of $nRows rows: $twoPhase")
+    assert(maxOverMedian(twoPhase) <= 3.0,
+      s"two-phase imbalance ${maxOverMedian(twoPhase)}x: $twoPhase")
+
+    // Sensitivity control — the shape the operator exists to avoid: a
+    // single window partitioned by source alone must funnel all 20k hot
+    // rows into one task, and the harness must see exactly that.
+    val naive = dominantStageReads {
+      skewed
+        .withColumn("cum", sum(length(col("text"))).over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .agg(sum(col("cum"))).collect()
+    }
+    assert(naive.max >= (hot * 0.9).toLong,
+      s"control failed: naive window max task read ${naive.max}, " +
+        s"expected the full $hot-row hot source on one task")
+    assert(naive.max > twoPhase.max * 2,
+      s"control not separated: naive ${naive.max} vs two-phase ${twoPhase.max}")
+  }
+}
