@@ -126,9 +126,56 @@ object Bpe {
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMergesOf(Tables.documents(s, d)).orderBy(col("rank"))
 
+  /** Fixed merge list for the tokenizer fixture — data-independent so
+    * the query is oracle-expressible (training is iterative; APPLYING a
+    * frozen vocabulary is not, and at scale that split is the real
+    * deployment shape: train rarely, tokenize every batch). */
+  private[operators] val fixtureMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("e", "</w>"), ("a", "n"), ("d", "</w>"))
+
+  /** Tokenize the documents with [[fixtureMerges]]. Output joins the
+    * token array with spaces (tokens contain no spaces by construction
+    * — they descend from space-split words) so the compare is over
+    * scalar strings. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame =
+    bpeTokenizeOf(Tables.documents(s, d), fixtureMerges)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("token_str"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB replica of the greedy left-to-right non-overlapping merge
+    * fold, via the separator-bracket trick: render each symbol as
+    * `§sym§` (SEP = U+0001, absent from the corpus) and apply merge
+    * (l, r) as `replace(s, '§l§§r§', '§lr§')` — SQL replace is exactly
+    * greedy LTR non-overlapping, each symbol carries its own leading
+    * AND trailing bracket so consuming one match never eats the
+    * neighbor's boundary, and the brackets prevent sub-symbol matches
+    * (a suffix `a` of symbol `xa` is never preceded by SEP). */
+  private val bpeTokenizeOracle: String = {
+    val SEP = "\u0001"
+    val base = s"'$SEP' || array_to_string(string_split(w, ''), '$SEP$SEP') || " +
+      s"'$SEP' || '$SEP</w>$SEP'"
+    val folded = fixtureMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '$SEP$l$SEP$SEP$r$SEP', '$SEP${l + r}$SEP')"
+    }
+    s"""SELECT doc_id,
+       |  array_to_string(flatten(list_transform(
+       |    list_filter(string_split(text, ' '), w -> len(w) > 0),
+       |    w -> string_split(trim($folded, '$SEP'), '$SEP$SEP'))), ' ')
+       |    AS token_str,
+       |  CAST(len(flatten(list_transform(
+       |    list_filter(string_split(text, ' '), w -> len(w) > 0),
+       |    w -> string_split(trim($folded, '$SEP'), '$SEP$SEP')))) AS INT)
+       |    AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
+    "bpe_tokenize" -> (bpeTokenize _),
   )
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "bpe_tokenize" -> bpeTokenizeOracle,
+  )
 }

@@ -1177,6 +1177,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(tokens.forall(t => !t.contains(" ")))
   }
 
+  test("bpe_tokenize fixture merges apply greedily left-to-right, non-overlapping") {
+    import spark.implicits._
+    // 'ththe': (t,h) twice -> [th, th, e, </w>]; (th,e) merges the
+    // SECOND th only (greedy LTR: first th flushes when followed by
+    // th); (e,</w>) finds no bare 'e' left. 'aan': (a,n) must merge
+    // the second a with n, not chain onto the first.
+    val docs = Seq((1L, "ththe aan")).toDF("doc_id", "text")
+    val out = Bpe.bpeTokenizeOf(docs, Bpe.fixtureMerges).collect()(0)
+    assert(out.getSeq[String](1) == Seq("th", "the", "</w>", "a", "an", "</w>"),
+      s"greedy-merge divergence: ${out.getSeq[String](1)}")
+  }
+
   test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {
     import spark.implicits._
     val good = "one two three four five six seven eight."
