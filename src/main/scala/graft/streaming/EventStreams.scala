@@ -219,6 +219,49 @@ object EventStreams {
       .toDF("doc_id", "text")
   }
 
+  /** Streaming URL-keyed crawl gate — the streaming face of
+    * `UrlOps.urlDedupOf`: admit a fetch iff its CANONICAL url's 60-bit
+    * hash has never been admitted in the stream's lifetime (the shape a
+    * crawl frontier runs in front of text dedup: refetches of the same
+    * page under case-shifted hosts / default ports / fragments /
+    * tracking params are dropped at hash-key cost without touching
+    * bodies). The canonicalizer is expression-only, so it rides the
+    * streaming plan unchanged in front of the keyed state; state is one
+    * marker per distinct canonical URL — NoTimeout for the same reason
+    * as [[streamingTextDedup]]: a fetched page stays fetched. Within a
+    * micro-batch the lowest doc_id wins (the batch keeper convention).
+    * Output keeps (doc_id, url, canonical_url) so downstream stages key
+    * on the canonical form without recomputing it. */
+  def streamingUrlDedup(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    graft.operators.UrlOps.canonicalUrlOf(docs)
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        graft.functions.Portable.hash60(col("canonical_url")).as("h"))
+      .as[(Long, String, String, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[SeenContent]) =>
+          if (state.exists) Iterator.empty
+          else {
+            // single pass for the lowest doc_id — a hot page can be
+            // refetched millions of times per batch; never buffer
+            var bestId = Long.MaxValue
+            var bestUrl: String = null
+            var bestCanon: String = null
+            rows.foreach { case (id, u, c, _) =>
+              if (id < bestId) { bestId = id; bestUrl = u; bestCanon = c }
+            }
+            state.update(SeenContent(1L))
+            Iterator((bestId, bestUrl, bestCanon))
+          }
+      }
+      .toDF("doc_id", "url", "canonical_url")
+  }
+
   /** The 32-bit simhash as a fully narrow fold expression — bit-for-bit
     * the same signature as the batch `Dedup.simhashSignaturesOf`
     * (token hash votes, ties → 0), but with no shuffle: tokens hash

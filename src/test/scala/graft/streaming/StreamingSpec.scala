@@ -267,6 +267,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDirs.map(manifestRows).sum == 3L) // unchanged
   }
 
+  test("streaming URL crawl gate admits each canonical url once, agrees with batch, survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_udedup_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    def start() = EventStreams.streamingUrlDedup(spark,
+        in.toDF().toDF("doc_id", "url"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(
+      (7L, "HTTPS://Example.COM:443/page/?b=2&a=1#frag"), // same page,
+      (3L, "https://example.com/page?a=1&b=2"),           // 3 wins in-batch
+      (5L, "https://example.com/other"))
+    q1.processAllAvailable()
+    q1.stop() // crash: checkpointed URL markers must persist
+    val q2 = start()
+    in.addData(
+      (9L, "https://example.com/page/?utm_source=rss&a=1&b=2"), // pre-restart dup
+      (11L, "http://example.com:80/fresh"))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = collected.synchronized(collected.toSet)
+    assert(rows.map(r => (r._1, r._3)) == Set(
+      (3L, "https://example.com/page?a=1&b=2"),
+      (5L, "https://example.com/other"),
+      (11L, "http://example.com/fresh")),
+      s"lifetime URL dedup violated: $rows")
+    // the streamed canonical strings are bit-identical to the batch
+    // canonicalizer over the same fetches (one plan, two run modes)
+    val batchCanon = graft.operators.UrlOps.canonicalUrlOf(
+        Seq((3L, "https://example.com/page?a=1&b=2"),
+            (5L, "https://example.com/other"),
+            (11L, "http://example.com:80/fresh")).toDF("doc_id", "url"))
+      .select("doc_id", "canonical_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows.map(r => (r._1, r._3)) == batchCanon)
+  }
+
   test("streaming text dedup admits each content once, lowest doc_id wins, survives restart") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
