@@ -35,6 +35,7 @@ object Bench {
     // queries — the artifact would no longer measure a cold suite
     val runs = (1 to reps).map { _ =>
       graft.operators.Dedup.clearMemo(spark)
+      graft.operators.NgramLm.clearMemo(spark)
       Tables.memo.clear(spark)
       // Build the session-memoized frames the dedup family shares
       // (shingles, pair counts, minhash pairs, cluster labels) under a
@@ -47,6 +48,7 @@ object Bench {
       val warm: Either[String, Double] =
         try { graft.operators.Dedup.warmMemos(spark, sfDir)
               graft.operators.TextAnalysis.warmMemos(spark, sfDir)
+              graft.operators.NgramLm.warmMemos(spark, sfDir)
               Right((System.nanoTime() - w0) / 1e9) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }

@@ -166,7 +166,12 @@ object NgramLm {
   def lmQualityTiersOf(docs: DataFrame, lmDocs: DataFrame,
                        headPermille: Int = 990,
                        middlePermille: Int = 790): DataFrame =
-    lmTierAssignmentsOf(docs, lmDocs, headPermille, middlePermille)
+    tierRollup(lmTierAssignmentsOf(docs, lmDocs, headPermille, middlePermille))
+
+  /** The ≤4-row tier aggregate over an assignment frame — split out so
+    * fixture queries can share one memoized assignment pass. */
+  private def tierRollup(asg: DataFrame): DataFrame =
+    asg
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_trigrams")).as("n_trigrams"),
@@ -265,6 +270,47 @@ object NgramLm {
       r.getAs[Int]("middle_permille"))
   }
 
+  /** Tier-share drift monitor + recalibration trigger — the
+    * calibration artifact's sibling of [[graft.operators.Similarity]]'s
+    * `ivfpqDriftOf`: frozen thresholds stay valid only while the
+    * scored distribution they were measured on holds, and the cheap
+    * always-available signal is WHERE new documents land among the
+    * tiers. Takes ONE assignment frame plus an `isRef` predicate
+    * splitting it into reference vs batch (a single corpus pass — two
+    * separate frames would score the pyramid twice) and returns the
+    * total-variation distance between the two tier-share histograms in
+    * e6 fixed point, with `recalibrate = tv_e6 >= thresholdE6`.
+    *
+    * `empty` rows are excluded on both sides (the calibrator excludes
+    * them too — unscoreable docs carry their own tier and say nothing
+    * about threshold placement). Arithmetic is the corpus_drift /
+    * occupancyTvE6 exact-integer machinery over a ≤3-row histogram:
+    * Σ|c·m − d·n| in DECIMAL(38,0) (HUGEINT in the oracle), one
+    * truncating DIV at the end; the partition-less window runs over
+    * the tier histogram, never the corpus. Both sides must be
+    * non-empty — an empty side yields a NULL tv_e6 (0/0), the honest
+    * "no evidence" answer. */
+  def lmTierDriftOf(asg: DataFrame, isRef: org.apache.spark.sql.Column,
+                    thresholdE6: Long = 100000L): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    asg.filter(col("tier") =!= "empty")
+      .groupBy(col("tier"))
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c"),
+        sum(when(isRef, 0L).otherwise(1L)).as("d"))
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("m", sum(col("d")).over(all))
+      .select(col("n"), col("m"),
+        expr("abs(CAST(c AS DECIMAL(38,0)) * m - CAST(d AS DECIMAL(38,0)) * n)")
+          .as("num"))
+      .groupBy(col("n").as("n_ref"), col("m").as("n_batch"))
+      .agg(sum(col("num")).as("sum_num"))
+      .select(col("n_ref"), col("n_batch"),
+        expr("CAST(sum_num * 1000000 DIV " +
+          "(2 * CAST(n_ref AS DECIMAL(38,0)) * n_batch) AS BIGINT)")
+          .as("tv_e6"))
+      .withColumn("recalibrate", col("tv_e6") >= thresholdE6)
+  }
+
   /** A frozen, persisted LM: the three distinct gram-hash TYPE tables
     * the backoff scorer joins against (types ≪ occurrences — grams
     * repeat heavily, so these are the small side of every membership
@@ -300,13 +346,42 @@ object NgramLm {
     tiered(lmBackoffHitsWithTables(docs, idx.lm3, idx.lm2, idx.lm1),
       headPermille, middlePermille)
 
+  // Session memo for the fixture tier-assignment frame (the Dedup
+  // shingle-memo policy): lm_quality_tiers and lm_tier_drift both ride
+  // the same backoff-hit join pyramid over the same fixture LM slice,
+  // and a Verify/Bench session runs both — one materialized assignment
+  // pass serves the ≤4-row rollup AND the ≤3-row drift histogram.
+  // Bench clears + rebuilds it per rep under `_memo_warmup`.
+  private[graft] val memo = new graft.SessionMemo
+  def clearMemo(s: SparkSession): Unit = memo.clear(s)
+  def warmMemos(s: SparkSession, d: String): Unit = {
+    fixtureAssignments(s, d).count(): Unit
+  }
+
+  /** Per-doc tier assignment for the fixture LM slice (src0-src9),
+    * memoized and materialized per session+dir. */
+  private def fixtureAssignments(s: SparkSession, d: String): DataFrame =
+    memo.getOrBuildMaterialized(s, s"lmtiers:$d") {
+      val docs = Tables.documents(s, d)
+      lmTierAssignmentsOf(docs,
+        docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
+        .localCheckpoint()
+    }
+
   /** Oracle-checked fixture: same LM slice as lm_backoff_hits
     * (src0-src9), whole corpus tiered against it. */
-  def lmQualityTiers(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    lmQualityTiersOf(docs,
-      docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
-      .orderBy(col("tier"))
+  def lmQualityTiers(s: SparkSession, d: String): DataFrame =
+    tierRollup(fixtureAssignments(s, d)).orderBy(col("tier"))
+
+  /** Oracle-checked fixture: tier-share drift of the held-out half
+    * (src10+) against the LM's own training slice (src0-src9) — the
+    * domain-shift reading of the same assignment pass. */
+  def lmTierDrift(s: SparkSession, d: String): DataFrame = {
+    val asg = fixtureAssignments(s, d).join(
+      Tables.documents(s, d).select(col("doc_id"),
+        substring(col("source"), 4, 10).cast("int").as("srcn")),
+      Seq("doc_id"))
+    lmTierDriftOf(asg, col("srcn") < 10).orderBy(col("n_ref"))
   }
 
   private val lmQualityTiersOracle =
@@ -351,6 +426,60 @@ object NgramLm {
       |  CAST(sum(n_trigrams) AS BIGINT) AS n_trigrams,
       |  CAST(sum(permille) // count(*) AS BIGINT) AS mean_permille
       |FROM tiered GROUP BY tier ORDER BY tier""".stripMargin
+
+  /** Same scoring pyramid as lm_quality_tiers, then the tier-share TV
+    * between the LM's training slice (src0-9) and the held-out half. */
+  private val lmTierDriftOracle =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (SELECT doc_id, ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT doc_id, ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM w WHERE len(ws) >= 3)),
+      |lm AS (SELECT ws FROM w WHERE CAST(substr(source, 4) AS INT) < 10),
+      |lm3 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2, ws[k + 3] AS w3
+      |        FROM (SELECT ws, unnest(range(len(ws) - 2)) AS k
+      |              FROM lm WHERE len(ws) >= 3)),
+      |lm2 AS (SELECT DISTINCT ws[k + 1] AS w1, ws[k + 2] AS w2
+      |        FROM (SELECT ws, unnest(range(len(ws) - 1)) AS k
+      |              FROM lm WHERE len(ws) >= 2)),
+      |lm1 AS (SELECT DISTINCT unnest(ws) AS w1 FROM lm),
+      |lvl AS (SELECT t.doc_id,
+      |          CASE WHEN l3.w1 IS NOT NULL THEN 3
+      |               WHEN l2.w1 IS NOT NULL THEN 2
+      |               WHEN l1.w1 IS NOT NULL THEN 1 ELSE 0 END AS lv
+      |        FROM tri t
+      |        LEFT JOIN lm3 l3 ON t.w1 = l3.w1 AND t.w2 = l3.w2 AND t.w3 = l3.w3
+      |        LEFT JOIN lm2 l2 ON t.w2 = l2.w1 AND t.w3 = l2.w2
+      |        LEFT JOIN lm1 l1 ON t.w3 = l1.w1),
+      |agg AS (SELECT doc_id, count(*) AS n_trigrams,
+      |          sum(CASE WHEN lv = 3 THEN 1 ELSE 0 END) AS hits3,
+      |          sum(CASE WHEN lv = 2 THEN 1 ELSE 0 END) AS hits2,
+      |          sum(CASE WHEN lv = 1 THEN 1 ELSE 0 END) AS hits1
+      |        FROM lvl GROUP BY 1),
+      |scored AS (SELECT d.doc_id, d.srcn,
+      |    coalesce(a.n_trigrams, 0) AS n_trigrams,
+      |    CASE WHEN coalesce(a.n_trigrams, 0) = 0 THEN 0
+      |         ELSE (3 * a.hits3 + 2 * a.hits2 + a.hits1) * 1000
+      |              // (3 * a.n_trigrams) END AS permille
+      |  FROM (SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn
+      |        FROM documents) d LEFT JOIN agg a USING (doc_id)),
+      |tiered AS (SELECT srcn,
+      |    CASE WHEN n_trigrams = 0 THEN 'empty'
+      |         WHEN permille >= 990 THEN 'head'
+      |         WHEN permille >= 790 THEN 'middle'
+      |         ELSE 'tail' END AS tier
+      |  FROM scored),
+      |hist AS (SELECT tier,
+      |    CAST(sum(CASE WHEN srcn < 10 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN srcn >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM tiered WHERE tier <> 'empty' GROUP BY tier),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS m
+      |      FROM hist),
+      |tv AS (SELECT n AS n_ref, m AS n_batch,
+      |    CAST(sum(abs(CAST(c AS HUGEINT) * m - CAST(d AS HUGEINT) * n))
+      |         * 1000000 // (2 * CAST(n AS HUGEINT) * m) AS BIGINT) AS tv_e6
+      |  FROM hist, t GROUP BY n, m)
+      |SELECT n_ref, n_batch, tv_e6, tv_e6 >= 100000 AS recalibrate
+      |FROM tv ORDER BY n_ref""".stripMargin
 
   /** Collocation / phrase mining with the word2vec phrase score
     * (Mikolov et al. 2013 "Distributed Representations of Words and
@@ -642,6 +771,7 @@ object NgramLm {
     "ngram_diversity"       -> (ngramDiversity _),
     "pmi_collocations"      -> (pmiCollocations _),
     "lm_quality_tiers"      -> (lmQualityTiers _),
+    "lm_tier_drift"         -> (lmTierDrift _),
     "ngram_novelty"         -> (ngramNovelty _),
   )
 
@@ -653,6 +783,7 @@ object NgramLm {
     "ngram_diversity"       -> ngramDiversityOracle,
     "pmi_collocations"      -> pmiCollocationsOracle,
     "lm_quality_tiers"      -> lmQualityTiersOracle,
+    "lm_tier_drift"         -> lmTierDriftOracle,
     "ngram_novelty"         -> ngramNoveltyOracle,
   )
 }

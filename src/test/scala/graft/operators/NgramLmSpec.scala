@@ -151,6 +151,26 @@ class NgramLmSpec extends SparkSpec {
     assert(flat.headPermille == 1000 && flat.middlePermille == 1000)
   }
 
+  test("tier drift: matched shares score 0, a shifted batch trips recalibrate, empty excluded") {
+    import spark.implicits._
+    def asgRows(side: String, head: Int, middle: Int, tail: Int, empty: Int) =
+      Seq.fill(head)("head") ++ Seq.fill(middle)("middle") ++
+        Seq.fill(tail)("tail") ++ Seq.fill(empty)("empty") map (t => (side, t))
+    def drift(batch: Seq[(String, String)]) =
+      (asgRows("ref", 50, 30, 20, 5) ++ batch).toDF("side", "tier")
+        .transform(d => NgramLm.lmTierDriftOf(d, col("side") === "ref"))
+        .collect()(0)
+    // identical shares at 2x the count: TV = 0 exactly, no trigger —
+    // and the empty rows on both sides must not move it
+    val same = drift(asgRows("bat", 100, 60, 40, 9))
+    assert(same.getLong(0) == 100L && same.getLong(1) == 200L)
+    assert(same.getLong(2) == 0L && !same.getBoolean(3), s"got $same")
+    // shifted batch: ref (0.5, 0.3, 0.2) vs batch (0, 0.1, 0.9) ->
+    // TV = (0.5 + 0.2 + 0.7) / 2 = 0.7 exactly
+    val hot = drift(asgRows("bat", 0, 10, 90, 0))
+    assert(hot.getLong(2) == 700000L && hot.getBoolean(3), s"got $hot")
+  }
+
   test("ngram novelty counts new TYPES per order against a corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")

@@ -125,7 +125,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       "corpus_drift" -> "64-row bucket-histogram frame",
       // same TV machinery over the CELL-occupancy histogram join
       // (<= nCells rows, bounded by index geometry, never corpus size)
-      "index_drift" -> "nCells-row cell-histogram frame")
+      "index_drift" -> "nCells-row cell-histogram frame",
+      // same TV machinery over the <= 3-row tier-share histogram
+      // (head/middle/tail; empty excluded before the aggregate)
+      "lm_tier_drift" -> "3-row tier-histogram frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
