@@ -515,6 +515,15 @@ object GraftOps {
     graft.operators.NgramLm.lmTierAssignmentsWithIndex(docs, idx,
       headPermille, middlePermille)
 
+  /** Tier-share drift under frozen thresholds: TV distance (e6 fixed
+    * point, exact integers) between the reference and batch halves of
+    * ONE assignment frame split by `isRef`, plus a recalibrate verdict
+    * — run per ingest batch to learn when a persisted calibration has
+    * gone stale (the LM-gate sibling of [[ivfpqDrift]]). */
+  def lmTierDrift(assignments: DataFrame, isRef: Column,
+                  thresholdE6: Long = 100000L): DataFrame =
+    graft.operators.NgramLm.lmTierDriftOf(assignments, isRef, thresholdE6)
+
   /** Corpus-saturation curve: distinct n-gram TYPES a batch adds over
     * a corpus, per order — novelty collapsing toward 0‰ at orders 2-3
     * means more of the source buys no new language. */
