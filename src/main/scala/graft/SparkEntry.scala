@@ -15,7 +15,8 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       AdvancedOps.queries ++ ScalarFuncs.queries ++ Profiling.queries ++
-      Curation.queries ++ Bpe.queries ++ NgramLm.queries ++ UrlOps.queries
+      Curation.queries ++ Bpe.queries ++ NgramLm.queries ++ UrlOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       AdvancedOps.oracles ++ ScalarFuncs.oracles ++ Profiling.oracles ++
-      Curation.oracles ++ Bpe.oracles ++ NgramLm.oracles ++ UrlOps.oracles
+      Curation.oracles ++ Bpe.oracles ++ NgramLm.oracles ++ UrlOps.oracles ++
+      GraphOps.oracles
 }

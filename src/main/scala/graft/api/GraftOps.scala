@@ -323,6 +323,15 @@ object GraftOps {
   def canonicalUrl(docs: DataFrame): DataFrame =
     graft.operators.UrlOps.canonicalUrlOf(docs)
 
+  /** Domain-graph authority: fixed-iteration PageRank in e9 fixed
+    * point (bit-exact integers) over an (src, dst) edge frame — the
+    * link-based quality prior crawl curation ranks sources by. Run it
+    * on the DOMAIN graph (distinct canonical-url host pairs), never
+    * per-fetch. */
+  def domainPageRank(edges: DataFrame, iters: Int = 10,
+                     dampingPermille: Int = 850): DataFrame =
+    graft.operators.GraphOps.pageRankOf(edges, iters, dampingPermille)
+
   /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
     * normalized URL — run BEFORE text dedup on crawl corpora. */
   def urlDedup(docs: DataFrame): DataFrame =

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Link-graph authority scoring over the crawl's domain graph —
+  * the quality signal CommonCrawl-style curation ranks fetch frontiers
+  * by (Page et al. 1999; CommonCrawl publishes harmonic/PageRank domain
+  * ranks): after [[UrlOps]] canonicalizes and dedups fetches, the
+  * domain graph scores WHERE a document came from, a per-doc quality
+  * prior no content model sees.
+  *
+  * PageRank as fixed-iteration power iteration in e9 FIXED POINT —
+  * every rank is an integer number of nano-rank units and every
+  * division is a truncating DIV on non-negatives (the house integer
+  * rule), so the result is bit-identical across engines and run-to-run
+  * at any parallelism: per round,
+  *
+  *   rank'(v) = (1000−d)·10⁹ DIV 1000 DIV n
+  *            + d · ( Σ_{u→v} rank(u) DIV out(u)
+  *                  + dangMass DIV n ) DIV 1000
+  *
+  * with d the damping in permille, n the node count, and dangMass the
+  * summed rank of sink nodes (no out-edges), redistributed uniformly —
+  * the standard dangling treatment. Truncation leaks ≤ 1 nano-unit per
+  * division; total mass therefore decays by ≤ (#edges + 2n) nano-units
+  * per round — deterministic, and immaterial at e9 scale.
+  *
+  * Scale shape: node and out-degree tables are edge-keyed aggregates
+  * (domains ≪ fetches — the frame is the DOMAIN graph, built from
+  * distinct canonical-url host pairs, never per-fetch). Each round is
+  * two keyed joins (ranks⋈outdeg on node, edges⋈ranks on src) and one
+  * dst-keyed sum with map-side combine; the rank frame localCheckpoints
+  * per round (the clustersOf policy) so lineage never stacks across
+  * iterations. The dangling mass is a 1-row aggregate taken as a
+  * driver scalar per round (the tfidf/pmi scalar policy — a crossJoin
+  * against a 1-row agg would plan the forbidden
+  * BroadcastNestedLoopJoin). Node count n is a driver scalar once.
+  *
+  * Multi-edges are collapsed (`edges.distinct()`): the DOMAIN graph is
+  * a link-EXISTS relation; per-link weighting is a different operator.
+  * Self-loops count as ordinary edges (a domain linking itself returns
+  * its contribution — harmless and simpler than special-casing). */
+object GraphOps {
+
+  /** Ranks after `iters` rounds over an (src, dst) edge frame:
+    * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph. */
+  def pageRankOf(edges: DataFrame, iters: Int = 10,
+                 dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 0 && iters <= 1000, s"unreasonable iters: $iters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"damping out of permille range: $dampingPermille")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge frame")
+    val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
+    // Sink nodes force a per-round driver scalar (the dangling mass
+    // depends on the evolving ranks) and therefore a per-round
+    // checkpoint; a sink-free graph needs neither — rounds stay lazy
+    // and the lineage cut runs on the BPE stride instead, collapsing
+    // ~3 jobs per iteration into ~1 per 4 iterations.
+    val hasSinks = nodes.join(outdeg, Seq("node"), "left_anti")
+      .limit(1).count() > 0
+    var ranks = nodes.select(col("node"),
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+    var round = 0
+    var sinceCut = 0
+    while (round < iters) {
+      // rank of sink nodes this round — 1-row agg, driver scalar (see
+      // scaladoc); statically zero when the graph has no sinks
+      val dangShare =
+        if (!hasSinks) 0L
+        else Option(ranks.join(outdeg, Seq("node"), "left_anti")
+            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
+          .map(_.toLong).getOrElse(0L) / n
+      val inflow = e
+        .join(ranks.join(outdeg, Seq("node"))
+          .select(col("node").as("src"),
+            expr("rank_e9 DIV outdeg").as("contrib")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($teleportE9 + $dampingPermille * " +
+            s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
+            .as("rank_e9"))
+      round += 1
+      sinceCut += 1
+      if (hasSinks || sinceCut == 4 || round == iters) {
+        ranks = ranks.localCheckpoint(); sinceCut = 0
+      }
+    }
+    ranks
+  }
+
+  /** Fixture domain graph from the documents table: each source domain
+    * links to its (3·k + 1) mod 20 neighbor and to src0 (a hub — gives
+    * the graph a rank gradient instead of a uniform cycle), with src0
+    * itself linking only forward so its in-links dominate. Every node
+    * has an out-edge here; the dangling-mass path is exercised by the
+    * spec's hand graph. Data-derived (distinct source column), 20
+    * nodes, deterministic. */
+  private def fixtureEdges(s: SparkSession, d: String): DataFrame = {
+    val srcn = substring(col("source"), 4, 10).cast("int")
+    val base = Tables.documents(s, d).select(col("source").as("src"),
+      srcn.as("k")).distinct()
+    base.select(col("src"),
+        concat(lit("src"), ((col("k") * 3 + 1) % 20).cast("string")).as("dst"))
+      .union(base.filter(col("k") =!= 0)
+        .select(col("src"), lit("src0").as("dst")))
+  }
+
+  def domainPagerank(s: SparkSession, d: String): DataFrame =
+    pageRankOf(fixtureEdges(s, d), iters = 10)
+      .orderBy(col("node"))
+
+  /** The same 10 rounds unrolled as chained CTEs (standard SQL forbids
+    * aggregation in a recursive CTE member); bit-exact because every
+    * step is integer arithmetic with truncating division. Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    * references its predecessor three times — inlined, the expansion
+    * is 3^10 scans of the base table (observed as an fd-exhaustion
+    * error); materialized, each round computes once. */
+  private val domainPagerankOracle: String = {
+    val iters = 10
+    val rounds = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(rank_e9), 0) AS dm FROM $p
+         |  WHERE node NOT IN (SELECT node FROM outdeg)),
+         |inflow$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    sum(p.rank_e9 // o.outdeg) AS inflow
+         |  FROM edges e JOIN $p p ON e.src = p.node
+         |  JOIN outdeg o ON e.src = o.node GROUP BY e.dst),
+         |pr$i AS MATERIALIZED (SELECT n.node,
+         |    (SELECT tp FROM const) + 850 * (coalesce(i.inflow, 0)
+         |      + (SELECT dm FROM dang$i) // (SELECT cnt FROM const)) // 1000
+         |    AS rank_e9
+         |  FROM nodes n LEFT JOIN inflow$i i ON n.node = i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+       |           FROM edges GROUP BY src),
+       |const AS MATERIALIZED (SELECT count(*) AS cnt,
+       |    CAST(150 AS BIGINT) * 1000000000 // 1000 // count(*) AS tp FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node,
+       |        1000000000 // (SELECT cnt FROM const) AS rank_e9
+       |        FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM pr$iters
+       |ORDER BY node""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "domain_pagerank" -> (domainPagerank _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "domain_pagerank" -> domainPagerankOracle,
+  )
+}

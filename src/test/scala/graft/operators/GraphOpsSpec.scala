@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** PageRank fixed-point semantics against an independent driver-side
+  * reference: the distributed operator and a ten-line scalar mirror of
+  * the documented integer recurrence must agree bit-for-bit, including
+  * the dangling-mass redistribution the parquet fixture graph never
+  * exercises. */
+class GraphOpsSpec extends SparkSpec {
+
+  /** Scalar mirror of the scaladoc recurrence (e9 fixed point,
+    * truncating division, dangling mass uniform). */
+  private def refRanks(edges: Seq[(String, String)], iters: Int,
+                       damping: Long = 850L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = nodes.size.toLong
+    val teleport = (1000L - damping) * 1000000000L / 1000L / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(out.contains).map(r).sum / n
+      val inflow = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(v =>
+        v -> (teleport + damping * (inflow.getOrElse(v, 0L) + dangShare) / 1000L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    import spark.implicits._
+    GraphOps.pageRankOf(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank matches the scalar integer reference on a graph with a dangling sink") {
+    // a -> b -> c -> a cycle, plus a -> d where d has NO out-edge:
+    // d's whole rank redistributes uniformly each round
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+    for (iters <- Seq(1, 3, 10)) {
+      val got = run(edges, iters)
+      val want = refRanks(edges, iters)
+      assert(got == want, s"iters=$iters: $got vs $want")
+    }
+    // the hub of the cycle (a: fed by c alone, but c gets a full feed)
+    // outranks the dangler (d: half of a's output, then leaks)
+    val r10 = run(edges, 10)
+    assert(r10("a") > r10("d"), s"expected a > d: $r10")
+    // mass conservation within the documented truncation leak
+    val total = r10.values.sum
+    assert(total <= 1000000000L && total > 999999000L, s"mass drifted: $total")
+  }
+
+  test("multi-edges collapse: duplicated edge rows change nothing") {
+    val edges = Seq(("a", "b"), ("b", "a"))
+    assert(run(edges ++ edges ++ edges, 5) == run(edges, 5))
+  }
+
+  test("zero iterations return the uniform prior; empty graph is rejected") {
+    val got = run(Seq(("x", "y"), ("y", "x")), 0)
+    assert(got == Map("x" -> 500000000L, "y" -> 500000000L))
+    import spark.implicits._
+    val err = intercept[IllegalArgumentException] {
+      GraphOps.pageRankOf(Seq.empty[(String, String)].toDF("src", "dst"), 1)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+}
