@@ -79,19 +79,8 @@ object GraphOps {
         else Option(ranks.join(outdeg, Seq("node"), "left_anti")
             .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
           .map(_.toLong).getOrElse(0L) / n
-      val inflow = e
-        .join(ranks.join(outdeg, Seq("node"))
-          .select(col("node").as("src"),
-            expr("rank_e9 DIV outdeg").as("contrib")),
-          Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CAST($teleportE9 + $dampingPermille * " +
-            s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
-            .as("rank_e9"))
+      ranks = rankRound(e, nodes, outdeg, ranks,
+        teleportE9, dampingPermille, dangShare)
       round += 1
       sinceCut += 1
       if (hasSinks || sinceCut == 4 || round == iters) {
@@ -101,6 +90,46 @@ object GraphOps {
     ranks
   }
 
+  /** One power-iteration round: two keyed joins (ranks⋈outdeg on node,
+    * edges⋈contribs on src) and one dst-keyed combine-heavy sum — the
+    * plan that dominates pageRankOf's runtime. Factored out so the
+    * audit can see it: the loop checkpoints per round, so the returned
+    * frame's plan is only the last checkpoint stub. */
+  private def rankRound(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+                        ranks: DataFrame, teleportE9: Long,
+                        dampingPermille: Int, dangShare: Long): DataFrame = {
+    val inflow = e
+      .join(ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"),
+          expr("rank_e9 DIV outdeg").as("contrib")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("inflow"))
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"CAST($teleportE9 + $dampingPermille * " +
+          s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
+          .as("rank_e9"))
+  }
+
+  /** UNEXECUTED single-round plan over checkpointed seeds, for the
+    * plan-hygiene audit (PlanAudit `domain_pagerank/round` row). The
+    * dangling-mass scalar is a separate 1-row-agg job per round, not
+    * part of this plan. */
+  def pageRankRoundPlanOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = math.max(nodes.count(), 1L)
+    val ranks = nodes.select(col("node"),
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+    rankRound(e, nodes, outdeg, ranks, 150000000L / n, 850, 0L)
+  }
+
   /** Fixture domain graph from the documents table: each source domain
     * links to its (3·k + 1) mod 20 neighbor and to src0 (a hub — gives
     * the graph a rank gradient instead of a uniform cycle), with src0
@@ -108,7 +137,7 @@ object GraphOps {
     * has an out-edge here; the dangling-mass path is exercised by the
     * spec's hand graph. Data-derived (distinct source column), 20
     * nodes, deterministic. */
-  private def fixtureEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def fixtureEdges(s: SparkSession, d: String): DataFrame = {
     val srcn = substring(col("source"), 4, 10).cast("int")
     val base = Tables.documents(s, d).select(col("source").as("src"),
       srcn.as("k")).distinct()

@@ -144,6 +144,21 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"allowlist entries no longer planning a global window: ${stale.mkString(", ")}")
   }
 
+  test("pageRank round plan: keyed joins only, within the exchange budget") {
+    // The iterative loop checkpoints per round, so the query's audited
+    // frame is only the last checkpoint stub; this pins the per-round
+    // work — the plan that actually repeats 10x at scale.
+    val plan = graft.operators.GraphOps
+      .pageRankRoundPlanOf(graft.operators.GraphOps.fixtureEdges(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the pageRank round plan:\n$plan")
+    val exch = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+      .findAllIn(plan).size
+    assert(exch <= 4, s"pageRank round plans $exch exchanges:\n$plan")
+  }
+
   test("rank-limited windows plan WindowGroupLimit (partial top-k before the shuffle)") {
     // rank <= k over a window triggers Spark's group-limit pushdown:
     // each map task keeps only its own top-k rows per key, so the
