@@ -55,6 +55,9 @@ object PlanAudit {
     auditRow("domain_pagerank/round", graft.operators.GraphOps
       .pageRankRoundPlanOf(
         graft.operators.GraphOps.fixtureEdges(spark, sfDir)))
+    auditRow("harmonic_hyperball/round", graft.operators.GraphOps
+      .hyperBallRoundPlanOf(
+        graft.operators.GraphOps.fixtureEdges(spark, sfDir)))
     // Skew-stress rows: the same audit over SkewFixture's hot-source
     // shard (one source at 100× median with a 10k-copy duplicate text).
     // Plan shape must be identical to the uniform-corpus rows above —

@@ -332,6 +332,19 @@ object GraftOps {
                      dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.pageRankOf(edges, iters, dampingPermille)
 
+  /** Exact harmonic centrality (e6 fixed point) — CommonCrawl's
+    * primary published domain rank. DECLARED-quadratic pair state:
+    * fine to ~1e6 nodes, use [[harmonicCentralityApprox]] beyond. */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int = 32): DataFrame =
+    graft.operators.GraphOps.harmonicExactOf(edges, maxDepth)
+
+  /** HyperBall approximate harmonic centrality (HLL ball counters,
+    * register-max merges; Boldi & Vigna 2013) — O(n·m) state, one
+    * node-keyed combine-heavy shuffle per round; the 100 TB path. */
+  def harmonicCentralityApprox(edges: DataFrame, maxIters: Int = 16,
+                               registers: Int = 32): DataFrame =
+    graft.operators.GraphOps.hyperBallHarmonicOf(edges, maxIters, registers)
+
   /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
     * normalized URL — run BEFORE text dedup on crawl corpora. */
   def urlDedup(docs: DataFrame): DataFrame =

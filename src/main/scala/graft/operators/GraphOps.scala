@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -194,11 +194,219 @@ object GraphOps {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Harmonic centrality — the OTHER per-domain authority rank crawl
+  // curation publishes (CommonCrawl's primary domain rank is harmonic
+  // centrality): H(v) = Σ_{u≠v, u⇝v} 1/d(u,v), robust on disconnected
+  // graphs where closeness degenerates. Two faces, the house
+  // exact-baseline + approximate-scale-path pattern
+  // (similarity_topk_brute / IVF-PQ):
+  //  - harmonicExactOf: multi-source BFS; O(n·reachable) state — the
+  //    DECLARED exact baseline, fine for domain graphs up to ~1e6
+  //    pairs, quadratic beyond (that is what the HyperBall face is
+  //    for). Oracle-checkable (capped recursive walk + min-dist).
+  //  - hyperBallHarmonicOf: HyperLogLog ball counters per node,
+  //    iterated by register-max merges (Boldi & Vigna 2013,
+  //    "In-Core Computation of Geometric Centralities with
+  //    HyperBall") — O(n·m) state for m registers, one node-keyed
+  //    combine-heavy shuffle per round. Approximate by construction
+  //    → no-oracle row, error/determinism spec-pinned.
+  // ---------------------------------------------------------------
+
+  /** Exact harmonic centrality in e6 fixed point: (node, harm_e6),
+    * harm_e6 = Σ 1000000 DIV d(u,v) over u ≠ v that reach v —
+    * truncating integer division, so bit-exact across engines. Multi-
+    * source BFS: per depth, one keyed join frontier⋈edges + one
+    * anti-join against the reached set; frontiers localCheckpoint per
+    * depth (lineage flat, emptiness check is the per-round driver
+    * scalar). State is the reached PAIR set — the declared-quadratic
+    * exact baseline; use [[hyperBallHarmonicOf]] past ~1e6 nodes. */
+  def harmonicExactOf(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 256, s"unreasonable maxDepth: $maxDepth")
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var reached = nodes.select(col("node").as("root"), col("node"),
+      lit(0).as("dist")).localCheckpoint()
+    var frontier = reached
+    var depth = 0
+    var more = true
+    while (more && depth < maxDepth) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("root"), e("dst").as("node"))
+        .distinct()
+        .join(reached, Seq("root", "node"), "left_anti")
+        .select(col("root"), col("node"), lit(depth).as("dist"))
+        .localCheckpoint()
+      more = next.limit(1).count() > 0
+      if (more) {
+        frontier = next
+        reached = reached.union(next).localCheckpoint()
+      }
+    }
+    nodes.join(
+      reached.filter(col("root") =!= col("node"))
+        .groupBy("node").agg(sum(expr("1000000 DIV dist")).as("h")),
+      Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("harm_e6"))
+  }
+
+  /** Approximate harmonic centrality via HyperBall: each node carries m
+    * HLL registers estimating |B_t(v)| = #{u : d(u,v) ≤ t}; the
+    * recurrence B_t(v) = {v} ∪ ⋃_{(u,v)∈E} B_{t-1}(u) is one
+    * register-wise max-merge per round — the SAME in-neighbor keyed
+    * join + node-keyed combine-heavy agg shape as a PageRank round
+    * (registers live in m int columns, so the merge is m map-side-
+    * combinable max() aggregates, no arrays in the shuffle). Harmonic
+    * accumulates Σ_t (Ê_t − Ê_{t-1})/t. Registers only grow, so every
+    * per-row expression is deterministic at any parallelism; the loop
+    * exits when no node's estimate grew (an integer max over a
+    * row-local flag — no float reduction order in the decision).
+    * Returns (node, harm_e6) — the estimate in e6 fixed point,
+    * comparable to [[harmonicExactOf]] within HLL error
+    * (σ ≈ 1.04/√m ≈ 18% at m=32; the spec pins the observed bound). */
+  def hyperBallHarmonicOf(edges: DataFrame, maxIters: Int = 16,
+                          registers: Int = 32): DataFrame = {
+    val m = registers
+    require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
+      s"registers must be a power of two in [16,256]: $m")
+    require(maxIters >= 1 && maxIters <= 256, s"unreasonable maxIters: $maxIters")
+    val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
+      else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val regCols = (0 until m).map(i => s"r$i")
+    /** Deterministic HLL estimate over the m register columns: raw
+      * harmonic-mean formula with the standard linear-counting
+      * small-range correction — row-local doubles, fixed expression
+      * tree, so partitioning cannot reorder any float op. */
+    def ballEst: Column = {
+      val invSum = regCols.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
+      val zeros = regCols.map(c => when(col(c) === 0, 1).otherwise(0))
+        .reduce(_ + _)
+      val raw = lit(alpha * m * m) / invSum
+      when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    }
+    // seed: node v's own hash sets register j = h mod m to
+    // rho = 1 + (trailing zeros of h DIV m); log2(w & -w) isolates the
+    // lowest set bit exactly (powers of two are exact doubles)
+    val seeded = nodes
+      .withColumn("h", graft.functions.Portable.hash60(col("node")))
+      .withColumn("j", pmod(col("h"), lit(m.toLong)).cast("int"))
+      .withColumn("wv", expr(s"h DIV $m"))
+      .withColumn("rho", when(col("wv") === 0, lit(56))
+        .otherwise(expr("CAST(log2(wv & -wv) AS INT) + 1")))
+    var cur = seeded
+      .select(col("node") +: (0 until m).map(i =>
+        when(col("j") === i, col("rho")).otherwise(lit(0)).as(s"r$i")): _*)
+      .withColumn("ball", ballEst)
+      .withColumn("harm", lit(0.0))
+      .localCheckpoint()
+    var t = 0
+    var more = true
+    while (more && t < maxIters) {
+      t += 1
+      val contrib = e.join(cur, e("src") === cur("node"))
+        .select(e("dst").as("node") +: regCols.map(col): _*)
+      val merged = cur.select(col("node") +: regCols.map(col): _*)
+        .unionByName(contrib)
+        .groupBy("node")
+        .agg(max(regCols.head).as(regCols.head),
+          regCols.tail.map(c => max(c).as(c)): _*)
+      val next = merged
+        .join(cur.select(col("node"), col("ball").as("ballPrev"),
+          col("harm").as("harmPrev")), Seq("node"))
+        .withColumn("ball", ballEst)
+        .withColumn("harm", col("harmPrev") +
+          greatest(col("ball") - col("ballPrev"), lit(0.0)) / t)
+        .withColumn("grew",
+          when(col("ball") > col("ballPrev"), 1).otherwise(0))
+        .drop("ballPrev", "harmPrev")
+        .localCheckpoint()
+      more = next.agg(max("grew")).head().getInt(0) == 1
+      cur = next.drop("grew")
+    }
+    cur.select(col("node"),
+      (col("harm") * 1000000).cast("long").as("harm_e6"))
+  }
+
+  /** UNEXECUTED single-round HyperBall merge plan over checkpointed
+    * seeds, for the plan-hygiene audit. */
+  def hyperBallRoundPlanOf(edges: DataFrame, registers: Int = 32): DataFrame = {
+    val m = registers
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val regCols = (0 until m).map(i => s"r$i")
+    val cur = e.select(col("src").as("node")).distinct()
+      .select(col("node") +: (0 until m).map(i => lit(1).as(s"r$i")): _*)
+      .localCheckpoint()
+    val contrib = e.join(cur, e("src") === cur("node"))
+      .select(e("dst").as("node") +: regCols.map(col): _*)
+    cur.select(col("node") +: regCols.map(col): _*)
+      .unionByName(contrib)
+      .groupBy("node")
+      .agg(max(regCols.head).as(regCols.head),
+        regCols.tail.map(c => max(c).as(c)): _*)
+  }
+
+  def harmonicExact(s: SparkSession, d: String): DataFrame =
+    harmonicExactOf(fixtureEdges(s, d)).orderBy(col("node"))
+
+  def harmonicHyperball(s: SparkSession, d: String): DataFrame =
+    hyperBallHarmonicOf(fixtureEdges(s, d)).orderBy(col("node"))
+
+  /** Capped recursive walk enumeration + min-dist collapse: UNION
+    * (distinct) semantics bound the tuple state, the dist < 30 cap
+    * covers any 20-node diameter, and min() recovers shortest
+    * distances — then the same truncating e6 harmonic sum.
+    *
+    * Seed CTEs spell dedup as DISTINCT-over-UNION-ALL: inside a WITH
+    * RECURSIVE block DuckDB compiles a bare UNION in NON-recursive
+    * CTEs without the dedup step (observed: the node set came back
+    * with per-degree duplicate rows, multiplying every harmonic sum by
+    * the node's multiplicity), while the recursive member's UNION
+    * keeps its usual fixpoint-with-dedup meaning — which is what
+    * terminates the walk. */
+  private val harmonicExactOracle: String =
+    s"""WITH RECURSIVE srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION ALL
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges
+       |  UNION ALL SELECT dst AS node FROM edges)),
+       |walk(root, node, dist) AS (
+       |  SELECT node, node, 0 FROM nodes
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1
+       |  FROM walk w JOIN edges e ON w.node = e.src
+       |  WHERE w.dist < 30),
+       |sd AS MATERIALIZED (SELECT root, node, min(dist) AS dist
+       |  FROM walk GROUP BY root, node)
+       |SELECT n.node,
+       |  CAST(coalesce(sum(CASE WHEN sd.root <> sd.node
+       |    THEN 1000000 // sd.dist END), 0) AS BIGINT) AS harm_e6
+       |FROM nodes n LEFT JOIN sd ON n.node = sd.node
+       |GROUP BY n.node
+       |ORDER BY n.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
+    "harmonic_exact" -> (harmonicExact _),
+    // approximate by construction (HLL registers) → no oracle row;
+    // error-vs-exact + determinism pinned in GraphOpsSpec
+    "harmonic_hyperball" -> (harmonicHyperball _),
   )
 
   val oracles: Map[String, String] = Map(
     "domain_pagerank" -> domainPagerankOracle,
+    "harmonic_exact" -> harmonicExactOracle,
   )
 }

@@ -60,6 +60,77 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(edges ++ edges ++ edges, 5) == run(edges, 5))
   }
 
+  /** Scalar BFS harmonic reference: shortest directed distances by
+    * plain frontier expansion, then the truncating e6 sum. */
+  private def refHarmonic(edges: Seq[(String, String)]): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    def distsFrom(root: String): Map[String, Int] = {
+      var dist = Map(root -> 0)
+      var frontier = Set(root)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(out.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    val all = nodes.map(u => u -> distsFrom(u)).toMap
+    nodes.map(v => v -> nodes.filter(_ != v)
+      .flatMap(u => all(u).get(v)).map(1000000L / _).sum).toMap
+  }
+
+  private def runHarmonic(edges: Seq[(String, String)]): Map[String, Long] = {
+    import spark.implicits._
+    GraphOps.harmonicExactOf(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("exact harmonic matches the scalar BFS reference, including disconnected parts") {
+    // cycle a->b->c->a, a sink d, and a disconnected pair x->y:
+    // cross-component pairs contribute nothing (harmonic's whole point
+    // vs closeness), unreachable-into nodes score 0
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("x", "y"))
+    val got = runHarmonic(edges)
+    assert(got == refHarmonic(edges), s"$got vs ${refHarmonic(edges)}")
+    assert(got("x") == 0L) // nothing reaches x
+    // d is fed by a (1), b (2 via c? no: b->c->a->d = 3), c (2)
+    assert(got("d") == 1000000L + 1000000L / 3 + 1000000L / 2)
+  }
+
+  test("hyperball tracks the exact harmonic within HLL error and is partition-invariant") {
+    import spark.implicits._
+    // 20-node fixture-shaped graph: ring successor + hub in-links
+    val edges = (0 until 20).map(k => (s"n$k", s"n${(3 * k + 1) % 20}")) ++
+      (1 until 20).map(k => (s"n$k", "n0"))
+    val exact = refHarmonic(edges)
+    val hb = GraphOps.hyperBallHarmonicOf(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // m=32 registers: sigma ~ 18% per ball count; the summed harmonic
+    // stays within 40% relative per node on this fixed hash layout
+    for ((v, ex) <- exact if ex > 0) {
+      val rel = math.abs(hb(v) - ex).toDouble / ex
+      assert(rel <= 0.40, s"$v: hyperball ${hb(v)} vs exact $ex (rel $rel)")
+    }
+    // the hub must rank first in both
+    assert(hb.maxBy(_._2)._1 == exact.maxBy(_._2)._1)
+    // register merges are max-associative: any partitioning, same bits
+    val repart = GraphOps.hyperBallHarmonicOf(
+      edges.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == hb)
+  }
+
+  test("hyperball scores an unreached node zero") {
+    import spark.implicits._
+    val hb = GraphOps.hyperBallHarmonicOf(
+      Seq(("a", "b"), ("b", "c")).toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hb("a") == 0L, s"nothing reaches a: $hb")
+  }
+
   test("zero iterations return the uniform prior; empty graph is rejected") {
     val got = run(Seq(("x", "y"), ("y", "x")), 0)
     assert(got == Map("x" -> 500000000L, "y" -> 500000000L))

@@ -144,19 +144,23 @@ class PlanHygieneSpec extends AnyFunSuite {
       s"allowlist entries no longer planning a global window: ${stale.mkString(", ")}")
   }
 
-  test("pageRank round plan: keyed joins only, within the exchange budget") {
-    // The iterative loop checkpoints per round, so the query's audited
+  test("graph-op round plans: keyed joins only, within the exchange budget") {
+    // The iterative loops checkpoint per round, so each query's audited
     // frame is only the last checkpoint stub; this pins the per-round
-    // work — the plan that actually repeats 10x at scale.
-    val plan = graft.operators.GraphOps
-      .pageRankRoundPlanOf(graft.operators.GraphOps.fixtureEdges(spark, sf))
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"nested loop in the pageRank round plan:\n$plan")
-    val exch = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
-      .findAllIn(plan).size
-    assert(exch <= 4, s"pageRank round plans $exch exchanges:\n$plan")
+    // work — the plan that actually repeats 10-16x at scale.
+    val edges = graft.operators.GraphOps.fixtureEdges(spark, sf)
+    val rounds = Seq(
+      "pageRank" -> graft.operators.GraphOps.pageRankRoundPlanOf(edges),
+      "hyperBall" -> graft.operators.GraphOps.hyperBallRoundPlanOf(edges))
+    for ((name, df) <- rounds) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"nested loop in the $name round plan:\n$plan")
+      val exch = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+        .findAllIn(plan).size
+      assert(exch <= 4, s"$name round plans $exch exchanges:\n$plan")
+    }
   }
 
   test("rank-limited windows plan WindowGroupLimit (partial top-k before the shuffle)") {
