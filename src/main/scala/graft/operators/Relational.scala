@@ -726,6 +726,7 @@ object Relational {
     "orc_roundtrip"          -> (orcRoundtrip _),
     "xml_roundtrip"          -> (xmlRoundtrip _),
     "wet_roundtrip"          -> (wetRoundtrip _),
+    "bucketed_join"          -> (graft.sources.BucketedTables.bucketedJoin _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
     "flagship_revenue"       -> (flagshipRevenue _),
@@ -761,6 +762,7 @@ object Relational {
     "orc_roundtrip"          -> orcRoundtripOracle,
     "xml_roundtrip"          -> xmlRoundtripOracle,
     "wet_roundtrip"          -> wetRoundtripOracle,
+    "bucketed_join"          -> graft.sources.BucketedTables.bucketedJoinOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,
     "flagship_revenue"       -> flagshipOracle,

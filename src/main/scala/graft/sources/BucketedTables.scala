@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Bucketed parquet tables — the shuffle-free co-located join layout.
+  *
+  * A join or aggregation on a table's bucket key needs no exchange:
+  * the scan itself reports `HashPartitioning(keys, n)`, so Catalyst
+  * plans SortMergeJoin / HashAggregate directly over the bucketed
+  * files. At 100 TB this converts the dominant repeated cost of a
+  * pipeline — re-shuffling the same corpus for every doc-keyed join —
+  * into ONE write-side shuffle paid when the table lands. The rule of
+  * thumb: any table joined on the same key by ≥ 2 downstream queries
+  * should be written bucketed on that key (both sides with the SAME
+  * bucket count; Spark does not co-locate mismatched counts without
+  * the v2 bucketing rescale, which trades a partial re-hash).
+  *
+  * `sortBy` the bucket key too when writing: per-bucket sorted files
+  * let SortMergeJoin skip its sort — the scan is already ordered.
+  *
+  * Bucketing metadata lives in the session catalog (saveAsTable), not
+  * the parquet footers: a path-read of the same files is still correct
+  * but loses the layout contract and re-shuffles. Production would
+  * register these in a shared metastore; tests use the session-local
+  * catalog, which carries the same planner behavior.
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed (and per-bucket sorted) external parquet
+    * table at `path`, registered as `table` in the session catalog;
+    * returns the catalog-backed frame whose scans carry the bucketed
+    * output partitioning. Overwrites any previous registration. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, keys: Seq[String],
+                    sortKeys: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 1 && buckets <= 100000, s"unreasonable buckets: $buckets")
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+      .saveAsTable(table)
+    spark.table(table)
+  }
+
+  /** Documents ⋈ embeddings on doc_id = vec_id with BOTH sides written
+    * bucketed (8 buckets, per-bucket sorted) — the plan has zero
+    * shuffle exchanges (spec-asserted); content is oracle-checked
+    * against the plain SQL join. Same per-sf/per-JVM temp-dir policy
+    * as orc_roundtrip; table names carry the same suffix because the
+    * session catalog is JVM-wide. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val suffix = s"${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}"
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bucketed_$suffix")
+    val docs = writeBucketed(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      s"graft_docs_b_$suffix", new java.io.File(base, "docs").toString,
+      buckets = 8, keys = Seq("doc_id"), sortKeys = Seq("doc_id"))
+    val embs = writeBucketed(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+      s"graft_embs_b_$suffix", new java.io.File(base, "embs").toString,
+      buckets = 8, keys = Seq("vec_id"), sortKeys = Seq("vec_id"))
+    docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bucketedJoinOracle: String =
+    """SELECT d.doc_id, d.lang, d.n_chars, e.label
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |ORDER BY d.doc_id""".stripMargin
+}

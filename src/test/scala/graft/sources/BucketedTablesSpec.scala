@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** The bucketed-layout contract: scans of co-bucketed tables satisfy
+  * the join/agg partitioning requirement, so the plans carry ZERO
+  * shuffle exchanges — the write-side shuffle is paid once, every
+  * downstream key-join rides free. Content must still match the plain
+  * (shuffled) plans bit-for-bit. */
+class BucketedTablesSpec extends SparkSpec {
+
+  private def suffix = s"spec_${ProcessHandle.current().pid()}"
+  private def tmp(name: String) =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bucketspec_$suffix/$name").toString
+
+  test("co-bucketed join plans no exchange and matches the shuffled join") {
+    // broadcast off: otherwise the small side broadcasts and the
+    // no-exchange assertion would pass for the wrong reason
+    graft.SparkSpec.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val docs = BucketedTables.writeBucketed(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+        s"bspec_docs_$suffix", tmp("docs"), 8, Seq("doc_id"), Seq("doc_id"))
+      val embs = BucketedTables.writeBucketed(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        s"bspec_embs_$suffix", tmp("embs"), 8, Seq("vec_id"), Seq("vec_id"))
+      val joined = docs.join(embs, docs("doc_id") === embs("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$plan")
+      val plain = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+        .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"))
+      assert(joined.collect().toSet == plain.collect().toSet)
+    }
+  }
+
+  test("aggregation on the bucket key plans no exchange") {
+    val docs = spark.table(s"bspec_docs_$suffix")
+    val agg = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-keyed aggregation still shuffles:\n$plan")
+    assert(agg.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("mismatched bucket counts fall back to a correct (shuffled) join") {
+    graft.SparkSpec.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val four = BucketedTables.writeBucketed(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        s"bspec_embs4_$suffix", tmp("embs4"), 4, Seq("vec_id"))
+      val docs = spark.table(s"bspec_docs_$suffix")
+      val joined = docs.join(four, docs("doc_id") === four("vec_id"))
+      // correctness first: layout mismatch must never drop rows
+      assert(joined.count() ==
+        Tables.embeddings(spark, sfDir).join(
+          Tables.documents(spark, sfDir),
+          col("vec_id") === col("doc_id")).count())
+    }
+  }
+}
