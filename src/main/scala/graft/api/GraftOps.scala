@@ -332,6 +332,19 @@ object GraftOps {
                      dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.pageRankOf(edges, iters, dampingPermille)
 
+  /** Per-domain link reciprocity permille — the link-farm spam signal:
+    * organic linking is one-directional, manufactured link exchanges
+    * reciprocate. Edge-linear (one keyed semi-join), no pair blowup. */
+  def linkReciprocity(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.linkReciprocityOf(edges)
+
+  /** Skip-gram (center, context, cnt) co-occurrence counts within a
+    * ±window word window — word2vec training pairs / the PPMI-GloVe
+    * co-occurrence table. Offset-zipped narrow passes + one keyed
+    * count; never a per-document positions self-join. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2): DataFrame =
+    graft.operators.NgramLm.skipgramPairsOf(docs, window)
+
   /** Exact harmonic centrality (e6 fixed point) — CommonCrawl's
     * primary published domain rank. DECLARED-quadratic pair state:
     * fine to ~1e6 nodes, use [[harmonicCentralityApprox]] beyond. */

@@ -397,8 +397,50 @@ object GraphOps {
        |GROUP BY n.node
        |ORDER BY n.node""".stripMargin
 
+  /** Per-domain link reciprocity: what fraction of a domain's
+    * out-links are linked BACK — the classic link-farm / link-exchange
+    * spam signal (organic linking is largely one-directional;
+    * reciprocal cliques are manufactured). (node, outdeg,
+    * recip_permille) with recip_permille = 1000·|out ∩ in⁻¹| DIV
+    * outdeg — truncating integer, bit-exact. One (src,dst)-keyed
+    * semi-join against the reversed edge set + one src-keyed count:
+    * edge-linear, no pair materialization. */
+  def linkReciprocityOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("nRecip"))
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+      .join(recip, Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
+        expr("1000 * coalesce(nRecip, 0L) DIV outdeg").as("recip_permille"))
+  }
+
+  def linkReciprocity(s: SparkSession, d: String): DataFrame =
+    linkReciprocityOf(fixtureEdges(s, d)).orderBy(col("node"))
+
+  private val linkReciprocityOracle: String =
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION ALL
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)),
+       |recip AS (SELECT e.src AS node, count(*) AS n_recip
+       |  FROM edges e WHERE EXISTS (SELECT 1 FROM edges r
+       |    WHERE r.src = e.dst AND r.dst = e.src)
+       |  GROUP BY e.src)
+       |SELECT o.node, o.outdeg,
+       |  CAST(1000 * coalesce(r.n_recip, 0) // o.outdeg AS BIGINT)
+       |    AS recip_permille
+       |FROM (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src) o
+       |LEFT JOIN recip r ON o.node = r.node
+       |ORDER BY o.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
+    "link_reciprocity" -> (linkReciprocity _),
     "harmonic_exact" -> (harmonicExact _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
@@ -408,5 +450,6 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "domain_pagerank" -> domainPagerankOracle,
     "harmonic_exact" -> harmonicExactOracle,
+    "link_reciprocity" -> linkReciprocityOracle,
   )
 }

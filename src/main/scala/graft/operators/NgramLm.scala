@@ -763,7 +763,50 @@ object NgramLm {
       |FROM batch b LEFT JOIN corpus c ON b.n = c.n AND b.gram = c.gram
       |GROUP BY b.n ORDER BY n""".stripMargin
 
+  /** Skip-gram (center, context) co-occurrence counts within a ±window
+    * word window — the training-pair generator word2vec-style embedding
+    * models consume and the windowed co-occurrence table PPMI / GloVe
+    * weighting starts from. Built by OFFSET-ZIPPING, not a positions
+    * self-join: for each k in 1..window, zip the token array against
+    * its own k-shifted slice and emit both directions — `window` narrow
+    * per-document passes and ONE pair-keyed count shuffle, versus the
+    * naive per-doc positions join whose candidate set is quadratic in
+    * document length. */
+  def skipgramPairsOf(docs: DataFrame, window: Int = 2): DataFrame = {
+    require(window >= 1 && window <= 16, s"unreasonable window: $window")
+    val perK = (1 to window).map { k =>
+      // slice length must be clamped BEFORE slice: negative length throws
+      expr(s"""CASE WHEN size(ws) > $k THEN
+                 flatten(zip_with(slice(ws, 1, size(ws) - $k),
+                                  slice(ws, ${k + 1}, size(ws) - $k),
+                   (a, b) -> array(named_struct('center', a, 'context', b),
+                                   named_struct('center', b, 'context', a))))
+               ELSE array() END""")
+    }
+    docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(concat(perK: _*)).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  def skipgramPairs(s: SparkSession, d: String): DataFrame =
+    skipgramPairsOf(Tables.documents(s, d))
+      .orderBy(col("cnt").desc, col("center"), col("context")).limit(20)
+
+  /** Naive positions self-join — the oracle may be quadratic. */
+  private val skipgramPairsOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS tok,
+      |               generate_subscripts(ws, 1) AS pos FROM t),
+      |p AS (SELECT a.tok AS center, b.tok AS context
+      |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+      |        AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2)
+      |SELECT center, context, count(*) AS cnt FROM p GROUP BY 1, 2
+      |ORDER BY cnt DESC, center, context LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skipgram_pairs"        -> (skipgramPairs _),
     "ngram_counts"          -> (ngramCounts _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "kn_continuation"       -> (knContinuation _),
@@ -776,6 +819,7 @@ object NgramLm {
   )
 
   val oracles: Map[String, String] = Map(
+    "skipgram_pairs"        -> skipgramPairsOracle,
     "ngram_counts"          -> ngramCountsOracle,
     "ngram_count_of_counts" -> countOfCountsOracle,
     "kn_continuation"       -> knContinuationOracle,

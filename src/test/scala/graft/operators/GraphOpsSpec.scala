@@ -131,6 +131,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(hb("a") == 0L, s"nothing reaches a: $hb")
   }
 
+  test("link reciprocity flags the mutual clique, not the one-way chain") {
+    import spark.implicits._
+    // link farm: a<->b, a<->c (all reciprocated); honest chain: p->q->r
+    // plus p->a (one-way into the farm)
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"),
+      ("p", "q"), ("q", "r"), ("p", "a"))
+    val got = GraphOps.linkReciprocityOf(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == (2L, 1000L), s"$got") // both out-links reciprocated
+    assert(got("b") == (1L, 1000L))
+    assert(got("p") == (2L, 0L)) // p->q, p->a: neither linked back
+    assert(got("q") == (1L, 0L))
+    assert(!got.contains("r")) // no out-links -> no row
+  }
+
   test("zero iterations return the uniform prior; empty graph is rejected") {
     val got = run(Seq(("x", "y"), ("y", "x")), 0)
     assert(got == Map("x" -> 500000000L, "y" -> 500000000L))

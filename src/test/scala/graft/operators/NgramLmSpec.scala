@@ -193,6 +193,27 @@ class NgramLmSpec extends SparkSpec {
     assert(NgramLm.pmiCollocationsOf(empty).count() == 0)
   }
 
+  test("skipgram pairs: symmetric windowed co-occurrence with exact counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a"), (2L, "x")).toDF("doc_id", "text")
+    val got = NgramLm.skipgramPairsOf(docs, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // positions: a(1) b(2) c(3) a(4); pairs within distance <= 2, both
+    // directions; single-token doc 2 contributes nothing
+    val want = Map(
+      ("a", "b") -> 2L, ("b", "a") -> 2L, // (1,2) and (4,2)
+      ("a", "c") -> 2L, ("c", "a") -> 2L, // (1,3) and (4,3)
+      ("b", "c") -> 1L, ("c", "b") -> 1L)
+    assert(got == want, s"$got")
+    assert(!got.contains(("a", "a"))) // distance 3 > window: absent
+    // window=1 drops the distance-2 pairs
+    val w1 = NgramLm.skipgramPairsOf(docs, window = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w1 == Map(("a", "b") -> 1L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("c", "b") -> 1L,
+      ("c", "a") -> 1L, ("a", "c") -> 1L), s"$w1")
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
