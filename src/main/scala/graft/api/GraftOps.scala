@@ -283,6 +283,13 @@ object GraftOps {
   def normalizeText(docs: DataFrame): DataFrame =
     TextAnalysis.normalizeTextOf(docs)
 
+  /** HTML → text extraction (the WARC→WET step): script/style/head
+    * containers dropped with contents, comments dropped, block tags
+    * become line breaks, remaining tags strip, common entities decode
+    * once. Fully narrow expression chain — no UDF. */
+  def htmlExtract(docs: DataFrame): DataFrame =
+    TextAnalysis.htmlExtractOf(docs)
+
   /** Per-document zlib compression ratio (repetitive text compresses
     * well, noise barely) — Dolma-style quality signal; narrow. */
   def compressionRatio(docs: DataFrame): DataFrame =

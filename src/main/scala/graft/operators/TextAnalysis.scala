@@ -1162,6 +1162,101 @@ object TextAnalysis {
       |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** HTML → text extraction — the WARC→WET step of a crawl pipeline,
+    * as a fully narrow codegen'd expression chain (the 100 TB plan is
+    * the scan's map stage; no UDF, no parser object per row):
+    *
+    *   1. drop script / style / head CONTAINERS with their contents
+    *      ((?is) lazy block match — a naive tag-strip would leak
+    *      javascript and css text into the corpus),
+    *   2. drop HTML comments,
+    *   3. block-level tags (p, div, br, headings, list/table items,
+    *      sections) → newline, so visual paragraph structure survives
+    *      as line structure,
+    *   4. strip every remaining tag,
+    *   5. decode the common entities — after tag-stripping, so
+    *      entity-encoded angle brackets land as literal text instead
+    *      of being re-parsed as markup; &amp; decodes LAST so
+    *      double-encoded entities stay single-decoded,
+    *   6. whitespace discipline: tabs/space runs → one space, spaces
+    *      trimmed around newlines, newline runs → one, ends trimmed.
+    *
+    * Regex subset chosen to mean the same thing in Java regex (Spark)
+    * and RE2 (the DuckDB oracle): inline (?is) flags, lazy .*?,
+    * character classes, \b — no backrefs, no lookaround. */
+  def htmlExtractOf(docs: DataFrame): DataFrame = {
+    // lazy span from container open to the FIRST close of any of the
+    // three — not pair-matched (RE2 has no backreferences, and the
+    // oracle must mean the same thing), deterministic on real markup
+    val t0 = regexp_replace(col("text"),
+      "(?is)<(script|style|head)\\b.*?</(script|style|head)\\s*>", "")
+    val t1 = regexp_replace(t0, "(?s)<!--.*?-->", "")
+    val t2 = regexp_replace(t1,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\\b[^>]*>",
+      "\n")
+    val t3 = regexp_replace(t2, "(?s)<[^>]*>", "")
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val t4 = ents.foldLeft(t3) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+    val t5 = regexp_replace(t4, "[ \\t]+", " ")
+    val t6 = regexp_replace(t5, " *\\n *", "\n")
+    val t7 = regexp_replace(t6, "\\n+", "\n")
+    val t8 = regexp_replace(t7, "^[\\n ]+|[\\n ]+$", "")
+    docs.select(col("doc_id"), t8.as("text"),
+      length(t8).cast("int").as("n_chars"))
+  }
+
+  /** Oracle-checked fixture: corpus text spliced into a deterministic
+    * page — head with title+script (the script holds a literal '<' a
+    * naive strip would corrupt), a comment, nested divs, entities. */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>T</title><script>var x = \"a < b\";" +
+          "</script></head><body><!-- nav --><div class=\"main\"><p>"),
+        col("text"),
+        lit("</p><p>Tom &amp; Jerry &lt;3&nbsp;it &#39;a lot&#39;</p>" +
+          "</div></body></html>")).as("text"))
+    htmlExtractOf(fixture).orderBy(col("doc_id"))
+  }
+
+  private val htmlExtractOracle =
+    """WITH fx AS (SELECT doc_id,
+      |  '<html><head><title>T</title><script>var x = "a < b";'
+      |    || '</script></head><body><!-- nav --><div class="main"><p>'
+      |    || text
+      |    || '</p><p>Tom &amp; Jerry &lt;3&nbsp;it &#39;a lot&#39;</p>'
+      |    || '</div></body></html>' AS text
+      |  FROM documents),
+      |x AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text,
+      |    '(?is)<(script|style|head)\b.*?</(script|style|head)\s*>', '', 'g'),
+      |    '(?s)<!--.*?-->', '', 'g'),
+      |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\b[^>]*>',
+      |    chr(10), 'g'),
+      |    '(?s)<[^>]*>', '', 'g') AS text
+      |  FROM fx),
+      |e AS (SELECT doc_id,
+      |  replace(replace(replace(replace(replace(replace(
+      |    text,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
+      |  FROM x),
+      |w AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text,
+      |    '[ \t]+', ' ', 'g'),
+      |    ' *\n *', chr(10), 'g'),
+      |    '\n+', chr(10), 'g'),
+      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+      |  FROM e)
+      |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** Domain/source-level reputation gate — the per-domain quality
     * stage of public web pipelines (RefinedWeb/DCLM run UT1 blocklists
     * plus per-domain aggregate heuristics): per source, the permille
@@ -1331,6 +1426,7 @@ object TextAnalysis {
     "quality_score"   -> (qualityScore _),
     "c4_clean"        -> (c4Clean _),
     "text_normalize"  -> (textNormalize _),
+    "html_extract"    -> (htmlExtract _),
     "domain_filter"   -> (domainFilter _),
     "compression_ratio" -> (compressionRatio _),
     "sentences"       -> (sentences _),
@@ -1357,6 +1453,7 @@ object TextAnalysis {
     "quality_score"   -> qualityScoreOracle,
     "c4_clean"        -> c4CleanOracle,
     "text_normalize"  -> textNormalizeOracle,
+    "html_extract"    -> htmlExtractOracle,
     "domain_filter"   -> domainFilterOracle,
     "sentences"       -> sentencesOracle,
     "bm25_topk"       -> bm25Oracle,

@@ -1228,6 +1228,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(again.map(_.getString(1)).sameElements(out.map(_.getString(1))))
   }
 
+  test("htmlExtract: containers dropped with contents, blocks to lines, entities decoded once") {
+    import spark.implicits._
+    val docs = Seq(
+      // script content holds a literal '<' (naive strip corrupts it);
+      // style and comment content must vanish; inline <b> strips
+      // without a line break; block <p>/<li> break lines
+      (1L, "<head><title>Hi</title><script>if (a<b) x();</script></head>" +
+        "<style>p { color: red }</style><body><!-- menu -->" +
+        "<p>One <b>bold</b> word</p><ul><li>first</li><li>second</li></ul></body>"),
+      // entities: each decodes exactly once — &amp;lt; must land as
+      // literal '&lt;', never double-decode to '<'
+      (2L, "<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot; &#39;s&#39;" +
+        " a&nbsp;gap &amp;lt;kept&amp;gt;</p>"),
+      (3L, "no markup at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlExtractOf(docs).orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "One bold word\nfirst\nsecond", s"${out(0)}")
+    assert(out(1).getString(1) ==
+      "Tom & Jerry <3 \"quoted\" 's' a gap &lt;kept&gt;", s"${out(1)}")
+    assert(out(2).getString(1) == "no markup at all")
+    assert(out(0).getInt(2) == out(0).getString(1).length)
+    // narrow plan: no exchange — the 100 TB cost is the scan itself
+    val plan = TextAnalysis.htmlExtractOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlExtract must stay a map stage:\n$plan")
+  }
+
   test("domain gate drops the low-reputation source wholesale, keeps the clean one") {
     import spark.implicits._
     val clean = (1L to 30L).map(i =>
