@@ -1205,8 +1205,11 @@ object TextAnalysis {
     val t6 = regexp_replace(t5, " *\\n *", "\n")
     val t7 = regexp_replace(t6, "\\n+", "\n")
     val t8 = regexp_replace(t7, "^[\\n ]+|[\\n ]+$", "")
-    docs.select(col("doc_id"), t8.as("text"),
-      length(t8).cast("int").as("n_chars"))
+    // replaces text / n_chars, preserves every other column — the
+    // extraction composes mid-pipeline (crawl_pipeline) without
+    // re-joining source/url metadata back on
+    docs.withColumn("text", t8)
+      .withColumn("n_chars", length(col("text")).cast("int"))
   }
 
   /** Oracle-checked fixture: corpus text spliced into a deterministic

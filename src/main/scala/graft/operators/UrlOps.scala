@@ -156,11 +156,100 @@ object UrlOps {
       |FROM canon GROUP BY ('0x' || substr(md5(curl), 1, 15))::BIGINT
       |ORDER BY keeper_id""".stripMargin
 
+  /** End-to-end crawl-ingest showcase — the composed pass a crawl
+    * shard takes from fetch records to clean text: canonicalize +
+    * URL-dedup (keep the keeper fetch per canonical URL), HTML→text
+    * extraction, then a minimum-length quality gate. ONE keyed shuffle
+    * total (the URL-dedup window, on 8-byte url hashes); every other
+    * stage is narrow — the composition inherits each operator's scale
+    * shape, which is the point of the demo. Fixture: the url_dedup
+    * 4-surface-forms-per-page variants plus a deterministic HTML
+    * wrapper (script in head, footer with an entity). */
+  def crawlPipeline(s: SparkSession, d: String): DataFrame = {
+    val fetched = Tables.documents(s, d)
+      .withColumn("url", expr(urlFixtureSql))
+      .withColumn("text", concat(
+        lit("<html><head><script>track();</script></head><body><p>"),
+        col("text"),
+        lit("</p><footer>&amp;copy</footer></body></html>")))
+    val kept = urlDedupedDocsOf(fetched)
+    TextAnalysis.htmlExtractOf(kept)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val crawlPipelineOracle =
+    """WITH u AS (SELECT doc_id, source,
+      |  '<html><head><script>track();</script></head><body><p>'
+      |    || text || '</p><footer>&amp;copy</footer></body></html>' AS text,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |   WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+      |   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#frag'
+      |   WHEN 2 THEN 'https://www.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_source=rss&b=2'
+      |   ELSE 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=x&gclid=abc#sec'
+      |  END AS url FROM documents),
+      |c1 AS (SELECT doc_id, source, text, split_part(url, '#', 1) AS base FROM u),
+      |c2 AS (SELECT *, lower(regexp_extract(base, '^([^:/?#]+)://', 1)) AS scheme FROM c1),
+      |c3 AS (SELECT *, substring(base, length(scheme) + 4) AS aft FROM c2),
+      |c4 AS (SELECT *, lower(regexp_extract(aft, '^([^/?]*)', 1)) AS hp FROM c3),
+      |c5 AS (SELECT *,
+      |  CASE WHEN scheme = 'http' AND hp LIKE '%:80' THEN left(hp, length(hp) - 3)
+      |       WHEN scheme = 'https' AND hp LIKE '%:443' THEN left(hp, length(hp) - 4)
+      |       ELSE hp END AS host,
+      |  substring(aft, length(hp) + 1) AS pathq FROM c4),
+      |c6 AS (SELECT *, split_part(pathq, '?', 1) AS rawpath FROM c5),
+      |c7 AS (SELECT *,
+      |  CASE WHEN pathq LIKE '%?%' THEN substring(pathq, length(rawpath) + 2) ELSE '' END AS q0,
+      |  CASE WHEN rawpath = '' THEN '/'
+      |       WHEN rawpath <> '/' AND rawpath LIKE '%/' THEN left(rawpath, length(rawpath) - 1)
+      |       ELSE rawpath END AS path FROM c6),
+      |c8 AS (SELECT doc_id, source, text, scheme, host, path,
+      |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+      |    x -> x <> '' AND NOT (left(split_part(x, '=', 1), 4) = 'utm_'
+      |      OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&') AS q
+      |  FROM c7),
+      |canon AS (SELECT doc_id, source, text,
+      |  scheme || '://' || host || path ||
+      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl FROM c8),
+      |k AS (SELECT doc_id, source, text FROM (SELECT *,
+      |    min(doc_id) OVER (PARTITION BY ('0x' || substr(md5(curl), 1, 15))::BIGINT)
+      |      AS keeper FROM canon)
+      |  WHERE doc_id = keeper),
+      |x AS (SELECT doc_id, source,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text,
+      |    '(?is)<(script|style|head)\b.*?</(script|style|head)\s*>', '', 'g'),
+      |    '(?s)<!--.*?-->', '', 'g'),
+      |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\b[^>]*>',
+      |    chr(10), 'g'),
+      |    '(?s)<[^>]*>', '', 'g') AS text
+      |  FROM k),
+      |e AS (SELECT doc_id, source,
+      |  replace(replace(replace(replace(replace(replace(
+      |    text,
+      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
+      |  FROM x),
+      |w AS (SELECT doc_id, source,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    text,
+      |    '[ \t]+', ' ', 'g'),
+      |    ' *\n *', chr(10), 'g'),
+      |    '\n+', chr(10), 'g'),
+      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+      |  FROM e)
+      |SELECT doc_id, source, text, CAST(length(text) AS INTEGER) AS n_chars
+      |FROM w WHERE len(string_split(text, ' ')) >= 5
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
+    "crawl_pipeline" -> (crawlPipeline _),
   )
 
   val oracles: Map[String, String] = Map(
     "url_dedup" -> urlDedupOracle,
+    "crawl_pipeline" -> crawlPipelineOracle,
   )
 }
