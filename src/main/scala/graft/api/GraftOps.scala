@@ -290,6 +290,12 @@ object GraftOps {
   def htmlExtract(docs: DataFrame): DataFrame =
     TextAnalysis.htmlExtractOf(docs)
 
+  /** Structured page metadata (title, self-declared lang, robots
+    * noindex, link count, anchor text) — curation signals extracted
+    * narrowly, text column untouched. */
+  def htmlFields(docs: DataFrame): DataFrame =
+    TextAnalysis.htmlFieldsOf(docs)
+
   /** Per-document zlib compression ratio (repetitive text compresses
     * well, noise barely) — Dolma-style quality signal; narrow. */
   def compressionRatio(docs: DataFrame): DataFrame =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Portable
@@ -1260,6 +1260,108 @@ object TextAnalysis {
       |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** Structured HTML metadata — the crawl-metadata sibling of
+    * [[htmlExtractOf]]: page fields that feed curation models without
+    * ever entering the text column. Adds (columns preserved):
+    *  - `title`: first <title> inner text, entity-decoded,
+    *    whitespace-collapsed (titles are a quality-model staple);
+    *  - `html_lang`: the <html lang=…> attribute, lowercased — the
+    *    page's SELF-declared language, to cross-check lang-id;
+    *  - `noindex`: robots-meta noindex present (the in-page compliance
+    *    signal crawl curation must honor);
+    *  - `n_links`: count of href anchors (link-density is a
+    *    boilerplate/spam signal);
+    *  - `anchor_text`: '|'-joined anchor inner texts, nested tags
+    *    stripped, entities decoded (anchor text describes the TARGET —
+    *    the classic ranking/description signal).
+    * Fully narrow; same Java-regex/RE2-agreeing subset as the
+    * extractor. */
+  def htmlFieldsOf(docs: DataFrame): DataFrame = {
+    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    def clean(c: Column): Column = {
+      val noTags = regexp_replace(c, "(?s)<[^>]*>", "")
+      val dec = ents.foldLeft(noTags) { case (x, (e, r)) =>
+        regexp_replace(x, java.util.regex.Pattern.quote(e),
+          java.util.regex.Matcher.quoteReplacement(r))
+      }
+      regexp_replace(regexp_replace(dec, "\\s+", " "), "^ | $", "")
+    }
+    docs
+      .withColumn("title",
+        clean(regexp_extract(col("text"), "(?is)<title[^>]*>(.*?)</title", 1)))
+      .withColumn("html_lang",
+        lower(regexp_extract(col("text"),
+          "(?is)<html[^>]*\\blang\\s*=\\s*[\"']?([a-zA-Z-]+)", 1)))
+      .withColumn("noindex", col("text").rlike("(?is)<meta[^>]*noindex"))
+      .withColumn("n_links",
+        size(expr("regexp_extract_all(text, '(?is)<a\\\\b[^>]*\\\\bhref', 0)")))
+      .withColumn("anchor_text",
+        clean(array_join(expr(
+          "regexp_extract_all(text, '(?is)<a\\\\b[^>]*>(.*?)</a', 1)"), "|")))
+  }
+
+  /** Oracle fixture: pages synthesized over the corpus — title with an
+    * entity, lang attribute, parity-varied robots meta and a second
+    * (href-less) anchor, a nested tag inside anchor text. */
+  def htmlFields(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        lit("<html lang=\"EN\"><head><title> News &amp; Views </title>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"),
+        lit("</p><a href=\"/x\">read <b>more</b></a>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<a href=\"/y\">also &lt;this&gt;</a><a name=\"top\">anchor only</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("text"))
+    htmlFieldsOf(fixture)
+      .select(col("doc_id"), col("title"), col("html_lang"), col("noindex"),
+        col("n_links"), col("anchor_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val htmlFieldsOracle =
+    """WITH fx AS (SELECT doc_id,
+      |  '<html lang="EN"><head><title> News &amp; Views </title>'
+      |  || CASE WHEN doc_id % 2 = 0
+      |       THEN '<meta name="robots" content="noindex,nofollow">' ELSE '' END
+      |  || '</head><body><p>' || text
+      |  || '</p><a href="/x">read <b>more</b></a>'
+      |  || CASE WHEN doc_id % 3 = 0
+      |       THEN '<a href="/y">also &lt;this&gt;</a><a name="top">anchor only</a>'
+      |       ELSE '' END
+      |  || '</body></html>' AS text
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |  regexp_extract(text, '(?is)<title[^>]*>(.*?)</title', 1) AS rawtitle,
+      |  lower(regexp_extract(text,
+      |    '(?is)<html[^>]*\blang\s*=\s*["'']?([a-zA-Z-]+)', 1)) AS html_lang,
+      |  regexp_matches(text, '(?is)<meta[^>]*noindex') AS noindex,
+      |  CAST(len(regexp_extract_all(text, '(?is)<a\b[^>]*\bhref', 0)) AS INTEGER)
+      |    AS n_links,
+      |  array_to_string(regexp_extract_all(text, '(?is)<a\b[^>]*>(.*?)</a', 1), '|')
+      |    AS rawanchor
+      |  FROM fx),
+      |c AS (SELECT doc_id, html_lang, noindex, n_links,
+      |  regexp_replace(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(rawtitle, '(?s)<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g'), '^ | $', '', 'g') AS title,
+      |  regexp_replace(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(rawanchor, '(?s)<[^>]*>', '', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g'), '^ | $', '', 'g') AS anchor_text
+      |  FROM r)
+      |SELECT doc_id, title, html_lang, noindex, n_links, anchor_text
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Domain/source-level reputation gate — the per-domain quality
     * stage of public web pipelines (RefinedWeb/DCLM run UT1 blocklists
     * plus per-domain aggregate heuristics): per source, the permille
@@ -1430,6 +1532,7 @@ object TextAnalysis {
     "c4_clean"        -> (c4Clean _),
     "text_normalize"  -> (textNormalize _),
     "html_extract"    -> (htmlExtract _),
+    "html_fields"     -> (htmlFields _),
     "domain_filter"   -> (domainFilter _),
     "compression_ratio" -> (compressionRatio _),
     "sentences"       -> (sentences _),
@@ -1457,6 +1560,7 @@ object TextAnalysis {
     "c4_clean"        -> c4CleanOracle,
     "text_normalize"  -> textNormalizeOracle,
     "html_extract"    -> htmlExtractOracle,
+    "html_fields"     -> htmlFieldsOracle,
     "domain_filter"   -> domainFilterOracle,
     "sentences"       -> sentencesOracle,
     "bm25_topk"       -> bm25Oracle,

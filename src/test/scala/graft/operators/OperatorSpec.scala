@@ -1253,6 +1253,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"htmlExtract must stay a map stage:\n$plan")
   }
 
+  test("htmlFields: title/lang/noindex/link metadata without touching text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html LANG='pt-BR'><head><title>A &amp; B <i>co</i></title>" +
+        "<meta name=\"robots\" content=\"NOINDEX\"></head>" +
+        "<body><a href=\"/a\">one</a><a name=\"x\">no href</a>" +
+        "<a href=\"/b\">t&nbsp;wo</a></body></html>"),
+      (2L, "plain text, zero markup")).toDF("doc_id", "text")
+    val out = TextAnalysis.htmlFieldsOf(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[String]("title") == "A & B co") // nested tag stripped, entity decoded
+    assert(r1.getAs[String]("html_lang") == "pt-br") // attr found case-insensitively, lowered
+    assert(r1.getAs[Boolean]("noindex")) // case-insensitive robots meta
+    assert(r1.getAs[Int]("n_links") == 2) // href anchors only
+    assert(r1.getAs[String]("anchor_text") == "one|no href|t wo")
+    val r2 = out(1)
+    assert(r2.getAs[String]("title") == "" && r2.getAs[String]("html_lang") == "")
+    assert(!r2.getAs[Boolean]("noindex") && r2.getAs[Int]("n_links") == 0)
+    assert(r2.getAs[String]("text") == "plain text, zero markup") // text untouched
+    val plan = TextAnalysis.htmlFieldsOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"htmlFields must stay a map stage:\n$plan")
+  }
+
   test("domain gate drops the low-reputation source wholesale, keeps the clean one") {
     import spark.implicits._
     val clean = (1L to 30L).map(i =>
