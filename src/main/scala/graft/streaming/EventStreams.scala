@@ -262,6 +262,45 @@ object EventStreams {
       .toDF("doc_id", "url", "canonical_url")
   }
 
+  /** Streaming crawl ingest — the `crawl_pipeline` composition as a
+    * micro-batch face: canonicalize → lifetime URL-keyed admit-once →
+    * HTML→text extraction → min-length gate. The keeper's raw HTML
+    * rides THROUGH the group iterator, not the state store: state
+    * remains one marker per canonical URL regardless of page size.
+    * Extraction and gate are narrow expressions planned AFTER the
+    * stateful admit, so only admitted pages pay the regex chain.
+    * Output: (doc_id, canonical_url, text, n_chars) — clean text, the
+    * shape text-level dedup and quality streams consume next. */
+  def crawlIngestStream(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, minWords: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val admitted = graft.operators.UrlOps.canonicalUrlOf(docs)
+      .select(col("doc_id"), col("canonical_url"), col("text"),
+        graft.functions.Portable.hash60(col("canonical_url")).as("h"))
+      .as[(Long, String, String, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String, String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[SeenContent]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var bestId = Long.MaxValue
+            var bestCanon: String = null
+            var bestText: String = null
+            rows.foreach { case (id, c, t, _) =>
+              if (id < bestId) { bestId = id; bestCanon = c; bestText = t }
+            }
+            state.update(SeenContent(1L))
+            Iterator((bestId, bestCanon, bestText))
+          }
+      }
+      .toDF("doc_id", "canonical_url", "text")
+    graft.operators.TextAnalysis.htmlExtractOf(admitted)
+      .filter(size(split(col("text"), " ")) >= minWords)
+  }
+
   /** The 32-bit simhash as a fully narrow fold expression — bit-for-bit
     * the same signature as the batch `Dedup.simhashSignaturesOf`
     * (token hash votes, ties → 0), but with no shuffle: tokens hash

@@ -311,6 +311,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3)) == batchCanon)
   }
 
+  test("streaming crawl ingest: admit-once + extraction + gate agree with the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cingest_ckpt").toString
+    def page(body: String) =
+      s"<html><head><script>t();</script></head><body><p>$body</p></body></html>"
+    val in = MemoryStream[(Long, String, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Int)]()
+    def start() = EventStreams.crawlIngestStream(spark,
+        in.toDF().toDF("doc_id", "url", "text"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(
+      (7L, "HTTPS://Example.COM:443/page#f", page("seven words of body text right here")),
+      (3L, "https://example.com/page", page("three wins and has enough words too")),
+      (5L, "https://example.com/short", page("too few words"))) // gated out
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    in.addData( // pre-restart duplicate URL must stay suppressed
+      (9L, "https://example.com/page?utm_source=x", page("nine should never appear at all")),
+      (11L, "https://example.com/fresh", page("a fresh page with plenty of words")))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = collected.synchronized(collected.toSet)
+    assert(rows.map(_._1) == Set(3L, 11L), s"admit/gate violated: $rows")
+    // extracted text bit-identical to the batch extractor on the same html
+    val batch = graft.operators.TextAnalysis.htmlExtractOf(
+        Seq((3L, page("three wins and has enough words too")),
+            (11L, page("a fresh page with plenty of words"))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows.map(r => (r._1, r._3, r._4)) == batch)
+  }
+
   test("streaming text dedup admits each content once, lowest doc_id wins, survives restart") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
