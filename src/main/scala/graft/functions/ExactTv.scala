@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-integer total-variation distance in e6 fixed point — the ONE
+  * implementation behind every drift monitor (`index_drift`,
+  * `lm_tier_drift`; `corpus_drift` predates it with the same
+  * arithmetic over a join shape). TV = ½·Σ|c/n − d/m| is computed
+  * without any float division as Σ|c·m − d·n| DIV (2·n·m) in
+  * DECIMAL(38,0), so the score is bit-identical to the DuckDB
+  * HUGEINT oracle and cannot wrap int64 at real corpus sizes.
+  *
+  * Input: a histogram frame with integer count columns `c` (side A)
+  * and `d` (side B), one row per bucket — ALWAYS a bounded frame
+  * (cells, tiers, token buckets), never corpus-sized, which is why the
+  * partition-less totals window is allowlisted for its callers.
+  * Output: one row (nName, mName, tv_e6). */
+object ExactTv {
+
+  def tvE6(hist: DataFrame, nName: String, mName: String): DataFrame = {
+    val all = Window.partitionBy(lit(0))
+    hist
+      .withColumn("n", sum(col("c")).over(all))
+      .withColumn("m", sum(col("d")).over(all))
+      .select(col("n"), col("m"),
+        expr("abs(CAST(c AS DECIMAL(38,0)) * m - CAST(d AS DECIMAL(38,0)) * n)")
+          .as("num"))
+      .groupBy(col("n").as(nName), col("m").as(mName))
+      .agg(sum(col("num")).as("sum_num"))
+      .select(col(nName), col(mName),
+        expr(s"CAST(sum_num * 1000000 DIV " +
+          s"(2 * CAST($nName AS DECIMAL(38,0)) * $mName) AS BIGINT)")
+          .as("tv_e6"))
+  }
+}

@@ -44,6 +44,18 @@ import graft.Tables
   * its contribution — harmless and simpler than special-casing). */
 object GraphOps {
 
+  /** The shared seed of every graph face: (src, dst) as strings,
+    * multi-edges collapsed, materialized once (the iterative loops and
+    * the node/degree aggregates all re-read it). */
+  private def normalizedEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("string").as("src"),
+      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+
+  /** Node set of a normalized edge frame (both endpoints). */
+  private def nodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+
   /** Ranks after `iters` rounds over an (src, dst) edge frame:
     * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph. */
   def pageRankOf(edges: DataFrame, iters: Int = 10,
@@ -51,10 +63,8 @@ object GraphOps {
     require(iters >= 0 && iters <= 1000, s"unreasonable iters: $iters")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"damping out of permille range: $dampingPermille")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = nodes.count()
@@ -118,10 +128,8 @@ object GraphOps {
     * dangling-mass scalar is a separate 1-row-agg job per round, not
     * part of this plan. */
   def pageRankRoundPlanOf(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = math.max(nodes.count(), 1L)
@@ -223,10 +231,8 @@ object GraphOps {
     * exact baseline; use [[hyperBallHarmonicOf]] past ~1e6 nodes. */
   def harmonicExactOf(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 256, s"unreasonable maxDepth: $maxDepth")
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
     var reached = nodes.select(col("node").as("root"), col("node"),
       lit(0).as("dist")).localCheckpoint()
     var frontier = reached
@@ -275,10 +281,8 @@ object GraphOps {
     require(maxIters >= 1 && maxIters <= 256, s"unreasonable maxIters: $maxIters")
     val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
       else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e)
     val regCols = (0 until m).map(i => s"r$i")
     /** Deterministic HLL estimate over the m register columns: raw
       * harmonic-mean formula with the standard linear-counting
@@ -304,9 +308,13 @@ object GraphOps {
     var cur = seeded
       .select(col("node") +: (0 until m).map(i =>
         when(col("j") === i, col("rho")).otherwise(lit(0)).as(s"r$i")): _*)
+      .withColumn("regsum", regCols.map(col).reduce(_ + _))
       .withColumn("ball", ballEst)
       .withColumn("harm", lit(0.0))
       .localCheckpoint()
+    // empty graph: no rounds, no head() on an empty aggregate
+    if (cur.limit(1).count() == 0)
+      return cur.select(col("node"), lit(0L).as("harm_e6"))
     var t = 0
     var more = true
     while (more && t < maxIters) {
@@ -320,13 +328,21 @@ object GraphOps {
           regCols.tail.map(c => max(c).as(c)): _*)
       val next = merged
         .join(cur.select(col("node"), col("ball").as("ballPrev"),
-          col("harm").as("harmPrev")), Seq("node"))
+          col("harm").as("harmPrev"), col("regsum").as("regsumPrev")),
+          Seq("node"))
+        // fixpoint test is on the REGISTERS, not the estimate: the
+        // raw/linear-counting correction boundary is not monotone in
+        // the registers, so a ball estimate can stall in the exact
+        // round a register flips. Registers only GROW, so the register
+        // SUM strictly increases iff any register changed — one
+        // monotone column instead of an m-column comparison.
+        .withColumn("regsum", regCols.map(col).reduce(_ + _))
         .withColumn("ball", ballEst)
         .withColumn("harm", col("harmPrev") +
           greatest(col("ball") - col("ballPrev"), lit(0.0)) / t)
         .withColumn("grew",
-          when(col("ball") > col("ballPrev"), 1).otherwise(0))
-        .drop("ballPrev", "harmPrev")
+          when(col("regsum") > col("regsumPrev"), 1).otherwise(0))
+        .drop("ballPrev", "harmPrev", "regsumPrev")
         .localCheckpoint()
       more = next.agg(max("grew")).head().getInt(0) == 1
       cur = next.drop("grew")
@@ -339,8 +355,7 @@ object GraphOps {
     * seeds, for the plan-hygiene audit. */
   def hyperBallRoundPlanOf(edges: DataFrame, registers: Int = 32): DataFrame = {
     val m = registers
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val e = normalizedEdges(edges)
     val regCols = (0 until m).map(i => s"r$i")
     val cur = e.select(col("src").as("node")).distinct()
       .select(col("node") +: (0 until m).map(i => lit(1).as(s"r$i")): _*)
@@ -406,8 +421,7 @@ object GraphOps {
     * semi-join against the reversed edge set + one src-keyed count:
     * edge-linear, no pair materialization. */
   def linkReciprocityOf(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src").cast("string").as("src"),
-      col("dst").cast("string").as("dst")).distinct().localCheckpoint()
+    val e = normalizedEdges(edges)
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))
     val recip = e.join(rev, Seq("src", "dst"), "left_semi")
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("nRecip"))

@@ -292,22 +292,11 @@ object NgramLm {
     * "no evidence" answer. */
   def lmTierDriftOf(asg: DataFrame, isRef: org.apache.spark.sql.Column,
                     thresholdE6: Long = 100000L): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-    asg.filter(col("tier") =!= "empty")
+    val hist = asg.filter(col("tier") =!= "empty")
       .groupBy(col("tier"))
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("c"),
         sum(when(isRef, 0L).otherwise(1L)).as("d"))
-      .withColumn("n", sum(col("c")).over(all))
-      .withColumn("m", sum(col("d")).over(all))
-      .select(col("n"), col("m"),
-        expr("abs(CAST(c AS DECIMAL(38,0)) * m - CAST(d AS DECIMAL(38,0)) * n)")
-          .as("num"))
-      .groupBy(col("n").as("n_ref"), col("m").as("n_batch"))
-      .agg(sum(col("num")).as("sum_num"))
-      .select(col("n_ref"), col("n_batch"),
-        expr("CAST(sum_num * 1000000 DIV " +
-          "(2 * CAST(n_ref AS DECIMAL(38,0)) * n_batch) AS BIGINT)")
-          .as("tv_e6"))
+    graft.functions.ExactTv.tvE6(hist, "n_ref", "n_batch")
       .withColumn("recalibrate", col("tv_e6") >= thresholdE6)
   }
 

@@ -611,19 +611,7 @@ object Similarity {
         Seq("cluster"), "full_outer")
       .select(coalesce(col("c_ref"), lit(0L)).as("c"),
         coalesce(col("c_bat"), lit(0L)).as("d"))
-    val all = Window.partitionBy(lit(0))
-    joined
-      .withColumn("n", sum(col("c")).over(all))
-      .withColumn("m", sum(col("d")).over(all))
-      .select(col("n"), col("m"),
-        expr("abs(CAST(c AS DECIMAL(38,0)) * m - CAST(d AS DECIMAL(38,0)) * n)")
-          .as("num"))
-      .groupBy(col("n").as("n_index"), col("m").as("n_batch"))
-      .agg(sum(col("num")).as("sum_num"))
-      .select(col("n_index"), col("n_batch"),
-        expr("CAST(sum_num * 1000000 DIV " +
-          "(2 * CAST(n_index AS DECIMAL(38,0)) * n_batch) AS BIGINT)")
-          .as("tv_e6"))
+    graft.functions.ExactTv.tvE6(joined, "n_index", "n_batch")
       .withColumn("retrain", col("tv_e6") >= thresholdE6)
   }
 

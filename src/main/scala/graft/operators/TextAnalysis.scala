@@ -1184,6 +1184,20 @@ object TextAnalysis {
     * Regex subset chosen to mean the same thing in Java regex (Spark)
     * and RE2 (the DuckDB oracle): inline (?is) flags, lazy .*?,
     * character classes, \b — no backrefs, no lookaround. */
+  /** The six common HTML entities, decoded in this exact order —
+    * `&amp;` LAST, so double-encoded entities stay single-decoded.
+    * ONE table for both [[htmlExtractOf]] and [[htmlFieldsOf]]: a new
+    * entity added here reaches extraction and metadata together (each
+    * DuckDB oracle mirrors this same list). */
+  private val htmlEntities = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  private def decodeHtmlEntities(c: Column): Column =
+    htmlEntities.foldLeft(c) { case (x, (e, r)) =>
+      regexp_replace(x, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+
   def htmlExtractOf(docs: DataFrame): DataFrame = {
     // lazy span from container open to the FIRST close of any of the
     // three — not pair-matched (RE2 has no backreferences, and the
@@ -1195,12 +1209,7 @@ object TextAnalysis {
       "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\\b[^>]*>",
       "\n")
     val t3 = regexp_replace(t2, "(?s)<[^>]*>", "")
-    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-    val t4 = ents.foldLeft(t3) { case (c, (e, r)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(e),
-        java.util.regex.Matcher.quoteReplacement(r))
-    }
+    val t4 = decodeHtmlEntities(t3)
     val t5 = regexp_replace(t4, "[ \\t]+", " ")
     val t6 = regexp_replace(t5, " *\\n *", "\n")
     val t7 = regexp_replace(t6, "\\n+", "\n")
@@ -1226,39 +1235,48 @@ object TextAnalysis {
     htmlExtractOf(fixture).orderBy(col("doc_id"))
   }
 
+  /** The DuckDB mirror of [[htmlExtractOf]] as composable CTEs: given
+    * an input CTE with (carry..., text), emits `x`/`e`/`w` stages and
+    * leaves the cleaned text in `w` — ONE copy of the regex/entity
+    * chain shared by the `html_extract` and `crawl_pipeline` oracles
+    * (a rule edited here reaches every consumer; a stale second copy
+    * would silently test old semantics). */
+  private[graft] def htmlStripCtesSql(inputCte: String, carry: String): String =
+    s"""x AS (SELECT $carry,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    text,
+       |    '(?is)<(script|style|head)\\b.*?</(script|style|head)\\s*>', '', 'g'),
+       |    '(?s)<!--.*?-->', '', 'g'),
+       |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\\b[^>]*>',
+       |    chr(10), 'g'),
+       |    '(?s)<[^>]*>', '', 'g') AS text
+       |  FROM $inputCte),
+       |e AS (SELECT $carry,
+       |  replace(replace(replace(replace(replace(replace(
+       |    text,
+       |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
+       |  FROM x),
+       |w AS (SELECT $carry,
+       |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    text,
+       |    '[ \\t]+', ' ', 'g'),
+       |    ' *\\n *', chr(10), 'g'),
+       |    '\\n+', chr(10), 'g'),
+       |    '^[\\n ]+|[\\n ]+$$', '', 'g') AS text
+       |  FROM e)""".stripMargin
+
   private val htmlExtractOracle =
-    """WITH fx AS (SELECT doc_id,
-      |  '<html><head><title>T</title><script>var x = "a < b";'
-      |    || '</script></head><body><!-- nav --><div class="main"><p>'
-      |    || text
-      |    || '</p><p>Tom &amp; Jerry &lt;3&nbsp;it &#39;a lot&#39;</p>'
-      |    || '</div></body></html>' AS text
-      |  FROM documents),
-      |x AS (SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    text,
-      |    '(?is)<(script|style|head)\b.*?</(script|style|head)\s*>', '', 'g'),
-      |    '(?s)<!--.*?-->', '', 'g'),
-      |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\b[^>]*>',
-      |    chr(10), 'g'),
-      |    '(?s)<[^>]*>', '', 'g') AS text
-      |  FROM fx),
-      |e AS (SELECT doc_id,
-      |  replace(replace(replace(replace(replace(replace(
-      |    text,
-      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
-      |  FROM x),
-      |w AS (SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    text,
-      |    '[ \t]+', ' ', 'g'),
-      |    ' *\n *', chr(10), 'g'),
-      |    '\n+', chr(10), 'g'),
-      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
-      |  FROM e)
-      |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
-      |FROM w ORDER BY doc_id""".stripMargin
+    s"""WITH fx AS (SELECT doc_id,
+       |  '<html><head><title>T</title><script>var x = "a < b";'
+       |    || '</script></head><body><!-- nav --><div class="main"><p>'
+       |    || text
+       |    || '</p><p>Tom &amp; Jerry &lt;3&nbsp;it &#39;a lot&#39;</p>'
+       |    || '</div></body></html>' AS text
+       |  FROM documents),
+       |${htmlStripCtesSql("fx", "doc_id")}
+       |SELECT doc_id, text, CAST(length(text) AS INTEGER) AS n_chars
+       |FROM w ORDER BY doc_id""".stripMargin
 
   /** Structured HTML metadata — the crawl-metadata sibling of
     * [[htmlExtractOf]]: page fields that feed curation models without
@@ -1277,14 +1295,8 @@ object TextAnalysis {
     * Fully narrow; same Java-regex/RE2-agreeing subset as the
     * extractor. */
   def htmlFieldsOf(docs: DataFrame): DataFrame = {
-    val ents = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
     def clean(c: Column): Column = {
-      val noTags = regexp_replace(c, "(?s)<[^>]*>", "")
-      val dec = ents.foldLeft(noTags) { case (x, (e, r)) =>
-        regexp_replace(x, java.util.regex.Pattern.quote(e),
-          java.util.regex.Matcher.quoteReplacement(r))
-      }
+      val dec = decodeHtmlEntities(regexp_replace(c, "(?s)<[^>]*>", ""))
       regexp_replace(regexp_replace(dec, "\\s+", " "), "^ | $", "")
     }
     docs

@@ -72,9 +72,10 @@ object UrlOps {
       .drop("_base", "_scheme", "_after", "_hp", "_host", "_pathq",
         "_rawpath", "_q0", "_path", "_q")
 
-  /** The canonical-url column alone, for callers composing their own
-    * pipelines: `docs.transform(UrlOps.canonicalUrlOf)`. */
-  def canonicalUrl(df: DataFrame): Column = canonicalUrlOf(df)("canonical_url")
+  // (no Column-returning helper: a Column minted from an internal
+  // canonicalUrlOf frame cannot resolve against the caller's frame —
+  // compose with `docs.transform(UrlOps.canonicalUrlOf)` instead,
+  // which preserves every caller column)
 
   /** URL-keyed exact dedup over a (doc_id, url, ...) frame:
     * (keeper_id = min doc_id, n_copies, url = the canonical form) per
@@ -119,42 +120,52 @@ object UrlOps {
     urlDedupOf(Tables.documents(s, d).withColumn("url", expr(urlFixtureSql)))
       .orderBy(col("keeper_id"))
 
-  private val urlDedupOracle =
-    """WITH u AS (SELECT doc_id,
-      |  CASE CAST(doc_id % 4 AS INT)
+  /** The fixture's four surface forms in DuckDB syntax — one copy for
+    * both the url_dedup and crawl_pipeline oracles. */
+  private val urlFixtureDuckSql =
+    """CASE CAST(doc_id % 4 AS INT)
       |   WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
       |   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#frag'
       |   WHEN 2 THEN 'https://www.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_source=rss&b=2'
       |   ELSE 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=x&gclid=abc#sec'
-      |  END AS url FROM documents),
-      |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS base FROM u),
-      |c2 AS (SELECT doc_id, base,
-      |  lower(regexp_extract(base, '^([^:/?#]+)://', 1)) AS scheme FROM c1),
-      |c3 AS (SELECT *, substring(base, length(scheme) + 4) AS aft FROM c2),
-      |c4 AS (SELECT *, lower(regexp_extract(aft, '^([^/?]*)', 1)) AS hp FROM c3),
-      |c5 AS (SELECT *,
-      |  CASE WHEN scheme = 'http' AND hp LIKE '%:80' THEN left(hp, length(hp) - 3)
-      |       WHEN scheme = 'https' AND hp LIKE '%:443' THEN left(hp, length(hp) - 4)
-      |       ELSE hp END AS host,
-      |  substring(aft, length(hp) + 1) AS pathq FROM c4),
-      |c6 AS (SELECT *, split_part(pathq, '?', 1) AS rawpath FROM c5),
-      |c7 AS (SELECT *,
-      |  CASE WHEN pathq LIKE '%?%' THEN substring(pathq, length(rawpath) + 2) ELSE '' END AS q0,
-      |  CASE WHEN rawpath = '' THEN '/'
-      |       WHEN rawpath <> '/' AND rawpath LIKE '%/' THEN left(rawpath, length(rawpath) - 1)
-      |       ELSE rawpath END AS path FROM c6),
-      |c8 AS (SELECT doc_id, scheme, host, path,
-      |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
-      |    x -> x <> '' AND NOT (left(split_part(x, '=', 1), 4) = 'utm_'
-      |      OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&') AS q
-      |  FROM c7),
-      |canon AS (SELECT doc_id,
-      |  scheme || '://' || host || path ||
-      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl FROM c8)
-      |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies,
-      |  min(curl) AS url
-      |FROM canon GROUP BY ('0x' || substr(md5(curl), 1, 15))::BIGINT
-      |ORDER BY keeper_id""".stripMargin
+      |  END""".stripMargin
+
+  /** The canonicalization rules as composable DuckDB CTEs — the ONE
+    * oracle-side mirror of [[canonicalUrlOf]] (a rule change edits
+    * exactly one SQL copy): given an input CTE with (carry..., url),
+    * emits c1..c8 plus a final `canon` CTE carrying (carry..., curl). */
+  private def canonCtesSql(inputCte: String, carry: String): String =
+    s"""c1 AS (SELECT $carry, split_part(url, '#', 1) AS base FROM $inputCte),
+       |c2 AS (SELECT *, lower(regexp_extract(base, '^([^:/?#]+)://', 1)) AS scheme FROM c1),
+       |c3 AS (SELECT *, substring(base, length(scheme) + 4) AS aft FROM c2),
+       |c4 AS (SELECT *, lower(regexp_extract(aft, '^([^/?]*)', 1)) AS hp FROM c3),
+       |c5 AS (SELECT *,
+       |  CASE WHEN scheme = 'http' AND hp LIKE '%:80' THEN left(hp, length(hp) - 3)
+       |       WHEN scheme = 'https' AND hp LIKE '%:443' THEN left(hp, length(hp) - 4)
+       |       ELSE hp END AS host,
+       |  substring(aft, length(hp) + 1) AS pathq FROM c4),
+       |c6 AS (SELECT *, split_part(pathq, '?', 1) AS rawpath FROM c5),
+       |c7 AS (SELECT *,
+       |  CASE WHEN pathq LIKE '%?%' THEN substring(pathq, length(rawpath) + 2) ELSE '' END AS q0,
+       |  CASE WHEN rawpath = '' THEN '/'
+       |       WHEN rawpath <> '/' AND rawpath LIKE '%/' THEN left(rawpath, length(rawpath) - 1)
+       |       ELSE rawpath END AS path FROM c6),
+       |c8 AS (SELECT $carry, scheme, host, path,
+       |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+       |    x -> x <> '' AND NOT (left(split_part(x, '=', 1), 4) = 'utm_'
+       |      OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&') AS q
+       |  FROM c7),
+       |canon AS (SELECT $carry,
+       |  scheme || '://' || host || path ||
+       |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl FROM c8)""".stripMargin
+
+  private val urlDedupOracle =
+    s"""WITH u AS (SELECT doc_id, $urlFixtureDuckSql AS url FROM documents),
+       |${canonCtesSql("u", "doc_id")}
+       |SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies,
+       |  min(curl) AS url
+       |FROM canon GROUP BY ('0x' || substr(md5(curl), 1, 15))::BIGINT
+       |ORDER BY keeper_id""".stripMargin
 
   /** End-to-end crawl-ingest showcase — the composed pass a crawl
     * shard takes from fetch records to clean text: canonicalize +
@@ -180,68 +191,19 @@ object UrlOps {
   }
 
   private val crawlPipelineOracle =
-    """WITH u AS (SELECT doc_id, source,
-      |  '<html><head><script>track();</script></head><body><p>'
-      |    || text || '</p><footer>&amp;copy</footer></body></html>' AS text,
-      |  CASE CAST(doc_id % 4 AS INT)
-      |   WHEN 0 THEN 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
-      |   WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1#frag'
-      |   WHEN 2 THEN 'https://www.example.com:443/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?a=1&utm_source=rss&b=2'
-      |   ELSE 'https://www.example.com/p/' || CAST(doc_id // 4 AS VARCHAR) || '/?b=2&a=1&utm_campaign=x&gclid=abc#sec'
-      |  END AS url FROM documents),
-      |c1 AS (SELECT doc_id, source, text, split_part(url, '#', 1) AS base FROM u),
-      |c2 AS (SELECT *, lower(regexp_extract(base, '^([^:/?#]+)://', 1)) AS scheme FROM c1),
-      |c3 AS (SELECT *, substring(base, length(scheme) + 4) AS aft FROM c2),
-      |c4 AS (SELECT *, lower(regexp_extract(aft, '^([^/?]*)', 1)) AS hp FROM c3),
-      |c5 AS (SELECT *,
-      |  CASE WHEN scheme = 'http' AND hp LIKE '%:80' THEN left(hp, length(hp) - 3)
-      |       WHEN scheme = 'https' AND hp LIKE '%:443' THEN left(hp, length(hp) - 4)
-      |       ELSE hp END AS host,
-      |  substring(aft, length(hp) + 1) AS pathq FROM c4),
-      |c6 AS (SELECT *, split_part(pathq, '?', 1) AS rawpath FROM c5),
-      |c7 AS (SELECT *,
-      |  CASE WHEN pathq LIKE '%?%' THEN substring(pathq, length(rawpath) + 2) ELSE '' END AS q0,
-      |  CASE WHEN rawpath = '' THEN '/'
-      |       WHEN rawpath <> '/' AND rawpath LIKE '%/' THEN left(rawpath, length(rawpath) - 1)
-      |       ELSE rawpath END AS path FROM c6),
-      |c8 AS (SELECT doc_id, source, text, scheme, host, path,
-      |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
-      |    x -> x <> '' AND NOT (left(split_part(x, '=', 1), 4) = 'utm_'
-      |      OR split_part(x, '=', 1) IN ('fbclid', 'gclid', 'msclkid')))), '&') AS q
-      |  FROM c7),
-      |canon AS (SELECT doc_id, source, text,
-      |  scheme || '://' || host || path ||
-      |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS curl FROM c8),
-      |k AS (SELECT doc_id, source, text FROM (SELECT *,
-      |    min(doc_id) OVER (PARTITION BY ('0x' || substr(md5(curl), 1, 15))::BIGINT)
-      |      AS keeper FROM canon)
-      |  WHERE doc_id = keeper),
-      |x AS (SELECT doc_id, source,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    text,
-      |    '(?is)<(script|style|head)\b.*?</(script|style|head)\s*>', '', 'g'),
-      |    '(?s)<!--.*?-->', '', 'g'),
-      |    '(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote)\b[^>]*>',
-      |    chr(10), 'g'),
-      |    '(?s)<[^>]*>', '', 'g') AS text
-      |  FROM k),
-      |e AS (SELECT doc_id, source,
-      |  replace(replace(replace(replace(replace(replace(
-      |    text,
-      |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-      |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS text
-      |  FROM x),
-      |w AS (SELECT doc_id, source,
-      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      |    text,
-      |    '[ \t]+', ' ', 'g'),
-      |    ' *\n *', chr(10), 'g'),
-      |    '\n+', chr(10), 'g'),
-      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
-      |  FROM e)
-      |SELECT doc_id, source, text, CAST(length(text) AS INTEGER) AS n_chars
-      |FROM w WHERE len(string_split(text, ' ')) >= 5
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH u AS (SELECT doc_id, source,
+       |  '<html><head><script>track();</script></head><body><p>'
+       |    || text || '</p><footer>&amp;copy</footer></body></html>' AS text,
+       |  $urlFixtureDuckSql AS url FROM documents),
+       |${canonCtesSql("u", "doc_id, source, text")}
+       |, k AS (SELECT doc_id, source, text FROM (SELECT *,
+       |    min(doc_id) OVER (PARTITION BY ('0x' || substr(md5(curl), 1, 15))::BIGINT)
+       |      AS keeper FROM canon)
+       |  WHERE doc_id = keeper),
+       |${TextAnalysis.htmlStripCtesSql("k", "doc_id, source")}
+       |SELECT doc_id, source, text, CAST(length(text) AS INTEGER) AS n_chars
+       |FROM w WHERE len(string_split(text, ' ')) >= 5
+       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),

@@ -435,31 +435,40 @@ object EventStreams {
                    headPermille: Int = 990, middlePermille: Int = 790,
                    keepTiers: Seq[String] = Seq("head", "middle")): org.apache.spark.sql.streaming.StreamingQuery = {
     val idx = graft.operators.NgramLm.loadLmIndex(spark, lmIndexPath)
+    // batchIds are scoped to a CHECKPOINT: a stream restarted on a
+    // fresh checkpoint (or a second stream sharing outDir) restarts
+    // its ids at 0 and must not alias another stream's committed dirs
+    // — same discipline as IndexStreams.appendBatch
+    val tag = IndexStreams.streamTag(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         lmGateBatch(batch, idx, outDir, batchId,
-          headPermille, middlePermille, keepTiers): Unit
+          headPermille, middlePermille, keepTiers, tag): Unit
       }
       .start()
   }
 
-  /** One gated micro-batch → `batch-<id>` parquet dir + `_COMMITTED`
-    * marker. Returns whether this call wrote (false = replay of a
-    * committed batch). Empty admitted sets still commit marker-only so
-    * the batch never re-runs (and no schema-less parquet dir is left
-    * to break readers). */
+  /** One gated micro-batch → `<tag>-batch-<id>` parquet dir +
+    * `_COMMITTED` marker. Returns whether this call wrote (false =
+    * replay of a committed batch). Empty admitted sets still commit
+    * marker-only so the batch never re-runs (and no schema-less
+    * parquet dir is left to break readers). The scoring pipeline runs
+    * ONCE per batch (localCheckpoint before the emptiness probe — the
+    * probe and the write otherwise each execute the trigram join
+    * pyramid). */
   def lmGateBatch(batch: DataFrame, idx: graft.operators.NgramLm.LmIndex,
                   outDir: String, batchId: Long,
                   headPermille: Int, middlePermille: Int,
-                  keepTiers: Seq[String]): Boolean = {
-    val dir = java.nio.file.Paths.get(outDir, f"batch-$batchId%05d")
+                  keepTiers: Seq[String], tag: String = "solo"): Boolean = {
+    val dir = java.nio.file.Paths.get(outDir, f"$tag%s-batch-$batchId%05d")
     if (java.nio.file.Files.exists(dir.resolve("_COMMITTED"))) false
     else {
       val admitted = graft.operators.NgramLm
         .lmTierAssignmentsWithIndex(batch, idx, headPermille, middlePermille)
         .filter(col("tier").isin(keepTiers: _*))
         .join(batch, Seq("doc_id"))
+        .localCheckpoint()
       if (!admitted.isEmpty) {
         admitted.write.mode("overwrite").parquet(dir.resolve("docs").toString)
       }

@@ -15,14 +15,18 @@ class BucketedTablesSpec extends SparkSpec {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bucketspec_$suffix/$name").toString
 
+  /** Each test registers the table it uses (idempotent overwrite), so
+    * tests run green individually and in any order. */
+  private def docsTable() = BucketedTables.writeBucketed(
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
+    s"bspec_docs_$suffix", tmp("docs"), 8, Seq("doc_id"), Seq("doc_id"))
+
   test("co-bucketed join plans no exchange and matches the shuffled join") {
     // broadcast off: otherwise the small side broadcasts and the
     // no-exchange assertion would pass for the wrong reason
     graft.SparkSpec.withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val docs = BucketedTables.writeBucketed(
-        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang")),
-        s"bspec_docs_$suffix", tmp("docs"), 8, Seq("doc_id"), Seq("doc_id"))
+      val docs = docsTable()
       val embs = BucketedTables.writeBucketed(
         Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
         s"bspec_embs_$suffix", tmp("embs"), 8, Seq("vec_id"), Seq("vec_id"))
@@ -41,7 +45,7 @@ class BucketedTablesSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key plans no exchange") {
-    val docs = spark.table(s"bspec_docs_$suffix")
+    val docs = docsTable()
     val agg = docs.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
@@ -55,7 +59,7 @@ class BucketedTablesSpec extends SparkSpec {
       val four = BucketedTables.writeBucketed(
         Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
         s"bspec_embs4_$suffix", tmp("embs4"), 4, Seq("vec_id"))
-      val docs = spark.table(s"bspec_docs_$suffix")
+      val docs = docsTable()
       val joined = docs.join(four, docs("doc_id") === four("vec_id"))
       // correctness first: layout mismatch must never drop rows
       assert(joined.count() ==

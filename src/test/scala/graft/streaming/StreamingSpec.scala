@@ -739,10 +739,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.length == 3, "no doc may land twice across the restart")
     // the landed rows carry the original text for the downstream mixer
     assert(EventStreams.readGateOutput(spark, out).columns.contains("text"))
-    // replaying a committed batch is a no-op (crash-replay guard)
+    // replaying a committed batch is a no-op (crash-replay guard) —
+    // batch dirs are scoped by the stream's checkpoint tag, so the
+    // replay must present the same tag (a DIFFERENT checkpoint's
+    // batch 0 is a fresh batch, not a replay — the alias fix)
     val idx = NgramLm.loadLmIndex(spark, tmp.resolve("lm").toString)
     assert(!EventStreams.lmGateBatch(docsAll.take(3).toDF("doc_id", "text"),
-      idx, out, 0L, 900, 700, Seq("head", "middle")))
+      idx, out, 0L, 900, 700, Seq("head", "middle"), IndexStreams.streamTag(ckpt)))
+    // ...while the same batchId under a fresh checkpoint tag is a
+    // fresh batch and writes (admitting nothing, so `landed` holds)
+    assert(EventStreams.lmGateBatch(docsAll.take(3).toDF("doc_id", "text"),
+      idx, out, 0L, 900, 700, Seq("no-such-tier"), IndexStreams.streamTag(ckpt + "2")))
     assert(landed.length == 3)
     // an all-rejected batch commits marker-only and replays as a no-op
     assert(EventStreams.lmGateBatch(Seq((9L, "x y z w")).toDF("doc_id", "text"),
