@@ -345,6 +345,12 @@ object GraftOps {
                      dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.pageRankOf(edges, iters, dampingPermille)
 
+  /** Log2-bucketed in/out-degree distribution — the first health check
+    * on a crawl's domain graph (power-law tail = healthy; spike
+    * bucket = crawler trap or seed bug). Edge-linear keyed counts. */
+  def degreeProfile(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.degreeProfileOf(edges)
+
   /** Per-domain link reciprocity permille — the link-farm spam signal:
     * organic linking is one-directional, manufactured link exchanges
     * reciprocate. Edge-linear (one keyed semi-join), no pair blowup. */

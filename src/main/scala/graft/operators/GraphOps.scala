@@ -434,6 +434,49 @@ object GraphOps {
   def linkReciprocity(s: SparkSession, d: String): DataFrame =
     linkReciprocityOf(fixtureEdges(s, d)).orderBy(col("node"))
 
+  /** Log2-bucketed in/out-degree distribution — the first graph-health
+    * observable on any crawl snapshot: web graphs are power-law, so a
+    * healthy domain graph shows a long straight tail while a
+    * crawler-trap or seed-list bug shows up as a spike bucket. One row
+    * per (direction, bucket = floor(log2(degree))): (direction,
+    * bucket, n_nodes, min_degree = 2^bucket). Two keyed counts + one
+    * tiny-histogram count — edge-linear, bucket table ≤ ~64 rows. */
+  def degreeProfileOf(edges: DataFrame): DataFrame = {
+    val e = normalizedEdges(edges)
+    def side(k: String, direction: String) =
+      e.groupBy(col(k).as("node")).agg(count(lit(1)).as("deg"))
+        .select(lit(direction).as("direction"),
+          expr("CAST(floor(log2(deg)) AS INT)").as("bucket"))
+    side("src", "out").unionByName(side("dst", "in"))
+      .groupBy(col("direction"), col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("direction"), col("bucket"), col("n_nodes"),
+        expr("CAST(pow(2, bucket) AS BIGINT)").as("min_degree"))
+  }
+
+  def degreeProfile(s: SparkSession, d: String): DataFrame =
+    degreeProfileOf(fixtureEdges(s, d))
+      .orderBy(col("direction"), col("bucket"))
+
+  private val degreeProfileOracle: String =
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION ALL
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)),
+       |d AS (SELECT 'out' AS direction,
+       |        CAST(floor(log2(count(*))) AS INT) AS bucket
+       |      FROM edges GROUP BY src
+       |      UNION ALL
+       |      SELECT 'in' AS direction,
+       |        CAST(floor(log2(count(*))) AS INT) AS bucket
+       |      FROM edges GROUP BY dst)
+       |SELECT direction, bucket, count(*) AS n_nodes,
+       |  CAST(pow(2, bucket) AS BIGINT) AS min_degree
+       |FROM d GROUP BY direction, bucket
+       |ORDER BY direction, bucket""".stripMargin
+
   private val linkReciprocityOracle: String =
     s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
        |    CAST(substr(source, 4) AS INT) AS k FROM documents),
@@ -455,6 +498,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "link_reciprocity" -> (linkReciprocity _),
+    "degree_profile" -> (degreeProfile _),
     "harmonic_exact" -> (harmonicExact _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
@@ -465,5 +509,6 @@ object GraphOps {
     "domain_pagerank" -> domainPagerankOracle,
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,
+    "degree_profile" -> degreeProfileOracle,
   )
 }

@@ -123,6 +123,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(repart == hb)
   }
 
+  test("hyperball on an empty edge frame returns an empty frame, not an error") {
+    import spark.implicits._
+    val out = GraphOps.hyperBallHarmonicOf(
+      Seq.empty[(String, String)].toDF("src", "dst"))
+    assert(out.columns.toSeq == Seq("node", "harm_e6") && out.count() == 0)
+  }
+
   test("hyperball scores an unreached node zero") {
     import spark.implicits._
     val hb = GraphOps.hyperBallHarmonicOf(
@@ -144,6 +151,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("p") == (2L, 0L)) // p->q, p->a: neither linked back
     assert(got("q") == (1L, 0L))
     assert(!got.contains("r")) // no out-links -> no row
+  }
+
+  test("degree profile buckets degrees by floor(log2) per direction") {
+    import spark.implicits._
+    // hub h with out-degree 5 (bucket 2), five nodes with out-degree 0
+    // (no row) and in-degree 1 (bucket 0); h in-degree 2 (bucket 1)
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"), ("h", "e"),
+      ("a", "h"), ("b", "h"))
+    val got = GraphOps.degreeProfileOf(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(
+      ("out", 2) -> (1L, 4L), // h: 5 out-links -> bucket 2, min_degree 4
+      ("out", 0) -> (2L, 1L), // a, b: 1 out-link each
+      ("in", 0) -> (5L, 1L),  // a..e: 1 in-link each
+      ("in", 1) -> (1L, 2L)), // h: 2 in-links
+      s"$got")
   }
 
   test("zero iterations return the uniform prior; empty graph is rejected") {
