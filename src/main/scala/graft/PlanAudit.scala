@@ -68,6 +68,12 @@ object PlanAudit {
     auditRow("skew:minhash_pairs", graft.operators.Dedup.minhashPairsOf(skew))
     auditRow("skew:mix_token_budget",
       graft.operators.Curation.mixTokenBudgetOf(skew, col("source"), lit(1000000L)))
+    // graph skew: every src linking ONE hub (the web's natural
+    // in-degree skew); round shape must match the uniform-fixture row
+    auditRow("skew:pagerank_round", graft.operators.GraphOps
+      .pageRankRoundPlanOf(spark.range(2000).select(
+        org.apache.spark.sql.functions.concat(lit("s"), col("id")).as("src"),
+        lit("hub").as("dst"))))
     spark.stop()
   }
 }

@@ -130,4 +130,37 @@ class SkewStressSpec extends SparkSpec {
     assert(naive.max > twoPhase.max * 2,
       s"control not separated: naive ${naive.max} vs two-phase ${twoPhase.max}")
   }
+
+  test("pageRank round: a 20k-in-link hub keeps combine-side balance where a hub window funnels") {
+    import graft.operators.GraphOps
+    // star graph: every fetch domain links to ONE hub — the real shape
+    // of a crawl snapshot (aggregators, CDNs); in-degree skew is the
+    // norm on the web, not the stress case
+    def starEdges = spark.range(20000).select(
+      concat(lit("s"), col("id")).as("src"), lit("hub").as("dst"))
+    def ringEdges = spark.range(20000).select(
+      concat(lit("s"), col("id")).as("src"),
+      concat(lit("d"), pmod(col("id"), lit(100))).as("dst"))
+    // plan shape is degree-independent
+    assert(exchanges(GraphOps.pageRankRoundPlanOf(starEdges)) ==
+      exchanges(GraphOps.pageRankRoundPlanOf(ringEdges)))
+    // one full round on the star: the dst-keyed inflow sum partially
+    // aggregates map-side, so the hub key crosses the wire once per
+    // map task, never once per in-link
+    val round = dominantStageReads(GraphOps.pageRankRoundPlanOf(starEdges).count(): Unit)
+    assert(round.size > 1 && maxOverMedian(round) <= 3.0,
+      s"round imbalance ${maxOverMedian(round)}x: $round")
+    // sensitivity control: a window partitioned by dst funnels all 20k
+    // hub rows into ONE task — the shape the keyed sum avoids
+    val naive = dominantStageReads {
+      starEdges
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("src"))))
+        .agg(max(col("rn"))).collect(): Unit
+    }
+    assert(naive.max >= 18000L,
+      s"control failed: hub window max task read ${naive.max}")
+    assert(naive.max > round.max * 2,
+      s"control not separated: naive ${naive.max} vs round ${round.max}")
+  }
 }
