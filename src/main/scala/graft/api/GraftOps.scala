@@ -364,6 +364,13 @@ object GraftOps {
   def skipgramPairs(docs: DataFrame, window: Int = 2): DataFrame =
     graft.operators.NgramLm.skipgramPairsOf(docs, window)
 
+  /** Windowed PPMI association over the skip-gram pairs — exclusivity
+    * vs frequency, integer-exact permille scores (the GloVe/collocation
+    * weighting step). */
+  def ppmiCooc(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+               k: Int = 20): DataFrame =
+    graft.operators.NgramLm.ppmiCoocOf(docs, window, minCount, k)
+
   /** Exact harmonic centrality (e6 fixed point) — CommonCrawl's
     * primary published domain rank. DECLARED-quadratic pair state:
     * fine to ~1e6 nodes, use [[harmonicCentralityApprox]] beyond. */

@@ -794,8 +794,61 @@ object NgramLm {
       |SELECT center, context, count(*) AS cnt FROM p GROUP BY 1, 2
       |ORDER BY cnt DESC, center, context LIMIT 20""".stripMargin
 
+  /** Windowed PPMI association over the skip-gram pair table — the
+    * weighting step between raw co-occurrence counts and an embedding
+    * or collocation model (PMI over a ±window context, vs
+    * [[pmiCollocationsOf]]'s strictly-adjacent bigrams). Same
+    * integer-exact house scoring: the PMI ratio p(c,x)/(p(c)·p(x)) =
+    * cnt·N / (m(c)·m(x)) with marginals from the pair table itself,
+    * in permille with the (cnt − minCount) discount, DECIMAL(38,0)
+    * products (HUGEINT in the oracle) so nothing wraps at corpus
+    * scale. Pair total N is a driver scalar over the checkpointed
+    * pair table (the tfidf/pmi policy — a crossJoin against a 1-row
+    * agg would plan the forbidden BNLJ). */
+  def ppmiCoocOf(docs: DataFrame, window: Int = 2, minCount: Int = 5,
+                 k: Int = 20): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive: $minCount")
+    val pairs = skipgramPairsOf(docs, window).localCheckpoint()
+    val nTot = Option(pairs.agg(sum(col("cnt"))).head()
+        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+    val m1 = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("m1"))
+    val m2 = pairs.groupBy(col("context")).agg(sum(col("cnt")).as("m2"))
+    pairs.filter(col("cnt") >= minCount)
+      .join(m1, Seq("center")).join(m2, Seq("context"))
+      .select(col("center"), col("context"), col("cnt"),
+        expr(s"CAST(CAST(cnt - $minCount AS DECIMAL(38,0)) * " +
+          s"CAST($nTot AS DECIMAL(38,0)) * 1000 " +
+          "DIV (CAST(m1 AS DECIMAL(38,0)) * m2) AS BIGINT)")
+          .as("score_permille"))
+      .orderBy(col("score_permille").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
+  def ppmiCooc(s: SparkSession, d: String): DataFrame =
+    ppmiCoocOf(Tables.documents(s, d))
+
+  private val ppmiCoocOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT doc_id, unnest(ws) AS tok,
+      |               generate_subscripts(ws, 1) AS pos FROM t),
+      |p AS (SELECT a.tok AS center, b.tok AS context
+      |      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+      |        AND a.pos <> b.pos AND abs(a.pos - b.pos) <= 2),
+      |pc AS (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM p GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pc),
+      |ma AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS m1 FROM pc GROUP BY center),
+      |mb AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS m2 FROM pc GROUP BY context)
+      |SELECT pc.center, pc.context, pc.cnt,
+      |  CAST(CAST(pc.cnt - 5 AS HUGEINT) * tot.n * 1000
+      |    // (CAST(ma.m1 AS HUGEINT) * mb.m2) AS BIGINT) AS score_permille
+      |FROM pc JOIN ma USING (center) JOIN mb USING (context) CROSS JOIN tot
+      |WHERE pc.cnt >= 5
+      |ORDER BY score_permille DESC, center, context LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skipgram_pairs"        -> (skipgramPairs _),
+    "ppmi_cooc"             -> (ppmiCooc _),
     "ngram_counts"          -> (ngramCounts _),
     "ngram_count_of_counts" -> (ngramCountOfCounts _),
     "kn_continuation"       -> (knContinuation _),
@@ -809,6 +862,7 @@ object NgramLm {
 
   val oracles: Map[String, String] = Map(
     "skipgram_pairs"        -> skipgramPairsOracle,
+    "ppmi_cooc"             -> ppmiCoocOracle,
     "ngram_counts"          -> ngramCountsOracle,
     "ngram_count_of_counts" -> countOfCountsOracle,
     "kn_continuation"       -> knContinuationOracle,

@@ -214,6 +214,29 @@ class NgramLmSpec extends SparkSpec {
       ("c", "a") -> 1L, ("a", "c") -> 1L), s"$w1")
   }
 
+  test("ppmi ranks the exclusive pair above the promiscuous word's pairs, symmetrically") {
+    import spark.implicits._
+    // aa and bb occur ONLY together (6 docs); cc pairs with three
+    // different partners (6 docs each) — same raw pair counts, but
+    // cc's marginal is 3x, so PMI separates exclusivity from frequency
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "aa bb")) ++
+      (7 to 12).map(i => (i.toLong, "cc dd")) ++
+      (13 to 18).map(i => (i.toLong, "cc ee")) ++
+      (19 to 24).map(i => (i.toLong, "cc ff"))).toDF("doc_id", "text")
+    val rows = NgramLm.ppmiCoocOf(docs, window = 2, minCount = 5, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // symmetry: both directions present with identical scores
+    assert(rows(("aa", "bb")) == rows(("bb", "aa")))
+    assert(rows(("cc", "dd")) == rows(("dd", "cc")))
+    // exclusive pair outranks every pair of the promiscuous word
+    assert(rows(("aa", "bb"))._2 > rows(("cc", "dd"))._2,
+      s"exclusive pair must score higher: $rows")
+    // all raw counts equal — the separation is purely the marginals
+    assert(rows(("aa", "bb"))._1 == 6L && rows(("cc", "dd"))._1 == 6L)
+  }
+
   test("top-k fixtures plan TakeOrdered, not a global sort exchange") {
     for (q <- Seq("ngram_counts", "kn_continuation")) {
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
