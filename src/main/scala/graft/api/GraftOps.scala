@@ -345,6 +345,13 @@ object GraftOps {
                      dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.pageRankOf(edges, iters, dampingPermille)
 
+  /** Domain link graph from crawled pages (url + html text): absolute
+    * href hosts, lowercased, distinct inter-domain pairs — the edge
+    * frame [[domainPageRank]] / [[harmonicCentrality]] /
+    * [[linkReciprocity]] / [[degreeProfile]] consume. */
+  def linkGraph(pages: DataFrame): DataFrame =
+    graft.operators.UrlOps.linkGraphOf(pages)
+
   /** Log2-bucketed in/out-degree distribution — the first health check
     * on a crawl's domain graph (power-law tail = healthy; spike
     * bucket = crawler trap or seed bug). Edge-linear keyed counts. */

@@ -205,13 +205,74 @@ object UrlOps {
        |FROM w WHERE len(string_split(text, ' ')) >= 5
        |ORDER BY doc_id""".stripMargin
 
+  /** Domain link graph from crawled pages — the bridge from raw
+    * fetches to [[GraphOps]]: extract absolute http(s) hrefs from each
+    * page's markup, reduce both ends to lowercased hosts, and keep
+    * DISTINCT INTER-domain pairs (intra-domain links confer no
+    * authority — the convention the published domain ranks use; ports,
+    * paths and params are irrelevant at domain granularity).
+    * Input: (url, text) at minimum. Fully narrow until the one
+    * distinct on (src, dst) — host pairs, never page bodies, in the
+    * shuffle. Feed the result to pageRankOf / harmonicExactOf /
+    * linkReciprocityOf / degreeProfileOf. */
+  def linkGraphOf(pages: DataFrame): DataFrame = {
+    val hostOf = (c: Column) =>
+      lower(regexp_extract(c, "^(?i)https?://([^/:?#]+)", 1))
+    pages
+      .select(hostOf(col("url")).as("src"),
+        explode(regexp_extract_all(col("text"),
+          lit("(?is)<a\\b[^>]*href\\s*=\\s*[\"']?([^\"' >]+)"), lit(1)))
+          .as("href"))
+      .select(col("src"), hostOf(col("href")).as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Fixture: each page links to two rotating partner domains and
+    * itself (the self-link must vanish), via double-quoted, unquoted,
+    * and single-quoted href forms; a relative href is ignored. */
+  def linkGraph(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d).select(
+      concat(lit("https://site"), col("doc_id") % 7, lit(".example.com/p"))
+        .as("url"),
+      concat(
+        lit("<p><a href=\"https://Partner"), col("doc_id") % 5,
+        lit(".example.org/x\">a</a><a href=https://site"), col("doc_id") % 7,
+        lit(".example.com/self>me</a><a href='http://news"), col("doc_id") % 3,
+        lit(".example.net:8080/y'>b</a><a href=\"/relative\">c</a></p>"))
+        .as("text"))
+    linkGraphOf(pages).orderBy(col("src"), col("dst"))
+  }
+
+  private val linkGraphOracle =
+    """WITH pages AS (SELECT
+      |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' AS url,
+      |  '<p><a href="https://Partner' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '.example.org/x">a</a><a href=https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '.example.com/self>me</a><a href=''http://news' || CAST(doc_id % 3 AS VARCHAR)
+      |    || '.example.net:8080/y''>b</a><a href="/relative">c</a></p>' AS text
+      |  FROM documents),
+      |h AS (SELECT lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS src,
+      |        unnest(regexp_extract_all(text,
+      |          '(?is)<a\b[^>]*href\s*=\s*["'']?([^"'' >]+)', 1)) AS href
+      |      FROM pages),
+      |e AS (SELECT src,
+      |        lower(regexp_extract(href, '^(?i)https?://([^/:?#]+)', 1)) AS dst
+      |      FROM h)
+      |SELECT DISTINCT src, dst FROM e
+      |WHERE src <> '' AND dst <> '' AND src <> dst
+      |ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
     "crawl_pipeline" -> (crawlPipeline _),
+    "link_graph" -> (linkGraph _),
   )
 
   val oracles: Map[String, String] = Map(
     "url_dedup" -> urlDedupOracle,
     "crawl_pipeline" -> crawlPipelineOracle,
+    "link_graph" -> linkGraphOracle,
   )
 }

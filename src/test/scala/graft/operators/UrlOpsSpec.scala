@@ -57,4 +57,23 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(10L, 20L))
   }
+
+  test("link graph keeps inter-domain href hosts only, in every quoting style") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://A.com/page",
+        """<a href="https://B.com/x">q</a><a href=http://C.com:8080/y>u</a>""" +
+          """<a href='https://a.com/self'>s</a><a href="/rel">r</a>""" +
+          """<a href="https://B.com/other">dup-domain</a>"""),
+      ("https://b.com/p", """<a href="https://A.com/z">back</a>"""),
+      ("https://noproto.com/p", """<a href="mailto:x@y.com">m</a>""")
+    ).toDF("url", "text")
+    val got = UrlOps.linkGraphOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("a.com", "b.com"),  // hosts lowercased, per-domain deduped
+      ("a.com", "c.com"),  // unquoted href, port dropped at domain grain
+      ("b.com", "a.com")), // reciprocal edge is a distinct pair
+      s"$got")             // self-link, relative and mailto vanish
+  }
 }
