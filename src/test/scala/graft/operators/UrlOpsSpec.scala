@@ -76,4 +76,20 @@ class UrlOpsSpec extends AnyFunSuite {
       ("b.com", "a.com")), // reciprocal edge is a distinct pair
       s"$got")             // self-link, relative and mailto vanish
   }
+
+  test("pages -> link graph -> pageRank composes: the most-linked domain ranks first") {
+    import spark.implicits._
+    // 10 sites all link hub.com; hub links all of them back (its rank
+    // splits 10 ways, theirs concentrates — hub must rank first)
+    val hubBody = (0 until 10)
+      .map(i => s"""<a href="https://s$i.com/y">b</a>""").mkString
+    val pages = (0 until 10).map(i =>
+      (s"https://s$i.com/p", """<a href="https://hub.com/x">h</a>""")) :+
+      (("https://hub.com/p", hubBody))
+    val ranks = GraphOps.pageRankOf(
+        UrlOps.linkGraphOf(pages.toDF("url", "text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks.maxBy(_._2)._1 == "hub.com", s"$ranks")
+    assert(ranks.size == 11)
+  }
 }
