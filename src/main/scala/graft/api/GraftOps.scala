@@ -352,6 +352,17 @@ object GraftOps {
   def linkGraph(pages: DataFrame): DataFrame =
     graft.operators.UrlOps.linkGraphOf(pages)
 
+  /** Weighted domain link graph — link multiplicity as edge strength,
+    * for [[domainPageRankWeighted]]. */
+  def linkGraphWeighted(pages: DataFrame): DataFrame =
+    graft.operators.UrlOps.linkGraphWeightedOf(pages)
+
+  /** Weighted PageRank over (src, dst, weight) — per-edge rank share
+    * proportional to weight, same e9 integer fixed point. */
+  def domainPageRankWeighted(edges: DataFrame, iters: Int = 10,
+                             dampingPermille: Int = 850): DataFrame =
+    graft.operators.GraphOps.pageRankWeightedOf(edges, iters, dampingPermille)
+
   /** Log2-bucketed in/out-degree distribution — the first health check
     * on a crawl's domain graph (power-law tail = healthy; spike
     * bucket = crawler trap or seed bug). Edge-linear keyed counts. */

@@ -100,6 +100,68 @@ object GraphOps {
     ranks
   }
 
+  /** Weighted PageRank over an (src, dst, weight) frame — link
+    * MULTIPLICITY as strength (pair with [[UrlOps.linkGraphWeightedOf]]),
+    * where [[pageRankOf]] is the link-EXISTS domain-rank convention.
+    * Same e9 fixed point and dangling treatment; the per-edge share is
+    * rank·w DIV out_w (out_w = Σ weights per source) in DECIMAL(38,0)
+    * so rank·weight cannot wrap int64. Non-positive weights are
+    * rejected (a zero-weight edge is a non-edge; negative flow is a
+    * different algorithm). With all weights 1 this reduces to
+    * pageRankOf up to per-division truncation (shares divide by the
+    * same out-degree), which the spec pins exactly. */
+  def pageRankWeightedOf(edges: DataFrame, iters: Int = 10,
+                         dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 0 && iters <= 1000, s"unreasonable iters: $iters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"damping out of permille range: $dampingPermille")
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("weight").cast("long").as("w"))
+      .withColumn("w", expr(
+        "CASE WHEN w > 0 THEN w ELSE raise_error('non-positive edge weight') END"))
+      .localCheckpoint()
+    val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint()
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("outw")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge frame")
+    val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
+    val hasSinks = nodes.join(outw, Seq("node"), "left_anti")
+      .limit(1).count() > 0
+    var ranks = nodes.select(col("node"),
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+    var round = 0
+    var sinceCut = 0
+    while (round < iters) {
+      val dangShare =
+        if (!hasSinks) 0L
+        else Option(ranks.join(outw, Seq("node"), "left_anti")
+            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
+          .map(_.toLong).getOrElse(0L) / n
+      val inflow = e
+        .join(ranks.join(outw, Seq("node"))
+          .select(col("node").as("src"), col("rank_e9"), col("outw")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(expr(
+          "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
+          .as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($teleportE9 + $dampingPermille * " +
+            s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
+            .as("rank_e9"))
+      round += 1
+      sinceCut += 1
+      if (hasSinks || sinceCut == 4 || round == iters) {
+        ranks = ranks.localCheckpoint(); sinceCut = 0
+      }
+    }
+    ranks
+  }
+
   /** One power-iteration round: two keyed joins (ranks⋈outdeg on node,
     * edges⋈contribs on src) and one dst-keyed combine-heavy sum — the
     * plan that dominates pageRankOf's runtime. Factored out so the

@@ -215,7 +215,12 @@ object UrlOps {
     * distinct on (src, dst) — host pairs, never page bodies, in the
     * shuffle. Feed the result to pageRankOf / harmonicExactOf /
     * linkReciprocityOf / degreeProfileOf. */
-  def linkGraphOf(pages: DataFrame): DataFrame = {
+  def linkGraphOf(pages: DataFrame): DataFrame =
+    domainPairsOf(pages).distinct()
+
+  /** One row per extracted inter-domain link occurrence — the shared
+    * narrow extraction behind both link-graph faces. */
+  private def domainPairsOf(pages: DataFrame): DataFrame = {
     val hostOf = (c: Column) =>
       lower(regexp_extract(c, "^(?i)https?://([^/:?#]+)", 1))
     pages
@@ -226,8 +231,15 @@ object UrlOps {
       .select(col("src"), hostOf(col("href")).as("dst"))
       .filter(col("src") =!= "" && col("dst") =!= "" &&
         col("src") =!= col("dst"))
-      .distinct()
   }
+
+  /** The weighted face of [[linkGraphOf]]: (src, dst, weight) with
+    * weight = the number of extracted links between the two domains
+    * across all pages (link multiplicity as strength, for
+    * [[GraphOps.pageRankWeightedOf]]); same host/self-link rules. */
+  def linkGraphWeightedOf(pages: DataFrame): DataFrame =
+    domainPairsOf(pages)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
 
   /** Fixture: each page links to two rotating partner domains and
     * itself (the self-link must vanish), via double-quoted, unquoted,

@@ -153,6 +153,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(!got.contains("r")) // no out-links -> no row
   }
 
+  /** Scalar mirror of the weighted recurrence: per-edge share
+    * rank·w / out_w with truncating division, dangling uniform. */
+  private def refWeighted(edges: Seq[(String, String, Long)], iters: Int,
+                          damping: Long = 850L): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val n = nodes.size.toLong
+    val teleport = (1000L - damping) * 1000000000L / 1000L / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(outw.contains).map(r).sum / n
+      val inflow = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) =>
+          (BigInt(r(s)) * w / outw(s)).toLong }.sum
+      }
+      r = nodes.map(v =>
+        v -> (teleport + damping * (inflow.getOrElse(v, 0L) + dangShare) / 1000L)).toMap
+    }
+    r
+  }
+
+  test("weighted pageRank matches the scalar reference; weight 1 reduces to unweighted") {
+    import spark.implicits._
+    // b splits 3:1 between c and the dangler d; c feeds a, a feeds b
+    val edges = Seq(("a", "b", 1L), ("b", "c", 3L), ("b", "d", 1L), ("c", "a", 2L))
+    val got = GraphOps.pageRankWeightedOf(edges.toDF("src", "dst", "weight"), 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refWeighted(edges, 7), s"$got vs ${refWeighted(edges, 7)}")
+    // the 3x-weighted target outranks the 1x dangler
+    assert(got("c") > got("d"), s"$got")
+    // all-ones weights are bit-identical to the unweighted operator
+    val uw = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"))
+    val ones = GraphOps.pageRankWeightedOf(
+        uw.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "weight"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = GraphOps.pageRankOf(uw.toDF("src", "dst"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ones == plain, s"$ones vs $plain")
+  }
+
   test("degree profile buckets degrees by floor(log2) per direction") {
     import spark.implicits._
     // hub h with out-degree 5 (bucket 2), five nodes with out-degree 0

@@ -77,6 +77,18 @@ class UrlOpsSpec extends AnyFunSuite {
       s"$got")             // self-link, relative and mailto vanish
   }
 
+  test("weighted link graph counts link multiplicity per domain pair") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.com/1",
+        """<a href="https://b.com/x">1</a><a href="https://b.com/y">2</a>"""),
+      ("https://a.com/2", """<a href="https://b.com/z">3</a>"""))
+      .toDF("url", "text")
+    val got = UrlOps.linkGraphWeightedOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a.com", "b.com") -> 3L), s"$got")
+  }
+
   test("pages -> link graph -> pageRank composes: the most-linked domain ranks first") {
     import spark.implicits._
     // 10 sites all link hub.com; hub links all of them back (its rank
