@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Element-wise max over fixed-length byte vectors — the HyperBall
+  * register merge (`GraphOps.hyperBallHarmonicOf`) as a typed
+  * Aggregator, so the m HLL registers ride every shuffle as ONE
+  * m-byte BINARY cell instead of m INT columns (the per-node shuffle
+  * row drops from ~4·m+ bytes of column overhead to m bytes + one
+  * offset — the difference that dominates the round shuffle at 1e8+
+  * nodes). Byte-wise max is associative and commutative, so the agg
+  * is map-side combinable and the result is bit-identical at any
+  * partitioning; register values are HLL run lengths (≤ 61), so
+  * signed-byte comparison is exact.
+  *
+  * `reduce` mutates the buffer in place (the Aggregator contract
+  * allows it — the buffer is aggregator-owned); inputs are never
+  * mutated. A zero buffer merged with any input yields the input,
+  * matching HLL's empty-register semantics. */
+final case class ByteMaxAgg(m: Int)
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  require(m >= 1 && m <= 4096, s"unreasonable register count: $m")
+
+  def zero: Array[Byte] = new Array[Byte](m)
+
+  def reduce(buf: Array[Byte], x: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (x(i) > buf(i)) buf(i) = x(i)
+      i += 1
+    }
+    buf
+  }
+
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = reduce(a, b)
+
+  def finish(buf: Array[Byte]): Array[Byte] = buf
+
+  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * DECIMAL(38,0), so the score is bit-identical to the DuckDB
   * HUGEINT oracle and cannot wrap int64 at real corpus sizes.
   *
+  * The divisor is `nullif`-guarded: an empty side (n = 0 or m = 0)
+  * yields a NULL `tv_e6` instead of an ANSI DIVIDE_BY_ZERO crash —
+  * drift monitors report no-evidence rather than killing the job,
+  * matching the DuckDB oracle where `// 0` is NULL.
+  *
   * Input: a histogram frame with integer count columns `c` (side A)
   * and `d` (side B), one row per bucket — ALWAYS a bounded frame
   * (cells, tiers, token buckets), never corpus-sized, which is why the
@@ -31,7 +36,7 @@ object ExactTv {
       .agg(sum(col("num")).as("sum_num"))
       .select(col(nName), col(mName),
         expr(s"CAST(sum_num * 1000000 DIV " +
-          s"(2 * CAST($nName AS DECIMAL(38,0)) * $mName) AS BIGINT)")
+          s"nullif(2 * CAST($nName AS DECIMAL(38,0)) * $mName, 0) AS BIGINT)")
           .as("tv_e6"))
   }
 }

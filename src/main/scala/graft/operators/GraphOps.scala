@@ -325,13 +325,18 @@ object GraphOps {
     * HLL registers estimating |B_t(v)| = #{u : d(u,v) ≤ t}; the
     * recurrence B_t(v) = {v} ∪ ⋃_{(u,v)∈E} B_{t-1}(u) is one
     * register-wise max-merge per round — the SAME in-neighbor keyed
-    * join + node-keyed combine-heavy agg shape as a PageRank round
-    * (registers live in m int columns, so the merge is m map-side-
-    * combinable max() aggregates, no arrays in the shuffle). Harmonic
-    * accumulates Σ_t (Ê_t − Ê_{t-1})/t. Registers only grow, so every
-    * per-row expression is deterministic at any parallelism; the loop
-    * exits when no node's estimate grew (an integer max over a
-    * row-local flag — no float reduction order in the decision).
+    * join + node-keyed combine-heavy agg shape as a PageRank round.
+    * The m registers ride the shuffle PACKED as one m-byte BINARY
+    * column merged by [[graft.functions.ByteMaxAgg]] (map-side
+    * combinable byte-wise max): at 1e8+ nodes the per-node shuffle row
+    * is m bytes + one offset, not m 4-byte INT cells — the production
+    * register layout. Estimates are decoded per row AFTER the merge
+    * (narrow `transform`/`aggregate` folds in fixed array order, so no
+    * float reduction-order hazard). Harmonic accumulates
+    * Σ_t (Ê_t − Ê_{t-1})/t. Registers only grow, so every per-row
+    * expression is deterministic at any parallelism; the loop exits
+    * when no node's registers grew (an integer max over a row-local
+    * flag — no float reduction order in the decision).
     * Returns (node, harm_e6) — the estimate in e6 fixed point,
     * comparable to [[harmonicExactOf]] within HLL error
     * (σ ≈ 1.04/√m ≈ 18% at m=32; the spec pins the observed bound). */
@@ -343,63 +348,77 @@ object GraphOps {
     require(maxIters >= 1 && maxIters <= 256, s"unreasonable maxIters: $maxIters")
     val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
       else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
     val e = normalizedEdges(edges)
     val nodes = nodesOf(e)
-    val regCols = (0 until m).map(i => s"r$i")
-    /** Deterministic HLL estimate over the m register columns: raw
+    // decode the packed registers once per row: byte i → INT via the
+    // hex round-trip (substring on BINARY yields a 1-byte slice)
+    val regArr = expr(s"transform(sequence(1, $m), " +
+      "i -> CAST(conv(hex(substring(regs, i, 1)), 16, 10) AS INT))")
+    val regSum = expr("aggregate(ra, 0, (acc, r) -> acc + r)")
+    val invSum = expr("aggregate(ra, CAST(0.0 AS DOUBLE), " +
+      "(acc, r) -> acc + pow(CAST(2.0 AS DOUBLE), -r))")
+    val zeros = expr("aggregate(ra, 0, (acc, r) -> acc + IF(r = 0, 1, 0))")
+    /** Deterministic HLL estimate over the decoded register array: raw
       * harmonic-mean formula with the standard linear-counting
-      * small-range correction — row-local doubles, fixed expression
-      * tree, so partitioning cannot reorder any float op. */
+      * small-range correction — row-local doubles folded in fixed
+      * array order, so partitioning cannot reorder any float op. */
     def ballEst: Column = {
-      val invSum = regCols.map(c => pow(lit(2.0), -col(c))).reduce(_ + _)
-      val zeros = regCols.map(c => when(col(c) === 0, 1).otherwise(0))
-        .reduce(_ + _)
-      val raw = lit(alpha * m * m) / invSum
-      when(raw <= lit(2.5 * m) && zeros > 0,
-        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+      val raw = lit(alpha * m * m) / col("invSum")
+      when(raw <= lit(2.5 * m) && col("zeros") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("zeros"))).otherwise(raw)
     }
+    def withEstimates(df: DataFrame): DataFrame = df
+      .withColumn("ra", regArr)
+      .withColumn("regsum", regSum)
+      .withColumn("invSum", invSum)
+      .withColumn("zeros", zeros)
+      .withColumn("ball", ballEst)
+      .drop("ra", "invSum", "zeros")
     // seed: node v's own hash sets register j = h mod m to
     // rho = 1 + (trailing zeros of h DIV m); log2(w & -w) isolates the
-    // lowest set bit exactly (powers of two are exact doubles)
+    // lowest set bit exactly (powers of two are exact doubles). The
+    // all-zero sentinel is width + 1 = 61 − log2(m): h DIV m keeps
+    // 60 − log2(m) hash bits, so wv = 0 means "longer than every
+    // representable run". Packing: one rho byte at offset j inside an
+    // m-byte zero field, built hex-text-side then unhex'd.
     val seeded = nodes
       .withColumn("h", graft.functions.Portable.hash60(col("node")))
       .withColumn("j", pmod(col("h"), lit(m.toLong)).cast("int"))
       .withColumn("wv", expr(s"h DIV $m"))
-      .withColumn("rho", when(col("wv") === 0, lit(56))
+      .withColumn("rho", when(col("wv") === 0, lit(61 - log2m))
         .otherwise(expr("CAST(log2(wv & -wv) AS INT) + 1")))
-    var cur = seeded
-      .select(col("node") +: (0 until m).map(i =>
-        when(col("j") === i, col("rho")).otherwise(lit(0)).as(s"r$i")): _*)
-      .withColumn("regsum", regCols.map(col).reduce(_ + _))
-      .withColumn("ball", ballEst)
+      .select(col("node"),
+        expr(s"unhex(concat(repeat('00', j), lpad(hex(rho), 2, '0'), " +
+          s"repeat('00', $m - 1 - j)))").as("regs"))
+    var cur = withEstimates(seeded)
       .withColumn("harm", lit(0.0))
       .localCheckpoint()
     // empty graph: no rounds, no head() on an empty aggregate
     if (cur.limit(1).count() == 0)
       return cur.select(col("node"), lit(0L).as("harm_e6"))
+    val byteMax = udaf(graft.functions.ByteMaxAgg(m),
+      org.apache.spark.sql.Encoders.BINARY)
     var t = 0
     var more = true
     while (more && t < maxIters) {
       t += 1
       val contrib = e.join(cur, e("src") === cur("node"))
-        .select(e("dst").as("node") +: regCols.map(col): _*)
-      val merged = cur.select(col("node") +: regCols.map(col): _*)
+        .select(e("dst").as("node"), cur("regs"))
+      val merged = cur.select(col("node"), col("regs"))
         .unionByName(contrib)
         .groupBy("node")
-        .agg(max(regCols.head).as(regCols.head),
-          regCols.tail.map(c => max(c).as(c)): _*)
-      val next = merged
+        .agg(byteMax(col("regs")).as("regs"))
+      val next = withEstimates(merged
         .join(cur.select(col("node"), col("ball").as("ballPrev"),
           col("harm").as("harmPrev"), col("regsum").as("regsumPrev")),
-          Seq("node"))
+          Seq("node")))
         // fixpoint test is on the REGISTERS, not the estimate: the
         // raw/linear-counting correction boundary is not monotone in
         // the registers, so a ball estimate can stall in the exact
         // round a register flips. Registers only GROW, so the register
         // SUM strictly increases iff any register changed — one
-        // monotone column instead of an m-column comparison.
-        .withColumn("regsum", regCols.map(col).reduce(_ + _))
-        .withColumn("ball", ballEst)
+        // monotone column instead of an m-way comparison.
         .withColumn("harm", col("harmPrev") +
           greatest(col("ball") - col("ballPrev"), lit(0.0)) / t)
         .withColumn("grew",
@@ -414,21 +433,23 @@ object GraphOps {
   }
 
   /** UNEXECUTED single-round HyperBall merge plan over checkpointed
-    * seeds, for the plan-hygiene audit. */
+    * seeds, for the plan-hygiene audit — pins the packed shape: the
+    * shuffle payload is the ONE m-byte BINARY register column. */
   def hyperBallRoundPlanOf(edges: DataFrame, registers: Int = 32): DataFrame = {
     val m = registers
     val e = normalizedEdges(edges)
-    val regCols = (0 until m).map(i => s"r$i")
     val cur = e.select(col("src").as("node")).distinct()
-      .select(col("node") +: (0 until m).map(i => lit(1).as(s"r$i")): _*)
+      .select(col("node"),
+        expr(s"unhex(concat('01', repeat('00', $m - 1)))").as("regs"))
       .localCheckpoint()
+    val byteMax = udaf(graft.functions.ByteMaxAgg(m),
+      org.apache.spark.sql.Encoders.BINARY)
     val contrib = e.join(cur, e("src") === cur("node"))
-      .select(e("dst").as("node") +: regCols.map(col): _*)
-    cur.select(col("node") +: regCols.map(col): _*)
+      .select(e("dst").as("node"), cur("regs"))
+    cur.select(col("node"), col("regs"))
       .unionByName(contrib)
       .groupBy("node")
-      .agg(max(regCols.head).as(regCols.head),
-        regCols.tail.map(c => max(c).as(c)): _*)
+      .agg(byteMax(col("regs")).as("regs"))
   }
 
   def harmonicExact(s: SparkSession, d: String): DataFrame =

@@ -772,7 +772,9 @@ object NgramLm {
                                    named_struct('center', b, 'context', a))))
                ELSE array() END""")
     }
-    docs.select(split(col("text"), " ").as("ws"))
+    // Runs of whitespace would otherwise yield '' tokens that become
+    // high-count co-occurrence "words" and inflate the PPMI marginals.
+    docs.select(expr("filter(split(text, ' '), w -> length(w) > 0)").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(concat(perK: _*)).as("p"))
       .groupBy(col("p.center").as("center"), col("p.context").as("context"))
@@ -785,7 +787,9 @@ object NgramLm {
 
   /** Naive positions self-join — the oracle may be quadratic. */
   private val skipgramPairsOracle =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH t AS (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |      FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS tok,
       |               generate_subscripts(ws, 1) AS pos FROM t),
       |p AS (SELECT a.tok AS center, b.tok AS context
@@ -828,7 +832,9 @@ object NgramLm {
     ppmiCoocOf(Tables.documents(s, d))
 
   private val ppmiCoocOracle =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH t AS (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), w -> len(w) > 0) AS ws
+      |      FROM documents),
       |tok AS (SELECT doc_id, unnest(ws) AS tok,
       |               generate_subscripts(ws, 1) AS pos FROM t),
       |p AS (SELECT a.tok AS center, b.tok AS context

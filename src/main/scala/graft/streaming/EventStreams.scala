@@ -220,30 +220,36 @@ object EventStreams {
   }
 
   /** Streaming URL-keyed crawl gate — the streaming face of
-    * `UrlOps.urlDedupOf`: admit a fetch iff its CANONICAL url's 60-bit
-    * hash has never been admitted in the stream's lifetime (the shape a
+    * `UrlOps.urlDedupOf`: admit a fetch iff its CANONICAL url has
+    * never been admitted in the stream's lifetime (the shape a
     * crawl frontier runs in front of text dedup: refetches of the same
     * page under case-shifted hosts / default ports / fragments /
-    * tracking params are dropped at hash-key cost without touching
-    * bodies). The canonicalizer is expression-only, so it rides the
-    * streaming plan unchanged in front of the keyed state; state is one
-    * marker per distinct canonical URL — NoTimeout for the same reason
-    * as [[streamingTextDedup]]: a fetched page stays fetched. Within a
-    * micro-batch the lowest doc_id wins (the batch keeper convention).
-    * Output keeps (doc_id, url, canonical_url) so downstream stages key
-    * on the canonical form without recomputing it. */
+    * tracking params are dropped without touching bodies). The
+    * canonicalizer is expression-only, so it rides the streaming plan
+    * unchanged in front of the keyed state. The state key is the
+    * canonical URL STRING itself, not its 60-bit hash: unlike the
+    * batch `urlDedupOf` (where a hash collision merely merges two rows
+    * into one group for rescoring), a collision in a lifetime streaming
+    * gate would silently and permanently drop a distinct page, and at
+    * crawl scale (billions of URLs) a 60-bit birthday collision is
+    * expected around 2³⁰ keys — so the gate pays the string-sized state
+    * row for zero-collision admission. State payload stays one marker;
+    * NoTimeout for the same reason as [[streamingTextDedup]]: a fetched
+    * page stays fetched. Within a micro-batch the lowest doc_id wins
+    * (the batch keeper convention). Output keeps
+    * (doc_id, url, canonical_url) so downstream stages key on the
+    * canonical form without recomputing it. */
   def streamingUrlDedup(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     graft.operators.UrlOps.canonicalUrlOf(docs)
-      .select(col("doc_id"), col("url"), col("canonical_url"),
-        graft.functions.Portable.hash60(col("canonical_url")).as("h"))
-      .as[(Long, String, String, Long)]
-      .groupByKey(_._4)
+      .select(col("doc_id"), col("url"), col("canonical_url"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, String, String, Long)],
+        (_: String, rows: Iterator[(Long, String, String)],
          state: org.apache.spark.sql.streaming.GroupState[SeenContent]) =>
           if (state.exists) Iterator.empty
           else {
@@ -252,7 +258,7 @@ object EventStreams {
             var bestId = Long.MaxValue
             var bestUrl: String = null
             var bestCanon: String = null
-            rows.foreach { case (id, u, c, _) =>
+            rows.foreach { case (id, u, c) =>
               if (id < bestId) { bestId = id; bestUrl = u; bestCanon = c }
             }
             state.update(SeenContent(1L))
@@ -276,20 +282,22 @@ object EventStreams {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val admitted = graft.operators.UrlOps.canonicalUrlOf(docs)
-      .select(col("doc_id"), col("canonical_url"), col("text"),
-        graft.functions.Portable.hash60(col("canonical_url")).as("h"))
-      .as[(Long, String, String, Long)]
-      .groupByKey(_._4)
+      .select(col("doc_id"), col("canonical_url"), col("text"))
+      .as[(Long, String, String)]
+      // state keyed on the canonical STRING, not hash60 — see
+      // streamingUrlDedup: a 60-bit collision in a lifetime gate would
+      // permanently drop a distinct page with no trace
+      .groupByKey(_._2)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[(Long, String, String, Long)],
+        (_: String, rows: Iterator[(Long, String, String)],
          state: org.apache.spark.sql.streaming.GroupState[SeenContent]) =>
           if (state.exists) Iterator.empty
           else {
             var bestId = Long.MaxValue
             var bestCanon: String = null
             var bestText: String = null
-            rows.foreach { case (id, c, t, _) =>
+            rows.foreach { case (id, c, t) =>
               if (id < bestId) { bestId = id; bestCanon = c; bestText = t }
             }
             state.update(SeenContent(1L))
@@ -462,7 +470,13 @@ object EventStreams {
                   headPermille: Int, middlePermille: Int,
                   keepTiers: Seq[String], tag: String = "solo"): Boolean = {
     val dir = java.nio.file.Paths.get(outDir, f"$tag%s-batch-$batchId%05d")
-    if (java.nio.file.Files.exists(dir.resolve("_COMMITTED"))) false
+    // also probe the pre-tag legacy `batch-<id>` marker: a crash-replay
+    // spanning the dir-naming upgrade must find the batch it committed
+    // under the old name, or readGateOutput (which scans by marker, not
+    // name) would union both dirs and duplicate those docs
+    val legacyDir = java.nio.file.Paths.get(outDir, f"batch-$batchId%05d")
+    if (java.nio.file.Files.exists(dir.resolve("_COMMITTED")) ||
+        java.nio.file.Files.exists(legacyDir.resolve("_COMMITTED"))) false
     else {
       val admitted = graft.operators.NgramLm
         .lmTierAssignmentsWithIndex(batch, idx, headPermille, middlePermille)

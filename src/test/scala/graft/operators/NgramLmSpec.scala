@@ -171,6 +171,22 @@ class NgramLmSpec extends SparkSpec {
     assert(hot.getLong(2) == 700000L && hot.getBoolean(3), s"got $hot")
   }
 
+  test("tier drift: an all-empty batch side yields NULL tv_e6, not an ANSI divide-by-zero") {
+    import spark.implicits._
+    // every batch row lands in the excluded 'empty' tier -> m = 0;
+    // under Spark 4's default ANSI mode an unguarded DIV would raise
+    // DIVIDE_BY_ZERO and kill the ingest job — the monitor must
+    // instead report no-evidence (NULL tv_e6, NULL recalibrate)
+    val rows = Seq.fill(5)(("ref", "head")) ++ Seq.fill(3)(("ref", "tail")) ++
+      Seq.fill(7)(("bat", "empty"))
+    val out = rows.toDF("side", "tier")
+      .transform(d => NgramLm.lmTierDriftOf(d, col("side") === "ref"))
+      .collect()(0)
+    assert(out.getLong(0) == 8L && out.getLong(1) == 0L, s"got $out")
+    assert(out.isNullAt(2) && out.isNullAt(3),
+      s"empty side must yield NULL tv_e6/recalibrate: $out")
+  }
+
   test("ngram novelty counts new TYPES per order against a corpus") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")

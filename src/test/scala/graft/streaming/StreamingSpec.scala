@@ -757,6 +757,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(!EventStreams.lmGateBatch(Seq((9L, "x y z w")).toDF("doc_id", "text"),
       idx, out, 7L, 900, 700, Seq("head", "middle")))
     assert(landed.length == 3, "rejected docs must not land")
+    // a batch committed under the PRE-TAG dir name (`batch-<id>`, the
+    // layout before tag scoping) must also read as committed: a
+    // crash-replay spanning the naming upgrade would otherwise rewrite
+    // it under the new name and readGateOutput (marker-scan, not
+    // name-scan) would union both dirs and duplicate the docs
+    val legacy = java.nio.file.Paths.get(out, "batch-00042")
+    java.nio.file.Files.createDirectories(legacy)
+    java.nio.file.Files.write(legacy.resolve("_COMMITTED"),
+      java.util.Arrays.asList(""))
+    assert(!EventStreams.lmGateBatch(Seq((9L, "x y z w")).toDF("doc_id", "text"),
+      idx, out, 42L, 900, 700, Seq("head", "middle"),
+      IndexStreams.streamTag(ckpt)),
+      "legacy batch-<id> marker must read as already-committed")
+    assert(landed.length == 3)
   }
 
   test("versioned index root: pointer-swapped compaction is invisible to concurrent readers") {
