@@ -221,15 +221,19 @@ object GraphOps {
     pageRankOf(fixtureEdges(s, d), iters = 10)
       .orderBy(col("node"))
 
-  /** The same 10 rounds unrolled as chained CTEs (standard SQL forbids
-    * aggregation in a recursive CTE member); bit-exact because every
-    * step is integer arithmetic with truncating division. Every CTE is
+  /** The pageRankOf rounds unrolled as chained DuckDB CTEs over ANY
+    * `edges` relation (standard SQL forbids aggregation in a recursive
+    * CTE member): `edgesCtes` is CTE text (no leading WITH) whose last
+    * CTE must define `edges` (src, dst) — shared by the hostname-grain
+    * oracle here and the registered-domain-grain oracle in
+    * [[PublicSuffix]]. Bit-exact vs the Spark loop because every step
+    * is integer arithmetic with truncating division. Every CTE is
     * MATERIALIZED: DuckDB inlines CTEs by default, and each round
     * references its predecessor three times — inlined, the expansion
     * is 3^10 scans of the base table (observed as an fd-exhaustion
     * error); materialized, each round computes once. */
-  private val domainPagerankOracle: String = {
-    val iters = 10
+  private[graft] def pagerankRoundsSql(edgesCtes: String,
+                                       iters: Int = 10): String = {
     val rounds = (1 to iters).map { i =>
       val p = s"pr${i - 1}"
       s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(rank_e9), 0) AS dm FROM $p
@@ -244,12 +248,7 @@ object GraphOps {
          |    AS rank_e9
          |  FROM nodes n LEFT JOIN inflow$i i ON n.node = i.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
-       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
-       |edges AS MATERIALIZED (
-       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
-       |  UNION
-       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+    s"""WITH $edgesCtes,
        |nodes AS MATERIALIZED (SELECT src AS node FROM edges
        |          UNION SELECT dst AS node FROM edges),
        |outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
@@ -263,6 +262,14 @@ object GraphOps {
        |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM pr$iters
        |ORDER BY node""".stripMargin
   }
+
+  private val domainPagerankOracle: String = pagerankRoundsSql(
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin)
 
   // ---------------------------------------------------------------
   // Harmonic centrality — the OTHER per-domain authority rank crawl

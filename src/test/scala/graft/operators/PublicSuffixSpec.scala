@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Registered-domain (eTLD+1) matching semantics: every rule class of
+  * the published public-suffix-list algorithm — normal, multi-label,
+  * wildcard, exception, implicit `*` — pinned host by host, plus the
+  * parquet-artifact round trip and the graph-grain collapse. */
+class PublicSuffixSpec extends SparkSpec {
+
+  private def regOf(hosts: Seq[String]): Map[String, String] = {
+    import spark.implicits._
+    PublicSuffix.registeredDomainMapOf(
+      hosts.toDF("host"), PublicSuffix.suffixRules(spark))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("PSL algorithm: normal, multi-label, wildcard, exception, unknown-TLD rules") {
+    val got = regOf(Seq(
+      "www.example.com",        // generic TLD -> last 2 labels
+      "a.b.example.co.uk",      // multi-label suffix co.uk -> 3 labels
+      "shop.x.com.au",          // multi-label com.au
+      "user.github.io",         // private-section suffix beats 'io'
+      "plain.io",               // bare 'io' when no longer rule matches
+      "foo.bar.ck",             // wildcard *.ck: ps = bar.ck -> 3 labels
+      "www.ck",                 // exception !www.ck: ps = ck -> www.ck
+      "sub.www.ck",             // exception suffix-matches: ps = ck
+      "x.y.unknowntld",         // implicit * rule -> last 2 labels
+      "example.co.uk",          // host == registrable domain: identity
+      "co.uk",                  // host IS a public suffix: clamps to itself
+      "localhost"))             // single label: clamps to itself
+    assert(got("www.example.com") == "example.com")
+    assert(got("a.b.example.co.uk") == "example.co.uk")
+    assert(got("shop.x.com.au") == "x.com.au")
+    assert(got("user.github.io") == "user.github.io")
+    assert(got("plain.io") == "plain.io")
+    assert(got("foo.bar.ck") == "foo.bar.ck")
+    assert(got("www.ck") == "www.ck")
+    assert(got("sub.www.ck") == "www.ck")
+    assert(got("x.y.unknowntld") == "y.unknowntld")
+    assert(got("example.co.uk") == "example.co.uk")
+    assert(got("co.uk") == "co.uk")
+    assert(got("localhost") == "localhost")
+  }
+
+  test("rule parsing: normal/wildcard/exception line forms") {
+    import PublicSuffix.{parseRule, SuffixRule}
+    assert(parseRule("co.uk") == SuffixRule("co.uk", 2, "normal"))
+    assert(parseRule("*.ck") == SuffixRule("ck", 2, "wildcard"))
+    assert(parseRule("!www.ck") == SuffixRule("www.ck", 1, "exception"))
+  }
+
+  test("suffix artifact round-trips through parquet with identical matches") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psl").toString
+    PublicSuffix.writeSuffixArtifact(spark, s"$tmp/psl")
+    val loaded = PublicSuffix.loadSuffixArtifact(spark, s"$tmp/psl")
+    import spark.implicits._
+    val hosts = Seq("a.b.example.co.uk", "foo.bar.ck", "www.ck",
+      "x.y.unknowntld").toDF("host")
+    val direct = PublicSuffix
+      .registeredDomainMapOf(hosts, PublicSuffix.suffixRules(spark))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val viaArtifact = PublicSuffix.registeredDomainMapOf(hosts, loaded)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(direct == viaArtifact)
+  }
+
+  test("registeredDomainOf annotates a frame; unparseable hosts still carry a row") {
+    import spark.implicits._
+    val df = Seq((1L, "blog.example.com"), (2L, "www.example.com"),
+      (3L, "cdn.example.co.uk")).toDF("id", "host")
+    val got = PublicSuffix
+      .registeredDomainOf(df, PublicSuffix.suffixRules(spark))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("registered_domain"))
+      .toMap
+    assert(got == Map(1L -> "example.com", 2L -> "example.com",
+      3L -> "example.co.uk"))
+  }
+
+  test("registered link graph collapses subdomains and drops intra-registered-domain links") {
+    import spark.implicits._
+    val pages = Seq(
+      // two subdomains of one registered domain, linking out and to
+      // each other (the sibling link must vanish at registered grain)
+      ("https://blog.example.co.uk/a",
+        "<a href=\"https://www.example.co.uk/b\">sib</a>" +
+          "<a href=\"https://news.example.com/x\">out</a>"),
+      ("https://www.example.co.uk/b",
+        "<a href=\"https://cdn.other.com.au/y\">au</a>"))
+      .toDF("url", "text")
+    val got = PublicSuffix
+      .registeredLinkGraphOf(pages, PublicSuffix.suffixRules(spark))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("example.co.uk", "example.com"),
+      ("example.co.uk", "other.com.au")), s"got $got")
+  }
+}
