@@ -58,6 +58,10 @@ object PlanAudit {
     auditRow("harmonic_hyperball/round", graft.operators.GraphOps
       .hyperBallRoundPlanOf(
         graft.operators.GraphOps.fixtureEdges(spark, sfDir)))
+    auditRow("pagerank_weighted/round", graft.operators.GraphOps
+      .pageRankWeightedRoundPlanOf(
+        graft.operators.GraphOps.fixtureEdges(spark, sfDir)
+          .withColumn("weight", org.apache.spark.sql.functions.lit(2L))))
     // Skew-stress rows: the same audit over SkewFixture's hot-source
     // shard (one source at 100× median with a 10k-copy duplicate text).
     // Plan shape must be identical to the uniform-corpus rows above —

@@ -323,6 +323,103 @@ object AdvancedOps {
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------
+  // Exact-vs-approx AGREEMENT queries: the sketch families above are
+  // no-oracle by construction (estimates are engine-specific), but
+  // their ERROR BOUNDS are not — each query below emits the exact
+  // side (oracle-computable) plus a boolean asserting the estimate
+  // landed inside its documented bound, and the DuckDB oracle emits
+  // the same exact values with a literal TRUE. A sketch regression
+  // that walks the estimate outside its bound flips the boolean and
+  // the hash compare goes red — the bound itself is the gated claim.
+  // ---------------------------------------------------------------
+
+  /** HLL++ agreement: per return flag, the exact distinct order count
+    * plus `within_6pct` — approx_count_distinct at rsd 0.02 must land
+    * within 3σ = 6% of exact. Integer arithmetic only (abs diff ·100
+    * vs 6·exact), so the boolean is bit-stable cross-engine. */
+  def approxDistinctAgreement(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) * 100 <=
+          col("exact_orders") * 6).as("within_6pct"))
+      .orderBy(col("l_returnflag"))
+
+  private val approxDistinctAgreementOracle =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+      |  true AS within_6pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Count-min agreement: the exact top-10 tokens with their exact
+    * counts, plus `cms_bound_ok` — the sketch estimate must satisfy
+    * the CMS guarantee est ∈ [exact, exact + 3N/width] (one-sided
+    * overcount only; width 1024, bound 3·ε·N with ε = 1/width). */
+  def heavyHittersAgreement(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .localCheckpoint()
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok")).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val probes = top.map(_._1).toSeq
+    val nTotal = toks.count()
+    graft.functions.CountMinAgg.register(s, probes)
+    val width = 1024L
+    toks.agg(expr("count_min_estimates(tok)").as("es"))
+      .select(posexplode(expr(s"slice(es, 1, ${probes.size})"))
+        .as(Seq("i", "est")))
+      .select(element_at(typedlit(probes), col("i") + 1).as("term"),
+        element_at(typedlit(top.map(_._2).toSeq), col("i") + 1)
+          .as("exact_count"),
+        col("est"))
+      .select(col("term"), col("exact_count"),
+        (col("est") >= col("exact_count") &&
+          col("est") <= col("exact_count") + lit(3L * nTotal / width))
+          .as("cms_bound_ok"))
+      .orderBy(col("term"))
+  }
+
+  private val heavyHittersAgreementOracle =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |top AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS exact_count
+      |        FROM toks GROUP BY tok
+      |        ORDER BY exact_count DESC, term LIMIT 10)
+      |SELECT term, exact_count, true AS cms_bound_ok FROM top
+      |ORDER BY term""".stripMargin
+
+  /** T-digest agreement via RANK error — the guarantee t-digest
+    * actually makes: for each estimated quantile q, the exact fraction
+    * of values ≤ estimate must sit within 30‰ of q. The estimate
+    * itself never crosses engines (it is implementation-specific);
+    * what crosses is the integer rank test, so the oracle is the
+    * constant-TRUE grid over (event_type × q). */
+  def tdigestAgreement(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val ests = ev.groupBy(col("event_type"))
+      .agg(expr("tdigest_quantiles(value)").as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("i", "est")))
+      .withColumn("q_permille",
+        element_at(typedlit(Seq(500, 900, 990)), col("i") + 1))
+    ests.join(ev, Seq("event_type"))
+      .groupBy(col("event_type"), col("q_permille"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("le"))
+      .select(col("event_type"), col("q_permille"),
+        (abs(col("le") * 1000 - col("q_permille") * col("n")) <=
+          col("n") * 30).as("rank_ok"))
+      .orderBy(col("event_type"), col("q_permille"))
+  }
+
+  private val tdigestAgreementOracle =
+    """SELECT e.event_type, q.q_permille, true AS rank_ok
+      |FROM (SELECT DISTINCT event_type FROM events) e
+      |CROSS JOIN (VALUES (500), (900), (990)) q(q_permille)
+      |ORDER BY e.event_type, q.q_permille""".stripMargin
+
   /** Top-k per group via the custom TopKAgg Aggregator (O(k) state per
     * group vs the window-function full sort; see functions.TopKAgg).
     * Ties at the cutoff keep identical value multisets, so the
@@ -406,6 +503,9 @@ object AdvancedOps {
     "approx_distinct"         -> (approxDistinct _),
     "tdigest_percentiles"     -> (tdigestQuantiles _),
     "heavy_hitters"           -> (heavyHitters _),
+    "approx_distinct_agreement" -> (approxDistinctAgreement _),
+    "heavy_hitters_agreement" -> (heavyHittersAgreement _),
+    "tdigest_agreement"       -> (tdigestAgreement _),
     "full_outer_years"        -> (fullOuterYears _),
     "unpivot_event_counts"    -> (unpivotCounts _),
   )
@@ -420,6 +520,9 @@ object AdvancedOps {
     "event_percentiles"       -> percentilesOracle,
     "hash_sample"             -> hashSampleOracle,
     "stratified_sample"       -> stratifiedSampleOracle,
+    "approx_distinct_agreement" -> approxDistinctAgreementOracle,
+    "heavy_hitters_agreement" -> heavyHittersAgreementOracle,
+    "tdigest_agreement"       -> tdigestAgreementOracle,
     "full_outer_years"        -> fullOuterOracle,
     "unpivot_event_counts"    -> unpivotOracle,
   )

@@ -139,20 +139,8 @@ object GraphOps {
         else Option(ranks.join(outw, Seq("node"), "left_anti")
             .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
           .map(_.toLong).getOrElse(0L) / n
-      val inflow = e
-        .join(ranks.join(outw, Seq("node"))
-          .select(col("node").as("src"), col("rank_e9"), col("outw")),
-          Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(expr(
-          "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
-          .as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CAST($teleportE9 + $dampingPermille * " +
-            s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
-            .as("rank_e9"))
+      ranks = weightedRankRound(e, nodes, outw, ranks,
+        teleportE9, dampingPermille, dangShare)
       round += 1
       sinceCut += 1
       if (hasSinks || sinceCut == 4 || round == iters) {
@@ -183,6 +171,47 @@ object GraphOps {
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
+  }
+
+  /** One weighted power-iteration round — same two-keyed-joins +
+    * dst-keyed map-side-combined sum shape as [[rankRound]], with the
+    * per-edge share rank·w DIV outw in DECIMAL(38,0). Shared by the
+    * iteration loop and the unexecuted plan-audit hook. */
+  private def weightedRankRound(e: DataFrame, nodes: DataFrame,
+                                outw: DataFrame, ranks: DataFrame,
+                                teleportE9: Long, dampingPermille: Int,
+                                dangShare: Long): DataFrame = {
+    val inflow = e
+      .join(ranks.join(outw, Seq("node"))
+        .select(col("node").as("src"), col("rank_e9"), col("outw")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr(
+        "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
+        .as("inflow"))
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .select(col("node"),
+        expr(s"CAST($teleportE9 + $dampingPermille * " +
+          s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
+          .as("rank_e9"))
+  }
+
+  /** UNEXECUTED single weighted round over checkpointed seeds, for the
+    * plan-hygiene audit (`pagerank_weighted/round` row) and the skew
+    * balance spec — the plan that repeats 10× at scale. */
+  def pageRankWeightedRoundPlanOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("weight").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint()
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("outw")).localCheckpoint()
+    val n = math.max(nodes.count(), 1L)
+    val ranks = nodes.select(col("node"),
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+    weightedRankRound(e, nodes, outw, ranks, 150000000L / n, 850, 0L)
   }
 
   /** UNEXECUTED single-round plan over checkpointed seeds, for the

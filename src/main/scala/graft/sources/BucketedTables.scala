@@ -23,13 +23,25 @@ import graft.Tables
   * Bucketing metadata lives in the session catalog (saveAsTable), not
   * the parquet footers: a path-read of the same files is still correct
   * but loses the layout contract and re-shuffles. Production would
-  * register these in a shared metastore; tests use the session-local
-  * catalog, which carries the same planner behavior.
+  * register these in a shared metastore; without one, every write also
+  * lands a `_GRAFT_BUCKET_SPEC` sidecar manifest next to the data, and
+  * [[reRegisterBucketed]] rebuilds the catalog entry from the path
+  * alone — a fresh session (new cluster, no metastore) reuses the
+  * zero-exchange layout by re-registering, never by re-shuffling.
   */
 object BucketedTables {
 
+  /** The parsed sidecar manifest: everything `CREATE TABLE ...
+    * CLUSTERED BY` needs to resurrect the layout contract. */
+  final case class BucketSpec(table: String, buckets: Int,
+                              keys: Seq[String], sortKeys: Seq[String],
+                              schemaDdl: String)
+
+  private val ManifestName = "_GRAFT_BUCKET_SPEC"
+
   /** Write `df` as a bucketed (and per-bucket sorted) external parquet
-    * table at `path`, registered as `table` in the session catalog;
+    * table at `path`, registered as `table` in the session catalog,
+    * plus the sidecar manifest for catalog-free re-registration;
     * returns the catalog-backed frame whose scans carry the bucketed
     * output partitioning. Overwrites any previous registration. */
   def writeBucketed(df: DataFrame, table: String, path: String,
@@ -44,7 +56,64 @@ object BucketedTables {
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
       .saveAsTable(table)
+    writeManifest(spark,
+      BucketSpec(table, buckets, keys, sortKeys, df.schema.toDDL), path)
     spark.table(table)
+  }
+
+  /** Rebuild the catalog registration for a bucketed table from its
+    * path alone (fresh session, no metastore): reads the sidecar
+    * manifest and issues `CREATE TABLE ... USING PARQUET CLUSTERED BY
+    * ... LOCATION path` over the EXISTING files — bucket ids are
+    * recovered from the bucketed file-name suffixes, so no data moves
+    * and subsequent bucket-key joins plan zero exchanges. `table`
+    * overrides the manifest's recorded name (two sessions may scope
+    * names differently). */
+  def reRegisterBucketed(spark: SparkSession, path: String,
+                         table: String = ""): DataFrame = {
+    val m = readManifest(spark, path)
+    val name = if (table.nonEmpty) table else m.table
+    val q = (ks: Seq[String]) => ks.map(k => s"`$k`").mkString(", ")
+    val sorted =
+      if (m.sortKeys.nonEmpty) s"SORTED BY (${q(m.sortKeys)}) " else ""
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"""CREATE TABLE `$name` (${m.schemaDdl}) USING PARQUET
+         |CLUSTERED BY (${q(m.keys)}) ${sorted}INTO ${m.buckets} BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(name)
+  }
+
+  /** Sidecar IO goes through the Hadoop FS of the path's scheme (local
+    * in tests, HDFS/object store on a cluster). Line-oriented format —
+    * the schema DDL is a single line by construction. */
+  private def writeManifest(spark: SparkSession, m: BucketSpec,
+                            path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      (s"table=${m.table}\nbuckets=${m.buckets}\n" +
+        s"keys=${m.keys.mkString(",")}\nsortKeys=${m.sortKeys.mkString(",")}\n" +
+        s"schema=${m.schemaDdl}\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readManifest(spark: SparkSession, path: String): BucketSpec = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no bucket-spec manifest under $path")
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+    def list(s: String) = kv.getOrElse(s, "").split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    BucketSpec(kv("table"), kv("buckets").toInt, list("keys"),
+      list("sortKeys"), kv("schema"))
   }
 
   /** Documents ⋈ embeddings on doc_id = vec_id with BOTH sides written

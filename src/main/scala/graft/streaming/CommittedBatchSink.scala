@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+/** The ONE per-batch-dir + `_COMMITTED` marker discipline every
+  * foreachBatch parquet sink in this library rides (IVF-PQ index
+  * appends, the LM quality gate; the ShareSink batch writer shares the
+  * per-batch-dir idea but its `_MANIFEST` doubles as a file inventory,
+  * so it keeps its own marker):
+  *
+  *  - each micro-batch lands in its own `<root>/<tag>-batch-<id>` dir;
+  *  - the marker is written AFTER the payload parquet, so a crash
+  *    mid-write leaves an uncommitted dir readers never see;
+  *  - a replayed batch (foreachBatch is at-least-once) finds the
+  *    marker and skips — the sink is exactly-once end to end;
+  *  - an EMPTY batch commits marker-only: a schema-less parquet dir
+  *    would break every subsequent reader, but the batch must still
+  *    never re-run;
+  *  - `tag` is derived from the CHECKPOINT path because batchIds are
+  *    only unique per checkpoint: a stream restarted on a fresh
+  *    checkpoint (or a second stream sharing the root) restarts
+  *    numbering at 0 and must not alias another run's committed dirs;
+  *  - readers scan by MARKER, not by name, in name order.
+  */
+object CommittedBatchSink {
+
+  val Marker = "_COMMITTED"
+
+  /** Stable per-stream tag from the checkpoint path. Same checkpoint →
+    * same tag across restarts. The FULL 60-bit hash (15 hex chars): a
+    * truncated tag colliding between two checkpoints would alias one
+    * stream's batch dirs onto the other's committed batches, silently
+    * skipping its batches as replays. */
+  def streamTag(checkpoint: String): String =
+    f"${graft.functions.Portable.hash60Jvm(checkpoint)}%015x"
+
+  def batchDirName(tag: String, batchId: Long): String =
+    f"$tag%s-batch-$batchId%05d"
+
+  /** Replay-idempotent commit of one micro-batch under `root`: if the
+    * batch dir (or any of `legacyDirNames` — pre-upgrade layouts that
+    * must still read as committed) carries the marker, skip and return
+    * false; else run `write(dir)` unless `empty`, then land the
+    * marker. `empty` is by-name and only forced on the non-replay
+    * path, so callers may feed it a lazily-built frame. */
+  def commitBatch(root: String, tag: String, batchId: Long,
+                  empty: => Boolean, write: Path => Unit,
+                  legacyDirNames: Seq[String] = Nil): Boolean = {
+    val dir = Paths.get(root, batchDirName(tag, batchId))
+    val committed = (dir +: legacyDirNames.map(Paths.get(root, _)))
+      .exists(d => Files.exists(d.resolve(Marker)))
+    if (committed) false
+    else {
+      if (!empty) write(dir)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve(Marker), java.util.Arrays.asList(""))
+      true
+    }
+  }
+
+  /** Committed batch dirs under `root` in name order — the reader
+    * face; uncommitted/partial dirs are invisible by construction.
+    * (`Files.list` holds an open DirectoryStream — closed here, or a
+    * periodically-reloading query service leaks one fd per reload.) */
+  def committedDirs(root: String): Seq[Path] = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(rootP)
+      val dirs =
+        try listing.iterator().asScala.toSeq.sortBy(_.toString)
+        finally listing.close()
+      dirs.filter(d => Files.exists(d.resolve(Marker)))
+    }
+  }
+}

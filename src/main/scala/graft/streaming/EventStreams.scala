@@ -431,8 +431,8 @@ object EventStreams {
     * is joins + two keyed aggregations per doc — a shape append-mode
     * streaming aggregation forbids; per-batch it is plain batch SQL
     * against static LM tables, the same pattern as the index ingest
-    * sink. Exactly-once via the per-batch-dir + `_COMMITTED` marker
-    * protocol (shared discipline with IndexStreams.appendBatch): a
+    * sink. Exactly-once via the shared [[CommittedBatchSink]]
+    * discipline (one implementation with IndexStreams.appendBatch): a
     * replayed batch finds its marker and skips, a crash-partial dir is
     * invisible to readers. Tier thresholds are per-row, so a doc's
     * verdict never depends on which batch it arrived in — batch/stream
@@ -469,46 +469,29 @@ object EventStreams {
                   outDir: String, batchId: Long,
                   headPermille: Int, middlePermille: Int,
                   keepTiers: Seq[String], tag: String = "solo"): Boolean = {
-    val dir = java.nio.file.Paths.get(outDir, f"$tag%s-batch-$batchId%05d")
-    // also probe the pre-tag legacy `batch-<id>` marker: a crash-replay
-    // spanning the dir-naming upgrade must find the batch it committed
-    // under the old name, or readGateOutput (which scans by marker, not
-    // name) would union both dirs and duplicate those docs
-    val legacyDir = java.nio.file.Paths.get(outDir, f"batch-$batchId%05d")
-    if (java.nio.file.Files.exists(dir.resolve("_COMMITTED")) ||
-        java.nio.file.Files.exists(legacyDir.resolve("_COMMITTED"))) false
-    else {
-      val admitted = graft.operators.NgramLm
-        .lmTierAssignmentsWithIndex(batch, idx, headPermille, middlePermille)
-        .filter(col("tier").isin(keepTiers: _*))
-        .join(batch, Seq("doc_id"))
-        .localCheckpoint()
-      if (!admitted.isEmpty) {
-        admitted.write.mode("overwrite").parquet(dir.resolve("docs").toString)
-      }
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("_COMMITTED"),
-        java.util.Arrays.asList(""))
-      true
-    }
+    // lazy: the scoring pipeline must not run on the replay-skip path
+    lazy val admitted = graft.operators.NgramLm
+      .lmTierAssignmentsWithIndex(batch, idx, headPermille, middlePermille)
+      .filter(col("tier").isin(keepTiers: _*))
+      .join(batch, Seq("doc_id"))
+      .localCheckpoint()
+    // the legacy pre-tag `batch-<id>` name must still read as
+    // committed: a crash-replay spanning the dir-naming upgrade would
+    // otherwise rewrite the batch under the new name and readGateOutput
+    // (marker-scan, not name-scan) would union both dirs
+    CommittedBatchSink.commitBatch(outDir, tag, batchId,
+      empty = admitted.isEmpty,
+      write = dir => admitted.write.mode("overwrite")
+        .parquet(dir.resolve("docs").toString),
+      legacyDirNames = Seq(f"batch-$batchId%05d"))
   }
 
   /** All committed gate output under `outDir` as one frame (the reader
     * face; uncommitted/partial dirs are invisible by construction). */
   def readGateOutput(spark: org.apache.spark.sql.SparkSession,
                      outDir: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(outDir)
-    val dirs =
-      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-      else {
-        val listing = java.nio.file.Files.list(root)
-        try listing.iterator().asScala.toSeq.sortBy(_.toString)
-        finally listing.close()
-      }
-    val committed = dirs
-      .filter(d => java.nio.file.Files.exists(d.resolve("_COMMITTED")) &&
-        java.nio.file.Files.isDirectory(d.resolve("docs")))
+    val committed = CommittedBatchSink.committedDirs(outDir)
+      .filter(d => java.nio.file.Files.isDirectory(d.resolve("docs")))
       .map(d => spark.read.parquet(d.resolve("docs").toString))
     committed.reduceOption(_ unionByName _)
       .getOrElse(spark.emptyDataFrame)

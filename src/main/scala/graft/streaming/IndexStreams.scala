@@ -39,43 +39,24 @@ import graft.operators.Similarity
   */
 object IndexStreams {
 
-  /** Stable per-stream tag from the checkpoint path (batchIds are
-    * scoped to a checkpoint; the tag scopes the append dirs the same
-    * way). Same checkpoint → same tag across restarts. The FULL 60-bit
-    * hash (15 hex chars): a truncated tag colliding between two
-    * checkpoints would alias one stream's append dirs onto the other's
-    * committed batches, silently skipping its batches as replays —
-    * nothing constrains the dir-name length, so spend the whole hash. */
+  /** Stable per-stream tag — see [[CommittedBatchSink.streamTag]]. */
   private[streaming] def streamTag(checkpoint: String): String =
-    f"${graft.functions.Portable.hash60Jvm(checkpoint)}%015x"
-
-  private def batchDir(indexPath: String, tag: String, batchId: Long): Path =
-    Paths.get(indexPath, "appends", f"$tag%s-batch-$batchId%05d")
+    CommittedBatchSink.streamTag(checkpoint)
 
   /** Encode one micro-batch against the frozen index and commit it as
     * `appends/<tag>-batch-<id>` (cluster-partitioned like the base
-    * codes). Returns whether this call wrote (false = replay of a
-    * committed batch, skipped). */
+    * codes) under the shared [[CommittedBatchSink]] discipline.
+    * Returns whether this call wrote (false = replay of a committed
+    * batch, skipped). */
   def appendBatch(spark: SparkSession, idx: Similarity.IvfpqIndex,
                   batch: DataFrame, indexPath: String, batchId: Long,
-                  spill: Int = 2, tag: String = "solo"): Boolean = {
-    val dir = batchDir(indexPath, tag, batchId)
-    if (Files.exists(dir.resolve("_COMMITTED"))) false
-    else {
-      // an empty micro-batch (offset-only progress, recovered no-data
-      // batch) commits marker-only: writing an empty parquet dir would
-      // leave a schema-less directory that breaks every subsequent
-      // spark.read.parquet in loadIndexWithAppends
-      if (!batch.isEmpty) {
-        Similarity.ivfpqEncodeBatch(spark, idx, batch, spill)
-          .write.mode("overwrite").partitionBy("cluster")
-          .parquet(dir.resolve("codes").toString)
-      }
-      Files.createDirectories(dir)
-      Files.write(dir.resolve("_COMMITTED"), java.util.Arrays.asList(""))
-      true
-    }
-  }
+                  spill: Int = 2, tag: String = "solo"): Boolean =
+    CommittedBatchSink.commitBatch(
+      Paths.get(indexPath, "appends").toString, tag, batchId,
+      empty = batch.isEmpty,
+      write = dir => Similarity.ivfpqEncodeBatch(spark, idx, batch, spill)
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(dir.resolve("codes").toString))
 
   /** Start the ingest stream: (vec_id, embedding) micro-batches →
     * committed appends under `indexPath`. The index meta (codebook,
@@ -208,21 +189,8 @@ object IndexStreams {
     loadIndexWithAppends(spark, currentIndexPath(root))
 
   /** Committed append dirs under an index path, in name order. */
-  private def committedAppendDirs(indexPath: String): Seq[Path] = {
-    val appendsDir = Paths.get(indexPath, "appends")
-    if (!Files.isDirectory(appendsDir)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      // Files.list holds an open DirectoryStream — close it (a
-      // periodically-reloading query service would otherwise leak
-      // one fd per reload)
-      val listing = Files.list(appendsDir)
-      val dirs =
-        try listing.iterator().asScala.toSeq.sortBy(_.toString)
-        finally listing.close()
-      dirs.filter(d => Files.exists(d.resolve("_COMMITTED")))
-    }
-  }
+  private def committedAppendDirs(indexPath: String): Seq[Path] =
+    CommittedBatchSink.committedDirs(Paths.get(indexPath, "appends").toString)
 
   /** Load base + every COMMITTED append as one queryable index
     * (uncommitted/partial and marker-only append dirs are ignored by

@@ -13,7 +13,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries,
     "Profiling" -> Profiling.queries, "Curation" -> Curation.queries,
     "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries,
-    "UrlOps" -> UrlOps.queries, "GraphOps" -> GraphOps.queries)
+    "UrlOps" -> UrlOps.queries, "GraphOps" -> GraphOps.queries,
+    "PublicSuffix" -> PublicSuffix.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

@@ -151,6 +151,9 @@ class PlanHygieneSpec extends AnyFunSuite {
     val edges = graft.operators.GraphOps.fixtureEdges(spark, sf)
     val rounds = Seq(
       "pageRank" -> graft.operators.GraphOps.pageRankRoundPlanOf(edges),
+      "pageRankWeighted" -> graft.operators.GraphOps
+        .pageRankWeightedRoundPlanOf(edges.withColumn("weight",
+          org.apache.spark.sql.functions.lit(2L))),
       "hyperBall" -> graft.operators.GraphOps.hyperBallRoundPlanOf(edges))
     for ((name, df) <- rounds) {
       val plan = df.queryExecution.executedPlan.toString

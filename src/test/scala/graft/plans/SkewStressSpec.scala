@@ -163,4 +163,28 @@ class SkewStressSpec extends SparkSpec {
     assert(naive.max > round.max * 2,
       s"control not separated: naive ${naive.max} vs round ${round.max}")
   }
+
+  test("weighted pageRank round: a weight-skewed hub keeps combine-side balance") {
+    import graft.operators.GraphOps
+    // the weighted stress doubles the unweighted one: every source
+    // links the ONE hub, and the link weights are themselves skewed
+    // (one aggregator carries 10000x the weight of the rest) — the
+    // per-edge share rank*w DIV outw is still a row-local expression
+    // and the dst-keyed inflow sum still combines map-side, so the hub
+    // key crosses the wire once per map task regardless of weight mass
+    def hubEdges = spark.range(20000).select(
+      concat(lit("s"), col("id")).as("src"), lit("hub").as("dst"),
+      when(col("id") === 0, lit(10000000L)).otherwise(lit(1L)).as("weight"))
+    def ringEdges = spark.range(20000).select(
+      concat(lit("s"), col("id")).as("src"),
+      concat(lit("d"), pmod(col("id"), lit(100))).as("dst"),
+      lit(1L).as("weight"))
+    // plan shape is independent of both degree and weight skew
+    assert(exchanges(GraphOps.pageRankWeightedRoundPlanOf(hubEdges)) ==
+      exchanges(GraphOps.pageRankWeightedRoundPlanOf(ringEdges)))
+    val round = dominantStageReads(
+      GraphOps.pageRankWeightedRoundPlanOf(hubEdges).count(): Unit)
+    assert(round.size > 1 && maxOverMedian(round) <= 3.0,
+      s"weighted round imbalance ${maxOverMedian(round)}x: $round")
+  }
 }

@@ -53,6 +53,41 @@ class BucketedTablesSpec extends SparkSpec {
     assert(agg.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("reRegisterBucketed resurrects the zero-exchange layout from the path alone") {
+    graft.SparkSpec.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // write both sides, then DROP the catalog entries — the state a
+      // brand-new session (no metastore) starts from: files + sidecar
+      // manifest only
+      docsTable()
+      BucketedTables.writeBucketed(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+        s"bspec_embs_rr_$suffix", tmp("embs_rr"), 8, Seq("vec_id"), Seq("vec_id"))
+      spark.sql(s"DROP TABLE `bspec_docs_$suffix`")
+      spark.sql(s"DROP TABLE `bspec_embs_rr_$suffix`")
+      // manifest round-trip is faithful
+      val m = BucketedTables.readManifest(spark, tmp("docs"))
+      assert(m.buckets == 8 && m.keys == Seq("doc_id") &&
+        m.sortKeys == Seq("doc_id"), s"manifest drifted: $m")
+      // re-register under fresh names; no data moves
+      val docs = BucketedTables.reRegisterBucketed(spark, tmp("docs"),
+        s"bspec_docs_rr2_$suffix")
+      val embs = BucketedTables.reRegisterBucketed(spark, tmp("embs_rr"),
+        s"bspec_embs_rr2_$suffix")
+      val joined = docs.join(embs, docs("doc_id") === embs("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"re-registered join still shuffles:\n$plan")
+      // content identical to the plain shuffled join
+      val plain = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+        .join(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("label")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("label"))
+      assert(joined.collect().toSet == plain.collect().toSet)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct (shuffled) join") {
     graft.SparkSpec.withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
