@@ -375,6 +375,28 @@ object GraftOps {
   def linkReciprocity(edges: DataFrame): DataFrame =
     graft.operators.GraphOps.linkReciprocityOf(edges)
 
+  /** Weakly-connected components of the domain graph (node, component
+    * = lexicographic min node) — mirror/link-farm cluster detection;
+    * log-round star contraction, skew-tolerant. */
+  def linkComponents(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.componentsOf(edges)
+
+  /** (host → registered_domain) via the public-suffix list — the
+    * eTLD+1 grain the published domain ranks use. Rules broadcast;
+    * match runs once per distinct host. */
+  def registeredDomains(hosts: DataFrame, rules: DataFrame): DataFrame =
+    graft.operators.PublicSuffix.registeredDomainMapOf(hosts, rules)
+
+  /** The built-in public-suffix rule table (swap in the full published
+    * list via PublicSuffix.loadSuffixArtifact). */
+  def suffixRules(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    graft.operators.PublicSuffix.suffixRules(spark)
+
+  /** [[linkGraph]] collapsed to registered-domain (eTLD+1) grain —
+    * subdomains merge, intra-registered-domain links vanish. */
+  def registeredLinkGraph(pages: DataFrame, rules: DataFrame): DataFrame =
+    graft.operators.PublicSuffix.registeredLinkGraphOf(pages, rules)
+
   /** Skip-gram (center, context, cnt) co-occurrence counts within a
     * ±window word window — word2vec training pairs / the PPMI-GloVe
     * co-occurrence table. Offset-zipped narrow passes + one keyed

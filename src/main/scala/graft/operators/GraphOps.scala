@@ -553,6 +553,59 @@ object GraphOps {
   def linkReciprocity(s: SparkSession, d: String): DataFrame =
     linkReciprocityOf(fixtureEdges(s, d)).orderBy(col("node"))
 
+  /** Weakly-connected components of the domain graph — mirror-network
+    * and link-farm cluster detection at crawl grain (a spam cluster is
+    * one component; a mirror family shares one): direction dropped,
+    * then the SAME large-star/small-star contraction the dedup
+    * clusters use (log-round convergence, skew-tolerant map-side-
+    * combined minimums — Dedup.clustersOf works on any ordered key
+    * type, so the string node names feed it directly, no id
+    * assignment). Returns (node, component) with component = the
+    * lexicographic minimum node of the component — deterministic,
+    * engine-portable labels. */
+  def componentsOf(edges: DataFrame): DataFrame = {
+    val e = normalizedEdges(edges)
+    Dedup.clustersOf(e.select(col("src").as("i"), col("dst").as("j")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+  }
+
+  /** Fixture: the 20 source domains as FOUR disjoint 5-node rings
+    * (k mod 4 picks the ring, k div 4 the position) — components must
+    * come back as exactly the rings, labeled by each ring's minimum
+    * node. */
+  def linkComponents(s: SparkSession, d: String): DataFrame = {
+    val srcn = substring(col("source"), 4, 10).cast("int")
+    val base = Tables.documents(s, d).select(srcn.as("k")).distinct()
+    val edges = base.select(
+      concat(lit("g"), col("k") % 4, lit("n"),
+        expr("CAST(k DIV 4 AS INT)")).as("src"),
+      concat(lit("g"), col("k") % 4, lit("n"),
+        expr("CAST((k DIV 4 + 1) % 5 AS INT)")).as("dst"))
+    componentsOf(edges).orderBy(col("node"))
+  }
+
+  /** Undirected reachability with min-label collapse; the seed CTEs
+    * spell dedup as DISTINCT (the harmonicExactOracle WITH RECURSIVE
+    * lesson). */
+  private val linkComponentsOracle: String =
+    """WITH RECURSIVE srcs AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(substr(source, 4) AS INT) AS k FROM documents),
+      |e0 AS MATERIALIZED (SELECT DISTINCT
+      |    'g' || CAST(k % 4 AS VARCHAR) || 'n' || CAST(k // 4 AS VARCHAR) AS src,
+      |    'g' || CAST(k % 4 AS VARCHAR) || 'n' || CAST((k // 4 + 1) % 5 AS VARCHAR) AS dst
+      |  FROM srcs),
+      |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM e0
+      |  UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+      |walk(root, node) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT w.root, e.dst FROM walk w JOIN ed e ON w.node = e.src)
+      |SELECT root AS node, min(node) AS component
+      |FROM walk GROUP BY root ORDER BY node""".stripMargin
+
   /** Log2-bucketed in/out-degree distribution — the first graph-health
     * observable on any crawl snapshot: web graphs are power-law, so a
     * healthy domain graph shows a long straight tail while a
@@ -616,6 +669,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
+    "link_components" -> (linkComponents _),
     "link_reciprocity" -> (linkReciprocity _),
     "degree_profile" -> (degreeProfile _),
     "harmonic_exact" -> (harmonicExact _),
@@ -626,6 +680,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "domain_pagerank" -> domainPagerankOracle,
+    "link_components" -> linkComponentsOracle,
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,
     "degree_profile" -> degreeProfileOracle,

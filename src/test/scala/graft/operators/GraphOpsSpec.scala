@@ -138,6 +138,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(hb("a") == 0L, s"nothing reaches a: $hb")
   }
 
+  test("componentsOf: direction dropped, string labels, self-loop keeps a node isolated") {
+    import spark.implicits._
+    // two components joined only by DIRECTED edges within themselves;
+    // "z" has only a self-loop (no neighbors -> its own component);
+    // direction must not matter (c->a closes nothing new)
+    val edges = Seq(
+      ("b", "a"), ("c", "a"),            // component min "a"
+      ("m", "n"), ("n", "o"), ("o", "m"), // ring, min "m"
+      ("z", "z"))
+    val got = GraphOps.componentsOf(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "m" -> "m", "n" -> "m", "o" -> "m", "z" -> "z"), s"got $got")
+    // partition-invariant: labels are mins, contraction is order-free
+    val repart = GraphOps.componentsOf(edges.toDF("src", "dst").repartition(5))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(repart == got)
+  }
+
   test("link reciprocity flags the mutual clique, not the one-way chain") {
     import spark.implicits._
     // link farm: a<->b, a<->c (all reciprocated); honest chain: p->q->r
