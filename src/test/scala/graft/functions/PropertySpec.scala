@@ -298,6 +298,59 @@ class PropertySpec extends AnyFunSuite {
     (0 until 30).foreach(i => assert(texts(i.toLong) == s"p$i a\np$i b"))
   }
 
+  test("canonicalUrlOf is idempotent on random URL surface forms") {
+    import spark.implicits._
+    // a canonical url re-canonicalized must not move — otherwise two
+    // pipeline stages that each canonicalize would disagree on keys
+    val hostGen = for {
+      sub <- Gen.oneOf("www", "WWW", "Blog", "a1", "CDN")
+      dom <- Gen.oneOf("example", "TEST", "si-te")
+      tld <- Gen.oneOf("com", "co.uk", "ORG")
+    } yield s"$sub.$dom.$tld"
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      host <- hostGen
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a/B/", "/x%20y")
+      q <- Gen.oneOf("", "?b=2&a=1", "?utm_source=rss&a=1", "?gclid=z",
+        "?a=1&a=1&fbclid=k")
+      frag <- Gen.oneOf("", "#frag", "#a?b=1")
+    } yield s"$scheme://$host$port$path$q$frag"
+    val urls = Gen.listOfN(400, urlGen).sample.get.distinct
+    val once = graft.operators.UrlOps.canonicalUrlOf(urls.toDF("url"))
+      .select(col("url"), col("canonical_url")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val twice = graft.operators.UrlOps.canonicalUrlOf(
+        once.values.toSeq.distinct.toDF("url"))
+      .select(col("url"), col("canonical_url")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    once.foreach { case (raw, c) =>
+      assert(twice(c) == c, s"canonicalizer moved on refeed: $raw -> $c -> ${twice(c)}")
+    }
+  }
+
+  test("registered domain is always a label suffix of the host, never empty") {
+    import spark.implicits._
+    val labelGen = Gen.oneOf("a", "bb", "c0", "x-y", "deep")
+    val hostGen = for {
+      n <- Gen.chooseNum(1, 4)
+      labels <- Gen.listOfN(n, labelGen)
+      tail <- Gen.oneOf("com", "co.uk", "ck", "www.ck", "io",
+        "github.io", "unknowntld", "com.au")
+    } yield (labels :+ tail).mkString(".")
+    val hosts = Gen.listOfN(300, hostGen).sample.get.distinct
+    val got = graft.operators.PublicSuffix.registeredDomainMapOf(
+        hosts.toDF("host"), graft.operators.PublicSuffix.suffixRules(spark))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == hosts.toSet, "every host labels exactly once")
+    got.foreach { case (h, reg) =>
+      assert(reg.nonEmpty, s"empty registered domain for $h")
+      assert(h == reg || h.endsWith("." + reg),
+        s"registered domain not a label suffix: $h -> $reg")
+      assert(reg.split('.').length <= h.split('.').length)
+    }
+  }
+
   test("qualitySignals fractions stay in [0,1] on random token soups") {
     import spark.implicits._
     val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f1", "g2")
