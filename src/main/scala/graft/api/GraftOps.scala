@@ -271,6 +271,12 @@ object GraftOps {
   def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     Bpe.bpeTokenizeOf(docs, merges)
 
+  /** WordPiece greedy longest-match tokenize against a frozen
+    * vocabulary (`##` continuations, whole word → [UNK] on failure) —
+    * one narrow fold per word, zero shuffles. */
+  def wordpieceTokenize(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    Bpe.wordpieceTokenizeOf(docs, vocab)
+
   /** C4-style line + page cleaning (terminal punctuation, min words,
     * javascript lines; brace / lorem-ipsum / blocklist / min-sentence
     * pages) — fully narrow. */

@@ -170,12 +170,135 @@ object Bpe {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // WordPiece-style tokenizer — the OTHER mainstream subword scheme
+  // (Wu et al. 2016, "Google's Neural Machine Translation System":
+  // greedy longest-match-first against a frozen vocabulary, `##`
+  // continuation prefix, whole word → [UNK] when any position fails).
+  // Where BPE replays a merge HISTORY, WordPiece segments against a
+  // vocabulary SET — at apply time the two are different algorithms
+  // and real pipelines ship both.
+  // ---------------------------------------------------------------
+
+  /** Tokenize each whitespace word by greedy longest-match against
+    * `vocab` (continuation pieces carry the `##` prefix): per word, a
+    * fold over at most `length(word)` steps whose accumulator is
+    * (pos, out, failed); each step probes piece lengths longest-first
+    * and consumes the longest vocabulary hit, or marks the word failed
+    * (→ `[UNK]`, the published whole-word convention). Fully narrow —
+    * zero shuffles, no UDF, the expression stays inside Catalyst; the
+    * frozen vocab is compiled into the probe expression (fixture
+    * scale; a production 30k-piece vocab would compile the same CASE
+    * against a `typedlit` map or drop to the documented
+    * mapPartitions-trie path — the SHAPE, one narrow pass per batch
+    * with no corpus-side state, is the deployment contract either
+    * way). Output: (doc_id, token_str, n_tokens), tokens
+    * space-joined for scalar cross-engine compare. */
+  def wordpieceTokenizeOf(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    val maxLen = vocab.map(p => p.stripPrefix("##").length).max
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val vocabArr = s"array(${vocab.map(q).mkString(", ")})"
+    val branches = (maxLen to 1 by -1).map { l =>
+      val cand = s"substr(w, acc.pos + 1, $l)"
+      val piece = s"IF(acc.pos = 0, $cand, concat('##', $cand))"
+      s"""WHEN length($cand) = $l AND array_contains($vocabArr, $piece)
+         |  THEN struct(CAST(acc.pos + $l AS INT) AS pos,
+         |    concat(acc.out, array($piece)) AS out, false AS failed)""".stripMargin
+    }.mkString("\n")
+    val fold =
+      s"""aggregate(sequence(1, length(w)),
+         |  struct(CAST(0 AS INT) AS pos,
+         |    CAST(array() AS array<string>) AS out, false AS failed),
+         |  (acc, i) -> CASE
+         |    WHEN acc.failed OR acc.pos >= length(w) THEN acc
+         |    $branches
+         |    ELSE struct(CAST(length(w) AS INT) AS pos, acc.out AS out,
+         |      true AS failed) END,
+         |  acc -> IF(acc.failed, array('[UNK]'), acc.out))""".stripMargin
+    docs.select(col("doc_id"),
+      expr("filter(split(text, ' '), x -> length(x) > 0)").as("ws"))
+      .select(col("doc_id"),
+        expr(s"flatten(transform(ws, w -> $fold))").as("tokens"))
+      .select(col("doc_id"),
+        expr("array_join(tokens, ' ')").as("token_str"),
+        expr("size(tokens)").cast("int").as("n_tokens"))
+  }
+
+  /** Fixture vocabulary over the corpus's closed word set: full words,
+    * two-piece and three-piece splits, and deliberate holes (`order`,
+    * `hash`, `vector`…) that must come back `[UNK]` — including
+    * `stream`, which matches two pieces and THEN fails, exercising the
+    * whole-word-UNK override. */
+  private[operators] val fixtureVocab: Seq[String] = Seq(
+    "a", "the", "key", "row", "data", "fast", "big", "part",
+    "jo", "##in", "s", "##low", "##mall", "##or", "##t", "##can",
+    "sp", "##a", "##rk", "merg", "##e", "wind", "##ow", "batc", "##h",
+    "li", "##ne", "qu", "##ery", "gro", "##up", "tabl")
+
+  def wordpieceTokenize(s: SparkSession, d: String): DataFrame =
+    wordpieceTokenizeOf(Tables.documents(s, d), fixtureVocab)
+
+  /** The same greedy matcher as a DuckDB recursive CTE: one recursion
+    * row per consumed piece (states advance pos strictly, so the walk
+    * terminates), failed words overridden to `[UNK]` after the fact.
+    * The vocab literal is generated from the SAME Scala Seq. */
+  private val wordpieceTokenizeOracle: String = {
+    val maxLen = fixtureVocab.map(p => p.stripPrefix("##").length).max
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val vlist = s"[${fixtureVocab.map(q).mkString(", ")}]"
+    def cand(l: Int) = s"substr(w, pos + 1, $l)"
+    def piece(l: Int) =
+      s"CASE WHEN pos = 0 THEN ${cand(l)} ELSE '##' || ${cand(l)} END"
+    def cond(l: Int) =
+      s"len(${cand(l)}) = $l AND list_contains($vlist, ${piece(l)})"
+    val posCase = (maxLen to 1 by -1)
+      .map(l => s"WHEN ${cond(l)} THEN pos + $l").mkString(" ")
+    val pieceCase = (maxLen to 1 by -1)
+      .map(l => s"WHEN ${cond(l)} THEN ${piece(l)}").mkString(" ")
+    val anyCond = (maxLen to 1 by -1).map(cond).mkString(" OR ")
+    s"""WITH RECURSIVE
+       |wsrc AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS wi FROM wsrc),
+       |seg(doc_id, wi, w, pos, piece, failed) AS (
+       |  SELECT doc_id, wi, w, 0, CAST(NULL AS VARCHAR), false FROM words
+       |  UNION ALL
+       |  SELECT doc_id, wi, w,
+       |    CASE $posCase ELSE len(w) END,
+       |    CASE $pieceCase ELSE NULL END,
+       |    NOT ($anyCond)
+       |  FROM seg WHERE NOT failed AND pos < len(w)),
+       |wtok AS (SELECT doc_id, wi,
+       |    array_to_string(list(piece ORDER BY pos), ' ') AS ts,
+       |    CAST(count(*) AS INT) AS nt
+       |  FROM seg WHERE piece IS NOT NULL GROUP BY doc_id, wi),
+       |wfail AS (SELECT DISTINCT doc_id, wi FROM seg WHERE failed),
+       |wfinal AS (SELECT wd.doc_id, wd.wi,
+       |    CASE WHEN wf.wi IS NOT NULL THEN '[UNK]' ELSE wt.ts END AS ts,
+       |    CASE WHEN wf.wi IS NOT NULL THEN 1 ELSE wt.nt END AS nt
+       |  FROM words wd
+       |  LEFT JOIN wfail wf ON wd.doc_id = wf.doc_id AND wd.wi = wf.wi
+       |  LEFT JOIN wtok wt ON wd.doc_id = wt.doc_id AND wd.wi = wt.wi),
+       |agg AS (SELECT doc_id, string_agg(ts, ' ' ORDER BY wi) AS token_str,
+       |    CAST(sum(nt) AS INT) AS n_tokens
+       |  FROM wfinal GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(a.token_str, '') AS token_str,
+       |  coalesce(a.n_tokens, 0) AS n_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_tokenize" -> (bpeTokenize _),
+    "wordpiece_tokenize" -> (wordpieceTokenize _),
   )
 
   val oracles: Map[String, String] = Map(
     "bpe_tokenize" -> bpeTokenizeOracle,
+    "wordpiece_tokenize" -> wordpieceTokenizeOracle,
   )
 }

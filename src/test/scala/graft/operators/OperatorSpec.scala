@@ -1189,6 +1189,30 @@ class OperatorSpec extends AnyFunSuite {
       s"greedy-merge divergence: ${out.getSeq[String](1)}")
   }
 
+  test("wordpiece tokenize: longest-match-first, ## continuations, whole-word [UNK]") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join spark the part"),
+      // 'stream' matches s + ##t and THEN fails at 'r' -> the partial
+      // pieces must be overridden to one [UNK] (published convention)
+      (2L, "stream order small"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Bpe.wordpieceTokenizeOf(docs, Bpe.fixtureVocab)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "jo ##in sp ##a ##rk the part" &&
+      out(0).getInt(2) == 7, s"got ${out(0)}")
+    assert(out(1).getString(1) == "[UNK] [UNK] s ##mall" &&
+      out(1).getInt(2) == 4, s"got ${out(1)}")
+    // empty text -> empty token string, zero tokens, row kept
+    assert(out(2).getString(1) == "" && out(2).getInt(2) == 0)
+    // longest-match-first: 'sp' must win over 's' at word start
+    assert(!out(0).getString(1).startsWith("s ##"), "greedy order broken")
+    // fully narrow: no exchange anywhere in the tokenize plan
+    val plan = Bpe.wordpieceTokenizeOf(docs, Bpe.fixtureVocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"tokenize shuffled:\n$plan")
+  }
+
   test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {
     import spark.implicits._
     val good = "one two three four five six seven eight."
