@@ -167,7 +167,13 @@ object PublicSuffix {
         lit(".beta.ck/c'>w</a><a href=\"https://www.ck/x\">e</a>"),
         lit("<a href=\"https://cdn"), col("doc_id") % 3,
         lit(".assets.unknowntld/z\">u</a><a href=\"https://x.brand"),
-        col("doc_id") % 5, lit(".co.uk/self\">me</a>")).as("text"))
+        col("doc_id") % 5, lit(".co.uk/self\">me</a>"),
+        // brand ring: brand_j -> brand_{j+1} at registered grain, so
+        // the graph has multi-hop distances (harmonic is not just
+        // in-degree) — the subdomain differs from the page's own, so
+        // only the REGISTERED collapse can see it as one domain
+        lit("<a href=\"https://sub9.brand"), (col("doc_id") + 1) % 5,
+        lit(".co.uk/next\">ring</a>")).as("text"))
 
   def registeredLinkGraph(s: SparkSession, d: String): DataFrame =
     registeredLinkGraphOf(fixturePages(s, d), suffixRules(s))
@@ -176,6 +182,15 @@ object PublicSuffix {
   def registeredDomainRank(s: SparkSession, d: String): DataFrame =
     GraphOps.pageRankOf(
       registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)), iters = 10)
+      .orderBy(col("node"))
+
+  /** Harmonic centrality at registered-domain grain — CommonCrawl's
+    * PRIMARY published domain rank at its published grain. The brand
+    * ring gives the fixture real multi-hop distances, so harmonic is
+    * not merely in-degree. */
+  def registeredHarmonic(s: SparkSession, d: String): DataFrame =
+    GraphOps.harmonicExactOf(
+      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)))
       .orderBy(col("node"))
 
   /** The fixture pages in DuckDB syntax. */
@@ -193,7 +208,9 @@ object PublicSuffix {
       |    '.beta.ck/c''>w</a><a href="https://www.ck/x">e</a>' ||
       |    '<a href="https://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
       |    '.assets.unknowntld/z">u</a><a href="https://x.brand' ||
-      |    CAST(doc_id % 5 AS VARCHAR) || '.co.uk/self">me</a>' AS text
+      |    CAST(doc_id % 5 AS VARCHAR) || '.co.uk/self">me</a>' ||
+      |    '<a href="https://sub9.brand' || CAST((doc_id + 1) % 5 AS VARCHAR) ||
+      |    '.co.uk/next">ring</a>' AS text
       |FROM documents""".stripMargin
 
   /** The rule table as a VALUES list — generated from the SAME Scala
@@ -257,13 +274,38 @@ object PublicSuffix {
       s"""$regGraphCtesSql,
          |edges AS MATERIALIZED (SELECT src, dst FROM redges)""".stripMargin)
 
+  /** Capped recursive walk + min-dist collapse over the registered
+    * graph — the harmonicExactOracle shape seeded from the PSL
+    * collapse CTEs. */
+  private val registeredHarmonicOracle: String =
+    s"""WITH RECURSIVE $regGraphCtesSql,
+       |rnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM redges
+       |  UNION ALL SELECT dst AS node FROM redges)),
+       |walk(root, node, dist) AS (
+       |  SELECT node, node, 0 FROM rnodes
+       |  UNION
+       |  SELECT w.root, e.dst, w.dist + 1
+       |  FROM walk w JOIN redges e ON w.node = e.src
+       |  WHERE w.dist < 30),
+       |sd AS MATERIALIZED (SELECT root, node, min(dist) AS dist
+       |  FROM walk GROUP BY root, node)
+       |SELECT n.node,
+       |  CAST(coalesce(sum(CASE WHEN sd.root <> sd.node
+       |    THEN 1000000 // sd.dist END), 0) AS BIGINT) AS harm_e6
+       |FROM rnodes n LEFT JOIN sd ON n.node = sd.node
+       |GROUP BY n.node
+       |ORDER BY n.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "registered_link_graph" -> (registeredLinkGraph _),
     "registered_domain_rank" -> (registeredDomainRank _),
+    "registered_harmonic" -> (registeredHarmonic _),
   )
 
   val oracles: Map[String, String] = Map(
     "registered_link_graph" -> registeredLinkGraphOracle,
     "registered_domain_rank" -> registeredDomainRankOracle,
+    "registered_harmonic" -> registeredHarmonicOracle,
   )
 }
