@@ -230,7 +230,7 @@ object Bpe {
     * `hash`, `vector`…) that must come back `[UNK]` — including
     * `stream`, which matches two pieces and THEN fails, exercising the
     * whole-word-UNK override. */
-  private[operators] val fixtureVocab: Seq[String] = Seq(
+  private[graft] val fixtureVocab: Seq[String] = Seq(
     "a", "the", "key", "row", "data", "fast", "big", "part",
     "jo", "##in", "s", "##low", "##mall", "##or", "##t", "##can",
     "sp", "##a", "##rk", "merg", "##e", "wind", "##ow", "batc", "##h",

@@ -63,6 +63,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 5L), s"gate+dedup should keep 1 and 5, got $kept")
   }
 
+  test("wordpiece and BPE tokenizers run unchanged over a document stream") {
+    // both tokenize faces are zero-shuffle narrow folds (spec-pinned
+    // Exchange-free), so the SAME expressions drop into a streaming
+    // ingest: tokenize-on-arrival needs no new operator code, and a
+    // doc's segmentation cannot depend on its micro-batch
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Bpe
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Bpe.wordpieceTokenizeOf(docs, Bpe.fixtureVocab)
+      .writeStream.format("memory").queryName("wptok")
+      .outputMode("append").start()
+    in.addData((1L, "join the part"), (2L, "stream order"))
+    q.processAllAvailable()
+    in.addData((3L, "join the part")) // same text, later batch
+    q.processAllAvailable()
+    val got = spark.table("wptok").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    q.stop()
+    assert(got(1L) == (("jo ##in the part", 4)), s"got $got")
+    assert(got(2L) == (("[UNK] [UNK]", 2)))
+    assert(got(3L) == got(1L), "batch boundary changed a segmentation")
+    // batch/stream agreement against the batch operator itself
+    val batch = Bpe.wordpieceTokenizeOf(
+      Seq((1L, "join the part"), (2L, "stream order"),
+        (3L, "join the part")).toDF("doc_id", "text"), Bpe.fixtureVocab)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(batch == got)
+  }
+
   test("multimodal pair gate runs unchanged over a streaming pair feed") {
     // the coherence gate is a fully narrow transform (spec-pinned
     // Exchange-free), so it is legal in append streaming as-is — the
