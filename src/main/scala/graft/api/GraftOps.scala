@@ -403,6 +403,17 @@ object GraftOps {
   def registeredLinkGraph(pages: DataFrame, rules: DataFrame): DataFrame =
     graft.operators.PublicSuffix.registeredLinkGraphOf(pages, rules)
 
+  /** HyperBall harmonic centrality at registered-domain grain — the
+    * scale path for the PUBLISHED ranking grain (the exact composition
+    * `harmonicCentrality(registeredLinkGraph(...))` is the declared-
+    * quadratic baseline). */
+  def registeredHarmonicApprox(pages: DataFrame, rules: DataFrame,
+                               maxIters: Int = 16,
+                               registers: Int = 32): DataFrame =
+    graft.operators.GraphOps.hyperBallHarmonicOf(
+      graft.operators.PublicSuffix.registeredLinkGraphOf(pages, rules),
+      maxIters, registers)
+
   /** Skip-gram (center, context, cnt) co-occurrence counts within a
     * ±window word window — word2vec training pairs / the PPMI-GloVe
     * co-occurrence table. Offset-zipped narrow passes + one keyed

@@ -25,6 +25,10 @@ final case class ByteMaxAgg(m: Int)
   def zero: Array[Byte] = new Array[Byte](m)
 
   def reduce(buf: Array[Byte], x: Array[Byte]): Array[Byte] = {
+    // a malformed input would otherwise surface as a bare AIOOBE
+    // mid-shuffle with no hint of which operator produced it
+    require(x.length == m, s"register array of length ${x.length}, expected $m")
+    require(buf.length == m, s"buffer of length ${buf.length}, expected $m")
     var i = 0
     while (i < m) {
       if (x(i) > buf(i)) buf(i) = x(i)

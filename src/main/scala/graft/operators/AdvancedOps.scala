@@ -391,11 +391,17 @@ object AdvancedOps {
       |ORDER BY term""".stripMargin
 
   /** T-digest agreement via RANK error — the guarantee t-digest
-    * actually makes: for each estimated quantile q, the exact fraction
-    * of values ≤ estimate must sit within 30‰ of q. The estimate
-    * itself never crosses engines (it is implementation-specific);
-    * what crosses is the integer rank test, so the oracle is the
-    * constant-TRUE grid over (event_type × q). */
+    * actually makes: for each estimated quantile q, the estimate must
+    * sit at rank ≈ q·n within 30‰. The test is the TWO-SIDED rank
+    * bracket: the empirical CDF at the estimate jumps from lt/n
+    * (values strictly below) to le/n (values at-or-below), so q·n must
+    * land inside [lt − 30‰·n, le + 30‰·n] — with heavy duplicates a
+    * single `fraction ≤ est` test can sit far from q even when the
+    * digest is exactly right (the CDF jump straddles q), so the
+    * bracket is the sound gate. The estimate itself never crosses
+    * engines (implementation-specific); what crosses is the integer
+    * rank test, so the oracle is the constant-TRUE grid over
+    * (event_type × q). */
   def tdigestAgreement(s: SparkSession, d: String): DataFrame = {
     graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
     val ev = Tables.events(s, d).select(col("event_type"), col("value"))
@@ -407,10 +413,12 @@ object AdvancedOps {
     ests.join(ev, Seq("event_type"))
       .groupBy(col("event_type"), col("q_permille"), col("est"))
       .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("lt"),
         sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("le"))
       .select(col("event_type"), col("q_permille"),
-        (abs(col("le") * 1000 - col("q_permille") * col("n")) <=
-          col("n") * 30).as("rank_ok"))
+        (col("lt") * 1000 - col("q_permille") * col("n") <= col("n") * 30 &&
+          col("q_permille") * col("n") - col("le") * 1000 <= col("n") * 30)
+          .as("rank_ok"))
       .orderBy(col("event_type"), col("q_permille"))
   }
 

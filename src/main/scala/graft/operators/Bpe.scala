@@ -180,21 +180,39 @@ object Bpe {
   // and real pipelines ship both.
   // ---------------------------------------------------------------
 
+  /** Vocabulary size above which [[wordpieceTokenizeOf]] switches from
+    * the compiled-expression probe (O(|vocab|) `array_contains` per
+    * candidate — fine for fixture-sized vocabularies, quadratic pain
+    * at production's 30k pieces) to the broadcast-set mapPartitions
+    * path (O(1) hash probe per candidate, vocabulary shipped once per
+    * executor). Both paths implement the identical published greedy
+    * longest-match; the spec pins their equality. */
+  private[operators] val exprVocabMax = 256
+
   /** Tokenize each whitespace word by greedy longest-match against
-    * `vocab` (continuation pieces carry the `##` prefix): per word, a
-    * fold over at most `length(word)` steps whose accumulator is
-    * (pos, out, failed); each step probes piece lengths longest-first
-    * and consumes the longest vocabulary hit, or marks the word failed
-    * (→ `[UNK]`, the published whole-word convention). Fully narrow —
-    * zero shuffles, no UDF, the expression stays inside Catalyst; the
-    * frozen vocab is compiled into the probe expression (fixture
-    * scale; a production 30k-piece vocab would compile the same CASE
-    * against a `typedlit` map or drop to the documented
-    * mapPartitions-trie path — the SHAPE, one narrow pass per batch
-    * with no corpus-side state, is the deployment contract either
-    * way). Output: (doc_id, token_str, n_tokens), tokens
-    * space-joined for scalar cross-engine compare. */
-  def wordpieceTokenizeOf(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    * `vocab` (continuation pieces carry the `##` prefix; a word with
+    * any unmatchable position collapses to `[UNK]`, the published
+    * whole-word convention). Dispatches on vocabulary size: up to
+    * [[exprVocabMax]] pieces the match is a fully-narrow Catalyst fold
+    * expression ([[wordpieceTokenizeExprOf]]); past it, the
+    * broadcast-set mapPartitions path ([[wordpieceTokenizeBigOf]]) —
+    * same semantics, same zero-shuffle shape, O(len · maxPieceLen)
+    * hash probes per word independent of vocabulary size. Output:
+    * (doc_id, token_str, n_tokens), tokens space-joined for scalar
+    * cross-engine compare. */
+  def wordpieceTokenizeOf(docs: DataFrame, vocab: Seq[String]): DataFrame =
+    if (vocab.size <= exprVocabMax) wordpieceTokenizeExprOf(docs, vocab)
+    else wordpieceTokenizeBigOf(docs, vocab)
+
+  /** The expression path: per word, a fold over at most `length(word)`
+    * steps whose accumulator is (pos, out, failed); each step probes
+    * piece lengths longest-first and consumes the longest vocabulary
+    * hit, or marks the word failed. Fully narrow — zero shuffles, no
+    * UDF, stays inside Catalyst codegen; the frozen vocab is compiled
+    * into the probe expression, which is why it is capped at
+    * [[exprVocabMax]] pieces. */
+  private[operators] def wordpieceTokenizeExprOf(docs: DataFrame,
+                                                 vocab: Seq[String]): DataFrame = {
     require(vocab.nonEmpty, "empty wordpiece vocabulary")
     val maxLen = vocab.map(p => p.stripPrefix("##").length).max
     def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -223,6 +241,57 @@ object Bpe {
       .select(col("doc_id"),
         expr("array_join(tokens, ' ')").as("token_str"),
         expr("size(tokens)").cast("int").as("n_tokens"))
+  }
+
+  /** The production-vocabulary path: greedy longest-match driven by a
+    * broadcast HashSet probe inside one mapPartitions — the vocabulary
+    * ships to each executor ONCE (30k pieces ≈ 1 MB, far under any
+    * broadcast ceiling) and each word costs O(len · maxPieceLen) hash
+    * probes regardless of vocabulary size. Still zero shuffles and no
+    * corpus-side state: the plan is scan → mapPartitions, so it
+    * composes into batch and streaming pipelines exactly like the
+    * expression path (mapPartitions exits whole-stage codegen — the
+    * price of vocabulary-size independence, which is why the small-
+    * vocab case keeps the expression path). Semantics are pinned equal
+    * to [[wordpieceTokenizeExprOf]] by the spec. */
+  def wordpieceTokenizeBigOf(docs: DataFrame, vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = vocab.map(p => p.stripPrefix("##").length).max
+    val bc = spark.sparkContext.broadcast(vocab.toSet)
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vs = bc.value
+        it.map { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          text.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              val start = out.size
+              var pos = 0
+              var failed = false
+              while (!failed && pos < w.length) {
+                var l = math.min(maxLen, w.length - pos)
+                var consumed = 0
+                while (consumed == 0 && l >= 1) {
+                  val cand = w.substring(pos, pos + l)
+                  val piece = if (pos == 0) cand else "##" + cand
+                  if (vs.contains(piece)) { out += piece; consumed = l }
+                  else l -= 1
+                }
+                if (consumed == 0) failed = true else pos += consumed
+              }
+              if (failed) {
+                out.dropRightInPlace(out.size - start)
+                out += "[UNK]"
+              }
+            }
+          }
+          (id, out.mkString(" "), out.size)
+        }
+      }
+      .toDF("doc_id", "token_str", "n_tokens")
   }
 
   /** Fixture vocabulary over the corpus's closed word set: full words,

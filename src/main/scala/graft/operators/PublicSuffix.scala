@@ -17,14 +17,19 @@ import graft.Tables
   *
   * The rule set here is a curated, representative subset of the
   * publicly documented list format (normal, wildcard `*.`, exception
-  * `!` rules) — production swaps in the full published list via the
-  * same parquet artifact ([[writeSuffixArtifact]] /
-  * [[loadSuffixArtifact]]), no code change: matching is data-driven.
+  * `!` rules) — production swaps in the full published list via
+  * [[parsePslText]] (the real file format: comments, section markers,
+  * IDN punycoding) feeding the same parquet artifact
+  * ([[writeSuffixArtifact]] / [[loadSuffixArtifact]]), no code change:
+  * matching is data-driven, including the candidate explode depth,
+  * which is derived from the loaded rule table at plan time
+  * ([[maxRuleDepthOf]] — the full PSL has 5-label private rules).
   *
   * Scale shape: rules are O(10k) rows even for the full PSL →
   * BROADCAST side of every match join. Matching runs once per DISTINCT
-  * host (domains ≪ fetches), as a candidate-suffix explode (≤ 4 short
-  * strings per host) → broadcast hash join → host-keyed agg; the
+  * host (domains ≪ fetches), as a candidate-suffix explode (one short
+  * string per rule-depth level per host) → broadcast hash join →
+  * host-keyed agg; the
   * corpus-sized frame only ever joins against the finished
   * (host → registered_domain) map on an 8-byte-hashable host key.
   * Every rule is mirrored in the DuckDB oracle CTEs, so registered
@@ -47,6 +52,49 @@ object PublicSuffix {
       SuffixRule(base, base.count(_ == '.') + 2, "wildcard")
     case l =>
       SuffixRule(l, l.count(_ == '.') + 1, "normal")
+  }
+
+  /** Parse the actual published publicsuffix.org FILE format (one rule
+    * per line): blank lines and `//` comment lines — including the
+    * `===BEGIN/END ICANN|PRIVATE DOMAINS===` section markers, which
+    * are themselves comments — are skipped; each remaining line is one
+    * rule taken up to the first whitespace (the published format allows
+    * trailing commentary after a space); labels are lowercased and
+    * IDN labels punycoded via `java.net.IDN.toASCII` per label, so
+    * matching runs on the ASCII form crawl hosts actually arrive in
+    * (the published file mixes unicode rules like `рф` with ASCII).
+    * The `!`/`*.` markers survive to [[parseRule]] unchanged. */
+  private[graft] def parsePslLines(lines: Seq[String]): Seq[SuffixRule] =
+    lines.iterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.takeWhile(!_.isWhitespace))
+      .filter(_.nonEmpty)
+      .map { raw =>
+        val (marker, body) =
+          if (raw.startsWith("!")) ("!", raw.substring(1))
+          else if (raw.startsWith("*.")) ("*.", raw.substring(2))
+          else ("", raw)
+        val ascii = body.toLowerCase.split('.').filter(_.nonEmpty)
+          .map(l => if (l.forall(_ < 128)) l else java.net.IDN.toASCII(l))
+          .mkString(".")
+        parseRule(marker + ascii)
+      }
+      .toSeq
+
+  /** [[parsePslLines]] over the raw file text — the face a cluster job
+    * points at a downloaded publicsuffix.org snapshot. */
+  def parsePslText(text: String): Seq[SuffixRule] =
+    parsePslLines(text.split('\n').toSeq)
+
+  /** An arbitrary parsed rule set as the (match_key, ps_labels, kind)
+    * DataFrame every match join broadcasts — the bridge from
+    * [[parsePslText]] to [[writeSuffixArtifact]]. */
+  def rulesFrameOf(spark: SparkSession, rules: Seq[SuffixRule]): DataFrame = {
+    import spark.implicits._
+    require(rules.nonEmpty, "empty suffix rule set")
+    rules.map(r => (r.matchKey, r.psLabels, r.kind))
+      .toDF("match_key", "ps_labels", "kind")
   }
 
   /** Curated subset of the public suffix list (same line format as the
@@ -87,20 +135,45 @@ object PublicSuffix {
   def loadSuffixArtifact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Candidate-suffix explode depth for a rule table: the label count
+    * of the longest match key — a 1-row aggregate over the broadcast-
+    * sized rule table, taken ONCE as a driver scalar at plan
+    * construction (deeper candidates cannot match any rule, so the
+    * bound is exact, and deriving it from the DATA is what makes the
+    * "swap in the full published list, no code change" contract true —
+    * the real PSL carries 5-label private rules like the amazonaws
+    * suffixes that a hardcoded cap would silently never match). */
+  private[graft] def maxRuleDepthOf(rules: DataFrame): Int = {
+    val d = rules
+      .agg(max(size(split(col("match_key"), "[.]"))))
+      .head().getInt(0)
+    require(d >= 1 && d <= 16, s"unreasonable suffix rule depth: $d")
+    d
+  }
+
+  /** The same bound for a driver-resident rule seq (the oracle-CTE
+    * side, so both engines interpolate the identical literal). */
+  private[graft] def maxRuleDepthOf(rules: Seq[SuffixRule]): Int =
+    rules.map(_.matchKey.count(_ == '.') + 1).max
+
   /** (host → registered_domain) over the DISTINCT hosts of `hosts`
     * (column `host`, bare lowercase hostnames): candidate label
-    * suffixes (k = 1..4, rules are ≤ 3 labels; the full PSL needs 5)
-    * broadcast-joined against the rules, exception > longest > `*`,
-    * then registered = suffix + 1 label. A host that IS a public
-    * suffix (or a single label) clamps to itself — the ranking-grain
-    * convention (such rows are link-graph noise either way).
-    * Everything is narrow expressions around one broadcast join and
-    * one host-keyed agg. */
-  def registeredDomainMapOf(hosts: DataFrame, rules: DataFrame): DataFrame =
-    hosts.select(col("host")).distinct()
+    * suffixes (k = 1..[[maxRuleDepthOf]], derived from the rule table
+    * at plan time) broadcast-joined against the rules, exception >
+    * longest > `*`, then registered = suffix + 1 label. A host that IS
+    * a public suffix (or a single label) clamps to itself — the
+    * ranking-grain convention (such rows are link-graph noise either
+    * way); a DEGENERATE host with zero labels (empty, dots-only —
+    * routine in crawl data) maps to itself instead of crashing the
+    * explode (`slice` with start 0 throws). Everything is narrow
+    * expressions around one broadcast join and one host-keyed agg. */
+  def registeredDomainMapOf(hosts: DataFrame, rules: DataFrame): DataFrame = {
+    val maxK = maxRuleDepthOf(rules)
+    val base = hosts.select(col("host")).distinct()
       .withColumn("ws", expr("filter(split(host, '[.]'), x -> x <> '')"))
       .withColumn("n", size(col("ws")))
-      .withColumn("k", explode(expr("sequence(1, least(n, 4))")))
+    val matched = base.filter(col("n") >= 1)
+      .withColumn("k", explode(expr(s"sequence(1, least(n, $maxK))")))
       .withColumn("cand", expr("array_join(slice(ws, n - k + 1, k), '.')"))
       .join(broadcast(rules), col("cand") === rules("match_key"), "left")
       .groupBy(col("host"))
@@ -113,6 +186,9 @@ object PublicSuffix {
       .select(col("host"),
         expr("array_join(slice(ws, size(ws) - reg_n + 1, reg_n), '.')")
           .as("registered_domain"))
+    matched.unionByName(base.filter(col("n") < 1)
+      .select(col("host"), col("host").as("registered_domain")))
+  }
 
   /** Adds `registered_domain` next to `hostCol` on an arbitrary frame:
     * the match runs on the distinct-host map (domains ≪ rows), the
@@ -193,6 +269,17 @@ object PublicSuffix {
       registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)))
       .orderBy(col("node"))
 
+  /** [[GraphOps.hyperBallHarmonicOf]] over the SAME registered-grain
+    * graph — the scale path for the published grain, where
+    * [[registeredHarmonic]] is the declared-quadratic exact baseline
+    * (the similarity_topk_brute / IVF-PQ pairing, at graph grain).
+    * Approximate by construction (HLL registers) → no-oracle row; the
+    * error-vs-exact bound at registered grain is spec-pinned. */
+  def registeredHarmonicHyperball(s: SparkSession, d: String): DataFrame =
+    GraphOps.hyperBallHarmonicOf(
+      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)))
+      .orderBy(col("node"))
+
   /** The fixture pages in DuckDB syntax. */
   // NOTE: this block is interpolated into further stripMargin strings,
   // so no line may BEGIN with '|' (a leading '||' would lose one pipe
@@ -223,14 +310,18 @@ object PublicSuffix {
   /** The match algorithm as DuckDB CTEs: expects a `hosts` CTE with a
     * `host` column, emits a `regmap` CTE carrying
     * (host, registered_domain) — the one oracle-side mirror of
-    * [[registeredDomainMapOf]]. */
+    * [[registeredDomainMapOf]]. The candidate depth is derived from
+    * the SAME Scala rule set the Spark side broadcasts, so the two
+    * engines interpolate the identical bound. The fixture link graph
+    * only produces ≥1-label hosts, so the degenerate-host branch has
+    * no oracle-side mirror (it is spec-pinned instead). */
   private def regMapCtesSql: String =
     s"""rules(match_key, ps_labels, kind) AS (VALUES $rulesValuesSql),
        |hw AS (SELECT host,
        |    list_filter(string_split(host, '.'), x -> x <> '') AS ws FROM hosts),
        |hn AS (SELECT host, ws, len(ws) AS n FROM hw),
        |ck AS (SELECT host, ws, n,
-       |    unnest(generate_series(1, least(n, 4))) AS k FROM hn),
+       |    unnest(generate_series(1, least(n, ${maxRuleDepthOf(defaultRules)}))) AS k FROM hn),
        |cand AS (SELECT host, n,
        |    array_to_string(list_slice(ws, n - k + 1, n), '.') AS c FROM ck),
        |m AS (SELECT cand.host, max(cand.n) AS n,
@@ -301,6 +392,9 @@ object PublicSuffix {
     "registered_link_graph" -> (registeredLinkGraph _),
     "registered_domain_rank" -> (registeredDomainRank _),
     "registered_harmonic" -> (registeredHarmonic _),
+    // approximate by construction (HLL registers) → no oracle row;
+    // error-vs-exact at registered grain pinned in PublicSuffixSpec
+    "registered_harmonic_hyperball" -> (registeredHarmonicHyperball _),
   )
 
   val oracles: Map[String, String] = Map(

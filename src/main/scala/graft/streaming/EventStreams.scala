@@ -238,7 +238,17 @@ object EventStreams {
     * page stays fetched. Within a micro-batch the lowest doc_id wins
     * (the batch keeper convention). Output keeps
     * (doc_id, url, canonical_url) so downstream stages key on the
-    * canonical form without recomputing it. */
+    * canonical form without recomputing it.
+    *
+    * UPGRADE NOTE: the state key changed from the 60-bit hash (Long) to
+    * the canonical string in an earlier revision. Structured Streaming
+    * validates the state-store key schema on restart, so a checkpoint
+    * written by the hash-keyed version CANNOT resume under this one —
+    * and for a LIFETIME gate there is no safe in-place migration
+    * (discarding the checkpoint re-admits every URL ever seen).
+    * Upgrading means a fresh checkpoint AND a fresh output root, with
+    * the old output retired or reconciled downstream; the same applies
+    * to [[crawlIngestStream]], which shares the keying. */
   def streamingUrlDedup(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame): DataFrame = {
     import spark.implicits._

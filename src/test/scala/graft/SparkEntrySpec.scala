@@ -23,6 +23,26 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == all.size)
   }
 
+  test("SURVEY ledger line matches the code surface (no count drift)") {
+    // the machine-readable line in SURVEY.md §17 is asserted against
+    // the actual query maps, so a query can never land without the
+    // recorded counts moving (the structural fix for three rounds of
+    // closing-number drift). Tests run from the repo root.
+    val src = scala.io.Source.fromFile("SURVEY.md")
+    val lines = try src.getLines().toSeq finally src.close()
+    val pat = """LEDGER: queries=(\d+) oracle=(\d+) no_oracle=(\d+)""".r
+    val found = lines.flatMap(l => pat.findFirstMatchIn(l))
+    assert(found.nonEmpty, "SURVEY.md has no 'LEDGER: queries=...' line")
+    val m = found.last
+    val (q, o) = (SparkEntry.queries.size, SparkEntry.oracleSql.size)
+    assert(m.group(1).toInt == q,
+      s"SURVEY ledger says ${m.group(1)} queries, code has $q — update SURVEY.md §17")
+    assert(m.group(2).toInt == o,
+      s"SURVEY ledger says ${m.group(2)} oracle rows, code has $o — update SURVEY.md §17")
+    assert(m.group(3).toInt == q - o,
+      s"SURVEY ledger says ${m.group(3)} no-oracle rows, code has ${q - o} — update SURVEY.md §17")
+  }
+
   test("every oracle key has a query; oracle SQL is placeholder-free") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // `::x::` is a binder placeholder; bare `::TYPE` is DuckDB cast syntax

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Standalone contract of the HyperBall register-merge Aggregator:
+  * element-wise max semantics, the zero-buffer identity, the in-place
+  * mutation contract (buffer mutated, INPUT never), signed-byte range
+  * behavior (registers are HLL run lengths ≤ 61 so the signed compare
+  * is exact), and the malformed-length guard. Driver-side only — the
+  * distributed path is pinned by the hyperball partition-invariance
+  * spec in GraphOpsSpec. */
+class ByteMaxAggSpec extends AnyFunSuite {
+
+  test("zero buffer merged with any input yields the input (HLL empty-register identity)") {
+    val agg = ByteMaxAgg(4)
+    val x = Array[Byte](3, 0, 61, 7)
+    assert(agg.reduce(agg.zero, x).toSeq == Seq[Byte](3, 0, 61, 7))
+  }
+
+  test("element-wise max; associative and commutative across merge orders") {
+    val agg = ByteMaxAgg(4)
+    def a = Array[Byte](5, 1, 0, 9)
+    def b = Array[Byte](2, 8, 3, 9)
+    def c = Array[Byte](7, 0, 1, 1)
+    val lr = agg.merge(agg.merge(a, b), c).toSeq
+    val rl = agg.merge(a, agg.merge(b, c)).toSeq
+    val cb = agg.merge(c, agg.merge(b, a)).toSeq
+    assert(lr == Seq[Byte](7, 8, 3, 9))
+    assert(rl == lr && cb == lr)
+  }
+
+  test("reduce mutates the BUFFER in place and never the input") {
+    val agg = ByteMaxAgg(3)
+    val buf = Array[Byte](1, 5, 2)
+    val x = Array[Byte](4, 3, 2)
+    val out = agg.reduce(buf, x)
+    assert(out eq buf, "reduce must return the (mutated) buffer")
+    assert(buf.toSeq == Seq[Byte](4, 5, 2))
+    assert(x.toSeq == Seq[Byte](4, 3, 2), "input must be untouched")
+  }
+
+  test("register values stay in the signed-positive range by contract (rho <= 61)") {
+    // the producers emit rho in [1, 61]; the signed compare is exact
+    // there. This pins the DOCUMENTED range, not a masking trick.
+    val agg = ByteMaxAgg(2)
+    val hi = agg.reduce(Array[Byte](61, 0), Array[Byte](60, 61))
+    assert(hi.toSeq == Seq[Byte](61, 61))
+  }
+
+  test("malformed input or buffer length fails with a diagnosable message, not AIOOBE") {
+    val agg = ByteMaxAgg(4)
+    val short = Array[Byte](1, 2)
+    val e1 = intercept[IllegalArgumentException](agg.reduce(agg.zero, short))
+    assert(e1.getMessage.contains("length 2"))
+    val e2 = intercept[IllegalArgumentException](agg.reduce(short, agg.zero))
+    assert(e2.getMessage.contains("length 2"))
+  }
+
+  test("finish is identity; unreasonable register counts are rejected at construction") {
+    val agg = ByteMaxAgg(2)
+    val b = Array[Byte](9, 1)
+    assert(agg.finish(b) eq b)
+    intercept[IllegalArgumentException](ByteMaxAgg(0))
+    intercept[IllegalArgumentException](ByteMaxAgg(8192))
+  }
+}

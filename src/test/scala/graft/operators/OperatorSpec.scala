@@ -1213,6 +1213,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"tokenize shuffled:\n$plan")
   }
 
+  test("wordpiece big-vocab path: equal to the expression path; 30k-piece vocab runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join spark the part"),
+      (2L, "stream order small"),
+      (3L, ""),
+      (4L, "the querys a joins")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // 1) exact equality of the two paths on the fixture vocab
+    assert(rows(Bpe.wordpieceTokenizeBigOf(docs, Bpe.fixtureVocab)) ==
+      rows(Bpe.wordpieceTokenizeExprOf(docs, Bpe.fixtureVocab)))
+    // 2) the dispatcher switches: a vocab past exprVocabMax still
+    // tokenizes correctly (and in seconds, not the compiled-expression
+    // path's O(|vocab|)-per-probe blowup). 30k junk pieces bury the
+    // real ones; junk includes LONG pieces so maxLen stress-tests the
+    // longest-first probe loop.
+    val bigVocab = Bpe.fixtureVocab ++
+      (1 to 30000).map(i => s"zzqx$i") ++ Seq("##zzzzlongpiecezzzz")
+    assert(bigVocab.size > Bpe.exprVocabMax)
+    val got = rows(Bpe.wordpieceTokenizeOf(docs, bigVocab))
+    assert(got == rows(Bpe.wordpieceTokenizeExprOf(docs, Bpe.fixtureVocab)),
+      s"big-vocab dispatch diverged: $got")
+  }
+
   test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {
     import spark.implicits._
     val good = "one two three four five six seven eight."

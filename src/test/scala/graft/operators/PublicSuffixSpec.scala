@@ -78,6 +78,126 @@ class PublicSuffixSpec extends SparkSpec {
       3L -> "example.co.uk"))
   }
 
+  test("degenerate zero-label hosts (empty, dots-only) map to themselves instead of crashing") {
+    val got = regOf(Seq("", ".", "..", "www.example.com"))
+    assert(got("") == "")
+    assert(got(".") == ".")
+    assert(got("..") == "..")
+    assert(got("www.example.com") == "example.com")
+  }
+
+  test("PSL file-format parser: comments, sections, markers, whitespace, IDN punycode") {
+    val snapshot =
+      """// This is a comment describing the list.
+        |
+        |// ===BEGIN ICANN DOMAINS===
+        |com
+        |uk
+        |co.uk
+        |jp
+        |// Kawasaki's city block, per the published list:
+        |*.kawasaki.jp
+        |!city.kawasaki.jp
+        |рф
+        |// ===END ICANN DOMAINS===
+        |// ===BEGIN PRIVATE DOMAINS===
+        |s3.amazonaws.com
+        |s3.cn-north-1.amazonaws.com.cn
+        |// ===END PRIVATE DOMAINS===
+        |""".stripMargin
+    val rules = PublicSuffix.parsePslText(snapshot)
+    val keys = rules.map(r => r.matchKey -> r.kind).toMap
+    assert(rules.size == 9, s"got ${rules.size}: $rules")
+    assert(keys("com") == "normal")
+    assert(keys("kawasaki.jp") == "wildcard")
+    assert(keys("city.kawasaki.jp") == "exception")
+    assert(keys("xn--p1ai") == "normal") // рф punycoded
+    assert(keys("s3.cn-north-1.amazonaws.com.cn") == "normal")
+    assert(PublicSuffix.maxRuleDepthOf(rules) == 5)
+  }
+
+  test("full-list path: 4- and 5-label rules match (the candidate depth is rule-derived)") {
+    import spark.implicits._
+    val rules = PublicSuffix.rulesFrameOf(spark, PublicSuffix.parsePslText(
+      """com
+        |cn
+        |com.cn
+        |jp
+        |*.kawasaki.jp
+        |!city.kawasaki.jp
+        |s3.amazonaws.com
+        |s3.cn-north-1.amazonaws.com.cn
+        |""".stripMargin))
+    assert(PublicSuffix.maxRuleDepthOf(rules) == 5)
+    val got = PublicSuffix.registeredDomainMapOf(
+      Seq("bucket.s3.cn-north-1.amazonaws.com.cn",     // 5-label private suffix
+        "foo.bucket.s3.cn-north-1.amazonaws.com.cn",   // one below it
+        "bucket.s3.amazonaws.com",                     // 3-label private suffix
+        "a.b.kawasaki.jp",                             // wildcard: ps = b.kawasaki.jp
+        "www.city.kawasaki.jp",                        // exception: ps = kawasaki.jp
+        "shop.example.com.cn",                         // plain multi-label
+        "www.example.com").toDF("host"), rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("bucket.s3.cn-north-1.amazonaws.com.cn")
+      == "bucket.s3.cn-north-1.amazonaws.com.cn")
+    assert(got("foo.bucket.s3.cn-north-1.amazonaws.com.cn")
+      == "bucket.s3.cn-north-1.amazonaws.com.cn")
+    assert(got("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+    assert(got("a.b.kawasaki.jp") == "a.b.kawasaki.jp")
+    assert(got("www.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(got("shop.example.com.cn") == "example.com.cn")
+    assert(got("www.example.com") == "example.com")
+  }
+
+  test("parsed full-list rules round-trip through the parquet artifact unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-psl-full").toString
+    val rules = PublicSuffix.parsePslText(
+      "com\ncn\ncom.cn\ns3.cn-north-1.amazonaws.com.cn\n")
+    PublicSuffix.rulesFrameOf(spark, rules)
+      .repartition(1).write.mode("overwrite").parquet(s"$tmp/psl")
+    val loaded = PublicSuffix.loadSuffixArtifact(spark, s"$tmp/psl")
+    import spark.implicits._
+    val hosts = Seq("bucket.s3.cn-north-1.amazonaws.com.cn",
+      "shop.example.com.cn").toDF("host")
+    val got = PublicSuffix.registeredDomainMapOf(hosts, loaded)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("bucket.s3.cn-north-1.amazonaws.com.cn")
+      == "bucket.s3.cn-north-1.amazonaws.com.cn")
+    assert(got("shop.example.com.cn") == "example.com.cn")
+  }
+
+  test("registered-grain hyperball tracks the exact registered harmonic within HLL error") {
+    import spark.implicits._
+    // multi-hop registered-grain graph: a 6-brand ring (brand_j ->
+    // brand_{j+1}) plus every brand -> hub.com, built from pages whose
+    // subdomains differ per row so only the registered collapse sees
+    // the ring — the same fixture logic as the oracle-gated queries,
+    // small enough for the quadratic exact baseline
+    val pages = (0 until 6).flatMap { j =>
+      Seq((s"https://sub$j.brand$j.co.uk/p",
+        s"""<a href="https://www.brand${(j + 1) % 6}.co.uk/n">r</a>""" +
+          """<a href="https://cdn.hub.com/h">h</a>"""),
+        (s"https://other$j.brand$j.co.uk/q",
+          s"""<a href="https://x.brand${(j + 1) % 6}.co.uk/m">r2</a>"""))
+    }.toDF("url", "text")
+    val g = PublicSuffix
+      .registeredLinkGraphOf(pages, PublicSuffix.suffixRules(spark))
+      .localCheckpoint()
+    val exact = GraphOps.harmonicExactOf(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hb = GraphOps.hyperBallHarmonicOf(g)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == hb.keySet)
+    // hub.com is reachable from every brand at multi-hop distances —
+    // the graph genuinely exercises distance decay, not just in-degree
+    assert(exact("hub.com") > exact("brand0.co.uk"))
+    for ((v, ex) <- exact if ex > 0) {
+      val rel = math.abs(hb(v) - ex).toDouble / ex
+      assert(rel <= 0.40, s"$v: hyperball ${hb(v)} vs exact $ex (rel $rel)")
+    }
+    assert(hb.maxBy(_._2)._1 == exact.maxBy(_._2)._1)
+  }
+
   test("registered link graph collapses subdomains and drops intra-registered-domain links") {
     import spark.implicits._
     val pages = Seq(
