@@ -558,15 +558,33 @@ object GraphOps {
     * one component; a mirror family shares one): direction dropped,
     * then the SAME large-star/small-star contraction the dedup
     * clusters use (log-round convergence, skew-tolerant map-side-
-    * combined minimums — Dedup.clustersOf works on any ordered key
-    * type, so the string node names feed it directly, no id
-    * assignment). Returns (node, component) with component = the
-    * lexicographic minimum node of the component — deterministic,
-    * engine-portable labels. */
+    * combined minimums). Node names are DICTIONARY-ENCODED to dense
+    * longs before contraction and decoded after: ids are assigned as
+    * lexicographic ranks (one range-sort + zipWithIndex — global index
+    * = rank in the total order regardless of partition boundaries), so
+    * min-id corresponds exactly to min-string and the decoded labels
+    * are bit-identical to contracting on strings — but every
+    * contraction round's shuffle now carries 8-byte labels instead of
+    * full hostnames (at 1e8+ nodes, roughly half the round payload).
+    * Returns (node, component) with component = the lexicographic
+    * minimum node of the component — deterministic, engine-portable
+    * labels. */
   def componentsOf(edges: DataFrame): DataFrame = {
     val e = normalizedEdges(edges)
-    Dedup.clustersOf(e.select(col("src").as("i"), col("dst").as("j")))
-      .select(col("doc_id").as("node"), col("cluster").as("component"))
+    val spark = e.sparkSession
+    import spark.implicits._
+    val dict = nodesOf(e).orderBy(col("node")).rdd.zipWithIndex()
+      .map { case (r, i) => (r.getString(0), i) }
+      .toDF("node", "nid").localCheckpoint()
+    val enc = e
+      .join(dict.select(col("node").as("src"), col("nid").as("i")), Seq("src"))
+      .join(dict.select(col("node").as("dst"), col("nid").as("j")), Seq("dst"))
+      .select(col("i"), col("j"))
+    Dedup.clustersOf(enc)
+      .join(dict.select(col("nid").as("doc_id"), col("node")), Seq("doc_id"))
+      .join(dict.select(col("nid").as("cluster"),
+        col("node").as("component")), Seq("cluster"))
+      .select(col("node"), col("component"))
   }
 
   /** Fixture: the 20 source domains as FOUR disjoint 5-node rings

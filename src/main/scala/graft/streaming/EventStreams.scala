@@ -288,10 +288,22 @@ object EventStreams {
     * Output: (doc_id, canonical_url, text, n_chars) — clean text, the
     * shape text-level dedup and quality streams consume next. */
   def crawlIngestStream(spark: org.apache.spark.sql.SparkSession,
-                        docs: DataFrame, minWords: Int = 5): DataFrame = {
+                        docs: DataFrame, minWords: Int = 5): DataFrame =
+    graft.operators.TextAnalysis.htmlExtractOf(admitOnceStream(spark, docs))
+      .filter(size(split(col("text"), " ")) >= minWords)
+
+  /** The shared admit-once front of the crawl streams: canonicalize →
+    * lifetime URL-keyed gate → the keeper's RAW page body. Output
+    * (doc_id, canonical_url, text) with `text` still the raw HTML —
+    * [[crawlIngestStream]] extracts text from it, [[crawlGraphIngest]]
+    * extracts link edges. The state key and payload are IDENTICAL to
+    * crawlIngestStream's pre-refactor state (canonical string →
+    * SeenContent marker), so existing checkpoints resume. */
+  private[streaming] def admitOnceStream(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
-    val admitted = graft.operators.UrlOps.canonicalUrlOf(docs)
+    graft.operators.UrlOps.canonicalUrlOf(docs)
       .select(col("doc_id"), col("canonical_url"), col("text"))
       .as[(Long, String, String)]
       // state keyed on the canonical STRING, not hash60 — see
@@ -315,8 +327,53 @@ object EventStreams {
           }
       }
       .toDF("doc_id", "canonical_url", "text")
-    graft.operators.TextAnalysis.htmlExtractOf(admitted)
-      .filter(size(split(col("text"), " ")) >= minWords)
+  }
+
+  /** Incremental crawl-graph maintenance — the one streaming face the
+    * graph family lacked: per micro-batch, the host-grain link edges
+    * of the ADMITTED pages ([[graft.operators.UrlOps.linkGraphOf]]
+    * over the raw bodies, src = the canonical URL's host) land as a
+    * committed append under `edgeRoot` through the
+    * [[CommittedBatchSink]] discipline — crash-safe, replay-
+    * idempotent, exactly-once end to end. Edges, never page bodies,
+    * hit the artifact; re-ranking reads the committed union
+    * ([[readCrawlEdges]]) and runs the ordinary batch
+    * `GraphOps.pageRankOf` / `harmonicExactOf` — the spec pins that
+    * the incremental rank equals the all-at-once batch recompute
+    * bit-for-bit (pageRankOf's distinct-edges normalization makes the
+    * append-level duplicates harmless). */
+  def crawlGraphIngest(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, edgeRoot: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    admitOnceStream(spark, docs)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val edges = graft.operators.UrlOps.linkGraphOf(
+          batch.select(col("canonical_url").as("url"), col("text")))
+        CommittedBatchSink.commitBatch(edgeRoot, tag, batchId,
+          empty = batch.isEmpty,
+          write = dir => edges.write.mode("overwrite")
+            .parquet(dir.resolve("edges").toString)): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The committed crawl-edge union under `edgeRoot` — distinct
+    * (src, dst) across all committed appends (marker-scan reader;
+    * marker-only empty-batch dirs are skipped). Feed to pageRankOf /
+    * harmonicExactOf / componentsOf for the re-rank. */
+  def readCrawlEdges(spark: org.apache.spark.sql.SparkSession,
+                     edgeRoot: String): DataFrame = {
+    import spark.implicits._
+    val dirs = CommittedBatchSink.committedDirs(edgeRoot)
+      .map(_.resolve("edges"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+      .map(_.toString)
+    if (dirs.isEmpty)
+      Seq.empty[(String, String)].toDF("src", "dst")
+    else spark.read.parquet(dirs: _*).select(col("src"), col("dst")).distinct()
   }
 
   /** The 32-bit simhash as a fully narrow fold expression — bit-for-bit

@@ -164,6 +164,23 @@ class SkewStressSpec extends SparkSpec {
       s"control not separated: naive ${naive.max} vs round ${round.max}")
   }
 
+  test("componentsOf: dictionary-encoded contraction absorbs a 20k-leaf hub") {
+    import graft.operators.GraphOps
+    // one hub with 20k leaves — the star shape large-star/small-star
+    // contraction exists for; with the round-11 dictionary encoding the
+    // rounds shuffle dense longs, and the hub key still combines
+    // map-side inside the min-label aggregation
+    def starEdges = spark.range(20000).select(
+      concat(lit("s"), col("id")).as("src"), lit("hub").as("dst"))
+    val labels = GraphOps.componentsOf(starEdges)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(labels.length == 20001)
+    assert(labels.forall(_._2 == "hub"), "star must collapse to min label 'hub'")
+    val run = dominantStageReads(GraphOps.componentsOf(starEdges).count(): Unit)
+    assert(run.size > 1 && maxOverMedian(run) <= 3.0,
+      s"components imbalance ${maxOverMedian(run)}x: $run")
+  }
+
   test("weighted pageRank round: a weight-skewed hub keeps combine-side balance") {
     import graft.operators.GraphOps
     // the weighted stress doubles the unweighted one: every source

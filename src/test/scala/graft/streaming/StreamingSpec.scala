@@ -382,6 +382,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3, r._4)) == batch)
   }
 
+  test("crawl-graph ingest: committed edge appends; incremental rank equals batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cgraph_ckpt").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_cgraph_edges").toString
+    def page(links: String*) =
+      "<html><body>" + links.map(l => s"""<a href="$l">x</a>""").mkString + "</body></html>"
+    val in = MemoryStream[(Long, String, String)]
+    def start() = EventStreams.crawlGraphIngest(spark,
+      in.toDF().toDF("doc_id", "url", "text"), root, ckpt)
+    val q1 = start()
+    in.addData(
+      (1L, "https://a.com/p1", page("https://b.com/x", "https://c.com/y")),
+      (2L, "https://b.com/p1", page("https://c.com/z")))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData(
+      // duplicate canonical URL from before the restart: admit-once
+      // must drop it, so its d.com edge never reaches the artifact
+      (3L, "https://a.com/p1", page("https://d.com/no")),
+      (4L, "https://c.com/p1", page("https://a.com/back")),
+      (5L, "https://d.com/p1", page("https://a.com/in")))
+    q2.processAllAvailable(); q2.stop()
+    // committed union = exactly the admitted pages' edges
+    val edges = EventStreams.readCrawlEdges(spark, root)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(("a.com", "b.com"), ("a.com", "c.com"),
+      ("b.com", "c.com"), ("c.com", "a.com"), ("d.com", "a.com")),
+      s"edge artifact wrong: $edges")
+    // incremental re-rank == all-at-once batch recompute, bit for bit
+    val inc = graft.operators.GraphOps.pageRankOf(
+      EventStreams.readCrawlEdges(spark, root), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.operators.GraphOps.pageRankOf(
+      graft.operators.UrlOps.linkGraphOf(Seq(
+        ("https://a.com/p1", page("https://b.com/x", "https://c.com/y")),
+        ("https://b.com/p1", page("https://c.com/z")),
+        ("https://c.com/p1", page("https://a.com/back")),
+        ("https://d.com/p1", page("https://a.com/in"))).toDF("url", "text")),
+      iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inc == batch, s"incremental $inc vs batch $batch")
+    // an empty artifact root reads as an empty edge frame, not an error
+    val emptyRoot = java.nio.file.Files.createTempDirectory("graft_cgraph_none").toString
+    assert(EventStreams.readCrawlEdges(spark, emptyRoot).count() == 0)
+  }
+
   test("streaming text dedup admits each content once, lowest doc_id wins, survives restart") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
