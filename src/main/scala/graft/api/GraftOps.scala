@@ -111,15 +111,17 @@ object GraftOps {
     Similarity.ivfTopkOf(embeddings.sparkSession, embeddings, isQuery,
       resolveCells(embeddings, nCells, targetCellSize, floor = 16), nProbe)
 
-  /** IVF-PQ approximate top-k: coarse cells + product-quantized codes
-    * (m bytes/vector) ranked by ADC, exact re-rank of the shortlist.
-    * Defaults mirror the tuned operator (nProbe=6, rerank=96, spill=2 —
-    * the measured 0.85-recall operating point); with spill replication
-    * a shallower rerank starves the unique-candidate depth.
-    * `nCells <= 0` (default) scales with the corpus. */
+  /** IVF-PQ approximate top-k: coarse cells + product-quantized
+    * RESIDUAL codes (m bytes/vector, encoded against each vector's
+    * coarse centroid — Jégou 2011 §III) ranked by ADC, exact re-rank
+    * of the shortlist. Defaults mirror the tuned operator (nProbe=8,
+    * ksub=32, rerank=96, spill=2 — the measured 0.90-recall operating
+    * point); with spill replication a shallower rerank starves the
+    * unique-candidate depth. `nCells <= 0` (default) scales with the
+    * corpus. */
   def ivfpqTopK(embeddings: DataFrame, isQuery: Column,
-                nCells: Int = 0, nProbe: Int = 6,
-                m: Int = 8, ksub: Int = 16, rerank: Int = 96,
+                nCells: Int = 0, nProbe: Int = 8,
+                m: Int = 8, ksub: Int = 32, rerank: Int = 96,
                 spill: Int = 2, targetCellSize: Int = 256): DataFrame =
     Similarity.ivfpqTopkOf(embeddings.sparkSession, embeddings, isQuery,
       resolveCells(embeddings, nCells, targetCellSize, floor = 16),
@@ -663,7 +665,7 @@ object GraftOps {
     * vectors would put 6·10⁷ vectors behind every probe — geometry is
     * a function of corpus size, not a constant. */
   def ivfpqTrain(embeddings: DataFrame, nCells: Int = 0, m: Int = 8,
-                 ksub: Int = 16, spill: Int = 2,
+                 ksub: Int = 32, spill: Int = 2,
                  targetCellSize: Int = 256): Similarity.IvfpqIndex = {
     val s = embeddings.sparkSession
     Similarity.ivfpqTrainOf(s, Similarity.ivfpqPrep(s, embeddings),
@@ -677,7 +679,7 @@ object GraftOps {
     * issuing many queries over one session can `.cache()` the corpus
     * frame itself. */
   def ivfpqQuery(index: Similarity.IvfpqIndex, embeddings: DataFrame,
-                 isQuery: Column, nProbe: Int = 6,
+                 isQuery: Column, nProbe: Int = 8,
                  rerank: Int = 96): DataFrame = {
     val s = embeddings.sparkSession
     Similarity.ivfpqQueryOf(s, Similarity.ivfpqPrepLazy(s, embeddings), index,

@@ -270,14 +270,19 @@ object Similarity {
     ivfpqTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
       .orderBy(col("qid"), col("rk"))
 
-  /** nProbe defaults wider than exact-IVF's (6 vs 4): PQ compression
+  /** nProbe defaults wider than exact-IVF's (8 vs 4): PQ compression
     * noise means the shortlist needs more cells to reach the same
     * recall. Defaults are the measured knee on the test corpus
-    * (recall@5 vs bruteTopk, sf0.001, deterministic): Lloyd-refined
+    * (recall@5 vs bruteTopk, sf0.001, deterministic): RESIDUAL codes
+    * (Jégou 2011 §III — see ivfpqTrainOf) + ksub=32 + Lloyd-refined
     * cells + spill=2 raise the probe CEILING (unbounded shortlist) to
-    * 0.93, and rerank=96 lands 0.85 — vs 0.69 for the r06
-    * raw-seed/spill=1/rerank=48 configuration. The shortlist depth is
-    * the remaining gap: ADC ranks on 8-byte codes, and a deeper exact
+    * 0.95, and rerank=96 lands 0.90 — vs 0.85 for the r10 raw-vector
+    * ksub=16 codes and 0.69 for the r06 raw-seed/spill=1/rerank=48
+    * configuration. ksub=32 spends 5 of the 8 bits each code byte
+    * already budgets (ksub=16 wasted half the byte); the encode cost
+    * is 2× the r10 constant, query cost is unchanged (ADC is
+    * per-candidate O(m) either way). The shortlist depth is the
+    * remaining gap: ADC ranks on 8-byte codes, and a deeper exact
     * re-rank recovers more of what the probed cells admit
     * (OperatorSpec prints the rerank→recall curve). */
   /** Trained IVF-PQ index state: coarse cells (id, centroid, norm),
@@ -297,20 +302,28 @@ object Similarity {
     * ||cb||^2 - 2 v_s . cb so the inner loop is the codegen'd vec_dot.
     * The codebook rides as a literal column ("cb"/"cbn") so the expr
     * string can reference it; it folds to a plan Literal, not per-row
-    * state. */
+    * state. The vector slice is hoisted to once per SUBSPACE and the
+    * distance table materializes once per subspace before the argmin —
+    * higher-order lambdas get no common-subexpression elimination, so
+    * slicing inside the codeword lambda would re-allocate the
+    * subvector ksub times, and writing the distance transform twice
+    * (argmin + position) would evaluate every vec_dot twice; at
+    * ksub=32 those two wastes are the encode pass's whole budget.
+    * Ties keep the lowest code (array_position returns the first
+    * match). */
   private def pqEncode(df: DataFrame, cb: Seq[Seq[Float]],
                        m: Int, ksub: Int, sub: Int): DataFrame = {
-    val dist = s"""element_at(cbn, s * $ksub + c + 1)
-      | - 2.0D * vec_dot(slice(embedding, s * $sub + 1, $sub),
-      |                  element_at(cb, s * $ksub + c + 1))""".stripMargin
+    val dist = s"""element_at(cbn, sv.s * $ksub + c + 1)
+      | - 2.0D * vec_dot(sv.v, element_at(cb, sv.s * $ksub + c + 1))""".stripMargin
     df.withColumn("cb", typedlit(cb))
       .withColumn("cbn", typedlit(cb.map(v => v.map(x => x.toDouble * x).sum)))
       .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  CAST(array_position(
-           |    transform(sequence(0, ${ksub - 1}), c -> $dist),
-           |    array_min(transform(sequence(0, ${ksub - 1}), c -> $dist))
-           |  ) AS INT) - 1)""".stripMargin))
+        s"""transform(
+           |  transform(
+           |    transform(sequence(0, ${m - 1}), s ->
+           |      struct(s AS s, slice(embedding, s * $sub + 1, $sub) AS v)),
+           |    sv -> transform(sequence(0, ${ksub - 1}), c -> $dist)),
+           |  ds -> CAST(array_position(ds, array_min(ds)) AS INT) - 1)""".stripMargin))
       .drop("cb", "cbn")
   }
 
@@ -331,35 +344,71 @@ object Similarity {
   /** Training half: seed + Lloyd-refine the PQ codebook, refine the
     * coarse quantizer, encode the corpus. See ivfpqTopk scaladoc for
     * the full design narrative. */
+  /** The per-(vector, assigned-cell) RESIDUAL frame — (vec_id,
+    * cluster, embedding = v − centroid(cluster)) — the quantity the PQ
+    * codebook actually encodes (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search", §III: residuals
+    * concentrate around the origin, so the same bits/vector spend
+    * their resolution on the informative part; non-residual PQ wastes
+    * codewords re-describing the coarse structure the cell id already
+    * carries). A vector indexed under `spill` cells has one residual
+    * — and one code — PER cell. Narrow: one centroid-map literal
+    * lookup + one zip_with per row. */
+  private def residualsOf(e: DataFrame, coarse: Seq[(Int, Seq[Float], Double)],
+                          asg: DataFrame): DataFrame =
+    e.join(asg, Seq("vec_id"))
+      .withColumn("cm", typedlit(coarse.map(c => c._1 -> c._2).toMap))
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(embedding, element_at(cm, cluster), " +
+          "(x, c) -> CAST(x - c AS FLOAT))").as("embedding"))
+
   private[graft] def ivfpqTrainOf(s: SparkSession, e: DataFrame,
                                   nCells: Int = 16, m: Int = 8,
-                                  ksub: Int = 16, spill: Int = 2): IvfpqIndex = {
-    // per-subspace seed codebook from the ksub hash-lowest ids' slices
-    // (one TakeOrdered feeds all subspaces; decorrelation comes from the
-    // Lloyd pass, not the seeds)
-    val seedVecs: Seq[Seq[Float]] = e
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(Portable.hash60(concat(lit("pq:"), col("vec_id").cast("string"))),
-        col("vec_id"))
-      .limit(ksub)
-      .collect().toSeq.map(_.getSeq[Float](1))
-    require(seedVecs.size == ksub,
-      s"IVF-PQ training needs at least ksub=$ksub vectors to seed the " +
-        s"codebook; the corpus has only ${seedVecs.size}")
+                                  ksub: Int = 32, spill: Int = 2): IvfpqIndex = {
     // dim comes from the data, is persisted in the index meta, and
     // drives every slice/probe downstream — a 128-dim corpus must not
     // be silently encoded by its first 64 floats
-    val dim = seedVecs.head.size
+    val dim = e.select(col("embedding")).limit(1)
+      .collect().headOption
+      .map(_.getSeq[Float](0).size)
+      .getOrElse(throw new IllegalArgumentException(
+        "IVF-PQ training over an empty corpus"))
     require(dim % m == 0,
       s"embedding dim $dim must be divisible by the PQ subspace count m=$m")
     val sub = dim / m
+    // coarse quantizer FIRST (the codebook encodes residuals against
+    // it): hash-picked seeds + Lloyd refinement (cell = cosine-nearest
+    // seed, refined centroid = the cell's elementwise mean) — the same
+    // refinement exact-IVF applies. The r06 formulation probed RAW
+    // seed vectors, which capped the probe ceiling: seeds are
+    // arbitrary corpus points, so true neighbors straddle cell
+    // boundaries far more often than around mean-centered cells.
+    val coarse = refineCoarse(e, nCells)
+    // residuals per (vector, assigned cell) — the training set AND the
+    // encode input; checkpointed once, every pass below reads it
+    val res = residualsOf(e, coarse, assignCells(e, coarse, spill))
+      .localCheckpoint()
+    // per-subspace seed codebook from the ksub hash-lowest residual
+    // rows' slices (one TakeOrdered feeds all subspaces; decorrelation
+    // comes from the Lloyd pass, not the seeds)
+    val seedVecs: Seq[Seq[Float]] = res
+      .orderBy(Portable.hash60(concat(lit("pq:"), col("vec_id").cast("string"),
+        lit(":"), col("cluster").cast("string"))), col("vec_id"), col("cluster"))
+      .limit(ksub)
+      .collect().toSeq.map(_.getSeq[Float](2))
+    require(seedVecs.size == ksub,
+      s"IVF-PQ training needs at least ksub=$ksub residual rows to seed " +
+        s"the codebook; the corpus has only ${seedVecs.size}")
     val seedCb: Seq[Seq[Float]] =
       for (ss <- 0 until m; c <- 0 until ksub)
         yield seedVecs(c).slice(ss * sub, (ss + 1) * sub)
-    // one distributed Lloyd pass: refined centroid = elementwise mean of
-    // the slices encoded to it (absent cells keep their seed entry);
-    // collecting the 1k-float table also cuts the training lineage
-    val refinedRows = pqEncode(e, seedCb, m, ksub, sub)
+    // one distributed Lloyd pass: refined codeword = elementwise mean of
+    // the residual slices encoded to it (absent codewords keep their
+    // seed entry); collecting the 1k-float table also cuts the lineage.
+    // One pass is the measured knee on the test corpus — a second pass
+    // moved recall@96 DOWN 0.03 (k-means overfits the seed layout
+    // before the assignments stabilize at this corpus size).
+    val refinedRows = pqEncode(res, seedCb, m, ksub, sub)
       .select(col("codes"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("s", (col("pos") / sub).cast("int"))
       .withColumn("c", element_at(col("codes"), col("s") + 1))
@@ -378,23 +427,13 @@ object Similarity {
       }
       acc.map(_.toSeq)
     }
-    // coarse quantizer: hash-picked seeds + one distributed Lloyd pass
-    // (cell = cosine-nearest seed, refined centroid = the cell's
-    // elementwise mean) — the same refinement exact-IVF applies. The
-    // r06 formulation probed RAW seed vectors, which capped the probe
-    // ceiling: seeds are arbitrary corpus points, so true neighbors
-    // straddle cell boundaries far more often than around
-    // mean-centered cells. Refinement lifts recall at the SAME
-    // nProbe/candidate volume (OperatorSpec prints the curve).
-    val coarse = refineCoarse(e, nCells)
-    // compressed corpus: (vec_id, cell, codes) — 8 code bytes/vector,
-    // each vector indexed under its `spill` nearest cells (IVF
-    // replication: boundary vectors live in both neighboring cells, so
-    // the probe ceiling rises at the SAME nProbe; the index grows
-    // spill×, trivial at 8 bytes/vector)
-    val codes = pqEncode(e, refined, m, ksub, sub)
-      .select(col("vec_id"), col("codes"))
-      .join(assignCells(e, coarse, spill), Seq("vec_id"))
+    // compressed corpus: (vec_id, cluster, codes) — 8 RESIDUAL code
+    // bytes per (vector, cell) entry, each vector indexed under its
+    // `spill` nearest cells (IVF replication: boundary vectors live in
+    // both neighboring cells, so the probe ceiling rises at the SAME
+    // nProbe; the index grows spill×, trivial at 8 bytes/entry)
+    val codes = pqEncode(res, refined, m, ksub, sub)
+      .select(col("vec_id"), col("cluster"), col("codes"))
       .localCheckpoint()
     IvfpqIndex(coarse, refined, m, ksub, dim, codes)
   }
@@ -413,7 +452,7 @@ object Similarity {
   /** Query half: probe, ADC-rank the shortlist, exact re-rank. Runs
     * identically on a freshly trained or a loaded index. */
   private[graft] def ivfpqQueryOf(s: SparkSession, eIn: DataFrame, idx: IvfpqIndex,
-                                  isQuery: Column, nProbe: Int = 6,
+                                  isQuery: Column, nProbe: Int = 8,
                                   rerank: Int = 96): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = requireDim(eIn, idx.dim)
@@ -423,48 +462,77 @@ object Similarity {
     val coarse = idx.coarse
     val refined = idx.codebook
     val codes = idx.codes
-    // queries probe their nProbe nearest refined cells (same shape as IVF)
+    // queries probe their nProbe nearest refined cells (same shape as
+    // IVF); each probe row carries the RAW query·centroid dot and the
+    // centroid norm — the cell-level half of the residual ADC below
     val probes = e.filter(isQuery)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(typedlit(coarse)).as("c"))
       .select(col("vec_id").as("qid"), col("embedding").as("va"), col("nrm").as("na"),
         col("c._1").as("sid"),
+        expr("vec_dot(embedding, c._2)").as("qdotc"), col("c._3").as("cn"),
         (expr("vec_dot(embedding, c._2)") / (col("nrm") * col("c._3"))).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("sid"))))
       .filter(col("rk") <= nProbe)
-      .select(col("qid"), col("va"), col("na"), col("sid").as("cluster"))
-    // ADC: approx COSINE from the code bytes alone — a narrow
-    // expression, no candidate-vector fetch. Numerator: sum over
-    // subspaces of dot(query-slice, codeword). Denominator: the
-    // reconstruction's norm, exactly Σ_s ||codeword_s||² (cross-subspace
-    // terms are zero by construction) — ranking by raw ADC dot instead
-    // systematically favors large-norm candidates and costs ~0.1 recall
-    // on this corpus.
+      .select(col("qid"), col("va"), col("na"), col("qdotc"), col("cn"),
+        col("sid").as("cluster"))
+    // cell × codeword cross-dot table: dot(centroid_slice_s, codeword) —
+    // nCells · m · ksub doubles computed ONCE on the driver (KBs), the
+    // exact cross term of the reconstruction norm below
+    val crossMap: Map[Int, Seq[Double]] = coarse.map { case (cid, cvec, _) =>
+      cid -> (for (ss <- 0 until m; c <- 0 until ksub) yield {
+        val cw = refined(ss * ksub + c)
+        var acc = 0.0
+        var i = 0
+        while (i < sub) { acc += cvec(ss * sub + i).toDouble * cw(i); i += 1 }
+        acc
+      })
+    }.toMap
+    // ADC: approx COSINE from the code bytes + cell geometry alone — a
+    // narrow expression, no candidate-vector fetch. The reconstruction
+    // is v̂ = centroid + r̂ (residual decoding), so:
+    //   numerator  = q·centroid + Σ_s q_s·codeword_s
+    //   ‖v̂‖²      = ‖centroid‖² + 2·Σ_s centroid_s·codeword_s
+    //                + Σ_s ‖codeword_s‖²
+    // (within-Σ cross-subspace terms vanish by construction; the
+    // centroid×codeword cross term comes from the driver table).
+    // Normalizing by ‖v̂‖ matters: ranking by the raw dot favors
+    // large-norm candidates and costs ~0.1 recall on this corpus.
     val adc = expr(
-      s"""aggregate(transform(sequence(0, ${m - 1}), s ->
+      s"""(qdotc + aggregate(transform(sequence(0, ${m - 1}), s ->
          |  vec_dot(slice(va, s * $sub + 1, $sub),
          |          element_at(cb, s * $ksub + element_at(codes, s + 1) + 1))),
-         |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)
-         |/ sqrt(aggregate(transform(sequence(0, ${m - 1}), s ->
-         |  element_at(cbn, s * $ksub + element_at(codes, s + 1) + 1)),
-         |  CAST(0.0 AS DOUBLE), (a, x) -> a + x))""".stripMargin)
+         |  CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+         |/ sqrt(cn * cn
+         |  + 2.0D * aggregate(transform(sequence(0, ${m - 1}), s ->
+         |      element_at(cz, s * $ksub + element_at(codes, s + 1) + 1)),
+         |      CAST(0.0 AS DOUBLE), (a, x) -> a + x)
+         |  + aggregate(transform(sequence(0, ${m - 1}), s ->
+         |      element_at(cbn, s * $ksub + element_at(codes, s + 1) + 1)),
+         |      CAST(0.0 AS DOUBLE), (a, x) -> a + x))""".stripMargin)
     val short = probes.join(codes, Seq("cluster"))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("cb", typedlit(refined))
       .withColumn("cbn", typedlit(refined.map(v => v.map(x => x.toDouble * x).sum)))
-      .select(col("qid"), col("va"), col("na"), col("vec_id").as("nid"), adc.as("adc"))
-      // spill > 1 can admit the same (qid, nid) via two probed cells;
-      // the dup rows are byte-identical (same codes → same ADC). Dedupe
-      // BEFORE the rank filter: a duplicate inside the top-`rerank`
-      // would burn a shortlist slot and halve the unique candidate
-      // depth the rerank parameter was tuned for. The explicit qid
-      // repartition makes this ONE exchange for dedupe + window: a
-      // qid-hash distribution satisfies both the (qid, nid) grouping
-      // (subset rule) and the window's partitioning, where letting the
-      // dedupe demand (qid, nid) would shuffle twice
+      .withColumn("cz", element_at(typedlit(crossMap), col("cluster")))
+      .select(col("qid"), col("va"), col("na"), col("vec_id").as("nid"),
+        col("cluster"), adc.as("adc"))
+      // spill > 1 can admit the same (qid, nid) via two probed cells —
+      // and with RESIDUAL codes the two rows score DIFFERENT ADCs (one
+      // residual per cell), so the dedupe keeps the best-scoring row
+      // deterministically (adc desc, cluster asc) rather than an
+      // arbitrary one. Dedupe BEFORE the rank filter: a duplicate
+      // inside the top-`rerank` would burn a shortlist slot and halve
+      // the unique candidate depth the rerank parameter was tuned for.
+      // The explicit qid repartition makes this ONE exchange for both
+      // windows: a qid-hash distribution satisfies the (qid, nid)
+      // dedupe window's clustering (subset rule) and the rank window's
       .repartition(col("qid"))
-      .dropDuplicates("qid", "nid")
+      .withColumn("dup_rn", row_number().over(
+        Window.partitionBy(col("qid"), col("nid"))
+          .orderBy(col("adc").desc, col("cluster"))))
+      .filter(col("dup_rn") === 1)
       .withColumn("ark", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))))
       .filter(col("ark") <= rerank)
@@ -481,8 +549,8 @@ object Similarity {
   }
 
   private[graft] def ivfpqTopkOf(s: SparkSession, emb: DataFrame, isQuery: Column,
-                                 nCells: Int = 16, nProbe: Int = 6,
-                                 m: Int = 8, ksub: Int = 16,
+                                 nCells: Int = 16, nProbe: Int = 8,
+                                 m: Int = 8, ksub: Int = 32,
                                  rerank: Int = 96, spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = ivfpqPrep(s, emb)
@@ -555,9 +623,11 @@ object Similarity {
                        spill: Int = 2): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = ivfpqPrep(s, requireDim(newEmb, idx.dim))
-    pqEncode(e, idx.codebook, idx.m, idx.ksub, idx.dim / idx.m)
-      .select(col("vec_id"), col("codes"))
-      .join(assignCells(e, idx.coarse, spill), Seq("vec_id"))
+    // residual codes against the STORED cells — same encode the trainer
+    // ran, so appended rows are indistinguishable from trained ones
+    val res = residualsOf(e, idx.coarse, assignCells(e, idx.coarse, spill))
+    pqEncode(res, idx.codebook, idx.m, idx.ksub, idx.dim / idx.m)
+      .select(col("vec_id"), col("codes"), col("cluster"))
   }
 
   /** Corpus-scaled cell/cluster count — the k∝n rule as CODE instead of

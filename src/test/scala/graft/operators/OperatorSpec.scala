@@ -132,7 +132,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall below floor")
   }
 
-  test("IVF-PQ top-k recall vs brute force >= 0.8; re-rank recovers the probe ceiling") {
+  test("IVF-PQ top-k recall vs brute force >= 0.9; re-rank recovers the probe ceiling") {
     val brute = Similarity.bruteTopk(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def recallAt(rerank: Int): Double = {
@@ -141,14 +141,19 @@ class OperatorSpec extends AnyFunSuite {
         .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       (brute & got).size.toDouble / brute.size
     }
-    // recall-vs-candidates curve at the default probe width (nProbe=6,
+    // recall-vs-candidates curve at the default probe width (nProbe=8,
     // spill=2): the shortlist depth is the cost knob — each step doubles
     // the full-vector fetches per query; 100000 is the probe ceiling
-    // (everything the probed cells admit, rerank unbounded)
+    // (everything the probed cells admit, rerank unbounded). The 0.9
+    // floor is the residual-encoding operating point (r11): residual
+    // codes + ksub=32 measured 0.900 at rerank=96 (ceiling 0.950) vs
+    // 0.850 for the r10 raw-vector ksub=16 codes. Training is fully
+    // deterministic (hash seeds, integer-scaled Lloyd sums), so the
+    // measured point is bit-stable, not a flaky threshold.
     val curve = Seq(32, 64, 96, 100000).map(d => d -> recallAt(d))
     curve.foreach { case (d, r) => info(f"rerank=$d%6d recall=$r%.3f") }
     val recall = curve.collectFirst { case (96, r) => r }.get
-    assert(recall >= 0.8, s"IVF-PQ recall $recall below floor at default depth")
+    assert(recall >= 0.9, s"IVF-PQ recall $recall below floor at default depth")
     // the exact re-rank must recover (nearly) everything the probed
     // cells admit: an unbounded shortlist may beat the default by at
     // most 0.1 recall — otherwise ADC ranking is dropping true
