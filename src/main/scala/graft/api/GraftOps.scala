@@ -396,9 +396,25 @@ object GraftOps {
     graft.operators.PublicSuffix.registeredDomainMapOf(hosts, rules)
 
   /** The built-in public-suffix rule table (swap in the full published
-    * list via PublicSuffix.loadSuffixArtifact). */
+    * list via [[parsePublicSuffixList]] or PublicSuffix.loadSuffixArtifact). */
   def suffixRules(spark: org.apache.spark.sql.SparkSession): DataFrame =
     graft.operators.PublicSuffix.suffixRules(spark)
+
+  /** Parse a downloaded publicsuffix.org snapshot (the real file
+    * format: comments, ICANN/PRIVATE section markers, IDN punycoding)
+    * into the broadcastable rule table. The candidate match depth is
+    * derived from the loaded rules at plan time, so the full list's
+    * 4-5-label private suffixes match correctly. */
+  def parsePublicSuffixList(spark: org.apache.spark.sql.SparkSession,
+                            text: String): DataFrame =
+    graft.operators.PublicSuffix.rulesFrameOf(spark,
+      graft.operators.PublicSuffix.parsePslText(text))
+
+  /** Restrict a rule table to the ICANN section — the published
+    * algorithm's "ignore private domains" variant (user.github.io →
+    * github.io). */
+  def icannSuffixRules(rules: DataFrame): DataFrame =
+    graft.operators.PublicSuffix.icannOnly(rules)
 
   /** [[linkGraph]] collapsed to registered-domain (eTLD+1) grain —
     * subdomains merge, intra-registered-domain links vanish. */
@@ -442,6 +458,23 @@ object GraftOps {
   def harmonicCentralityApprox(edges: DataFrame, maxIters: Int = 16,
                                registers: Int = 32): DataFrame =
     graft.operators.GraphOps.hyperBallHarmonicOf(edges, maxIters, registers)
+
+  /** robots.txt `*`-group rules (host, prefix, allow) parsed from
+    * (host, body) frames — RFC 9309 group selection as one narrow
+    * fold per body. */
+  def robotsRules(robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsRulesOf(robots)
+
+  /** Adds `allowed` per RFC 9309 longest-match (ties → allow; no
+    * robots → allowed); host-keyed join + url-keyed ordered max, no
+    * per-url sort. */
+  def robotsAnnotate(urls: DataFrame, robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsAnnotateOf(urls, robots)
+
+  /** The robots-admitted subset of a url frame — the crawl-politeness
+    * gate in front of the fetch frontier. */
+  def robotsFilter(urls: DataFrame, robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsFilterOf(urls, robots)
 
   /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
     * normalized URL — run BEFORE text dedup on crawl corpora. */

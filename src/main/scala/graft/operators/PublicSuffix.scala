@@ -38,20 +38,27 @@ object PublicSuffix {
 
   /** One parsed PSL rule: `matchKey` is the literal label suffix the
     * candidate join hits; `psLabels` the public-suffix label count the
-    * hit implies (wildcard = base + 1, exception = rule − 1). */
-  final case class SuffixRule(matchKey: String, psLabels: Int, kind: String)
+    * hit implies (wildcard = base + 1, exception = rule − 1);
+    * `section` is the published list's provenance split — "icann"
+    * (registry-controlled) or "private" (registrar/hoster-submitted,
+    * e.g. github.io, the amazonaws suffixes). The published algorithm
+    * treats both identically, but many consumers (registrability
+    * checks, cookie policy) run ICANN-only — [[icannOnly]]. */
+  final case class SuffixRule(matchKey: String, psLabels: Int, kind: String,
+                              section: String = "icann")
 
   /** Parse rules from the published list's line format: `co.uk`,
     * `*.ck`, `!www.ck`. */
-  private[graft] def parseRule(line: String): SuffixRule = line match {
+  private[graft] def parseRule(line: String,
+                               section: String = "icann"): SuffixRule = line match {
     case l if l.startsWith("!") =>
       val key = l.substring(1)
-      SuffixRule(key, key.count(_ == '.'), "exception")
+      SuffixRule(key, key.count(_ == '.'), "exception", section)
     case l if l.startsWith("*.") =>
       val base = l.substring(2)
-      SuffixRule(base, base.count(_ == '.') + 2, "wildcard")
+      SuffixRule(base, base.count(_ == '.') + 2, "wildcard", section)
     case l =>
-      SuffixRule(l, l.count(_ == '.') + 1, "normal")
+      SuffixRule(l, l.count(_ == '.') + 1, "normal", section)
   }
 
   /** Parse the actual published publicsuffix.org FILE format (one rule
@@ -64,37 +71,44 @@ object PublicSuffix {
     * matching runs on the ASCII form crawl hosts actually arrive in
     * (the published file mixes unicode rules like `рф` with ASCII).
     * The `!`/`*.` markers survive to [[parseRule]] unchanged. */
-  private[graft] def parsePslLines(lines: Seq[String]): Seq[SuffixRule] =
-    lines.iterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("//"))
-      .map(_.takeWhile(!_.isWhitespace))
-      .filter(_.nonEmpty)
-      .map { raw =>
-        val (marker, body) =
-          if (raw.startsWith("!")) ("!", raw.substring(1))
-          else if (raw.startsWith("*.")) ("*.", raw.substring(2))
-          else ("", raw)
-        val ascii = body.toLowerCase.split('.').filter(_.nonEmpty)
-          .map(l => if (l.forall(_ < 128)) l else java.net.IDN.toASCII(l))
-          .mkString(".")
-        parseRule(marker + ascii)
+  private[graft] def parsePslLines(lines: Seq[String]): Seq[SuffixRule] = {
+    var section = "icann"
+    val out = Seq.newBuilder[SuffixRule]
+    lines.iterator.map(_.trim).foreach { l =>
+      if (l.startsWith("//")) {
+        // the section markers are themselves comments
+        if (l.contains("===BEGIN PRIVATE DOMAINS===")) section = "private"
+        else if (l.contains("===END PRIVATE DOMAINS===")) section = "icann"
+      } else if (l.nonEmpty) {
+        val raw = l.takeWhile(!_.isWhitespace)
+        if (raw.nonEmpty) {
+          val (marker, body) =
+            if (raw.startsWith("!")) ("!", raw.substring(1))
+            else if (raw.startsWith("*.")) ("*.", raw.substring(2))
+            else ("", raw)
+          val ascii = body.toLowerCase.split('.').filter(_.nonEmpty)
+            .map(lb => if (lb.forall(_ < 128)) lb else java.net.IDN.toASCII(lb))
+            .mkString(".")
+          out += parseRule(marker + ascii, section)
+        }
       }
-      .toSeq
+    }
+    out.result()
+  }
 
   /** [[parsePslLines]] over the raw file text — the face a cluster job
     * points at a downloaded publicsuffix.org snapshot. */
   def parsePslText(text: String): Seq[SuffixRule] =
     parsePslLines(text.split('\n').toSeq)
 
-  /** An arbitrary parsed rule set as the (match_key, ps_labels, kind)
-    * DataFrame every match join broadcasts — the bridge from
+  /** An arbitrary parsed rule set as the (match_key, ps_labels, kind,
+    * section) DataFrame every match join broadcasts — the bridge from
     * [[parsePslText]] to [[writeSuffixArtifact]]. */
   def rulesFrameOf(spark: SparkSession, rules: Seq[SuffixRule]): DataFrame = {
     import spark.implicits._
     require(rules.nonEmpty, "empty suffix rule set")
-    rules.map(r => (r.matchKey, r.psLabels, r.kind))
-      .toDF("match_key", "ps_labels", "kind")
+    rules.map(r => (r.matchKey, r.psLabels, r.kind, r.section))
+      .toDF("match_key", "ps_labels", "kind", "section")
   }
 
   /** Curated subset of the public suffix list (same line format as the
@@ -115,16 +129,28 @@ object PublicSuffix {
     "*.ck", "!www.ck",
   )
 
+  /** The curated rules, section-stamped like the published file: the
+    * hosting-platform suffixes live in the PRIVATE section there. */
   private[graft] val defaultRules: Seq[SuffixRule] =
-    defaultRuleLines.map(parseRule)
+    defaultRuleLines.map { l =>
+      val priv = Set("github.io", "gitlab.io")
+      parseRule(l, if (priv(l)) "private" else "icann")
+    }
 
-  /** The rule set as a DataFrame (match_key, ps_labels, kind) — the
-    * broadcast side of every match join. */
-  def suffixRules(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    defaultRules.map(r => (r.matchKey, r.psLabels, r.kind))
-      .toDF("match_key", "ps_labels", "kind")
-  }
+  /** The rule set as a DataFrame (match_key, ps_labels, kind, section)
+    * — the broadcast side of every match join (matching reads only the
+    * first three columns; `section` feeds [[icannOnly]]). */
+  def suffixRules(spark: SparkSession): DataFrame =
+    rulesFrameOf(spark, defaultRules)
+
+  /** The rule set restricted to the ICANN (registry-controlled)
+    * section — the published algorithm's "ignore private domains"
+    * variant: under it `user.github.io` registers as `github.io`
+    * (one hoster domain), not as a per-user registrable. Feed the
+    * result to any match face; the broadcast/match shape is
+    * unchanged. */
+  def icannOnly(rules: DataFrame): DataFrame =
+    rules.filter(col("section") =!= "private")
 
   /** Persist the rule table as the parquet artifact a cluster ships
     * alongside the job (the full published list goes through the same

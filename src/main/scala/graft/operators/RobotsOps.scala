@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** robots.txt parsing and URL admission — the crawl-politeness gate
+  * every fetch frontier runs BEFORE requesting a page (RFC 9309,
+  * "Robots Exclusion Protocol"; the same public spec Googlebot
+  * documents). The operator family scopes to the `*` (any-agent)
+  * group — the group a general-purpose corpus crawler matches.
+  *
+  * Semantics implemented from the RFC:
+  *  - groups: one or more `User-agent:` lines followed by rules;
+  *    consecutive user-agent lines share the following rules
+  *    (§2.2.1); a later user-agent line after rules opens a NEW
+  *    group. Rules outside any `*` group are ignored.
+  *  - `Allow:` / `Disallow:` with an empty value are no-ops (the
+  *    classic "Disallow:" = allow-all convention);
+  *  - matching (§2.2.2): the LONGEST matching rule wins; at equal
+  *    length the least-restrictive (Allow) wins; no matching rule —
+  *    or no robots.txt for the host at all — means allowed;
+  *  - patterns: literal path prefixes plus `*` (any character run)
+  *    and a terminal `$` end-anchor, precedence by raw pattern
+  *    length (the published convention);
+  *  - field names are case-insensitive; `#` starts a comment;
+  *    unknown fields (Crawl-delay, Sitemap) are skipped without
+  *    ending the group.
+  *
+  * Scale shape: parsing is ONE narrow fold expression per robots
+  * body (a per-host document — millions of rows, never corpus-sized);
+  * the admission check is a host-keyed join (urls ⋈ rules) plus a
+  * url-keyed max-struct aggregation with map-side combine — the
+  * longest-match winner is an ordered max, not a window sort. No
+  * driver-side state, nothing broadcast but what the planner elects.
+  *
+  * The oracle fixture keeps every body single-group (`User-agent: *`
+  * first) and literal-prefix so the DuckDB mirror needs no group
+  * state machine; multi-group selection and `*`/`$` patterns are
+  * pinned by RobotsOpsSpec. */
+object RobotsOps {
+
+  private val uaRe = "(?i)^user-agent\\\\s*:"
+  private val ruleRe = "(?i)^(allow|disallow)\\\\s*:"
+  private val uaVal = "(?i)^user-agent\\\\s*:\\\\s*([^#]*)"
+  private val ruleVal = "(?i)^(allow|disallow)\\\\s*:\\\\s*([^#]*)"
+
+  /** Parse robots bodies into the `*`-group rule table:
+    * (host, prefix, allow). Input: (host, body). The group state
+    * machine runs as one fold over the body's lines — fully narrow. */
+  def robotsRulesOf(robots: DataFrame): DataFrame = {
+    val fold =
+      s"""aggregate(transform(split(body, '\\n'), x -> trim(x)),
+         |  struct(false AS star, false AS lastua,
+         |    CAST(array() AS array<struct<prefix:string, allow:boolean>>) AS rules),
+         |  (acc, l) -> CASE
+         |    WHEN l RLIKE '$uaRe' THEN struct(
+         |      IF(acc.lastua,
+         |         acc.star OR trim(regexp_extract(l, '$uaVal', 1)) = '*',
+         |         trim(regexp_extract(l, '$uaVal', 1)) = '*') AS star,
+         |      true AS lastua, acc.rules AS rules)
+         |    WHEN l RLIKE '$ruleRe' THEN struct(
+         |      acc.star AS star, false AS lastua,
+         |      IF(acc.star AND trim(regexp_extract(l, '$ruleVal', 2)) <> '',
+         |         concat(acc.rules, array(struct(
+         |           trim(regexp_extract(l, '$ruleVal', 2)) AS prefix,
+         |           l RLIKE '(?i)^allow\\\\s*:' AS allow))),
+         |         acc.rules) AS rules)
+         |    WHEN l = '' THEN acc
+         |    ELSE struct(acc.star AS star, false AS lastua, acc.rules AS rules)
+         |  END,
+         |  acc -> acc.rules)""".stripMargin
+    robots.select(col("host"), explode(expr(fold)).as("r"))
+      .select(col("host"), col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+  }
+
+  /** Host + RFC-match path (path AND query, fragment dropped; empty →
+    * `/`) of a url column — shared by annotate and the oracle text. */
+  private def withHostPath(urls: DataFrame): DataFrame =
+    urls
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^(?i)https?://([^/:?#]+)", 1)))
+      .withColumn("path", coalesce(
+        nullif(regexp_extract(col("url"), "^(?i)https?://[^/:?#]+([^#]*)", 1),
+          lit("")),
+        lit("/")))
+
+  /** Adds `allowed` to a url frame per the `*`-group rules of
+    * `robots` (host, body): longest matching rule wins, ties →
+    * allow, no rule / no robots → allowed. Literal rules match by
+    * startswith; rules carrying `*` / terminal `$` compile to an
+    * anchored regex per row (segments regex-escaped, `*` → `.*`). */
+  def robotsAnnotateOf(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = robotsRulesOf(robots)
+      .withColumn("rx", concat(lit("^"),
+        expr("array_join(transform(split(" +
+          "IF(endswith(prefix, '$'), substring(prefix, 1, length(prefix) - 1), prefix)" +
+          ", '\\\\*', -1), seg -> " +
+          "regexp_replace(seg, '([.^$+?()\\\\[\\\\]{}|\\\\\\\\])', '\\\\\\\\$1')), '.*')"),
+        expr("IF(endswith(prefix, '$'), '$', '')")))
+    val u = withHostPath(urls)
+    val matched = u.select(col("url"), col("host"), col("path"))
+      .join(rules, Seq("host"))
+      .filter(when(expr("prefix RLIKE '[*$]'"), expr("path RLIKE rx"))
+        .otherwise(expr("startswith(path, prefix)")))
+      // longest-match winner as an ordered max over (length, allow):
+      // longer wins; at equal length true > false = allow wins —
+      // map-side combinable, no per-url sort
+      .groupBy(col("url"))
+      .agg(max(struct(length(col("prefix")).as("l"), col("allow").as("allow")))
+        .as("best"))
+    u.join(matched, Seq("url"), "left")
+      .withColumn("allowed", coalesce(col("best.allow"), lit(true)))
+      .drop("best", "host", "path")
+  }
+
+  /** The admitted subset — original columns preserved. */
+  def robotsFilterOf(urls: DataFrame, robots: DataFrame): DataFrame =
+    robotsAnnotateOf(urls, robots).filter(col("allowed")).drop("allowed")
+
+  // ---------------------------------------------------------------
+  // Oracle-gated fixture queries
+  // ---------------------------------------------------------------
+
+  /** One single-group robots body per source host; the /tmpN rule
+    * varies per host so host-scoping is actually exercised. */
+  private def fixtureRobots(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), substring(col("source"), 4, 10).cast("int").as("k"))
+      .distinct()
+      .select(concat(col("source"), lit(".example")).as("host"),
+        concat(lit("User-agent: *\nDisallow: /private/\n" +
+          "Allow: /private/open\n# keep-out note\nDisallow: /tmp"),
+          col("k") % 3,
+          lit("\nCrawl-delay: 5\nSitemap: https://x.example/s.xml")).as("body"))
+
+  private def fixtureUrls(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      concat(lit("https://"), col("source"), lit(".example"),
+        element_at(typedlit(Seq("/private/a", "/private/open", "/tmp", "/public/p", "")),
+          (col("doc_id") % 5 + 1).cast("int")),
+        when(col("doc_id") % 5 === 4, lit(""))
+          .otherwise(concat(col("doc_id") % 3, lit("/x")))).as("url"))
+
+  def robotsRules(s: SparkSession, d: String): DataFrame =
+    robotsRulesOf(fixtureRobots(s, d))
+      .orderBy(col("host"), col("prefix"), col("allow"))
+
+  def robotsFilter(s: SparkSession, d: String): DataFrame =
+    robotsAnnotateOf(fixtureUrls(s, d), fixtureRobots(s, d))
+      .select(col("url"), col("allowed"))
+      .orderBy(col("url"))
+
+  private val robotsCtesSql =
+    """srcs AS MATERIALIZED (SELECT DISTINCT source,
+      |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+      |robots AS MATERIALIZED (SELECT source || '.example' AS host,
+      |    'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
+      |    'Allow: /private/open' || chr(10) || '# keep-out note' || chr(10) ||
+      |    'Disallow: /tmp' || CAST(k % 3 AS VARCHAR) || chr(10) ||
+      |    'Crawl-delay: 5' || chr(10) || 'Sitemap: https://x.example/s.xml'
+      |      AS body
+      |  FROM srcs),
+      |lines AS (SELECT host, trim(unnest(string_split(body, chr(10)))) AS l
+      |  FROM robots),
+      |rules AS (SELECT host,
+      |    trim(regexp_extract(l, '(?i)^(allow|disallow)\s*:\s*([^#]*)', 2)) AS prefix,
+      |    regexp_matches(l, '(?i)^allow\s*:') AS allow
+      |  FROM lines
+      |  WHERE regexp_matches(l, '(?i)^(allow|disallow)\s*:')
+      |    AND trim(regexp_extract(l, '(?i)^(allow|disallow)\s*:\s*([^#]*)', 2)) <> '')""".stripMargin
+
+  private val robotsRulesOracle =
+    s"""WITH $robotsCtesSql
+       |SELECT host, prefix, allow FROM rules
+       |ORDER BY host, prefix, allow""".stripMargin
+
+  private val robotsFilterOracle =
+    s"""WITH $robotsCtesSql,
+       |urls AS MATERIALIZED (SELECT
+       |    'https://' || source || '.example' ||
+       |    (['/private/a', '/private/open', '/tmp', '/public/p', ''])[CAST(doc_id % 5 AS INT) + 1] ||
+       |    CASE WHEN doc_id % 5 = 4 THEN ''
+       |         ELSE CAST(doc_id % 3 AS VARCHAR) || '/x' END AS url
+       |  FROM documents),
+       |u AS (SELECT url,
+       |    lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS host,
+       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/:?#]+([^#]*)', 1), ''), '/') AS path
+       |  FROM urls),
+       |m AS (SELECT u.url, r.allow,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+       |  FROM u JOIN rules r ON u.host = r.host
+       |  WHERE starts_with(u.path, r.prefix)),
+       |best AS (SELECT url, allow FROM m WHERE rn = 1)
+       |SELECT u.url, coalesce(b.allow, true) AS allowed
+       |FROM u LEFT JOIN best b ON u.url = b.url
+       |ORDER BY u.url""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "robots_rules" -> (robotsRules _),
+    "robots_filter" -> (robotsFilter _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "robots_rules" -> robotsRulesOracle,
+    "robots_filter" -> robotsFilterOracle,
+  )
+}

@@ -14,7 +14,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Profiling" -> Profiling.queries, "Curation" -> Curation.queries,
     "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries,
     "UrlOps" -> UrlOps.queries, "GraphOps" -> GraphOps.queries,
-    "PublicSuffix" -> PublicSuffix.queries)
+    "PublicSuffix" -> PublicSuffix.queries,
+    "RobotsOps" -> RobotsOps.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

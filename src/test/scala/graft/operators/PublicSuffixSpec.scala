@@ -114,6 +114,27 @@ class PublicSuffixSpec extends SparkSpec {
     assert(keys("xn--p1ai") == "normal") // рф punycoded
     assert(keys("s3.cn-north-1.amazonaws.com.cn") == "normal")
     assert(PublicSuffix.maxRuleDepthOf(rules) == 5)
+    // section stamping follows the ===BEGIN/END PRIVATE DOMAINS=== markers
+    val sections = rules.map(r => r.matchKey -> r.section).toMap
+    assert(sections("com") == "icann")
+    assert(sections("city.kawasaki.jp") == "icann")
+    assert(sections("s3.amazonaws.com") == "private")
+    assert(sections("s3.cn-north-1.amazonaws.com.cn") == "private")
+  }
+
+  test("icannOnly drops private-section rules: user.github.io collapses to github.io") {
+    import spark.implicits._
+    val hosts = Seq("user.github.io", "www.example.com").toDF("host")
+    val all = PublicSuffix.registeredDomainMapOf(
+      hosts, PublicSuffix.suffixRules(spark))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val icann = PublicSuffix.registeredDomainMapOf(
+      hosts, PublicSuffix.icannOnly(PublicSuffix.suffixRules(spark)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all("user.github.io") == "user.github.io") // private suffix applies
+    assert(icann("user.github.io") == "github.io")    // one hoster domain
+    assert(all("www.example.com") == "example.com" &&
+      icann("www.example.com") == "example.com")
   }
 
   test("full-list path: 4- and 5-label rules match (the candidate depth is rule-derived)") {

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** RFC 9309 semantics beyond what the single-group oracle fixture can
+  * express: multi-group `*` selection, consecutive user-agent line
+  * merging, wildcard `*` and terminal `$` patterns, longest-match /
+  * tie-break precedence, and the no-robots default. */
+class RobotsOpsSpec extends SparkSpec {
+
+  private def rulesOf(body: String): Set[(String, Boolean)] = {
+    import spark.implicits._
+    RobotsOps.robotsRulesOf(Seq(("h.example", body)).toDF("host", "body"))
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+  }
+
+  private def allowedOf(robots: Seq[(String, String)],
+                        urls: Seq[String]): Map[String, Boolean] = {
+    import spark.implicits._
+    RobotsOps.robotsAnnotateOf(urls.toDF("url"),
+        robots.toDF("host", "body"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("group selection: only the *-group's rules survive; later groups reopen") {
+    val body =
+      """User-agent: googlebot
+        |Disallow: /
+        |
+        |User-agent: bingbot
+        |User-agent: *
+        |Disallow: /no/
+        |Allow: /no/yes
+        |
+        |User-agent: gptbot
+        |Disallow: /also-not-ours/
+        |""".stripMargin
+    assert(rulesOf(body) == Set(("/no/", false), ("/no/yes", true)),
+      s"got ${rulesOf(body)}")
+  }
+
+  test("empty Disallow is a no-op; comments and unknown fields are skipped") {
+    val body =
+      """User-agent: *
+        |Disallow:
+        |Crawl-delay: 10
+        |# a comment line
+        |Disallow: /real # trailing comment
+        |Sitemap: https://h.example/sitemap.xml
+        |Allow: /real/fine
+        |""".stripMargin
+    assert(rulesOf(body) == Set(("/real", false), ("/real/fine", true)))
+  }
+
+  test("longest match wins; equal length prefers Allow; no rule/no robots allow") {
+    val robots = Seq(
+      ("a.example",
+        "User-agent: *\nDisallow: /p/\nAllow: /p/ok\nAllow: /q/\nDisallow: /q/"),
+      ("b.example", "User-agent: *\nDisallow: /"))
+    val got = allowedOf(robots, Seq(
+      "https://a.example/p/secret",     // /p/ disallow
+      "https://a.example/p/ok/deep",    // longer allow overrides
+      "https://a.example/q/x",          // equal-length tie -> allow
+      "https://a.example/elsewhere",    // no matching rule -> allowed
+      "https://b.example/anything",     // blanket disallow
+      "https://c.example/whatever"))    // no robots at all -> allowed
+    assert(got("https://a.example/p/secret") == false)
+    assert(got("https://a.example/p/ok/deep") == true)
+    assert(got("https://a.example/q/x") == true)
+    assert(got("https://a.example/elsewhere") == true)
+    assert(got("https://b.example/anything") == false)
+    assert(got("https://c.example/whatever") == true)
+  }
+
+  test("wildcard * and terminal $ patterns match per the published convention") {
+    val robots = Seq(("w.example",
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /dl/*/raw\nAllow: /dl/pub/raw"))
+    val got = allowedOf(robots, Seq(
+      "https://w.example/doc.pdf",        // *.pdf$ blocks
+      "https://w.example/doc.pdfx",       // $ anchor: not blocked
+      "https://w.example/dl/sec/raw",     // wildcard middle blocks
+      "https://w.example/dl/pub/raw",     // longer literal allow wins
+      "https://w.example/dl/sec/rawhide")) // prefix semantics: still blocked
+    assert(got("https://w.example/doc.pdf") == false)
+    assert(got("https://w.example/doc.pdfx") == true)
+    assert(got("https://w.example/dl/sec/raw") == false)
+    assert(got("https://w.example/dl/pub/raw") == true)
+    assert(got("https://w.example/dl/sec/rawhide") == false)
+  }
+
+  test("query string participates in matching; fragment does not; bare host maps to /") {
+    val robots = Seq(("q.example",
+      "User-agent: *\nDisallow: /search?q="))
+    val got = allowedOf(robots, Seq(
+      "https://q.example/search?q=x",
+      "https://q.example/search",
+      "https://q.example/page#frag",
+      "https://q.example"))
+    assert(got("https://q.example/search?q=x") == false)
+    assert(got("https://q.example/search") == true)
+    assert(got("https://q.example/page#frag") == true)
+    assert(got("https://q.example") == true)
+  }
+
+  test("robotsFilterOf keeps only admitted rows with original columns") {
+    import spark.implicits._
+    val urls = Seq((1L, "https://b.example/x"), (2L, "https://ok.example/y"))
+      .toDF("id", "url")
+    val robots = Seq(("b.example", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body")
+    val out = RobotsOps.robotsFilterOf(urls, robots)
+    assert(out.columns.toSet == Set("id", "url"), s"cols ${out.columns.toSeq}")
+    val got = out.select("id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "https://ok.example/y")))
+  }
+
+  test("parse and match plans stay narrow/keyed: no cartesian anywhere") {
+    import spark.implicits._
+    val urls = Seq("https://a.example/x").toDF("url")
+    val robots = Seq(("a.example", "User-agent: *\nDisallow: /p")).toDF("host", "body")
+    val plan = RobotsOps.robotsAnnotateOf(urls, robots)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$plan")
+  }
+}
