@@ -476,6 +476,17 @@ object GraftOps {
   def robotsFilter(urls: DataFrame, robots: DataFrame): DataFrame =
     graft.operators.RobotsOps.robotsFilterOf(urls, robots)
 
+  /** `Sitemap:` pointers from robots bodies (host, sitemap) — the
+    * protocol's discovery handoff. */
+  def robotsSitemaps(robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsSitemapsOf(robots)
+
+  /** sitemaps.org `<loc>`/`<lastmod>` extraction from (host, xml)
+    * bodies: page entries and nested sitemapindex children, fully
+    * narrow. */
+  def sitemapUrls(sitemaps: DataFrame): DataFrame =
+    graft.operators.RobotsOps.sitemapUrlsOf(sitemaps)
+
   /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
     * normalized URL — run BEFORE text dedup on crawl corpora. */
   def urlDedup(docs: DataFrame): DataFrame =

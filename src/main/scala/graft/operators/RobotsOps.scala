@@ -118,6 +118,36 @@ object RobotsOps {
   def robotsFilterOf(urls: DataFrame, robots: DataFrame): DataFrame =
     robotsAnnotateOf(urls, robots).filter(col("allowed")).drop("allowed")
 
+  /** `Sitemap:` pointers from robots bodies — per RFC 9309 §2.3 /
+    * sitemaps.org, the field is independent of any user-agent group
+    * (valid anywhere in the file), so extraction is one flat
+    * regexp_extract_all, no group state. Output (host, sitemap). */
+  def robotsSitemapsOf(robots: DataFrame): DataFrame =
+    robots.select(col("host"),
+      explode(expr("regexp_extract_all(body, " +
+        "'(?im)^\\\\s*sitemap\\\\s*:\\\\s*([^#\\\\s]+)', 1)")).as("sitemap"))
+
+  /** Sitemap URL extraction (sitemaps.org protocol — the discovery
+    * channel the robots `Sitemap:` field points at): `<loc>` entries
+    * with optional `<lastmod>`, from both `<urlset>` page entries
+    * (kind = 'page') and `<sitemapindex>` children (kind = 'sitemap',
+    * for the caller's next fetch round — the protocol nests one
+    * level). Input (host, xml); output (host, kind, url, lastmod).
+    * Fully narrow: block extraction and field pulls are per-row
+    * regexes, nothing shuffles. */
+  def sitemapUrlsOf(sitemaps: DataFrame): DataFrame =
+    sitemaps
+      .select(col("host"), explode(expr("regexp_extract_all(xml, " +
+        "'(?is)<url>.*?</url>|<sitemap>.*?</sitemap>', 0)")).as("block"))
+      .select(col("host"),
+        when(expr("lower(substring(block, 1, 9)) = '<sitemap>'"), lit("sitemap"))
+          .otherwise(lit("page")).as("kind"),
+        expr("trim(regexp_extract(block, '(?is)<loc>\\\\s*(.*?)\\\\s*</loc>', 1))")
+          .as("url"),
+        expr("nullif(trim(regexp_extract(block, " +
+          "'(?is)<lastmod>\\\\s*(.*?)\\\\s*</lastmod>', 1)), '')").as("lastmod"))
+      .filter(col("url") =!= "")
+
   // ---------------------------------------------------------------
   // Oracle-gated fixture queries
   // ---------------------------------------------------------------
@@ -132,7 +162,8 @@ object RobotsOps {
         concat(lit("User-agent: *\nDisallow: /private/\n" +
           "Allow: /private/open\n# keep-out note\nDisallow: /tmp"),
           col("k") % 3,
-          lit("\nCrawl-delay: 5\nSitemap: https://x.example/s.xml")).as("body"))
+          lit("\nCrawl-delay: 5\nSitemap: https://"),
+          col("source"), lit(".example/s.xml")).as("body"))
 
   private def fixtureUrls(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -151,6 +182,32 @@ object RobotsOps {
       .select(col("url"), col("allowed"))
       .orderBy(col("url"))
 
+  def robotsSitemaps(s: SparkSession, d: String): DataFrame =
+    robotsSitemapsOf(fixtureRobots(s, d)).orderBy(col("host"), col("sitemap"))
+
+  /** One sitemap body per host: per-doc page entries (some with
+    * lastmod, some without, whitespace-padded loc) plus one nested
+    * sitemapindex child per host. */
+  private def fixtureSitemaps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(concat_ws("", collect_list(concat(
+        lit("<url><loc> https://"), col("source"),
+        lit(".example/page/"), col("doc_id"), lit(" </loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>2024-0"), col("doc_id") % 9 + 1,
+            lit("-01</lastmod>"))).otherwise(lit("")),
+        lit("</url>")))).as("entries"))
+      .select(concat(col("source"), lit(".example")).as("host"),
+        concat(lit("<?xml version=\"1.0\"?><urlset>"), col("entries"),
+          lit("</urlset><sitemapindex><sitemap><loc>https://"),
+          col("source"),
+          lit(".example/more.xml</loc></sitemap></sitemapindex>")).as("xml"))
+
+  def sitemapUrls(s: SparkSession, d: String): DataFrame =
+    sitemapUrlsOf(fixtureSitemaps(s, d))
+      .orderBy(col("host"), col("kind"), col("url"))
+
   private val robotsCtesSql =
     """srcs AS MATERIALIZED (SELECT DISTINCT source,
       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
@@ -158,8 +215,8 @@ object RobotsOps {
       |    'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
       |    'Allow: /private/open' || chr(10) || '# keep-out note' || chr(10) ||
       |    'Disallow: /tmp' || CAST(k % 3 AS VARCHAR) || chr(10) ||
-      |    'Crawl-delay: 5' || chr(10) || 'Sitemap: https://x.example/s.xml'
-      |      AS body
+      |    'Crawl-delay: 5' || chr(10) || 'Sitemap: https://' || source ||
+      |    '.example/s.xml' AS body
       |  FROM srcs),
       |lines AS (SELECT host, trim(unnest(string_split(body, chr(10)))) AS l
       |  FROM robots),
@@ -197,13 +254,42 @@ object RobotsOps {
        |FROM u LEFT JOIN best b ON u.url = b.url
        |ORDER BY u.url""".stripMargin
 
+  private val robotsSitemapsOracle =
+    """WITH srcs AS (SELECT DISTINCT source FROM documents)
+      |SELECT source || '.example' AS host,
+      |  'https://' || source || '.example/s.xml' AS sitemap
+      |FROM srcs ORDER BY host, sitemap""".stripMargin
+
+  /** Independent ground-truth derivation (not a re-parse of the xml):
+    * the extraction must reproduce exactly the rows the fixture
+    * generator encoded. */
+  private val sitemapUrlsOracle =
+    """WITH pages AS (SELECT source || '.example' AS host,
+      |    'page' AS kind,
+      |    'https://' || source || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' END AS lastmod
+      |  FROM documents),
+      |sms AS (SELECT DISTINCT source || '.example' AS host,
+      |    'sitemap' AS kind,
+      |    'https://' || source || '.example/more.xml' AS url,
+      |    CAST(NULL AS VARCHAR) AS lastmod
+      |  FROM documents)
+      |SELECT host, kind, url, lastmod FROM pages
+      |UNION ALL SELECT host, kind, url, lastmod FROM sms
+      |ORDER BY host, kind, url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "robots_rules" -> (robotsRules _),
     "robots_filter" -> (robotsFilter _),
+    "robots_sitemaps" -> (robotsSitemaps _),
+    "sitemap_urls" -> (sitemapUrls _),
   )
 
   val oracles: Map[String, String] = Map(
     "robots_rules" -> robotsRulesOracle,
     "robots_filter" -> robotsFilterOracle,
+    "robots_sitemaps" -> robotsSitemapsOracle,
+    "sitemap_urls" -> sitemapUrlsOracle,
   )
 }
