@@ -56,8 +56,42 @@ object GraphOps {
     e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
+  /** Node count above which the iterative ops dictionary-encode node
+    * names to dense longs before their rounds (and decode after):
+    * below it the two encode joins + the rank sort cost more than ten
+    * rounds of narrower shuffles save; above it every round's shuffle
+    * rows carry 8-byte keys instead of hostnames — the componentsOf
+    * policy generalized to PageRank and HyperBall. Specs force the
+    * encoded path directly ([[pageRankEncoded]] /
+    * [[hyperBallHarmonicEncoded]]) and pin bit-identity against the
+    * string path, so the switch cannot change results, only shuffle
+    * width. */
+  private[graft] val dictEncodeThreshold: Long = 100000L
+
+  /** Lexicographic-rank dictionary of a node frame: (node, nid) with
+    * nid = the node's rank in the total string order (range-sort +
+    * zipWithIndex — the global index equals the rank regardless of
+    * partition boundaries), so min-nid ≡ min-string and every
+    * order-based tie-break downstream is preserved under decode. */
+  private def nodeDictOf(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.orderBy(col("node")).rdd.zipWithIndex()
+      .map { case (r, i) => (r.getString(0), i) }
+      .toDF("node", "nid").localCheckpoint()
+  }
+
+  /** (src, dst) re-keyed through a node dictionary. */
+  private def encodeEdges(e: DataFrame, dict: DataFrame): DataFrame =
+    e.join(dict.select(col("node").as("src"), col("nid").as("s")), Seq("src"))
+      .join(dict.select(col("node").as("dst"), col("nid").as("d")), Seq("dst"))
+      .select(col("s").as("src"), col("d").as("dst")).localCheckpoint()
+
   /** Ranks after `iters` rounds over an (src, dst) edge frame:
-    * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph. */
+    * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph.
+    * Past [[dictEncodeThreshold]] nodes the rounds run over
+    * dictionary-encoded long keys ([[pageRankEncoded]]) — identical
+    * results, narrower round shuffles. */
   def pageRankOf(edges: DataFrame, iters: Int = 10,
                  dampingPermille: Int = 850): DataFrame = {
     require(iters >= 0 && iters <= 1000, s"unreasonable iters: $iters")
@@ -65,10 +99,39 @@ object GraphOps {
       s"damping out of permille range: $dampingPermille")
     val e = normalizedEdges(edges)
     val nodes = nodesOf(e).localCheckpoint()
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
+    if (n >= dictEncodeThreshold) pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
+    else pageRankRaw(e, nodes, n, iters, dampingPermille)
+  }
+
+  /** The encoded path, exposed for the bit-identity spec: encode →
+    * [[pageRankRaw]] over long keys → decode. */
+  private[graft] def pageRankEncoded(edges: DataFrame, iters: Int = 10,
+                                     dampingPermille: Int = 850): DataFrame = {
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty edge frame")
+    pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
+  }
+
+  private def pageRankEncodedRaw(e: DataFrame, nodes: DataFrame, n: Long,
+                                 iters: Int, dampingPermille: Int): DataFrame = {
+    val dict = nodeDictOf(nodes)
+    pageRankRaw(encodeEdges(e, dict), dict.select(col("nid").as("node")),
+      n, iters, dampingPermille)
+      .withColumnRenamed("node", "nid")
+      .join(dict, Seq("nid"))
+      .select(col("node"), col("rank_e9"))
+  }
+
+  /** The iteration loop, key-type-agnostic (string names or encoded
+    * longs — every step is a keyed join/agg). */
+  private def pageRankRaw(e: DataFrame, nodes: DataFrame, n: Long,
+                          iters: Int, dampingPermille: Int): DataFrame = {
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
     // Sink nodes force a per-round driver scalar (the dangling mass
     // depends on the evolving ranks) and therefore a per-round
@@ -378,15 +441,75 @@ object GraphOps {
     * (σ ≈ 1.04/√m ≈ 18% at m=32; the spec pins the observed bound). */
   def hyperBallHarmonicOf(edges: DataFrame, maxIters: Int = 16,
                           registers: Int = 32): DataFrame = {
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    if (nodes.count() >= dictEncodeThreshold)
+      hyperBallEncodedRaw(e, nodes, maxIters, registers)
+    else hyperBallRaw(e, nodes, maxIters, registers)
+  }
+
+  /** The encoded path, exposed for the bit-identity spec: registers
+    * seed from the node STRING's hash (so estimates are unchanged),
+    * then the rounds run keyed on dictionary longs and the labels
+    * decode at the end — at web-graph node counts the per-row round
+    * shuffle drops from hostname + m bytes to 8 + m bytes. */
+  private[graft] def hyperBallHarmonicEncoded(edges: DataFrame,
+                                              maxIters: Int = 16,
+                                              registers: Int = 32): DataFrame = {
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    hyperBallEncodedRaw(e, nodes, maxIters, registers)
+  }
+
+  private def hyperBallEncodedRaw(e: DataFrame, nodes: DataFrame,
+                                  maxIters: Int, registers: Int): DataFrame = {
+    val dict = nodeDictOf(nodes)
+    // seed BEFORE encoding: rho comes from hash60 of the node STRING,
+    // so the registers — and therefore every estimate — are the same
+    // bits the string path produces
+    val seeded = seedRegisters(nodes, registers)
+      .join(dict, Seq("node"))
+      .select(col("nid").as("node"), col("regs"))
+    hyperBallLoop(encodeEdges(e, dict), seeded, maxIters, registers)
+      .withColumnRenamed("node", "nid")
+      .join(dict, Seq("nid"))
+      .select(col("node"), col("harm_e6"))
+  }
+
+  private def hyperBallRaw(e: DataFrame, nodes: DataFrame,
+                           maxIters: Int, registers: Int): DataFrame =
+    hyperBallLoop(e, seedRegisters(nodes, registers), maxIters, registers)
+
+  /** Per-node seed registers: node v's own hash sets register
+    * j = h mod m to rho = 1 + (trailing zeros of h DIV m); log2(w&-w)
+    * isolates the lowest set bit exactly (powers of two are exact
+    * doubles). The all-zero sentinel is width + 1 = 61 − log2(m):
+    * h DIV m keeps 60 − log2(m) hash bits, so wv = 0 means "longer
+    * than every representable run". Packing: one rho byte at offset j
+    * inside an m-byte zero field, built hex-text-side then unhex'd. */
+  private def seedRegisters(nodes: DataFrame, m: Int): DataFrame = {
+    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
+    nodes
+      .withColumn("h", graft.functions.Portable.hash60(col("node")))
+      .withColumn("j", pmod(col("h"), lit(m.toLong)).cast("int"))
+      .withColumn("wv", expr(s"h DIV $m"))
+      .withColumn("rho", when(col("wv") === 0, lit(61 - log2m))
+        .otherwise(expr("CAST(log2(wv & -wv) AS INT) + 1")))
+      .select(col("node"),
+        expr(s"unhex(concat(repeat('00', j), lpad(hex(rho), 2, '0'), " +
+          s"repeat('00', $m - 1 - j)))").as("regs"))
+  }
+
+  /** The merge loop, key-type-agnostic (string names or encoded
+    * longs). `seeded` carries (node, regs). */
+  private def hyperBallLoop(e: DataFrame, seeded: DataFrame,
+                            maxIters: Int, registers: Int): DataFrame = {
     val m = registers
     require(m >= 16 && m <= 256 && (m & (m - 1)) == 0,
       s"registers must be a power of two in [16,256]: $m")
     require(maxIters >= 1 && maxIters <= 256, s"unreasonable maxIters: $maxIters")
     val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
       else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
-    val log2m = java.lang.Integer.numberOfTrailingZeros(m)
-    val e = normalizedEdges(edges)
-    val nodes = nodesOf(e)
     // decode the packed registers once per row: byte i → INT via the
     // hex round-trip (substring on BINARY yields a 1-byte slice)
     val regArr = expr(s"transform(sequence(1, $m), " +
@@ -411,22 +534,6 @@ object GraphOps {
       .withColumn("zeros", zeros)
       .withColumn("ball", ballEst)
       .drop("ra", "invSum", "zeros")
-    // seed: node v's own hash sets register j = h mod m to
-    // rho = 1 + (trailing zeros of h DIV m); log2(w & -w) isolates the
-    // lowest set bit exactly (powers of two are exact doubles). The
-    // all-zero sentinel is width + 1 = 61 − log2(m): h DIV m keeps
-    // 60 − log2(m) hash bits, so wv = 0 means "longer than every
-    // representable run". Packing: one rho byte at offset j inside an
-    // m-byte zero field, built hex-text-side then unhex'd.
-    val seeded = nodes
-      .withColumn("h", graft.functions.Portable.hash60(col("node")))
-      .withColumn("j", pmod(col("h"), lit(m.toLong)).cast("int"))
-      .withColumn("wv", expr(s"h DIV $m"))
-      .withColumn("rho", when(col("wv") === 0, lit(61 - log2m))
-        .otherwise(expr("CAST(log2(wv & -wv) AS INT) + 1")))
-      .select(col("node"),
-        expr(s"unhex(concat(repeat('00', j), lpad(hex(rho), 2, '0'), " +
-          s"repeat('00', $m - 1 - j)))").as("regs"))
     var cur = withEstimates(seeded)
       .withColumn("harm", lit(0.0))
       .localCheckpoint()

@@ -123,6 +123,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(repart == hb)
   }
 
+  test("dictionary-encoded pageRank and hyperball are bit-identical to the string paths") {
+    import spark.implicits._
+    // the scale switch picks the encoded path past dictEncodeThreshold
+    // nodes; forcing it on the small fixture pins that encoding can
+    // only change shuffle width, never a single bit of output
+    val edges = ((0 until 20).map(k => (s"n$k", s"n${(3 * k + 1) % 20}")) ++
+      (1 until 20).map(k => (s"n$k", "n0")) ++
+      Seq(("n3", "sink"))).toDF("src", "dst") // a sink exercises dangling mass
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(GraphOps.pageRankEncoded(edges)) == m(GraphOps.pageRankOf(edges)))
+    assert(m(GraphOps.hyperBallHarmonicEncoded(edges)) ==
+      m(GraphOps.hyperBallHarmonicOf(edges)))
+  }
+
   test("hyperball on an empty edge frame returns an empty frame, not an error") {
     import spark.implicits._
     val out = GraphOps.hyperBallHarmonicOf(
