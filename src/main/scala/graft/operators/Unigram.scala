@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Unigram-LM subword tokenization (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece-unigram algorithm; the third
+  * mainstream subword scheme next to BPE and WordPiece, both already
+  * implemented in [[Bpe]]). Where BPE replays a merge HISTORY and
+  * WordPiece greedily longest-matches a vocabulary SET, unigram
+  * segments each word by VITERBI over per-piece costs — the
+  * minimum-total-cost segmentation under a unigram piece model.
+  *
+  * Training is the published shape simplified to hard-EM (Viterbi
+  * counts instead of full forward-backward expectations — the
+  * standard practical variant): seed an over-complete substring
+  * vocabulary from the corpus, then alternate (re-segment the
+  * word-TYPE table under current costs) / (recount pieces, rescore
+  * cost = −log relative frequency) / (prune the worst multi-char
+  * pieces), keeping every single character so any string stays
+  * segmentable. Like BPE training, everything heavy runs on the
+  * word-type table (distinct words × frequencies — orders below the
+  * corpus), and the vocabulary is driver-resident by design.
+  *
+  * Costs are INTEGER e6-nats (floor(−1e6·ln p), StrictMath so the
+  * same bits on every JVM) and the Viterbi objective minimizes
+  * (total cost, piece count) lexicographically — all-integer
+  * arithmetic, so the (cost, n_tokens) surface is exact cross-engine
+  * and the fixture query is DuckDB-oracle-gated via a recursive-CTE
+  * segmentation walk. The token STRING at exact ties is
+  * implementation-defined (first-found scanning positions then piece
+  * lengths ascending) and pinned by spec, not by the oracle.
+  *
+  * Scale shape: apply is one mapPartitions with a broadcast cost map
+  * (the big-vocab WordPiece path — O(len · maxPieceLen) hash probes
+  * per word, zero shuffles, no corpus-side state); each training
+  * round is one narrow re-segmentation pass over the types plus one
+  * vocab-sized keyed count. */
+object Unigram {
+
+  /** Default cost charged for an unknown single character (no piece
+    * covers the position): ~20 nats — worse than any real piece, so
+    * UNK never displaces a valid segmentation. */
+  val UnkCost: Long = 20000000L
+
+  /** Viterbi-segment one word: minimize (Σ cost, piece count)
+    * lexicographically; at exact ties the first-found path wins
+    * (positions ascending, piece lengths ascending). A position where
+    * no piece starts always offers a 1-char `[UNK]` step at
+    * `unkCost`, so every word segments. Returns (pieces, totalCost). */
+  private[operators] def viterbiWord(w: String, vs: Map[String, Long],
+                                     maxLen: Int,
+                                     unkCost: Long): (List[String], Long) = {
+    val n = w.length
+    val INF = Long.MaxValue / 4
+    val cost = Array.fill(n + 1)(INF)
+    val np = Array.fill(n + 1)(Int.MaxValue)
+    val fromPos = Array.fill(n + 1)(-1)
+    val viaPiece = new Array[String](n + 1)
+    cost(0) = 0; np(0) = 0
+    def relax(j: Int, c: Long, k: Int, from: Int, piece: String): Unit =
+      if (c < cost(j) || (c == cost(j) && k < np(j))) {
+        cost(j) = c; np(j) = k; fromPos(j) = from; viaPiece(j) = piece
+      }
+    var pos = 0
+    while (pos < n) {
+      if (cost(pos) < INF) {
+        var l = 1
+        val lim = math.min(maxLen, n - pos)
+        while (l <= lim) {
+          val piece = w.substring(pos, pos + l)
+          vs.get(piece) match {
+            case Some(c) => relax(pos + l, cost(pos) + c, np(pos) + 1, pos, piece)
+            case None =>
+          }
+          l += 1
+        }
+        if (!vs.contains(w.substring(pos, pos + 1)))
+          relax(pos + 1, cost(pos) + unkCost, np(pos) + 1, pos, "[UNK]")
+      }
+      pos += 1
+    }
+    var out: List[String] = Nil
+    var p = n
+    while (p > 0) { out = viaPiece(p) :: out; p = fromPos(p) }
+    (out, cost(n))
+  }
+
+  /** Tokenize a corpus with a frozen (piece → cost) vocabulary:
+    * (doc_id, token_str, n_tokens, cost) — cost is the summed integer
+    * Viterbi objective, the oracle-checkable half of the output. */
+  def unigramTokenizeOf(docs: DataFrame, pieces: Map[String, Long],
+                        unkCost: Long = UnkCost): DataFrame = {
+    require(pieces.nonEmpty, "empty unigram vocabulary")
+    require(pieces.valuesIterator.forall(_ >= 0), "negative piece cost")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val maxLen = pieces.keys.map(_.length).max
+    val bc = spark.sparkContext.broadcast(pieces)
+    docs.select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val vs = bc.value
+        it.map { case (id, text) =>
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          var total = 0L
+          text.split(' ').foreach { w =>
+            if (w.nonEmpty) {
+              val (ps, c) = viterbiWord(w, vs, maxLen, unkCost)
+              toks ++= ps
+              total += c
+            }
+          }
+          (id, toks.mkString(" "), toks.size, total)
+        }
+      }
+      .toDF("doc_id", "token_str", "n_tokens", "cost")
+  }
+
+  /** Train a unigram vocabulary (hard-EM over the word-type table):
+    * returns the driver-built (piece, cost_e6, cnt) frame, every
+    * single corpus character guaranteed present. Deterministic:
+    * hashless seeding (top substring counts with lexicographic
+    * tie-break), integer-exact counts, StrictMath log. */
+  def unigramTrainOf(docs: DataFrame, vocabSize: Int = 48,
+                     seedMaxLen: Int = 4, rounds: Int = 2): DataFrame = {
+    require(vocabSize >= 2 && vocabSize <= 100000, s"bad vocabSize: $vocabSize")
+    require(seedMaxLen >= 2 && seedMaxLen <= 16, s"bad seedMaxLen: $seedMaxLen")
+    require(rounds >= 1 && rounds <= 16, s"bad rounds: $rounds")
+    val s = docs.sparkSession
+    import s.implicits._
+    val types = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    // seed: every substring occurrence up to seedMaxLen, weighted by
+    // type frequency — full-length substrings only (the sequence bound
+    // stops at the word end, so no boundary-truncated duplicates)
+    val subCounts = types.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, least($seedMaxLen, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val charRows = subCounts.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nChars = charRows.size
+    require(vocabSize > nChars,
+      s"vocabSize $vocabSize must exceed the corpus charset size $nChars")
+    val seedMulti = subCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(math.max(4 * vocabSize, 64))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def score(counts: Map[String, Long]): Map[String, Long] = {
+      val total = math.max(counts.values.sum, 1L)
+      counts.map { case (p, c) =>
+        p -> math.floor(-1e6 * StrictMath.log(
+          math.max(c, 1L).toDouble / total)).toLong
+      }
+    }
+    var vocabCosts: Map[String, Long] = score(charRows ++ seedMulti)
+    var lastCounts: Map[String, Long] = charRows ++ seedMulti
+    for (_ <- 1 to rounds) {
+      val maxLen = vocabCosts.keys.map(_.length).max
+      val bc = s.sparkContext.broadcast(vocabCosts)
+      // hard-EM E-step: Viterbi counts over the TYPES, freq-weighted
+      val counts = types.as[(String, Long)]
+        .mapPartitions { it =>
+          val vs = bc.value
+          it.flatMap { case (w, f) =>
+            viterbiWord(w, vs, maxLen, UnkCost)._1
+              .filter(_ != "[UNK]").map(p => (p, f))
+          }
+        }
+        .toDF("piece", "f").groupBy("piece").agg(sum(col("f")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M-step + prune: chars always survive (floor count 1); keep the
+      // best multi-char pieces by (count desc, piece asc)
+      val kept = charRows.map { case (ch, c) => ch -> counts.getOrElse(ch, 1L) } ++
+        counts.filter { case (p, _) => p.length > 1 }
+          .toSeq.sortBy { case (p, c) => (-c, p) }
+          .take(vocabSize - nChars)
+      lastCounts = kept
+      vocabCosts = score(kept)
+    }
+    lastCounts.toSeq
+      .map { case (p, c) => (p, vocabCosts(p), c) }
+      .sortBy { case (p, cost, _) => (cost, p) }
+      .toDF("piece", "cost_e6", "cnt")
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture queries
+  // ---------------------------------------------------------------
+
+  /** Frozen fixture vocabulary over the corpus's 24-character set:
+    * every single char at cost 1000 plus multi-char pieces priced so
+    * segmentation genuinely trades off piece length vs count (whole
+    * common words cheap, bigram bridges mid, chars expensive). Data-
+    * independent, so the apply query is oracle-expressible — the
+    * train-rarely / tokenize-every-batch deployment split, same as
+    * BPE's fixtureMerges. */
+  private[operators] val fixtureVocab: Map[String, Long] =
+    ("abcdefghijklmnopqrstuvwy".map(c => c.toString -> 1000L) ++
+      Seq("the" -> 700L, "spark" -> 800L, "data" -> 820L, "row" -> 780L,
+        "key" -> 790L, "scan" -> 810L, "sort" -> 805L, "join" -> 815L,
+        "er" -> 900L, "or" -> 890L, "ar" -> 910L, "st" -> 880L,
+        "an" -> 895L, "in" -> 885L, "ue" -> 930L, "ta" -> 920L,
+        "gr" -> 940L, "lu" -> 950L, "ch" -> 935L, "ba" -> 945L,
+        "sm" -> 955L, "wi" -> 925L, "nd" -> 915L, "ow" -> 905L)).toMap
+
+  /** Oracle-gated apply: the integer Viterbi surface (doc_id, cost,
+    * n_tokens) — exact cross-engine; the token strings themselves are
+    * tie-dependent and spec-pinned instead. */
+  def unigramTokenize(s: SparkSession, d: String): DataFrame =
+    unigramTokenizeOf(Tables.documents(s, d), fixtureVocab)
+      .select(col("doc_id"), col("cost"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Training fixture — iterative (no oracle; worked-example +
+    * determinism spec): 40 pieces over the documents corpus. */
+  def unigramTrain(s: SparkSession, d: String): DataFrame =
+    unigramTrainOf(Tables.documents(s, d), vocabSize = 40)
+      .orderBy(col("cost_e6"), col("piece"))
+
+  /** The Viterbi DP as a DuckDB recursive segmentation walk: states
+    * advance `pos` strictly (so the walk terminates), UNION dedup
+    * collapses equal (pos, cost, np) states, and the winner per word
+    * is min (cost, np) — exactly the Spark objective. The vocab
+    * literal is generated from the SAME Scala map. The fixture corpus
+    * is fully char-covered, so the UNK branch never fires and needs
+    * no oracle mirror (it is spec-pinned). */
+  private val unigramTokenizeOracle: String = {
+    val vlist = fixtureVocab.toSeq.sortBy(_._1)
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |pieces(piece, cost) AS (VALUES $vlist),
+       |wsrc AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |words AS (SELECT doc_id, unnest(ws) AS w,
+       |    generate_subscripts(ws, 1) AS wi FROM wsrc),
+       |walk(doc_id, wi, w, pos, cost, np) AS (
+       |  SELECT doc_id, wi, w, 0, CAST(0 AS BIGINT), 0 FROM words
+       |  UNION
+       |  SELECT k.doc_id, k.wi, k.w, k.pos + len(p.piece),
+       |    k.cost + p.cost, k.np + 1
+       |  FROM walk k JOIN pieces p
+       |    ON substr(k.w, k.pos + 1, len(p.piece)) = p.piece
+       |  WHERE k.pos < len(k.w)),
+       |done AS (SELECT doc_id, wi, cost, np FROM walk WHERE pos = len(w)),
+       |best AS (SELECT doc_id, wi, cost, np FROM (
+       |    SELECT doc_id, wi, cost, np,
+       |      row_number() OVER (PARTITION BY doc_id, wi
+       |        ORDER BY cost, np) AS rn
+       |    FROM done) WHERE rn = 1),
+       |agg AS (SELECT doc_id, sum(cost) AS cost,
+       |    sum(np) AS n_tokens FROM best GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.cost, 0) AS BIGINT) AS cost,
+       |  CAST(coalesce(a.n_tokens, 0) AS INT) AS n_tokens
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_tokenize" -> (unigramTokenize _),
+    // iterative hard-EM training → no oracle row; worked example,
+    // char-coverage and determinism pinned in UnigramSpec
+    "unigram_train" -> (unigramTrain _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "unigram_tokenize" -> unigramTokenizeOracle,
+  )
+}

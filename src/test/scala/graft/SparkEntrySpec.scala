@@ -15,7 +15,8 @@ class SparkEntrySpec extends AnyFunSuite {
     "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries,
     "UrlOps" -> UrlOps.queries, "GraphOps" -> GraphOps.queries,
     "PublicSuffix" -> PublicSuffix.queries,
-    "RobotsOps" -> RobotsOps.queries)
+    "RobotsOps" -> RobotsOps.queries,
+    "Unigram" -> Unigram.queries)
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

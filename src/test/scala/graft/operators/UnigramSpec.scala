@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer semantics: the Viterbi objective (min total
+  * cost, then min piece count), tie behavior, UNK fallback, and the
+  * hard-EM trainer's invariants (char coverage, pruning, frequency →
+  * cost ordering, determinism). */
+class UnigramSpec extends SparkSpec {
+
+  private def tok(vocab: Map[String, Long], texts: String*): Seq[(String, Int, Long)] = {
+    import spark.implicits._
+    Unigram.unigramTokenizeOf(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+        vocab)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+  }
+
+  test("viterbi picks the cheapest segmentation, not the greedy one") {
+    // greedy longest-match would take "abc"(40); viterbi finds ab+c=25
+    val vocab = Map("a" -> 10L, "b" -> 10L, "c" -> 10L,
+      "ab" -> 15L, "abc" -> 40L)
+    assert(tok(vocab, "abc") == Seq(("ab c", 2, 25L)))
+    // and the whole-word piece wins when it IS cheapest
+    assert(tok(vocab ++ Map("abc" -> 20L), "abc") == Seq(("abc", 1, 20L)))
+  }
+
+  test("equal cost prefers fewer pieces; per-word costs sum per document") {
+    val vocab = Map("x" -> 10L, "y" -> 10L, "xy" -> 20L)
+    assert(tok(vocab, "xy xy") == Seq(("xy xy", 2, 40L)))
+  }
+
+  test("uncovered characters fall back to [UNK] at the penalty cost, never derailing the rest") {
+    val vocab = Map("a" -> 10L, "b" -> 10L)
+    val got = tok(vocab, "azb")
+    assert(got == Seq(("a [UNK] b", 3, 20L + Unigram.UnkCost)), s"got $got")
+  }
+
+  test("empty text yields zero tokens at zero cost; row kept") {
+    assert(tok(Map("a" -> 1L), "") == Seq(("", 0, 0L)))
+  }
+
+  test("trainer: chars always survive, frequent substrings get cheap pieces, deterministic") {
+    import spark.implicits._
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, "sparking sparking parking the the the row")).toDF("doc_id", "text")
+    val out = Unigram.unigramTrainOf(docs, vocabSize = 16, seedMaxLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pieces = out.map(_._1).toSet
+    // every corpus character present
+    val chars = "sparkingthew ro".replace(" ", "").toSet.map((c: Char) => c.toString)
+    assert(chars.subsetOf(pieces), s"missing chars: ${chars -- pieces}")
+    // a frequent multi-char substring survived pruning
+    assert(pieces.exists(_.length > 1), s"no multi-char piece in $pieces")
+    // more frequent pieces cost less (costs are -log relative freq)
+    val costs = out.map(t => t._1 -> t._2).toMap
+    val cnts = out.map(t => t._1 -> t._3).toMap
+    for (a <- pieces; b <- pieces if cnts(a) > cnts(b))
+      assert(costs(a) < costs(b), s"$a (${cnts(a)}) not cheaper than $b (${cnts(b)})")
+    // bit-determinism across runs
+    val again = Unigram.unigramTrainOf(docs, vocabSize = 16, seedMaxLen = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("trained vocabulary compresses: fewer tokens than per-char segmentation") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val trained = Unigram.unigramTrainOf(docs, vocabSize = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = Unigram.unigramTokenizeOf(docs, trained)
+      .agg(sum(col("n_tokens"))).head().getLong(0)
+    val charsTotal = docs
+      .agg(sum(length(regexp_replace(col("text"), " ", "")))).head().getLong(0)
+    assert(toks < charsTotal,
+      s"trained vocab does not compress: $toks tokens vs $charsTotal chars")
+    // nothing tokenized to [UNK]: training guarantees char coverage
+    val unk = Unigram.unigramTokenizeOf(docs, trained)
+      .filter(col("token_str").contains("[UNK]")).count()
+    assert(unk == 0L)
+  }
+
+  test("tokenize plan is scan -> mapPartitions: zero shuffles") {
+    import spark.implicits._
+    val docs = Seq((1L, "the spark")).toDF("doc_id", "text")
+    val plan = Unigram.unigramTokenizeOf(docs, Unigram.fixtureVocab)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unigram tokenize shuffled:\n$plan")
+  }
+}
