@@ -433,6 +433,81 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM near n WHERE n.doc_id = ke.doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-document benchmark-overlap REPORT — the contamination
+    * MEASUREMENT (the GPT-3 appendix-C style n-gram overlap audit)
+    * where [[decontaminateOf]] is the drop: for each corpus doc, the
+    * fraction of its DISTINCT word n-grams that appear anywhere in
+    * the benchmark, as integer permille. The reporting face matters
+    * on its own: eval-leakage audits, threshold tuning, and
+    * per-source contamination dashboards all need the score, not the
+    * scrub. n-grams ride the join as hash60 keys (8 bytes — document
+    * text never rides a shuffle; the oracle mirrors the same md5-60
+    * hash, so the engines agree bit-for-bit even in the
+    * astronomically unlikely collision case). Shape: one corpus-side
+    * distinct + one keyed semi-join + one doc-keyed count — all
+    * map-side combinable. Docs shorter than n words score 0/0/0. */
+  def contaminationScoreOf(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 5): DataFrame = {
+    require(n >= 1 && n <= 32, s"unreasonable ngram width: $n")
+    def gramHashes(df: DataFrame) = df
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(ws) >= $n THEN
+           |  transform(sequence(1, size(ws) - ${n - 1}),
+           |    i -> array_join(slice(ws, i, $n), ' '))
+           |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("ng"))
+      .select(col("doc_id"), graft.functions.Portable.hash60(col("ng")).as("h"))
+      .distinct()
+    val benchSet = gramHashes(benchmark).select(col("h")).distinct()
+    val cg = gramHashes(corpus).localCheckpoint()
+    val totals = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
+    val hits = cg.join(benchSet, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination_permille",
+        when(col("n_ngrams") > 0,
+          expr("1000 * n_hit DIV n_ngrams")).otherwise(lit(0L)))
+  }
+
+  /** Fixture: every 10th doc doubles as the benchmark, so those score
+    * 1000 permille and everything else measures organic vocabulary
+    * overlap. */
+  def contaminationScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    contaminationScoreOf(docs, docs.filter(col("doc_id") % 10 === 0))
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationScoreOracle =
+    """WITH cw AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |ci AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+      |  FROM cw WHERE len(ws) >= 5),
+      |cg AS (SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(array_to_string(list_slice(ws, i, i + 4), ' ')), 1, 15))::BIGINT AS h
+      |  FROM ci),
+      |bset AS (SELECT DISTINCT h FROM cg WHERE doc_id % 10 = 0),
+      |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM cg GROUP BY doc_id),
+      |hit AS (SELECT doc_id, count(*) AS n_hit FROM cg
+      |  WHERE EXISTS (SELECT 1 FROM bset b WHERE b.h = cg.h)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(t.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(CASE WHEN coalesce(t.n_ngrams, 0) > 0
+      |    THEN 1000 * coalesce(h.n_hit, 0) // t.n_ngrams ELSE 0 END AS BIGINT)
+      |    AS contamination_permille
+      |FROM documents d
+      |LEFT JOIN tot t ON d.doc_id = t.doc_id
+      |LEFT JOIN hit h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Oracle-checked fixture for incremental dedup: the first 300 docs
     * are the established corpus, the rest arrive as one batch; returns
     * the admitted batch docs (neither exact dups of corpus/earlier
@@ -1535,6 +1610,7 @@ object Dedup {
     "paragraph_dedup"        -> (paragraphDedupGlobal _),
     "boilerplate_scrub"      -> (boilerplateScrub _),
     "decontaminate_semantic" -> (decontaminateSemanticQuery _),
+    "contamination_score"    -> (contaminationScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1556,5 +1632,6 @@ object Dedup {
     "paragraph_dedup"        -> paragraphDedupOracle,
     "boilerplate_scrub"      -> boilerplateOracle,
     "decontaminate_semantic" -> decontaminateSemanticOracle,
+    "contamination_score"    -> contaminationScoreOracle,
   )
 }

@@ -118,6 +118,36 @@ object RobotsOps {
   def robotsFilterOf(urls: DataFrame, robots: DataFrame): DataFrame =
     robotsAnnotateOf(urls, robots).filter(col("allowed")).drop("allowed")
 
+  /** `Crawl-delay:` of the `*` group per host — the de-facto-standard
+    * politeness knob (not in RFC 9309 but honored by most major
+    * crawlers; group-scoped like Allow/Disallow). Same group state
+    * machine as [[robotsRulesOf]], finishing to the FIRST star-group
+    * value; hosts whose robots carry none emit NULL (crawler default
+    * applies). Output (host, crawl_delay_s). */
+  def robotsCrawlDelaysOf(robots: DataFrame): DataFrame = {
+    val cdRe = "(?i)^crawl-delay\\\\s*:"
+    val cdVal = "(?i)^crawl-delay\\\\s*:\\\\s*([0-9]+)"
+    val fold =
+      s"""aggregate(transform(split(body, '\\n'), x -> trim(x)),
+         |  struct(false AS star, false AS lastua, CAST(NULL AS INT) AS delay),
+         |  (acc, l) -> CASE
+         |    WHEN l RLIKE '$uaRe' THEN struct(
+         |      IF(acc.lastua,
+         |         acc.star OR trim(regexp_extract(l, '$uaVal', 1)) = '*',
+         |         trim(regexp_extract(l, '$uaVal', 1)) = '*') AS star,
+         |      true AS lastua, acc.delay AS delay)
+         |    WHEN l RLIKE '$cdRe' THEN struct(
+         |      acc.star AS star, false AS lastua,
+         |      IF(acc.star AND acc.delay IS NULL,
+         |         CAST(regexp_extract(l, '$cdVal', 1) AS INT),
+         |         acc.delay) AS delay)
+         |    WHEN l = '' THEN acc
+         |    ELSE struct(acc.star AS star, false AS lastua, acc.delay AS delay)
+         |  END,
+         |  acc -> acc.delay)""".stripMargin
+    robots.select(col("host"), expr(fold).as("crawl_delay_s"))
+  }
+
   /** `Sitemap:` pointers from robots bodies — per RFC 9309 §2.3 /
     * sitemaps.org, the field is independent of any user-agent group
     * (valid anywhere in the file), so extraction is one flat
@@ -162,7 +192,7 @@ object RobotsOps {
         concat(lit("User-agent: *\nDisallow: /private/\n" +
           "Allow: /private/open\n# keep-out note\nDisallow: /tmp"),
           col("k") % 3,
-          lit("\nCrawl-delay: 5\nSitemap: https://"),
+          lit("\nCrawl-delay: "), col("k") % 7 + 1, lit("\nSitemap: https://"),
           col("source"), lit(".example/s.xml")).as("body"))
 
   private def fixtureUrls(s: SparkSession, d: String): DataFrame =
@@ -184,6 +214,9 @@ object RobotsOps {
 
   def robotsSitemaps(s: SparkSession, d: String): DataFrame =
     robotsSitemapsOf(fixtureRobots(s, d)).orderBy(col("host"), col("sitemap"))
+
+  def robotsCrawlDelays(s: SparkSession, d: String): DataFrame =
+    robotsCrawlDelaysOf(fixtureRobots(s, d)).orderBy(col("host"))
 
   /** One sitemap body per host: per-doc page entries (some with
     * lastmod, some without, whitespace-padded loc) plus one nested
@@ -215,7 +248,8 @@ object RobotsOps {
       |    'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10) ||
       |    'Allow: /private/open' || chr(10) || '# keep-out note' || chr(10) ||
       |    'Disallow: /tmp' || CAST(k % 3 AS VARCHAR) || chr(10) ||
-      |    'Crawl-delay: 5' || chr(10) || 'Sitemap: https://' || source ||
+      |    'Crawl-delay: ' || CAST(k % 7 + 1 AS VARCHAR) || chr(10) ||
+      |    'Sitemap: https://' || source ||
       |    '.example/s.xml' AS body
       |  FROM srcs),
       |lines AS (SELECT host, trim(unnest(string_split(body, chr(10)))) AS l
@@ -254,6 +288,13 @@ object RobotsOps {
        |FROM u LEFT JOIN best b ON u.url = b.url
        |ORDER BY u.url""".stripMargin
 
+  private val robotsCrawlDelaysOracle =
+    """WITH srcs AS (SELECT DISTINCT source,
+      |    CAST(substr(source, 4) AS INT) AS k FROM documents)
+      |SELECT source || '.example' AS host,
+      |  CAST(k % 7 + 1 AS INT) AS crawl_delay_s
+      |FROM srcs ORDER BY host""".stripMargin
+
   private val robotsSitemapsOracle =
     """WITH srcs AS (SELECT DISTINCT source FROM documents)
       |SELECT source || '.example' AS host,
@@ -283,6 +324,7 @@ object RobotsOps {
     "robots_rules" -> (robotsRules _),
     "robots_filter" -> (robotsFilter _),
     "robots_sitemaps" -> (robotsSitemaps _),
+    "robots_crawl_delays" -> (robotsCrawlDelays _),
     "sitemap_urls" -> (sitemapUrls _),
   )
 
@@ -290,6 +332,7 @@ object RobotsOps {
     "robots_rules" -> robotsRulesOracle,
     "robots_filter" -> robotsFilterOracle,
     "robots_sitemaps" -> robotsSitemapsOracle,
+    "robots_crawl_delays" -> robotsCrawlDelaysOracle,
     "sitemap_urls" -> sitemapUrlsOracle,
   )
 }

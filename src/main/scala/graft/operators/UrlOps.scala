@@ -90,6 +90,29 @@ object UrlOps {
         min(col("canonical_url")).as("url"))
       .select(col("keeper_id"), col("n_copies"), col("url"))
 
+  /** Crawl snapshot diff at canonical-URL grain — the incremental-
+    * refresh observable: which pages APPEARED, VANISHED, or CHANGED
+    * content between two snapshots (the delta that decides what
+    * re-enters the dedup/quality pipeline on a refresh instead of
+    * reprocessing the whole crawl). Each side reduces to one row per
+    * canonical url carrying the MIN content hash60 (deterministic
+    * under fetch multiplicity), then ONE full-outer keyed join
+    * classifies added / removed / changed / unchanged. Hashes, never
+    * bodies, ride the shuffle; both sides are (url, text) frames. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    def side(df: DataFrame, hname: String) =
+      canonicalUrlOf(df)
+        .groupBy(col("canonical_url"))
+        .agg(min(Portable.hash60(col("text"))).as(hname))
+    side(oldSnap, "h_old")
+      .join(side(newSnap, "h_new"), Seq("canonical_url"), "full_outer")
+      .select(col("canonical_url"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** The deduped documents themselves: rows whose doc_id is its
     * canonical URL's keeper, original columns preserved. */
   def urlDedupedDocsOf(docs: DataFrame): DataFrame = {
@@ -276,15 +299,43 @@ object UrlOps {
       |WHERE src <> '' AND dst <> '' AND src <> dst
       |ORDER BY src, dst""".stripMargin
 
+  /** Two synthetic snapshots of one site: mod-10 doc buckets are
+    * added (3), removed (7), content-changed (5); everything else is
+    * identical both sides. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(
+      concat(lit("https://snap.example/p"), col("doc_id")).as("url"),
+      col("text"), col("doc_id"))
+    val oldSnap = base.filter(col("doc_id") % 10 =!= 3)
+      .select(col("url"), col("text"))
+    val newSnap = base.filter(col("doc_id") % 10 =!= 7)
+      .select(col("url"),
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    snapshotDiffOf(oldSnap, newSnap).orderBy(col("canonical_url"))
+  }
+
+  /** Ground truth derived directly from the bucket scheme, not a
+    * re-hash — the diff must reproduce what the fixture encoded. */
+  private val snapshotDiffOracle =
+    """SELECT 'https://snap.example/p' || CAST(doc_id AS VARCHAR) AS canonical_url,
+      |  CASE doc_id % 10 WHEN 3 THEN 'added' WHEN 7 THEN 'removed'
+      |    WHEN 5 THEN 'changed' ELSE 'unchanged' END AS status
+      |FROM documents
+      |ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
     "crawl_pipeline" -> (crawlPipeline _),
     "link_graph" -> (linkGraph _),
+    "snapshot_diff" -> (snapshotDiff _),
   )
 
   val oracles: Map[String, String] = Map(
     "url_dedup" -> urlDedupOracle,
     "crawl_pipeline" -> crawlPipelineOracle,
     "link_graph" -> linkGraphOracle,
+    "snapshot_diff" -> snapshotDiffOracle,
   )
 }
