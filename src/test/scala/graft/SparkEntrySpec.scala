@@ -26,7 +26,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("SURVEY ledger line matches the code surface (no count drift)") {
-    // the machine-readable line in SURVEY.md §17 is asserted against
+    // the machine-readable line in SURVEY.md §18 is asserted against
     // the actual query maps, so a query can never land without the
     // recorded counts moving (the structural fix for three rounds of
     // closing-number drift). Tests run from the repo root.
@@ -38,11 +38,11 @@ class SparkEntrySpec extends AnyFunSuite {
     val m = found.last
     val (q, o) = (SparkEntry.queries.size, SparkEntry.oracleSql.size)
     assert(m.group(1).toInt == q,
-      s"SURVEY ledger says ${m.group(1)} queries, code has $q — update SURVEY.md §17")
+      s"SURVEY ledger says ${m.group(1)} queries, code has $q — update SURVEY.md §18")
     assert(m.group(2).toInt == o,
-      s"SURVEY ledger says ${m.group(2)} oracle rows, code has $o — update SURVEY.md §17")
+      s"SURVEY ledger says ${m.group(2)} oracle rows, code has $o — update SURVEY.md §18")
     assert(m.group(3).toInt == q - o,
-      s"SURVEY ledger says ${m.group(3)} no-oracle rows, code has ${q - o} — update SURVEY.md §17")
+      s"SURVEY ledger says ${m.group(3)} no-oracle rows, code has ${q - o} — update SURVEY.md §18")
   }
 
   test("every oracle key has a query; oracle SQL is placeholder-free") {

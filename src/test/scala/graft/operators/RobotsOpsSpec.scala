@@ -103,6 +103,22 @@ class RobotsOpsSpec extends SparkSpec {
     assert(got("https://q.example") == true)
   }
 
+  test("crawl-delay: star-group scoped, first wins, absent -> NULL") {
+    import spark.implicits._
+    val robots = Seq(
+      // googlebot's delay must NOT leak into the * group's
+      ("a.example", "User-agent: googlebot\nCrawl-delay: 99\n\n" +
+        "User-agent: *\nDisallow: /x\nCrawl-delay: 7\nCrawl-delay: 3"),
+      ("b.example", "User-agent: *\nDisallow: /y"),
+      ("c.example", "User-agent: bot\nCrawl-delay: 4"))
+      .toDF("host", "body")
+    val got = RobotsOps.robotsCrawlDelaysOf(robots)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map("a.example" -> Some(7), "b.example" -> None,
+      "c.example" -> None), s"got $got")
+  }
+
   test("robotsFilterOf keeps only admitted rows with original columns") {
     import spark.implicits._
     val urls = Seq((1L, "https://b.example/x"), (2L, "https://ok.example/y"))

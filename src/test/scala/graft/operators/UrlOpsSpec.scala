@@ -89,6 +89,26 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == Map(("a.com", "b.com") -> 3L), s"$got")
   }
 
+  test("snapshot diff: canonicalization merges surface forms; min-hash side reduce is fetch-order-free") {
+    import spark.implicits._
+    // old snapshot fetched the same page twice under case-shifted
+    // hosts (one canonical row); new snapshot has it changed, one page
+    // gone, one new
+    val oldSnap = Seq(
+      ("https://A.example/p1", "body one"),
+      ("HTTPS://a.example/p1", "body one"),   // same canonical + content
+      ("https://a.example/gone", "bye")).toDF("url", "text")
+    val newSnap = Seq(
+      ("https://a.example/p1", "body one EDITED"),
+      ("https://a.example/fresh", "hello")).toDF("url", "text")
+    val got = UrlOps.snapshotDiffOf(oldSnap, newSnap)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "https://a.example/p1" -> "changed",
+      "https://a.example/gone" -> "removed",
+      "https://a.example/fresh" -> "added"), s"got $got")
+  }
+
   test("pages -> link graph -> pageRank composes: the most-linked domain ranks first") {
     import spark.implicits._
     // 10 sites all link hub.com; hub links all of them back (its rank
