@@ -763,4 +763,15 @@ object GraftOps {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String): DataFrame =
     AsofJoinOps.asofJoin(left, right, leftKey, rightKey, leftTime, rightTime)
+
+  /** Point-in-interval join via fixed-width bin bucketing — never a
+    * nested loop: points own one bin, intervals explode to the bins
+    * they touch, the bin equi-join prunes, the exact half-open
+    * [start, end) predicate finishes. Long-typed dimension; pick
+    * `binWidth` ≈ the typical interval span. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+                   pointCol: String, startCol: String, endCol: String,
+                   binWidth: Long): DataFrame =
+    graft.operators.AdvancedOps.intervalJoinOf(
+      points, intervals, pointCol, startCol, endCol, binWidth)
 }

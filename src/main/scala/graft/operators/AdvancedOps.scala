@@ -60,6 +60,77 @@ object AdvancedOps {
       .orderBy(col("event_id"))
   }
 
+  /** Point-in-INTERVAL join (the other range-join face next to the
+    * proximity self-join above) without the quadratic plan the naive
+    * `s <= p AND p < e` theta-join produces (a
+    * BroadcastNestedLoopJoin — the PlanHygiene-forbidden shape): both
+    * sides key on fixed-width BINS of the join dimension — a point
+    * owns exactly one bin, an interval explodes to every bin it
+    * touches — the bin equi-join prunes to near-candidates, and the
+    * exact predicate finishes. Each matching (point, interval) pair
+    * meets exactly once (in the point's bin), so no dedup round.
+    * Intervals are half-open [start, end); empty intervals
+    * (end <= start) match nothing by construction. `binWidth` is in
+    * the dimension's units — pick ≈ the typical interval span, so
+    * per-point candidates ≈ intervals overlapping its bin; an
+    * interval spanning more than `maxBinsPerInterval` bins fails
+    * loudly instead of exploding a hidden multiplier into the
+    * shuffle. Long-typed dimension (epoch seconds/micros, byte
+    * offsets…); floor division is exact for negatives too. The two
+    * frames must not share column names. */
+  def intervalJoinOf(points: DataFrame, intervals: DataFrame,
+                  pointCol: String, startCol: String, endCol: String,
+                  binWidth: Long,
+                  maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val shared = points.columns.toSet & intervals.columns.toSet
+    require(shared.isEmpty, s"column names collide across sides: $shared")
+    def fdiv(c: String) = // exact floor division (DIV truncates toward 0)
+      s"CAST(IF($c >= 0, $c DIV $binWidth, " +
+        s"-((-($c) + $binWidth - 1) DIV $binWidth)) AS BIGINT)"
+    val p = points.withColumn("_bin", expr(fdiv(pointCol)))
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_b0", expr(fdiv(startCol)))
+      .withColumn("_b1", expr(fdiv(s"($endCol - 1)")))
+      .withColumn("_b1", expr(s"CASE WHEN _b1 - _b0 > $maxBinsPerInterval " +
+        s"THEN CAST(raise_error('range-join interval spans more than " +
+        s"$maxBinsPerInterval bins; raise binWidth') AS BIGINT) ELSE _b1 END"))
+      .withColumn("_bin", explode(expr("sequence(_b0, _b1)")))
+      .drop("_b0", "_b1")
+    p.join(i, Seq("_bin"))
+      .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
+      .drop("_bin")
+  }
+
+  /** Fixture: events against 20 overlapping 30-hour maintenance
+    * windows on a 24-hour stride (6-hour overlaps, so some events
+    * match TWO windows — the multi-match the operator must emit). */
+  def intervalJoinEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val day = 86400L
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val windows = (0 until 20)
+      .map(k => (k, base + k * day, base + k * day + 30 * 3600L))
+      .toDF("window_id", "w_start", "w_end")
+    val points = Tables.events(s, d)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("p"))
+    intervalJoinOf(points, windows, "p", "w_start", "w_end", binWidth = day)
+      .select(col("event_id"), col("window_id"))
+      .orderBy(col("event_id"), col("window_id"))
+  }
+
+  private val intervalJoinOracle =
+    """WITH windows AS (
+      |  SELECT k AS window_id,
+      |    1704067200 + k * 86400 AS w_start,
+      |    1704067200 + k * 86400 + 30 * 3600 AS w_end
+      |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+      |pts AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS p FROM events)
+      |SELECT e.event_id, CAST(w.window_id AS INT) AS window_id
+      |FROM pts e JOIN windows w ON w.w_start <= e.p AND e.p < w.w_end
+      |ORDER BY e.event_id, w.window_id""".stripMargin
+
   private val asofOracle =
     """WITH snaps AS (
       |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
@@ -514,6 +585,7 @@ object AdvancedOps {
     "approx_distinct_agreement" -> (approxDistinctAgreement _),
     "heavy_hitters_agreement" -> (heavyHittersAgreement _),
     "tdigest_agreement"       -> (tdigestAgreement _),
+    "interval_join_events"    -> (intervalJoinEvents _),
     "full_outer_years"        -> (fullOuterYears _),
     "unpivot_event_counts"    -> (unpivotCounts _),
   )
@@ -531,6 +603,7 @@ object AdvancedOps {
     "approx_distinct_agreement" -> approxDistinctAgreementOracle,
     "heavy_hitters_agreement" -> heavyHittersAgreementOracle,
     "tdigest_agreement"       -> tdigestAgreementOracle,
+    "interval_join_events"    -> intervalJoinOracle,
     "full_outer_years"        -> fullOuterOracle,
     "unpivot_event_counts"    -> unpivotOracle,
   )

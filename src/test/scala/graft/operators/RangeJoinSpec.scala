@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Bin-bucketed point-in-interval range join: boundary semantics,
+  * multi-bin intervals, negative-value floor division, overlap
+  * multi-match, the span guard, and the non-quadratic plan shape
+  * (exact values vs DuckDB are covered by the interval_join_events
+  * oracle row). */
+class RangeJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  private def run(points: Seq[(Long, Long)], ivals: Seq[(Int, Long, Long)],
+                  w: Long): Set[(Long, Int)] = {
+    import spark.implicits._
+    AdvancedOps.intervalJoinOf(
+        points.toDF("pid", "p"), ivals.toDF("iid", "s", "e"),
+        "p", "s", "e", binWidth = w)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+  }
+
+  test("half-open [start, end): start matches, end does not") {
+    val got = run(Seq((1L, 10L), (2L, 19L), (3L, 20L), (4L, 9L)),
+      Seq((7, 10L, 20L)), w = 4L)
+    assert(got == Set((1L, 7), (2L, 7)), s"got $got")
+  }
+
+  test("intervals spanning many bins still match points in every touched bin") {
+    // interval [0, 100) over binWidth 7 touches 15 bins
+    val got = run(Seq((1L, 0L), (2L, 50L), (3L, 99L), (4L, 100L)),
+      Seq((1, 0L, 100L)), w = 7L)
+    assert(got == Set((1L, 1), (2L, 1), (3L, 1)))
+  }
+
+  test("negative values: floor division keeps bins aligned across zero") {
+    val got = run(Seq((1L, -5L), (2L, -1L), (3L, 0L), (4L, -11L)),
+      Seq((1, -10L, 0L)), w = 4L)
+    assert(got == Set((1L, 1), (2L, 1)), s"got $got")
+  }
+
+  test("overlapping intervals multi-match; empty intervals match nothing") {
+    val got = run(Seq((1L, 15L)),
+      Seq((1, 10L, 20L), (2, 12L, 16L), (3, 15L, 15L), (4, 18L, 2L)), w = 8L)
+    assert(got == Set((1L, 1), (1L, 2)), s"got $got")
+  }
+
+  test("an interval over the bin-span guard fails loudly, not silently explodes") {
+    val e = intercept[Exception] {
+      import spark.implicits._
+      AdvancedOps.intervalJoinOf(
+          Seq((1L, 5L)).toDF("pid", "p"),
+          Seq((1, 0L, 10000000L)).toDF("iid", "s", "e"),
+          "p", "s", "e", binWidth = 1L, maxBinsPerInterval = 1000L)
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("colliding column names across sides are rejected up front") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      AdvancedOps.intervalJoinOf(
+        Seq((1L, 5L)).toDF("id", "p"),
+        Seq((1L, 0L, 9L)).toDF("id", "s", "e"),
+        "p", "s", "e", binWidth = 4L)
+    }
+  }
+
+  test("plan is a bin equi-join, never a nested loop") {
+    import spark.implicits._
+    val plan = AdvancedOps.intervalJoinOf(
+        Seq((1L, 5L)).toDF("pid", "p"),
+        Seq((1, 0L, 9L)).toDF("iid", "s", "e"),
+        "p", "s", "e", binWidth = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$plan")
+  }
+}
