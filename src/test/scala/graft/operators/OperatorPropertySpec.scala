@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+
+/** Randomized brute-force agreement for the round-11 operators: the
+  * distributed formulations must reproduce what a driver-side
+  * exhaustive reference computes on arbitrary small inputs. Each
+  * property runs ONE Spark job over a generated batch (the
+  * PropertySpec policy — per-sample jobs would take minutes). */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+
+  test("intervalJoinOf equals the naive theta join on random points/intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // values straddle zero and bin boundaries on purpose
+    val points = Seq.tabulate(300)(i => (i.toLong, rnd.nextLong() % 200))
+    val ivals = Seq.tabulate(80) { k =>
+      val s = rnd.nextLong() % 200
+      (k, s, s + rnd.nextInt(60) - 5) // some empty/inverted intervals
+    }
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = AdvancedOps.intervalJoinOf(
+          points.toDF("pid", "p"), ivals.toDF("iid", "s", "e"),
+          "p", "s", "e", binWidth = w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val ref = (for {
+        (pid, p) <- points
+        (iid, s, e) <- ivals
+        if s <= p && p < e
+      } yield (pid, iid)).toSet
+      assert(got == ref, s"binWidth=$w: ${got.diff(ref)} extra, ${ref.diff(got)} missing")
+    }
+  }
+
+  test("unigram viterbi equals exhaustive min-cost segmentation on random short words") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    def randWord(n: Int) =
+      Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    // vocab always covers singles so every word segments without UNK
+    val vocab: Map[String, Long] =
+      (alphabet.map(c => c.toString -> (100L + rnd.nextInt(50))) ++
+        Seq.fill(20)(randWord(2 + rnd.nextInt(3)))
+          .map(p => p -> (60L + rnd.nextInt(200)))).toMap
+    val maxLen = vocab.keys.map(_.length).max
+    def exhaustive(w: String): (Long, Int) = {
+      // all segmentations via recursion — fine for |w| <= 9
+      def go(pos: Int): List[(Long, Int)] =
+        if (pos == w.length) List((0L, 0))
+        else (1 to math.min(maxLen, w.length - pos)).toList.flatMap { l =>
+          vocab.get(w.substring(pos, pos + l)).toList.flatMap(c =>
+            go(pos + l).map { case (cc, nn) => (c + cc, nn + 1) })
+        }
+      go(0).min
+    }
+    for (_ <- 1 to 300) {
+      val w = randWord(1 + rnd.nextInt(9))
+      val (pieces, cost) = Unigram.viterbiWord(w, vocab, maxLen, Unigram.UnkCost)
+      val (refCost, refNp) = exhaustive(w)
+      assert(cost == refCost && pieces.size == refNp,
+        s"$w: viterbi ($cost, ${pieces.size}) vs exhaustive ($refCost, $refNp)")
+      assert(pieces.mkString == w, s"$w: pieces do not respell the word: $pieces")
+    }
+  }
+
+  test("robots longest-match equals a scalar reference on random literal rule sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val segs = Seq("/a", "/b", "/ab", "/abc", "/x", "/xy", "/q?k=", "/")
+    val rules = Seq.tabulate(12) { i =>
+      (segs(rnd.nextInt(segs.length)) + (if (rnd.nextBoolean()) segs(rnd.nextInt(segs.length)).drop(1) else ""),
+        rnd.nextBoolean())
+    }.distinct
+    val body = "User-agent: *\n" + rules.map { case (p, a) =>
+      (if (a) "Allow: " else "Disallow: ") + p }.mkString("\n")
+    val paths = Seq.tabulate(200)(_ =>
+      segs(rnd.nextInt(segs.length)) + segs(rnd.nextInt(segs.length)).drop(1) +
+        (if (rnd.nextBoolean()) "z" else ""))
+    val urls = paths.map(p => s"https://h.example$p")
+    val got = RobotsOps.robotsAnnotateOf(urls.toDF("url"),
+        Seq(("h.example", body)).toDF("host", "body"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    def ref(path: String): Boolean = {
+      val ms = rules.filter { case (p, _) => path.startsWith(p) }
+      if (ms.isEmpty) true
+      else ms.maxBy { case (p, a) => (p.length, a) }._2
+    }
+    urls.zip(paths).foreach { case (u, p) =>
+      assert(got(u) == ref(p), s"$p: spark ${got(u)} vs ref ${ref(p)} " +
+        s"under rules $rules")
+    }
+  }
+
+  test("floor-division binning: every point lands in the bin containing it") {
+    val rnd = new scala.util.Random(3)
+    // the private fdiv is exercised through intervalJoinOf: a width-1
+    // interval [v, v+1) must match exactly the points equal to v,
+    // whatever the sign
+    import spark.implicits._
+    val vals = Seq.tabulate(200)(_ => rnd.nextLong() % 1000)
+    val points = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val ivals = vals.distinct.zipWithIndex.map { case (v, k) => (k, v, v + 1) }
+    val got = AdvancedOps.intervalJoinOf(
+        points.toDF("pid", "p"), ivals.toDF("iid", "s", "e"),
+        "p", "s", "e", binWidth = 13L)
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val byVal = ivals.map { case (k, v, _) => v -> k }.toMap
+    val ref = points.map { case (pid, v) => (pid, byVal(v)) }.toSet
+    assert(got == ref)
+  }
+}
