@@ -241,6 +241,43 @@ object RobotsOps {
     sitemapUrlsOf(fixtureSitemaps(s, d))
       .orderBy(col("host"), col("kind"), col("url"))
 
+  /** End-to-end frontier composition — the showcase that the
+    * discovery pieces snap together into the crawl-scheduling shape:
+    * candidate urls (mixed clean / robots-disallowed paths over the
+    * fixture hosts) pass the [[robotsFilterOf]] admission gate, then
+    * rank by the host's link-graph IN-DEGREE as the authority prior
+    * (the cheap oracle-exact stand-in; production swaps in
+    * `registeredDomainRank` / harmonic on the same join key). One
+    * keyed join per stage — the composition inherits each piece's
+    * scale shape. Output (url, priority). */
+  def crawlFrontier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cands = docs.select(
+      concat(lit("https://"), col("source"), lit(".example"),
+        when(col("doc_id") % 4 === 0, concat(lit("/private/doc"), col("doc_id")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/tmp"), col("doc_id") % 3, lit("/f")))
+          .otherwise(concat(lit("/page/"), col("doc_id")))).as("url"))
+    val admitted = robotsFilterOf(cands, fixtureRobots(s, d))
+    val srcs = docs.select(col("source"),
+        substring(col("source"), 4, 10).cast("int").as("k")).distinct()
+    val edges = srcs.select(
+        concat(col("source"), lit(".example")).as("src"),
+        concat(lit("src"), (col("k") * 3 + 1) % 20, lit(".example")).as("dst"))
+      .union(srcs.filter(col("k") =!= 0)
+        .select(concat(col("source"), lit(".example")).as("src"),
+          lit("src0.example").as("dst")))
+      .distinct()
+    val indeg = edges.groupBy(col("dst").as("host"))
+      .agg(count(lit(1)).as("priority"))
+    admitted
+      .withColumn("host",
+        lower(regexp_extract(col("url"), "^(?i)https?://([^/:?#]+)", 1)))
+      .join(indeg, Seq("host"), "left")
+      .select(col("url"), coalesce(col("priority"), lit(0L)).as("priority"))
+      .orderBy(col("priority").desc, col("url"))
+  }
+
   private val robotsCtesSql =
     """srcs AS MATERIALIZED (SELECT DISTINCT source,
       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
@@ -265,6 +302,41 @@ object RobotsOps {
     s"""WITH $robotsCtesSql
        |SELECT host, prefix, allow FROM rules
        |ORDER BY host, prefix, allow""".stripMargin
+
+  private val crawlFrontierOracle =
+    s"""WITH $robotsCtesSql,
+       |cands AS MATERIALIZED (SELECT
+       |    'https://' || source || '.example' ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 4 = 1 THEN '/tmp' || CAST(doc_id % 3 AS VARCHAR) || '/f'
+       |         ELSE '/page/' || CAST(doc_id AS VARCHAR) END AS url
+       |  FROM documents),
+       |u AS (SELECT url,
+       |    lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS host,
+       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/:?#]+([^#]*)', 1), ''), '/') AS path
+       |  FROM cands),
+       |m AS (SELECT u.url, r.allow,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+       |  FROM u JOIN rules r ON u.host = r.host
+       |  WHERE starts_with(u.path, r.prefix)),
+       |best AS (SELECT url, allow FROM m WHERE rn = 1),
+       |adm AS (SELECT u.url, u.host FROM u
+       |  LEFT JOIN best b ON u.url = b.url
+       |  WHERE coalesce(b.allow, true)),
+       |edges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT source || '.example' AS src,
+       |    'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) || '.example' AS dst
+       |  FROM srcs
+       |  UNION ALL
+       |  SELECT source || '.example' AS src, 'src0.example' AS dst
+       |  FROM srcs WHERE k <> 0)),
+       |indeg AS (SELECT dst AS host, count(*) AS priority
+       |  FROM edges GROUP BY dst)
+       |SELECT a.url, CAST(coalesce(i.priority, 0) AS BIGINT) AS priority
+       |FROM adm a LEFT JOIN indeg i ON a.host = i.host
+       |ORDER BY priority DESC, url""".stripMargin
+
 
   private val robotsFilterOracle =
     s"""WITH $robotsCtesSql,
@@ -326,6 +398,7 @@ object RobotsOps {
     "robots_sitemaps" -> (robotsSitemaps _),
     "robots_crawl_delays" -> (robotsCrawlDelays _),
     "sitemap_urls" -> (sitemapUrls _),
+    "crawl_frontier" -> (crawlFrontier _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -334,5 +407,6 @@ object RobotsOps {
     "robots_sitemaps" -> robotsSitemapsOracle,
     "robots_crawl_delays" -> robotsCrawlDelaysOracle,
     "sitemap_urls" -> sitemapUrlsOracle,
+    "crawl_frontier" -> crawlFrontierOracle,
   )
 }
