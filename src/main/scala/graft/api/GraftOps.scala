@@ -279,6 +279,37 @@ object GraftOps {
   def wordpieceTokenize(docs: DataFrame, vocab: Seq[String]): DataFrame =
     Bpe.wordpieceTokenizeOf(docs, vocab)
 
+  /** Unigram-LM (SentencePiece-style) Viterbi tokenization with a
+    * frozen (piece → integer cost) vocabulary — the third subword
+    * scheme next to BPE and WordPiece. Zero shuffles (broadcast cost
+    * map, one mapPartitions). */
+  def unigramTokenize(docs: DataFrame,
+                      pieces: Map[String, Long]): DataFrame =
+    graft.operators.Unigram.unigramTokenizeOf(docs, pieces)
+
+  /** Train a unigram vocabulary over the corpus (hard-EM on the
+    * word-type table, every corpus character force-kept). Returns
+    * (piece, cost_e6, cnt) — driver-resident by design. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 48): DataFrame =
+    graft.operators.Unigram.unigramTrainOf(docs, vocabSize)
+
+  /** Per-document benchmark n-gram overlap in integer permille — the
+    * contamination MEASUREMENT where [[decontaminate]] is the drop. */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 5): DataFrame =
+    Dedup.contaminationScoreOf(corpus, benchmark, n)
+
+  /** Crawl snapshot diff at canonical-URL grain:
+    * added / removed / changed / unchanged between two (url, text)
+    * snapshots. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    graft.operators.UrlOps.snapshotDiffOf(oldSnap, newSnap)
+
+  /** Star-group `Crawl-delay:` per host from robots bodies (NULL =
+    * none declared; crawler default applies). */
+  def robotsCrawlDelays(robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsCrawlDelaysOf(robots)
+
   /** C4-style line + page cleaning (terminal punctuation, min words,
     * javascript lines; brace / lorem-ipsum / blocklist / min-sentence
     * pages) — fully narrow. */
