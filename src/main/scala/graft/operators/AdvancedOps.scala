@@ -93,7 +93,7 @@ object AdvancedOps {
       .filter(col(endCol) > col(startCol))
       .withColumn("_b0", expr(fdiv(startCol)))
       .withColumn("_b1", expr(fdiv(s"($endCol - 1)")))
-      .withColumn("_b1", expr(s"CASE WHEN _b1 - _b0 > $maxBinsPerInterval " +
+      .withColumn("_b1", expr(s"CASE WHEN _b1 - _b0 >= $maxBinsPerInterval " +
         s"THEN CAST(raise_error('range-join interval spans more than " +
         s"$maxBinsPerInterval bins; raise binWidth') AS BIGINT) ELSE _b1 END"))
       .withColumn("_bin", explode(expr("sequence(_b0, _b1)")))

@@ -265,6 +265,10 @@ object Bpe {
       .mapPartitions { it =>
         val vs = bc.value
         it.map { case (id, text) =>
+          // null text mirrors the expression path: null tokens, null
+          // count (the row survives; crawl data routinely has nulls)
+          if (text == null) (id, null: String, None: Option[Int])
+          else {
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           text.split(' ').foreach { w =>
             if (w.nonEmpty) {
@@ -288,7 +292,8 @@ object Bpe {
               }
             }
           }
-          (id, out.mkString(" "), out.size)
+          (id, out.mkString(" "), Some(out.size): Option[Int])
+          }
         }
       }
       .toDF("doc_id", "token_str", "n_tokens")

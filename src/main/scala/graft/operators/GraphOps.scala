@@ -442,10 +442,13 @@ object GraphOps {
   def hyperBallHarmonicOf(edges: DataFrame, maxIters: Int = 16,
                           registers: Int = 32): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
-    if (nodes.count() >= dictEncodeThreshold)
-      hyperBallEncodedRaw(e, nodes, maxIters, registers)
-    else hyperBallRaw(e, nodes, maxIters, registers)
+    // path decision on the EDGE count: e is already checkpointed, so
+    // the count scans cached partitions (no new shuffle — unlike a
+    // node count, which would pay a distinct). nodes ≤ 2·edges and the
+    // threshold is a heuristic, so edge count is the same order.
+    if (e.count() >= dictEncodeThreshold)
+      hyperBallEncodedRaw(e, nodesOf(e).localCheckpoint(), maxIters, registers)
+    else hyperBallRaw(e, nodesOf(e), maxIters, registers)
   }
 
   /** The encoded path, exposed for the bit-identity spec: registers
@@ -678,16 +681,9 @@ object GraphOps {
     * labels. */
   def componentsOf(edges: DataFrame): DataFrame = {
     val e = normalizedEdges(edges)
-    val spark = e.sparkSession
-    import spark.implicits._
-    val dict = nodesOf(e).orderBy(col("node")).rdd.zipWithIndex()
-      .map { case (r, i) => (r.getString(0), i) }
-      .toDF("node", "nid").localCheckpoint()
-    val enc = e
-      .join(dict.select(col("node").as("src"), col("nid").as("i")), Seq("src"))
-      .join(dict.select(col("node").as("dst"), col("nid").as("j")), Seq("dst"))
-      .select(col("i"), col("j"))
-    Dedup.clustersOf(enc)
+    val dict = nodeDictOf(nodesOf(e))
+    Dedup.clustersOf(encodeEdges(e, dict)
+        .select(col("src").as("i"), col("dst").as("j")))
       .join(dict.select(col("nid").as("doc_id"), col("node")), Seq("doc_id"))
       .join(dict.select(col("nid").as("cluster"),
         col("node").as("component")), Seq("cluster"))

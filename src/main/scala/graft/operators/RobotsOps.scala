@@ -66,7 +66,7 @@ object RobotsOps {
          |           trim(regexp_extract(l, '$ruleVal', 2)) AS prefix,
          |           l RLIKE '(?i)^allow\\\\s*:' AS allow))),
          |         acc.rules) AS rules)
-         |    WHEN l = '' THEN acc
+         |    WHEN l = '' OR l RLIKE '^#' THEN acc
          |    ELSE struct(acc.star AS star, false AS lastua, acc.rules AS rules)
          |  END,
          |  acc -> acc.rules)""".stripMargin
@@ -78,10 +78,13 @@ object RobotsOps {
     * `/`) of a url column — shared by annotate and the oracle text. */
   private def withHostPath(urls: DataFrame): DataFrame =
     urls
-      .withColumn("host",
+      .withColumn("_rb_host",
         lower(regexp_extract(col("url"), "^(?i)https?://([^/:?#]+)", 1)))
-      .withColumn("path", coalesce(
-        nullif(regexp_extract(col("url"), "^(?i)https?://[^/:?#]+([^#]*)", 1),
+      // the authority skip consumes the PORT too ([^/?#]+, ':' allowed)
+      // — otherwise 'https://h:8080/private/a' leaks ':8080/private/a'
+      // into the path and no Disallow prefix ever matches it
+      .withColumn("_rb_path", coalesce(
+        nullif(regexp_extract(col("url"), "^(?i)https?://[^/?#]+([^#]*)", 1),
           lit("")),
         lit("/")))
 
@@ -99,10 +102,10 @@ object RobotsOps {
           "regexp_replace(seg, '([.^$+?()\\\\[\\\\]{}|\\\\\\\\])', '\\\\\\\\$1')), '.*')"),
         expr("IF(endswith(prefix, '$'), '$', '')")))
     val u = withHostPath(urls)
-    val matched = u.select(col("url"), col("host"), col("path"))
-      .join(rules, Seq("host"))
-      .filter(when(expr("prefix RLIKE '[*$]'"), expr("path RLIKE rx"))
-        .otherwise(expr("startswith(path, prefix)")))
+    val matched = u.select(col("url"), col("_rb_host"), col("_rb_path"))
+      .join(rules, col("_rb_host") === rules("host"))
+      .filter(when(expr("prefix RLIKE '[*$]'"), expr("_rb_path RLIKE rx"))
+        .otherwise(expr("startswith(_rb_path, prefix)")))
       // longest-match winner as an ordered max over (length, allow):
       // longer wins; at equal length true > false = allow wins —
       // map-side combinable, no per-url sort
@@ -111,7 +114,7 @@ object RobotsOps {
         .as("best"))
     u.join(matched, Seq("url"), "left")
       .withColumn("allowed", coalesce(col("best.allow"), lit(true)))
-      .drop("best", "host", "path")
+      .drop("best", "_rb_host", "_rb_path")
   }
 
   /** The admitted subset — original columns preserved. */
@@ -141,7 +144,7 @@ object RobotsOps {
          |      IF(acc.star AND acc.delay IS NULL,
          |         CAST(regexp_extract(l, '$cdVal', 1) AS INT),
          |         acc.delay) AS delay)
-         |    WHEN l = '' THEN acc
+         |    WHEN l = '' OR l RLIKE '^#' THEN acc
          |    ELSE struct(acc.star AS star, false AS lastua, acc.delay AS delay)
          |  END,
          |  acc -> acc.delay)""".stripMargin
@@ -313,7 +316,7 @@ object RobotsOps {
        |  FROM documents),
        |u AS (SELECT url,
        |    lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS host,
-       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/:?#]+([^#]*)', 1), ''), '/') AS path
+       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/?#]+([^#]*)', 1), ''), '/') AS path
        |  FROM cands),
        |m AS (SELECT u.url, r.allow,
        |    row_number() OVER (PARTITION BY u.url
@@ -348,7 +351,7 @@ object RobotsOps {
        |  FROM documents),
        |u AS (SELECT url,
        |    lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS host,
-       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/:?#]+([^#]*)', 1), ''), '/') AS path
+       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/?#]+([^#]*)', 1), ''), '/') AS path
        |  FROM urls),
        |m AS (SELECT u.url, r.allow,
        |    row_number() OVER (PARTITION BY u.url

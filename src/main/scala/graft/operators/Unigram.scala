@@ -103,16 +103,23 @@ object Unigram {
       .mapPartitions { it =>
         val vs = bc.value
         it.map { case (id, text) =>
-          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
-          var total = 0L
-          text.split(' ').foreach { w =>
-            if (w.nonEmpty) {
-              val (ps, c) = viterbiWord(w, vs, maxLen, unkCost)
-              toks ++= ps
-              total += c
+          // null text -> null outputs (the row survives), matching the
+          // expression-based tokenizers' null propagation
+          if (text == null)
+            (id, null: String, None: Option[Int], None: Option[Long])
+          else {
+            val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+            var total = 0L
+            text.split(' ').foreach { w =>
+              if (w.nonEmpty) {
+                val (ps, c) = viterbiWord(w, vs, maxLen, unkCost)
+                toks ++= ps
+                total += c
+              }
             }
+            (id, toks.mkString(" "), Some(toks.size): Option[Int],
+              Some(total): Option[Long])
           }
-          (id, toks.mkString(" "), toks.size, total)
         }
       }
       .toDF("doc_id", "token_str", "n_tokens", "cost")

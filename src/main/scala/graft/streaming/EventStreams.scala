@@ -350,10 +350,14 @@ object EventStreams {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // materialize ONCE: isEmpty and the write would otherwise each
+        // replay the stateful admit pipeline (the sibling gate sinks'
+        // localCheckpoint policy)
+        val b = batch.localCheckpoint()
         val edges = graft.operators.UrlOps.linkGraphOf(
-          batch.select(col("canonical_url").as("url"), col("text")))
+          b.select(col("canonical_url").as("url"), col("text")))
         CommittedBatchSink.commitBatch(edgeRoot, tag, batchId,
-          empty = batch.isEmpty,
+          empty = b.isEmpty,
           write = dir => edges.write.mode("overwrite")
             .parquet(dir.resolve("edges").toString)): Unit
       }

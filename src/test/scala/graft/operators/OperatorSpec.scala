@@ -1242,6 +1242,17 @@ class OperatorSpec extends AnyFunSuite {
     val got = rows(Bpe.wordpieceTokenizeOf(docs, bigVocab))
     assert(got == rows(Bpe.wordpieceTokenizeExprOf(docs, Bpe.fixtureVocab)),
       s"big-vocab dispatch diverged: $got")
+    // 3) null text: both paths keep the row with null outputs (the
+    // mapPartitions path must not NPE where the expression path
+    // null-propagates)
+    val nulls = Seq((1L, null: String), (2L, "the")).toDF("doc_id", "text")
+    def nrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.isNullAt(1), r.isNullAt(2))).toSeq
+    assert(nrows(Bpe.wordpieceTokenizeBigOf(nulls, Bpe.fixtureVocab)) ==
+      Seq((1L, true, true), (2L, false, false)))
+    assert(nrows(Bpe.wordpieceTokenizeExprOf(nulls, Bpe.fixtureVocab)) ==
+      Seq((1L, true, true), (2L, false, false)))
   }
 
   test("c4Clean applies each line rule and page rule exactly; frame form is narrow") {

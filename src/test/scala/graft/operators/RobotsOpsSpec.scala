@@ -103,6 +103,38 @@ class RobotsOpsSpec extends SparkSpec {
     assert(got("https://q.example") == true)
   }
 
+  test("explicit ports do not bypass rules; comments between user-agent lines keep the group open") {
+    val robots = Seq(
+      ("p.example", "User-agent: *\nDisallow: /private/"),
+      // RFC 9309: comments are ignored entirely — the * line after the
+      // comment still merges into the googlebot group opened above it,
+      // so the Disallow belongs to * too
+      ("c.example", "User-agent: googlebot\n# generic crawlers too:\n" +
+        "User-agent: *\nDisallow: /no/"))
+    val got = allowedOf(robots, Seq(
+      "https://p.example:8080/private/a", // port must not leak into the path
+      "https://p.example:8080/open",
+      "https://c.example/no/x"))
+    assert(got("https://p.example:8080/private/a") == false, s"port bypass: $got")
+    assert(got("https://p.example:8080/open") == true)
+    assert(got("https://c.example/no/x") == false, s"comment broke the group: $got")
+  }
+
+  test("caller columns named host/path survive annotation untouched") {
+    import spark.implicits._
+    val urls = Seq(("https://b.example/x", "my-host", "my-path", 3))
+      .toDF("url", "host", "path", "depth")
+    val robots = Seq(("b.example", "User-agent: *\nDisallow: /"))
+      .toDF("host", "body")
+    val out = RobotsOps.robotsAnnotateOf(urls, robots)
+    assert(out.columns.toSet == Set("url", "host", "path", "depth", "allowed"),
+      s"cols ${out.columns.toSeq}")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("host") == "my-host" &&
+      r.getAs[String]("path") == "my-path" && r.getAs[Int]("depth") == 3 &&
+      r.getAs[Boolean]("allowed") == false)
+  }
+
   test("crawl-delay: star-group scoped, first wins, absent -> NULL") {
     import spark.implicits._
     val robots = Seq(

@@ -42,6 +42,16 @@ class UnigramSpec extends SparkSpec {
     assert(tok(Map("a" -> 1L), "") == Seq(("", 0, 0L)))
   }
 
+  test("null text survives as a null row, not an executor crash") {
+    import spark.implicits._
+    val docs = Seq((1L, null: String), (2L, "a")).toDF("doc_id", "text")
+    val got = Unigram.unigramTokenizeOf(docs, Map("a" -> 5L))
+      .orderBy("doc_id").collect()
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2) && got(0).isNullAt(3))
+    assert(got(1).getString(1) == "a" && got(1).getInt(2) == 1 &&
+      got(1).getLong(3) == 5L)
+  }
+
   test("trainer: chars always survive, frequent substrings get cheap pieces, deterministic") {
     import spark.implicits._
     val docs = Seq.tabulate(40)(i =>
