@@ -96,6 +96,93 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("robots rule fold equals a driver-side reference state machine on random bodies") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def randLine(): String = rnd.nextInt(10) match {
+      case 0 => s"User-agent: ${Seq("*", "googlebot", "bing")(rnd.nextInt(3))}"
+      case 1 => s"user-AGENT:${Seq("*", "foo")(rnd.nextInt(2))}"
+      case 2 => s"Disallow: /p${rnd.nextInt(5)}/"
+      case 3 => s"allow: /p${rnd.nextInt(5)}/q # note"
+      case 4 => "Disallow:" // empty = no-op
+      case 5 => "# a comment line"
+      case 6 => ""
+      case 7 => s"Crawl-delay: ${rnd.nextInt(30)}"
+      case 8 => "Sitemap: https://x/s.xml"
+      case _ => "garbage line without a colon"
+    }
+    // reference: RFC 9309 group machine, comments/blank preserved
+    def refRules(body: String): Seq[(String, Boolean)] = {
+      var star = false; var lastua = false
+      val out = Seq.newBuilder[(String, Boolean)]
+      body.split('\n').map(_.trim).foreach { l =>
+        val low = l.toLowerCase
+        if (l.isEmpty || l.startsWith("#")) ()      // ignored entirely
+        else if (low.matches("(?s)^user-agent\\s*:.*")) {
+          val agent = l.replaceFirst("(?i)^user-agent\\s*:", "")
+            .takeWhile(_ != '#').trim
+          star = if (lastua) star || agent == "*" else agent == "*"
+          lastua = true
+        } else if (low.matches("(?s)^(allow|disallow)\\s*:.*")) {
+          val isAllow = low.startsWith("allow")
+          val v = l.replaceFirst("(?i)^(allow|disallow)\\s*:", "")
+            .takeWhile(_ != '#').trim
+          if (star && v.nonEmpty) out += ((v, isAllow))
+          lastua = false
+        } else lastua = false
+      }
+      out.result()
+    }
+    val bodies = Seq.tabulate(120)(_ =>
+      Seq.fill(3 + rnd.nextInt(12))(randLine()).mkString("\n"))
+    val got = RobotsOps.robotsRulesOf(
+        bodies.zipWithIndex.map { case (b, i) => (s"h$i", b) }.toDF("host", "body"))
+      .collect().groupBy(_.getString(0))
+      .map { case (h, rs) =>
+        h -> rs.map(r => (r.getString(1), r.getBoolean(2))).toSeq.sorted }
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      val ref = refRules(b).sorted
+      val g = got.getOrElse(s"h$i", Seq.empty)
+      assert(g == ref, s"body #$i:\n$b\n fold=$g\n ref =$ref")
+    }
+  }
+
+  test("wordpiece big path equals a scalar greedy reference on random vocab/words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abc"
+    def rw(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(3))).mkString
+    val vocab = (alphabet.map(_.toString) ++            // all singles
+      Seq.fill(15)(rw(2 + rnd.nextInt(3))) ++
+      Seq.fill(15)("##" + rw(1 + rnd.nextInt(3)))).distinct
+    val vset = vocab.toSet
+    val maxLen = vocab.map(_.stripPrefix("##").length).max
+    def ref(w: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxLen, w.length - pos)
+        var hit: String = null
+        while (hit == null && l >= 1) {
+          val cand = w.substring(pos, pos + l)
+          val piece = if (pos == 0) cand else "##" + cand
+          if (vset(piece)) hit = piece else l -= 1
+        }
+        if (hit == null) return Seq("[UNK]")
+        out += hit; pos += hit.stripPrefix("##").length
+      }
+      out.result()
+    }
+    val words = Seq.tabulate(200)(_ => rw(1 + rnd.nextInt(8)))
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.wordpieceTokenizeBigOf(docs, vocab)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    words.zip(got).foreach { case (w, g) =>
+      assert(g == ref(w).mkString(" "), s"$w: big='$g' ref='${ref(w).mkString(" ")}'")
+    }
+  }
+
   test("floor-division binning: every point lands in the bin containing it") {
     val rnd = new scala.util.Random(3)
     // the private fdiv is exercised through intervalJoinOf: a width-1
