@@ -49,6 +49,7 @@ object Bench {
         try { graft.operators.Dedup.warmMemos(spark, sfDir)
               graft.operators.TextAnalysis.warmMemos(spark, sfDir)
               graft.operators.NgramLm.warmMemos(spark, sfDir)
+              graft.operators.PublicSuffix.warmMemos(spark, sfDir)
               Right((System.nanoTime() - w0) / 1e9) }
         catch { case e: Throwable =>
           Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }

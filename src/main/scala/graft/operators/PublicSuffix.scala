@@ -277,13 +277,31 @@ object PublicSuffix {
         lit("<a href=\"https://sub9.brand"), (col("doc_id") + 1) % 5,
         lit(".co.uk/next\">ring</a>")).as("text"))
 
+  private val memo = new graft.SessionMemo
+
+  /** The fixture's registered-grain graph, built ONCE per session per
+    * dataset dir (the Dedup shingle-memo policy): four queries
+    * (link graph, rank, exact harmonic, hyperball) otherwise each
+    * replay the page-regex extraction + PSL collapse.
+    * registeredLinkGraphOf already ends in distinct() over a
+    * localCheckpointed host graph; one more checkpoint makes the memo
+    * contract ("already materialized") literal. */
+  /** Force-build the shared registered-graph memo — charged to the
+    * bench's `_memo_warmup` row so per-query times stay honest. */
+  def warmMemos(s: SparkSession, d: String): Unit = {
+    fixtureGraph(s, d).count(): Unit
+  }
+
+  private def fixtureGraph(s: SparkSession, d: String): DataFrame =
+    memo.getOrBuildMaterialized(s, s"reggraph:$d")(
+      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s))
+        .localCheckpoint())
+
   def registeredLinkGraph(s: SparkSession, d: String): DataFrame =
-    registeredLinkGraphOf(fixturePages(s, d), suffixRules(s))
-      .orderBy(col("src"), col("dst"))
+    fixtureGraph(s, d).orderBy(col("src"), col("dst"))
 
   def registeredDomainRank(s: SparkSession, d: String): DataFrame =
-    GraphOps.pageRankOf(
-      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)), iters = 10)
+    GraphOps.pageRankOf(fixtureGraph(s, d), iters = 10)
       .orderBy(col("node"))
 
   /** Harmonic centrality at registered-domain grain — CommonCrawl's
@@ -291,8 +309,7 @@ object PublicSuffix {
     * ring gives the fixture real multi-hop distances, so harmonic is
     * not merely in-degree. */
   def registeredHarmonic(s: SparkSession, d: String): DataFrame =
-    GraphOps.harmonicExactOf(
-      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)))
+    GraphOps.harmonicExactOf(fixtureGraph(s, d))
       .orderBy(col("node"))
 
   /** [[GraphOps.hyperBallHarmonicOf]] over the SAME registered-grain
@@ -302,8 +319,7 @@ object PublicSuffix {
     * Approximate by construction (HLL registers) → no-oracle row; the
     * error-vs-exact bound at registered grain is spec-pinned. */
   def registeredHarmonicHyperball(s: SparkSession, d: String): DataFrame =
-    GraphOps.hyperBallHarmonicOf(
-      registeredLinkGraphOf(fixturePages(s, d), suffixRules(s)))
+    GraphOps.hyperBallHarmonicOf(fixtureGraph(s, d))
       .orderBy(col("node"))
 
   /** The fixture pages in DuckDB syntax. */
