@@ -396,6 +396,11 @@ object GraftOps {
   def linkGraphWeighted(pages: DataFrame): DataFrame =
     graft.operators.UrlOps.linkGraphWeightedOf(pages)
 
+  /** Top-k anchor-text terms per linked-to domain (the off-page
+    * description/spam signal); (url, text) pages in. */
+  def anchorTextProfile(pages: DataFrame, k: Int = 3): DataFrame =
+    graft.operators.UrlOps.anchorTextProfileOf(pages, k)
+
   /** Weighted PageRank over (src, dst, weight) — per-edge rank share
     * proportional to weight, same e9 integer fixed point. */
   def domainPageRankWeighted(edges: DataFrame, iters: Int = 10,
@@ -584,6 +589,17 @@ object GraftOps {
   /** Per-source + TOTAL dataset-card aggregate. */
   def corpusCard(docs: DataFrame): DataFrame =
     graft.operators.Profiling.corpusCardOf(docs)
+
+  /** Vocabulary-concentration card: term-frequency Gini + head-term
+    * share, exact integer permille. */
+  def vocabGini(docs: DataFrame): DataFrame =
+    graft.operators.Profiling.vocabGiniOf(docs)
+
+  /** Flesch reading-ease / Kincaid grade per document, exact e3 fixed
+    * point (adds n_words/n_sentences/n_syllables/flesch_e3/
+    * fk_grade_e3; other columns preserved). */
+  def readability(docs: DataFrame): DataFrame =
+    TextAnalysis.readabilityOf(docs)
 
   /** Winnowing fingerprint selection (MOSS): min-hash-per-window 5-gram
     * fingerprints; any shared run of >= w+4 tokens shares one. */

@@ -307,6 +307,68 @@ object Profiling {
       |FROM j, t GROUP BY n, m
       |ORDER BY n_ref_tokens""".stripMargin
 
+  /** Vocabulary-concentration card: how Zipf-ian is the corpus?
+    * Emits (n_types, n_tokens, gini_permille, top1_share_permille) —
+    * the Gini coefficient of the term-frequency distribution plus the
+    * head term's token share. A natural-language corpus sits at high
+    * Gini (a few types carry most tokens); template/boilerplate spam
+    * pushes it higher still, and synthetic/shuffled text pulls it
+    * toward 0 — the one-row drop gate next to [[corpusCardOf]].
+    *
+    * Exactness: Gini over terms sorted ASCENDING by frequency is
+    * G = (2·Σ i·fᵢ − (N+1)·Σfᵢ) / (N·Σfᵢ) with rank i. Grouping tied
+    * frequencies, Σ i·fᵢ = Σ_f f·(m_f·c_f + m_f(m_f+1)/2) where m_f =
+    * types at frequency f and c_f = types at strictly smaller f — all
+    * integers, so the permille value is a single exact integer DIV
+    * both engines compute identically (the [[statsMomentsOf]] policy,
+    * with no float step at all).
+    *
+    * Scale shape: term counts (one hash agg, map-side combined) →
+    * count-of-counts (second agg; output rows = DISTINCT FREQUENCY
+    * VALUES, O(√tokens) under Zipf — thousands at 100 TB, never
+    * corpus-sized) → one cumulative window + one scalar agg over that
+    * tiny frame. The partition-less window is cardinality-bounded by
+    * construction (PlanHygieneSpec allowlist). */
+  def vocabGiniOf(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cum = Window.orderBy(col("f"))
+    val tc = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    tc.groupBy(col("f")).agg(count(lit(1)).as("m"))
+      .withColumn("c", sum(col("m")).over(cum) - col("m"))
+      .select(col("f").cast(dec).as("f"), col("m").cast(dec).as("m"),
+        col("c").cast(dec).as("c"))
+      // s2 = 2·Σ i·fᵢ — the doubled rank-weighted sum, kept
+      // division-free (2·(m·c + m(m+1)/2) = m·(2c + m + 1)) so every
+      // intermediate is a pure integer decimal product
+      .agg(sum(col("m")).as("n"),
+        sum(col("f") * col("m")).as("t"),
+        sum(col("f") * col("m") * (col("c") * 2 + col("m") + 1)).as("s2"),
+        max(col("f")).as("fmax"))
+      .select(col("n").cast("long").as("n_types"),
+        col("t").cast("long").as("n_tokens"),
+        expr("CAST((s2 - (n + 1) * t) * 1000 DIV (n * t) AS BIGINT)")
+          .as("gini_permille"),
+        expr("CAST(fmax * 1000 DIV t AS BIGINT)").as("top1_share_permille"))
+  }
+
+  def vocabGini(s: SparkSession, d: String): DataFrame =
+    vocabGiniOf(Tables.documents(s, d))
+
+  private val vocabGiniOracle =
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM u GROUP BY w),
+      |cc AS (SELECT f, CAST(count(*) AS HUGEINT) AS m FROM tc GROUP BY f),
+      |cum AS (SELECT f, m, sum(m) OVER (ORDER BY f) - m AS c FROM cc),
+      |tot AS (SELECT sum(m) AS n, sum(f * m) AS tk,
+      |    sum(f * m * (c * 2 + m + 1)) AS s2, max(f) AS fmax
+      |  FROM cum)
+      |SELECT CAST(n AS BIGINT) AS n_types, CAST(tk AS BIGINT) AS n_tokens,
+      |  CAST((s2 - (n + 1) * tk) * 1000 // (n * tk) AS BIGINT) AS gini_permille,
+      |  CAST(fmax * 1000 // tk AS BIGINT) AS top1_share_permille
+      |FROM tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_moments"   -> (statsMoments _),
     "outlier_docs"    -> (outlierDocs _),
@@ -315,6 +377,7 @@ object Profiling {
     "zorder_cells"    -> (zorderCells _),
     "corpus_card"     -> (corpusCard _),
     "corpus_drift"    -> (corpusDrift _),
+    "vocab_gini"      -> (vocabGini _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,5 +388,6 @@ object Profiling {
     "zorder_cells"    -> zorderCellsOracle,
     "corpus_card"     -> corpusCardOracle,
     "corpus_drift"    -> corpusDriftOracle,
+    "vocab_gini"      -> vocabGiniOracle,
   )
 }

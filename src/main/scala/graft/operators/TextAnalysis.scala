@@ -1192,7 +1192,7 @@ object TextAnalysis {
   private val htmlEntities = Seq("&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  private def decodeHtmlEntities(c: Column): Column =
+  private[operators] def decodeHtmlEntities(c: Column): Column =
     htmlEntities.foldLeft(c) { case (x, (e, r)) =>
       regexp_replace(x, java.util.regex.Pattern.quote(e),
         java.util.regex.Matcher.quoteReplacement(r))
@@ -1524,6 +1524,74 @@ object TextAnalysis {
       |FROM off WHERE length(sentence) > 0
       |ORDER BY doc_id, sent_idx""".stripMargin
 
+  /** Flesch readability profile per document — the classic
+    * surface-statistics quality signal (Flesch 1948 reading ease,
+    * Kincaid 1975 grade level) curation pipelines bucket documents by
+    * before any model-based scoring. Counts are the standard
+    * heuristics: words = space tokens, sentences = runs of [.!?]
+    * (min 1), syllables = vowel-group runs per word (min 1 per word,
+    * `y` counted as a vowel). Both scores ship as EXACT e3 fixed
+    * point — the non-integer coefficients are multiplied through
+    * (206.835 → 206835, 1.015·W/S → 1015·W DIV S, 84.6·Y/W →
+    * 84600·Y DIV W) so every value is an integer both engines compute
+    * identically; no float ever appears.
+    *
+    * Scale shape: fully narrow — one projection pass, no shuffle, no
+    * explode (the per-word syllable sum folds inside a higher-order
+    * `aggregate`), whole-stage codegen end to end. */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_sentences", greatest(
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+        lit(1L)))
+      .withColumn("n_syllables", expr(
+        "aggregate(split(text, ' '), 0L, (acc, x) -> acc + " +
+          "greatest(CAST(size(regexp_extract_all(lower(x), '[aeiouy]+', 0)) " +
+          "AS BIGINT), 1L))"))
+      .withColumn("flesch_e3",
+        lit(206835L) - expr("1015L * n_words div n_sentences")
+          - expr("84600L * n_syllables div n_words"))
+      .withColumn("fk_grade_e3",
+        expr("390L * n_words div n_sentences")
+          + expr("11800L * n_syllables div n_words") - lit(15590L))
+
+  /** Fixture: the corpus has no sentence punctuation, so reuse the
+    * [[sentences]] splice — 8-word groups joined with ". " — giving
+    * every doc a deterministic multi-sentence body. */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val fixture = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), concat(array_join(expr(
+        "transform(sequence(0, CAST(floor((size(ws)-1)/8) AS INT)), " +
+        "k -> concat_ws(' ', slice(ws, k*8+1, 8)))"), ". "), lit(".")).as("text"))
+    readabilityOf(fixture)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch_e3"), col("fk_grade_e3"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val readabilityOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |fx AS (SELECT doc_id, array_to_string(
+      |    list_transform(range((len(ws) - 1) // 8 + 1),
+      |      k -> array_to_string(list_slice(ws, k * 8 + 1, k * 8 + 8), ' ')),
+      |    '. ') || '.' AS text FROM w),
+      |m AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1)
+      |      AS n_sentences,
+      |    CAST(list_sum(list_transform(string_split(text, ' '),
+      |      x -> greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1)))
+      |      AS BIGINT) AS n_syllables
+      |  FROM fx)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CAST(206835 - 1015 * n_words // n_sentences
+      |    - 84600 * n_syllables // n_words AS BIGINT) AS flesch_e3,
+      |  CAST(390 * n_words // n_sentences
+      |    + 11800 * n_syllables // n_words - 15590 AS BIGINT) AS fk_grade_e3
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -1550,6 +1618,7 @@ object TextAnalysis {
     "sentences"       -> (sentences _),
     "bm25_topk"       -> (bm25Topk _),
     "quality_sample"  -> (qualitySample _),
+    "readability"     -> (readability _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1577,5 +1646,6 @@ object TextAnalysis {
     "sentences"       -> sentencesOracle,
     "bm25_topk"       -> bm25Oracle,
     "quality_sample"  -> qualitySampleOracle,
+    "readability"     -> readabilityOracle,
   )
 }

@@ -299,6 +299,108 @@ object UrlOps {
       |WHERE src <> '' AND dst <> '' AND src <> dst
       |ORDER BY src, dst""".stripMargin
 
+  /** Anchor-text profile per target domain — the classic off-page
+    * description signal (anchor text describes the TARGET, not the
+    * page it sits on): for each linked-to domain, the top-k terms of
+    * the anchor texts pointing at it across the whole crawl. Feeds
+    * retrieval/ranking features and spam detection (a domain whose
+    * in-anchor profile is all pharmacy terms tells you something its
+    * own pages don't).
+    *
+    * Extraction pairs each absolute inter-domain href with ITS anchor
+    * inner text by running ONE pattern twice (group 1 = href, group
+    * 2 = inner) and zipping positionally; inner text is tag-stripped,
+    * entity-decoded ([[TextAnalysis]]'s shared table),
+    * whitespace-collapsed, lowercased, then space-split to terms.
+    *
+    * Scale shape: the extraction is fully narrow per page (anchors
+    * only — page bodies never leave the map side); one keyed count on
+    * (dst, term); the top-k is a dst-keyed rank window planned with
+    * the WindowGroupLimit pushdown, so the shuffle carries
+    * O(domains · k), not every (dst, term) pair. */
+  def anchorTextProfileOf(pages: DataFrame, k: Int = 3): DataFrame = {
+    val hostOf = (c: Column) =>
+      lower(regexp_extract(c, "^(?i)https?://([^/:?#]+)", 1))
+    val pat = "(?is)<a\\b[^>]*href\\s*=\\s*[\"']?([^\"' >]+)[^>]*>(.*?)</a"
+    val cleaned = {
+      val dec = TextAnalysis.decodeHtmlEntities(
+        regexp_replace(col("atext"), "(?s)<[^>]*>", ""))
+      lower(regexp_replace(regexp_replace(dec, "\\s+", " "), "^ | $", ""))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dst"))
+      .orderBy(col("n").desc, col("term").asc)
+    pages
+      .select(hostOf(col("url")).as("src"),
+        regexp_extract_all(col("text"), lit(pat), lit(1)).as("hs"),
+        regexp_extract_all(col("text"), lit(pat), lit(2)).as("ts"))
+      .select(col("src"), explode(arrays_zip(col("hs"), col("ts"))).as("z"))
+      .select(col("src"), hostOf(col("z.hs")).as("dst"), col("z.ts").as("atext"))
+      .filter(col("dst") =!= "" && col("src") =!= "" && col("src") =!= col("dst"))
+      .select(col("dst"), explode(split(cleaned, " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("dst"), col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Fixture: rotating partner/news targets with entity- and
+    * tag-bearing anchor texts; a relative and a self link must be
+    * ignored. */
+  def anchorTextProfile(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d).select(
+      concat(lit("https://site"), col("doc_id") % 7, lit(".example.com/p"))
+        .as("url"),
+      concat(
+        lit("<p>See <a href=\"https://partner"), col("doc_id") % 5,
+        lit(".example.org/x\">Partner "), col("doc_id") % 5,
+        lit(" Deals &amp; <b>news</b></a><a href='http://news"),
+        col("doc_id") % 3,
+        lit(".example.net/y'>breaking news "), col("doc_id") % 3,
+        lit("</a><a href=\"/local\">skip</a><a href=\"https://site"),
+        col("doc_id") % 7,
+        lit(".example.com/self\">self skip</a></p>")).as("text"))
+    anchorTextProfileOf(pages).orderBy(col("dst"), col("rnk"))
+  }
+
+  private val anchorTextProfileOracle =
+    """WITH pages AS (SELECT
+      |  'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p' AS url,
+      |  '<p>See <a href="https://partner' || CAST(doc_id % 5 AS VARCHAR)
+      |    || '.example.org/x">Partner ' || CAST(doc_id % 5 AS VARCHAR)
+      |    || ' Deals &amp; <b>news</b></a><a href=''http://news'
+      |    || CAST(doc_id % 3 AS VARCHAR) || '.example.net/y''>breaking news '
+      |    || CAST(doc_id % 3 AS VARCHAR)
+      |    || '</a><a href="/local">skip</a><a href="https://site'
+      |    || CAST(doc_id % 7 AS VARCHAR) || '.example.com/self">self skip</a></p>'
+      |    AS text
+      |  FROM documents),
+      |ax AS (SELECT lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS src,
+      |    regexp_extract_all(text,
+      |      '(?is)<a\b[^>]*href\s*=\s*["'']?([^"'' >]+)[^>]*>(.*?)</a', 1) AS hs,
+      |    regexp_extract_all(text,
+      |      '(?is)<a\b[^>]*href\s*=\s*["'']?([^"'' >]+)[^>]*>(.*?)</a', 2) AS ts
+      |  FROM pages),
+      |pr AS (SELECT src, hs[i + 1] AS href, ts[i + 1] AS atext
+      |  FROM (SELECT src, hs, ts, unnest(range(len(hs))) AS i FROM ax)),
+      |e AS (SELECT lower(regexp_extract(href, '^(?i)https?://([^/:?#]+)', 1)) AS dst,
+      |    lower(regexp_replace(regexp_replace(
+      |      replace(replace(replace(replace(replace(replace(
+      |        regexp_replace(atext, '(?s)<[^>]*>', '', 'g'),
+      |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+      |      '\s+', ' ', 'g'), '^ | $', '', 'g')) AS t,
+      |    src
+      |  FROM pr),
+      |tm AS (SELECT dst, unnest(string_split(t, ' ')) AS term
+      |  FROM e WHERE dst <> '' AND src <> '' AND src <> dst),
+      |c AS (SELECT dst, term, count(*) AS n FROM tm WHERE term <> ''
+      |  GROUP BY dst, term),
+      |r AS (SELECT dst, term, n,
+      |    row_number() OVER (PARTITION BY dst ORDER BY n DESC, term) AS rnk
+      |  FROM c)
+      |SELECT dst, term, n, CAST(rnk AS INTEGER) AS rnk FROM r
+      |WHERE rnk <= 3 ORDER BY dst, rnk""".stripMargin
+
   /** Two synthetic snapshots of one site: mod-10 doc buckets are
     * added (3), removed (7), content-changed (5); everything else is
     * identical both sides. */
@@ -330,6 +432,7 @@ object UrlOps {
     "crawl_pipeline" -> (crawlPipeline _),
     "link_graph" -> (linkGraph _),
     "snapshot_diff" -> (snapshotDiff _),
+    "anchor_text_profile" -> (anchorTextProfile _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +440,6 @@ object UrlOps {
     "crawl_pipeline" -> crawlPipelineOracle,
     "link_graph" -> linkGraphOracle,
     "snapshot_diff" -> snapshotDiffOracle,
+    "anchor_text_profile" -> anchorTextProfileOracle,
   )
 }

@@ -1360,4 +1360,47 @@ class OperatorSpec extends AnyFunSuite {
     val plan = kept.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast semi-join:\n$plan")
   }
+
+  test("readability: hand-worked Flesch counts; frame form is narrow") {
+    import spark.implicits._
+    // "The cat sat. It ran away!" — 5 words (the-cat-sat.-it-ran / no:
+    // splitting on ' ' gives [The, cat, sat., It, ran, away!] = 6),
+    // 2 sentence runs, syllables: The(1) cat(1) sat.(1) It(1) ran(1)
+    // away!(2: a, ay) = 7
+    val docs = Seq((1L, "The cat sat. It ran away!")).toDF("doc_id", "text")
+    val r = TextAnalysis.readabilityOf(docs).collect().head
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(r.getAs[Long]("n_sentences") == 2)
+    assert(r.getAs[Long]("n_syllables") == 7)
+    // flesch_e3 = 206835 - 1015*6/2 - 84600*7/6 = 206835 - 3045 - 98700
+    assert(r.getAs[Long]("flesch_e3") == 206835L - 3045L - 98700L)
+    // fk_grade_e3 = 390*6/2 + 11800*7/6 - 15590 = 1170 + 13766 - 15590
+    assert(r.getAs[Long]("fk_grade_e3") == 1170L + 13766L - 15590L)
+    // no punctuation => one sentence, never div-by-zero; "123" counts
+    // as one syllable (no vowel group)
+    val r2 = TextAnalysis.readabilityOf(
+      Seq((2L, "plain 123 words")).toDF("doc_id", "text")).collect().head
+    assert(r2.getAs[Long]("n_sentences") == 1)
+    assert(r2.getAs[Long]("n_syllables") == 1 + 1 + 1)
+    val plan = TextAnalysis.readabilityOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability must stay a map stage:\n$plan")
+  }
+
+  test("vocab gini: hand-worked concentration; uniform corpus sits at zero") {
+    import spark.implicits._
+    // frequencies: a=4, b=2, c=1, d=1 (T=8, N=4). Ascending ranks:
+    // c,d (f=1, ranks 1,2), b (rank 3), a (rank 4).
+    // 2*Sum(i*f_i) = 2*(1+2+6+16) = 50; G = (50 - 5*8)/(4*8) = 10/32
+    val docs = Seq((1L, "a a a a b b c d")).toDF("doc_id", "text")
+    val r = Profiling.vocabGiniOf(docs).collect().head
+    assert(r.getAs[Long]("n_types") == 4)
+    assert(r.getAs[Long]("n_tokens") == 8)
+    assert(r.getAs[Long]("gini_permille") == 312)  // floor(10000/32)
+    assert(r.getAs[Long]("top1_share_permille") == 500)
+    // every type equally frequent -> Gini exactly 0
+    val uni = Seq((1L, "x y z x y z")).toDF("doc_id", "text")
+    val u = Profiling.vocabGiniOf(uni).collect().head
+    assert(u.getAs[Long]("gini_permille") == 0)
+    assert(u.getAs[Long]("top1_share_permille") == 333)
+  }
 }

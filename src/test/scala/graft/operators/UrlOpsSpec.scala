@@ -109,6 +109,36 @@ class UrlOpsSpec extends AnyFunSuite {
       "https://a.example/fresh" -> "added"), s"got $got")
   }
 
+  test("anchor profile pairs each href with ITS text; relative/self skipped; top-k keyed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      // two absolute anchors with distinct texts + a relative + a self
+      // link; nested tag and entity inside the first anchor text
+      ("https://a.com/p",
+        "<a href=\"https://t1.com/x\">Big <b>Sale</b> &amp; deals</a>" +
+          "<a href='https://t2.com/y'>other words</a>" +
+          "<a href=\"/rel\">rel text</a>" +
+          "<a href=\"https://a.com/self\">self text</a>"),
+      ("https://b.com/q",
+        "<a href=https://t1.com/z>sale again</a>")).toDF("url", "text")
+    val prof = UrlOps.anchorTextProfileOf(pages, k = 2)
+    val rows = prof.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getInt(3))).toSet
+    // t1.com: "big sale & deals" from a.com + "sale again" from b.com
+    // -> sale=2 tops; tie group (each n=1) ranks alphabetically
+    assert(rows.contains(("t1.com", "sale", 2L, 1)))
+    assert(rows.contains(("t1.com", "&", 1L, 2)))
+    // t2.com gets only its own anchor's terms
+    assert(rows.filter(_._1 == "t2.com").map(_._2) == Set("other", "words"))
+    // relative and self-link text never appears anywhere
+    assert(!rows.exists(r => r._2 == "rel" || r._2 == "self"))
+    // the top-k window plans the group-limit pushdown (map-side top-k)
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"anchor profile lost the rank-limit pushdown:\n$plan")
+  }
+
   test("pages -> link graph -> pageRank composes: the most-linked domain ranks first") {
     import spark.implicits._
     // 10 sites all link hub.com; hub links all of them back (its rank

@@ -128,7 +128,11 @@ class PlanHygieneSpec extends AnyFunSuite {
       "index_drift" -> "nCells-row cell-histogram frame",
       // same TV machinery over the <= 3-row tier-share histogram
       // (head/middle/tail; empty excluded before the aggregate)
-      "lm_tier_drift" -> "3-row tier-histogram frame")
+      "lm_tier_drift" -> "3-row tier-histogram frame",
+      // Gini cumulative sum over the count-of-counts frame (rows =
+      // DISTINCT frequency values — O(sqrt tokens) under Zipf,
+      // thousands at 100 TB, never corpus-sized)
+      "vocab_gini" -> "count-of-counts frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
