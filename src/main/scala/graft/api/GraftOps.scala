@@ -239,6 +239,15 @@ object GraftOps {
   def centroidClassify(train: DataFrame, test: DataFrame): DataFrame =
     Similarity.centroidClassifyOf(train, test)
 
+  /** Distributed k-means (Lloyd) training: (cell, pos, s4) centroid
+    * table over the embedding column; cells keyed by seed vector id. */
+  def kmeansTrain(embeddings: DataFrame, k: Int = 4, iters: Int = 1): DataFrame =
+    Similarity.kmeansTrainOf(embeddings, k, iters)
+
+  /** Cosine nearest-centroid assignment against a kmeansTrain table. */
+  def kmeansAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
+    Similarity.kmeansAssignOf(embeddings, centroids)
+
   /** BM25 top-k sparse retrieval (k1=1.2, b=0.75; log-free rational
     * idf) of docs against a (qid, term) query frame. */
   def bm25Topk(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =

@@ -1074,6 +1074,117 @@ object Similarity {
       |  FROM sc)
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** Shared exploded integer view: (vec_id, pos, x4) with x4 the
+    * 1e4-scaled component — the exact-arithmetic substrate
+    * [[centroidClassifyOf]] and the k-means surface score on. */
+  private def x4Of(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"),
+        round(col("x").cast("double") * 10000).cast("long").as("x4"))
+
+  /** Cosine cell assignment against a (cell, pos, s4) centroid table:
+    * each vector goes to the centroid it is most cosine-similar to
+    * (ties → lowest cell id). Centroids ride UNNORMALIZED — cosine is
+    * scale-invariant, so the integer component sums serve directly and
+    * no mean is ever divided (the [[centroidClassifyOf]] determinism
+    * policy: exact long dot, exact decimal norm, one cast/sqrt/divide
+    * per (vector, cell)). All-zero centroids are dropped from scoring.
+    *
+    * Scale shape: the centroid table is k·dim rows — broadcast on the
+    * dimension index; the dot is a keyed agg; the argmax is a
+    * vec_id-keyed rank-1 window (WindowGroupLimit). The long dot holds
+    * to ~10⁸ members per cell at 1e4 scaling; widen to decimal past
+    * that (as [[centroidClassifyOf]] notes). */
+  def kmeansAssignOf(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val norms = centroids.groupBy(col("cell"))
+      .agg(sum(col("s4").cast(dec38) * col("s4")).as("n2"))
+      .filter(col("n2") > 0)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("cell").asc)
+    x4Of(emb).join(broadcast(centroids), Seq("pos"))
+      .groupBy(col("vec_id"), col("cell")).agg(sum(col("x4") * col("s4")).as("dot"))
+      .join(broadcast(norms), Seq("cell"))
+      .withColumn("score", col("dot").cast("double") / sqrt(col("n2").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** Standalone distributed k-means (Lloyd) over the embedding column
+    * — the general clustering surface behind [[ivfTopkOf]]'s internal
+    * training (semantic bucketing, SemDeDup-style cluster pruning,
+    * topic sharding all start here). Returns the (cell, pos, s4)
+    * centroid table [[kmeansAssignOf]] consumes; cell ids are the SEED
+    * vector ids (the k lowest by portable hash — deterministic and
+    * layout-independent), so no driver-side relabeling pass exists.
+    *
+    * Every round is: one broadcast-join assignment + one keyed
+    * integer-sum aggregation (new centroid = exact component sums of
+    * its members; cosine never needs the mean). The k·dim round output
+    * is localCheckpoint'd so iteration keeps a flat lineage. A cell
+    * that loses all members simply leaves the table. */
+  def kmeansTrainOf(emb: DataFrame, k: Int = 4, iters: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    require(iters >= 0, s"iters must be non-negative (got $iters)")
+    val seeds = emb.select(col("vec_id"))
+      .orderBy(Portable.hash60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"))
+    var cent = x4Of(emb.join(broadcast(seeds), col("vec_id") === col("cell"))
+        .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("cell"), col("pos"), col("x4").as("s4"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = kmeansAssignOf(emb, cent)
+      cent = x4Of(emb).join(asg, Seq("vec_id"))
+        .groupBy(col("cell"), col("pos")).agg(sum(col("x4")).as("s4"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Oracle fixture: k=4, one Lloyd refinement, assign the whole
+    * embeddings table. */
+  def kmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    kmeansAssignOf(e, kmeansTrainOf(e, k = 4, iters = 1))
+      .orderBy(col("vec_id"))
+  }
+
+  private val kmeansAssignOracle =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |ex AS (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e),
+      |xt AS (SELECT vec_id, pos,
+      |    CAST(round(v[pos + 1] * 10000) AS BIGINT) AS x4 FROM ex),
+      |sd AS (SELECT vec_id AS cell FROM e
+      |  ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+      |    vec_id
+      |  LIMIT 4),
+      |c0 AS (SELECT sd.cell, xt.pos, xt.x4 AS s4
+      |  FROM sd JOIN xt ON xt.vec_id = sd.cell),
+      |n0 AS (SELECT cell, sum(s4 * s4) AS n2 FROM c0 GROUP BY 1
+      |  HAVING sum(s4 * s4) > 0),
+      |d0 AS (SELECT t.vec_id, c.cell, sum(t.x4 * c.s4) AS dot
+      |  FROM xt t JOIN c0 c ON t.pos = c.pos GROUP BY 1, 2),
+      |a0 AS (SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) DESC,
+      |          d.cell) AS rn
+      |    FROM d0 d JOIN n0 n USING (cell)) WHERE rn = 1),
+      |c1 AS (SELECT a0.cell, xt.pos, sum(xt.x4) AS s4
+      |  FROM xt JOIN a0 USING (vec_id) GROUP BY 1, 2),
+      |n1 AS (SELECT cell, sum(s4 * s4) AS n2 FROM c1 GROUP BY 1
+      |  HAVING sum(s4 * s4) > 0),
+      |d1 AS (SELECT t.vec_id, c.cell, sum(t.x4 * c.s4) AS dot
+      |  FROM xt t JOIN c1 c ON t.pos = c.pos GROUP BY 1, 2)
+      |SELECT vec_id, cell FROM (
+      |    SELECT d.vec_id, d.cell, row_number() OVER (PARTITION BY d.vec_id
+      |        ORDER BY CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) DESC,
+      |          d.cell) AS rn
+      |    FROM d1 d JOIN n1 n USING (cell)) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** Symmetric int8 scalar quantization of the embedding column — the
     * storage-side compression a 100 TB vector corpus ships before
     * anything else (fp32 → int8 cuts at-rest bytes, scan I/O and
@@ -1153,6 +1264,7 @@ object Similarity {
     "semantic_dedup"        -> (semanticDedup _),
     "negative_samples"      -> (negativeSamples _),
     "centroid_classify"     -> (centroidClassify _),
+    "kmeans_assign"         -> (kmeansAssign _),
     "embedding_quantize"    -> (embeddingQuantize _),
     "ivfpq_index_roundtrip" -> (ivfpqIndexRoundtrip _),
     "index_drift"           -> (indexDrift _),
@@ -1165,6 +1277,7 @@ object Similarity {
     "semantic_dedup"        -> semanticDedupOracle,
     "negative_samples"      -> negativeSamplesOracle,
     "centroid_classify"     -> centroidClassifyOracle,
+    "kmeans_assign"         -> kmeansAssignOracle,
     "embedding_quantize"    -> embeddingQuantizeOracle,
     "index_drift"           -> indexDriftOracle,
   )

@@ -1386,6 +1386,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability must stay a map stage:\n$plan")
   }
 
+  test("kmeans: assignment matches a scalar Lloyd reference; keyed plan shapes") {
+    import spark.implicits._
+    // deterministic pseudo-random 4-dim vectors (no Random: hash-mixed)
+    def vec(id: Long): Seq[Float] =
+      (0 until 4).map(p => (((id * 37 + p * 101) % 19) - 9) / 9.0f)
+    val data = (1L to 40L).map(i => (i, vec(i)))
+    val emb = data.toDF("vec_id", "embedding")
+    val k = 3
+    val cent = Similarity.kmeansTrainOf(emb, k = k, iters = 2)
+    val got = Similarity.kmeansAssignOf(emb, cent).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // scalar reference: same seeds (k lowest by portable md5-hash),
+    // same x4 integerization, same unnormalized-sum Lloyd rounds
+    def h60(id: Long): Long = Portable.hash60Jvm(id.toString)
+    def x4(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 10000))
+    val byId = data.toMap
+    var cents: Map[Long, Seq[Long]] = data.map(_._1)
+      .sortBy(id => (h60(id), id)).take(k)
+      .map(id => id -> x4(byId(id))).toMap
+    def assign(cs: Map[Long, Seq[Long]]): Map[Long, Long] =
+      data.map { case (id, v) =>
+        val xs = x4(v)
+        val scored = cs.toSeq
+          .map { case (c, s) => (c, s.map(x => x.toDouble * x).sum, s) }
+          .filter(_._2 > 0)
+          .map { case (c, n2, s) =>
+            (xs.zip(s).map { case (a, b) => a * b }.sum.toDouble
+              / math.sqrt(n2), c) }
+        id -> scored.sortBy { case (sc, c) => (-sc, c) }.head._2
+      }.toMap
+    for (_ <- 1 to 2) {
+      val a = assign(cents)
+      cents = data.groupBy(d => a(d._1)).map { case (c, members) =>
+        c -> members.map(m => x4(m._2)).transpose.map(_.sum).toSeq
+      }
+    }
+    assert(got == assign(cents), "distributed assignment != scalar Lloyd")
+
+    // plan shapes: centroid side broadcasts, argmax is keyed + pushed
+    val plan = Similarity.kmeansAssignOf(emb, cent)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"argmax lost the rank-1 pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("vocab gini: hand-worked concentration; uniform corpus sits at zero") {
     import spark.implicits._
     // frequencies: a=4, b=2, c=1, d=1 (T=8, N=4). Ascending ranks:
