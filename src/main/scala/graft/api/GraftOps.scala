@@ -610,6 +610,11 @@ object GraftOps {
   def readability(docs: DataFrame): DataFrame =
     TextAnalysis.readabilityOf(docs)
 
+  /** Luhn-validated payment-card detection (adds n_candidates /
+    * n_luhn_valid; gate on n_luhn_valid > 0). */
+  def luhnCards(docs: DataFrame): DataFrame =
+    TextAnalysis.luhnCardsOf(docs)
+
   /** Winnowing fingerprint selection (MOSS): min-hash-per-window 5-gram
     * fingerprints; any shared run of >= w+4 tokens shares one. */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =

@@ -387,6 +387,70 @@ object TextAnalysis {
       |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'), 30) AS tail30
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** Checksum-validated payment-card detection — the step past
+    * [[piiRedact]]'s pattern matching: a 13-19-digit run is only PII
+    * if it Luhn-validates (ISO/IEC 7812), which kills the order-id /
+    * timestamp false positives that make naive digit-run scrubbing
+    * useless on web text. Candidates are digit runs with optional
+    * single space/dash separators; the Luhn fold (double every second
+    * digit from the right, subtract 9 past 9, sum ≡ 0 mod 10) runs as
+    * nested higher-order functions — pure integer arithmetic both
+    * engines evaluate identically, zero shuffles, no explode. Emits
+    * per-doc candidate and validated counts; a drop/redact gate
+    * composes on `n_luhn_valid > 0`. */
+  def luhnCardsOf(docs: DataFrame): DataFrame = {
+    val pat = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+    val sqlPat = pat.replace("\\", "\\\\")
+    docs
+      .withColumn("cands", expr(
+        s"filter(transform(regexp_extract_all(text, '$sqlPat', 0), " +
+          "m -> regexp_replace(m, '[ -]', '')), " +
+          "num -> length(num) BETWEEN 13 AND 19)"))
+      .withColumn("n_candidates", size(col("cands")))
+      .withColumn("n_luhn_valid", size(expr(
+        "filter(cands, num -> aggregate(sequence(1, length(num)), 0, " +
+          "(acc, j) -> acc + CASE WHEN (length(num) - j) % 2 = 1 " +
+          "THEN IF(2 * CAST(substring(num, j, 1) AS INT) > 9, " +
+          "2 * CAST(substring(num, j, 1) AS INT) - 9, " +
+          "2 * CAST(substring(num, j, 1) AS INT)) " +
+          "ELSE CAST(substring(num, j, 1) AS INT) END) % 10 = 0)")))
+      .drop("cands")
+  }
+
+  /** Fixture: every doc gets one known-valid card (spaced) and one
+    * dashed candidate whose check digit varies with doc_id — so the
+    * Luhn fold is exercised across all 10 residues in both engines. */
+  def piiLuhn(s: SparkSession, d: String): DataFrame = {
+    val withCards = concat(col("text"),
+      lit(" pay 4111 1111 1111 1111 or 4000-0000-0000-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    luhnCardsOf(Tables.documents(s, d).withColumn("text", withCards))
+      .select(col("doc_id"), col("n_candidates"), col("n_luhn_valid"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiLuhnOracle =
+    """WITH p AS (SELECT doc_id,
+      |    text || ' pay 4111 1111 1111 1111 or 4000-0000-0000-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    list_filter(list_transform(
+      |      regexp_extract_all(text, '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+      |      m -> regexp_replace(m, '[ -]', '', 'g')),
+      |      num -> length(num) BETWEEN 13 AND 19) AS cands
+      |  FROM p)
+      |SELECT doc_id, CAST(len(cands) AS INTEGER) AS n_candidates,
+      |  CAST(len(list_filter(cands, num ->
+      |    list_sum(list_transform(range(1, length(num) + 1),
+      |      j -> CASE WHEN (length(num) - j) % 2 = 1
+      |        THEN CASE WHEN 2 * CAST(substr(num, j, 1) AS INT) > 9
+      |          THEN 2 * CAST(substr(num, j, 1) AS INT) - 9
+      |          ELSE 2 * CAST(substr(num, j, 1) AS INT) END
+      |        ELSE CAST(substr(num, j, 1) AS INT) END)) % 10 = 0))
+      |    AS INTEGER) AS n_luhn_valid
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Intra-document repetition removal (the CCNet/RefinedWeb corpus-
     * cleanup step): drop every repeat of a line within a document,
     * matching on the lowercase-trimmed form but keeping the first
@@ -1619,6 +1683,7 @@ object TextAnalysis {
     "bm25_topk"       -> (bm25Topk _),
     "quality_sample"  -> (qualitySample _),
     "readability"     -> (readability _),
+    "pii_luhn"        -> (piiLuhn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1647,5 +1712,6 @@ object TextAnalysis {
     "bm25_topk"       -> bm25Oracle,
     "quality_sample"  -> qualitySampleOracle,
     "readability"     -> readabilityOracle,
+    "pii_luhn"        -> piiLuhnOracle,
   )
 }

@@ -1386,6 +1386,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability must stay a map stage:\n$plan")
   }
 
+  test("luhn cards: textbook numbers validate, off-by-one fails, digits-only runs skip") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4532015112830366 is Luhn-valid (doubles produce >9 branches);
+      // flipping the last digit must fail
+      (1L, "cards 4532015112830366 and 4532015112830367 here"),
+      // separators: spaced Visa test number valid; dashed AmEx (15
+      // digits, odd length) valid — exercises the odd-length parity
+      (2L, "pay 4111 1111 1111 1111 or 3782-822463-10005"),
+      // too-short (12 digits) and too-long (20) runs are not candidates
+      (3L, "order 123456789012 ref 12345678901234567890"),
+      (4L, "no digits at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.luhnCardsOf(docs)
+      .select("doc_id", "n_candidates", "n_luhn_valid").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((2, 1)))
+    assert(got(2L) == ((2, 2)))
+    // the 20-digit run never matches: the \b anchors refuse any
+    // partial match that would start or end inside the digit run
+    assert(got(3L) == ((0, 0)))
+    assert(got(4L) == ((0, 0)))
+    // narrow: no shuffle in the frame form
+    val plan = TextAnalysis.luhnCardsOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"luhnCards must stay a map stage:\n$plan")
+  }
+
   test("kmeans: assignment matches a scalar Lloyd reference; keyed plan shapes") {
     import spark.implicits._
     // deterministic pseudo-random 4-dim vectors (no Random: hash-mixed)
