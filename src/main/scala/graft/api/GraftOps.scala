@@ -615,6 +615,11 @@ object GraftOps {
   def luhnCards(docs: DataFrame): DataFrame =
     TextAnalysis.luhnCardsOf(docs)
 
+  /** TextTiling topic segmentation: per-gap adjacent-block Jaccard
+    * (exact permille) + strict-valley boundary flags. */
+  def textTiling(docs: DataFrame, blockTokens: Int = 16): DataFrame =
+    TextAnalysis.textTilingOf(docs, blockTokens)
+
   /** Winnowing fingerprint selection (MOSS): min-hash-per-window 5-gram
     * fingerprints; any shared run of >= w+4 tokens shares one. */
   def winnowFingerprints(docs: DataFrame, w: Int = 4): DataFrame =

@@ -387,6 +387,72 @@ object TextAnalysis {
       |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'), 30) AS tail30
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** TextTiling-style topic segmentation (Hearst 1997, simplified):
+    * split each document into fixed-width token blocks, score every
+    * gap between adjacent blocks by the Jaccard similarity of their
+    * DISTINCT term sets (exact integer permille — |∩|·1000 DIV |∪|,
+    * no float), and flag gaps that are strict local similarity
+    * valleys as topic boundaries — the segmentation a RAG/chunking
+    * pipeline wants instead of blind fixed-stride windows
+    * ([[chunksOf]]): chunk edges land where the vocabulary actually
+    * shifts. A missing neighbor counts as maximally dissimilar
+    * (sentinel 1001), so a document's single gap can be a boundary.
+    *
+    * Scale shape: narrow token explode → one distinct on (doc, block,
+    * term) → one (doc, block) aggregation into per-block DISTINCT term
+    * sets (each ≤ blockTokens strings — bounded by construction, so
+    * they ride a window safely); the adjacent-block comparison is a
+    * doc-keyed lead() — no self-join, no block × block anything. Three
+    * keyed exchanges total; state is bounded by the longest document,
+    * not the corpus. */
+  def textTilingOf(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    require(blockTokens > 0, s"blockTokens must be positive (got $blockTokens)")
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("b"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"), expr(s"CAST(pos div $blockTokens AS INT)").as("b"),
+        col("w"))
+      .distinct()
+      .groupBy(col("doc_id"), col("b")).agg(collect_set(col("w")).as("terms"))
+      .withColumn("nl", size(col("terms")))
+      .withColumn("ni",
+        size(array_intersect(col("terms"), lead(col("terms"), 1).over(dw))))
+      .withColumn("nr", lead(col("nl"), 1).over(dw))
+      .filter(col("nr").isNotNull)
+      .withColumn("jac_permille",
+        expr("CAST(CAST(ni AS BIGINT) * 1000 DIV (nl + nr - ni) AS BIGINT)"))
+      .withColumn("is_boundary",
+        col("jac_permille") < coalesce(lag(col("jac_permille"), 1).over(dw), lit(1001L)) &&
+          col("jac_permille") < coalesce(lead(col("jac_permille"), 1).over(dw), lit(1001L)))
+      .select(col("doc_id"), col("b").as("gap"), col("jac_permille"),
+        col("is_boundary"))
+  }
+
+  def textTiling(s: SparkSession, d: String): DataFrame =
+    textTilingOf(Tables.documents(s, d)).orderBy(col("doc_id"), col("gap"))
+
+  private val textTilingOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT DISTINCT doc_id, CAST(k // 16 AS INT) AS b, ws[k + 1] AS w
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws))) AS k FROM t)),
+      |blk AS (SELECT doc_id, b, list(w) AS terms, count(*) AS nl
+      |  FROM tok GROUP BY 1, 2),
+      |nxt AS (SELECT doc_id, b AS gap, nl, terms,
+      |    lead(terms) OVER dw AS rterms, lead(nl) OVER dw AS nr
+      |  FROM blk WINDOW dw AS (PARTITION BY doc_id ORDER BY b)),
+      |g AS (SELECT doc_id, gap, nl, nr,
+      |    CAST(len(list_intersect(terms, rterms)) AS BIGINT) AS ni
+      |  FROM nxt WHERE nr IS NOT NULL),
+      |j AS (SELECT doc_id, gap,
+      |    CAST(ni * 1000 // (nl + nr - ni) AS BIGINT) AS jac_permille FROM g)
+      |SELECT doc_id, gap, jac_permille,
+      |  (jac_permille < coalesce(lag(jac_permille) OVER dw2, 1001)
+      |    AND jac_permille < coalesce(lead(jac_permille) OVER dw2, 1001))
+      |    AS is_boundary
+      |FROM j WINDOW dw2 AS (PARTITION BY doc_id ORDER BY gap)
+      |ORDER BY doc_id, gap""".stripMargin
+
   /** Checksum-validated payment-card detection — the step past
     * [[piiRedact]]'s pattern matching: a 13-19-digit run is only PII
     * if it Luhn-validates (ISO/IEC 7812), which kills the order-id /
@@ -1684,6 +1750,7 @@ object TextAnalysis {
     "quality_sample"  -> (qualitySample _),
     "readability"     -> (readability _),
     "pii_luhn"        -> (piiLuhn _),
+    "text_tiling"     -> (textTiling _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1713,5 +1780,6 @@ object TextAnalysis {
     "quality_sample"  -> qualitySampleOracle,
     "readability"     -> readabilityOracle,
     "pii_luhn"        -> piiLuhnOracle,
+    "text_tiling"     -> textTilingOracle,
   )
 }

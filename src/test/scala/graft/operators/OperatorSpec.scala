@@ -1386,6 +1386,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability must stay a map stage:\n$plan")
   }
 
+  test("text tiling: planted vocabulary shift is the unique boundary valley") {
+    import spark.implicits._
+    // 3 blocks of 4 tokens: blocks 0-1 share the cooking vocabulary,
+    // block 2 switches entirely to finance -> gap 1 is the valley
+    val text = "salt pepper oil pan " + "pan oil salt stir " +
+      "bond yield rate swap"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextAnalysis.textTilingOf(docs, blockTokens = 4)
+      .orderBy("gap").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    // gap 0: {salt,pepper,oil,pan} vs {pan,oil,salt,stir}: inter 3,
+    // union 5 -> 600; gap 1: disjoint -> 0
+    assert(rows.toSeq == Seq((0, 600L, false), (1, 0L, true)))
+    // single-gap doc: its one gap may be a boundary (sentinel ends)
+    val two = Seq((2L, "a b c d " + "x y z w")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.textTilingOf(two, 4).collect()
+    assert(r2.length == 1 && r2.head.getBoolean(3))
+    // keyed plan: no cartesian, the self-join keys on (doc_id, term)
+    val plan = TextAnalysis.textTilingOf(docs, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-keyed join:\n$plan")
+  }
+
   test("luhn cards: textbook numbers validate, off-by-one fails, digits-only runs skip") {
     import spark.implicits._
     val docs = Seq(
