@@ -521,6 +521,19 @@ object GraftOps {
   def robotsFilter(urls: DataFrame, robots: DataFrame): DataFrame =
     graft.operators.RobotsOps.robotsFilterOf(urls, robots)
 
+  /** The shuffle-free admission form: per-host rule sets broadcast in
+    * and the longest match folds per row — decision-equal to
+    * robotsFilter, legal in front of streaming state. */
+  def robotsFilterNarrow(urls: DataFrame, robots: DataFrame): DataFrame =
+    graft.operators.RobotsOps.robotsFilterNarrowOf(urls, robots)
+
+  /** Robots-aware streaming crawl ingest: RFC 9309 gate → lifetime
+    * admit-once → HTML extraction → min-length gate. */
+  def robotsCrawlIngest(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame,
+                        robots: DataFrame, minWords: Int = 5): DataFrame =
+    graft.streaming.EventStreams.robotsCrawlIngest(spark, docs, robots, minWords)
+
   /** `Sitemap:` pointers from robots bodies (host, sitemap) — the
     * protocol's discovery handoff. */
   def robotsSitemaps(robots: DataFrame): DataFrame =

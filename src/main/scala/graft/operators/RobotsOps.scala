@@ -93,14 +93,19 @@ object RobotsOps {
     * allow, no rule / no robots → allowed. Literal rules match by
     * startswith; rules carrying `*` / terminal `$` compile to an
     * anchored regex per row (segments regex-escaped, `*` → `.*`). */
-  def robotsAnnotateOf(urls: DataFrame, robots: DataFrame): DataFrame = {
-    val rules = robotsRulesOf(robots)
+  /** The rule table with each pattern compiled to its anchored regex
+    * (`rx`) — shared by the agg-based and fold-based admission faces. */
+  private def compiledRulesOf(robots: DataFrame): DataFrame =
+    robotsRulesOf(robots)
       .withColumn("rx", concat(lit("^"),
         expr("array_join(transform(split(" +
           "IF(endswith(prefix, '$'), substring(prefix, 1, length(prefix) - 1), prefix)" +
           ", '\\\\*', -1), seg -> " +
           "regexp_replace(seg, '([.^$+?()\\\\[\\\\]{}|\\\\\\\\])', '\\\\\\\\$1')), '.*')"),
         expr("IF(endswith(prefix, '$'), '$', '')")))
+
+  def robotsAnnotateOf(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = compiledRulesOf(robots)
     val u = withHostPath(urls)
     val matched = u.select(col("url"), col("_rb_host"), col("_rb_path"))
       .join(rules, col("_rb_host") === rules("host"))
@@ -120,6 +125,53 @@ object RobotsOps {
   /** The admitted subset — original columns preserved. */
   def robotsFilterOf(urls: DataFrame, robots: DataFrame): DataFrame =
     robotsAnnotateOf(urls, robots).filter(col("allowed")).drop("allowed")
+
+  /** Per-host compiled rule SETS: (host, rules array<struct<prefix,
+    * rx, allow>>) — one row per host, rules bounded by the robots
+    * body's own size. This is the broadcastable form
+    * [[robotsFilterNarrowOf]] and the streaming ingest fold against;
+    * element order is irrelevant (the fold is a max, see below). */
+  def robotsRuleSetsOf(robots: DataFrame): DataFrame =
+    compiledRulesOf(robots)
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("rx"), col("allow")))
+        .as("rules"))
+
+  /** The longest-match decision as ONE higher-order fold over a
+    * host's rule array — an order-independent running max over
+    * (pattern length, allow), reproducing [[robotsAnnotateOf]]'s
+    * max-struct semantics exactly (longer wins; equal length → Allow;
+    * nothing matches / no robots → allowed). Expects `_rb_path` and
+    * `_rb_rules` in scope. */
+  private val allowedFoldSql =
+    """CASE WHEN _rb_rules IS NULL THEN true ELSE
+      |  aggregate(_rb_rules,
+      |    struct(CAST(-1 AS INT) AS l, true AS allow),
+      |    (acc, r) -> IF(
+      |      IF(r.prefix RLIKE '[*$]', _rb_path RLIKE r.rx,
+      |         startswith(_rb_path, r.prefix))
+      |        AND (length(r.prefix) > acc.l
+      |             OR (length(r.prefix) = acc.l AND r.allow)),
+      |      struct(CAST(length(r.prefix) AS INT) AS l, r.allow AS allow),
+      |      acc),
+      |    acc -> acc.allow) END""".stripMargin
+
+  /** [[robotsFilterOf]] with NO stream-side shuffle: the per-host rule
+    * sets join in as a broadcast and the longest-match winner is the
+    * narrow fold above, so the url side stays a map stage — the form a
+    * Structured Streaming ingest can run in front of stateful
+    * admit-once (a streaming groupBy before state is illegal in
+    * append mode), and equally the cheapest batch plan when the url
+    * side dwarfs the rule table. Decision-equal to robotsFilterOf
+    * (spec-pinned). */
+  def robotsFilterNarrowOf(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val sets = robotsRuleSetsOf(robots)
+      .select(col("host").as("_rb_host"), col("rules").as("_rb_rules"))
+    withHostPath(urls)
+      .join(broadcast(sets), Seq("_rb_host"), "left")
+      .filter(expr(allowedFoldSql))
+      .drop("_rb_host", "_rb_path", "_rb_rules")
+  }
 
   /** `Crawl-delay:` of the `*` group per host — the de-facto-standard
     * politeness knob (not in RFC 9309 but honored by most major

@@ -292,6 +292,23 @@ object EventStreams {
     graft.operators.TextAnalysis.htmlExtractOf(admitOnceStream(spark, docs))
       .filter(size(split(col("text"), " ")) >= minWords)
 
+  /** Robots-aware streaming crawl ingest — [[crawlIngestStream]] with
+    * the RFC 9309 admission gate IN FRONT of the stateful admit-once:
+    * disallowed URLs are dropped by the narrow broadcast-fold form
+    * ([[graft.operators.RobotsOps.robotsFilterNarrowOf]] — a streaming
+    * plan cannot run the batch groupBy form before keyed state in
+    * append mode) and therefore never enter the lifetime URL state
+    * store — politeness and state-size win in one move. `robots` is
+    * the static (host, body) frame of fetched robots.txt bodies;
+    * refresh it by restarting the query (rules ride the broadcast,
+    * not the checkpoint, so a restart with new rules resumes the SAME
+    * admit-once state safely). */
+  def robotsCrawlIngest(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, robots: DataFrame,
+                        minWords: Int = 5): DataFrame =
+    crawlIngestStream(spark,
+      graft.operators.RobotsOps.robotsFilterNarrowOf(docs, robots), minWords)
+
   /** The shared admit-once front of the crawl streams: canonicalize →
     * lifetime URL-keyed gate → the keeper's RAW page body. Output
     * (doc_id, canonical_url, text) with `text` still the raw HTML —

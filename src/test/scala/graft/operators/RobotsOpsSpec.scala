@@ -173,4 +173,45 @@ class RobotsOpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$plan")
   }
+
+  test("narrow fold admission decides exactly like the agg form; url side is map-only") {
+    import spark.implicits._
+    // every precedence case at once: longest-match, equal-length tie
+    // -> Allow, wildcard, terminal $, no-rule host, no-robots host,
+    // port bypass, query-string participation
+    val robots = Seq(
+      ("a.example",
+        "User-agent: *\nDisallow: /p/\nAllow: /p/ok\nAllow: /q/\nDisallow: /q/"),
+      ("b.example", "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*x/"),
+      ("c.example", "User-agent: *\nDisallow: /")).toDF("host", "body")
+    val urls = Seq(
+      "https://a.example/p/secret", "https://a.example/p/ok/page",
+      "https://a.example/q/anything", "https://a.example/elsewhere",
+      "https://b.example/doc.pdf", "https://b.example/doc.pdf.html",
+      "https://b.example/tmp123x/f", "https://b.example/fine",
+      "https://c.example:8080/x", "https://c.example",
+      "https://norobots.example/x", "https://a.example/p/ok?q=1#frag")
+      .toDF("url")
+    val aggKept = RobotsOps.robotsFilterOf(urls, robots)
+      .collect().map(_.getString(0)).toSet
+    val foldKept = RobotsOps.robotsFilterNarrowOf(urls, robots)
+      .collect().map(_.getString(0)).toSet
+    assert(foldKept == aggKept, s"fold=$foldKept agg=$aggKept")
+    // sanity on the decisions themselves, not just agreement
+    assert(!foldKept("https://a.example/p/secret") &&
+      foldKept("https://a.example/p/ok/page") &&
+      foldKept("https://a.example/q/anything") && // tie -> Allow
+      !foldKept("https://b.example/doc.pdf") &&  // $ anchors
+      foldKept("https://b.example/doc.pdf.html") &&
+      !foldKept("https://c.example:8080/x") &&
+      foldKept("https://norobots.example/x"))
+    // the url side never shuffles: the ONLY exchange in the whole plan
+    // belongs to the broadcast rule-set build
+    val plan = RobotsOps.robotsFilterNarrowOf(urls, robots)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rules must broadcast:\n$plan")
+    val bigSide = plan.split("BroadcastExchange").head
+    assert(!bigSide.contains("Exchange hashpartitioning"),
+      s"url side must stay narrow:\n$plan")
+  }
 }

@@ -382,6 +382,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r._1, r._3, r._4)) == batch)
   }
 
+  test("robots-aware crawl ingest: denied urls never reach state; admission survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_robots_ckpt").toString
+    def page(body: String) =
+      s"<html><body><p>$body</p></body></html>"
+    val robots = Seq(
+      ("example.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok"))
+      .toDF("host", "body")
+    val in = MemoryStream[(Long, String, String)]
+    val collected = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def start() = EventStreams.robotsCrawlIngest(spark,
+        in.toDF().toDF("doc_id", "url", "text"), robots)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        collected.synchronized { collected ++= rows }: Unit
+      }
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(
+      (1L, "https://example.com/private/x",
+        page("denied page with plenty of words to pass the gate")),
+      (2L, "https://example.com/private/ok/page",
+        page("allow override admits this page just fine")),
+      (3L, "https://example.com/public",
+        page("ordinary public page with enough words here")),
+      (4L, "https://norobots.example/q",
+        page("host without robots is always allowed through")))
+    q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData(
+      // the DENIED url again: still denied (robots, not state, drops
+      // it); the admitted url again: suppressed by admit-once state
+      (5L, "https://example.com/private/x",
+        page("still denied after the restart as well")),
+      (6L, "https://example.com/public",
+        page("duplicate public page must stay suppressed")),
+      (7L, "https://example.com/fresh",
+        page("fresh page after restart with enough words")))
+    q2.processAllAvailable(); q2.stop()
+    val rows = collected.synchronized(collected.toSet)
+    assert(rows.map(_._1) == Set(2L, 3L, 4L, 7L), s"robots/admit violated: $rows")
+    // decision-parity with the BATCH admission on the same url set
+    val urls = Seq(
+      "https://example.com/private/x", "https://example.com/private/ok/page",
+      "https://example.com/public", "https://norobots.example/q",
+      "https://example.com/fresh").toDF("url")
+    val batchKept = graft.operators.RobotsOps.robotsFilterOf(urls, robots)
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_._2).subsetOf(
+      graft.operators.UrlOps.canonicalUrlOf(batchKept.toSeq.toDF("url"))
+        .select("canonical_url").collect().map(_.getString(0)).toSet))
+  }
+
   test("crawl-graph ingest: committed edge appends; incremental rank equals batch recompute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
