@@ -628,6 +628,11 @@ object GraftOps {
   def luhnCards(docs: DataFrame): DataFrame =
     TextAnalysis.luhnCardsOf(docs)
 
+  /** ISO 13616 mod-97-validated IBAN detection (adds n_candidates /
+    * n_iban_valid). */
+  def ibanAccounts(docs: DataFrame): DataFrame =
+    TextAnalysis.ibanAccountsOf(docs)
+
   /** TextTiling topic segmentation: per-gap adjacent-block Jaccard
     * (exact permille) + strict-valley boundary flags. */
   def textTiling(docs: DataFrame, blockTokens: Int = 16): DataFrame =

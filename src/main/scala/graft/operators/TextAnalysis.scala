@@ -483,6 +483,70 @@ object TextAnalysis {
       .drop("cands")
   }
 
+  /** IBAN detection with ISO 13616 mod-97 validation — the
+    * international sibling of [[luhnCardsOf]]: a [A-Z]{2}[0-9]{2}
+    * [A-Z0-9]{11,30} token only counts as account PII if rotating the
+    * first four characters to the end, expanding letters to two-digit
+    * values (A=10..Z=35) and reducing the digit string mod 97 leaves
+    * exactly 1. The reduction runs incrementally — (acc·10 + d) mod 97
+    * per digit — so nothing ever exceeds int range even though the
+    * expanded number has up to 68 digits. Same narrow nested-HOF
+    * shape as the Luhn fold: zero shuffles, exact integers only. */
+  def ibanAccountsOf(docs: DataFrame): DataFrame = {
+    val pat = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+    val sqlPat = pat.replace("\\", "\\\\")
+    docs
+      .withColumn("_iban_digits", expr(
+        s"transform(transform(regexp_extract_all(text, '$sqlPat', 0), " +
+          "c -> concat(substring(c, 5), substring(c, 1, 4))), " +
+          "r -> array_join(transform(sequence(1, length(r)), " +
+          "i -> CASE WHEN ascii(substring(r, i, 1)) < 65 " +
+          "THEN substring(r, i, 1) " +
+          "ELSE CAST(ascii(substring(r, i, 1)) - 55 AS STRING) END), ''))"))
+      .withColumn("n_candidates", size(col("_iban_digits")))
+      .withColumn("n_iban_valid", size(expr(
+        "filter(_iban_digits, ds -> aggregate(sequence(1, length(ds)), 0, " +
+          "(acc, j) -> (acc * 10 + CAST(substring(ds, j, 1) AS INT)) % 97) = 1)")))
+      .drop("_iban_digits")
+  }
+
+  /** Fixture: one known-valid IBAN plus one whose check digits sweep
+    * all 100 values with doc_id — exactly the DE...89 residue
+    * validates, so the mod-97 chain is exercised end to end. */
+  def piiIban(s: SparkSession, d: String): DataFrame = {
+    val withIbans = concat(col("text"),
+      lit(" iban GB82WEST12345698765432 ref DE"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+      lit("370400440532013000"))
+    ibanAccountsOf(Tables.documents(s, d).withColumn("text", withIbans))
+      .select(col("doc_id"), col("n_candidates"), col("n_iban_valid"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val piiIbanOracle =
+    """WITH p AS (SELECT doc_id,
+      |    text || ' iban GB82WEST12345698765432 ref DE' ||
+      |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+      |      '370400440532013000' AS text
+      |  FROM documents),
+      |c AS (SELECT doc_id,
+      |    list_transform(list_transform(
+      |      regexp_extract_all(text, '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b'),
+      |      c -> substr(c, 5) || substr(c, 1, 4)),
+      |      r -> array_to_string(list_transform(range(1, length(r) + 1),
+      |        i -> CASE WHEN ascii(substr(r, i, 1)) < 65
+      |          THEN substr(r, i, 1)
+      |          ELSE CAST(ascii(substr(r, i, 1)) - 55 AS VARCHAR) END), ''))
+      |      AS dss
+      |  FROM p)
+      |SELECT doc_id, CAST(len(dss) AS INTEGER) AS n_candidates,
+      |  CAST(len(list_filter(dss, ds ->
+      |    list_reduce(list_prepend(0, list_transform(range(1, length(ds) + 1),
+      |      j -> CAST(substr(ds, j, 1) AS INT))),
+      |      (acc, d) -> (acc * 10 + d) % 97) = 1))
+      |    AS INTEGER) AS n_iban_valid
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Fixture: every doc gets one known-valid card (spaced) and one
     * dashed candidate whose check digit varies with doc_id — so the
     * Luhn fold is exercised across all 10 residues in both engines. */
@@ -1751,6 +1815,7 @@ object TextAnalysis {
     "readability"     -> (readability _),
     "pii_luhn"        -> (piiLuhn _),
     "text_tiling"     -> (textTiling _),
+    "pii_iban"        -> (piiIban _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1781,5 +1846,6 @@ object TextAnalysis {
     "readability"     -> readabilityOracle,
     "pii_luhn"        -> piiLuhnOracle,
     "text_tiling"     -> textTilingOracle,
+    "pii_iban"        -> piiIbanOracle,
   )
 }

@@ -1436,6 +1436,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"luhnCards must stay a map stage:\n$plan")
   }
 
+  test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
+    import spark.implicits._
+    val docs = Seq(
+      // two standard valid examples (DE, GB with letters in the BBAN)
+      (1L, "send to DE89370400440532013000 or GB82WEST12345698765432"),
+      // check digits off by one -> both invalid
+      (2L, "bad DE88370400440532013000 and GB83WEST12345698765432"),
+      // lowercase and too-short tokens are not candidates
+      (3L, "de89370400440532013000 DE8937040 hello")).toDF("doc_id", "text")
+    val got = TextAnalysis.ibanAccountsOf(docs)
+      .select("doc_id", "n_candidates", "n_iban_valid").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got(1L) == ((2, 2)))
+    assert(got(2L) == ((2, 0)))
+    assert(got(3L) == ((0, 0)))
+    val plan = TextAnalysis.ibanAccountsOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"ibanAccounts must stay a map stage:\n$plan")
+  }
+
   test("kmeans: assignment matches a scalar Lloyd reference; keyed plan shapes") {
     import spark.implicits._
     // deterministic pseudo-random 4-dim vectors (no Random: hash-mixed)
