@@ -527,6 +527,13 @@ object GraftOps {
   def robotsFilterNarrow(urls: DataFrame, robots: DataFrame): DataFrame =
     graft.operators.RobotsOps.robotsFilterNarrowOf(urls, robots)
 
+  /** Per-host fetch budget: admitted url count × effective
+    * Crawl-delay (star-group value, else default) → serialized
+    * fetch-seconds estimate. */
+  def crawlBudget(urls: DataFrame, robots: DataFrame,
+                  defaultDelayS: Int = 1): DataFrame =
+    graft.operators.RobotsOps.crawlBudgetOf(urls, robots, defaultDelayS)
+
   /** Robots-aware streaming crawl ingest: RFC 9309 gate → lifetime
     * admit-once → HTML extraction → min-length gate. */
   def robotsCrawlIngest(spark: org.apache.spark.sql.SparkSession,

@@ -333,6 +333,33 @@ object RobotsOps {
       .orderBy(col("priority").desc, col("url"))
   }
 
+  /** Politeness-budget planner — the scheduling arithmetic a fetch
+    * frontier runs after admission: per host, the count of admitted
+    * urls, the effective `Crawl-delay:` (star-group value, else
+    * `defaultDelayS`), and the serialized fetch-time estimate
+    * n_urls · delay — the number a crawl coordinator uses to decide
+    * host sharding and to spot hosts whose delay makes them
+    * multi-day fetches. Composes the narrow admission fold with the
+    * delay parse: one host-keyed count, one tiny host-keyed join. */
+  def crawlBudgetOf(urls: DataFrame, robots: DataFrame,
+                    defaultDelayS: Int = 1): DataFrame = {
+    require(defaultDelayS >= 0,
+      s"defaultDelayS must be non-negative (got $defaultDelayS)")
+    val perHost = robotsFilterNarrowOf(urls, robots)
+      .select(lower(regexp_extract(col("url"), "^(?i)https?://([^/:?#]+)", 1))
+        .as("host"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+    perHost.join(robotsCrawlDelaysOf(robots), Seq("host"), "left")
+      .withColumn("delay_s",
+        coalesce(col("crawl_delay_s").cast("long"), lit(defaultDelayS.toLong)))
+      .select(col("host"), col("n_urls"), col("delay_s"),
+        (col("n_urls") * col("delay_s")).as("est_seconds"))
+  }
+
+  def crawlBudget(s: SparkSession, d: String): DataFrame =
+    crawlBudgetOf(fixtureUrls(s, d), fixtureRobots(s, d)).orderBy(col("host"))
+
   private val robotsCtesSql =
     """srcs AS MATERIALIZED (SELECT DISTINCT source,
       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
@@ -415,6 +442,35 @@ object RobotsOps {
        |FROM u LEFT JOIN best b ON u.url = b.url
        |ORDER BY u.url""".stripMargin
 
+  private val crawlBudgetOracle =
+    s"""WITH $robotsCtesSql,
+       |urls AS MATERIALIZED (SELECT
+       |    'https://' || source || '.example' ||
+       |    (['/private/a', '/private/open', '/tmp', '/public/p', ''])[CAST(doc_id % 5 AS INT) + 1] ||
+       |    CASE WHEN doc_id % 5 = 4 THEN ''
+       |         ELSE CAST(doc_id % 3 AS VARCHAR) || '/x' END AS url
+       |  FROM documents),
+       |u AS (SELECT url,
+       |    lower(regexp_extract(url, '^(?i)https?://([^/:?#]+)', 1)) AS host,
+       |    coalesce(nullif(regexp_extract(url, '^(?i)https?://[^/?#]+([^#]*)', 1), ''), '/') AS path
+       |  FROM urls),
+       |m AS (SELECT u.url, r.allow,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY len(r.prefix) DESC, r.allow DESC) AS rn
+       |  FROM u JOIN rules r ON u.host = r.host
+       |  WHERE starts_with(u.path, r.prefix)),
+       |best AS (SELECT url, allow FROM m WHERE rn = 1),
+       |adm AS (SELECT u.host FROM u
+       |  LEFT JOIN best b ON u.url = b.url
+       |  WHERE coalesce(b.allow, true)),
+       |dl AS (SELECT source || '.example' AS host, k % 7 + 1 AS delay FROM srcs)
+       |SELECT a.host, CAST(count(*) AS BIGINT) AS n_urls,
+       |  CAST(dl.delay AS BIGINT) AS delay_s,
+       |  CAST(count(*) * dl.delay AS BIGINT) AS est_seconds
+       |FROM adm a JOIN dl ON a.host = dl.host
+       |GROUP BY a.host, dl.delay
+       |ORDER BY a.host""".stripMargin
+
   private val robotsCrawlDelaysOracle =
     """WITH srcs AS (SELECT DISTINCT source,
       |    CAST(substr(source, 4) AS INT) AS k FROM documents)
@@ -454,6 +510,7 @@ object RobotsOps {
     "robots_crawl_delays" -> (robotsCrawlDelays _),
     "sitemap_urls" -> (sitemapUrls _),
     "crawl_frontier" -> (crawlFrontier _),
+    "crawl_budget" -> (crawlBudget _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,5 +520,6 @@ object RobotsOps {
     "robots_crawl_delays" -> robotsCrawlDelaysOracle,
     "sitemap_urls" -> sitemapUrlsOracle,
     "crawl_frontier" -> crawlFrontierOracle,
+    "crawl_budget" -> crawlBudgetOracle,
   )
 }

@@ -174,6 +174,26 @@ class RobotsOpsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$plan")
   }
 
+  test("crawl budget: admitted counts x delay; missing Crawl-delay falls to the default") {
+    import spark.implicits._
+    val robots = Seq(
+      ("slow.example", "User-agent: *\nDisallow: /no/\nCrawl-delay: 10"),
+      ("plain.example", "User-agent: *\nDisallow: /blocked/")).toDF("host", "body")
+    val urls = (Seq.fill(3)("https://slow.example/a") ++
+      Seq("https://slow.example/no/x") ++          // denied: not budgeted
+      Seq.fill(2)("https://plain.example/ok") ++
+      Seq("https://norobots.example/y")).toDF("url")
+    val got = RobotsOps.crawlBudgetOf(urls, robots, defaultDelayS = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("slow.example") == ((3L, 10L, 30L)))
+    // host with robots but no Crawl-delay: the delay column is NULL,
+    // not absent -> default applies
+    assert(got("plain.example") == ((2L, 2L, 4L)))
+    // no robots at all -> default too
+    assert(got("norobots.example") == ((1L, 2L, 2L)))
+  }
+
   test("narrow fold admission decides exactly like the agg form; url side is map-only") {
     import spark.implicits._
     // every precedence case at once: longest-match, equal-length tie
