@@ -676,6 +676,13 @@ object GraftOps {
                    valPermille: Int = 10): DataFrame =
     graft.operators.Curation.datasetSplitOf(docs, trainPermille, valPermille)
 
+  /** Leakage-safe split: bands decided by the GROUP key's hash (a
+    * registered domain, source, or dedup-cluster id), so a group's
+    * rows never straddle train/test. */
+  def groupSplit(docs: DataFrame, group: Column, trainPermille: Int = 980,
+                 valPermille: Int = 10): DataFrame =
+    graft.operators.Curation.groupSplitOf(docs, group, trainPermille, valPermille)
+
   // ---- n-gram language-model statistics ----
 
   /** Order-n gram count table (KenLM stage 1): one shuffle, map-side

@@ -331,6 +331,42 @@ object Curation {
       |  FROM documents)
       |ORDER BY split, doc_id""".stripMargin
 
+  /** Leakage-safe split: the band decision hashes the GROUP key — a
+    * registered domain, a source, a dedup cluster id — so every row
+    * of a group lands in the SAME split and near-duplicate members or
+    * same-site pages can never straddle train/test (the contamination
+    * mode a doc-keyed split invites; cf. the deduplication literature's
+    * standard caution about split leakage). Same permille bands and
+    * md5 determinism as [[datasetSplitOf]], distinct hash domain
+    * (`gsplit:`); fully narrow — the group key hashes in place, no
+    * shuffle, no group table. */
+  def groupSplitOf(docs: DataFrame, group: Column, trainPermille: Int,
+                   valPermille: Int): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000,
+      s"split permilles must be non-negative and sum to <= 1000, got " +
+        s"train=$trainPermille val=$valPermille")
+    val b = Portable.hash60(concat(lit("gsplit:"), group.cast("string"))) % 1000
+    docs.withColumn("split",
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test"))
+  }
+
+  def groupSplit(s: SparkSession, d: String): DataFrame =
+    groupSplitOf(Tables.documents(s, d), col("source"), 900, 50)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val groupSplitOracle =
+    """SELECT doc_id, source,
+      |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, source,
+      |  ('0x' || substr(md5('gsplit:' || source), 1, 15))::BIGINT % 1000 AS b
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   /** The whole modern cleanup pipeline as ONE lazy DataFrame program:
     * Gopher-rules quality gate -> deterministic train split -> token-
     * budget packing, composed from the library operators with nothing
@@ -589,6 +625,7 @@ object Curation {
     "mix_temperature"    -> (mixTemperature _),
     "corpus_shuffle"     -> (corpusShuffle _),
     "dataset_split"      -> (datasetSplit _),
+    "group_split"        -> (groupSplit _),
     "corpus_pipeline"    -> (corpusPipeline _),
     "pack_sequences"     -> (packSequences _),
     "pack_manifest"      -> (packManifest _),
@@ -606,6 +643,7 @@ object Curation {
     "mix_temperature"    -> mixTemperatureOracle,
     "corpus_shuffle"     -> corpusShuffleOracle,
     "dataset_split"      -> datasetSplitOracle,
+    "group_split"        -> groupSplitOracle,
     "corpus_pipeline"    -> corpusPipelineOracle,
     "pack_sequences"     -> packSequencesOracle,
     "pack_manifest"      -> packManifestOracle,

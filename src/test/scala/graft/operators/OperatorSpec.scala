@@ -923,6 +923,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(split.forall { case (id, s) => bigger(id) == s })
   }
 
+  test("groupSplit: a group never straddles splits; near-dups stay co-assigned") {
+    import spark.implicits._
+    // 200 domains x 10 docs each — the doc-keyed split WOULD scatter
+    // a domain's docs across bands; the group split must not
+    val docs = (1L to 2000L).map(i => (i, s"site${i % 200}.example"))
+      .toDF("doc_id", "domain")
+    val split = Curation.groupSplitOf(docs, col("domain"), 900, 50)
+    val perGroup = split.groupBy("domain")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L),
+      "a group straddles splits — leakage")
+    // all three bands are populated across the 200 groups
+    val bands = split.select("split").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(bands == Set("train", "val", "test"), s"got $bands")
+    // contrast: the doc-keyed split DOES scatter these same groups
+    val docKeyed = Curation.datasetSplitOf(
+        docs.select(col("doc_id")), 900, 50)
+      .join(docs, "doc_id")
+      .groupBy("domain").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(docKeyed > 0, "expected the doc-keyed baseline to scatter groups")
+    // narrow: no shuffle in the frame form
+    val plan = split.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"groupSplit must stay a map stage:\n$plan")
+  }
+
   test("gopherFilter applies rules in order and keeps clean docs") {
     import spark.implicits._
     val docs = Seq(
