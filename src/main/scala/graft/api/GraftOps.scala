@@ -230,6 +230,12 @@ object GraftOps {
 
   /** CLIP-style (blob, caption) coherence gate: rounded stub-encoder
     * cosine + threshold verdict; a fully narrow transform. */
+  /** Magic-byte content-type sniffing over a binary `payload` column
+    * (adds magic_hex / sniffed_mime); gate mislabeled blobs with
+    * `sniffed_mime <> mime`. */
+  def blobSniff(blobs: DataFrame): DataFrame =
+    Multimodal.blobSniffOf(blobs)
+
   def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
     Multimodal.pairGateOf(pairs, tau)
 

@@ -40,6 +40,73 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Content-type sniffing by magic bytes — the trust-nothing step a
+    * multimodal ingest runs BEFORE routing blobs to codecs: declared
+    * MIME types in crawl data lie constantly, and feeding a
+    * mislabelled payload to the wrong decoder wastes a worker (or
+    * worse). Recognizes the big four container signatures (JPEG
+    * FFD8FF, PNG 89504E47, GIF87a/89a, RIFF····WAVE) from the first
+    * 12 bytes; everything else falls to application/octet-stream.
+    * Pure prefix arithmetic on the binary column — narrow, codegen,
+    * no decode. Adds (magic_hex, sniffed_mime); other columns
+    * preserved, so the mismatch gate `sniffed_mime <> mime` composes
+    * directly on a [[blobMeta]]-shaped frame. */
+  def blobSniffOf(blobs: DataFrame): DataFrame = {
+    val magic = hex(substring(col("payload"), 1, 12))
+    blobs
+      .withColumn("magic_hex", magic)
+      .withColumn("sniffed_mime",
+        when(col("magic_hex").startsWith("FFD8FF"), "image/jpeg")
+          .when(col("magic_hex").startsWith("89504E47"), "image/png")
+          .when(col("magic_hex").startsWith("474946383761") ||
+            col("magic_hex").startsWith("474946383961"), "image/gif")
+          .when(col("magic_hex").startsWith("52494646") &&
+            substring(col("magic_hex"), 17, 8) === "57415645", "audio/wav")
+          .otherwise("application/octet-stream"))
+  }
+
+  /** Fixture: real signatures spliced in front of the text bytes,
+    * rotating by doc_id — including a GIF89a, a RIFF with a non-WAVE
+    * chamber (must NOT sniff as wav), and a bare payload. */
+  def blobSniff(s: SparkSession, d: String): DataFrame = {
+    val payload = when(col("doc_id") % 6 === 0,
+        concat(unhex(lit("FFD8FFE0")), col("text").cast("binary")))
+      .when(col("doc_id") % 6 === 1,
+        concat(unhex(lit("89504E470D0A1A0A")), col("text").cast("binary")))
+      .when(col("doc_id") % 6 === 2,
+        concat(unhex(lit("474946383961")), col("text").cast("binary")))
+      .when(col("doc_id") % 6 === 3,
+        concat(unhex(lit("52494646AABBCCDD57415645")), col("text").cast("binary")))
+      .when(col("doc_id") % 6 === 4,
+        concat(unhex(lit("52494646AABBCCDD41564920")), col("text").cast("binary")))
+      .otherwise(col("text").cast("binary"))
+    blobSniffOf(Tables.documents(s, d).withColumn("payload", payload))
+      .select(col("doc_id"), col("magic_hex"), col("sniffed_mime"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val blobSniffOracle =
+    """WITH b AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN from_hex('FFD8FFE0') || encode(text)
+      |      WHEN 1 THEN from_hex('89504E470D0A1A0A') || encode(text)
+      |      WHEN 2 THEN from_hex('474946383961') || encode(text)
+      |      WHEN 3 THEN from_hex('52494646AABBCCDD57415645') || encode(text)
+      |      WHEN 4 THEN from_hex('52494646AABBCCDD41564920') || encode(text)
+      |      ELSE encode(text) END AS payload
+      |  FROM documents),
+      |m AS (SELECT doc_id, substring(hex(payload), 1, 24) AS magic_hex FROM b)
+      |SELECT doc_id, magic_hex,
+      |  CASE
+      |    WHEN starts_with(magic_hex, 'FFD8FF') THEN 'image/jpeg'
+      |    WHEN starts_with(magic_hex, '89504E47') THEN 'image/png'
+      |    WHEN starts_with(magic_hex, '474946383761')
+      |      OR starts_with(magic_hex, '474946383961') THEN 'image/gif'
+      |    WHEN starts_with(magic_hex, '52494646')
+      |      AND substring(magic_hex, 17, 8) = '57415645' THEN 'audio/wav'
+      |    ELSE 'application/octet-stream' END AS sniffed_mime
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** "Decode" each payload per-partition — the mapPartitions batch shape
     * a real codec (image decode, audio resample, frame sample) would use.
     * The decode is a deterministic STUB: metadata fields are arithmetic
@@ -351,6 +418,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_blob_meta"       -> (blobMeta _),
+    "multimodal_blob_sniff"      -> (blobSniff _),
     "multimodal_decode_stub"     -> (decodeStub _),
     "multimodal_frame_sample"    -> (frameSample _),
     "multimodal_resize_plan"     -> (resizePlan _),
@@ -361,6 +429,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_blob_meta"       -> blobMetaOracle,
+    "multimodal_blob_sniff"      -> blobSniffOracle,
     "multimodal_decode_stub"     -> decodeStubOracle,
     "multimodal_frame_sample"    -> frameSampleOracle,
     "multimodal_resize_plan"     -> resizePlanOracle,

@@ -1463,6 +1463,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"luhnCards must stay a map stage:\n$plan")
   }
 
+  test("blob sniff: signatures route to mimes; RIFF chamber checked; narrow plan") {
+    import spark.implicits._
+    def blob(hexPrefix: String, tail: String = "xy") =
+      (hexPrefix.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    val blobs = Seq(
+      (1L, blob("FFD8FFE0")), (2L, blob("89504E470D0A1A0A")),
+      (3L, blob("474946383761")), (4L, blob("474946383961")),
+      (5L, blob("52494646AABBCCDD57415645")),  // RIFF + WAVE chamber
+      (6L, blob("52494646AABBCCDD41564920")),  // RIFF + AVI chamber: NOT wav
+      (7L, blob("00112233"))).toDF("doc_id", "payload")
+    val got = Multimodal.blobSniffOf(blobs).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("sniffed_mime")).toMap
+    assert(got == Map(1L -> "image/jpeg", 2L -> "image/png",
+      3L -> "image/gif", 4L -> "image/gif", 5L -> "audio/wav",
+      6L -> "application/octet-stream", 7L -> "application/octet-stream"))
+    val plan = Multimodal.blobSniffOf(blobs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blobSniff must stay a map stage:\n$plan")
+  }
+
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
     import spark.implicits._
     val docs = Seq(
