@@ -346,7 +346,12 @@ object Curation {
       trainPermille + valPermille <= 1000,
       s"split permilles must be non-negative and sum to <= 1000, got " +
         s"train=$trainPermille val=$valPermille")
-    val b = Portable.hash60(concat(lit("gsplit:"), group.cast("string"))) % 1000
+    // a NULL group key would null the hash and every when() below,
+    // silently dumping all ungrouped rows into 'test' — exactly the
+    // rows a leakage audit cares about. NULLs band under a sentinel
+    // group instead (all-null rows still co-locate in ONE split).
+    val b = Portable.hash60(concat(lit("gsplit:"),
+      coalesce(group.cast("string"), lit(" :null-group")))) % 1000
     docs.withColumn("split",
       when(b < trainPermille, "train")
         .when(b < trainPermille + valPermille, "val")

@@ -86,10 +86,15 @@ object PublicSuffix {
             if (raw.startsWith("!")) ("!", raw.substring(1))
             else if (raw.startsWith("*.")) ("*.", raw.substring(2))
             else ("", raw)
-          val ascii = body.toLowerCase.split('.').filter(_.nonEmpty)
-            .map(lb => if (lb.forall(_ < 128)) lb else java.net.IDN.toASCII(lb))
-            .mkString(".")
-          out += parseRule(marker + ascii, section)
+          // IDN.toASCII throws on malformed labels; one bad line in a
+          // downloaded snapshot must not abort the other ~10k rules, so
+          // unparseable rules are skipped (they could never match an
+          // ASCII crawl host anyway)
+          scala.util.Try {
+            body.toLowerCase.split('.').filter(_.nonEmpty)
+              .map(lb => if (lb.forall(_ < 128)) lb else java.net.IDN.toASCII(lb))
+              .mkString(".")
+          }.foreach(ascii => out += parseRule(marker + ascii, section))
         }
       }
     }

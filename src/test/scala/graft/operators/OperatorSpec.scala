@@ -950,6 +950,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"groupSplit must stay a map stage:\n$plan")
   }
 
+  test("groupSplit: NULL group keys band together under the sentinel, not all into test") {
+    import spark.implicits._
+    val docs = Seq((1L, "a.example"), (2L, null), (3L, null), (4L, "b.example"))
+      .toDF("doc_id", "domain")
+    val got = Curation.groupSplitOf(docs, col("domain"), 900, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // all null-group rows land in ONE band (the sentinel group hashes
+    // once) — before the fix the null hash nulled every when() and
+    // they all fell silently into 'test'
+    assert(got(2L) == got(3L), s"null-group rows split apart: $got")
+    assert(Set("train", "val", "test").contains(got(2L)))
+    // non-null groups are untouched by the sentinel
+    val whole = Curation.groupSplitOf(
+        Seq((1L, "a.example"), (4L, "b.example")).toDF("doc_id", "domain"),
+        col("domain"), 900, 50)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(whole(1L) == got(1L) && whole(4L) == got(4L))
+  }
+
   test("gopherFilter applies rules in order and keeps clean docs") {
     import spark.implicits._
     val docs = Seq(

@@ -122,6 +122,17 @@ class PublicSuffixSpec extends SparkSpec {
     assert(sections("s3.cn-north-1.amazonaws.com.cn") == "private")
   }
 
+  test("one malformed IDN line skips that rule, not the whole snapshot parse") {
+    // IDN.toASCII throws on this label ("too long" after punycoding);
+    // a downloaded snapshot with one such line must still yield every
+    // other rule instead of aborting the ~10k-rule parse
+    val bad = "ä" * 100
+    val snapshot = s"com\n$bad\nco.uk\n*.ck\n"
+    val rules = PublicSuffix.parsePslText(snapshot)
+    val keys = rules.map(_.matchKey).toSet
+    assert(keys == Set("com", "co.uk", "ck"), s"got $keys")
+  }
+
   test("icannOnly drops private-section rules: user.github.io collapses to github.io") {
     import spark.implicits._
     val hosts = Seq("user.github.io", "www.example.com").toDF("host")
