@@ -88,6 +88,47 @@ object Bpe {
     merges.toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
 
+  // ---------------------------------------------------------------
+  // Vocabulary artifacts — the train-rarely / tokenize-every-batch
+  // deployment split needs the trained state as something a LATER
+  // session can load (the PublicSuffix.writeSuffixArtifact / NgramLm
+  // saveLmIndex pattern): merges persist as parquet keyed by rank so
+  // replay order survives the round trip exactly.
+  // ---------------------------------------------------------------
+
+  /** Persist a trained merge table ([[bpeMergesOf]]'s output frame, or
+    * any frame with rank/left/right columns) as a parquet artifact. */
+  def writeMergesArtifact(merges: DataFrame, path: String): Unit = {
+    val cols = merges.columns.toSet
+    require(Set("rank", "left", "right").subsetOf(cols),
+      s"merge artifact needs rank/left/right columns, got $cols")
+    merges.select(col("rank").cast("int"), col("left").cast("string"),
+        col("right").cast("string"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge artifact back to the rank-ordered pair list
+    * [[bpeTokenizeOf]] replays — bit-identical tokenization to the
+    * in-session list (spec-pinned). */
+  def loadMergesArtifact(s: SparkSession, path: String): Seq[(String, String)] =
+    s.read.parquet(path).orderBy(col("rank"))
+      .select(col("left"), col("right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** Persist a WordPiece vocabulary (a SET — order-free; stored sorted
+    * for a deterministic artifact) as a one-column parquet. */
+  def writeWordpieceVocabArtifact(s: SparkSession, vocab: Seq[String],
+                                  path: String): Unit = {
+    import s.implicits._
+    require(vocab.nonEmpty, "empty wordpiece vocabulary")
+    vocab.distinct.sorted.toDF("piece")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadWordpieceVocabArtifact(s: SparkSession, path: String): Seq[String] =
+    s.read.parquet(path).orderBy(col("piece"))
+      .collect().map(_.getString(0)).toSeq
+
   /** Tokenize a corpus with a learned merge list: the merges apply in
     * rank order, each as the same narrow fold expression — `nMerges`
     * chained map stages, zero shuffles. Output keeps the symbol array

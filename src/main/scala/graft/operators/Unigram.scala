@@ -198,6 +198,30 @@ object Unigram {
   }
 
   // ---------------------------------------------------------------
+  // Vocabulary artifact — the (piece, cost_e6) map as a reloadable
+  // parquet, closing the train-rarely / tokenize-every-batch loop the
+  // scaladoc above sells (same pattern as Bpe.writeMergesArtifact).
+  // ---------------------------------------------------------------
+
+  /** Persist a trained vocabulary ([[unigramTrainOf]]'s output frame,
+    * or any frame with piece/cost_e6 columns) as a parquet artifact. */
+  def writeVocabArtifact(vocab: DataFrame, path: String): Unit = {
+    val cols = vocab.columns.toSet
+    require(Set("piece", "cost_e6").subsetOf(cols),
+      s"unigram artifact needs piece/cost_e6 columns, got $cols")
+    vocab.select(col("piece").cast("string"), col("cost_e6").cast("long"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocabulary artifact back to the (piece → cost) map
+    * [[unigramTokenizeOf]] broadcasts — bit-identical tokenization to
+    * the in-session map (spec-pinned; costs are integers, so the
+    * parquet round trip is exact by construction). */
+  def loadVocabArtifact(s: SparkSession, path: String): Map[String, Long] =
+    s.read.parquet(path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // ---------------------------------------------------------------
   // Fixture queries
   // ---------------------------------------------------------------
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Tokenizer-vocabulary persistence: each of the three subword schemes
+  * (BPE merge list, WordPiece vocabulary, Unigram piece costs) round-
+  * trips through its parquet artifact and tokenizes BIT-IDENTICALLY to
+  * the in-session trained state — the train-rarely / tokenize-every-
+  * batch deployment split the scaladocs advertise, actually deployable
+  * by a fresh session that only has the artifact directory. */
+class TokenizerArtifactSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq((1L, "the fast spark row the fast the row"),
+      (2L, "spark data join the the fast join"),
+      (3L, "slow scan sort merge the data row"))
+      .toDF("doc_id", "text")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.orderBy("doc_id").collect().map(_.toSeq.toList).toSeq
+
+  test("bpe merges: train -> save -> load replays rank order bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_art").toString
+    val trained = Bpe.bpeMergesOf(corpus, nMerges = 6)
+    val inSession = trained.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.writeMergesArtifact(trained, dir)
+    val loaded = Bpe.loadMergesArtifact(spark, dir)
+    assert(loaded == inSession, s"loaded=$loaded trained=$inSession")
+    // and the tokenizer output is identical under either list
+    assert(rows(Bpe.bpeTokenizeOf(corpus, loaded)) ==
+      rows(Bpe.bpeTokenizeOf(corpus, inSession)))
+    // rank order matters and survives: the artifact is not a set
+    assert(loaded.indices.forall(i => loaded(i) == inSession(i)))
+  }
+
+  test("bpe artifact rejects frames missing the replay columns") {
+    import spark.implicits._
+    val bad = Seq(("a", "b")).toDF("left", "right") // no rank
+    intercept[IllegalArgumentException] {
+      Bpe.writeMergesArtifact(bad, "/tmp/never-written")
+    }
+  }
+
+  test("wordpiece vocab: save -> load tokenizes identically on both dispatch paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_art").toString
+    Bpe.writeWordpieceVocabArtifact(spark, Bpe.fixtureVocab, dir)
+    val loaded = Bpe.loadWordpieceVocabArtifact(spark, dir)
+    assert(loaded.toSet == Bpe.fixtureVocab.toSet, "vocab set changed")
+    assert(rows(Bpe.wordpieceTokenizeOf(corpus, loaded)) ==
+      rows(Bpe.wordpieceTokenizeOf(corpus, Bpe.fixtureVocab)))
+    // the big-vocab mapPartitions path reads the same artifact
+    assert(rows(Bpe.wordpieceTokenizeBigOf(corpus, loaded)) ==
+      rows(Bpe.wordpieceTokenizeOf(corpus, Bpe.fixtureVocab)))
+  }
+
+  test("unigram vocab: train -> save -> load -> tokenize equals in-session exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_art").toString
+    val trained = Unigram.unigramTrainOf(corpus, vocabSize = 24)
+    val inSession = trained.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Unigram.writeVocabArtifact(trained, dir)
+    val loaded = Unigram.loadVocabArtifact(spark, dir)
+    assert(loaded == inSession, "cost map changed across the round trip")
+    assert(rows(Unigram.unigramTokenizeOf(corpus, loaded)) ==
+      rows(Unigram.unigramTokenizeOf(corpus, inSession)))
+  }
+
+  test("unigram artifact also persists hand-built maps via the frame bridge") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_uni_fix").toString
+    val asFrame = Unigram.fixtureVocab.toSeq.toDF("piece", "cost_e6")
+    Unigram.writeVocabArtifact(asFrame, dir)
+    assert(Unigram.loadVocabArtifact(spark, dir) == Unigram.fixtureVocab)
+    intercept[IllegalArgumentException] {
+      Unigram.writeVocabArtifact(Seq(("a", 1L)).toDF("p", "c"), "/tmp/never")
+    }
+  }
+}
