@@ -1,0 +1,118 @@
+package graft.connect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC container codec (ISO 28500 / the IIPC warc-specifications —
+  * the format raw CommonCrawl actually ships, one level BELOW the
+  * extracted WET text [[WetCodec]] handles): each record is a version
+  * line, CRLF-terminated named header fields, a blank line, a
+  * Content-Length-framed block, then two CRLFs. For `response`
+  * records the block is a full HTTP response — status line, HTTP
+  * headers, CRLF CRLF, body — so ingestion must strip the HTTP
+  * envelope too, which is exactly what this codec adds over WET:
+  * read feeds the existing (url, body) crawl surface from the raw
+  * container.
+  *
+  * Distributed on both directions, same shape as WetCodec: write is a
+  * narrow projection to one record string per row through the text
+  * datasource with a custom WRITE lineSep (`\r\n\r\n`, the spec's
+  * record trailer — so the bytes on disk are spec-shaped records);
+  * read splits with the custom READ lineSep `\r\n\r\n` + version
+  * line, then parses headers/block/HTTP with expression-only ops.
+  * Both sides scale as plain scans; gzip transparently supported.
+  *
+  * Fidelity and caveats (the WetCodec contract, inherited knowingly):
+  * Content-Length slices by CHARACTER count — exact for the codec's
+  * own round trip and for ASCII payloads; real WARC counts BYTES, so
+  * multibyte payloads from foreign files shift the slice (a
+  * byte-exact reader needs a length-aware binary input format, which
+  * this deliberately does not replace). A payload containing the
+  * record delimiter sequence splits the record — same class of
+  * constraint CSV places on unquoted payloads; spec-pinned. WARC-Date
+  * is parsed when present but not written (records carry a
+  * deterministic WARC-Record-ID derived from the url instead, keeping
+  * round trips oracle-exact). */
+object WarcCodec {
+
+  private val Version = "WARC/1.0"
+  private val CRLF = "\r\n"
+
+  /** (url, body [, status int]) → WARC `response` records under
+    * `dir`. Each record wraps the body in a minimal HTTP/1.1 response
+    * envelope (status line, Content-Type, Content-Length) and frames
+    * it with the WARC header block; the write lineSep supplies the
+    * spec's two-CRLF record trailer. CR/LF in the url would split the
+    * header block (the WetCodec header-injection mode), so they
+    * collapse to a space before entering the record. */
+  def write(pages: DataFrame, dir: String, codec: String = "none"): Unit = {
+    val status =
+      if (pages.columns.contains("status")) col("status").cast("int")
+      else lit(200)
+    val url = regexp_replace(col("url"), "[\\r\\n]+", " ")
+    val httpBlock = concat(
+      lit("HTTP/1.1 "), status, lit(" OK" + CRLF),
+      lit("Content-Type: text/html" + CRLF),
+      lit("Content-Length: "), length(col("body")).cast("string"),
+      lit(CRLF + CRLF), col("body"))
+    pages.select(concat(
+        lit(Version + CRLF),
+        lit("WARC-Type: response" + CRLF),
+        lit("WARC-Record-ID: <urn:graft:"), md5(col("url")), lit(">" + CRLF),
+        lit("WARC-Target-URI: "), url, lit(CRLF),
+        lit("Content-Type: application/http; msgtype=response" + CRLF),
+        lit("Content-Length: "), length(httpBlock).cast("string"),
+        lit(CRLF + CRLF), httpBlock).as("value"))
+      .write.mode("overwrite")
+      .option("compression", codec).option("lineSep", CRLF + CRLF)
+      .text(dir)
+  }
+
+  /** WARC records under `dir` → (warc_type, url, status, warc_date,
+    * body). Non-response records (warcinfo, request, metadata…)
+    * surface with their raw block as `body` and a NULL status, so a
+    * caller filters on `warc_type = 'response'` for page content.
+    * The HTTP strip honors the inner Content-Length when present and
+    * falls back to the rest of the block (real responses may be
+    * chunked / unframed); the WARC Content-Length always frames the
+    * block itself, so internal blank lines and CRLF runs inside the
+    * body are exact. */
+  def read(s: SparkSession, dir: String): DataFrame = {
+    // lineSep splits BETWEEN records (trailer CRLFs + the next
+    // version line); the first record of each file keeps its leading
+    // version line — strip it so records are uniform
+    // a file's LAST record keeps the write lineSep's trailer CRLFs —
+    // harmless: the Content-Length framing below never reads past the
+    // block, so no trim (a trim would eat a body's own trailing CRLFs)
+    val rec = s.read.option("lineSep", CRLF + CRLF + Version + CRLF).text(dir)
+      .select(regexp_replace(col("value"),
+        "^" + java.util.regex.Pattern.quote(Version + CRLF), "").as("rec"))
+    val withBlock = rec.select(
+      expr("substring_index(rec, '\\r\\n\\r\\n', 1)").as("hdrs"),
+      // block = WARC Content-Length chars after the first blank line
+      expr("substring(" +
+        "substring(rec, length(substring_index(rec, '\\r\\n\\r\\n', 1)) + 5), " +
+        "1, CAST(regexp_extract(substring_index(rec, '\\r\\n\\r\\n', 1), " +
+        "'(?m)^Content-Length: ([0-9]+)', 1) AS INT))").as("block"))
+    withBlock.select(
+      expr("regexp_extract(hdrs, '(?m)^WARC-Type: ([^\\r\\n]*)', 1)")
+        .as("warc_type"),
+      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Target-URI: ([^\\r\\n]*)', 1), '')")
+        .as("url"),
+      expr("CAST(nullif(regexp_extract(block, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS INT)")
+        .as("status"),
+      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Date: ([^\\r\\n]*)', 1), '')")
+        .as("warc_date"),
+      when(col("block").rlike("^HTTP/"),
+        // HTTP envelope strip: body = inner Content-Length chars
+        // after the HTTP headers' blank line, else the whole rest
+        expr("CASE WHEN regexp_extract(substring_index(block, '\\r\\n\\r\\n', 1), " +
+          "'(?m)^Content-Length: ([0-9]+)', 1) <> '' THEN " +
+          "substring(" +
+          "substring(block, length(substring_index(block, '\\r\\n\\r\\n', 1)) + 5), " +
+          "1, CAST(regexp_extract(substring_index(block, '\\r\\n\\r\\n', 1), " +
+          "'(?m)^Content-Length: ([0-9]+)', 1) AS INT)) ELSE " +
+          "substring(block, length(substring_index(block, '\\r\\n\\r\\n', 1)) + 5) END"))
+        .otherwise(col("block")).as("body"))
+  }
+}

@@ -720,12 +720,36 @@ object Relational {
   private val wetRoundtripOracle =
     """SELECT doc_id, lang, source, text FROM documents ORDER BY doc_id""".stripMargin
 
+  /** WARC container round trip — raw-crawl ingestion one level below
+    * WET (see connect/WarcCodec.scala for the record grammar, the
+    * HTTP-envelope strip, and the character-count Content-Length
+    * contract). The url embeds doc_id so the compare key is exact. */
+  def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_${math.abs(d.hashCode)}_${ProcessHandle.current().pid()}").toString
+    graft.connect.WarcCodec.write(
+      Tables.documents(s, d).select(
+        concat(lit("https://"), col("source"), lit(".example/page/"),
+          col("doc_id")).as("url"),
+        col("text").as("body")), dir)
+    graft.connect.WarcCodec.read(s, dir)
+      .filter(col("warc_type") === "response")
+      .select(col("url"), col("status"), col("body"))
+      .orderBy(col("url"))
+  }
+
+  private val warcRoundtripOracle =
+    """SELECT 'https://' || source || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+      |  200 AS status, text AS body
+      |FROM documents ORDER BY url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_roundtrip"          -> (csvRoundtrip _),
     "jsonl_roundtrip"        -> (jsonlRoundtrip _),
     "orc_roundtrip"          -> (orcRoundtrip _),
     "xml_roundtrip"          -> (xmlRoundtrip _),
     "wet_roundtrip"          -> (wetRoundtrip _),
+    "warc_roundtrip"         -> (warcRoundtrip _),
     "bucketed_join"          -> (graft.sources.BucketedTables.bucketedJoin _),
     "grouping_sets"          -> (groupingSets _),
     "above_segment_avg"      -> (aboveSegmentAvg _),
@@ -762,6 +786,7 @@ object Relational {
     "orc_roundtrip"          -> orcRoundtripOracle,
     "xml_roundtrip"          -> xmlRoundtripOracle,
     "wet_roundtrip"          -> wetRoundtripOracle,
+    "warc_roundtrip"         -> warcRoundtripOracle,
     "bucketed_join"          -> graft.sources.BucketedTables.bucketedJoinOracle,
     "grouping_sets"          -> groupingSetsOracle,
     "above_segment_avg"      -> aboveSegmentAvgOracle,

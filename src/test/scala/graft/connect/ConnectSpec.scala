@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.time.LocalDate
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import graft.model._
 import graft.sources.SchemaAnnotations
@@ -251,5 +252,86 @@ class WetCodecSpec extends AnyFunSuite {
     assert(back.head.getString(1) == "en injected")
     assert(back.head.getString(2) == "src 9")
     assert(back.head.getString(3) == "payload stays\nintact")
+  }
+}
+
+class WarcCodecSpec extends AnyFunSuite {
+
+  private def roundtrip(docs: Seq[(String, String)],
+                        codec: String = "none"): Seq[(String, Int, String)] = {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toString
+    WarcCodec.write(docs.toDF("url", "body"), dir, codec)
+    WarcCodec.read(spark, dir).filter(col("warc_type") === "response")
+      .orderBy("url")
+      .collect().map(r => (r.getAs[String]("url"), r.getAs[Int]("status"),
+        r.getAs[String]("body"))).toSeq
+  }
+
+  test("WARC codec roundtrips bodies with CRLFs, blank lines and empty text") {
+    val docs = Seq(
+      ("https://a.example/1", "plain body"),
+      ("https://a.example/2", "crlf\r\nbody with\r\n\r\nan internal blank line"),
+      ("https://a.example/3", ""),
+      ("https://a.example/4", "trailing crlf\r\n"),
+      ("https://a.example/5", "lf\nonly\nnewlines"))
+    val got = roundtrip(docs)
+    assert(got == docs.sortBy(_._1).map { case (u, b) => (u, 200, b) },
+      s"got $got")
+    // gzip composes with the record split (warc.gz is how crawls ship)
+    assert(roundtrip(docs, codec = "gzip") ==
+      docs.sortBy(_._1).map { case (u, b) => (u, 200, b) })
+  }
+
+  test("HTTP envelope strips exactly: headers never leak into the body") {
+    val got = roundtrip(Seq(("https://h.example/x",
+      "body that LOOKS like a header\r\nContent-Type: trap\r\n\r\nrest")))
+    assert(got.head._3 ==
+      "body that LOOKS like a header\r\nContent-Type: trap\r\n\r\nrest")
+  }
+
+  test("a caller status column rides into the HTTP status line and back") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-st").toString
+    WarcCodec.write(Seq(("https://h.example/gone", 404, "not here"))
+      .toDF("url", "status", "body"), dir)
+    val r = WarcCodec.read(spark, dir).collect().head
+    assert(r.getAs[Int]("status") == 404 &&
+      r.getAs[String]("body") == "not here")
+  }
+
+  test("non-response records surface with type and raw block; delimiter collision splits visibly") {
+    val spark = graft.SparkSpec.session
+    // hand-built file: a warcinfo record then a response lacking an
+    // inner HTTP Content-Length (the chunked/unframed fallback: body =
+    // rest of the block)
+    val info = "software: graft"
+    val http = "HTTP/1.1 200 OK\r\nX-K: v\r\n\r\nunframed body"
+    val raw = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+      s"Content-Length: ${info.length}\r\n\r\n$info\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h.example/u\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-raw")
+    java.nio.file.Files.write(dir.resolve("f.warc"), raw.getBytes("UTF-8"))
+    val rows = WarcCodec.read(spark, dir.toString).orderBy("warc_type").collect()
+    assert(rows.length == 2, s"got ${rows.length} records")
+    val Array(resp, winfo) = rows
+    assert(winfo.getAs[String]("warc_type") == "warcinfo" &&
+      winfo.getAs[String]("body") == info && winfo.isNullAt(winfo.fieldIndex("status")))
+    assert(resp.getAs[String]("warc_type") == "response" &&
+      resp.getAs[String]("url") == "https://h.example/u" &&
+      resp.getAs[Int]("status") == 200 &&
+      resp.getAs[String]("warc_date") == "2024-01-01T00:00:00Z" &&
+      resp.getAs[String]("body") == "unframed body")
+    // the documented constraint (WET-inherited): a body containing the
+    // record delimiter sequence splits the record — the read must NOT
+    // silently reproduce the original
+    val bad = Seq(("https://h.example/evil", "x\r\n\r\nWARC/1.0\r\npayload"))
+    assert(roundtrip(bad) != bad.map { case (u, b) => (u, 200, b) },
+      "a delimiter-colliding body must visibly corrupt, not silently roundtrip")
   }
 }
