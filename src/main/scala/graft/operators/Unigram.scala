@@ -12,14 +12,13 @@ import graft.Tables
   * segments each word by VITERBI over per-piece costs — the
   * minimum-total-cost segmentation under a unigram piece model.
   *
-  * Training is the published shape simplified to hard-EM (Viterbi
-  * counts instead of full forward-backward expectations — the
-  * standard practical variant): seed an over-complete substring
-  * vocabulary from the corpus, then alternate (re-segment the
-  * word-TYPE table under current costs) / (recount pieces, rescore
-  * cost = −log relative frequency) / (prune the worst multi-char
-  * pieces), keeping every single character so any string stays
-  * segmentable. Like BPE training, everything heavy runs on the
+  * Training runs the published EM shape — forward-backward lattice
+  * expectations by default, with the Viterbi-count hard-EM shortcut
+  * behind `soft = false`: seed an over-complete substring vocabulary
+  * from the corpus, then alternate (E-step over the word-TYPE table
+  * under current costs) / (rescore cost = −log relative frequency) /
+  * (prune the worst multi-char pieces), keeping every single
+  * character so any string stays segmentable. Like BPE training, everything heavy runs on the
   * word-type table (distinct words × frequencies — orders below the
   * corpus), and the vocabulary is driver-resident by design.
   *
@@ -87,6 +86,79 @@ object Unigram {
     (out, cost(n))
   }
 
+  /** Forward-backward expected piece counts for one word — the E-step
+    * of the PUBLISHED unigram training (Kudo 2018 uses lattice
+    * expectations, not Viterbi counts): for every lattice edge
+    * (i, j, piece), its posterior probability is
+    * exp(α(i) + log p(piece) + β(j) − log Z), summed per piece.
+    * Computed in log domain (log-sum-exp, StrictMath) so long words
+    * never underflow.
+    *
+    * Determinism argument for the doubles: within a word the float
+    * ops run in a FIXED order (positions ascending, piece lengths
+    * ascending; backward positions descending) and JDK 17 FP is
+    * strict by default, so the per-word result is bit-identical on
+    * every JVM; the caller converts each per-(word, piece)
+    * expectation to an INTEGER (e6 fixed point) before the
+    * cross-partition sum, so the shuffle aggregation is exact-integer
+    * and partition order cannot perturb the totals. */
+  private[operators] def forwardBackwardWord(
+      w: String, vs: Map[String, Long], maxLen: Int,
+      unkCost: Long): Seq[(String, Double)] = {
+    val n = w.length
+    val NEG = Double.NegativeInfinity
+    def logAdd(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else if (a >= b) a + StrictMath.log1p(StrictMath.exp(b - a))
+      else b + StrictMath.log1p(StrictMath.exp(a - b))
+    // edges from each position, in the fixed (length-ascending) order
+    val edges: Array[List[(Int, String, Double)]] =
+      Array.tabulate(n) { pos =>
+        var out = List.newBuilder[(Int, String, Double)]
+        val lim = math.min(maxLen, n - pos)
+        var l = 1
+        while (l <= lim) {
+          val piece = w.substring(pos, pos + l)
+          vs.get(piece).foreach(c => out += ((pos + l, piece, -c / 1e6)))
+          l += 1
+        }
+        if (!vs.contains(w.substring(pos, pos + 1)))
+          out += ((pos + 1, "[UNK]", -unkCost / 1e6))
+        out.result()
+      }
+    val alpha = Array.fill(n + 1)(NEG); alpha(0) = 0.0
+    var pos = 0
+    while (pos < n) {
+      if (alpha(pos) != NEG)
+        edges(pos).foreach { case (j, _, lp) =>
+          alpha(j) = logAdd(alpha(j), alpha(pos) + lp)
+        }
+      pos += 1
+    }
+    val beta = Array.fill(n + 1)(NEG); beta(n) = 0.0
+    pos = n - 1
+    while (pos >= 0) {
+      edges(pos).foreach { case (j, _, lp) =>
+        beta(pos) = logAdd(beta(pos), lp + beta(j))
+      }
+      pos -= 1
+    }
+    val z = alpha(n) // == beta(0): every word segments (UNK fallback)
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    pos = 0
+    while (pos < n) {
+      if (alpha(pos) != NEG)
+        edges(pos).foreach { case (j, piece, lp) =>
+          if (beta(j) != NEG) {
+            val e = StrictMath.exp(alpha(pos) + lp + beta(j) - z)
+            acc(piece) = acc.getOrElse(piece, 0.0) + e
+          }
+        }
+      pos += 1
+    }
+    acc.toSeq
+  }
+
   /** Tokenize a corpus with a frozen (piece → cost) vocabulary:
     * (doc_id, token_str, n_tokens, cost) — cost is the summed integer
     * Viterbi objective, the oracle-checkable half of the output. */
@@ -125,13 +197,26 @@ object Unigram {
       .toDF("doc_id", "token_str", "n_tokens", "cost")
   }
 
-  /** Train a unigram vocabulary (hard-EM over the word-type table):
-    * returns the driver-built (piece, cost_e6, cnt) frame, every
-    * single corpus character guaranteed present. Deterministic:
-    * hashless seeding (top substring counts with lexicographic
-    * tie-break), integer-exact counts, StrictMath log. */
+  /** Train a unigram vocabulary (EM over the word-type table): returns
+    * the driver-built (piece, cost_e6, cnt) frame, every single corpus
+    * character guaranteed present. `soft = true` (default) runs the
+    * PUBLISHED forward-backward E-step ([[forwardBackwardWord]]):
+    * every lattice path contributes its posterior mass, so an
+    * ambiguous piece that never wins a Viterbi race still accumulates
+    * expectation and can survive pruning — the behavior difference vs
+    * hard-EM the Kudo 2018 paper's EM derivation calls for.
+    * `soft = false` keeps the Viterbi-count variant (the common
+    * practical shortcut). In the soft path `cnt` is the e6-scaled
+    * integer expected count (expectations are integerized per word
+    * TYPE before the shuffle sum — exact-integer aggregation, see
+    * [[forwardBackwardWord]]'s determinism note); costs only ever use
+    * count RATIOS, so the two paths share one scoring rule.
+    * Deterministic either way: hashless seeding (top substring counts
+    * with lexicographic tie-break), integer-exact shuffle sums,
+    * StrictMath log. */
   def unigramTrainOf(docs: DataFrame, vocabSize: Int = 48,
-                     seedMaxLen: Int = 4, rounds: Int = 2): DataFrame = {
+                     seedMaxLen: Int = 4, rounds: Int = 2,
+                     soft: Boolean = true): DataFrame = {
     require(vocabSize >= 2 && vocabSize <= 100000, s"bad vocabSize: $vocabSize")
     require(seedMaxLen >= 2 && seedMaxLen <= 16, s"bad seedMaxLen: $seedMaxLen")
     require(rounds >= 1 && rounds <= 16, s"bad rounds: $rounds")
@@ -171,15 +256,28 @@ object Unigram {
     for (_ <- 1 to rounds) {
       val maxLen = vocabCosts.keys.map(_.length).max
       val bc = s.sparkContext.broadcast(vocabCosts)
-      // hard-EM E-step: Viterbi counts over the TYPES, freq-weighted
-      val counts = types.as[(String, Long)]
-        .mapPartitions { it =>
-          val vs = bc.value
-          it.flatMap { case (w, f) =>
-            viterbiWord(w, vs, maxLen, UnkCost)._1
-              .filter(_ != "[UNK]").map(p => (p, f))
+      // E-step over the TYPES, freq-weighted: forward-backward
+      // expectations (soft, integerized per type before the shuffle
+      // sum) or Viterbi counts (hard) — one vocab-sized keyed agg
+      val counted =
+        if (soft)
+          types.as[(String, Long)].mapPartitions { it =>
+            val vs = bc.value
+            it.flatMap { case (w, f) =>
+              forwardBackwardWord(w, vs, maxLen, UnkCost)
+                .filter(_._1 != "[UNK]")
+                .map { case (p, e) => (p, math.round(e * f * 1e6)) }
+            }
           }
-        }
+        else
+          types.as[(String, Long)].mapPartitions { it =>
+            val vs = bc.value
+            it.flatMap { case (w, f) =>
+              viterbiWord(w, vs, maxLen, UnkCost)._1
+                .filter(_ != "[UNK]").map(p => (p, f))
+            }
+          }
+      val counts = counted
         .toDF("piece", "f").groupBy("piece").agg(sum(col("f")).as("cnt"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       // M-step + prune: chars always survive (floor count 1); keep the

@@ -67,12 +67,54 @@ class UnigramSpec extends SparkSpec {
     // more frequent pieces cost less (costs are -log relative freq)
     val costs = out.map(t => t._1 -> t._2).toMap
     val cnts = out.map(t => t._1 -> t._3).toMap
+    // monotone: more count never costs more. Non-strict because the
+    // e6 cost grid quantizes (counts a hair apart share a cost) and
+    // zero counts floor to 1 in score(); a strict pair must still
+    // exist so the scale isn't degenerate
     for (a <- pieces; b <- pieces if cnts(a) > cnts(b))
-      assert(costs(a) < costs(b), s"$a (${cnts(a)}) not cheaper than $b (${cnts(b)})")
+      assert(costs(a) <= costs(b), s"$a (${cnts(a)}) costlier than $b (${cnts(b)})")
+    assert(pieces.exists(a => pieces.exists(b =>
+      cnts(a) > cnts(b) && costs(a) < costs(b))), "all costs collapsed")
     // bit-determinism across runs
     val again = Unigram.unigramTrainOf(docs, vocabSize = 16, seedMaxLen = 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
+  }
+
+  test("soft EM keeps an ambiguous piece that hard EM's Viterbi counts drop") {
+    import spark.implicits._
+    // 'a' and 'b' are cheap (many lone occurrences), so Viterbi always
+    // segments the rare word "ab" as a+b — piece "ab" gets ZERO hard
+    // counts and is pruned. Forward-backward gives the ab-edge its
+    // posterior mass (> 0), so soft EM keeps it: exactly the behavior
+    // difference the published EM derivation calls for.
+    val words = Seq.fill(10)("a") ++ Seq.fill(10)("b") ++ Seq("ab")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val soft = Unigram.unigramTrainOf(docs, vocabSize = 8, rounds = 1)
+      .collect().map(_.getString(0)).toSet
+    val hard = Unigram.unigramTrainOf(docs, vocabSize = 8, rounds = 1,
+        soft = false)
+      .collect().map(_.getString(0)).toSet
+    assert(!hard.contains("ab"), s"hard EM unexpectedly kept 'ab': $hard")
+    assert(soft.contains("ab"), s"soft EM lost the ambiguous piece: $soft")
+    // chars survive under both
+    assert(Set("a", "b").subsetOf(soft) && Set("a", "b").subsetOf(hard))
+  }
+
+  test("forward-backward expectations: exact posteriors on the two-path lattice") {
+    // word "ab" with vocab a, b, ab: Z = p(a)p(b) + p(ab);
+    // E[ab] = p(ab)/Z, E[a] = E[b] = p(a)p(b)/Z — check against the
+    // closed form within float tolerance (the impl is log-domain)
+    val vs = Map("a" -> 1000000L, "b" -> 1000000L, "ab" -> 1500000L)
+    val got = Unigram.forwardBackwardWord("ab", vs, 2, Unigram.UnkCost).toMap
+    val pa = StrictMath.exp(-1.0); val pab = StrictMath.exp(-1.5)
+    val z = pa * pa + pab
+    assert(math.abs(got("ab") - pab / z) < 1e-12, s"E[ab]=${got("ab")}")
+    assert(math.abs(got("a") - pa * pa / z) < 1e-12)
+    assert(math.abs(got("b") - pa * pa / z) < 1e-12)
+    // bit-determinism of the doubles across calls
+    assert(Unigram.forwardBackwardWord("ab", vs, 2, Unigram.UnkCost) ==
+      Unigram.forwardBackwardWord("ab", vs, 2, Unigram.UnkCost))
   }
 
   test("trained vocabulary compresses: fewer tokens than per-char segmentation") {
