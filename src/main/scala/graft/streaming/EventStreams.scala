@@ -505,6 +505,104 @@ object EventStreams {
       .toDF("doc_id", "sim")
   }
 
+  /** [[streamingNearDupGate]] composed with a durable admitted-corpus
+    * sink: each micro-batch's admitted (doc_id, sim) rows land as
+    * committed batch dirs under `outDir` (the CommittedBatchSink
+    * exactly-once discipline — replayed batches skip, crash-partial
+    * dirs stay invisible, restarts on the same checkpoint resume the
+    * band state). This accumulation is what the scheduled
+    * [[nearDupSweepOf]] closes the single-band gate's documented
+    * distance-1 miss over — gate cheap and approximate in-flight,
+    * sweep exact and periodic at rest, the same split as index
+    * append/compaction. */
+  def nearDupGateIngest(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, outDir: String, checkpoint: String,
+                        hamming: Int = 1, maxPerBucket: Int = 1024,
+                        twoBand: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    nearDupSigIngest(spark,
+      docs.select(col("doc_id"), simhashNarrowSig.as("sim")),
+      outDir, checkpoint, hamming, maxPerBucket, twoBand)
+
+  /** The signature-level building block of [[nearDupGateIngest]] —
+    * the same banded gate stages over an already-signed (doc_id, sim)
+    * stream, then the committed-batch sink. */
+  private[streaming] def nearDupSigIngest(
+      spark: org.apache.spark.sql.SparkSession,
+      sigs: DataFrame, outDir: String, checkpoint: String,
+      hamming: Int, maxPerBucket: Int,
+      twoBand: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    val g1 = bandGateSigs(spark, sigs, upperHalf = true, hamming, maxPerBucket)
+    val gated =
+      if (twoBand) bandGateSigs(spark, g1, upperHalf = false, hamming, maxPerBucket)
+      else g1
+    gated.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val rows = batch.localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = rows.isEmpty,
+          write = dir => rows.write.mode("overwrite")
+            .parquet(dir.resolve("sigs").toString)): Unit
+      }
+      .start()
+  }
+
+  /** All committed admitted signatures under `outDir` as one frame —
+    * the reader face of [[nearDupGateIngest]]. */
+  def readAdmittedSigs(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = CommittedBatchSink.committedDirs(outDir)
+      .filter(d => java.nio.file.Files.isDirectory(d.resolve("sigs")))
+      .map(_.resolve("sigs").toString)
+    if (dirs.isEmpty) Seq.empty[(Long, Long)].toDF("doc_id", "sim")
+    else spark.read.parquet(dirs: _*).select(col("doc_id"), col("sim"))
+  }
+
+  /** The scheduled batch sweep over the ACCUMULATED admitted corpus —
+    * closes the single-band gate's documented miss (the ~50% of
+    * distance-1 pairs whose differing bit falls in the banded half
+    * slip through the stream; see [[streamingNearDupGate]]): both
+    * 16-bit halves band here, so by pigeonhole every hamming <= 1
+    * pair among the admitted docs is caught, exactly the batch
+    * `Dedup.simhashPairsOf` guarantee. Suppression mirrors the batch
+    * pass's connected-components semantics (and the two-band gate's
+    * documented chain-transitive behavior): clusters via the
+    * large-star/small-star contraction, survivor = the cluster's
+    * MINIMUM doc_id — the earliest-admitted doc, matching the gate's
+    * first-wins rule. Returns (doc_id, sim, keep); downstream joins
+    * `keep` onto the corpus, or filters and re-lands a swept artifact.
+    * Pure batch over committed dirs → idempotent and restart-safe: a
+    * re-run after any crash reads the same committed set and returns
+    * the same verdicts (the stream may keep running; a sweep sees a
+    * committed-prefix snapshot).
+    *
+    * Scale shape: pair generation is the keyed two-band bucket join
+    * over signatures only (8-byte keys, never text), clusters are the
+    * audited log-round contraction, and the verdict join is keyed on
+    * doc_id — nothing quadratic, nothing driver-sized. */
+  def nearDupSweepOf(spark: org.apache.spark.sql.SparkSession,
+                     outDir: String, hamming: Int = 1): DataFrame = {
+    val sigs = readAdmittedSigs(spark, outDir)
+    val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
+        struct(lit(0).as("b"), expr("sim & 65535").as("h")),
+        struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
+      .select(col("doc_id"), col("sim"), col("bd.b").as("b"), col("bd.h").as("h"))
+    val pairs = bands.select(col("doc_id").as("i"), col("sim").as("si"),
+        col("b"), col("h"))
+      .join(bands.select(col("doc_id").as("j"), col("sim").as("sj"),
+        col("b"), col("h")), Seq("b", "h"))
+      .filter(col("i") < col("j"))
+      .filter(expr(s"CAST(bit_count(si ^ sj) AS INT) <= $hamming"))
+      .select(col("i"), col("j")).distinct()
+    val clusters = graft.operators.Dedup.clustersOf(pairs)
+    sigs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("cluster") === col("doc_id"), lit(true)))
+      .select(col("doc_id"), col("sim"), col("keep"))
+  }
+
   /** Streaming LM quality gate — the streaming face of
     * NgramLm.lmQualityTiersOf: each document micro-batch is scored
     * against a FROZEN persisted LM index (the three distinct gram-hash

@@ -668,6 +668,53 @@ class StreamingSpec extends AnyFunSuite {
       s"expected A admitted, B gated (stage 2), C gated (chained), D admitted: $collected")
   }
 
+  test("near-dup sweep closes the single-band miss over the accumulated corpus; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sweep_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sweep_out").toString
+    val in = MemoryStream[(Long, Long)]
+    // an UPPER-half distance-1 pair: the single-band gate's documented
+    // miss (the differing bit falls in the banded half, so the two
+    // docs land in different buckets and are never compared)
+    val base = 0x12345678L
+    val upperTwin = base ^ (1L << 20)
+    val far = 0x7E57A5A5L
+    def start() = EventStreams.nearDupSigIngest(spark,
+      in.toDF().toDF("doc_id", "sim"), out, ckpt,
+      hamming = 1, maxPerBucket = 1024, twoBand = false)
+    val q1 = start()
+    in.addData((1L, base), (5L, far))
+    q1.processAllAvailable()
+    q1.stop() // crash mid-stream: committed dirs + band state persist
+    val q2 = start()
+    in.addData((2L, upperTwin)) // slips the single-band gate
+    q2.processAllAvailable()
+    q2.stop()
+    // both members of the distance-1 pair were admitted and accumulated
+    val admitted = EventStreams.readAdmittedSigs(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(admitted == Set((1L, base), (2L, upperTwin), (5L, far)),
+      s"gate should admit the upper-half twin (the documented miss): $admitted")
+    // the scheduled sweep is pigeonhole-complete: it catches the pair
+    // and keeps the earliest-admitted member, mirroring the gate rule
+    val verdicts = EventStreams.nearDupSweepOf(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verdicts == Map(1L -> true, 2L -> false, 5L -> true),
+      s"sweep must suppress the later twin only: $verdicts")
+    // idempotent / restart-safe: a re-run over the same committed dirs
+    // returns the same verdicts, and a replayed batch never re-lands
+    val again = EventStreams.nearDupSweepOf(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == verdicts)
+    // the swept corpus face: filter keep, join back — 1 and 5 survive
+    val swept = EventStreams.nearDupSweepOf(spark, out)
+      .filter(col("keep")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(swept == Set(1L, 5L))
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
