@@ -302,11 +302,14 @@ object GraftOps {
                       pieces: Map[String, Long]): DataFrame =
     graft.operators.Unigram.unigramTokenizeOf(docs, pieces)
 
-  /** Train a unigram vocabulary over the corpus (hard-EM on the
-    * word-type table, every corpus character force-kept). Returns
-    * (piece, cost_e6, cnt) — driver-resident by design. */
-  def unigramTrain(docs: DataFrame, vocabSize: Int = 48): DataFrame =
-    graft.operators.Unigram.unigramTrainOf(docs, vocabSize)
+  /** Train a unigram vocabulary over the corpus (forward-backward EM
+    * on the word-type table by default, Viterbi hard-EM behind
+    * soft=false; every corpus character force-kept). Returns
+    * (piece, cost_e6, cnt) — driver-resident by design; persist with
+    * [[writeUnigramVocab]]. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 48,
+                   soft: Boolean = true): DataFrame =
+    graft.operators.Unigram.unigramTrainOf(docs, vocabSize, soft = soft)
 
   /** Per-document benchmark n-gram overlap in integer permille — the
     * contamination MEASUREMENT where [[decontaminate]] is the drop. */
@@ -319,6 +322,21 @@ object GraftOps {
     * snapshots. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     graft.operators.UrlOps.snapshotDiffOf(oldSnap, newSnap)
+
+  /** Per-host change rate (integer permille) and hot/warm/cold
+    * re-fetch tier from a [[snapshotDiff]] frame — change-rate-driven
+    * revisit scheduling (Cho & Garcia-Molina 2003). */
+  def refetchSchedule(diff: DataFrame, hotPermille: Int = 200,
+                      coldPermille: Int = 50): DataFrame =
+    graft.operators.UrlOps.refetchScheduleOf(diff, hotPermille, coldPermille)
+
+  /** TrustRank: PageRank with teleport + dangling mass concentrated
+    * on a trusted seed set (Gyöngyi 2004) — link farms unreachable
+    * from the seeds score zero. Same integer e9 rounds as
+    * [[pageRank]]. */
+  def trustRank(edges: DataFrame, seeds: Seq[String], iters: Int = 10,
+                dampingPermille: Int = 850): DataFrame =
+    graft.operators.GraphOps.trustRankOf(edges, seeds, iters, dampingPermille)
 
   /** Star-group `Crawl-delay:` per host from robots bodies (NULL =
     * none declared; crawler default applies). */
@@ -513,32 +531,45 @@ object GraftOps {
   /** robots.txt `*`-group rules (host, prefix, allow) parsed from
     * (host, body) frames — RFC 9309 group selection as one narrow
     * fold per body. */
-  def robotsRules(robots: DataFrame): DataFrame =
-    graft.operators.RobotsOps.robotsRulesOf(robots)
+  def robotsRules(robots: DataFrame, agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsRulesOf(robots, agent)
 
   /** Adds `allowed` per RFC 9309 longest-match (ties → allow; no
     * robots → allowed); host-keyed join + url-keyed ordered max, no
     * per-url sort. */
-  def robotsAnnotate(urls: DataFrame, robots: DataFrame): DataFrame =
-    graft.operators.RobotsOps.robotsAnnotateOf(urls, robots)
+  def robotsAnnotate(urls: DataFrame, robots: DataFrame,
+                     agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsAnnotateOf(urls, robots, agent)
+
+  /** [[robotsAnnotate]] with per-partition COMPILED rule patterns —
+    * the wildcard-heavy form (each distinct pattern compiles once per
+    * partition instead of once per matching url row); decision-equal,
+    * spec-pinned. */
+  def robotsAnnotateCompiled(urls: DataFrame, robots: DataFrame,
+                             agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsAnnotateCompiledOf(urls, robots, agent)
 
   /** The robots-admitted subset of a url frame — the crawl-politeness
     * gate in front of the fetch frontier. */
-  def robotsFilter(urls: DataFrame, robots: DataFrame): DataFrame =
-    graft.operators.RobotsOps.robotsFilterOf(urls, robots)
+  def robotsFilter(urls: DataFrame, robots: DataFrame,
+                   agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsFilterOf(urls, robots, agent)
 
   /** The shuffle-free admission form: per-host rule sets broadcast in
     * and the longest match folds per row — decision-equal to
     * robotsFilter, legal in front of streaming state. */
-  def robotsFilterNarrow(urls: DataFrame, robots: DataFrame): DataFrame =
-    graft.operators.RobotsOps.robotsFilterNarrowOf(urls, robots)
+  def robotsFilterNarrow(urls: DataFrame, robots: DataFrame,
+                         agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsFilterNarrowOf(urls, robots, agent)
 
   /** Per-host fetch budget: admitted url count × effective
     * Crawl-delay (star-group value, else default) → serialized
     * fetch-seconds estimate. */
   def crawlBudget(urls: DataFrame, robots: DataFrame,
-                  defaultDelayS: Int = 1): DataFrame =
-    graft.operators.RobotsOps.crawlBudgetOf(urls, robots, defaultDelayS)
+                  defaultDelayS: Int = 1,
+                  includeBlocked: Boolean = false): DataFrame =
+    graft.operators.RobotsOps.crawlBudgetOf(urls, robots, defaultDelayS,
+      includeBlocked)
 
   /** Robots-aware streaming crawl ingest: RFC 9309 gate → lifetime
     * admit-once → HTML extraction → min-length gate. */
@@ -557,6 +588,55 @@ object GraftOps {
     * narrow. */
   def sitemapUrls(sitemaps: DataFrame): DataFrame =
     graft.operators.RobotsOps.sitemapUrlsOf(sitemaps)
+
+  /** Persist / reload a trained BPE merge table as a parquet artifact
+    * (rank-keyed so replay order survives exactly). */
+  def writeBpeMerges(merges: DataFrame, path: String): Unit =
+    Bpe.writeMergesArtifact(merges, path)
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] =
+    Bpe.loadMergesArtifact(spark, path)
+
+  /** Persist / reload a WordPiece vocabulary artifact. */
+  def writeWordpieceVocab(spark: org.apache.spark.sql.SparkSession,
+                          vocab: Seq[String], path: String): Unit =
+    Bpe.writeWordpieceVocabArtifact(spark, vocab, path)
+  def loadWordpieceVocab(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Seq[String] =
+    Bpe.loadWordpieceVocabArtifact(spark, path)
+
+  /** Persist / reload a unigram (piece, cost_e6) vocabulary artifact
+    * — integer costs, bit-identical tokenization across sessions. */
+  def writeUnigramVocab(vocab: DataFrame, path: String): Unit =
+    graft.operators.Unigram.writeVocabArtifact(vocab, path)
+  def loadUnigramVocab(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Map[String, Long] =
+    graft.operators.Unigram.loadVocabArtifact(spark, path)
+
+  /** WARC container write/read (ISO 28500; raw-crawl grain below
+    * WET): response records with the HTTP envelope stripped on read —
+    * (warc_type, url, status, warc_date, body). */
+  def warcWrite(pages: DataFrame, dir: String, codec: String = "none"): Unit =
+    graft.connect.WarcCodec.write(pages, dir, codec)
+  def warcRead(spark: org.apache.spark.sql.SparkSession,
+               dir: String): DataFrame =
+    graft.connect.WarcCodec.read(spark, dir)
+
+  /** Scheduled batch sweep over a [[nearDupGateIngest]]-accumulated
+    * corpus: pigeonhole-complete distance-<=hamming verdicts
+    * (doc_id, sim, keep), closing the single-band streaming gate's
+    * documented miss. */
+  def nearDupSweep(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String, hamming: Int = 1): DataFrame =
+    graft.streaming.EventStreams.nearDupSweepOf(spark, outDir, hamming)
+
+  /** Streaming near-dup gate composed with the committed admitted-
+    * corpus sink [[nearDupSweep]] reads. */
+  def nearDupGateIngest(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, outDir: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStreams.nearDupGateIngest(spark, docs, outDir,
+      checkpoint)
 
   /** URL-keyed crawl dedup: (keeper_id, n_copies, canonical url) per
     * normalized URL — run BEFORE text dedup on crawl corpora. */

@@ -313,6 +313,13 @@ object GraphOps {
     pageRankOf(fixtureEdges(s, d), iters = 10)
       .orderBy(col("node"))
 
+  /** TrustRank over the same fixture graph, seeded at src0 (the hub)
+    * and src1 — the whitelist-seeded authority the frontier composes
+    * with crawl_budget/crawl_refetch at the same host key. */
+  def trustRank(s: SparkSession, d: String): DataFrame =
+    trustRankOf(fixtureEdges(s, d), Seq("src0", "src1"), iters = 10)
+      .orderBy(col("node"))
+
   /** The pageRankOf rounds unrolled as chained DuckDB CTEs over ANY
     * `edges` relation (standard SQL forbids aggregation in a recursive
     * CTE member): `edgesCtes` is CTE text (no leading WITH) whose last
@@ -362,6 +369,132 @@ object GraphOps {
        |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
        |  UNION
        |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin)
+
+  private val trustRankOracle: String = trustRankRoundsSql(
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin,
+    "node IN ('src0', 'src1')")
+
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004, "Combating Web
+    * Spam with TrustRank"): PageRank with the teleport vector
+    * CONCENTRATED on an editorially trusted seed set instead of
+    * uniform — trust flows out along links and decays with distance,
+    * so link farms far from any seed score ~0 however densely they
+    * interlink (the uniform teleport that props them up in vanilla
+    * PageRank is gone). The crawl-curation use: whitelist-seeded
+    * domain authority for frontier priority and spam triage, on the
+    * same graph the [[pageRankOf]] family ranks.
+    *
+    * Same integer e9 fixed-point discipline and round shape as
+    * [[pageRankOf]] — one dst-keyed map-side-combined sum per round
+    * over 8-byte ranks, dangling mass as a 1-row driver scalar — with
+    * two personalization differences, both exact: teleport lands only
+    * on seeds ((1000−d)·1e9/1000/|S| each) and dangling mass
+    * redistributes to seeds, not uniformly. Seeds absent from the
+    * graph are ignored (they can neither hold nor emit trust);
+    * requires ≥ 1 present. Deterministic and oracle-gated via the
+    * chained-CTE mirror ([[trustRankRoundsSql]]). */
+  def trustRankOf(edges: DataFrame, seeds: Seq[String], iters: Int = 10,
+                  dampingPermille: Int = 850): DataFrame = {
+    require(seeds.nonEmpty, "trustRank needs a non-empty seed set")
+    require(iters >= 0 && iters <= 1000, s"unreasonable iters: $iters")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"damping out of permille range: $dampingPermille")
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val sSet = seeds.distinct
+    val isSeed = col("node").isInCollection(sSet)
+    val present = nodes.filter(isSeed).count()
+    require(present > 0, "no trust seed present in the graph")
+    val m = present
+    val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / m
+    val hasSinks = nodes.join(outdeg, Seq("node"), "left_anti")
+      .limit(1).count() > 0
+    var ranks = nodes.select(col("node"),
+      when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
+      .localCheckpoint()
+    var round = 0
+    var sinceCut = 0
+    while (round < iters) {
+      val dangShare =
+        if (!hasSinks) 0L
+        else Option(ranks.join(outdeg, Seq("node"), "left_anti")
+            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
+          .map(_.toLong).getOrElse(0L) / m
+      val inflow = e
+        .join(ranks.join(outdeg, Seq("node"))
+          .select(col("node").as("src"),
+            expr("rank_e9 DIV outdeg").as("contrib")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
+            s"$dampingPermille * (coalesce(inflow, 0L) + $dangShare) DIV 1000, " +
+            s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
+            .as("rank_e9"))
+      round += 1
+      sinceCut += 1
+      if (hasSinks || sinceCut == 4 || round == iters) {
+        ranks = ranks.localCheckpoint(); sinceCut = 0
+      }
+    }
+    ranks
+  }
+
+  /** `node IN (...)` as SQL text for the seed set — shared by the
+    * round expression and nothing else (the oracle builds its own). */
+  private def isSeedSql(seeds: Seq[String]): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    s"node IN (${seeds.map(q).mkString(", ")})"
+  }
+
+  /** [[trustRankOf]]'s rounds unrolled as chained DuckDB CTEs — the
+    * [[pagerankRoundsSql]] pattern with the seed-concentrated teleport
+    * and seed-directed dangling mass. `seedPred` is a SQL predicate
+    * over `node`. */
+  private[graft] def trustRankRoundsSql(edgesCtes: String, seedPred: String,
+                                        iters: Int = 10): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = s"tr${i - 1}"
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(rank_e9), 0) AS dm FROM $p
+         |  WHERE node NOT IN (SELECT node FROM outdeg)),
+         |inflow$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    sum(p.rank_e9 // o.outdeg) AS inflow
+         |  FROM edges e JOIN $p p ON e.src = p.node
+         |  JOIN outdeg o ON e.src = o.node GROUP BY e.dst),
+         |tr$i AS MATERIALIZED (SELECT node,
+         |    CASE WHEN $seedPred THEN (SELECT tp FROM const)
+         |      + 850 * (coalesce(inflow, 0)
+         |        + (SELECT dm FROM dang$i) // (SELECT m FROM const)) // 1000
+         |    ELSE 850 * coalesce(inflow, 0) // 1000 END AS rank_e9
+         |  FROM (SELECT n.node AS node, i.inflow AS inflow
+         |        FROM nodes n LEFT JOIN inflow$i i ON n.node = i.node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+       |           FROM edges GROUP BY src),
+       |const AS MATERIALIZED (SELECT count(*) AS m,
+       |    CAST(150 AS BIGINT) * 1000000000 // 1000 // count(*) AS tp
+       |  FROM nodes WHERE $seedPred),
+       |tr0 AS MATERIALIZED (SELECT node,
+       |        CASE WHEN $seedPred
+       |          THEN 1000000000 // (SELECT m FROM const) ELSE 0 END AS rank_e9
+       |        FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM tr$iters
+       |ORDER BY node""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // Harmonic centrality — the OTHER per-domain authority rank crawl
@@ -790,6 +923,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
+    "trust_rank" -> (trustRank _),
     "link_components" -> (linkComponents _),
     "link_reciprocity" -> (linkReciprocity _),
     "degree_profile" -> (degreeProfile _),
@@ -801,6 +935,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "domain_pagerank" -> domainPagerankOracle,
+    "trust_rank" -> trustRankOracle,
     "link_components" -> linkComponentsOracle,
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,

@@ -113,6 +113,40 @@ object UrlOps {
           .otherwise("changed").as("status"))
   }
 
+  /** Re-fetch scheduler over a [[snapshotDiffOf]] frame — the crawl
+    * planner's other half next to [[RobotsOps.crawlBudgetOf]]: per
+    * host, how much of the site ACTUALLY changed between snapshots
+    * (added + removed + changed, in integer permille of its urls) and
+    * a hot/warm/cold re-fetch tier from that rate — the standard
+    * change-rate-driven revisit policy (Cho & Garcia-Molina 2003,
+    * "Effective Page Refresh Policies for Web Crawlers": revisit
+    * frequency should track observed change frequency). A hot host
+    * re-enters the frontier next cycle; a cold one waits out several.
+    *
+    * Exact integer arithmetic (permille via DIV) so the tiering is
+    * oracle-portable; one host-keyed count over the diff — hashes and
+    * statuses ride the shuffle, never bodies, and the diff itself is
+    * already url-grain (orders below the corpus). */
+  def refetchScheduleOf(diff: DataFrame, hotPermille: Int = 200,
+                        coldPermille: Int = 50): DataFrame = {
+    require(coldPermille >= 0 && coldPermille <= hotPermille &&
+      hotPermille <= 1000,
+      s"need 0 <= cold <= hot <= 1000, got cold=$coldPermille hot=$hotPermille")
+    diff.select(
+        lower(regexp_extract(col("canonical_url"),
+          "^(?i)https?://(?:[^/?#@]*@)?([^/:?#]+)", 1)).as("host"),
+        (col("status") =!= "unchanged").cast("long").as("active"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_urls"), sum(col("active")).as("n_active"))
+      .withColumn("change_permille", expr("1000 * n_active DIV n_urls"))
+      .withColumn("tier",
+        when(col("change_permille") >= hotPermille, "hot")
+          .when(col("change_permille") < coldPermille, "cold")
+          .otherwise("warm"))
+      .select(col("host"), col("n_urls"), col("change_permille"), col("tier"))
+  }
+
   /** The deduped documents themselves: rows whose doc_id is its
     * canonical URL's keeper, original columns preserved. */
   def urlDedupedDocsOf(docs: DataFrame): DataFrame = {
@@ -427,11 +461,45 @@ object UrlOps {
       |FROM documents
       |ORDER BY canonical_url""".stripMargin
 
+  /** Multi-host snapshots whose per-host change RATE varies by the
+    * host number (host k changes the doc_id%10 < k%4 bucket — so the
+    * k%4 == 0 hosts are frozen, k%4 == 3 hosts churn ~30%), then the
+    * re-fetch scheduler over the diff. */
+  def crawlRefetch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val k = substring(col("source"), 4, 10).cast("int")
+    val base = docs.select(
+      concat(lit("https://"), col("source"), lit(".example/p"),
+        col("doc_id")).as("url"),
+      col("text"), (col("doc_id") % 10 < k % 4).as("chg"))
+    val oldSnap = base.select(col("url"), col("text"))
+    val newSnap = base.select(col("url"),
+      when(col("chg"), concat(col("text"), lit(" v2")))
+        .otherwise(col("text")).as("text"))
+    refetchScheduleOf(snapshotDiffOf(oldSnap, newSnap)).orderBy(col("host"))
+  }
+
+  /** Ground truth from the bucket scheme: the active count per host is
+    * exactly its docs with doc_id%10 < k%4. */
+  private val crawlRefetchOracle =
+    """WITH d AS (SELECT source || '.example' AS host, doc_id,
+      |    CAST(substr(source, 4) AS INT) % 4 AS m FROM documents),
+      |agg AS (SELECT host, count(*) AS n_urls,
+      |    count(*) FILTER (WHERE doc_id % 10 < m) AS n_active
+      |  FROM d GROUP BY host)
+      |SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+      |  CAST(1000 * n_active // n_urls AS BIGINT) AS change_permille,
+      |  CASE WHEN 1000 * n_active // n_urls >= 200 THEN 'hot'
+      |       WHEN 1000 * n_active // n_urls < 50 THEN 'cold'
+      |       ELSE 'warm' END AS tier
+      |FROM agg ORDER BY host""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
     "crawl_pipeline" -> (crawlPipeline _),
     "link_graph" -> (linkGraph _),
     "snapshot_diff" -> (snapshotDiff _),
+    "crawl_refetch" -> (crawlRefetch _),
     "anchor_text_profile" -> (anchorTextProfile _),
   )
 
@@ -440,6 +508,7 @@ object UrlOps {
     "crawl_pipeline" -> crawlPipelineOracle,
     "link_graph" -> linkGraphOracle,
     "snapshot_diff" -> snapshotDiffOracle,
+    "crawl_refetch" -> crawlRefetchOracle,
     "anchor_text_profile" -> anchorTextProfileOracle,
   )
 }

@@ -55,6 +55,72 @@ class GraphOpsSpec extends SparkSpec {
     assert(total <= 1000000000L && total > 999999000L, s"mass drifted: $total")
   }
 
+  /** Scalar mirror of the trustRank recurrence: teleport and dangling
+    * mass land on SEEDS only. */
+  private def refTrust(edges: Seq[(String, String)], seeds: Set[String],
+                       iters: Int, damping: Long = 850L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val m = nodes.count(seeds).toLong
+    val teleport = (1000L - damping) * 1000000000L / 1000L / m
+    var r = nodes.map(v => v -> (if (seeds(v)) 1000000000L / m else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val dangShare = nodes.filterNot(out.contains).map(r).sum / m
+      val inflow = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / out(s) }.sum
+      }
+      r = nodes.map(v => v -> (
+        if (seeds(v))
+          teleport + damping * (inflow.getOrElse(v, 0L) + dangShare) / 1000L
+        else damping * inflow.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    r
+  }
+
+  private def runTrust(edges: Seq[(String, String)], seeds: Seq[String],
+                       iters: Int): Map[String, Long] = {
+    import spark.implicits._
+    GraphOps.trustRankOf(edges.toDF("src", "dst"), seeds, iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("trustRank matches the scalar seeded reference; spam far from seeds scores zero") {
+    // trusted cluster: s -> a -> b (chain from the seed), plus a
+    // densely interlinked farm {x, y, z} with NO path from the seed —
+    // vanilla PageRank props the farm up via uniform teleport;
+    // trustRank must score it exactly 0
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "s"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"))
+    for (iters <- Seq(1, 3, 10)) {
+      val got = runTrust(edges, Seq("s"), iters)
+      val want = refTrust(edges, Set("s"), iters)
+      assert(got == want, s"iters=$iters: $got vs $want")
+    }
+    val r = runTrust(edges, Seq("s"), 10)
+    assert(r("x") == 0L && r("y") == 0L && r("z") == 0L,
+      s"unreachable farm must hold zero trust: $r")
+    assert(r("s") > r("a") && r("a") > r("b") || r("s") > 0,
+      s"trust should flow from the seed: $r")
+    // contrast: vanilla PageRank gives the farm strictly positive rank
+    val pr = run(edges, 10)
+    assert(pr("x") > 0L, s"construction check — PageRank props the farm: $pr")
+  }
+
+  test("trustRank dangling mass returns to seeds; absent seeds are ignored, all-absent rejected") {
+    // seed s feeds a sink d: d's rank must flow back to s, not spread
+    val edges = Seq(("s", "d"), ("s", "a"), ("a", "s"))
+    val got = runTrust(edges, Seq("s", "ghost.example"), 10) // ghost ignored
+    val want = refTrust(edges, Set("s"), 10)
+    assert(got == want, s"$got vs $want")
+    intercept[IllegalArgumentException] {
+      runTrust(edges, Seq("ghost.example"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      runTrust(edges, Seq.empty, 3)
+    }
+  }
+
   test("multi-edges collapse: duplicated edge rows change nothing") {
     val edges = Seq(("a", "b"), ("b", "a"))
     assert(run(edges ++ edges ++ edges, 5) == run(edges, 5))

@@ -154,4 +154,39 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(ranks.maxBy(_._2)._1 == "hub.com", s"$ranks")
     assert(ranks.size == 11)
   }
+
+  test("refetch schedule tiers hosts by observed change rate; thresholds validated") {
+    import spark.implicits._
+    // hot.example: 2 of 4 urls changed/added (500 permille);
+    // warm.example: 1 of 10 (100); cold.example: 0 of 5 (0)
+    val diff = ((1 to 4).map(i => (s"https://hot.example/p$i",
+        if (i <= 2) "changed" else "unchanged")) ++
+      (1 to 10).map(i => (s"https://warm.example/p$i",
+        if (i == 1) "added" else "unchanged")) ++
+      (1 to 5).map(i => (s"https://cold.example/p$i", "unchanged")))
+      .toDF("canonical_url", "status")
+    val got = UrlOps.refetchScheduleOf(diff)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == Map(
+      "hot.example" -> ((4L, 500L, "hot")),
+      "warm.example" -> ((10L, 100L, "warm")),
+      "cold.example" -> ((5L, 0L, "cold"))), s"got $got")
+    // removed urls count as activity too (the site is churning)
+    val rem = Seq(("https://r.example/a", "removed"),
+      ("https://r.example/b", "unchanged")).toDF("canonical_url", "status")
+    val g2 = UrlOps.refetchScheduleOf(rem).collect().head
+    assert(g2.getLong(2) == 500L && g2.getString(3) == "hot")
+    intercept[IllegalArgumentException] {
+      UrlOps.refetchScheduleOf(diff, hotPermille = 100, coldPermille = 200)
+    }
+    // composes with snapshotDiffOf end to end (one hand-built pair)
+    val oldS = Seq(("https://e.example/1", "alpha"), ("https://e.example/2", "beta"))
+      .toDF("url", "text")
+    val newS = Seq(("https://e.example/1", "alpha"), ("https://e.example/2", "beta2"))
+      .toDF("url", "text")
+    val e2e = UrlOps.refetchScheduleOf(
+        UrlOps.snapshotDiffOf(oldS, newS)).collect().head
+    assert(e2e.getString(0) == "e.example" && e2e.getLong(2) == 500L)
+  }
 }
