@@ -338,10 +338,17 @@ object GraftOps {
                 dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.trustRankOf(edges, seeds, iters, dampingPermille)
 
-  /** Star-group `Crawl-delay:` per host from robots bodies (NULL =
-    * none declared; crawler default applies). */
-  def robotsCrawlDelays(robots: DataFrame): DataFrame =
-    graft.operators.RobotsOps.robotsCrawlDelaysOf(robots)
+  /** Heaps'-law vocabulary growth curve: cumulative (docs, tokens,
+    * distinct types) at doc_id-range checkpoints — the dedup-sanity /
+    * vocab-sizing observable. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame =
+    graft.operators.Profiling.vocabGrowthOf(docs, buckets)
+
+  /** `Crawl-delay:` per host from robots bodies for a crawler
+    * identifying as `agent` (RFC 9309 group precedence; NULL = none
+    * declared by the governing group; crawler default applies). */
+  def robotsCrawlDelays(robots: DataFrame, agent: String = "*"): DataFrame =
+    graft.operators.RobotsOps.robotsCrawlDelaysOf(robots, agent)
 
   /** C4-style line + page cleaning (terminal punctuation, min words,
     * javascript lines; brace / lorem-ipsum / blocklist / min-sentence
@@ -567,9 +574,10 @@ object GraftOps {
     * fetch-seconds estimate. */
   def crawlBudget(urls: DataFrame, robots: DataFrame,
                   defaultDelayS: Int = 1,
-                  includeBlocked: Boolean = false): DataFrame =
+                  includeBlocked: Boolean = false,
+                  agent: String = "*"): DataFrame =
     graft.operators.RobotsOps.crawlBudgetOf(urls, robots, defaultDelayS,
-      includeBlocked)
+      includeBlocked, agent)
 
   /** Robots-aware streaming crawl ingest: RFC 9309 gate → lifetime
     * admit-once → HTML extraction → min-length gate. */

@@ -356,6 +356,78 @@ object Profiling {
   def vocabGini(s: SparkSession, d: String): DataFrame =
     vocabGiniOf(Tables.documents(s, d))
 
+  /** Vocabulary growth curve — the Heaps'-law observable (Heaps 1978:
+    * distinct types grow ~K·tokensᵝ): cumulative (docs, tokens,
+    * distinct types) at `buckets` checkpoints of the corpus, the curve
+    * a corpus team reads for dedup sanity (a near-dup-heavy corpus
+    * grows types visibly sub-Heaps late in the curve) and tokenizer
+    * vocab sizing.
+    *
+    * Checkpoints are doc_id RANGE slices (bucket = 1 + (id−lo)·B DIV
+    * (hi−lo+1), lo/hi one cheap agg taken as driver scalars) — NOT an
+    * ntile, which would be a corpus-sized partition-less window sort;
+    * the range rule is exact integer arithmetic both engines share,
+    * at the price of uneven bucket populations under sparse ids
+    * (documented; ingestion-ordered ids make them even). The curve
+    * itself: per-bucket token counts (one hash agg), each TYPE's
+    * first-appearance bucket (min-bucket hash agg — types-sized, never
+    * corpus-sized), then one cumulative window over ≤ `buckets` rows
+    * (cardinality-bounded by construction). */
+  def vocabGrowthOf(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000, s"bad bucket count: $buckets")
+    val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!b.isNullAt(0), "vocabGrowth over an empty corpus")
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    val bucketOf = expr(s"CAST(1 + (doc_id - $lo) * $buckets DIV $span AS INT)")
+    val byBucket = docs.select(col("doc_id"), bucketOf.as("bucket"))
+    val toks = docs.select(bucketOf.as("bucket"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val docCounts = byBucket.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs"))
+    val tokCounts = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val newTypes = toks.groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("types"))
+    val cum = Window.orderBy(col("bucket"))
+    docCounts
+      .join(tokCounts, Seq("bucket"), "left")
+      .join(newTypes, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("docs")).over(cum).as("n_docs"),
+        sum(coalesce(col("toks"), lit(0L))).over(cum).as("n_tokens"),
+        sum(coalesce(col("types"), lit(0L))).over(cum).as("n_types"))
+  }
+
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    vocabGrowthOf(Tables.documents(s, d)).orderBy(col("bucket"))
+
+  private val vocabGrowthOracle =
+    """WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(1 + (doc_id - (SELECT lo FROM bounds)) * 10
+      |    // ((SELECT hi FROM bounds) - (SELECT lo FROM bounds) + 1) AS INT)
+      |    AS bucket FROM documents),
+      |tok AS (SELECT d.bucket, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) t JOIN d ON t.doc_id = d.doc_id
+      |  WHERE len(w) > 0),
+      |dc AS (SELECT bucket, count(*) AS docs FROM d GROUP BY bucket),
+      |bt AS (SELECT bucket, count(*) AS toks FROM tok GROUP BY bucket),
+      |nt AS (SELECT bucket, count(*) AS types FROM (
+      |    SELECT w, min(bucket) AS bucket FROM tok GROUP BY w)
+      |  GROUP BY bucket)
+      |SELECT dc.bucket,
+      |  CAST(sum(dc.docs) OVER w AS BIGINT) AS n_docs,
+      |  CAST(sum(coalesce(bt.toks, 0)) OVER w AS BIGINT) AS n_tokens,
+      |  CAST(sum(coalesce(nt.types, 0)) OVER w AS BIGINT) AS n_types
+      |FROM dc
+      |LEFT JOIN bt ON dc.bucket = bt.bucket
+      |LEFT JOIN nt ON dc.bucket = nt.bucket
+      |WINDOW w AS (ORDER BY dc.bucket)
+      |ORDER BY dc.bucket""".stripMargin
+
   private val vocabGiniOracle =
     """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |tc AS (SELECT w, CAST(count(*) AS HUGEINT) AS f FROM u GROUP BY w),
@@ -378,6 +450,7 @@ object Profiling {
     "corpus_card"     -> (corpusCard _),
     "corpus_drift"    -> (corpusDrift _),
     "vocab_gini"      -> (vocabGini _),
+    "vocab_growth"    -> (vocabGrowth _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +462,6 @@ object Profiling {
     "corpus_card"     -> corpusCardOracle,
     "corpus_drift"    -> corpusDriftOracle,
     "vocab_gini"      -> vocabGiniOracle,
+    "vocab_growth"    -> vocabGrowthOracle,
   )
 }

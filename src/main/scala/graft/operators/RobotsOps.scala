@@ -302,37 +302,73 @@ object RobotsOps {
       .drop("_rb_host", "_rb_path", "_rb_rules")
   }
 
-  /** `Crawl-delay:` of the `*` group per host — the de-facto-standard
-    * politeness knob (not in RFC 9309 but honored by most major
-    * crawlers; group-scoped like Allow/Disallow). Same group state
-    * machine as [[robotsRulesOf]], finishing to the FIRST star-group
-    * value; hosts whose robots carry none emit NULL (crawler default
-    * applies). Output (host, crawl_delay_s). */
-  def robotsCrawlDelaysOf(robots: DataFrame): DataFrame = {
+  /** `Crawl-delay:` per host for a crawler identifying as `agent` —
+    * the de-facto-standard politeness knob (not in RFC 9309 but
+    * honored by most major crawlers; group-scoped like
+    * Allow/Disallow). Same group state machine and agent precedence
+    * as [[robotsRulesOf]]: the first value in an agent-matching group
+    * wins, and ANY agent-specific group (even one carrying no delay)
+    * suppresses the `*` groups' value — the group that governs the
+    * delay is the group that governs the rules. Hosts whose governing
+    * group carries none emit NULL (crawler default applies).
+    * Fractional values ('Crawl-delay: 0.5', common in the wild) round
+    * UP to whole seconds — truncation would read as ZERO politeness,
+    * the opposite of the field's intent. Output (host, crawl_delay_s). */
+  def robotsCrawlDelaysOf(robots: DataFrame, agent: String = "*"): DataFrame = {
     val cdRe = "(?i)^crawl-delay\\\\s*:"
-    // the fractional form ('Crawl-delay: 0.5') is common in the wild;
-    // truncating it to 0 would yield ZERO politeness delay — the
-    // opposite of the field's intent — so delays round UP to whole
-    // seconds (0.5 → 1, 2.5 → 3; integers unchanged)
     val cdVal = "(?i)^crawl-delay\\\\s*:\\\\s*([0-9]+(?:\\\\.[0-9]+)?)"
+    val cdParse =
+      s"CAST(ceil(CAST(regexp_extract(l, '$cdVal', 1) AS DOUBLE)) AS INT)"
     val fold =
-      s"""aggregate(transform(split(body, '\\n'), x -> trim(x)),
-         |  struct(false AS star, false AS lastua, CAST(NULL AS INT) AS delay),
-         |  (acc, l) -> CASE
-         |    WHEN l RLIKE '$uaRe' THEN struct(
-         |      IF(acc.lastua,
-         |         acc.star OR trim(regexp_extract(l, '$uaVal', 1)) = '*',
-         |         trim(regexp_extract(l, '$uaVal', 1)) = '*') AS star,
-         |      true AS lastua, acc.delay AS delay)
-         |    WHEN l RLIKE '$cdRe' THEN struct(
-         |      acc.star AS star, false AS lastua,
-         |      IF(acc.star AND acc.delay IS NULL,
-         |         CAST(ceil(CAST(regexp_extract(l, '$cdVal', 1) AS DOUBLE)) AS INT),
-         |         acc.delay) AS delay)
-         |    WHEN l = '' OR l RLIKE '^#' THEN acc
-         |    ELSE struct(acc.star AS star, false AS lastua, acc.delay AS delay)
-         |  END,
-         |  acc -> acc.delay)""".stripMargin
+      if (agent == "*")
+        s"""aggregate(transform(split(body, '\\n'), x -> trim(x)),
+           |  struct(false AS star, false AS lastua, CAST(NULL AS INT) AS delay),
+           |  (acc, l) -> CASE
+           |    WHEN l RLIKE '$uaRe' THEN struct(
+           |      IF(acc.lastua,
+           |         acc.star OR trim(regexp_extract(l, '$uaVal', 1)) = '*',
+           |         trim(regexp_extract(l, '$uaVal', 1)) = '*') AS star,
+           |      true AS lastua, acc.delay AS delay)
+           |    WHEN l RLIKE '$cdRe' THEN struct(
+           |      acc.star AS star, false AS lastua,
+           |      IF(acc.star AND acc.delay IS NULL, $cdParse,
+           |         acc.delay) AS delay)
+           |    WHEN l = '' OR l RLIKE '^#' THEN acc
+           |    ELSE struct(acc.star AS star, false AS lastua, acc.delay AS delay)
+           |  END,
+           |  acc -> acc.delay)""".stripMargin
+      else {
+        val agentLit = "'" +
+          agent.toLowerCase.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        val uaTok = s"lower(trim(regexp_extract(l, '$uaVal', 1)))"
+        s"""aggregate(transform(split(body, '\\n'), x -> trim(x)),
+           |  struct(false AS star, false AS spec, false AS lastua,
+           |    false AS sawspec,
+           |    CAST(NULL AS INT) AS stardelay, CAST(NULL AS INT) AS specdelay),
+           |  (acc, l) -> CASE
+           |    WHEN l RLIKE '$uaRe' THEN struct(
+           |      IF(acc.lastua, acc.star OR $uaTok = '*', $uaTok = '*') AS star,
+           |      IF(acc.lastua, acc.spec OR $uaTok = $agentLit,
+           |         $uaTok = $agentLit) AS spec,
+           |      true AS lastua,
+           |      acc.sawspec OR
+           |        IF(acc.lastua, acc.spec OR $uaTok = $agentLit,
+           |           $uaTok = $agentLit) AS sawspec,
+           |      acc.stardelay AS stardelay, acc.specdelay AS specdelay)
+           |    WHEN l RLIKE '$cdRe' THEN struct(
+           |      acc.star AS star, acc.spec AS spec, false AS lastua,
+           |      acc.sawspec AS sawspec,
+           |      IF(acc.star AND acc.stardelay IS NULL, $cdParse,
+           |         acc.stardelay) AS stardelay,
+           |      IF(acc.spec AND acc.specdelay IS NULL, $cdParse,
+           |         acc.specdelay) AS specdelay)
+           |    WHEN l = '' OR l RLIKE '^#' THEN acc
+           |    ELSE struct(acc.star AS star, acc.spec AS spec, false AS lastua,
+           |      acc.sawspec AS sawspec,
+           |      acc.stardelay AS stardelay, acc.specdelay AS specdelay)
+           |  END,
+           |  acc -> IF(acc.sawspec, acc.specdelay, acc.stardelay))""".stripMargin
+      }
     robots.select(col("host"), expr(fold).as("crawl_delay_s"))
   }
 
@@ -482,12 +518,13 @@ object RobotsOps {
     * work-only report. */
   def crawlBudgetOf(urls: DataFrame, robots: DataFrame,
                     defaultDelayS: Int = 1,
-                    includeBlocked: Boolean = false): DataFrame = {
+                    includeBlocked: Boolean = false,
+                    agent: String = "*"): DataFrame = {
     require(defaultDelayS >= 0,
       s"defaultDelayS must be non-negative (got $defaultDelayS)")
     val hostOf = lower(regexp_extract(col("url"),
       "^(?i)https?://(?:[^/?#@]*@)?([^/:?#]+)", 1))
-    val perHost = robotsFilterNarrowOf(urls, robots)
+    val perHost = robotsFilterNarrowOf(urls, robots, agent)
       .select(hostOf.as("host"))
       .filter(col("host") =!= "")
       .groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
@@ -496,7 +533,7 @@ object RobotsOps {
       else urls.select(hostOf.as("host")).filter(col("host") =!= "").distinct()
         .join(perHost, Seq("host"), "left")
         .select(col("host"), coalesce(col("n_urls"), lit(0L)).as("n_urls"))
-    counts.join(robotsCrawlDelaysOf(robots), Seq("host"), "left")
+    counts.join(robotsCrawlDelaysOf(robots, agent), Seq("host"), "left")
       .withColumn("delay_s",
         coalesce(col("crawl_delay_s").cast("long"), lit(defaultDelayS.toLong)))
       .select(col("host"), col("n_urls"), col("delay_s"),

@@ -1586,4 +1586,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(u.getAs[Long]("gini_permille") == 0)
     assert(u.getAs[Long]("top1_share_permille") == 333)
   }
+
+  test("vocab growth: hand-worked cumulative curve; repeated text adds tokens, not types") {
+    import spark.implicits._
+    // ids 1..4 over 2 buckets: {1,2} then {3,4}. Doc 3 repeats doc 1's
+    // vocabulary (tokens grow, types don't); doc 4 brings one new type.
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a a b"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Profiling.vocabGrowthOf(docs, buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, 2L, 4L, 3L), (2, 4L, 9L, 4L)), s"got $got")
+    // dedup-sanity read: a pure-duplicate corpus is flat in types
+    val dup = Seq.tabulate(10)(i => (i.toLong, "same words only"))
+      .toDF("doc_id", "text")
+    val flat = Profiling.vocabGrowthOf(dup, buckets = 5)
+      .orderBy("bucket").collect().map(_.getLong(3)).toSeq
+    assert(flat == Seq.fill(5)(3L), s"types must stay flat: $flat")
+    // empty corpus rejected; silly bucket counts rejected
+    intercept[IllegalArgumentException] {
+      Profiling.vocabGrowthOf(Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.vocabGrowthOf(docs, buckets = 0)
+    }
+  }
 }

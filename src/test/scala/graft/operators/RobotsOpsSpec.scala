@@ -256,6 +256,32 @@ class RobotsOpsSpec extends SparkSpec {
     assert(b == Map("h.example" -> 1L), s"got $b")
   }
 
+  test("agent-specific crawl delay wins; empty specific group suppresses the * delay") {
+    import spark.implicits._
+    val robots = Seq(
+      // specific group carries its own delay -> it wins
+      ("a.example", "User-agent: *\nCrawl-delay: 9\n\n" +
+        "User-agent: GraftBot\nCrawl-delay: 2"),
+      // specific group EXISTS but carries no delay -> NULL, not the
+      // * value (the governing group governs the delay too)
+      ("b.example", "User-agent: *\nCrawl-delay: 9\n\n" +
+        "User-agent: graftbot\nDisallow: /x"),
+      // no specific group -> * fallback
+      ("c.example", "User-agent: *\nCrawl-delay: 4"))
+      .toDF("host", "body")
+    val got = RobotsOps.robotsCrawlDelaysOf(robots, agent = "GraftBot")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got == Map("a.example" -> Some(2), "b.example" -> None,
+      "c.example" -> Some(4)), s"got $got")
+    // the default * path is unchanged by the new face
+    val star = RobotsOps.robotsCrawlDelaysOf(robots)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(star == Map("a.example" -> Some(9), "b.example" -> Some(9),
+      "c.example" -> Some(4)), s"got $star")
+  }
+
   test("fractional Crawl-delay rounds UP; integer form unchanged") {
     import spark.implicits._
     val robots = Seq(

@@ -132,7 +132,10 @@ class PlanHygieneSpec extends AnyFunSuite {
       // Gini cumulative sum over the count-of-counts frame (rows =
       // DISTINCT frequency values — O(sqrt tokens) under Zipf,
       // thousands at 100 TB, never corpus-sized)
-      "vocab_gini" -> "count-of-counts frame")
+      "vocab_gini" -> "count-of-counts frame",
+      // Heaps-curve cumulative sums over the per-bucket totals frame
+      // (rows <= the bucket count, required <= 1000 by construction)
+      "vocab_growth" -> "bucket-totals frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
