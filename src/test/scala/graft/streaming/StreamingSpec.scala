@@ -713,6 +713,9 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("keep")).select(col("doc_id"))
       .collect().map(_.getLong(0)).toSet
     assert(swept == Set(1L, 5L))
+    // a sweep scheduled before any batch committed: empty, not an error
+    val fresh = java.nio.file.Files.createTempDirectory("graft_sweep_none").toString
+    assert(EventStreams.nearDupSweepOf(spark, fresh).count() == 0L)
   }
 
   test("quota sampler admits at most N per stratum across batches and restarts") {
