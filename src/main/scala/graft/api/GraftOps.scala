@@ -338,6 +338,12 @@ object GraftOps {
                 dampingPermille: Int = 850): DataFrame =
     graft.operators.GraphOps.trustRankOf(edges, seeds, iters, dampingPermille)
 
+  /** HITS hubs & authorities (Kleinberg 1999): (node, auth_e9,
+    * hub_e9), each L1-normalized in integer e9 — hubs surface frontier
+    * expanders, authorities the pages worth fetching first. */
+  def hits(edges: DataFrame, iters: Int = 10): DataFrame =
+    graft.operators.GraphOps.hitsOf(edges, iters)
+
   /** Heaps'-law vocabulary growth curve: cumulative (docs, tokens,
     * distinct types) at doc_id-range checkpoints — the dedup-sanity /
     * vocab-sizing observable. */

@@ -497,6 +497,154 @@ object GraphOps {
   }
 
   // ---------------------------------------------------------------
+  // HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources
+  // in a Hyperlinked Environment", JACM 46(5)) — the query-
+  // independent whole-graph form: authority(v) ∝ Σ_{u→v} hub(u),
+  // hub(u) ∝ Σ_{u→v} authority(v), iterated toward the principal
+  // singular pair of the adjacency matrix. Crawl-curation use: hubs
+  // surface directory/aggregator pages (good frontier expanders),
+  // authorities surface the pages worth fetching first — the
+  // complementary signal to [[pageRankOf]]'s single rank over the
+  // same [[UrlOps.linkGraphOf]] frames (PageRank has no notion of a
+  // page that is valuable BECAUSE of what it points at).
+  //
+  // House determinism: each half-step L1-normalizes in e9 fixed
+  // point — Kleinberg's L2 norm needs a sqrt both engines would have
+  // to round identically, while the L1-normalized iteration
+  // converges to the same principal direction (only the reported
+  // scale convention differs) and keeps every step integer-exact:
+  // score·1e9 DIV total in DECIMAL(38,0) (HUGEINT in the oracle).
+  // The two totals are 1-row driver scalars per round (the pageRank
+  // dangling-mass pattern), so rounds checkpoint each iteration;
+  // each half-step is ONE keyed join + ONE dst/src-keyed
+  // combine-heavy sum — the [[rankRound]] shape run in both
+  // directions. Past [[dictEncodeThreshold]] nodes the rounds run
+  // over dictionary-encoded longs, bit-identical (spec-forced).
+  // ---------------------------------------------------------------
+
+  /** Hub and authority scores after `iters` full rounds:
+    * (node, auth_e9, hub_e9), each column L1-normalized to ≈ 1e9 at
+    * its last half-step; nodes with no in-links score authority 0,
+    * nodes with no out-link into a scored authority score hub 0.
+    * Requires a non-empty graph with ≤ 1e9 nodes (the floor(1e9/n)
+    * initial hub mass must stay ≥ 1 or the iteration degenerates). */
+  def hitsOf(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"unreasonable iters: $iters")
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits over an empty edge frame")
+    require(n <= 1000000000L, s"hits needs n <= 1e9 nodes (got $n)")
+    if (n >= dictEncodeThreshold) hitsEncodedRaw(e, nodes, n, iters)
+    else hitsRaw(e, nodes, n, iters)
+  }
+
+  /** The encoded path, exposed for the bit-identity spec: encode →
+    * [[hitsRaw]] over long keys → decode. */
+  private[graft] def hitsEncoded(edges: DataFrame, iters: Int = 10): DataFrame = {
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "hits over an empty edge frame")
+    hitsEncodedRaw(e, nodes, n, iters)
+  }
+
+  private def hitsEncodedRaw(e: DataFrame, nodes: DataFrame, n: Long,
+                             iters: Int): DataFrame = {
+    val dict = nodeDictOf(nodes)
+    hitsRaw(encodeEdges(e, dict), dict.select(col("nid").as("node")), n, iters)
+      .withColumnRenamed("node", "nid")
+      .join(dict, Seq("nid"))
+      .select(col("node"), col("auth_e9"), col("hub_e9"))
+  }
+
+  /** The iteration loop, key-type-agnostic. Each normalization total
+    * is provably positive: the max of a normalized half-step is ≥
+    * floor(1e9/n) ≥ 1 (n ≤ 1e9 required above), so mass can never
+    * vanish entirely — the requires are tripwires, not branches. */
+  private def hitsRaw(e: DataFrame, nodes: DataFrame, n: Long,
+                      iters: Int): DataFrame = {
+    var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = e
+        .join(hubs.select(col("node").as("src"), col("hub_e9")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_e9")).as("araw"))
+        .localCheckpoint()
+      val atot = Option(araw.agg(sum(col("araw"))).head()
+        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+      require(atot > 0, "hits: authority mass vanished (degenerate graph)")
+      auths = araw.select(col("node"),
+        expr(s"CAST(CAST(araw AS DECIMAL(38,0)) * 1000000000 DIV $atot" +
+          " AS BIGINT)").as("auth_e9"))
+        .localCheckpoint()
+      val hraw = e
+        .join(auths.select(col("node").as("dst"), col("auth_e9")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth_e9")).as("hraw"))
+        .localCheckpoint()
+      val htot = Option(hraw.agg(sum(col("hraw"))).head()
+        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+      require(htot > 0, "hits: hub mass vanished (degenerate graph)")
+      hubs = hraw.select(col("node"),
+        expr(s"CAST(CAST(hraw AS DECIMAL(38,0)) * 1000000000 DIV $htot" +
+          " AS BIGINT)").as("hub_e9"))
+        .localCheckpoint()
+    }
+    nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth_e9"), lit(0L)).as("auth_e9"),
+        coalesce(col("hub_e9"), lit(0L)).as("hub_e9"))
+  }
+
+  /** HITS over the fixture graph — hubs and authorities diverge
+    * there (src0 is the in-link magnet, every other node the hub
+    * pointing at it), so the two columns genuinely rank differently. */
+  def hitsScores(s: SparkSession, d: String): DataFrame =
+    hitsOf(fixtureEdges(s, d), iters = 10).orderBy(col("node"))
+
+  /** [[hitsOf]]'s rounds unrolled as chained DuckDB CTEs — the
+    * [[pagerankRoundsSql]] pattern with two normalized half-steps per
+    * round (HUGEINT mirrors the Spark DECIMAL(38,0) widening). */
+  private[graft] def hitsRoundsSql(edgesCtes: String,
+                                   iters: Int = 10): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = s"h${i - 1}"
+      s"""araw$i AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub_e9) AS araw
+         |  FROM edges e JOIN $p h ON e.src = h.node GROUP BY e.dst),
+         |atot$i AS MATERIALIZED (SELECT sum(araw) AS t FROM araw$i),
+         |a$i AS MATERIALIZED (SELECT node,
+         |    CAST(CAST(araw AS HUGEINT) * 1000000000 // (SELECT t FROM atot$i)
+         |      AS BIGINT) AS auth_e9 FROM araw$i),
+         |hraw$i AS MATERIALIZED (SELECT e.src AS node, sum(a.auth_e9) AS hraw
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |htot$i AS MATERIALIZED (SELECT sum(hraw) AS t FROM hraw$i),
+         |h$i AS MATERIALIZED (SELECT node,
+         |    CAST(CAST(hraw AS HUGEINT) * 1000000000 // (SELECT t FROM htot$i)
+         |      AS BIGINT) AS hub_e9 FROM hraw$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCtes,
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |h0 AS MATERIALIZED (SELECT node,
+       |        1000000000 // (SELECT count(*) FROM nodes) AS hub_e9 FROM nodes),
+       |$rounds
+       |SELECT n.node, coalesce(a.auth_e9, 0) AS auth_e9,
+       |  coalesce(h.hub_e9, 0) AS hub_e9
+       |FROM nodes n LEFT JOIN a$iters a ON n.node = a.node
+       |LEFT JOIN h$iters h ON n.node = h.node
+       |ORDER BY n.node""".stripMargin
+  }
+
+  private val hitsOracle: String = hitsRoundsSql(
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin)
+
+  // ---------------------------------------------------------------
   // Harmonic centrality — the OTHER per-domain authority rank crawl
   // curation publishes (CommonCrawl's primary domain rank is harmonic
   // centrality): H(v) = Σ_{u≠v, u⇝v} 1/d(u,v), robust on disconnected
@@ -924,6 +1072,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
+    "hits_scores" -> (hitsScores _),
     "link_components" -> (linkComponents _),
     "link_reciprocity" -> (linkReciprocity _),
     "degree_profile" -> (degreeProfile _),
@@ -936,6 +1085,7 @@ object GraphOps {
   val oracles: Map[String, String] = Map(
     "domain_pagerank" -> domainPagerankOracle,
     "trust_rank" -> trustRankOracle,
+    "hits_scores" -> hitsOracle,
     "link_components" -> linkComponentsOracle,
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,

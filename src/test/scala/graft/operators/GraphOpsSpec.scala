@@ -126,6 +126,87 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(edges ++ edges ++ edges, 5) == run(edges, 5))
   }
 
+  /** Scalar mirror of the HITS recurrence: two L1-normalized e9
+    * half-steps per round, BigInt for the DECIMAL(38,0) widening. */
+  private def refHits(edges: Seq[(String, String)],
+                      iters: Int): Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    var hub = nodes.map(_ -> 1000000000L / n).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      val araw = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => hub.getOrElse(s, 0L) }.sum }
+      val atot = araw.values.sum
+      auth = araw.map { case (v, r) =>
+        v -> (BigInt(r) * 1000000000L / atot).toLong }
+      val hraw = e.groupBy(_._1).map { case (s, es) =>
+        s -> es.map { case (_, d) => auth.getOrElse(d, 0L) }.sum }
+      val htot = hraw.values.sum
+      hub = hraw.map { case (v, r) =>
+        v -> (BigInt(r) * 1000000000L / htot).toLong }
+    }
+    nodes.map(v => v -> ((auth.getOrElse(v, 0L), hub.getOrElse(v, 0L)))).toMap
+  }
+
+  private def runHits(edges: Seq[(String, String)],
+                      iters: Int): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.hitsOf(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hits matches the scalar reference; hubs and authorities rank differently") {
+    // h1 points at three sinks, h2 at two of them: h1 is the best hub
+    // but has NO in-link (authority 0); a1/a2 are the best authorities
+    // but point at nothing (hub 0) — the asymmetry PageRank cannot see
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+      ("h2", "a1"), ("h2", "a2"))
+    for (iters <- Seq(1, 3, 10)) {
+      val got = runHits(edges, iters)
+      val want = refHits(edges, iters)
+      assert(got == want, s"iters=$iters: $got vs $want")
+    }
+    val r = runHits(edges, 10)
+    assert(r("h1")._2 > r("h2")._2, s"h1 must out-hub h2: $r")
+    assert(r("h1")._1 == 0L && r("a1")._2 == 0L,
+      s"no in-link => authority 0; no out-link => hub 0: $r")
+    assert(r("a1")._1 == r("a2")._1 && r("a1")._1 > r("a3")._1,
+      s"a1/a2 (two in-links) must out-rank a3: $r")
+    // each column L1-normalizes to ~1e9 (truncation leak only)
+    val atot = r.values.map(_._1).sum
+    val htot = r.values.map(_._2).sum
+    assert(atot <= 1000000000L && atot > 999999000L, s"auth mass: $atot")
+    assert(htot <= 1000000000L && htot > 999999000L, s"hub mass: $htot")
+  }
+
+  test("hits on a cycle converges to uniform; guards reject bad input") {
+    // symmetric cycle: every node is an equal hub and equal authority
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val r = runHits(cyc, 10)
+    assert(r.values.map(_._1).toSet.size == 1 &&
+      r.values.map(_._2).toSet.size == 1, s"cycle must be uniform: $r")
+    assert(r == refHits(cyc, 10))
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      GraphOps.hitsOf(Seq(("a", "b")).toDF("src", "dst"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.hitsOf(Seq.empty[(String, String)].toDF("src", "dst"), 3)
+    }
+  }
+
+  test("dictionary-encoded hits is bit-identical to the string path") {
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"),
+      ("a1", "h2"), ("x", "y"))
+    import spark.implicits._
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m(GraphOps.hitsEncoded(edges.toDF("src", "dst"), 7)) ==
+      m(GraphOps.hitsOf(edges.toDF("src", "dst"), 7)))
+  }
+
   /** Scalar BFS harmonic reference: shortest directed distances by
     * plain frontier expansion, then the truncating e6 sum. */
   private def refHarmonic(edges: Seq[(String, String)]): Map[String, Long] = {
