@@ -514,12 +514,14 @@ object GraphOps {
   // converges to the same principal direction (only the reported
   // scale convention differs) and keeps every step integer-exact:
   // score·1e9 DIV total in DECIMAL(38,0) (HUGEINT in the oracle).
-  // The two totals are 1-row driver scalars per round (the pageRank
-  // dangling-mass pattern), so rounds checkpoint each iteration;
-  // each half-step is ONE keyed join + ONE dst/src-keyed
-  // combine-heavy sum — the [[rankRound]] shape run in both
-  // directions. Past [[dictEncodeThreshold]] nodes the rounds run
-  // over dictionary-encoded longs, bit-identical (spec-forced).
+  // The two totals per round are 1-row driver scalars over the
+  // checkpointed raw sums (the pageRank dangling-mass pattern); the
+  // normalized frames bake them in as literals and stay
+  // un-materialized narrow projections. Each half-step is ONE keyed
+  // join + ONE dst/src-keyed combine-heavy sum — the [[rankRound]]
+  // shape run in both directions. Past [[dictEncodeThreshold]] nodes
+  // the rounds run over dictionary-encoded longs, bit-identical
+  // (spec-forced).
   // ---------------------------------------------------------------
 
   /** Hub and authority scores after `iters` full rounds:
@@ -560,8 +562,16 @@ object GraphOps {
 
   /** The iteration loop, key-type-agnostic. Each normalization total
     * is provably positive: the max of a normalized half-step is ≥
-    * floor(1e9/n) ≥ 1 (n ≤ 1e9 required above), so mass can never
-    * vanish entirely — the requires are tripwires, not branches. */
+    * floor(1e9/n) ≥ 1 (n ≤ 1e9 required above), and the node holding
+    * the column max always has the incident edge that carries its
+    * mass into the next raw sum — the requires are tripwires, not
+    * branches. Only the two raw sums checkpoint (they bound lineage
+    * and back the total aggs); the normalized frames are narrow
+    * projections over them with the total baked in as a literal, so
+    * a round costs 4 jobs, and an in-plan broadcast-scalar variant
+    * measured SLOWER than these two 1-row head()s (the broadcast
+    * build is itself a job plus exchange machinery, paid again when
+    * the final join re-evaluates the projections). */
   private def hitsRaw(e: DataFrame, nodes: DataFrame, n: Long,
                       iters: Int): DataFrame = {
     var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
@@ -578,7 +588,6 @@ object GraphOps {
       auths = araw.select(col("node"),
         expr(s"CAST(CAST(araw AS DECIMAL(38,0)) * 1000000000 DIV $atot" +
           " AS BIGINT)").as("auth_e9"))
-        .localCheckpoint()
       val hraw = e
         .join(auths.select(col("node").as("dst"), col("auth_e9")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth_e9")).as("hraw"))
@@ -589,7 +598,6 @@ object GraphOps {
       hubs = hraw.select(col("node"),
         expr(s"CAST(CAST(hraw AS DECIMAL(38,0)) * 1000000000 DIV $htot" +
           " AS BIGINT)").as("hub_e9"))
-        .localCheckpoint()
     }
     nodes.join(auths, Seq("node"), "left").join(hubs, Seq("node"), "left")
       .select(col("node"),
