@@ -254,6 +254,12 @@ object GraftOps {
   def kmeansAssign(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     Similarity.kmeansAssignOf(embeddings, centroids)
 
+  /** Greedy k-center coreset (farthest-point traversal): k maximally
+    * spread vectors, each row a vector's nearest selected center —
+    * (vec_id, center_id, center_rank, d2), exact integer squared L2. */
+  def kcenterSelect(embeddings: DataFrame, k: Int): DataFrame =
+    Similarity.kcenterSelectOf(embeddings, k)
+
   /** BM25 top-k sparse retrieval (k1=1.2, b=0.75; log-free rational
     * idf) of docs against a (qid, term) query frame. */
   def bm25Topk(docs: DataFrame, queries: DataFrame, k: Int = 10): DataFrame =

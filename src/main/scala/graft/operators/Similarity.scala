@@ -1256,6 +1256,122 @@ object Similarity {
       |FROM c
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Greedy k-center coreset selection (farthest-point traversal,
+  // Gonzalez 1985, "Clustering to minimize the maximum intercluster
+  // distance"; deployed as the coreset selector for deep learning by
+  // Sener & Savarese, ICLR 2018) — pick k maximally-SPREAD vectors:
+  // the diversity-first subset selection that complements the
+  // density-first samplers (quality/stratified/temperature), e.g.
+  // seeding annotation budgets or pruning a near-duplicate-heavy
+  // region down to its extremes. Greedy is a 2-approximation of the
+  // optimal k-center radius, and better is NP-hard.
+  //
+  // Determinism: distances are exact integer SQUARED L2 over the e4
+  // fixed-point components (argmax/argmin are monotone in d2, so the
+  // sqrt never happens; rounding is floor(x·1e4 + 0.5) in both
+  // engines — the quantizeInt8Of policy, immune to the round()
+  // half-case disagreement); every tie breaks on the lowest vec_id.
+  //
+  // Scale shape: the selection loop is the algorithm's inherent k
+  // sweeps — each round ONE narrow map (least of the running d2 and
+  // the distance to the new center, a literal) over the checkpointed
+  // (vec_id, v4, d2) frame plus ONE top-1 TakeOrdered action; driver
+  // state is k dim-length vectors (codebook-sized, like the IVF
+  // coarse collects). The final assignment is a k-way literal
+  // explode + vec_id-keyed rank-1 window (WindowGroupLimit) — never
+  // vector × vector. The per-dimension squares hold in int64 to
+  // |x| ≲ 3.8e5 at e4 scaling over dim 64.
+  // ---------------------------------------------------------------
+
+  /** e4 integer vector column for the k-center family. */
+  private def v4Col: Column =
+    expr("transform(embedding, x -> " +
+      "CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5D) AS BIGINT))")
+
+  /** Exact integer squared L2 of `v4` against a driver-side center. */
+  private def d2To(c: Seq[Long]): Column =
+    aggregate(zip_with(col("v4"), typedlit(c), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Greedy k-center over (vec_id, embedding): seed = lowest vec_id,
+    * then k−1 farthest-point rounds (max running d2, tie → lowest
+    * vec_id). Returns every vector's nearest selected center:
+    * (vec_id, center_id, center_rank, d2) — rows with vec_id ==
+    * center_id are the coreset itself (d2 = 0), center_rank is the
+    * selection order (rank 2's d2 at selection time was the corpus
+    * diameter from the seed). Requires 1 ≤ k ≤ 1024 and k ≤ N
+    * (re-selecting an exhausted corpus would duplicate centers). */
+  def kcenterSelectOf(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024] (got $k)")
+    val e = emb.select(col("vec_id"), v4Col.as("v4")).localCheckpoint()
+    val n = e.count()
+    require(n >= k, s"k-center needs k <= corpus size (k=$k, n=$n)")
+    val first = e.orderBy(col("vec_id")).head()
+    var centers = Vector[(Int, Long, Seq[Long])](
+      (1, first.getLong(0), first.getSeq[Long](1)))
+    var m = e.withColumn("d2", d2To(centers.head._3)).localCheckpoint()
+    for (r <- 2 to k) {
+      val row = m.orderBy(col("d2").desc, col("vec_id").asc).head()
+      centers = centers :+ ((r, row.getLong(0), row.getSeq[Long](1)))
+      if (r < k)
+        m = m.withColumn("d2", least(col("d2"), d2To(centers.last._3)))
+          .localCheckpoint()
+    }
+    e.select(col("vec_id"), col("v4"), explode(typedlit(centers)).as("c"))
+      .select(col("vec_id"), col("c._2").as("center_id"),
+        col("c._1").as("center_rank"),
+        aggregate(zip_with(col("v4"), col("c._3"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("center_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("center_id"), col("center_rank"), col("d2"))
+  }
+
+  /** Oracle fixture: an 8-vector coreset over the whole table. */
+  def kcenterSelect(s: SparkSession, d: String): DataFrame =
+    kcenterSelectOf(Tables.embeddings(s, d), k = 8).orderBy(col("vec_id"))
+
+  /** [[kcenterSelectOf]]'s rounds as chained DuckDB CTEs (the
+    * hitsRoundsSql pattern): cᵢ = argmax of the running min-distance,
+    * mᵢ = least(mᵢ₋₁, d² to cᵢ). */
+  private[graft] def kcenterRoundsSql(k: Int): String = {
+    def d2(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), " +
+        s"i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val rounds = (2 to k).map { i =>
+      val p = i - 1
+      s"""c$i AS MATERIALIZED (SELECT e.vec_id, e.v FROM e JOIN m$p USING (vec_id)
+         |  ORDER BY m$p.d2 DESC, e.vec_id LIMIT 1),
+         |m$i AS MATERIALIZED (SELECT m$p.vec_id,
+         |    least(m$p.d2, ${d2("e.v", "c.v")}) AS d2
+         |  FROM m$p JOIN e USING (vec_id), c$i c)""".stripMargin
+    }.mkString(",\n")
+    val centers = (1 to k).map(i =>
+      s"SELECT $i AS center_rank, vec_id AS center_id, v AS cv FROM c$i")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |m1 AS MATERIALIZED (SELECT e.vec_id, ${d2("e.v", "c.v")} AS d2
+       |  FROM e, c1 c),
+       |$rounds,
+       |centers AS MATERIALIZED (
+       |  $centers)
+       |SELECT vec_id, center_id, center_rank, d2 FROM (
+       |  SELECT e.vec_id, c.center_id, c.center_rank,
+       |    ${d2("e.v", "c.cv")} AS d2,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${d2("e.v", "c.cv")} ASC, c.center_id ASC) AS rn
+       |  FROM e, centers c) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  private val kcenterSelectOracle: String = kcenterRoundsSql(8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "similarity_topk_brute" -> (bruteTopk _),
     "similarity_topk_lsh"   -> (lshTopk _),
@@ -1265,6 +1381,7 @@ object Similarity {
     "negative_samples"      -> (negativeSamples _),
     "centroid_classify"     -> (centroidClassify _),
     "kmeans_assign"         -> (kmeansAssign _),
+    "kcenter_select"        -> (kcenterSelect _),
     "embedding_quantize"    -> (embeddingQuantize _),
     "ivfpq_index_roundtrip" -> (ivfpqIndexRoundtrip _),
     "index_drift"           -> (indexDrift _),
@@ -1278,6 +1395,7 @@ object Similarity {
     "negative_samples"      -> negativeSamplesOracle,
     "centroid_classify"     -> centroidClassifyOracle,
     "kmeans_assign"         -> kmeansAssignOracle,
+    "kcenter_select"        -> kcenterSelectOracle,
     "embedding_quantize"    -> embeddingQuantizeOracle,
     "index_drift"           -> indexDriftOracle,
   )

@@ -1569,6 +1569,71 @@ class OperatorSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("kcenter: greedy traversal matches a scalar reference; clusters each get a center") {
+    import spark.implicits._
+    // three well-separated 4-dim clusters (offset 10 per cluster) with
+    // deterministic hash-mixed jitter
+    def vec(id: Long): Seq[Float] =
+      (0 until 4).map(p =>
+        ((id % 3) * 10 + (((id * 37 + p * 101) % 7).toFloat / 100)).toFloat)
+    val data = (1L to 30L).map(i => (i, vec(i)))
+    val emb = data.toDF("vec_id", "embedding")
+
+    // scalar mirror: same floor(x*1e4 + 0.5) integerization, same
+    // lowest-id seed, same max-d2/lowest-id traversal
+    def x4(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val byId = data.map { case (id, v) => id -> x4(v) }.toMap
+    def refSelect(k: Int): Seq[Long] = {
+      var centers = Vector(byId.keys.min)
+      var mind = byId.map { case (id, v) => id -> d2(v, byId(centers.head)) }
+      while (centers.size < k) {
+        val nxt = mind.toSeq.sortBy { case (id, d) => (-d, id) }.head._1
+        centers = centers :+ nxt
+        mind = mind.map { case (id, d) => id -> math.min(d, d2(byId(id), byId(nxt))) }
+      }
+      centers
+    }
+    def refAssign(centers: Seq[Long]): Map[Long, (Long, Int, Long)] =
+      byId.map { case (id, v) =>
+        val (dd, cid, rk) = centers.zipWithIndex
+          .map { case (c, i) => (d2(v, byId(c)), c, i + 1) }
+          .minBy { case (dd, cid, _) => (dd, cid) }
+        id -> ((cid, rk, dd))
+      }
+
+    for (k <- Seq(1, 3, 7)) {
+      val got = Similarity.kcenterSelectOf(emb, k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3))))
+        .toMap
+      assert(got == refAssign(refSelect(k)), s"k=$k mismatch")
+    }
+
+    // k=3 must land one center in each of the three clusters, and the
+    // coreset rows are self-assigned at distance 0
+    val sel3 = refSelect(3)
+    assert(sel3.map(_ % 3).toSet == Set(0L, 1L, 2L), s"clusters missed: $sel3")
+    val r3 = Similarity.kcenterSelectOf(emb, 3).collect()
+    r3.filter(r => sel3.contains(r.getLong(0))).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getLong(3) == 0L,
+        s"coreset row not self-assigned: $r")
+    }
+
+    // guards: k out of range, k > corpus
+    intercept[IllegalArgumentException] { Similarity.kcenterSelectOf(emb, 0) }
+    intercept[IllegalArgumentException] { Similarity.kcenterSelectOf(emb, 31) }
+
+    // plan shape: assignment is a literal explode + rank-1 window,
+    // never a vector-by-vector join
+    val plan = Similarity.kcenterSelectOf(emb, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"argmin lost rank-1 pushdown:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("vocab gini: hand-worked concentration; uniform corpus sits at zero") {
     import spark.implicits._
     // frequencies: a=4, b=2, c=1, d=1 (T=8, N=4). Ascending ranks:
