@@ -236,6 +236,12 @@ object GraftOps {
   def blobSniff(blobs: DataFrame): DataFrame =
     Multimodal.blobSniffOf(blobs)
 
+  /** Typed container metadata from fixed header offsets (PNG/GIF
+    * dimensions, WAV channels/rate/bits/duration) — the pre-decode
+    * filter fields, parsed as integer arithmetic on a 44-byte prefix. */
+  def blobHeaders(blobs: DataFrame): DataFrame =
+    Multimodal.blobHeadersOf(blobs)
+
   def multimodalPairGate(pairs: DataFrame, tau: Double = 0.0): DataFrame =
     Multimodal.pairGateOf(pairs, tau)
 

@@ -107,6 +107,151 @@ object Multimodal {
       |    ELSE 'application/octet-stream' END AS sniffed_mime
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Typed header metadata — the step between [[blobSniffOf]]'s
+  // "which codec" and the decode stub's "run the codec": the fields
+  // a curation pipeline filters on BEFORE paying for any decode
+  // (drop sub-64px images, non-16-bit or weird-sample-rate audio,
+  // absurd durations) all sit at FIXED offsets in the container
+  // header, so extracting them is pure integer arithmetic over a
+  // bounded binary prefix — one narrow codegen map, no shuffle, no
+  // decoder library. Layouts are the published container specs:
+  // PNG IHDR (ISO 15948 §11.2.2 — width/height big-endian at bytes
+  // 17-24 after the 8-byte signature + length + type), GIF logical
+  // screen descriptor (GIF89a spec §18 — little-endian dims at bytes
+  // 7-10), canonical RIFF/WAVE fmt chunk (channels @23-24 LE,
+  // sample rate @25-28 LE, bits @35-36 LE, with duration from the
+  // data-chunk size when it sits at the canonical byte-37 offset).
+  // JPEG dimensions live in variable-position SOF segments — a scan,
+  // not fixed-layout arithmetic — so they stay with the decode stub.
+  // Parsing happens on ONE hex string of the 44-byte prefix (byte p
+  // = hex chars 2p−1..2p), the same substring arithmetic the DuckDB
+  // oracle runs; a field whose container/length/marker guard fails
+  // is NULL, never a misread.
+  // ---------------------------------------------------------------
+
+  /** Adds (container, width, height, channels, sample_rate_hz,
+    * bits_per_sample, duration_ms) to a payload frame — typed,
+    * nullable per-container metadata from fixed header offsets. */
+  def blobHeadersOf(blobs: DataFrame): DataFrame = {
+    def ob(p: Int) = s"CAST(conv(substring(h, ${2 * p - 1}, 2), 16, 10) AS BIGINT)"
+    def obe32(p: Int) = s"CAST(conv(substring(h, ${2 * p - 1}, 8), 16, 10) AS BIGINT)"
+    def ole16(p: Int) = s"(${ob(p)} + 256 * ${ob(p + 1)})"
+    def ole32(p: Int) =
+      s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
+    val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
+    val gif = "container = 'image/gif' AND plen >= 10"
+    val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
+    blobSniffOf(blobs)
+      .withColumnRenamed("sniffed_mime", "container")
+      .withColumn("plen", length(col("payload")))
+      .withColumn("h", hex(substring(col("payload"), 1, 44)))
+      .withColumn("width", expr(
+        s"CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)} END"))
+      .withColumn("height", expr(
+        s"CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)} END"))
+      .withColumn("channels", expr(s"CASE WHEN $wav THEN ${ole16(23)} END"))
+      .withColumn("sample_rate_hz", expr(s"CASE WHEN $wav THEN ${ole32(25)} END"))
+      .withColumn("bits_per_sample", expr(s"CASE WHEN $wav THEN ${ole16(35)} END"))
+      .withColumn("duration_ms", expr(
+        s"CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'" +
+          s" AND ${ole32(29)} > 0 THEN (${ole32(41)} * 1000) DIV ${ole32(29)} END"))
+      .drop("plen", "h", "magic_hex")
+  }
+
+  /** Fixture: valid PNG/GIF/WAV headers ASSEMBLED from doc_id-derived
+    * integers (the same lpad-hex assembly the oracle runs), so every
+    * parsed field has a closed-form expected value; doc_id % 4 == 3
+    * stays a bare text payload (all fields NULL). */
+  def blobHeaders(s: SparkSession, d: String): DataFrame = {
+    def le16(v: String) =
+      s"lpad(hex(($v) % 256), 2, '0') || lpad(hex((($v) div 256) % 256), 2, '0')"
+    def le32(v: String) =
+      s"lpad(hex(($v) % 256), 2, '0') || lpad(hex((($v) div 256) % 256), 2, '0') || " +
+        s"lpad(hex((($v) div 65536) % 256), 2, '0') || " +
+        s"lpad(hex((($v) div 16777216) % 256), 2, '0')"
+    def be32(v: String) = s"lpad(hex($v), 8, '0')"
+    val ch = "1 + doc_id % 2"
+    val rate = "8000 + ((doc_id div 4) % 6) * 8000"
+    val dsz = s"((doc_id % 100) + 1) * ($ch) * 2"
+    val payload = expr(
+      s"""CASE CAST(doc_id % 4 AS INT)
+         |  WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+         |    || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
+         |    || '08' || '06') || CAST(text AS BINARY)
+         |  WHEN 1 THEN unhex('474946383961'
+         |    || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
+         |    || CAST(text AS BINARY)
+         |  WHEN 2 THEN unhex('52494646' || ${le32(s"36 + $dsz")}
+         |    || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
+         |    || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
+         |    || ${le16(s"($ch) * 2")} || ${le16("16")}
+         |    || '64617461' || ${le32(dsz)}) || CAST(text AS BINARY)
+         |  ELSE CAST(text AS BINARY) END""".stripMargin)
+    blobHeadersOf(Tables.documents(s, d).withColumn("payload", payload))
+      .select(col("doc_id"), col("container"), col("width"), col("height"),
+        col("channels"), col("sample_rate_hz"), col("bits_per_sample"),
+        col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val blobHeadersOracle: String = {
+    def le16(v: String) =
+      s"lpad(hex(($v)%256),2,'0') || lpad(hex((($v)//256)%256),2,'0')"
+    def le32(v: String) =
+      s"lpad(hex(($v)%256),2,'0') || lpad(hex((($v)//256)%256),2,'0') || " +
+        s"lpad(hex((($v)//65536)%256),2,'0') || lpad(hex((($v)//16777216)%256),2,'0')"
+    def be32(v: String) = s"lpad(hex($v),8,'0')"
+    def ob(p: Int) = s"('0x' || substring(h, ${2 * p - 1}, 2))::BIGINT"
+    def obe32(p: Int) = s"('0x' || substring(h, ${2 * p - 1}, 8))::BIGINT"
+    def ole16(p: Int) = s"(${ob(p)} + 256 * ${ob(p + 1)})"
+    def ole32(p: Int) =
+      s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
+    val ch = "1 + doc_id % 2"
+    val rate = "8000 + ((doc_id // 4) % 6) * 8000"
+    val dsz = s"((doc_id % 100) + 1) * ($ch) * 2"
+    val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
+    val gif = "container = 'image/gif' AND plen >= 10"
+    val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
+    s"""WITH b AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 4 AS INT)
+       |    WHEN 0 THEN from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+       |      || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
+       |      || '08' || '06') || encode(text)
+       |    WHEN 1 THEN from_hex('474946383961'
+       |      || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
+       |      || encode(text)
+       |    WHEN 2 THEN from_hex('52494646' || ${le32(s"36 + $dsz")}
+       |      || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
+       |      || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
+       |      || ${le16(s"($ch) * 2")} || ${le16("16")}
+       |      || '64617461' || ${le32(dsz)}) || encode(text)
+       |    ELSE encode(text) END AS payload
+       |  FROM documents),
+       |m AS (SELECT doc_id, octet_length(payload) AS plen,
+       |    substring(hex(payload), 1, 88) AS h FROM b),
+       |k AS (SELECT doc_id, h, plen,
+       |  CASE
+       |    WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
+       |    WHEN starts_with(h, '89504E47') THEN 'image/png'
+       |    WHEN starts_with(h, '474946383761')
+       |      OR starts_with(h, '474946383961') THEN 'image/gif'
+       |    WHEN starts_with(h, '52494646')
+       |      AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
+       |    ELSE 'application/octet-stream' END AS container
+       |  FROM m)
+       |SELECT doc_id, container,
+       |  CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)} END AS width,
+       |  CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)} END AS height,
+       |  CASE WHEN $wav THEN ${ole16(23)} END AS channels,
+       |  CASE WHEN $wav THEN ${ole32(25)} END AS sample_rate_hz,
+       |  CASE WHEN $wav THEN ${ole16(35)} END AS bits_per_sample,
+       |  CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'
+       |    AND ${ole32(29)} > 0
+       |    THEN ${ole32(41)} * 1000 // ${ole32(29)} END AS duration_ms
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   /** "Decode" each payload per-partition — the mapPartitions batch shape
     * a real codec (image decode, audio resample, frame sample) would use.
     * The decode is a deterministic STUB: metadata fields are arithmetic
@@ -419,6 +564,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_blob_meta"       -> (blobMeta _),
     "multimodal_blob_sniff"      -> (blobSniff _),
+    "multimodal_blob_headers"    -> (blobHeaders _),
     "multimodal_decode_stub"     -> (decodeStub _),
     "multimodal_frame_sample"    -> (frameSample _),
     "multimodal_resize_plan"     -> (resizePlan _),
@@ -430,6 +576,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "multimodal_blob_meta"       -> blobMetaOracle,
     "multimodal_blob_sniff"      -> blobSniffOracle,
+    "multimodal_blob_headers"    -> blobHeadersOracle,
     "multimodal_decode_stub"     -> decodeStubOracle,
     "multimodal_frame_sample"    -> frameSampleOracle,
     "multimodal_resize_plan"     -> resizePlanOracle,

@@ -1502,6 +1502,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blobSniff must stay a map stage:\n$plan")
   }
 
+  test("blob headers: hand-built containers parse; guards null out malformed ones") {
+    import spark.implicits._
+    def blob(hexStr: String, tail: String = "") =
+      (hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    // PNG 64x48 depth 8; GIF 320x240 (LE: 4001 F000); canonical WAV
+    // stereo 44100 Hz 16-bit with an 88200-byte data chunk (500 ms)
+    val png = "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000040" + "00000030" + "08" + "06"
+    val gif = "474946383961" + "4001" + "F000"
+    val wav = "52494646" + "00000000" + "57415645" + "666D7420" +
+      "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" +
+      "0400" + "1000" + "64617461" + "88580100"
+    val blobs = Seq(
+      (1L, blob(png, "rest")),
+      (2L, blob(gif)),
+      (3L, blob(wav)),
+      (4L, blob(png.take(40))),                       // truncated PNG
+      (5L, blob("52494646AABBCCDD41564920", "tail")), // RIFF-AVI
+      (6L, blob("00112233"))).toDF("doc_id", "payload")
+    val got = Multimodal.blobHeadersOf(blobs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("container"),
+        Option(r.getAs[java.lang.Long]("width")),
+        Option(r.getAs[java.lang.Long]("height")),
+        Option(r.getAs[java.lang.Long]("channels")),
+        Option(r.getAs[java.lang.Long]("sample_rate_hz")),
+        Option(r.getAs[java.lang.Long]("bits_per_sample")),
+        Option(r.getAs[java.lang.Long]("duration_ms"))))
+    }.toMap
+    def L(v: Long) = Some(java.lang.Long.valueOf(v))
+    assert(got(1L) == (("image/png", L(64), L(48), None, None, None, None)))
+    assert(got(2L) == (("image/gif", L(320), L(240), None, None, None, None)))
+    // 88200 bytes / (44100*2*2 B/s) = 500 ms
+    assert(got(3L) == (("audio/wav", None, None, L(2), L(44100), L(16), L(500))))
+    assert(got(4L)._1 == "image/png" && got(4L)._2.isEmpty && got(4L)._3.isEmpty,
+      s"truncated PNG must null its dims: ${got(4L)}")
+    assert(got(5L) == (("application/octet-stream",
+      None, None, None, None, None, None)))
+    assert(got(6L) == (("application/octet-stream",
+      None, None, None, None, None, None)))
+    val plan = Multimodal.blobHeadersOf(blobs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blobHeaders must stay a map stage:\n$plan")
+  }
+
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
     import spark.implicits._
     val docs = Seq(
