@@ -356,6 +356,13 @@ object GraftOps {
   def hits(edges: DataFrame, iters: Int = 10): DataFrame =
     graft.operators.GraphOps.hitsOf(edges, iters)
 
+  /** SALSA (Lempel & Moran 2000): degree-local hub/authority scores
+    * via the paper's closed form — components of the bipartite
+    * support graph + one exact e9 rational per node, no iteration;
+    * resists the tightly-knit-community overweighting HITS exhibits. */
+  def salsa(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.salsaOf(edges)
+
   /** Heaps'-law vocabulary growth curve: cumulative (docs, tokens,
     * distinct types) at doc_id-range checkpoints — the dedup-sanity /
     * vocab-sizing observable. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Link-graph authority scoring over the crawl's domain graph —
@@ -653,6 +654,132 @@ object GraphOps {
        |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin)
 
   // ---------------------------------------------------------------
+  // SALSA (Lempel & Moran 2000, "The stochastic approach for
+  // link-structure analysis", TOIS 19(2)) — HITS' random-walk
+  // cousin: authority scores are the stationary distribution of the
+  // walk authority →(random in-link)→ hub →(random out-link)→
+  // authority, hubs symmetric. Its pull here is the CLOSED FORM the
+  // paper proves (§3.2): within each connected component of the
+  // BIPARTITE SUPPORT GRAPH the stationary weight is simply
+  // degree-proportional — authority(v) = (|A_C|/|A|) ·
+  // indeg(v)/Σ_{A_C} indeg — so unlike HITS/PageRank there is no
+  // iteration at all: components + two degree counts + one exact
+  // rational per node. This degree-localness is also why SALSA
+  // resists the tightly-knit-community (TKC) overweighting HITS'
+  // principal eigenvector exhibits — the two rankings genuinely
+  // disagree (spec-pinned).
+  //
+  // The hub/authority COPIES of a page are distinct bipartite nodes:
+  // a→b, b→c is ONE weak component in the directed graph but TWO in
+  // the support graph ({a_h, b_a}, {b_h, c_a}) — so components run
+  // over "h:"/"a:"-prefixed names through the existing
+  // [[componentsOf]] machinery (dictionary-encoded contraction), and
+  // normalization is per support component (spec-pinned against the
+  // WCC reading). All scores are exact integer e9 rationals:
+  // na·indeg·1e9 DIV (|A|·Σindeg) in DECIMAL(38,0)/HUGEINT — one
+  // truncation per node, no iteration, no floats.
+  // ---------------------------------------------------------------
+
+  /** SALSA authority and hub scores in integer e9: (node,
+    * salsa_auth_e9, salsa_hub_e9); each column sums to ≈ 1e9 over the
+    * graph (per-component truncation leak only). Nodes missing a side
+    * (no in-links / no out-links) score 0 on it. Edge multiplicity is
+    * ignored ([[normalizedEdges]]), matching the paper's 0/1 matrix. */
+  def salsaOf(edges: DataFrame): DataFrame = {
+    val e = normalizedEdges(edges).localCheckpoint()
+    val indeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val totA = indeg.count()
+    val totH = outdeg.count()
+    val comps = componentsOf(e.select(
+      concat(lit("h:"), col("src")).as("src"),
+      concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint()
+    // per-component counts ride a component-keyed window (one
+    // exchange) instead of an agg + back-join; the two sides then
+    // merge through ONE node-keyed sum — every node has at least one
+    // side by construction, so no separate nodes frame exists
+    val w = Window.partitionBy(col("component"))
+    def side(prefix: String, deg: DataFrame, tot: Long,
+             a: String, h: String) =
+      comps.filter(col("node").startsWith(prefix))
+        .select(expr("substring(node, 3)").as("node"), col("component"))
+        .join(deg, Seq("node"))
+        .withColumn("nc", count(lit(1)).over(w))
+        .withColumn("sumdeg", sum(col("deg")).over(w))
+        .select(col("node"), expr(
+          s"CAST((CAST(nc AS DECIMAL(38,0)) * deg * 1000000000)" +
+            s" DIV (CAST(sumdeg AS DECIMAL(38,0)) * $tot) AS BIGINT)").as(a),
+          lit(0L).as(h))
+    side("a:", indeg, totA, "salsa_auth_e9", "salsa_hub_e9")
+      .unionByName(side("h:", outdeg, totH, "salsa_hub_e9", "salsa_auth_e9")
+        .select(col("node"), col("salsa_auth_e9"), col("salsa_hub_e9")))
+      .groupBy(col("node"))
+      .agg(sum(col("salsa_auth_e9")).as("salsa_auth_e9"),
+        sum(col("salsa_hub_e9")).as("salsa_hub_e9"))
+  }
+
+  def salsaScores(s: SparkSession, d: String): DataFrame =
+    salsaOf(fixtureEdges(s, d)).orderBy(col("node"))
+
+  /** Closed-form SALSA over the fixture graph: the
+    * [[linkComponentsOracle]] walk on prefixed bipartite nodes, then
+    * the degree-proportional rational per support component.
+    *
+    * DuckDB quirk (cost a debugging round): under WITH RECURSIVE, a
+    * bare UNION in a NON-recursive CTE does NOT deduplicate
+    * (`WITH RECURSIVE x AS (SELECT 1 UNION SELECT 1)` yields 2 rows)
+    * — so the edge CTE spells its dedup as an explicit
+    * SELECT DISTINCT over UNION ALL, as linkComponentsOracle does. */
+  private val salsaOracle: String =
+    """WITH RECURSIVE srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+      |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+      |  UNION ALL
+      |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)),
+      |bip AS MATERIALIZED (SELECT 'h:' || src AS src, 'a:' || dst AS dst FROM e),
+      |ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT src, dst FROM bip
+      |  UNION ALL SELECT dst AS src, src AS dst FROM bip)),
+      |bnodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM ed UNION ALL SELECT dst AS node FROM ed)),
+      |walk(root, node) AS (
+      |  SELECT node, node FROM bnodes
+      |  UNION
+      |  SELECT w.root, e2.dst FROM walk w JOIN ed e2 ON w.node = e2.src),
+      |comp AS MATERIALIZED (SELECT root AS node, min(node) AS component
+      |  FROM walk GROUP BY root),
+      |indeg AS MATERIALIZED (SELECT dst AS node, count(*) AS deg FROM e GROUP BY 1),
+      |outdeg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+      |ac AS MATERIALIZED (SELECT substring(c.node, 3) AS node, c.component, d.deg
+      |  FROM comp c JOIN indeg d ON substring(c.node, 3) = d.node
+      |  WHERE starts_with(c.node, 'a:')),
+      |ast AS MATERIALIZED (SELECT component, count(*) AS nc, sum(deg) AS sumdeg
+      |  FROM ac GROUP BY 1),
+      |hc AS MATERIALIZED (SELECT substring(c.node, 3) AS node, c.component, d.deg
+      |  FROM comp c JOIN outdeg d ON substring(c.node, 3) = d.node
+      |  WHERE starts_with(c.node, 'h:')),
+      |hst AS MATERIALIZED (SELECT component, count(*) AS nc, sum(deg) AS sumdeg
+      |  FROM hc GROUP BY 1),
+      |auth AS MATERIALIZED (SELECT ac.node,
+      |    CAST(CAST(ast.nc AS HUGEINT) * ac.deg * 1000000000
+      |      // (CAST(ast.sumdeg AS HUGEINT) * (SELECT count(*) FROM indeg))
+      |      AS BIGINT) AS salsa_auth_e9
+      |  FROM ac JOIN ast USING (component)),
+      |hub AS MATERIALIZED (SELECT hc.node,
+      |    CAST(CAST(hst.nc AS HUGEINT) * hc.deg * 1000000000
+      |      // (CAST(hst.sumdeg AS HUGEINT) * (SELECT count(*) FROM outdeg))
+      |      AS BIGINT) AS salsa_hub_e9
+      |  FROM hc JOIN hst USING (component)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e))
+      |SELECT n.node, coalesce(a.salsa_auth_e9, 0) AS salsa_auth_e9,
+      |  coalesce(h.salsa_hub_e9, 0) AS salsa_hub_e9
+      |FROM nodes n LEFT JOIN auth a ON n.node = a.node
+      |LEFT JOIN hub h ON n.node = h.node
+      |ORDER BY n.node""".stripMargin
+
+  // ---------------------------------------------------------------
   // Harmonic centrality — the OTHER per-domain authority rank crawl
   // curation publishes (CommonCrawl's primary domain rank is harmonic
   // centrality): H(v) = Σ_{u≠v, u⇝v} 1/d(u,v), robust on disconnected
@@ -1081,6 +1208,7 @@ object GraphOps {
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
     "hits_scores" -> (hitsScores _),
+    "salsa_scores" -> (salsaScores _),
     "link_components" -> (linkComponents _),
     "link_reciprocity" -> (linkReciprocity _),
     "degree_profile" -> (degreeProfile _),
@@ -1094,6 +1222,7 @@ object GraphOps {
     "domain_pagerank" -> domainPagerankOracle,
     "trust_rank" -> trustRankOracle,
     "hits_scores" -> hitsOracle,
+    "salsa_scores" -> salsaOracle,
     "link_components" -> linkComponentsOracle,
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,

@@ -207,6 +207,75 @@ class GraphOpsSpec extends SparkSpec {
       m(GraphOps.hitsOf(edges.toDF("src", "dst"), 7)))
   }
 
+  /** Scalar SALSA mirror: union-find over the bipartite support graph
+    * (hub/authority copies distinct), then the closed-form
+    * degree-proportional rational per component in BigInt. */
+  private def refSalsa(edges: Seq[(String, String)])
+      : Map[String, (Long, Long)] = {
+    val e = edges.distinct
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    e.foreach { case (u, v) => parent(find("h:" + u)) = find("a:" + v) }
+    val indeg = e.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val totA = indeg.size.toLong
+    val totH = outdeg.size.toLong
+    def sideScores(deg: Map[String, Long], prefix: String, tot: Long) = {
+      val comps = deg.keys.toSeq.groupBy(n => find(prefix + n))
+      comps.values.flatMap { members =>
+        val nc = members.size.toLong
+        val sum = members.map(deg).sum
+        members.map(n =>
+          n -> (BigInt(nc) * deg(n) * 1000000000L / (BigInt(sum) * tot)).toLong)
+      }.toMap
+    }
+    val auth = sideScores(indeg, "a:", totA)
+    val hub = sideScores(outdeg, "h:", totH)
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    nodes.map(n =>
+      n -> ((auth.getOrElse(n, 0L), hub.getOrElse(n, 0L)))).toMap
+  }
+
+  private def runSalsa(edges: Seq[(String, String)]): Map[String, (Long, Long)] = {
+    import spark.implicits._
+    GraphOps.salsaOf(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("salsa: normalizes per SUPPORT component, not per WCC; matches scalar mirror") {
+    // a→b, b→c, d→c is ONE weak component but the support graph splits
+    // into {h:a, a:b} and {h:b, h:d, a:c}: per-component normalization
+    // gives b and c EQUAL authority (each owns half the authority
+    // mass); a WCC reading would give c twice b's score
+    val edges = Seq(("a", "b"), ("b", "c"), ("d", "c"))
+    val r = runSalsa(edges)
+    assert(r == refSalsa(edges), s"scalar mirror mismatch: $r")
+    assert(r("b")._1 == 500000000L && r("c")._1 == 500000000L,
+      s"support-component normalization violated: $r")
+    assert(r("a")._1 == 0L && r("c")._2 == 0L, s"missing sides must be 0: $r")
+    // HITS on the same graph disagrees (principal-pair vs degree-local):
+    // the d→c reinforcement drives auth(c) above auth(b)
+    val h = GraphOps.hitsOf({ import spark.implicits._
+      edges.toDF("src", "dst") }, 10).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(h("c") > h("b"), s"HITS should diverge from SALSA here: $h")
+  }
+
+  test("salsa: mass conservation and a denser deterministic mirror") {
+    // K2,2 community plus a chain and a self-contained pair
+    val edges = Seq(("h1", "p1"), ("h1", "p2"), ("h2", "p1"), ("h2", "p2"),
+      ("p1", "h1"), ("x", "y"), ("y", "z"))
+    val r = runSalsa(edges)
+    assert(r == refSalsa(edges), s"scalar mirror mismatch: $r")
+    val atot = r.values.map(_._1).sum
+    val htot = r.values.map(_._2).sum
+    assert(atot <= 1000000000L && atot > 999999000L, s"auth mass: $atot")
+    assert(htot <= 1000000000L && htot > 999999000L, s"hub mass: $htot")
+  }
+
   /** Scalar BFS harmonic reference: shortest directed distances by
     * plain frontier expansion, then the truncating e6 sum. */
   private def refHarmonic(edges: Seq[(String, String)]): Map[String, Long] = {
