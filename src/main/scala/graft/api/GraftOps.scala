@@ -170,6 +170,14 @@ object GraftOps {
   def statsMoments(df: DataFrame, group: Column, x: Column, y: Column): DataFrame =
     graft.operators.Profiling.statsMomentsOf(df, group, x, y)
 
+  /** Exact GLOBAL quantiles of an integral column without any sort:
+    * bisection over the value domain, ≤ 64 shuffle-free counting
+    * passes batched across all requested permilles — the exact
+    * complement to the one-pass approximate t-digest. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     psPermille: Seq[Int]): DataFrame =
+    graft.operators.AdvancedOps.quantileSelectOf(df, valueCol, psPermille)
+
   // ---- corpus cleanup / curation ----
 
   /** Intra-document repeated-line removal (CCNet/RefinedWeb cleanup):

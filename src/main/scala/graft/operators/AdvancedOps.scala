@@ -244,6 +244,81 @@ object AdvancedOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Exact GLOBAL order statistics without a sort — the selection-by-
+  // bisection classic (Munro & Paterson 1980 lineage: selection in
+  // few passes with tiny memory). `percentile`/percentile_cont sort
+  // each group, fine at per-key grain; a global p999 over 100 TB
+  // would need a full range-exchange sort or a driver-sized top-k.
+  // Bisection needs NEITHER: binary-search the INTEGER value domain
+  // (the house fixed-point convention makes every metric integral),
+  // where each round answers "how many values ≤ mid" for EVERY still-
+  // unresolved quantile in ONE batched aggregate — a map-side-
+  // combined scan whose only exchange is the 1-row gather. ≤ 64
+  // rounds by int64 width (log2 of the actual min..max span in
+  // practice; ~24 for cents-scaled prices); driver state is a pair
+  // of bounds per quantile. Complements [[Sketches]]' t-digest (one
+  // pass, approximate) with the exact answer when the audit needs
+  // one, the way harmonicExactOf anchors hyperBall.
+  // ---------------------------------------------------------------
+
+  /** Exact type-1 (lower) quantiles of an integral column: one row
+    * (p_permille, value) per requested permille, where value is THE
+    * k-th smallest with k = 1 + (n−1)·p DIV 1000 (p=0 → min,
+    * p=1000 → max). NULLs are excluded; requires a non-empty column
+    * and distinct ps in [0, 1000]. */
+  def quantileSelectOf(df: DataFrame, valueCol: String,
+                       psPermille: Seq[Int]): DataFrame = {
+    require(psPermille.nonEmpty && psPermille.distinct == psPermille &&
+      psPermille.forall(p => p >= 0 && p <= 1000),
+      s"ps must be distinct permilles in [0,1000]: $psPermille")
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull).localCheckpoint()
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    val n = head.getLong(0)
+    require(n > 0, s"quantileSelect over an empty/all-null column $valueCol")
+    val ks = psPermille.map(p => p -> (1L + (n - 1) * p / 1000L)).toMap
+    var lo = psPermille.map(p => p -> head.getLong(1)).toMap
+    var hi = psPermille.map(p => p -> head.getLong(2)).toMap
+    while (psPermille.exists(p => lo(p) < hi(p))) {
+      val open = psPermille.filter(p => lo(p) < hi(p))
+      // floorDiv keeps the midpoint exact for negative-spanning domains
+      val mids = open.map(p =>
+        p -> (lo(p) + Math.floorDiv(hi(p) - lo(p), 2L))).toMap
+      val row = vals.agg(
+        sum(when(col("v") <= lit(mids(open.head)), 1L).otherwise(0L)),
+        open.tail.map(p =>
+          sum(when(col("v") <= lit(mids(p)), 1L).otherwise(0L))): _*).head()
+      open.zipWithIndex.foreach { case (p, i) =>
+        if (row.getLong(i) >= ks(p)) hi += p -> mids(p)
+        else lo += p -> (mids(p) + 1L)
+      }
+    }
+    val sp = df.sparkSession
+    import sp.implicits._
+    psPermille.map(p => (p, lo(p))).toDF("p_permille", "value")
+  }
+
+  /** Fixture: global price quantiles over lineitem in exact cents. */
+  def exactQuantiles(s: SparkSession, d: String): DataFrame =
+    quantileSelectOf(
+      Tables.lineitem(s, d).select(
+        expr("CAST(floor(l_extendedprice * 100 + 0.5D) AS BIGINT)").as("cents")),
+      "cents", Seq(0, 250, 500, 900, 990, 1000))
+      .orderBy(col("p_permille"))
+
+  private val exactQuantilesOracle =
+    """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem),
+      |nn AS (SELECT count(*) AS n FROM v),
+      |p(p_permille) AS (VALUES (0), (250), (500), (900), (990), (1000)),
+      |k AS (SELECT p_permille,
+      |    1 + ((SELECT n FROM nn) - 1) * p_permille // 1000 AS k FROM p),
+      |s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT k.p_permille, s.v AS value FROM k JOIN s ON s.rn = k.k
+      |ORDER BY k.p_permille""".stripMargin
+
   /** Deterministic hash sampling (df.sample is seed/partitioning
     * dependent and engine-specific; hash-mod sampling reproduces
     * everywhere — the only sane way to sample a 100 TB corpus
@@ -577,6 +652,7 @@ object AdvancedOps {
     "range_join_events"       -> (rangeJoin _),
     "pivot_event_counts"      -> (pivotCounts _),
     "event_percentiles"       -> (percentiles _),
+    "exact_quantiles"         -> (exactQuantiles _),
     "hash_sample"             -> (hashSample _),
     "stratified_sample"       -> (stratifiedSample _),
     "approx_distinct"         -> (approxDistinct _),
@@ -598,6 +674,7 @@ object AdvancedOps {
     "range_join_events"       -> rangeOracle,
     "pivot_event_counts"      -> pivotOracle,
     "event_percentiles"       -> percentilesOracle,
+    "exact_quantiles"         -> exactQuantilesOracle,
     "hash_sample"             -> hashSampleOracle,
     "stratified_sample"       -> stratifiedSampleOracle,
     "approx_distinct_agreement" -> approxDistinctAgreementOracle,

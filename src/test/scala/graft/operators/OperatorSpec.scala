@@ -1502,6 +1502,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blobSniff must stay a map stage:\n$plan")
   }
 
+  test("exact quantiles: bisection matches the sorted reference, negatives and ties included") {
+    import spark.implicits._
+    // duplicates, a negative span (exercises the floorDiv midpoint),
+    // and a skewed tail
+    val vs: Seq[Long] = Seq(-1000L, -1000L, -3L, 0L, 0L, 0L, 7L, 7L, 12L,
+      999999L, 5L, 5L, 5L, -17L, 2L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val ps = Seq(0, 100, 250, 333, 500, 667, 900, 990, 1000)
+    val got = AdvancedOps.quantileSelectOf(df, "x", ps).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sorted = vs.sorted
+    val want = ps.map(p =>
+      p -> sorted(((vs.size - 1).toLong * p / 1000L).toInt)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(got(0) == -1000L && got(1000) == 999999L)
+    // single row: every quantile is that row
+    val one = AdvancedOps.quantileSelectOf(Seq((1L, 42L)).toDF("id", "x"),
+      "x", Seq(0, 500, 1000)).collect().map(_.getLong(1)).toSet
+    assert(one == Set(42L))
+    // nulls excluded, not counted
+    val withNulls = Seq((1L, Some(10L)), (2L, None), (3L, Some(20L)))
+      .toDF("id", "x")
+    val m = AdvancedOps.quantileSelectOf(withNulls, "x", Seq(500)).collect()
+    assert(m.head.getLong(1) == 10L) // k = 1 + (2-1)*500/1000 = 1 -> 10
+    // guards
+    intercept[IllegalArgumentException] {
+      AdvancedOps.quantileSelectOf(df, "x", Seq(500, 500))
+    }
+    intercept[IllegalArgumentException] {
+      AdvancedOps.quantileSelectOf(df, "x", Seq(1001))
+    }
+    intercept[IllegalArgumentException] {
+      AdvancedOps.quantileSelectOf(df.filter(col("x") > 1000000L), "x", Seq(500))
+    }
+  }
+
   test("blob headers: hand-built containers parse; guards null out malformed ones") {
     import spark.implicits._
     def blob(hexStr: String, tail: String = "") =
