@@ -689,6 +689,13 @@ object GraftOps {
   def urlDedupedDocs(docs: DataFrame): DataFrame =
     graft.operators.UrlOps.urlDedupedDocsOf(docs)
 
+  /** SSRF/abuse fetch gate over a `url` frame: scheme/host/userinfo/
+    * port capture, exact IPv4 blocked-range arithmetic (RFC 1918,
+    * loopback, link-local, 0/8), and the `fetch_safe` verdict — run
+    * over every candidate fetch list before a socket opens. */
+  def urlFetchSafety(urls: DataFrame): DataFrame =
+    graft.operators.UrlOps.urlFetchSafetyOf(urls)
+
   /** Exact rolling-window decontamination: drop corpus docs containing
     * any benchmark `window`-token span verbatim (GPT-3 convention). */
   def decontaminateExactWindow(corpus: DataFrame, benchmark: DataFrame,

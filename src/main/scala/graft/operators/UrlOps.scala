@@ -494,6 +494,140 @@ object UrlOps {
       |       ELSE 'warm' END AS tier
       |FROM agg ORDER BY host""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Fetch-safety classification — the SSRF/abuse gate a crawler runs
+  // over a candidate fetch list BEFORE any socket opens (OWASP SSRF
+  // prevention; every production fetcher refuses loopback/private/
+  // link-local targets so a crawled page can't point the fleet at
+  // internal endpoints): classify scheme, userinfo smuggling
+  // (`https://trusted.com@evil.io/`), IPv4-literal hosts with exact
+  // range arithmetic (RFC 1918 10/8 + 172.16/12 + 192.168/16,
+  // loopback 127/8, link-local 169.254/16, this-net 0/8), localhost
+  // by name, and non-standard ports. One narrow map — regex captures
+  // + integer octet arithmetic, no shuffle; the regexes mirror the
+  // RobotsOps host-capture family (userinfo skipped, stop at
+  // /:?#). IPv6 literals and DNS-resolved private targets are out of
+  // scope by documented design (resolution happens fetch-side).
+  // ---------------------------------------------------------------
+
+  /** Adds (scheme, host, has_userinfo, port, is_ip_literal, ip_value,
+    * is_private, fetch_safe) to a `url` frame. `is_private` is true
+    * only for an IPv4 literal inside the blocked ranges; `fetch_safe`
+    * is the gate verdict: http(s), a host, no userinfo, not a blocked
+    * IP, not localhost, and port absent or in {80, 443, 8080}. */
+  def urlFetchSafetyOf(urls: DataFrame): DataFrame = {
+    val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    val user = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:([^/@?#]*)@)"
+    // TRY_CAST: AND is not short-circuit under vectorized evaluation
+    // (either engine may run the cast on non-IP hosts); the RLIKE
+    // guard guarantees pure digits wherever the value is USED
+    def oct(i: Int) = s"TRY_CAST(element_at(split(host, '[.]'), $i) AS BIGINT)"
+    val quad = "^[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}$"
+    urls
+      .withColumn("scheme", expr(
+        "lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1), ''))"))
+      .withColumn("host", expr(
+        s"lower(nullif(regexp_extract(url, '$auth', 1), ''))"))
+      .withColumn("has_userinfo", expr(
+        s"nullif(regexp_extract(url, '$user', 1), '') IS NOT NULL"))
+      .withColumn("port", expr(
+        s"CAST(nullif(regexp_extract(url, '$auth:([0-9]+)', 2), '') AS INT)"))
+      .withColumn("is_ip_literal", expr(
+        s"host IS NOT NULL AND host RLIKE '$quad'" +
+          s" AND ${oct(1)} <= 255 AND ${oct(2)} <= 255" +
+          s" AND ${oct(3)} <= 255 AND ${oct(4)} <= 255"))
+      .withColumn("ip_value", expr(
+        s"CASE WHEN is_ip_literal THEN ${oct(1)} * 16777216 +" +
+          s" ${oct(2)} * 65536 + ${oct(3)} * 256 + ${oct(4)} END"))
+      .withColumn("is_private", expr(
+        """is_ip_literal AND (
+          |  ip_value <= 16777215 OR
+          |  (ip_value >= 167772160  AND ip_value <= 184549375)  OR
+          |  (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
+          |  (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
+          |  (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
+          |  (ip_value >= 3232235520 AND ip_value <= 3232301055))""".stripMargin))
+      .withColumn("fetch_safe", expr(
+        """scheme IN ('http', 'https') AND host IS NOT NULL
+          |  AND NOT has_userinfo AND NOT coalesce(is_private, false)
+          |  AND host <> 'localhost'
+          |  AND (port IS NULL OR port IN (80, 443, 8080))""".stripMargin))
+  }
+
+  /** Fixture: eight rotating shapes — public hosts, RFC 1918 and
+    * public IP literals, credential smuggling, a blocked-range host
+    * on an odd port, localhost, a non-http scheme, a standard alt
+    * port. */
+  def urlFetchSafety(s: SparkSession, d: String): DataFrame =
+    urlFetchSafetyOf(Tables.documents(s, d).withColumn("url", expr(
+      """CASE CAST(doc_id % 8 AS INT)
+        |  WHEN 0 THEN 'https://Example' || CAST(doc_id % 250 AS STRING) || '.COM/page'
+        |  WHEN 1 THEN 'http://10.' || CAST(doc_id % 250 AS STRING) || '.0.5/x'
+        |  WHEN 2 THEN 'https://8.8.' || CAST(doc_id % 250 AS STRING) || '.8/dns'
+        |  WHEN 3 THEN 'http://user:pw@host' || CAST(doc_id % 250 AS STRING) || '.org/'
+        |  WHEN 4 THEN 'https://192.168.1.' || CAST(doc_id % 200 AS STRING) || ':8443/a'
+        |  WHEN 5 THEN 'http://localhost/admin'
+        |  WHEN 6 THEN 'ftp://files.example' || CAST(doc_id % 250 AS STRING) || '.com/f'
+        |  ELSE 'https://site' || CAST(doc_id % 250 AS STRING) || '.net:8080/ok'
+        |END""".stripMargin)))
+      .select(col("doc_id"), col("scheme"), col("host"), col("has_userinfo"),
+        col("port"), col("is_ip_literal"), col("ip_value"),
+        col("is_private"), col("fetch_safe"))
+      .orderBy(col("doc_id"))
+
+  private val urlFetchSafetyOracle: String = {
+    val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    val user = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:([^/@?#]*)@)"
+    def oct(i: Int) = s"TRY_CAST(str_split(host, '.')[$i] AS BIGINT)"
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 8 AS INT)
+       |    WHEN 0 THEN 'https://Example' || CAST(doc_id % 250 AS VARCHAR) || '.COM/page'
+       |    WHEN 1 THEN 'http://10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.5/x'
+       |    WHEN 2 THEN 'https://8.8.' || CAST(doc_id % 250 AS VARCHAR) || '.8/dns'
+       |    WHEN 3 THEN 'http://user:pw@host' || CAST(doc_id % 250 AS VARCHAR) || '.org/'
+       |    WHEN 4 THEN 'https://192.168.1.' || CAST(doc_id % 200 AS VARCHAR) || ':8443/a'
+       |    WHEN 5 THEN 'http://localhost/admin'
+       |    WHEN 6 THEN 'ftp://files.example' || CAST(doc_id % 250 AS VARCHAR) || '.com/f'
+       |    ELSE 'https://site' || CAST(doc_id % 250 AS VARCHAR) || '.net:8080/ok'
+       |  END AS url FROM documents),
+       |p AS (SELECT doc_id, url,
+       |  lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1), '')) AS scheme,
+       |  lower(nullif(regexp_extract(url, '$auth', 1), '')) AS host,
+       |  nullif(regexp_extract(url, '$user', 1), '') IS NOT NULL AS has_userinfo,
+       |  CAST(nullif(regexp_extract(url, '$auth:([0-9]+)', 2), '') AS INT) AS port
+       |  FROM u),
+       |q AS (SELECT *,
+       |  host IS NOT NULL AND regexp_matches(host,
+       |    '^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$')
+       |    AND ${oct(1)} <= 255 AND ${oct(2)} <= 255
+       |    AND ${oct(3)} <= 255 AND ${oct(4)} <= 255 AS is_ip_literal
+       |  FROM p),
+       |r AS (SELECT *,
+       |  CASE WHEN is_ip_literal THEN ${oct(1)} * 16777216 +
+       |    ${oct(2)} * 65536 + ${oct(3)} * 256 + ${oct(4)} END AS ip_value
+       |  FROM q)
+       |SELECT doc_id, scheme, host, has_userinfo, port, is_ip_literal, ip_value,
+       |  is_ip_literal AND (
+       |    ip_value <= 16777215 OR
+       |    (ip_value >= 167772160  AND ip_value <= 184549375)  OR
+       |    (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
+       |    (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
+       |    (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
+       |    (ip_value >= 3232235520 AND ip_value <= 3232301055)) AS is_private,
+       |  scheme IN ('http', 'https') AND host IS NOT NULL
+       |    AND NOT has_userinfo
+       |    AND NOT coalesce(is_ip_literal AND (
+       |      ip_value <= 16777215 OR
+       |      (ip_value >= 167772160  AND ip_value <= 184549375)  OR
+       |      (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
+       |      (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
+       |      (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
+       |      (ip_value >= 3232235520 AND ip_value <= 3232301055)), false)
+       |    AND host <> 'localhost'
+       |    AND (port IS NULL OR port IN (80, 443, 8080)) AS fetch_safe
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
     "crawl_pipeline" -> (crawlPipeline _),
@@ -501,6 +635,7 @@ object UrlOps {
     "snapshot_diff" -> (snapshotDiff _),
     "crawl_refetch" -> (crawlRefetch _),
     "anchor_text_profile" -> (anchorTextProfile _),
+    "url_fetch_safety" -> (urlFetchSafety _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -510,5 +645,6 @@ object UrlOps {
     "snapshot_diff" -> snapshotDiffOracle,
     "crawl_refetch" -> crawlRefetchOracle,
     "anchor_text_profile" -> anchorTextProfileOracle,
+    "url_fetch_safety" -> urlFetchSafetyOracle,
   )
 }

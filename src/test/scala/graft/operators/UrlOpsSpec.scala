@@ -189,4 +189,45 @@ class UrlOpsSpec extends AnyFunSuite {
         UrlOps.snapshotDiffOf(oldS, newS)).collect().head
     assert(e2e.getString(0) == "e.example" && e2e.getLong(2) == 500L)
   }
+
+  test("fetch safety: SSRF smuggling, range boundaries, malformed hosts") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://example.com/ok"),
+      // the classic SSRF shape: trusted-looking userinfo, metadata IP
+      (2L, "https://trusted.com@169.254.169.254/latest/meta-data"),
+      (3L, "http://999.1.1.1/overflow-octet"),      // NOT an IP literal
+      (4L, "http://172.15.255.255/public-edge"),    // just below 172.16/12
+      (5L, "http://172.16.0.0/private-low"),
+      (6L, "http://172.31.255.255/private-high"),
+      (7L, "http://172.32.0.0/public-again"),
+      (8L, "http://127.0.0.1:8080/loopback"),
+      (9L, "http://LOCALHOST/by-name"),
+      (10L, "https://site.net:31337/odd-port"),
+      (11L, "gopher://old.example/"),
+      (12L, "not a url at all"),
+      (13L, "http://0.0.0.0/this-net")).toDF("doc_id", "url")
+    val got = UrlOps.urlFetchSafetyOf(urls).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("host"), r.getBoolean(r.fieldIndex("has_userinfo")),
+        Option(r.getAs[java.lang.Boolean]("is_private")).map(_.booleanValue),
+        r.getBoolean(r.fieldIndex("fetch_safe"))))
+    }.toMap
+    assert(got(1L) == (("example.com", false, Some(false), true)))
+    // userinfo alone must kill it; the link-local IP is also private
+    assert(got(2L) == (("169.254.169.254", true, Some(true), false)))
+    assert(got(3L)._3 == Some(false) && got(3L)._4,
+      s"999.x is not an IP literal (DNS may still resolve it; fetch-side job): ${got(3L)}")
+    assert(got(4L)._3 == Some(false) && got(4L)._4, s"172.15 is public: ${got(4L)}")
+    assert(got(5L)._3 == Some(true) && !got(5L)._4)
+    assert(got(6L)._3 == Some(true) && !got(6L)._4)
+    assert(got(7L)._3 == Some(false) && got(7L)._4, s"172.32 is public: ${got(7L)}")
+    assert(got(8L)._3 == Some(true) && !got(8L)._4, s"loopback: ${got(8L)}")
+    assert(got(9L)._1 == "localhost" && !got(9L)._4)
+    assert(got(10L)._4 == false, s"odd port must not pass: ${got(10L)}")
+    assert(got(11L)._4 == false, s"non-http scheme: ${got(11L)}")
+    assert(got(12L)._1 == null && !got(12L)._4)
+    assert(got(13L)._3 == Some(true) && !got(13L)._4, s"0/8: ${got(13L)}")
+    val plan = UrlOps.urlFetchSafetyOf(urls).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fetch safety must stay a map stage:\n$plan")
+  }
 }
