@@ -16,7 +16,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       AdvancedOps.queries ++ ScalarFuncs.queries ++ Profiling.queries ++
       Curation.queries ++ Bpe.queries ++ NgramLm.queries ++ UrlOps.queries ++
-      GraphOps.queries ++ PublicSuffix.queries ++ RobotsOps.queries ++ Unigram.queries
+      GraphOps.queries ++ PublicSuffix.queries ++ RobotsOps.queries ++
+      Unigram.queries ++ Classifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       AdvancedOps.oracles ++ ScalarFuncs.oracles ++ Profiling.oracles ++
       Curation.oracles ++ Bpe.oracles ++ NgramLm.oracles ++ UrlOps.oracles ++
-      GraphOps.oracles ++ PublicSuffix.oracles ++ RobotsOps.oracles ++ Unigram.oracles
+      GraphOps.oracles ++ PublicSuffix.oracles ++ RobotsOps.oracles ++
+      Unigram.oracles ++ Classifier.oracles
 }

@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Class-profile text classification — the "train a small classifier on
+  * a trusted corpus, score the crawl" quality gate every public LLM
+  * data pipeline documents (GPT-3's WebText-vs-CommonCrawl LR filter,
+  * Brown et al. 2020 §A; CCNet's fastText step, Wenzek et al. 2020).
+  * No reference counterpart (SURVEY §2.11 north-star family).
+  *
+  * The model is a centroid/Rocchio profile over unigram counts
+  * (Rocchio 1971; centroid-based text classification, Han & Karypis
+  * 2000): per class c and token t a Laplace-smoothed profile weight
+  *
+  *   w(t, c) = floor( (cnt(t,c) + 1) · 1e12 / (N_c + V) )
+  *
+  * with N_c = total training tokens of class c and V = corpus vocabulary
+  * size, plus a per-class `[UNK]` row (cnt = 0) that scores tokens never
+  * seen in training. A document's class score is the SUM of its tokens'
+  * weights (multinomial tf weighting), argmax wins.
+  *
+  * Determinism: the textbook multinomial-NB log-posterior needs ln —
+  * libm territory, not bit-identical across engines (the tfidfTopTerms /
+  * bm25 policy) — so the score sums the smoothed probabilities
+  * themselves (arithmetic-mean likelihood, the Rocchio reading) in e12
+  * fixed point: (cnt+1)·1e12 is widened to DECIMAL(38,0) (HUGEINT in the
+  * oracle) before the DIV, both operands non-negative so truncation ==
+  * floor in both engines, and every downstream step is integer adds and
+  * an ordered max. ClassifierSpec pins agreement with driver-side
+  * StrictMath log-NB on a separable hand corpus and documents where the
+  * two readings can part.
+  *
+  * Scale shape: training is one (label, token) groupBy with map-side
+  * combine plus one label-keyed window over the token-count frame —
+  * model-sized, never corpus-sized. Scoring joins the doc-token frame
+  * with the model on TOKEN only (the model is vocab·classes rows — tiny;
+  * the planner broadcasts it), then one (doc, label) aggregation; the
+  * unmatched remainder scores through the `[UNK]` weight arithmetically
+  * — no doc×class scaffold join, no BroadcastNestedLoop. Class labels
+  * are collected to the driver (bounded — a classifier's class set is
+  * enumerable by design; the IVF-centroid precedent). */
+object Classifier {
+
+  private val tokensOf = (c: String) =>
+    filter(split(col(c), " "), t => t =!= "")
+
+  /** Unknown-token sentinel row key. `split(text, ' ')` can never emit
+    * it unless the corpus literally contains the bracketed word; the
+    * fixture corpus does not, and trainers on corpora that might should
+    * pre-scrub (the Unigram.[UNK] convention). */
+  val UnkToken = "[UNK]"
+
+  /** Train a class-profile model from (labelCol, textCol) rows:
+    * (label, token, w_e12) with one `[UNK]` row per label. */
+  def classProfileTrainOf(docs: DataFrame, labelCol: String = "label",
+                          textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(labelCol).as("label"),
+        explode(tokensOf(textCol)).as("token"))
+    val cnt = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    // corpus vocabulary size — ONE driver scalar (the tfidf N,T
+    // pattern; a crossJoin against the 1-row agg would plan the
+    // forbidden BNLJ)
+    val v = cnt.select(countDistinct(col("token"))).head.getLong(0)
+    // N_c rides a label-keyed window over the model-sized count frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val withUnk = cnt
+      .unionByName(cnt.select(col("label")).distinct()
+        .select(col("label"), lit(UnkToken).as("token"), lit(0L).as("cnt")))
+    withUnk
+      .withColumn("n_c", sum(col("cnt")).over(w))
+      .select(col("label"), col("token"),
+        expr(s"CAST(CAST(cnt + 1 AS DECIMAL(38,0)) * 1000000000000" +
+          s" DIV (n_c + $v) AS BIGINT)").as("w_e12"))
+  }
+
+  /** Score (idCol, textCol) rows against a trained model: per row the
+    * argmax class and its summed e12 score. Ties break to the
+    * lexically-LARGEST label (ordered max over (score, label) — a
+    * map-side-combinable max-struct, no per-doc window sort). */
+  def classProfileScoreOf(docs: DataFrame, model: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val unk = model.filter(col("token") === UnkToken)
+      .select(col("label"), col("w_e12").as("unk_e12"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(unk.nonEmpty, "model carries no [UNK] rows — not a " +
+      "classProfileTrainOf artifact?")
+    val labels = unk.keys.toSeq.sorted
+    val toks = docs.select(col(idCol).as("_cp_id"),
+        explode(tokensOf(textCol)).as("token"))
+    val nToks = toks.groupBy(col("_cp_id")).agg(count(lit(1)).as("n_toks"))
+    // matched mass per (doc, label); labels with zero matched tokens
+    // are reconstructed arithmetically below — no doc×class scaffold
+    val matched = toks
+      .join(model.filter(col("token") =!= UnkToken), Seq("token"))
+      .groupBy(col("_cp_id"), col("label"))
+      .agg(sum(col("w_e12")).as("sum_w"), count(lit(1)).as("n_matched"))
+    // per-label full score = matched + (n_toks − n_matched)·unk(label);
+    // a label absent from `matched` scores n_toks·unk(label). Each
+    // left-join row carries ONE matched label (or null); for label l
+    // the row where `label` == l evaluates the true score and every
+    // other row the all-unk floor, which is always ≤ it (every matched
+    // weight ≥ the same label's unk weight by construction) — so the
+    // per-doc argmax is ONE ordered max over per-row label candidates:
+    // map-side combinable, no per-doc window, no doc×class scaffold.
+    val perLabel = nToks.join(matched, Seq("_cp_id"), "left")
+    val cand = labels.map { l =>
+      struct(
+        (coalesce(when(col("label") === l, col("sum_w")), lit(0L)) +
+          (col("n_toks") -
+            coalesce(when(col("label") === l, col("n_matched")), lit(0L))) *
+            unk(l)).as("s"),
+        lit(l).as("l"))
+    }
+    val rowBest = if (cand.size == 1) cand.head else greatest(cand: _*)
+    perLabel
+      .groupBy(col("_cp_id"))
+      .agg(max(rowBest).as("best"))
+      .select(col("_cp_id").as(idCol), col("best.l").as("pred"),
+        col("best.s").as("score_e12"))
+  }
+
+  // ---------------------------------------------------------------
+  // Model artifact — the (label, token, w_e12) frame as a reloadable
+  // parquet (the tokenizer-vocabulary / PSL artifact pattern).
+  // ---------------------------------------------------------------
+
+  def writeClassProfileArtifact(model: DataFrame, path: String): Unit = {
+    val cols = model.columns.toSet
+    require(Set("label", "token", "w_e12").subsetOf(cols),
+      s"class-profile artifact needs label/token/w_e12 columns, got $cols")
+    model.select(col("label").cast("string"), col("token").cast("string"),
+        col("w_e12").cast("long"))
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadClassProfileArtifact(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  // ---------------------------------------------------------------
+  // Oracle-gated fixture queries
+  // ---------------------------------------------------------------
+
+  private def trainDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+
+  private def testDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") % 5 === 0)
+
+  /** The trained model itself — exactness of the train step. */
+  def classProfileModel(s: SparkSession, d: String): DataFrame =
+    classProfileTrainOf(trainDocs(s, d), labelCol = "source")
+      .orderBy(col("label"), col("token"))
+
+  /** Held-out scoring — train on doc_id%5≠0 labeled by `source`,
+    * predict the rest. */
+  def classProfileClassify(s: SparkSession, d: String): DataFrame =
+    classProfileScoreOf(testDocs(s, d),
+        classProfileTrainOf(trainDocs(s, d), labelCol = "source"))
+      .orderBy(col("doc_id"))
+
+  private val modelCtes =
+    """tr AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |toks AS (SELECT source AS label,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM tr),
+      |cnt AS (SELECT label, token, count(*) AS cnt
+      |  FROM toks GROUP BY label, token),
+      |vsz AS (SELECT count(DISTINCT token) AS v FROM cnt),
+      |withunk AS (
+      |  SELECT label, token, cnt FROM cnt
+      |  UNION ALL
+      |  SELECT DISTINCT label, '[UNK]' AS token, 0 AS cnt FROM cnt),
+      |model AS (SELECT label, token,
+      |    CAST((cnt + 1)::HUGEINT * 1000000000000
+      |      // (sum(cnt) OVER (PARTITION BY label) + (SELECT v FROM vsz))
+      |      AS BIGINT) AS w_e12
+      |  FROM withunk)""".stripMargin
+
+  private val classProfileModelOracle =
+    s"""WITH $modelCtes
+       |SELECT label, token, w_e12 FROM model
+       |ORDER BY label, token""".stripMargin
+
+  private val classProfileClassifyOracle =
+    s"""WITH $modelCtes,
+       |te AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |ttoks AS (SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+       |  FROM te),
+       |nt AS (SELECT doc_id, count(*) AS n_toks FROM ttoks GROUP BY doc_id),
+       |labs AS (SELECT DISTINCT label FROM model),
+       |unk AS (SELECT label, w_e12 AS unk_e12 FROM model WHERE token = '[UNK]'),
+       |matched AS (SELECT t.doc_id, m.label,
+       |    sum(m.w_e12) AS sum_w, count(*) AS n_matched
+       |  FROM ttoks t JOIN model m ON t.token = m.token AND m.token <> '[UNK]'
+       |  GROUP BY t.doc_id, m.label),
+       |perlab AS (SELECT nt.doc_id, l.label,
+       |    coalesce(ma.sum_w, 0)
+       |      + (nt.n_toks - coalesce(ma.n_matched, 0)) * u.unk_e12 AS score
+       |  FROM nt CROSS JOIN labs l
+       |  JOIN unk u ON u.label = l.label
+       |  LEFT JOIN matched ma ON ma.doc_id = nt.doc_id AND ma.label = l.label),
+       |best AS (SELECT doc_id, label, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, label DESC) AS rn
+       |  FROM perlab)
+       |SELECT doc_id, label AS pred, CAST(score AS BIGINT) AS score_e12
+       |FROM best WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "class_profile_model" -> (classProfileModel _),
+    "class_profile_classify" -> (classProfileClassify _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "class_profile_model" -> classProfileModelOracle,
+    "class_profile_classify" -> classProfileClassifyOracle,
+  )
+}

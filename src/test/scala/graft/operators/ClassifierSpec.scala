@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins Classifier's class-profile train/score semantics: exact
+  * hand-computed weights, multinomial tf, unseen-token and tie paths,
+  * agreement with driver-side StrictMath log-NB on a separable corpus,
+  * and the model-artifact round trip. */
+class ClassifierSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[(String, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("label", "text")
+  }
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private lazy val train = df(Seq(
+    "pos" -> "good good great",
+    "neg" -> "bad awful"))
+
+  test("train: exact Laplace-smoothed e12 weights incl [UNK] rows") {
+    val m = Classifier.classProfileTrainOf(train)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // V = 4; pos: N=3 → denom 7; neg: N=2 → denom 6
+    assert(m(("pos", "good"))  === 3000000000000L / 7)
+    assert(m(("pos", "great")) === 2000000000000L / 7)
+    assert(m(("pos", "[UNK]")) === 1000000000000L / 7)
+    assert(m(("neg", "bad"))   === 2000000000000L / 6)
+    assert(m(("neg", "awful")) === 2000000000000L / 6)
+    assert(m(("neg", "[UNK]")) === 1000000000000L / 6)
+    assert(m.size === 6)
+  }
+
+  test("score: matched sums, multinomial tf, unseen remainder, argmax") {
+    val model = Classifier.classProfileTrainOf(train)
+    val got = Classifier.classProfileScoreOf(docs(Seq(
+        1L -> "good great",   // clearly pos
+        2L -> "bad bad",      // tf-weighted neg (bad counted twice)
+        3L -> "good zzz")),   // one match + one unk
+      model).collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === ("pos", 3000000000000L / 7 + 2000000000000L / 7))
+    assert(got(2L) === ("neg", 2 * (2000000000000L / 6)))
+    assert(got(3L) === ("pos", 3000000000000L / 7 + 1000000000000L / 7))
+  }
+
+  test("all-unseen doc scores n_toks·unk; exact tie breaks to largest label") {
+    // unk(neg) = 1e12/6 > unk(pos) = 1e12/7 — smaller class, larger unk
+    val got = Classifier.classProfileScoreOf(docs(Seq(9L -> "zzz qqq")),
+      Classifier.classProfileTrainOf(train)).head()
+    assert(got.getString(1) === "neg")
+    assert(got.getLong(2) === 2 * (1000000000000L / 6))
+    // symmetric classes → identical unk weights → tie → largest label
+    val tied = Classifier.classProfileScoreOf(docs(Seq(1L -> "q")),
+      Classifier.classProfileTrainOf(df(Seq("a" -> "x", "b" -> "y")))).head()
+    assert(tied.getString(1) === "b")
+  }
+
+  test("agreement with StrictMath multinomial log-NB on a separable corpus") {
+    val trainRows = Seq(
+      "pos" -> "good great fine good solid great",
+      "pos" -> "good nice fine",
+      "neg" -> "bad awful poor bad",
+      "neg" -> "awful poor grim")
+    val testRows = Seq(
+      10L -> "good fine nice", 11L -> "awful grim bad",
+      12L -> "great solid good good", 13L -> "poor poor grim")
+    // driver-side reference: argmax_c Σ_t ln((cnt(t,c)+1)/(N_c+V))
+    val cnts = trainRows.flatMap { case (l, t) => t.split(" ").map(l -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nC = cnts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = cnts.keys.map(_._2).toSet.size
+    def nbPred(text: String): String =
+      nC.keys.toSeq.sorted.map { c =>
+        val s = text.split(" ").map { t =>
+          StrictMath.log((cnts.getOrElse((c, t), 0L) + 1).toDouble / (nC(c) + v))
+        }.sum
+        (s, c)
+      }.max._2
+    val got = Classifier.classProfileScoreOf(docs(testRows),
+        Classifier.classProfileTrainOf(df(trainRows)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    testRows.foreach { case (id, text) =>
+      assert(got(id) === nbPred(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("model artifact round-trips and scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("cpmodel").toString
+    val model = Classifier.classProfileTrainOf(
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0),
+      labelCol = "source")
+    Classifier.writeClassProfileArtifact(model, dir)
+    val reloaded = Classifier.loadClassProfileArtifact(spark, dir)
+    assert(reloaded.collect().toSet === model.collect().toSet)
+    val te = graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 5 === 0)
+    val a = Classifier.classProfileScoreOf(te, model).collect().toSet
+    val b = Classifier.classProfileScoreOf(te, reloaded).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("artifact writer rejects frames missing the model columns") {
+    val bad = df(Seq("a" -> "b"))
+    assertThrows[IllegalArgumentException] {
+      Classifier.writeClassProfileArtifact(bad, "/tmp/never-written")
+    }
+  }
+}
