@@ -10,22 +10,39 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.flagshipRevenue(spark, "/root/testdata/sf0.001")
 
+  /** Single authoritative module registry. Both `queries` and `oracleSql`
+    * (and SparkEntrySpec's uniqueness/coverage asserts) derive from this
+    * one list, so adding a module here is the ONLY step — a module that
+    * merges into `queries` but is invisible to the spec (the r12 defect)
+    * is structurally impossible. */
+  val modules: Seq[(String,
+      Map[String, (SparkSession, String) => DataFrame],
+      Map[String, String])] = Seq(
+    ("Relational", Relational.queries, Relational.oracles),
+    ("Events", Events.queries, Events.oracles),
+    ("TextAnalysis", TextAnalysis.queries, TextAnalysis.oracles),
+    ("Dedup", Dedup.queries, Dedup.oracles),
+    ("Similarity", Similarity.queries, Similarity.oracles),
+    ("Multimodal", Multimodal.queries, Multimodal.oracles),
+    ("AdvancedOps", AdvancedOps.queries, AdvancedOps.oracles),
+    ("ScalarFuncs", ScalarFuncs.queries, ScalarFuncs.oracles),
+    ("Profiling", Profiling.queries, Profiling.oracles),
+    ("Curation", Curation.queries, Curation.oracles),
+    ("Bpe", Bpe.queries, Bpe.oracles),
+    ("NgramLm", NgramLm.queries, NgramLm.oracles),
+    ("UrlOps", UrlOps.queries, UrlOps.oracles),
+    ("GraphOps", GraphOps.queries, GraphOps.oracles),
+    ("PublicSuffix", PublicSuffix.queries, PublicSuffix.oracles),
+    ("RobotsOps", RobotsOps.queries, RobotsOps.oracles),
+    ("Unigram", Unigram.queries, Unigram.oracles),
+    ("Classifier", Classifier.queries, Classifier.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      AdvancedOps.queries ++ ScalarFuncs.queries ++ Profiling.queries ++
-      Curation.queries ++ Bpe.queries ++ NgramLm.queries ++ UrlOps.queries ++
-      GraphOps.queries ++ PublicSuffix.queries ++ RobotsOps.queries ++
-      Unigram.queries ++ Classifier.queries
+    modules.iterator.map(_._2).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      AdvancedOps.oracles ++ ScalarFuncs.oracles ++ Profiling.oracles ++
-      Curation.oracles ++ Bpe.oracles ++ NgramLm.oracles ++ UrlOps.oracles ++
-      GraphOps.oracles ++ PublicSuffix.oracles ++ RobotsOps.oracles ++
-      Unigram.oracles ++ Classifier.oracles
+    modules.iterator.map(_._3).reduce(_ ++ _)
 }

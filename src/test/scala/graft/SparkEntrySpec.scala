@@ -6,23 +6,25 @@ import graft.operators._
 /** Contract invariants for the driver entry point. */
 class SparkEntrySpec extends AnyFunSuite {
 
-  private val modules: Seq[(String, Map[String, _])] = Seq(
-    "Relational" -> Relational.queries, "Events" -> Events.queries,
-    "TextAnalysis" -> TextAnalysis.queries, "Dedup" -> Dedup.queries,
-    "Similarity" -> Similarity.queries, "Multimodal" -> Multimodal.queries,
-    "AdvancedOps" -> AdvancedOps.queries, "ScalarFuncs" -> ScalarFuncs.queries,
-    "Profiling" -> Profiling.queries, "Curation" -> Curation.queries,
-    "Bpe" -> Bpe.queries, "NgramLm" -> NgramLm.queries,
-    "UrlOps" -> UrlOps.queries, "GraphOps" -> GraphOps.queries,
-    "PublicSuffix" -> PublicSuffix.queries,
-    "RobotsOps" -> RobotsOps.queries,
-    "Unigram" -> Unigram.queries)
+  // Derived from SparkEntry.modules — the single authoritative registry —
+  // so a module merged into SparkEntry.queries is automatically covered
+  // here (the r12 defect: Classifier landed in SparkEntry but this spec's
+  // private copy of the list was never extended).
+  private val modules: Seq[(String, Map[String, _])] =
+    SparkEntry.modules.map { case (name, qs, _) => name -> qs }
 
   test("query names are globally unique (Map ++ would silently shadow)") {
     val all = modules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)
     assert(dups.isEmpty, s"duplicate query names across modules: $dups")
     assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("oracle keys are globally unique across modules") {
+    val all = SparkEntry.modules.flatMap { case (m, _, os) => os.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicate oracle names across modules: $dups")
+    assert(SparkEntry.oracleSql.size == all.size)
   }
 
   test("SURVEY ledger line matches the code surface (no count drift)") {
