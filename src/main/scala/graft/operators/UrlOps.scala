@@ -500,67 +500,113 @@ object UrlOps {
   // prevention; every production fetcher refuses loopback/private/
   // link-local targets so a crawled page can't point the fleet at
   // internal endpoints): classify scheme, userinfo smuggling
-  // (`https://trusted.com@evil.io/`), IPv4-literal hosts with exact
-  // range arithmetic (RFC 1918 10/8 + 172.16/12 + 192.168/16,
-  // loopback 127/8, link-local 169.254/16, this-net 0/8), localhost
-  // by name, and non-standard ports. One narrow map — regex captures
-  // + integer octet arithmetic, no shuffle; the regexes mirror the
-  // RobotsOps host-capture family (userinfo skipped, stop at
-  // /:?#). IPv6 literals and DNS-resolved private targets are out of
-  // scope by documented design (resolution happens fetch-side).
+  // (`https://trusted.com@evil.io/`), numeric-host IPv4 literals in
+  // EVERY inet_aton form — dotted quad, decimal (`2130706433`), hex
+  // (`0x7f000001`), octal (`0177.0.0.1`), and 1/2/3-part shorthand
+  // (`127.1`) — normalized to a single ip_value with exact range
+  // arithmetic (RFC 1918 10/8 + 172.16/12 + 192.168/16, loopback
+  // 127/8, link-local 169.254/16, this-net 0/8), localhost by name
+  // (a single trailing FQDN dot is stripped first, so `localhost.`
+  // is caught), bracketed IPv6 literals (rejected outright), and
+  // non-standard ports. An all-numeric host that does NOT normalize
+  // (overflowing octet `999.1.1.1`, five parts, `089` bad octal)
+  // fails closed — inet_aton would reject it, so a fetcher falling
+  // back to DNS is the only path, and we refuse to guess. One narrow
+  // map — regex captures + higher-order integer folds, no shuffle.
+  // Out of scope by documented design: DNS names resolving to
+  // private IPs (resolution happens fetch-side) and hosts with empty
+  // dot-labels (`127..1` — unresolvable by both inet_aton and DNS).
   // ---------------------------------------------------------------
 
-  /** Adds (scheme, host, has_userinfo, port, is_ip_literal, ip_value,
-    * is_private, fetch_safe) to a `url` frame. `is_private` is true
-    * only for an IPv4 literal inside the blocked ranges; `fetch_safe`
-    * is the gate verdict: http(s), a host, no userinfo, not a blocked
-    * IP, not localhost, and port absent or in {80, 443, 8080}. */
+  /** inet_aton part parser as a Spark SQL expression over lambda var
+    * `pp`: hex (0x, 1-8 digits), octal (leading 0, 1-11 digits),
+    * decimal (no leading zero, 1-10 digits); anything else NULL.
+    * Pure integer folds — deterministic, codegen-adjacent. */
+  private val parseIpPartSpark =
+    """CASE
+      |  WHEN pp RLIKE '^0[xX][0-9a-fA-F]{1,8}$' THEN
+      |    aggregate(sequence(3, length(pp)), CAST(0 AS BIGINT),
+      |      (acc, i) -> acc * 16 +
+      |        CAST(instr('0123456789abcdef', substr(lower(pp), i, 1)) AS BIGINT) - 1)
+      |  WHEN pp RLIKE '^0[0-7]{1,11}$' THEN
+      |    aggregate(sequence(2, length(pp)), CAST(0 AS BIGINT),
+      |      (acc, i) -> acc * 8 + CAST(substr(pp, i, 1) AS BIGINT))
+      |  WHEN pp RLIKE '^[1-9][0-9]{0,9}$' OR pp = '0' THEN CAST(pp AS BIGINT)
+      |  ELSE CAST(NULL AS BIGINT)
+      |END""".stripMargin
+
+  private val privateRangesSql =
+    """(
+      |  ip_value <= 16777215 OR
+      |  (ip_value >= 167772160  AND ip_value <= 184549375)  OR
+      |  (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
+      |  (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
+      |  (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
+      |  (ip_value >= 3232235520 AND ip_value <= 3232301055))""".stripMargin
+
+  /** Adds (scheme, host, has_userinfo, port, is_numeric_host,
+    * is_ip_literal, ip_value, is_private, fetch_safe) to a `url`
+    * frame. `is_ip_literal` is true iff the host is an all-numeric
+    * form that inet_aton would accept (any base, 1-4 parts);
+    * `ip_value` is its normalized 32-bit value; `is_private` is true
+    * only for a literal inside the blocked ranges; `fetch_safe` is
+    * the gate verdict: http(s), a host, no userinfo, not a blocked
+    * IP, not a bracketed IPv6 literal, not an unnormalizable numeric
+    * host, not localhost, and port absent or in {80, 443, 8080}. */
   def urlFetchSafetyOf(urls: DataFrame): DataFrame = {
     val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
     val user = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:([^/@?#]*)@)"
-    // TRY_CAST: AND is not short-circuit under vectorized evaluation
-    // (either engine may run the cast on non-IP hosts); the RLIKE
-    // guard guarantees pure digits wherever the value is USED
-    def oct(i: Int) = s"TRY_CAST(element_at(split(host, '[.]'), $i) AS BIGINT)"
-    val quad = "^[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}\\\\.[0-9]{1,3}$"
     urls
       .withColumn("scheme", expr(
         "lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1), ''))"))
       .withColumn("host", expr(
-        s"lower(nullif(regexp_extract(url, '$auth', 1), ''))"))
+        s"lower(nullif(regexp_replace(nullif(regexp_extract(url, '$auth', 1), ''), '[.]$$', ''), ''))"))
       .withColumn("has_userinfo", expr(
         s"nullif(regexp_extract(url, '$user', 1), '') IS NOT NULL"))
       .withColumn("port", expr(
         s"CAST(nullif(regexp_extract(url, '$auth:([0-9]+)', 2), '') AS INT)"))
-      .withColumn("is_ip_literal", expr(
-        s"host IS NOT NULL AND host RLIKE '$quad'" +
-          s" AND ${oct(1)} <= 255 AND ${oct(2)} <= 255" +
-          s" AND ${oct(3)} <= 255 AND ${oct(4)} <= 255"))
+      .withColumn("h_parts", expr("split(host, '[.]')"))
+      .withColumn("is_numeric_host", expr(
+        "host IS NOT NULL AND forall(h_parts," +
+          " pp -> pp RLIKE '^(0[xX][0-9a-fA-F]+|[0-9]+)$')"))
+      .withColumn("h_vals", expr(
+        s"CASE WHEN is_numeric_host THEN transform(h_parts, pp -> $parseIpPartSpark) END"))
       .withColumn("ip_value", expr(
-        s"CASE WHEN is_ip_literal THEN ${oct(1)} * 16777216 +" +
-          s" ${oct(2)} * 65536 + ${oct(3)} * 256 + ${oct(4)} END"))
-      .withColumn("is_private", expr(
-        """is_ip_literal AND (
-          |  ip_value <= 16777215 OR
-          |  (ip_value >= 167772160  AND ip_value <= 184549375)  OR
-          |  (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
-          |  (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
-          |  (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
-          |  (ip_value >= 3232235520 AND ip_value <= 3232301055))""".stripMargin))
+        """CASE
+          |  WHEN h_vals IS NULL OR exists(h_vals, vv -> vv IS NULL)
+          |    THEN CAST(NULL AS BIGINT)
+          |  WHEN size(h_vals) = 4 AND h_vals[0] <= 255 AND h_vals[1] <= 255
+          |       AND h_vals[2] <= 255 AND h_vals[3] <= 255
+          |    THEN h_vals[0] * 16777216 + h_vals[1] * 65536 + h_vals[2] * 256 + h_vals[3]
+          |  WHEN size(h_vals) = 3 AND h_vals[0] <= 255 AND h_vals[1] <= 255
+          |       AND h_vals[2] <= 65535
+          |    THEN h_vals[0] * 16777216 + h_vals[1] * 65536 + h_vals[2]
+          |  WHEN size(h_vals) = 2 AND h_vals[0] <= 255 AND h_vals[1] <= 16777215
+          |    THEN h_vals[0] * 16777216 + h_vals[1]
+          |  WHEN size(h_vals) = 1 AND h_vals[0] <= 4294967295 THEN h_vals[0]
+          |END""".stripMargin))
+      .withColumn("is_ip_literal", expr("ip_value IS NOT NULL"))
+      .withColumn("is_private", expr(s"is_ip_literal AND $privateRangesSql"))
       .withColumn("fetch_safe", expr(
         """scheme IN ('http', 'https') AND host IS NOT NULL
           |  AND NOT has_userinfo AND NOT coalesce(is_private, false)
+          |  AND NOT (is_numeric_host AND NOT is_ip_literal)
+          |  AND NOT startswith(host, '[')
           |  AND host <> 'localhost'
           |  AND (port IS NULL OR port IN (80, 443, 8080))""".stripMargin))
+      .drop("h_parts", "h_vals")
   }
 
-  /** Fixture: eight rotating shapes — public hosts, RFC 1918 and
+  /** Fixture: sixteen rotating shapes — public hosts, RFC 1918 and
     * public IP literals, credential smuggling, a blocked-range host
     * on an odd port, localhost, a non-http scheme, a standard alt
-    * port. */
+    * port, then the OWASP numeric-host bypass catalog: decimal /
+    * hex / octal / 2-part-shorthand loopback, a bracketed IPv6
+    * literal, a mixed-base link-local, a decimal PUBLIC host (must
+    * stay safe), and an unnormalizable five-part numeric host. */
   def urlFetchSafety(s: SparkSession, d: String): DataFrame =
     urlFetchSafetyOf(Tables.documents(s, d).withColumn("url", expr(
-      """CASE CAST(doc_id % 8 AS INT)
+      """CASE CAST(doc_id % 16 AS INT)
         |  WHEN 0 THEN 'https://Example' || CAST(doc_id % 250 AS STRING) || '.COM/page'
         |  WHEN 1 THEN 'http://10.' || CAST(doc_id % 250 AS STRING) || '.0.5/x'
         |  WHEN 2 THEN 'https://8.8.' || CAST(doc_id % 250 AS STRING) || '.8/dns'
@@ -568,7 +614,15 @@ object UrlOps {
         |  WHEN 4 THEN 'https://192.168.1.' || CAST(doc_id % 200 AS STRING) || ':8443/a'
         |  WHEN 5 THEN 'http://localhost/admin'
         |  WHEN 6 THEN 'ftp://files.example' || CAST(doc_id % 250 AS STRING) || '.com/f'
-        |  ELSE 'https://site' || CAST(doc_id % 250 AS STRING) || '.net:8080/ok'
+        |  WHEN 7 THEN 'https://site' || CAST(doc_id % 250 AS STRING) || '.net:8080/ok'
+        |  WHEN 8 THEN 'http://2130706433/decimal-loopback'
+        |  WHEN 9 THEN 'http://0x7f000001/hex-loopback'
+        |  WHEN 10 THEN 'http://0177.0.0.1/octal-loopback'
+        |  WHEN 11 THEN 'http://127.1/short-loopback'
+        |  WHEN 12 THEN 'http://[::1]/bracket-v6'
+        |  WHEN 13 THEN 'https://0xa9.254.169.254/mixed-linklocal'
+        |  WHEN 14 THEN 'http://134744072/decimal-public'
+        |  ELSE 'http://1.2.3.4.5/five-parts'
         |END""".stripMargin)))
       .select(col("doc_id"), col("scheme"), col("host"), col("has_userinfo"),
         col("port"), col("is_ip_literal"), col("ip_value"),
@@ -578,9 +632,16 @@ object UrlOps {
   private val urlFetchSafetyOracle: String = {
     val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
     val user = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:([^/@?#]*)@)"
-    def oct(i: Int) = s"TRY_CAST(str_split(host, '.')[$i] AS BIGINT)"
+    val ranges =
+      """(
+        |    ip_value <= 16777215 OR
+        |    (ip_value >= 167772160  AND ip_value <= 184549375)  OR
+        |    (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
+        |    (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
+        |    (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
+        |    (ip_value >= 3232235520 AND ip_value <= 3232301055))""".stripMargin
     s"""WITH u AS (SELECT doc_id,
-       |  CASE CAST(doc_id % 8 AS INT)
+       |  CASE CAST(doc_id % 16 AS INT)
        |    WHEN 0 THEN 'https://Example' || CAST(doc_id % 250 AS VARCHAR) || '.COM/page'
        |    WHEN 1 THEN 'http://10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.5/x'
        |    WHEN 2 THEN 'https://8.8.' || CAST(doc_id % 250 AS VARCHAR) || '.8/dns'
@@ -588,44 +649,65 @@ object UrlOps {
        |    WHEN 4 THEN 'https://192.168.1.' || CAST(doc_id % 200 AS VARCHAR) || ':8443/a'
        |    WHEN 5 THEN 'http://localhost/admin'
        |    WHEN 6 THEN 'ftp://files.example' || CAST(doc_id % 250 AS VARCHAR) || '.com/f'
-       |    ELSE 'https://site' || CAST(doc_id % 250 AS VARCHAR) || '.net:8080/ok'
+       |    WHEN 7 THEN 'https://site' || CAST(doc_id % 250 AS VARCHAR) || '.net:8080/ok'
+       |    WHEN 8 THEN 'http://2130706433/decimal-loopback'
+       |    WHEN 9 THEN 'http://0x7f000001/hex-loopback'
+       |    WHEN 10 THEN 'http://0177.0.0.1/octal-loopback'
+       |    WHEN 11 THEN 'http://127.1/short-loopback'
+       |    WHEN 12 THEN 'http://[::1]/bracket-v6'
+       |    WHEN 13 THEN 'https://0xa9.254.169.254/mixed-linklocal'
+       |    WHEN 14 THEN 'http://134744072/decimal-public'
+       |    ELSE 'http://1.2.3.4.5/five-parts'
        |  END AS url FROM documents),
        |p AS (SELECT doc_id, url,
        |  lower(nullif(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1), '')) AS scheme,
-       |  lower(nullif(regexp_extract(url, '$auth', 1), '')) AS host,
+       |  lower(nullif(regexp_replace(nullif(regexp_extract(url, '$auth', 1), ''), '[.]$$', ''), '')) AS host,
        |  nullif(regexp_extract(url, '$user', 1), '') IS NOT NULL AS has_userinfo,
        |  CAST(nullif(regexp_extract(url, '$auth:([0-9]+)', 2), '') AS INT) AS port
        |  FROM u),
-       |q AS (SELECT *,
-       |  host IS NOT NULL AND regexp_matches(host,
-       |    '^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$$')
-       |    AND ${oct(1)} <= 255 AND ${oct(2)} <= 255
-       |    AND ${oct(3)} <= 255 AND ${oct(4)} <= 255 AS is_ip_literal
-       |  FROM p),
-       |r AS (SELECT *,
-       |  CASE WHEN is_ip_literal THEN ${oct(1)} * 16777216 +
-       |    ${oct(2)} * 65536 + ${oct(3)} * 256 + ${oct(4)} END AS ip_value
-       |  FROM q)
-       |SELECT doc_id, scheme, host, has_userinfo, port, is_ip_literal, ip_value,
-       |  is_ip_literal AND (
-       |    ip_value <= 16777215 OR
-       |    (ip_value >= 167772160  AND ip_value <= 184549375)  OR
-       |    (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
-       |    (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
-       |    (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
-       |    (ip_value >= 3232235520 AND ip_value <= 3232301055)) AS is_private,
+       |sp AS (SELECT *, str_split(host, '.') AS h_parts FROM p),
+       |nh AS (SELECT *, host IS NOT NULL AND len(list_filter(h_parts,
+       |    pp -> NOT regexp_matches(pp, '^(0[xX][0-9a-fA-F]+|[0-9]+)$$'))) = 0
+       |    AS is_numeric_host FROM sp),
+       |hv AS (SELECT *, CASE WHEN is_numeric_host THEN list_transform(h_parts, pp ->
+       |    CASE
+       |      WHEN regexp_matches(pp, '^0[xX][0-9a-fA-F]{1,8}$$') THEN
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(3, length(pp) + 1),
+       |            i -> CAST(strpos('0123456789abcdef', substr(lower(pp), i, 1)) - 1 AS BIGINT))),
+       |          (a, b) -> a * 16 + b)
+       |      WHEN regexp_matches(pp, '^0[0-7]{1,11}$$') THEN
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(2, length(pp) + 1),
+       |            i -> CAST(substr(pp, i, 1) AS BIGINT))),
+       |          (a, b) -> a * 8 + b)
+       |      WHEN regexp_matches(pp, '^[1-9][0-9]{0,9}$$') OR pp = '0' THEN CAST(pp AS BIGINT)
+       |      ELSE CAST(NULL AS BIGINT)
+       |    END) END AS h_vals FROM nh),
+       |iv AS (SELECT *, CASE
+       |    WHEN h_vals IS NULL OR len(list_filter(h_vals, vv -> vv IS NULL)) > 0
+       |      THEN CAST(NULL AS BIGINT)
+       |    WHEN len(h_vals) = 4 AND h_vals[1] <= 255 AND h_vals[2] <= 255
+       |         AND h_vals[3] <= 255 AND h_vals[4] <= 255
+       |      THEN h_vals[1] * 16777216 + h_vals[2] * 65536 + h_vals[3] * 256 + h_vals[4]
+       |    WHEN len(h_vals) = 3 AND h_vals[1] <= 255 AND h_vals[2] <= 255
+       |         AND h_vals[3] <= 65535
+       |      THEN h_vals[1] * 16777216 + h_vals[2] * 65536 + h_vals[3]
+       |    WHEN len(h_vals) = 2 AND h_vals[1] <= 255 AND h_vals[2] <= 16777215
+       |      THEN h_vals[1] * 16777216 + h_vals[2]
+       |    WHEN len(h_vals) = 1 AND h_vals[1] <= 4294967295 THEN h_vals[1]
+       |    END AS ip_value FROM hv)
+       |SELECT doc_id, scheme, host, has_userinfo, port,
+       |  ip_value IS NOT NULL AS is_ip_literal, ip_value,
+       |  ip_value IS NOT NULL AND $ranges AS is_private,
        |  scheme IN ('http', 'https') AND host IS NOT NULL
        |    AND NOT has_userinfo
-       |    AND NOT coalesce(is_ip_literal AND (
-       |      ip_value <= 16777215 OR
-       |      (ip_value >= 167772160  AND ip_value <= 184549375)  OR
-       |      (ip_value >= 2130706432 AND ip_value <= 2147483647) OR
-       |      (ip_value >= 2851995648 AND ip_value <= 2852061183) OR
-       |      (ip_value >= 2886729728 AND ip_value <= 2887778303) OR
-       |      (ip_value >= 3232235520 AND ip_value <= 3232301055)), false)
+       |    AND NOT coalesce(ip_value IS NOT NULL AND $ranges, false)
+       |    AND NOT (is_numeric_host AND ip_value IS NULL)
+       |    AND NOT (host LIKE '[%')
        |    AND host <> 'localhost'
        |    AND (port IS NULL OR port IN (80, 443, 8080)) AS fetch_safe
-       |FROM r ORDER BY doc_id""".stripMargin
+       |FROM iv ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

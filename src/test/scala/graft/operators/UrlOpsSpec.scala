@@ -196,7 +196,7 @@ class UrlOpsSpec extends AnyFunSuite {
       (1L, "https://example.com/ok"),
       // the classic SSRF shape: trusted-looking userinfo, metadata IP
       (2L, "https://trusted.com@169.254.169.254/latest/meta-data"),
-      (3L, "http://999.1.1.1/overflow-octet"),      // NOT an IP literal
+      (3L, "http://999.1.1.1/overflow-octet"),      // numeric, unnormalizable
       (4L, "http://172.15.255.255/public-edge"),    // just below 172.16/12
       (5L, "http://172.16.0.0/private-low"),
       (6L, "http://172.31.255.255/private-high"),
@@ -206,7 +206,21 @@ class UrlOpsSpec extends AnyFunSuite {
       (10L, "https://site.net:31337/odd-port"),
       (11L, "gopher://old.example/"),
       (12L, "not a url at all"),
-      (13L, "http://0.0.0.0/this-net")).toDF("doc_id", "url")
+      (13L, "http://0.0.0.0/this-net"),
+      // OWASP numeric-host bypass catalog — every form must fail closed
+      (14L, "http://2130706433/decimal-loopback"),
+      (15L, "http://0x7f000001/hex-loopback"),
+      (16L, "http://0177.0.0.1/octal-loopback"),
+      (17L, "http://127.1/two-part-shorthand"),
+      (18L, "http://0x7f.0.0.1/mixed-hex-quad"),
+      (19L, "https://0xA9.254.169.254/mixed-metadata"),
+      (20L, "http://[::1]/bracketed-v6-loopback"),
+      (21L, "http://[2001:db8::1]:8080/bracketed-v6"),
+      (22L, "http://127.0.0.1./trailing-dot"),
+      (23L, "http://localhost./trailing-dot-name"),
+      (24L, "http://134744072/decimal-public-8888"),
+      (25L, "http://1.2.3.4.5/five-parts"),
+      (26L, "http://089.0.0.1/bad-octal")).toDF("doc_id", "url")
     val got = UrlOps.urlFetchSafetyOf(urls).collect().map { r =>
       r.getLong(0) -> ((r.getAs[String]("host"), r.getBoolean(r.fieldIndex("has_userinfo")),
         Option(r.getAs[java.lang.Boolean]("is_private")).map(_.booleanValue),
@@ -215,8 +229,8 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(1L) == (("example.com", false, Some(false), true)))
     // userinfo alone must kill it; the link-local IP is also private
     assert(got(2L) == (("169.254.169.254", true, Some(true), false)))
-    assert(got(3L)._3 == Some(false) && got(3L)._4,
-      s"999.x is not an IP literal (DNS may still resolve it; fetch-side job): ${got(3L)}")
+    assert(got(3L)._3 == Some(false) && !got(3L)._4,
+      s"999.x is all-numeric but unnormalizable — must fail closed: ${got(3L)}")
     assert(got(4L)._3 == Some(false) && got(4L)._4, s"172.15 is public: ${got(4L)}")
     assert(got(5L)._3 == Some(true) && !got(5L)._4)
     assert(got(6L)._3 == Some(true) && !got(6L)._4)
@@ -227,6 +241,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got(11L)._4 == false, s"non-http scheme: ${got(11L)}")
     assert(got(12L)._1 == null && !got(12L)._4)
     assert(got(13L)._3 == Some(true) && !got(13L)._4, s"0/8: ${got(13L)}")
+    // the bypass catalog: each numeric-host disguise of a blocked target
+    // must normalize to the same ip_value and be rejected
+    assert(got(14L)._3 == Some(true) && !got(14L)._4, s"decimal 127.0.0.1: ${got(14L)}")
+    assert(got(15L)._3 == Some(true) && !got(15L)._4, s"hex 127.0.0.1: ${got(15L)}")
+    assert(got(16L)._3 == Some(true) && !got(16L)._4, s"octal 127.0.0.1: ${got(16L)}")
+    assert(got(17L)._3 == Some(true) && !got(17L)._4, s"127.1 shorthand: ${got(17L)}")
+    assert(got(18L)._3 == Some(true) && !got(18L)._4, s"0x7f.0.0.1: ${got(18L)}")
+    assert(got(19L)._3 == Some(true) && !got(19L)._4,
+      s"0xA9.254.169.254 = link-local metadata IP: ${got(19L)}")
+    assert(!got(20L)._4, s"bracketed [::1] must be rejected: ${got(20L)}")
+    assert(!got(21L)._4, s"bracketed v6 with port must be rejected: ${got(21L)}")
+    assert(got(22L)._1 == "127.0.0.1" && got(22L)._3 == Some(true) && !got(22L)._4,
+      s"trailing FQDN dot is stripped before the IP check: ${got(22L)}")
+    assert(got(23L)._1 == "localhost" && !got(23L)._4,
+      s"localhost. normalizes to localhost: ${got(23L)}")
+    assert(got(24L)._3 == Some(false) && got(24L)._4,
+      s"decimal 8.8.8.8 is public and must stay fetchable: ${got(24L)}")
+    assert(got(25L)._3 == Some(false) && !got(25L)._4,
+      s"five numeric parts cannot normalize — fail closed: ${got(25L)}")
+    assert(got(26L)._3 == Some(false) && !got(26L)._4,
+      s"089 is invalid octal — fail closed: ${got(26L)}")
     val plan = UrlOps.urlFetchSafetyOf(urls).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"fetch safety must stay a map stage:\n$plan")
   }
