@@ -79,13 +79,17 @@ case class HistogramSketchAgg(
 }
 
 object HistogramSketch {
-  /** Register `hist_sketch(col)` with fixed bins/range for a session. */
+  /** Register `hist_sketch(col)` with fixed bins/range for a session.
+    * Idempotent for repeated same-params calls; different params still
+    * replace (RegistrationMemo keys on the signature). */
   def register(spark: org.apache.spark.sql.SparkSession,
                bins: Int, lo: Double, hi: Double): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hist_sketch",
-      exprs => HistogramSketchAgg(exprs.head, bins, lo, hi).toAggregateExpression(),
-      "scala_udf")
+    RegistrationMemo.once(spark, "hist_sketch", s"$bins,$lo,$hi") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hist_sketch",
+        exprs => HistogramSketchAgg(exprs.head, bins, lo, hi).toAggregateExpression(),
+        "scala_udf")
+    }
 
   /** Approximate quantile from a sketch's bin counts. */
   def quantile(counts: Seq[Long], q: Double, bins: Int, lo: Double, hi: Double): Double = {

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Idempotence guard for session temp-function registration.
+  *
+  * Operators register their Catalyst functions at every entry point
+  * (each `queries` builder must be self-sufficient — the session may be
+  * brand new), which used to call `createOrReplaceTempFunction`
+  * unconditionally and spam "The function X replaced a previously
+  * registered function" WARNs dozens of times per bench/test run. This
+  * memo re-registers only when the (name, params) signature CHANGES on
+  * a session — same params is a no-op, different params (e.g. a spec
+  * registering `hist(bins=100)` then `hist(bins=20)`) still replaces,
+  * so parameterized registrations never silently keep stale builders.
+  *
+  * Weak-keyed per session; values are plain strings, so an idle session
+  * is collectable (unlike SessionMemo's documented strong-value pin). */
+object RegistrationMemo {
+  private val memo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, String]]()
+
+  /** Run `register` unless `name` is already registered on `s` with the
+    * same `params` signature. Registration runs inside the lock — it is
+    * a driver-side registry map update, cheap by construction. */
+  def once(s: SparkSession, name: String, params: String)(register: => Unit): Unit =
+    synchronized {
+      val m = memo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+      if (!m.get(name).contains(params)) {
+        register
+        m.update(name, params)
+      }
+    }
+}

@@ -199,13 +199,16 @@ object TDigestAgg {
     * instead of throwing ClassCastException mid-task. */
   def register(spark: org.apache.spark.sql.SparkSession,
                compression: Double, quantiles: Seq[Double]): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tdigest_quantiles",
-      { exprs =>
-        require(exprs.length == 1, s"tdigest_quantiles takes 1 argument, got ${exprs.length}")
-        TDigestAgg(
-          org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType),
-          compression, quantiles).toAggregateExpression()
-      },
-      "scala_udf")
+    RegistrationMemo.once(spark, "tdigest_quantiles",
+      s"$compression|${quantiles.mkString(" ")}") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "tdigest_quantiles",
+        { exprs =>
+          require(exprs.length == 1, s"tdigest_quantiles takes 1 argument, got ${exprs.length}")
+          TDigestAgg(
+            org.apache.spark.sql.catalyst.expressions.Cast(exprs.head, DoubleType),
+            compression, quantiles).toAggregateExpression()
+        },
+        "scala_udf")
+    }
 }

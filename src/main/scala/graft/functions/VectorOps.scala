@@ -69,11 +69,15 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 object VectorOps {
-  /** Register `vec_dot` in the session's function registry and return a
-    * Column-builder. Registration is idempotent. */
+  /** Register `vec_dot` in the session's function registry. Idempotent
+    * per session (RegistrationMemo) — operators call this at every
+    * entry point, and without the guard each call logged a "replaced a
+    * previously registered function" WARN. */
   def registerVecDot(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    RegistrationMemo.once(spark, "vec_dot", "") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    }
 
   /** `vec_dot(a, b)` as a Column (requires registerVecDot on the session
     * first; operators call it from their query builders). */
