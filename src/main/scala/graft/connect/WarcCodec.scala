@@ -1,6 +1,6 @@
 package graft.connect
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC container codec (ISO 28500 / the IIPC warc-specifications —
@@ -22,17 +22,17 @@ import org.apache.spark.sql.functions._
   * line, then parses headers/block/HTTP with expression-only ops.
   * Both sides scale as plain scans; gzip transparently supported.
   *
-  * Fidelity and caveats (the WetCodec contract, inherited knowingly):
-  * Content-Length slices by CHARACTER count — exact for the codec's
-  * own round trip and for ASCII payloads; real WARC counts BYTES, so
-  * multibyte payloads from foreign files shift the slice (a
-  * byte-exact reader needs a length-aware binary input format, which
-  * this deliberately does not replace). A payload containing the
-  * record delimiter sequence splits the record — same class of
-  * constraint CSV places on unquoted payloads; spec-pinned. WARC-Date
-  * is parsed when present but not written (records carry a
-  * deterministic WARC-Record-ID derived from the url instead, keeping
-  * round trips oracle-exact). */
+  * Framing is BYTE-exact (ISO 28500 §4: Content-Length counts octets):
+  * write stamps `octet_length`, read slices the UTF-8 byte image with
+  * binary `substring` and decodes the slice — so multibyte payloads
+  * (real CommonCrawl is foreign-language-heavy) frame exactly, both on
+  * this codec's own records and on spec-conformant external ones. The
+  * remaining caveat, inherent to delimiter-split reading: a payload
+  * containing the record delimiter sequence splits the record — the
+  * same class of constraint CSV places on unquoted payloads;
+  * spec-pinned. WARC-Date is parsed when present but not written
+  * (records carry a deterministic WARC-Record-ID derived from the url
+  * instead, keeping round trips oracle-exact). */
 object WarcCodec {
 
   private val Version = "WARC/1.0"
@@ -44,7 +44,9 @@ object WarcCodec {
     * it with the WARC header block; the write lineSep supplies the
     * spec's two-CRLF record trailer. CR/LF in the url would split the
     * header block (the WetCodec header-injection mode), so they
-    * collapse to a space before entering the record. */
+    * collapse to a space before entering the record. Both
+    * Content-Length headers count BYTES of the UTF-8 encoding, per
+    * spec. */
   def write(pages: DataFrame, dir: String, codec: String = "none"): Unit = {
     val status =
       if (pages.columns.contains("status")) col("status").cast("int")
@@ -53,7 +55,7 @@ object WarcCodec {
     val httpBlock = concat(
       lit("HTTP/1.1 "), status, lit(" OK" + CRLF),
       lit("Content-Type: text/html" + CRLF),
-      lit("Content-Length: "), length(col("body")).cast("string"),
+      lit("Content-Length: "), octet_length(col("body")).cast("string"),
       lit(CRLF + CRLF), col("body"))
     pages.select(concat(
         lit(Version + CRLF),
@@ -61,12 +63,37 @@ object WarcCodec {
         lit("WARC-Record-ID: <urn:graft:"), md5(col("url")), lit(">" + CRLF),
         lit("WARC-Target-URI: "), url, lit(CRLF),
         lit("Content-Type: application/http; msgtype=response" + CRLF),
-        lit("Content-Length: "), length(httpBlock).cast("string"),
+        lit("Content-Length: "), octet_length(httpBlock).cast("string"),
         lit(CRLF + CRLF), httpBlock).as("value"))
       .write.mode("overwrite")
       .option("compression", codec).option("lineSep", CRLF + CRLF)
       .text(dir)
   }
+
+  /** Records under `dir` as uniform strings (version line stripped). */
+  private def records(s: SparkSession, dir: String): DataFrame =
+    // lineSep splits BETWEEN records (trailer CRLFs + the next
+    // version line); the first record of each file keeps its leading
+    // version line — strip it so records are uniform.
+    // a file's LAST record keeps the write lineSep's trailer CRLFs —
+    // harmless: the Content-Length framing below never reads past the
+    // block, so no trim (a trim would eat a body's own trailing CRLFs)
+    s.read.option("lineSep", CRLF + CRLF + Version + CRLF).text(dir)
+      .select(regexp_replace(col("value"),
+        "^" + java.util.regex.Pattern.quote(Version + CRLF), "").as("rec"))
+
+  /** Common projection from a parsed (hdrs, block, body) layout. */
+  private def project(withBody: DataFrame): DataFrame =
+    withBody.select(
+      expr("regexp_extract(hdrs, '(?m)^WARC-Type: ([^\\r\\n]*)', 1)")
+        .as("warc_type"),
+      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Target-URI: ([^\\r\\n]*)', 1), '')")
+        .as("url"),
+      expr("CAST(nullif(regexp_extract(block, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS INT)")
+        .as("status"),
+      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Date: ([^\\r\\n]*)', 1), '')")
+        .as("warc_date"),
+      col("body"))
 
   /** WARC records under `dir` → (warc_type, url, status, warc_date,
     * body). Non-response records (warcinfo, request, metadata…)
@@ -76,36 +103,59 @@ object WarcCodec {
     * falls back to the rest of the block (real responses may be
     * chunked / unframed); the WARC Content-Length always frames the
     * block itself, so internal blank lines and CRLF runs inside the
-    * body are exact. */
+    * body are exact.
+    *
+    * BYTE-exact slicing: Content-Length counts octets (ISO 28500 §4),
+    * so the record is re-encoded to its UTF-8 byte image and the block
+    * and body are cut with binary `substring` at byte offsets
+    * (`octet_length` of the header prefix + the 4-byte CRLF CRLF gap),
+    * then decoded back. Expression-only, still one narrow scan. */
   def read(s: SparkSession, dir: String): DataFrame = {
-    // lineSep splits BETWEEN records (trailer CRLFs + the next
-    // version line); the first record of each file keeps its leading
-    // version line — strip it so records are uniform
-    // a file's LAST record keeps the write lineSep's trailer CRLFs —
-    // harmless: the Content-Length framing below never reads past the
-    // block, so no trim (a trim would eat a body's own trailing CRLFs)
-    val rec = s.read.option("lineSep", CRLF + CRLF + Version + CRLF).text(dir)
-      .select(regexp_replace(col("value"),
-        "^" + java.util.regex.Pattern.quote(Version + CRLF), "").as("rec"))
-    val withBlock = rec.select(
+    val withBlock = records(s, dir).select(
+      col("rec"),
+      expr("encode(rec, 'UTF-8')").as("rb"),
+      expr("substring_index(rec, '\\r\\n\\r\\n', 1)").as("hdrs"))
+      .select(
+        col("hdrs"),
+        // block = WARC Content-Length BYTES after the first blank line
+        expr("substring(rb, octet_length(hdrs) + 5, " +
+          "CAST(regexp_extract(hdrs, '(?m)^Content-Length: ([0-9]+)', 1) AS INT))")
+          .as("block_bin"))
+      .select(col("hdrs"), col("block_bin"),
+        expr("decode(block_bin, 'UTF-8')").as("block"))
+    val withBody = withBlock.select(
+      col("hdrs"), col("block"),
+      when(col("block").rlike("^HTTP/"),
+        // HTTP envelope strip: body = inner Content-Length BYTES after
+        // the HTTP headers' blank line, else the whole rest
+        expr("CASE WHEN regexp_extract(substring_index(block, '\\r\\n\\r\\n', 1), " +
+          "'(?m)^Content-Length: ([0-9]+)', 1) <> '' THEN " +
+          "decode(substring(block_bin, " +
+          "octet_length(substring_index(block, '\\r\\n\\r\\n', 1)) + 5, " +
+          "CAST(regexp_extract(substring_index(block, '\\r\\n\\r\\n', 1), " +
+          "'(?m)^Content-Length: ([0-9]+)', 1) AS INT)), 'UTF-8') ELSE " +
+          "decode(substring(block_bin, " +
+          "octet_length(substring_index(block, '\\r\\n\\r\\n', 1)) + 5, " +
+          "octet_length(block_bin)), 'UTF-8') END"))
+        .otherwise(col("block")).as("body"))
+    project(withBody)
+  }
+
+  /** The pre-byte-exact read path — Content-Length sliced by CHARACTER
+    * count. Kept (package-private) purely as the differential-testing
+    * baseline: on pure-ASCII records it must agree with [[read]]
+    * bit-for-bit, which the spec pins; on multibyte payloads it
+    * mis-frames, which is exactly why [[read]] replaced it. */
+  private[graft] def readCharSliced(s: SparkSession, dir: String): DataFrame = {
+    val withBlock = records(s, dir).select(
       expr("substring_index(rec, '\\r\\n\\r\\n', 1)").as("hdrs"),
-      // block = WARC Content-Length chars after the first blank line
       expr("substring(" +
         "substring(rec, length(substring_index(rec, '\\r\\n\\r\\n', 1)) + 5), " +
         "1, CAST(regexp_extract(substring_index(rec, '\\r\\n\\r\\n', 1), " +
         "'(?m)^Content-Length: ([0-9]+)', 1) AS INT))").as("block"))
-    withBlock.select(
-      expr("regexp_extract(hdrs, '(?m)^WARC-Type: ([^\\r\\n]*)', 1)")
-        .as("warc_type"),
-      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Target-URI: ([^\\r\\n]*)', 1), '')")
-        .as("url"),
-      expr("CAST(nullif(regexp_extract(block, '^HTTP/[0-9.]+ ([0-9]{3})', 1), '') AS INT)")
-        .as("status"),
-      expr("nullif(regexp_extract(hdrs, '(?m)^WARC-Date: ([^\\r\\n]*)', 1), '')")
-        .as("warc_date"),
+    val withBody = withBlock.select(
+      col("hdrs"), col("block"),
       when(col("block").rlike("^HTTP/"),
-        // HTTP envelope strip: body = inner Content-Length chars
-        // after the HTTP headers' blank line, else the whole rest
         expr("CASE WHEN regexp_extract(substring_index(block, '\\r\\n\\r\\n', 1), " +
           "'(?m)^Content-Length: ([0-9]+)', 1) <> '' THEN " +
           "substring(" +
@@ -114,5 +164,6 @@ object WarcCodec {
           "'(?m)^Content-Length: ([0-9]+)', 1) AS INT)) ELSE " +
           "substring(block, length(substring_index(block, '\\r\\n\\r\\n', 1)) + 5) END"))
         .otherwise(col("block")).as("body"))
+    project(withBody)
   }
 }

@@ -16,17 +16,18 @@ import org.apache.spark.sql.functions._
   * expression-only ops, so both sides scale as plain scans.
   *
   * Payload fidelity: the payload is sliced by the Content-Length
-  * header (character count — real WET uses bytes; characters keep the
-  * slicing expression-portable), so internal newlines, blank lines and
-  * the writer's record-joining newline are all handled exactly. The
-  * ONE caveat, inherent to delimiter-split reading: a payload
-  * containing the record delimiter sequence ("\nWET/1.0\n") splits the
-  * record — the same class of constraint CSV places on unquoted
-  * payloads. Real WARC readers avoid it by honoring Content-Length
-  * with a custom record reader; at that point the split happens at
-  * arbitrary offsets and needs a length-aware input format, which this
-  * codec deliberately does not replace. The spec pins the documented
-  * failure mode.
+  * header counting BYTES of the UTF-8 encoding — what real WET means —
+  * via binary `substring` over the record's re-encoded byte image
+  * (same technique as WarcCodec), so internal newlines, blank lines,
+  * the writer's record-joining newline, AND multibyte payloads are all
+  * handled exactly. The ONE caveat, inherent to delimiter-split
+  * reading: a payload containing the record delimiter sequence
+  * ("\nWET/1.0\n") splits the record — the same class of constraint
+  * CSV places on unquoted payloads. Real WARC readers avoid it by
+  * honoring Content-Length with a custom record reader; at that point
+  * the split happens at arbitrary offsets and needs a length-aware
+  * input format, which this codec deliberately does not replace. The
+  * spec pins the documented failure mode.
   */
 object WetCodec {
 
@@ -52,7 +53,7 @@ object WetCodec {
         lit("Doc-Id: "), col("doc_id").cast("string"), lit("\n"),
         lit("Lang: "), hdr(col("lang")), lit("\n"),
         lit("Source: "), hdr(col("source")), lit("\n"),
-        lit("Content-Length: "), length(col("text")).cast("string"),
+        lit("Content-Length: "), octet_length(col("text")).cast("string"),
         lit("\n\n"), col("text")).as("value"))
       .write.mode("overwrite").option("compression", codec).text(dir)
 
@@ -68,12 +69,14 @@ object WetCodec {
         .as("doc_id"),
       expr("regexp_extract(rec, '(?m)^Lang: ([^\\n]*)$', 1)").as("lang"),
       expr("regexp_extract(rec, '(?m)^Source: ([^\\n]*)$', 1)").as("source"),
-      // payload = Content-Length chars after the first blank line —
-      // exact under internal newlines AND the writer's trailing join
-      // newline on each file's last record
-      expr("substring(" +
-        "substring(rec, length(substring_index(rec, '\\n\\n', 1)) + 3), " +
-        "1, CAST(regexp_extract(rec, '(?m)^Content-Length: ([0-9]+)$', 1) AS INT))")
+      // payload = Content-Length BYTES after the first blank line —
+      // exact under internal newlines, the writer's trailing join
+      // newline on each file's last record, AND multibyte text (the
+      // byte image is cut with binary substring, then decoded)
+      expr("decode(substring(encode(rec, 'UTF-8'), " +
+        "octet_length(substring_index(rec, '\\n\\n', 1)) + 3, " +
+        "CAST(regexp_extract(rec, '(?m)^Content-Length: ([0-9]+)$', 1) AS INT)), " +
+        "'UTF-8')")
         .as("text"))
   }
 }

@@ -722,7 +722,7 @@ object Relational {
 
   /** WARC container round trip — raw-crawl ingestion one level below
     * WET (see connect/WarcCodec.scala for the record grammar, the
-    * HTTP-envelope strip, and the character-count Content-Length
+    * HTTP-envelope strip, and the byte-exact Content-Length
     * contract). The url embeds doc_id so the compare key is exact. */
   def warcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -253,6 +253,32 @@ class WetCodecSpec extends AnyFunSuite {
     assert(back.head.getString(2) == "src 9")
     assert(back.head.getString(3) == "payload stays\nintact")
   }
+
+  test("WET framing is byte-exact: multibyte payloads roundtrip; external byte-count records parse") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ru", "s1", "пример\nтекста"),
+      (2L, "zh", "s2", "中文测试，含标点。"),
+      (3L, "mix", "s3", "ascii + 😀 + 日本語\n\ntail"))
+      .toDF("doc_id", "lang", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wet-mb").toString
+    WetCodec.write(docs, dir)
+    val back = WetCodec.read(spark, dir).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(back == Seq((1L, "пример\nтекста"), (2L, "中文测试，含标点。"),
+      (3L, "ascii + 😀 + 日本語\n\ntail")))
+    // an external record whose Content-Length counts BYTES (the spec's
+    // meaning) must slice exactly
+    val payload = "héllo 世界"
+    val raw = s"WET/1.0\nDoc-Id: 7\nLang: fr\nSource: ext\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\n\n$payload"
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-wet-ext")
+    java.nio.file.Files.write(dir2.resolve("f.wet"), raw.getBytes("UTF-8"))
+    val ext = WetCodec.read(spark, dir2.toString).collect().head
+    assert(ext.getLong(0) == 7L && ext.getString(3) == payload,
+      s"byte-count framing must slice exactly: got '${ext.getString(3)}'")
+  }
 }
 
 class WarcCodecSpec extends AnyFunSuite {
@@ -333,5 +359,49 @@ class WarcCodecSpec extends AnyFunSuite {
     val bad = Seq(("https://h.example/evil", "x\r\n\r\nWARC/1.0\r\npayload"))
     assert(roundtrip(bad) != bad.map { case (u, b) => (u, 200, b) },
       "a delimiter-colliding body must visibly corrupt, not silently roundtrip")
+  }
+
+  test("framing is byte-exact: multibyte bodies roundtrip; char path agrees on ASCII only") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    // real CommonCrawl is foreign-language-heavy — 2/3/4-byte UTF-8
+    // (Cyrillic, CJK, emoji) plus a mixed body whose char count and
+    // byte count diverge maximally
+    val multibyte = Seq(
+      ("https://mb.example/ru", "пример текста на русском"),
+      ("https://mb.example/zh", "这是一个中文测试文档，包含标点。"),
+      ("https://mb.example/emoji", "mixed ascii + 😀🌍 + tail"),
+      ("https://mb.example/crlf", "多字节\r\n\r\n内部空行\r\n结尾"))
+    assert(roundtrip(multibyte) ==
+      multibyte.sortBy(_._1).map { case (u, b) => (u, 200, b) },
+      "multibyte bodies must frame byte-exactly")
+
+    // an EXTERNAL spec-conformant record (Content-Length in bytes, not
+    // chars) must parse exactly — this is the case the char path broke
+    val body = "héllo wörld 世界"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Length: ${body.getBytes("UTF-8").length}\r\n\r\n$body"
+    val raw = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://h.example/mb\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n$http\r\n\r\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-mb")
+    java.nio.file.Files.write(dir.resolve("f.warc"), raw.getBytes("UTF-8"))
+    val r = WarcCodec.read(spark, dir.toString).collect().head
+    assert(r.getAs[String]("body") == body,
+      s"byte-count framing must slice exactly: got '${r.getAs[String]("body")}'")
+    // ...and the retained char-sliced baseline visibly mis-frames it
+    val rc = WarcCodec.readCharSliced(spark, dir.toString).collect().head
+    assert(rc.getAs[String]("body") != body,
+      "char-count slicing over a byte-framed multibyte record must diverge")
+
+    // differential check: on pure-ASCII records the two paths agree
+    // bit-for-bit across every column
+    val ascii = Seq(
+      ("https://a.example/1", "plain"),
+      ("https://a.example/2", "crlf\r\nbody\r\n\r\nblank"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-warc-ascii").toString
+    WarcCodec.write(ascii.toDF("url", "body"), dir2)
+    val byteRows = WarcCodec.read(spark, dir2).orderBy("url").collect().toSeq
+    val charRows = WarcCodec.readCharSliced(spark, dir2).orderBy("url").collect().toSeq
+    assert(byteRows == charRows, "byte and char paths must agree on ASCII")
   }
 }
