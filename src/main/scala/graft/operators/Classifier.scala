@@ -28,7 +28,10 @@ import graft.Tables
   * fixed point: (cnt+1)·1e12 is widened to DECIMAL(38,0) (HUGEINT in the
   * oracle) before the DIV, both operands non-negative so truncation ==
   * floor in both engines, and every downstream step is integer adds and
-  * an ordered max. ClassifierSpec pins agreement with driver-side
+  * an ordered max — with the score-side sums ALSO widened to decimal
+  * (the oracle's sum promotes to HUGEINT; a LongType sum would wrap
+  * silently at ~2e7 tokens/doc) and cast back to BIGINT only at the
+  * output column. ClassifierSpec pins agreement with driver-side
   * StrictMath log-NB on a separable hand corpus and documents where the
   * two readings can part.
   *
@@ -62,8 +65,17 @@ object Classifier {
       .agg(count(lit(1)).as("cnt"))
     // corpus vocabulary size — ONE driver scalar (the tfidf N,T
     // pattern; a crossJoin against the 1-row agg would plan the
-    // forbidden BNLJ)
-    val v = cnt.select(countDistinct(col("token"))).head.getLong(0)
+    // forbidden BNLJ). The same pass enforces the [UNK] precondition:
+    // a corpus containing the literal sentinel would produce duplicate
+    // (label, '[UNK]') model rows whose resolution differs between
+    // engines (driver-side map picks one arbitrarily; the oracle's unk
+    // join duplicates rows) — fail loudly instead of diverging.
+    val agg = cnt.agg(countDistinct(col("token")).as("v"),
+      count(when(col("token") === UnkToken, 1)).as("n_unk")).head
+    val v = agg.getLong(0)
+    require(agg.getLong(1) == 0L,
+      s"training corpus contains a literal '$UnkToken' token — the " +
+        "sentinel is reserved; pre-scrub the corpus (Unigram convention)")
     // N_c rides a label-keyed window over the model-sized count frame
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
     val withUnk = cnt
@@ -94,10 +106,14 @@ object Classifier {
     val nToks = toks.groupBy(col("_cp_id")).agg(count(lit(1)).as("n_toks"))
     // matched mass per (doc, label); labels with zero matched tokens
     // are reconstructed arithmetically below — no doc×class scaffold
+    // sum widened to DECIMAL(38,0) BEFORE accumulating (the Similarity
+    // precedent; the oracle's sum promotes to HUGEINT) — a LongType sum
+    // would wrap silently in non-ANSI mode at ~2e7 tokens/doc
     val matched = toks
       .join(model.filter(col("token") =!= UnkToken), Seq("token"))
       .groupBy(col("_cp_id"), col("label"))
-      .agg(sum(col("w_e12")).as("sum_w"), count(lit(1)).as("n_matched"))
+      .agg(sum(col("w_e12").cast("decimal(28,0)")).as("sum_w"),
+        count(lit(1)).as("n_matched"))
     // per-label full score = matched + (n_toks − n_matched)·unk(label);
     // a label absent from `matched` scores n_toks·unk(label). Each
     // left-join row carries ONE matched label (or null); for label l
@@ -109,10 +125,11 @@ object Classifier {
     val perLabel = nToks.join(matched, Seq("_cp_id"), "left")
     val cand = labels.map { l =>
       struct(
-        (coalesce(when(col("label") === l, col("sum_w")), lit(0L)) +
+        (coalesce(when(col("label") === l, col("sum_w")),
+            lit(0L).cast("decimal(28,0)")) +
           (col("n_toks") -
-            coalesce(when(col("label") === l, col("n_matched")), lit(0L))) *
-            unk(l)).as("s"),
+            coalesce(when(col("label") === l, col("n_matched")), lit(0L)))
+            .cast("decimal(28,0)") * unk(l)).as("s"),
         lit(l).as("l"))
     }
     val rowBest = if (cand.size == 1) cand.head else greatest(cand: _*)
@@ -120,7 +137,7 @@ object Classifier {
       .groupBy(col("_cp_id"))
       .agg(max(rowBest).as("best"))
       .select(col("_cp_id").as(idCol), col("best.l").as("pred"),
-        col("best.s").as("score_e12"))
+        col("best.s").cast("long").as("score_e12"))
   }
 
   // ---------------------------------------------------------------
@@ -200,7 +217,7 @@ object Classifier {
        |  GROUP BY t.doc_id, m.label),
        |perlab AS (SELECT nt.doc_id, l.label,
        |    coalesce(ma.sum_w, 0)
-       |      + (nt.n_toks - coalesce(ma.n_matched, 0)) * u.unk_e12 AS score
+       |      + (nt.n_toks - coalesce(ma.n_matched, 0))::HUGEINT * u.unk_e12 AS score
        |  FROM nt CROSS JOIN labs l
        |  JOIN unk u ON u.label = l.label
        |  LEFT JOIN matched ma ON ma.doc_id = nt.doc_id AND ma.label = l.label),

@@ -113,4 +113,15 @@ class ClassifierSpec extends SparkSpec {
       Classifier.writeClassProfileArtifact(bad, "/tmp/never-written")
     }
   }
+
+  test("a literal [UNK] in the training corpus fails loudly, not silently") {
+    // a corpus token equal to the sentinel would produce duplicate
+    // (label, '[UNK]') model rows with engine-dependent resolution —
+    // the train step must reject it up front
+    val poisoned = df(Seq("pos" -> "good [UNK] great", "neg" -> "bad"))
+    val e = intercept[IllegalArgumentException] {
+      Classifier.classProfileTrainOf(poisoned)
+    }
+    assert(e.getMessage.contains("[UNK]"))
+  }
 }
