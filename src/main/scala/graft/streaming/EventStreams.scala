@@ -672,6 +672,58 @@ object EventStreams {
       legacyDirNames = Seq(f"batch-$batchId%05d"))
   }
 
+  /** Streaming classifier quality gate — the streaming face of
+    * [[graft.operators.Classifier.classProfileScoreOf]], completing the
+    * ingest pipeline's quality-signal trio (LM tiers, heuristic score,
+    * class profile): each document micro-batch is scored against a
+    * FROZEN class-profile artifact ([[graft.operators.Classifier
+    * .loadClassProfileArtifact]], loaded and localCheckpointed ONCE at
+    * stream start — the model is never re-read per batch) and documents
+    * whose argmax class is in `keepLabels` land as committed parquet
+    * batch dirs under `outDir` with (doc_id, pred, score_e12, text…).
+    *
+    * Same foreachBatch rationale as [[lmGateStream]]: scoring is a
+    * token join + a (doc, label) aggregation — forbidden in an
+    * append-mode streaming plan, plain batch SQL per micro-batch.
+    * Exactly-once via [[CommittedBatchSink]]; the verdict is per-row
+    * against a frozen model, so a doc's class never depends on which
+    * batch it arrived in — batch/stream agreement is spec-pinned. Read
+    * the output with [[readGateOutput]] (same dir layout). */
+  def classifierGateStream(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, modelPath: String,
+                           outDir: String, checkpoint: String,
+                           keepLabels: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(keepLabels.nonEmpty, "classifier gate needs >= 1 keep label")
+    val model = graft.operators.Classifier
+      .loadClassProfileArtifact(spark, modelPath).localCheckpoint()
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        classifierGateBatch(batch, model, outDir, batchId, keepLabels, tag): Unit
+      }
+      .start()
+  }
+
+  /** One classifier-gated micro-batch → committed parquet dir (the
+    * [[lmGateBatch]] shape: lazy scoring so the replay-skip path never
+    * runs the join, localCheckpoint so the emptiness probe and the
+    * write execute the pipeline once, marker-only commit for empty
+    * admitted sets). Returns whether this call wrote. */
+  def classifierGateBatch(batch: DataFrame, model: DataFrame,
+                          outDir: String, batchId: Long,
+                          keepLabels: Seq[String], tag: String = "solo"): Boolean = {
+    lazy val admitted = graft.operators.Classifier
+      .classProfileScoreOf(batch, model)
+      .filter(col("pred").isin(keepLabels: _*))
+      .join(batch, Seq("doc_id"))
+      .localCheckpoint()
+    CommittedBatchSink.commitBatch(outDir, tag, batchId,
+      empty = admitted.isEmpty,
+      write = dir => admitted.write.mode("overwrite")
+        .parquet(dir.resolve("docs").toString))
+  }
+
   /** All committed gate output under `outDir` as one frame (the reader
     * face; uncommitted/partial dirs are invisible by construction). */
   def readGateOutput(spark: org.apache.spark.sql.SparkSession,

@@ -479,6 +479,30 @@ class StreamingSpec extends AnyFunSuite {
       iters = 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(inc == batch, s"incremental $inc vs batch $batch")
+    // the other two authority signals ride the SAME committed artifact:
+    // incremental HITS and TrustRank over the edge union equal their
+    // all-at-once batch recompute bit for bit (same replay guarantee
+    // pageRank carries — the artifact, not the algorithm, is what the
+    // restart discipline protects)
+    val batchEdges = graft.operators.UrlOps.linkGraphOf(Seq(
+      ("https://a.com/p1", page("https://b.com/x", "https://c.com/y")),
+      ("https://b.com/p1", page("https://c.com/z")),
+      ("https://c.com/p1", page("https://a.com/back")),
+      ("https://d.com/p1", page("https://a.com/in"))).toDF("url", "text"))
+    val incHits = graft.operators.GraphOps.hitsOf(
+      EventStreams.readCrawlEdges(spark, root), iters = 5)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batchHits = graft.operators.GraphOps.hitsOf(batchEdges, iters = 5)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(incHits == batchHits, s"incremental HITS $incHits vs batch $batchHits")
+    val incTrust = graft.operators.GraphOps.trustRankOf(
+      EventStreams.readCrawlEdges(spark, root), seeds = Seq("a.com"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batchTrust = graft.operators.GraphOps.trustRankOf(
+      batchEdges, seeds = Seq("a.com"), iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(incTrust == batchTrust,
+      s"incremental TrustRank $incTrust vs batch $batchTrust")
     // an empty artifact root reads as an empty edge frame, not an error
     val emptyRoot = java.nio.file.Files.createTempDirectory("graft_cgraph_none").toString
     assert(EventStreams.readCrawlEdges(spark, emptyRoot).count() == 0)
@@ -954,6 +978,68 @@ class StreamingSpec extends AnyFunSuite {
       IndexStreams.streamTag(ckpt)),
       "legacy batch-<id> marker must read as already-committed")
     assert(landed.length == 3)
+  }
+
+  test("streaming classifier gate: frozen-model scoring agrees with batch, survives restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.Classifier
+    val tmp = Files.createTempDirectory("graft-cgate")
+    // frozen class-profile artifact built once at "train time"
+    val train = Seq(
+      ("good", "clear helpful prose clear"),
+      ("spam", "buy pills buy now")).toDF("label", "text")
+    val modelPath = tmp.resolve("model").toString
+    Classifier.writeClassProfileArtifact(
+      Classifier.classProfileTrainOf(train), modelPath)
+    val docsAll = Seq(
+      (1L, "clear prose here"),        // good
+      (2L, "buy buy pills"),           // spam
+      (3L, "helpful clear words"),     // good
+      (4L, "now buy now"),             // spam
+      (5L, "totally unseen tokens"))   // all-unk → unk-weight argmax
+    val in = MemoryStream[(Long, String)]
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    def start() = EventStreams.classifierGateStream(spark,
+      in.toDF().toDF("doc_id", "text"), modelPath, out, ckpt,
+      keepLabels = Seq("good"))
+    val q1 = start()
+    in.addData(docsAll.take(2): _*)
+    q1.processAllAvailable()
+    q1.stop() // "crash": checkpoint + committed dirs remain
+    val q2 = start() // restart on the same checkpoint
+    in.addData(docsAll.drop(2): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def landed = EventStreams.readGateOutput(spark, out)
+      .select("doc_id", "pred").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // stream verdicts == batch verdicts on the same corpus (frozen
+    // model, per-row argmax: a doc's class can't depend on its batch)
+    val model = Classifier.loadClassProfileArtifact(spark, modelPath)
+    val batchKept = Classifier
+      .classProfileScoreOf(docsAll.toDF("doc_id", "text"), model)
+      .filter($"pred" === "good")
+      .select("doc_id", "pred").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(landed.toSet == batchKept.toSet, s"stream ${landed.toSeq} vs batch ${batchKept.toSeq}")
+    assert(landed.map(_._1).toSet.contains(1L) && landed.map(_._1).toSet.contains(3L))
+    assert(!landed.map(_._1).toSet.contains(2L) && !landed.map(_._1).toSet.contains(4L))
+    assert(landed.length == landed.map(_._1).distinct.length,
+      "no doc may land twice across the restart")
+    // the landed rows carry the original text for the downstream mixer
+    assert(EventStreams.readGateOutput(spark, out).columns.contains("text"))
+    // replaying a committed batch under the same tag is a no-op
+    assert(!EventStreams.classifierGateBatch(docsAll.take(2).toDF("doc_id", "text"),
+      model, out, 0L, Seq("good"), CommittedBatchSink.streamTag(ckpt)))
+    // an all-rejected batch commits marker-only and replays as a no-op
+    assert(EventStreams.classifierGateBatch(Seq((9L, "buy pills")).toDF("doc_id", "text"),
+      model, out, 7L, Seq("good")))
+    assert(!EventStreams.classifierGateBatch(Seq((9L, "buy pills")).toDF("doc_id", "text"),
+      model, out, 7L, Seq("good")))
+    assert(!landed.map(_._1).contains(9L), "rejected docs must not land")
   }
 
   test("versioned index root: pointer-swapped compaction is invisible to concurrent readers") {
