@@ -122,13 +122,48 @@ object Multimodal {
   // 7-10), canonical RIFF/WAVE fmt chunk (channels @23-24 LE,
   // sample rate @25-28 LE, bits @35-36 LE, with duration from the
   // data-chunk size when it sits at the canonical byte-37 offset).
-  // JPEG dimensions live in variable-position SOF segments — a scan,
-  // not fixed-layout arithmetic — so they stay with the decode stub.
-  // Parsing happens on ONE hex string of the 44-byte prefix (byte p
+  // JPEG dimensions live in variable-position SOF segments (ITU T.81
+  // §B.2.2), so they get a bounded SEGMENT WALK instead of a fixed
+  // offset: a 12-step higher-order fold over the hex prefix advances
+  // marker → marker by each segment's own big-endian length — never a
+  // raw byte scan, so 'FFC0' byte pairs INSIDE an APPn/DQT payload
+  // can't false-positive — and stops at the first SOFn marker
+  // (C0-CF minus C4/C8/CC, the T.81 frame set). height/width are the
+  // big-endian 16-bit fields at SOF+5/SOF+7. A JPEG whose SOF sits
+  // past the 192-byte prefix (EXIF-heavy files), is truncated, or
+  // walks onto a non-FF byte yields NULL dims, never a misread.
+  // Parsing happens on hex strings of bounded prefixes (byte p
   // = hex chars 2p−1..2p), the same substring arithmetic the DuckDB
   // oracle runs; a field whose container/length/marker guard fails
   // is NULL, never a misread.
   // ---------------------------------------------------------------
+
+  /** The T.81 frame (SOF) marker second bytes: C0-CF minus C4 (DHT),
+    * C8 (JPG extension), CC (DAC). */
+  private val sofTypes =
+    "('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')"
+
+  /** The bounded JPEG segment walk as ONE linear-size Spark fold over
+    * hex prefix `hj`: state (p = current marker byte pos, sof = found
+    * SOF pos). 12 steps covers JFIF APP0 + several DQT/DHT/APPn before
+    * SOF — anything deeper (or any malformed marker) resolves NULL. */
+  private val jpegSofWalkSpark =
+    s"""aggregate(
+       |  sequence(1, 12),
+       |  named_struct('p', CAST(3 AS BIGINT), 'sof', CAST(NULL AS BIGINT)),
+       |  (st, step) -> CASE
+       |    WHEN st.sof IS NOT NULL OR st.p IS NULL THEN st
+       |    WHEN substring(hj, CAST(2 * st.p - 1 AS INT), 2) <> 'FF'
+       |      THEN named_struct('p', CAST(NULL AS BIGINT), 'sof', CAST(NULL AS BIGINT))
+       |    WHEN substring(hj, CAST(2 * st.p + 1 AS INT), 2) IN $sofTypes
+       |      THEN IF(length(hj) >= 2 * (st.p + 8),
+       |        named_struct('p', st.p, 'sof', st.p),
+       |        named_struct('p', CAST(NULL AS BIGINT), 'sof', CAST(NULL AS BIGINT)))
+       |    ELSE named_struct(
+       |      'p', st.p + 2 + CAST(conv(substring(hj, CAST(2 * st.p + 3 AS INT), 4), 16, 10) AS BIGINT),
+       |      'sof', CAST(NULL AS BIGINT))
+       |  END,
+       |  st -> st.sof)""".stripMargin
 
   /** Adds (container, width, height, channels, sample_rate_hz,
     * bits_per_sample, duration_ms) to a payload frame — typed,
@@ -139,30 +174,42 @@ object Multimodal {
     def ole16(p: Int) = s"(${ob(p)} + 256 * ${ob(p + 1)})"
     def ole32(p: Int) =
       s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
+    def jval16(p: String) =
+      s"CAST(conv(substring(hj, CAST(2 * ($p) - 1 AS INT), 4), 16, 10) AS BIGINT)"
     val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
+    val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
     blobSniffOf(blobs)
       .withColumnRenamed("sniffed_mime", "container")
       .withColumn("plen", length(col("payload")))
       .withColumn("h", hex(substring(col("payload"), 1, 44)))
+      .withColumn("hj", hex(substring(col("payload"), 1, 192)))
+      .withColumn("sof_pos", expr(
+        s"CASE WHEN container = 'image/jpeg' THEN $jpegSofWalkSpark END"))
       .withColumn("width", expr(
-        s"CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)} END"))
+        s"CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}" +
+          s" WHEN $jpg THEN ${jval16("sof_pos + 7")} END"))
       .withColumn("height", expr(
-        s"CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)} END"))
+        s"CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)}" +
+          s" WHEN $jpg THEN ${jval16("sof_pos + 5")} END"))
       .withColumn("channels", expr(s"CASE WHEN $wav THEN ${ole16(23)} END"))
       .withColumn("sample_rate_hz", expr(s"CASE WHEN $wav THEN ${ole32(25)} END"))
       .withColumn("bits_per_sample", expr(s"CASE WHEN $wav THEN ${ole16(35)} END"))
       .withColumn("duration_ms", expr(
         s"CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'" +
           s" AND ${ole32(29)} > 0 THEN (${ole32(41)} * 1000) DIV ${ole32(29)} END"))
-      .drop("plen", "h", "magic_hex")
+      .drop("plen", "h", "hj", "sof_pos", "magic_hex")
   }
 
-  /** Fixture: valid PNG/GIF/WAV headers ASSEMBLED from doc_id-derived
-    * integers (the same lpad-hex assembly the oracle runs), so every
-    * parsed field has a closed-form expected value; doc_id % 4 == 3
-    * stays a bare text payload (all fields NULL). */
+  /** Fixture: valid PNG/GIF/WAV/JPEG headers ASSEMBLED from
+    * doc_id-derived integers (the same lpad-hex assembly the oracle
+    * runs), so every parsed field has a closed-form expected value;
+    * doc_id % 5 == 3 stays a bare text payload (all fields NULL). The
+    * JPEG shape (doc_id % 5 == 4) exercises the segment walk: SOI,
+    * then JFIF APP0 (18 bytes), then a DQT (69 bytes) whose payload
+    * the walk must SKIP, then SOF0 / SOF2 by sub-case — or, in the
+    * third sub-case, no SOF at all (truncated: dims must be NULL). */
   def blobHeaders(s: SparkSession, d: String): DataFrame = {
     def le16(v: String) =
       s"lpad(hex(($v) % 256), 2, '0') || lpad(hex((($v) div 256) % 256), 2, '0')"
@@ -170,12 +217,19 @@ object Multimodal {
       s"lpad(hex(($v) % 256), 2, '0') || lpad(hex((($v) div 256) % 256), 2, '0') || " +
         s"lpad(hex((($v) div 65536) % 256), 2, '0') || " +
         s"lpad(hex((($v) div 16777216) % 256), 2, '0')"
+    def be16(v: String) = s"lpad(hex($v), 4, '0')"
     def be32(v: String) = s"lpad(hex($v), 8, '0')"
     val ch = "1 + doc_id % 2"
     val rate = "8000 + ((doc_id div 4) % 6) * 8000"
     val dsz = s"((doc_id % 100) + 1) * ($ch) * 2"
+    // SOI + APP0(JFIF) + DQT(65-byte payload the walk must hop over)
+    val jpegHead = "'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101'" +
+      " || '00' || '0001' || '0001' || '0000'" +
+      " || 'FFDB' || '0043' || '00' || repeat('10', 64)"
+    val jpegSof = s"|| ${be16("(doc_id % 600) + 16")}" +
+      s" || ${be16("(doc_id % 800) + 16")} || '03' || '011100' || '021101' || '031101'"
     val payload = expr(
-      s"""CASE CAST(doc_id % 4 AS INT)
+      s"""CASE CAST(doc_id % 5 AS INT)
          |  WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
          |    || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
          |    || '08' || '06') || CAST(text AS BINARY)
@@ -187,6 +241,11 @@ object Multimodal {
          |    || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
          |    || ${le16(s"($ch) * 2")} || ${le16("16")}
          |    || '64617461' || ${le32(dsz)}) || CAST(text AS BINARY)
+         |  WHEN 4 THEN unhex(CASE CAST((doc_id div 5) % 3 AS INT)
+         |    WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
+         |    WHEN 1 THEN $jpegHead || 'FFC2' || '0011' || '08' $jpegSof
+         |    ELSE 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101'
+         |      || '00' || '0001' || '0001' || '0000' END) || CAST(text AS BINARY)
          |  ELSE CAST(text AS BINARY) END""".stripMargin)
     blobHeadersOf(Tables.documents(s, d).withColumn("payload", payload))
       .select(col("doc_id"), col("container"), col("width"), col("height"),
@@ -201,20 +260,51 @@ object Multimodal {
     def le32(v: String) =
       s"lpad(hex(($v)%256),2,'0') || lpad(hex((($v)//256)%256),2,'0') || " +
         s"lpad(hex((($v)//65536)%256),2,'0') || lpad(hex((($v)//16777216)%256),2,'0')"
+    def be16(v: String) = s"lpad(hex($v),4,'0')"
     def be32(v: String) = s"lpad(hex($v),8,'0')"
     def ob(p: Int) = s"('0x' || substring(h, ${2 * p - 1}, 2))::BIGINT"
     def obe32(p: Int) = s"('0x' || substring(h, ${2 * p - 1}, 8))::BIGINT"
     def ole16(p: Int) = s"(${ob(p)} + 256 * ${ob(p + 1)})"
     def ole32(p: Int) =
       s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
+    def jval16(p: String) =
+      s"TRY_CAST(('0x' || substring(hj, CAST(2 * ($p) - 1 AS INT), 4)) AS BIGINT)"
     val ch = "1 + doc_id % 2"
     val rate = "8000 + ((doc_id // 4) % 6) * 8000"
     val dsz = s"((doc_id % 100) + 1) * ($ch) * 2"
     val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
+    val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
+    val jpegHead = "'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101'" +
+      " || '00' || '0001' || '0001' || '0000'" +
+      " || 'FFDB' || '0043' || '00' || repeat('10', 64)"
+    val jpegSof = s"|| ${be16("(doc_id % 600) + 16")}" +
+      s" || ${be16("(doc_id % 800) + 16")} || '03' || '011100' || '021101' || '031101'"
+    // the Spark-side segment walk, mirrored as a DuckDB list_reduce
+    // over the same state struct (init prepended — list_reduce uses
+    // the first element as the accumulator seed)
+    val sofWalk =
+      s"""struct_extract(list_reduce(
+         |  list_prepend({'p': CAST(3 AS BIGINT), 'sof': CAST(NULL AS BIGINT)},
+         |    list_transform(range(1, 13),
+         |      i -> {'p': CAST(0 AS BIGINT), 'sof': CAST(NULL AS BIGINT)})),
+         |  (st, x) -> CASE
+         |    WHEN struct_extract(st, 'sof') IS NOT NULL
+         |      OR struct_extract(st, 'p') IS NULL THEN st
+         |    WHEN substring(hj, CAST(2 * struct_extract(st, 'p') - 1 AS INT), 2) <> 'FF'
+         |      THEN {'p': CAST(NULL AS BIGINT), 'sof': CAST(NULL AS BIGINT)}
+         |    WHEN substring(hj, CAST(2 * struct_extract(st, 'p') + 1 AS INT), 2) IN
+         |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+         |      THEN CASE WHEN length(hj) >= 2 * (struct_extract(st, 'p') + 8)
+         |        THEN {'p': struct_extract(st, 'p'), 'sof': struct_extract(st, 'p')}
+         |        ELSE {'p': CAST(NULL AS BIGINT), 'sof': CAST(NULL AS BIGINT)} END
+         |    ELSE {'p': struct_extract(st, 'p') + 2 + TRY_CAST(('0x' ||
+         |        substring(hj, CAST(2 * struct_extract(st, 'p') + 3 AS INT), 4)) AS BIGINT),
+         |      'sof': CAST(NULL AS BIGINT)}
+         |  END), 'sof')""".stripMargin
     s"""WITH b AS (SELECT doc_id,
-       |  CASE CAST(doc_id % 4 AS INT)
+       |  CASE CAST(doc_id % 5 AS INT)
        |    WHEN 0 THEN from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
        |      || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
        |      || '08' || '06') || encode(text)
@@ -226,11 +316,17 @@ object Multimodal {
        |      || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
        |      || ${le16(s"($ch) * 2")} || ${le16("16")}
        |      || '64617461' || ${le32(dsz)}) || encode(text)
+       |    WHEN 4 THEN from_hex(CASE CAST((doc_id // 5) % 3 AS INT)
+       |      WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
+       |      WHEN 1 THEN $jpegHead || 'FFC2' || '0011' || '08' $jpegSof
+       |      ELSE 'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101'
+       |        || '00' || '0001' || '0001' || '0000' END) || encode(text)
        |    ELSE encode(text) END AS payload
        |  FROM documents),
        |m AS (SELECT doc_id, octet_length(payload) AS plen,
-       |    substring(hex(payload), 1, 88) AS h FROM b),
-       |k AS (SELECT doc_id, h, plen,
+       |    substring(hex(payload), 1, 88) AS h,
+       |    substring(hex(payload), 1, 384) AS hj FROM b),
+       |k AS (SELECT doc_id, h, hj, plen,
        |  CASE
        |    WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
        |    WHEN starts_with(h, '89504E47') THEN 'image/png'
@@ -239,17 +335,21 @@ object Multimodal {
        |    WHEN starts_with(h, '52494646')
        |      AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
        |    ELSE 'application/octet-stream' END AS container
-       |  FROM m)
+       |  FROM m),
+       |j AS (SELECT *, CASE WHEN container = 'image/jpeg'
+       |    THEN $sofWalk END AS sof_pos FROM k)
        |SELECT doc_id, container,
-       |  CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)} END AS width,
-       |  CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)} END AS height,
+       |  CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}
+       |    WHEN $jpg THEN ${jval16("sof_pos + 7")} END AS width,
+       |  CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)}
+       |    WHEN $jpg THEN ${jval16("sof_pos + 5")} END AS height,
        |  CASE WHEN $wav THEN ${ole16(23)} END AS channels,
        |  CASE WHEN $wav THEN ${ole32(25)} END AS sample_rate_hz,
        |  CASE WHEN $wav THEN ${ole16(35)} END AS bits_per_sample,
        |  CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'
        |    AND ${ole32(29)} > 0
        |    THEN ${ole32(41)} * 1000 // ${ole32(29)} END AS duration_ms
-       |FROM k ORDER BY doc_id""".stripMargin
+       |FROM j ORDER BY doc_id""".stripMargin
   }
 
   /** "Decode" each payload per-partition — the mapPartitions batch shape

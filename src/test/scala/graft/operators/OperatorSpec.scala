@@ -1582,6 +1582,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blobHeaders must stay a map stage:\n$plan")
   }
 
+  test("blob headers: JPEG SOF segment walk finds dims, skips payloads, fails to NULL") {
+    import spark.implicits._
+    def blob(hexStr: String, tail: String = "") =
+      (hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    val app0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"
+    val dqt = "FFDB" + "0043" + "00" + "10" * 64
+    def sof(marker: String, h: Int, w: Int) =
+      marker + "0011" + "08" + f"$h%04X" + f"$w%04X" + "03" + "011100" + "021101" + "031101"
+    // an APP1 whose PAYLOAD contains the bytes FF C0 — a naive byte
+    // scan would read fake dims out of it; the segment walk must skip
+    // the whole payload and find the real SOF behind it
+    val trapApp1 = "FFE1" + "000A" + "FFC0" + "1111" + "2222" + "3333"
+    val blobs = Seq(
+      (1L, blob("FFD8" + app0 + dqt + sof("FFC0", 480, 640), "scan...")),
+      (2L, blob("FFD8" + app0 + sof("FFC2", 24, 32))),           // progressive
+      (3L, blob("FFD8" + app0 + trapApp1 + sof("FFC0", 100, 200))),
+      (4L, blob("FFD8" + app0, "no sof here")),                  // truncated
+      (5L, blob("FFD8" + app0 + "FFC0" + "0011" + "08" + "00"))) // SOF cut mid-dims
+      .toDF("doc_id", "payload")
+    val got = Multimodal.blobHeadersOf(blobs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("container"),
+        Option(r.getAs[java.lang.Long]("width")),
+        Option(r.getAs[java.lang.Long]("height"))))
+    }.toMap
+    def L(v: Long) = Some(java.lang.Long.valueOf(v))
+    assert(got(1L) == (("image/jpeg", L(640), L(480))), s"${got(1L)}")
+    assert(got(2L) == (("image/jpeg", L(32), L(24))), s"SOF2: ${got(2L)}")
+    assert(got(3L) == (("image/jpeg", L(200), L(100))),
+      s"FFC0 inside an APP1 payload must not be read as SOF: ${got(3L)}")
+    assert(got(4L) == (("image/jpeg", None, None)),
+      s"no SOF in prefix -> NULL dims, never a misread: ${got(4L)}")
+    assert(got(5L) == (("image/jpeg", None, None)),
+      s"SOF truncated mid-dims -> NULL: ${got(5L)}")
+  }
+
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
     import spark.implicits._
     val docs = Seq(
