@@ -308,6 +308,13 @@ object GraftOps {
   def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     Bpe.bpeTokenizeOf(docs, merges)
 
+  /** Per-lang tokenizer fertility of a merge list over (lang, text)
+    * docs: tokens/word and bytes/token in e3 — the metric a team reads
+    * before committing a vocabulary to a multilingual run. One
+    * tokenize pass + one lang-keyed agg. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    Bpe.bpeFertilityOf(docs, merges)
+
   /** WordPiece greedy longest-match tokenize against a frozen
     * vocabulary (`##` continuations, whole word → [UNK] on failure) —
     * one narrow fold per word, zero shuffles. */
@@ -370,6 +377,21 @@ object GraftOps {
     * resists the tightly-knit-community overweighting HITS exhibits. */
   def salsa(edges: DataFrame): DataFrame =
     graft.operators.GraphOps.salsaOf(edges)
+
+  /** k-core decomposition (Seidman 1983): surviving nodes + in-core
+    * degree after iterative peeling of the simple undirected graph —
+    * link-farm / community triage on the same graph the rank family
+    * scores. Bounded peels; one degree agg + two semi-joins per
+    * round. */
+  def kcore(edges: DataFrame, k: Int, maxPeels: Int = 20): DataFrame =
+    graft.operators.GraphOps.kcoreOf(edges, k, maxPeels)
+
+  /** TextRank keywords (Mihalcea & Tarau 2004): top-k corpus terms by
+    * weighted PageRank over the window-2 token co-occurrence graph —
+    * narrow pair extraction, vocab-sized graph, integer-e9 rounds. */
+  def textrankKeywords(docs: DataFrame, minLen: Int = 3, iters: Int = 10,
+                       topK: Int = 20): DataFrame =
+    graft.operators.TextAnalysis.textrankKeywordsOf(docs, minLen, iters, topK)
 
   /** Heaps'-law vocabulary growth curve: cumulative (docs, tokens,
     * distinct types) at doc_id-range checkpoints — the dedup-sanity /
@@ -690,9 +712,12 @@ object GraftOps {
     graft.operators.UrlOps.urlDedupedDocsOf(docs)
 
   /** SSRF/abuse fetch gate over a `url` frame: scheme/host/userinfo/
-    * port capture, exact IPv4 blocked-range arithmetic (RFC 1918,
-    * loopback, link-local, 0/8), and the `fetch_safe` verdict — run
-    * over every candidate fetch list before a socket opens. */
+    * port capture, inet_aton-complete numeric-host normalization
+    * (dotted quad, decimal, hex, octal, 1-3-part shorthand), exact
+    * IPv4 blocked-range arithmetic (RFC 1918, loopback, link-local,
+    * 0/8), bracketed-IPv6 and unnormalizable-numeric-host rejection,
+    * and the `fetch_safe` verdict — run over every candidate fetch
+    * list before a socket opens. */
   def urlFetchSafety(urls: DataFrame): DataFrame =
     graft.operators.UrlOps.urlFetchSafetyOf(urls)
 
@@ -919,6 +944,42 @@ object GraftOps {
   def lmTierDrift(assignments: DataFrame, isRef: Column,
                   thresholdE6: Long = 100000L): DataFrame =
     graft.operators.NgramLm.lmTierDriftOf(assignments, isRef, thresholdE6)
+
+  /** Train a Rocchio/centroid class-profile model from (label, text)
+    * rows: (label, token, w_e12) with one `[UNK]` row per label —
+    * the "train a small classifier on a trusted corpus, score the
+    * crawl" quality gate (GPT-3 §A / CCNet convention). */
+  def classProfileTrain(docs: DataFrame, labelCol: String = "label",
+                        textCol: String = "text"): DataFrame =
+    graft.operators.Classifier.classProfileTrainOf(docs, labelCol, textCol)
+
+  /** Score (id, text) rows against a trained class-profile model:
+    * per row the argmax class and its summed e12 score. */
+  def classProfileScore(docs: DataFrame, model: DataFrame,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    graft.operators.Classifier.classProfileScoreOf(docs, model, idCol, textCol)
+
+  /** Persist / restore a class-profile model as a reloadable parquet
+    * artifact (the tokenizer-vocabulary pattern), so per-batch scoring
+    * — including the streaming gate ([[classifierGateStream]]) — never
+    * re-trains. */
+  def classProfileSaveModel(model: DataFrame, path: String): Unit =
+    graft.operators.Classifier.writeClassProfileArtifact(model, path)
+  def classProfileLoadModel(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame =
+    graft.operators.Classifier.loadClassProfileArtifact(spark, path)
+
+  /** Streaming classifier quality gate: score a document stream against
+    * a frozen class-profile artifact, land docs whose argmax class is
+    * in `keepLabels` as committed parquet batches under `outDir`
+    * (exactly-once; read with `EventStreams.readGateOutput`). */
+  def classifierGateStream(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, modelPath: String,
+                           outDir: String, checkpoint: String,
+                           keepLabels: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.EventStreams.classifierGateStream(spark, docs,
+      modelPath, outDir, checkpoint, keepLabels)
 
   /** Corpus-saturation curve: distinct n-gram TYPES a batch adds over
     * a corpus, per order — novelty collapsing toward 0‰ at orders 2-3

@@ -406,14 +406,75 @@ object Bpe {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Tokenizer fertility — the standard tokenizer-evaluation metric
+  // (tokens per word; bytes per token) per language, the number a
+  // team reads before committing a vocabulary to a multilingual run
+  // (high fertility on a language = that language pays more sequence
+  // positions per sentence; see e.g. the XLM-R and BLOOM tokenizer
+  // analyses). Pure composition: one tokenize pass + one lang-keyed
+  // aggregation — corpus-sized scan, lang-sized output. e3 fixed
+  // point; the long sums hold to ~9e15 tokens (9 PB of text) before
+  // the 1000× headroom matters, documented here in lieu of decimal.
+  // ---------------------------------------------------------------
+
+  /** Per-lang fertility of a merge list over (doc_id, lang, text)
+    * docs: (lang, n_docs, fertility_e3 = 1000·tokens/words,
+    * bytes_per_token_e3 = 1000·utf8_bytes/tokens). All-empty langs
+    * surface NULL ratios instead of dividing by zero. */
+  def bpeFertilityOf(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val tok = bpeTokenizeOf(docs, merges)
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    docs.select(col("doc_id"), col("lang"),
+        expr("CAST(size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)")
+          .as("n_words"),
+        expr("CAST(octet_length(text) AS BIGINT)").as("n_bytes"))
+      .join(tok, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("toks"),
+        sum("n_words").as("words"), sum("n_bytes").as("bytes"))
+      .select(col("lang"), col("n_docs"),
+        expr("CASE WHEN words > 0 THEN CAST(1000 * toks DIV words AS BIGINT) END")
+          .as("fertility_e3"),
+        expr("CASE WHEN toks > 0 THEN CAST(1000 * bytes DIV toks AS BIGINT) END")
+          .as("bytes_per_token_e3"))
+  }
+
+  /** Fixture: [[bpeFertilityOf]] with [[fixtureMerges]]. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame =
+    bpeFertilityOf(Tables.documents(s, d), fixtureMerges).orderBy(col("lang"))
+
+  /** Wraps the full tokenize oracle as a CTE (nested WITH) and
+    * aggregates per lang — the mirror stays exactly the gated tokenize
+    * semantics, not a reimplementation. */
+  private val bpeFertilityOracle: String =
+    s"""WITH tok AS ($bpeTokenizeOracle),
+       |d AS (SELECT doc_id, lang,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT)
+       |      AS n_words,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents),
+       |agg AS (SELECT d.lang, count(*) AS n_docs,
+       |    sum(CAST(t.n_tokens AS BIGINT)) AS toks, sum(d.n_words) AS words,
+       |    sum(d.n_bytes) AS bytes
+       |  FROM d JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.lang)
+       |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CASE WHEN words > 0 THEN CAST(1000 * toks // words AS BIGINT) END
+       |    AS fertility_e3,
+       |  CASE WHEN toks > 0 THEN CAST(1000 * bytes // toks AS BIGINT) END
+       |    AS bytes_per_token_e3
+       |FROM agg ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_tokenize" -> (bpeTokenize _),
     "wordpiece_tokenize" -> (wordpieceTokenize _),
+    "bpe_fertility" -> (bpeFertility _),
   )
 
   val oracles: Map[String, String] = Map(
     "bpe_tokenize" -> bpeTokenizeOracle,
     "wordpiece_tokenize" -> wordpieceTokenizeOracle,
+    "bpe_fertility" -> bpeFertilityOracle,
   )
 }

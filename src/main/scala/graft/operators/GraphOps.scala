@@ -278,6 +278,45 @@ object GraphOps {
     weightedRankRound(e, nodes, outw, ranks, 150000000L / n, 850, 0L)
   }
 
+  /** [[pageRankWeightedOf]]'s rounds unrolled as chained DuckDB CTEs —
+    * the [[pagerankRoundsSql]] pattern with the weighted per-edge share
+    * (rank·w // outw, per-edge floor then sum, mirroring the Scala
+    * side's DECIMAL(38,0) per-edge DIV). `edgesCtes` must define
+    * `edges(src, dst, w)`; `selectSql` overrides the final projection
+    * (reference `pr<iters>`) for callers that want a top-k instead of
+    * the full node list. */
+  private[graft] def weightedRankRoundsSql(edgesCtes: String, iters: Int = 10,
+                                           selectSql: Option[String] = None): String = {
+    val rounds = (1 to iters).map { i =>
+      val p = s"pr${i - 1}"
+      s"""dang$i AS MATERIALIZED (SELECT coalesce(sum(rank_e9), 0) AS dm FROM $p
+         |  WHERE node NOT IN (SELECT node FROM outw)),
+         |inflow$i AS MATERIALIZED (SELECT e.dst AS node,
+         |    sum((p.rank_e9::HUGEINT * e.w) // o.outw) AS inflow
+         |  FROM edges e JOIN $p p ON e.src = p.node
+         |  JOIN outw o ON e.src = o.node GROUP BY e.dst),
+         |pr$i AS MATERIALIZED (SELECT n.node,
+         |    (SELECT tp FROM const) + 850 * (coalesce(i.inflow, 0)
+         |      + (SELECT dm FROM dang$i) // (SELECT cnt FROM const)) // 1000
+         |    AS rank_e9
+         |  FROM nodes n LEFT JOIN inflow$i i ON n.node = i.node)""".stripMargin
+    }.mkString(",\n")
+    val fin = selectSql.getOrElse(
+      s"SELECT node, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM pr$iters ORDER BY node")
+    s"""WITH $edgesCtes,
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |          UNION SELECT dst AS node FROM edges),
+       |outw AS MATERIALIZED (SELECT src AS node, sum(w) AS outw
+       |           FROM edges GROUP BY src),
+       |const AS MATERIALIZED (SELECT count(*) AS cnt,
+       |    CAST(150 AS BIGINT) * 1000000000 // 1000 // count(*) AS tp FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node,
+       |        1000000000 // (SELECT cnt FROM const) AS rank_e9
+       |        FROM nodes),
+       |$rounds
+       |$fin""".stripMargin
+  }
+
   /** UNEXECUTED single-round plan over checkpointed seeds, for the
     * plan-hygiene audit (PlanAudit `domain_pagerank/round` row). The
     * dangling-mass scalar is a separate 1-row-agg job per round, not
@@ -1204,6 +1243,90 @@ object GraphOps {
        |LEFT JOIN recip r ON o.node = r.node
        |ORDER BY o.node""".stripMargin
 
+  // ---------------------------------------------------------------
+  // k-core decomposition (Seidman 1983, "Network structure and
+  // minimum degree") — the maximal subgraph where every node keeps
+  // >= k neighbors. The crawl-curation use: link-farm and community
+  // triage (a spam farm's dense interlinking survives high-k peeling
+  // while organic periphery does not; conversely isolated tails wash
+  // out at k = 2), the same graph the rank family scores.
+  //
+  // Shape: iterative PEELING — each round is ONE degree aggregation
+  // plus two alive-set semi-joins over the surviving symmetrized edge
+  // frame, localCheckpointed per round so lineage stays flat; the
+  // fixpoint probe is a 1-row count comparison per round (the
+  // pageRank dangling-mass pattern). Rounds are bounded by maxPeels;
+  // the oracle unrolls the SAME number of rounds, and because a
+  // reached fixpoint is stable, an early-exited Spark loop equals the
+  // fully-unrolled oracle bit for bit.
+  // ---------------------------------------------------------------
+
+  /** Surviving k-core nodes with their in-core degree after peeling:
+    * (node, core_deg). Direction is ignored (classic k-core is over
+    * the simple undirected graph: distinct pairs, self-loops
+    * dropped). */
+  def kcoreOf(edges: DataFrame, k: Int, maxPeels: Int = 20): DataFrame = {
+    require(k >= 1 && k <= 1000000, s"unreasonable k: $k")
+    require(maxPeels >= 1 && maxPeels <= 100, s"unreasonable maxPeels: $maxPeels")
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    var adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var prev = adj.count()
+    var peel = 0
+    var done = prev == 0L
+    while (peel < maxPeels && !done) {
+      val alive = adj.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("node"))
+      adj = adj
+        .join(alive.select(col("node").as("src")), Seq("src"))
+        .join(alive.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      val now = adj.count()
+      done = now == prev
+      prev = now
+      peel += 1
+    }
+    adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+  }
+
+  /** Fixture: the 2-core of the shared domain graph (peels the
+    * out-tree periphery off the hub-and-cycle structure). */
+  def kcoreMembership(s: SparkSession, d: String): DataFrame =
+    kcoreOf(fixtureEdges(s, d), k = 2, maxPeels = 10).orderBy(col("node"))
+
+  /** The peels unrolled as chained CTEs — round counts matched to the
+    * Scala side's maxPeels (a reached fixpoint is stable, so an early
+    * exit equals the full unroll). */
+  private val kcoreOracle: String = {
+    val peels = (1 to 10).map { i =>
+      val a = s"adj${i - 1}"
+      s"""alive$i AS MATERIALIZED (SELECT src AS node FROM $a
+         |  GROUP BY src HAVING count(*) >= 2),
+         |adj$i AS MATERIALIZED (SELECT a.src, a.dst FROM $a a
+         |  JOIN alive$i s ON a.src = s.node
+         |  JOIN alive$i t ON a.dst = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
+       |adj0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM simple
+       |  UNION ALL SELECT v AS src, u AS dst FROM simple),
+       |$peels
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM adj10 GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -1213,6 +1336,7 @@ object GraphOps {
     "link_reciprocity" -> (linkReciprocity _),
     "degree_profile" -> (degreeProfile _),
     "harmonic_exact" -> (harmonicExact _),
+    "kcore_membership" -> (kcoreMembership _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1227,5 +1351,6 @@ object GraphOps {
     "harmonic_exact" -> harmonicExactOracle,
     "link_reciprocity" -> linkReciprocityOracle,
     "degree_profile" -> degreeProfileOracle,
+    "kcore_membership" -> kcoreOracle,
   )
 }

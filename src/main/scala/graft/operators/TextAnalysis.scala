@@ -1786,6 +1786,71 @@ object TextAnalysis {
       |    + 11800 * n_syllables // n_words - 15590 AS BIGINT) AS fk_grade_e3
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
+  // Bringing Order into Texts") — rank corpus keywords by running
+  // PageRank over the token CO-OCCURRENCE graph (window 2: adjacent
+  // surviving tokens are edges, co-occurrence count is edge weight,
+  // undirected = both directions carry the weight). The LLM-pipeline
+  // use: corpus-level topic/keyword profiling for source triage and
+  // mixture design, sharing the integer-e9 rank machinery the link
+  // graph already runs.
+  //
+  // Shape: pair extraction is fully NARROW (zip_with over the token
+  // array against its own shift — no posexplode self-join); the graph
+  // is vocab-sized, never corpus-sized (one (u,v) groupBy with
+  // map-side combine); the rank rounds are GraphOps' audited weighted
+  // 2-exchange shape; top-k is TakeOrderedAndProject. Deterministic:
+  // integer fixed point, ties broken on the term.
+  // ---------------------------------------------------------------
+
+  /** Top-`topK` corpus keywords by TextRank: (term, rank_e9). Tokens
+    * shorter than `minLen` are dropped before windowing (the published
+    * heuristic stands in for the POS filter this engine doesn't have);
+    * adjacency is computed over the SURVIVING sequence. */
+  def textrankKeywordsOf(docs: DataFrame, minLen: Int = 3, iters: Int = 10,
+                         topK: Int = 20): DataFrame = {
+    require(minLen >= 1 && topK >= 1 && iters >= 1 && iters <= 100)
+    val toks = docs.select(expr(
+        s"filter(split(text, ' '), t -> length(t) >= $minLen)").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val pairs = toks.select(explode(expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+          " (a, b) -> struct(a, b))")).as("p"))
+      .filter(col("p.a") =!= col("p.b"))
+      .select(least(col("p.a"), col("p.b")).as("u"),
+        greatest(col("p.a"), col("p.b")).as("v"))
+    val wcnt = pairs.groupBy(col("u"), col("v")).agg(count(lit(1)).as("weight"))
+    val und = wcnt.select(col("u").as("src"), col("v").as("dst"), col("weight"))
+      .union(wcnt.select(col("v").as("src"), col("u").as("dst"), col("weight")))
+    GraphOps.pageRankWeightedOf(und, iters)
+      .orderBy(col("rank_e9").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("term"), col("rank_e9"))
+  }
+
+  def textrankKeywords(s: SparkSession, d: String): DataFrame =
+    textrankKeywordsOf(Tables.documents(s, d))
+
+  /** Edges CTE mirroring the narrow pair extraction (positional zip of
+    * the token list against its own shift), feeding GraphOps' weighted
+    * chained-CTE rank mirror. */
+  private val textrankOracle: String = GraphOps.weightedRankRoundsSql(
+    """toks AS MATERIALIZED (SELECT list_filter(string_split(text, ' '),
+      |    t -> length(t) >= 3) AS ts FROM documents),
+      |t2 AS (SELECT ts FROM toks WHERE len(ts) >= 2),
+      |prs AS (SELECT unnest(ts[1:len(ts)-1]) AS a, unnest(ts[2:len(ts)]) AS b
+      |  FROM t2),
+      |und AS (SELECT least(a, b) AS u, greatest(a, b) AS v FROM prs
+      |  WHERE a <> b),
+      |wcnt AS MATERIALIZED (SELECT u, v, count(*) AS w FROM und GROUP BY u, v),
+      |edges AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM wcnt
+      |  UNION ALL SELECT v AS src, u AS dst, w FROM wcnt)""".stripMargin,
+    iters = 10,
+    selectSql = Some(
+      """SELECT node AS term, CAST(rank_e9 AS BIGINT) AS rank_e9 FROM pr10
+        |ORDER BY rank_e9 DESC, term LIMIT 20""".stripMargin))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "text_quality"    -> (textQuality _),
@@ -1816,6 +1881,7 @@ object TextAnalysis {
     "pii_luhn"        -> (piiLuhn _),
     "text_tiling"     -> (textTiling _),
     "pii_iban"        -> (piiIban _),
+    "textrank_keywords" -> (textrankKeywords _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1847,5 +1913,6 @@ object TextAnalysis {
     "pii_luhn"        -> piiLuhnOracle,
     "text_tiling"     -> textTilingOracle,
     "pii_iban"        -> piiIbanOracle,
+    "textrank_keywords" -> textrankOracle,
   )
 }

@@ -469,4 +469,62 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("empty"))
   }
+
+  test("k-core peels the periphery: triangle survives k=2, nothing survives k=3") {
+    import spark.implicits._
+    // triangle a-b-c, tail c-d, pendant d-e: the 2-core is exactly the
+    // triangle (d's degree drops to 1 once e is peeled, then c's stays
+    // 2). Direction, self-loops, and duplicate reversed edges must not
+    // matter (classic k-core is over the simple undirected graph).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("d", "e"), ("b", "a"), ("a", "a")).toDF("src", "dst")
+    val core2 = GraphOps.kcoreOf(edges, k = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), s"$core2")
+    // the triangle is 2-regular, so the 3-core is empty
+    assert(GraphOps.kcoreOf(edges, k = 3).count() == 0L)
+    // a 4-clique survives k=3 intact with in-core degree 3
+    val k4 = (for { a <- Seq("p", "q", "r", "s"); b <- Seq("p", "q", "r", "s")
+      if a < b } yield (a, b)).toDF("src", "dst")
+    val core3 = GraphOps.kcoreOf(k4, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core3 == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L), s"$core3")
+  }
+
+  test("textrank: the co-occurrence hub ranks first; short tokens drop; topK caps") {
+    import spark.implicits._
+    // "core" neighbors every other term; "aa" is under minLen and must
+    // not appear even though it is frequent
+    val docs = Seq(
+      (1L, "core alpha core beta core gamma aa aa aa"),
+      (2L, "core delta core alpha")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .textrankKeywordsOf(docs, minLen = 3, iters = 10, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 3)
+    assert(got.head._1 == "core", s"hub must rank first: ${got.toSeq}")
+    assert(!got.map(_._1).contains("aa"))
+    // ranks are a descending sequence with the term tiebreak
+    assert(got.sortBy(t => (-t._2, t._1)).toSeq == got.toSeq)
+  }
+
+  test("bpe fertility is arithmetic over the tokenize outputs, per lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the and the"),
+      (2L, "en", "and then"),
+      (3L, "de", "und")).toDF("doc_id", "lang", "text")
+    val tok = graft.operators.Bpe.bpeTokenizeOf(docs,
+        graft.operators.Bpe.fixtureMerges)
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("n_tokens"))).toMap
+    val got = graft.operators.Bpe.bpeFertilityOf(docs,
+        graft.operators.Bpe.fixtureMerges)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val enToks = tok(1L).toLong + tok(2L).toLong
+    assert(got("en") == ((2L, 1000L * enToks / 5L,
+      1000L * ("the and the".length + "and then".length) / enToks)), s"$got")
+    assert(got("de") == ((1L, 1000L * tok(3L) / 1L,
+      1000L * 3L / tok(3L))), s"$got")
+  }
 }
