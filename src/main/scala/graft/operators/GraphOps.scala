@@ -1327,6 +1327,111 @@ object GraphOps {
        |FROM adj10 GROUP BY src ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // Triangle counting + local clustering coefficient (Watts &
+  // Strogatz 1998; the degree-ordered "forward" enumeration of
+  // Chiba & Nishizeki 1985 / Schank & Wagner 2005) — how clique-like
+  // each node's neighborhood is. The crawl-curation use: link farms
+  // and mutual-admiration rings show pathological coefficients
+  // (dense interlinking → coeff near 1000‰ at high degree) where
+  // organic hubs sit low; pairs with k-core for spam triage.
+  //
+  // Scale shape: each undirected edge is ORIENTED from the
+  // (degree, node)-smaller endpoint to the larger before the wedge
+  // join, so a node's out-neighborhood in the oriented graph is
+  // O(sqrt(E)) even for celebrity hubs — the wedge join (the one
+  // quadratic-looking step) is bounded by arboricity, not by max
+  // degree. Three keyed joins total: orient (deg onto both ends),
+  // wedge (oriented ⋈ oriented on the shared source), close (wedge
+  // pairs ⋈ oriented edges). Exact integers end to end.
+  // ---------------------------------------------------------------
+
+  /** Per-node (degree, triangles, coeff_permille) over the simple
+    * undirected graph; coeff = 1000·2·tri / (deg·(deg−1)), NULL for
+    * degree < 2. */
+  def clusteringCoefficientOf(edges: DataFrame): DataFrame = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient u—v from the (deg, node)-smaller endpoint to the larger;
+    // each edge carries its HEAD's degree so wedges can be deduped in
+    // the SAME total order the orientation uses (name order alone
+    // would probe b→c for triangles whose closing edge is oriented
+    // c→b and miss them)
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("dh")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b"),
+            col("du").as("dh"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.dh").as("dh"))
+      .localCheckpoint()
+    // wedges a→b, a→c with (deg, name)(b) < (deg, name)(c): the
+    // closing edge b—c is then oriented b→c by construction, so ONE
+    // keyed join probes it
+    val wedges = oriented.select(col("a"), col("b"), col("dh").as("db"))
+      .join(oriented.select(col("a"), col("b").as("c"), col("dh").as("dc")),
+        Seq("a"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+    val closure = oriented.select(col("a").as("cb"), col("b").as("cc"))
+    val triangles = wedges
+      .join(closure, col("b") === col("cb") && col("c") === col("cc"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("degree"),
+        coalesce(col("tri"), lit(0L)).cast("long").as("triangles"),
+        expr("CASE WHEN deg >= 2 THEN CAST(2000 * coalesce(tri, 0)" +
+          " DIV (deg * (deg - 1)) AS BIGINT) END").as("coeff_permille"))
+  }
+
+  def clusteringCoefficient(s: SparkSession, d: String): DataFrame =
+    clusteringCoefficientOf(fixtureEdges(s, d)).orderBy(col("node"))
+
+  private val clusteringOracle: String =
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
+       |deg AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+       |  GROUP BY node),
+       |oriented AS MATERIALIZED (SELECT
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |      THEN e.u ELSE e.v END AS a,
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |      THEN e.v ELSE e.u END AS b,
+       |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+       |      THEN dv.deg ELSE du.deg END AS dh
+       |  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+       |tri AS (SELECT w1.a, w1.b, w2.b AS c
+       |  FROM oriented w1 JOIN oriented w2 ON w1.a = w2.a
+       |    AND (w1.dh < w2.dh OR (w1.dh = w2.dh AND w1.b < w2.b))
+       |  JOIN oriented cl ON cl.a = w1.b AND cl.b = w2.b),
+       |pernode AS (SELECT node, count(*) AS tri FROM (
+       |    SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+       |    UNION ALL SELECT c AS node FROM tri) GROUP BY node)
+       |SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+       |  CAST(coalesce(p.tri, 0) AS BIGINT) AS triangles,
+       |  CASE WHEN d.deg >= 2 THEN CAST(2000 * coalesce(p.tri, 0)
+       |    // (d.deg * (d.deg - 1)) AS BIGINT) END AS coeff_permille
+       |FROM deg d LEFT JOIN pernode p ON d.node = p.node
+       |ORDER BY d.node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -1337,6 +1442,7 @@ object GraphOps {
     "degree_profile" -> (degreeProfile _),
     "harmonic_exact" -> (harmonicExact _),
     "kcore_membership" -> (kcoreMembership _),
+    "clustering_coefficient" -> (clusteringCoefficient _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1352,5 +1458,6 @@ object GraphOps {
     "link_reciprocity" -> linkReciprocityOracle,
     "degree_profile" -> degreeProfileOracle,
     "kcore_membership" -> kcoreOracle,
+    "clustering_coefficient" -> clusteringOracle,
   )
 }

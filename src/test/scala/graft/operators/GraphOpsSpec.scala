@@ -491,6 +491,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(core3 == Map("p" -> 3L, "q" -> 3L, "r" -> 3L, "s" -> 3L), s"$core3")
   }
 
+  test("clustering coefficient: exact triangles under degree-skewed orientation") {
+    import spark.implicits._
+    // triangle a-b-c with two pendants on b: deg(b)=4 > deg(a)=deg(c)=2,
+    // so the wedge at a must order its neighbors by (deg, name) — c
+    // before b — and probe the closing edge as c→b. A name-ordered
+    // wedge would probe b→c, which is NOT in the oriented graph, and
+    // silently drop the triangle (the bug this graph exists to catch).
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("b", "p1"), ("b", "p2")).toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficientOf(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getAs[java.lang.Long]("coeff_permille")).map(_.longValue)))).toMap
+    assert(got("a") == ((2L, 1L, Some(1000L))), s"$got")
+    assert(got("b") == ((4L, 1L, Some(166L))), s"$got")
+    assert(got("c") == ((2L, 1L, Some(1000L))), s"$got")
+    assert(got("p1") == ((1L, 0L, None)) && got("p2") == ((1L, 0L, None)), s"$got")
+    // 4-clique: every node deg 3, 3 triangles, coeff exactly 1000
+    val k4 = (for { a <- Seq("p", "q", "r", "s"); b <- Seq("p", "q", "r", "s")
+      if a < b } yield (a, b)).toDF("src", "dst")
+    val clique = GraphOps.clusteringCoefficientOf(k4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(clique == Set((3L, 3L, 1000L)), s"$clique")
+    // a triangle-free star has zero triangles everywhere
+    val star = Seq(("h", "x"), ("h", "y"), ("h", "z")).toDF("src", "dst")
+    assert(GraphOps.clusteringCoefficientOf(star).collect()
+      .forall(_.getLong(2) == 0L))
+  }
+
   test("textrank: the co-occurrence hub ranks first; short tokens drop; topK caps") {
     import spark.implicits._
     // "core" neighbors every other term; "aa" is under minLen and must

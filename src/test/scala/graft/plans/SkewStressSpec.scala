@@ -204,4 +204,26 @@ class SkewStressSpec extends SparkSpec {
     assert(round.size > 1 && maxOverMedian(round) <= 3.0,
       s"weighted round imbalance ${maxOverMedian(round)}x: $round")
   }
+
+  test("clustering wedge join: degree ordering zeroes the hub's wedge fan-out") {
+    import graft.operators.GraphOps
+    // star hub with 20k leaves: a NAIVE (unoriented) wedge enumeration
+    // at the hub materializes C(20k, 2) ≈ 2e8 pairs; the (deg, node)
+    // orientation gives every leaf out-degree 1 and the hub out-degree
+    // 0, so the oriented wedge count is ZERO — the arboricity bound in
+    // its extreme case. The full operator must complete promptly and
+    // report no triangles.
+    def star(n: Int) = spark.range(n).select(
+      concat(lit("s"), col("id")).as("src"), lit("hub").as("dst"))
+    val got = GraphOps.clusteringCoefficientOf(star(20000)).collect()
+    assert(got.length == 20001 && got.forall(_.getLong(2) == 0L))
+    // sensitivity control at 2k: the unoriented self-join really is
+    // quadratic at the hub — if the harness couldn't see that, the
+    // bound above would be vacuous
+    val und = star(2000).select(col("src").as("u"), col("dst").as("v"))
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val naive = sym.join(sym.withColumnRenamed("v", "w"), Seq("u"))
+      .filter(col("v") < col("w")).count()
+    assert(naive == 1999000L, s"control: expected C(2000,2) wedges, got $naive")
+  }
 }
