@@ -710,14 +710,194 @@ object UrlOps {
        |FROM iv ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // URL secret scan — the other pre-fetch hygiene gate beside
+  // [[urlFetchSafetyOf]]: crawled pages routinely leak credentialed
+  // URLs (pre-signed links, callback URLs with tokens, keys pasted
+  // into docs), and a pipeline that stores or re-fetches them is
+  // exfiltrating someone's secrets into a training corpus. Classify
+  // each candidate URL by the highest-precedence credential pattern
+  // it carries: well-known token FORMATS first (AWS access-key id,
+  // GitHub PAT, Google API key, JWT — the public GitHub
+  // secret-scanning pattern families), then generic secret-bearing
+  // query-parameter NAMES. One narrow map, regexes RE2-safe (no
+  // lookaround) so the DuckDB oracle runs the same patterns.
+  // ---------------------------------------------------------------
+
+  /** Adds (secret_kind, has_secret) to a `url` frame; secret_kind is
+    * NULL for clean URLs. */
+  def urlSecretScanOf(urls: DataFrame): DataFrame = {
+    val aws = "AKIA[0-9A-Z]{16}"
+    val ghp = "ghp_[A-Za-z0-9]{36}"
+    val gapi = "AIza[0-9A-Za-z_-]{35}"
+    val jwt = "eyJ[A-Za-z0-9_-]+[.][A-Za-z0-9_-]+[.][A-Za-z0-9_-]+"
+    val keyParam = "(?i)[?&](api[_-]?key|apikey|access[_-]?token|" +
+      "auth[_-]?token|token|secret|client[_-]?secret|password|pwd|" +
+      "signature|sig|x-amz-signature|key)="
+    urls
+      .withColumn("secret_kind", expr(
+        s"""CASE
+           |  WHEN url RLIKE '$aws' THEN 'aws_key'
+           |  WHEN url RLIKE '$ghp' THEN 'github_pat'
+           |  WHEN url RLIKE '$gapi' THEN 'google_api'
+           |  WHEN url RLIKE '$jwt' THEN 'jwt'
+           |  WHEN url RLIKE '$keyParam' THEN 'secret_param'
+           |END""".stripMargin))
+      .withColumn("has_secret", col("secret_kind").isNotNull)
+  }
+
+  /** Fixture: six rotating shapes — clean, api_key param, an embedded
+    * AWS key id, a GitHub PAT, a JWT fragment, a password param; the
+    * synthetic credentials are md5-derived so every shape is
+    * deterministic and format-exact. */
+  def urlSecretScan(s: SparkSession, d: String): DataFrame =
+    urlSecretScanOf(Tables.documents(s, d).withColumn("url", expr(
+      """CASE CAST(doc_id % 6 AS INT)
+        |  WHEN 0 THEN 'https://site' || CAST(doc_id % 250 AS STRING) || '.example/page?page=2'
+        |  WHEN 1 THEN 'https://api' || CAST(doc_id % 250 AS STRING)
+        |    || '.example/v1?api_key=' || md5(CAST(doc_id AS STRING))
+        |  WHEN 2 THEN 'https://dl' || CAST(doc_id % 250 AS STRING)
+        |    || '.example/f?creds=AKIA' || upper(substring(md5(CAST(doc_id AS STRING)), 1, 16))
+        |  WHEN 3 THEN 'https://git' || CAST(doc_id % 250 AS STRING)
+        |    || '.example/x?t=ghp_' || substring(md5(CAST(doc_id AS STRING))
+        |      || md5(CAST(doc_id + 1 AS STRING)), 1, 36)
+        |  WHEN 4 THEN 'https://cb' || CAST(doc_id % 250 AS STRING)
+        |    || '.example/auth#id_token=eyJ' || substring(md5(CAST(doc_id AS STRING)), 1, 8)
+        |    || '.' || substring(md5(CAST(doc_id AS STRING)), 9, 8)
+        |    || '.' || substring(md5(CAST(doc_id AS STRING)), 17, 8)
+        |  ELSE 'https://login' || CAST(doc_id % 250 AS STRING)
+        |    || '.example/in?password=hunter' || CAST(doc_id % 100 AS STRING)
+        |END""".stripMargin)))
+      .select(col("doc_id"), col("url"), col("secret_kind"), col("has_secret"))
+      .orderBy(col("doc_id"))
+
+  private val urlSecretScanOracle: String = {
+    val aws = "AKIA[0-9A-Z]{16}"
+    val ghp = "ghp_[A-Za-z0-9]{36}"
+    val gapi = "AIza[0-9A-Za-z_-]{35}"
+    val jwt = "eyJ[A-Za-z0-9_-]+[.][A-Za-z0-9_-]+[.][A-Za-z0-9_-]+"
+    val keyParam = "(?i)[?&](api[_-]?key|apikey|access[_-]?token|" +
+      "auth[_-]?token|token|secret|client[_-]?secret|password|pwd|" +
+      "signature|sig|x-amz-signature|key)="
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 6 AS INT)
+       |    WHEN 0 THEN 'https://site' || CAST(doc_id % 250 AS VARCHAR) || '.example/page?page=2'
+       |    WHEN 1 THEN 'https://api' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.example/v1?api_key=' || md5(CAST(doc_id AS VARCHAR))
+       |    WHEN 2 THEN 'https://dl' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.example/f?creds=AKIA' || upper(substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+       |    WHEN 3 THEN 'https://git' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.example/x?t=ghp_' || substring(md5(CAST(doc_id AS VARCHAR))
+       |        || md5(CAST(doc_id + 1 AS VARCHAR)), 1, 36)
+       |    WHEN 4 THEN 'https://cb' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.example/auth#id_token=eyJ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |      || '.' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+       |      || '.' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 8)
+       |    ELSE 'https://login' || CAST(doc_id % 250 AS VARCHAR)
+       |      || '.example/in?password=hunter' || CAST(doc_id % 100 AS VARCHAR)
+       |  END AS url FROM documents),
+       |k AS (SELECT doc_id, url,
+       |  CASE
+       |    WHEN regexp_matches(url, '$aws') THEN 'aws_key'
+       |    WHEN regexp_matches(url, '$ghp') THEN 'github_pat'
+       |    WHEN regexp_matches(url, '$gapi') THEN 'google_api'
+       |    WHEN regexp_matches(url, '$jwt') THEN 'jwt'
+       |    WHEN regexp_matches(url, '$keyParam') THEN 'secret_param'
+       |  END AS secret_kind FROM u)
+       |SELECT doc_id, url, secret_kind, secret_kind IS NOT NULL AS has_secret
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Duplicate-rate by site section — the crawl-ops triage view over
+  // the URL dedup signal: which (host, first-path-segment) sections
+  // are duplicate farms (calendars, print views, tracking-param
+  // mirrors) so the frontier can deprioritize the SECTION instead of
+  // discovering each duplicate one fetch at a time. Canonicalize,
+  // count surface forms per canonical, aggregate the excess at the
+  // section grain — two keyed aggregations, urls never self-join.
+  // ---------------------------------------------------------------
+
+  /** Per (host, section): (n_urls, n_dup, dup_permille) where n_dup
+    * counts surface forms beyond each canonical's keeper and section
+    * is the first path segment of the canonical form ('/' at root). */
+  def dupRateByPathOf(urls: DataFrame): DataFrame = {
+    val canon = canonicalUrlOf(urls).select(col("canonical_url"))
+      .withColumn("host", expr(
+        "regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)"))
+      .withColumn("section", expr(
+        "coalesce(nullif(regexp_extract(canonical_url," +
+          " '^[a-z][a-z0-9+.-]*://[^/?#]+/([^/?#]+)', 1), ''), '/')"))
+    canon
+      .groupBy(col("host"), col("section"), col("canonical_url"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("host"), col("section"))
+      .agg(sum(col("n")).as("n_urls"), sum(expr("n - 1")).as("n_dup"))
+      .select(col("host"), col("section"),
+        col("n_urls").cast("long").as("n_urls"),
+        col("n_dup").cast("long").as("n_dup"),
+        expr("CAST(1000 * n_dup DIV n_urls AS BIGINT)").as("dup_permille"))
+  }
+
+  /** Fixture: section /a carries tracking-param mirror pairs (every
+    * canonical has exactly two surface forms → 500‰), section /b is
+    * all-unique (0‰). */
+  def dupRateByPath(s: SparkSession, d: String): DataFrame =
+    dupRateByPathOf(Tables.documents(s, d).withColumn("url", expr(
+      """CASE CAST(doc_id % 4 AS INT)
+        |  WHEN 0 THEN 'https://h' || CAST(doc_id % 12 AS STRING)
+        |    || '.example/a/p' || CAST(doc_id div 4 AS STRING)
+        |  WHEN 1 THEN 'https://h' || CAST((doc_id - 1) % 12 AS STRING)
+        |    || '.example/a/p' || CAST(doc_id div 4 AS STRING) || '?utm_source=x'
+        |  WHEN 2 THEN 'https://h' || CAST(doc_id % 12 AS STRING)
+        |    || '.example/b/q' || CAST(doc_id AS STRING)
+        |  ELSE 'https://h' || CAST(doc_id % 12 AS STRING)
+        |    || '.example/b/r' || CAST(doc_id AS STRING)
+        |END""".stripMargin)))
+      .orderBy(col("host"), col("section"))
+
+  private val dupRateByPathOracle =
+    """WITH u AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'https://h' || CAST(doc_id % 12 AS VARCHAR)
+      |      || '.example/a/p' || CAST(doc_id // 4 AS VARCHAR)
+      |    WHEN 1 THEN 'https://h' || CAST((doc_id - 1) % 12 AS VARCHAR)
+      |      || '.example/a/p' || CAST(doc_id // 4 AS VARCHAR) || '?utm_source=x'
+      |    WHEN 2 THEN 'https://h' || CAST(doc_id % 12 AS VARCHAR)
+      |      || '.example/b/q' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'https://h' || CAST(doc_id % 12 AS VARCHAR)
+      |      || '.example/b/r' || CAST(doc_id AS VARCHAR)
+      |  END AS url FROM documents),
+      |canon AS (
+      |  -- the fixture's URLs are constructed canonical-clean except
+      |  -- the single utm-only query, so the full canonicalizer
+      |  -- reduces to dropping the query string (url_dedup gates the
+      |  -- canonicalizer itself rule by rule)
+      |  SELECT lower(string_split(url, '?')[1]) AS canonical_url
+      |  FROM u),
+      |seg AS (SELECT canonical_url,
+      |    regexp_extract(canonical_url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+      |    coalesce(nullif(regexp_extract(canonical_url,
+      |      '^[a-z][a-z0-9+.-]*://[^/?#]+/([^/?#]+)', 1), ''), '/') AS section
+      |  FROM canon),
+      |cl AS (SELECT host, section, canonical_url, count(*) AS n
+      |  FROM seg GROUP BY host, section, canonical_url)
+      |SELECT host, section, CAST(sum(n) AS BIGINT) AS n_urls,
+      |  CAST(sum(n - 1) AS BIGINT) AS n_dup,
+      |  CAST(1000 * sum(n - 1) // sum(n) AS BIGINT) AS dup_permille
+      |FROM cl GROUP BY host, section
+      |ORDER BY host, section""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_dedup" -> (urlDedup _),
+    "dup_rate_by_path" -> (dupRateByPath _),
     "crawl_pipeline" -> (crawlPipeline _),
     "link_graph" -> (linkGraph _),
     "snapshot_diff" -> (snapshotDiff _),
     "crawl_refetch" -> (crawlRefetch _),
     "anchor_text_profile" -> (anchorTextProfile _),
     "url_fetch_safety" -> (urlFetchSafety _),
+    "url_secret_scan" -> (urlSecretScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -728,5 +908,7 @@ object UrlOps {
     "crawl_refetch" -> crawlRefetchOracle,
     "anchor_text_profile" -> anchorTextProfileOracle,
     "url_fetch_safety" -> urlFetchSafetyOracle,
+    "url_secret_scan" -> urlSecretScanOracle,
+    "dup_rate_by_path" -> dupRateByPathOracle,
   )
 }
