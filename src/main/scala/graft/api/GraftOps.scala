@@ -386,6 +386,12 @@ object GraftOps {
   def kcore(edges: DataFrame, k: Int, maxPeels: Int = 20): DataFrame =
     graft.operators.GraphOps.kcoreOf(edges, k, maxPeels)
 
+  /** Triangles + local clustering coefficient (Watts & Strogatz 1998)
+    * via the degree-ordered wedge join — link-farm/community triage;
+    * the wedge work is bounded by arboricity, not max degree. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame =
+    graft.operators.GraphOps.clusteringCoefficientOf(edges)
+
   /** TextRank keywords (Mihalcea & Tarau 2004): top-k corpus terms by
     * weighted PageRank over the window-2 token co-occurrence graph —
     * narrow pair extraction, vocab-sized graph, integer-e9 rounds. */
@@ -720,6 +726,44 @@ object GraftOps {
     * list before a socket opens. */
   def urlFetchSafety(urls: DataFrame): DataFrame =
     graft.operators.UrlOps.urlFetchSafetyOf(urls)
+
+  /** URL secret scan — classify credentialed URLs (AWS key id, GitHub
+    * PAT, Google API key, JWT, secret-bearing parameter names) so the
+    * crawler neither stores nor re-fetches them; the hygiene gate
+    * beside [[urlFetchSafety]]. One narrow map. */
+  def urlSecretScan(urls: DataFrame): DataFrame =
+    graft.operators.UrlOps.urlSecretScanOf(urls)
+
+  /** Duplicate-rate by site section: per (host, first path segment)
+    * how many surface URLs exceed their canonical keepers — the
+    * frontier's duplicate-farm triage view. */
+  def dupRateByPath(urls: DataFrame): DataFrame =
+    graft.operators.UrlOps.dupRateByPathOf(urls)
+
+  /** Continuation edges between docs whose trailing/leading k-grams
+    * match — pagination stitching, so split articles re-assemble
+    * before dedup half-kills them. */
+  def paginationStitch(docs: DataFrame, k: Int = 8): DataFrame =
+    graft.operators.Dedup.paginationStitchOf(docs, k)
+
+  /** Per-language stopword candidates: top document-frequency terms
+    * with df permille — the bootstrap for quality metrics on languages
+    * without a curated stopword list. */
+  def stopwordCandidates(docs: DataFrame, topK: Int = 15): DataFrame =
+    graft.operators.TextAnalysis.stopwordCandidatesOf(docs, topK)
+
+  /** Quality-budget selection: flag the docs a token budget buys at
+    * the best quality-per-token density — threshold by bisection, no
+    * global sort, ties all-or-none. Input needs (doc_id, n_tokens,
+    * score). */
+  def budgetSelect(scored: DataFrame, budgetTokens: Long): DataFrame =
+    graft.operators.Curation.budgetSelectOf(scored, budgetTokens)
+
+  /** Per-term drift attribution: top terms by chi-square-style
+    * divergence between two corpora's e9 unigram rates — the "what
+    * changed?" companion to [[corpusDrift]]'s scalar alarm. */
+  def termDivergence(ref: DataFrame, cur: DataFrame, topK: Int = 20): DataFrame =
+    graft.operators.Profiling.termDivergenceOf(ref, cur, topK)
 
   /** Exact rolling-window decontamination: drop corpus docs containing
     * any benchmark `window`-token span verbatim (GPT-3 convention). */

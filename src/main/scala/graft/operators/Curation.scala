@@ -624,7 +624,100 @@ object Curation {
       |WHERE cum - n_tokens < budget
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Quality-budget selection — "spend a token budget on the BEST
+  // documents": rank docs by quality-per-token density and keep the
+  // highest-density docs whose tokens fit the budget. This is the
+  // data-constrained curation primitive (pick the best B tokens for a
+  // training run), complementary to mixTokenBudget's per-source quota
+  // in hash order.
+  //
+  // Scale shape: no global sort and no corpus-sized window. The
+  // selection is a DENSITY THRESHOLD, found by bisection over the
+  // integer density domain (the exact_quantiles trick): each round
+  // answers "how many tokens sit at density ≥ mid" with one
+  // map-side-combined filtered aggregate whose only exchange is the
+  // 1-row gather; ≤ ~40 rounds by the e6 density width. Docs tied at
+  // the threshold are all-or-none (selection is a pure per-row
+  // predicate), so the budget is respected from below by
+  // construction: the chosen threshold is the SMALLEST whose selected
+  // token mass fits. The final output is one narrow map over the
+  // localCheckpointed density projection.
+  // ---------------------------------------------------------------
+
+  /** Flags the docs a `budgetTokens` budget buys at the best
+    * quality-per-token density: input (doc_id, n_tokens, score) →
+    * (doc_id, n_tokens, score, density_e6, selected). Requires
+    * n_tokens ≥ 1 and score ≥ 0 on every row. */
+  def budgetSelectOf(scored: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val d = scored.select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("score").cast("long").as("score"))
+      .withColumn("n_tokens", expr(
+        "CASE WHEN n_tokens >= 1 THEN n_tokens" +
+          " ELSE raise_error('budgetSelect needs n_tokens >= 1') END"))
+      .withColumn("score", expr(
+        "CASE WHEN score >= 0 THEN score" +
+          " ELSE raise_error('budgetSelect needs score >= 0') END"))
+      .withColumn("density_e6", expr("1000000 * score DIV n_tokens"))
+      .localCheckpoint()
+    val maxD = Option(d.agg(max(col("density_e6"))).head.getAs[java.lang.Long](0))
+      .map(_.toLong).getOrElse(-1L)
+    // minimal threshold t with tokens(density >= t) <= budget; the
+    // interval [0, maxD + 1] always contains one (F(maxD + 1) = 0)
+    var lo = 0L
+    var hi = maxD + 1
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      val used = Option(d.filter(col("density_e6") >= mid)
+          .agg(sum(col("n_tokens"))).head.getAs[java.lang.Long](0))
+        .map(_.toLong).getOrElse(0L)
+      if (used <= budgetTokens) hi = mid else lo = mid + 1
+    }
+    d.withColumn("selected", col("density_e6") >= lo)
+  }
+
+  /** Fixture: lexical-diversity permille as the quality score (distinct
+    * words per 1000 words — cheap, deterministic, integer), budget
+    * 5000 tokens. */
+  def budgetSelect(s: SparkSession, d: String): DataFrame =
+    budgetSelectOf(Tables.documents(s, d).select(col("doc_id"),
+        expr("size(filter(split(text, ' '), w -> w <> ''))")
+          .cast("long").as("n_tokens"),
+        expr("1000 * size(array_distinct(filter(split(text, ' '), w -> w <> '')))" +
+          " DIV size(filter(split(text, ' '), w -> w <> ''))")
+          .cast("long").as("score"))
+        .filter(col("n_tokens") >= 1),
+      budgetTokens = 5000L)
+      .orderBy(col("doc_id"))
+
+  /** Oracle: the threshold via a density-grouped cumulative (group
+    * cardinality = distinct densities, fine at oracle scale; the Spark
+    * side exists precisely because this window does NOT scale). */
+  private val budgetSelectOracle =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(1000 * len(list_distinct(list_filter(string_split(text, ' '),
+      |      w -> w <> '')))
+      |      // len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+      |      AS score
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 1),
+      |dd AS (SELECT *, 1000000 * score // n_tokens AS density_e6 FROM d),
+      |g AS (SELECT density_e6, sum(n_tokens) AS gt FROM dd GROUP BY density_e6),
+      |c AS (SELECT density_e6,
+      |    sum(gt) OVER (ORDER BY density_e6 DESC) AS cum FROM g),
+      |t AS (SELECT coalesce(min(density_e6),
+      |    (SELECT max(density_e6) + 1 FROM dd)) AS thr
+      |  FROM c WHERE cum <= 5000)
+      |SELECT doc_id, n_tokens, score, density_e6,
+      |  density_e6 >= (SELECT thr FROM t) AS selected
+      |FROM dd ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "budget_select"      -> (budgetSelect _),
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
     "mix_temperature"    -> (mixTemperature _),
@@ -658,5 +751,6 @@ object Curation {
     "upsample_sources"   -> upsampleOracle,
     "mix_token_budget"   -> mixTokenBudgetOracle,
     "pack_concat"        -> packConcatOracle,
+    "budget_select"      -> budgetSelectOracle,
   )
 }

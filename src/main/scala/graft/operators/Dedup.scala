@@ -1591,7 +1591,87 @@ object Dedup {
       |WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.vec_id = corp.vec_id)
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Pagination stitching — crawls deliver long articles as page
+  // sequences whose text OVERLAPS at the boundary (nav/teaser text, or
+  // plain continuation); training pipelines reassemble them so the
+  // model sees whole documents and the dedup pass doesn't half-kill a
+  // split article. Detection: doc A "continues into" doc B when A's
+  // last k tokens equal B's first k tokens. One narrow head/tail
+  // projection per doc, one hash60-keyed equi-join rescored by string
+  // equality (the exact-substring convention: the 60-bit key routes
+  // the shuffle, the string comparison removes collision risk).
+  // ---------------------------------------------------------------
+
+  /** Continuation edges over (doc_id, text): (prev_doc, next_doc) where
+    * prev's trailing `k`-gram equals next's leading `k`-gram. Docs with
+    * fewer than `k` tokens produce no edge; trivial self-pairs are
+    * dropped. */
+  def paginationStitchOf(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 1000, s"unreasonable k: $k")
+    val base = docs.select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ts"))
+      .filter(size(col("ts")) >= k)
+    val heads = base.select(col("doc_id").as("next_doc"),
+        expr(s"concat_ws(' ', slice(ts, 1, $k))").as("gram"))
+      .withColumn("h", graft.functions.Portable.hash60(col("gram")))
+    val tails = base.select(col("doc_id").as("prev_doc"),
+        expr(s"concat_ws(' ', slice(ts, size(ts) - ${k - 1}, $k))").as("gram"))
+      .withColumn("h", graft.functions.Portable.hash60(col("gram")))
+    tails.join(heads.withColumnRenamed("gram", "gram2"), Seq("h"))
+      .filter(col("gram") === col("gram2"))
+      .filter(col("prev_doc") =!= col("next_doc"))
+      .select(col("prev_doc"), col("next_doc"))
+  }
+
+  /** Fixture: each source document is split into two synthetic pages
+    * with an 8-token overlap (page 1 = tokens [1, m+8), page 2 =
+    * tokens [m, end]), so every sufficiently long doc yields exactly
+    * the edge (2·doc_id, 2·doc_id+1). */
+  def paginationStitch(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Tables.documents(s, d).select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ts"))
+      .filter(size(col("ts")) >= 20)
+    // integer DIV on both sides: CAST(x / 2 AS INT) would TRUNCATE in
+    // Spark but ROUND in DuckDB on odd sizes
+    val pages = base.select(
+        (col("doc_id") * 2).as("doc_id"),
+        expr("concat_ws(' ', slice(ts, 1, CAST(size(ts) DIV 2 AS INT) + 7))").as("text"))
+      .unionByName(base.select(
+        (col("doc_id") * 2 + 1).as("doc_id"),
+        expr("concat_ws(' ', slice(ts, CAST(size(ts) DIV 2 AS INT)," +
+          " size(ts) - CAST(size(ts) DIV 2 AS INT) + 1))").as("text")))
+    paginationStitchOf(pages, k = 8)
+      .orderBy(col("prev_doc"), col("next_doc"))
+  }
+
+  private val paginationStitchOracle =
+    """WITH base AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM documents),
+      |long AS (SELECT * FROM base WHERE len(ts) >= 20),
+      |pages AS (
+      |  SELECT doc_id * 2 AS doc_id,
+      |    array_to_string(ts[1 : len(ts) // 2 + 7], ' ') AS text
+      |  FROM long
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1 AS doc_id,
+      |    array_to_string(ts[len(ts) // 2 : len(ts)], ' ') AS text
+      |  FROM long),
+      |toks AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
+      |  FROM pages WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 8),
+      |heads AS (SELECT doc_id AS next_doc,
+      |    array_to_string(ts[1:8], ' ') AS gram FROM toks),
+      |tails AS (SELECT doc_id AS prev_doc,
+      |    array_to_string(ts[len(ts) - 7 : len(ts)], ' ') AS gram FROM toks)
+      |SELECT t.prev_doc, h.next_doc
+      |FROM tails t JOIN heads h ON t.gram = h.gram
+      |WHERE t.prev_doc <> h.next_doc
+      |ORDER BY t.prev_doc, h.next_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagination_stitch"      -> (paginationStitch _),
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
     "dedup_minhash_lsh"      -> (minhashLsh _),
@@ -1633,5 +1713,6 @@ object Dedup {
     "boilerplate_scrub"      -> boilerplateOracle,
     "decontaminate_semantic" -> decontaminateSemanticOracle,
     "contamination_score"    -> contaminationScoreOracle,
+    "pagination_stitch"      -> paginationStitchOracle,
   )
 }

@@ -441,6 +441,80 @@ object Profiling {
       |  CAST(fmax * 1000 // tk AS BIGINT) AS top1_share_permille
       |FROM tot""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Per-term drift attribution — the "what changed?" companion to
+  // [[corpusDriftOf]]'s bucketed TV-distance alarm: when the drift
+  // scalar fires, this ranks the TERMS driving the shift, by a
+  // chi-square-style divergence over e9 fixed-point frequencies
+  // ((p_ref − p_cur)² / (p_ref + p_cur) — the 2-sample chi-square
+  // numerator shape on rates, scale-free so a 100× corpus-size
+  // imbalance between the sides doesn't masquerade as drift). All
+  // integers: counts widen to DECIMAL before the e9 rate DIV, the
+  // score arithmetic stays in int64 (rates ≤ 1e9 → squares ≤ 1e18).
+  // Two vocab-sized count frames + one term-keyed outer join + a
+  // top-k — the corpora never join row-to-row.
+  // ---------------------------------------------------------------
+
+  /** Top-`topK` terms by frequency divergence between two corpora:
+    * (term, p_ref_e9, p_cur_e9, divergence). Terms whose rate rounds
+    * to 0 on BOTH sides are dropped (sub-ppb noise). */
+  def termDivergenceOf(ref: DataFrame, cur: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 100000, s"unreasonable topK: $topK")
+    def counts(df: DataFrame, cname: String) = df
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as(cname))
+    val rc = counts(ref, "c_ref").localCheckpoint()
+    val cc = counts(cur, "c_cur").localCheckpoint()
+    // corpus totals: two 1-row driver scalars (the tfidf N pattern)
+    val n1 = Option(rc.agg(sum("c_ref")).head.getAs[java.lang.Long](0))
+      .map(_.toLong).getOrElse(0L)
+    val n2 = Option(cc.agg(sum("c_cur")).head.getAs[java.lang.Long](0))
+      .map(_.toLong).getOrElse(0L)
+    require(n1 > 0 && n2 > 0, "term divergence needs two non-empty corpora")
+    rc.join(cc, Seq("term"), "full_outer")
+      .select(col("term"),
+        expr(s"CAST(CAST(coalesce(c_ref, 0) AS DECIMAL(38,0))" +
+          s" * 1000000000 DIV $n1 AS BIGINT)").as("p_ref_e9"),
+        expr(s"CAST(CAST(coalesce(c_cur, 0) AS DECIMAL(38,0))" +
+          s" * 1000000000 DIV $n2 AS BIGINT)").as("p_cur_e9"))
+      .filter(col("p_ref_e9") + col("p_cur_e9") > 0)
+      .withColumn("divergence", expr(
+        "CAST((p_ref_e9 - p_cur_e9) * (p_ref_e9 - p_cur_e9)" +
+          " DIV (p_ref_e9 + p_cur_e9) AS BIGINT)"))
+      .orderBy(col("divergence").desc, col("term"))
+      .limit(topK)
+  }
+
+  /** Fixture: English-looking vs the rest by the lang column — a real
+    * vocabulary shift, so the top terms are the language markers. */
+  def termDivergence(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    termDivergenceOf(docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"))
+  }
+
+  private val termDivergenceOracle =
+    """WITH rc AS MATERIALIZED (SELECT term, count(*) AS c_ref FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |    WHERE lang = 'en') WHERE term <> '' GROUP BY term),
+      |cc AS MATERIALIZED (SELECT term, count(*) AS c_cur FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |    WHERE lang <> 'en') WHERE term <> '' GROUP BY term),
+      |n1 AS (SELECT sum(c_ref) AS n FROM rc),
+      |n2 AS (SELECT sum(c_cur) AS n FROM cc),
+      |p AS (SELECT coalesce(rc.term, cc.term) AS term,
+      |    CAST(coalesce(c_ref, 0)::HUGEINT * 1000000000
+      |      // (SELECT n FROM n1) AS BIGINT) AS p_ref_e9,
+      |    CAST(coalesce(c_cur, 0)::HUGEINT * 1000000000
+      |      // (SELECT n FROM n2) AS BIGINT) AS p_cur_e9
+      |  FROM rc FULL OUTER JOIN cc ON rc.term = cc.term)
+      |SELECT term, p_ref_e9, p_cur_e9,
+      |  CAST((p_ref_e9 - p_cur_e9) * (p_ref_e9 - p_cur_e9)
+      |    // (p_ref_e9 + p_cur_e9) AS BIGINT) AS divergence
+      |FROM p WHERE p_ref_e9 + p_cur_e9 > 0
+      |ORDER BY divergence DESC, term LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_moments"   -> (statsMoments _),
     "outlier_docs"    -> (outlierDocs _),
@@ -451,6 +525,7 @@ object Profiling {
     "corpus_drift"    -> (corpusDrift _),
     "vocab_gini"      -> (vocabGini _),
     "vocab_growth"    -> (vocabGrowth _),
+    "term_divergence" -> (termDivergence _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -463,5 +538,6 @@ object Profiling {
     "corpus_drift"    -> corpusDriftOracle,
     "vocab_gini"      -> vocabGiniOracle,
     "vocab_growth"    -> vocabGrowthOracle,
+    "term_divergence" -> termDivergenceOracle,
   )
 }

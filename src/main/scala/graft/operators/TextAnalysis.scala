@@ -1787,6 +1787,56 @@ object TextAnalysis {
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Stopword induction — per-language top document-frequency terms,
+  // the standard bootstrap for stopword lists on languages without a
+  // curated one (Luhn 1958's high-frequency cut; the quality-scoring
+  // family's stopword-ratio feature needs exactly this list per new
+  // language). One distinct-explode + (lang, term) count with
+  // map-side combine, then a rank-k window per lang (WindowGroupLimit
+  // pushes the top-k ahead of the shuffle).
+  // ---------------------------------------------------------------
+
+  /** Top-`topK` terms per language by document frequency:
+    * (lang, term, df, df_permille, rnk) — df_permille = 1000·df/docs
+    * of that language; ties break on the term. */
+  def stopwordCandidatesOf(docs: DataFrame, topK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1 && topK <= 100000, s"unreasonable topK: $topK")
+    val df = docs.select(col("lang"),
+        explode(expr("array_distinct(filter(split(text, ' '), w -> w <> ''))"))
+          .as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("df"))
+    val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("term"))
+    df.join(nd, Seq("lang"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"), col("term"), col("df").cast("long").as("df"),
+        expr("CAST(1000 * df DIV n_docs AS BIGINT)").as("df_permille"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  def stopwordCandidates(s: SparkSession, d: String): DataFrame =
+    stopwordCandidatesOf(Tables.documents(s, d))
+      .orderBy(col("lang"), col("rnk"))
+
+  private val stopwordCandidatesOracle =
+    """WITH tf AS (SELECT lang, term, count(*) AS df FROM (
+      |    SELECT lang, unnest(list_distinct(list_filter(
+      |      string_split(text, ' '), w -> w <> ''))) AS term
+      |    FROM documents) GROUP BY lang, term),
+      |nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |r AS (SELECT tf.lang, term, df, n_docs,
+      |    row_number() OVER (PARTITION BY tf.lang
+      |      ORDER BY df DESC, term) AS rnk
+      |  FROM tf JOIN nd ON tf.lang = nd.lang)
+      |SELECT lang, term, CAST(df AS BIGINT) AS df,
+      |  CAST(1000 * df // n_docs AS BIGINT) AS df_permille,
+      |  CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 15
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   // TextRank keyword extraction (Mihalcea & Tarau 2004, "TextRank:
   // Bringing Order into Texts") — rank corpus keywords by running
   // PageRank over the token CO-OCCURRENCE graph (window 2: adjacent
@@ -1882,6 +1932,7 @@ object TextAnalysis {
     "text_tiling"     -> (textTiling _),
     "pii_iban"        -> (piiIban _),
     "textrank_keywords" -> (textrankKeywords _),
+    "stopword_candidates" -> (stopwordCandidates _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1914,5 +1965,6 @@ object TextAnalysis {
     "text_tiling"     -> textTilingOracle,
     "pii_iban"        -> piiIbanOracle,
     "textrank_keywords" -> textrankOracle,
+    "stopword_candidates" -> stopwordCandidatesOracle,
   )
 }

@@ -1145,6 +1145,84 @@ class OperatorSpec extends AnyFunSuite {
     assert(drift > 0L && drift < 999999L, s"partial shift should be strictly between: $drift")
   }
 
+  test("paginationStitch links overlapping page boundaries only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 a b c d e f g h"),            // tail 8 = a..h
+      (2L, "a b c d e f g h t5 t6"),                  // head 8 = a..h -> 1 -> 2
+      (3L, "x b c d e f g h t7 t8"),                  // head differs in ONE token
+      (4L, "a b c d e f g"),                          // under k tokens: no row
+      (5L, "q r s t u v w x y z")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.paginationStitchOf(docs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"$got")
+    // a doc that continues itself (t5..t6 tail vs own head) never self-pairs
+    val selfy = Seq((7L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.paginationStitchOf(selfy, k = 8).count() == 0L)
+  }
+
+  test("stopwordCandidates: df counts docs once per term, rank-k per lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the the the cat"),   // 'the' repeated IN-doc counts once
+      (2L, "en", "the dog"),
+      (3L, "en", "a dog"),
+      (4L, "de", "der hund")).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextAnalysis.stopwordCandidatesOf(docs, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val en = got.filter(_._1 == "en").sortBy(_._5)
+    assert(en.toSeq == Seq(("en", "dog", 2L, 666L, 1L),
+      ("en", "the", 2L, 666L, 2L)), s"${en.toSeq}")
+    val de = got.filter(_._1 == "de").sortBy(_._5)
+    assert(de.toSeq == Seq(("de", "der", 1L, 1000L, 1L),
+      ("de", "hund", 1L, 1000L, 2L)), s"${de.toSeq}")
+  }
+
+  test("budgetSelect spends the budget on the densest docs, ties all-or-none") {
+    import spark.implicits._
+    // densities: d1 = 9e6, d2 = 9e6 (tie), d3 = 5e5, d4 = 2e5
+    val scored = Seq(
+      (1L, 10L, 90L), (2L, 10L, 90L), (3L, 20L, 10L), (4L, 50L, 10L))
+      .toDF("doc_id", "n_tokens", "score")
+    def sel(b: Long) = Curation.budgetSelectOf(scored, b).collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    // 25 tokens: both density-9e6 docs fit (20), the next group (d3,
+    // 20 more tokens) would overflow
+    assert(sel(25L) == Set(1L, 2L), s"${sel(25L)}")
+    // 15 tokens: the tied top group needs 20 — all-or-none drops BOTH
+    assert(sel(15L) == Set.empty[Long], s"${sel(15L)}")
+    // 40 tokens: top group + d3 fit exactly
+    assert(sel(40L) == Set(1L, 2L, 3L), s"${sel(40L)}")
+    // everything fits
+    assert(sel(1000L) == Set(1L, 2L, 3L, 4L))
+    // zero budget selects nothing
+    assert(sel(0L) == Set.empty[Long])
+    // invalid rows fail loudly (raise_error surfaces as SparkRuntimeException)
+    val bad = Seq((9L, 0L, 5L)).toDF("doc_id", "n_tokens", "score")
+    val e = intercept[Exception] { Curation.budgetSelectOf(bad, 10L).collect() }
+    assert(e.getMessage.contains("n_tokens"), s"${e.getMessage}")
+  }
+
+  test("termDivergence ranks the shifted terms; shared terms at equal rate score 0") {
+    import spark.implicits._
+    // ref rates: aa 0.5, bb 0.5; cur rates: aa 0.5, cc 0.5 — aa is
+    // unmoved (score 0), bb and cc carry the whole shift (5e8 each)
+    val ref = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val cur = Seq((3L, "aa cc")).toDF("doc_id", "text")
+    val got = Profiling.termDivergenceOf(ref, cur).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("bb", 500000000L, 0L, 500000000L),
+      ("cc", 0L, 500000000L, 500000000L),
+      ("aa", 500000000L, 500000000L, 0L)), s"${got.toSeq}")
+    // empty sides fail loudly, not with a divide-by-zero
+    val e = intercept[IllegalArgumentException] {
+      Profiling.termDivergenceOf(ref, Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("upsampling replicates by factor, factor 1000 is identity, copies are unique") {
     import spark.implicits._
     val docs = (1L to 400L).map(i =>
