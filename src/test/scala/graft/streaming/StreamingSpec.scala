@@ -503,6 +503,20 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(incTrust == batchTrust,
       s"incremental TrustRank $incTrust vs batch $batchTrust")
+    // ...and the structural signals (k-core, clustering coefficient)
+    // carry the same incremental == batch guarantee over the artifact
+    val incCore = graft.operators.GraphOps.kcoreOf(
+      EventStreams.readCrawlEdges(spark, root), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batchCore = graft.operators.GraphOps.kcoreOf(batchEdges, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(incCore == batchCore, s"incremental k-core $incCore vs $batchCore")
+    val incCc = graft.operators.GraphOps.clusteringCoefficientOf(
+      EventStreams.readCrawlEdges(spark, root))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    val batchCc = graft.operators.GraphOps.clusteringCoefficientOf(batchEdges)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(incCc == batchCc, s"incremental clustering $incCc vs $batchCc")
     // an empty artifact root reads as an empty edge frame, not an error
     val emptyRoot = java.nio.file.Files.createTempDirectory("graft_cgraph_none").toString
     assert(EventStreams.readCrawlEdges(spark, emptyRoot).count() == 0)
