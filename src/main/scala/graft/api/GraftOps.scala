@@ -740,6 +740,30 @@ object GraftOps {
   def dupRateByPath(urls: DataFrame): DataFrame =
     graft.operators.UrlOps.dupRateByPathOf(urls)
 
+  /** Page-level robots directives from `<meta name="robots">`:
+    * (noindex, nofollow_page) per page. */
+  def metaRobots(pages: DataFrame): DataFrame =
+    graft.operators.UrlOps.metaRobotsOf(pages)
+
+  /** The authority-conferring link graph: [[linkGraph]] minus
+    * nofollow pages and rel=nofollow anchors — the edges a rank may
+    * legitimately count (the published web-graph convention). */
+  def linkGraphFollow(pages: DataFrame): DataFrame =
+    graft.operators.UrlOps.linkGraphFollowOf(pages)
+
+  /** Homoglyph spoof detection: hosts whose Cyrillic/Greek
+    * Latin-lookalike letters fold to a different skeleton (the UTS #39
+    * idea as one translate call) — IDN phishing / crawl-poisoning
+    * triage. */
+  def homoglyphSpoof(urls: DataFrame): DataFrame =
+    graft.operators.UrlOps.homoglyphSpoofOf(urls)
+
+  /** Repair hyphen line-wraps from PDF/column extraction
+    * ("exam-\nple" → "example", lowercase continuations only); adds
+    * n_repairs. */
+  def dehyphenate(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.dehyphenateOf(docs)
+
   /** Continuation edges between docs whose trailing/leading k-grams
     * match — pagination stitching, so split articles re-assemble
     * before dedup half-kills them. */

@@ -1787,6 +1787,45 @@ object TextAnalysis {
       |FROM m ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // De-hyphenation — PDF/column-extracted text arrives line-wrapped
+  // with hyphen breaks ("exam-\nple"); every document-AI ingest stack
+  // repairs them before tokenization or the vocabulary fills with
+  // split halves. The standard heuristic: join a letter + "-" +
+  // newline + LOWERCASE continuation (an uppercase continuation is a
+  // real compound or a new sentence and stays). One narrow map; the
+  // single-pass regex is left-to-right non-overlapping in both
+  // engines, so a pathological chain of one-letter fragments
+  // ("a-\nb-\nc") repairs alternate breaks per pass — documented, not
+  // hidden.
+  // ---------------------------------------------------------------
+
+  /** Repairs hyphen line-wraps in `text`; adds n_repairs (the count of
+    * joins applied). */
+  def dehyphenateOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_repairs", expr(
+        "size(regexp_extract_all(text, '([A-Za-z])-\\n([a-z])', 0))").cast("long"))
+      .withColumn("text", expr(
+        "regexp_replace(text, '([A-Za-z])-\\n([a-z])', '$1$2')"))
+
+  /** Fixture: plant a wrap after every 'an' digram, then repair. */
+  def dehyphenate(s: SparkSession, d: String): DataFrame =
+    dehyphenateOf(Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("replace(text, 'an', concat('an-', chr(10)))").as("text")))
+      .select(col("doc_id"), col("n_repairs"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val dehyphenateOracle =
+    """WITH w AS (SELECT doc_id,
+      |    replace(text, 'an', 'an-' || chr(10)) AS text FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '([A-Za-z])-\n([a-z])')) AS BIGINT)
+      |    AS n_repairs,
+      |  regexp_replace(text, '([A-Za-z])-\n([a-z])', '\1\2', 'g') AS text
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Stopword induction — per-language top document-frequency terms,
   // the standard bootstrap for stopword lists on languages without a
   // curated one (Luhn 1958's high-frequency cut; the quality-scoring
@@ -1933,6 +1972,7 @@ object TextAnalysis {
     "pii_iban"        -> (piiIban _),
     "textrank_keywords" -> (textrankKeywords _),
     "stopword_candidates" -> (stopwordCandidates _),
+    "dehyphenate" -> (dehyphenate _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1966,5 +2006,6 @@ object TextAnalysis {
     "pii_iban"        -> piiIbanOracle,
     "textrank_keywords" -> textrankOracle,
     "stopword_candidates" -> stopwordCandidatesOracle,
+    "dehyphenate" -> dehyphenateOracle,
   )
 }

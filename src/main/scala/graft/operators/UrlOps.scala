@@ -298,6 +298,101 @@ object UrlOps {
     domainPairsOf(pages)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
 
+  // ---------------------------------------------------------------
+  // Page-level robots directives — the HTML-side half of the robots
+  // protocol (robots.txt is the server-side half, RobotsOps): a
+  // `<meta name="robots">` tag carrying `noindex` / `nofollow`, and
+  // per-anchor `rel="nofollow"` (the original Google semantics:
+  // a nofollow link confers no authority). A link graph that ignores
+  // them hands spam comments and paid links the authority the
+  // publisher explicitly withheld — which is exactly why every
+  // published web-graph rank excludes them.
+  //
+  // The regexes go through the Column API (regexp_extract / rlike with
+  // plain Java pattern strings), NOT expr() SQL literals — the SQL
+  // string layer would eat \b and \s escapes.
+  // ---------------------------------------------------------------
+
+  private val metaRobotsPat =
+    """(?is)<meta[^>]*name\s*=\s*["']?robots[^>]*>"""
+  private val relNofollowPat =
+    """(?i)rel\s*=\s*["']?[^"'>]*nofollow"""
+  private val anchorTagPat = """(?is)<a\b([^>]*)>"""
+  private val hrefInTagPat = """(?i)href\s*=\s*["']?([^"' >]+)"""
+
+  /** Adds (noindex, nofollow_page) to a (url, text) page frame from
+    * the page's `<meta name="robots">` tag; absent tag → both false.
+    * One narrow map. */
+  def metaRobotsOf(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("_mtag", lower(regexp_extract(col("text"), metaRobotsPat, 0)))
+      .withColumn("noindex", col("_mtag").contains("noindex"))
+      .withColumn("nofollow_page", col("_mtag").contains("nofollow"))
+      .drop("_mtag")
+
+  /** The authority-conferring link graph: [[linkGraphOf]] minus links
+    * from `nofollow` pages and minus anchors carrying rel=nofollow —
+    * distinct inter-domain (src, dst) a rank may legitimately count.
+    * Same narrow shape: anchor TAGS extract once per page, href and
+    * rel test per tag, hosts reduce before the one distinct. */
+  def linkGraphFollowOf(pages: DataFrame): DataFrame = {
+    val hostOf = (c: Column) =>
+      lower(regexp_extract(c, "^(?i)https?://([^/:?#]+)", 1))
+    metaRobotsOf(pages)
+      .filter(!col("nofollow_page"))
+      .select(hostOf(col("url")).as("src"),
+        explode(regexp_extract_all(col("text"),
+          lit(anchorTagPat), lit(1))).as("atag"))
+      .filter(!col("atag").rlike(relNofollowPat))
+      .select(col("src"),
+        hostOf(regexp_extract(col("atag"), hrefInTagPat, 1)).as("dst"))
+      .filter(col("src") =!= "" && col("dst") =!= "" &&
+        col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Fixture: every page links two partner domains; pages with
+    * doc_id % 3 == 1 mark the SECOND anchor rel=nofollow (only the
+    * first edge survives), pages with doc_id % 3 == 2 carry a meta
+    * nofollow tag (no edges survive). */
+  def linkGraphFollow(s: SparkSession, d: String): DataFrame = {
+    val pages = Tables.documents(s, d).select(
+      concat(lit("https://"), col("source"), lit(".example/p"),
+        col("doc_id")).as("url"),
+      expr(
+        """concat(
+          |  CASE WHEN doc_id % 3 = 2
+          |    THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>'
+          |    ELSE '<html><body>' END,
+          |  '<a href="https://partner', CAST(doc_id % 7 AS STRING),
+          |  '.example/x">one</a>',
+          |  CASE WHEN doc_id % 3 = 1
+          |    THEN concat('<a rel="ugc nofollow" href="https://partner',
+          |      CAST((doc_id + 1) % 7 AS STRING), '.example/y">two</a>')
+          |    ELSE concat('<a href="https://partner',
+          |      CAST((doc_id + 1) % 7 AS STRING), '.example/y">two</a>') END,
+          |  '</body></html>')""".stripMargin).as("text"))
+    linkGraphFollowOf(pages).orderBy(col("src"), col("dst"))
+  }
+
+  private val linkGraphFollowOracle: String =
+    s"""WITH pages AS (SELECT
+       |    source AS src_host,
+       |    doc_id,
+       |    CASE WHEN doc_id % 3 = 2 THEN true ELSE false END AS nofollow_page
+       |  FROM documents),
+       |anchors AS (
+       |  SELECT src_host, 'partner' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS dst,
+       |    false AS nofollow_link, nofollow_page
+       |  FROM pages
+       |  UNION ALL
+       |  SELECT src_host, 'partner' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.example' AS dst,
+       |    doc_id % 3 = 1 AS nofollow_link, nofollow_page
+       |  FROM pages),
+       |kept AS (SELECT DISTINCT src_host || '.example' AS src, dst
+       |  FROM anchors WHERE NOT nofollow_page AND NOT nofollow_link)
+       |SELECT src, dst FROM kept ORDER BY src, dst""".stripMargin
+
   /** Fixture: each page links to two rotating partner domains and
     * itself (the self-link must vanish), via double-quoted, unquoted,
     * and single-quoted href forms; a relative href is ignored. */
@@ -711,7 +806,66 @@ object UrlOps {
   }
 
   // ---------------------------------------------------------------
-  // URL secret scan — the other pre-fetch hygiene gate beside
+  // Homoglyph spoof detection — IDN lookalike hosts (Cyrillic 'а' in
+  // "pаypal.com", Greek 'ο' in "gοogle.com") are the classic phishing
+  // and crawl-poisoning vector; a corpus that treats the spoof and the
+  // brand as distinct domains hands the spoofer a clean reputation
+  // slot. Skeleton = confusable letters folded to their Latin
+  // lookalikes (the UTS #39 skeleton idea, restricted to the
+  // high-confidence Cyrillic/Greek letter set, applied with ONE
+  // translate call — pure codepoint mapping, no library). A host whose
+  // skeleton differs from itself carries lookalike letters → flag.
+  // ---------------------------------------------------------------
+
+  /** Confusable → Latin fold (paired by index; lengths must match). */
+  private val homoglyphFrom =
+    "аеорсхуіѕј" + "АВЕКМНОРСТХЅІЈ" + "ονρυικ" + "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  private val homoglyphTo =
+    "aeopcxyisj" + "ABEKMHOPCTXSIJ" + "ovpuik" + "ABEZHIKMNOPTYX"
+  require(homoglyphFrom.length == homoglyphTo.length,
+    "homoglyph fold tables must pair 1:1")
+
+  /** Adds (host, host_skeleton, is_spoof) to a `url` frame: is_spoof
+    * is true iff the host contains Cyrillic/Greek Latin-lookalike
+    * letters (skeleton differs). One narrow map. */
+  def homoglyphSpoofOf(urls: DataFrame): DataFrame = {
+    val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    urls
+      .withColumn("host", expr(
+        s"nullif(regexp_extract(url, '$auth', 1), '')"))
+      .withColumn("host_skeleton", expr(
+        s"translate(host, '$homoglyphFrom', '$homoglyphTo')"))
+      .withColumn("is_spoof",
+        col("host").isNotNull && col("host_skeleton") =!= col("host"))
+  }
+
+  /** Fixture: clean ASCII hosts, Cyrillic о/е spoofs, Greek ν spoofs. */
+  def homoglyphSpoof(s: SparkSession, d: String): DataFrame =
+    homoglyphSpoofOf(Tables.documents(s, d).withColumn("url", expr(
+      """CASE CAST(doc_id % 3 AS INT)
+        |  WHEN 0 THEN 'https://shop' || CAST(doc_id % 200 AS STRING) || '.example/x'
+        |  WHEN 1 THEN 'https://shор' || CAST(doc_id % 200 AS STRING) || '.example/x'
+        |  ELSE 'https://naνer' || CAST(doc_id % 200 AS STRING) || '.example/y'
+        |END""".stripMargin)))
+      .select(col("doc_id"), col("host"), col("host_skeleton"), col("is_spoof"))
+      .orderBy(col("doc_id"))
+
+  private val homoglyphSpoofOracle: String = {
+    val auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+    s"""WITH u AS (SELECT doc_id,
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN 'https://shop' || CAST(doc_id % 200 AS VARCHAR) || '.example/x'
+       |    WHEN 1 THEN 'https://shор' || CAST(doc_id % 200 AS VARCHAR) || '.example/x'
+       |    ELSE 'https://naνer' || CAST(doc_id % 200 AS VARCHAR) || '.example/y'
+       |  END AS url FROM documents),
+       |h AS (SELECT doc_id,
+       |    nullif(regexp_extract(url, '$auth', 1), '') AS host FROM u)
+       |SELECT doc_id, host,
+       |  translate(host, '$homoglyphFrom', '$homoglyphTo') AS host_skeleton,
+       |  host IS NOT NULL
+       |    AND translate(host, '$homoglyphFrom', '$homoglyphTo') <> host AS is_spoof
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
   // [[urlFetchSafetyOf]]: crawled pages routinely leak credentialed
   // URLs (pre-signed links, callback URLs with tokens, keys pasted
   // into docs), and a pipeline that stores or re-fetches them is
@@ -898,6 +1052,8 @@ object UrlOps {
     "anchor_text_profile" -> (anchorTextProfile _),
     "url_fetch_safety" -> (urlFetchSafety _),
     "url_secret_scan" -> (urlSecretScan _),
+    "link_graph_follow" -> (linkGraphFollow _),
+    "homoglyph_spoof" -> (homoglyphSpoof _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -910,5 +1066,7 @@ object UrlOps {
     "url_fetch_safety" -> urlFetchSafetyOracle,
     "url_secret_scan" -> urlSecretScanOracle,
     "dup_rate_by_path" -> dupRateByPathOracle,
+    "link_graph_follow" -> linkGraphFollowOracle,
+    "homoglyph_spoof" -> homoglyphSpoofOracle,
   )
 }

@@ -1145,6 +1145,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(drift > 0L && drift < 999999L, s"partial shift should be strictly between: $drift")
   }
 
+  test("dehyphenate joins lowercase continuations only and counts repairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "an exam-\nple of hyphen-\nated text"),
+      (2L, "a Proper-\nNoun break stays"),      // uppercase continuation
+      (3L, "trailing dash-\n"),                 // nothing follows
+      (4L, "no breaks at all")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.dehyphenateOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("n_repairs")),
+        r.getString(r.fieldIndex("text"))))).toMap
+    assert(got(1L) == ((2L, "an example of hyphenated text")), s"${got(1L)}")
+    assert(got(2L) == ((0L, "a Proper-\nNoun break stays")), s"${got(2L)}")
+    assert(got(3L) == ((0L, "trailing dash-\n")))
+    assert(got(4L) == ((0L, "no breaks at all")))
+  }
+
   test("paginationStitch links overlapping page boundaries only") {
     import spark.implicits._
     val docs = Seq(

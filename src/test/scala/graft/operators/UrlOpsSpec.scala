@@ -299,6 +299,61 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"secret scan must stay a map stage:\n$plan")
   }
 
+  test("meta robots + rel=nofollow carve the authority graph") {
+    import spark.implicits._
+    val pages = Seq(
+      // plain page: both links count
+      ("https://a.example/1",
+        """<html><a href="https://x.example/p">x</a><a href="https://y.example/q">y</a></html>"""),
+      // rel=nofollow (multi-token, single quotes) kills ONE link
+      ("https://b.example/1",
+        """<html><a href='https://x.example/p' rel='ugc nofollow'>x</a><a href="https://y.example/q">y</a></html>"""),
+      // meta nofollow (attribute order reversed, mixed case) kills the page
+      ("https://c.example/1",
+        """<html><head><META content="NOINDEX, NOFOLLOW" name="robots"></head><a href="https://x.example/p">x</a></html>"""),
+      // meta noindex WITHOUT nofollow: links still count
+      ("https://d.example/1",
+        """<html><head><meta name="robots" content="noindex"></head><a href="https://x.example/p">x</a></html>"""))
+      .toDF("url", "text")
+    val flags = UrlOps.metaRobotsOf(pages).collect()
+      .map(r => r.getString(0).charAt(8) ->
+        ((r.getBoolean(r.fieldIndex("noindex")),
+          r.getBoolean(r.fieldIndex("nofollow_page"))))).toMap
+    assert(flags('a') == ((false, false)))
+    assert(flags('c') == ((true, true)), s"reversed-attr meta must parse: $flags")
+    assert(flags('d') == ((true, false)))
+    val edges = UrlOps.linkGraphFollowOf(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges == Set(
+      ("a.example", "x.example"), ("a.example", "y.example"),
+      ("b.example", "y.example"),   // b's x-link was rel=nofollow
+      ("d.example", "x.example")),  // noindex alone doesn't kill links
+      s"$edges")
+    // rel=dofollow-ish values must NOT false-positive
+    val ok = Seq(("https://e.example/1",
+      """<a href="https://x.example/p" rel="author">x</a>""")).toDF("url", "text")
+    assert(UrlOps.linkGraphFollowOf(ok).count() == 1L)
+  }
+
+  test("homoglyph skeleton flags lookalike hosts, leaves ASCII and true IDN-free hosts alone") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://paypal.example/login"),            // clean
+      (2L, "https://pаypal.example/login"),       // Cyrillic а
+      (3L, "https://gοogle.example/"),            // Greek ο
+      (4L, "https://müller.example/"),                 // legit non-confusable IDN
+      (5L, "https://САSH.example/")).toDF("doc_id", "url") // Cyrillic С, А
+    val got = UrlOps.homoglyphSpoofOf(urls).collect()
+      .map(r => r.getLong(0) -> ((r.getString(r.fieldIndex("host_skeleton")),
+        r.getBoolean(r.fieldIndex("is_spoof"))))).toMap
+    assert(got(1L) == (("paypal.example", false)))
+    assert(got(2L) == (("paypal.example", true)), s"${got(2L)}")
+    assert(got(3L) == (("google.example", true)), s"${got(3L)}")
+    assert(got(4L) == (("müller.example", false)),
+      s"umlaut is not a Latin lookalike: ${got(4L)}")
+    assert(got(5L) == (("CASH.example", true)), s"${got(5L)}")
+  }
+
   test("dup rate by path: canonical collapse attributes duplicates to their section") {
     import spark.implicits._
     val urls = Seq(
