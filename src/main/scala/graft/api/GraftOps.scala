@@ -764,6 +764,18 @@ object GraftOps {
   def dehyphenate(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis.dehyphenateOf(docs)
 
+  /** Code-likeness routing signals (punctuation/bracket density,
+    * reserved-word rate, composed verdict) — route code and prose to
+    * different tokenizer/dedup lanes. One narrow map. */
+  def codeLikeness(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.codeLikenessOf(docs)
+
+  /** Mojibake (UTF-8-as-Latin-1 double encoding) detection: canonical
+    * digraph hits per 10k chars + verdict — drop or re-decode before
+    * the junk poisons the vocabulary. */
+  def mojibakeScore(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.mojibakeScoreOf(docs)
+
   /** Continuation edges between docs whose trailing/leading k-grams
     * match — pagination stitching, so split articles re-assemble
     * before dedup half-kills them. */

@@ -1826,6 +1826,147 @@ object TextAnalysis {
       |FROM w ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // Code-likeness routing signals — LLM pipelines route source code
+  // and prose to different tokenizers, dedup configs, and mixing
+  // weights (The Stack / StarCoder vs C4-style text lanes), so the
+  // router needs a cheap pre-classifier. Three integer signals per
+  // doc: statement-punctuation density (';'), bracket density
+  // ({}()), and reserved-word token rate over a cross-language
+  // keyword set — plus a composed verdict with documented
+  // thresholds. All counts are replace-difference arithmetic and one
+  // token filter: a single narrow map.
+  // ---------------------------------------------------------------
+
+  private val codeKeywords = Seq("def", "class", "import", "return",
+    "function", "var", "let", "const", "if", "else", "for", "while",
+    "public", "static", "void", "int", "lambda", "struct")
+
+  /** Adds (semi_permille, bracket_permille, keyword_permille,
+    * code_score, is_code) to a (doc_id, text) frame. code_score =
+    * 4·semi + 2·bracket + keyword; is_code requires BOTH score ≥ 60
+    * AND punctuation density (semi + bracket) ≥ 10‰ — keyword rate
+    * alone never convicts, because if/for/while/return are ordinary
+    * English ("if you return the book for a while" is prose, which
+    * the spec pins). Empty docs score 0. */
+  def codeLikenessOf(docs: DataFrame): DataFrame = {
+    def cnt(ch: String) =
+      s"(length(text) - length(replace(text, '$ch', '')))"
+    val kws = codeKeywords.map(k => s"'$k'").mkString(", ")
+    docs
+      .withColumn("semi_permille", expr(
+        s"CASE WHEN length(text) > 0 THEN CAST(1000 * ${cnt(";")}" +
+          s" DIV length(text) AS BIGINT) ELSE 0 END"))
+      .withColumn("bracket_permille", expr(
+        s"CASE WHEN length(text) > 0 THEN CAST(1000 * (${cnt("{")} +" +
+          s" ${cnt("}")} + ${cnt("(")} + ${cnt(")")})" +
+          s" DIV length(text) AS BIGINT) ELSE 0 END"))
+      .withColumn("keyword_permille", expr(
+        s"CASE WHEN size(filter(split(text, ' '), w -> w <> '')) > 0" +
+          s" THEN CAST(1000 * size(filter(split(text, ' '), w -> w IN ($kws)))" +
+          s" DIV size(filter(split(text, ' '), w -> w <> '')) AS BIGINT)" +
+          s" ELSE 0 END"))
+      .withColumn("code_score", expr(
+        "4 * semi_permille + 2 * bracket_permille + keyword_permille"))
+      .withColumn("is_code", col("code_score") >= 60 &&
+        expr("semi_permille + bracket_permille >= 10"))
+  }
+
+  /** Fixture: doc_id % 5 == 0 docs get a code tail appended. */
+  def codeLikeness(s: SparkSession, d: String): DataFrame =
+    codeLikenessOf(Tables.documents(s, d).select(col("doc_id"), expr(
+      """CASE WHEN doc_id % 5 = 0
+        |  THEN concat(text, ' function f(x) { if (x) { return g(x); } }',
+        |    ' var y = h(1); let z = []; const w = {};')
+        |  ELSE text END""".stripMargin).as("text")))
+      .select(col("doc_id"), col("semi_permille"), col("bracket_permille"),
+        col("keyword_permille"), col("code_score"), col("is_code"))
+      .orderBy(col("doc_id"))
+
+  private val codeLikenessOracle: String = {
+    def cnt(ch: String) =
+      s"(length(text) - length(replace(text, '$ch', '')))"
+    val kws = codeKeywords.map(k => s"'$k'").mkString(", ")
+    s"""WITH b AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 5 = 0
+       |    THEN text || ' function f(x) { if (x) { return g(x); } }'
+       |      || ' var y = h(1); let z = []; const w = {};'
+       |    ELSE text END AS text
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  CASE WHEN length(text) > 0 THEN CAST(1000 * ${cnt(";")}
+       |    // length(text) AS BIGINT) ELSE 0 END AS semi_permille,
+       |  CASE WHEN length(text) > 0 THEN CAST(1000 * (${cnt("{")} +
+       |    ${cnt("}")} + ${cnt("(")} + ${cnt(")")})
+       |    // length(text) AS BIGINT) ELSE 0 END AS bracket_permille,
+       |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+       |    THEN CAST(1000 * len(list_filter(string_split(text, ' '),
+       |      w -> w IN ($kws)))
+       |      // len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT)
+       |    ELSE 0 END AS keyword_permille
+       |  FROM b)
+       |SELECT doc_id, semi_permille, bracket_permille, keyword_permille,
+       |  4 * semi_permille + 2 * bracket_permille + keyword_permille AS code_score,
+       |  4 * semi_permille + 2 * bracket_permille + keyword_permille >= 60
+       |    AND semi_permille + bracket_permille >= 10 AS is_code
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Mojibake detection — UTF-8 text mis-decoded as Latin-1 and
+  // re-encoded ("Ã©" for é, "â€™" for ') is the classic crawl
+  // encoding defect; the C4/CCNet lineage drops or re-decodes such
+  // docs because the junk tokens poison the vocabulary. Detection
+  // counts the canonical double-encoding digraphs (replace-difference
+  // arithmetic over a fixed sequence table — one narrow map) and
+  // rates them per 10k chars.
+  // ---------------------------------------------------------------
+
+  private val mojibakeSeqs = Seq("Ã©", "Ã¨", "Ã¼", "Ã¶", "Ã¤", "Ã±",
+    "Ã§", "Ã£", "Ã¥", "â€™", "â€œ", "â€“", "â€”", "Â«", "Â»", "Â·")
+
+  /** Adds (mojibake_hits, mojibake_e4, is_mojibake) to a (doc_id,
+    * text) frame: hits = occurrences of the canonical double-encoded
+    * sequences, e4 = hits per 10k chars, verdict at ≥ 3 hits. */
+  def mojibakeScoreOf(docs: DataFrame): DataFrame = {
+    val hits = mojibakeSeqs.map { sq =>
+      s"(length(text) - length(replace(text, '$sq', ''))) DIV ${sq.length}"
+    }.mkString("(", " + ", ")")
+    docs
+      .withColumn("mojibake_hits", expr(s"CAST($hits AS BIGINT)"))
+      .withColumn("mojibake_e4", expr(
+        "CASE WHEN length(text) > 0 THEN" +
+          " CAST(10000 * mojibake_hits DIV length(text) AS BIGINT)" +
+          " ELSE 0 END"))
+      .withColumn("is_mojibake", col("mojibake_hits") >= 3)
+  }
+
+  /** Fixture: doc_id % 7 == 3 docs get their 'e's double-encoded. */
+  def mojibakeScore(s: SparkSession, d: String): DataFrame =
+    mojibakeScoreOf(Tables.documents(s, d).select(col("doc_id"), expr(
+      "CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'Ã©') ELSE text END")
+      .as("text")))
+      .select(col("doc_id"), col("mojibake_hits"), col("mojibake_e4"),
+        col("is_mojibake"))
+      .orderBy(col("doc_id"))
+
+  private val mojibakeScoreOracle: String = {
+    val hits = mojibakeSeqs.map { sq =>
+      s"(length(text) - length(replace(text, '$sq', ''))) // ${sq.length}"
+    }.mkString("(", " + ", ")")
+    s"""WITH b AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'Ã©')
+       |    ELSE text END AS text
+       |  FROM documents),
+       |m AS (SELECT doc_id, CAST($hits AS BIGINT) AS mojibake_hits,
+       |    length(text) AS n FROM b)
+       |SELECT doc_id, mojibake_hits,
+       |  CASE WHEN n > 0 THEN CAST(10000 * mojibake_hits // n AS BIGINT)
+       |    ELSE 0 END AS mojibake_e4,
+       |  mojibake_hits >= 3 AS is_mojibake
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Stopword induction — per-language top document-frequency terms,
   // the standard bootstrap for stopword lists on languages without a
   // curated one (Luhn 1958's high-frequency cut; the quality-scoring
@@ -1973,6 +2114,8 @@ object TextAnalysis {
     "textrank_keywords" -> (textrankKeywords _),
     "stopword_candidates" -> (stopwordCandidates _),
     "dehyphenate" -> (dehyphenate _),
+    "code_likeness" -> (codeLikeness _),
+    "mojibake_score" -> (mojibakeScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2007,5 +2150,7 @@ object TextAnalysis {
     "textrank_keywords" -> textrankOracle,
     "stopword_candidates" -> stopwordCandidatesOracle,
     "dehyphenate" -> dehyphenateOracle,
+    "code_likeness" -> codeLikenessOracle,
+    "mojibake_score" -> mojibakeScoreOracle,
   )
 }

@@ -1145,6 +1145,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(drift > 0L && drift < 999999L, s"partial shift should be strictly between: $drift")
   }
 
+  test("codeLikeness separates code from prose on its documented signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "function add(a, b) { return a + b; } var x = 1; let y = 2;"),
+      (2L, "the quiet afternoon light settled over the old library shelves"),
+      (3L, ""),  // empty: all signals 0, not NULL
+      (4L, "if you return the book for a while it helps")) // prose with keywords
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.codeLikenessOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("code_score")),
+        r.getBoolean(r.fieldIndex("is_code"))))).toMap
+    assert(got(1L)._2, s"code must classify as code: ${got(1L)}")
+    assert(!got(2L)._2, s"prose must stay prose: ${got(2L)}")
+    assert(got(3L) == ((0L, false)))
+    assert(!got(4L)._2,
+      s"keyword-bearing prose without punctuation density stays prose: ${got(4L)}")
+  }
+
+  test("mojibakeScore counts double-encoding digraphs and rates per 10k chars") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean ascii text with nothing wrong"),
+      (2L, "cafÃ© naÃ¯ve"), // one Ã© + Ã¯ (uncounted): below verdict
+      (3L, "â€œquotedâ€ and donâ€™t and emâ€”dash")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.mojibakeScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(r.fieldIndex("mojibake_hits")),
+        r.getBoolean(r.fieldIndex("is_mojibake"))))).toMap
+    assert(got(1L) == ((0L, false)))
+    assert(got(2L)._1 == 1L && !got(2L)._2, s"${got(2L)}")
+    assert(got(3L)._1 == 3L && got(3L)._2, s"${got(3L)}")
+  }
+
   test("dehyphenate joins lowercase continuations only and counts repairs") {
     import spark.implicits._
     val docs = Seq(
