@@ -778,9 +778,11 @@ object GraftOps {
 
   /** Continuation edges between docs whose trailing/leading k-grams
     * match — pagination stitching, so split articles re-assemble
-    * before dedup half-kills them. */
-  def paginationStitch(docs: DataFrame, k: Int = 8): DataFrame =
-    graft.operators.Dedup.paginationStitchOf(docs, k)
+    * before dedup half-kills them. Grams shared by more than `maxDf`
+    * docs on a side are site templates and drop before the join (the
+    * quadratic hot-gram guard). */
+  def paginationStitch(docs: DataFrame, k: Int = 8, maxDf: Int = 16): DataFrame =
+    graft.operators.Dedup.paginationStitchOf(docs, k, maxDf)
 
   /** Per-language stopword candidates: top document-frequency terms
     * with df permille — the bootstrap for quality metrics on languages

@@ -1606,18 +1606,34 @@ object Dedup {
   /** Continuation edges over (doc_id, text): (prev_doc, next_doc) where
     * prev's trailing `k`-gram equals next's leading `k`-gram. Docs with
     * fewer than `k` tokens produce no edge; trivial self-pairs are
-    * dropped. */
-  def paginationStitchOf(docs: DataFrame, k: Int = 8): DataFrame = {
+    * dropped.
+    *
+    * `maxDf` is the hot-gram guard (the shingle-index df-cap
+    * convention): a boundary gram shared by more than `maxDf` docs on
+    * EITHER side is a site template ("subscribe to our newsletter…"),
+    * not a pagination continuation — and without the cap it would join
+    * G×G pairs per gram, the quadratic hot-key blowup a
+    * boilerplate-heavy 100 TB crawl WILL hit. Capped grams drop before
+    * the join; the frequency probe is one map-side-combined count per
+    * side. */
+  def paginationStitchOf(docs: DataFrame, k: Int = 8,
+                         maxDf: Int = 16): DataFrame = {
     require(k >= 1 && k <= 1000, s"unreasonable k: $k")
+    require(maxDf >= 1 && maxDf <= 1000000, s"unreasonable maxDf: $maxDf")
     val base = docs.select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ts"))
       .filter(size(col("ts")) >= k)
-    val heads = base.select(col("doc_id").as("next_doc"),
+    def capped(side: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      side.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= maxDf).drop("_df")
+    }
+    val heads = capped(base.select(col("doc_id").as("next_doc"),
         expr(s"concat_ws(' ', slice(ts, 1, $k))").as("gram"))
-      .withColumn("h", graft.functions.Portable.hash60(col("gram")))
-    val tails = base.select(col("doc_id").as("prev_doc"),
+      .withColumn("h", graft.functions.Portable.hash60(col("gram"))))
+    val tails = capped(base.select(col("doc_id").as("prev_doc"),
         expr(s"concat_ws(' ', slice(ts, size(ts) - ${k - 1}, $k))").as("gram"))
-      .withColumn("h", graft.functions.Portable.hash60(col("gram")))
+      .withColumn("h", graft.functions.Portable.hash60(col("gram"))))
     tails.join(heads.withColumnRenamed("gram", "gram2"), Seq("h"))
       .filter(col("gram") === col("gram2"))
       .filter(col("prev_doc") =!= col("next_doc"))
@@ -1661,10 +1677,16 @@ object Dedup {
       |toks AS (SELECT doc_id,
       |    list_filter(string_split(text, ' '), w -> w <> '') AS ts
       |  FROM pages WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) >= 8),
-      |heads AS (SELECT doc_id AS next_doc,
+      |heads0 AS (SELECT doc_id AS next_doc,
       |    array_to_string(ts[1:8], ' ') AS gram FROM toks),
-      |tails AS (SELECT doc_id AS prev_doc,
-      |    array_to_string(ts[len(ts) - 7 : len(ts)], ' ') AS gram FROM toks)
+      |tails0 AS (SELECT doc_id AS prev_doc,
+      |    array_to_string(ts[len(ts) - 7 : len(ts)], ' ') AS gram FROM toks),
+      |heads AS (SELECT next_doc, gram FROM (SELECT *, count(*) OVER (
+      |    PARTITION BY ('0x' || substr(md5(gram), 1, 15))::BIGINT) AS df
+      |  FROM heads0) WHERE df <= 16),
+      |tails AS (SELECT prev_doc, gram FROM (SELECT *, count(*) OVER (
+      |    PARTITION BY ('0x' || substr(md5(gram), 1, 15))::BIGINT) AS df
+      |  FROM tails0) WHERE df <= 16)
       |SELECT t.prev_doc, h.next_doc
       |FROM tails t JOIN heads h ON t.gram = h.gram
       |WHERE t.prev_doc <> h.next_doc

@@ -1207,6 +1207,18 @@ class OperatorSpec extends AnyFunSuite {
     // a doc that continues itself (t5..t6 tail vs own head) never self-pairs
     val selfy = Seq((7L, "a b c d e f g h a b c d e f g h")).toDF("doc_id", "text")
     assert(graft.operators.Dedup.paginationStitchOf(selfy, k = 8).count() == 0L)
+    // the hot-gram guard: a site-template gram shared by MANY docs is
+    // boilerplate, not pagination — without the df-cap this joins G×G
+    // pairs per gram (the quadratic blowup a 100 TB crawl WILL hit)
+    val template = (1L to 40L).map(i =>
+      (i, s"w$i x$i a b c d e f g h")) ++        // 40 tails share the gram
+      (100L to 140L).map(i => (i, s"a b c d e f g h y$i z$i"))
+    val boiler = template.toDF("doc_id", "text")
+    assert(graft.operators.Dedup.paginationStitchOf(boiler, k = 8).count() == 0L,
+      "a > maxDf boilerplate gram must drop, not explode")
+    // ...while raising the cap reveals the (deliberately) quadratic set
+    assert(graft.operators.Dedup
+      .paginationStitchOf(boiler, k = 8, maxDf = 100).count() == 40L * 41L)
   }
 
   test("stopwordCandidates: df counts docs once per term, rank-k per lang") {
