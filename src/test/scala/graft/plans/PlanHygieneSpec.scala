@@ -180,7 +180,7 @@ class PlanHygieneSpec extends AnyFunSuite {
     // between a top-5-per-customer over 100 TB shuffling ~nothing and
     // shuffling everything. Pin the shape so a refactor (e.g. filtering
     // on a derived column) can't silently lose it.
-    for (q <- Seq("topk_per_group", "latest_per_key")) {
+    for (q <- Seq("topk_per_group", "latest_per_key", "stopword_candidates")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown:\n$plan")
     }
