@@ -797,6 +797,14 @@ object GraftOps {
   def budgetSelect(scored: DataFrame, budgetTokens: Long): DataFrame =
     graft.operators.Curation.budgetSelectOf(scored, budgetTokens)
 
+  /** Reshard plan by rendezvous (HRW) hashing: per-doc old/new shard
+    * + moved flag when a corpus grows from nOld to nNew shards — HRW
+    * moves only ~(m−n)/m of docs where mod-hashing moves nearly all
+    * (the comparison columns ride along). Narrow argmax; shard counts
+    * bounded at 64. */
+  def reshardPlan(docs: DataFrame, nOld: Int, nNew: Int): DataFrame =
+    graft.operators.Curation.reshardPlanOf(docs, nOld, nNew)
+
   /** Per-term drift attribution: top terms by chi-square-style
     * divergence between two corpora's e9 unigram rates — the "what
     * changed?" companion to [[corpusDrift]]'s scalar alarm. */

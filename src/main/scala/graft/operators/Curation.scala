@@ -716,7 +716,72 @@ object Curation {
       |  density_e6 >= (SELECT thr FROM t) AS selected
       |FROM dd ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Reshard planning by rendezvous (HRW) hashing (Thaler & Ravishankar
+  // 1998) — when a sharded corpus grows from n to m shards, assigning
+  // each doc to argmax_s hash(doc, s) moves ONLY the docs whose argmax
+  // lands on a NEW shard (expected (m−n)/m of them), where mod-hashing
+  // moves nearly everything ((m−1)/m). At 100 TB that is the
+  // difference between copying a third of the corpus and copying all
+  // of it. The plan is per-doc old/new HRW shard + moved flag, with
+  // the mod assignment alongside as the honest comparison.
+  //
+  // Shape: argmax over shard ids is a NARROW greatest() over one
+  // struct per shard — shard counts are bounded (≤ 64 here; a larger
+  // topology wants the explode + max-agg form, which shuffles
+  // corpus×shards rows and is exactly what this form avoids).
+  // ---------------------------------------------------------------
+
+  /** Per-doc reshard plan from `nOld` to `nNew` shards: (doc_id,
+    * old_shard, new_shard, moved, old_mod, new_mod, moved_mod). */
+  def reshardPlanOf(docs: DataFrame, nOld: Int, nNew: Int): DataFrame = {
+    require(nOld >= 1 && nOld <= 64 && nNew >= 1 && nNew <= 64,
+      s"shard counts bounded at 64 for the narrow argmax form: $nOld -> $nNew")
+    def hrw(n: Int) = {
+      val cands = (0 until n).map { sh =>
+        struct(
+          Portable.hash60(concat(col("doc_id").cast("string"),
+            lit(s":$sh"))).as("h"),
+          lit(sh).as("s"))
+      }
+      val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+      best.getField("s")
+    }
+    docs.select(col("doc_id"),
+        hrw(nOld).cast("int").as("old_shard"),
+        hrw(nNew).cast("int").as("new_shard"),
+        (col("doc_id") % nOld).cast("int").as("old_mod"),
+        (col("doc_id") % nNew).cast("int").as("new_mod"))
+      .withColumn("moved", col("old_shard") =!= col("new_shard"))
+      .withColumn("moved_mod", col("old_mod") =!= col("new_mod"))
+  }
+
+  /** Fixture: 8 → 12 shards over the documents (HRW expects ~333‰
+    * moved; mod expects ~917‰ — the comparison is the pitch). */
+  def reshardPlan(s: SparkSession, d: String): DataFrame =
+    reshardPlanOf(Tables.documents(s, d), nOld = 8, nNew = 12)
+      .orderBy(col("doc_id"))
+
+  private val reshardPlanOracle: String = {
+    def hrwSql(n: Int) =
+      s"""(SELECT struct_extract(max({'h': ('0x' || substr(md5(
+         |      CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15))::BIGINT,
+         |    's': s}), 's')
+         |  FROM (SELECT unnest(range(0, $n)) AS s))""".stripMargin
+    s"""WITH p AS (SELECT doc_id,
+       |  CAST(${hrwSql(8)} AS INT) AS old_shard,
+       |  CAST(${hrwSql(12)} AS INT) AS new_shard,
+       |  CAST(doc_id % 8 AS INT) AS old_mod,
+       |  CAST(doc_id % 12 AS INT) AS new_mod
+       |  FROM documents)
+       |SELECT doc_id, old_shard, new_shard, old_mod, new_mod,
+       |  old_shard <> new_shard AS moved,
+       |  old_mod <> new_mod AS moved_mod
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshard_plan"       -> (reshardPlan _),
     "budget_select"      -> (budgetSelect _),
     "stratified_fixed_n" -> (stratifiedFixedN _),
     "mix_sources"        -> (mixSources _),
@@ -752,5 +817,6 @@ object Curation {
     "mix_token_budget"   -> mixTokenBudgetOracle,
     "pack_concat"        -> packConcatOracle,
     "budget_select"      -> budgetSelectOracle,
+    "reshard_plan"       -> reshardPlanOracle,
   )
 }

@@ -1239,6 +1239,33 @@ class OperatorSpec extends AnyFunSuite {
       ("de", "hund", 1L, 1000L, 2L)), s"${de.toSeq}")
   }
 
+  test("reshardPlan: HRW moves only docs claimed by NEW shards; mod moves almost all") {
+    import spark.implicits._
+    val docs = (1L to 600L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val plan = Curation.reshardPlanOf(docs, nOld = 8, nNew = 12).collect()
+    // the rendezvous property: growing the topology can only move a doc
+    // TO one of the added shards — a doc whose new argmax is an OLD
+    // shard id had the same argmax before (same hash values compete)
+    plan.foreach { r =>
+      val (olds, news, moved) = (r.getInt(1), r.getInt(2),
+        r.getBoolean(r.fieldIndex("moved")))
+      if (moved) assert(news >= 8, s"moved doc landed on old shard: $r")
+      else assert(olds == news)
+    }
+    // expected moved fraction ~ (12-8)/12 = 333 permille; mod ~ 917
+    val movedN = plan.count(_.getBoolean(plan.head.fieldIndex("moved")))
+    val movedMod = plan.count(_.getBoolean(plan.head.fieldIndex("moved_mod")))
+    assert(movedN > 600 * 20 / 100 && movedN < 600 * 47 / 100,
+      s"HRW moved $movedN of 600 — expected near a third")
+    // sequential ids 1..600 agree under mod 8 vs mod 12 exactly when
+    // id%24 < 8, so mod moves exactly 2/3 — strictly worse than HRW
+    assert(movedMod == 400, s"mod moves exactly 2/3 of sequential ids: $movedMod")
+    assert(movedMod > movedN, s"mod ($movedMod) must move more than HRW ($movedN)")
+    // both shard columns stay in range
+    assert(plan.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 8 &&
+      r.getInt(2) >= 0 && r.getInt(2) < 12))
+  }
+
   test("budgetSelect spends the budget on the densest docs, ties all-or-none") {
     import spark.implicits._
     // densities: d1 = 9e6, d2 = 9e6 (tie), d3 = 5e5, d4 = 2e5
