@@ -351,7 +351,7 @@ object Curation {
     // rows a leakage audit cares about. NULLs band under a sentinel
     // group instead (all-null rows still co-locate in ONE split).
     val b = Portable.hash60(concat(lit("gsplit:"),
-      coalesce(group.cast("string"), lit(" :null-group")))) % 1000
+      coalesce(group.cast("string"), lit("\u0000:null-group")))) % 1000
     docs.withColumn("split",
       when(b < trainPermille, "train")
         .when(b < trainPermille + valPermille, "val")
