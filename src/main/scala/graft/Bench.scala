@@ -129,6 +129,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.drainBoundedWindowWarn()
     // Warm the JVM (codegen, parquet reader, shuffle paths) before
     // timing — the flagship on sf0.001 touches joins + aggregates and
     // costs ~2s; without it the first timed query absorbs ~8s of

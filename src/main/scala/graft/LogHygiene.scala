@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.logging.log4j.Level
+import org.apache.logging.log4j.core.config.Configurator
+
+/** Keeps the WARN channel meaningful in the bench/verify harness.
+  *
+  * Seven queries intentionally plan a partition-less Window over a
+  * frame whose cardinality is bounded by construction (the exact set,
+  * with each bound, is pinned by `PlanHygieneSpec`'s allowlist test).
+  * Spark's `WindowExec` logs "No Partition Defined for Window
+  * operation!" for every one of them on every run, which buries any
+  * NEW unbounded window in dozens of known-benign lines. The
+  * structural guard lives in the spec (an undeclared global window
+  * fails the suite); the log line adds nothing on top of it, so the
+  * harness mains raise that one logger to ERROR. Scoped to the single
+  * class — every other Spark WARN still surfaces.
+  */
+object LogHygiene {
+  def drainBoundedWindowWarn(): Unit =
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+}

@@ -37,6 +37,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.LogHygiene.drainBoundedWindowWarn()
     s
   }
 }
