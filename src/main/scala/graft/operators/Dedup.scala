@@ -178,18 +178,20 @@ object Dedup {
   private val shinglesSql = shinglesSqlOf("documents", "")
 
   /** DuckDB CTEs from a `${p}shf(doc_id, sh)` shingle set to minhash
-    * LSH band keys (16 perms, 4x4 bands — mirrors minhashSigs/
-    * bandKeys). Emits `${p}bands(doc_id, band, bkey)`. */
-  private def bandsFromShfSql(p: String): String =
+    * LSH band keys (16 perms, banded per `rows` — mirrors minhashSigs/
+    * bandKeys under the same [[LshPlan]] geometry). Emits
+    * `${p}bands(doc_id, band, bkey)`. */
+  private def bandsFromShfSql(p: String, rows: Int = 4): String =
     s"""${p}hx AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS x FROM ${p}shf),
        |${p}sig AS (SELECT doc_id, i, min(((i*2 + 1) * x + (i + 1) * 7919) % 2147483647) AS mh
        |        FROM ${p}hx CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
-       |${p}bands AS (SELECT doc_id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
-       |          FROM ${p}sig GROUP BY doc_id, i // 4)""".stripMargin
+       |${p}bands AS (SELECT doc_id, i // $rows AS band, string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS bkey
+       |          FROM ${p}sig GROUP BY doc_id, i // $rows)""".stripMargin
 
-  private def minhashBandsSqlOf(src: String, p: String): String =
+  private def minhashBandsSqlOf(src: String, p: String,
+                                rows: Int = 4): String =
     s"""${shinglesSqlOf(src, p)},
-       |${bandsFromShfSql(p)}""".stripMargin
+       |${bandsFromShfSql(p, rows)}""".stripMargin
 
   /** Near-dup pairs by exact n-gram Jaccard over the inverted index —
     * frame-based form over any (doc_id, text) frame. */
@@ -267,35 +269,93 @@ object Dedup {
        |WHERE greatest(c / sa.n, c / sb.n) >= 0.9
        |ORDER BY i, j""".stripMargin
 
-  /** MinHash + LSH banding. 16 permutations h_i(x) = (a_i*x + b_i) mod p
-    * over 60-bit shingle hashes reduced mod p (p = 2^31-1), banded 4x4:
-    * candidates must agree on one full band; survivors are scored by
-    * signature agreement (estimated Jaccard) >= 0.5.
+  /** MinHash + LSH banding. `nPerm` permutations h_i(x) = (a_i*x + b_i)
+    * mod p over 60-bit shingle hashes reduced mod p (p = 2^31-1),
+    * banded b x r: candidates must agree on one full band; survivors
+    * are scored by signature agreement (estimated Jaccard) >= the
+    * target threshold.
     *
     * The band join is keyed — this is the sub-quadratic scale path: at
     * 100 TB no cross join ever forms; cost is O(docs * perms) for
     * signatures plus the bucket joins. */
-  /** 16-perm minhash signature array per doc (see minhashLsh). */
+  /** One LSH banding geometry: `bands` bands of `rows` signature
+    * positions each (`bands * rows` permutations total). A candidate
+    * pair forms iff some band's `rows` positions all agree, so the
+    * collision probability at true Jaccard s is the published S-curve
+    * 1 - (1 - s^rows)^bands (Leskovec/Rajaraman/Ullman, MMDS ch. 3). */
+  final case class LshPlan(bands: Int, rows: Int) {
+    require(bands >= 1 && rows >= 1, s"degenerate LSH plan ${bands}x$rows")
+    def nPerm: Int = bands * rows
+    /** P[candidate | Jaccard = s] — the S-curve. */
+    def sCurve(s: Double): Double =
+      1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
+    /** The curve's inflection threshold (1/b)^(1/r): the similarity at
+      * which sCurve == 1 - (1 - 1/b)^b (≈ 1 - 1/e for large b). */
+    def midpoint: Double = math.pow(1.0 / bands, 1.0 / rows)
+  }
+
+  /** Derive an LSH geometry from a TARGET Jaccard threshold instead of
+    * raw (bands, rows): over every factorization b*r == nPerm, pick
+    * the plan minimizing the S-curve's error mass around the
+    * threshold — the false-positive area ∫₀ᵗ curve ds (pairs below t
+    * that still collide and must be rescored) plus `fnWeight` times
+    * the false-negative area ∫ₜ¹ (1-curve) ds (true near-dups the
+    * banding never surfaces; rescoring cannot recover these, so
+    * recall-sensitive callers weight them up). Pure driver arithmetic
+    * at plan time: ~log(nPerm) candidate geometries, a 4096-point
+    * midpoint-rule integral each, zero effect on the plan shape.
+    * Deterministic tie-break: fewer bands (fewer candidate rows). */
+  def lshPlanFor(threshold: Double, nPerm: Int = 16,
+                 fnWeight: Double = 1.0): LshPlan = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"LSH target threshold must be in (0,1), got $threshold")
+    require(nPerm >= 1 && fnWeight > 0.0,
+      s"need nPerm >= 1 and fnWeight > 0, got nPerm=$nPerm fnWeight=$fnWeight")
+    def cost(p: LshPlan): Double = {
+      val n = 4096
+      var fp = 0.0; var fn = 0.0; var k = 0
+      while (k < n) {
+        val s = (k + 0.5) / n
+        val f = p.sCurve(s)
+        if (s < threshold) fp += f else fn += 1.0 - f
+        k += 1
+      }
+      (fp + fnWeight * fn) / n
+    }
+    (1 to nPerm).filter(nPerm % _ == 0).map(b => LshPlan(b, nPerm / b))
+      .minBy(p => (cost(p), p.bands))
+  }
+
+  /** The audited default geometry: 16 perms banded 4x4 — exactly what
+    * [[lshPlanFor]](0.5, 16) derives (midpoint 0.71, FP+FN area 0.165;
+    * the 8x2 midpoint-closest alternative carries 0.21 of almost pure
+    * FP mass — pinned by `DedupSpec`). */
+  private val defaultLshPlan = LshPlan(4, 4)
+
+  /** Per-doc minhash signature array (see minhashLsh). */
   private def minhashSigs(docs: DataFrame, maxDf: Int): DataFrame =
     minhashSigsFromShingles(shinglesOf(docs, maxDf))
 
-  private def minhashSigsFromShingles(shf: DataFrame): DataFrame = {
+  private def minhashSigsFromShingles(shf: DataFrame,
+                                      nPerm: Int = 16): DataFrame = {
     val p = 2147483647L
     val hashed = shf
       .select(col("doc_id"), (Portable.hash60(col("sh")) % p).as("x"))
-    val mhCols = (0 until 16).map { i =>
+    val mhCols = (0 until nPerm).map { i =>
       min((col("x") * (2L * i + 1) + (i + 1) * 7919L) % p).as(s"mh$i")
     }
     hashed.groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
-      .select(col("doc_id"), array((0 until 16).map(i => col(s"mh$i")): _*).as("mhs"))
+      .select(col("doc_id"), array((0 until nPerm).map(i => col(s"mh$i")): _*).as("mhs"))
   }
 
-  /** Band keys (4 bands x 4 rows) for a signature frame. */
-  private def bandKeys(sig: DataFrame): DataFrame =
+  /** Band keys (`plan.bands` bands x `plan.rows` rows) for a signature
+    * frame. */
+  private def bandKeys(sig: DataFrame,
+                       plan: LshPlan = defaultLshPlan): DataFrame =
     sig.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, " +
-        "concat_ws('_', transform(slice(mhs, b * 4 + 1, 4), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
+        s"transform(sequence(0, ${plan.bands - 1}), b -> struct(b AS band, " +
+        s"concat_ws('_', transform(slice(mhs, b * ${plan.rows} + 1, ${plan.rows}), m -> CAST(m AS STRING))) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
   /** The compact persistable artifacts a corpus maintains between
@@ -547,9 +607,14 @@ object Dedup {
     minhashPairs(s, d).orderBy(col("i"), col("j"))
 
   /** Frame-based minhash-LSH near-dup pairs over any (doc_id, text)
-    * frame (unordered; callers sort). */
-  def minhashPairsOf(docs: DataFrame, maxDf: Int = 50): DataFrame =
-    minhashPairsFromShingles(shinglesOf(docs, maxDf))
+    * frame (unordered; callers sort). Callers name the TARGET Jaccard
+    * threshold, not raw band geometry — [[lshPlanFor]] derives the
+    * (bands, rows) factorization with the least S-curve error mass
+    * around it, and the same threshold gates the signature-agreement
+    * rescore. */
+  def minhashPairsOf(docs: DataFrame, maxDf: Int = 50,
+                     threshold: Double = 0.5, nPerm: Int = 16): DataFrame =
+    minhashPairsFromShingles(shinglesOf(docs, maxDf), threshold, nPerm)
 
   /** Memoized unordered near-dup pair frame — clusters() consumes this
     * directly so it never pays the query-facing total sort. */
@@ -557,15 +622,19 @@ object Dedup {
     memoized(s, s"minhashPairs:$d")(
       minhashPairsFromShingles(shingles(s, d, 50)))
 
-  private def minhashPairsFromShingles(shf: DataFrame): DataFrame = {
-    // signatures use 16 parallel min-aggregates: one shuffle, no 16x
-    // row explosion (an explode(sequence(0,15)) variant profiled ~5x
-    // slower here). localCheckpoint materializes the signature frame
-    // once (eagerly) before the band + estimate branches consume it
-    // twice; unlike cache(), its blocks are GC'd with the frame, so
-    // repeated library calls don't accumulate pinned storage.
-    val sig = minhashSigsFromShingles(shf).localCheckpoint()
-    val bands = bandKeys(sig)
+  private def minhashPairsFromShingles(shf: DataFrame,
+                                       threshold: Double = 0.5,
+                                       nPerm: Int = 16): DataFrame = {
+    val plan = lshPlanFor(threshold, nPerm)
+    // signatures use nPerm parallel min-aggregates: one shuffle, no
+    // nPerm-x row explosion (an explode(sequence(0,15)) variant
+    // profiled ~5x slower here). localCheckpoint materializes the
+    // signature frame once (eagerly) before the band + estimate
+    // branches consume it twice; unlike cache(), its blocks are GC'd
+    // with the frame, so repeated library calls don't accumulate
+    // pinned storage.
+    val sig = minhashSigsFromShingles(shf, nPerm).localCheckpoint()
+    val bands = bandKeys(sig, plan)
     // candidate rows repeat once per shared band (<= 4x): score every
     // occurrence and dedupe only the survivors — a distinct over the
     // raw candidate stream shuffles ~1M rows to save re-running a
@@ -573,18 +642,18 @@ object Dedup {
     // embeddingCosineOf's post-threshold distinct)
     val cand = pairsOnKey(bands, "doc_id", Seq("band", "bkey"))
       .select(col("i"), col("j"))
-    // signature agreement as 16 unrolled element comparisons: the
+    // signature agreement as nPerm unrolled element comparisons: the
     // zip_with/aggregate HOF form is CodegenFallback (interpreted) in
     // the hot pair loop, while getItem comparisons stay inside
     // whole-stage codegen (same lesson as pairsOnKey)
-    val agree = (0 until 16)
+    val agree = (0 until nPerm)
       .map(i => when(col("ma").getItem(i) === col("mb").getItem(i), 1).otherwise(0))
       .reduce(_ + _)
     val est = cand
       .join(Similarity.maybeBroadcast(sig.toDF("i", "ma")), Seq("i"))
       .join(Similarity.maybeBroadcast(sig.toDF("j2", "mb")), col("j") === col("j2"))
-      .select(col("i"), col("j"), (agree.cast("double") / 16.0d).as("est_jac"))
-    est.filter(col("est_jac") >= 0.5)
+      .select(col("i"), col("j"), (agree.cast("double") / nPerm.toDouble).as("est_jac"))
+    est.filter(col("est_jac") >= threshold)
       .select(col("i"), col("j"), col("est_jac"))
       .distinct()
   }
@@ -599,6 +668,29 @@ object Dedup {
        |        GROUP BY c.i, c.j)
        |SELECT i, j, est_jac FROM est WHERE est_jac >= 0.5
        |ORDER BY i, j""".stripMargin
+
+  /** The threshold-tuned face: the SAME corpus deduped at a target
+    * Jaccard of 0.8, which [[lshPlanFor]] resolves to 2 bands x 8
+    * rows from the same 16 permutations (the 4x4 default's S-curve
+    * centers at 0.71 and would pay ~2x the FP candidate mass at a 0.8
+    * target). The oracle mirror derives its band geometry from the
+    * identical plan — one knob, both sides. */
+  def minhashTuned(s: SparkSession, d: String): DataFrame =
+    minhashPairsFromShingles(shingles(s, d, 50), threshold = 0.8)
+      .orderBy(col("i"), col("j"))
+
+  private val minhashTunedOracle = {
+    val plan = lshPlanFor(0.8, 16)
+    s"""WITH ${minhashBandsSqlOf("documents", "", plan.rows)},
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.i, c.j, CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) / 16.0 AS est_jac
+       |        FROM cand c JOIN sig sa ON sa.doc_id = c.i JOIN sig sb ON sb.doc_id = c.j AND sb.i = sa.i
+       |        GROUP BY c.i, c.j)
+       |SELECT i, j, est_jac FROM est WHERE est_jac >= 0.8
+       |ORDER BY i, j""".stripMargin
+  }
 
   /** SimHash: 32-bit signature from per-token hash bit votes; near-dup
     * pairs = hamming distance <= 1 (the synthetic corpus shares one
@@ -1697,6 +1789,7 @@ object Dedup {
     "dedup_exact"            -> (exact _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
     "dedup_minhash_lsh"      -> (minhashLsh _),
+    "dedup_minhash_tuned"    -> (minhashTuned _),
     "dedup_simhash"          -> (simhash _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_incremental"      -> (incrementalQuery _),
@@ -1719,6 +1812,7 @@ object Dedup {
     "dedup_exact"            -> exactOracle,
     "dedup_ngram_jaccard"    -> ngramJaccardOracle,
     "dedup_minhash_lsh"      -> minhashOracle,
+    "dedup_minhash_tuned"    -> minhashTunedOracle,
     "dedup_simhash"          -> simhashOracle,
     "dedup_embedding_cosine" -> embeddingCosineOracle,
     "dedup_incremental"      -> incrementalOracle,

@@ -1432,6 +1432,106 @@ object GraphOps {
        |FROM deg d LEFT JOIN pernode p ON d.node = p.node
        |ORDER BY d.node""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Label-propagation community detection (Raghavan, Albert & Kumara
+  // 2007, "Near linear time algorithm to detect community structures
+  // in large-scale networks") — the community face of the link-farm
+  // triage family: k-core finds DENSE cores, clustering coefficient
+  // finds clique-like neighborhoods, but spam networks are
+  // COMMUNITIES — whole clusters of mutually-linking domains that LPA
+  // carves out without any density threshold or community-count prior.
+  //
+  // Deterministic synchronous variant: every node starts as its own
+  // community; each round every node adopts the most frequent label
+  // among its neighbors, ties broken by the SMALLEST label (the paper
+  // randomizes ties and update order; a pipeline wants replayable
+  // runs, so both choices are fixed). Bounded rounds with a 1-row
+  // any-change fixpoint probe per round; a reached fixpoint is stable
+  // under the deterministic update, so an early-exited loop equals
+  // the oracle's full unroll bit for bit. (Synchronous LPA can
+  // 2-cycle on bipartite structure instead of converging — the round
+  // bound is the standard remedy and both sides then run the same
+  // round count.)
+  //
+  // Scale shape per round: ONE label-count aggregation keyed on
+  // (node, label) after the nbr⋈labels join, then the argmax as a
+  // row_number window PARTITIONED BY node (never partition-less) —
+  // two keyed exchanges, no corpus-sized window, labels frame
+  // localCheckpointed so lineage stays flat. Driver state is the
+  // 1-row changed-any probe.
+  // ---------------------------------------------------------------
+
+  /** Community label per node over the simple undirected graph:
+    * (node, community). */
+  def labelPropagationOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 50,
+      s"unreasonable maxRounds: $maxRounds")
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val votes = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val next = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("lbl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint()
+      val changed = labels
+        .join(next.withColumnRenamed("lbl", "nl"), Seq("node"))
+        .filter(col("lbl") =!= col("nl"))
+        .limit(1).count()
+      done = changed == 0L
+      labels = next
+      round += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Fixture: 5 LPA rounds over the shared domain graph. */
+  def labelPropagation(s: SparkSession, d: String): DataFrame =
+    labelPropagationOf(fixtureEdges(s, d), maxRounds = 5).orderBy(col("node"))
+
+  /** The rounds unrolled as chained CTEs (the kcore/weighted-rank
+    * oracle mold) — round count matches the Scala fixture's maxRounds,
+    * and the stable-fixpoint argument makes an early exit equal the
+    * full unroll. */
+  private val labelPropagationOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""votes$i AS (SELECT a.node, l.lbl, count(*) AS cnt
+         |  FROM adj a JOIN lbl${i - 1} l ON a.nbr = l.node
+         |  GROUP BY a.node, l.lbl),
+         |lbl$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, lbl) AS rn FROM votes$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM simple
+       |  UNION ALL SELECT v AS node, u AS nbr FROM simple),
+       |lbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$rounds
+       |SELECT node, lbl AS community FROM lbl5 ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -1443,6 +1543,7 @@ object GraphOps {
     "harmonic_exact" -> (harmonicExact _),
     "kcore_membership" -> (kcoreMembership _),
     "clustering_coefficient" -> (clusteringCoefficient _),
+    "label_propagation" -> (labelPropagation _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1459,5 +1560,6 @@ object GraphOps {
     "degree_profile" -> degreeProfileOracle,
     "kcore_membership" -> kcoreOracle,
     "clustering_coefficient" -> clusteringOracle,
+    "label_propagation" -> labelPropagationOracle,
   )
 }

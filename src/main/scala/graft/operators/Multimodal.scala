@@ -44,9 +44,11 @@ object Multimodal {
     * multimodal ingest runs BEFORE routing blobs to codecs: declared
     * MIME types in crawl data lie constantly, and feeding a
     * mislabelled payload to the wrong decoder wastes a worker (or
-    * worse). Recognizes the big four container signatures (JPEG
-    * FFD8FF, PNG 89504E47, GIF87a/89a, RIFF····WAVE) from the first
-    * 12 bytes; everything else falls to application/octet-stream.
+    * worse). Recognizes the big five container signatures (JPEG
+    * FFD8FF, PNG 89504E47, GIF87a/89a, RIFF····WAVE, ISO-BMFF
+    * ····ftyp — the size-prefixed brand box every MP4/MOV/HEIC
+    * starts with) from the first 12 bytes; everything else falls to
+    * application/octet-stream.
     * Pure prefix arithmetic on the binary column — narrow, codegen,
     * no decode. Adds (magic_hex, sniffed_mime); other columns
     * preserved, so the mismatch gate `sniffed_mime <> mime` composes
@@ -62,6 +64,7 @@ object Multimodal {
             col("magic_hex").startsWith("474946383961"), "image/gif")
           .when(col("magic_hex").startsWith("52494646") &&
             substring(col("magic_hex"), 17, 8) === "57415645", "audio/wav")
+          .when(substring(col("magic_hex"), 9, 8) === "66747970", "video/mp4")
           .otherwise("application/octet-stream"))
   }
 
@@ -69,16 +72,18 @@ object Multimodal {
     * rotating by doc_id — including a GIF89a, a RIFF with a non-WAVE
     * chamber (must NOT sniff as wav), and a bare payload. */
   def blobSniff(s: SparkSession, d: String): DataFrame = {
-    val payload = when(col("doc_id") % 6 === 0,
+    val payload = when(col("doc_id") % 7 === 0,
         concat(unhex(lit("FFD8FFE0")), col("text").cast("binary")))
-      .when(col("doc_id") % 6 === 1,
+      .when(col("doc_id") % 7 === 1,
         concat(unhex(lit("89504E470D0A1A0A")), col("text").cast("binary")))
-      .when(col("doc_id") % 6 === 2,
+      .when(col("doc_id") % 7 === 2,
         concat(unhex(lit("474946383961")), col("text").cast("binary")))
-      .when(col("doc_id") % 6 === 3,
+      .when(col("doc_id") % 7 === 3,
         concat(unhex(lit("52494646AABBCCDD57415645")), col("text").cast("binary")))
-      .when(col("doc_id") % 6 === 4,
+      .when(col("doc_id") % 7 === 4,
         concat(unhex(lit("52494646AABBCCDD41564920")), col("text").cast("binary")))
+      .when(col("doc_id") % 7 === 5,
+        concat(unhex(lit("000000186674797069736F6D")), col("text").cast("binary")))
       .otherwise(col("text").cast("binary"))
     blobSniffOf(Tables.documents(s, d).withColumn("payload", payload))
       .select(col("doc_id"), col("magic_hex"), col("sniffed_mime"))
@@ -87,12 +92,13 @@ object Multimodal {
 
   private val blobSniffOracle =
     """WITH b AS (SELECT doc_id,
-      |    CASE CAST(doc_id % 6 AS INT)
+      |    CASE CAST(doc_id % 7 AS INT)
       |      WHEN 0 THEN from_hex('FFD8FFE0') || encode(text)
       |      WHEN 1 THEN from_hex('89504E470D0A1A0A') || encode(text)
       |      WHEN 2 THEN from_hex('474946383961') || encode(text)
       |      WHEN 3 THEN from_hex('52494646AABBCCDD57415645') || encode(text)
       |      WHEN 4 THEN from_hex('52494646AABBCCDD41564920') || encode(text)
+      |      WHEN 5 THEN from_hex('000000186674797069736F6D') || encode(text)
       |      ELSE encode(text) END AS payload
       |  FROM documents),
       |m AS (SELECT doc_id, substring(hex(payload), 1, 24) AS magic_hex FROM b)
@@ -104,6 +110,7 @@ object Multimodal {
       |      OR starts_with(magic_hex, '474946383961') THEN 'image/gif'
       |    WHEN starts_with(magic_hex, '52494646')
       |      AND substring(magic_hex, 17, 8) = '57415645' THEN 'audio/wav'
+      |    WHEN substring(magic_hex, 9, 8) = '66747970' THEN 'video/mp4'
       |    ELSE 'application/octet-stream' END AS sniffed_mime
       |FROM m ORDER BY doc_id""".stripMargin
 
@@ -132,6 +139,19 @@ object Multimodal {
   // big-endian 16-bit fields at SOF+5/SOF+7. A JPEG whose SOF sits
   // past the 192-byte prefix (EXIF-heavy files), is truncated, or
   // walks onto a non-FF byte yields NULL dims, never a misread.
+  // MP4/ISO-BMFF (ISO 14496-12) gets the same bounded-walk treatment
+  // as JPEG: the file is a sequence of size-prefixed boxes (32-bit
+  // big-endian size, 4-char type), so a 12-step fold hops box →
+  // box by each box's own declared size, DESCENDS into `moov` (a
+  // pure container: its children start right after its 8-byte
+  // header), and stops at `mvhd` — whose version byte then selects
+  // the fixed offsets of timescale/duration (v0: 32-bit at +20/+24;
+  // v1: 64-bit creation/modification push them to +28/+32 with a
+  // 64-bit duration). The ftyp major brand is the fixed 4 bytes at
+  // offset 8 (guaranteed by the sniff rule itself). A box with
+  // size < 8 (including the size==0 "to EOF" and size==1 largesize
+  // escapes), a walk past the 256-byte prefix, or an mvhd whose
+  // version fields overrun the prefix yields NULLs, never a misread.
   // Parsing happens on hex strings of bounded prefixes (byte p
   // = hex chars 2p−1..2p), the same substring arithmetic the DuckDB
   // oracle runs; a field whose container/length/marker guard fails
@@ -165,7 +185,34 @@ object Multimodal {
        |  END,
        |  st -> st.sof)""".stripMargin
 
-  /** Adds (container, width, height, channels, sample_rate_hz,
+  /** The ISO-BMFF box walk as ONE bounded Spark fold over hex prefix
+    * `hm`: state (p = current box's 1-based byte pos, mv = found mvhd
+    * box pos). 12 hops cover ftyp + free/skip/wide/mdat-first
+    * variants before moov plus moov's pre-mvhd children; `moov`
+    * descends (p + 8) instead of skipping, so mvhd is found wherever
+    * it sits in moov's child list. */
+  private val mp4MvhdWalkSpark = {
+    val size = "CAST(conv(substring(hm, CAST(2 * st.p - 1 AS INT), 8), 16, 10) AS BIGINT)"
+    val btype = "substring(hm, CAST(2 * st.p + 7 AS INT), 8)"
+    s"""aggregate(
+       |  sequence(1, 12),
+       |  named_struct('p', CAST(1 AS BIGINT), 'mv', CAST(NULL AS BIGINT)),
+       |  (st, step) -> CASE
+       |    WHEN st.mv IS NOT NULL OR st.p IS NULL THEN st
+       |    WHEN length(hm) < CAST(2 * (st.p + 7) AS INT)
+       |      THEN named_struct('p', CAST(NULL AS BIGINT), 'mv', CAST(NULL AS BIGINT))
+       |    WHEN $btype = '6D766864'
+       |      THEN named_struct('p', st.p, 'mv', st.p)
+       |    WHEN $btype = '6D6F6F76'
+       |      THEN named_struct('p', st.p + 8, 'mv', CAST(NULL AS BIGINT))
+       |    WHEN $size >= 8
+       |      THEN named_struct('p', st.p + $size, 'mv', CAST(NULL AS BIGINT))
+       |    ELSE named_struct('p', CAST(NULL AS BIGINT), 'mv', CAST(NULL AS BIGINT))
+       |  END,
+       |  st -> st.mv)""".stripMargin
+  }
+
+  /** Adds (container, brand, width, height, channels, sample_rate_hz,
     * bits_per_sample, duration_ms) to a payload frame — typed,
     * nullable per-container metadata from fixed header offsets. */
   def blobHeadersOf(blobs: DataFrame): DataFrame = {
@@ -176,17 +223,35 @@ object Multimodal {
       s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
     def jval16(p: String) =
       s"CAST(conv(substring(hj, CAST(2 * ($p) - 1 AS INT), 4), 16, 10) AS BIGINT)"
+    def mb(p: String) =
+      s"CAST(conv(substring(hm, CAST(2 * ($p) - 1 AS INT), 2), 16, 10) AS BIGINT)"
+    def mbe32(p: String) =
+      s"CAST(conv(substring(hm, CAST(2 * ($p) - 1 AS INT), 8), 16, 10) AS BIGINT)"
+    def mbe64(p: String) =
+      s"CAST(conv(substring(hm, CAST(2 * ($p) - 1 AS INT), 16), 16, 10) AS BIGINT)"
     val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
     val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
+    // the version byte decides how far the mvhd fixed fields reach;
+    // the guard requires the PREFIX (not just plen) to cover them, so
+    // every field read below is in-bounds by construction
+    val mp4 = "container = 'video/mp4' AND mvhd_pos IS NOT NULL AND " +
+      s"length(hm) >= CAST(2 * (mvhd_pos + CASE WHEN ${mb("mvhd_pos + 8")} = 1 " +
+      "THEN 39 ELSE 27 END) AS INT)"
     blobSniffOf(blobs)
       .withColumnRenamed("sniffed_mime", "container")
       .withColumn("plen", length(col("payload")))
       .withColumn("h", hex(substring(col("payload"), 1, 44)))
       .withColumn("hj", hex(substring(col("payload"), 1, 192)))
+      .withColumn("hm", hex(substring(col("payload"), 1, 256)))
       .withColumn("sof_pos", expr(
         s"CASE WHEN container = 'image/jpeg' THEN $jpegSofWalkSpark END"))
+      .withColumn("mvhd_pos", expr(
+        s"CASE WHEN container = 'video/mp4' THEN $mp4MvhdWalkSpark END"))
+      .withColumn("brand", expr(
+        "CASE WHEN container = 'video/mp4' AND plen >= 12" +
+          " THEN decode(unhex(substring(hm, 17, 8)), 'UTF-8') END"))
       .withColumn("width", expr(
         s"CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}" +
           s" WHEN $jpg THEN ${jval16("sof_pos + 7")} END"))
@@ -198,15 +263,31 @@ object Multimodal {
       .withColumn("bits_per_sample", expr(s"CASE WHEN $wav THEN ${ole16(35)} END"))
       .withColumn("duration_ms", expr(
         s"CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'" +
-          s" AND ${ole32(29)} > 0 THEN (${ole32(41)} * 1000) DIV ${ole32(29)} END"))
-      .drop("plen", "h", "hj", "sof_pos", "magic_hex")
+          s" AND ${ole32(29)} > 0 THEN (${ole32(41)} * 1000) DIV ${ole32(29)}" +
+          s" WHEN $mp4 AND ${mvhdTs(mb, mbe32)} > 0" +
+          s" THEN ${mvhdDur(mb, mbe32, mbe64)} * 1000 DIV ${mvhdTs(mb, mbe32)} END"))
+      .drop("plen", "h", "hj", "hm", "sof_pos", "mvhd_pos", "magic_hex")
   }
+
+  /** mvhd timescale, version-selected (v1's 64-bit creation and
+    * modification times shift it from +20 to +28). */
+  private def mvhdTs(mb: String => String, mbe32: String => String): String =
+    s"(CASE WHEN ${mb("mvhd_pos + 8")} = 1 THEN ${mbe32("mvhd_pos + 28")}" +
+      s" ELSE ${mbe32("mvhd_pos + 20")} END)"
+
+  /** mvhd duration: 32-bit at +24 for v0, 64-bit at +32 for v1. */
+  private def mvhdDur(mb: String => String, mbe32: String => String,
+                      mbe64: String => String): String =
+    s"(CASE WHEN ${mb("mvhd_pos + 8")} = 1 THEN ${mbe64("mvhd_pos + 32")}" +
+      s" ELSE ${mbe32("mvhd_pos + 24")} END)"
 
   /** Fixture: valid PNG/GIF/WAV/JPEG headers ASSEMBLED from
     * doc_id-derived integers (the same lpad-hex assembly the oracle
     * runs), so every parsed field has a closed-form expected value;
-    * doc_id % 5 == 3 stays a bare text payload (all fields NULL). The
-    * JPEG shape (doc_id % 5 == 4) exercises the segment walk: SOI,
+    * doc_id % 5 == 3 rotates the ISO-BMFF shapes: an mvhd-v0 MP4 and
+    * an mvhd-v1 MP4 (each ftyp + a free box the walk must SKIP + moov
+    * it must DESCEND into), or a bare text payload (all fields NULL).
+    * The JPEG shape (doc_id % 5 == 4) exercises the segment walk: SOI,
     * then JFIF APP0 (18 bytes), then a DQT (69 bytes) whose payload
     * the walk must SKIP, then SOF0 / SOF2 by sub-case — or, in the
     * third sub-case, no SOF at all (truncated: dims must be NULL). */
@@ -228,6 +309,12 @@ object Multimodal {
       " || 'FFDB' || '0043' || '00' || repeat('10', 64)"
     val jpegSof = s"|| ${be16("(doc_id % 600) + 16")}" +
       s" || ${be16("(doc_id % 800) + 16")} || '03' || '011100' || '021101' || '031101'"
+    // ftyp(16: brand by doc_id) + free(12: must SKIP) + moov(DESCEND)
+    val mp4Head = "'00000010' || '66747970' || CASE WHEN doc_id % 2 = 0" +
+      " THEN '69736F6D' ELSE '6D703432' END || '00000200'" +
+      " || '0000000C' || '66726565' || '00000000'"
+    val mvTs = be32("1000 * (1 + doc_id % 3)")
+    val mvDur = be32("(doc_id % 5000) + 1000")
     val payload = expr(
       s"""CASE CAST(doc_id % 5 AS INT)
          |  WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
@@ -241,6 +328,16 @@ object Multimodal {
          |    || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
          |    || ${le16(s"($ch) * 2")} || ${le16("16")}
          |    || '64617461' || ${le32(dsz)}) || CAST(text AS BINARY)
+         |  WHEN 3 THEN CASE CAST((doc_id div 5) % 3 AS INT)
+         |    WHEN 0 THEN unhex($mp4Head || '00000074' || '6D6F6F76'
+         |      || '0000006C' || '6D766864' || '00' || '000000'
+         |      || '00000000' || '00000000' || $mvTs || $mvDur
+         |      || repeat('00', 80)) || CAST(text AS BINARY)
+         |    WHEN 1 THEN unhex($mp4Head || '00000080' || '6D6F6F76'
+         |      || '00000078' || '6D766864' || '01' || '000000'
+         |      || repeat('00', 16) || $mvTs || '00000000' || $mvDur
+         |      || repeat('00', 80)) || CAST(text AS BINARY)
+         |    ELSE CAST(text AS BINARY) END
          |  WHEN 4 THEN unhex(CASE CAST((doc_id div 5) % 3 AS INT)
          |    WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
          |    WHEN 1 THEN $jpegHead || 'FFC2' || '0011' || '08' $jpegSof
@@ -248,9 +345,9 @@ object Multimodal {
          |      || '00' || '0001' || '0001' || '0000' END) || CAST(text AS BINARY)
          |  ELSE CAST(text AS BINARY) END""".stripMargin)
     blobHeadersOf(Tables.documents(s, d).withColumn("payload", payload))
-      .select(col("doc_id"), col("container"), col("width"), col("height"),
-        col("channels"), col("sample_rate_hz"), col("bits_per_sample"),
-        col("duration_ms"))
+      .select(col("doc_id"), col("container"), col("brand"), col("width"),
+        col("height"), col("channels"), col("sample_rate_hz"),
+        col("bits_per_sample"), col("duration_ms"))
       .orderBy(col("doc_id"))
   }
 
@@ -269,6 +366,12 @@ object Multimodal {
       s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
     def jval16(p: String) =
       s"TRY_CAST(('0x' || substring(hj, CAST(2 * ($p) - 1 AS INT), 4)) AS BIGINT)"
+    def mb(p: String) =
+      s"TRY_CAST(('0x' || substring(hm, CAST(2 * ($p) - 1 AS INT), 2)) AS BIGINT)"
+    def mbe32(p: String) =
+      s"TRY_CAST(('0x' || substring(hm, CAST(2 * ($p) - 1 AS INT), 8)) AS BIGINT)"
+    def mbe64(p: String) =
+      s"TRY_CAST(('0x' || substring(hm, CAST(2 * ($p) - 1 AS INT), 16)) AS BIGINT)"
     val ch = "1 + doc_id % 2"
     val rate = "8000 + ((doc_id // 4) % 6) * 8000"
     val dsz = s"((doc_id % 100) + 1) * ($ch) * 2"
@@ -276,6 +379,15 @@ object Multimodal {
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
     val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
+    val mp4 = "container = 'video/mp4' AND mvhd_pos IS NOT NULL AND " +
+      s"length(hm) >= CAST(2 * (mvhd_pos + CASE WHEN ${mb("mvhd_pos + 8")} = 1 " +
+      "THEN 39 ELSE 27 END) AS INT)"
+    val mvTsSql =
+      s"(CASE WHEN ${mb("mvhd_pos + 8")} = 1 THEN ${mbe32("mvhd_pos + 28")}" +
+        s" ELSE ${mbe32("mvhd_pos + 20")} END)"
+    val mvDurSql =
+      s"(CASE WHEN ${mb("mvhd_pos + 8")} = 1 THEN ${mbe64("mvhd_pos + 32")}" +
+        s" ELSE ${mbe32("mvhd_pos + 24")} END)"
     val jpegHead = "'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101'" +
       " || '00' || '0001' || '0001' || '0000'" +
       " || 'FFDB' || '0043' || '00' || repeat('10', 64)"
@@ -303,6 +415,33 @@ object Multimodal {
          |        substring(hj, CAST(2 * struct_extract(st, 'p') + 3 AS INT), 4)) AS BIGINT),
          |      'sof': CAST(NULL AS BIGINT)}
          |  END), 'sof')""".stripMargin
+    // the Spark-side ISO-BMFF box walk, mirrored the same way
+    val mvhdWalk =
+      s"""struct_extract(list_reduce(
+         |  list_prepend({'p': CAST(1 AS BIGINT), 'mv': CAST(NULL AS BIGINT)},
+         |    list_transform(range(1, 13),
+         |      i -> {'p': CAST(0 AS BIGINT), 'mv': CAST(NULL AS BIGINT)})),
+         |  (st, x) -> CASE
+         |    WHEN struct_extract(st, 'mv') IS NOT NULL
+         |      OR struct_extract(st, 'p') IS NULL THEN st
+         |    WHEN length(hm) < CAST(2 * (struct_extract(st, 'p') + 7) AS INT)
+         |      THEN {'p': CAST(NULL AS BIGINT), 'mv': CAST(NULL AS BIGINT)}
+         |    WHEN substring(hm, CAST(2 * struct_extract(st, 'p') + 7 AS INT), 8) = '6D766864'
+         |      THEN {'p': struct_extract(st, 'p'), 'mv': struct_extract(st, 'p')}
+         |    WHEN substring(hm, CAST(2 * struct_extract(st, 'p') + 7 AS INT), 8) = '6D6F6F76'
+         |      THEN {'p': struct_extract(st, 'p') + 8, 'mv': CAST(NULL AS BIGINT)}
+         |    WHEN TRY_CAST(('0x' ||
+         |        substring(hm, CAST(2 * struct_extract(st, 'p') - 1 AS INT), 8)) AS BIGINT) >= 8
+         |      THEN {'p': struct_extract(st, 'p') + TRY_CAST(('0x' ||
+         |        substring(hm, CAST(2 * struct_extract(st, 'p') - 1 AS INT), 8)) AS BIGINT),
+         |        'mv': CAST(NULL AS BIGINT)}
+         |    ELSE {'p': CAST(NULL AS BIGINT), 'mv': CAST(NULL AS BIGINT)}
+         |  END), 'mv')""".stripMargin
+    val mp4Head = "'00000010' || '66747970' || CASE WHEN doc_id % 2 = 0" +
+      " THEN '69736F6D' ELSE '6D703432' END || '00000200'" +
+      " || '0000000C' || '66726565' || '00000000'"
+    val mvTs = be32("1000 * (1 + doc_id % 3)")
+    val mvDur = be32("(doc_id % 5000) + 1000")
     s"""WITH b AS (SELECT doc_id,
        |  CASE CAST(doc_id % 5 AS INT)
        |    WHEN 0 THEN from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
@@ -316,6 +455,16 @@ object Multimodal {
        |      || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
        |      || ${le16(s"($ch) * 2")} || ${le16("16")}
        |      || '64617461' || ${le32(dsz)}) || encode(text)
+       |    WHEN 3 THEN CASE CAST((doc_id // 5) % 3 AS INT)
+       |      WHEN 0 THEN from_hex($mp4Head || '00000074' || '6D6F6F76'
+       |        || '0000006C' || '6D766864' || '00' || '000000'
+       |        || '00000000' || '00000000' || $mvTs || $mvDur
+       |        || repeat('00', 80)) || encode(text)
+       |      WHEN 1 THEN from_hex($mp4Head || '00000080' || '6D6F6F76'
+       |        || '00000078' || '6D766864' || '01' || '000000'
+       |        || repeat('00', 16) || $mvTs || '00000000' || $mvDur
+       |        || repeat('00', 80)) || encode(text)
+       |      ELSE encode(text) END
        |    WHEN 4 THEN from_hex(CASE CAST((doc_id // 5) % 3 AS INT)
        |      WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
        |      WHEN 1 THEN $jpegHead || 'FFC2' || '0011' || '08' $jpegSof
@@ -325,8 +474,9 @@ object Multimodal {
        |  FROM documents),
        |m AS (SELECT doc_id, octet_length(payload) AS plen,
        |    substring(hex(payload), 1, 88) AS h,
-       |    substring(hex(payload), 1, 384) AS hj FROM b),
-       |k AS (SELECT doc_id, h, hj, plen,
+       |    substring(hex(payload), 1, 384) AS hj,
+       |    substring(hex(payload), 1, 512) AS hm FROM b),
+       |k AS (SELECT doc_id, h, hj, hm, plen,
        |  CASE
        |    WHEN starts_with(h, 'FFD8FF') THEN 'image/jpeg'
        |    WHEN starts_with(h, '89504E47') THEN 'image/png'
@@ -334,11 +484,16 @@ object Multimodal {
        |      OR starts_with(h, '474946383961') THEN 'image/gif'
        |    WHEN starts_with(h, '52494646')
        |      AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
+       |    WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
        |    ELSE 'application/octet-stream' END AS container
        |  FROM m),
        |j AS (SELECT *, CASE WHEN container = 'image/jpeg'
-       |    THEN $sofWalk END AS sof_pos FROM k)
+       |    THEN $sofWalk END AS sof_pos,
+       |  CASE WHEN container = 'video/mp4'
+       |    THEN $mvhdWalk END AS mvhd_pos FROM k)
        |SELECT doc_id, container,
+       |  CASE WHEN container = 'video/mp4' AND plen >= 12
+       |    THEN decode(from_hex(substring(hm, 17, 8))) END AS brand,
        |  CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}
        |    WHEN $jpg THEN ${jval16("sof_pos + 7")} END AS width,
        |  CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)}
@@ -348,7 +503,9 @@ object Multimodal {
        |  CASE WHEN $wav THEN ${ole16(35)} END AS bits_per_sample,
        |  CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'
        |    AND ${ole32(29)} > 0
-       |    THEN ${ole32(41)} * 1000 // ${ole32(29)} END AS duration_ms
+       |    THEN ${ole32(41)} * 1000 // ${ole32(29)}
+       |    WHEN $mp4 AND $mvTsSql > 0
+       |    THEN $mvDurSql * 1000 // $mvTsSql END AS duration_ms
        |FROM j ORDER BY doc_id""".stripMargin
   }
 

@@ -455,6 +455,86 @@ object Profiling {
   // top-k — the corpora never join row-to-row.
   // ---------------------------------------------------------------
 
+  /** Zipf exponent — the third leg of the vocabulary-health triad
+    * next to [[vocabGiniOf]] (concentration) and [[vocabGrowthOf]]
+    * (Heaps growth): least-squares slope of ln(frequency) against
+    * ln(rank) over the top-`topK` frequency table (Zipf 1949; natural
+    * text sits near slope −1, template spam steepens it, shuffled /
+    * synthetic text flattens it toward 0). Composes with
+    * [[termDivergenceOf]]: divergence names the terms, the slope says
+    * whether the whole head reshaped.
+    *
+    * Exactness (the cross-engine float policy): each ln is rounded to
+    * e6 fixed point FIRST (micronats — both engines produce the same
+    * correctly-rounded double for ln of a small integer, so the
+    * rounded value is identical), and every downstream sum / product /
+    * division is pure integer arithmetic in DECIMAL(38,0). The e6
+    * scale on x and y cancels in the slope ratio, so `slope_e6` is
+    * just the dimensionless slope at e6; integer division is spelled
+    * sign-safely (negate-divide-negate) because Spark's DIV truncates
+    * toward zero while a bare floor-division would disagree on the
+    * (always-negative) slope numerator.
+    *
+    * Scale shape: one map-side-combined term-count agg (types-sized),
+    * a TakeOrderedAndProject top-k (partial per-partition take, no
+    * global sort), one rank window over the ≤ topK-row survivor frame
+    * (cardinality-bounded by construction — PlanHygieneSpec
+    * allowlist), one scalar agg. */
+  def zipfSlopeOf(docs: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK >= 3 && topK <= 10000, s"unreasonable topK: $topK")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val top = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(topK)
+    val xy = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("f").desc, col("w").asc)))
+      .select(
+        expr("CAST(floor(ln(r) * 1000000 + 0.5) AS DECIMAL(38,0))").as("x"),
+        expr("CAST(floor(ln(f) * 1000000 + 0.5) AS DECIMAL(38,0))").as("y"))
+    xy.agg(count(lit(1)).cast(dec).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").cast("long").as("n_terms"),
+        expr("""CAST(CASE WHEN k*sxy - sx*sy < 0
+          THEN -((sx*sy - k*sxy) * 1000000 DIV (k*sxx - sx*sx))
+          ELSE (k*sxy - sx*sy) * 1000000 DIV (k*sxx - sx*sx)
+          END AS BIGINT)""").as("slope_e6"),
+        expr("""CAST(CASE WHEN sy*(k*sxx - sx*sx) - (k*sxy - sx*sy)*sx < 0
+          THEN -(((k*sxy - sx*sy)*sx - sy*(k*sxx - sx*sx)) DIV (k*(k*sxx - sx*sx)))
+          ELSE (sy*(k*sxx - sx*sx) - (k*sxy - sx*sy)*sx) DIV (k*(k*sxx - sx*sx))
+          END AS BIGINT)""").as("intercept_e6"))
+  }
+
+  def zipfSlope(s: SparkSession, d: String): DataFrame =
+    zipfSlopeOf(Tables.documents(s, d))
+
+  private val zipfSlopeOracle =
+    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |tc AS (SELECT w, count(*) AS f FROM u WHERE len(w) > 0
+      |       GROUP BY w ORDER BY f DESC, w LIMIT 100),
+      |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tc),
+      |xy AS (SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS HUGEINT) AS x,
+      |              CAST(floor(ln(f) * 1000000 + 0.5) AS HUGEINT) AS y
+      |       FROM rk),
+      |s AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx,
+      |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      |      FROM xy)
+      |SELECT CAST(k AS BIGINT) AS n_terms,
+      |  CAST(CASE WHEN k*sxy - sx*sy < 0
+      |    THEN -((sx*sy - k*sxy) * 1000000 // (k*sxx - sx*sx))
+      |    ELSE (k*sxy - sx*sy) * 1000000 // (k*sxx - sx*sx)
+      |    END AS BIGINT) AS slope_e6,
+      |  CAST(CASE WHEN sy*(k*sxx - sx*sx) - (k*sxy - sx*sy)*sx < 0
+      |    THEN -(((k*sxy - sx*sy)*sx - sy*(k*sxx - sx*sx)) // (k*(k*sxx - sx*sx)))
+      |    ELSE (sy*(k*sxx - sx*sx) - (k*sxy - sx*sy)*sx) // (k*(k*sxx - sx*sx))
+      |    END AS BIGINT) AS intercept_e6
+      |FROM s""".stripMargin
+
   /** Top-`topK` terms by frequency divergence between two corpora:
     * (term, p_ref_e9, p_cur_e9, divergence). Terms whose rate rounds
     * to 0 on BOTH sides are dropped (sub-ppb noise). */
@@ -524,6 +604,7 @@ object Profiling {
     "corpus_card"     -> (corpusCard _),
     "corpus_drift"    -> (corpusDrift _),
     "vocab_gini"      -> (vocabGini _),
+    "zipf_slope"      -> (zipfSlope _),
     "vocab_growth"    -> (vocabGrowth _),
     "term_divergence" -> (termDivergence _),
   )
@@ -537,6 +618,7 @@ object Profiling {
     "corpus_card"     -> corpusCardOracle,
     "corpus_drift"    -> corpusDriftOracle,
     "vocab_gini"      -> vocabGiniOracle,
+    "zipf_slope"      -> zipfSlopeOracle,
     "vocab_growth"    -> vocabGrowthOracle,
     "term_divergence" -> termDivergenceOracle,
   )

@@ -519,6 +519,40 @@ class GraphOpsSpec extends SparkSpec {
       .forall(_.getLong(2) == 0L))
   }
 
+  test("label propagation: bridged cliques split into two communities; ties take min label") {
+    import spark.implicits._
+    // two triangles joined by one bridge c-x; hand-unrolled rounds of
+    // the deterministic update (min-label ties) settle at round 4:
+    // {a,b,c} under "a", {x,y,z} under "c" — the bridge does NOT merge
+    // them (within-clique votes outnumber the single bridge vote).
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val got = GraphOps.labelPropagationOf(edges, maxRounds = 10).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "c", "z" -> "c"), s"$got")
+    // stability: a reached fixpoint is a fixpoint of the update, so a
+    // longer budget returns the identical assignment (the property the
+    // unrolled oracle leans on)
+    val more = GraphOps.labelPropagationOf(edges, maxRounds = 20).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(more == got)
+    // tie-break pin: after ONE round each node holds the MIN of its
+    // neighbors' (all-distinct) initial labels — any other tie rule
+    // diverges here
+    val r1 = GraphOps.labelPropagationOf(edges, maxRounds = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1 == Map("a" -> "b", "b" -> "a", "c" -> "a",
+      "x" -> "c", "y" -> "x", "z" -> "x"), s"$r1")
+    // direction / duplicate / self-loop insensitivity (simple
+    // undirected graph semantics, as k-core)
+    val messy = (edges.collect().map(r => (r.getString(1), r.getString(0)))
+      :+ (("a", "a")) :+ (("b", "a"))).toSeq.toDF("src", "dst")
+    val got2 = GraphOps.labelPropagationOf(messy, maxRounds = 10).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got2 == got, s"$got2")
+  }
+
   test("textrank: the co-occurrence hub ranks first; short tokens drop; topK caps") {
     import spark.implicits._
     // "core" neighbors every other term; "aa" is under minLen and must

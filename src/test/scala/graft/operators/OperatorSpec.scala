@@ -385,6 +385,46 @@ class OperatorSpec extends AnyFunSuite {
       s"minhash missed too many true pairs: $missed")
   }
 
+  test("lshPlanFor: S-curve midpoint + geometry derivation from a threshold") {
+    // the midpoint identity: at s = (1/b)^(1/r) the collision curve
+    // sits at exactly 1 - (1 - 1/b)^b, independent of r
+    for (p <- Seq(Dedup.LshPlan(4, 4), Dedup.LshPlan(2, 8), Dedup.LshPlan(8, 2))) {
+      val atMid = p.sCurve(p.midpoint)
+      val expect = 1.0 - math.pow(1.0 - 1.0 / p.bands, p.bands.toDouble)
+      assert(math.abs(atMid - expect) < 1e-9, s"$p midpoint ${atMid} != $expect")
+    }
+    // area-minimization keeps the audited 4x4 default at the 0.5
+    // target (the midpoint-closest rule would pick 8x2, whose curve
+    // admits ~21% of the unit square as false-positive candidate
+    // mass vs 4x4's 17% total error — the whole point of minimizing
+    // area instead of midpoint distance)
+    assert(Dedup.lshPlanFor(0.5, 16) == Dedup.LshPlan(4, 4))
+    // tighter targets trade to longer bands: 0.8 -> 2x8; 0.9 with
+    // equal weights collapses to the single 16-row band
+    assert(Dedup.lshPlanFor(0.8, 16) == Dedup.LshPlan(2, 8))
+    assert(Dedup.lshPlanFor(0.9, 16) == Dedup.LshPlan(1, 16))
+    // ...and a recall-weighted caller (FN cost 4x FP) buys bands back
+    assert(Dedup.lshPlanFor(0.9, 16, fnWeight = 4.0) == Dedup.LshPlan(2, 8))
+    // every candidate geometry uses the full permutation budget
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9); n <- Seq(12, 16, 64))
+      assert(Dedup.lshPlanFor(t, n).nPerm == n)
+  }
+
+  test("tuned minhash (t=0.8) is a subset of the default pair set at est>=0.8") {
+    // same 16 signatures, stricter target: every 2x8-banded survivor
+    // with est >= 0.8 must also appear in the 4x4 run's pairs at that
+    // estimate (banding only DROPS candidates; the rescore is
+    // identical), and the tuned run must find the obvious clones
+    val base = Dedup.minhashLsh(spark, sf)
+      .filter(col("est_jac") >= 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tuned = Dedup.minhashTuned(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((tuned -- base).isEmpty,
+      s"tuned pairs outside the default rescore set: ${tuned -- base}")
+    assert(tuned.nonEmpty, "tuned run found no high-similarity pairs at sf0.001")
+  }
+
   test("phash dedup: near-identical payloads pair up, candidate set << n^2/2") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
@@ -1781,6 +1821,53 @@ class OperatorSpec extends AnyFunSuite {
       s"no SOF in prefix -> NULL dims, never a misread: ${got(4L)}")
     assert(got(5L) == (("image/jpeg", None, None)),
       s"SOF truncated mid-dims -> NULL: ${got(5L)}")
+  }
+
+  test("blob headers: MP4 box walk finds mvhd through moov, nulls malformed boxes") {
+    import spark.implicits._
+    def blob(hexStr: String, tail: String = "") =
+      (hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    val ftyp = "00000010" + "66747970" + "69736F6D" + "00000200"
+    val free = "0000000C" + "66726565" + "00000000"
+    def mvhdV0(ts: Int, dur: Int) = "0000006C" + "6D766864" + "00" + "000000" +
+      "00000000" + "00000000" + f"$ts%08X" + f"$dur%08X" + "00" * 80
+    def mvhdV1(ts: Int, dur: Int) = "00000078" + "6D766864" + "01" + "000000" +
+      "00" * 16 + f"$ts%08X" + "00000000" + f"$dur%08X" + "00" * 80
+    // trak-before-mvhd inside moov: the walk must SKIP a sibling child
+    val trak = "00000010" + "7472616B" + "00" * 8
+    val blobs = Seq(
+      (1L, blob(ftyp + free + "00000074" + "6D6F6F76" + mvhdV0(1000, 2500))),
+      (2L, blob(ftyp + "00000078" + "6D6F6F76" + mvhdV1(600, 1200))),
+      (3L, blob(ftyp + free + "00000084" + "6D6F6F76" + trak + mvhdV0(90000, 450000))),
+      (4L, blob(ftyp + free)),                        // no moov at all
+      (5L, blob(ftyp + "00000002" + "6D646174")),     // size<8: malformed
+      (6L, blob(ftyp + "00000000" + "6D646174")),     // size=0 "to EOF" escape
+      (7L, blob(ftyp + "00000074" + "6D6F6F76" + mvhdV0(1000, 2500).take(48))),
+      (8L, blob("00000014" + "66747970" + "6D703432" + "00000200" + "00000000"
+        + free))).toDF("doc_id", "payload")
+    val got = Multimodal.blobHeadersOf(blobs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("container"),
+        Option(r.getAs[String]("brand")),
+        Option(r.getAs[java.lang.Long]("duration_ms"))))
+    }.toMap
+    def L(v: Long) = Some(java.lang.Long.valueOf(v))
+    assert(got(1L) == (("video/mp4", Some("isom"), L(2500))), s"${got(1L)}")
+    assert(got(2L) == (("video/mp4", Some("isom"), L(2000))),
+      s"v1 mvhd (64-bit times): ${got(2L)}")
+    assert(got(3L) == (("video/mp4", Some("isom"), L(5000))),
+      s"mvhd behind a trak sibling: ${got(3L)}")
+    assert(got(4L) == (("video/mp4", Some("isom"), None)), s"${got(4L)}")
+    assert(got(5L) == (("video/mp4", Some("isom"), None)),
+      s"box size < 8 must fail to NULL, not loop or misread: ${got(5L)}")
+    assert(got(6L) == (("video/mp4", Some("isom"), None)),
+      s"size=0 to-EOF escape must fail to NULL: ${got(6L)}")
+    assert(got(7L) == (("video/mp4", Some("isom"), None)),
+      s"mvhd truncated before its duration field -> NULL: ${got(7L)}")
+    assert(got(8L) == (("video/mp4", Some("mp42"), None)),
+      s"20-byte ftyp with compatible brand, no moov: ${got(8L)}")
+    val plan = Multimodal.blobHeadersOf(blobs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"blobHeaders must stay a map stage:\n$plan")
   }
 
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {

@@ -135,7 +135,12 @@ class PlanHygieneSpec extends AnyFunSuite {
       "vocab_gini" -> "count-of-counts frame",
       // Heaps-curve cumulative sums over the per-bucket totals frame
       // (rows <= the bucket count, required <= 1000 by construction)
-      "vocab_growth" -> "bucket-totals frame")
+      "vocab_growth" -> "bucket-totals frame",
+      // Zipf rank assignment over the top-k frequency survivors
+      // (rows <= topK, required <= 10000 by construction; the
+      // corpus-sized work is the term-count agg + a partial top-k
+      // take, both keyed/partitioned)
+      "zipf_slope" -> "top-k frequency frame")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, sf).queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
