@@ -1504,11 +1504,12 @@ object GraphOps {
   def labelPropagation(s: SparkSession, d: String): DataFrame =
     labelPropagationOf(fixtureEdges(s, d), maxRounds = 5).orderBy(col("node"))
 
-  /** The rounds unrolled as chained CTEs (the kcore/weighted-rank
+  /** The LPA rounds unrolled as chained CTEs (the kcore/weighted-rank
     * oracle mold) — round count matches the Scala fixture's maxRounds,
     * and the stable-fixpoint argument makes an early exit equal the
-    * full unroll. */
-  private val labelPropagationOracle: String = {
+    * full unroll. Emits `simple(u, v)` and `lbl5(node, lbl)` for the
+    * two community faces to share. */
+  private val lpaCtesSql: String = {
     val rounds = (1 to 5).map { i =>
       s"""votes$i AS (SELECT a.node, l.lbl, count(*) AS cnt
          |  FROM adj a JOIN lbl${i - 1} l ON a.nbr = l.node
@@ -1517,7 +1518,7 @@ object GraphOps {
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |    ORDER BY cnt DESC, lbl) AS rn FROM votes$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
        |    CAST(substr(source, 4) AS INT) AS k FROM documents),
        |edges AS MATERIALIZED (
        |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
@@ -1528,9 +1529,167 @@ object GraphOps {
        |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM simple
        |  UNION ALL SELECT v AS node, u AS nbr FROM simple),
        |lbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-       |$rounds
-       |SELECT node, lbl AS community FROM lbl5 ORDER BY node""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private val labelPropagationOracle: String =
+    s"""WITH $lpaCtesSql
+       |SELECT node, lbl AS community FROM lbl5 ORDER BY node""".stripMargin
+
+  /** Community triage card over the LPA partition: per community,
+    * (n_nodes, internal_edges, cut_edges, conductance_permille,
+    * modularity_e6) — the numbers that separate a spam ring from an
+    * organic community once [[labelPropagationOf]] has carved the
+    * graph. internal = edges with both endpoints inside; cut = edges
+    * with exactly one (counted for BOTH sides' communities);
+    * conductance = 1000·cut DIV vol with vol = 2·internal + cut (the
+    * community-local mixing ratio: near 0 = sealed ring, near 1000 =
+    * no cohesion); modularity_e6 is the Newman-Girvan per-community
+    * contribution (internal/m − (vol/2m)²) = (4m·internal − vol²)
+    * e6-scaled over 4m² — exact integer arithmetic in DECIMAL(38,0)
+    * with the sign-safe DIV spelling (sparse communities go negative),
+    * so Σ modularity_e6 ≈ 1e6·Q. Scale shape: the label frame joins
+    * each edge twice (keyed on the endpoint), then two
+    * community-keyed aggs; m is one driver scalar (the tfidf N
+    * pattern). */
+  def communityProfileOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val labels = labelPropagationOf(und.select(col("u").as("src"),
+      col("v").as("dst")), maxRounds).localCheckpoint()
+    val m = und.count()
+    require(m > 0, "community profile over an empty graph")
+    val tagged = und
+      .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
+    val internal = tagged.filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("community"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val cut = tagged.filter(col("lu") =!= col("lv"))
+      .select(explode(array(col("lu"), col("lv"))).as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("cut_edges"))
+    labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(internal, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"))
+      .withColumn("i", col("internal_edges").cast(dec))
+      .withColumn("c", col("cut_edges").cast(dec))
+      .withColumn("vol", col("i") * 2 + col("c"))
+      .select(col("community"), col("n_nodes"),
+        col("internal_edges"), col("cut_edges"),
+        expr("CAST(CASE WHEN vol > 0 THEN c * 1000 DIV vol END AS BIGINT)")
+          .as("conductance_permille"),
+        expr(s"""CAST(CASE WHEN i * ${4 * m} - vol * vol < 0
+          |  THEN -((vol * vol - i * ${4 * m}) * 1000000 DIV ${4 * m * m})
+          |  ELSE (i * ${4 * m} - vol * vol) * 1000000 DIV ${4 * m * m}
+          |  END AS BIGINT)""".stripMargin).as("modularity_e6"))
+  }
+
+  /** Fixture: the profile of the 5-round LPA partition of the shared
+    * domain graph. */
+  def communityProfile(s: SparkSession, d: String): DataFrame =
+    communityProfileOf(fixtureEdges(s, d), maxRounds = 5)
+      .orderBy(col("community"))
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks") — the one-scalar graph-health signal next to
+    * [[degreeProfileOf]]'s histogram: do high-degree domains link to
+    * other hubs (r > 0, social-ish) or to leaves (r < 0, hub-and-
+    * spoke / link-farm star shape)? Over the simple undirected graph,
+    * with j,k the endpoint degrees of each edge, Newman's closed form
+    * reduces to exact integer moments: r = (4M·Σjk − (Σ(j+k))²) /
+    * (2M·Σ(j²+k²) − (Σ(j+k))²) — computed in DECIMAL(38,0)/HUGEINT
+    * with the e6 sign-safe DIV spelling (stars are NEGATIVE, r = −1
+    * exactly). A regular graph (every degree equal) has zero variance
+    * → NULL, not a division error.
+    *
+    * Scale shape: one degree agg, two endpoint-keyed joins to tag
+    * each edge with (j, k), ONE scalar aggregation. No windows, no
+    * driver scalars, nothing quadratic. */
+  def degreeAssortativityOf(edges: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val jk = und
+      .join(deg.select(col("node").as("u"), col("deg").as("j")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("k")), Seq("v"))
+      .select(col("j").cast(dec).as("j"), col("k").cast(dec).as("k"))
+    jk.agg(count(lit(1)).cast(dec).as("m"),
+        sum(col("j") + col("k")).as("s1"),
+        sum(col("j") * col("j") + col("k") * col("k")).as("s2"),
+        sum(col("j") * col("k")).as("s3"))
+      .select(col("m").cast("long").as("m_edges"),
+        expr("""CAST(CASE WHEN 2*m*s2 - s1*s1 > 0 THEN
+          |  CASE WHEN 4*m*s3 - s1*s1 < 0
+          |    THEN -((s1*s1 - 4*m*s3) * 1000000 DIV (2*m*s2 - s1*s1))
+          |    ELSE (4*m*s3 - s1*s1) * 1000000 DIV (2*m*s2 - s1*s1) END
+          |  END AS BIGINT)""".stripMargin).as("assortativity_e6"))
+  }
+
+  def degreeAssortativity(s: SparkSession, d: String): DataFrame =
+    degreeAssortativityOf(fixtureEdges(s, d))
+
+  private val degreeAssortativityOracle: String =
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
+       |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS deg FROM (
+       |    SELECT u AS node FROM simple UNION ALL SELECT v AS node FROM simple)
+       |  GROUP BY node),
+       |jk AS (SELECT du.deg AS j, dv.deg AS k FROM simple e
+       |  JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+       |a AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(j + k) AS s1,
+       |    sum(j*j + k*k) AS s2, sum(j*k) AS s3 FROM jk)
+       |SELECT CAST(m AS BIGINT) AS m_edges,
+       |  CAST(CASE WHEN 2*m*s2 - s1*s1 > 0 THEN
+       |    CASE WHEN 4*m*s3 - s1*s1 < 0
+       |      THEN -((s1*s1 - 4*m*s3) * 1000000 // (2*m*s2 - s1*s1))
+       |      ELSE (4*m*s3 - s1*s1) * 1000000 // (2*m*s2 - s1*s1) END
+       |    END AS BIGINT) AS assortativity_e6
+       |FROM a ORDER BY m_edges""".stripMargin
+
+  private val communityProfileOracle: String =
+    s"""WITH $lpaCtesSql,
+       |tagged AS (SELECT e.u, e.v, a.lbl AS lu, b.lbl AS lv
+       |  FROM simple e JOIN lbl5 a ON e.u = a.node
+       |  JOIN lbl5 b ON e.v = b.node),
+       |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM simple),
+       |i AS (SELECT lu AS community, CAST(count(*) AS HUGEINT) AS internal
+       |  FROM tagged WHERE lu = lv GROUP BY lu),
+       |c AS (SELECT community, CAST(count(*) AS HUGEINT) AS cut FROM (
+       |    SELECT lu AS community FROM tagged WHERE lu <> lv
+       |    UNION ALL SELECT lv AS community FROM tagged WHERE lu <> lv)
+       |  GROUP BY community),
+       |n AS (SELECT lbl AS community, count(*) AS n_nodes FROM lbl5 GROUP BY lbl),
+       |p AS (SELECT n.community, n.n_nodes,
+       |    coalesce(i.internal, 0::HUGEINT) AS i,
+       |    coalesce(c.cut, 0::HUGEINT) AS c
+       |  FROM n LEFT JOIN i ON n.community = i.community
+       |  LEFT JOIN c ON n.community = c.community)
+       |SELECT community, n_nodes,
+       |  CAST(i AS BIGINT) AS internal_edges, CAST(c AS BIGINT) AS cut_edges,
+       |  CAST(CASE WHEN i * 2 + c > 0
+       |    THEN c * 1000 // (i * 2 + c) END AS BIGINT) AS conductance_permille,
+       |  CAST(CASE WHEN i * 4 * m - (i * 2 + c) * (i * 2 + c) < 0
+       |    THEN -(((i * 2 + c) * (i * 2 + c) - i * 4 * m) * 1000000 // (4 * m * m))
+       |    ELSE (i * 4 * m - (i * 2 + c) * (i * 2 + c)) * 1000000 // (4 * m * m)
+       |    END AS BIGINT) AS modularity_e6
+       |FROM p, m ORDER BY community""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
@@ -1544,6 +1703,8 @@ object GraphOps {
     "kcore_membership" -> (kcoreMembership _),
     "clustering_coefficient" -> (clusteringCoefficient _),
     "label_propagation" -> (labelPropagation _),
+    "community_profile" -> (communityProfile _),
+    "degree_assortativity" -> (degreeAssortativity _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1561,5 +1722,7 @@ object GraphOps {
     "kcore_membership" -> kcoreOracle,
     "clustering_coefficient" -> clusteringOracle,
     "label_propagation" -> labelPropagationOracle,
+    "community_profile" -> communityProfileOracle,
+    "degree_assortativity" -> degreeAssortativityOracle,
   )
 }

@@ -603,6 +603,94 @@ object EventStreams {
       .select(col("doc_id"), col("sim"), col("keep"))
   }
 
+  /** Streaming face of `Dedup.paginationStitchOf` — same gate/sweep
+    * split as the near-dup pair above: the STREAM does only the
+    * O(batch) narrow work (each crawled page's leading and trailing
+    * k-gram, hash60-keyed, committed as batch dirs — page text never
+    * rides a shuffle and never lands in state), while continuation-
+    * edge FORMATION runs as the periodic [[paginationStitchSweepOf]]
+    * batch sweep over the accumulated gram artifact. The split
+    * matters: the stitch's df-cap (a boilerplate head shared by 40
+    * template pages must form 0 edges, not 40×41) is a CORPUS
+    * property a single micro-batch cannot measure — exactly the
+    * stoplist argument in Dedup.DedupIndexes — so in-flight edge
+    * emission would cap against the wrong denominator and disagree
+    * with the batch operator. Exactly-once via the shared
+    * [[CommittedBatchSink]] discipline: replayed batches skip,
+    * crash-partial dirs stay invisible, so the sweep always sees a
+    * committed-prefix snapshot. */
+  def paginationGramIngest(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, outDir: String, checkpoint: String,
+                           k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(k >= 1 && k <= 1000, s"unreasonable k: $k")
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    val grams = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        expr(s"concat_ws(' ', slice(ts, 1, $k))").as("head_gram"),
+        expr(s"concat_ws(' ', slice(ts, size(ts) - ${k - 1}, $k))").as("tail_gram"))
+      .withColumn("h_head", graft.functions.Portable.hash60(col("head_gram")))
+      .withColumn("h_tail", graft.functions.Portable.hash60(col("tail_gram")))
+    grams.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val rows = batch.localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = rows.isEmpty,
+          write = dir => rows.write.mode("overwrite")
+            .parquet(dir.resolve("grams").toString)): Unit
+      }
+      .start()
+  }
+
+  /** All committed (doc_id, head/tail gram + hash) rows under
+    * `outDir` as one frame — the reader face of
+    * [[paginationGramIngest]]. */
+  def readStitchGrams(spark: org.apache.spark.sql.SparkSession,
+                      outDir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = CommittedBatchSink.committedDirs(outDir)
+      .filter(d => java.nio.file.Files.isDirectory(d.resolve("grams")))
+      .map(_.resolve("grams").toString)
+    if (dirs.isEmpty)
+      Seq.empty[(Long, String, String, Long, Long)]
+        .toDF("doc_id", "head_gram", "tail_gram", "h_head", "h_tail")
+    else spark.read.parquet(dirs: _*)
+      .select(col("doc_id"), col("head_gram"), col("tail_gram"),
+        col("h_head"), col("h_tail"))
+  }
+
+  /** The scheduled stitch sweep: (prev_doc, next_doc) continuation
+    * edges over the ACCUMULATED gram artifact, with the df-cap
+    * measured against the whole accumulated corpus — byte-for-byte the
+    * `Dedup.paginationStitchOf` semantics (hash60-keyed join rescored
+    * by string equality), just computed from the stream's committed
+    * per-doc grams instead of from the docs. Idempotent and
+    * restart-safe for the same reason as [[nearDupSweepOf]]: pure
+    * batch over committed dirs. Scale shape: two bounded-window df
+    * caps + one 8-byte-keyed join; gram text only rides for the
+    * equality rescore, never the full page. */
+  def paginationStitchSweepOf(spark: org.apache.spark.sql.SparkSession,
+                              outDir: String, maxDf: Int = 16): DataFrame = {
+    require(maxDf >= 1 && maxDf <= 1000000, s"unreasonable maxDf: $maxDf")
+    val g = readStitchGrams(spark, outDir)
+    def capped(side: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      side.withColumn("_df", count(lit(1)).over(w))
+        .filter(col("_df") <= maxDf).drop("_df")
+    }
+    val tails = capped(g.select(col("doc_id").as("prev_doc"),
+      col("tail_gram").as("gram"), col("h_tail").as("h")))
+    val heads = capped(g.select(col("doc_id").as("next_doc"),
+      col("head_gram").as("gram2"), col("h_head").as("h")))
+    tails.join(heads, Seq("h"))
+      .filter(col("gram") === col("gram2"))
+      .filter(col("prev_doc") =!= col("next_doc"))
+      .select(col("prev_doc"), col("next_doc"))
+  }
+
   /** Streaming LM quality gate — the streaming face of
     * NgramLm.lmQualityTiersOf: each document micro-batch is scored
     * against a FROZEN persisted LM index (the three distinct gram-hash

@@ -553,6 +553,63 @@ class GraphOpsSpec extends SparkSpec {
     assert(got2 == got, s"$got2")
   }
 
+  test("community profile: hand-worked conductance + modularity on bridged cliques") {
+    import spark.implicits._
+    // the LPA test's graph: {a,b,c} and {x,y,z} triangles, bridge c-x.
+    // m=7. Each community: 3 nodes, 3 internal, 1 cut, vol=7 ->
+    // conductance 1000*1 DIV 7 = 142; modularity contribution
+    // (4*7*3 - 49)*1e6 DIV (4*49) = 35e6 DIV 196 = 178571.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val got = GraphOps.communityProfileOf(edges).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3L, 1L, 142L, 178571L)),
+      "c" -> ((3L, 3L, 1L, 142L, 178571L))), s"$got")
+    // disjoint triangles: sealed communities — conductance exactly 0,
+    // modularity (4*6*3 - 36)*1e6 DIV 144 = 250000 each (sums to the
+    // textbook Q = 1/2 for two equal disconnected cliques)
+    val sealed_ = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x")).toDF("src", "dst")
+    val s2 = GraphOps.communityProfileOf(sealed_).collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(s2 == Set((3L, 0L, 0L, 250000L)), s"$s2")
+    // a single edge is the documented synchronous-LPA 2-cycle: the
+    // labels swap forever, so the even round budget leaves each node
+    // its own singleton community — internal 0, cut 1, conductance
+    // 1000 (no cohesion at all), and a NEGATIVE modularity
+    // contribution (0·4m − 1)·1e6 DIV 4m² = −250000, exercising the
+    // sign-safe DIV spelling
+    val pairG = Seq(("p", "q")).toDF("src", "dst")
+    val s3 = GraphOps.communityProfileOf(pairG).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(s3 == Set((1L, 0L, 1L, 1000L, -250000L)), s"$s3")
+  }
+
+  test("degree assortativity: star is exactly -1, regular graphs NULL, bridged cliques hand-worked") {
+    import spark.implicits._
+    def r(edges: Seq[(String, String)]) = {
+      val row = GraphOps.degreeAssortativityOf(edges.toDF("src", "dst")).head()
+      (row.getLong(0), Option(row.getAs[java.lang.Long](1)).map(_.longValue))
+    }
+    // textbook: a star is perfectly disassortative (hubs link leaves)
+    assert(r(Seq(("h", "a"), ("h", "b"), ("h", "c"))) == ((3L, Some(-1000000L))))
+    // a path of 3 is also exactly -1 (ends deg 1, middle deg 2)
+    assert(r(Seq(("a", "b"), ("b", "c"))) == ((2L, Some(-1000000L))))
+    // regular graphs have zero degree variance: NULL, not an error
+    assert(r(Seq(("a", "b"), ("b", "c"), ("c", "a"))) == ((3L, None)))
+    // bridged cliques, hand-worked: degrees c=x=3 rest 2; S1=34 S2=86
+    // S3=41 M=7 -> (4*7*41-34^2)/(2*7*86-34^2) = -8/48 -> -166666 at
+    // e6 with truncation toward zero (the sign-safe spelling)
+    assert(r(Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))) == ((7L, Some(-166666L))))
+    // direction/self-loop/duplicate insensitivity
+    assert(r(Seq(("a", "h"), ("h", "b"), ("h", "c"), ("h", "h"), ("c", "h")))
+      == ((3L, Some(-1000000L))))
+  }
+
   test("textrank: the co-occurrence hub ranks first; short tokens drop; topK caps") {
     import spark.implicits._
     // "core" neighbors every other term; "aa" is under minLen and must

@@ -756,6 +756,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.nearDupSweepOf(spark, fresh).count() == 0L)
   }
 
+  test("pagination stitch sweep over streamed grams equals the batch operator; df-cap holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stitch_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_stitch_out").toString
+    def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val shared = "c1 c2 c3 c4 c5 c6 c7 c8" // the continuation 8-gram
+    val tpl = "t1 t2 t3 t4 t5 t6 t7 t8"    // boilerplate head, df 3 > cap 2
+    val batch1 = Seq(
+      (10L, words("a", 6) + " " + shared),  // page 1: tail = shared
+      (30L, words("z", 12)),                // unrelated
+      (40L, words("p", 4) + " " + tpl),     // tail = boilerplate gram
+      (41L, tpl + " " + words("q", 4)),     // template page 1
+      (99L, "too short"))                   // < k tokens: no grams
+    val batch2 = Seq(
+      (20L, shared + " " + words("b", 6)),  // page 2: head = shared
+      (42L, tpl + " " + words("r", 4)),     // template pages 2, 3
+      (43L, tpl + " " + words("s", 4)))
+    val in = MemoryStream[(Long, String)]
+    def start() = EventStreams.paginationGramIngest(spark,
+      in.toDF().toDF("doc_id", "text"), out, ckpt, k = 8)
+    val q1 = start()
+    in.addData(batch1: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches: committed grams persist
+    val q2 = start()
+    in.addData(batch2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    // every >= 8-token doc contributed exactly one gram row
+    assert(EventStreams.readStitchGrams(spark, out).count() == 7L)
+    // the stitch pair SPANS the two micro-batches — only the
+    // accumulated artifact can form it; and the boilerplate head
+    // (df 3 > maxDf 2) forms 0 edges, not 3
+    val swept = EventStreams.paginationStitchSweepOf(spark, out, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swept == Set((10L, 20L)), s"$swept")
+    // batch == replay: the sweep over streamed grams equals the batch
+    // operator over the same corpus, parameter for parameter
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchEdges = graft.operators.Dedup
+      .paginationStitchOf(allDocs, k = 8, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(swept == batchEdges, s"sweep $swept vs batch $batchEdges")
+    // idempotent re-run over the same committed dirs
+    val again = EventStreams.paginationStitchSweepOf(spark, out, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == swept)
+    // uncapped form agrees with the uncapped batch operator (3
+    // template edges + the continuation pair)
+    val wide = EventStreams.paginationStitchSweepOf(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideBatch = graft.operators.Dedup.paginationStitchOf(allDocs, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide == wideBatch && wide == Set((10L, 20L),
+      (40L, 41L), (40L, 42L), (40L, 43L)), s"$wide vs $wideBatch")
+    // an empty artifact root sweeps to zero edges, not an error
+    val fresh = java.nio.file.Files.createTempDirectory("graft_stitch_none").toString
+    assert(EventStreams.paginationStitchSweepOf(spark, fresh).count() == 0L)
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
