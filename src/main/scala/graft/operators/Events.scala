@@ -183,6 +183,51 @@ object Events {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** SCD Type-2 attribute history — the HISTORY face next to
+    * [[latestPerKey]]'s keep-newest compaction: from an update stream
+    * of (k, attr, ts, tb), the validity intervals each key's attribute
+    * actually held — consecutive updates carrying the SAME value
+    * collapse (a re-assertion is not a change), each change row spans
+    * [valid_from, valid_to) to the NEXT change, and the current value
+    * rides an open interval (valid_to NULL). `tb` is the required
+    * deterministic tie-break for same-timestamp updates (warehouse
+    * loads batch by day; without it the history is run-dependent).
+    *
+    * Scale shape: two key-partitioned windows (the change-detection
+    * lag over all updates, the interval lead over only the surviving
+    * change rows) — one shuffle on the key, no self-joins, no driver
+    * state. */
+  def scd2HistoryOf(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    updates
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("ts"), col("tb"))))
+      .select(col("k"), col("attr"), col("ts").as("valid_from"),
+        col("valid_to"))
+  }
+
+  /** Fixture: each customer's order-priority history over time
+    * (orders as the update stream, orderkey as the tie-break). */
+  def scd2History(s: SparkSession, d: String): DataFrame =
+    scd2HistoryOf(Tables.orders(s, d).select(
+        col("o_custkey").as("k"), col("o_orderpriority").as("attr"),
+        col("o_orderdate").as("ts"), col("o_orderkey").as("tb")))
+      .orderBy(col("k"), col("valid_from"), col("attr"))
+
+  private val scd2HistoryOracle =
+    """WITH u AS (SELECT o_custkey AS k, o_orderpriority AS attr,
+      |    o_orderdate AS ts, o_orderkey AS tb FROM orders),
+      |c AS (SELECT k, attr, ts, tb,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM u),
+      |f AS (SELECT k, attr, ts, tb FROM c WHERE prev IS NULL OR prev <> attr)
+      |SELECT k, attr, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |FROM f ORDER BY k, valid_from, attr""".stripMargin
+
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
   def mapFuncs(s: SparkSession, d: String): DataFrame =
@@ -262,6 +307,105 @@ object Events {
       .orderBy(col("next_type"))
   }
 
+  /** Weekly retention cohorts — the table every growth dashboard is
+    * built on: users grouped by FIRST-SEEN week, counted in each later
+    * week they were active. (cohort_week, week_offset, n_users);
+    * offset 0 is the cohort's own size by construction (a user is
+    * always active in their first week).
+    *
+    * Portability: both engines truncate `date_trunc('week', ts)` to
+    * Monday, and the offset is exact integer day arithmetic DIV 7 —
+    * no timezone or epoch float anywhere. Scale shape: a user-keyed
+    * min-agg (first seen), a distinct over (user, week) — both
+    * map-side combined — one user-keyed join, one (cohort, offset)
+    * agg. Nothing user×week-quadratic, no windows. */
+  def retentionCohortsOf(events: DataFrame): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val active = events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def retentionCohorts(s: SparkSession, d: String): DataFrame =
+    retentionCohortsOf(Tables.events(s, d))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  private val retentionCohortsOracle =
+    """WITH f AS (SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+      |SELECT cohort_week,
+      |  CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+      |  count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Strictly-ordered multi-step funnel: how many users performed the
+    * steps IN ORDER — each step's timestamp must come strictly after
+    * the user's previous step time (a purchase logged before the
+    * signup does NOT count toward signup→purchase; [[nextEventFunnel]]
+    * measures adjacent transitions, this measures end-to-end ordered
+    * reach). Emits (step_idx, step, n_users), n_users monotonically
+    * non-increasing by construction.
+    *
+    * Scale shape: one conditional min-agg + one user-keyed join PER
+    * STEP (steps is a bounded driver list, <= 8), then a driver-side
+    * union of step counts — each stage is a keyed agg over only the
+    * rows of that step's type (filter pushed to the scan). First
+    * step's min needs no predecessor; later steps aggregate the
+    * events of that type joined against the survivors' previous
+    * times. */
+  def funnelStepsOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8, s"funnel wants 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val spark = events.sparkSession
+    var reached = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
+      (1, steps.head, reached.count()))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      reached = events.filter(col("event_type") === step)
+        .select(col("user_id"), col("ts"))
+        .join(reached.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      counts += ((i + 2, step, reached.count()))
+    }
+    import spark.implicits._
+    counts.toSeq.toDF("step_idx", "step", "n_users")
+  }
+
+  def funnelSteps(s: SparkSession, d: String): DataFrame =
+    funnelStepsOf(Tables.events(s, d), Seq("signup", "click", "purchase"))
+      .orderBy(col("step_idx"))
+
+  private val funnelStepsOracle =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL
+      |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL
+      |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step_idx""".stripMargin
+
   private val nextEventFunnelOracle =
     """SELECT next_type, count(*) AS n_transitions,
       |  CAST(sum(wait_us) AS BIGINT) AS sum_wait_us, min(wait_us) AS min_wait_us
@@ -303,6 +447,9 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_rank_funcs"      -> (rankFuncs _),
     "events_next_funnel"     -> (nextEventFunnel _),
+    "retention_cohorts"      -> (retentionCohorts _),
+    "funnel_steps"           -> (funnelSteps _),
+    "scd2_history"           -> (scd2History _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
@@ -317,6 +464,9 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_rank_funcs"      -> rankFuncsOracle,
     "events_next_funnel"     -> nextEventFunnelOracle,
+    "retention_cohorts"      -> retentionCohortsOracle,
+    "funnel_steps"           -> funnelStepsOracle,
+    "scd2_history"           -> scd2HistoryOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,

@@ -1639,6 +1639,83 @@ object GraphOps {
   def degreeAssortativity(s: SparkSession, d: String): DataFrame =
     degreeAssortativityOf(fixtureEdges(s, d))
 
+  /** Co-citation / shared-neighbor similarity (Small 1973 for the
+    * citation form; here the undirected neighborhood Jaccard): domain
+    * pairs ranked by |N(u)∩N(v)| / |N(u)∪N(v)| — two domains are
+    * "the same operation" when they link and are linked by the same
+    * places, the structural tell behind mirror networks and
+    * link-farm satellites that content similarity misses entirely.
+    *
+    * Hub cap — the graph analog of the shingle df-cap: neighborhoods
+    * are restricted to neighbors of degree <= maxDeg BEFORE the wedge
+    * join, because a single celebrity hub (everyone links google.com)
+    * manufactures O(n²) candidate pairs while carrying no similarity
+    * signal. The Jaccard is then EXACT on the capped graph (sizes and
+    * intersections both measured there — same convention as
+    * ngramJaccard's capped shingle set), so the oracle mirrors it
+    * bit for bit.
+    *
+    * Scale shape: degree agg → capped adjacency (one keyed semi-ish
+    * join) → wedge self-join KEYED on the shared neighbor (fan-out
+    * bounded by maxDeg per neighbor row, never by max degree) → one
+    * (u,v) agg + two size joins. The permille is integer DIV. */
+  def cocitationSimilarityOf(edges: DataFrame, maxDeg: Int = 1000,
+                             minShared: Int = 2): DataFrame = {
+    require(maxDeg >= 1 && maxDeg <= 10000000, s"unreasonable maxDeg: $maxDeg")
+    require(minShared >= 1, s"unreasonable minShared: $minShared")
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val okNbr = adj.groupBy(col("nbr").as("w")).agg(count(lit(1)).as("wdeg"))
+      .filter(col("wdeg") <= maxDeg).select(col("w"))
+    val capped = adj.join(okNbr.select(col("w").as("nbr")), Seq("nbr"))
+      .localCheckpoint()
+    val sizes = capped.groupBy(col("node")).agg(count(lit(1)).as("n"))
+    val shared = capped.select(col("node").as("i"), col("nbr"))
+      .join(capped.select(col("node").as("j"), col("nbr")), Seq("nbr"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minShared)
+    shared
+      .join(sizes.select(col("node").as("i"), col("n").as("ni")), Seq("i"))
+      .join(sizes.select(col("node").as("j"), col("n").as("nj")), Seq("j"))
+      .select(col("i"), col("j"), col("c").as("shared_nbrs"),
+        expr("CAST(c * 1000 DIV (ni + nj - c) AS BIGINT)").as("jac_permille"))
+  }
+
+  /** Fixture: capped at maxDeg 10 — the src0 hub (degree 19) is
+    * excluded from neighborhoods, exactly the celebrity-hub case the
+    * cap exists for. */
+  def cocitationSimilarity(s: SparkSession, d: String): DataFrame =
+    cocitationSimilarityOf(fixtureEdges(s, d), maxDeg = 10, minShared = 1)
+      .orderBy(col("i"), col("j"))
+
+  private val cocitationOracle: String =
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+       |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM simple
+       |  UNION ALL SELECT v AS node, u AS nbr FROM simple),
+       |ok AS (SELECT nbr AS w FROM adj GROUP BY nbr HAVING count(*) <= 10),
+       |capped AS MATERIALIZED (SELECT a.node, a.nbr FROM adj a
+       |  JOIN ok o ON a.nbr = o.w),
+       |sz AS (SELECT node, count(*) AS n FROM capped GROUP BY node),
+       |sh AS (SELECT a.node AS i, b.node AS j, count(*) AS c
+       |  FROM capped a JOIN capped b ON a.nbr = b.nbr AND a.node < b.node
+       |  GROUP BY a.node, b.node HAVING count(*) >= 1)
+       |SELECT i, j, c AS shared_nbrs,
+       |  CAST(c * 1000 // (si.n + sj.n - c) AS BIGINT) AS jac_permille
+       |FROM sh JOIN sz si ON sh.i = si.node JOIN sz sj ON sh.j = sj.node
+       |ORDER BY i, j""".stripMargin
+
   private val degreeAssortativityOracle: String =
     s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
        |    CAST(substr(source, 4) AS INT) AS k FROM documents),
@@ -1705,6 +1782,7 @@ object GraphOps {
     "label_propagation" -> (labelPropagation _),
     "community_profile" -> (communityProfile _),
     "degree_assortativity" -> (degreeAssortativity _),
+    "cocitation_similarity" -> (cocitationSimilarity _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1724,5 +1802,6 @@ object GraphOps {
     "label_propagation" -> labelPropagationOracle,
     "community_profile" -> communityProfileOracle,
     "degree_assortativity" -> degreeAssortativityOracle,
+    "cocitation_similarity" -> cocitationOracle,
   )
 }

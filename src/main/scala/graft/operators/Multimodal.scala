@@ -44,8 +44,9 @@ object Multimodal {
     * multimodal ingest runs BEFORE routing blobs to codecs: declared
     * MIME types in crawl data lie constantly, and feeding a
     * mislabelled payload to the wrong decoder wastes a worker (or
-    * worse). Recognizes the big five container signatures (JPEG
-    * FFD8FF, PNG 89504E47, GIF87a/89a, RIFF····WAVE, ISO-BMFF
+    * worse). Recognizes the big six container signatures (JPEG
+    * FFD8FF, PNG 89504E47, GIF87a/89a, RIFF····WAVE, RIFF····WEBP,
+    * ISO-BMFF
     * ····ftyp — the size-prefixed brand box every MP4/MOV/HEIC
     * starts with) from the first 12 bytes; everything else falls to
     * application/octet-stream.
@@ -64,6 +65,8 @@ object Multimodal {
             col("magic_hex").startsWith("474946383961"), "image/gif")
           .when(col("magic_hex").startsWith("52494646") &&
             substring(col("magic_hex"), 17, 8) === "57415645", "audio/wav")
+          .when(col("magic_hex").startsWith("52494646") &&
+            substring(col("magic_hex"), 17, 8) === "57454250", "image/webp")
           .when(substring(col("magic_hex"), 9, 8) === "66747970", "video/mp4")
           .otherwise("application/octet-stream"))
   }
@@ -110,6 +113,8 @@ object Multimodal {
       |      OR starts_with(magic_hex, '474946383961') THEN 'image/gif'
       |    WHEN starts_with(magic_hex, '52494646')
       |      AND substring(magic_hex, 17, 8) = '57415645' THEN 'audio/wav'
+      |    WHEN starts_with(magic_hex, '52494646')
+      |      AND substring(magic_hex, 17, 8) = '57454250' THEN 'image/webp'
       |    WHEN substring(magic_hex, 9, 8) = '66747970' THEN 'video/mp4'
       |    ELSE 'application/octet-stream' END AS sniffed_mime
       |FROM m ORDER BY doc_id""".stripMargin
@@ -229,10 +234,23 @@ object Multimodal {
       s"CAST(conv(substring(hm, CAST(2 * ($p) - 1 AS INT), 8), 16, 10) AS BIGINT)"
     def mbe64(p: String) =
       s"CAST(conv(substring(hm, CAST(2 * ($p) - 1 AS INT), 16), 16, 10) AS BIGINT)"
+    def ole24(p: Int) =
+      s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)})"
     val png = "container = 'image/png' AND plen >= 26 AND substring(h, 25, 8) = '49484452'"
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
     val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
+    // the three WebP first-chunk variants (RIFC spec §2 + VP8/VP8L
+    // bitstream specs): VP8X extended header (24-bit LE canvas-1),
+    // VP8 lossy keyframe (14-bit LE dims behind the 9D012A start
+    // code, which is REQUIRED — a missing start code is NULL, not a
+    // misread), VP8L lossless (14+14 bits packed LE behind the 2F
+    // signature byte)
+    val webpx = "container = 'image/webp' AND plen >= 30 AND substring(h, 25, 8) = '56503858'"
+    val webp8 = "container = 'image/webp' AND plen >= 30 AND " +
+      "substring(h, 25, 8) = '56503820' AND substring(h, 47, 6) = '9D012A'"
+    val webpl = "container = 'image/webp' AND plen >= 25 AND " +
+      "substring(h, 25, 8) = '5650384C' AND substring(h, 41, 2) = '2F'"
     // the version byte decides how far the mvhd fixed fields reach;
     // the guard requires the PREFIX (not just plen) to cover them, so
     // every field read below is in-bounds by construction
@@ -254,10 +272,17 @@ object Multimodal {
           " THEN decode(unhex(substring(hm, 17, 8)), 'UTF-8') END"))
       .withColumn("width", expr(
         s"CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}" +
-          s" WHEN $jpg THEN ${jval16("sof_pos + 7")} END"))
+          s" WHEN $jpg THEN ${jval16("sof_pos + 7")}" +
+          s" WHEN $webpx THEN 1 + ${ole24(25)}" +
+          s" WHEN $webp8 THEN ${ole16(27)} % 16384" +
+          s" WHEN $webpl THEN 1 + ${ob(22)} + 256 * (${ob(23)} % 64) END"))
       .withColumn("height", expr(
         s"CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)}" +
-          s" WHEN $jpg THEN ${jval16("sof_pos + 5")} END"))
+          s" WHEN $jpg THEN ${jval16("sof_pos + 5")}" +
+          s" WHEN $webpx THEN 1 + ${ole24(28)}" +
+          s" WHEN $webp8 THEN ${ole16(29)} % 16384" +
+          s" WHEN $webpl THEN 1 + ${ob(23)} DIV 64 + 4 * ${ob(24)}" +
+          s" + 1024 * (${ob(25)} % 16) END"))
       .withColumn("channels", expr(s"CASE WHEN $wav THEN ${ole16(23)} END"))
       .withColumn("sample_rate_hz", expr(s"CASE WHEN $wav THEN ${ole32(25)} END"))
       .withColumn("bits_per_sample", expr(s"CASE WHEN $wav THEN ${ole16(35)} END"))
@@ -284,6 +309,9 @@ object Multimodal {
   /** Fixture: valid PNG/GIF/WAV/JPEG headers ASSEMBLED from
     * doc_id-derived integers (the same lpad-hex assembly the oracle
     * runs), so every parsed field has a closed-form expected value;
+    * doc_id % 5 == 1 rotates the small-raster shapes: GIF, WebP VP8X
+    * (24-bit LE canvas), WebP VP8 lossy (14-bit dims behind the
+    * required 9D012A start code).
     * doc_id % 5 == 3 rotates the ISO-BMFF shapes: an mvhd-v0 MP4 and
     * an mvhd-v1 MP4 (each ftyp + a free box the walk must SKIP + moov
     * it must DESCEND into), or a bare text payload (all fields NULL).
@@ -309,6 +337,9 @@ object Multimodal {
       " || 'FFDB' || '0043' || '00' || repeat('10', 64)"
     val jpegSof = s"|| ${be16("(doc_id % 600) + 16")}" +
       s" || ${be16("(doc_id % 800) + 16")} || '03' || '011100' || '021101' || '031101'"
+    def le24(v: String) =
+      s"lpad(hex(($v) % 256), 2, '0') || lpad(hex((($v) div 256) % 256), 2, '0') || " +
+        s"lpad(hex((($v) div 65536) % 256), 2, '0')"
     // ftyp(16: brand by doc_id) + free(12: must SKIP) + moov(DESCEND)
     val mp4Head = "'00000010' || '66747970' || CASE WHEN doc_id % 2 = 0" +
       " THEN '69736F6D' ELSE '6D703432' END || '00000200'" +
@@ -320,9 +351,18 @@ object Multimodal {
          |  WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
          |    || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
          |    || '08' || '06') || CAST(text AS BINARY)
-         |  WHEN 1 THEN unhex('474946383961'
-         |    || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
-         |    || CAST(text AS BINARY)
+         |  WHEN 1 THEN CASE CAST((doc_id div 5) % 3 AS INT)
+         |    WHEN 0 THEN unhex('474946383961'
+         |      || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
+         |      || CAST(text AS BINARY)
+         |    WHEN 1 THEN unhex('52494646' || ${le32("30")} || '57454250'
+         |      || '56503858' || ${le32("10")} || '00' || '000000'
+         |      || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")})
+         |      || CAST(text AS BINARY)
+         |    ELSE unhex('52494646' || ${le32("48")} || '57454250'
+         |      || '56503820' || ${le32("32")} || '000000' || '9D012A'
+         |      || ${le16("(doc_id % 512) + 16")} || ${le16("(doc_id % 384) + 16")})
+         |      || CAST(text AS BINARY) END
          |  WHEN 2 THEN unhex('52494646' || ${le32(s"36 + $dsz")}
          |    || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
          |    || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
@@ -364,6 +404,11 @@ object Multimodal {
     def ole16(p: Int) = s"(${ob(p)} + 256 * ${ob(p + 1)})"
     def ole32(p: Int) =
       s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)} + 16777216 * ${ob(p + 3)})"
+    def ole24(p: Int) =
+      s"(${ob(p)} + 256 * ${ob(p + 1)} + 65536 * ${ob(p + 2)})"
+    def le24(v: String) =
+      s"lpad(hex(($v)%256),2,'0') || lpad(hex((($v)//256)%256),2,'0') || " +
+        s"lpad(hex((($v)//65536)%256),2,'0')"
     def jval16(p: String) =
       s"TRY_CAST(('0x' || substring(hj, CAST(2 * ($p) - 1 AS INT), 4)) AS BIGINT)"
     def mb(p: String) =
@@ -379,6 +424,11 @@ object Multimodal {
     val gif = "container = 'image/gif' AND plen >= 10"
     val wav = "container = 'audio/wav' AND plen >= 36 AND substring(h, 25, 8) = '666D7420'"
     val jpg = "container = 'image/jpeg' AND sof_pos IS NOT NULL"
+    val webpx = "container = 'image/webp' AND plen >= 30 AND substring(h, 25, 8) = '56503858'"
+    val webp8 = "container = 'image/webp' AND plen >= 30 AND " +
+      "substring(h, 25, 8) = '56503820' AND substring(h, 47, 6) = '9D012A'"
+    val webpl = "container = 'image/webp' AND plen >= 25 AND " +
+      "substring(h, 25, 8) = '5650384C' AND substring(h, 41, 2) = '2F'"
     val mp4 = "container = 'video/mp4' AND mvhd_pos IS NOT NULL AND " +
       s"length(hm) >= CAST(2 * (mvhd_pos + CASE WHEN ${mb("mvhd_pos + 8")} = 1 " +
       "THEN 39 ELSE 27 END) AS INT)"
@@ -447,9 +497,18 @@ object Multimodal {
        |    WHEN 0 THEN from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
        |      || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
        |      || '08' || '06') || encode(text)
-       |    WHEN 1 THEN from_hex('474946383961'
-       |      || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
-       |      || encode(text)
+       |    WHEN 1 THEN CASE CAST((doc_id // 5) % 3 AS INT)
+       |      WHEN 0 THEN from_hex('474946383961'
+       |        || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
+       |        || encode(text)
+       |      WHEN 1 THEN from_hex('52494646' || ${le32("30")} || '57454250'
+       |        || '56503858' || ${le32("10")} || '00' || '000000'
+       |        || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")})
+       |        || encode(text)
+       |      ELSE from_hex('52494646' || ${le32("48")} || '57454250'
+       |        || '56503820' || ${le32("32")} || '000000' || '9D012A'
+       |        || ${le16("(doc_id % 512) + 16")} || ${le16("(doc_id % 384) + 16")})
+       |        || encode(text) END
        |    WHEN 2 THEN from_hex('52494646' || ${le32(s"36 + $dsz")}
        |      || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
        |      || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
@@ -484,6 +543,8 @@ object Multimodal {
        |      OR starts_with(h, '474946383961') THEN 'image/gif'
        |    WHEN starts_with(h, '52494646')
        |      AND substring(h, 17, 8) = '57415645' THEN 'audio/wav'
+       |    WHEN starts_with(h, '52494646')
+       |      AND substring(h, 17, 8) = '57454250' THEN 'image/webp'
        |    WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
        |    ELSE 'application/octet-stream' END AS container
        |  FROM m),
@@ -495,9 +556,16 @@ object Multimodal {
        |  CASE WHEN container = 'video/mp4' AND plen >= 12
        |    THEN decode(from_hex(substring(hm, 17, 8))) END AS brand,
        |  CASE WHEN $png THEN ${obe32(17)} WHEN $gif THEN ${ole16(7)}
-       |    WHEN $jpg THEN ${jval16("sof_pos + 7")} END AS width,
+       |    WHEN $jpg THEN ${jval16("sof_pos + 7")}
+       |    WHEN $webpx THEN 1 + ${ole24(25)}
+       |    WHEN $webp8 THEN ${ole16(27)} % 16384
+       |    WHEN $webpl THEN 1 + ${ob(22)} + 256 * (${ob(23)} % 64) END AS width,
        |  CASE WHEN $png THEN ${obe32(21)} WHEN $gif THEN ${ole16(9)}
-       |    WHEN $jpg THEN ${jval16("sof_pos + 5")} END AS height,
+       |    WHEN $jpg THEN ${jval16("sof_pos + 5")}
+       |    WHEN $webpx THEN 1 + ${ole24(28)}
+       |    WHEN $webp8 THEN ${ole16(29)} % 16384
+       |    WHEN $webpl THEN 1 + ${ob(23)} // 64 + 4 * ${ob(24)}
+       |      + 1024 * (${ob(25)} % 16) END AS height,
        |  CASE WHEN $wav THEN ${ole16(23)} END AS channels,
        |  CASE WHEN $wav THEN ${ole32(25)} END AS sample_rate_hz,
        |  CASE WHEN $wav THEN ${ole16(35)} END AS bits_per_sample,

@@ -610,6 +610,39 @@ class GraphOpsSpec extends SparkSpec {
       == ((3L, Some(-1000000L))))
   }
 
+  test("cocitation similarity: hand-worked jaccard; hub cap kills celebrity-made pairs") {
+    import spark.implicits._
+    // N(a) = {m, n, q}, N(b) = {m, n}: 2 shared, jaccard 2/3 -> 666‰;
+    // and symmetrically N(m) = N(n) = {a, b}: identical 2-element
+    // neighborhoods -> exactly 1000‰
+    val base = Seq(("a", "m"), ("a", "n"), ("a", "q"), ("b", "m"), ("b", "n"))
+    val got = GraphOps.cocitationSimilarityOf(base.toDF("src", "dst"),
+        maxDeg = 1000, minShared = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 666L)),
+      ("m", "n") -> ((2L, 1000L))), s"$got")
+    // a celebrity hub linked to EVERY node manufactures pairs between
+    // otherwise-unrelated nodes; the degree cap removes it from all
+    // neighborhoods, and with it every hub-only pair — while the real
+    // (a, b) overlap survives with its capped-graph jaccard
+    val hub = base ++ Seq("a", "b", "m", "n", "q", "x", "y")
+      .map(n => (("hub", n)))
+    val uncapped = GraphOps.cocitationSimilarityOf(hub.toDF("src", "dst"),
+        maxDeg = 1000, minShared = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped.contains(("x", "y")),
+      s"without the cap the hub pairs even x,y: $uncapped")
+    val capped = GraphOps.cocitationSimilarityOf(hub.toDF("src", "dst"),
+        maxDeg = 5, minShared = 1)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getLong(3))).toMap
+    assert(!capped.keySet.exists(p => p._1 == "x" || p._2 == "x"),
+      s"capped graph must drop hub-only pairs: $capped")
+    assert(capped(("a", "b")) == 666L,
+      s"real overlap survives the cap with capped-graph sizes: $capped")
+  }
+
   test("textrank: the co-occurrence hub ranks first; short tokens drop; topK caps") {
     import spark.implicits._
     // "core" neighbors every other term; "aa" is under minLen and must

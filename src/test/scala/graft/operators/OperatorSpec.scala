@@ -1870,6 +1870,101 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"blobHeaders must stay a map stage:\n$plan")
   }
 
+  test("scd2 history collapses re-assertions, opens the last interval, ties break on tb") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val upd = Seq(
+      (1L, "gold",   d("2024-01-01"), 1L),
+      (1L, "gold",   d("2024-02-01"), 2L), // re-assertion: NOT a change
+      (1L, "silver", d("2024-03-01"), 3L),
+      (1L, "gold",   d("2024-04-01"), 4L),
+      // same-day flip: the tb tie-break decides the order
+      (2L, "a", d("2024-01-01"), 1L),
+      (2L, "b", d("2024-01-01"), 2L)
+    ).toDF("k", "attr", "ts", "tb")
+    val got = Events.scd2HistoryOf(upd).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDate(2).toString,
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(got == Set(
+      (1L, "gold",   "2024-01-01", Some("2024-03-01")),
+      (1L, "silver", "2024-03-01", Some("2024-04-01")),
+      (1L, "gold",   "2024-04-01", None),
+      (2L, "a", "2024-01-01", Some("2024-01-01")),
+      (2L, "b", "2024-01-01", None)), s"$got")
+  }
+
+  test("funnel steps are strictly ordered; retention cohorts hand-worked") {
+    import spark.implicits._
+    def ev(u: Long, t: String, ty: String) = (u, java.sql.Timestamp.valueOf(t), ty)
+    val events = Seq(
+      // user 1 completes the whole funnel in order
+      ev(1L, "2024-01-01 10:00:00", "signup"),
+      ev(1L, "2024-01-01 11:00:00", "click"),
+      ev(1L, "2024-01-02 09:00:00", "purchase"),
+      // user 2's only purchase PRECEDES signup: reaches click, not purchase
+      ev(2L, "2024-01-01 08:00:00", "purchase"),
+      ev(2L, "2024-01-01 09:00:00", "signup"),
+      ev(2L, "2024-01-01 10:30:00", "click"),
+      // user 3 never signs up: contributes to NO step
+      ev(3L, "2024-01-01 12:00:00", "click"),
+      // user 4's click precedes signup: reaches signup only
+      ev(4L, "2024-01-03 07:00:00", "click"),
+      ev(4L, "2024-01-03 08:00:00", "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnelStepsOf(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+      .sortBy(_._1)
+    assert(got == List((1, "signup", 3L), (2, "click", 2L), (3, "purchase", 1L)),
+      s"$got")
+    // cohorts: users 1-3 first seen in the Jan-1 week (Monday
+    // 2024-01-01), all active that week -> (W0, 0, 3); user 1 is also
+    // active... all events above fall in the same ISO week, so one
+    // row. Add a week-2 event for user 1 to light up offset 1.
+    val more = events.union(Seq(
+      ev(1L, "2024-01-08 10:00:00", "click")).toDF("user_id", "ts", "event_type"))
+    val coh = Events.retentionCohortsOf(more).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(coh == Set(("2024-01-01", 0L, 4L), ("2024-01-01", 1L, 1L)), s"$coh")
+  }
+
+  test("blob headers: WebP VP8X/VP8/VP8L dims; missing start code or chunk -> NULL") {
+    import spark.implicits._
+    def blob(hexStr: String, tail: String = "") =
+      (hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    val riff = "52494646" + "1E000000" + "57454250"
+    val blobs = Seq(
+      // VP8X: canvas 200x100 as 24-bit LE minus-one fields
+      (1L, blob(riff + "56503858" + "0A000000" + "00" + "000000"
+        + "C70000" + "630000")),
+      // VP8 lossy keyframe: 9D012A start code then 14-bit LE 320x240
+      (2L, blob(riff + "56503820" + "32000000" + "000000" + "9D012A"
+        + "4001" + "F000")),
+      // VP8L lossless: 2F signature, 100x50 packed 14+14 LE
+      (3L, blob(riff + "5650384C" + "20000000" + "2F" + "63400C00")),
+      // VP8 WITHOUT the start code: dims must be NULL, never a misread
+      (4L, blob(riff + "56503820" + "32000000" + "000000" + "000000"
+        + "4001" + "F000")),
+      // first chunk is ALPH (no dims there): NULL
+      (5L, blob(riff + "414C5048" + "0A000000" + "0011223344556677")),
+      // truncated VP8X (header cut before the canvas fields): NULL
+      (6L, blob(riff + "56503858" + "0A000000" + "00"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.blobHeadersOf(blobs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("container"),
+        Option(r.getAs[java.lang.Long]("width")),
+        Option(r.getAs[java.lang.Long]("height"))))
+    }.toMap
+    def L(v: Long) = Some(java.lang.Long.valueOf(v))
+    assert(got(1L) == (("image/webp", L(200), L(100))), s"VP8X: ${got(1L)}")
+    assert(got(2L) == (("image/webp", L(320), L(240))), s"VP8: ${got(2L)}")
+    assert(got(3L) == (("image/webp", L(100), L(50))), s"VP8L: ${got(3L)}")
+    assert(got(4L) == (("image/webp", None, None)),
+      s"missing 9D012A start code must NULL, not misread: ${got(4L)}")
+    assert(got(5L) == (("image/webp", None, None)), s"ALPH-first: ${got(5L)}")
+    assert(got(6L) == (("image/webp", None, None)), s"truncated: ${got(6L)}")
+  }
+
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
     import spark.implicits._
     val docs = Seq(

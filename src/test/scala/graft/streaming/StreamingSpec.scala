@@ -517,6 +517,33 @@ class StreamingSpec extends AnyFunSuite {
     val batchCc = graft.operators.GraphOps.clusteringCoefficientOf(batchEdges)
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(incCc == batchCc, s"incremental clustering $incCc vs $batchCc")
+    // ...and the round-14 community/mixing faces: label propagation,
+    // the community card, assortativity, and co-citation similarity
+    // all replay from the same artifact bit for bit
+    val incLpa = graft.operators.GraphOps.labelPropagationOf(
+      EventStreams.readCrawlEdges(spark, root), maxRounds = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val batchLpa = graft.operators.GraphOps.labelPropagationOf(
+      batchEdges, maxRounds = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(incLpa == batchLpa, s"incremental LPA $incLpa vs $batchLpa")
+    val incProf = graft.operators.GraphOps.communityProfileOf(
+      EventStreams.readCrawlEdges(spark, root), maxRounds = 5)
+      .collect().map(_.toSeq).toSet
+    val batchProf = graft.operators.GraphOps.communityProfileOf(
+      batchEdges, maxRounds = 5).collect().map(_.toSeq).toSet
+    assert(incProf == batchProf, s"incremental profile $incProf vs $batchProf")
+    val incAs = graft.operators.GraphOps.degreeAssortativityOf(
+      EventStreams.readCrawlEdges(spark, root)).collect().map(_.toSeq).toSeq
+    val batchAs = graft.operators.GraphOps.degreeAssortativityOf(batchEdges)
+      .collect().map(_.toSeq).toSeq
+    assert(incAs == batchAs, s"incremental assortativity $incAs vs $batchAs")
+    val incCo = graft.operators.GraphOps.cocitationSimilarityOf(
+      EventStreams.readCrawlEdges(spark, root), minShared = 1)
+      .collect().map(_.toSeq).toSet
+    val batchCo = graft.operators.GraphOps.cocitationSimilarityOf(
+      batchEdges, minShared = 1).collect().map(_.toSeq).toSet
+    assert(incCo == batchCo, s"incremental cocitation $incCo vs $batchCo")
     // an empty artifact root reads as an empty edge frame, not an error
     val emptyRoot = java.nio.file.Files.createTempDirectory("graft_cgraph_none").toString
     assert(EventStreams.readCrawlEdges(spark, emptyRoot).count() == 0)
