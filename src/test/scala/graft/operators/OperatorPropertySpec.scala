@@ -13,6 +13,94 @@ class OperatorPropertySpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.session
 
+  test("lshPlanFor: rows-per-band is monotone in the threshold; cost beats every rival") {
+    // tighter targets must never buy SHORTER bands (the S-curve
+    // midpoint rises with rows-per-band, so a monotone threshold
+    // sweep crossing a geometry boundary in the wrong direction would
+    // mean the area objective is broken)
+    for (n <- Seq(16, 64)) {
+      val rows = (5 to 95 by 5).map(t => Dedup.lshPlanFor(t / 100.0, n).rows)
+      assert(rows.zip(rows.tail).forall { case (a, b) => a <= b },
+        s"nPerm=$n rows-per-band not monotone in threshold: $rows")
+    }
+    // the chosen plan's error area is minimal among ALL factorizations
+    // (independent re-integration, finer grid than the implementation)
+    def area(b: Int, r: Int, t: Double): Double = {
+      val n = 8192
+      (0 until n).map { k =>
+        val s = (k + 0.5) / n
+        val f = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < t) f else 1.0 - f
+      }.sum / n
+    }
+    for (t <- Seq(0.35, 0.55, 0.75); n <- Seq(16, 64)) {
+      val p = Dedup.lshPlanFor(t, n)
+      val rivals = (1 to n).filter(n % _ == 0).map(b => area(b, n / b, t))
+      assert(area(p.bands, p.rows, t) <= rivals.min + 1e-6,
+        s"plan $p not area-optimal at t=$t nPerm=$n")
+    }
+  }
+
+  test("funnel reach is monotone and cohort row 0 equals the cohort size (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val funnel = Events.funnelStepsOf(ev, Seq("signup", "click", "purchase"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(funnel.zip(funnel.tail).forall { case (a, b) => a >= b },
+      s"ordered-funnel reach must be non-increasing: ${funnel.toList}")
+    assert(funnel.head > 0, "fixture data has signups")
+    // offset-0 retention row per cohort == that cohort's user count
+    // (every user is active in their own first week, by construction)
+    import org.apache.spark.sql.functions._
+    val zero = Events.retentionCohortsOf(ev)
+      .filter(col("week_offset") === 0L)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val sizes = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(date_trunc("week", col("first_ts")).cast("date").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(zero == sizes, s"offset-0 rows $zero != cohort sizes $sizes")
+  }
+
+  test("scd2 open intervals agree with the direct latest-value-per-key view (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val sf = "/root/testdata/sf0.001"
+    val upd = graft.Tables.orders(SparkSpec.session, sf).select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("attr"),
+      col("o_orderdate").as("ts"), col("o_orderkey").as("tb"))
+    // exactly ONE open interval per key, and its value matches the
+    // last update in (ts, tb) order — the cross-operator consistency
+    // a warehouse reads SCD2 tables by
+    val open = Events.scd2HistoryOf(upd).filter(col("valid_to").isNull)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toList
+    assert(open.map(_._1).distinct.size == open.size,
+      "more than one open interval for some key")
+    val latest = upd.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("ts").desc, col("tb").desc)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("attr")).toMap
+    assert(open.toMap == latest, "open intervals disagree with latest-per-key")
+    // and intervals tile: within a key, each valid_to equals the next
+    // row's valid_from (timestamps compared as ISO strings — the
+    // fixture's o_orderdate surfaces as TIMESTAMP_NTZ here, and ISO
+    // text orders chronologically)
+    val segs = Events.scd2HistoryOf(upd)
+      .select(col("k"), col("valid_from").cast("string").as("f"),
+        col("valid_to").cast("string").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .groupBy(_._1).values
+    assert(segs.forall { rows =>
+      // same-day flips share valid_from; the zero-length row (to ==
+      // from) precedes the longer/open one, so order by (from, to)
+      // with open intervals last
+      val sorted = rows.sortBy(r => (r._2, r._3.getOrElse("￿")))
+      sorted.zip(sorted.tail).forall { case ((_, _, to), (_, from, _)) =>
+        to.contains(from) } && sorted.last._3.isEmpty
+    }, "intervals must tile each key's timeline and end open")
+  }
+
   test("intervalJoinOf equals the naive theta join on random points/intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
