@@ -228,6 +228,56 @@ object Events {
       |  lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
       |FROM f ORDER BY k, valid_from, attr""".stripMargin
 
+  /** The warehouse MERGE face of [[scd2HistoryOf]]: fold a NEW update
+    * batch into an EXISTING SCD2 table (close affected open intervals,
+    * append the new change rows) by re-deriving the history over the
+    * existing table's change points plus the batch. Equals the
+    * one-shot recompute whenever the batch arrives after the table's
+    * horizon (per key, every batch ts follows the table's last change
+    * — the append-only warehouse case; collapsed re-assertions never
+    * matter because change detection only compares VALUES, which the
+    * change points preserve). Existing rows take the minimum
+    * tie-break so a same-instant batch row lands after them. The
+    * fixture's oracle IS the one-shot history over all updates — the
+    * DuckDB compare is exactly the merge == recompute proof. */
+  def scd2MergeOf(existing: DataFrame, updates: DataFrame): DataFrame =
+    scd2HistoryOf(existing
+      .select(col("k"), col("attr"), col("valid_from").as("ts"),
+        lit(Long.MinValue).as("tb"))
+      .unionByName(updates.select(col("k"), col("attr"), col("ts"), col("tb"))))
+
+  /** Update stream with globally-unique event times (epoch anchor +
+    * orderkey seconds), so (k, ts) never ties and the merge boundary
+    * is clean — the shape a change-data-capture feed actually has. */
+  private def orderUpdates(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderpriority").as("attr"),
+      expr("TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey)").as("ts"),
+      col("o_orderkey").as("tb"))
+
+  /** Fixture: the first half of the update stream (by key order ==
+    * time order here) becomes the existing SCD2 table, the second
+    * half merges in; the oracle recomputes one-shot over everything. */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val upd = orderUpdates(s, d)
+    val cut = upd.agg(max(col("tb"))).head.getLong(0) / 2
+    scd2MergeOf(
+        scd2HistoryOf(upd.filter(col("tb") <= cut)),
+        upd.filter(col("tb") > cut))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  private val scd2MergeOracle =
+    """WITH u AS (SELECT o_custkey AS k, o_orderpriority AS attr,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb FROM orders),
+      |c AS (SELECT k, attr, ts, tb,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS prev FROM u),
+      |f AS (SELECT k, attr, ts, tb FROM c WHERE prev IS NULL OR prev <> attr)
+      |SELECT k, attr, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |FROM f ORDER BY k, valid_from""".stripMargin
+
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
   def mapFuncs(s: SparkSession, d: String): DataFrame =
@@ -365,19 +415,28 @@ object Events {
     * step's min needs no predecessor; later steps aggregate the
     * events of that type joined against the survivors' previous
     * times. */
-  def funnelStepsOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnelStepsOf(events: DataFrame, steps: Seq[String],
+                    maxWait: Option[String] = None): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8, s"funnel wants 1..8 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
+      s"maxWait must look like '24 HOURS', got '$w'"))
     val spark = events.sparkSession
     var reached = events.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
     val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
       (1, steps.head, reached.count()))
     for ((step, i) <- steps.tail.zipWithIndex) {
+      // the optional deadline: the step must land within maxWait of
+      // the user's PREVIOUS step time ("signed up then converted
+      // within a day"), the standard product-funnel question
+      val within = maxWait
+        .map(w => expr(s"ts <= prev_t + INTERVAL $w"))
+        .getOrElse(lit(true))
       reached = events.filter(col("event_type") === step)
         .select(col("user_id"), col("ts"))
         .join(reached.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
-        .filter(col("ts") > col("prev_t"))
+        .filter(col("ts") > col("prev_t") && within)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       counts += ((i + 2, step, reached.count()))
     }
@@ -388,6 +447,32 @@ object Events {
   def funnelSteps(s: SparkSession, d: String): DataFrame =
     funnelStepsOf(Tables.events(s, d), Seq("signup", "click", "purchase"))
       .orderBy(col("step_idx"))
+
+  /** The deadline face: same funnel, each step within 24 hours of the
+    * previous one. */
+  def funnelStepsWindowed(s: SparkSession, d: String): DataFrame =
+    funnelStepsOf(Tables.events(s, d), Seq("signup", "click", "purchase"),
+        maxWait = Some("24 HOURS"))
+      .orderBy(col("step_idx"))
+
+  private val funnelStepsWindowedOracle =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |    AND e.ts <= s2.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL
+      |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL
+      |  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+      |ORDER BY step_idx""".stripMargin
 
   private val funnelStepsOracle =
     """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
@@ -450,6 +535,8 @@ object Events {
     "retention_cohorts"      -> (retentionCohorts _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
+    "scd2_merge"             -> (scd2Merge _),
+    "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
     "events_running_totals"  -> (runningTotals _),
@@ -467,6 +554,8 @@ object Events {
     "retention_cohorts"      -> retentionCohortsOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
+    "scd2_merge"             -> scd2MergeOracle,
+    "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,
     "events_running_totals"  -> runningOracle,

@@ -1461,17 +1461,14 @@ object GraphOps {
   // 1-row changed-any probe.
   // ---------------------------------------------------------------
 
-  /** Community label per node over the simple undirected graph:
-    * (node, community). */
-  def labelPropagationOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+  /** The shared LPA loop over a weighted adjacency (node, nbr, w):
+    * per round one (node, label)-keyed weight-sum agg + a
+    * node-partitioned argmax, 1-row fixpoint probe, localCheckpoint.
+    * The unweighted face passes w = 1 (sum == count, bit-identical to
+    * the count formulation). */
+  private def lpaLoop(adj: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1 && maxRounds <= 50,
       s"unreasonable maxRounds: $maxRounds")
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .union(und.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
     var labels = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -1481,7 +1478,7 @@ object GraphOps {
       val votes = adj
         .join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
         .groupBy(col("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("w")).as("cnt"))
       val next = votes
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("node"))
@@ -1498,6 +1495,85 @@ object GraphOps {
       round += 1
     }
     labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Community label per node over the simple undirected graph:
+    * (node, community). */
+  def labelPropagationOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint()
+    lpaLoop(adj, maxRounds)
+  }
+
+  /** Weighted LPA: the vote is the SUM of incident edge weights per
+    * label instead of the neighbor count — on a link graph whose
+    * weights are link multiplicities, a domain that links a partner
+    * 50 times pulls it into its community where a single stray link
+    * cannot (the natural community face of the weighted rank family).
+    * Duplicate/bidirectional (src, dst) weights sum into one
+    * undirected edge weight; integer weights keep the vote sums — and
+    * therefore the argmax and its min-label tie-break — exact and
+    * engine-identical. Same bounded-rounds/fixpoint discipline as
+    * [[labelPropagationOf]]. */
+  def labelPropagationWeightedOf(edges: DataFrame,
+                                 maxRounds: Int = 10): DataFrame = {
+    val d = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("weight").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("w", expr(
+        "CASE WHEN w > 0 THEN w ELSE raise_error('non-positive edge weight') END"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      .localCheckpoint()
+    lpaLoop(adj, maxRounds)
+  }
+
+  /** Fixture: the shared domain graph with deterministic multiplicity
+    * weights derived from both endpoint numbers. */
+  def labelPropagationWeighted(s: SparkSession, d: String): DataFrame =
+    labelPropagationWeightedOf(
+        fixtureEdges(s, d).withColumn("weight", expr(
+          "1 + (CAST(substr(src, 4, 10) AS INT) * 7 + " +
+            "CAST(substr(dst, 4, 10) AS INT) * 3) % 5")),
+        maxRounds = 5)
+      .orderBy(col("node"))
+
+  private val labelPropagationWeightedOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""votes$i AS (SELECT a.node, l.lbl, sum(a.w) AS cnt
+         |  FROM wadj a JOIN wlbl${i - 1} l ON a.nbr = l.node
+         |  GROUP BY a.node, l.lbl),
+         |wlbl$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, lbl) AS rn FROM votes$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+       |wed AS (SELECT src, dst,
+       |    1 + (CAST(substr(src, 4) AS INT) * 7
+       |       + CAST(substr(dst, 4) AS INT) * 3) % 5 AS w
+       |  FROM edges WHERE src <> dst),
+       |wund AS MATERIALIZED (SELECT least(src, dst) AS u,
+       |    greatest(src, dst) AS v, CAST(sum(w) AS BIGINT) AS w
+       |  FROM wed GROUP BY 1, 2),
+       |wadj AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM wund
+       |  UNION ALL SELECT v AS node, u AS nbr, w FROM wund),
+       |wlbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM wadj),
+       |$rounds
+       |SELECT node, lbl AS community FROM wlbl5 ORDER BY node""".stripMargin
   }
 
   /** Fixture: 5 LPA rounds over the shared domain graph. */
@@ -1783,6 +1859,7 @@ object GraphOps {
     "community_profile" -> (communityProfile _),
     "degree_assortativity" -> (degreeAssortativity _),
     "cocitation_similarity" -> (cocitationSimilarity _),
+    "label_propagation_weighted" -> (labelPropagationWeighted _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1803,5 +1880,6 @@ object GraphOps {
     "community_profile" -> communityProfileOracle,
     "degree_assortativity" -> degreeAssortativityOracle,
     "cocitation_similarity" -> cocitationOracle,
+    "label_propagation_weighted" -> labelPropagationWeightedOracle,
   )
 }

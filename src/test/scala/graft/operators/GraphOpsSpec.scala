@@ -610,6 +610,42 @@ class GraphOpsSpec extends SparkSpec {
       == ((3L, Some(-1000000L))))
   }
 
+  test("weighted LPA: weight breaks the tie the unweighted vote cannot") {
+    import spark.implicits._
+    // star center h with two leaves: unweighted votes tie (one
+    // neighbor each) and fall to the MIN label a1; a 10x edge weight
+    // must pull h to z1 instead
+    val w = Seq(("h", "z1", 10L), ("h", "a1", 1L)).toDF("src", "dst", "weight")
+    val weighted = GraphOps.labelPropagationWeightedOf(w, maxRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(weighted("h") == "z1", s"$weighted")
+    val unweighted = GraphOps.labelPropagationOf(
+        w.select(col("src"), col("dst")), maxRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(unweighted("h") == "a1", s"$unweighted")
+    // duplicate/bidirectional weights SUM into one undirected edge:
+    // 6 + 4 on (h, z1) beats 9 on (h, a1)
+    val dup = Seq(("h", "z1", 6L), ("z1", "h", 4L), ("h", "a1", 9L))
+      .toDF("src", "dst", "weight")
+    val summed = GraphOps.labelPropagationWeightedOf(dup, maxRounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(summed("h") == "z1", s"$summed")
+    // weight 1 everywhere == the unweighted operator, bit for bit
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x")).toDF("src", "dst")
+    val w1 = GraphOps.labelPropagationWeightedOf(
+        edges.withColumn("weight", lit(1L)), maxRounds = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val plain = GraphOps.labelPropagationOf(edges, maxRounds = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == plain)
+    // non-positive weights fail loudly
+    intercept[Exception] {
+      GraphOps.labelPropagationWeightedOf(
+        Seq(("a", "b", 0L)).toDF("src", "dst", "weight"), 1).collect()
+    }
+  }
+
   test("cocitation similarity: hand-worked jaccard; hub cap kills celebrity-made pairs") {
     import spark.implicits._
     // N(a) = {m, n, q}, N(b) = {m, n}: 2 shared, jaccard 2/3 -> 666‰;

@@ -1893,6 +1893,47 @@ class OperatorSpec extends AnyFunSuite {
       (2L, "b", "2024-01-01", None)), s"$got")
   }
 
+  test("windowed funnel enforces the per-step deadline; scd2 merge equals one-shot recompute") {
+    import spark.implicits._
+    def ev(u: Long, t: String, ty: String) = (u, java.sql.Timestamp.valueOf(t), ty)
+    val events = Seq(
+      // user 1 converts within hours
+      ev(1L, "2024-01-01 10:00:00", "signup"),
+      ev(1L, "2024-01-01 11:00:00", "click"),
+      // user 2 clicks 25h after signup: strict funnel counts it, the
+      // 24h-windowed one must not
+      ev(2L, "2024-01-01 09:00:00", "signup"),
+      ev(2L, "2024-01-02 10:00:00", "click")
+    ).toDF("user_id", "ts", "event_type")
+    def reach(mw: Option[String]) =
+      Events.funnelStepsOf(events, Seq("signup", "click"), mw)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(reach(None) == Map(1 -> 2L, 2 -> 2L))
+    assert(reach(Some("24 HOURS")) == Map(1 -> 2L, 2 -> 1L))
+    // scd2 merge: fold batch B into history(A) == one-shot over A++B
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val a = Seq((1L, "gold", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "gold", ts("2024-01-02 00:00:00"), 2L),   // collapses
+      (1L, "silver", ts("2024-01-03 00:00:00"), 3L),
+      (2L, "x", ts("2024-01-01 00:00:00"), 4L))
+      .toDF("k", "attr", "ts", "tb")
+    val b = Seq((1L, "gold", ts("2024-01-05 00:00:00"), 5L),
+      (1L, "gold", ts("2024-01-07 00:00:00"), 6L),   // re-assertion
+      (2L, "x", ts("2024-01-06 00:00:00"), 7L))      // re-assertion
+      .toDF("k", "attr", "ts", "tb")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString))).toSet
+    val merged = shape(Events.scd2MergeOf(Events.scd2HistoryOf(a), b))
+    val oneShot = shape(Events.scd2HistoryOf(a.unionByName(b)))
+    assert(merged == oneShot, s"merged $merged != one-shot $oneShot")
+    assert(merged == Set(
+      (1L, "gold", "2024-01-01 00:00:00.0", Some("2024-01-03 00:00:00.0")),
+      (1L, "silver", "2024-01-03 00:00:00.0", Some("2024-01-05 00:00:00.0")),
+      (1L, "gold", "2024-01-05 00:00:00.0", None),
+      (2L, "x", "2024-01-01 00:00:00.0", None)), s"$merged")
+  }
+
   test("funnel steps are strictly ordered; retention cohorts hand-worked") {
     import spark.implicits._
     def ev(u: Long, t: String, ty: String) = (u, java.sql.Timestamp.valueOf(t), ty)
