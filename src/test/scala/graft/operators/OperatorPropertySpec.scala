@@ -101,6 +101,90 @@ class OperatorPropertySpec extends AnyFunSuite {
     }, "intervals must tile each key's timeline and end open")
   }
 
+  test("cocitation similarity equals a scalar brute-force reference on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    // a few dozen nodes with a planted hub so the cap path exercises
+    val nodes = (0 until 24).map(i => f"n$i%02d")
+    val edges = (Seq.tabulate(60) { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+    } ++ nodes.take(15).map(n => ("hub", n))).distinct
+    for (maxDeg <- Seq(3, 8, 1000)) {
+      // scalar reference: capped neighborhoods, exact jaccard
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => if (e._1 < e._2) e else e.swap).distinct
+      val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (n, es) => n -> es.map(_._2).toSet }
+      val deg = nbrs.map { case (n, s) => n -> s.size }
+      val capped = nbrs.map { case (n, s) =>
+        n -> s.filter(deg(_) <= maxDeg) }.filter(_._2.nonEmpty)
+      val want = (for {
+        i <- capped.keys; j <- capped.keys if i < j
+        c = (capped(i) & capped(j)).size if c >= 2
+      } yield (i, j, c.toLong,
+        c.toLong * 1000 / (capped(i).size + capped(j).size - c))).toSet
+      val got = GraphOps.cocitationSimilarityOf(
+          edges.toDF("src", "dst"), maxDeg = maxDeg, minShared = 2)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"maxDeg=$maxDeg: got ${got.size} want ${want.size}; " +
+        s"diff ${(got -- want) ++ (want -- got)}")
+    }
+  }
+
+  test("community profile invariants: volumes sum to 2m, modularity sums to a scalar Q") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val nodes = (0 until 18).map(i => f"v$i%02d")
+    val edges = Seq.tabulate(40) { _ =>
+      (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+    }.filter(e => e._1 != e._2).distinct
+    val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+    val m = und.size.toLong
+    val prof = GraphOps.communityProfileOf(edges.toDF("src", "dst"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5)))
+    // every node in exactly one community; volumes tile the edge ends
+    val labels = GraphOps.labelPropagationOf(edges.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(prof.map(_._2).sum == labels.size)
+    assert(prof.map(p => 2 * p._3 + p._4).sum == 2 * m,
+      "community volumes must sum to 2m")
+    // sum of per-community contributions == scalar Newman-Girvan Q of
+    // the same partition (up to the per-community e6 truncation)
+    val internal = und.count(e => labels(e._1) == labels(e._2)).toDouble
+    // (labels.keys is a Set — map through an iterator or equal
+    // degrees collapse and the volumes come out short)
+    val vols = labels.keys.groupBy(labels).map { case (_, ns) =>
+      ns.iterator.map(n => und.count(e => e._1 == n || e._2 == n)).sum.toDouble }
+    val q = internal / m - vols.map(v => v * v).sum / (4.0 * m * m)
+    val qE6 = prof.map(_._5).sum
+    assert(math.abs(qE6 - q * 1e6) <= prof.length + 1,
+      s"sum(modularity_e6)=$qE6 vs scalar Q*1e6=${q * 1e6}")
+  }
+
+  test("scd2 merge equals one-shot recompute on every ordered split of a random stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val upd = (1 to 60).map { i =>
+      (rnd.nextInt(4).toLong, s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong)
+    }
+    def frame(rows: Seq[(Long, String, java.sql.Timestamp, Long)]) =
+      rows.toDF("k", "attr", "ts", "tb")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString))).toSet
+    val oneShot = shape(Events.scd2HistoryOf(frame(upd)))
+    for (cut <- Seq(1, 15, 30, 45, 59)) {
+      val (a, b) = upd.splitAt(cut)
+      val merged = shape(Events.scd2MergeOf(
+        Events.scd2HistoryOf(frame(a)), frame(b)))
+      assert(merged == oneShot, s"cut=$cut: merged != one-shot")
+    }
+  }
+
   test("intervalJoinOf equals the naive theta join on random points/intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
