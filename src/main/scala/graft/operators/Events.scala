@@ -239,12 +239,34 @@ object Events {
     * change points preserve). Existing rows take the minimum
     * tie-break so a same-instant batch row lands after them. The
     * fixture's oracle IS the one-shot history over all updates — the
-    * DuckDB compare is exactly the merge == recompute proof. */
-  def scd2MergeOf(existing: DataFrame, updates: DataFrame): DataFrame =
-    scd2HistoryOf(existing
-      .select(col("k"), col("attr"), col("valid_from").as("ts"),
-        lit(Long.MinValue).as("tb"))
-      .unionByName(updates.select(col("k"), col("attr"), col("ts"), col("tb"))))
+    * DuckDB compare is exactly the merge == recompute proof.
+    *
+    * The precondition is ENFORCED by default (`validate = true`): a
+    * batch row at or before its key's last existing change point
+    * would silently yield intervals that are NOT the one-shot history,
+    * so such a row hits a `raise_error` on the row path instead — one
+    * extra key-keyed agg+join over the (change-point-sized) existing
+    * table, on the same key the downstream windows shuffle on. Pass
+    * `validate = false` only when the feed guarantees ordering
+    * upstream. */
+  def scd2MergeOf(existing: DataFrame, updates: DataFrame,
+                  validate: Boolean = true): DataFrame = {
+    val ex = existing.select(col("k"), col("attr"),
+      col("valid_from").as("ts"), lit(Long.MinValue).as("tb"))
+    val upd0 = updates.select(col("k"), col("attr"), col("ts"), col("tb"))
+    val upd =
+      if (!validate) upd0
+      else upd0
+        .join(existing.groupBy(col("k")).agg(max(col("valid_from")).as("hrz")),
+          Seq("k"), "left")
+        .select(col("k"), col("attr"),
+          when(col("hrz").isNotNull && col("ts") <= col("hrz"),
+            expr("raise_error(concat('scd2MergeOf: batch row at or " +
+              "before existing horizon for key ', CAST(k AS STRING)))"))
+            .otherwise(col("ts")).as("ts"),
+          col("tb"))
+    scd2HistoryOf(ex.unionByName(upd))
+  }
 
   /** Update stream with globally-unique event times (epoch anchor +
     * orderkey seconds), so (k, ts) never ties and the merge boundary
@@ -422,8 +444,14 @@ object Events {
     maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
       s"maxWait must look like '24 HOURS', got '$w'"))
     val spark = events.sparkSession
+    // Each survivor frame is localCheckpointed (the lpaLoop lineage
+    // discipline) so the per-step count() and the NEXT step's join
+    // both read the materialized user-keyed frame — without it step N
+    // re-runs all prior filters/joins from the source, O(steps²)
+    // scans of the events frame.
     var reached = events.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
     val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
       (1, steps.head, reached.count()))
     for ((step, i) <- steps.tail.zipWithIndex) {
@@ -438,6 +466,7 @@ object Events {
         .join(reached.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
         .filter(col("ts") > col("prev_t") && within)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .localCheckpoint()
       counts += ((i + 2, step, reached.count()))
     }
     import spark.implicits._

@@ -464,22 +464,82 @@ object Profiling {
     * [[termDivergenceOf]]: divergence names the terms, the slope says
     * whether the whole head reshaped.
     *
-    * Exactness (the cross-engine float policy): each ln is rounded to
-    * e6 fixed point FIRST (micronats — both engines produce the same
-    * correctly-rounded double for ln of a small integer, so the
-    * rounded value is identical), and every downstream sum / product /
-    * division is pure integer arithmetic in DECIMAL(38,0). The e6
-    * scale on x and y cancels in the slope ratio, so `slope_e6` is
-    * just the dimensionless slope at e6; integer division is spelled
-    * sign-safely (negate-divide-negate) because Spark's DIV truncates
-    * toward zero while a bare floor-division would disagree on the
-    * (always-negative) slope numerator.
+    * Exactness (the cross-engine float policy): each ln is computed at
+    * e6 fixed point by a PURE-INTEGER digit-by-digit log (below) — no
+    * engine `ln` anywhere, so the value is bit-identical across
+    * engines BY CONSTRUCTION, not merely because two libm builds
+    * happen to round alike (Java's Math.log and DuckDB's libm are each
+    * only ~1-ulp-accurate, and floor(ln·1e6 + 0.5) could land on
+    * different sides of a grid boundary on some corpus). Every
+    * downstream sum / product / division is pure integer arithmetic in
+    * DECIMAL(38,0). The e6 scale on x and y cancels in the slope
+    * ratio, so `slope_e6` is just the dimensionless slope at e6;
+    * integer division is spelled sign-safely (negate-divide-negate)
+    * because Spark's DIV truncates toward zero while a bare
+    * floor-division would disagree on the (always-negative) slope
+    * numerator.
+    *
+    * The integer log, for x >= 1: b = floor(log2 x) from the binary
+    * digit count; mantissa m = x·1e18 div 2^b in [1e18, 2e18); 30
+    * digit-by-digit rounds (square at e18 fixed point, emit a bit and
+    * halve when the square crosses 2) give acc = the first 30
+    * fraction bits of log2 x, so K = b·2^30 + acc is log2(x)·2^30;
+    * then ln(x)·1e6 = K·ln2·1e6/2^30, evaluated as integer
+    * multiply-shift against the ln2·1e18 literal with a +2^29
+    * rounding term. 60 decimal digits of working precision minus 30
+    * rounds leaves the result within ~2^-30 of true log2, i.e. within
+    * one e6 ulp of round(ln(x)·1e6) — same accuracy class as the old
+    * float path, now deterministic. Both sides' operands stay
+    * positive, so truncating and flooring division agree.
     *
     * Scale shape: one map-side-combined term-count agg (types-sized),
     * a TakeOrderedAndProject top-k (partial per-partition take, no
     * global sort), one rank window over the ≤ topK-row survivor frame
     * (cardinality-bounded by construction — PlanHygieneSpec
     * allowlist), one scalar agg. */
+  /** The Spark face of the integer e6 ln described in [[zipfSlopeOf]]'s
+    * scaladoc; `x` must name a positive BIGINT column. The fold state
+    * rides BIGINT (mantissa < 2e18) and only the squaring widens to
+    * DECIMAL(38,0); Spark's DIV always yields BIGINT, which keeps the
+    * struct type stable across rounds. */
+  private def ilnE6Spark(x: String): String = {
+    val E18 = "1000000000000000000"
+    s"""(CAST((CAST(aggregate(sequence(1, 30),
+       |  named_struct(
+       |    'm', CAST(CAST($x AS DECIMAL(38,0)) * $E18
+       |           DIV shiftleft(CAST(1 AS BIGINT), length(bin($x)) - 1) AS BIGINT),
+       |    'a', CAST(0 AS BIGINT)),
+       |  (s, i) -> CASE
+       |    WHEN CAST(s.m AS DECIMAL(38,0)) * s.m DIV $E18 >= 2 * $E18
+       |    THEN named_struct('m', (CAST(s.m AS DECIMAL(38,0)) * s.m DIV $E18) DIV 2,
+       |                      'a', s.a * 2 + 1)
+       |    ELSE named_struct('m', CAST(s.m AS DECIMAL(38,0)) * s.m DIV $E18,
+       |                      'a', s.a * 2) END,
+       |  s -> CAST(length(bin($x)) - 1 AS BIGINT) * 1073741824 + s.a
+       |) AS DECIMAL(38,0)) * 693147180559945309 DIV 1000000000000 + 536870912)
+       |DIV 1073741824 AS DECIMAL(38,0)))""".stripMargin.replace("\n", " ")
+  }
+
+  /** The DuckDB mirror of [[ilnE6Spark]] — HUGEINT throughout, the
+    * list_reduce fold mold; both sides' operands are positive so
+    * DuckDB's floor `//` equals Spark's truncating DIV. */
+  private def ilnE6Duck(x: String): String = {
+    val E18 = "1000000000000000000"
+    s"""(((CAST(struct_extract(list_reduce(list_prepend(
+       |  {'m': ($x::HUGEINT * $E18) // (1::HUGEINT << (length(bin($x)) - 1)),
+       |   'a': 0::HUGEINT},
+       |  list_transform(range(1, 31), i -> {'m': 0::HUGEINT, 'a': 0::HUGEINT})),
+       |  (s, t) -> CASE
+       |    WHEN struct_extract(s, 'm') * struct_extract(s, 'm') // $E18 >= 2 * $E18
+       |    THEN {'m': (struct_extract(s, 'm') * struct_extract(s, 'm') // $E18) // 2,
+       |          'a': struct_extract(s, 'a') * 2 + 1}
+       |    ELSE {'m': struct_extract(s, 'm') * struct_extract(s, 'm') // $E18,
+       |          'a': struct_extract(s, 'a') * 2} END), 'a') AS HUGEINT)
+       |  + (length(bin($x)) - 1)::HUGEINT * 1073741824)
+       |  * 693147180559945309 // 1000000000000 + 536870912) // 1073741824)""".stripMargin
+      .replace("\n", " ")
+  }
+
   def zipfSlopeOf(docs: DataFrame, topK: Int = 100): DataFrame = {
     require(topK >= 3 && topK <= 10000, s"unreasonable topK: $topK")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -492,9 +552,10 @@ object Profiling {
     val xy = top
       .withColumn("r", row_number().over(
         Window.orderBy(col("f").desc, col("w").asc)))
+      .withColumn("rl", col("r").cast("long"))
       .select(
-        expr("CAST(floor(ln(r) * 1000000 + 0.5) AS DECIMAL(38,0))").as("x"),
-        expr("CAST(floor(ln(f) * 1000000 + 0.5) AS DECIMAL(38,0))").as("y"))
+        expr(ilnE6Spark("rl")).as("x"),
+        expr(ilnE6Spark("f")).as("y"))
     xy.agg(count(lit(1)).cast(dec).as("k"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
@@ -514,12 +575,14 @@ object Profiling {
     zipfSlopeOf(Tables.documents(s, d))
 
   private val zipfSlopeOracle =
-    """WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""WITH u AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
       |tc AS (SELECT w, count(*) AS f FROM u WHERE len(w) > 0
       |       GROUP BY w ORDER BY f DESC, w LIMIT 100),
-      |rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM tc),
-      |xy AS (SELECT CAST(floor(ln(r) * 1000000 + 0.5) AS HUGEINT) AS x,
-      |              CAST(floor(ln(f) * 1000000 + 0.5) AS HUGEINT) AS y
+      |rk AS (SELECT CAST(f AS BIGINT) AS f,
+      |              CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+      |       FROM tc),
+      |xy AS (SELECT CAST(${ilnE6Duck("r")} AS HUGEINT) AS x,
+      |              CAST(${ilnE6Duck("f")} AS HUGEINT) AS y
       |       FROM rk),
       |s AS (SELECT CAST(count(*) AS HUGEINT) AS k, sum(x) AS sx,
       |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx

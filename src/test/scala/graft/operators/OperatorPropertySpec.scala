@@ -185,6 +185,30 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 merge raises loudly on an out-of-order batch row") {
+    import spark.implicits._
+    def frame(rows: Seq[(Long, String, java.sql.Timestamp, Long)]) =
+      rows.toDF("k", "attr", "ts", "tb")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val existing = Events.scd2HistoryOf(frame(Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "b", ts("2024-01-02 00:00:00"), 2L))))
+    // a batch row AT the key's horizon (== last change point) violates
+    // the append-only precondition and must fail, not corrupt history
+    val late = frame(Seq((1L, "c", ts("2024-01-02 00:00:00"), 3L)))
+    val e = intercept[Exception] {
+      Events.scd2MergeOf(existing, late).collect()
+    }
+    assert(e.getMessage.contains("scd2MergeOf"),
+      s"expected the merge guard message, got: ${e.getMessage}")
+    // untouched keys and in-order batches still merge fine with the
+    // guard on (default), and validate=false restores the old behavior
+    val ok = frame(Seq((1L, "c", ts("2024-01-03 00:00:00"), 3L)))
+    assert(Events.scd2MergeOf(existing, ok).count() == 3L)
+    // (the corrupt merge yields a zero-width b interval — 3 rows)
+    assert(Events.scd2MergeOf(existing, late, validate = false).count() == 3L)
+  }
+
   test("intervalJoinOf equals the naive theta join on random points/intervals") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
