@@ -1538,10 +1538,15 @@ object GraphOps {
   }
 
   /** Fixture: the shared domain graph with deterministic multiplicity
-    * weights derived from both endpoint numbers. */
+    * weights derived from both endpoint numbers. The edge list is
+    * deduped BEFORE weighting: fixtureEdges is a UNION ALL (the k=13
+    * leg-1 edge coincides with its hub edge), while the oracle's edges
+    * CTE dedups via SQL UNION — weighting first would double that
+    * edge's weight on the Spark side only, and the two runs would
+    * agree merely by coincidence of the 5-round dynamics. */
   def labelPropagationWeighted(s: SparkSession, d: String): DataFrame =
     labelPropagationWeightedOf(
-        fixtureEdges(s, d).withColumn("weight", expr(
+        fixtureEdges(s, d).distinct().withColumn("weight", expr(
           "1 + (CAST(substr(src, 4, 10) AS INT) * 7 + " +
             "CAST(substr(dst, 4, 10) AS INT) * 3) % 5")),
         maxRounds = 5)
@@ -1583,10 +1588,19 @@ object GraphOps {
   /** The LPA rounds unrolled as chained CTEs (the kcore/weighted-rank
     * oracle mold) — round count matches the Scala fixture's maxRounds,
     * and the stable-fixpoint argument makes an early exit equal the
-    * full unroll. Emits `simple(u, v)` and `lbl5(node, lbl)` for the
-    * two community faces to share. */
-  private val lpaCtesSql: String = {
-    val rounds = (1 to 5).map { i =>
+    * full unroll. Emits `simple(u, v)`, `adj(node, nbr)` and
+    * `lbl$n(node, lbl)` for the community faces to share. */
+  /** The shared domain-graph edges as oracle CTE text (srcs + edges). */
+  private val domainEdgesSql: String =
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
+       |  UNION
+       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0)""".stripMargin
+
+  private def lpaCtes(n: Int, edgesSql: String = domainEdgesSql): String = {
+    val rounds = (1 to n).map { i =>
       s"""votes$i AS (SELECT a.node, l.lbl, count(*) AS cnt
          |  FROM adj a JOIN lbl${i - 1} l ON a.nbr = l.node
          |  GROUP BY a.node, l.lbl),
@@ -1594,12 +1608,7 @@ object GraphOps {
          |  SELECT node, lbl, row_number() OVER (PARTITION BY node
          |    ORDER BY cnt DESC, lbl) AS rn FROM votes$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""srcs AS MATERIALIZED (SELECT DISTINCT source AS src,
-       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
-       |edges AS MATERIALIZED (
-       |  SELECT src, 'src' || CAST((k * 3 + 1) % 20 AS VARCHAR) AS dst FROM srcs
-       |  UNION
-       |  SELECT src, 'src0' AS dst FROM srcs WHERE k <> 0),
+    s"""$edgesSql,
        |simple AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
        |    greatest(src, dst) AS v FROM edges WHERE src <> dst),
        |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM simple
@@ -1607,6 +1616,8 @@ object GraphOps {
        |lbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
        |$rounds""".stripMargin
   }
+
+  private val lpaCtesSql: String = lpaCtes(5)
 
   private val labelPropagationOracle: String =
     s"""WITH $lpaCtesSql
@@ -1638,6 +1649,12 @@ object GraphOps {
       col("v").as("dst")), maxRounds).localCheckpoint()
     val m = und.count()
     require(m > 0, "community profile over an empty graph")
+    // BigInt, not Long: 4·m² overflows Long past m ≈ 1.5e9 edges and
+    // would silently poison the interpolated literal; Spark parses an
+    // out-of-Long-range integral literal as DECIMAL(38,0), matching
+    // the frame's exact-arithmetic type (sound to m ≈ 1.5e18).
+    val m4 = 4 * BigInt(m)
+    val m4sq = 4 * BigInt(m) * BigInt(m)
     val tagged = und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
       .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
@@ -1660,9 +1677,9 @@ object GraphOps {
         col("internal_edges"), col("cut_edges"),
         expr("CAST(CASE WHEN vol > 0 THEN c * 1000 DIV vol END AS BIGINT)")
           .as("conductance_permille"),
-        expr(s"""CAST(CASE WHEN i * ${4 * m} - vol * vol < 0
-          |  THEN -((vol * vol - i * ${4 * m}) * 1000000 DIV ${4 * m * m})
-          |  ELSE (i * ${4 * m} - vol * vol) * 1000000 DIV ${4 * m * m}
+        expr(s"""CAST(CASE WHEN i * ${m4} - vol * vol < 0
+          |  THEN -((vol * vol - i * ${m4}) * 1000000 DIV ${m4sq})
+          |  ELSE (i * ${m4} - vol * vol) * 1000000 DIV ${m4sq}
           |  END AS BIGINT)""".stripMargin).as("modularity_e6"))
   }
 
@@ -1844,6 +1861,204 @@ object GraphOps {
        |    END AS BIGINT) AS modularity_e6
        |FROM p, m ORDER BY community""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Louvain-style modularity refinement (Blondel et al. 2008, "Fast
+  // unfolding of communities in large networks" — the local-move
+  // phase). LPA is fast but resolution-blind; one greedy pass that
+  // moves nodes toward the neighboring community with the best
+  // closed-form modularity gain is the standard quality step. The
+  // classic algorithm moves nodes SEQUENTIALLY (order-dependent, not
+  // distributable); this variant proposes ALL best moves against the
+  // frozen partition in one synchronous pass, then ACCEPTS the sweep
+  // only if the exact integer Q of the proposal beats the current
+  // partition — simultaneous moves can interact destructively (two
+  // nodes swapping communities, two nodes piling into one community
+  // share a quadratic vol² penalty), so the accept test, not the
+  // per-node gains, is what guarantees Σ modularity never decreases.
+  // A rejected sweep ends the loop; bounded sweeps end it otherwise.
+  //
+  // Gain for moving node i (degree k) from community A to neighboring
+  // community C, everything ×4m² to stay integer:
+  //   gain = 4m·(e_iC − e_iA') − 2k·(vol_C − vol_A + k)
+  // with e_iX = edges from i into X\{i}, vol including i while i ∈ A.
+  // Q×4m² = 4m·internal_total − Σ_C vol_C², all DECIMAL(38,0).
+  //
+  // Scale shape per sweep: one (node, nbr-community) keyed agg for
+  // e_iC, a community-keyed vol agg, assembly joins, a node-
+  // partitioned argmax window, and two 1-row Q probes (the documented
+  // fixpoint-scalar pattern) — no windows over the corpus, driver
+  // state is two BigInt scalars per sweep.
+  // ---------------------------------------------------------------
+
+  /** LPA partition refined by accepted synchronous greedy sweeps:
+    * (node, community). Deterministic: gains tie-break on the
+    * smallest target label; acceptance is an exact integer compare. */
+  def communityRefineOf(edges: DataFrame, maxRounds: Int = 10,
+                        maxSweeps: Int = 3): DataFrame = {
+    require(maxSweeps >= 1 && maxSweeps <= 10,
+      s"unreasonable maxSweeps: $maxSweeps")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val deg = adj.groupBy(col("node"))
+      .agg(count(lit(1)).cast(dec).as("k"))
+      .localCheckpoint()
+    val m = und.count()
+    require(m > 0, "community refinement over an empty graph")
+    val m4 = 4 * BigInt(m)
+
+    // Q×4m² of a partition — two 1-row probes (internal count, Σvol²)
+    def q4m2(lbls: DataFrame): BigInt = {
+      val internal = und
+        .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(lbls.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv")).count()
+      val volsq = lbls.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
+        .agg(sum(col("vol") * col("vol")).cast(dec)).head.getDecimal(0)
+      m4 * BigInt(internal) - BigInt(volsq.toBigInteger)
+    }
+
+    var labels = labelPropagationOf(
+        und.select(col("u").as("src"), col("v").as("dst")), maxRounds)
+      .select(col("node"), col("community").as("lbl"))
+      .localCheckpoint()
+    var qo = q4m2(labels)
+    var sweep = 0
+    var done = false
+    while (sweep < maxSweeps && !done) {
+      val vol = labels.join(deg, Seq("node"))
+        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("vol"))
+      val eic = adj
+        .join(labels.select(col("node").as("nbr"), col("lbl").as("c")), Seq("nbr"))
+        .groupBy(col("node"), col("c"))
+        .agg(count(lit(1)).cast(dec).as("e"))
+      val own = labels
+        .join(eic.select(col("node").as("onode"), col("c").as("oc"), col("e")),
+          col("node") === col("onode") && col("lbl") === col("oc"), "left")
+        .select(col("node"), coalesce(col("e"), lit(0).cast(dec)).as("ea"))
+      val gains = eic
+        .join(labels, Seq("node"))
+        .filter(col("c") =!= col("lbl"))
+        .join(deg, Seq("node"))
+        .join(vol.select(col("c").as("lbl"), col("vol").as("vola")), Seq("lbl"))
+        .join(vol.select(col("c"), col("vol").as("volc")), Seq("c"))
+        .join(own, Seq("node"))
+        .withColumn("g",
+          expr(s"CAST($m4 * (e - ea) - 2 * k * (volc - vola + k)" +
+            " AS DECIMAL(38,0))"))
+      val best = gains
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node"))
+            .orderBy(col("g").desc, col("c").asc)))
+        .filter(col("rn") === 1 && col("g") > 0)
+        .select(col("node"), col("c"))
+      val prop = labels
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val qn = q4m2(prop)
+      if (qn > qo) { labels = prop; qo = qn } else done = true
+      sweep += 1
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** A second fixture graph with BLOCK structure (5 near-cliques of 4
+    * chained head-to-head) — the hub fixture is useless for
+    * refinement (LPA collapses it to one community, and local moves
+    * can only relocate nodes to NEIGHBORING communities, never split),
+    * while here a 2-round LPA leaves a fragmented partition whose
+    * first greedy sweep is ACCEPTED (Q×4m² 112 → 432) and whose
+    * second is the rejected fixpoint — both faces of the accept test
+    * land in the oracle. Data-derived (distinct source numbers),
+    * deterministic, SF-independent like [[fixtureEdges]]. */
+  private[graft] def blockFixtureEdges(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
+    def n(e: Column) = concat(lit("src"), e.cast("string"))
+    base.filter(col("k") % 4 =!= 3)
+      .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))
+      .union(base.filter(col("k") % 4 < 2)
+        .select(n(col("k")).as("src"), n(col("k") + 2).as("dst")))
+      .union(base.filter(col("k") % 4 === 0)
+        .select(n(col("k")).as("src"), n((col("k") + 4) % 20).as("dst")))
+  }
+
+  private val blockEdgesSql: String =
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT 'src' || CAST(k AS VARCHAR) AS src,
+       |         'src' || CAST(k + 1 AS VARCHAR) AS dst FROM srcs WHERE k % 4 <> 3
+       |  UNION ALL SELECT 'src' || CAST(k AS VARCHAR),
+       |         'src' || CAST(k + 2 AS VARCHAR) FROM srcs WHERE k % 4 < 2
+       |  UNION ALL SELECT 'src' || CAST(k AS VARCHAR),
+       |         'src' || CAST((k + 4) % 20 AS VARCHAR) FROM srcs WHERE k % 4 = 0)""".stripMargin
+
+  /** Fixture: a deliberately UNDER-converged LPA partition (2 rounds)
+    * on the block graph, refined by up to 2 sweeps — the refinement
+    * has real work to do, so the oracle checks accepted-move
+    * dynamics, not a no-op. */
+  def communityRefine(s: SparkSession, d: String): DataFrame =
+    communityRefineOf(blockFixtureEdges(s, d), maxRounds = 2, maxSweeps = 2)
+      .orderBy(col("node"))
+
+  /** The sweeps unrolled: per sweep the gain/argmax/proposal CTEs plus
+    * two scalar-subquery Q probes and a CASE-gated accept. A rejected
+    * sweep leaves L unchanged, and the next sweep then deterministically
+    * recomputes the same rejection — so the full unroll equals the
+    * Scala loop's early exit. */
+  private def communityRefineOracle(lpaRounds: Int, sweeps: Int,
+                                    edgesSql: String): String = {
+    val sweepCtes = (0 until sweeps).map { s =>
+      s"""vol$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM L$s l
+         |  JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+         |eic$s AS (SELECT a.node, l.lbl AS c, CAST(count(*) AS HUGEINT) AS e
+         |  FROM adj a JOIN L$s l ON a.nbr = l.node GROUP BY a.node, l.lbl),
+         |own$s AS (SELECT n.node, coalesce(e.e, 0::HUGEINT) AS ea FROM L$s n
+         |  LEFT JOIN eic$s e ON n.node = e.node AND n.lbl = e.c),
+         |gain$s AS (SELECT e.node, e.c,
+         |    4 * (SELECT m FROM mm) * (e.e - o.ea)
+         |      - 2 * d.k * (vc.vol - va.vol + d.k) AS g
+         |  FROM eic$s e JOIN L$s n ON e.node = n.node AND e.c <> n.lbl
+         |  JOIN deg d ON e.node = d.node
+         |  JOIN vol$s va ON va.c = n.lbl JOIN vol$s vc ON vc.c = e.c
+         |  JOIN own$s o ON o.node = e.node),
+         |best$s AS (SELECT node, c FROM (SELECT node, c, g,
+         |    row_number() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+         |    FROM gain$s) WHERE rn = 1 AND g > 0),
+         |prop$s AS MATERIALIZED (SELECT n.node, coalesce(b.c, n.lbl) AS lbl
+         |  FROM L$s n LEFT JOIN best$s b ON n.node = b.node),
+         |volp$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM prop$s l
+         |  JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+         |qo$s AS (SELECT 4 * (SELECT m FROM mm) * (SELECT CAST(count(*) AS HUGEINT)
+         |      FROM simple e JOIN L$s a ON e.u = a.node
+         |      JOIN L$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT sum(vol * vol) FROM vol$s) AS q),
+         |qn$s AS (SELECT 4 * (SELECT m FROM mm) * (SELECT CAST(count(*) AS HUGEINT)
+         |      FROM simple e JOIN prop$s a ON e.u = a.node
+         |      JOIN prop$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT sum(vol * vol) FROM volp$s) AS q),
+         |L${s + 1} AS MATERIALIZED (SELECT p.node,
+         |    CASE WHEN (SELECT q FROM qn$s) > (SELECT q FROM qo$s)
+         |    THEN p.lbl ELSE n.lbl END AS lbl
+         |  FROM prop$s p JOIN L$s n ON p.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${lpaCtes(lpaRounds, edgesSql)},
+       |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM adj
+       |  GROUP BY node),
+       |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM simple),
+       |L0 AS (SELECT node, lbl FROM lbl$lpaRounds),
+       |$sweepCtes
+       |SELECT node, lbl AS community FROM L$sweeps ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -1860,6 +2075,7 @@ object GraphOps {
     "degree_assortativity" -> (degreeAssortativity _),
     "cocitation_similarity" -> (cocitationSimilarity _),
     "label_propagation_weighted" -> (labelPropagationWeighted _),
+    "community_refine" -> (communityRefine _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -1881,5 +2097,7 @@ object GraphOps {
     "degree_assortativity" -> degreeAssortativityOracle,
     "cocitation_similarity" -> cocitationOracle,
     "label_propagation_weighted" -> labelPropagationWeightedOracle,
+    "community_refine" -> communityRefineOracle(lpaRounds = 2, sweeps = 2,
+      edgesSql = blockEdgesSql),
   )
 }

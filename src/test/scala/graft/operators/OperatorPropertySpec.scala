@@ -185,6 +185,49 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("community refinement never decreases modularity, improves the block fixture, deterministic") {
+    import spark.implicits._
+    // brute-force Q×4m² of a partition (exact integers)
+    def q4m2(und: Seq[(String, String)], labels: Map[String, String]): BigInt = {
+      val m = und.size.toLong
+      val internal = und.count(e => labels(e._1) == labels(e._2))
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val vols = labels.keys.toSeq.groupBy(labels)
+        .map { case (_, ns) => ns.map(deg(_)).sum }
+      4 * BigInt(m) * internal - vols.map(v => BigInt(v) * v).sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (seed <- Seq(3, 7, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until 24).map(i => s"n$i")
+      val edges = (1 to 70).map { _ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+      }.filter(e => e._1 != e._2)
+      val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+      val df = edges.toDF("src", "dst")
+      val lpa = toMap(GraphOps.labelPropagationOf(df, maxRounds = 2))
+      val ref = toMap(GraphOps.communityRefineOf(df, maxRounds = 2, maxSweeps = 3))
+      assert(q4m2(und, ref) >= q4m2(und, lpa),
+        s"seed=$seed: refinement decreased Q")
+      assert(ref == toMap(GraphOps.communityRefineOf(df, maxRounds = 2, maxSweeps = 3)),
+        s"seed=$seed: nondeterministic refinement")
+    }
+    // on the block fixture's graph the first sweep must STRICTLY improve
+    val block = (0 until 20).flatMap { k =>
+      (if (k % 4 != 3) Seq((s"src$k", s"src${k + 1}")) else Nil) ++
+        (if (k % 4 < 2) Seq((s"src$k", s"src${k + 2}")) else Nil) ++
+        (if (k % 4 == 0) Seq((s"src$k", s"src${(k + 4) % 20}")) else Nil)
+    }
+    val bdf = block.toDF("src", "dst")
+    val bund = block.map(e => if (e._1 < e._2) e else e.swap).distinct
+    val blpa = toMap(GraphOps.labelPropagationOf(bdf, maxRounds = 2))
+    val bref = toMap(GraphOps.communityRefineOf(bdf, maxRounds = 2, maxSweeps = 2))
+    assert(q4m2(bund, bref) > q4m2(bund, blpa),
+      "block fixture: expected an accepted (strictly improving) sweep")
+  }
+
   test("scd2 merge raises loudly on an out-of-order batch row") {
     import spark.implicits._
     def frame(rows: Seq[(Long, String, java.sql.Timestamp, Long)]) =
