@@ -268,6 +268,79 @@ object Events {
     scd2HistoryOf(ex.unionByName(upd))
   }
 
+  /** SCD2 history over an update stream that carries DELETES — the
+    * CDC shape [[scd2HistoryOf]] can't express: a tombstone row
+    * (`is_delete` true) CLOSES the key's open interval at its ts and
+    * opens nothing, and a later re-insert opens a FRESH interval even
+    * when it re-asserts the pre-delete value (the gap is real
+    * history). The delete marker is an explicit boolean column, never
+    * a magic attr value. Change detection runs on the (attr,
+    * is_delete) state pair: a row survives when it is the key's
+    * first, flips the live/deleted state, or changes the value while
+    * live; consecutive deletes collapse (a second tombstone is a
+    * no-op). Kept tombstones donate their ts to the preceding live
+    * interval's valid_to via the same interval lead, then drop out.
+    * Same one-shuffle scale shape as [[scd2HistoryOf]]. */
+  def scd2HistoryDeletesOf(updates: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    updates
+      .withColumn("pattr", lag(col("attr"), 1).over(w))
+      .withColumn("pdel", lag(col("is_delete"), 1).over(w))
+      .filter(col("pdel").isNull ||
+        col("is_delete") =!= col("pdel") ||
+        (!col("is_delete") && !col("pdel") && col("attr") =!= col("pattr")))
+      .withColumn("valid_to", lead(col("ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("ts"), col("tb"))))
+      .filter(!col("is_delete"))
+      .select(col("k"), col("attr"), col("ts").as("valid_from"),
+        col("valid_to"))
+  }
+
+  /** The MERGE face of [[scd2HistoryDeletesOf]]: fold a new batch
+    * (with tombstones) into an existing SCD2 table. The existing
+    * table is replayed as an update stream — each interval re-opens
+    * at its valid_from, and a GAP after a closed interval (or a
+    * trailing closed interval) means the key was deleted at that
+    * valid_to, so a synthetic tombstone is emitted there (one
+    * key-partitioned lead over the existing table reconstructs every
+    * delete the interval representation encodes). Equals the one-shot
+    * recompute under the same append-after-horizon precondition as
+    * [[scd2MergeOf]], enforced the same way (`validate`, default on;
+    * the horizon includes a trailing tombstone's ts). */
+  def scd2MergeDeletesOf(existing: DataFrame, updates: DataFrame,
+                         validate: Boolean = true): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val exRows = existing.withColumn("nf", lead(col("valid_from"), 1).over(w))
+    val opens = exRows.select(col("k"), col("attr"),
+      col("valid_from").as("ts"), lit(Long.MinValue).as("tb"),
+      lit(false).as("is_delete"))
+    val tombs = exRows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(col("k"), lit(null).cast("string").as("attr"),
+        col("valid_to").as("ts"), lit(Long.MinValue + 1).as("tb"),
+        lit(true).as("is_delete"))
+    val upd0 = updates.select(col("k"), col("attr"), col("ts"), col("tb"),
+      col("is_delete"))
+    val upd =
+      if (!validate) upd0
+      else upd0
+        .join(existing.groupBy(col("k")).agg(
+            max(greatest(col("valid_from"),
+              coalesce(col("valid_to"), col("valid_from")))).as("hrz")),
+          Seq("k"), "left")
+        .select(col("k"), col("attr"),
+          when(col("hrz").isNotNull && col("ts") <= col("hrz"),
+            expr("raise_error(concat('scd2MergeDeletesOf: batch row at " +
+              "or before existing horizon for key ', CAST(k AS STRING)))"))
+            .otherwise(col("ts")).as("ts"),
+          col("tb"), col("is_delete"))
+    scd2HistoryDeletesOf(opens.unionByName(tombs).unionByName(upd))
+  }
+
   /** Update stream with globally-unique event times (epoch anchor +
     * orderkey seconds), so (k, ts) never ties and the merge boundary
     * is clean — the shape a change-data-capture feed actually has. */
@@ -299,6 +372,50 @@ object Events {
       |SELECT k, attr, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
       |FROM f ORDER BY k, valid_from""".stripMargin
+
+  /** Tombstone-carrying update stream: every 7th order is a DELETE of
+    * its customer's attribute — deletes interleave with updates at
+    * CDC grain, and re-inserts after a tombstone are common. */
+  private def orderUpdatesDeletes(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey").as("k"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("attr"),
+      expr("TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+
+  /** Fixture: first half of the tombstoned stream becomes the
+    * existing SCD2 table (so some keys' histories END in a
+    * reconstructed tombstone), second half merges in; the oracle is
+    * the one-shot recompute over everything — merge == recompute with
+    * deletes in play. */
+  def scd2MergeDeletes(s: SparkSession, d: String): DataFrame = {
+    val upd = orderUpdatesDeletes(s, d)
+    val cut = upd.agg(max(col("tb"))).head.getLong(0) / 2
+    scd2MergeDeletesOf(
+        scd2HistoryDeletesOf(upd.filter(col("tb") <= cut)),
+        upd.filter(col("tb") > cut))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  private val scd2MergeDeletesOracle =
+    """WITH u AS (SELECT o_custkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr))
+      |SELECT k, attr, valid_from, valid_to FROM (
+      |  SELECT k, attr, del, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |  FROM f)
+      |WHERE NOT del ORDER BY k, valid_from""".stripMargin
 
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
@@ -391,24 +508,44 @@ object Events {
     * min-agg (first seen), a distinct over (user, week) — both
     * map-side combined — one user-keyed join, one (cohort, offset)
     * agg. Nothing user×week-quadratic, no windows. */
-  def retentionCohortsOf(events: DataFrame): DataFrame = {
+  def retentionCohortsOf(events: DataFrame,
+                         grain: String = "week"): DataFrame = {
+    require(Set("week", "day").contains(grain), s"unsupported grain: $grain")
+    // offset stays exact integer day arithmetic at either grain; the
+    // per-(user, grain) event count replaces the bare distinct so the
+    // same shuffle also carries activity DENSITY (events per active
+    // user, permille) — one extra sum on the (cohort, offset) agg,
+    // nothing user×grain quadratic
+    val span = if (grain == "week") 7 else 1
     val first = events.groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
       .select(col("user_id"),
-        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+        date_trunc(grain, col("first_ts")).cast("date").as("cohort"))
     val active = events.select(col("user_id"),
-        date_trunc("week", col("ts")).cast("date").as("week"))
-      .distinct()
+        date_trunc(grain, col("ts")).cast("date").as("g"))
+      .groupBy(col("user_id"), col("g"))
+      .agg(count(lit(1)).as("n_ev"))
     active.join(first, Seq("user_id"))
-      .groupBy(col("cohort_week"),
-        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)")
-          .as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
+      .groupBy(col("cohort"),
+        expr(s"CAST(datediff(g, cohort) DIV $span AS BIGINT)").as("offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_ev")).as("n_events"))
+      .withColumn("events_per_user_permille",
+        expr("CAST(n_events * 1000 DIV n_users AS BIGINT)"))
   }
 
   def retentionCohorts(s: SparkSession, d: String): DataFrame =
-    retentionCohortsOf(Tables.events(s, d))
+    retentionCohortsOf(Tables.events(s, d), grain = "week")
+      .select(col("cohort").as("cohort_week"),
+        col("offset").as("week_offset"), col("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** The day-grain face with the density columns exposed. */
+  def retentionCohortsDaily(s: SparkSession, d: String): DataFrame =
+    retentionCohortsOf(Tables.events(s, d), grain = "day")
+      .select(col("cohort").as("cohort_day"),
+        col("offset").as("day_offset"), col("n_users"),
+        col("n_events"), col("events_per_user_permille"))
+      .orderBy(col("cohort_day"), col("day_offset"))
 
   private val retentionCohortsOracle =
     """WITH f AS (SELECT user_id,
@@ -419,6 +556,20 @@ object Events {
       |SELECT cohort_week,
       |  CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
       |  count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val retentionCohortsDailyOracle =
+    """WITH f AS (SELECT user_id,
+      |    CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS g,
+      |    count(*) AS n_ev FROM events GROUP BY 1, 2)
+      |SELECT cohort AS cohort_day,
+      |  CAST((g - cohort) AS BIGINT) AS day_offset,
+      |  count(*) AS n_users,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+      |  CAST(sum(n_ev) * 1000 // count(*) AS BIGINT) AS events_per_user_permille
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -562,9 +713,11 @@ object Events {
     "events_rank_funcs"      -> (rankFuncs _),
     "events_next_funnel"     -> (nextEventFunnel _),
     "retention_cohorts"      -> (retentionCohorts _),
+    "retention_cohorts_daily" -> (retentionCohortsDaily _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
+    "scd2_merge_deletes"     -> (scd2MergeDeletes _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
@@ -581,9 +734,11 @@ object Events {
     "events_rank_funcs"      -> rankFuncsOracle,
     "events_next_funnel"     -> nextEventFunnelOracle,
     "retention_cohorts"      -> retentionCohortsOracle,
+    "retention_cohorts_daily" -> retentionCohortsDailyOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
+    "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,

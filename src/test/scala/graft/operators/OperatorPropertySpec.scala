@@ -53,8 +53,9 @@ class OperatorPropertySpec extends AnyFunSuite {
     // (every user is active in their own first week, by construction)
     import org.apache.spark.sql.functions._
     val zero = Events.retentionCohortsOf(ev)
-      .filter(col("week_offset") === 0L)
-      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+      .filter(col("offset") === 0L)
+      .select(col("cohort"), col("n_users"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
     val sizes = ev.groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
       .select(date_trunc("week", col("first_ts")).cast("date").as("w"))
@@ -226,6 +227,35 @@ class OperatorPropertySpec extends AnyFunSuite {
     val bref = toMap(GraphOps.communityRefineOf(bdf, maxRounds = 2, maxSweeps = 2))
     assert(q4m2(bund, bref) > q4m2(bund, blpa),
       "block fixture: expected an accepted (strictly improving) sweep")
+  }
+
+  test("scd2 merge with tombstones equals one-shot recompute on every ordered split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // random interleaving of inserts and deletes across 4 keys,
+    // including repeated deletes and post-delete re-asserts
+    val upd = (1 to 80).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong, del)
+    }
+    def frame(rows: Seq[(Long, String, java.sql.Timestamp, Long, Boolean)]) =
+      rows.toDF("k", "attr", "ts", "tb", "is_delete")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString))).toSet
+    val oneShot = shape(Events.scd2HistoryDeletesOf(frame(upd)))
+    // gaps really exist (a tombstone closed something) and re-inserts
+    // reopened — otherwise this spec tests nothing
+    assert(upd.count(_._5) > 5 && oneShot.size > 8)
+    for (cut <- Seq(1, 20, 40, 60, 79)) {
+      val (a, b) = upd.splitAt(cut)
+      val merged = shape(Events.scd2MergeDeletesOf(
+        Events.scd2HistoryDeletesOf(frame(a)), frame(b)))
+      assert(merged == oneShot, s"cut=$cut: merged != one-shot")
+    }
   }
 
   test("scd2 merge raises loudly on an out-of-order batch row") {

@@ -1963,9 +1963,15 @@ class OperatorSpec extends AnyFunSuite {
     // row. Add a week-2 event for user 1 to light up offset 1.
     val more = events.union(Seq(
       ev(1L, "2024-01-08 10:00:00", "click")).toDF("user_id", "ts", "event_type"))
-    val coh = Events.retentionCohortsOf(more).collect()
+    val coh = Events.retentionCohortsOf(more)
+      .select("cohort", "offset", "n_users").collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
     assert(coh == Set(("2024-01-01", 0L, 4L), ("2024-01-01", 1L, 1L)), s"$coh")
+    // density: user 1's week-2 row is 1 user / 1 event -> 1000 permille
+    val dens = Events.retentionCohortsOf(more)
+      .select("offset", "n_events", "events_per_user_permille").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dens.contains((1L, 1L, 1000L)), s"$dens")
   }
 
   test("blob headers: WebP VP8X/VP8/VP8L dims; missing start code or chunk -> NULL") {
