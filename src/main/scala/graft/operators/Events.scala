@@ -628,6 +628,95 @@ object Events {
     funnelStepsOf(Tables.events(s, d), Seq("signup", "click", "purchase"))
       .orderBy(col("step_idx"))
 
+  /** Per-user transition latencies of the ordered funnel — the
+    * companion frame to [[funnelStepsOf]]'s reach counts: for every
+    * step i >= 2 and every user who reached it, the wait from the
+    * user's previous-step time to their qualifying step-i time
+    * (step_idx, step, user_id, wait_us). Same step loop and
+    * localCheckpoint discipline; the wait rides the reach frame for
+    * free (min(prev_t) is constant per user group). */
+  def funnelWaitsOf(events: DataFrame, steps: Seq[String],
+                    maxWait: Option[String] = None): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel latency wants 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
+      s"maxWait must look like '24 HOURS', got '$w'"))
+    var reached = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    var waits: DataFrame = null
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val within = maxWait
+        .map(w => expr(s"ts <= prev_t + INTERVAL $w"))
+        .getOrElse(lit(true))
+      val next = events.filter(col("event_type") === step)
+        .select(col("user_id"), col("ts"))
+        .join(reached.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+        .filter(col("ts") > col("prev_t") && within)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t"), min(col("prev_t")).as("prev_t"))
+        .localCheckpoint()
+      val w = next.select(lit(i + 2).as("step_idx"), lit(step).as("step"),
+        col("user_id"),
+        (unix_micros(col("t")) - unix_micros(col("prev_t"))).as("wait_us"))
+      waits = if (waits == null) w else waits.unionByName(w)
+      reached = next.select(col("user_id"), col("t"))
+    }
+    waits
+  }
+
+  /** Funnel time-to-convert percentiles via the t-digest sketch (the
+    * sketch-family pattern: one-pass mergeable, O(compression) state
+    * per transition). No SQL oracle — sketch estimates are
+    * implementation-specific; [[funnelLatencyAgreement]] is the
+    * oracle-gated rank-bracket bound on exactly these estimates. */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    funnelWaitsOf(Tables.events(s, d), Seq("signup", "click", "purchase"))
+      .groupBy(col("step_idx"), col("step"))
+      .agg(expr("tdigest_quantiles(CAST(wait_us AS DOUBLE))").as("qs"))
+      .select(col("step_idx"), col("step"), col("qs")(0).as("p50_est"),
+        col("qs")(1).as("p90_est"), col("qs")(2).as("p99_est"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** The exact-rank bracket over [[funnelLatency]]'s estimates (the
+    * tdigest_agreement mold): for each transition and q, the fraction
+    * of waits strictly below / at-or-below the estimate must bracket
+    * q within 30 permille — TRUE everywhere, which is what the
+    * constant-grid oracle asserts. */
+  def funnelLatencyAgreement(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    val waits = funnelWaitsOf(Tables.events(s, d),
+        Seq("signup", "click", "purchase"))
+      .select(col("step_idx"), col("step"),
+        col("wait_us").cast("double").as("v"))
+      .localCheckpoint()
+    val ests = waits.groupBy(col("step_idx"), col("step"))
+      .agg(expr("tdigest_quantiles(v)").as("qs"))
+      .select(col("step_idx"), col("step"),
+        posexplode(col("qs")).as(Seq("i", "est")))
+      .withColumn("q_permille",
+        element_at(typedlit(Seq(500, 900, 990)), col("i") + 1))
+    ests.join(waits, Seq("step_idx", "step"))
+      .groupBy(col("step_idx"), col("step"), col("q_permille"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("le"))
+      .select(col("step_idx"), col("step"), col("q_permille"),
+        (col("lt") * 1000 - col("q_permille") * col("n") <= col("n") * 30 &&
+          col("q_permille") * col("n") - col("le") * 1000 <= col("n") * 30)
+          .as("rank_ok"))
+      .orderBy(col("step_idx"), col("q_permille"))
+  }
+
+  private val funnelLatencyAgreementOracle =
+    """SELECT s.step_idx, s.step, q.q_permille, true AS rank_ok
+      |FROM (VALUES (2, 'click'), (3, 'purchase')) s(step_idx, step)
+      |CROSS JOIN (VALUES (500), (900), (990)) q(q_permille)
+      |ORDER BY s.step_idx, q.q_permille""".stripMargin
+
   /** The deadline face: same funnel, each step within 24 hours of the
     * previous one. */
   def funnelStepsWindowed(s: SparkSession, d: String): DataFrame =
@@ -718,6 +807,10 @@ object Events {
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
     "scd2_merge_deletes"     -> (scd2MergeDeletes _),
+    // approximate by construction (t-digest) → no oracle row; bounded
+    // by the oracle-gated funnel_latency_agreement bracket
+    "funnel_latency"         -> (funnelLatency _),
+    "funnel_latency_agreement" -> (funnelLatencyAgreement _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
@@ -739,6 +832,7 @@ object Events {
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
+    "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,

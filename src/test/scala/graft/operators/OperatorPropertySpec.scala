@@ -229,6 +229,29 @@ class OperatorPropertySpec extends AnyFunSuite {
       "block fixture: expected an accepted (strictly improving) sweep")
   }
 
+  test("funnel latency estimates are positive and quantile-ordered (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Events.funnelLatency(SparkSpec.session, sf).collect()
+    assert(rows.length == 2, s"expected 2 transitions, got ${rows.length}")
+    for (r <- rows) {
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 > 0 && p50 <= p90 && p90 <= p99,
+        s"${r.getString(1)}: quantiles out of order: $p50 $p90 $p99")
+    }
+    // waits are exactly the reach-frame deltas: every wait positive,
+    // and transition counts match funnelStepsOf's reach counts
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    import org.apache.spark.sql.functions.col
+    val waits = Events.funnelWaitsOf(ev, Seq("signup", "click", "purchase"))
+    assert(waits.filter(col("wait_us") <= 0).count() == 0)
+    val byStep = waits.groupBy("step_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val reach = Events.funnelStepsOf(ev, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(byStep == Map(2 -> reach(2), 3 -> reach(3)),
+      s"wait counts $byStep != reach ${reach}")
+  }
+
   test("scd2 merge with tombstones equals one-shot recompute on every ordered split") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
