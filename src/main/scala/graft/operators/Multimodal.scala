@@ -68,6 +68,12 @@ object Multimodal {
           .when(col("magic_hex").startsWith("52494646") &&
             substring(col("magic_hex"), 17, 8) === "57454250", "image/webp")
           .when(substring(col("magic_hex"), 9, 8) === "66747970", "video/mp4")
+          // MP3: an ID3v2 tag, or a bare MPEG audio frame sync
+          // (11 set bits = first byte FF, second byte & E0 == E0 —
+          // never collides with JPEG's FFD8)
+          .when(col("magic_hex").startsWith("494433"), "audio/mpeg")
+          .when(col("magic_hex").startsWith("FF") &&
+            substring(col("magic_hex"), 3, 1).isin("E", "F"), "audio/mpeg")
           .otherwise("application/octet-stream"))
   }
 
@@ -116,6 +122,9 @@ object Multimodal {
       |    WHEN starts_with(magic_hex, '52494646')
       |      AND substring(magic_hex, 17, 8) = '57454250' THEN 'image/webp'
       |    WHEN substring(magic_hex, 9, 8) = '66747970' THEN 'video/mp4'
+      |    WHEN starts_with(magic_hex, '494433') THEN 'audio/mpeg'
+      |    WHEN starts_with(magic_hex, 'FF')
+      |      AND substring(magic_hex, 3, 1) IN ('E', 'F') THEN 'audio/mpeg'
       |    ELSE 'application/octet-stream' END AS sniffed_mime
       |FROM m ORDER BY doc_id""".stripMargin
 
@@ -257,6 +266,34 @@ object Multimodal {
     val mp4 = "container = 'video/mp4' AND mvhd_pos IS NOT NULL AND " +
       s"length(hm) >= CAST(2 * (mvhd_pos + CASE WHEN ${mb("mvhd_pos + 8")} = 1 " +
       "THEN 39 ELSE 27 END) AS INT)"
+    // Animated WebP: VP8X with the Animation flag (bit 0x02 of the
+    // flags byte — tested as a hex-digit set so the guard never casts
+    // a short prefix) followed by the global ANIM chunk — loop count
+    // is the 16-bit LE at ANIM payload +5..6. A set flag WITHOUT the
+    // ANIM fourcc in place is malformed → NULL, never a misread.
+    val webpAnim = "container = 'image/webp' AND plen >= 44 AND " +
+      "substring(h, 25, 8) = '56503858' AND " +
+      "substring(h, 42, 1) IN ('2','3','6','7','A','B','E','F') AND " +
+      "substring(h, 61, 8) = '414E494D'"
+    // MP3: hop the ID3v2 tag in ONE arithmetic step (the 28-bit
+    // syncsafe size at bytes 7-10; a syncsafe byte with its top bit
+    // set is malformed → NULL), or start at byte 1 on a bare frame
+    // sync. The frame header fields then sit at fixed offsets.
+    val id3ok = (7 to 10).map(p => s"${mb(p.toString)} < 128").mkString(" AND ")
+    val mp3PosSql =
+      s"""CASE WHEN substring(hm, 1, 6) = '494433' AND $id3ok
+         |  THEN 11 + ${mb("7")} * 2097152 + ${mb("8")} * 16384
+         |    + ${mb("9")} * 128 + ${mb("10")}
+         |  WHEN substring(hm, 1, 2) = 'FF' THEN 1 END""".stripMargin
+    val mp3 = "container = 'audio/mpeg' AND mp3_pos IS NOT NULL AND " +
+      s"length(hm) >= CAST(2 * (mp3_pos + 3) AS INT) AND " +
+      s"${mb("mp3_pos")} = 255 AND ${mb("mp3_pos + 1")} >= 224"
+    val vv = s"((${mb("mp3_pos + 1")} DIV 8) % 4)"  // 3=MPEG1 2=MPEG2 0=MPEG2.5
+    val si = s"((${mb("mp3_pos + 2")} DIV 4) % 4)"  // sample-rate index
+    val mp3Rate =
+      s"""CASE $vv WHEN 3 THEN CASE $si WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+         |  WHEN 2 THEN CASE $si WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+         |  ELSE CASE $si WHEN 0 THEN 11025 WHEN 1 THEN 12000 ELSE 8000 END END""".stripMargin
     blobSniffOf(blobs)
       .withColumnRenamed("sniffed_mime", "container")
       .withColumn("plen", length(col("payload")))
@@ -267,6 +304,8 @@ object Multimodal {
         s"CASE WHEN container = 'image/jpeg' THEN $jpegSofWalkSpark END"))
       .withColumn("mvhd_pos", expr(
         s"CASE WHEN container = 'video/mp4' THEN $mp4MvhdWalkSpark END"))
+      .withColumn("mp3_pos", expr(
+        s"CASE WHEN container = 'audio/mpeg' THEN ($mp3PosSql) END"))
       .withColumn("brand", expr(
         "CASE WHEN container = 'video/mp4' AND plen >= 12" +
           " THEN decode(unhex(substring(hm, 17, 8)), 'UTF-8') END"))
@@ -283,15 +322,23 @@ object Multimodal {
           s" WHEN $webp8 THEN ${ole16(29)} % 16384" +
           s" WHEN $webpl THEN 1 + ${ob(23)} DIV 64 + 4 * ${ob(24)}" +
           s" + 1024 * (${ob(25)} % 16) END"))
-      .withColumn("channels", expr(s"CASE WHEN $wav THEN ${ole16(23)} END"))
-      .withColumn("sample_rate_hz", expr(s"CASE WHEN $wav THEN ${ole32(25)} END"))
+      .withColumn("channels", expr(
+        s"CASE WHEN $wav THEN ${ole16(23)}" +
+          s" WHEN $mp3 AND $vv <> 1 AND $si <> 3" +
+          s" THEN CAST(IF(${mb("mp3_pos + 3")} DIV 64 = 3, 1, 2) AS BIGINT) END"))
+      .withColumn("sample_rate_hz", expr(
+        s"CASE WHEN $wav THEN ${ole32(25)}" +
+          s" WHEN $mp3 AND $vv <> 1 AND $si <> 3" +
+          s" THEN CAST(($mp3Rate) AS BIGINT) END"))
       .withColumn("bits_per_sample", expr(s"CASE WHEN $wav THEN ${ole16(35)} END"))
+      .withColumn("anim_loops", expr(
+        s"CASE WHEN $webpAnim THEN ${ole16(43)} END"))
       .withColumn("duration_ms", expr(
         s"CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'" +
           s" AND ${ole32(29)} > 0 THEN (${ole32(41)} * 1000) DIV ${ole32(29)}" +
           s" WHEN $mp4 AND ${mvhdTs(mb, mbe32)} > 0" +
           s" THEN ${mvhdDur(mb, mbe32, mbe64)} * 1000 DIV ${mvhdTs(mb, mbe32)} END"))
-      .drop("plen", "h", "hj", "hm", "sof_pos", "mvhd_pos", "magic_hex")
+      .drop("plen", "h", "hj", "hm", "sof_pos", "mvhd_pos", "mp3_pos", "magic_hex")
   }
 
   /** mvhd timescale, version-selected (v1's 64-bit creation and
@@ -351,7 +398,7 @@ object Multimodal {
          |  WHEN 0 THEN unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
          |    || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
          |    || '08' || '06') || CAST(text AS BINARY)
-         |  WHEN 1 THEN CASE CAST((doc_id div 5) % 3 AS INT)
+         |  WHEN 1 THEN CASE CAST((doc_id div 5) % 4 AS INT)
          |    WHEN 0 THEN unhex('474946383961'
          |      || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
          |      || CAST(text AS BINARY)
@@ -359,16 +406,22 @@ object Multimodal {
          |      || '56503858' || ${le32("10")} || '00' || '000000'
          |      || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")})
          |      || CAST(text AS BINARY)
-         |    ELSE unhex('52494646' || ${le32("48")} || '57454250'
+         |    WHEN 2 THEN unhex('52494646' || ${le32("48")} || '57454250'
          |      || '56503820' || ${le32("32")} || '000000' || '9D012A'
          |      || ${le16("(doc_id % 512) + 16")} || ${le16("(doc_id % 384) + 16")})
+         |      || CAST(text AS BINARY)
+         |    ELSE unhex('52494646' || ${le32("66")} || '57454250'
+         |      || '56503858' || ${le32("10")} || '02' || '000000'
+         |      || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")}
+         |      || '414E494D' || ${le32("6")} || '00000000'
+         |      || ${le16("doc_id % 30")})
          |      || CAST(text AS BINARY) END
          |  WHEN 2 THEN unhex('52494646' || ${le32(s"36 + $dsz")}
          |    || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
          |    || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
          |    || ${le16(s"($ch) * 2")} || ${le16("16")}
          |    || '64617461' || ${le32(dsz)}) || CAST(text AS BINARY)
-         |  WHEN 3 THEN CASE CAST((doc_id div 5) % 3 AS INT)
+         |  WHEN 3 THEN CASE CAST((doc_id div 5) % 4 AS INT)
          |    WHEN 0 THEN unhex($mp4Head || '00000074' || '6D6F6F76'
          |      || '0000006C' || '6D766864' || '00' || '000000'
          |      || '00000000' || '00000000' || $mvTs || $mvDur
@@ -377,6 +430,12 @@ object Multimodal {
          |      || '00000078' || '6D766864' || '01' || '000000'
          |      || repeat('00', 16) || $mvTs || '00000000' || $mvDur
          |      || repeat('00', 80)) || CAST(text AS BINARY)
+         |    WHEN 2 THEN unhex('494433' || '0400' || '00' || '000000'
+         |      || lpad(hex((doc_id % 100) + 10), 2, '0')
+         |      || repeat('00', CAST((doc_id % 100) + 10 AS INT))
+         |      || 'FFFB' || lpad(hex(144 + (doc_id % 3) * 4), 2, '0')
+         |      || lpad(hex(((doc_id div 20) % 4) * 64), 2, '0'))
+         |      || CAST(text AS BINARY)
          |    ELSE CAST(text AS BINARY) END
          |  WHEN 4 THEN unhex(CASE CAST((doc_id div 5) % 3 AS INT)
          |    WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
@@ -387,7 +446,7 @@ object Multimodal {
     blobHeadersOf(Tables.documents(s, d).withColumn("payload", payload))
       .select(col("doc_id"), col("container"), col("brand"), col("width"),
         col("height"), col("channels"), col("sample_rate_hz"),
-        col("bits_per_sample"), col("duration_ms"))
+        col("bits_per_sample"), col("anim_loops"), col("duration_ms"))
       .orderBy(col("doc_id"))
   }
 
@@ -432,6 +491,25 @@ object Multimodal {
     val mp4 = "container = 'video/mp4' AND mvhd_pos IS NOT NULL AND " +
       s"length(hm) >= CAST(2 * (mvhd_pos + CASE WHEN ${mb("mvhd_pos + 8")} = 1 " +
       "THEN 39 ELSE 27 END) AS INT)"
+    val webpAnim = "container = 'image/webp' AND plen >= 44 AND " +
+      "substring(h, 25, 8) = '56503858' AND " +
+      "substring(h, 42, 1) IN ('2','3','6','7','A','B','E','F') AND " +
+      "substring(h, 61, 8) = '414E494D'"
+    val id3ok = (7 to 10).map(p => s"${mb(p.toString)} < 128").mkString(" AND ")
+    val mp3Pos =
+      s"""CASE WHEN substring(hm, 1, 6) = '494433' AND $id3ok
+         |  THEN 11 + ${mb("7")} * 2097152 + ${mb("8")} * 16384
+         |    + ${mb("9")} * 128 + ${mb("10")}
+         |  WHEN substring(hm, 1, 2) = 'FF' THEN 1 END""".stripMargin
+    val mp3 = "container = 'audio/mpeg' AND mp3_pos IS NOT NULL AND " +
+      s"length(hm) >= CAST(2 * (mp3_pos + 3) AS INT) AND " +
+      s"${mb("mp3_pos")} = 255 AND ${mb("mp3_pos + 1")} >= 224"
+    val vv = s"((${mb("mp3_pos + 1")} // 8) % 4)"
+    val si = s"((${mb("mp3_pos + 2")} // 4) % 4)"
+    val mp3Rate =
+      s"""CASE $vv WHEN 3 THEN CASE $si WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+         |  WHEN 2 THEN CASE $si WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+         |  ELSE CASE $si WHEN 0 THEN 11025 WHEN 1 THEN 12000 ELSE 8000 END END""".stripMargin
     val mvTsSql =
       s"(CASE WHEN ${mb("mvhd_pos + 8")} = 1 THEN ${mbe32("mvhd_pos + 28")}" +
         s" ELSE ${mbe32("mvhd_pos + 20")} END)"
@@ -497,7 +575,7 @@ object Multimodal {
        |    WHEN 0 THEN from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
        |      || ${be32("(doc_id % 640) + 16")} || ${be32("(doc_id % 480) + 16")}
        |      || '08' || '06') || encode(text)
-       |    WHEN 1 THEN CASE CAST((doc_id // 5) % 3 AS INT)
+       |    WHEN 1 THEN CASE CAST((doc_id // 5) % 4 AS INT)
        |      WHEN 0 THEN from_hex('474946383961'
        |        || ${le16("(doc_id % 320) + 1")} || ${le16("(doc_id % 240) + 1")})
        |        || encode(text)
@@ -505,16 +583,22 @@ object Multimodal {
        |        || '56503858' || ${le32("10")} || '00' || '000000'
        |        || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")})
        |        || encode(text)
-       |      ELSE from_hex('52494646' || ${le32("48")} || '57454250'
+       |      WHEN 2 THEN from_hex('52494646' || ${le32("48")} || '57454250'
        |        || '56503820' || ${le32("32")} || '000000' || '9D012A'
        |        || ${le16("(doc_id % 512) + 16")} || ${le16("(doc_id % 384) + 16")})
+       |        || encode(text)
+       |      ELSE from_hex('52494646' || ${le32("66")} || '57454250'
+       |        || '56503858' || ${le32("10")} || '02' || '000000'
+       |        || ${le24("(doc_id % 1024) + 15")} || ${le24("(doc_id % 768) + 15")}
+       |        || '414E494D' || ${le32("6")} || '00000000'
+       |        || ${le16("doc_id % 30")})
        |        || encode(text) END
        |    WHEN 2 THEN from_hex('52494646' || ${le32(s"36 + $dsz")}
        |      || '57415645' || '666D7420' || ${le32("16")} || ${le16("1")}
        |      || ${le16(ch)} || ${le32(rate)} || ${le32(s"($rate) * ($ch) * 2")}
        |      || ${le16(s"($ch) * 2")} || ${le16("16")}
        |      || '64617461' || ${le32(dsz)}) || encode(text)
-       |    WHEN 3 THEN CASE CAST((doc_id // 5) % 3 AS INT)
+       |    WHEN 3 THEN CASE CAST((doc_id // 5) % 4 AS INT)
        |      WHEN 0 THEN from_hex($mp4Head || '00000074' || '6D6F6F76'
        |        || '0000006C' || '6D766864' || '00' || '000000'
        |        || '00000000' || '00000000' || $mvTs || $mvDur
@@ -523,6 +607,12 @@ object Multimodal {
        |        || '00000078' || '6D766864' || '01' || '000000'
        |        || repeat('00', 16) || $mvTs || '00000000' || $mvDur
        |        || repeat('00', 80)) || encode(text)
+       |      WHEN 2 THEN from_hex('494433' || '0400' || '00' || '000000'
+       |        || lpad(hex((doc_id % 100) + 10), 2, '0')
+       |        || repeat('00', CAST((doc_id % 100) + 10 AS INT))
+       |        || 'FFFB' || lpad(hex(144 + (doc_id % 3) * 4), 2, '0')
+       |        || lpad(hex(((doc_id // 20) % 4) * 64), 2, '0'))
+       |        || encode(text)
        |      ELSE encode(text) END
        |    WHEN 4 THEN from_hex(CASE CAST((doc_id // 5) % 3 AS INT)
        |      WHEN 0 THEN $jpegHead || 'FFC0' || '0011' || '08' $jpegSof
@@ -546,12 +636,17 @@ object Multimodal {
        |    WHEN starts_with(h, '52494646')
        |      AND substring(h, 17, 8) = '57454250' THEN 'image/webp'
        |    WHEN substring(h, 9, 8) = '66747970' THEN 'video/mp4'
+       |    WHEN starts_with(h, '494433') THEN 'audio/mpeg'
+       |    WHEN starts_with(h, 'FF')
+       |      AND substring(h, 3, 1) IN ('E', 'F') THEN 'audio/mpeg'
        |    ELSE 'application/octet-stream' END AS container
        |  FROM m),
        |j AS (SELECT *, CASE WHEN container = 'image/jpeg'
        |    THEN $sofWalk END AS sof_pos,
        |  CASE WHEN container = 'video/mp4'
-       |    THEN $mvhdWalk END AS mvhd_pos FROM k)
+       |    THEN $mvhdWalk END AS mvhd_pos,
+       |  CASE WHEN container = 'audio/mpeg'
+       |    THEN ($mp3Pos) END AS mp3_pos FROM k)
        |SELECT doc_id, container,
        |  CASE WHEN container = 'video/mp4' AND plen >= 12
        |    THEN decode(from_hex(substring(hm, 17, 8))) END AS brand,
@@ -566,9 +661,15 @@ object Multimodal {
        |    WHEN $webp8 THEN ${ole16(29)} % 16384
        |    WHEN $webpl THEN 1 + ${ob(23)} // 64 + 4 * ${ob(24)}
        |      + 1024 * (${ob(25)} % 16) END AS height,
-       |  CASE WHEN $wav THEN ${ole16(23)} END AS channels,
-       |  CASE WHEN $wav THEN ${ole32(25)} END AS sample_rate_hz,
+       |  CASE WHEN $wav THEN ${ole16(23)}
+       |    WHEN $mp3 AND $vv <> 1 AND $si <> 3
+       |    THEN CAST(CASE WHEN ${mb("mp3_pos + 3")} // 64 = 3
+       |      THEN 1 ELSE 2 END AS BIGINT) END AS channels,
+       |  CASE WHEN $wav THEN ${ole32(25)}
+       |    WHEN $mp3 AND $vv <> 1 AND $si <> 3
+       |    THEN CAST(($mp3Rate) AS BIGINT) END AS sample_rate_hz,
        |  CASE WHEN $wav THEN ${ole16(35)} END AS bits_per_sample,
+       |  CASE WHEN $webpAnim THEN ${ole16(43)} END AS anim_loops,
        |  CASE WHEN $wav AND plen >= 44 AND substring(h, 73, 8) = '64617461'
        |    AND ${ole32(29)} > 0
        |    THEN ${ole32(41)} * 1000 // ${ole32(29)}

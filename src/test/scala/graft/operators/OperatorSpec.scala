@@ -2012,6 +2012,68 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(6L) == (("image/webp", None, None)), s"truncated: ${got(6L)}")
   }
 
+  test("blob headers: animated-WebP loop count and MP3 frame fields; malformed -> NULL") {
+    import spark.implicits._
+    def blob(hexStr: String, tail: String = "padpadpadpad") =
+      (hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        ++ tail.getBytes("UTF-8"))
+    val riff = "52494646" + "42000000" + "57454250"
+    val vp8xAnim = "56503858" + "0A000000" + "02" + "000000" + "C70000" + "630000"
+    val blobs = Seq(
+      // VP8X with Animation flag + ANIM chunk: loops = 0x0007 LE
+      (1L, blob(riff + vp8xAnim + "414E494D" + "06000000" + "00000000" + "0700")),
+      // Animation flag set but NO ANIM chunk follows: loops NULL,
+      // canvas dims still parse (the VP8X arm is independent)
+      (2L, blob(riff + vp8xAnim + "414C5048" + "06000000" + "00000000" + "0700")),
+      // VP8X without the flag but with a stray ANIM fourcc: NULL
+      (3L, blob(riff + "56503858" + "0A000000" + "00" + "000000" + "C70000"
+        + "630000" + "414E494D" + "06000000" + "00000000" + "0700")),
+      // ID3v2.4 (syncsafe size 5) then MPEG1 Layer III 44100 stereo
+      (4L, blob("494433" + "0400" + "00" + "00000005" + "0000000000"
+        + "FFFB" + "90" + "00")),
+      // mono (mode 3) at 32000 (sr idx 2)
+      (5L, blob("494433" + "0400" + "00" + "00000005" + "0000000000"
+        + "FFFB" + "98" + "C0")),
+      // bare frame sync, no ID3 tag: parses from byte 1 (MPEG2, 24000)
+      (6L, blob("FFF3" + "94" + "00")),
+      // malformed syncsafe (top bit set in a size byte): NULL fields
+      (7L, blob("494433" + "0400" + "00" + "00000085" + "0000000000"
+        + "FFFB" + "90" + "00")),
+      // ID3 hop lands on a non-sync byte: NULL fields
+      (8L, blob("494433" + "0400" + "00" + "00000005" + "0000000000"
+        + "00FB" + "90" + "00")),
+      // reserved sample-rate index (3): NULL fields
+      (9L, blob("494433" + "0400" + "00" + "00000005" + "0000000000"
+        + "FFFB" + "9C" + "00"))
+    ).toDF("doc_id", "payload")
+    val got = Multimodal.blobHeadersOf(blobs).collect().map { r =>
+      r.getLong(0) -> ((r.getAs[String]("container"),
+        Option(r.getAs[java.lang.Long]("anim_loops")),
+        Option(r.getAs[java.lang.Long]("channels")),
+        Option(r.getAs[java.lang.Long]("sample_rate_hz"))))
+    }.toMap
+    def L(v: Long) = Some(java.lang.Long.valueOf(v))
+    assert(got(1L) == (("image/webp", L(7), None, None)), s"ANIM: ${got(1L)}")
+    assert(got(2L) == (("image/webp", None, None, None)),
+      s"flag without ANIM chunk must NULL: ${got(2L)}")
+    assert(got(3L) == (("image/webp", None, None, None)),
+      s"ANIM chunk without the flag must NULL: ${got(3L)}")
+    assert(got(4L) == (("audio/mpeg", None, L(2), L(44100))), s"mp3: ${got(4L)}")
+    assert(got(5L) == (("audio/mpeg", None, L(1), L(32000))), s"mono: ${got(5L)}")
+    assert(got(6L) == (("audio/mpeg", None, L(2), L(24000))), s"bare: ${got(6L)}")
+    assert(got(7L) == (("audio/mpeg", None, None, None)),
+      s"bad syncsafe must NULL: ${got(7L)}")
+    assert(got(8L) == (("audio/mpeg", None, None, None)),
+      s"hop onto non-sync must NULL: ${got(8L)}")
+    assert(got(9L) == (("audio/mpeg", None, None, None)),
+      s"reserved sr index must NULL: ${got(9L)}")
+    // the animated canvas still reports its dims
+    val dims = Multimodal.blobHeadersOf(blobs)
+      .filter(col("doc_id") === 1L)
+      .select("width", "height").head
+    assert((dims.getLong(0), dims.getLong(1)) == ((200L, 100L)))
+  }
+
   test("iban: mod-97 chain validates textbook accounts, rejects check-digit flips") {
     import spark.implicits._
     val docs = Seq(
