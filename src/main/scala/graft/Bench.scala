@@ -38,22 +38,30 @@ object Bench {
       graft.operators.NgramLm.clearMemo(spark)
       Tables.memo.clear(spark)
       // Build the session-memoized frames the dedup family shares
-      // (shingles, pair counts, minhash pairs, cluster labels) under a
-      // dedicated named entry, so their one-time cost is attributed
+      // (shingles, pair counts, minhash pairs, cluster labels) under
+      // dedicated named entries, so their one-time cost is attributed
       // HERE and every `dedup_*`/`source_overlap`/`training_prep`
       // number measures only that query's own plan. The warmup time is
       // part of the reported total — the work is real, it just gets a
       // stable name instead of landing on whichever query ran first.
-      val w0 = System.nanoTime()
-      val warm: Either[String, Double] =
-        try { graft.operators.Dedup.warmMemos(spark, sfDir)
-              graft.operators.TextAnalysis.warmMemos(spark, sfDir)
-              graft.operators.NgramLm.warmMemos(spark, sfDir)
-              graft.operators.PublicSuffix.warmMemos(spark, sfDir)
-              Right((System.nanoTime() - w0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-      runQueries(spark, sfDir, queries) + ("_memo_warmup" -> warm)
+      // DECOMPOSED per memo family (the old single `_memo_warmup` line
+      // had grown to ~9% of the bench with no way to attribute a
+      // regression inside it); the four entries run sequentially, so
+      // their sum is the old line. A family that fails surfaces as its
+      // own error entry without hiding the other families' numbers.
+      val warmups: Seq[(String, () => Unit)] = Seq(
+        "_memo_warmup_dedup" -> (() => graft.operators.Dedup.warmMemos(spark, sfDir)),
+        "_memo_warmup_text" -> (() => graft.operators.TextAnalysis.warmMemos(spark, sfDir)),
+        "_memo_warmup_lm" -> (() => graft.operators.NgramLm.warmMemos(spark, sfDir)),
+        "_memo_warmup_psl" -> (() => graft.operators.PublicSuffix.warmMemos(spark, sfDir)))
+      val warmEntries = warmups.map { case (nm, f) =>
+        val w0 = System.nanoTime()
+        nm -> (try { f(); Right((System.nanoTime() - w0) / 1e9) }
+               catch { case e: Throwable =>
+                 Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+               }): (String, Either[String, Double])
+      }.toMap
+      runQueries(spark, sfDir, queries) ++ warmEntries
     }
     runs.head.keys.map { name =>
       val rs = runs.map(_(name))

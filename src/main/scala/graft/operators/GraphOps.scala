@@ -1466,12 +1466,20 @@ object GraphOps {
     * node-partitioned argmax, 1-row fixpoint probe, localCheckpoint.
     * The unweighted face passes w = 1 (sum == count, bit-identical to
     * the count formulation). */
-  private def lpaLoop(adj: DataFrame, maxRounds: Int): DataFrame = {
+  private def lpaLoop(adj: DataFrame, maxRounds: Int): DataFrame =
+    lpaLoopCounted(adj,
+      adj.select(col("node")).distinct()
+        .select(col("node"), col("node").as("lbl")),
+      maxRounds)._1
+
+  /** The counted core: runs from an explicit initial label frame and
+    * also reports how many vote rounds ran (including the final
+    * no-change probe round) — the measurable payoff of a warm start. */
+  private def lpaLoopCounted(adj: DataFrame, init: DataFrame,
+                             maxRounds: Int): (DataFrame, Int) = {
     require(maxRounds >= 1 && maxRounds <= 50,
       s"unreasonable maxRounds: $maxRounds")
-    var labels = adj.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+    var labels = init.localCheckpoint()
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -1494,7 +1502,50 @@ object GraphOps {
       labels = next
       round += 1
     }
-    labels.select(col("node"), col("lbl").as("community"))
+    (labels.select(col("node"), col("lbl").as("community")), round)
+  }
+
+  /** Warm-started LPA: seed the loop from a PREVIOUS run's labels
+    * (node, community) instead of the identity labeling — the
+    * incremental face for a growing graph (streaming crawl artifact):
+    * nodes absent from the seed (new since the last run) start as
+    * their own label via the coalesce. Returns the labels AND the
+    * consumed round count; on a modestly-grown graph a near-fixpoint
+    * seed converges in far fewer rounds than the cold start, and the
+    * caller asserts (spec-gated) that the warm fixpoint matches the
+    * cold one — synchronous LPA offers no general guarantee there, so
+    * the equality is checked, never assumed. */
+  def labelPropagationWarmOf(edges: DataFrame, seed: DataFrame,
+                             maxRounds: Int = 10): (DataFrame, Int) = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint()
+    val init = adj.select(col("node")).distinct()
+      .join(seed.select(col("node"), col("community").as("s")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), col("node")).as("lbl"))
+    lpaLoopCounted(adj, init, maxRounds)
+  }
+
+  /** The cold face with the round count exposed (for measuring the
+    * warm start's payoff). */
+  def labelPropagationCountedOf(edges: DataFrame,
+                                maxRounds: Int = 10): (DataFrame, Int) = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint()
+    lpaLoopCounted(adj,
+      adj.select(col("node")).distinct()
+        .select(col("node"), col("node").as("lbl")),
+      maxRounds)
   }
 
   /** Community label per node over the simple undirected graph:

@@ -544,6 +544,23 @@ class StreamingSpec extends AnyFunSuite {
     val batchCo = graft.operators.GraphOps.cocitationSimilarityOf(
       batchEdges, minShared = 1).collect().map(_.toSeq).toSet
     assert(incCo == batchCo, s"incremental cocitation $incCo vs $batchCo")
+    // warm-started LPA: seed from the PRE-GROWTH artifact's fixpoint
+    // (batch-1 pages only), rerun on the grown artifact — must land on
+    // the cold fixpoint (checked, not assumed: synchronous LPA has no
+    // general warm-start guarantee) in strictly fewer rounds
+    val g1Edges = graft.operators.UrlOps.linkGraphOf(Seq(
+      ("https://a.com/p1", page("https://b.com/x", "https://c.com/y")),
+      ("https://b.com/p1", page("https://c.com/z"))).toDF("url", "text"))
+    val seed = graft.operators.GraphOps.labelPropagationOf(g1Edges, maxRounds = 10)
+    val (warm, warmRounds) = graft.operators.GraphOps.labelPropagationWarmOf(
+      EventStreams.readCrawlEdges(spark, root), seed, maxRounds = 10)
+    val (cold, coldRounds) = graft.operators.GraphOps.labelPropagationCountedOf(
+      EventStreams.readCrawlEdges(spark, root), maxRounds = 10)
+    val warmSet = warm.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val coldSet = cold.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(warmSet == coldSet, s"warm-start fixpoint $warmSet != cold $coldSet")
+    assert(warmRounds < coldRounds,
+      s"warm start must converge faster: warm=$warmRounds cold=$coldRounds")
     // an empty artifact root reads as an empty edge frame, not an error
     val emptyRoot = java.nio.file.Files.createTempDirectory("graft_cgraph_none").toString
     assert(EventStreams.readCrawlEdges(spark, emptyRoot).count() == 0)
