@@ -417,6 +417,53 @@ object Events {
       |  FROM f)
       |WHERE NOT del ORDER BY k, valid_from""".stripMargin
 
+  /** Point-in-time (as-of) snapshot of an SCD2 table: the attribute
+    * each key held AT `at` — valid_from <= at < valid_to, with open
+    * intervals valid forever and keys deleted at `at` simply ABSENT
+    * (the tombstone face of [[scd2HistoryDeletesOf]] encodes a delete
+    * as a gap, so absence falls out of the interval test). One narrow
+    * filter over the history — no shuffle, fully pushdown-friendly,
+    * the read side of the warehouse time-travel idiom. */
+  def scd2SnapshotOf(history: DataFrame,
+                     at: org.apache.spark.sql.Column): DataFrame =
+    history
+      .filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || at < col("valid_to")))
+      .select(col("k"), col("attr"), col("valid_from"))
+
+  /** Fixture: the delete-aware one-shot history snapshotted at the
+    * stream's midpoint — keys whose interval is open at the cut show
+    * their then-current attr, keys tombstoned before it are absent. */
+  def scd2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val upd = orderUpdatesDeletes(s, d)
+    val cut = upd.agg(max(col("tb"))).head.getLong(0) / 2
+    scd2SnapshotOf(scd2HistoryDeletesOf(upd),
+        expr(s"TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, $cut)"))
+      .orderBy(col("k"))
+  }
+
+  private val scd2SnapshotOracle =
+    """WITH u AS (SELECT o_custkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr)),
+      |h AS (SELECT k, attr, valid_from, valid_to FROM (
+      |    SELECT k, attr, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del),
+      |cut AS (SELECT TIMESTAMP '1992-01-01 00:00:00'
+      |    + to_seconds(max(o_orderkey) // 2) AS at FROM orders)
+      |SELECT k, attr, valid_from FROM h, cut
+      |WHERE valid_from <= at AND (valid_to IS NULL OR at < valid_to)
+      |ORDER BY k""".stripMargin
+
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
   def mapFuncs(s: SparkSession, d: String): DataFrame =
@@ -538,6 +585,41 @@ object Events {
       .select(col("cohort").as("cohort_week"),
         col("offset").as("week_offset"), col("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** The retention-rate matrix — each cohort row normalized by its own
+    * offset-0 size (the number every growth dashboard actually plots):
+    * retained_permille = 1000·n_users(offset) DIV n_users(0). One
+    * cohort-keyed self-join of the (cohort, offset) frame against its
+    * offset-0 slice; cohort_size rides along for auditability. */
+  def retentionRate(s: SparkSession, d: String): DataFrame = {
+    val base = retentionCohortsOf(Tables.events(s, d), grain = "week")
+      .localCheckpoint()
+    val sizes = base.filter(col("offset") === 0L)
+      .select(col("cohort"), col("n_users").as("cohort_size"))
+    base.join(sizes, Seq("cohort"))
+      .select(col("cohort").as("cohort_week"),
+        col("offset").as("week_offset"), col("n_users"), col("cohort_size"),
+        expr("CAST(n_users * 1000 DIV cohort_size AS BIGINT)")
+          .as("retained_permille"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  private val retentionRateOracle =
+    """WITH f AS (SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |r AS (SELECT cohort_week,
+      |    CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+      |    count(*) AS n_users
+      |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+      |z AS (SELECT cohort_week, n_users AS cohort_size FROM r
+      |  WHERE week_offset = 0)
+      |SELECT r.cohort_week, r.week_offset, r.n_users, z.cohort_size,
+      |  CAST(r.n_users * 1000 // z.cohort_size AS BIGINT) AS retained_permille
+      |FROM r JOIN z USING (cohort_week)
+      |ORDER BY r.cohort_week, r.week_offset""".stripMargin
 
   /** The day-grain face with the density columns exposed. */
   def retentionCohortsDaily(s: SparkSession, d: String): DataFrame =
@@ -803,6 +885,8 @@ object Events {
     "events_next_funnel"     -> (nextEventFunnel _),
     "retention_cohorts"      -> (retentionCohorts _),
     "retention_cohorts_daily" -> (retentionCohortsDaily _),
+    "retention_rate"         -> (retentionRate _),
+    "scd2_snapshot"          -> (scd2Snapshot _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
@@ -828,6 +912,8 @@ object Events {
     "events_next_funnel"     -> nextEventFunnelOracle,
     "retention_cohorts"      -> retentionCohortsOracle,
     "retention_cohorts_daily" -> retentionCohortsDailyOracle,
+    "retention_rate"         -> retentionRateOracle,
+    "scd2_snapshot"          -> scd2SnapshotOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,

@@ -2066,7 +2066,12 @@ object GraphOps {
     * recomputes the same rejection — so the full unroll equals the
     * Scala loop's early exit. */
   private def communityRefineOracle(lpaRounds: Int, sweeps: Int,
-                                    edgesSql: String): String = {
+                                    edgesSql: String): String =
+    s"""WITH ${communityRefineCtes(lpaRounds, sweeps, edgesSql)}
+       |SELECT node, lbl AS community FROM L$sweeps ORDER BY node""".stripMargin
+
+  private def communityRefineCtes(lpaRounds: Int, sweeps: Int,
+                                  edgesSql: String): String = {
     val sweepCtes = (0 until sweeps).map { s =>
       s"""vol$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM L$s l
          |  JOIN deg d ON l.node = d.node GROUP BY l.lbl),
@@ -2101,14 +2106,56 @@ object GraphOps {
          |    THEN p.lbl ELSE n.lbl END AS lbl
          |  FROM prop$s p JOIN L$s n ON p.node = n.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${lpaCtes(lpaRounds, edgesSql)},
+    s"""${lpaCtes(lpaRounds, edgesSql)},
        |deg AS (SELECT node, CAST(count(*) AS HUGEINT) AS k FROM adj
        |  GROUP BY node),
        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM simple),
        |L0 AS (SELECT node, lbl FROM lbl$lpaRounds),
-       |$sweepCtes
-       |SELECT node, lbl AS community FROM L$sweeps ORDER BY node""".stripMargin
+       |$sweepCtes""".stripMargin
   }
+
+  /** The Louvain AGGREGATION phase over the refined partition: the
+    * community graph, one weighted supernode edge per community pair —
+    * (cu, cv, weight) with cu <= cv, weight = the number of original
+    * edges between the two communities, and cu == cv rows carrying the
+    * internal-edge counts. This is what makes multi-level community
+    * detection scale: the contracted graph is communities-sized, so
+    * the next level's LPA/refinement ([[labelPropagationWeightedOf]]
+    * takes exactly this weighted shape) runs on a frame orders of
+    * magnitude smaller than the original edge list. One labels join
+    * per endpoint + one (cu, cv)-keyed agg — the communityProfile
+    * scale shape. */
+  def communityContractOf(edges: DataFrame, maxRounds: Int = 10,
+                          maxSweeps: Int = 3): DataFrame = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val labels = communityRefineOf(edges, maxRounds, maxSweeps)
+      .localCheckpoint()
+    und
+      .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
+      .select(least(col("lu"), col("lv")).as("cu"),
+        greatest(col("lu"), col("lv")).as("cv"))
+      .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("weight"))
+  }
+
+  /** Fixture: the contraction of the block graph's refined partition —
+    * the same LPA/sweep parameters as [[communityRefine]], so the two
+    * oracles share the unrolled CTE chain. */
+  def communityContract(s: SparkSession, d: String): DataFrame =
+    communityContractOf(blockFixtureEdges(s, d), maxRounds = 2, maxSweeps = 2)
+      .orderBy(col("cu"), col("cv"))
+
+  private def communityContractOracle(lpaRounds: Int, sweeps: Int,
+                                      edgesSql: String): String =
+    s"""WITH ${communityRefineCtes(lpaRounds, sweeps, edgesSql)}
+       |SELECT least(a.lbl, b.lbl) AS cu, greatest(a.lbl, b.lbl) AS cv,
+       |  count(*) AS weight
+       |FROM simple e JOIN L$sweeps a ON e.u = a.node
+       |JOIN L$sweeps b ON e.v = b.node
+       |GROUP BY 1, 2 ORDER BY cu, cv""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
@@ -2127,6 +2174,7 @@ object GraphOps {
     "cocitation_similarity" -> (cocitationSimilarity _),
     "label_propagation_weighted" -> (labelPropagationWeighted _),
     "community_refine" -> (communityRefine _),
+    "community_contract" -> (communityContract _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -2149,6 +2197,8 @@ object GraphOps {
     "cocitation_similarity" -> cocitationOracle,
     "label_propagation_weighted" -> labelPropagationWeightedOracle,
     "community_refine" -> communityRefineOracle(lpaRounds = 2, sweeps = 2,
+      edgesSql = blockEdgesSql),
+    "community_contract" -> communityContractOracle(lpaRounds = 2, sweeps = 2,
       edgesSql = blockEdgesSql),
   )
 }

@@ -252,6 +252,57 @@ class OperatorPropertySpec extends AnyFunSuite {
       s"wait counts $byStep != reach ${reach}")
   }
 
+  test("community contraction tiles the edge set: weights sum to m, diagonal = internal") {
+    import spark.implicits._
+    val block = (0 until 20).flatMap { k =>
+      (if (k % 4 != 3) Seq((s"src$k", s"src${k + 1}")) else Nil) ++
+        (if (k % 4 < 2) Seq((s"src$k", s"src${k + 2}")) else Nil) ++
+        (if (k % 4 == 0) Seq((s"src$k", s"src${(k + 4) % 20}")) else Nil)
+    }
+    val bdf = block.toDF("src", "dst")
+    val und = block.map(e => if (e._1 < e._2) e else e.swap).distinct
+    val labels = GraphOps.communityRefineOf(bdf, maxRounds = 2, maxSweeps = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = GraphOps.communityContractOf(bdf, maxRounds = 2, maxSweeps = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum == und.size.toLong,
+      s"contracted weights must tile the ${und.size} edges: $got")
+    // exact per-cell check against the brute-force contraction
+    val want = und.groupBy { e =>
+        val (a, b) = (labels(e._1), labels(e._2))
+        if (a <= b) (a, b) else (b, a)
+      }.map { case (k, es) => k -> es.size.toLong }
+    assert(got == want, s"contraction $got != brute force $want")
+  }
+
+  test("scd2 snapshot equals the brute-force as-of scan at every event time") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val upd = (1 to 50).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(3).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        i.toLong, del)
+    }
+    val hist = Events.scd2HistoryDeletesOf(
+      upd.toDF("k", "attr", "ts", "tb", "is_delete")).localCheckpoint()
+    for (at <- Seq(5, 20, 35, 50)) {
+      val t = java.sql.Timestamp.valueOf(f"2024-01-01 00:${at % 60}%02d:00")
+      val got = Events.scd2SnapshotOf(hist,
+          org.apache.spark.sql.functions.lit(t)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // brute force: last non-delete state at or before t, per key —
+      // absent if the last state is a delete
+      val want = upd.filter(!_._3.after(t)).groupBy(_._1).flatMap {
+        case (k, rows) =>
+          val last = rows.maxBy(_._4)
+          if (last._5) None else Some(k -> last._2)
+      }.toMap
+      assert(got == want, s"at=$t: snapshot $got != brute $want")
+    }
+  }
+
   test("scd2 merge with tombstones equals one-shot recompute on every ordered split") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
