@@ -464,6 +464,110 @@ object Events {
       |WHERE valid_from <= at AND (valid_to IS NULL OR at < valid_to)
       |ORDER BY k""".stripMargin
 
+  /** What changed between two points in time — the audit companion of
+    * [[scd2SnapshotOf]]: full-outer join of the two as-of snapshots,
+    * keeping only keys whose attribute is DISTINCT between them
+    * (null-safe, so adds and removals count), tagged
+    * added/removed/changed. Two interval filters + one key-keyed
+    * join. */
+  def scd2DiffOf(history: DataFrame, at1: org.apache.spark.sql.Column,
+                 at2: org.apache.spark.sql.Column): DataFrame = {
+    val s1 = scd2SnapshotOf(history, at1)
+      .select(col("k"), col("attr").as("attr_before"))
+    val s2 = scd2SnapshotOf(history, at2)
+      .select(col("k"), col("attr").as("attr_after"))
+    s1.join(s2, Seq("k"), "full_outer")
+      .filter(!(col("attr_before") <=> col("attr_after")))
+      .select(col("k"), col("attr_before"), col("attr_after"),
+        when(col("attr_before").isNull, "added")
+          .when(col("attr_after").isNull, "removed")
+          .otherwise("changed").as("change_type"))
+  }
+
+  /** Fixture: the delete-aware history diffed between the stream's 1/3
+    * and 2/3 points — tombstones in between produce `removed` rows,
+    * re-inserts produce `added`. */
+  def scd2Diff(s: SparkSession, d: String): DataFrame = {
+    val upd = orderUpdatesDeletes(s, d)
+    val mx = upd.agg(max(col("tb"))).head.getLong(0)
+    def at(k: Long) =
+      expr(s"TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, $k)")
+    scd2DiffOf(scd2HistoryDeletesOf(upd), at(mx / 3), at(2 * mx / 3))
+      .orderBy(col("k"))
+  }
+
+  private val scd2DiffOracle =
+    """WITH u AS (SELECT o_custkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr)),
+      |h AS (SELECT k, attr, valid_from, valid_to FROM (
+      |    SELECT k, attr, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del),
+      |mx AS (SELECT max(o_orderkey) AS m FROM orders),
+      |s1 AS (SELECT k, attr AS attr_before FROM h, mx
+      |  WHERE valid_from <= TIMESTAMP '1992-01-01 00:00:00' + to_seconds(m // 3)
+      |    AND (valid_to IS NULL
+      |      OR TIMESTAMP '1992-01-01 00:00:00' + to_seconds(m // 3) < valid_to)),
+      |s2 AS (SELECT k, attr AS attr_after FROM h, mx
+      |  WHERE valid_from <= TIMESTAMP '1992-01-01 00:00:00' + to_seconds(2 * m // 3)
+      |    AND (valid_to IS NULL
+      |      OR TIMESTAMP '1992-01-01 00:00:00' + to_seconds(2 * m // 3) < valid_to))
+      |SELECT k, attr_before, attr_after,
+      |  CASE WHEN attr_before IS NULL THEN 'added'
+      |       WHEN attr_after IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM s1 FULL OUTER JOIN s2 USING (k)
+      |WHERE attr_before IS DISTINCT FROM attr_after
+      |ORDER BY k""".stripMargin
+
+  /** DAU/WAU stickiness — the activity-density dashboard row next to
+    * [[retentionCohortsOf]]: per day, the distinct users active THAT
+    * day (DAU), the distinct users active in the trailing 7 days
+    * (WAU), and their permille ratio. Scale shape: one (user, day)
+    * distinct, a NARROW 7-way explode (each activity day contributes
+    * to the window of days d..d+6), one day-keyed distinct agg —
+    * nothing user×day quadratic and no range window over the corpus.
+    * Trailing days past the last event keep their nonzero WAU rows
+    * (dau = 0) — a real dashboard reads them as decay. */
+  def dauWauOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("day"),
+        (col("off") === 0).as("is_today"))
+      .groupBy(col("day"))
+      .agg(count_distinct(when(col("is_today"), col("user_id"))).as("dau"),
+        count_distinct(col("user_id")).as("wau"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("CAST(dau * 1000 DIV wau AS BIGINT)").as("stickiness_permille"))
+  }
+
+  def dauWau(s: SparkSession, d: String): DataFrame =
+    dauWauOf(Tables.events(s, d)).orderBy(col("day"))
+
+  private val dauWauOracle =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day + CAST(off AS INTEGER) AS day, off = 0 AS is_today
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o)
+      |SELECT day,
+      |  count(DISTINCT CASE WHEN is_today THEN user_id END) AS dau,
+      |  count(DISTINCT user_id) AS wau,
+      |  CAST(count(DISTINCT CASE WHEN is_today THEN user_id END) * 1000
+      |    // count(DISTINCT user_id) AS BIGINT) AS stickiness_permille
+      |FROM c GROUP BY day ORDER BY day""".stripMargin
+
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
   def mapFuncs(s: SparkSession, d: String): DataFrame =
@@ -887,6 +991,8 @@ object Events {
     "retention_cohorts_daily" -> (retentionCohortsDaily _),
     "retention_rate"         -> (retentionRate _),
     "scd2_snapshot"          -> (scd2Snapshot _),
+    "scd2_diff"              -> (scd2Diff _),
+    "dau_wau_stickiness"     -> (dauWau _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
@@ -914,6 +1020,8 @@ object Events {
     "retention_cohorts_daily" -> retentionCohortsDailyOracle,
     "retention_rate"         -> retentionRateOracle,
     "scd2_snapshot"          -> scd2SnapshotOracle,
+    "scd2_diff"              -> scd2DiffOracle,
+    "dau_wau_stickiness"     -> dauWauOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,

@@ -2157,6 +2157,73 @@ object GraphOps {
        |JOIN L$sweeps b ON e.v = b.node
        |GROUP BY 1, 2 ORDER BY cu, cv""".stripMargin
 
+  /** The full two-level Louvain composition: local-move refinement
+    * ([[communityRefineOf]]) → aggregation ([[communityContractOf]]'s
+    * shape) → WEIGHTED label propagation on the communities-sized
+    * contracted graph → super-labels projected back to the original
+    * nodes. This is the multilevel pattern that makes community
+    * detection tractable at 100 TB: level 2 runs on a frame with one
+    * row per community PAIR, so its bounded rounds cost nothing at
+    * corpus scale; an isolated supernode (no external edges) never
+    * enters the weighted loop and keeps its level-1 label via the
+    * coalesce. */
+  def communityLouvain2Of(edges: DataFrame, maxRounds: Int = 10,
+                          maxSweeps: Int = 3,
+                          superRounds: Int = 5): DataFrame = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    val labels = communityRefineOf(edges, maxRounds, maxSweeps)
+      .localCheckpoint()
+    val cg = und
+      .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
+      .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
+      .select(least(col("lu"), col("lv")).as("src"),
+        greatest(col("lu"), col("lv")).as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("weight"))
+      .filter(col("src") =!= col("dst"))
+    val superL = labelPropagationWeightedOf(cg, superRounds)
+      .select(col("node").as("community"), col("community").as("community2"))
+    labels.join(superL, Seq("community"), "left")
+      .select(col("node"),
+        coalesce(col("community2"), col("community")).as("community"))
+  }
+
+  /** Fixture: level 2 over the block graph's refined partition, same
+    * parameters as [[communityRefine]]/[[communityContract]] so all
+    * three oracles share the unrolled CTE chain. */
+  def communityLouvain2(s: SparkSession, d: String): DataFrame =
+    communityLouvain2Of(blockFixtureEdges(s, d), maxRounds = 2,
+        maxSweeps = 2, superRounds = 5)
+      .orderBy(col("node"))
+
+  private def communityLouvain2Oracle(lpaRounds: Int, sweeps: Int,
+                                      superRounds: Int,
+                                      edgesSql: String): String = {
+    val rounds = (1 to superRounds).map { i =>
+      s"""svotes$i AS (SELECT a.node, l.lbl, sum(a.w) AS cnt
+         |  FROM wadj2 a JOIN slbl${i - 1} l ON a.nbr = l.node
+         |  GROUP BY a.node, l.lbl),
+         |slbl$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, lbl) AS rn FROM svotes$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${communityRefineCtes(lpaRounds, sweeps, edgesSql)},
+       |cg AS (SELECT least(a.lbl, b.lbl) AS cu, greatest(a.lbl, b.lbl) AS cv,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM simple e JOIN L$sweeps a ON e.u = a.node
+       |  JOIN L$sweeps b ON e.v = b.node GROUP BY 1, 2),
+       |wund2 AS (SELECT cu AS u, cv AS v, w FROM cg WHERE cu <> cv),
+       |wadj2 AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM wund2
+       |  UNION ALL SELECT v AS node, u AS nbr, w FROM wund2),
+       |slbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM wadj2),
+       |$rounds
+       |SELECT n.node AS node, coalesce(s.lbl, n.lbl) AS community
+       |FROM L$sweeps n LEFT JOIN slbl$superRounds s ON n.lbl = s.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -2175,6 +2242,7 @@ object GraphOps {
     "label_propagation_weighted" -> (labelPropagationWeighted _),
     "community_refine" -> (communityRefine _),
     "community_contract" -> (communityContract _),
+    "community_louvain2" -> (communityLouvain2 _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -2200,5 +2268,7 @@ object GraphOps {
       edgesSql = blockEdgesSql),
     "community_contract" -> communityContractOracle(lpaRounds = 2, sweeps = 2,
       edgesSql = blockEdgesSql),
+    "community_louvain2" -> communityLouvain2Oracle(lpaRounds = 2, sweeps = 2,
+      superRounds = 5, edgesSql = blockEdgesSql),
   )
 }

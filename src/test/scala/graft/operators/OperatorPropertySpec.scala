@@ -275,6 +275,34 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got == want, s"contraction $got != brute force $want")
   }
 
+  test("two-level louvain coarsens the refined partition into a coherent quotient") {
+    import spark.implicits._
+    val block = (0 until 20).flatMap { k =>
+      (if (k % 4 != 3) Seq((s"src$k", s"src${k + 1}")) else Nil) ++
+        (if (k % 4 < 2) Seq((s"src$k", s"src${k + 2}")) else Nil) ++
+        (if (k % 4 == 0) Seq((s"src$k", s"src${(k + 4) % 20}")) else Nil)
+    }
+    val bdf = block.toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val l1 = toMap(GraphOps.communityRefineOf(bdf, maxRounds = 2, maxSweeps = 2))
+    val l2 = toMap(GraphOps.communityLouvain2Of(bdf, maxRounds = 2,
+      maxSweeps = 2, superRounds = 5))
+    assert(l1.keySet == l2.keySet, "level 2 must label exactly the same nodes")
+    // the level-2 partition is a QUOTIENT of level 1: every level-1
+    // community lands wholly inside one level-2 community
+    for ((c1, nodes) <- l1.keys.groupBy(l1)) {
+      val supers = nodes.map(l2).toSet
+      assert(supers.size == 1,
+        s"level-1 community $c1 split across level-2 communities $supers")
+    }
+    assert(l2.values.toSet.size <= l1.values.toSet.size,
+      "level 2 must not fragment the partition")
+    // deterministic
+    assert(l2 == toMap(GraphOps.communityLouvain2Of(bdf, maxRounds = 2,
+      maxSweeps = 2, superRounds = 5)))
+  }
+
   test("scd2 snapshot equals the brute-force as-of scan at every event time") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
