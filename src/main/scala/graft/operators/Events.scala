@@ -897,6 +897,126 @@ object Events {
       .orderBy(col("step_idx"), col("q_permille"))
   }
 
+  /** Ordered funnel WITHIN A SESSION: like [[funnelStepsOf]], but every
+    * step must land in the same inactivity-bounded session as the
+    * user's previous step (the product question "did they sign up,
+    * click, AND buy in one sitting"). Sessionization is the classic
+    * gaps-and-islands rewrite (flag gap >= timeout, running sum) built
+    * IDENTICALLY in both engines, then the step loop keys on
+    * (user, session) instead of user. Emits per step the converting
+    * session count AND the distinct converting users. */
+  def funnelSessionizedOf(events: DataFrame, steps: Seq[String],
+                          gap: String = "30 MINUTES"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"funnel wants 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
+    val spark = events.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    var reached = sess.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), count_distinct(col("user_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val first = stat(reached)
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)](
+      (1, steps.head, first._1, first._2))
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      reached = sess.filter(col("event_type") === step)
+        .join(reached.select(col("user_id"), col("sid"), col("t").as("prev_t")),
+          Seq("user_id", "sid"))
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      val st = stat(reached)
+      counts += ((i + 2, step, st._1, st._2))
+    }
+    import spark.implicits._
+    counts.toSeq.toDF("step_idx", "step", "n_sessions", "n_users")
+  }
+
+  def funnelSessionized(s: SparkSession, d: String): DataFrame =
+    funnelSessionizedOf(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), gap = "30 MINUTES")
+      .orderBy(col("step_idx"))
+
+  private val funnelSessionizedOracle =
+    """WITH flagged AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |s1 AS (SELECT user_id, sid, min(ts) AS t FROM sess
+      |  WHERE event_type = 'signup' GROUP BY 1, 2),
+      |s2 AS (SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+      |s3 AS (SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.sid = s2.sid AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step,
+      |    (SELECT count(*) FROM s1) AS n_sessions,
+      |    (SELECT count(DISTINCT user_id) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click',
+      |    (SELECT count(*) FROM s2), (SELECT count(DISTINCT user_id) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase',
+      |    (SELECT count(*) FROM s3), (SELECT count(DISTINCT user_id) FROM s3))
+      |ORDER BY step_idx""".stripMargin
+
+  /** The full event-type Markov transition matrix — the generalization
+    * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
+    * the transition count and its permille share of the source type's
+    * outgoing transitions. One user-keyed lead window + a types²-sized
+    * agg + a types-partitioned window (cardinality bounded by the
+    * event-type vocabulary, never the corpus). */
+  def eventTransitionsOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("next_type"),
+        col("n").as("n_transitions"),
+        expr("CAST(n * 1000 DIV row_total AS BIGINT)").as("p_permille"))
+  }
+
+  def eventTransitions(s: SparkSession, d: String): DataFrame =
+    eventTransitionsOf(Tables.events(s, d))
+      .orderBy(col("event_type"), col("next_type"))
+
+  private val eventTransitionsOracle =
+    """WITH p AS (SELECT event_type, next_type, count(*) AS n FROM (
+      |    SELECT event_type, lead(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |    FROM events)
+      |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n AS n_transitions,
+      |  CAST(n * 1000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS p_permille
+      |FROM p ORDER BY event_type, next_type""".stripMargin
+
   private val funnelLatencyAgreementOracle =
     """SELECT s.step_idx, s.step, q.q_permille, true AS rank_ok
       |FROM (VALUES (2, 'click'), (3, 'purchase')) s(step_idx, step)
@@ -1001,6 +1121,8 @@ object Events {
     // by the oracle-gated funnel_latency_agreement bracket
     "funnel_latency"         -> (funnelLatency _),
     "funnel_latency_agreement" -> (funnelLatencyAgreement _),
+    "funnel_sessionized"     -> (funnelSessionized _),
+    "event_transition_matrix" -> (eventTransitions _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
@@ -1027,6 +1149,8 @@ object Events {
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
     "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
+    "funnel_sessionized"     -> funnelSessionizedOracle,
+    "event_transition_matrix" -> eventTransitionsOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,

@@ -250,6 +250,18 @@ class OperatorPropertySpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(byStep == Map(2 -> reach(2), 3 -> reach(3)),
       s"wait counts $byStep != reach ${reach}")
+    // the sessionized funnel is a strictly tighter constraint: per
+    // step, converting USERS cannot exceed the unsessionized reach,
+    // and session counts dominate user counts
+    val sess = Events.funnelSessionizedOf(ev, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for ((idx, (nSess, nUsers)) <- sess) {
+      assert(nUsers <= reach(idx),
+        s"step $idx: sessionized users $nUsers > unsessionized ${reach(idx)}")
+      assert(nSess >= nUsers, s"step $idx: sessions $nSess < users $nUsers")
+    }
+    assert(sess(1)._2 >= sess(2)._2 && sess(2)._2 >= sess(3)._2,
+      s"sessionized user reach must be non-increasing: $sess")
   }
 
   test("community contraction tiles the edge set: weights sum to m, diagonal = internal") {
