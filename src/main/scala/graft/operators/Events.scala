@@ -529,6 +529,69 @@ object Events {
       |WHERE attr_before IS DISTINCT FROM attr_after
       |ORDER BY k""".stripMargin
 
+  /** Churn time series from an SCD2 history — the lineage-health
+    * dashboard over [[scd2HistoryDeletesOf]]'s output: per time bucket
+    * and kind, how many keys were ADDED (first interval, or a
+    * re-insert after a tombstone gap), CHANGED (contiguous interval
+    * handoff), or REMOVED (a gap or trailing close — i.e. a
+    * tombstone). One key-partitioned window over the history (already
+    * change-point-sized), one (bucket, kind) agg. */
+  def scd2ChurnOf(history: DataFrame, grain: String = "minute"): DataFrame = {
+    require(Set("minute", "hour", "day", "month").contains(grain),
+      s"unsupported grain: $grain")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val rows = history
+      .withColumn("pf", lag(col("valid_from"), 1).over(w))
+      .withColumn("pvt", lag(col("valid_to"), 1).over(w))
+      .withColumn("nf", lead(col("valid_from"), 1).over(w))
+      .localCheckpoint()
+    val opens = rows.select(
+      date_trunc(grain, col("valid_from")).as("bucket"),
+      when(col("pf").isNull || col("pvt") < col("valid_from"), "added")
+        .otherwise("changed").as("kind"))
+    val dels = rows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(date_trunc(grain, col("valid_to")).as("bucket"),
+        lit("removed").as("kind"))
+    opens.unionByName(dels)
+      .groupBy(col("bucket"), col("kind")).agg(count(lit(1)).as("n"))
+  }
+
+  def scd2Churn(s: SparkSession, d: String): DataFrame =
+    scd2ChurnOf(scd2HistoryDeletesOf(orderUpdatesDeletes(s, d)))
+      .orderBy(col("bucket"), col("kind"))
+
+  private val scd2ChurnOracle =
+    """WITH u AS (SELECT o_custkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr)),
+      |h AS (SELECT k, attr, valid_from, valid_to FROM (
+      |    SELECT k, attr, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del),
+      |r AS (SELECT k, valid_from, valid_to,
+      |    lag(valid_from) OVER w AS pf, lag(valid_to) OVER w AS pvt,
+      |    lead(valid_from) OVER w AS nf FROM h
+      |  WINDOW w AS (PARTITION BY k ORDER BY valid_from)),
+      |e AS (SELECT date_trunc('minute', valid_from) AS bucket,
+      |    CASE WHEN pf IS NULL OR pvt < valid_from
+      |      THEN 'added' ELSE 'changed' END AS kind FROM r
+      |  UNION ALL
+      |  SELECT date_trunc('minute', valid_to), 'removed' FROM r
+      |  WHERE valid_to IS NOT NULL AND (nf IS NULL OR valid_to < nf))
+      |SELECT bucket, kind, count(*) AS n FROM e
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** DAU/WAU stickiness — the activity-density dashboard row next to
     * [[retentionCohortsOf]]: per day, the distinct users active THAT
     * day (DAU), the distinct users active in the trailing 7 days
@@ -1113,6 +1176,7 @@ object Events {
     "scd2_snapshot"          -> (scd2Snapshot _),
     "scd2_diff"              -> (scd2Diff _),
     "dau_wau_stickiness"     -> (dauWau _),
+    "scd2_churn"             -> (scd2Churn _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
@@ -1144,6 +1208,7 @@ object Events {
     "scd2_snapshot"          -> scd2SnapshotOracle,
     "scd2_diff"              -> scd2DiffOracle,
     "dau_wau_stickiness"     -> dauWauOracle,
+    "scd2_churn"             -> scd2ChurnOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
