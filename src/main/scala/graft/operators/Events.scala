@@ -529,6 +529,94 @@ object Events {
       |WHERE attr_before IS DISTINCT FROM attr_after
       |ORDER BY k""".stripMargin
 
+  /** Enrich an event stream with the SCD2 attribute valid AT each
+    * event's timestamp — the temporal (point-in-interval) join every
+    * warehouse eventually needs. NOT an inequality join: intervals
+    * and events UNION into one stream, and a key-partitioned
+    * carry-forward window propagates the last marker to each event —
+    * ONE shuffle on the key, linear in events + change points, where
+    * the naive `valid_from <= ts < valid_to` join is quadratic per
+    * key. Tombstone gaps emit an explicit null-attr marker (the merge
+    * replay's lead trick), so events inside a gap get NULL, not the
+    * stale pre-delete value; the marker is wrapped in a STRUCT so the
+    * ignoreNulls carry-forward can transport a null attr. Markers
+    * sort before events at the same instant (valid_from <= ts
+    * semantics). Requires per-key unique change-point times (the
+    * scd2 guard's world). */
+  def temporalAttrJoinOf(events: DataFrame, history: DataFrame): DataFrame = {
+    val markT = "struct<attr:string>"
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val hrows = history.withColumn("nf", lead(col("valid_from"), 1).over(wh))
+    val opens = hrows.select(col("k"), col("valid_from").as("ts"),
+      struct(col("attr")).as("mark"), lit(0).as("is_evt"),
+      lit(null).cast("long").as("event_id"))
+    val closes = hrows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(col("k"), col("valid_to").as("ts"),
+        struct(lit(null).cast("string").as("attr")).as("mark"),
+        lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+    val evs = events.select(col("k"), col("ts"),
+      lit(null).cast(markT).as("mark"), lit(1).as("is_evt"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("is_evt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    opens.unionByName(closes).unionByName(evs)
+      .withColumn("cur", last(col("mark"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(col("event_id"), col("k"), col("ts"), col("cur.attr").as("attr"))
+  }
+
+  /** Fixture: the tombstoned order stream re-anchored into the events
+    * table's 2024 window (the multiplier is a driver scalar derived
+    * from max orderkey, so the histories INTERLEAVE the events at
+    * every SF), keyed on custkey mod 15 to land on the events'
+    * user_id domain. The oracle is the naive interval join — the
+    * different algorithm computing the same answer is the point. */
+  def temporalAttrJoin(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val mlt = 2500000L / mx
+    val upd = orders.select(
+      (col("o_custkey") % 15).as("k"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("attr"),
+      expr(s"TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey * $mlt)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+    temporalAttrJoinOf(
+        Tables.events(s, d).select(col("user_id").as("k"), col("ts"),
+          col("event_id")),
+        scd2HistoryDeletesOf(upd))
+      .orderBy(col("event_id"))
+  }
+
+  private val temporalAttrJoinOracle =
+    """WITH mlt AS (SELECT 2500000 // max(o_orderkey) AS m FROM orders),
+      |u AS (SELECT o_custkey % 15 AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '2024-01-01 00:00:00'
+      |      + to_seconds(o_orderkey * (SELECT m FROM mlt)) AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr)),
+      |h AS (SELECT k, attr, valid_from, valid_to FROM (
+      |    SELECT k, attr, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del)
+      |SELECT e.event_id, e.user_id AS k, e.ts, h.attr
+      |FROM events e LEFT JOIN h ON e.user_id = h.k
+      |  AND h.valid_from <= e.ts
+      |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      |ORDER BY e.event_id""".stripMargin
+
   /** Churn time series from an SCD2 history — the lineage-health
     * dashboard over [[scd2HistoryDeletesOf]]'s output: per time bucket
     * and kind, how many keys were ADDED (first interval, or a
@@ -591,6 +679,41 @@ object Events {
       |  WHERE valid_to IS NOT NULL AND (nf IS NULL OR valid_to < nf))
       |SELECT bucket, kind, count(*) AS n FROM e
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top event-type paths — the n-gram mining face of
+    * [[eventTransitionsOf]]: the most common length-3 event-type
+    * sequences across users (consecutive by time per user), the
+    * "what do users actually do" report. One user-keyed window with
+    * two leads, a types³-bounded agg, and a TakeOrdered top-k with a
+    * full deterministic tie-break. */
+  def eventPathsOf(events: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"unreasonable topK: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
+  def eventPaths(s: SparkSession, d: String): DataFrame =
+    eventPathsOf(Tables.events(s, d))
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+
+  private val eventPathsOracle =
+    """SELECT event_type AS s1, s2, s3, count(*) AS n_paths
+      |FROM (SELECT event_type,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20""".stripMargin
 
   /** DAU/WAU stickiness — the activity-density dashboard row next to
     * [[retentionCohortsOf]]: per day, the distinct users active THAT
@@ -1177,6 +1300,8 @@ object Events {
     "scd2_diff"              -> (scd2Diff _),
     "dau_wau_stickiness"     -> (dauWau _),
     "scd2_churn"             -> (scd2Churn _),
+    "temporal_attr_join"     -> (temporalAttrJoin _),
+    "event_path_trigrams"    -> (eventPaths _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
@@ -1209,6 +1334,8 @@ object Events {
     "scd2_diff"              -> scd2DiffOracle,
     "dau_wau_stickiness"     -> dauWauOracle,
     "scd2_churn"             -> scd2ChurnOracle,
+    "temporal_attr_join"     -> temporalAttrJoinOracle,
+    "event_path_trigrams"    -> eventPathsOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,

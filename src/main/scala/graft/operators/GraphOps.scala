@@ -1946,39 +1946,78 @@ object GraphOps {
     * smallest target label; acceptance is an exact integer compare. */
   def communityRefineOf(edges: DataFrame, maxRounds: Int = 10,
                         maxSweeps: Int = 3): DataFrame = {
-    require(maxSweeps >= 1 && maxSweeps <= 10,
-      s"unreasonable maxSweeps: $maxSweeps")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
+      .withColumn("w", lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .localCheckpoint()
-    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
-      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val seed = labelPropagationOf(
+        und.select(col("u").as("src"), col("v").as("dst")), maxRounds)
+      .select(col("node"), col("community").as("lbl"))
+    refineLoop(und, seed, maxSweeps)
+  }
+
+  /** The WEIGHTED face: gains and Q run on edge weights (strengths
+    * replace degrees, 4W² replaces 4m²) — with w = 1 the sums equal
+    * the counts exactly, so [[communityRefineOf]] IS this loop. The
+    * seed partition comes from [[labelPropagationWeightedOf]], and
+    * the input shape (src, dst, weight) is exactly what
+    * [[communityContractOf]] emits — which is what makes the
+    * refinement recursable across Louvain levels. Duplicate /
+    * bidirectional weights sum into one undirected edge, integer
+    * weights keep every probe exact. */
+  def communityRefineWeightedOf(edges: DataFrame, maxRounds: Int = 10,
+                                maxSweeps: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = edges.select(col("src").cast("string").as("src"),
+        col("dst").cast("string").as("dst"),
+        col("weight").cast("long").as("w"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("w", expr(
+        "CASE WHEN w > 0 THEN w ELSE raise_error('non-positive edge weight') END"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).cast(dec).as("w"))
+      .localCheckpoint()
+    val seed = labelPropagationWeightedOf(
+        und.select(col("u").as("src"), col("v").as("dst"),
+          col("w").as("weight")), maxRounds)
+      .select(col("node"), col("community").as("lbl"))
+    refineLoop(und, seed, maxSweeps)
+  }
+
+  /** The shared accepted-sweep loop over a weighted undirected edge
+    * frame (u, v, w DECIMAL) and a seed partition. */
+  private def refineLoop(und: DataFrame, seed: DataFrame,
+                         maxSweeps: Int): DataFrame = {
+    require(maxSweeps >= 1 && maxSweeps <= 10,
+      s"unreasonable maxSweeps: $maxSweeps")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
       .localCheckpoint()
     val deg = adj.groupBy(col("node"))
-      .agg(count(lit(1)).cast(dec).as("k"))
+      .agg(sum(col("w")).cast(dec).as("k"))
       .localCheckpoint()
-    val m = und.count()
-    require(m > 0, "community refinement over an empty graph")
-    val m4 = 4 * BigInt(m)
+    val mDec = und.agg(sum(col("w")).cast(dec)).head.getDecimal(0)
+    require(mDec != null && mDec.signum > 0,
+      "community refinement over an empty graph")
+    val m4 = 4 * BigInt(mDec.toBigInteger)
 
-    // Q×4m² of a partition — two 1-row probes (internal count, Σvol²)
+    // Q×4W² of a partition — two 1-row probes (internal weight, Σvol²)
     def q4m2(lbls: DataFrame): BigInt = {
       val internal = und
         .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
         .join(lbls.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
-        .filter(col("lu") === col("lv")).count()
+        .filter(col("lu") === col("lv"))
+        .agg(coalesce(sum(col("w")), lit(0)).cast(dec)).head.getDecimal(0)
       val volsq = lbls.join(deg, Seq("node"))
         .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
         .agg(sum(col("vol") * col("vol")).cast(dec)).head.getDecimal(0)
-      m4 * BigInt(internal) - BigInt(volsq.toBigInteger)
+      m4 * BigInt(internal.toBigInteger) - BigInt(volsq.toBigInteger)
     }
 
-    var labels = labelPropagationOf(
-        und.select(col("u").as("src"), col("v").as("dst")), maxRounds)
-      .select(col("node"), col("community").as("lbl"))
-      .localCheckpoint()
+    var labels = seed.localCheckpoint()
     var qo = q4m2(labels)
     var sweep = 0
     var done = false
@@ -1988,7 +2027,7 @@ object GraphOps {
       val eic = adj
         .join(labels.select(col("node").as("nbr"), col("lbl").as("c")), Seq("nbr"))
         .groupBy(col("node"), col("c"))
-        .agg(count(lit(1)).cast(dec).as("e"))
+        .agg(sum(col("w")).cast(dec).as("e"))
       val own = labels
         .join(eic.select(col("node").as("onode"), col("c").as("oc"), col("e")),
           col("node") === col("onode") && col("lbl") === col("oc"), "left")
@@ -2058,6 +2097,20 @@ object GraphOps {
     * dynamics, not a no-op. */
   def communityRefine(s: SparkSession, d: String): DataFrame =
     communityRefineOf(blockFixtureEdges(s, d), maxRounds = 2, maxSweeps = 2)
+      .orderBy(col("node"))
+
+  /** Fixture: the weighted face on the block graph with the shared
+    * deterministic multiplicity weights (the weighted-LPA fixture's
+    * formula), seeded from a 1-round (deliberately fragmented)
+    * weighted LPA: sweeps 1 and 2 are both ACCEPTED (Q×4W² 820 →
+    * 1820 → 3900) and sweep 3 is the rejected fixpoint — all three
+    * faces of the accept test land in the oracle. */
+  def communityRefineWeighted(s: SparkSession, d: String): DataFrame =
+    communityRefineWeightedOf(
+        blockFixtureEdges(s, d).withColumn("weight", expr(
+          "1 + (CAST(substr(src, 4, 10) AS INT) * 7 + " +
+            "CAST(substr(dst, 4, 10) AS INT) * 3) % 5")),
+        maxRounds = 1, maxSweeps = 3)
       .orderBy(col("node"))
 
   /** The sweeps unrolled: per sweep the gain/argmax/proposal CTEs plus
@@ -2147,6 +2200,80 @@ object GraphOps {
   def communityContract(s: SparkSession, d: String): DataFrame =
     communityContractOf(blockFixtureEdges(s, d), maxRounds = 2, maxSweeps = 2)
       .orderBy(col("cu"), col("cv"))
+
+  /** The weighted parallel of [[communityRefineCtes]]: weighted LPA
+    * seed rounds (votes sum weights), strengths for degrees, Q×4W²
+    * probes summing edge weights. `weightSql` is the per-(src,dst)
+    * integer weight expression. */
+  private def communityRefineWeightedCtes(lpaRounds: Int, sweeps: Int,
+                                          edgesSql: String,
+                                          weightSql: String): String = {
+    val lpa = (1 to lpaRounds).map { i =>
+      s"""votes$i AS (SELECT a.node, l.lbl, sum(a.w) AS cnt
+         |  FROM adj a JOIN lbl${i - 1} l ON a.nbr = l.node
+         |  GROUP BY a.node, l.lbl),
+         |lbl$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |    ORDER BY cnt DESC, lbl) AS rn FROM votes$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sweepCtes = (0 until sweeps).map { s =>
+      s"""vol$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM L$s l
+         |  JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+         |eic$s AS (SELECT a.node, l.lbl AS c, CAST(sum(a.w) AS HUGEINT) AS e
+         |  FROM adj a JOIN L$s l ON a.nbr = l.node GROUP BY a.node, l.lbl),
+         |own$s AS (SELECT n.node, coalesce(e.e, 0::HUGEINT) AS ea FROM L$s n
+         |  LEFT JOIN eic$s e ON n.node = e.node AND n.lbl = e.c),
+         |gain$s AS (SELECT e.node, e.c,
+         |    4 * (SELECT m FROM mm) * (e.e - o.ea)
+         |      - 2 * d.k * (vc.vol - va.vol + d.k) AS g
+         |  FROM eic$s e JOIN L$s n ON e.node = n.node AND e.c <> n.lbl
+         |  JOIN deg d ON e.node = d.node
+         |  JOIN vol$s va ON va.c = n.lbl JOIN vol$s vc ON vc.c = e.c
+         |  JOIN own$s o ON o.node = e.node),
+         |best$s AS (SELECT node, c FROM (SELECT node, c, g,
+         |    row_number() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+         |    FROM gain$s) WHERE rn = 1 AND g > 0),
+         |prop$s AS MATERIALIZED (SELECT n.node, coalesce(b.c, n.lbl) AS lbl
+         |  FROM L$s n LEFT JOIN best$s b ON n.node = b.node),
+         |volp$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM prop$s l
+         |  JOIN deg d ON l.node = d.node GROUP BY l.lbl),
+         |qo$s AS (SELECT 4 * (SELECT m FROM mm)
+         |      * (SELECT CAST(coalesce(sum(e.w), 0) AS HUGEINT)
+         |      FROM wund e JOIN L$s a ON e.u = a.node
+         |      JOIN L$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT sum(vol * vol) FROM vol$s) AS q),
+         |qn$s AS (SELECT 4 * (SELECT m FROM mm)
+         |      * (SELECT CAST(coalesce(sum(e.w), 0) AS HUGEINT)
+         |      FROM wund e JOIN prop$s a ON e.u = a.node
+         |      JOIN prop$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT sum(vol * vol) FROM volp$s) AS q),
+         |L${s + 1} AS MATERIALIZED (SELECT p.node,
+         |    CASE WHEN (SELECT q FROM qn$s) > (SELECT q FROM qo$s)
+         |    THEN p.lbl ELSE n.lbl END AS lbl
+         |  FROM prop$s p JOIN L$s n ON p.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesSql,
+       |wed AS (SELECT src, dst, $weightSql AS w FROM edges
+       |  WHERE src <> dst),
+       |wund AS MATERIALIZED (SELECT least(src, dst) AS u,
+       |    greatest(src, dst) AS v, CAST(sum(w) AS HUGEINT) AS w
+       |  FROM wed GROUP BY 1, 2),
+       |adj AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM wund
+       |  UNION ALL SELECT v AS node, u AS nbr, w FROM wund),
+       |lbl0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$lpa,
+       |deg AS (SELECT node, CAST(sum(w) AS HUGEINT) AS k FROM adj
+       |  GROUP BY node),
+       |mm AS (SELECT CAST(sum(w) AS HUGEINT) AS m FROM wund),
+       |L0 AS (SELECT node, lbl FROM lbl$lpaRounds),
+       |$sweepCtes""".stripMargin
+  }
+
+  private def communityRefineWeightedOracle(lpaRounds: Int, sweeps: Int,
+                                            edgesSql: String,
+                                            weightSql: String): String =
+    s"""WITH ${communityRefineWeightedCtes(lpaRounds, sweeps, edgesSql, weightSql)}
+       |SELECT node, lbl AS community FROM L$sweeps ORDER BY node""".stripMargin
 
   private def communityContractOracle(lpaRounds: Int, sweeps: Int,
                                       edgesSql: String): String =
@@ -2243,6 +2370,7 @@ object GraphOps {
     "community_refine" -> (communityRefine _),
     "community_contract" -> (communityContract _),
     "community_louvain2" -> (communityLouvain2 _),
+    "community_refine_weighted" -> (communityRefineWeighted _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -2270,5 +2398,9 @@ object GraphOps {
       edgesSql = blockEdgesSql),
     "community_louvain2" -> communityLouvain2Oracle(lpaRounds = 2, sweeps = 2,
       superRounds = 5, edgesSql = blockEdgesSql),
+    "community_refine_weighted" -> communityRefineWeightedOracle(
+      lpaRounds = 1, sweeps = 3, edgesSql = blockEdgesSql,
+      weightSql = "1 + (CAST(substr(src, 4) AS INT) * 7" +
+        " + CAST(substr(dst, 4) AS INT) * 3) % 5"),
   )
 }

@@ -315,6 +315,74 @@ class OperatorPropertySpec extends AnyFunSuite {
       maxSweeps = 2, superRounds = 5)))
   }
 
+  test("weighted community refinement never decreases weighted modularity") {
+    import spark.implicits._
+    def q4w2(und: Map[(String, String), Long],
+             labels: Map[String, String]): BigInt = {
+      val w = und.values.sum
+      val internal = und.collect {
+        case ((a, b), wt) if labels(a) == labels(b) => wt }.sum
+      val str = und.toSeq.flatMap { case ((a, b), wt) => Seq(a -> wt, b -> wt) }
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+      val vols = labels.keys.toSeq.groupBy(labels)
+        .map { case (_, ns) => ns.map(str(_)).sum }
+      4 * BigInt(w) * internal - vols.map(v => BigInt(v) * v).sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for (seed <- Seq(5, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until 20).map(i => s"n$i")
+      val edges = (1 to 60).map { _ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)),
+          1L + rnd.nextInt(5))
+      }.filter(e => e._1 != e._2)
+      // fold into the undirected weighted multiset the operator builds
+      val und = edges.groupBy(e => if (e._1 < e._2) (e._1, e._2) else (e._2, e._1))
+        .map { case (k, es) => k -> es.map(_._3).sum }
+      val df = edges.toDF("src", "dst", "weight")
+      val lpa = toMap(GraphOps.labelPropagationWeightedOf(df, maxRounds = 1))
+      val ref = toMap(GraphOps.communityRefineWeightedOf(df, maxRounds = 1,
+        maxSweeps = 3))
+      assert(q4w2(und, ref) >= q4w2(und, lpa),
+        s"seed=$seed: weighted refinement decreased Q")
+      assert(ref == toMap(GraphOps.communityRefineWeightedOf(df,
+        maxRounds = 1, maxSweeps = 3)), s"seed=$seed: nondeterministic")
+    }
+  }
+
+  test("temporal attr join equals the brute-force interval scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val upd = (1 to 60).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        i.toLong, del)
+    }
+    val hist = Events.scd2HistoryDeletesOf(
+      upd.toDF("k", "attr", "ts", "tb", "is_delete")).localCheckpoint()
+    val intervals = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+    val events = (1 to 120).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,  // key 4 has no history half the time
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"))
+    }
+    val got = Events.temporalAttrJoinOf(
+        events.toDF("event_id", "k", "ts"), hist)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val want = events.map { case (id, k, ts) =>
+      id -> intervals.collectFirst {
+        case (hk, attr, vf, vt)
+          if hk == k && !vf.after(ts) && vt.forall(ts.before) => attr
+      }
+    }.toMap
+    assert(got == want.map { case (k, v) => k -> v.flatMap(Option(_)) },
+      s"first diffs: ${(got.toSet diff want.map { case (k, v) => k -> v.flatMap(Option(_)) }.toSet).take(5)}")
+  }
+
   test("scd2 snapshot equals the brute-force as-of scan at every event time") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
