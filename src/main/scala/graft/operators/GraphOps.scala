@@ -1926,6 +1926,12 @@ object GraphOps {
   // nodes swapping communities, two nodes piling into one community
   // share a quadratic vol² penalty), so the accept test, not the
   // per-node gains, is what guarantees Σ modularity never decreases.
+  // Sweeps additionally ALTERNATE a move direction (even sweeps move
+  // only toward smaller labels, odd sweeps toward larger — the
+  // standard distributed-Louvain symmetry break): without it the
+  // dominant proposal on symmetric structure is a pair of label
+  // SWAPS, which the accept test correctly rejects but which then
+  // starves the loop of the real moves hiding behind the swaps.
   // A rejected sweep ends the loop; bounded sweeps end it otherwise.
   //
   // Gain for moving node i (degree k) from community A to neighboring
@@ -1987,24 +1993,40 @@ object GraphOps {
   }
 
   /** The shared accepted-sweep loop over a weighted undirected edge
-    * frame (u, v, w DECIMAL) and a seed partition. */
-  private def refineLoop(und: DataFrame, seed: DataFrame,
-                         maxSweeps: Int): DataFrame = {
+    * frame (u, v, w DECIMAL) and a seed partition. `selfW` carries
+    * per-node SELF-LOOP weights (the Louvain aggregation invariant: a
+    * contracted supernode's internal weight rides as a self-loop, so
+    * strengths gain 2·sw and the total weight gains Σsw — with those
+    * in place the contracted graph's modularity IS the original
+    * graph's, and the accept test transfers across levels). The
+    * self-loop INTERNAL term is partition-independent (a supernode's
+    * internal weight is internal whatever community it joins), so the
+    * Q probes omit that constant — comparisons are unaffected. */
+  private def refineLoop(und: DataFrame, seed: DataFrame, maxSweeps: Int,
+                         selfW: Option[DataFrame] = None): DataFrame = {
     require(maxSweeps >= 1 && maxSweeps <= 10,
       s"unreasonable maxSweeps: $maxSweeps")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
       .localCheckpoint()
-    val deg = adj.groupBy(col("node"))
+    val degBase = adj.groupBy(col("node"))
       .agg(sum(col("w")).cast(dec).as("k"))
+    val deg = selfW.fold(degBase)(sw => degBase
+        .join(sw.select(col("node"), col("sw")), Seq("node"), "left")
+        .select(col("node"),
+          (col("k") + lit(2) * coalesce(col("sw"), lit(0))).cast(dec).as("k")))
       .localCheckpoint()
-    val mDec = und.agg(sum(col("w")).cast(dec)).head.getDecimal(0)
-    require(mDec != null && mDec.signum > 0,
-      "community refinement over an empty graph")
-    val m4 = 4 * BigInt(mDec.toBigInteger)
+    val undW = Option(und.agg(sum(col("w")).cast(dec)).head.getDecimal(0))
+      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    val selfWSum = selfW.flatMap(sw =>
+        Option(sw.agg(sum(col("sw")).cast(dec)).head.getDecimal(0)))
+      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    require(undW + selfWSum > 0, "community refinement over an empty graph")
+    val m4 = 4 * (undW + selfWSum)
 
-    // Q×4W² of a partition — two 1-row probes (internal weight, Σvol²)
+    // Q×4W² of a partition (up to the constant self-loop internal
+    // term) — two 1-row probes (internal weight, Σvol²)
     def q4m2(lbls: DataFrame): BigInt = {
       val internal = und
         .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
@@ -2013,15 +2035,21 @@ object GraphOps {
         .agg(coalesce(sum(col("w")), lit(0)).cast(dec)).head.getDecimal(0)
       val volsq = lbls.join(deg, Seq("node"))
         .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
-        .agg(sum(col("vol") * col("vol")).cast(dec)).head.getDecimal(0)
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0)).cast(dec))
+        .head.getDecimal(0)
       m4 * BigInt(internal.toBigInteger) - BigInt(volsq.toBigInteger)
     }
 
     var labels = seed.localCheckpoint()
     var qo = q4m2(labels)
     var sweep = 0
-    var done = false
-    while (sweep < maxSweeps && !done) {
+    var rejects = 0
+    // early exit only after BOTH directions reject at the same labels
+    // (one rejection no longer implies a fixpoint: the next sweep's
+    // move set differs by direction) — two consecutive rejections
+    // mean every later sweep alternates the same two rejected
+    // proposals, so the bounded unroll equals this exit.
+    while (sweep < maxSweeps && rejects < 2) {
       val vol = labels.join(deg, Seq("node"))
         .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("vol"))
       val eic = adj
@@ -2034,7 +2062,8 @@ object GraphOps {
         .select(col("node"), coalesce(col("e"), lit(0).cast(dec)).as("ea"))
       val gains = eic
         .join(labels, Seq("node"))
-        .filter(col("c") =!= col("lbl"))
+        .filter(if (sweep % 2 == 0) col("c") < col("lbl")
+                else col("c") > col("lbl"))
         .join(deg, Seq("node"))
         .join(vol.select(col("c").as("lbl"), col("vol").as("vola")), Seq("lbl"))
         .join(vol.select(col("c"), col("vol").as("volc")), Seq("c"))
@@ -2053,7 +2082,7 @@ object GraphOps {
         .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"))
         .localCheckpoint()
       val qn = q4m2(prop)
-      if (qn > qo) { labels = prop; qo = qn } else done = true
+      if (qn > qo) { labels = prop; qo = qn; rejects = 0 } else rejects += 1
       sweep += 1
     }
     labels.select(col("node"), col("lbl").as("community"))
@@ -2064,9 +2093,9 @@ object GraphOps {
     * refinement (LPA collapses it to one community, and local moves
     * can only relocate nodes to NEIGHBORING communities, never split),
     * while here a 2-round LPA leaves a fragmented partition whose
-    * first greedy sweep is ACCEPTED (Q×4m² 112 → 432) and whose
-    * second is the rejected fixpoint — both faces of the accept test
-    * land in the oracle. Data-derived (distinct source numbers),
+    * two direction-alternating sweeps are BOTH ACCEPTED (Q×4m²
+    * 112 → 1312 → 1656) — accepted moves land in the oracle (the
+    * weighted face covers rejection). Data-derived (distinct source numbers),
     * deterministic, SF-independent like [[fixtureEdges]]. */
   private[graft] def blockFixtureEdges(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
@@ -2102,9 +2131,11 @@ object GraphOps {
   /** Fixture: the weighted face on the block graph with the shared
     * deterministic multiplicity weights (the weighted-LPA fixture's
     * formula), seeded from a 1-round (deliberately fragmented)
-    * weighted LPA: sweeps 1 and 2 are both ACCEPTED (Q×4W² 820 →
-    * 1820 → 3900) and sweep 3 is the rejected fixpoint — all three
-    * faces of the accept test land in the oracle. */
+    * weighted LPA: sweep 1 ACCEPTS (Q×4W² 820 → 15596), sweep 2 (the
+    * opposite direction) REJECTS, sweep 3 ACCEPTS again (→ 23180) —
+    * acceptance, rejection, and the post-rejection recovery that
+    * motivates the two-consecutive-rejections exit all land in the
+    * oracle. */
   def communityRefineWeighted(s: SparkSession, d: String): DataFrame =
     communityRefineWeightedOf(
         blockFixtureEdges(s, d).withColumn("weight", expr(
@@ -2135,7 +2166,8 @@ object GraphOps {
          |gain$s AS (SELECT e.node, e.c,
          |    4 * (SELECT m FROM mm) * (e.e - o.ea)
          |      - 2 * d.k * (vc.vol - va.vol + d.k) AS g
-         |  FROM eic$s e JOIN L$s n ON e.node = n.node AND e.c <> n.lbl
+         |  FROM eic$s e JOIN L$s n ON e.node = n.node
+         |    AND e.c ${if (s % 2 == 0) "<" else ">"} n.lbl
          |  JOIN deg d ON e.node = d.node
          |  JOIN vol$s va ON va.c = n.lbl JOIN vol$s vc ON vc.c = e.c
          |  JOIN own$s o ON o.node = e.node),
@@ -2226,7 +2258,8 @@ object GraphOps {
          |gain$s AS (SELECT e.node, e.c,
          |    4 * (SELECT m FROM mm) * (e.e - o.ea)
          |      - 2 * d.k * (vc.vol - va.vol + d.k) AS g
-         |  FROM eic$s e JOIN L$s n ON e.node = n.node AND e.c <> n.lbl
+         |  FROM eic$s e JOIN L$s n ON e.node = n.node
+         |    AND e.c ${if (s % 2 == 0) "<" else ">"} n.lbl
          |  JOIN deg d ON e.node = d.node
          |  JOIN vol$s va ON va.c = n.lbl JOIN vol$s vc ON vc.c = e.c
          |  JOIN own$s o ON o.node = e.node),
@@ -2351,6 +2384,183 @@ object GraphOps {
        |ORDER BY n.node""".stripMargin
   }
 
+  /** The full RECURSIVE Louvain driver — level 1 refines the original
+    * graph, then each further level contracts the current partition
+    * into the weighted community graph (internal weights riding as
+    * SELF-LOOPS, so the contracted modularity equals the original
+    * graph's — the aggregation invariant from Blondel et al. 2008)
+    * and runs the weighted refinement on that communities-sized
+    * frame, projecting super-labels back down. Upper levels seed from
+    * IDENTITY (each supernode its own community — the textbook
+    * algorithm): a seeded partition like a weighted LPA can
+    * OSCILLATE below the incoming partition's Q, and the sweeps'
+    * accept test only guarantees non-decrease relative to the SEED —
+    * from identity, the seed Q equals the incoming partition's Q
+    * exactly (the self-loop invariant), so the accept chain
+    * guarantees the ORIGINAL graph's modularity never decreases
+    * across the whole recursion. A level that changes nothing is a
+    * fixpoint: the next level recomputes the identical map, so a
+    * fixed `levels` unroll equals early exit (the oracle argument).
+    * Level k's cost is one row per level-(k−1) community pair — the
+    * multilevel scale story. */
+  def communityLouvainOf(edges: DataFrame, maxRounds: Int = 10,
+                         maxSweeps: Int = 3, levels: Int = 2,
+                         superSweeps: Int = 3): DataFrame = {
+    require(levels >= 1 && levels <= 6, s"unreasonable levels: $levels")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    val und = d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint()
+    var labels = communityRefineOf(edges, maxRounds, maxSweeps)
+      .localCheckpoint()
+    for (_ <- 2 to levels) {
+      val cg = und
+        .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
+        .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
+        .select(least(col("lu"), col("lv")).as("cu"),
+          greatest(col("lu"), col("lv")).as("cv"))
+        .groupBy(col("cu"), col("cv")).agg(count(lit(1)).cast(dec).as("w"))
+        .localCheckpoint()
+      val wund = cg.filter(col("cu") =!= col("cv"))
+        .select(col("cu").as("u"), col("cv").as("v"), col("w"))
+      val selfW = cg.filter(col("cu") === col("cv"))
+        .select(col("cu").as("node"), col("w").as("sw"))
+      val seed = wund.select(col("u").as("node"))
+        .union(wund.select(col("v").as("node"))).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      val superL = refineLoop(wund, seed, superSweeps, Some(selfW))
+        .select(col("node").as("community"), col("community").as("c2"))
+      labels = labels.join(superL, Seq("community"), "left")
+        .select(col("node"),
+          coalesce(col("c2"), col("community")).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** A HIERARCHICAL fixture graph for the multilevel driver: the five
+    * near-clique blocks arranged into two meta-groups ({B0,B1,B2} and
+    * {B3,B4}, two parallel inter-block edges within a group, one weak
+    * bridge between groups) — level 1 resolves the blocks (its local
+    * moves can't see past them), level 2 merges blocks into their
+    * meta-groups (two ACCEPTED sweeps then the rejected fixpoint, so
+    * both levels exercise every accept-test face). Data-derived,
+    * deterministic, SF-independent like [[fixtureEdges]]. */
+  private[graft] def metaFixtureEdges(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
+    def n(e: Column) = concat(lit("src"), e.cast("string"))
+    val intra = base.filter(col("k") % 4 =!= 3)
+      .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))
+      .union(base.filter(col("k") % 4 < 2)
+        .select(n(col("k")).as("src"), n(col("k") + 2).as("dst")))
+    // two parallel edges between adjacent blocks of a meta-group
+    // (j = 0,1): B0-B1, B1-B2, B3-B4; plus B0-B2 and the single
+    // B2-B3 bridge between the meta-groups
+    val inter = base.filter(col("k") % 4 < 2 && col("k") < 8)
+      .select(n(col("k")).as("src"), n(col("k") + 4).as("dst"))
+      .union(base.filter(col("k") % 4 < 2 && col("k") >= 12 && col("k") < 16)
+        .select(n(col("k")).as("src"), n(col("k") + 4).as("dst")))
+      .union(base.filter(col("k") === 0)
+        .select(n(col("k")).as("src"), n(lit(8)).as("dst")))
+      .union(base.filter(col("k") === 11)
+        .select(n(col("k")).as("src"), n(lit(12)).as("dst")))
+    intra.union(inter)
+  }
+
+  private val metaEdgesSql: String =
+    s"""srcs AS MATERIALIZED (SELECT DISTINCT
+       |    CAST(substr(source, 4) AS INT) AS k FROM documents),
+       |edges AS MATERIALIZED (
+       |  SELECT 'src' || CAST(k AS VARCHAR) AS src,
+       |         'src' || CAST(k + 1 AS VARCHAR) AS dst FROM srcs WHERE k % 4 <> 3
+       |  UNION ALL SELECT 'src' || CAST(k AS VARCHAR),
+       |         'src' || CAST(k + 2 AS VARCHAR) FROM srcs WHERE k % 4 < 2
+       |  UNION ALL SELECT 'src' || CAST(k AS VARCHAR),
+       |         'src' || CAST(k + 4 AS VARCHAR) FROM srcs
+       |    WHERE k % 4 < 2 AND k < 8
+       |  UNION ALL SELECT 'src' || CAST(k AS VARCHAR),
+       |         'src' || CAST(k + 4 AS VARCHAR) FROM srcs
+       |    WHERE k % 4 < 2 AND k >= 12 AND k < 16
+       |  UNION ALL SELECT 'src0', 'src8' FROM srcs WHERE k = 0
+       |  UNION ALL SELECT 'src11', 'src12' FROM srcs WHERE k = 11)""".stripMargin
+
+  /** Fixture: two levels over the meta graph — level 1 is the
+    * block-resolving refinement, level 2 contracts (with self-loops)
+    * and merges blocks into meta-groups. */
+  def communityLouvain(s: SparkSession, d: String): DataFrame =
+    communityLouvainOf(metaFixtureEdges(s, d), maxRounds = 2,
+        maxSweeps = 2, levels = 2, superSweeps = 3)
+      .orderBy(col("node"))
+
+  /** Level-2 CTEs chained onto the level-1 unweighted refinement: the
+    * contracted graph with diagonal self-loops, weighted LPA seed
+    * rounds, and self-loop-aware sweeps (deg gains 2·sw, the total
+    * weight gains Σsw; the constant self-loop internal term is
+    * omitted from BOTH engines' Q probes). */
+  private def communityLouvainOracle(lpaRounds: Int, sweeps: Int,
+                                     superSweeps: Int,
+                                     edgesSql: String): String = {
+    val sweeps2 = (0 until superSweeps).map { s =>
+      s"""svol$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM SL$s l
+         |  JOIN deg2 d ON l.node = d.node GROUP BY l.lbl),
+         |seic$s AS (SELECT a.node, l.lbl AS c, CAST(sum(a.w) AS HUGEINT) AS e
+         |  FROM adj2 a JOIN SL$s l ON a.nbr = l.node GROUP BY a.node, l.lbl),
+         |sown$s AS (SELECT n.node, coalesce(e.e, 0::HUGEINT) AS ea FROM SL$s n
+         |  LEFT JOIN seic$s e ON n.node = e.node AND n.lbl = e.c),
+         |sgain$s AS (SELECT e.node, e.c,
+         |    4 * (SELECT m FROM mm2) * (e.e - o.ea)
+         |      - 2 * d.k * (vc.vol - va.vol + d.k) AS g
+         |  FROM seic$s e JOIN SL$s n ON e.node = n.node
+         |    AND e.c ${if (s % 2 == 0) "<" else ">"} n.lbl
+         |  JOIN deg2 d ON e.node = d.node
+         |  JOIN svol$s va ON va.c = n.lbl JOIN svol$s vc ON vc.c = e.c
+         |  JOIN sown$s o ON o.node = e.node),
+         |sbest$s AS (SELECT node, c FROM (SELECT node, c, g,
+         |    row_number() OVER (PARTITION BY node ORDER BY g DESC, c) AS rn
+         |    FROM sgain$s) WHERE rn = 1 AND g > 0),
+         |sprop$s AS MATERIALIZED (SELECT n.node, coalesce(b.c, n.lbl) AS lbl
+         |  FROM SL$s n LEFT JOIN sbest$s b ON n.node = b.node),
+         |svolp$s AS (SELECT l.lbl AS c, sum(d.k) AS vol FROM sprop$s l
+         |  JOIN deg2 d ON l.node = d.node GROUP BY l.lbl),
+         |sqo$s AS (SELECT 4 * (SELECT m FROM mm2)
+         |      * (SELECT CAST(coalesce(sum(e.w), 0) AS HUGEINT)
+         |      FROM wund2 e JOIN SL$s a ON e.u = a.node
+         |      JOIN SL$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT coalesce(sum(vol * vol), 0::HUGEINT) FROM svol$s) AS q),
+         |sqn$s AS (SELECT 4 * (SELECT m FROM mm2)
+         |      * (SELECT CAST(coalesce(sum(e.w), 0) AS HUGEINT)
+         |      FROM wund2 e JOIN sprop$s a ON e.u = a.node
+         |      JOIN sprop$s b ON e.v = b.node WHERE a.lbl = b.lbl)
+         |    - (SELECT coalesce(sum(vol * vol), 0::HUGEINT) FROM svolp$s) AS q),
+         |SL${s + 1} AS MATERIALIZED (SELECT p.node,
+         |    CASE WHEN (SELECT q FROM sqn$s) > (SELECT q FROM sqo$s)
+         |    THEN p.lbl ELSE n.lbl END AS lbl
+         |  FROM sprop$s p JOIN SL$s n ON p.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${communityRefineCtes(lpaRounds, sweeps, edgesSql)},
+       |cg AS (SELECT least(a.lbl, b.lbl) AS cu, greatest(a.lbl, b.lbl) AS cv,
+       |    CAST(count(*) AS HUGEINT) AS w
+       |  FROM simple e JOIN L$sweeps a ON e.u = a.node
+       |  JOIN L$sweeps b ON e.v = b.node GROUP BY 1, 2),
+       |wund2 AS MATERIALIZED (SELECT cu AS u, cv AS v, w FROM cg
+       |  WHERE cu <> cv),
+       |self2 AS (SELECT cu AS node, w AS sw FROM cg WHERE cu = cv),
+       |adj2 AS MATERIALIZED (SELECT u AS node, v AS nbr, w FROM wund2
+       |  UNION ALL SELECT v AS node, u AS nbr, w FROM wund2),
+       |deg2 AS (SELECT x.node, x.k + 2 * coalesce(s.sw, 0::HUGEINT) AS k
+       |  FROM (SELECT node, CAST(sum(w) AS HUGEINT) AS k FROM adj2
+       |    GROUP BY node) x LEFT JOIN self2 s ON x.node = s.node),
+       |mm2 AS (SELECT (SELECT CAST(coalesce(sum(w), 0) AS HUGEINT) FROM wund2)
+       |    + (SELECT CAST(coalesce(sum(sw), 0) AS HUGEINT) FROM self2) AS m),
+       |SL0 AS (SELECT DISTINCT node, node AS lbl FROM adj2),
+       |$sweeps2
+       |SELECT n.node AS node, coalesce(s.lbl, n.lbl) AS community
+       |FROM L$sweeps n LEFT JOIN SL$superSweeps s ON n.lbl = s.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "domain_pagerank" -> (domainPagerank _),
     "trust_rank" -> (trustRank _),
@@ -2371,6 +2581,7 @@ object GraphOps {
     "community_contract" -> (communityContract _),
     "community_louvain2" -> (communityLouvain2 _),
     "community_refine_weighted" -> (communityRefineWeighted _),
+    "community_louvain" -> (communityLouvain _),
     // approximate by construction (HLL registers) → no oracle row;
     // error-vs-exact + determinism pinned in GraphOpsSpec
     "harmonic_hyperball" -> (harmonicHyperball _),
@@ -2402,5 +2613,7 @@ object GraphOps {
       lpaRounds = 1, sweeps = 3, edgesSql = blockEdgesSql,
       weightSql = "1 + (CAST(substr(src, 4) AS INT) * 7" +
         " + CAST(substr(dst, 4) AS INT) * 3) % 5"),
+    "community_louvain" -> communityLouvainOracle(lpaRounds = 2, sweeps = 2,
+      superSweeps = 3, edgesSql = metaEdgesSql),
   )
 }

@@ -315,6 +315,67 @@ class OperatorPropertySpec extends AnyFunSuite {
       maxSweeps = 2, superRounds = 5)))
   }
 
+  test("recursive louvain never decreases ORIGINAL-graph modularity across levels") {
+    import spark.implicits._
+    // the self-loop aggregation invariant is exactly what makes the
+    // level-2 accept test speak for the original graph's Q — so check
+    // the original graph's Q, brute force, across the whole recursion
+    def q4m2(und: Seq[(String, String)], labels: Map[String, String]): BigInt = {
+      val m = und.size.toLong
+      val internal = und.count(e => labels(e._1) == labels(e._2))
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }
+      val vols = labels.keys.toSeq.groupBy(labels)
+        .map { case (_, ns) => ns.map(deg(_)).sum }
+      4 * BigInt(m) * internal - vols.map(v => BigInt(v) * v).sum
+    }
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val block = (0 until 20).flatMap { k =>
+      (if (k % 4 != 3) Seq((s"src$k", s"src${k + 1}")) else Nil) ++
+        (if (k % 4 < 2) Seq((s"src$k", s"src${k + 2}")) else Nil) ++
+        (if (k % 4 == 0) Seq((s"src$k", s"src${(k + 4) % 20}")) else Nil)
+    }
+    val graphs = Seq(block) ++ Seq(29, 31).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nodes = (0 until 22).map(i => s"n$i")
+      (1 to 66).map { _ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+      }.filter(e => e._1 != e._2)
+    }
+    for (edges <- graphs) {
+      val und = edges.map(e => if (e._1 < e._2) e else e.swap).distinct
+      val df = edges.toDF("src", "dst")
+      val l1 = toMap(GraphOps.communityRefineOf(df, maxRounds = 2, maxSweeps = 2))
+      val lv = toMap(GraphOps.communityLouvainOf(df, maxRounds = 2,
+        maxSweeps = 2, levels = 3, superSweeps = 3))
+      assert(lv.keySet == l1.keySet)
+      assert(q4m2(und, lv) >= q4m2(und, l1),
+        s"recursion decreased original-graph Q: ${q4m2(und, lv)} < ${q4m2(und, l1)}")
+      // quotient coherence: each level-1 community lands whole
+      for ((c1, nodes) <- l1.keys.groupBy(l1))
+        assert(nodes.map(lv).toSet.size == 1, s"level recursion split $c1")
+      assert(lv == toMap(GraphOps.communityLouvainOf(df, maxRounds = 2,
+        maxSweeps = 2, levels = 3, superSweeps = 3)))
+    }
+    // on the HIERARCHICAL meta graph (blocks inside meta-groups) the
+    // recursion must strictly improve on level 1 — level-1 moves
+    // can't see past the blocks, level 2 merges them
+    val meta = ((0 until 20).flatMap { k =>
+      (if (k % 4 != 3) Seq((s"src$k", s"src${k + 1}")) else Nil) ++
+        (if (k % 4 < 2) Seq((s"src$k", s"src${k + 2}")) else Nil) ++
+        (if (k % 4 < 2 && k < 8) Seq((s"src$k", s"src${k + 4}")) else Nil) ++
+        (if (k % 4 < 2 && k >= 12 && k < 16) Seq((s"src$k", s"src${k + 4}")) else Nil)
+    } ++ Seq(("src0", "src8"), ("src11", "src12"))).distinct
+    val bdf = meta.toDF("src", "dst")
+    val bund = meta.map(e => if (e._1 < e._2) e else e.swap).distinct
+    assert(q4m2(bund, toMap(GraphOps.communityLouvainOf(bdf, maxRounds = 2,
+        maxSweeps = 2, levels = 2, superSweeps = 3))) >
+      q4m2(bund, toMap(GraphOps.communityRefineOf(bdf, maxRounds = 2,
+        maxSweeps = 2))),
+      "meta graph: level 2 should strictly improve original-graph Q")
+  }
+
   test("weighted community refinement never decreases weighted modularity") {
     import spark.implicits._
     def q4w2(und: Map[(String, String), Long],
