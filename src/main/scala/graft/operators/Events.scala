@@ -617,6 +617,212 @@ object Events {
       |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
       |ORDER BY e.event_id""".stripMargin
 
+  /** Multi-attribute SCD2 history — the struct-of-attrs face of
+    * [[scd2HistoryDeletesOf]]: change detection runs on the TUPLE of
+    * attribute columns (a row survives when ANY attribute moved while
+    * live), tombstones close and re-inserts re-open exactly as in the
+    * single-attr shape. Same one-shuffle scale story. Precondition
+    * (same as the single-attr face): live rows carry non-null
+    * attributes — NULL attr values are the tombstone rows' domain, so
+    * the null-unsafe tuple comparison is exact on the live/live
+    * branch it guards. */
+  def scd2HistoryAttrsOf(updates: DataFrame,
+                         attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty && attrCols.size <= 32,
+      s"scd2 wants 1..32 attribute columns, got ${attrCols.size}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    val st = struct(attrCols.map(col): _*)
+    updates
+      .withColumn("pstate", lag(st, 1).over(w))
+      .withColumn("pdel", lag(col("is_delete"), 1).over(w))
+      .filter(col("pdel").isNull ||
+        col("is_delete") =!= col("pdel") ||
+        (!col("is_delete") && !col("pdel") && st =!= col("pstate")))
+      .withColumn("valid_to", lead(col("ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("ts"), col("tb"))))
+      .filter(!col("is_delete"))
+      .select(col("k") +: attrCols.map(col) :+
+        col("ts").as("valid_from") :+ col("valid_to"): _*)
+  }
+
+  /** Multi-attribute temporal join — [[temporalAttrJoinOf]] where the
+    * history carries a STRUCT of attributes: the carry-forward marker
+    * transports all of them in one struct (one window, one shuffle,
+    * regardless of attribute count), tombstone gaps emit an all-null
+    * marker so events inside a gap read NULL on every attribute.
+    * Attribute types are lifted from the history schema, so non-string
+    * attributes ride unchanged. */
+  def temporalAttrsJoinOf(events: DataFrame, history: DataFrame,
+                          attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty && attrCols.size <= 32,
+      s"temporal join wants 1..32 attribute columns, got ${attrCols.size}")
+    val markT = org.apache.spark.sql.types.StructType(
+      attrCols.map(a => history.schema(a)))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val hrows = history.withColumn("nf", lead(col("valid_from"), 1).over(wh))
+    val opens = hrows.select(col("k"), col("valid_from").as("ts"),
+      struct(attrCols.map(col): _*).as("mark"), lit(0).as("is_evt"),
+      lit(null).cast("long").as("event_id"))
+    val closes = hrows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(col("k"), col("valid_to").as("ts"),
+        struct(attrCols.map(a =>
+          lit(null).cast(history.schema(a).dataType).as(a)): _*).as("mark"),
+        lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+    val evs = events.select(col("k"), col("ts"),
+      lit(null).cast(markT).as("mark"), lit(1).as("is_evt"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("is_evt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    opens.unionByName(closes).unionByName(evs)
+      .withColumn("cur", last(col("mark"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(Seq(col("event_id"), col("k"), col("ts")) ++
+        attrCols.map(a => col(s"cur.$a").as(a)): _*)
+  }
+
+  /** Two-attribute tombstoned update stream re-anchored into the
+    * events window, the [[temporalAttrJoin]] fixture's shape with
+    * o_orderstatus riding alongside o_orderpriority. */
+  private def eventDomainUpdates2(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val mlt = 2500000L / mx
+    orders.select(
+      (col("o_custkey") % 15).as("k"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status"),
+      expr(s"TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey * $mlt)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+  }
+
+  def temporalAttrsJoin(s: SparkSession, d: String): DataFrame =
+    temporalAttrsJoinOf(
+        Tables.events(s, d).select(col("user_id").as("k"), col("ts"),
+          col("event_id")),
+        scd2HistoryAttrsOf(eventDomainUpdates2(s, d), Seq("prio", "status")),
+        Seq("prio", "status"))
+      .orderBy(col("event_id"))
+
+  private val temporalAttrsJoinOracle =
+    """WITH mlt AS (SELECT 2500000 // max(o_orderkey) AS m FROM orders),
+      |u AS (SELECT o_custkey % 15 AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS prio,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderstatus END AS status,
+      |    TIMESTAMP '2024-01-01 00:00:00'
+      |      + to_seconds(o_orderkey * (SELECT m FROM mlt)) AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, prio, status, ts, tb, del,
+      |    lag(prio) OVER w AS pprio, lag(status) OVER w AS pstatus,
+      |    lag(del) OVER w AS pdel FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+      |f AS (SELECT k, prio, status, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel
+      |           AND (prio <> pprio OR status <> pstatus))),
+      |h AS (SELECT k, prio, status, valid_from, valid_to FROM (
+      |    SELECT k, prio, status, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del)
+      |SELECT e.event_id, e.user_id AS k, e.ts, h.prio, h.status
+      |FROM events e LEFT JOIN h ON e.user_id = h.k
+      |  AND h.valid_from <= e.ts
+      |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Staleness-banded temporal join — [[temporalAttrJoinOf]] with a
+    * freshness budget: the attribute matches only when its interval
+    * STARTED within `maxAge` before the event (the "don't trust a
+    * dimension row older than N" contract of feature stores). The
+    * carry-forward marker transports (attr, valid_from); one CASE on
+    * the marker age after the same single-shuffle window — never an
+    * inequality join. Events whose only covering interval is stale
+    * read NULL, exactly like events in a tombstone gap. */
+  def temporalAttrJoinBandOf(events: DataFrame, history: DataFrame,
+                             maxAge: String): DataFrame = {
+    require(maxAge.matches("\\d+ [A-Za-z]+"),
+      s"maxAge must look like '1 HOUR', got '$maxAge'")
+    val markT = "struct<attr:string,vf:timestamp>"
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val hrows = history.withColumn("nf", lead(col("valid_from"), 1).over(wh))
+    val opens = hrows.select(col("k"), col("valid_from").as("ts"),
+      struct(col("attr"), col("valid_from").as("vf")).as("mark"),
+      lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+    val closes = hrows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(col("k"), col("valid_to").as("ts"),
+        struct(lit(null).cast("string").as("attr"),
+          col("valid_to").as("vf")).as("mark"),
+        lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
+    val evs = events.select(col("k"), col("ts"),
+      lit(null).cast(markT).as("mark"), lit(1).as("is_evt"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ts"), col("is_evt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    opens.unionByName(closes).unionByName(evs)
+      .withColumn("cur", last(col("mark"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(col("event_id"), col("k"), col("ts"),
+        when(expr(s"cur.vf + INTERVAL $maxAge") >= col("ts"),
+          col("cur.attr")).as("attr"))
+  }
+
+  def temporalJoinBand(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val mlt = 2500000L / mx
+    val upd = orders.select(
+      (col("o_custkey") % 15).as("k"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("attr"),
+      expr(s"TIMESTAMP '2024-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey * $mlt)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+    temporalAttrJoinBandOf(
+        Tables.events(s, d).select(col("user_id").as("k"), col("ts"),
+          col("event_id")),
+        scd2HistoryDeletesOf(upd), maxAge = "1 HOUR")
+      .orderBy(col("event_id"))
+  }
+
+  private val temporalJoinBandOracle =
+    """WITH mlt AS (SELECT 2500000 // max(o_orderkey) AS m FROM orders),
+      |u AS (SELECT o_custkey % 15 AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS attr,
+      |    TIMESTAMP '2024-01-01 00:00:00'
+      |      + to_seconds(o_orderkey * (SELECT m FROM mlt)) AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, attr, ts, tb, del,
+      |    lag(attr) OVER (PARTITION BY k ORDER BY ts, tb) AS pattr,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, attr, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel AND attr <> pattr)),
+      |h AS (SELECT k, attr, valid_from, valid_to FROM (
+      |    SELECT k, attr, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del)
+      |SELECT e.event_id, e.user_id AS k, e.ts, h.attr
+      |FROM events e LEFT JOIN h ON e.user_id = h.k
+      |  AND h.valid_from <= e.ts
+      |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+      |  AND h.valid_from + INTERVAL 1 HOUR >= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Churn time series from an SCD2 history — the lineage-health
     * dashboard over [[scd2HistoryDeletesOf]]'s output: per time bucket
     * and kind, how many keys were ADDED (first interval, or a
@@ -753,6 +959,47 @@ object Events {
       |  CAST(count(DISTINCT CASE WHEN is_today THEN user_id END) * 1000
       |    // count(DISTINCT user_id) AS BIGINT) AS stickiness_permille
       |FROM c GROUP BY day ORDER BY day""".stripMargin
+
+  /** Exponentially-decayed activity — [[dauWauOf]] with recency
+    * weighting: each user contributes 2^-(days since their most
+    * recent active day in the trailing week) to the day's activity
+    * mass, scaled by 64 so the arithmetic is exact integers on both
+    * engines (weight 64 for active-today down to 1 at age 6). Same
+    * narrow 7-way explode; the per-(day, user) MAX picks the most
+    * recent activity, so a user never double-counts. Emits dau
+    * (weight == 64), wau (any weight), and the decayed mass ×64. */
+  def dauDecayedOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+    ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("user_id"), expr("date_add(day, off)").as("day"),
+        expr("shiftleft(CAST(1 AS BIGINT), 6 - off)").as("w"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(max(col("w")).as("w"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("w") === 64, 1L).otherwise(0L)).as("dau"),
+        count(lit(1)).as("wau"),
+        sum(col("w")).as("decayed_x64"))
+      .select(col("day"), col("dau"), col("wau"), col("decayed_x64"))
+  }
+
+  def dauDecayed(s: SparkSession, d: String): DataFrame =
+    dauDecayedOf(Tables.events(s, d)).orderBy(col("day"))
+
+  private val dauDecayedOracle =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, day + CAST(off AS INTEGER) AS day,
+      |    (CAST(1 AS BIGINT) << (6 - CAST(off AS INTEGER))) AS w
+      |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o),
+      |m AS (SELECT day, user_id, max(w) AS w FROM c GROUP BY 1, 2)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN w = 64 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+      |  CAST(count(*) AS BIGINT) AS wau,
+      |  CAST(sum(w) AS BIGINT) AS decayed_x64
+      |FROM m GROUP BY day ORDER BY day""".stripMargin
 
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
@@ -1167,6 +1414,102 @@ object Events {
       |    (SELECT count(*) FROM s3), (SELECT count(DISTINCT user_id) FROM s3))
       |ORDER BY step_idx""".stripMargin
 
+  /** Per-SESSION transition latencies — [[funnelWaitsOf]] keyed on
+    * (user, session) the way [[funnelSessionizedOf]] keys its reach:
+    * for every inactivity-bounded session that completes step i, the
+    * wait from its previous-step time to its qualifying step-i time.
+    * Same gaps-and-islands sessionization (built identically in both
+    * engines), same bounded step loop and localCheckpoint
+    * discipline. */
+  def funnelSessionWaitsOf(events: DataFrame, steps: Seq[String],
+                           gap: String = "30 MINUTES"): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel latency wants 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(uw))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
+      .localCheckpoint()
+    var reached = sess.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    var waits: DataFrame = null
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val next = sess.filter(col("event_type") === step)
+        .join(reached.select(col("user_id"), col("sid"),
+          col("t").as("prev_t")), Seq("user_id", "sid"))
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("t"), min(col("prev_t")).as("prev_t"))
+        .localCheckpoint()
+      val w = next.select(lit(i + 2).as("step_idx"), lit(step).as("step"),
+        col("user_id"), col("sid"),
+        (unix_micros(col("t")) - unix_micros(col("prev_t"))).as("wait_us"))
+      waits = if (waits == null) w else waits.unionByName(w)
+      reached = next.select(col("user_id"), col("sid"), col("t"))
+    }
+    waits
+  }
+
+  /** Per-session time-to-convert percentiles via t-digest (the
+    * [[funnelLatency]] mold at session grain; 1-day gap so the funnel
+    * has real conversion volume). No SQL oracle — sketch estimates are
+    * implementation-specific; [[funnelSessionLatencyAgreement]] is the
+    * oracle-gated rank bracket over exactly these estimates. */
+  def funnelSessionLatency(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    funnelSessionWaitsOf(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), gap = "1 DAY")
+      .groupBy(col("step_idx"), col("step"))
+      .agg(expr("tdigest_quantiles(CAST(wait_us AS DOUBLE))").as("qs"))
+      .select(col("step_idx"), col("step"), col("qs")(0).as("p50_est"),
+        col("qs")(1).as("p90_est"), col("qs")(2).as("p99_est"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Exact-rank bracket over [[funnelSessionLatency]]'s estimates —
+    * for each transition and q, the fraction of session waits
+    * strictly below / at-or-below the estimate brackets q within 30
+    * permille; the constant-grid oracle asserts TRUE everywhere. */
+  def funnelSessionLatencyAgreement(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    val waits = funnelSessionWaitsOf(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), gap = "1 DAY")
+      .select(col("step_idx"), col("step"),
+        col("wait_us").cast("double").as("v"))
+      .localCheckpoint()
+    val ests = waits.groupBy(col("step_idx"), col("step"))
+      .agg(expr("tdigest_quantiles(v)").as("qs"))
+      .select(col("step_idx"), col("step"),
+        posexplode(col("qs")).as(Seq("i", "est")))
+      .withColumn("q_permille",
+        element_at(typedlit(Seq(500, 900, 990)), col("i") + 1))
+    ests.join(waits, Seq("step_idx", "step"))
+      .groupBy(col("step_idx"), col("step"), col("q_permille"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("le"))
+      .select(col("step_idx"), col("step"), col("q_permille"),
+        (col("lt") * 1000 - col("q_permille") * col("n") <= col("n") * 30 &&
+          col("q_permille") * col("n") - col("le") * 1000 <= col("n") * 30)
+          .as("rank_ok"))
+      .orderBy(col("step_idx"), col("q_permille"))
+  }
+
+  private val funnelSessionLatencyAgreementOracle =
+    """SELECT s.step_idx, s.step, q.q_permille, true AS rank_ok
+      |FROM (VALUES (2, 'click'), (3, 'purchase')) s(step_idx, step)
+      |CROSS JOIN (VALUES (500), (900), (990)) q(q_permille)
+      |ORDER BY s.step_idx, q.q_permille""".stripMargin
+
   /** The full event-type Markov transition matrix — the generalization
     * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
     * the transition count and its permille share of the source type's
@@ -1301,6 +1644,9 @@ object Events {
     "dau_wau_stickiness"     -> (dauWau _),
     "scd2_churn"             -> (scd2Churn _),
     "temporal_attr_join"     -> (temporalAttrJoin _),
+    "temporal_attrs_join"    -> (temporalAttrsJoin _),
+    "temporal_join_band"     -> (temporalJoinBand _),
+    "dau_decayed"            -> (dauDecayed _),
     "event_path_trigrams"    -> (eventPaths _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
@@ -1310,6 +1656,10 @@ object Events {
     // by the oracle-gated funnel_latency_agreement bracket
     "funnel_latency"         -> (funnelLatency _),
     "funnel_latency_agreement" -> (funnelLatencyAgreement _),
+    // approximate by construction (t-digest) → no oracle row; bounded
+    // by the oracle-gated funnel_session_latency_agreement bracket
+    "funnel_session_latency" -> (funnelSessionLatency _),
+    "funnel_session_latency_agreement" -> (funnelSessionLatencyAgreement _),
     "funnel_sessionized"     -> (funnelSessionized _),
     "event_transition_matrix" -> (eventTransitions _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
@@ -1335,12 +1685,16 @@ object Events {
     "dau_wau_stickiness"     -> dauWauOracle,
     "scd2_churn"             -> scd2ChurnOracle,
     "temporal_attr_join"     -> temporalAttrJoinOracle,
+    "temporal_attrs_join"    -> temporalAttrsJoinOracle,
+    "temporal_join_band"     -> temporalJoinBandOracle,
+    "dau_decayed"            -> dauDecayedOracle,
     "event_path_trigrams"    -> eventPathsOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
     "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
+    "funnel_session_latency_agreement" -> funnelSessionLatencyAgreementOracle,
     "funnel_sessionized"     -> funnelSessionizedOracle,
     "event_transition_matrix" -> eventTransitionsOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,

@@ -713,4 +713,149 @@ class OperatorPropertySpec extends AnyFunSuite {
     val ref = points.map { case (pid, v) => (pid, byVal(v)) }.toSet
     assert(got == ref)
   }
+
+  test("multi-attr temporal join equals the per-attribute single joins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    // tombstoned two-attribute CDC stream: a pair change point exists
+    // wherever EITHER attribute moved, but the instantaneous value of
+    // each attribute is independent of the other's churn — so the
+    // struct join must agree with two single-attr joins, column for
+    // column, even though the histories collapse differently
+    val upd = (1 to 80).map { i =>
+      val del = rnd.nextInt(5) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"x${rnd.nextInt(3)}",
+        if (del) null else s"y${rnd.nextInt(2)}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong, del)
+    }
+    val updDf = upd.toDF("k", "prio", "status", "ts", "tb", "is_delete")
+    val events = (1 to 150).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${rnd.nextInt(2)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"))
+    }.toDF("event_id", "k", "ts")
+    val got = Events.temporalAttrsJoinOf(events,
+        Events.scd2HistoryAttrsOf(updDf, Seq("prio", "status")),
+        Seq("prio", "status"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), Option(r.getString(4)))))
+      .toMap
+    def single(attr: String) = Events.temporalAttrJoinOf(events,
+        Events.scd2HistoryDeletesOf(updDf.select(col("k"),
+          col(attr).as("attr"), col("ts"), col("tb"), col("is_delete"))))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val (wantP, wantS) = (single("prio"), single("status"))
+    assert(got == got.keys.map(id => id -> ((wantP(id), wantS(id)))).toMap,
+      s"first diffs: ${got.toSeq.filter { case (id, v) =>
+        v != ((wantP(id), wantS(id))) }.take(5)}")
+    // the single-attr struct join degenerates to temporalAttrJoinOf
+    val hist1 = Events.scd2HistoryDeletesOf(updDf.select(col("k"),
+      col("prio").as("attr"), col("ts"), col("tb"), col("is_delete")))
+      .localCheckpoint()
+    val viaStruct = Events.temporalAttrsJoinOf(events, hist1, Seq("attr"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(viaStruct == wantP)
+  }
+
+  test("banded temporal join equals the brute-force interval scan with a freshness cut") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val upd = (1 to 60).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"),
+        i.toLong, del)
+    }
+    val hist = Events.scd2HistoryDeletesOf(
+      upd.toDF("k", "attr", "ts", "tb", "is_delete")).localCheckpoint()
+    val intervals = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+    val events = (1 to 120).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong,
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 00:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"))
+    }
+    val ageMs = 10L * 60 * 1000 // 10 MINUTES: some covers are stale
+    val got = Events.temporalAttrJoinBandOf(
+        events.toDF("event_id", "k", "ts"), hist, maxAge = "10 MINUTES")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    val want = events.map { case (id, k, ts) =>
+      id -> intervals.collectFirst {
+        case (hk, attr, vf, vt)
+          if hk == k && !vf.after(ts) && vt.forall(ts.before) &&
+            ts.getTime - vf.getTime <= ageMs => attr
+      }.flatMap(Option(_))
+    }.toMap
+    assert(got == want, s"first diffs: ${(got.toSet diff want.toSet).take(5)}")
+    // the cut really bit: strictly fewer non-null attrs than unbanded
+    val unbanded = Events.temporalAttrJoinOf(
+        events.toDF("event_id", "k", "ts"), hist)
+      .filter(col("attr").isNotNull).count()
+    assert(got.values.count(_.isDefined) < unbanded,
+      s"banded ${got.values.count(_.isDefined)} !< unbanded $unbanded")
+  }
+
+  test("decayed activity: brute-force agreement and dauWau consistency (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val got = Events.dauDecayedOf(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute force over the distinct (user, day) activity set
+    val act = ev.select(col("user_id"),
+        org.apache.spark.sql.functions.date_trunc("day", col("ts"))
+          .cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSet
+    val days = act.map(_._2)
+    val allDays = (0L to java.time.temporal.ChronoUnit.DAYS.between(
+        days.min, days.max) + 6).map(days.min.plusDays)
+    val want = allDays.flatMap { d =>
+      val ws = act.groupBy(_._1).flatMap { case (_, ads) =>
+        val ages = ads.map(a =>
+          java.time.temporal.ChronoUnit.DAYS.between(a._2, d))
+          .filter(a => a >= 0 && a <= 6)
+        if (ages.isEmpty) None else Some(64L >> ages.min.toInt)
+      }.toSeq
+      if (ws.isEmpty) None
+      else Some(d.toString -> ((ws.count(_ == 64L).toLong,
+        ws.size.toLong, ws.sum)))
+    }.toMap
+    assert(got == want, s"first diffs: ${(got.toSet diff want.toSet).take(5)}")
+    // dau/wau columns agree with dauWauOf row for row
+    val dw = Events.dauWauOf(ev).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == dw)
+  }
+
+  test("session funnel waits: one wait per converting session; huge gap degenerates to per-user") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val steps = Seq("signup", "click", "purchase")
+    val waits = Events.funnelSessionWaitsOf(ev, steps, gap = "1 DAY")
+      .localCheckpoint()
+    assert(waits.filter(col("wait_us") <= 0).count() == 0)
+    val byStep = waits.groupBy("step_idx").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sess = Events.funnelSessionizedOf(ev, steps, gap = "1 DAY")
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(byStep == Map(2 -> sess(2), 3 -> sess(3)),
+      s"wait counts $byStep != sessionized reach $sess")
+    // a gap wider than the whole corpus puts every user in ONE
+    // session, so the session waits are exactly the per-user waits
+    val wide = Events.funnelSessionWaitsOf(ev, steps, gap = "90 DAYS")
+      .select("step_idx", "user_id", "wait_us").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val perUser = Events.funnelWaitsOf(ev, steps)
+      .select("step_idx", "user_id", "wait_us").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(wide == perUser)
+  }
 }
