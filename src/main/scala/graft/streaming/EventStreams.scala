@@ -691,6 +691,54 @@ object EventStreams {
       .select(col("prev_doc"), col("next_doc"))
   }
 
+  /** Streaming SCD2 ingest — CDC micro-batches fold through
+    * `Events.scd2MergeDeletesOf` into a committed SCD2 table artifact:
+    * each batch merges against the latest committed table version and
+    * lands the merged table as a NEW committed batch dir (versioned,
+    * never in place), so readers always see a complete table and a
+    * crash between write and marker leaves the previous version
+    * authoritative. The merge's horizon guard IS the stream's ordering
+    * contract: a batch carrying a row at or before a key's last change
+    * point fails the batch loudly instead of corrupting history
+    * (micro-batch boundaries from an ordered CDC feed satisfy it by
+    * construction). Replays skip via [[CommittedBatchSink]] BEFORE the
+    * merge is ever evaluated, so a replayed batch can't trip the guard
+    * it already passed. Scale shape: the table is change-point-sized
+    * (dimension scale, not event scale); each fold is the merge's one
+    * key shuffle over history + batch. */
+  def scd2Ingest(spark: org.apache.spark.sql.SparkSession,
+                 updates: DataFrame, outDir: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val b = batch.localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = b.isEmpty,
+          write = { dir =>
+            val merged = readScd2TableOpt(spark, outDir) match {
+              case Some(existing) =>
+                graft.operators.Events.scd2MergeDeletesOf(existing, b)
+              case None => graft.operators.Events.scd2HistoryDeletesOf(b)
+            }
+            merged.write.mode("overwrite").parquet(dir.resolve("table").toString)
+          }): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The latest committed SCD2 table version under `outDir`, if any —
+    * the reader face of [[scd2Ingest]] (marker-only empty-batch dirs
+    * never carry a table and are skipped). */
+  def readScd2TableOpt(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): Option[DataFrame] =
+    CommittedBatchSink.committedDirs(outDir)
+      .map(_.resolve("table"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+      .lastOption
+      .map(d => spark.read.parquet(d.toString))
+
   /** Streaming LM quality gate — the streaming face of
     * NgramLm.lmQualityTiersOf: each document micro-batch is scored
     * against a FROZEN persisted LM index (the three distinct gram-hash

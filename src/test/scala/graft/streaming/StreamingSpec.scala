@@ -862,6 +862,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.paginationStitchSweepOf(spark, fresh).count() == 0L)
   }
 
+  test("streaming SCD2 ingest: merge fold equals one-shot recompute; restart-safe; late batch fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_scd2_out").toString
+    // tombstoned CDC feed over 4 keys (the merge property spec's
+    // shape), globally ordered by ts so micro-batch boundaries respect
+    // every key's horizon
+    val rnd = new scala.util.Random(37)
+    val upd = (1 to 60).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        i.toLong, del)
+    }
+    val in = MemoryStream[(Long, String, Timestamp, Long, Boolean)]
+    def start() = EventStreams.scd2Ingest(spark,
+      in.toDF().toDF("k", "attr", "ts", "tb", "is_delete"), out, ckpt)
+    val q1 = start()
+    in.addData(upd.take(20): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches: the committed table version persists
+    val q2 = start()
+    in.addData(upd.slice(20, 45): _*)
+    q2.processAllAvailable()
+    in.addData(upd.drop(45): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString))).toSet
+    val streamed = shape(EventStreams.readScd2TableOpt(spark, out).get)
+    val oneShot = shape(graft.operators.Events.scd2HistoryDeletesOf(
+      upd.toDF("k", "attr", "ts", "tb", "is_delete")))
+    assert(streamed == oneShot, "stream fold != one-shot recompute")
+    assert(oneShot.size > 8 && upd.count(_._5) > 5,
+      "fixture must exercise tombstones and real history")
+    // replay after restart: no new data -> table version unchanged
+    val nDirs = CommittedBatchSink.committedDirs(out).size
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readScd2TableOpt(spark, out).get) == streamed)
+    // a batch at or before an existing horizon violates the ordering
+    // contract and must fail the STREAM, not corrupt the table
+    val q4 = start()
+    // re-assert the very last change point: its ts == that key's
+    // horizon, so the guard must trip
+    in.addData((upd.last._1, "late", upd.last._3, 999L, false))
+    val e = intercept[Exception] { q4.processAllAvailable() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("scd2MergeDeletesOf")),
+      s"expected the merge guard, got: ${msgs(e).mkString(" | ")}")
+    q4.stop()
+    // the failed batch left no committed version behind
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readScd2TableOpt(spark, out).get) == streamed)
+    // an empty artifact root reads as None, not an error
+    val fresh = java.nio.file.Files.createTempDirectory("graft_scd2_none").toString
+    assert(EventStreams.readScd2TableOpt(spark, fresh).isEmpty)
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
