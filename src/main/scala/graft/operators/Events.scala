@@ -1510,6 +1510,149 @@ object Events {
       |CROSS JOIN (VALUES (500), (900), (990)) q(q_permille)
       |ORDER BY s.step_idx, q.q_permille""".stripMargin
 
+  /** Touch attribution — for every conversion event, the FIRST and
+    * LAST qualifying touch event within a trailing age window (the
+    * marketing first-touch/last-touch question). One user-keyed RANGE
+    * window over the filtered (touch ∪ conversion) stream — value
+    * bounds give "strictly before, within maxAge" without an
+    * inequality join, so the cost is one shuffle however wide the
+    * window. Ties on the microsecond break by event_id via the struct
+    * ordering, mirrored in the oracle by a fixed-width composite
+    * string. */
+  def touchAttributionOf(events: DataFrame, convType: String,
+                         touchType: String, maxAgeUs: Long): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
+    require(convType != touchType, "conversion and touch types must differ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-maxAgeUs, -1)
+    val touchMark = when(col("event_type") === touchType,
+      struct(unix_micros(col("ts")).as("us"), col("event_id")))
+    events
+      .filter(col("event_type").isin(convType, touchType))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        max(touchMark).over(w).as("lastm"),
+        min(touchMark).over(w).as("firstm"),
+        count(touchMark).over(w).as("n_touches"))
+      .filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("lastm.event_id").as("last_touch_id"),
+        col("firstm.event_id").as("first_touch_id"),
+        col("n_touches"))
+  }
+
+  def touchAttribution(s: SparkSession, d: String): DataFrame =
+    touchAttributionOf(Tables.events(s, d), convType = "purchase",
+        touchType = "click", maxAgeUs = 3L * 24 * 3600 * 1000000)
+      .orderBy(col("event_id"))
+
+  private val touchAttributionOracle =
+    """WITH t AS (SELECT * FROM events WHERE event_type = 'click'),
+      |c AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  arg_max(t.event_id, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |    || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS last_touch_id,
+      |  arg_min(t.event_id, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |    || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS first_touch_id,
+      |  CAST(count(t.event_id) AS BIGINT) AS n_touches
+      |FROM c LEFT JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |  AND t.ts >= c.ts - INTERVAL 3 DAYS
+      |GROUP BY 1, 2, 3
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Funnel drop-off attribution — for every user who reached step i
+    * but never step i+1, the event type they did NEXT after their
+    * step-i time (NULL = went silent): the "where did they go instead"
+    * companion to [[funnelStepsOf]]'s reach counts. Same bounded step
+    * loop; per step one user-keyed reach agg, one anti-join for the
+    * dropped set, and one row_number window for the next event.
+    * `maxWait` is the per-step deadline (the windowed-funnel face) —
+    * without one, a long-lived corpus converts everyone eventually and
+    * the drop-off sets are empty. */
+  def funnelDropoffOf(events: DataFrame, steps: Seq[String],
+                      maxWait: Option[String] = None): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel drop-off wants 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
+      s"maxWait must look like '12 HOURS', got '$w'"))
+    val evs = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"))
+    var reached = evs.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    var out: DataFrame = null
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val within = maxWait
+        .map(mw => expr(s"ts <= prev_t + INTERVAL $mw"))
+        .getOrElse(lit(true))
+      val next = evs.filter(col("event_type") === step)
+        .join(reached.select(col("user_id"), col("t").as("prev_t")),
+          Seq("user_id"))
+        .filter(col("ts") > col("prev_t") && within)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      val dropped = reached.join(next.select(col("user_id")),
+        Seq("user_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val nextEv = evs.join(dropped, Seq("user_id"))
+        .filter(col("ts") > col("t"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("next_type"))
+      val agg = dropped.join(nextEv, Seq("user_id"), "left")
+        .groupBy(col("next_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col("next_type"), col("n_users"))
+      out = if (out == null) agg else out.unionByName(agg)
+      reached = next
+    }
+    out
+  }
+
+  def funnelDropoff(s: SparkSession, d: String): DataFrame =
+    funnelDropoffOf(Tables.events(s, d), Seq("signup", "click", "purchase"),
+        maxWait = Some("12 HOURS"))
+      .orderBy(col("step_idx"), col("n_users").desc, col("next_type"))
+
+  private val funnelDropoffOracle =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 12 HOURS
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |    AND e.ts <= s2.t + INTERVAL 12 HOURS
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |d1 AS (SELECT s1.user_id, s1.t FROM s1
+      |  LEFT JOIN s2 USING (user_id) WHERE s2.user_id IS NULL),
+      |d2 AS (SELECT s2.user_id, s2.t FROM s2
+      |  LEFT JOIN s3 USING (user_id) WHERE s3.user_id IS NULL),
+      |x1 AS (SELECT user_id, next_type FROM (
+      |    SELECT d1.user_id, e.event_type AS next_type,
+      |      row_number() OVER (PARTITION BY d1.user_id
+      |        ORDER BY e.ts, e.event_id) AS rn
+      |    FROM d1 JOIN events e ON e.user_id = d1.user_id AND e.ts > d1.t)
+      |  WHERE rn = 1),
+      |x2 AS (SELECT user_id, next_type FROM (
+      |    SELECT d2.user_id, e.event_type AS next_type,
+      |      row_number() OVER (PARTITION BY d2.user_id
+      |        ORDER BY e.ts, e.event_id) AS rn
+      |    FROM d2 JOIN events e ON e.user_id = d2.user_id AND e.ts > d2.t)
+      |  WHERE rn = 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step, x1.next_type,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM d1 LEFT JOIN x1 USING (user_id) GROUP BY 3
+      |  UNION ALL
+      |  SELECT 2, 'click', x2.next_type, CAST(count(*) AS BIGINT)
+      |  FROM d2 LEFT JOIN x2 USING (user_id) GROUP BY 3)
+      |ORDER BY step_idx, n_users DESC, next_type""".stripMargin
+
   /** The full event-type Markov transition matrix — the generalization
     * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
     * the transition count and its permille share of the source type's
@@ -1661,6 +1804,8 @@ object Events {
     "funnel_session_latency" -> (funnelSessionLatency _),
     "funnel_session_latency_agreement" -> (funnelSessionLatencyAgreement _),
     "funnel_sessionized"     -> (funnelSessionized _),
+    "funnel_dropoff"         -> (funnelDropoff _),
+    "touch_attribution"      -> (touchAttribution _),
     "event_transition_matrix" -> (eventTransitions _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
@@ -1696,6 +1841,8 @@ object Events {
     "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
     "funnel_session_latency_agreement" -> funnelSessionLatencyAgreementOracle,
     "funnel_sessionized"     -> funnelSessionizedOracle,
+    "funnel_dropoff"         -> funnelDropoffOracle,
+    "touch_attribution"      -> touchAttributionOracle,
     "event_transition_matrix" -> eventTransitionsOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,

@@ -739,6 +739,30 @@ object EventStreams {
       .lastOption
       .map(d => spark.read.parquet(d.toString))
 
+  /** Retention vacuum for the [[scd2Ingest]] artifact. Every batch
+    * lands a FULL table version, so the artifact's footprint is
+    * versions × table size until something prunes it; vacuum deletes
+    * the PAYLOAD of all but the newest `keep` table-carrying versions
+    * while leaving every commit MARKER in place — replayed batch ids
+    * still skip (the exactly-once contract outlives the payload) and
+    * [[readScd2TableOpt]] still resolves the newest version, which is
+    * never touched. Returns the number of payloads removed. */
+  def scd2Vacuum(outDir: String, keep: Int = 1): Int = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val tables = CommittedBatchSink.committedDirs(outDir)
+      .map(_.resolve("table"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+    val victims = tables.dropRight(keep)
+    victims.foreach { d =>
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    victims.size
+  }
+
   /** Streaming LM quality gate — the streaming face of
     * NgramLm.lmQualityTiersOf: each document micro-batch is scored
     * against a FROZEN persisted LM index (the three distinct gram-hash

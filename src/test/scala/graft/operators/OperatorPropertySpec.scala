@@ -834,6 +834,58 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(got.view.mapValues(v => (v._1, v._2)).toMap == dw)
   }
 
+  test("touch attribution equals the brute-force trailing-window scan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val types = Seq("click", "purchase", "view")
+    val evs = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(3600) * 1000L),
+        types(rnd.nextInt(3)))
+    }
+    val ageUs = 10L * 60 * 1000000 // 10 minutes
+    val got = Events.touchAttributionOf(
+        evs.toDF("event_id", "user_id", "ts", "event_type"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5)))).toMap
+    val want = evs.filter(_._4 == "purchase").map { case (id, u, ts, _) =>
+      val touches = evs.filter(e => e._4 == "click" && e._2 == u &&
+        e._3.getTime < ts.getTime &&
+        (ts.getTime - e._3.getTime) * 1000 <= ageUs)
+        .map(e => (e._3.getTime, e._1)).sorted
+      id -> ((touches.lastOption.map(_._2), touches.headOption.map(_._2),
+        touches.size.toLong))
+    }.toMap
+    assert(got == want, s"first diffs: ${(got.toSet diff want.toSet).take(5)}")
+    // random second-grain ts make same-user ties likely; require some
+    // so the struct/event_id tie-break is actually exercised
+    assert(evs.groupBy(e => (e._2, e._3)).values.exists(_.size > 1),
+      "fixture must contain same-user same-ts collisions")
+  }
+
+  test("funnel drop-off partitions the reach losses; next types come from real events (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val steps = Seq("signup", "click", "purchase")
+    val drop = Events.funnelDropoffOf(ev, steps, maxWait = Some("12 HOURS"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(2)), r.getLong(3)))
+    val reach = Events.funnelStepsOf(ev, steps, maxWait = Some("12 HOURS"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // per step, the drop-off buckets sum exactly to reach(i) - reach(i+1)
+    for (i <- 1 to 2) {
+      val lost = drop.filter(_._1 == i).map(_._3).sum
+      assert(lost == reach(i) - reach(i + 1),
+        s"step $i: drop-off sum $lost != reach loss ${reach(i) - reach(i + 1)}")
+    }
+    // next types are real event types (or None = went silent)
+    val vocab = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(drop.forall(d => d._2.forall(vocab.contains)))
+  }
+
   test("session funnel waits: one wait per converting session; huge gap degenerates to per-user") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

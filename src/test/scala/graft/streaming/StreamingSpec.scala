@@ -908,6 +908,19 @@ class StreamingSpec extends AnyFunSuite {
     q3.stop()
     assert(CommittedBatchSink.committedDirs(out).size == nDirs)
     assert(shape(EventStreams.readScd2TableOpt(spark, out).get) == streamed)
+    // vacuum: drop all but the newest table payload; markers stay, the
+    // reader still resolves the same table, and a restart replays
+    // nothing (the exactly-once contract outlives the payload)
+    val removed = EventStreams.scd2Vacuum(out, keep = 1)
+    assert(removed >= 2, s"three folded batches should leave >= 3 versions, removed $removed")
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readScd2TableOpt(spark, out).get) == streamed)
+    assert(EventStreams.scd2Vacuum(out, keep = 1) == 0)
+    val q3b = start()
+    q3b.processAllAvailable()
+    q3b.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readScd2TableOpt(spark, out).get) == streamed)
     // a batch at or before an existing horizon violates the ordering
     // contract and must fail the STREAM, not corrupt the table
     val q4 = start()
