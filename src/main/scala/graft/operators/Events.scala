@@ -1560,6 +1560,60 @@ object Events {
       |GROUP BY 1, 2, 3
       |ORDER BY c.event_id""".stripMargin
 
+  /** Multi-touch (linear) attribution — every qualifying touch in the
+    * conversion's trailing window gets an equal integer-permille share
+    * of the credit, remainder to the LAST touch (so each conversion's
+    * credits sum to exactly 1000). Touch enumeration composes the
+    * binned interval join (`AdvancedOps.intervalJoinOf`) with a
+    * user-equality predicate that Catalyst folds into the join keys —
+    * the physical join hashes on (bin, user), so candidates stay
+    * per-user-per-window, never per-window across the corpus. One
+    * conversion-keyed window then ranks and counts the touches. */
+  def multiTouchAttributionOf(events: DataFrame, convType: String,
+                              touchType: String, maxAgeUs: Long): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
+    require(convType != touchType, "conversion and touch types must differ")
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
+        unix_micros(col("ts")).as("t_us"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"), col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("w_start", col("c_us") - maxAgeUs)
+      .withColumn("w_end", col("c_us"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    AdvancedOps.intervalJoinOf(touches, convs, "t_us", "w_start", "w_end",
+        binWidth = maxAgeUs)
+      .filter(col("t_user") === col("c_user"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("t_us").desc, col("touch_id").desc)))
+      .select(col("conv_id"), col("touch_id"),
+        expr("CAST(1000 DIV n + IF(rk = 1, 1000 % n, 0) AS BIGINT)")
+          .as("credit_permille"))
+  }
+
+  def multiTouchAttribution(s: SparkSession, d: String): DataFrame =
+    multiTouchAttributionOf(Tables.events(s, d), convType = "purchase",
+        touchType = "click", maxAgeUs = 3L * 24 * 3600 * 1000000)
+      .orderBy(col("conv_id"), col("touch_id"))
+
+  private val multiTouchAttributionOracle =
+    """WITH t AS (SELECT event_id AS touch_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (SELECT c.conv_id, t.touch_id,
+      |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+      |    row_number() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+      |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |    AND t.ts >= c.ts - INTERVAL 3 DAYS)
+      |SELECT conv_id, touch_id,
+      |  CAST(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END
+      |    AS BIGINT) AS credit_permille
+      |FROM j ORDER BY conv_id, touch_id""".stripMargin
+
   /** Funnel drop-off attribution — for every user who reached step i
     * but never step i+1, the event type they did NEXT after their
     * step-i time (NULL = went silent): the "where did they go instead"
@@ -1601,11 +1655,16 @@ object Events {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("next_type"))
+      // each step's bucket frame is event-type-bounded; checkpointing
+      // it keeps the returned union's plan flat (the funnelWaitsOf
+      // lineage discipline) instead of stacking every step's joins
+      // into one oversized composite
       val agg = dropped.join(nextEv, Seq("user_id"), "left")
         .groupBy(col("next_type"))
         .agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
           col("next_type"), col("n_users"))
+        .localCheckpoint()
       out = if (out == null) agg else out.unionByName(agg)
       reached = next
     }
@@ -1677,6 +1736,63 @@ object Events {
   def eventTransitions(s: SparkSession, d: String): DataFrame =
     eventTransitionsOf(Tables.events(s, d))
       .orderBy(col("event_type"), col("next_type"))
+
+  /** Session-bounded transition matrix — [[eventTransitionsOf]] with
+    * the lead window keyed on (user, session) instead of user, so a
+    * "transition" never spans an inactivity gap (the cross-session
+    * edges are navigation noise in the user-grain matrix). Same
+    * gaps-and-islands sessionization as the funnel family; the matrix
+    * stays types²-bounded. */
+  def sessionTransitionsOf(events: DataFrame,
+                           gap: String = "30 MINUTES"): DataFrame = {
+    require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(uw))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
+    sess
+      .withColumn("next_type", lead(col("event_type"), 1).over(sw))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("next_type"),
+        col("n").as("n_transitions"),
+        expr("CAST(n * 1000 DIV row_total AS BIGINT)").as("p_permille"))
+  }
+
+  def sessionTransitions(s: SparkSession, d: String): DataFrame =
+    sessionTransitionsOf(Tables.events(s, d), gap = "1 DAY")
+      .orderBy(col("event_type"), col("next_type"))
+
+  private val sessionTransitionsOracle =
+    """WITH flagged AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 1 DAY
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, event_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |p AS (SELECT event_type, next_type, count(*) AS n FROM (
+      |    SELECT event_type, lead(event_type) OVER (
+      |      PARTITION BY user_id, sid ORDER BY ts, event_id) AS next_type
+      |    FROM sess)
+      |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n AS n_transitions,
+      |  CAST(n * 1000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS p_permille
+      |FROM p ORDER BY event_type, next_type""".stripMargin
 
   private val eventTransitionsOracle =
     """WITH p AS (SELECT event_type, next_type, count(*) AS n FROM (
@@ -1806,7 +1922,9 @@ object Events {
     "funnel_sessionized"     -> (funnelSessionized _),
     "funnel_dropoff"         -> (funnelDropoff _),
     "touch_attribution"      -> (touchAttribution _),
+    "multi_touch_attribution" -> (multiTouchAttribution _),
     "event_transition_matrix" -> (eventTransitions _),
+    "session_transition_matrix" -> (sessionTransitions _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
     "events_moving_window"   -> (movingUserWindow _),
     "events_map_funcs"       -> (mapFuncs _),
@@ -1843,7 +1961,9 @@ object Events {
     "funnel_sessionized"     -> funnelSessionizedOracle,
     "funnel_dropoff"         -> funnelDropoffOracle,
     "touch_attribution"      -> touchAttributionOracle,
+    "multi_touch_attribution" -> multiTouchAttributionOracle,
     "event_transition_matrix" -> eventTransitionsOracle,
+    "session_transition_matrix" -> sessionTransitionsOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,
     "events_moving_window"   -> movingWindowOracle,
     "events_map_funcs"       -> mapFuncsOracle,

@@ -865,6 +865,33 @@ class OperatorPropertySpec extends AnyFunSuite {
       "fixture must contain same-user same-ts collisions")
   }
 
+  test("multi-touch credits sum to 1000 per conversion and agree with first/last attribution (sf0.001)") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val age = 3L * 24 * 3600 * 1000000
+    val mta = Events.multiTouchAttributionOf(ev, "purchase", "click", age)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byConv = mta.groupBy(_._1)
+    assert(byConv.nonEmpty)
+    // exact credit conservation, conversion by conversion
+    assert(byConv.forall { case (_, rows) => rows.map(_._3).sum == 1000L },
+      "credits must sum to exactly 1000 permille per conversion")
+    // the enumerated touch sets bracket the single-touch answer: same
+    // conversions, same counts, first/last ids members of each set
+    val sta = Events.touchAttributionOf(ev, "purchase", "click", age)
+      .filter(col("n_touches") > 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(byConv.keySet == sta.keySet)
+    for ((conv, rows) <- byConv) {
+      val (last, first, n) = sta(conv)
+      val ids = rows.map(_._2).toSet
+      assert(rows.size.toLong == n && ids.contains(last) && ids.contains(first),
+        s"conv $conv: interval-join touch set disagrees with the window scan")
+    }
+  }
+
   test("funnel drop-off partitions the reach losses; next types come from real events (sf0.001)") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"
