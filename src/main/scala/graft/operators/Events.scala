@@ -740,6 +740,94 @@ object Events {
       |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)
       |ORDER BY e.event_id""".stripMargin
 
+  /** Multi-attribute MERGE — [[scd2MergeDeletesOf]] for
+    * [[scd2HistoryAttrsOf]] tables: the existing table replays as an
+    * update stream (opens at each valid_from, synthetic tombstones at
+    * every gap or trailing close), the batch appends after the horizon
+    * guard, and the struct change detection recollapses. Equals the
+    * one-shot recompute under the same append-after-horizon
+    * precondition. */
+  def scd2MergeAttrsOf(existing: DataFrame, updates: DataFrame,
+                       attrCols: Seq[String],
+                       validate: Boolean = true): DataFrame = {
+    require(attrCols.nonEmpty && attrCols.size <= 32,
+      s"scd2 wants 1..32 attribute columns, got ${attrCols.size}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val exRows = existing.withColumn("nf", lead(col("valid_from"), 1).over(w))
+    val opens = exRows.select(col("k") +: attrCols.map(col) :+
+      col("valid_from").as("ts") :+ lit(Long.MinValue).as("tb") :+
+      lit(false).as("is_delete"): _*)
+    val tombs = exRows
+      .filter(col("valid_to").isNotNull &&
+        (col("nf").isNull || col("valid_to") < col("nf")))
+      .select(col("k") +: attrCols.map(a =>
+        lit(null).cast(existing.schema(a).dataType).as(a)) :+
+        col("valid_to").as("ts") :+ lit(Long.MinValue + 1).as("tb") :+
+        lit(true).as("is_delete"): _*)
+    val upd0 = updates.select(col("k") +: attrCols.map(col) :+
+      col("ts") :+ col("tb") :+ col("is_delete"): _*)
+    val upd =
+      if (!validate) upd0
+      else upd0
+        .join(existing.groupBy(col("k")).agg(
+            max(greatest(col("valid_from"),
+              coalesce(col("valid_to"), col("valid_from")))).as("hrz")),
+          Seq("k"), "left")
+        .select(col("k") +: attrCols.map(col) :+
+          when(col("hrz").isNotNull && col("ts") <= col("hrz"),
+            expr("raise_error(concat('scd2MergeAttrsOf: batch row at " +
+              "or before existing horizon for key ', CAST(k AS STRING)))"))
+            .otherwise(col("ts")).as("ts") :+
+          col("tb") :+ col("is_delete"): _*)
+    scd2HistoryAttrsOf(opens.unionByName(tombs).unionByName(upd), attrCols)
+  }
+
+  /** Fixture: tombstoned TWO-attribute stream at CDC grain; first half
+    * becomes the existing table, second half merges in; the oracle is
+    * the one-shot pair collapse over everything. */
+  private def orderUpdatesDeletes2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_custkey").as("k"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status"),
+      expr("TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+
+  def scd2MergeAttrs(s: SparkSession, d: String): DataFrame = {
+    val upd = orderUpdatesDeletes2(s, d)
+    val cut = upd.agg(max(col("tb"))).head.getLong(0) / 2
+    scd2MergeAttrsOf(
+        scd2HistoryAttrsOf(upd.filter(col("tb") <= cut), Seq("prio", "status")),
+        upd.filter(col("tb") > cut), Seq("prio", "status"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  private val scd2MergeAttrsOracle =
+    """WITH u AS (SELECT o_custkey AS k,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderpriority END AS prio,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         ELSE o_orderstatus END AS status,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, prio, status, ts, tb, del,
+      |    lag(prio) OVER w AS pprio, lag(status) OVER w AS pstatus,
+      |    lag(del) OVER w AS pdel FROM u
+      |  WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+      |f AS (SELECT k, prio, status, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel
+      |       OR (NOT del AND NOT pdel
+      |           AND (prio <> pprio OR status <> pstatus)))
+      |SELECT k, prio, status, valid_from, valid_to FROM (
+      |  SELECT k, prio, status, del, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |  FROM f) WHERE NOT del
+      |ORDER BY k, valid_from""".stripMargin
+
   /** Staleness-banded temporal join — [[temporalAttrJoinOf]] with a
     * freshness budget: the attribute matches only when its interval
     * STARTED within `maxAge` before the event (the "don't trust a
@@ -921,6 +1009,51 @@ object Events {
       |GROUP BY 1, 2, 3
       |ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20""".stripMargin
 
+  /** Top event-type trigrams WITHIN sessions — [[eventPathsOf]] with
+    * the lead window keyed on (user, session), so a "path" never spans
+    * an inactivity gap. Shares [[withSessionIds]]; matrix stays
+    * types³-bounded before the top-k. */
+  def sessionPathsOf(events: DataFrame, gap: String = "30 MINUTES",
+                     topK: Int = 20): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"unreasonable topK: $topK")
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    withSessionIds(events, gap)
+      .withColumn("s2", lead(col("event_type"), 1).over(sw))
+      .withColumn("s3", lead(col("event_type"), 2).over(sw))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+      .limit(topK)
+  }
+
+  def sessionPaths(s: SparkSession, d: String): DataFrame =
+    sessionPathsOf(Tables.events(s, d), gap = "1 DAY")
+      .orderBy(col("n_paths").desc, col("s1"), col("s2"), col("s3"))
+
+  private val sessionPathsOracle =
+    """WITH flagged AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 1 DAY
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, event_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT event_type AS s1, s2, s3, count(*) AS n_paths
+      |FROM (SELECT event_type,
+      |    lead(event_type, 1) OVER sw AS s2,
+      |    lead(event_type, 2) OVER sw AS s3
+      |  FROM sess
+      |  WINDOW sw AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, s1, s2, s3 LIMIT 20""".stripMargin
+
   /** DAU/WAU stickiness — the activity-density dashboard row next to
     * [[retentionCohortsOf]]: per day, the distinct users active THAT
     * day (DAU), the distinct users active in the trailing 7 days
@@ -1000,6 +1133,56 @@ object Events {
       |  CAST(count(*) AS BIGINT) AS wau,
       |  CAST(sum(w) AS BIGINT) AS decayed_x64
       |FROM m GROUP BY day ORDER BY day""".stripMargin
+
+  /** User survival table — per day-offset since each user's FIRST
+    * active day: how many users could still be observed at that offset
+    * (their first day is at least `offset` days before the corpus
+    * end), how many actually survived (their LAST active day is >=
+    * `offset` days after their first), and the exact integer-permille
+    * survival rate. Right-censoring is handled the Kaplan-Meier way —
+    * users whose observation window ends before `offset` leave the
+    * at-risk set instead of counting as churned. One (user, day)
+    * distinct + one per-user agg + a bounded offset explode (corpus
+    * span, not corpus size); the corpus end is a 1-row aggregate read
+    * on the driver (the documented scalar pattern — a constant-key
+    * broadcast join would plan the forbidden nested loop). */
+  def userSurvivalOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val end = ud.agg(max(col("day"))).head.getDate(0)
+    ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .select(col("user_id"), datediff(col("l"), col("f")).as("lifespan"),
+        explode(sequence(lit(0), datediff(lit(end), col("f")))).as("offset"))
+      .groupBy(col("offset"))
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum(when(col("lifespan") >= col("offset"), 1L).otherwise(0L))
+          .as("n_survived"))
+      .select(col("offset"), col("n_at_risk"), col("n_survived"),
+        expr("CAST(n_survived * 1000 DIV n_at_risk AS BIGINT)")
+          .as("survival_permille"))
+  }
+
+  def userSurvival(s: SparkSession, d: String): DataFrame =
+    userSurvivalOf(Tables.events(s, d)).orderBy(col("offset"))
+
+  private val userSurvivalOracle =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM ud GROUP BY 1),
+      |g AS (SELECT max(day) AS e FROM ud),
+      |x AS (SELECT u.user_id, (u.l - u.f) AS lifespan,
+      |    CAST(off AS INTEGER) AS off
+      |  FROM u CROSS JOIN g
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, (g.e - u.f) + 1)) AS off))
+      |SELECT off AS offset, CAST(count(*) AS BIGINT) AS n_at_risk,
+      |  CAST(sum(CASE WHEN lifespan >= off THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_survived,
+      |  CAST(sum(CASE WHEN lifespan >= off THEN 1 ELSE 0 END) * 1000
+      |    // count(*) AS BIGINT) AS survival_permille
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** JSON-to-map functions over props (§2.7 map row): parse the JSON
     * object into map<string,long>, inspect keys/values. */
@@ -1345,15 +1528,7 @@ object Events {
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
     val spark = events.sparkSession
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_s", when(col("prev_ts").isNull ||
-        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    val sess = withSessionIds(events, gap)
       .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
       .localCheckpoint()
     var reached = sess.filter(col("event_type") === steps.head)
@@ -1414,6 +1589,25 @@ object Events {
       |    (SELECT count(*) FROM s3), (SELECT count(DISTINCT user_id) FROM s3))
       |ORDER BY step_idx""".stripMargin
 
+  /** Gaps-and-islands sessionization shared by the session-grain
+    * family (funnels, waits, transitions, paths): flag gaps >= the
+    * inactivity timeout, running-sum the flags into per-user session
+    * ids. One user-keyed window; both engines build it identically. */
+  private def withSessionIds(events: DataFrame, gap: String): DataFrame = {
+    require(gap.matches("\\d+ [A-Za-z]+"),
+      s"gap must look like '30 MINUTES', got '$gap'")
+    val uw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(uw))
+      .withColumn("new_s", when(col("prev_ts").isNull ||
+        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .drop("prev_ts", "new_s")
+  }
+
   /** Per-SESSION transition latencies — [[funnelWaitsOf]] keyed on
     * (user, session) the way [[funnelSessionizedOf]] keys its reach:
     * for every inactivity-bounded session that completes step i, the
@@ -1427,15 +1621,7 @@ object Events {
       s"funnel latency wants 2..8 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
-    val uw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(uw))
-      .withColumn("new_s", when(col("prev_ts").isNull ||
-        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    val sess = withSessionIds(events, gap)
       .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
       .localCheckpoint()
     var reached = sess.filter(col("event_type") === steps.head)
@@ -1569,8 +1755,11 @@ object Events {
     * the physical join hashes on (bin, user), so candidates stay
     * per-user-per-window, never per-window across the corpus. One
     * conversion-keyed window then ranks and counts the touches. */
-  def multiTouchAttributionOf(events: DataFrame, convType: String,
-                              touchType: String, maxAgeUs: Long): DataFrame = {
+  /** (conversion, touch) pairs inside the trailing window — the shared
+    * enumeration under the multi-touch credit rules, annotated with
+    * the per-conversion touch count and both rank directions. */
+  private def touchPairsOf(events: DataFrame, convType: String,
+                           touchType: String, maxAgeUs: Long): DataFrame = {
     require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
     require(convType != touchType, "conversion and touch types must differ")
     val touches = events.filter(col("event_type") === touchType)
@@ -1586,12 +1775,61 @@ object Events {
         binWidth = maxAgeUs)
       .filter(col("t_user") === col("c_user"))
       .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rk", row_number().over(
+      .withColumn("rk_last", row_number().over(
         w.orderBy(col("t_us").desc, col("touch_id").desc)))
-      .select(col("conv_id"), col("touch_id"),
-        expr("CAST(1000 DIV n + IF(rk = 1, 1000 % n, 0) AS BIGINT)")
-          .as("credit_permille"))
+      .withColumn("rk_first", row_number().over(
+        w.orderBy(col("t_us"), col("touch_id"))))
   }
+
+  def multiTouchAttributionOf(events: DataFrame, convType: String,
+                              touchType: String, maxAgeUs: Long): DataFrame =
+    touchPairsOf(events, convType, touchType, maxAgeUs)
+      .select(col("conv_id"), col("touch_id"),
+        expr("CAST(1000 DIV n + IF(rk_last = 1, 1000 % n, 0) AS BIGINT)")
+          .as("credit_permille"))
+
+  /** Position-based (U-shaped) attribution over the same pairs: the
+    * first and last touch get 400 permille each, the middles split the
+    * remaining 200 integer-evenly with the division remainder going to
+    * the last touch; n=1 gets all 1000, n=2 splits 500/500 — every
+    * conversion's credits sum to exactly 1000 by construction. */
+  def uShapedAttributionOf(events: DataFrame, convType: String,
+                           touchType: String, maxAgeUs: Long): DataFrame =
+    touchPairsOf(events, convType, touchType, maxAgeUs)
+      .select(col("conv_id"), col("touch_id"),
+        expr("""CAST(CASE
+          WHEN n = 1 THEN 1000
+          WHEN n = 2 THEN 500
+          WHEN rk_first = 1 THEN 400
+          WHEN rk_last = 1 THEN 400 + 200 % (n - 2)
+          ELSE 200 DIV (n - 2) END AS BIGINT)""").as("credit_permille"))
+
+  def uShapedAttribution(s: SparkSession, d: String): DataFrame =
+    uShapedAttributionOf(Tables.events(s, d), convType = "purchase",
+        touchType = "click", maxAgeUs = 3L * 24 * 3600 * 1000000)
+      .orderBy(col("conv_id"), col("touch_id"))
+
+  private val uShapedAttributionOracle =
+    """WITH t AS (SELECT event_id AS touch_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (SELECT c.conv_id, t.touch_id,
+      |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+      |    row_number() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk_last,
+      |    row_number() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts, t.touch_id) AS rk_first
+      |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |    AND t.ts >= c.ts - INTERVAL 3 DAYS)
+      |SELECT conv_id, touch_id,
+      |  CAST(CASE
+      |    WHEN n = 1 THEN 1000
+      |    WHEN n = 2 THEN 500
+      |    WHEN rk_first = 1 THEN 400
+      |    WHEN rk_last = 1 THEN 400 + 200 % (n - 2)
+      |    ELSE 200 // (n - 2) END AS BIGINT) AS credit_permille
+      |FROM j ORDER BY conv_id, touch_id""".stripMargin
 
   def multiTouchAttribution(s: SparkSession, d: String): DataFrame =
     multiTouchAttributionOf(Tables.events(s, d), convType = "purchase",
@@ -1745,16 +1983,7 @@ object Events {
     * stays types²-bounded. */
   def sessionTransitionsOf(events: DataFrame,
                            gap: String = "30 MINUTES"): DataFrame = {
-    require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
-    val uw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val sess = events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(uw))
-      .withColumn("new_s", when(col("prev_ts").isNull ||
-        col("ts") >= expr(s"prev_ts + INTERVAL $gap"), 1L).otherwise(0L))
-      .withColumn("sid", sum(col("new_s")).over(
-        uw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    val sess = withSessionIds(events, gap)
     val sw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("sid")).orderBy(col("ts"), col("event_id"))
     sess
@@ -1906,6 +2135,10 @@ object Events {
     "temporal_attrs_join"    -> (temporalAttrsJoin _),
     "temporal_join_band"     -> (temporalJoinBand _),
     "dau_decayed"            -> (dauDecayed _),
+    "user_survival"          -> (userSurvival _),
+    "scd2_merge_attrs"       -> (scd2MergeAttrs _),
+    "session_path_trigrams"  -> (sessionPaths _),
+    "u_shaped_attribution"   -> (uShapedAttribution _),
     "event_path_trigrams"    -> (eventPaths _),
     "funnel_steps"           -> (funnelSteps _),
     "scd2_history"           -> (scd2History _),
@@ -1951,6 +2184,10 @@ object Events {
     "temporal_attrs_join"    -> temporalAttrsJoinOracle,
     "temporal_join_band"     -> temporalJoinBandOracle,
     "dau_decayed"            -> dauDecayedOracle,
+    "user_survival"          -> userSurvivalOracle,
+    "scd2_merge_attrs"       -> scd2MergeAttrsOracle,
+    "session_path_trigrams"  -> sessionPathsOracle,
+    "u_shaped_attribution"   -> uShapedAttributionOracle,
     "event_path_trigrams"    -> eventPathsOracle,
     "funnel_steps"           -> funnelStepsOracle,
     "scd2_history"           -> scd2HistoryOracle,

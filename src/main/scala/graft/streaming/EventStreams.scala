@@ -691,6 +691,61 @@ object EventStreams {
       .select(col("prev_doc"), col("next_doc"))
   }
 
+  /** Streaming face of `Events.touchAttributionOf` — first/last-touch
+    * attribution as keyed state instead of a RANGE window: per user,
+    * the state is the trailing-window touch buffer (pruned on every
+    * event, so it holds at most one window's touches — the same bound
+    * the batch frame enjoys); a conversion emits its attribution row
+    * immediately, micro-batch by micro-batch. Rows inside a batch are
+    * sorted by (ts, event_id) before folding; ACROSS batches the feed
+    * must be time-ordered per user (the CDC contract every stateful
+    * gate here shares) — production feeds enforce it with the
+    * watermark, which also GCs idle users' state via the event-time
+    * timeout. Emits epoch-micros so the batch-agreement spec compares
+    * exactly. */
+  def attributionStream(spark: org.apache.spark.sql.SparkSession,
+                        events: DataFrame, convType: String,
+                        touchType: String, maxAgeUs: Long,
+                        watermark: String = "10 minutes"): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
+    require(convType != touchType, "conversion and touch types must differ")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val maxAgeMs = math.max(1L, maxAgeUs / 1000L)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[TouchBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def us(ts: java.sql.Timestamp): Long =
+              ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+            val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4))
+              .sortBy(r => (r._1, r._2))
+            var buf = state.getOption.map(_.touches).getOrElse(Nil)
+            val out = Seq.newBuilder[(Long, Long, Long, Option[Long], Option[Long], Long)]
+            for ((eUs, id, typ) <- sorted) {
+              buf = buf.dropWhile(_._1 < eUs - maxAgeUs)
+              if (typ == convType) {
+                val in = buf.filter(_._1 < eUs)
+                out += ((id, userId, eUs, in.lastOption.map(_._2),
+                  in.headOption.map(_._2), in.size.toLong))
+              } else if (typ == touchType) buf = buf :+ ((eUs, id))
+            }
+            state.update(TouchBuf(buf))
+            sorted.lastOption.foreach(last =>
+              state.setTimeoutTimestamp(last._1 / 1000L + maxAgeMs))
+            out.result().iterator
+          }
+      }
+      .toDF("event_id", "user_id", "ts_us", "last_touch_id",
+        "first_touch_id", "n_touches")
+  }
+
   /** Streaming SCD2 ingest — CDC micro-batches fold through
     * `Events.scd2MergeDeletesOf` into a committed SCD2 table artifact:
     * each batch merges against the latest committed table version and
@@ -946,3 +1001,7 @@ case class QuotaUsed(n: Long)
 
 /** State record for EventStreams.closedSessions. */
 case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)
+
+/** Trailing-window touch buffer for [[EventStreams.attributionStream]]:
+  * (epoch-micros, event_id) ascending, pruned to one window's span. */
+case class TouchBuf(touches: Seq[(Long, Long)])

@@ -892,6 +892,106 @@ class OperatorPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("u-shaped credits: conserve 1000, endpoints dominate middles, same pairs as linear (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val age = 3L * 24 * 3600 * 1000000
+    val ush = Events.uShapedAttributionOf(ev, "purchase", "click", age)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lin = Events.multiTouchAttributionOf(ev, "purchase", "click", age)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ush.map(r => (r._1, r._2)).toSet == lin,
+      "u-shaped and linear must enumerate the identical pair set")
+    for ((conv, rows) <- ush.groupBy(_._1)) {
+      assert(rows.map(_._3).sum == 1000L, s"conv $conv: credits must sum to 1000")
+      if (rows.size >= 3) {
+        val credits = rows.map(_._3)
+        val mid = credits.filter(c => c < 400).maxOption.getOrElse(0L)
+        assert(credits.count(_ >= 400) == 2 && mid <= 200,
+          s"conv $conv: endpoints must carry 400+, middles <= 200: $credits")
+      }
+      if (rows.size == 1) assert(rows.head._3 == 1000L)
+      if (rows.size == 2) assert(rows.forall(_._3 == 500L))
+    }
+    assert(ush.groupBy(_._1).exists(_._2.size >= 3),
+      "fixture must exercise the three-plus-touch U-shape")
+  }
+
+  test("multi-attr scd2 merge equals one-shot recompute on every ordered split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val upd = (1 to 80).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"x${rnd.nextInt(3)}",
+        if (del) null else s"y${rnd.nextInt(2)}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong, del)
+    }
+    def frame(rows: Seq[(Long, String, String, java.sql.Timestamp, Long, Boolean)]) =
+      rows.toDF("k", "prio", "status", "ts", "tb", "is_delete")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getTimestamp(3).toString,
+        Option(r.getTimestamp(4)).map(_.toString))).toSet
+    val attrs = Seq("prio", "status")
+    val oneShot = shape(Events.scd2HistoryAttrsOf(frame(upd), attrs))
+    assert(upd.count(_._6) > 5 && oneShot.size > 8)
+    for (cut <- Seq(1, 20, 40, 60, 79)) {
+      val (a, b) = upd.splitAt(cut)
+      val merged = shape(Events.scd2MergeAttrsOf(
+        Events.scd2HistoryAttrsOf(frame(a), attrs), frame(b), attrs))
+      assert(merged == oneShot, s"cut=$cut: merged != one-shot")
+    }
+  }
+
+  test("survival table: censoring-aware counts, monotone at-risk, offset 0 covers everyone (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val rows = Events.userSurvivalOf(ev).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val act = ev.select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).toSeq
+    val users = act.groupBy(_._1).view.mapValues(ds =>
+      (ds.map(_._2).min, ds.map(_._2).max)).toMap
+    val end = act.map(_._2).max
+    // brute force, user by user
+    import java.time.temporal.ChronoUnit.DAYS
+    val want = rows.map(_._1).map { off =>
+      val atRisk = users.values.count(u => DAYS.between(u._1, end) >= off)
+      val survived = users.values.count(u =>
+        DAYS.between(u._1, end) >= off && DAYS.between(u._1, u._2) >= off)
+      (off, atRisk.toLong, survived.toLong,
+        survived.toLong * 1000 / atRisk)
+    }
+    assert(rows.toSeq == want.toSeq, s"first diffs: ${rows.zip(want).filter(p => p._1 != p._2).take(3)}")
+    assert(rows.head._1 == 0 && rows.head._2 == users.size &&
+      rows.head._3 == users.size && rows.head._4 == 1000L)
+    assert(rows.map(_._2).zip(rows.tail.map(_._2)).forall { case (a, b) => a >= b },
+      "at-risk must be non-increasing in offset")
+    assert(rows.forall(r => r._3 <= r._2))
+  }
+
+  test("session paths with a corpus-wide gap equal the user-grain paths (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))
+    val wide = Events.sessionPathsOf(ev, gap = "90 DAYS").collect().map(key).toSet
+    val user = Events.eventPathsOf(ev).collect().map(key).toSet
+    assert(wide == user)
+    // and a tight gap strictly removes cross-gap trigrams
+    val tightTotal = Events.sessionPathsOf(ev, gap = "30 MINUTES", topK = 10000)
+      .collect().map(_.getLong(3)).sum
+    val wideTotal = Events.sessionPathsOf(ev, gap = "90 DAYS", topK = 10000)
+      .collect().map(_.getLong(3)).sum
+    assert(tightTotal < wideTotal,
+      s"tight-gap trigram mass $tightTotal !< $wideTotal")
+  }
+
   test("funnel drop-off partitions the reach losses; next types come from real events (sf0.001)") {
     import org.apache.spark.sql.functions.col
     val sf = "/root/testdata/sf0.001"

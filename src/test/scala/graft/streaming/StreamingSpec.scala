@@ -941,6 +941,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.readScd2TableOpt(spark, fresh).isEmpty)
   }
 
+  test("streaming attribution gate agrees with the batch window scan across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    // random second-grain events with same-user same-ts collisions
+    // (the tie-break path), time-ordered across batches per the gate's
+    // CDC contract
+    val rnd = new scala.util.Random(53)
+    val types = Seq("click", "purchase", "view")
+    val evs = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(3600) * 1000L),
+        types(rnd.nextInt(3)))
+    }.sortBy(e => (e._3.getTime, e._1))
+    val ageUs = 10L * 60 * 1000000
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStreams.attributionStream(spark,
+        in.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs)
+      .writeStream.format("memory").queryName("attr_gate")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(100)) {
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("attr_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5))).toSet
+    val want = graft.operators.Events.touchAttributionOf(
+        evs.toDF("event_id", "user_id", "ts", "event_type"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")),
+        col("last_touch_id"), col("first_touch_id"), col("n_touches"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getLong(5))).toSet
+    assert(got == want, s"stream != batch; stream-only: ${(got diff want).take(3)}; " +
+      s"batch-only: ${(want diff got).take(3)}")
+    // the fixture really exercised multi-touch windows and silence
+    assert(want.exists(_._6 >= 2) && want.exists(_._6 == 0))
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
