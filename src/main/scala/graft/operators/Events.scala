@@ -1950,6 +1950,119 @@ object Events {
       |  FROM d2 LEFT JOIN x2 USING (user_id) GROUP BY 3)
       |ORDER BY step_idx, n_users DESC, next_type""".stripMargin
 
+  /** Session summary distribution — per session-size bucket
+    * (events per session), how many sessions and their total duration
+    * (exact epoch-micros arithmetic, so the oracle compares
+    * integer-for-integer). The dashboard row that tells you whether
+    * sessions are drive-bys or real visits. One sessionization window
+    * + one (user, sid) agg + one size-keyed agg; output is bounded by
+    * the largest session, not the corpus. */
+  def sessionStatsOf(events: DataFrame,
+                     gap: String = "30 MINUTES"): DataFrame =
+    withSessionIds(events, gap)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("dur_us"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_us")).as("total_duration_us"))
+
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    sessionStatsOf(Tables.events(s, d)).orderBy(col("n_events"))
+
+  private val sessionStatsOracle =
+    """WITH flagged AS (SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTES
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, ts,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |s AS (SELECT user_id, sid, count(*) AS n_events,
+      |    CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(dur_us) AS BIGINT) AS total_duration_us
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Funnel reach BY COHORT — the acquisition-quality question "do
+    * later signups convert like earlier ones": per weekly first-seen
+    * cohort and funnel step (with the per-step deadline), the distinct
+    * users of that cohort who reached the step. Composes the
+    * [[retentionCohortsOf]] cohort grain with the [[funnelStepsOf]]
+    * step loop; one extra user-keyed join per step against the
+    * (user, cohort) frame. */
+  def funnelCohortsOf(events: DataFrame, steps: Seq[String],
+                      maxWait: Option[String] = None): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel cohorts wants 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
+      s"maxWait must look like '12 HOURS', got '$w'"))
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
+      .localCheckpoint()
+    var reached = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      .localCheckpoint()
+    def slice(df: DataFrame, idx: Int, step: String): DataFrame =
+      df.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(col("cohort"), lit(idx).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+        .localCheckpoint()
+    var out = slice(reached, 1, steps.head)
+    for ((step, i) <- steps.tail.zipWithIndex) {
+      val within = maxWait
+        .map(w => expr(s"ts <= prev_t + INTERVAL $w"))
+        .getOrElse(lit(true))
+      reached = events.filter(col("event_type") === step)
+        .join(reached.select(col("user_id"), col("t").as("prev_t")),
+          Seq("user_id"))
+        .filter(col("ts") > col("prev_t") && within)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+        .localCheckpoint()
+      out = out.unionByName(slice(reached, i + 2, step))
+    }
+    out
+  }
+
+  def funnelCohorts(s: SparkSession, d: String): DataFrame =
+    funnelCohortsOf(Tables.events(s, d), Seq("signup", "click", "purchase"),
+        maxWait = Some("12 HOURS"))
+      .orderBy(col("cohort"), col("step_idx"))
+
+  private val funnelCohortsOracle =
+    """WITH coh AS (SELECT user_id,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY 1),
+      |s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 12 HOURS
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |    AND e.ts <= s2.t + INTERVAL 12 HOURS
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT cohort, step_idx, step, n_users FROM (
+      |  SELECT cohort, 1 AS step_idx, 'signup' AS step,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM coh JOIN s1 USING (user_id) GROUP BY 1
+      |  UNION ALL
+      |  SELECT cohort, 2, 'click', CAST(count(*) AS BIGINT)
+      |  FROM coh JOIN s2 USING (user_id) GROUP BY 1
+      |  UNION ALL
+      |  SELECT cohort, 3, 'purchase', CAST(count(*) AS BIGINT)
+      |  FROM coh JOIN s3 USING (user_id) GROUP BY 1)
+      |ORDER BY cohort, step_idx""".stripMargin
+
   /** The full event-type Markov transition matrix — the generalization
     * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
     * the transition count and its permille share of the source type's
@@ -2153,6 +2266,8 @@ object Events {
     "funnel_session_latency" -> (funnelSessionLatency _),
     "funnel_session_latency_agreement" -> (funnelSessionLatencyAgreement _),
     "funnel_sessionized"     -> (funnelSessionized _),
+    "session_stats"          -> (sessionStats _),
+    "funnel_cohorts"         -> (funnelCohorts _),
     "funnel_dropoff"         -> (funnelDropoff _),
     "touch_attribution"      -> (touchAttribution _),
     "multi_touch_attribution" -> (multiTouchAttribution _),
@@ -2196,6 +2311,8 @@ object Events {
     "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
     "funnel_session_latency_agreement" -> funnelSessionLatencyAgreementOracle,
     "funnel_sessionized"     -> funnelSessionizedOracle,
+    "session_stats"          -> sessionStatsOracle,
+    "funnel_cohorts"         -> funnelCohortsOracle,
     "funnel_dropoff"         -> funnelDropoffOracle,
     "touch_attribution"      -> touchAttributionOracle,
     "multi_touch_attribution" -> multiTouchAttributionOracle,

@@ -707,6 +707,47 @@ object EventStreams {
                         events: DataFrame, convType: String,
                         touchType: String, maxAgeUs: Long,
                         watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    touchFoldStream(spark, events, convType, touchType, maxAgeUs, watermark) {
+      (convId, userId, eUs, in) => Iterator((convId, userId, eUs,
+        in.lastOption.map(_._2), in.headOption.map(_._2), in.size.toLong))
+    }
+      .toDF("event_id", "user_id", "ts_us", "last_touch_id",
+        "first_touch_id", "n_touches")
+  }
+
+  /** Streaming face of `Events.multiTouchAttributionOf` — the same
+    * trailing-window state fold, emitting one LINEAR-credit row per
+    * (conversion, touch) pair the moment the conversion arrives; the
+    * credit arithmetic is the batch operator's exactly (1000 DIV n,
+    * remainder to the last touch). Zero-touch conversions emit
+    * nothing, matching the batch inner enumeration. */
+  def multiTouchAttributionStream(spark: org.apache.spark.sql.SparkSession,
+                                  events: DataFrame, convType: String,
+                                  touchType: String, maxAgeUs: Long,
+                                  watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    touchFoldStream(spark, events, convType, touchType, maxAgeUs, watermark) {
+      (convId, _, _, in) =>
+        val n = in.size.toLong
+        in.iterator.zipWithIndex.map { case ((_, touchId), i) =>
+          (convId, touchId,
+            1000L / n + (if (i == in.size - 1) 1000L % n else 0L))
+        }
+    }
+      .toDF("conv_id", "touch_id", "credit_permille")
+  }
+
+  /** The shared trailing-window touch fold under both attribution
+    * faces: keyed state holds one window's touches (ascending, pruned
+    * on every event, GC'd by the event-time timeout); `emit` renders a
+    * conversion's rows from its in-window touch list. */
+  private def touchFoldStream[T: org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      convType: String, touchType: String, maxAgeUs: Long,
+      watermark: String)(
+      emit: (Long, Long, Long, Seq[(Long, Long)]) => Iterator[T]):
+      org.apache.spark.sql.Dataset[T] = {
     require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
     require(convType != touchType, "conversion and touch types must differ")
     import spark.implicits._
@@ -727,14 +768,12 @@ object EventStreams {
             val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4))
               .sortBy(r => (r._1, r._2))
             var buf = state.getOption.map(_.touches).getOrElse(Nil)
-            val out = Seq.newBuilder[(Long, Long, Long, Option[Long], Option[Long], Long)]
+            val out = Seq.newBuilder[T]
             for ((eUs, id, typ) <- sorted) {
               buf = buf.dropWhile(_._1 < eUs - maxAgeUs)
-              if (typ == convType) {
-                val in = buf.filter(_._1 < eUs)
-                out += ((id, userId, eUs, in.lastOption.map(_._2),
-                  in.headOption.map(_._2), in.size.toLong))
-              } else if (typ == touchType) buf = buf :+ ((eUs, id))
+              if (typ == convType)
+                out ++= emit(id, userId, eUs, buf.filter(_._1 < eUs))
+              else if (typ == touchType) buf = buf :+ ((eUs, id))
             }
             state.update(TouchBuf(buf))
             sorted.lastOption.foreach(last =>
@@ -742,8 +781,6 @@ object EventStreams {
             out.result().iterator
           }
       }
-      .toDF("event_id", "user_id", "ts_us", "last_touch_id",
-        "first_touch_id", "n_touches")
   }
 
   /** Streaming SCD2 ingest — CDC micro-batches fold through

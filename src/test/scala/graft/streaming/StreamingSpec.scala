@@ -984,6 +984,28 @@ class StreamingSpec extends AnyFunSuite {
       s"batch-only: ${(want diff got).take(3)}")
     // the fixture really exercised multi-touch windows and silence
     assert(want.exists(_._6 >= 2) && want.exists(_._6 == 0))
+    // the multi-touch face over the same feed equals the batch
+    // interval-join credits, pair for pair
+    val in2 = MemoryStream[(Long, Long, Timestamp, String)]
+    val q2 = EventStreams.multiTouchAttributionStream(spark,
+        in2.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs)
+      .writeStream.format("memory").queryName("attr_mt_gate")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(100)) {
+      in2.addData(chunk: _*)
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    val gotMt = spark.table("attr_mt_gate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantMt = graft.operators.Events.multiTouchAttributionOf(
+        evs.toDF("event_id", "user_id", "ts", "event_type"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotMt == wantMt, s"stream-only: ${(gotMt diff wantMt).take(3)}; " +
+      s"batch-only: ${(wantMt diff gotMt).take(3)}")
+    assert(wantMt.nonEmpty)
   }
 
   test("quota sampler admits at most N per stratum across batches and restarts") {
