@@ -647,6 +647,83 @@ object Events {
         col("ts").as("valid_from") :+ col("valid_to"): _*)
   }
 
+  /** Sparse-attribute backfill over an SCD2 history — the warehouse
+    * "carry the dimension forward" chore: intervals whose sparse
+    * attribute is NULL inherit the key's most recent non-null value,
+    * but only within a CONTIGUOUS run of intervals — a tombstone gap
+    * erases, so post-gap intervals never read a pre-delete value. Two
+    * windows on the one key shuffle: a run id from the
+    * valid_to==next-valid_from chain, then last(ignoreNulls) inside
+    * (key, run). */
+  def scd2AttrBackfillOf(history: DataFrame,
+                         fillCols: Seq[String]): DataFrame = {
+    require(fillCols.nonEmpty && fillCols.size <= 32,
+      s"backfill wants 1..32 columns, got ${fillCols.size}")
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("valid_from"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("_run")).orderBy(col("valid_from"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val runs = history
+      .withColumn("_pvt", lag(col("valid_to"), 1).over(wk))
+      .withColumn("_new", when(col("_pvt").isNull ||
+        col("_pvt") =!= col("valid_from"), 1L).otherwise(0L))
+      .withColumn("_run", sum(col("_new")).over(
+        wk.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+    fillCols.foldLeft(runs) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(wr))
+      }
+      .drop("_pvt", "_new", "_run")
+  }
+
+  /** Fixture: a two-attribute history whose `status` is populated on
+    * every third change only (prio is change-point-unique, so both
+    * engines keep every live row without comparing the sparse
+    * column); tombstones every 7th update cut real gaps the backfill
+    * must not cross. */
+  def scd2AttrBackfill(s: SparkSession, d: String): DataFrame = {
+    val upd = Tables.orders(s, d).select(
+      (col("o_custkey") % 50).as("k"),
+      concat(col("o_orderpriority"), lit("#"), col("o_orderkey")).as("prio"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(when(col("o_orderkey") % 3 === 0, col("o_orderstatus")))
+        .as("status"),
+      expr("TIMESTAMP '1992-01-01 00:00:00' + make_dt_interval(0, 0, 0, o_orderkey)").as("ts"),
+      col("o_orderkey").as("tb"),
+      (col("o_orderkey") % 7 === 0).as("is_delete"))
+    scd2AttrBackfillOf(
+        scd2HistoryAttrsOf(upd, Seq("prio", "status")), Seq("status"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  private val scd2AttrBackfillOracle =
+    """WITH u AS (SELECT o_custkey % 50 AS k,
+      |    o_orderpriority || '#' || o_orderkey AS prio,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+      |         WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS status,
+      |    TIMESTAMP '1992-01-01 00:00:00' + INTERVAL (o_orderkey) SECOND AS ts,
+      |    o_orderkey AS tb, o_orderkey % 7 = 0 AS del FROM orders),
+      |c AS (SELECT k, prio, status, ts, tb, del,
+      |    lag(del) OVER (PARTITION BY k ORDER BY ts, tb) AS pdel FROM u),
+      |f AS (SELECT k, prio, status, ts, tb, del FROM c
+      |    WHERE pdel IS NULL OR del <> pdel OR (NOT del AND NOT pdel)),
+      |h AS (SELECT k, prio, status, valid_from, valid_to FROM (
+      |    SELECT k, prio, status, del, ts AS valid_from,
+      |      lead(ts) OVER (PARTITION BY k ORDER BY ts, tb) AS valid_to
+      |    FROM f) WHERE NOT del),
+      |r AS (SELECT *, CASE WHEN lag(valid_to) OVER wk IS NULL
+      |      OR lag(valid_to) OVER wk <> valid_from THEN 1 ELSE 0 END AS new_run
+      |  FROM h WINDOW wk AS (PARTITION BY k ORDER BY valid_from)),
+      |r2 AS (SELECT *, sum(new_run) OVER (PARTITION BY k ORDER BY valid_from
+      |    ROWS UNBOUNDED PRECEDING) AS run FROM r)
+      |SELECT k, prio,
+      |  last_value(status IGNORE NULLS) OVER (PARTITION BY k, run
+      |    ORDER BY valid_from ROWS UNBOUNDED PRECEDING) AS status,
+      |  valid_from, valid_to
+      |FROM r2 ORDER BY k, valid_from""".stripMargin
+
   /** Multi-attribute temporal join — [[temporalAttrJoinOf]] where the
     * history carries a STRUCT of attributes: the carry-forward marker
     * transports all of them in one struct (one window, one shuffle,
@@ -1167,6 +1244,50 @@ object Events {
 
   def userSurvival(s: SparkSession, d: String): DataFrame =
     userSurvivalOf(Tables.events(s, d)).orderBy(col("offset"))
+
+  /** [[userSurvivalOf]] at the weekly first-seen cohort grain — the
+    * "do later cohorts retain like earlier ones" curve. Same bounded
+    * explode with the cohort riding as one more group key. */
+  def survivalCohortsOf(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .distinct()
+      .localCheckpoint()
+    val end = ud.agg(max(col("day"))).head.getDate(0)
+    ud.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"), max(col("day")).as("l"))
+      .select(date_trunc("week", col("f")).cast("date").as("cohort"),
+        datediff(col("l"), col("f")).as("lifespan"),
+        explode(sequence(lit(0), datediff(lit(end), col("f")))).as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_at_risk"),
+        sum(when(col("lifespan") >= col("offset"), 1L).otherwise(0L))
+          .as("n_survived"))
+      .select(col("cohort"), col("offset"), col("n_at_risk"),
+        col("n_survived"),
+        expr("CAST(n_survived * 1000 DIV n_at_risk AS BIGINT)")
+          .as("survival_permille"))
+  }
+
+  def survivalCohorts(s: SparkSession, d: String): DataFrame =
+    survivalCohortsOf(Tables.events(s, d))
+      .orderBy(col("cohort"), col("offset"))
+
+  private val survivalCohortsOracle =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM ud GROUP BY 1),
+      |g AS (SELECT max(day) AS e FROM ud),
+      |x AS (SELECT CAST(date_trunc('week', u.f) AS DATE) AS cohort,
+      |    (u.l - u.f) AS lifespan, CAST(off AS INTEGER) AS off
+      |  FROM u CROSS JOIN g
+      |  CROSS JOIN LATERAL (SELECT unnest(range(0, (g.e - u.f) + 1)) AS off))
+      |SELECT cohort, off AS offset, CAST(count(*) AS BIGINT) AS n_at_risk,
+      |  CAST(sum(CASE WHEN lifespan >= off THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_survived,
+      |  CAST(sum(CASE WHEN lifespan >= off THEN 1 ELSE 0 END) * 1000
+      |    // count(*) AS BIGINT) AS survival_permille
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val userSurvivalOracle =
     """WITH ud AS (SELECT DISTINCT user_id,
@@ -2249,7 +2370,9 @@ object Events {
     "temporal_join_band"     -> (temporalJoinBand _),
     "dau_decayed"            -> (dauDecayed _),
     "user_survival"          -> (userSurvival _),
+    "survival_cohorts"       -> (survivalCohorts _),
     "scd2_merge_attrs"       -> (scd2MergeAttrs _),
+    "scd2_attr_backfill"     -> (scd2AttrBackfill _),
     "session_path_trigrams"  -> (sessionPaths _),
     "u_shaped_attribution"   -> (uShapedAttribution _),
     "event_path_trigrams"    -> (eventPaths _),
@@ -2300,7 +2423,9 @@ object Events {
     "temporal_join_band"     -> temporalJoinBandOracle,
     "dau_decayed"            -> dauDecayedOracle,
     "user_survival"          -> userSurvivalOracle,
+    "survival_cohorts"       -> survivalCohortsOracle,
     "scd2_merge_attrs"       -> scd2MergeAttrsOracle,
+    "scd2_attr_backfill"     -> scd2AttrBackfillOracle,
     "session_path_trigrams"  -> sessionPathsOracle,
     "u_shaped_attribution"   -> uShapedAttributionOracle,
     "event_path_trigrams"    -> eventPathsOracle,

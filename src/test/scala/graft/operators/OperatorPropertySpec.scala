@@ -975,6 +975,60 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(rows.forall(r => r._3 <= r._2))
   }
 
+  test("scd2 backfill carries within contiguous runs only; brute-force agreement") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    // change-point-unique prio, sparse status, tombstones cutting gaps
+    val upd = (1 to 80).map { i =>
+      val del = rnd.nextInt(5) == 0
+      (rnd.nextInt(4).toLong,
+        if (del) null else s"p$i",
+        if (del || rnd.nextInt(3) != 0) null else s"s${rnd.nextInt(3)}",
+        java.sql.Timestamp.valueOf(
+          f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), i.toLong, del)
+    }
+    val hist = Events.scd2HistoryAttrsOf(
+        upd.toDF("k", "prio", "status", "ts", "tb", "is_delete"),
+        Seq("prio", "status"))
+      .localCheckpoint()
+    val got = Events.scd2AttrBackfillOf(hist, Seq("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        Option(r.getString(2))).toMap
+    // brute force: per key, order intervals, reset carry at every gap
+    val rows = hist.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)), r.getTimestamp(3), Option(r.getTimestamp(4))))
+    val want = rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+      val sorted = rs.toSeq.sortBy(_._4.getTime)
+      var carry: Option[String] = None
+      var prevTo: Option[java.sql.Timestamp] = None
+      sorted.map { case (k, prio, status, vf, vt) =>
+        if (!prevTo.contains(vf)) carry = None // gap or run head
+        carry = status.orElse(carry)
+        prevTo = vt
+        (k, prio) -> carry
+      }
+    }.toMap
+    assert(got == want, s"first diffs: ${(got.toSet diff want.toSet).take(5)}")
+    // the fixture exercised both a real fill and a gap-blocked null
+    val rawNulls = rows.count(_._3.isEmpty)
+    val filledNulls = rawNulls - got.values.count(_.isEmpty)
+    assert(filledNulls > 0 && got.values.exists(_.isEmpty),
+      s"fixture must fill some nulls ($filledNulls) and leave some (gap heads)")
+  }
+
+  test("cohort survival sums to the global survival table (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+    val byCohort = Events.survivalCohortsOf(ev).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val global = Events.userSurvivalOf(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byCohort == global,
+      "per-cohort at-risk/survived must sum to the global table")
+  }
+
   test("session paths with a corpus-wide gap equal the user-grain paths (sf0.001)") {
     val sf = "/root/testdata/sf0.001"
     val ev = graft.Tables.events(SparkSpec.session, sf)
