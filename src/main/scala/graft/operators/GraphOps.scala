@@ -2003,7 +2003,8 @@ object GraphOps {
     * internal weight is internal whatever community it joins), so the
     * Q probes omit that constant — comparisons are unaffected. */
   private def refineLoop(und: DataFrame, seed: DataFrame, maxSweeps: Int,
-                         selfW: Option[DataFrame] = None): DataFrame = {
+                         selfW: Option[DataFrame] = None,
+                         identitySeed: Boolean = false): DataFrame = {
     require(maxSweeps >= 1 && maxSweeps <= 10,
       s"unreasonable maxSweeps: $maxSweeps")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
@@ -2017,31 +2018,57 @@ object GraphOps {
         .select(col("node"),
           (col("k") + lit(2) * coalesce(col("sw"), lit(0))).cast(dec).as("k")))
       .localCheckpoint()
-    val undW = Option(und.agg(sum(col("w")).cast(dec)).head.getDecimal(0))
-      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
-    val selfWSum = selfW.flatMap(sw =>
-        Option(sw.agg(sum(col("sw")).cast(dec)).head.getDecimal(0)))
-      .map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+
+    // Collect several 1-row decimal aggregates in ONE Spark action (a
+    // tagged union): the loop's driver scalars are tiny but each
+    // `.head` is a whole job, and at sweeps × levels × probes the JOB
+    // COUNT — not data volume — dominated the Louvain family's wall
+    // clock. Null sums (empty frames) read as 0.
+    def probeAll(parts: Seq[(String, DataFrame)]): Map[String, BigInt] =
+      parts.map { case (nm, f) =>
+          f.select(lit(nm).as("tag"), col(f.columns.head).cast(dec).as("v")) }
+        .reduce(_ unionByName _)
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) BigInt(0)
+                                     else BigInt(r.getDecimal(1).toBigInteger)))
+        .toMap
+
+    // One fused constants job: total edge weight, self-loop weight,
+    // and (for identity seeds) Σk² — the seed Q, see below.
+    val consts = probeAll(Seq(
+        "undw" -> und.agg(coalesce(sum(col("w")), lit(0)).cast(dec).as("v"))) ++
+      selfW.map(sw => "sw" ->
+        sw.agg(coalesce(sum(col("sw")), lit(0)).cast(dec).as("v"))) ++
+      (if (identitySeed) Seq("k2" ->
+        deg.agg(coalesce(sum(col("k") * col("k")), lit(0)).cast(dec).as("v")))
+       else Nil))
+    val undW = consts("undw")
+    val selfWSum = consts.getOrElse("sw", BigInt(0))
     require(undW + selfWSum > 0, "community refinement over an empty graph")
     val m4 = 4 * (undW + selfWSum)
 
     // Q×4W² of a partition (up to the constant self-loop internal
-    // term) — two 1-row probes (internal weight, Σvol²)
+    // term) — internal weight and Σvol², fused into one probe job
     def q4m2(lbls: DataFrame): BigInt = {
       val internal = und
         .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
         .join(lbls.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
         .filter(col("lu") === col("lv"))
-        .agg(coalesce(sum(col("w")), lit(0)).cast(dec)).head.getDecimal(0)
+        .agg(coalesce(sum(col("w")), lit(0)).cast(dec).as("v"))
       val volsq = lbls.join(deg, Seq("node"))
         .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0)).cast(dec))
-        .head.getDecimal(0)
-      m4 * BigInt(internal.toBigInteger) - BigInt(volsq.toBigInteger)
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0)).cast(dec).as("v"))
+      val p = probeAll(Seq("i" -> internal, "s" -> volsq))
+      m4 * p("i") - p("s")
     }
 
     var labels = seed.localCheckpoint()
-    var qo = q4m2(labels)
+    // Identity seeds (each node its own community — the upper Louvain
+    // levels) have a CLOSED-FORM probe value: internal_between = 0 (no
+    // two distinct nodes share a community) and Σvol² = Σk², so the
+    // seed Q is −Σk² — already collected in the constants job, no
+    // label-joined recompute needed.
+    var qo = if (identitySeed) -consts("k2") else q4m2(labels)
     var sweep = 0
     var rejects = 0
     // early exit only after BOTH directions reject at the same labels
@@ -2429,7 +2456,8 @@ object GraphOps {
       val seed = wund.select(col("u").as("node"))
         .union(wund.select(col("v").as("node"))).distinct()
         .select(col("node"), col("node").as("lbl"))
-      val superL = refineLoop(wund, seed, superSweeps, Some(selfW))
+      val superL = refineLoop(wund, seed, superSweeps, Some(selfW),
+        identitySeed = true)
         .select(col("node").as("community"), col("community").as("c2"))
       labels = labels.join(superL, Seq("community"), "left")
         .select(col("node"),
