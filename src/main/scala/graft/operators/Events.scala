@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -621,11 +621,15 @@ object Events {
     * [[scd2HistoryDeletesOf]]: change detection runs on the TUPLE of
     * attribute columns (a row survives when ANY attribute moved while
     * live), tombstones close and re-inserts re-open exactly as in the
-    * single-attr shape. Same one-shuffle scale story. Precondition
-    * (same as the single-attr face): live rows carry non-null
-    * attributes — NULL attr values are the tombstone rows' domain, so
-    * the null-unsafe tuple comparison is exact on the live/live
-    * branch it guards. */
+    * single-attr shape. Same one-shuffle scale story. The tuple
+    * comparison is NULL-SAFE (Spark struct comparison treats null
+    * fields as orderable values; made explicit with `<=>` below): a
+    * live attribute moving to/from NULL IS a change point. Callers
+    * mirroring this to SQL must mind that a per-field
+    * `a <> pa OR b <> pb` rewrite is null-UNSAFE and diverges on such
+    * rows — mirror with IS DISTINCT FROM, or keep live attributes
+    * non-null (the tombstone rows' own NULLs never reach this branch:
+    * it is guarded to live/live pairs). */
   def scd2HistoryAttrsOf(updates: DataFrame,
                          attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty && attrCols.size <= 32,
@@ -638,7 +642,7 @@ object Events {
       .withColumn("pdel", lag(col("is_delete"), 1).over(w))
       .filter(col("pdel").isNull ||
         col("is_delete") =!= col("pdel") ||
-        (!col("is_delete") && !col("pdel") && st =!= col("pstate")))
+        (!col("is_delete") && !col("pdel") && !(st <=> col("pstate"))))
       .withColumn("valid_to", lead(col("ts"), 1).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("k")).orderBy(col("ts"), col("tb"))))
@@ -917,7 +921,14 @@ object Events {
                              maxAge: String): DataFrame = {
     require(maxAge.matches("\\d+ [A-Za-z]+"),
       s"maxAge must look like '1 HOUR', got '$maxAge'")
-    val markT = "struct<attr:string,vf:timestamp>"
+    // marker field types LIFT from the history schema (the
+    // temporalAttrsJoinOf convention) — a non-string attr column keeps
+    // its type instead of silently coercing at unionByName
+    val attrT = history.schema("attr").dataType
+    val markT = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("attr", attrT),
+      org.apache.spark.sql.types.StructField("vf",
+        org.apache.spark.sql.types.TimestampType)))
     val wh = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("valid_from"))
     val hrows = history.withColumn("nf", lead(col("valid_from"), 1).over(wh))
@@ -928,7 +939,7 @@ object Events {
       .filter(col("valid_to").isNotNull &&
         (col("nf").isNull || col("valid_to") < col("nf")))
       .select(col("k"), col("valid_to").as("ts"),
-        struct(lit(null).cast("string").as("attr"),
+        struct(lit(null).cast(attrT).as("attr"),
           col("valid_to").as("vf")).as("mark"),
         lit(0).as("is_evt"), lit(null).cast("long").as("event_id"))
     val evs = events.select(col("k"), col("ts"),
@@ -1496,6 +1507,73 @@ object Events {
       |FROM a JOIN f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Fixed-width interval string → epoch micros (the funnel deadline
+    * units; calendar units like MONTH deliberately rejected — a
+    * micros-exact deadline has no calendar answer). */
+  private def intervalUs(w: String): Long = {
+    val Array(n, unit) = w.split(" ")
+    val mult = unit.toUpperCase match {
+      case "MICROSECOND" | "MICROSECONDS" => 1L
+      case "MILLISECOND" | "MILLISECONDS" => 1000L
+      case "SECOND" | "SECONDS" => 1000000L
+      case "MINUTE" | "MINUTES" => 60L * 1000000
+      case "HOUR" | "HOURS" => 3600L * 1000000
+      case "DAY" | "DAYS" => 86400L * 1000000
+      case u => sys.error(s"unsupported fixed-width interval unit: $u")
+    }
+    n.toLong * mult
+  }
+
+  /** The SINGLE-PASS ordered-funnel reach kernel shared by the reach
+    * faces ([[funnelStepsOf]], [[funnelSessionizedOf]],
+    * [[funnelCohortsOf]]): per key, the first time each step was
+    * reached IN ORDER (strictly after the previous step's first-reach
+    * time, optionally within the deadline), as an array of epoch
+    * micros with Long.MaxValue = never reached.
+    *
+    * One groupBy + one expression fold replaces the former
+    * one-join-plus-one-count PER STEP driver loop: the per-key step
+    * events (only rows whose type is a funnel step — the filter pushes
+    * to the scan) are collected time-sorted and folded left-to-right,
+    * maintaining acc[i] = min qualifying step-i time so far. The fold
+    * is exactly the loop's recurrence — t_i = min ts of step-i events
+    * with ts > t_{i-1} (and ts − t_{i-1} <= deadline) — because events
+    * arrive in ascending time: when a step-i event qualifies, acc[i-1]
+    * is already final for all times < this event. ONE shuffle and ONE
+    * job for the whole funnel instead of 2·steps; the buffered list is
+    * bounded by one key's step-event count, the same bound the
+    * user-keyed windows in this family already carry. */
+  private def reachTimesOf(events: DataFrame, steps: Seq[String],
+                           maxWaitUs: Option[Long],
+                           keys: Seq[String]): DataFrame = {
+    val n = steps.size
+    val idx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i + 1)).otherwise(acc) }
+    // deadline as a subtraction (never an addition against the
+    // MaxValue sentinel — ANSI mode would throw on the overflow)
+    val deadline = maxWaitUs.map(us =>
+      s" AND e.us - element_at(acc, e.idx - 1) <= ${us}L").getOrElse("")
+    val fold = expr(
+      s"""aggregate(
+         |  evs,
+         |  array_repeat(9223372036854775807L, $n),
+         |  (acc, e) -> transform(acc, (v, i) -> IF(
+         |    i = e.idx - 1
+         |    AND (e.idx = 1 OR element_at(acc, e.idx - 1) < e.us$deadline)
+         |    AND e.us < v, e.us, v)))""".stripMargin)
+    events.filter(col("event_type").isin(steps: _*))
+      .select(keys.map(col) :+
+        struct(unix_micros(col("ts")).as("us"), idx.as("idx")).as("ev"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(keys.map(col) :+ fold.as("reach"): _*)
+  }
+
+  /** reach[i] is a real time, not the never-reached sentinel. */
+  private def reachedAt(i: Int): Column =
+    element_at(col("reach"), i + 1) =!= lit(Long.MaxValue)
+
   /** Strictly-ordered multi-step funnel: how many users performed the
     * steps IN ORDER — each step's timestamp must come strictly after
     * the user's previous step time (a purchase logged before the
@@ -1504,13 +1582,11 @@ object Events {
     * reach). Emits (step_idx, step, n_users), n_users monotonically
     * non-increasing by construction.
     *
-    * Scale shape: one conditional min-agg + one user-keyed join PER
-    * STEP (steps is a bounded driver list, <= 8), then a driver-side
-    * union of step counts — each stage is a keyed agg over only the
-    * rows of that step's type (filter pushed to the scan). First
-    * step's min needs no predecessor; later steps aggregate the
-    * events of that type joined against the survivors' previous
-    * times. */
+    * Scale shape: the [[reachTimesOf]] single-pass kernel (one
+    * user-keyed shuffle + fold) + ONE conditional-aggregation job for
+    * every step's count — the former per-step join/count/checkpoint
+    * loop ran 2·steps jobs over steps separate shuffles for identical
+    * output. */
   def funnelStepsOf(events: DataFrame, steps: Seq[String],
                     maxWait: Option[String] = None): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8, s"funnel wants 1..8 steps, got ${steps.size}")
@@ -1518,33 +1594,14 @@ object Events {
     maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
       s"maxWait must look like '24 HOURS', got '$w'"))
     val spark = events.sparkSession
-    // Each survivor frame is localCheckpointed (the lpaLoop lineage
-    // discipline) so the per-step count() and the NEXT step's join
-    // both read the materialized user-keyed frame — without it step N
-    // re-runs all prior filters/joins from the source, O(steps²)
-    // scans of the events frame.
-    var reached = events.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      .localCheckpoint()
-    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long)](
-      (1, steps.head, reached.count()))
-    for ((step, i) <- steps.tail.zipWithIndex) {
-      // the optional deadline: the step must land within maxWait of
-      // the user's PREVIOUS step time ("signed up then converted
-      // within a day"), the standard product-funnel question
-      val within = maxWait
-        .map(w => expr(s"ts <= prev_t + INTERVAL $w"))
-        .getOrElse(lit(true))
-      reached = events.filter(col("event_type") === step)
-        .select(col("user_id"), col("ts"))
-        .join(reached.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
-        .filter(col("ts") > col("prev_t") && within)
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-        .localCheckpoint()
-      counts += ((i + 2, step, reached.count()))
-    }
+    val reach = reachTimesOf(events, steps, maxWait.map(intervalUs),
+      Seq("user_id"))
+    val aggs = steps.indices.map(i =>
+      coalesce(sum(when(reachedAt(i), 1L).otherwise(0L)), lit(0L)).as(s"n$i"))
+    val row = reach.agg(aggs.head, aggs.tail: _*).head
     import spark.implicits._
-    counts.toSeq.toDF("step_idx", "step", "n_users")
+    steps.indices.map(i => (i + 1, steps(i), row.getLong(i)))
+      .toDF("step_idx", "step", "n_users")
   }
 
   def funnelSteps(s: SparkSession, d: String): DataFrame =
@@ -1649,31 +1706,20 @@ object Events {
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
     val spark = events.sparkSession
-    val sess = withSessionIds(events, gap)
-      .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
-      .localCheckpoint()
-    var reached = sess.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
-      .localCheckpoint()
-    def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), count_distinct(col("user_id"))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    val first = stat(reached)
-    val counts = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)](
-      (1, steps.head, first._1, first._2))
-    for ((step, i) <- steps.tail.zipWithIndex) {
-      reached = sess.filter(col("event_type") === step)
-        .join(reached.select(col("user_id"), col("sid"), col("t").as("prev_t")),
-          Seq("user_id", "sid"))
-        .filter(col("ts") > col("prev_t"))
-        .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
-        .localCheckpoint()
-      val st = stat(reached)
-      counts += ((i + 2, step, st._1, st._2))
-    }
+    // the reachTimesOf kernel keyed on (user, session): one
+    // sessionization window + one keyed fold + ONE aggregation job for
+    // all steps' session AND distinct-user counts (the per-step
+    // join/agg/stat loop this replaces ran 2 jobs per step)
+    val reach = reachTimesOf(withSessionIds(events, gap), steps, None,
+      Seq("user_id", "sid"))
+    val aggs = steps.indices.flatMap(i => Seq(
+      coalesce(sum(when(reachedAt(i), 1L).otherwise(0L)), lit(0L)).as(s"s$i"),
+      count_distinct(when(reachedAt(i), col("user_id"))).as(s"u$i")))
+    val row = reach.agg(aggs.head, aggs.tail: _*).head
     import spark.implicits._
-    counts.toSeq.toDF("step_idx", "step", "n_sessions", "n_users")
+    steps.indices.map(i =>
+        (i + 1, steps(i), row.getLong(2 * i), row.getLong(2 * i + 1)))
+      .toDF("step_idx", "step", "n_sessions", "n_users")
   }
 
   def funnelSessionized(s: SparkSession, d: String): DataFrame =
@@ -1880,12 +1926,13 @@ object Events {
     * enumeration under the multi-touch credit rules, annotated with
     * the per-conversion touch count and both rank directions. */
   private def touchPairsOf(events: DataFrame, convType: String,
-                           touchType: String, maxAgeUs: Long): DataFrame = {
+                           touchType: String, maxAgeUs: Long,
+                           carryCols: Seq[String] = Nil): DataFrame = {
     require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
     require(convType != touchType, "conversion and touch types must differ")
     val touches = events.filter(col("event_type") === touchType)
-      .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
-        unix_micros(col("ts")).as("t_us"))
+      .select(col("event_id").as("touch_id") +: col("user_id").as("t_user") +:
+        unix_micros(col("ts")).as("t_us") +: carryCols.map(col): _*)
     val convs = events.filter(col("event_type") === convType)
       .select(col("event_id").as("conv_id"), col("user_id").as("c_user"),
         unix_micros(col("ts")).as("c_us"))
@@ -1972,6 +2019,93 @@ object Events {
       |  CAST(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END
       |    AS BIGINT) AS credit_permille
       |FROM j ORDER BY conv_id, touch_id""".stripMargin
+
+  /** Attribution with a CHANNEL dimension — the linear credits of
+    * [[multiTouchAttributionOf]] rolled up per (conversion, channel):
+    * which acquisition channel gets how much of each conversion's 1000
+    * permille. `channelCol` names a column already on the touch events
+    * (campaign, medium, surface…); it rides the shared
+    * [[touchPairsOf]] enumeration as a carried column, so the physical
+    * plan is the same binned interval join hashed on (bin, user) plus
+    * one more keyed agg — per-conversion credits still sum to exactly
+    * 1000 (the linear remainder stays with the last touch, whatever
+    * channel it came from). */
+  def channelAttributionOf(events: DataFrame, convType: String,
+                           touchType: String, maxAgeUs: Long,
+                           channelCol: String): DataFrame =
+    touchPairsOf(events, convType, touchType, maxAgeUs, Seq(channelCol))
+      .select(col("conv_id"), col(channelCol).as("channel"),
+        expr("CAST(1000 DIV n + IF(rk_last = 1, 1000 % n, 0) AS BIGINT)")
+          .as("credit"))
+      .groupBy(col("conv_id"), col("channel"))
+      .agg(sum(col("credit")).as("credit_permille"))
+
+  /** The corpus-level channel mix — [[channelAttributionOf]] rolled up
+    * once more: per channel, the total linear credit, the conversions
+    * it touched, and the touch count. The marketing-dashboard row
+    * ("which channel drives conversions"), bounded by the channel
+    * vocabulary. */
+  def channelMixOf(events: DataFrame, convType: String, touchType: String,
+                   maxAgeUs: Long, channelCol: String): DataFrame =
+    touchPairsOf(events, convType, touchType, maxAgeUs, Seq(channelCol))
+      .select(col("conv_id"), col(channelCol).as("channel"),
+        expr("CAST(1000 DIV n + IF(rk_last = 1, 1000 % n, 0) AS BIGINT)")
+          .as("credit"))
+      .groupBy(col("channel"))
+      .agg(sum(col("credit")).as("credit_permille"),
+        count_distinct(col("conv_id")).as("n_conversions"),
+        count(lit(1)).as("n_touches"))
+
+  /** The deterministic channel fixture: each click's acquisition
+    * channel derived from its props payload (k % 3 → email / search /
+    * social) — data-derived and SF-independent like the graph
+    * fixtures. */
+  private def withChannel(events: DataFrame): DataFrame =
+    events.withColumn("channel",
+      element_at(typedlit(Seq("email", "search", "social")),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 3) + 1))
+
+  def channelAttribution(s: SparkSession, d: String): DataFrame =
+    channelAttributionOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("conv_id"), col("channel"))
+
+  private val channelPairsCte =
+    """t AS (SELECT event_id AS touch_id, user_id, ts,
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (SELECT c.conv_id, t.channel,
+      |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+      |    row_number() OVER (PARTITION BY c.conv_id
+      |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+      |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |    AND t.ts >= c.ts - INTERVAL 3 DAYS)""".stripMargin
+
+  private val channelAttributionOracle =
+    s"""WITH $channelPairsCte
+       |SELECT conv_id, channel,
+       |  CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END)
+       |    AS BIGINT) AS credit_permille
+       |FROM j GROUP BY 1, 2 ORDER BY conv_id, channel""".stripMargin
+
+  def channelMix(s: SparkSession, d: String): DataFrame =
+    channelMixOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("channel"))
+
+  private val channelMixOracle =
+    s"""WITH $channelPairsCte
+       |SELECT channel,
+       |  CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END)
+       |    AS BIGINT) AS credit_permille,
+       |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       |  CAST(count(*) AS BIGINT) AS n_touches
+       |FROM j GROUP BY 1 ORDER BY channel""".stripMargin
 
   /** Funnel drop-off attribution — for every user who reached step i
     * but never step i+1, the event type they did NEXT after their
@@ -2110,13 +2244,70 @@ object Events {
       |  CAST(sum(dur_us) AS BIGINT) AS total_duration_us
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-session duration frame (user_id, sid, dur_us) — the shared
+    * grain under [[sessionStatsOf]]'s histogram and the percentile
+    * pair below. */
+  private def sessionDurationsOf(events: DataFrame, gap: String): DataFrame =
+    withSessionIds(events, gap)
+      .groupBy(col("user_id"), col("sid"))
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        .as("dur_us"))
+
+  /** Session-duration percentiles via the t-digest sketch — completes
+    * the session dashboard row next to [[sessionStats]]'s size
+    * histogram (the [[funnelLatency]] mold at session grain; 1-day gap
+    * so durations have real spread — at 30 minutes ~95% of sessions
+    * are single-event and every percentile collapses to 0). No SQL
+    * oracle — sketch estimates are implementation-specific;
+    * [[sessionPercentilesAgreement]] is the oracle-gated rank bracket
+    * over exactly these estimates. */
+  def sessionPercentiles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    sessionDurationsOf(Tables.events(s, d), gap = "1 DAY")
+      .agg(expr("tdigest_quantiles(CAST(dur_us AS DOUBLE))").as("qs"))
+      .select(col("qs")(0).as("p50_est"), col("qs")(1).as("p90_est"),
+        col("qs")(2).as("p99_est"))
+  }
+
+  /** Exact-rank bracket over [[sessionPercentiles]]'s estimates: for
+    * each q, the fraction of session durations strictly below /
+    * at-or-below the estimate must bracket q within 30 permille. The
+    * estimates come back as THREE DRIVER SCALARS (the documented
+    * fixpoint-scalar pattern — a constant-key join against the 1-row
+    * estimate frame would fold into the forbidden
+    * BroadcastNestedLoopJoin, the user_survival lesson), then one
+    * conditional-aggregation pass computes all six rank counts. */
+  def sessionPercentilesAgreement(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
+    val durs = sessionDurationsOf(Tables.events(s, d), gap = "1 DAY")
+      .select(col("dur_us").cast("double").as("v"))
+      .localCheckpoint()
+    val ests = durs.agg(expr("tdigest_quantiles(v)")).head.getSeq[Double](0)
+    val qs = Seq(500, 900, 990)
+    val aggs = ests.zipWithIndex.flatMap { case (e, i) => Seq(
+      sum(when(col("v") < e, 1L).otherwise(0L)).as(s"lt$i"),
+      sum(when(col("v") <= e, 1L).otherwise(0L)).as(s"le$i")) }
+    val r = durs.agg(count(lit(1)).as("n"), aggs: _*).head
+    val n = r.getLong(0)
+    import s.implicits._
+    qs.zipWithIndex.map { case (q, i) =>
+      val (lt, le) = (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))
+      (q, lt * 1000 - q * n <= n * 30 && q * n - le * 1000 <= n * 30)
+    }.toDF("q_permille", "rank_ok")
+  }
+
+  private val sessionPercentilesAgreementOracle =
+    """SELECT q_permille, true AS rank_ok
+      |FROM (VALUES (500), (900), (990)) q(q_permille)
+      |ORDER BY q_permille""".stripMargin
+
   /** Funnel reach BY COHORT — the acquisition-quality question "do
     * later signups convert like earlier ones": per weekly first-seen
     * cohort and funnel step (with the per-step deadline), the distinct
     * users of that cohort who reached the step. Composes the
-    * [[retentionCohortsOf]] cohort grain with the [[funnelStepsOf]]
-    * step loop; one extra user-keyed join per step against the
-    * (user, cohort) frame. */
+    * [[retentionCohortsOf]] cohort grain with the [[reachTimesOf]]
+    * single-pass funnel kernel; one user-keyed join against the
+    * (user, cohort) frame total. */
   def funnelCohortsOf(events: DataFrame, steps: Seq[String],
                       maxWait: Option[String] = None): DataFrame = {
     require(steps.size >= 2 && steps.size <= 8,
@@ -2124,33 +2315,25 @@ object Events {
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
       s"maxWait must look like '12 HOURS', got '$w'"))
+    // the reachTimesOf kernel + ONE cohort join + ONE cohort-keyed
+    // aggregation of every step's conditional count, exploded back to
+    // (cohort, step) rows; n_users > 0 keeps the former per-step
+    // inner-join presence semantics (a cohort with no step-i users
+    // emits no step-i row)
     val cohorts = events.groupBy(col("user_id"))
       .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort"))
-      .localCheckpoint()
-    var reached = events.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      .localCheckpoint()
-    def slice(df: DataFrame, idx: Int, step: String): DataFrame =
-      df.join(cohorts, Seq("user_id"))
-        .groupBy(col("cohort"))
-        .agg(count(lit(1)).as("n_users"))
-        .select(col("cohort"), lit(idx).as("step_idx"), lit(step).as("step"),
-          col("n_users"))
-        .localCheckpoint()
-    var out = slice(reached, 1, steps.head)
-    for ((step, i) <- steps.tail.zipWithIndex) {
-      val within = maxWait
-        .map(w => expr(s"ts <= prev_t + INTERVAL $w"))
-        .getOrElse(lit(true))
-      reached = events.filter(col("event_type") === step)
-        .join(reached.select(col("user_id"), col("t").as("prev_t")),
-          Seq("user_id"))
-        .filter(col("ts") > col("prev_t") && within)
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-        .localCheckpoint()
-      out = out.unionByName(slice(reached, i + 2, step))
-    }
-    out
+    val reach = reachTimesOf(events, steps, maxWait.map(intervalUs),
+      Seq("user_id"))
+    val aggs = steps.indices.map(i =>
+      sum(when(reachedAt(i), 1L).otherwise(0L)).as(s"n$i"))
+    reach.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cohort"), explode(array(steps.indices.map(i =>
+        struct(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
+          col(s"n$i").as("n_users"))): _*)).as("s"))
+      .filter(col("s.n_users") > 0)
+      .select(col("cohort"), col("s.step_idx").as("step_idx"),
+        col("s.step").as("step"), col("s.n_users").as("n_users"))
   }
 
   def funnelCohorts(s: SparkSession, d: String): DataFrame =
@@ -2394,6 +2577,12 @@ object Events {
     "funnel_dropoff"         -> (funnelDropoff _),
     "touch_attribution"      -> (touchAttribution _),
     "multi_touch_attribution" -> (multiTouchAttribution _),
+    "channel_attribution"    -> (channelAttribution _),
+    "channel_mix"            -> (channelMix _),
+    // approximate by construction (t-digest) → no oracle row; bounded
+    // by the oracle-gated session_percentiles_agreement bracket
+    "session_percentiles"    -> (sessionPercentiles _),
+    "session_percentiles_agreement" -> (sessionPercentilesAgreement _),
     "event_transition_matrix" -> (eventTransitions _),
     "session_transition_matrix" -> (sessionTransitions _),
     "funnel_steps_windowed"  -> (funnelStepsWindowed _),
@@ -2441,6 +2630,9 @@ object Events {
     "funnel_dropoff"         -> funnelDropoffOracle,
     "touch_attribution"      -> touchAttributionOracle,
     "multi_touch_attribution" -> multiTouchAttributionOracle,
+    "channel_attribution"    -> channelAttributionOracle,
+    "channel_mix"            -> channelMixOracle,
+    "session_percentiles_agreement" -> sessionPercentilesAgreementOracle,
     "event_transition_matrix" -> eventTransitionsOracle,
     "session_transition_matrix" -> sessionTransitionsOracle,
     "funnel_steps_windowed"  -> funnelStepsWindowedOracle,

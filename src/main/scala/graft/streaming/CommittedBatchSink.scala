@@ -58,10 +58,18 @@ object CommittedBatchSink {
     }
   }
 
-  /** Committed batch dirs under `root` in name order — the reader
+  private val BatchDirName = """(.*-batch-)(\d+)$""".r
+
+  /** Committed batch dirs under `root` in batch order — the reader
     * face; uncommitted/partial dirs are invisible by construction.
-    * (`Files.list` holds an open DirectoryStream — closed here, or a
-    * periodically-reloading query service leaks one fd per reload.) */
+    * Batch-dir names sort by (tag, NUMERIC id), not lexicographically:
+    * the `%05d` padding overflows at batchId 100000 ('batch-100000'
+    * sorts before 'batch-99999' as strings), and newest-version readers
+    * like [[EventStreams.readScd2TableOpt]] / vacuum policies depend on
+    * the LAST dir being the truly newest batch. Non-batch names keep
+    * string order. (`Files.list` holds an open DirectoryStream —
+    * closed here, or a periodically-reloading query service leaks one
+    * fd per reload.) */
   def committedDirs(root: String): Seq[Path] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) Seq.empty
@@ -69,7 +77,11 @@ object CommittedBatchSink {
       import scala.jdk.CollectionConverters._
       val listing = Files.list(rootP)
       val dirs =
-        try listing.iterator().asScala.toSeq.sortBy(_.toString)
+        try listing.iterator().asScala.toSeq.sortBy(p =>
+          p.getFileName.toString match {
+            case BatchDirName(pre, id) => (pre, id.toLong, p.toString)
+            case other => (other, -1L, p.toString)
+          })
         finally listing.close()
       dirs.filter(d => Files.exists(d.resolve(Marker)))
     }

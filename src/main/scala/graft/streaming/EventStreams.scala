@@ -773,7 +773,16 @@ object EventStreams {
               buf = buf.dropWhile(_._1 < eUs - maxAgeUs)
               if (typ == convType)
                 out ++= emit(id, userId, eUs, buf.filter(_._1 < eUs))
-              else if (typ == touchType) buf = buf :+ ((eUs, id))
+              else if (typ == touchType) {
+                // sorted insert, not append: equal-timestamp touches
+                // split across micro-batches can arrive in descending
+                // event_id, and first/last emission (head/last of the
+                // buffer) must resolve ties exactly like the batch
+                // window's struct(us, event_id) min/max
+                val (pre, post) = buf.span(t =>
+                  t._1 < eUs || (t._1 == eUs && t._2 <= id))
+                buf = (pre :+ ((eUs, id))) ++ post
+              }
             }
             state.update(TouchBuf(buf))
             sorted.lastOption.foreach(last =>

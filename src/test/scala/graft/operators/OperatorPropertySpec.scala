@@ -1091,4 +1091,90 @@ class OperatorPropertySpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(wide == perUser)
   }
+
+  test("channel attribution: conserves 1000 per conversion, equals the naive join roll-up (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(SparkSpec.session, sf)
+      .withColumn("channel",
+        element_at(typedlit(Seq("email", "search", "social")),
+          (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 3) + 1))
+    val age = 3L * 24 * 3600 * 1000000
+    val got = Events.channelAttributionOf(ev, "purchase", "click", age, "channel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // conservation: channel credits of each conversion sum to 1000
+    for ((conv, rows) <- got.groupBy(_._1))
+      assert(rows.map(_._3).sum == 1000L, s"conv $conv: channel credits must sum to 1000")
+    // brute force: join every conversion to its trailing-window touches,
+    // apply the linear rule, roll up by channel — driver-side
+    val touches = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"), col("channel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = convs.flatMap { case (u, cus, cid) =>
+      val w = touches.filter(t => t._1 == u && t._2 < cus && t._2 >= cus - age)
+        .sortBy(t => (t._2, t._3))
+      val n = w.size.toLong
+      w.zipWithIndex.map { case ((_, _, _, ch), i) =>
+        (cid, ch, 1000L / n + (if (i == w.size - 1) 1000L % n else 0L)) }
+    }.groupBy(t => (t._1, t._2)).map { case ((c, ch), rs) => (c, ch, rs.map(_._3).sum) }.toSet
+    assert(got.toSet == naive, "channel attribution != naive roll-up")
+    assert(got.groupBy(_._1).exists(_._2.size >= 2),
+      "fixture must exercise a multi-channel conversion")
+    // the corpus mix is the same frame rolled up once more
+    val mix = Events.channelMixOf(ev, "purchase", "click", age, "channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val mixNaive = naive.groupBy(_._2).map { case (ch, rs) =>
+      val pairs = convs.flatMap { case (u, cus, cid) =>
+        touches.filter(t => t._1 == u && t._2 < cus && t._2 >= cus - age && t._4 == ch)
+          .map(_ => cid) }
+      (ch, rs.toSeq.map(_._3).sum, rs.map(_._1).size.toLong, pairs.size.toLong)
+    }.toSet
+    assert(mix == mixNaive, "channel mix != naive roll-up")
+  }
+
+  test("single-pass funnel reach equals the per-step loop recurrence on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(163)
+    val steps = Seq("a", "b", "c", "d")
+    val types = steps ++ Seq("x") // plus a non-step type
+    // deliberately includes equal-timestamp collisions (coarse second
+    // grid) so the strict-after tie rule is exercised
+    val evs = (1 to 400).map { i =>
+      (rnd.nextInt(12).toLong,
+        java.sql.Timestamp.valueOf(f"2024-02-01 00:${rnd.nextInt(40)}%02d:${rnd.nextInt(8) * 7}%02d"),
+        i.toLong, types(rnd.nextInt(types.size)))
+    }
+    val df = evs.toDF("user_id", "ts", "event_id", "event_type")
+    def naive(maxWaitUs: Option[Long]): Seq[Long] = {
+      val byUser = evs.groupBy(_._1)
+      steps.indices.map { i =>
+        byUser.count { case (_, rows) =>
+          // the loop recurrence: t_0 = min ts of step-0 events;
+          // t_i = min ts of step-i events strictly after t_{i-1}
+          // (and within the deadline)
+          var prev = Option.empty[Long]
+          var ok = true
+          for (j <- 0 to i if ok) {
+            val cand = rows.filter(_._4 == steps(j)).map(_._2.getTime * 1000L)
+              .filter(us => prev.forall(p =>
+                us > p && maxWaitUs.forall(w => us - p <= w)))
+            if (cand.isEmpty) ok = false else prev = Some(cand.min)
+          }
+          ok
+        }.toLong
+      }
+    }
+    for (mw <- Seq(None, Some("5 MINUTES"))) {
+      val got = Events.funnelStepsOf(df, steps, mw)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(2)).toSeq
+      val want = naive(mw.map {
+        case "5 MINUTES" => 5L * 60 * 1000000; case _ => 0L })
+      assert(got == want, s"maxWait=$mw: single-pass $got != loop recurrence $want")
+      assert(want.head > 0 && want.last < want.head,
+        s"fixture must have real reach decay: $want")
+    }
+  }
 }
