@@ -137,6 +137,83 @@ object EventStreams {
       }
       .toDF("user_id", "n_events", "first_sec", "last_sec")
   }
+
+  /** Streaming face of `Events.funnelSessionizedOf` — per-user keyed
+    * state sessionizes the feed (gap split on arrival for sessions
+    * closed by a later event, event-time timeout for the open tail —
+    * the closedSessions mold) and emits ONE row per closed session:
+    * (user_id, first_us, max_step), where max_step is the deepest
+    * ordered funnel step the session reached (0 = none). The in-state
+    * reach recurrence is exactly the batch kernel's: step i's first
+    * time is the min qualifying time strictly after step i−1's, folded
+    * over the session's step events in (ts, event_id) order.
+    * Aggregating emissions (sessions with max_step >= i, distinct
+    * users thereof) reproduces the batch operator's per-step
+    * (n_sessions, n_users) — spec-pinned. State per user is ONE open
+    * session: the bounded (us, step) buffer plus the last-event time
+    * that drives both the gap split and the timeout; non-step events
+    * extend the session (the batch sessionization sees every event)
+    * but are never buffered. Feed must be time-ordered per user across
+    * batches (the shared CDC contract); in-batch rows are sorted. */
+  def sessionFunnelStream(spark: org.apache.spark.sql.SparkSession,
+                          events: DataFrame, steps: Seq[String],
+                          gapMs: Long = 30 * 60 * 1000L,
+                          watermark: String = "10 minutes"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"funnel wants 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(gapMs > 0, s"gap must be positive, got $gapMs")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val gapUs = gapMs * 1000L
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[SessFunnelBuf]) =>
+          val n = steps.size
+          def close(b: SessFunnelBuf): (Long, Long, Int) = {
+            // the batch reach recurrence over the session's step
+            // events (buffered in arrival order = (ts, event_id)
+            // order per the CDC contract + in-batch sort)
+            val acc = Array.fill(n)(Long.MaxValue)
+            for ((us, idx) <- b.stepEvs.sortBy(identity)) {
+              if (idx == 1) { if (us < acc(0)) acc(0) = us }
+              else if (acc(idx - 2) < us && us < acc(idx - 1)) acc(idx - 1) = us
+            }
+            (userId, b.firstUs, acc.lastIndexWhere(_ != Long.MaxValue) + 1)
+          }
+          if (state.hasTimedOut) {
+            val b = state.get; state.remove(); Iterator.single(close(b))
+          } else {
+            def us(ts: java.sql.Timestamp): Long =
+              ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+            val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4))
+              .sortBy(r => (r._1, r._2))
+            var buf = state.getOption.orNull
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            for ((eUs, _, typ) <- sorted) {
+              if (buf != null && eUs >= buf.lastUs + gapUs) {
+                out += close(buf); buf = null
+              }
+              if (buf == null) buf = SessFunnelBuf(eUs, eUs, Nil)
+              buf = SessFunnelBuf(buf.firstUs, math.max(buf.lastUs, eUs),
+                stepIdx.get(typ).fold(buf.stepEvs)(i => buf.stepEvs :+ ((eUs, i))))
+            }
+            if (buf != null) {
+              state.update(buf)
+              state.setTimeoutTimestamp(buf.lastUs / 1000L + gapMs)
+            } else state.remove()
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "first_us", "max_step")
+  }
+
   /** Streaming per-stratum quota sampler: admit at most `quota` events
     * per event_type over the stream's lifetime, first-arrival-first
     * (within a micro-batch, lowest event_id first for determinism).
@@ -864,6 +941,118 @@ object EventStreams {
     victims.size
   }
 
+  /** BUCKET-PARTITIONED streaming SCD2 ingest — [[scd2Ingest]] without
+    * the whole-table rewrite per micro-batch: the table is hash-
+    * partitioned on the key into `nBuckets` buckets, each batch merges
+    * and lands ONLY the buckets its keys touch (under
+    * `<batch-dir>/buckets/bkt=<b>/`), and the CURRENT table is, per
+    * bucket, the newest committed version that carries it. Untouched
+    * buckets' files are never rewritten — byte-stable across batches
+    * (spec-pinned), so per-batch write cost scales with the batch's
+    * key spread, not the table. Same exactly-once markers, same
+    * horizon guard (the merge sees the touched buckets' full history),
+    * same crash story: an uncommitted dir is invisible, so every
+    * bucket's newest COMMITTED version stays authoritative.
+    * `nBuckets` is part of the artifact's identity — changing it
+    * across restarts would split keys across incompatible bucket
+    * layouts; keep it constant per outDir (the bucketing-DDL
+    * convention). */
+  def scd2IngestBucketed(spark: org.apache.spark.sql.SparkSession,
+                         updates: DataFrame, outDir: String,
+                         checkpoint: String, nBuckets: Int = 16):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(nBuckets >= 1 && nBuckets <= 100000,
+      s"unreasonable nBuckets: $nBuckets")
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    val bucketOf = pmod(xxhash64(col("k")), lit(nBuckets.toLong))
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val b = batch.localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = b.isEmpty,
+          write = { dir =>
+            // bounded by nBuckets — the only driver-side collect
+            val touched = b.select(bucketOf.as("bkt")).distinct()
+              .collect().map(_.getLong(0)).toSet
+            val merged = readScd2Buckets(spark, outDir, Some(touched)) match {
+              case Some(existing) =>
+                graft.operators.Events.scd2MergeDeletesOf(existing, b)
+              case None => graft.operators.Events.scd2HistoryDeletesOf(b)
+            }
+            merged.withColumn("bkt", bucketOf)
+              .write.partitionBy("bkt").mode("overwrite")
+              .parquet(dir.resolve("buckets").toString)
+          }): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The current bucketed SCD2 table under `outDir`, if any — per
+    * bucket, the NEWEST committed version carrying it wins; the frame
+    * is the union of those winners. The reader face of
+    * [[scd2IngestBucketed]]. */
+  def readScd2BucketedOpt(spark: org.apache.spark.sql.SparkSession,
+                          outDir: String): Option[DataFrame] =
+    readScd2Buckets(spark, outDir, None)
+
+  /** Newest committed payload dir per bucket (optionally restricted to
+    * `want`), unioned. None when no committed version carries any
+    * wanted bucket. */
+  private def readScd2Buckets(spark: org.apache.spark.sql.SparkSession,
+                              outDir: String,
+                              want: Option[Set[Long]]): Option[DataFrame] = {
+    val winners = scd2BucketDirs(outDir)
+      .filter { case (bkt, _) => want.forall(_.contains(bkt)) }
+      .values.toSeq
+    winners.map(d => spark.read.parquet(d.toString))
+      .reduceOption(_ unionByName _)
+  }
+
+  /** bucket id → its newest committed `bkt=<b>` payload dir. */
+  private def scd2BucketDirs(outDir: String):
+      Map[Long, java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    CommittedBatchSink.committedDirs(outDir)
+      .map(_.resolve("buckets"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+      .flatMap { d =>
+        val listing = java.nio.file.Files.list(d)
+        try listing.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("bkt="))
+          .map(p => p.getFileName.toString.drop(4).toLong -> p)
+        finally listing.close()
+      }
+      .toMap // committedDirs is oldest→newest, so last write wins
+  }
+
+  /** Retention vacuum for the bucketed artifact: delete every bucket
+    * payload dir SUPERSEDED by a newer committed version of the same
+    * bucket (markers and each bucket's newest payload stay — replays
+    * still skip, the reader resolves the identical table). Returns the
+    * number of bucket dirs removed. */
+  def scd2VacuumBucketed(outDir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val keep = scd2BucketDirs(outDir).values.toSet
+    val victims = CommittedBatchSink.committedDirs(outDir)
+      .map(_.resolve("buckets"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+      .flatMap { d =>
+        val listing = java.nio.file.Files.list(d)
+        try listing.iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("bkt="))
+        finally listing.close()
+      }
+      .filterNot(keep)
+    victims.foreach { d =>
+      val walk = java.nio.file.Files.walk(d)
+      try walk.iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+    victims.size
+  }
+
   /** Streaming LM quality gate — the streaming face of
     * NgramLm.lmQualityTiersOf: each document micro-batch is scored
     * against a FROZEN persisted LM index (the three distinct gram-hash
@@ -1047,6 +1236,12 @@ case class QuotaUsed(n: Long)
 
 /** State record for EventStreams.closedSessions. */
 case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)
+
+/** Open-session state for [[EventStreams.sessionFunnelStream]]: the
+  * session's first/last event times plus its (epoch-micros, step-idx)
+  * step events in time order. */
+case class SessFunnelBuf(firstUs: Long, lastUs: Long,
+                         stepEvs: Seq[(Long, Int)])
 
 /** Trailing-window touch buffer for [[EventStreams.attributionStream]]:
   * (epoch-micros, event_id) ascending, pruned to one window's span. */

@@ -1008,6 +1008,150 @@ class StreamingSpec extends AnyFunSuite {
     assert(wantMt.nonEmpty)
   }
 
+  test("streaming sessionized funnel emissions equal the batch per-session reach") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // random second-grain events over ~3 hours with same-user same-ts
+    // collisions, time-ordered across batches per the CDC contract
+    val rnd = new scala.util.Random(71)
+    // signup under-weighted so some sessions reach NO step
+    val types = Seq("signup", "click", "purchase", "view", "view",
+      "error", "click", "view")
+    val steps = Seq("signup", "click", "purchase")
+    val evs = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(12).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(5 * 3600) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e._3.getTime, e._1))
+    // sentinels: far-future non-step events on a spare user — the
+    // first advances the watermark past every open session's
+    // last+gap, the second triggers the event-time timeouts (the
+    // closedSessions two-step flush)
+    val flush1 = (9001L, 999L, new Timestamp(1704067200000L + 86400 * 1000L), "view")
+    val flush2 = (9002L, 999L, new Timestamp(1704067200000L + 86400 * 1000L + 60000L), "view")
+    val gapMs = 15 * 60 * 1000L
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStreams.sessionFunnelStream(spark,
+        in.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+        steps, gapMs = gapMs)
+      .writeStream.format("memory").queryName("sess_funnel")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(120)) {
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    in.addData(flush1); q.processAllAvailable()
+    in.addData(flush2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // aggregate emissions the way the batch operator counts: sessions
+    // whose reach covers step i, and the distinct users among them
+    val gotAgg = steps.indices.map { i =>
+      val hit = got.filter(_._3 >= i + 1)
+      (i + 1, hit.length.toLong, hit.map(_._1).distinct.length.toLong)
+    }
+    val want = graft.operators.Events.funnelSessionizedOf(
+        (evs :+ flush1 :+ flush2)
+          .toDF("event_id", "user_id", "ts", "event_type")
+          .selectExpr("user_id", "ts", "event_id", "event_type"),
+        steps, gap = "15 MINUTES")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(gotAgg == want, s"stream agg $gotAgg != batch $want")
+    // the fixture really exercised deep reach and per-user session
+    // multiplicity (plus sessions that reached nothing)
+    assert(want.last._2 > 0, "fixture must convert some sessions to step 3")
+    assert(got.exists(_._3 == 0) && got.length > want.head._2.toInt,
+      "fixture must have sessions that reached no step")
+    val byUser = got.groupBy(_._1)
+    assert(byUser.exists(_._2.length >= 2), "a user must close several sessions")
+  }
+
+  test("bucketed SCD2 ingest: fold equals one-shot; untouched buckets stay byte-stable; vacuum keeps the newest per bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd2b_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_scd2b_out").toString
+    val rnd = new scala.util.Random(41)
+    // 8 keys over 4 buckets; batch 1 carries every key, batch 2
+    // deliberately touches ONLY key 0 (the byte-stability probe)
+    val upd = (1 to 60).map { i =>
+      val del = rnd.nextInt(4) == 0
+      (rnd.nextInt(8).toLong,
+        if (del) null else s"v${rnd.nextInt(3)}",
+        Timestamp.valueOf(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"),
+        i.toLong, del)
+    }
+    val tail = (61 to 70).map(i => (0L, s"w$i",
+      Timestamp.valueOf(f"2024-01-01 01:${i - 60}%02d:00"), i.toLong, false))
+    val in = MemoryStream[(Long, String, Timestamp, Long, Boolean)]
+    def start() = EventStreams.scd2IngestBucketed(spark,
+      in.toDF().toDF("k", "attr", "ts", "tb", "is_delete"), out, ckpt,
+      nBuckets = 4)
+    val q1 = start()
+    in.addData(upd: _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches
+    def payloadFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+      finally walk.close()
+    }
+    val before = payloadFiles()
+    val q2 = start()
+    in.addData(tail: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    // batch 2's dir carries ONLY key 0's bucket; every batch-1 parquet
+    // file is still there, byte-for-byte untouched (same path, same
+    // mtime — nothing rewrote it)
+    val after = payloadFiles()
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "a batch-1 payload file was rewritten by a batch touching other keys")
+    val dirs = CommittedBatchSink.committedDirs(out)
+    assert(dirs.size == 2)
+    val batch2Buckets = {
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(dirs.last.resolve("buckets"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("bkt=")).toSet
+      finally l.close()
+    }
+    assert(batch2Buckets.size == 1, s"batch 2 must land one bucket, got $batch2Buckets")
+    // the assembled table equals the one-shot recompute over the whole feed
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString))).toSet
+    val streamed = shape(EventStreams.readScd2BucketedOpt(spark, out).get
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to")))
+    val oneShot = shape(graft.operators.Events.scd2HistoryDeletesOf(
+      (upd ++ tail).toDF("k", "attr", "ts", "tb", "is_delete")))
+    assert(streamed == oneShot, "bucketed fold != one-shot recompute")
+    assert(oneShot.size > 10 && upd.count(_._5) > 5)
+    // replay after restart: no new data, no new dirs, same table
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == 2)
+    // vacuum removes exactly the batch-1 copy of the re-landed bucket;
+    // markers stay, the reader resolves the identical table
+    val removed = EventStreams.scd2VacuumBucketed(out)
+    assert(removed == 1, s"one superseded bucket dir expected, removed $removed")
+    assert(CommittedBatchSink.committedDirs(out).size == 2)
+    assert(shape(EventStreams.readScd2BucketedOpt(spark, out).get
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))) == streamed)
+    assert(EventStreams.scd2VacuumBucketed(out) == 0)
+    // an empty artifact root reads as None
+    val fresh = java.nio.file.Files.createTempDirectory("graft_scd2b_none").toString
+    assert(EventStreams.readScd2BucketedOpt(spark, fresh).isEmpty)
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
