@@ -72,13 +72,86 @@ object Bench {
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** Normalized physical-plan fingerprint (12 hex chars) of a query's
+    * UNEXECUTED frame: expression ids / codegen ids / plan ids are
+    * run-local noise and stripped, so the same logical shape hashes
+    * identically across rounds and JVMs. The regression classifier
+    * below compares a slow query's fingerprint against the committed
+    * reference — fp_match=true + slow = host noise, fp_match=false =
+    * a real plan change to read. */
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+      .replaceAll("#\\d+", "#")
+      .replaceAll("plan_id=\\d+", "plan_id=")
+      .replaceAll("\\[id=#?\\d*\\]", "")
+      .replaceAll("\\[plan_id=\\]", "")
+    f"${graft.functions.Portable.hash60Jvm(s)}%015x".take(12)
+  }
+
+  /** Reference artifact (committed as bench_ref.json): per-query
+    * quiet-run seconds + plan fingerprints. Regex-scraped like
+    * readPrev — resilient to truncation, no JSON library. */
+  def readRef(refFile: String): (Map[String, Double], Map[String, String]) =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(refFile)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def section(key: String): String = {
+        val i = txt.indexOf("\"" + key + "\":{")
+        if (i < 0) "" else {
+          val rest = txt.substring(i + key.length + 4)
+          rest.take(math.max(rest.indexOf('}'), 0))
+        }
+      }
+      val times = """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(section("queries"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val fps = """"([^"]+)":"([0-9a-f]+)"""".r.findAllMatchIn(section("fps"))
+        .map(m => m.group(1) -> m.group(2)).toMap
+      (times, fps)
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** The drift classifier: against the committed reference, (a) the
+    * noise index — this run's pure-compute warmup-split total over the
+    * reference's (the splits re-run identical code every round, so
+    * their ratio measures the HOST, not the plans); (b) the
+    * regressions list — queries >= minRefSec in the reference that ran
+    * over `threshold`x it, each with its current plan fingerprint and
+    * whether it matches the reference (fpOf is called only for the
+    * regressed few — building a frame can run fixture scalar jobs). */
+  def driftReport(results: Map[String, Either[String, Double]],
+                  refTimes: Map[String, Double],
+                  refFps: Map[String, String],
+                  fpOf: String => Option[String],
+                  threshold: Double = 1.3,
+                  minRefSec: Double = 0.5): (Option[Double], Seq[String]) = {
+    val warmNow = results.collect {
+      case (k, Right(v)) if k.startsWith("_memo_warmup") => v }.sum
+    val warmRef = refTimes.collect {
+      case (k, v) if k.startsWith("_memo_warmup") => v }.sum
+    val noise = if (warmRef > 0 && warmNow > 0)
+      Some(round3(warmNow / warmRef)) else None
+    // warmup splits are the PROBE, never regressions — their drift IS
+    // the noise index
+    val regs = results.toSeq.sortBy(_._1).collect {
+      case (k, Right(v)) if !k.startsWith("_memo_warmup") &&
+          refTimes.get(k).exists(r => r >= minRefSec && v > threshold * r) =>
+        val ratio = round3(v / refTimes(k))
+        val fp = fpOf(k)
+        val fpPart = fp.map { f =>
+          val m = refFps.get(k).contains(f)
+          s""","fp":"$f","fp_match":$m""" }.getOrElse("")
+        s"""{"q":"$k","x":$ratio$fpPart}"""
+    }
+    (noise, regs)
+  }
+
   /** The full artifact JSON (per-query timings + errors). This goes to
     * `bench_out.json` ONLY — at 114 queries it is ~2.4 KB, which is
     * larger than the driver's 2,000-char stdout tail capture, so it
     * must never be the last printed line (r03/r04/r05 artifacts were
     * head-truncated and unparseable for exactly that reason). */
   def renderJson(results: Map[String, Either[String, Double]], sfDir: String,
-                 reps: Int = 2): String = {
+                 reps: Int = 2, extra: String = ""): String = {
     import JsonUtil.jstr
     val qs = results.toSeq.sortBy(_._1)
       .collect { case (k, Right(v)) => s"\"" + k + "\":" + round3(v) }
@@ -87,7 +160,7 @@ object Bench {
       .collect { case (k, Left(m)) => s"\"" + k + "\":" + jstr(m.take(60)) }
       .mkString("{", ",", "}")
     val total = round3(results.values.collect { case Right(v) => v }.sum)
-    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","queries":$qs,"errors":$errs$extra,"sf":"$sfDir"}"""
   }
 
   /** The driver-contract summary — the LAST stdout line. Kept tiny
@@ -96,14 +169,18 @@ object Bench {
     * detail lives in `bench_out.json` (see renderJson). */
   def renderSummary(results: Map[String, Either[String, Double]], sfDir: String,
                     reps: Int = 2, outFile: String = "bench_out.json",
-                    prev: Option[(Double, Int)] = None): String = {
+                    prev: Option[(Double, Int)] = None,
+                    noiseIndex: Option[Double] = None,
+                    nRegressions: Int = -1): String = {
     val total = round3(results.values.collect { case Right(v) => v }.sum)
     val nErr = results.values.count(_.isLeft)
     // Self-describing delta: carry the previous round's total/count so
     // round-over-round comparison never depends on recovering an old
     // (possibly truncated) artifact.
     val prevPart = prev.map { case (t, n) => s""","prev_total":$t,"prev_n":$n""" }.getOrElse("")
-    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","n":${results.size},"errors":$nErr$prevPart,"sf":"$sfDir","out":"$outFile"}"""
+    val noisePart = noiseIndex.map(v => s""","noise_index":$v""").getOrElse("")
+    val regPart = if (nRegressions >= 0) s""","regressions":$nRegressions""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec","method":"min_of_$reps","n":${results.size},"errors":$nErr$prevPart$noisePart$regPart,"sf":"$sfDir","out":"$outFile"}"""
   }
 
   /** Parse (total, n_queries) out of a prior run's full artifact
@@ -149,14 +226,28 @@ object Bench {
     // round-over-round delta).
     val prev = readPrev(outFile)
     val results = runQueriesMin(spark, sfDir, SparkEntry.queries, reps)
-    val json = renderJson(results, sfDir, reps)
+    // Drift classification against the committed quiet-run reference:
+    // noise_index (host-load probe from the pure-compute warmup
+    // splits) + the >=1.3x regression list with plan-fingerprint
+    // match verdicts — BENCH_r{N} is readable on its own, no
+    // post-mortem against old artifacts needed.
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val (refTimes, refFps) = readRef(refFile)
+    val (noise, regs) = driftReport(results, refTimes, refFps,
+      fpOf = name => try Some(planFingerprint(
+          SparkEntry.queries(name)(spark, sfDir)))
+        catch { case _: Throwable => None })
+    val extra = s""","noise_index":${noise.getOrElse(-1)}""" +
+      s""","regressions":${regs.mkString("[", ",", "]")}"""
+    val json = renderJson(results, sfDir, reps, extra)
     // Full artifact (per-query map) to a file only — it exceeds the
     // driver's stdout tail capture and must never be printed last.
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    val summary = renderSummary(results, sfDir, reps, outFile, prev)
+    val summary = renderSummary(results, sfDir, reps, outFile, prev,
+      noise, regs.size)
     // Belt-and-braces: the summary also goes to stderr, so even a
     // stdout-capture regression leaves a recoverable copy.
     System.err.println(summary)
@@ -165,6 +256,54 @@ object Bench {
     // showSuccess:=false (no trailing "[success]" line), so this line
     // is byte-identically the final stdout line of `sbt runMain`.
     println(summary)
+    spark.stop()
+  }
+}
+
+/** Refreshes the committed drift reference `bench_ref.json` from the
+  * freshest quiet run: per-query reference seconds = the MIN of the
+  * current bench_out.json and any existing reference (the quiet-run
+  * min accumulates across a sitting — run Bench on a quiet host, then
+  * this), fingerprints = the CURRENT plans' (so a deliberate plan
+  * change updates its fp in the same commit that lands it). Entries
+  * for retired queries are dropped; the warmup-split entries ride
+  * along as the noise_index denominator. */
+object BenchRef {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.drainBoundedWindowWarn()
+    val (cur, _) = Bench.readRef(outFile) // same "queries" section shape
+    require(cur.nonEmpty, s"no per-query times in $outFile — run Bench first")
+    val (old, _) = Bench.readRef(refFile)
+    val times = cur.map { case (k, v) =>
+      k -> math.min(v, old.getOrElse(k, Double.MaxValue)) }
+    // memo-dependent plans need the memos in place, as in a bench run
+    try {
+      graft.operators.Dedup.warmMemos(spark, sfDir)
+      graft.operators.TextAnalysis.warmMemos(spark, sfDir)
+      graft.operators.NgramLm.warmMemos(spark, sfDir)
+      graft.operators.PublicSuffix.warmMemos(spark, sfDir)
+    } catch { case _: Throwable => () }
+    val fps = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
+      try Some(k -> Bench.planFingerprint(fn(spark, sfDir)))
+      catch { case _: Throwable => None } }
+    val timesJson = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val fpsJson = fps.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(refFile),
+      s"""{"queries":$timesJson,"fps":$fpsJson,"sf":"$sfDir"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"ref":"$refFile","n":${times.size},"fps":${fps.size}}""")
     spark.stop()
   }
 }

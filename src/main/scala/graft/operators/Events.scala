@@ -2301,6 +2301,217 @@ object Events {
       |FROM (VALUES (500), (900), (990)) q(q_permille)
       |ORDER BY q_permille""".stripMargin
 
+  /** Session entry/exit matrix — per (first event type, last event
+    * type) of each inactivity-bounded session, the session count: the
+    * landing/bounce view of session flow ("sessions that start with a
+    * view and end with a purchase"). One sessionization window + one
+    * (user, sid) min/max-struct agg + one types²-bounded agg; the
+    * struct carries (ts, event_id, type) so ties break on event_id
+    * exactly like every window in this family. */
+  def sessionEntryExitOf(events: DataFrame,
+                         gap: String = "30 MINUTES"): DataFrame =
+    withSessionIds(events, gap)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("entry_type"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .getField("event_type").as("exit_type"))
+      .groupBy(col("entry_type"), col("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"))
+
+  def sessionEntryExit(s: SparkSession, d: String): DataFrame =
+    sessionEntryExitOf(Tables.events(s, d), gap = "1 DAY")
+      .orderBy(col("entry_type"), col("exit_type"))
+
+  private val sessionEntryExitOracle =
+    """WITH flagged AS (SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 1 DAY
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, event_id, ts, event_type,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |ee AS (SELECT user_id, sid,
+      |    arg_min(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS entry_type,
+      |    arg_max(event_type, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS exit_type
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM ee GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** RFM segmentation — the recency / frequency / monetary grid with
+    * MEAN-RELATIVE buckets: per user, hours since last activity (vs
+    * the corpus end), total events, and integer-cents purchase value;
+    * each dimension buckets 1..4 against the corpus mean (≤½·avg,
+    * ≤avg, ≤2·avg, >2·avg) via exact cross-multiplied integer
+    * comparisons (x·2·n ≤ Σx etc. — no division, no float). The means
+    * ride as DRIVER SCALARS from one fused agg (the fixpoint-scalar
+    * pattern), so bucketing is a pure expression — deliberately NOT a
+    * global ntile, which would move the whole user grain through one
+    * partition (the partition-less-window trap this repo bans); the
+    * quantile face of this dashboard is [[sessionPercentiles]]'
+    * sketch territory. Scale: one user-keyed agg + one 1-row agg +
+    * one 4³-bounded agg. */
+  def rfmSegmentsOf(events: DataFrame): DataFrame = {
+    val endUs = events.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        expr(s"CAST(($endUs - max(unix_micros(ts))) DIV 3600000000 AS BIGINT)")
+          .as("recency_hours"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_cents"))
+      .localCheckpoint()
+    val t = perUser.agg(count(lit(1)), sum(col("recency_hours")),
+      sum(col("frequency")), sum(col("monetary_cents"))).head
+    val n = t.getLong(0)
+    def bucket(c: String, tot: Long): Column =
+      when(col(c) * 2 * n <= tot, 1).when(col(c) * n <= tot, 2)
+        .when(col(c) * n <= 2 * tot, 3).otherwise(4)
+    perUser
+      .withColumn("r_bucket", bucket("recency_hours", t.getLong(1)))
+      .withColumn("f_bucket", bucket("frequency", t.getLong(2)))
+      .withColumn("m_bucket", bucket("monetary_cents", t.getLong(3)))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def rfmSegments(s: SparkSession, d: String): DataFrame =
+    rfmSegmentsOf(Tables.events(s, d))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+
+  private val rfmSegmentsOracle =
+    """WITH pu AS (SELECT user_id,
+      |    CAST((epoch_us((SELECT max(ts) FROM events)) - epoch_us(max(ts)))
+      |      // 3600000000 AS BIGINT) AS recency_hours,
+      |    count(*) AS frequency,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS monetary_cents
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS n, sum(recency_hours) AS tr,
+      |    sum(frequency) AS tf, sum(monetary_cents) AS tm FROM pu),
+      |b AS (SELECT
+      |    CASE WHEN recency_hours * 2 * n <= tr THEN 1
+      |         WHEN recency_hours * n <= tr THEN 2
+      |         WHEN recency_hours * n <= 2 * tr THEN 3 ELSE 4 END AS r_bucket,
+      |    CASE WHEN frequency * 2 * n <= tf THEN 1
+      |         WHEN frequency * n <= tf THEN 2
+      |         WHEN frequency * n <= 2 * tf THEN 3 ELSE 4 END AS f_bucket,
+      |    CASE WHEN monetary_cents * 2 * n <= tm THEN 1
+      |         WHEN monetary_cents * n <= tm THEN 2
+      |         WHEN monetary_cents * n <= 2 * tm THEN 3 ELSE 4 END AS m_bucket
+      |  FROM pu, t)
+      |SELECT CAST(r_bucket AS INT) AS r_bucket,
+      |  CAST(f_bucket AS INT) AS f_bucket, CAST(m_bucket AS INT) AS m_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Inter-purchase gaps — per user with >= 2 purchases, the count and
+    * exact integer stats of the microsecond gaps between consecutive
+    * purchases (the repeat-buy cadence panel). One user-keyed lag
+    * window over the purchase slice + one user agg. */
+  def interPurchaseOf(events: DataFrame,
+                      purchaseType: String = "purchase"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.filter(col("event_type") === purchaseType)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
+  def interPurchase(s: SparkSession, d: String): DataFrame =
+    interPurchaseOf(Tables.events(s, d)).orderBy(col("user_id"))
+
+  private val interPurchaseOracle =
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The power-user curve — per calendar month, how many users were
+    * active on exactly k distinct days (the "Lness" engagement
+    * histogram). Two bounded aggs over (user, month, day) grain. */
+  def powerUserCurveOf(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("month"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .groupBy(col("user_id"), col("month"))
+      .agg(count_distinct(col("day")).as("active_days"))
+      .groupBy(col("month"), col("active_days"))
+      .agg(count(lit(1)).as("n_users"))
+
+  def powerUserCurve(s: SparkSession, d: String): DataFrame =
+    powerUserCurveOf(Tables.events(s, d))
+      .orderBy(col("month"), col("active_days"))
+
+  private val powerUserCurveOracle =
+    """WITH a AS (SELECT user_id,
+      |    CAST(date_trunc('month', ts) AS DATE) AS month,
+      |    count(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS active_days
+      |  FROM events GROUP BY 1, 2)
+      |SELECT month, CAST(active_days AS BIGINT) AS active_days,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Weekly channel credit — [[channelAttributionOf]]'s linear credits
+    * rolled to (conversion week, channel): the acquisition-mix trend
+    * line. Same shared pair enumeration; the conversion's week rides
+    * the pair frame's conversion timestamp. */
+  def channelWeeklyOf(events: DataFrame, convType: String,
+                      touchType: String, maxAgeUs: Long,
+                      channelCol: String): DataFrame =
+    touchPairsOf(events, convType, touchType, maxAgeUs, Seq(channelCol))
+      .select(
+        date_trunc("week", timestamp_micros(col("c_us"))).cast("date").as("week"),
+        col(channelCol).as("channel"),
+        expr("CAST(1000 DIV n + IF(rk_last = 1, 1000 % n, 0) AS BIGINT)")
+          .as("credit"))
+      .groupBy(col("week"), col("channel"))
+      .agg(sum(col("credit")).as("credit_permille"))
+
+  def channelWeekly(s: SparkSession, d: String): DataFrame =
+    channelWeeklyOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("week"), col("channel"))
+
+  private val channelWeeklyOracle =
+    s"""WITH t AS (SELECT event_id AS touch_id, user_id, ts,
+       |    list_value('email', 'search', 'social')[
+       |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+       |  FROM events WHERE event_type = 'click'),
+       |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |j AS (SELECT c.conv_id, t.channel,
+       |    CAST(date_trunc('week', c.ts) AS DATE) AS week,
+       |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+       |    row_number() OVER (PARTITION BY c.conv_id
+       |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+       |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+       |    AND t.ts >= c.ts - INTERVAL 3 DAYS)
+       |SELECT week, channel,
+       |  CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END)
+       |    AS BIGINT) AS credit_permille
+       |FROM j GROUP BY 1, 2 ORDER BY week, channel""".stripMargin
+
   /** Funnel reach BY COHORT — the acquisition-quality question "do
     * later signups convert like earlier ones": per weekly first-seen
     * cohort and funnel step (with the per-step deadline), the distinct
@@ -2579,6 +2790,11 @@ object Events {
     "multi_touch_attribution" -> (multiTouchAttribution _),
     "channel_attribution"    -> (channelAttribution _),
     "channel_mix"            -> (channelMix _),
+    "channel_weekly"         -> (channelWeekly _),
+    "session_entry_exit"     -> (sessionEntryExit _),
+    "rfm_segments"           -> (rfmSegments _),
+    "inter_purchase"         -> (interPurchase _),
+    "power_user_curve"       -> (powerUserCurve _),
     // approximate by construction (t-digest) → no oracle row; bounded
     // by the oracle-gated session_percentiles_agreement bracket
     "session_percentiles"    -> (sessionPercentiles _),
@@ -2632,6 +2848,11 @@ object Events {
     "multi_touch_attribution" -> multiTouchAttributionOracle,
     "channel_attribution"    -> channelAttributionOracle,
     "channel_mix"            -> channelMixOracle,
+    "channel_weekly"         -> channelWeeklyOracle,
+    "session_entry_exit"     -> sessionEntryExitOracle,
+    "rfm_segments"           -> rfmSegmentsOracle,
+    "inter_purchase"         -> interPurchaseOracle,
+    "power_user_curve"       -> powerUserCurveOracle,
     "session_percentiles_agreement" -> sessionPercentilesAgreementOracle,
     "event_transition_matrix" -> eventTransitionsOracle,
     "session_transition_matrix" -> sessionTransitionsOracle,

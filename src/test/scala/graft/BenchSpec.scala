@@ -62,4 +62,46 @@ class BenchSpec extends AnyFunSuite {
     assert(tree.get("prev_n").asInt == 3)
     assert(line.getBytes("UTF-8").length <= 400, s"summary line too long: $line")
   }
+
+  test("drift report: noise index from warmup splits, regressions with fp verdicts") {
+    val f = java.nio.file.Files.createTempDirectory("graft_bench_ref")
+      .resolve("bench_ref.json")
+    java.nio.file.Files.write(f,
+      ("""{"queries":{"_memo_warmup_dedup":4.0,"_memo_warmup_text":1.0,""" +
+       """"fast":0.2,"slow":2.0,"steady":1.0},""" +
+       """"fps":{"slow":"aaaaaaaaaaaa","steady":"bbbbbbbbbbbb"}}""").getBytes("UTF-8"))
+    val (times, fps) = Bench.readRef(f.toString)
+    assert(times("slow") == 2.0 && fps("slow") == "aaaaaaaaaaaa")
+    val results: Map[String, Either[String, Double]] = Map(
+      "_memo_warmup_dedup" -> Right(6.0), "_memo_warmup_text" -> Right(1.5),
+      "fast" -> Right(5.0),   // regressed but under the 0.5s ref floor
+      "slow" -> Right(3.0),   // 1.5x, same plan -> host noise verdict
+      "steady" -> Right(1.1), // within threshold
+      "new_query" -> Right(9.0)) // not in the reference -> skipped
+    val (noise, regs) = Bench.driftReport(results, times, fps,
+      fpOf = { case "slow" => Some("aaaaaaaaaaaa"); case _ => Some("cccccccccccc") })
+    assert(noise.contains(1.5), s"warmup 7.5/5.0 expected, got $noise")
+    assert(regs.size == 1, s"only 'slow' qualifies, got $regs")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(regs.head)
+    assert(tree.get("q").asText == "slow" && tree.get("x").asDouble == 1.5)
+    assert(tree.get("fp_match").asBoolean, "same fp must read as plan-stable")
+    // missing reference -> no noise index, no regressions, never a crash
+    val (n2, r2) = Bench.driftReport(results, Map.empty, Map.empty, _ => None)
+    assert(n2.isEmpty && r2.isEmpty)
+    // the full artifact embeds both fields and stays parseable
+    val json = Bench.renderJson(results, "sfX", 2,
+      s""","noise_index":1.5,"regressions":${regs.mkString("[", ",", "]")}""")
+    val t2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(t2.get("noise_index").asDouble == 1.5)
+    assert(t2.get("regressions").get(0).get("q").asText == "slow")
+  }
+
+  test("plan fingerprints are stable across frame rebuilds, differ across plans") {
+    val a1 = Bench.planFingerprint(Tables.region(spark, sf))
+    val a2 = Bench.planFingerprint(Tables.region(spark, sf))
+    assert(a1 == a2, "same query must fingerprint identically")
+    val b = Bench.planFingerprint(Tables.nation(spark, sf))
+    assert(a1 != b, "different scans must fingerprint differently")
+  }
 }

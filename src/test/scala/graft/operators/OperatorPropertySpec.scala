@@ -1135,6 +1135,58 @@ class OperatorPropertySpec extends AnyFunSuite {
     assert(mix == mixNaive, "channel mix != naive roll-up")
   }
 
+  test("engagement panel conservation: RFM / entry-exit / power-curve / inter-purchase / weekly channel (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val s = SparkSpec.session
+    val ev = graft.Tables.events(s, sf)
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // RFM: segment counts partition the user set; buckets are in 1..4
+    val rfm = Events.rfmSegmentsOf(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rfm.map(_._4).sum == nUsers, "RFM segments must partition users")
+    assert(rfm.forall(r => Seq(r._1, r._2, r._3).forall(b => b >= 1 && b <= 4)))
+    assert(rfm.length >= 2, "fixture must spread users across segments")
+    // entry/exit: session counts partition the session set
+    val sessTotal = Events.sessionStatsOf(ev, gap = "1 DAY")
+      .agg(sum(col("n_sessions"))).head.getLong(0)
+    val ee = Events.sessionEntryExitOf(ev, gap = "1 DAY").collect()
+    assert(ee.map(_.getLong(2)).sum == sessTotal,
+      "entry/exit matrix must partition sessions")
+    // power-user curve: per month, n_users sums to that month's actives
+    val curve = Events.powerUserCurveOf(ev)
+      .groupBy(col("month")).agg(sum(col("n_users")).as("nu")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val actives = ev.select(col("user_id"),
+        date_trunc("month", col("ts")).cast("date").as("m"))
+      .distinct().groupBy(col("m")).count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(curve == actives, "power curve must partition monthly actives")
+    // inter-purchase: gaps positive; per user, sum == last - first
+    val gaps = Events.interPurchaseOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gaps.nonEmpty && gaps.forall(_._3 > 0), "purchase gaps must be positive")
+    val spans = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("span"),
+        count(lit(1)).as("np"))
+      .filter(col("np") >= 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gaps.map(g => g._1 -> g._5).toMap == spans,
+      "gap sums must telescope to last-first per user")
+    // weekly channel credit: weeks partition the per-conversion credit,
+    // so the weekly total equals the channel mix total
+    val age = 3L * 24 * 3600 * 1000000
+    val chEv = ev.withColumn("channel",
+      element_at(typedlit(Seq("email", "search", "social")),
+        (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 3) + 1))
+    val weekly = Events.channelWeeklyOf(chEv, "purchase", "click", age, "channel")
+      .agg(sum(col("credit_permille"))).head.getLong(0)
+    val mix = Events.channelMixOf(chEv, "purchase", "click", age, "channel")
+      .agg(sum(col("credit_permille"))).head.getLong(0)
+    assert(weekly == mix && weekly > 0, "weekly credits must sum to the mix total")
+  }
+
   test("single-pass funnel reach equals the per-step loop recurrence on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(163)
