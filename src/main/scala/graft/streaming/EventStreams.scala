@@ -214,6 +214,26 @@ object EventStreams {
       .toDF("user_id", "first_us", "max_step")
   }
 
+  /** Streaming daily-active-users — the streaming face of the
+    * retention family's DAU grain: per event day, the distinct user
+    * count, with BOUNDED state end to end. Two chained stateful
+    * operators (Spark supports stateful chaining in append mode since
+    * 3.5): `dropDuplicatesWithinWatermark` on (user_id, day) keeps one
+    * marker per (user, day) only until the watermark passes it — a
+    * plain dropDuplicates would hold every pair ever seen — then the
+    * 1-day tumbling-window count emits each day's total once the
+    * watermark closes it. Late events beyond the watermark are
+    * dropped, the standard trade. */
+  def dauStream(events: DataFrame,
+                watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").cast("date").as("day"), col("n_users"))
+
   /** Streaming per-stratum quota sampler: admit at most `quota` events
     * per event_type over the stream's lifetime, first-arrival-first
     * (within a micro-batch, lowest event_id first for determinism).

@@ -1008,6 +1008,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(wantMt.nonEmpty)
   }
 
+  test("streaming DAU: per-day distinct users equal the batch counts once the watermark closes the day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count_distinct, date_trunc}
+    val rnd = new scala.util.Random(29)
+    // three days of events with heavy per-user repetition, fed
+    // time-ordered; a fourth-day sentinel closes every earlier window
+    val evs = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(9).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(3 * 86400) * 1000L),
+        "view")
+    }.sortBy(e => (e._3.getTime, e._1))
+    val flush = (9001L, 999L,
+      new Timestamp(1704067200000L + 6L * 86400 * 1000L), "view")
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStreams.dauStream(
+        in.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("dau_stream")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(100)) {
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    in.addData(flush); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dau_stream").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val want = evs.toDF("event_id", "user_id", "ts", "event_type")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(got == want, s"stream DAU $got != batch $want")
+    assert(want.size == 3 && want.values.forall(v => v > 1 && v <= 9))
+  }
+
   test("streaming sessionized funnel emissions equal the batch per-session reach") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
