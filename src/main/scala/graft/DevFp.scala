@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: print a query's plan fingerprint three times in one
+  * session — catches fingerprint instability (session-global counters
+  * leaking into the plan text) before it lands in bench_ref.json.
+  * Usage: dev/run.sh graft.DevFp [query] [sfDir] */
+object DevFp {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("class_profile_classify")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = SparkEntry.queries(name)
+    (1 to 3).foreach(i =>
+      println(s"fp$i=${Bench.planFingerprint(fn(spark, sfDir))}"))
+    spark.stop()
+  }
+}
