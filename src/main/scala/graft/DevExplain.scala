@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev helper: print a query's formatted physical plan.
+  * Usage: dev/run.sh graft.DevExplain <query> [sfDir] */
+object DevExplain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("funnel_steps")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}
