@@ -2020,6 +2020,99 @@ object Events {
       |    AS BIGINT) AS credit_permille
       |FROM j ORDER BY conv_id, touch_id""".stripMargin
 
+  /** First/last-touch CHANNEL attribution — [[touchAttributionOf]]
+    * with the channel dimension riding the same RANGE-window marker
+    * struct: per conversion, the channel of the first and of the last
+    * qualifying touch (the "which channel opened / which channel
+    * closed" question). The channel sits THIRD in the struct, so the
+    * (us, event_id) ordering — and therefore the tie-break — is
+    * byte-identical to the id-only face; still one shuffle however
+    * wide the window. */
+  def touchChannelsOf(events: DataFrame, convType: String,
+                      touchType: String, maxAgeUs: Long,
+                      channelCol: String): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
+    require(convType != touchType, "conversion and touch types must differ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-maxAgeUs, -1)
+    val touchMark = when(col("event_type") === touchType,
+      struct(unix_micros(col("ts")).as("us"), col("event_id"),
+        col(channelCol).as("ch")))
+    events
+      .filter(col("event_type").isin(convType, touchType))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        max(touchMark).over(w).as("lastm"),
+        min(touchMark).over(w).as("firstm"),
+        count(touchMark).over(w).as("n_touches"))
+      .filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("firstm.ch").as("first_channel"),
+        col("lastm.ch").as("last_channel"),
+        col("n_touches"))
+  }
+
+  /** The first→last channel TRANSITION matrix — [[touchChannelsOf]]
+    * rolled up over conversions with at least one touch: how often a
+    * journey opened on one channel and closed on another (diagonal =
+    * single-channel journeys). Bounded by channels². */
+  def channelTransitionsOf(events: DataFrame, convType: String,
+                           touchType: String, maxAgeUs: Long,
+                           channelCol: String): DataFrame =
+    touchChannelsOf(events, convType, touchType, maxAgeUs, channelCol)
+      .filter(col("n_touches") > 0)
+      .groupBy(col("first_channel"), col("last_channel"))
+      .agg(count(lit(1)).as("n_conversions"))
+
+  def channelFirstLast(s: SparkSession, d: String): DataFrame =
+    touchChannelsOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("event_id"))
+
+  private val channelFirstLastOracle =
+    """WITH t AS (SELECT event_id, user_id, ts,
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  arg_min(t.channel, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |    || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS first_channel,
+      |  arg_max(t.channel, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |    || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS last_channel,
+      |  CAST(count(t.event_id) AS BIGINT) AS n_touches
+      |FROM c LEFT JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |  AND t.ts >= c.ts - INTERVAL 3 DAYS
+      |GROUP BY 1, 2, 3
+      |ORDER BY c.event_id""".stripMargin
+
+  def channelTransitions(s: SparkSession, d: String): DataFrame =
+    channelTransitionsOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("first_channel"), col("last_channel"))
+
+  private val channelTransitionsOracle =
+    """WITH t AS (SELECT event_id, user_id, ts,
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |fl AS (SELECT c.event_id,
+      |    arg_min(t.channel, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS first_channel,
+      |    arg_max(t.channel, strftime(t.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || lpad(CAST(t.event_id AS VARCHAR), 12, '0')) AS last_channel
+      |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+      |    AND t.ts >= c.ts - INTERVAL 3 DAYS
+      |  GROUP BY 1)
+      |SELECT first_channel, last_channel,
+      |  CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM fl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Attribution with a CHANNEL dimension — the linear credits of
     * [[multiTouchAttributionOf]] rolled up per (conversion, channel):
     * which acquisition channel gets how much of each conversion's 1000
@@ -2791,6 +2884,8 @@ object Events {
     "channel_attribution"    -> (channelAttribution _),
     "channel_mix"            -> (channelMix _),
     "channel_weekly"         -> (channelWeekly _),
+    "channel_first_last"     -> (channelFirstLast _),
+    "channel_transition_matrix" -> (channelTransitions _),
     "session_entry_exit"     -> (sessionEntryExit _),
     "rfm_segments"           -> (rfmSegments _),
     "inter_purchase"         -> (interPurchase _),
@@ -2849,6 +2944,8 @@ object Events {
     "channel_attribution"    -> channelAttributionOracle,
     "channel_mix"            -> channelMixOracle,
     "channel_weekly"         -> channelWeeklyOracle,
+    "channel_first_last"     -> channelFirstLastOracle,
+    "channel_transition_matrix" -> channelTransitionsOracle,
     "session_entry_exit"     -> sessionEntryExitOracle,
     "rfm_segments"           -> rfmSegmentsOracle,
     "inter_purchase"         -> interPurchaseOracle,

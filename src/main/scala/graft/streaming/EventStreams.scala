@@ -159,6 +159,45 @@ object EventStreams {
                           events: DataFrame, steps: Seq[String],
                           gapMs: Long = 30 * 60 * 1000L,
                           watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    sessionReachFold(spark, events, steps, gapMs, watermark) {
+      (userId, b, acc) => Iterator.single((userId, b.firstUs,
+        acc.lastIndexWhere(_ != Long.MaxValue) + 1))
+    }
+      .toDF("user_id", "first_us", "max_step")
+  }
+
+  /** Streaming face of `Events.funnelSessionWaitsOf` — the session
+    * family's latency emission: per CLOSED session and reached step
+    * i >= 2, the wait from the session's step-(i−1) first-reach time
+    * to its step-i first-reach time. Shares [[sessionReachFold]]'s
+    * keyed state with the reach face, so waits are exactly the
+    * differences of the batch kernel's reach times — spec-pinned
+    * against the batch operator's (user, step, wait) multiset. */
+  def sessionFunnelWaitsStream(spark: org.apache.spark.sql.SparkSession,
+                               events: DataFrame, steps: Seq[String],
+                               gapMs: Long = 30 * 60 * 1000L,
+                               watermark: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    sessionReachFold(spark, events, steps, gapMs, watermark) {
+      (userId, b, acc) => (1 until acc.length).iterator
+        .filter(i => acc(i) != Long.MaxValue)
+        .map(i => (userId, b.firstUs, i + 1, acc(i) - acc(i - 1)))
+    }
+      .toDF("user_id", "first_us", "step_idx", "wait_us")
+  }
+
+  /** The shared per-user session fold under the streaming funnel
+    * faces: sessionize (gap split on arrival + event-time timeout for
+    * the open tail), run the batch reach recurrence over the closed
+    * session's step events, and render rows via `emit(userId, buf,
+    * reach)` — reach(i) = first time step i+1 was reached in order,
+    * Long.MaxValue = never. */
+  private def sessionReachFold[T: org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+      steps: Seq[String], gapMs: Long, watermark: String)(
+      emit: (Long, SessFunnelBuf, Array[Long]) => Iterator[T]):
+      org.apache.spark.sql.Dataset[T] = {
     require(steps.nonEmpty && steps.size <= 8,
       s"funnel wants 1..8 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
@@ -176,7 +215,7 @@ object EventStreams {
         (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
          state: org.apache.spark.sql.streaming.GroupState[SessFunnelBuf]) =>
           val n = steps.size
-          def close(b: SessFunnelBuf): (Long, Long, Int) = {
+          def close(b: SessFunnelBuf): Iterator[T] = {
             // the batch reach recurrence over the session's step
             // events (buffered in arrival order = (ts, event_id)
             // order per the CDC contract + in-batch sort)
@@ -185,20 +224,20 @@ object EventStreams {
               if (idx == 1) { if (us < acc(0)) acc(0) = us }
               else if (acc(idx - 2) < us && us < acc(idx - 1)) acc(idx - 1) = us
             }
-            (userId, b.firstUs, acc.lastIndexWhere(_ != Long.MaxValue) + 1)
+            emit(userId, b, acc)
           }
           if (state.hasTimedOut) {
-            val b = state.get; state.remove(); Iterator.single(close(b))
+            val b = state.get; state.remove(); close(b)
           } else {
             def us(ts: java.sql.Timestamp): Long =
               ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
             val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4))
               .sortBy(r => (r._1, r._2))
             var buf = state.getOption.orNull
-            val out = Seq.newBuilder[(Long, Long, Int)]
+            val out = Seq.newBuilder[T]
             for ((eUs, _, typ) <- sorted) {
               if (buf != null && eUs >= buf.lastUs + gapUs) {
-                out += close(buf); buf = null
+                out ++= close(buf); buf = null
               }
               if (buf == null) buf = SessFunnelBuf(eUs, eUs, Nil)
               buf = SessFunnelBuf(buf.firstUs, math.max(buf.lastUs, eUs),
@@ -211,7 +250,6 @@ object EventStreams {
             out.result().iterator
           }
       }
-      .toDF("user_id", "first_us", "max_step")
   }
 
   /** Streaming daily-active-users — the streaming face of the

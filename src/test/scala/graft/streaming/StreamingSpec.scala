@@ -1100,6 +1100,33 @@ class StreamingSpec extends AnyFunSuite {
       "fixture must have sessions that reached no step")
     val byUser = got.groupBy(_._1)
     assert(byUser.exists(_._2.length >= 2), "a user must close several sessions")
+    // the WAITS face over the same feed: per-session transition
+    // latencies equal the batch operator's (user, step, wait) multiset
+    val in2 = MemoryStream[(Long, Long, Timestamp, String)]
+    val q2 = EventStreams.sessionFunnelWaitsStream(spark,
+        in2.toDF().toDF("event_id", "user_id", "ts", "event_type"),
+        steps, gapMs = gapMs)
+      .writeStream.format("memory").queryName("sess_funnel_waits")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(120)) {
+      in2.addData(chunk: _*)
+      q2.processAllAvailable()
+    }
+    in2.addData(flush1); q2.processAllAvailable()
+    in2.addData(flush2); q2.processAllAvailable()
+    q2.stop()
+    val gotWaits = spark.table("sess_funnel_waits").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).sorted.toSeq
+    val wantWaits = graft.operators.Events.funnelSessionWaitsOf(
+        (evs :+ flush1 :+ flush2)
+          .toDF("event_id", "user_id", "ts", "event_type")
+          .selectExpr("user_id", "ts", "event_id", "event_type"),
+        steps, gap = "15 MINUTES")
+      .collect().map(r => (r.getLong(2), r.getInt(0), r.getLong(4)))
+      .sorted.toSeq
+    assert(gotWaits == wantWaits,
+      s"stream waits (${gotWaits.take(3)}...) != batch (${wantWaits.take(3)}...)")
+    assert(wantWaits.exists(_._2 == 3), "fixture must have step-3 waits")
   }
 
   test("bucketed SCD2 ingest: fold equals one-shot; untouched buckets stay byte-stable; vacuum keeps the newest per bucket") {
@@ -1182,6 +1209,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(shape(EventStreams.readScd2BucketedOpt(spark, out).get
       .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))) == streamed)
     assert(EventStreams.scd2VacuumBucketed(out) == 0)
+    // point-in-time readers over the bucketed artifact equal the
+    // one-shot history's: snapshot mid-feed and diff across the
+    // tail's window (the handoff-#3 reader parity)
+    val at1 = org.apache.spark.sql.functions.lit("2024-01-01 00:40:00").cast("timestamp")
+    val at2 = org.apache.spark.sql.functions.lit("2024-01-01 01:09:00").cast("timestamp")
+    val bucketed = EventStreams.readScd2BucketedOpt(spark, out).get
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+    val oneShotH = graft.operators.Events.scd2HistoryDeletesOf(
+      (upd ++ tail).toDF("k", "attr", "ts", "tb", "is_delete"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Events.scd2SnapshotOf(df, at1).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    def dif(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Events.scd2DiffOf(df, at1, at2).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.getString(2)), r.getString(3))).toSet
+    assert(snap(bucketed) == snap(oneShotH) && snap(bucketed).nonEmpty,
+      "bucketed snapshot != one-shot snapshot")
+    assert(dif(bucketed) == dif(oneShotH) && dif(bucketed).nonEmpty,
+      "bucketed diff != one-shot diff")
     // an empty artifact root reads as None
     val fresh = java.nio.file.Files.createTempDirectory("graft_scd2b_none").toString
     assert(EventStreams.readScd2BucketedOpt(spark, fresh).isEmpty)
