@@ -644,7 +644,146 @@ object AdvancedOps {
       |    AND (b.p_size < a.p_size OR b.p_retailprice > a.p_retailprice))
       |ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // HLL register TABLES — mergeable distinct-count sketches as ROWS
+  // (Flajolet et al. 2007), the warehouse sketch-rollup pattern:
+  // daily partials land as (key, bucket, rho) rows, roll to
+  // weekly/monthly with a plain groupBy-max (max is associative, so
+  // merged partials are BIT-IDENTICAL to a direct sketch — spec- and
+  // oracle-pinned), and the estimate is INTEGER-EXACT fixed-point
+  // arithmetic, so even the approximation oracle-checks equal across
+  // engines. No binary blobs, no UDAF: the sparse row form IS the
+  // sketch, and every step is a keyed agg Catalyst already scales.
+  // ---------------------------------------------------------------
+
+  /** Sparse HLL register table over `valueCol` at `keyCols` grain:
+    * (keys…, bucket, rho). Bucket = the portable 60-bit hash mod m;
+    * rho = leading-zero count of the remaining (60−log2 m)-bit window
+    * + 1, computed as wbits+1 − length(bin(w)) — integer-exact and
+    * mirrorable (DuckDB's bin() prints the same unpadded binary).
+    * Duplicate values collapse by construction (same bucket, same
+    * rho), which is what makes the table a DISTINCT sketch. */
+  def hllRegistersOf(df: DataFrame, keyCols: Seq[String],
+                     valueCol: String, m: Int = 64): DataFrame = {
+    require(m >= 16 && m <= 65536 && Integer.bitCount(m) == 1,
+      s"m must be a power of two in [16, 65536], got $m")
+    val wbits = 60 - Integer.numberOfTrailingZeros(m)
+    df.select(keyCols.map(col) :+
+        Portable.hash60(col(valueCol)).as("h"): _*)
+      .withColumn("bucket", expr(s"h % $m"))
+      .withColumn("w", expr(s"h DIV $m"))
+      .withColumn("rho", when(col("w") === 0, lit(wbits + 1))
+        .otherwise(lit(wbits + 1) - length(bin(col("w")))))
+      .groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("rho"))
+  }
+
+  /** Merge register partials UP a grain (day → week, week → month):
+    * max(rho) per (coarser keys, bucket) — associativity is the whole
+    * sketch-rollup contract. */
+  def hllMergeOf(registers: DataFrame, keyCols: Seq[String]): DataFrame =
+    registers.groupBy((keyCols :+ "bucket").map(col): _*)
+      .agg(max(col("rho")).cast("int").as("rho"))
+
+  /** The raw HLL estimate per key, in EXACT integer fixed point:
+    * E = α_m · m² / Σ_j 2^(−r_j), computed as
+    * (7213·m³ · 2^(wbits+1)) DIV ((10000·m + 10790) · Z₂) with
+    * Z₂ = Σ_j 2^(wbits+1−r_j) (absent buckets contribute 2^(wbits+1))
+    * — every term a power of two, DECIMAL(38,0) headroom, both
+    * engines land the identical integer (α_m = 0.7213/(1+1.079/m) as
+    * the exact fraction 7213·m / (10000·m+10790)). Deliberately the
+    * RAW estimator: the standard small-range linear-counting branch
+    * needs ln(), which no integer convention reproduces — callers at
+    * n ≲ 2.5·m should count exactly instead (documented bias). */
+  def hllEstimateOf(registers: DataFrame, keyCols: Seq[String],
+                    m: Int = 64): DataFrame = {
+    require(m >= 16 && m <= 65536 && Integer.bitCount(m) == 1,
+      s"m must be a power of two in [16, 65536], got $m")
+    val wbits = 60 - Integer.numberOfTrailingZeros(m)
+    val two = 1L << (wbits + 1)
+    val alphaTop = 7213L * m * m * m
+    val alphaDen = 10000L * m + 10790L
+    registers.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("nb"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wbits + 1} - rho)")).as("zp"))
+      .select(keyCols.map(col) :+
+        expr(s"CAST(CAST($alphaTop AS DECIMAL(38,0)) * CAST($two AS DECIMAL(38,0))" +
+          s" DIV (CAST($alphaDen AS DECIMAL(38,0)) *" +
+          s" (CAST(zp AS DECIMAL(38,0)) + ($m - nb) * CAST($two AS DECIMAL(38,0))))" +
+          " AS BIGINT)").as("est_distinct"): _*)
+  }
+
+  /** The (week, user-day value) base of the HLL fixtures: distinct
+    * active user-days per week is a real DAU-style cardinality, large
+    * enough (≫ m at every SF) that the raw estimator is in its
+    * operating regime. */
+  private def hllBase(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      concat(col("user_id").cast("string"), lit("-"),
+        date_trunc("day", col("ts")).cast("date").cast("string")).as("v"))
+
+  private val hllBaseSql =
+    """v AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    CAST(user_id AS VARCHAR) || '-' ||
+      |      CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS v
+      |  FROM events),
+      |hh AS (SELECT week, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM v),
+      |reg AS (SELECT week, CAST(h % 64 AS BIGINT) AS bucket,
+      |    CAST(CASE WHEN h // 64 = 0 THEN 55
+      |              ELSE 55 - length(bin(h // 64)) END AS INT) AS rho0
+      |  FROM hh),
+      |regs AS (SELECT week, bucket, CAST(max(rho0) AS INT) AS rho
+      |  FROM reg GROUP BY 1, 2)""".stripMargin
+
+  /** Fixture: the weekly register table itself — the sketch partial a
+    * warehouse would persist. */
+  def hllRegisters(s: SparkSession, d: String): DataFrame =
+    hllRegistersOf(hllBase(s, d), Seq("week"), "v", m = 64)
+      .orderBy(col("week"), col("bucket"))
+
+  private val hllRegistersOracle =
+    s"""WITH $hllBaseSql
+       |SELECT week, bucket, rho FROM regs ORDER BY week, bucket""".stripMargin
+
+  /** Fixture: per week, the integer-exact raw estimate next to the
+    * exact distinct count and the integer-permille error — the whole
+    * row oracle-checks exactly in both engines (the estimate is
+    * deterministic arithmetic, not a confidence interval). */
+  def hllWeeklyEstimate(s: SparkSession, d: String): DataFrame = {
+    val base = hllBase(s, d).localCheckpoint()
+    val est = hllEstimateOf(
+      hllRegistersOf(base, Seq("week"), "v", m = 64), Seq("week"), m = 64)
+    val exact = base.groupBy(col("week"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("week"))
+  }
+
+  private val hllWeeklyEstimateOracle =
+    s"""WITH $hllBaseSql,
+       |e AS (SELECT week, count(*) AS nb,
+       |    sum(1::BIGINT << (55 - rho)) AS zp
+       |  FROM regs GROUP BY 1),
+       |est AS (SELECT week,
+       |    CAST(1890844672::HUGEINT * 36028797018963968::HUGEINT
+       |      // (650790::HUGEINT * (zp::HUGEINT
+       |          + (64 - nb) * 36028797018963968::HUGEINT))
+       |      AS BIGINT) AS est_distinct
+       |  FROM e),
+       |ex AS (SELECT week, count(DISTINCT v) AS exact_distinct
+       |  FROM v GROUP BY 1)
+       |SELECT week, est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (week) ORDER BY week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_registers"           -> (hllRegisters _),
+    "hll_weekly_estimate"     -> (hllWeeklyEstimate _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -667,6 +806,8 @@ object AdvancedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "hll_registers"           -> hllRegistersOracle,
+    "hll_weekly_estimate"     -> hllWeeklyEstimateOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,
