@@ -252,6 +252,51 @@ object EventStreams {
       }
   }
 
+  /** Streaming HLL sketch ingest — the streaming face of
+    * `AdvancedOps.hllRegistersOf`: each micro-batch's sparse register
+    * partial (keys…, bucket, rho) lands as a committed batch dir;
+    * because registers merge ASSOCIATIVELY (groupBy-max), the reader
+    * folds every committed partial into a table bit-identical to the
+    * one-shot sketch of the whole feed — spec-pinned, including
+    * across restart replays (a replayed batch skips via the marker,
+    * and even a hypothetical double-merge would be idempotent: max is
+    * also commutative and idempotent, the sketch-rollup trump card).
+    * Per-batch cost is the batch's keyed agg; state lives in the
+    * artifact, not the state store. */
+  def hllIngest(spark: org.apache.spark.sql.SparkSession,
+                rows: DataFrame, outDir: String, checkpoint: String,
+                keyCols: Seq[String], valueCol: String,
+                m: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val regs = graft.operators.AdvancedOps
+          .hllRegistersOf(batch, keyCols, valueCol, m)
+          .localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = regs.isEmpty,
+          write = dir => regs.write.mode("overwrite")
+            .parquet(dir.resolve("regs").toString)): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The merged register table under `outDir` — the reader face of
+    * [[hllIngest]]; feed to `AdvancedOps.hllEstimateOf` (or merge
+    * further up-grain with `hllMergeOf`). None with no committed
+    * partials. */
+  def readHllRegisters(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String,
+                       keyCols: Seq[String]): Option[DataFrame] = {
+    val dirs = CommittedBatchSink.committedDirs(outDir)
+      .filter(d => java.nio.file.Files.isDirectory(d.resolve("regs")))
+      .map(_.resolve("regs").toString)
+    if (dirs.isEmpty) None
+    else Some(graft.operators.AdvancedOps.hllMergeOf(
+      spark.read.parquet(dirs: _*), keyCols))
+  }
+
   /** Streaming daily-active-users — the streaming face of the
     * retention family's DAU grain: per event day, the distinct user
     * count, with BOUNDED state end to end. Two chained stateful

@@ -1008,6 +1008,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(wantMt.nonEmpty)
   }
 
+  test("streaming HLL ingest: committed partials merge bit-identically to the one-shot sketch; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_hll_out").toString
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 900).map(_ => (s"w${rnd.nextInt(3)}", s"u${rnd.nextInt(400)}"))
+    val in = MemoryStream[(String, String)]
+    def start() = EventStreams.hllIngest(spark,
+      in.toDF().toDF("week", "v"), out, ckpt, Seq("week"), "v")
+    val q1 = start()
+    in.addData(rows.take(300): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches
+    val q2 = start()
+    in.addData(rows.slice(300, 700): _*)
+    q2.processAllAvailable()
+    in.addData(rows.drop(700): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = EventStreams.readHllRegisters(spark, out, Seq("week")).get
+    val oneShot = graft.operators.AdvancedOps.hllRegistersOf(
+      rows.toDF("week", "v"), Seq("week"), "v")
+    assert(shape(streamed) == shape(oneShot),
+      "merged committed partials != one-shot sketch")
+    // replay after restart adds nothing
+    val nDirs = CommittedBatchSink.committedDirs(out).size
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readHllRegisters(spark, out, Seq("week")).get)
+      == shape(oneShot))
+    // and the estimates downstream agree too (same registers)
+    val estS = graft.operators.AdvancedOps
+      .hllEstimateOf(streamed, Seq("week")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estB = graft.operators.AdvancedOps
+      .hllEstimateOf(oneShot, Seq("week")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estS == estB && estS.size == 3)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_hll_none").toString
+    assert(EventStreams.readHllRegisters(spark, fresh, Seq("week")).isEmpty)
+  }
+
   test("streaming DAU: per-day distinct users equal the batch counts once the watermark closes the day") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
