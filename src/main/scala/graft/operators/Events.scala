@@ -1608,6 +1608,57 @@ object Events {
     funnelStepsOf(Tables.events(s, d), Seq("signup", "click", "purchase"))
       .orderBy(col("step_idx"))
 
+  /** Reach counts annotated with the step-over-step conversion rate
+    * (integer permille of the PREVIOUS step's reach; step 1 reads
+    * NULL) — the same single [[reachTimesOf]] aggregation job, the
+    * rates derived from its one driver row. */
+  def funnelRatesOf(events: DataFrame, steps: Seq[String],
+                    maxWait: Option[String] = None): DataFrame = {
+    require(steps.size >= 2 && steps.size <= 8,
+      s"funnel rates wants 2..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    maxWait.foreach(w => require(w.matches("\\d+ [A-Za-z]+"),
+      s"maxWait must look like '24 HOURS', got '$w'"))
+    val spark = events.sparkSession
+    val reach = reachTimesOf(events, steps, maxWait.map(intervalUs),
+      Seq("user_id"))
+    val aggs = steps.indices.map(i =>
+      coalesce(sum(when(reachedAt(i), 1L).otherwise(0L)), lit(0L)).as(s"n$i"))
+    val row = reach.agg(aggs.head, aggs.tail: _*).head
+    import spark.implicits._
+    steps.indices.map { i =>
+      val prev = if (i == 0) None else Some(row.getLong(i - 1)).filter(_ > 0)
+      (i + 1, steps(i), row.getLong(i),
+        prev.map(p => row.getLong(i) * 1000L / p))
+    }.toDF("step_idx", "step", "n_users", "conv_permille")
+  }
+
+  def funnelRates(s: SparkSession, d: String): DataFrame =
+    funnelRatesOf(Tables.events(s, d), Seq("signup", "click", "purchase"),
+        maxWait = Some("24 HOURS"))
+      .orderBy(col("step_idx"))
+
+  private val funnelRatesOracle =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |    AND e.ts <= s2.t + INTERVAL 24 HOURS
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |c AS (SELECT * FROM (
+      |  SELECT 1 AS step_idx, 'signup' AS step,
+      |    (SELECT count(*) FROM s1) AS n_users
+      |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)))
+      |SELECT step_idx, step, n_users,
+      |  CAST(n_users * 1000 // nullif(lag(n_users)
+      |    OVER (ORDER BY step_idx), 0) AS BIGINT) AS conv_permille
+      |FROM c ORDER BY step_idx""".stripMargin
+
   /** Per-user transition latencies of the ordered funnel — the
     * companion frame to [[funnelStepsOf]]'s reach counts: for every
     * step i >= 2 and every user who reached it, the wait from the
@@ -2671,6 +2722,93 @@ object Events {
       |  FROM coh JOIN s3 USING (user_id) GROUP BY 1)
       |ORDER BY cohort, step_idx""".stripMargin
 
+  /** Week-over-week growth — per week: events, active users, and the
+    * integer-permille growth of the event count vs the previous week.
+    * The lag window partitions by YEAR (weeks per partition bounded
+    * at 53 — the partition-less-window ban holds), so the first week
+    * of a year reads NULL growth: the documented year-boundary
+    * semantics, not a bug. */
+  def weeklyGrowthOf(events: DataFrame): DataFrame = {
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("yr")).orderBy(col("week"))
+    events
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+      .withColumn("yr", year(col("week")))
+      .withColumn("prev", lag(col("n_events"), 1).over(wk))
+      .select(col("week"), col("n_events"), col("n_users"),
+        expr("CAST((n_events - prev) * 1000 DIV prev AS BIGINT)")
+          .as("growth_permille"))
+  }
+
+  def weeklyGrowth(s: SparkSession, d: String): DataFrame =
+    weeklyGrowthOf(Tables.events(s, d)).orderBy(col("week"))
+
+  private val weeklyGrowthOracle =
+    """WITH w AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1)
+      |SELECT week, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST((n_events - lag(n_events) OVER (
+      |      PARTITION BY year(week) ORDER BY week)) * 1000
+      |    // lag(n_events) OVER (PARTITION BY year(week) ORDER BY week)
+      |    AS BIGINT) AS growth_permille
+      |FROM w ORDER BY week""".stripMargin
+
+  /** Retention by ACQUISITION CHANNEL — the channel family's cohort
+    * face: cohort each user by the channel of their FIRST touch
+    * (min-struct tie-break on event_id, the house convention), then
+    * per (channel, week offset from the user's first-touch week) the
+    * distinct active users. Answers "do search-acquired users stick
+    * like email-acquired ones". One user agg + one distinct-activity
+    * frame + one keyed join. */
+  def channelRetentionOf(events: DataFrame, touchType: String,
+                         channelCol: String): DataFrame = {
+    val first = events.filter(col("event_type") === touchType)
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"),
+        col(channelCol).as("ch"))).as("f"))
+      .select(col("user_id"), col("f.ch").as("channel"),
+        date_trunc("week", col("f.ts")).cast("date").as("cohort_week"))
+    val active = events
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .filter(col("week") >= col("cohort_week"))
+      .groupBy(col("channel"),
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def channelRetention(s: SparkSession, d: String): DataFrame =
+    channelRetentionOf(withChannel(Tables.events(s, d)),
+        touchType = "click", channelCol = "channel")
+      .orderBy(col("channel"), col("week_offset"))
+
+  private val channelRetentionOracle =
+    """WITH t AS (SELECT user_id, event_id, ts,
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+      |  FROM events WHERE event_type = 'click'),
+      |f AS (SELECT user_id,
+      |    arg_min(channel, strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+      |      || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS channel,
+      |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM t GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events)
+      |SELECT f.channel, CAST((a.week - f.cohort_week) // 7 AS BIGINT)
+      |    AS week_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM a JOIN f USING (user_id) WHERE a.week >= f.cohort_week
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The full event-type Markov transition matrix — the generalization
     * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
     * the transition count and its permille share of the source type's
@@ -2864,6 +3002,9 @@ object Events {
     "u_shaped_attribution"   -> (uShapedAttribution _),
     "event_path_trigrams"    -> (eventPaths _),
     "funnel_steps"           -> (funnelSteps _),
+    "funnel_rates"           -> (funnelRates _),
+    "weekly_growth"          -> (weeklyGrowth _),
+    "channel_retention"      -> (channelRetention _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
     "scd2_merge_deletes"     -> (scd2MergeDeletes _),
@@ -2930,6 +3071,9 @@ object Events {
     "u_shaped_attribution"   -> uShapedAttributionOracle,
     "event_path_trigrams"    -> eventPathsOracle,
     "funnel_steps"           -> funnelStepsOracle,
+    "funnel_rates"           -> funnelRatesOracle,
+    "weekly_growth"          -> weeklyGrowthOracle,
+    "channel_retention"      -> channelRetentionOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
