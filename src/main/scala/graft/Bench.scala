@@ -85,10 +85,12 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("\\[id=#?\\d*\\]", "")
       .replaceAll("\\[plan_id=\\]", "")
-      // lambda variables draw from a session-GLOBAL counter, so the
-      // same HOF plan reads x_8 on one build and x_10 on the next
+      // lambda variables and CSE aliases draw from session-GLOBAL
+      // counters, so the same plan reads x_8 / _common_expr_3 on one
+      // build and x_10 / _common_expr_4 on the next
       .replaceAll("\\blambda x_\\d+", "lambda x_")
       .replaceAll("\\bx_\\d+#", "x_#")
+      .replaceAll("_common_expr_\\d+", "_common_expr_")
     f"${graft.functions.Portable.hash60Jvm(s)}%015x".take(12)
   }
 

@@ -16,6 +16,17 @@ object DevFp {
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach(i =>
       println(s"fp$i=${Bench.planFingerprint(fn(spark, sfDir))}"))
+    if (args.contains("--dump")) {
+      def norm(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("\\[id=#?\\d*\\]", "")
+          .replaceAll("\\blambda x_\\d+", "lambda x_")
+          .replaceAll("\\bx_\\d+#", "x_#")
+          .replaceAll("_common_expr_\\d+", "_common_expr_")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_a.txt"), norm(fn(spark, sfDir)))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_b.txt"), norm(fn(spark, sfDir)))
+    }
     spark.stop()
   }
 }
