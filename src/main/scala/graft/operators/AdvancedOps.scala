@@ -781,9 +781,58 @@ object AdvancedOps {
        |    AS BIGINT) AS err_permille
        |FROM est JOIN ex USING (week) ORDER BY week""".stripMargin
 
+  /** Fixture: the UP-GRAIN rollup path itself under the oracle —
+    * weekly partials merged to month (a week belongs to the month of
+    * its start, the ISO-ish convention documented here), estimated,
+    * and compared against the month's exact distinct. Because merge
+    * is groupBy-max, this row failing while hll_weekly_estimate
+    * passes would isolate a MERGE defect — the reason the rollup
+    * deserves its own oracle row, not just the property spec. */
+  def hllMonthlyEstimate(s: SparkSession, d: String): DataFrame = {
+    val base = hllBase(s, d).localCheckpoint()
+    val weekly = hllRegistersOf(base, Seq("week"), "v", m = 64)
+    val monthly = hllMergeOf(
+      weekly.withColumn("month",
+        date_trunc("month", col("week")).cast("date")), Seq("month"))
+    val est = hllEstimateOf(monthly, Seq("month"), m = 64)
+    val exact = base
+      .withColumn("month", date_trunc("month", col("week")).cast("date"))
+      .groupBy(col("month"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("month"))
+      .select(col("month"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("month"))
+  }
+
+  private val hllMonthlyEstimateOracle =
+    s"""WITH $hllBaseSql,
+       |mreg AS (SELECT CAST(date_trunc('month', week) AS DATE) AS month,
+       |    bucket, CAST(max(rho) AS INT) AS rho
+       |  FROM regs GROUP BY 1, 2),
+       |e AS (SELECT month, count(*) AS nb,
+       |    sum(1::BIGINT << (55 - rho)) AS zp
+       |  FROM mreg GROUP BY 1),
+       |est AS (SELECT month,
+       |    CAST(1890844672::HUGEINT * 36028797018963968::HUGEINT
+       |      // (650790::HUGEINT * (zp::HUGEINT
+       |          + (64 - nb) * 36028797018963968::HUGEINT))
+       |      AS BIGINT) AS est_distinct
+       |  FROM e),
+       |ex AS (SELECT CAST(date_trunc('month', week) AS DATE) AS month,
+       |    count(DISTINCT v) AS exact_distinct
+       |  FROM v GROUP BY 1)
+       |SELECT month, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (month) ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_registers"           -> (hllRegisters _),
     "hll_weekly_estimate"     -> (hllWeeklyEstimate _),
+    "hll_monthly_estimate"    -> (hllMonthlyEstimate _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -808,6 +857,7 @@ object AdvancedOps {
   val oracles: Map[String, String] = Map(
     "hll_registers"           -> hllRegistersOracle,
     "hll_weekly_estimate"     -> hllWeeklyEstimateOracle,
+    "hll_monthly_estimate"    -> hllMonthlyEstimateOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,

@@ -2809,6 +2809,82 @@ object Events {
       |FROM a JOIN f USING (user_id) WHERE a.week >= f.cohort_week
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Channel-mix drift — per week, the total-variation distance (in
+    * exact integer permille) between this week's linear-credit channel
+    * mix and the PREVIOUS week's: the marketing alarm line "did the
+    * acquisition mix move". Cross-multiplied integers
+    * (TV‰ = Σ_c |a_c·T′ − b_c·T| · 1000 DIV (2·T·T′)) — no division
+    * until the final DIV, so both engines land the identical value.
+    * Adjacent weeks align channel-by-channel via a FULL OUTER join on
+    * (channel, week = prev_week + 7 days) — absent channels read 0,
+    * and no dense week×channel grid (which would plan the banned
+    * cross join) is ever built. Weeks without a predecessor emit no
+    * row. */
+  def channelMixDriftOf(events: DataFrame, convType: String,
+                        touchType: String, maxAgeUs: Long,
+                        channelCol: String): DataFrame = {
+    val weekly = channelWeeklyOf(events, convType, touchType, maxAgeUs,
+        channelCol)
+      .localCheckpoint()
+    val totals = weekly.groupBy(col("week"))
+      .agg(sum(col("credit_permille")).as("t"))
+    val cur = weekly.select(col("week"), col("channel"),
+      col("credit_permille").as("a"))
+    val prev = weekly.select(
+      expr("CAST(week + INTERVAL 7 DAYS AS DATE)").as("week"),
+      col("channel"), col("credit_permille").as("b"))
+    cur.join(prev, Seq("week", "channel"), "full_outer")
+      .join(totals.select(col("week"), col("t").as("ta")), Seq("week"))
+      .join(totals.select(
+        expr("CAST(week + INTERVAL 7 DAYS AS DATE)").as("week"),
+        col("t").as("tb")), Seq("week"))
+      .groupBy(col("week"))
+      .agg(
+        expr("CAST(sum(abs(coalesce(a, 0L) * tb - coalesce(b, 0L) * ta))" +
+          " * 1000 DIV (2 * max(ta) * max(tb)) AS BIGINT)").as("tv_permille"),
+        max(col("ta")).as("credit_total"),
+        max(col("tb")).as("prev_total"))
+  }
+
+  def channelMixDrift(s: SparkSession, d: String): DataFrame =
+    channelMixDriftOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel")
+      .orderBy(col("week"))
+
+  private val channelMixDriftOracle =
+    s"""WITH t AS (SELECT event_id AS touch_id, user_id, ts,
+       |    list_value('email', 'search', 'social')[
+       |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+       |  FROM events WHERE event_type = 'click'),
+       |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |j AS (SELECT c.conv_id, t.channel,
+       |    CAST(date_trunc('week', c.ts) AS DATE) AS week,
+       |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+       |    row_number() OVER (PARTITION BY c.conv_id
+       |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+       |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+       |    AND t.ts >= c.ts - INTERVAL 3 DAYS),
+       |wk AS (SELECT week, channel,
+       |    CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END)
+       |      AS BIGINT) AS credit
+       |  FROM j GROUP BY 1, 2),
+       |tot AS (SELECT week, sum(credit) AS t FROM wk GROUP BY 1),
+       |al AS (SELECT coalesce(cur.week, prev.week + 7) AS week,
+       |    coalesce(cur.credit, 0) AS a, coalesce(prev.credit, 0) AS b
+       |  FROM wk cur FULL OUTER JOIN wk prev
+       |    ON cur.week = prev.week + 7 AND cur.channel = prev.channel)
+       |SELECT al.week,
+       |  CAST(sum(abs(a * tb.t - b * ta.t)) * 1000
+       |      // (2 * max(ta.t) * max(tb.t))
+       |    AS BIGINT) AS tv_permille,
+       |  CAST(max(ta.t) AS BIGINT) AS credit_total,
+       |  CAST(max(tb.t) AS BIGINT) AS prev_total
+       |FROM al JOIN tot ta ON al.week = ta.week
+       |  JOIN tot tb ON al.week = tb.week + 7
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The full event-type Markov transition matrix — the generalization
     * of [[nextEventFunnel]]'s click-only slice: per (type, next_type),
     * the transition count and its permille share of the source type's
@@ -3005,6 +3081,7 @@ object Events {
     "funnel_rates"           -> (funnelRates _),
     "weekly_growth"          -> (weeklyGrowth _),
     "channel_retention"      -> (channelRetention _),
+    "channel_mix_drift"      -> (channelMixDrift _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
     "scd2_merge_deletes"     -> (scd2MergeDeletes _),
@@ -3074,6 +3151,7 @@ object Events {
     "funnel_rates"           -> funnelRatesOracle,
     "weekly_growth"          -> weeklyGrowthOracle,
     "channel_retention"      -> channelRetentionOracle,
+    "channel_mix_drift"      -> channelMixDriftOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,
