@@ -297,6 +297,66 @@ object EventStreams {
       spark.read.parquet(dirs: _*), keyCols))
   }
 
+  /** Streaming weekly event counts — the ingest side of the
+    * `weekly_growth` panel: each micro-batch's per-week counts fold
+    * ADDITIVELY into a committed versioned totals table (the additive
+    * sibling of [[hllIngest]]'s max-merge partials; versioned-table
+    * discipline from [[scd2Ingest]] — readers always see a complete
+    * committed version, replays skip). Growth needs the PREVIOUS
+    * week's total, which no append-mode stateful plan can emit before
+    * the week closes — the artifact + reader split is the honest
+    * shape (the r16 handoff argument). */
+  def weeklyCountsIngest(spark: org.apache.spark.sql.SparkSession,
+                         events: DataFrame, outDir: String,
+                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val counts = batch
+          .select(date_trunc("week", col("ts")).cast("date").as("week"))
+          .groupBy(col("week")).agg(count(lit(1)).as("n_events"))
+          .localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = counts.isEmpty,
+          write = { dir =>
+            val merged = readWeeklyCounts(spark, outDir) match {
+              case Some(prev) => prev.unionByName(counts)
+                .groupBy(col("week"))
+                .agg(sum(col("n_events")).as("n_events"))
+              case None => counts
+            }
+            merged.write.mode("overwrite")
+              .parquet(dir.resolve("table").toString)
+          }): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The newest committed weekly totals under `outDir`. */
+  def readWeeklyCounts(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): Option[DataFrame] =
+    CommittedBatchSink.committedDirs(outDir)
+      .map(_.resolve("table"))
+      .filter(d => java.nio.file.Files.isDirectory(d))
+      .lastOption
+      .map(d => spark.read.parquet(d.toString))
+
+  /** Week-over-week growth off the committed totals — the same
+    * year-partitioned lag as the batch `weeklyGrowthOf`, so the
+    * stream-fed panel equals the batch recompute (spec-pinned). */
+  def readWeeklyGrowth(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String): Option[DataFrame] =
+    readWeeklyCounts(spark, outDir).map { counts =>
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("yr")).orderBy(col("week"))
+      counts.withColumn("yr", year(col("week")))
+        .withColumn("prev", lag(col("n_events"), 1).over(wk))
+        .select(col("week"), col("n_events"),
+          expr("CAST((n_events - prev) * 1000 DIV prev AS BIGINT)")
+            .as("growth_permille"))
+    }
+
   /** Streaming daily-active-users — the streaming face of the
     * retention family's DAU grain: per event day, the distinct user
     * count, with BOUNDED state end to end. Two chained stateful

@@ -1056,6 +1056,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.readHllRegisters(spark, fresh, Seq("week")).isEmpty)
   }
 
+  test("streaming weekly counts fold additively; growth reader equals the batch panel; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wk_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_wk_out").toString
+    val rnd = new scala.util.Random(59)
+    val evs = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(9).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(28 * 86400) * 1000L),
+        "view")
+    }.sortBy(e => (e._3.getTime, e._1))
+    val in = MemoryStream[(Long, Long, Timestamp, String)]
+    def start() = EventStreams.weeklyCountsIngest(spark,
+      in.toDF().toDF("event_id", "user_id", "ts", "event_type"), out, ckpt)
+    val q1 = start()
+    in.addData(evs.take(200): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches
+    val q2 = start()
+    in.addData(evs.slice(200, 400): _*)
+    q2.processAllAvailable()
+    in.addData(evs.drop(400): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+    val streamed = shape(EventStreams.readWeeklyGrowth(spark, out).get)
+    val batch = shape(graft.operators.Events.weeklyGrowthOf(
+        evs.toDF("event_id", "user_id", "ts", "event_type"))
+      .select(col("week"), col("n_events"), col("growth_permille")))
+    assert(streamed == batch, s"stream panel != batch: ${streamed.take(3)}")
+    assert(batch.size >= 4 && batch.count(_._3.isDefined) >= 3,
+      "fixture must span several weeks with real growth rows")
+    // replay adds nothing
+    val nDirs = CommittedBatchSink.committedDirs(out).size
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readWeeklyGrowth(spark, out).get) == streamed)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_wk_none").toString
+    assert(EventStreams.readWeeklyGrowth(spark, fresh).isEmpty)
+  }
+
   test("streaming DAU: per-day distinct users equal the batch counts once the watermark closes the day") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
