@@ -829,8 +829,86 @@ object AdvancedOps {
        |    AS BIGINT) AS err_permille
        |FROM est JOIN ex USING (month) ORDER BY month""".stripMargin
 
+  /** HLL audience overlap — the inclusion–exclusion face of the
+    * register tables: per unordered channel pair, the estimated
+    * distinct-user overlap |A∩B| = est(A) + est(B) − est(A∪B), where
+    * est(A∪B) comes from the groupBy-max MERGE of the two channels'
+    * registers (unions are exact on sketches — that is HLL's whole
+    * superpower; intersections inherit ~3× the union's error and can
+    * go negative at small overlap, clamped to 0 and documented).
+    * Integer-exact end to end, so the whole row oracle-checks. The
+    * channel vocabulary rides as DRIVER SCALARS (bounded — the
+    * channel/campaign dimension is never corpus-sized) and pair
+    * estimates are driver-paced 1-row aggs: the oracle enumerates the
+    * same pairs with a self-join, which the Spark side deliberately
+    * avoids (a tiny inequality self-join would still plan the banned
+    * nested loop). */
+  def hllChannelOverlap(s: SparkSession, d: String): DataFrame = {
+    val touches = Events.withChannel(Tables.events(s, d))
+      .filter(col("event_type") === "click")
+      .select(col("channel"), col("user_id").cast("string").as("v"))
+    val regs = hllRegistersOf(touches, Seq("channel"), "v", m = 64)
+      .localCheckpoint()
+    val channels = regs.select(col("channel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(channels.length <= 100,
+      s"channel vocabulary too large for pairwise overlap: ${channels.length}")
+    def est(chs: Seq[String]): Long =
+      hllEstimateOf(
+        hllMergeOf(regs.filter(col("channel").isin(chs: _*)), Nil),
+        Nil, m = 64).head.getLong(0)
+    val single = channels.map(c => c -> est(Seq(c))).toMap
+    import s.implicits._
+    (for {
+      i <- channels.indices; j <- (i + 1) until channels.length
+      (a, b) = (channels(i), channels(j))
+      u = est(Seq(a, b))
+    } yield (a, b, single(a), single(b), u,
+        math.max(0L, single(a) + single(b) - u)))
+      .toDF("channel_a", "channel_b", "est_a", "est_b", "est_union",
+        "est_overlap")
+      .orderBy(col("channel_a"), col("channel_b"))
+  }
+
+  private val hllChannelOverlapOracle =
+    """WITH t AS (SELECT
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel,
+      |    CAST(user_id AS VARCHAR) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |hh AS (SELECT channel, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM t),
+      |regs AS (SELECT channel, h % 64 AS bucket,
+      |    max(CASE WHEN h // 64 = 0 THEN 55
+      |             ELSE 55 - length(bin(h // 64)) END) AS rho
+      |  FROM hh GROUP BY 1, 2),
+      |est1 AS (SELECT channel,
+      |    CAST(1890844672::HUGEINT * 36028797018963968::HUGEINT
+      |      // (650790::HUGEINT * (sum(1::BIGINT << (55 - rho))::HUGEINT
+      |          + (64 - count(*)) * 36028797018963968::HUGEINT))
+      |      AS BIGINT) AS est
+      |  FROM regs GROUP BY 1),
+      |pairs AS (SELECT a.channel AS ca, b.channel AS cb
+      |  FROM (SELECT DISTINCT channel FROM regs) a
+      |  JOIN (SELECT DISTINCT channel FROM regs) b ON a.channel < b.channel),
+      |preg AS (SELECT p.ca, p.cb, r.bucket, max(r.rho) AS rho
+      |  FROM pairs p JOIN regs r ON r.channel IN (p.ca, p.cb)
+      |  GROUP BY 1, 2, 3),
+      |estu AS (SELECT ca, cb,
+      |    CAST(1890844672::HUGEINT * 36028797018963968::HUGEINT
+      |      // (650790::HUGEINT * (sum(1::BIGINT << (55 - rho))::HUGEINT
+      |          + (64 - count(*)) * 36028797018963968::HUGEINT))
+      |      AS BIGINT) AS est_union
+      |  FROM preg GROUP BY 1, 2)
+      |SELECT u.ca AS channel_a, u.cb AS channel_b,
+      |  ea.est AS est_a, eb.est AS est_b, u.est_union,
+      |  greatest(0, ea.est + eb.est - u.est_union) AS est_overlap
+      |FROM estu u JOIN est1 ea ON u.ca = ea.channel
+      |  JOIN est1 eb ON u.cb = eb.channel
+      |ORDER BY channel_a, channel_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_registers"           -> (hllRegisters _),
+    "hll_channel_overlap"     -> (hllChannelOverlap _),
     "hll_weekly_estimate"     -> (hllWeeklyEstimate _),
     "hll_monthly_estimate"    -> (hllMonthlyEstimate _),
     "skyline_parts"           -> (skylineParts _),
@@ -856,6 +934,7 @@ object AdvancedOps {
 
   val oracles: Map[String, String] = Map(
     "hll_registers"           -> hllRegistersOracle,
+    "hll_channel_overlap"     -> hllChannelOverlapOracle,
     "hll_weekly_estimate"     -> hllWeeklyEstimateOracle,
     "hll_monthly_estimate"    -> hllMonthlyEstimateOracle,
     "skyline_parts"           -> skylineOracle,

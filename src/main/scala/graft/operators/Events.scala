@@ -2204,7 +2204,7 @@ object Events {
     * channel derived from its props payload (k % 3 → email / search /
     * social) — data-derived and SF-independent like the graph
     * fixtures. */
-  private def withChannel(events: DataFrame): DataFrame =
+  private[operators] def withChannel(events: DataFrame): DataFrame =
     events.withColumn("channel",
       element_at(typedlit(Seq("email", "search", "social")),
         (regexp_extract(col("props"), "[0-9]+", 0).cast("int") % 3) + 1))
