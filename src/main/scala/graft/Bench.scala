@@ -91,6 +91,11 @@ object Bench {
       .replaceAll("\\blambda x_\\d+", "lambda x_")
       .replaceAll("\\bx_\\d+#", "x_#")
       .replaceAll("_common_expr_\\d+", "_common_expr_")
+      // scan locations and session-suffixed catalog table names: the
+      // bucketed fixtures mint a fresh temp dir + table suffix per
+      // JVM — the fingerprint tracks plan SHAPE, not file layout
+      .replaceAll("file:[^\\s,\\]]*", "file:")
+      .replaceAll("(spark_catalog\\.default\\.[a-z_]+?)(_\\d+)+", "$1")
     f"${graft.functions.Portable.hash60Jvm(s)}%015x".take(12)
   }
 
