@@ -2846,6 +2846,91 @@ object Events {
         max(col("tb")).as("prev_total"))
   }
 
+  /** Drift vs the TRAILING POOLED mix — [[channelMixDriftOf]] with the
+    * baseline widened from the previous week to the summed credits of
+    * the `windowWeeks` prior weeks (the alarm wants "this week vs the
+    * recent regime", not week-on-week jitter). The pool builds from
+    * `windowWeeks` SHIFTED PROJECTIONS of the weekly frame unioned and
+    * re-aggregated — never a range join (which would plan the banned
+    * nested loop on the Spark side; the ORACLE is free to write one).
+    * Weeks are date_trunc-aligned, so +7k-day shifts land exactly on
+    * week starts. Weeks with an empty trailing pool emit no row. */
+  def channelMixDriftTrailingOf(events: DataFrame, convType: String,
+                                touchType: String, maxAgeUs: Long,
+                                channelCol: String,
+                                windowWeeks: Int = 4): DataFrame = {
+    require(windowWeeks >= 1 && windowWeeks <= 52,
+      s"unreasonable windowWeeks: $windowWeeks")
+    val weekly = channelWeeklyOf(events, convType, touchType, maxAgeUs,
+        channelCol)
+      .localCheckpoint()
+    val cur = weekly.select(col("week"), col("channel"),
+      col("credit_permille").as("a"))
+    val pooled = (1 to windowWeeks).map(k => weekly.select(
+        expr(s"CAST(week + INTERVAL ${7 * k} DAYS AS DATE)").as("week"),
+        col("channel"), col("credit_permille").as("b")))
+      .reduce(_ unionByName _)
+      .groupBy(col("week"), col("channel"))
+      .agg(sum(col("b")).as("b"))
+    val ta = cur.groupBy(col("week")).agg(sum(col("a")).as("ta"))
+    val tb = pooled.groupBy(col("week")).agg(sum(col("b")).as("tb"))
+    cur.join(pooled, Seq("week", "channel"), "full_outer")
+      .join(ta, Seq("week"))
+      .join(tb, Seq("week"))
+      .groupBy(col("week"))
+      .agg(
+        expr("CAST(sum(abs(coalesce(a, 0L) * tb - coalesce(b, 0L) * ta))" +
+          " * 1000 DIV (2 * max(ta) * max(tb)) AS BIGINT)").as("tv_permille"),
+        max(col("ta")).as("credit_total"),
+        max(col("tb")).as("trailing_total"))
+  }
+
+  def channelMixDriftTrailing(s: SparkSession, d: String): DataFrame =
+    channelMixDriftTrailingOf(withChannel(Tables.events(s, d)),
+        convType = "purchase", touchType = "click",
+        maxAgeUs = 3L * 24 * 3600 * 1000000, channelCol = "channel",
+        windowWeeks = 4)
+      .orderBy(col("week"))
+
+  private val channelMixDriftTrailingOracle =
+    s"""WITH t AS (SELECT event_id AS touch_id, user_id, ts,
+       |    list_value('email', 'search', 'social')[
+       |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel
+       |  FROM events WHERE event_type = 'click'),
+       |c AS (SELECT event_id AS conv_id, user_id, ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |j AS (SELECT c.conv_id, t.channel,
+       |    CAST(date_trunc('week', c.ts) AS DATE) AS week,
+       |    count(*) OVER (PARTITION BY c.conv_id) AS n,
+       |    row_number() OVER (PARTITION BY c.conv_id
+       |      ORDER BY t.ts DESC, t.touch_id DESC) AS rk
+       |  FROM c JOIN t ON t.user_id = c.user_id AND t.ts < c.ts
+       |    AND t.ts >= c.ts - INTERVAL 3 DAYS),
+       |wk AS (SELECT week, channel,
+       |    CAST(sum(1000 // n + CASE WHEN rk = 1 THEN 1000 % n ELSE 0 END)
+       |      AS BIGINT) AS credit
+       |  FROM j GROUP BY 1, 2),
+       |pool AS (SELECT w.week, p.channel, sum(p.credit) AS b
+       |  FROM (SELECT DISTINCT week FROM wk) w
+       |  JOIN wk p ON p.week >= w.week - 28 AND p.week < w.week
+       |  GROUP BY 1, 2),
+       |al AS (SELECT coalesce(cur.week, pool.week) AS week,
+       |    coalesce(cur.channel, pool.channel) AS channel,
+       |    coalesce(cur.credit, 0) AS a, coalesce(pool.b, 0) AS b
+       |  FROM wk cur FULL OUTER JOIN pool
+       |    ON cur.week = pool.week AND cur.channel = pool.channel),
+       |ta AS (SELECT week, sum(credit) AS t FROM wk GROUP BY 1),
+       |tb AS (SELECT week, sum(b) AS t FROM pool GROUP BY 1)
+       |SELECT al.week,
+       |  CAST(sum(abs(a * tb.t - b * ta.t)) * 1000
+       |      // (2 * max(ta.t) * max(tb.t))
+       |    AS BIGINT) AS tv_permille,
+       |  CAST(max(ta.t) AS BIGINT) AS credit_total,
+       |  CAST(max(tb.t) AS BIGINT) AS trailing_total
+       |FROM al JOIN ta ON al.week = ta.week
+       |  JOIN tb ON al.week = tb.week
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def channelMixDrift(s: SparkSession, d: String): DataFrame =
     channelMixDriftOf(withChannel(Tables.events(s, d)),
         convType = "purchase", touchType = "click",
@@ -3082,6 +3167,7 @@ object Events {
     "weekly_growth"          -> (weeklyGrowth _),
     "channel_retention"      -> (channelRetention _),
     "channel_mix_drift"      -> (channelMixDrift _),
+    "channel_mix_drift_trailing" -> (channelMixDriftTrailing _),
     "scd2_history"           -> (scd2History _),
     "scd2_merge"             -> (scd2Merge _),
     "scd2_merge_deletes"     -> (scd2MergeDeletes _),
@@ -3152,6 +3238,7 @@ object Events {
     "weekly_growth"          -> weeklyGrowthOracle,
     "channel_retention"      -> channelRetentionOracle,
     "channel_mix_drift"      -> channelMixDriftOracle,
+    "channel_mix_drift_trailing" -> channelMixDriftTrailingOracle,
     "scd2_history"           -> scd2HistoryOracle,
     "scd2_merge"             -> scd2MergeOracle,
     "scd2_merge_deletes"     -> scd2MergeDeletesOracle,

@@ -1032,6 +1032,74 @@ object EventStreams {
       }
   }
 
+  /** Streaming CHANNEL attribution — the channel-dimension face of
+    * [[multiTouchAttributionStream]]: the per-user trailing-window
+    * buffer additionally carries each touch's channel, and a
+    * conversion emits its per-channel linear-credit mix
+    * (conv_id, channel, credit_permille) the moment it arrives —
+    * credits conserve exactly 1000 per conversion, the remainder to
+    * the LAST touch's channel, byte-identical to the batch
+    * `Events.channelAttributionOf` roll-up (spec-pinned). A SEPARATE
+    * state class from [[TouchBuf]] — widening the shared buffer would
+    * invalidate the plain attribution gates' existing checkpoints
+    * (the state-schema upgrade lesson at streamingUrlDedup). Same
+    * sorted-insert tie discipline and CDC ordering contract. */
+  def channelAttributionStream(spark: org.apache.spark.sql.SparkSession,
+                               events: DataFrame, convType: String,
+                               touchType: String, maxAgeUs: Long,
+                               channelCol: String,
+                               watermark: String = "10 minutes"): DataFrame = {
+    require(maxAgeUs > 0, s"maxAgeUs must be positive, got $maxAgeUs")
+    require(convType != touchType, "conversion and touch types must differ")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val maxAgeMs = math.max(1L, maxAgeUs / 1000L)
+    events.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col(channelCol).cast("string").as("ch"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String, String)],
+         state: org.apache.spark.sql.streaming.GroupState[TouchChBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def us(ts: java.sql.Timestamp): Long =
+              ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+            val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4, r._5))
+              .sortBy(r => (r._1, r._2))
+            var buf = state.getOption.map(_.touches).getOrElse(Nil)
+            val out = Seq.newBuilder[(Long, String, Long)]
+            for ((eUs, id, typ, ch) <- sorted) {
+              buf = buf.dropWhile(_._1 < eUs - maxAgeUs)
+              if (typ == convType) {
+                val in = buf.filter(_._1 < eUs)
+                val n = in.size.toLong
+                if (n > 0) {
+                  // linear credit per touch, remainder to the LAST,
+                  // rolled up by channel — the batch operator exactly
+                  val credits = in.zipWithIndex.map { case ((_, _, c), i) =>
+                    c -> (1000L / n + (if (i == in.size - 1) 1000L % n else 0L)) }
+                  credits.groupBy(_._1).foreach { case (c, rs) =>
+                    out += ((id, c, rs.map(_._2).sum)) }
+                }
+              } else if (typ == touchType) {
+                val (pre, post) = buf.span(t =>
+                  t._1 < eUs || (t._1 == eUs && t._2 <= id))
+                buf = (pre :+ ((eUs, id, ch))) ++ post
+              }
+            }
+            state.update(TouchChBuf(buf))
+            sorted.lastOption.foreach(last =>
+              state.setTimeoutTimestamp(last._1 / 1000L + maxAgeMs))
+            out.result().iterator
+          }
+      }
+      .toDF("conv_id", "channel", "credit_permille")
+  }
+
   /** Streaming SCD2 ingest — CDC micro-batches fold through
     * `Events.scd2MergeDeletesOf` into a committed SCD2 table artifact:
     * each batch merges against the latest committed table version and
@@ -1409,3 +1477,8 @@ case class SessFunnelBuf(firstUs: Long, lastUs: Long,
 /** Trailing-window touch buffer for [[EventStreams.attributionStream]]:
   * (epoch-micros, event_id) ascending, pruned to one window's span. */
 case class TouchBuf(touches: Seq[(Long, Long)])
+
+/** Channel-carrying touch buffer for
+  * [[EventStreams.channelAttributionStream]]:
+  * (epoch-micros, event_id, channel) ascending. */
+case class TouchChBuf(touches: Seq[(Long, Long, String)])

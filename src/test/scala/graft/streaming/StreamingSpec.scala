@@ -1328,6 +1328,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.readScd2BucketedOpt(spark, fresh).isEmpty)
   }
 
+  test("streaming channel attribution equals the batch per-channel credit roll-up") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(67)
+    val types = Seq("click", "purchase", "view")
+    val channels = Seq("email", "search", "social")
+    val evs = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(3600) * 1000L),
+        types(rnd.nextInt(3)), channels(rnd.nextInt(3)))
+    }.sortBy(e => (e._3.getTime, e._1))
+    val ageUs = 10L * 60 * 1000000
+    val in = MemoryStream[(Long, Long, Timestamp, String, String)]
+    val q = EventStreams.channelAttributionStream(spark,
+        in.toDF().toDF("event_id", "user_id", "ts", "event_type", "channel"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs,
+        channelCol = "channel")
+      .writeStream.format("memory").queryName("ch_attr_gate")
+      .outputMode("append").start()
+    for (chunk <- evs.grouped(100)) {
+      in.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("ch_attr_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = graft.operators.Events.channelAttributionOf(
+        evs.toDF("event_id", "user_id", "ts", "event_type", "channel"),
+        convType = "purchase", touchType = "click", maxAgeUs = ageUs,
+        channelCol = "channel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"stream-only: ${(got diff want).take(3)}; " +
+      s"batch-only: ${(want diff got).take(3)}")
+    // conservation + the fixture exercised multi-channel conversions
+    for ((conv, rows) <- got.groupBy(_._1))
+      assert(rows.toSeq.map(_._3).sum == 1000L, s"conv $conv must conserve 1000")
+    assert(got.groupBy(_._1).exists(_._2.size >= 2))
+  }
+
   test("quota sampler admits at most N per stratum across batches and restarts") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
