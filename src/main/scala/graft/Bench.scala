@@ -88,14 +88,18 @@ object Bench {
       // lambda variables and CSE aliases draw from session-GLOBAL
       // counters, so the same plan reads x_8 / _common_expr_3 on one
       // build and x_10 / _common_expr_4 on the next
-      .replaceAll("\\blambda x_\\d+", "lambda x_")
-      .replaceAll("\\bx_\\d+#", "x_#")
+      .replaceAll("\\blambda ([xyz])_\\d+", "lambda $1_")
+      .replaceAll("\\b([xyz])_\\d+#", "$1_#")
       .replaceAll("_common_expr_\\d+", "_common_expr_")
       // scan locations and session-suffixed catalog table names: the
       // bucketed fixtures mint a fresh temp dir + table suffix per
       // JVM — the fingerprint tracks plan SHAPE, not file layout
       .replaceAll("file:[^\\s,\\]]*", "file:")
       .replaceAll("(spark_catalog\\.default\\.[a-z_]+?)(_\\d+)+", "$1")
+      // Spark truncates long field lists with "..." at a RAW-text
+      // length cap, so the cut position shifts with expression-id
+      // widths; drop the partial token the cut lands in
+      .replaceAll("\\S*\\.\\.\\.", "...")
     f"${graft.functions.Portable.hash60Jvm(s)}%015x".take(12)
   }
 
