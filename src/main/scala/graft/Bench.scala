@@ -36,6 +36,7 @@ object Bench {
     val runs = (1 to reps).map { _ =>
       graft.operators.Dedup.clearMemo(spark)
       graft.operators.NgramLm.clearMemo(spark)
+      graft.operators.Similarity.clearMemo(spark)
       Tables.memo.clear(spark)
       // Build the session-memoized frames the dedup family shares
       // (shingles, pair counts, minhash pairs, cluster labels) under
@@ -53,7 +54,8 @@ object Bench {
         "_memo_warmup_dedup" -> (() => graft.operators.Dedup.warmMemos(spark, sfDir)),
         "_memo_warmup_text" -> (() => graft.operators.TextAnalysis.warmMemos(spark, sfDir)),
         "_memo_warmup_lm" -> (() => graft.operators.NgramLm.warmMemos(spark, sfDir)),
-        "_memo_warmup_psl" -> (() => graft.operators.PublicSuffix.warmMemos(spark, sfDir)))
+        "_memo_warmup_psl" -> (() => graft.operators.PublicSuffix.warmMemos(spark, sfDir)),
+        "_memo_warmup_sim" -> (() => graft.operators.Similarity.warmMemos(spark, sfDir)))
       val warmEntries = warmups.map { case (nm, f) =>
         val w0 = System.nanoTime()
         nm -> (try { f(); Right((System.nanoTime() - w0) / 1e9) }
@@ -72,36 +74,185 @@ object Bench {
 
   private def round3(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** Normalized physical-plan fingerprint (12 hex chars) of a query's
-    * UNEXECUTED frame: expression ids / codegen ids / plan ids are
-    * run-local noise and stripped, so the same logical shape hashes
-    * identically across rounds and JVMs. The regression classifier
-    * below compares a slow query's fingerprint against the committed
-    * reference — fp_match=true + slow = host noise, fp_match=false =
-    * a real plan change to read. */
-  def planFingerprint(df: org.apache.spark.sql.DataFrame): String = {
-    val s = df.queryExecution.executedPlan.toString
-      .replaceAll("#\\d+", "#")
-      .replaceAll("plan_id=\\d+", "plan_id=")
-      .replaceAll("\\[id=#?\\d*\\]", "")
-      .replaceAll("\\[plan_id=\\]", "")
-      // lambda variables and CSE aliases draw from session-GLOBAL
-      // counters, so the same plan reads x_8 / _common_expr_3 on one
-      // build and x_10 / _common_expr_4 on the next
-      .replaceAll("\\blambda ([xyz])_\\d+", "lambda $1_")
-      .replaceAll("\\b([xyz])_\\d+#", "$1_#")
-      .replaceAll("_common_expr_\\d+", "_common_expr_")
-      // scan locations and session-suffixed catalog table names: the
-      // bucketed fixtures mint a fresh temp dir + table suffix per
-      // JVM — the fingerprint tracks plan SHAPE, not file layout
-      .replaceAll("file:[^\\s,\\]]*", "file:")
-      .replaceAll("(spark_catalog\\.default\\.[a-z_]+?)(_\\d+)+", "$1")
-      // Spark truncates long field lists with "..." at a RAW-text
-      // length cap, so the cut position shifts with expression-id
-      // widths; drop the partial token the cut lands in
-      .replaceAll("\\S*\\.\\.\\.", "...")
-    f"${graft.functions.Portable.hash60Jvm(s)}%015x".take(12)
+  /** Strip the trailing numPartitions argument from every
+    * `hashpartitioning(...)` / `rangepartitioning(...)` token. The
+    * count is the session's `spark.sql.shuffle.partitions` (= the
+    * SPARK_GRAFT_CPUS protocol knob), i.e. environment, not plan shape
+    * — it single-handedly caused r16's 58/60 fp_match=false (ref built
+    * at 8 partitions, driver ran 32). Balanced-paren scan rather than
+    * a regex: the key expressions routinely nest calls with their own
+    * `, N)` tails (`round(x#, 2)`), which any non-counting pattern
+    * would mangle nondeterministically. */
+  private[graft] def stripPartitionCounts(s: String): String = {
+    val names = Seq("hashpartitioning(", "rangepartitioning(")
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val hit = names.find(n => s.startsWith(n, i))
+      hit match {
+        case Some(n) =>
+          // scan to the matching close paren
+          var depth = 1
+          var j = i + n.length
+          while (j < s.length && depth > 0) {
+            val c = s.charAt(j)
+            if (c == '(') depth += 1 else if (c == ')') depth -= 1
+            j += 1
+          }
+          // j is one past the matching ')' (or end on malformed text)
+          val body = s.substring(i + n.length, math.max(i + n.length, j - 1))
+          sb.append(n).append(body.replaceFirst(",\\s*\\d+$", "")).append(')')
+          i = j
+        case None =>
+          sb.append(s.charAt(i)); i += 1
+      }
+    }
+    sb.toString
   }
+
+  /** Drop the STORED-PLAN body under every InMemoryRelation node. A
+    * cached frame's relation text embeds the plan that BUILT the
+    * cache, and once the cache has materialized that embedded plan is
+    * a finalized AdaptiveSparkPlan full of runtime
+    * ShuffleQueryStage/AQEShuffleRead nodes — geometry that
+    * legitimately varies with cores and materialization timing, none
+    * of it the READING query's shape. The fingerprint keeps the
+    * InMemoryRelation line itself (the cache's output schema +
+    * storage level — what the query consumes); the builder's own
+    * plan is fingerprinted by whichever query owns it. Subtree =
+    * the following lines with strictly deeper tree indentation
+    * (indent = first char outside the tree-art alphabet). */
+  private[graft] def stripCachedBodies(s: String): String = {
+    val lines = s.split("\n", -1)
+    def indentOf(l: String): Int = {
+      val i = l.indexWhere(c => !" :+-".contains(c))
+      if (i < 0) Int.MaxValue else i
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      out += l
+      if (l.contains("InMemoryRelation")) {
+        val d = indentOf(l)
+        i += 1
+        while (i < lines.length && indentOf(lines(i)) > d) i += 1
+      } else i += 1
+    }
+    out.mkString("\n")
+  }
+
+  /** The ONE plan-text normalizer behind every fingerprint (Bench,
+    * BenchRef, DevFp — r16 shipped a stale copy in DevFp and paid for
+    * it). Strips every token that varies with run-local state rather
+    * than plan shape: expression/codegen/plan ids, session-global
+    * lambda/CSE counters, scan paths, catalog suffixes, truncation
+    * remnants, partition counts, and cached-relation stored-plan
+    * bodies. */
+  private[graft] def normalizePlan(plan: String): String =
+    stripPartitionCounts(stripCachedBodies(plan)
+    .replaceAll("#\\d+", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    .replaceAll("\\[id=#?\\d*\\]", "")
+    .replaceAll("\\[plan_id=\\]", "")
+    // lambda variables and CSE aliases draw from session-GLOBAL
+    // counters, so the same plan reads x_8 / _common_expr_3 on one
+    // build and x_10 / _common_expr_4 on the next
+    .replaceAll("\\blambda ([xyz])_\\d+", "lambda $1_")
+    .replaceAll("\\b([xyz])_\\d+#", "$1_#")
+    .replaceAll("_common_expr_\\d+", "_common_expr_")
+    // scan locations and session-suffixed catalog table names: the
+    // bucketed fixtures mint a fresh temp dir + table suffix per
+    // JVM — the fingerprint tracks plan SHAPE, not file layout
+    .replaceAll("file:[^\\s,\\]]*", "file:")
+    .replaceAll("(spark_catalog\\.default\\.[a-z_]+?)(_\\d+)+", "$1")
+    // Spark truncates long field lists with "..." at a RAW-text
+    // length cap, so the cut position shifts with expression-id
+    // widths; drop the partial token the cut lands in
+    .replaceAll("\\S*\\.\\.\\.", "...")
+    // RoundRobinPartitioning's only argument IS the partition count
+    .replaceAll("RoundRobinPartitioning\\(\\d+\\)", "RoundRobinPartitioning()")
+    // JVM closure identities in MapPartitions/typed-op nodes:
+    // `Foo$$Lambda$3073/0x00007fa818e61928@48543f11` — the index moves
+    // with class-LOAD ORDER (warm sessions load more classes first)
+    // and the address/identity-hash with the JVM instance; none are
+    // plan shape (9 of r16's residual cross-JVM mismatches)
+    .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$")
+    .replaceAll("@[0-9a-fA-F]{4,16}\\b", "@"))
+
+  /** Fingerprint render pins: planning reads these confs lazily at
+    * `executedPlan` access, so setting them here (and restoring after)
+    * renders every fresh frame identically regardless of the session's
+    * SPARK_GRAFT_CPUS or how many wide plans already fired the
+    * maxToStringFields WARN. Values: 32 = the driver protocol;
+    * 10000 = effectively no field-list truncation. The text
+    * normalizer above still strips partition counts as belt-and-
+    * braces for subtrees planned BEFORE the pin (cached
+    * InMemoryRelation bodies bake their build-time partitioning). */
+  private val fpPins = Seq(
+    "spark.sql.shuffle.partitions" -> "32",
+    "spark.sql.debug.maxToStringFields" -> "10000",
+    // FileScan metadata (DataFilters/PushedFilters/Location) truncates
+    // at a RAW-character cap, so the cut position shifts with
+    // expression-id digit widths — a warm session's 5-digit ids pushed
+    // the "..." a few tokens earlier than a fresh session's (the last
+    // 9 cross-state mismatches of r17's audit). A large cap removes
+    // the cut; the normalizer's `...` rule stays as belt-and-braces.
+    "spark.sql.maxMetadataStringLength" -> "100000")
+
+  /** Normalized physical-plan fingerprint (12 hex chars) of a query's
+    * UNEXECUTED frame: expression ids / codegen ids / plan ids /
+    * partition counts / truncation cuts are run-local noise and
+    * stripped, so the same logical shape hashes identically across
+    * rounds, JVMs, and SPARK_GRAFT_CPUS settings. The regression
+    * classifier below compares a slow query's fingerprint against the
+    * committed reference — fp_match=true + slow = host noise,
+    * fp_match=false = a real plan change to read. */
+  /** The pinned-render + normalized plan text planFingerprint hashes —
+    * exposed separately so DevFp/DevFpAll dump EXACTLY the hashed
+    * bytes (r16's debugging tool normalized differently from the thing
+    * it debugged). */
+  private[graft] def renderNormalized(df: org.apache.spark.sql.DataFrame): String = {
+    val spark = df.sparkSession
+    val olds = fpPins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    fpPins.foreach { case (k, v) => spark.conf.set(k, v) }
+    val rendered =
+      // select("*"): a NEW Dataset (new QueryExecution) over the same
+      // analyzed plan — if this exact frame (or a memoized sub-frame
+      // returned by reference) was already EXECUTED, its
+      // AdaptiveSparkPlan has finalized and would render runtime
+      // ShuffleQueryStage/AQEShuffleRead nodes that legitimately vary
+      // with cores and data placement; the fingerprint must hash the
+      // STATIC plan. The optimizer collapses the redundant projection,
+      // so the physical plan is the one the query would actually run.
+      try df.select("*").queryExecution.executedPlan.toString
+      finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    normalizePlan(rendered)
+  }
+
+  def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
+    f"${graft.functions.Portable.hash60Jvm(renderNormalized(df))}%015x".take(12)
+
+  /** BenchRef's time-merge rule: keep the accumulated quiet-run MIN
+    * while a query's plan is unchanged, but RESET to the current time
+    * when its fingerprint moved — a deliberate plan change that is
+    * legitimately slower must not read as a permanent regression
+    * against an unreachable old minimum. Queries without both fps
+    * (new, or fp computation failed) conservatively min-merge. */
+  def mergeRefTimes(cur: Map[String, Double], old: Map[String, Double],
+                    oldFps: Map[String, String],
+                    curFps: Map[String, String]): Map[String, Double] =
+    cur.map { case (k, v) =>
+      val planChanged = (oldFps.get(k), curFps.get(k)) match {
+        case (Some(a), Some(b)) => a != b
+        case _                  => false
+      }
+      k -> (if (planChanged) v
+            else math.min(v, old.getOrElse(k, Double.MaxValue)))
+    }
 
   /** Reference artifact (committed as bench_ref.json): per-query
     * quiet-run seconds + plan fingerprints. Regex-scraped like
@@ -288,7 +439,10 @@ object BenchRef {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the driver protocol's 32; fingerprints are render-
+    // pinned so this no longer affects fps, but the TIMES side of the
+    // reference should be collected at protocol parallelism
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -298,19 +452,19 @@ object BenchRef {
     LogHygiene.drainBoundedWindowWarn()
     val (cur, _) = Bench.readRef(outFile) // same "queries" section shape
     require(cur.nonEmpty, s"no per-query times in $outFile — run Bench first")
-    val (old, _) = Bench.readRef(refFile)
-    val times = cur.map { case (k, v) =>
-      k -> math.min(v, old.getOrElse(k, Double.MaxValue)) }
+    val (old, oldFps) = Bench.readRef(refFile)
     // memo-dependent plans need the memos in place, as in a bench run
     try {
       graft.operators.Dedup.warmMemos(spark, sfDir)
       graft.operators.TextAnalysis.warmMemos(spark, sfDir)
       graft.operators.NgramLm.warmMemos(spark, sfDir)
       graft.operators.PublicSuffix.warmMemos(spark, sfDir)
+      graft.operators.Similarity.warmMemos(spark, sfDir)
     } catch { case _: Throwable => () }
     val fps = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
       try Some(k -> Bench.planFingerprint(fn(spark, sfDir)))
       catch { case _: Throwable => None } }
+    val times = Bench.mergeRefTimes(cur, old, oldFps, fps.toMap)
     val timesJson = times.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fpsJson = fps.map { case (k, v) => s"\"$k\":\"$v\"" }

@@ -9,23 +9,21 @@ object DevFp {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("class_profile_classify")
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach(i =>
       println(s"fp$i=${Bench.planFingerprint(fn(spark, sfDir))}"))
     if (args.contains("--dump")) {
-      def norm(df: org.apache.spark.sql.DataFrame): String =
-        df.queryExecution.executedPlan.toString
-          .replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
-          .replaceAll("\\[id=#?\\d*\\]", "")
-          .replaceAll("\\blambda x_\\d+", "lambda x_")
-          .replaceAll("\\bx_\\d+#", "x_#")
-          .replaceAll("_common_expr_\\d+", "_common_expr_")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_a.txt"), norm(fn(spark, sfDir)))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_b.txt"), norm(fn(spark, sfDir)))
+      // the EXACT bytes planFingerprint hashes — r16's stale local
+      // copy made the debugging tool disagree with the thing it debugs
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_a.txt"),
+        Bench.renderNormalized(fn(spark, sfDir)))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/fp_b.txt"),
+        Bench.renderNormalized(fn(spark, sfDir)))
     }
     spark.stop()
   }

@@ -1,0 +1,89 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: compute the plan fingerprint of EVERY SparkEntry query
+  * and diff against the committed reference (`bench_ref.json`'s fps
+  * section) — the whole-surface check that `planFingerprint` is
+  * environment-independent, built after r16 shipped a classifier whose
+  * 58/60 fp_match=false turned out to be SPARK_GRAFT_CPUS leaking into
+  * the fingerprints (ref built at 8 shuffle partitions, driver ran 32).
+  *
+  * Usage: [SPARK_GRAFT_CPUS=n] dev/run.sh graft.DevFpAll [sfDir] [--warm] [--out file]
+  *   --warm  simulate mid-bench session state before fingerprinting:
+  *           warm all memo families, build every frame once (inflates
+  *           the session-global exprId/lambda counters by tens of
+  *           thousands), and render one wide plan so the
+  *           maxToStringFields WARN has fired — then fps must STILL
+  *           match a fresh JVM's.
+  *   --out   also write {"fps":{...}} JSON for cross-run diffing.
+  * Prints each mismatching query with its current fp vs the reference,
+  * then a one-line summary. Exit code 1 on any mismatch. */
+object DevFpAll {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val sfDir = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val warm = args.contains("--warm")
+    val outFile = args.sliding(2).collectFirst {
+      case Array("--out", f) => f }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    if (warm) {
+      try {
+        graft.operators.Dedup.warmMemos(spark, sfDir)
+        graft.operators.TextAnalysis.warmMemos(spark, sfDir)
+        graft.operators.NgramLm.warmMemos(spark, sfDir)
+        graft.operators.PublicSuffix.warmMemos(spark, sfDir)
+        graft.operators.Similarity.warmMemos(spark, sfDir)
+      } catch { case e: Throwable => println(s"[warm] memo warmup: $e") }
+      // inflate session-global counters: build (don't run) every frame
+      // and render each plan once, exactly the state a fingerprint
+      // sees at the END of a bench run rather than the start
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try { fn(spark, sfDir).queryExecution.executedPlan.toString; () }
+        catch { case _: Throwable => () }
+      }
+    }
+    // --dump <q1,q2,...>: write each query's NORMALIZED plan text (the
+    // exact string planFingerprint hashes) for cross-run diffing
+    val dumpQs = args.sliding(2).collectFirst {
+      case Array("--dump", qs) => qs.split(",").toSeq }.getOrElse(Nil)
+    dumpQs.foreach { q =>
+      val txt = Bench.renderNormalized(SparkEntry.queries(q)(spark, sfDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/fpdump_${q}_c${cpus}_warm$warm.txt"), txt)
+    }
+    val fps = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
+      try Some(k -> Bench.planFingerprint(fn(spark, sfDir)))
+      catch { case e: Throwable => println(s"[err] $k: ${e.getClass.getSimpleName}"); None }
+    }
+    // second dump AFTER the sweep: state accumulated by computing 290
+    // other fps is exactly what a mid-bench fingerprint sees
+    dumpQs.foreach { q =>
+      val txt = Bench.renderNormalized(SparkEntry.queries(q)(spark, sfDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/tmp/fpdump_${q}_c${cpus}_warm${warm}_after.txt"), txt)
+    }
+    outFile.foreach { f =>
+      val json = fps.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString("{\"fps\":{", ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(f),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val refFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val (_, refFps) = Bench.readRef(refFile)
+    val mismatches = fps.filter { case (k, v) => refFps.get(k).exists(_ != v) }
+    mismatches.foreach { case (k, v) =>
+      println(s"MISMATCH $k cur=$v ref=${refFps(k)}") }
+    val missing = fps.count { case (k, _) => !refFps.contains(k) }
+    println(s"[devfpall] cpus=$cpus warm=$warm n=${fps.size} " +
+      s"matched=${fps.size - mismatches.size - missing} " +
+      s"mismatched=${mismatches.size} not_in_ref=$missing")
+    spark.stop()
+    if (mismatches.nonEmpty) sys.exit(1)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: time one or more queries (min of `reps`, default 3) in
+  * a warm session — the quiet-iteration loop for single-query perf
+  * work without a full Bench run.
+  * Usage: [SPARK_GRAFT_CPUS=n] dev/run.sh graft.DevTime <q>[,<q>...] [sfDir] [reps] */
+object DevTime {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q1_agg").split(",").toSeq
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    names.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$q min=${ts.min}%.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -104,4 +104,91 @@ class BenchSpec extends AnyFunSuite {
     val b = Bench.planFingerprint(Tables.nation(spark, sf))
     assert(a1 != b, "different scans must fingerprint differently")
   }
+
+  test("fingerprints survive session churn: shuffle-partition conf changes, " +
+       "counter inflation, wide-plan truncation state") {
+    // r16's driver artifact carried fp_match=false on 58/60 regressions
+    // whose plans had NOT changed: bench_ref.json was built at 8
+    // shuffle partitions while the driver ran SPARK_GRAFT_CPUS=32, and
+    // `hashpartitioning(k#, N)` renders N. planFingerprint now pins the
+    // render confs and strips partition counts, so the SAME query must
+    // fingerprint identically (a) before and after heavy session churn
+    // and (b) under a different shuffle-partitions conf — the
+    // in-one-JVM proxy for the fresh-JVM == end-of-bench contract
+    // (cross-JVM equality is checked by `dev/run.sh graft.DevFpAll`).
+    val sample = Seq("q1_agg", "flagship_revenue", "bm25_topk",
+      "topk_per_group", "events_tumbling_window", "hll_weekly_estimate",
+      "hll_trailing_distinct", "kmv_overlap", "anti_join_mailing_list",
+      "string_funcs")
+    sample.foreach(q => assert(SparkEntry.queries.contains(q), s"sample query $q gone"))
+    def fps(): Map[String, String] = sample.map(q =>
+      q -> Bench.planFingerprint(SparkEntry.queries(q)(spark, sf))).toMap
+    val before = fps()
+    // churn: inflate the session-global exprId counter by thousands and
+    // render a >25-field plan so the maxToStringFields truncation WARN
+    // path has fired — the end-of-bench session state in miniature
+    import org.apache.spark.sql.functions.col
+    (1 to 40).foreach { _ =>
+      Tables.lineitem(spark, sf).select(
+        (1 to 40).map(i => (col("l_quantity") + i).as(s"churn_c$i")): _*)
+        .queryExecution.executedPlan.toString
+    }
+    val after = SparkSpec.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "17") { fps() }
+    sample.foreach { q =>
+      assert(before(q) == after(q),
+        s"$q fingerprint drifted with session state: ${before(q)} -> ${after(q)}")
+    }
+  }
+
+  test("stripPartitionCounts handles nested calls and leaves literals alone") {
+    assert(Bench.stripPartitionCounts("Exchange hashpartitioning(k#, 32), X")
+      == "Exchange hashpartitioning(k#), X")
+    // a nested `, N)` that is NOT the partition count must survive
+    assert(Bench.stripPartitionCounts("hashpartitioning(round(x#, 2), 8)")
+      == "hashpartitioning(round(x#, 2))")
+    assert(Bench.stripPartitionCounts(
+        "rangepartitioning(a# ASC NULLS FIRST, b# DESC, 200)")
+      == "rangepartitioning(a# ASC NULLS FIRST, b# DESC)")
+    // unrelated text untouched
+    assert(Bench.stripPartitionCounts("Project [round(x#, 2) AS y#]")
+      == "Project [round(x#, 2) AS y#]")
+  }
+
+  test("stripCachedBodies drops the stored plan under InMemoryRelation, keeps siblings") {
+    val plan = Seq(
+      "Project [a#]",
+      "+- InMemoryTableScan [a#]",
+      "      +- InMemoryRelation [a#], StorageLevel(disk, memory)",
+      "            +- AdaptiveSparkPlan isFinalPlan=true",
+      "               +- ShuffleQueryStage 2",
+      "                  +- Exchange hashpartitioning(a#, 32)",
+      "+- Filter isnotnull(b#)",
+      "   +- FileScan parquet [b#]").mkString("\n")
+    val got = Bench.stripCachedBodies(plan)
+    assert(got.contains("InMemoryRelation [a#]"), "the relation line itself stays")
+    assert(!got.contains("ShuffleQueryStage") && !got.contains("isFinalPlan"),
+      s"stored-plan body must be dropped:\n$got")
+    assert(got.contains("Filter isnotnull(b#)") && got.contains("FileScan parquet [b#]"),
+      "sibling branches after the cached body must survive")
+  }
+
+  test("BenchRef time merge: min while the plan is unchanged, reset on fp change") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_refmerge")
+    val ref = dir.resolve("bench_ref.json")
+    java.nio.file.Files.write(ref,
+      ("""{"queries":{"stable":0.4,"replanned":0.3,"no_fp":0.2},""" +
+       """"fps":{"stable":"aaaaaaaaaaaa","replanned":"bbbbbbbbbbbb"}}""").getBytes("UTF-8"))
+    val (old, oldFps) = Bench.readRef(ref.toString)
+    val cur = Map("stable" -> 0.9, "replanned" -> 0.9, "no_fp" -> 0.9,
+      "brand_new" -> 0.7)
+    val curFps = Map("stable" -> "aaaaaaaaaaaa", "replanned" -> "cccccccccccc",
+      "brand_new" -> "dddddddddddd")
+    val merged = Bench.mergeRefTimes(cur, old, oldFps, curFps)
+    assert(merged("stable") == 0.4, "unchanged plan keeps the quiet-run min")
+    assert(merged("replanned") == 0.9, "changed plan resets its time baseline")
+    assert(merged("no_fp") == 0.2, "missing fp conservatively min-merges")
+    assert(merged("brand_new") == 0.7, "new query takes its current time")
+    assert(!merged.contains("retired_query"), "dropped queries don't survive")
+  }
 }
