@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** The k smallest DISTINCT hash values per group — the KMV
+  * (K-Minimum-Values) distinct-count sketch of Bar-Yossef et al. 2002
+  * as a typed Aggregator (SURVEY §2.8 surface, same family as
+  * [[TopKAgg]]).
+  *
+  * Why an Aggregator and not a window: `row_number over (order by h)`
+  * sorts every group's full distinct-hash set; this carries at most k
+  * longs per partition and merges them — O(n log k) work, O(k) state,
+  * and the shuffle moves ≤ k values per group per partition. That is
+  * the shape that survives a key with billions of distinct values.
+  *
+  * Distinctness is the sketch's load-bearing property (duplicate
+  * values hash identically and must collapse, exactly as HLL's
+  * same-bucket/same-rho collapse does), so the buffer is maintained as
+  * a SORTED ASCENDING array with binary-search insert — present values
+  * are dropped, and the largest value falls off once length == k.
+  *
+  * Output: the ≤ k smallest distinct hashes, ascending — so
+  * `posexplode` downstream yields (rank−1, h) directly, and the last
+  * element is the k-th minimum the estimator divides by. */
+final case class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+
+  override def zero: Array[Long] = Array.empty
+
+  override def reduce(buf: Array[Long], v: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(buf, v)
+    if (pos >= 0) buf // already present — distinctness
+    else {
+      val ins = -pos - 1
+      if (buf.length < k) {
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (ins < k) {
+        // v displaces the current maximum (last element)
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = v
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf // v >= current max of a full buffer
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      // merge two sorted distinct arrays, keep the k smallest distinct
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val take =
+          if (i >= a.length) { val v = b(j); j += 1; v }
+          else if (j >= b.length) { val v = a(i); i += 1; v }
+          else if (a(i) < b(j)) { val v = a(i); i += 1; v }
+          else if (a(i) > b(j)) { val v = b(j); j += 1; v }
+          else { val v = a(i); i += 1; j += 1; v } // equal: collapse
+        out(n) = take; n += 1
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+  override def finish(buf: Array[Long]): Seq[Long] =
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

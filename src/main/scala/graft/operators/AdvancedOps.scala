@@ -829,6 +829,91 @@ object AdvancedOps {
        |    AS BIGINT) AS err_permille
        |FROM est JOIN ex USING (month) ORDER BY month""".stripMargin
 
+  /** Trailing-window distinct from the SAME weekly HLL partials — the
+    * dashboard staple "distinct actives in the trailing k weeks, every
+    * week" without re-touching the raw events: each weekly register
+    * row is PROJECTED onto the k emission weeks it contributes to
+    * (week+0·7d … week+(k−1)·7d — the channelMixDriftTrailingOf
+    * shifted-projection mold, never a range join, which would plan the
+    * banned nested loop), merged per emission week with the usual
+    * groupBy-max, and estimated. Emission weeks cap at the LAST
+    * OBSERVED week (a bounded 1-row driver scalar — a left-semi
+    * against the distinct weeks gets pushed below the union and
+    * replans that aggregate once per projection); calendar weeks with
+    * no events of their own but trailing content still emit, which is
+    * what a trailing-window dashboard wants. Scale shape: input is the
+    * REGISTER table (≤ m rows/week), so the k-fold projection is k·m
+    * rows per week — constant, not corpus-sized. */
+  def hllTrailingDistinctOf(registers: DataFrame, windowWeeks: Int = 4,
+                            m: Int = 64): DataFrame = {
+    require(windowWeeks >= 1 && windowWeeks <= 52,
+      s"unreasonable windowWeeks: $windowWeeks")
+    // materialize the partials once: the k-way projection would
+    // otherwise replan (and re-shuffle) the register aggregation k
+    // times — 17 exchanges at k=4 vs 4 after the checkpoint (in
+    // production the partials are a persisted table anyway)
+    val regs = registers.localCheckpoint()
+    val maxWeek = regs.agg(max(col("week"))).head.getDate(0)
+    val shifted = (0 until windowWeeks).map(i => regs.select(
+        date_add(col("week"), i * 7).as("week"),
+        col("bucket"), col("rho")))
+      .reduce(_ unionByName _)
+      .filter(col("week") <= lit(maxWeek))
+    hllEstimateOf(hllMergeOf(shifted, Seq("week")), Seq("week"), m)
+  }
+
+  /** Fixture: trailing 4-week distinct user-days per week — the HLL
+    * estimate (integer-exact, oracle-checks) next to the exact
+    * trailing distinct and the permille error. The exact side uses the
+    * same shifted-projection shape over (week, v). */
+  def hllTrailingDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val base = hllBase(s, d).localCheckpoint()
+    val est = hllTrailingDistinctOf(
+      hllRegistersOf(base, Seq("week"), "v", m = 64), windowWeeks = w, m = 64)
+    val maxWeek = base.agg(max(col("week"))).head.getDate(0)
+    val exact = (0 until w).map(i => base.select(
+        date_add(col("week"), i * 7).as("week"), col("v")))
+      .reduce(_ unionByName _)
+      .filter(col("week") <= lit(maxWeek))
+      .groupBy(col("week"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("week"))
+  }
+
+  private val hllTrailingDistinctOracle =
+    s"""WITH $hllBaseSql,
+       |mx AS (SELECT max(week) AS mw FROM regs),
+       |off AS (SELECT unnest(range(0, 4)) AS i),
+       |sh AS (SELECT CAST(r.week + INTERVAL (o.i * 7) DAY AS DATE) AS week,
+       |    r.bucket, r.rho
+       |  FROM regs r CROSS JOIN off o),
+       |mreg AS (SELECT week, bucket, max(rho) AS rho FROM sh
+       |  WHERE week <= (SELECT mw FROM mx) GROUP BY 1, 2),
+       |e AS (SELECT week, count(*) AS nb,
+       |    sum(1::BIGINT << (55 - rho)) AS zp
+       |  FROM mreg GROUP BY 1),
+       |est AS (SELECT week,
+       |    CAST(1890844672::HUGEINT * 36028797018963968::HUGEINT
+       |      // (650790::HUGEINT * (zp::HUGEINT
+       |          + (64 - nb) * 36028797018963968::HUGEINT))
+       |      AS BIGINT) AS est_distinct
+       |  FROM e),
+       |sx AS (SELECT DISTINCT
+       |    CAST(vv.week + INTERVAL (o.i * 7) DAY AS DATE) AS week, vv.v
+       |  FROM v vv CROSS JOIN off o),
+       |ex AS (SELECT week, count(DISTINCT v) AS exact_distinct FROM sx
+       |  WHERE week <= (SELECT mw FROM mx) GROUP BY 1)
+       |SELECT week, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (week) ORDER BY week""".stripMargin
+
   /** HLL audience overlap — the inclusion–exclusion face of the
     * register tables: per unordered channel pair, the estimated
     * distinct-user overlap |A∩B| = est(A) + est(B) − est(A∪B), where
@@ -838,14 +923,17 @@ object AdvancedOps {
     * go negative at small overlap, clamped to 0 and documented).
     * Integer-exact end to end, so the whole row oracle-checks. The
     * channel vocabulary rides as DRIVER SCALARS (bounded — the
-    * channel/campaign dimension is never corpus-sized) and pair
-    * estimates are driver-paced 1-row aggs: the oracle enumerates the
-    * same pairs with a self-join, which the Spark side deliberately
-    * avoids (a tiny inequality self-join would still plan the banned
-    * nested loop). */
+    * channel/campaign dimension is never corpus-sized): the pair list
+    * is enumerated on the driver (an inequality SELF-join, however
+    * tiny, would plan the banned nested loop) and then joined back as
+    * a broadcast frame, so ALL pair-union estimates compute in ONE
+    * relational job over the register rows — not c·(c−1)/2
+    * driver-paced 1-row aggs (~5,150 jobs at the 100-channel cap).
+    * Channels with a NULL tag (props without digits) carry no usable
+    * audience identity and are excluded — on both engines. */
   def hllChannelOverlap(s: SparkSession, d: String): DataFrame = {
     val touches = Events.withChannel(Tables.events(s, d))
-      .filter(col("event_type") === "click")
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
       .select(col("channel"), col("user_id").cast("string").as("v"))
     val regs = hllRegistersOf(touches, Seq("channel"), "v", m = 64)
       .localCheckpoint()
@@ -853,20 +941,32 @@ object AdvancedOps {
       .collect().map(_.getString(0)).sorted
     require(channels.length <= 100,
       s"channel vocabulary too large for pairwise overlap: ${channels.length}")
-    def est(chs: Seq[String]): Long =
-      hllEstimateOf(
-        hllMergeOf(regs.filter(col("channel").isin(chs: _*)), Nil),
-        Nil, m = 64).head.getLong(0)
-    val single = channels.map(c => c -> est(Seq(c))).toMap
     import s.implicits._
-    (for {
+    val pairs = (for {
       i <- channels.indices; j <- (i + 1) until channels.length
-      (a, b) = (channels(i), channels(j))
-      u = est(Seq(a, b))
-    } yield (a, b, single(a), single(b), u,
-        math.max(0L, single(a) + single(b) - u)))
-      .toDF("channel_a", "channel_b", "est_a", "est_b", "est_union",
-        "est_overlap")
+    } yield (channels(i), channels(j))).toDF("channel_a", "channel_b")
+    // every pair's union registers in one shot: explode the pair to
+    // its two member channels, broadcast-join onto the register rows,
+    // then groupBy-max per (pair, bucket) — the same merge the 1-row
+    // path ran, batched
+    val pairRegs = broadcast(pairs)
+      .withColumn("channel", explode(array(col("channel_a"), col("channel_b"))))
+      .join(regs, Seq("channel"))
+    val estU = hllEstimateOf(
+        hllMergeOf(pairRegs, Seq("channel_a", "channel_b")),
+        Seq("channel_a", "channel_b"), m = 64)
+      .withColumnRenamed("est_distinct", "est_union")
+    val est1 = hllEstimateOf(regs, Seq("channel"), m = 64)
+      .withColumnRenamed("est_distinct", "est")
+    estU
+      .join(broadcast(est1.select(col("channel").as("channel_a"),
+        col("est").as("est_a"))), Seq("channel_a"))
+      .join(broadcast(est1.select(col("channel").as("channel_b"),
+        col("est").as("est_b"))), Seq("channel_b"))
+      .select(col("channel_a"), col("channel_b"), col("est_a"),
+        col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_overlap"))
       .orderBy(col("channel_a"), col("channel_b"))
   }
 
@@ -876,7 +976,8 @@ object AdvancedOps {
       |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel,
       |    CAST(user_id AS VARCHAR) AS v
       |  FROM events WHERE event_type = 'click'),
-      |hh AS (SELECT channel, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM t),
+      |hh AS (SELECT channel, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      |  FROM t WHERE channel IS NOT NULL),
       |regs AS (SELECT channel, h % 64 AS bucket,
       |    max(CASE WHEN h // 64 = 0 THEN 55
       |             ELSE 55 - length(bin(h // 64)) END) AS rho
@@ -906,11 +1007,296 @@ object AdvancedOps {
       |  JOIN est1 eb ON u.cb = eb.channel
       |ORDER BY channel_a, channel_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // KMV sketch TABLES — the k-minimum-values distinct sketch
+  // (Bar-Yossef et al. 2002, Beyer et al. 2007 for the unbiased
+  // estimator and direct intersections) in the same row-relational
+  // discipline as the HLL registers above: partials are (key, rank, h)
+  // ROWS, merge is re-sketching the unioned rows (k smallest of a
+  // union of per-part k-smallest == the global k smallest — spec- and
+  // oracle-pinned), and every estimate is integer fixed point so both
+  // engines land identical values. KMV's edge over HLL here: SET
+  // OPERATIONS — the k smallest union hashes carry membership, so
+  // intersections estimate DIRECTLY (matches/k · est_union) instead of
+  // via inclusion–exclusion whose error stacks
+  // (hll_channel_overlap above).
+  // ---------------------------------------------------------------
+
+  /** 2^60 — the hash60 value space; the KMV estimator's numerator. */
+  private val HashSpace = 1L << 60
+
+  /** (keys…, rank, h): the k smallest distinct 60-bit hashes of
+    * `valueCol` per key, rank ascending from 1. Built with [[KmvAgg]]
+    * (O(k) state, map-side partials) rather than a window sort — the
+    * shuffle moves ≤ k longs per group per partition, the shape that
+    * holds at a key with billions of distinct values. */
+  def kmvRegistersOf(df: DataFrame, keyCols: Seq[String],
+                     valueCol: String, k: Int = 256): DataFrame =
+    kmvRank(df.select(keyCols.map(col) :+
+      Portable.hash60(col(valueCol)).as("h"): _*), keyCols, k)
+
+  /** Merge register partials UP a grain (week → month): re-sketch the
+    * unioned rows per coarser key. k smallest of a union of per-part
+    * k-smallest-distinct sets IS the union's global k smallest
+    * distinct (any hash among the union's k smallest is among its own
+    * part's k smallest), so merged partials are BIT-IDENTICAL to a
+    * direct sketch — the same contract hllMergeOf keeps via max. */
+  def kmvMergeOf(registers: DataFrame, keyCols: Seq[String],
+                 k: Int = 256): DataFrame =
+    kmvRank(registers, keyCols, k)
+
+  private def kmvRank(hashed: DataFrame, keyCols: Seq[String],
+                      k: Int): DataFrame = {
+    val kmv = udaf(graft.functions.KmvAgg(k))
+    hashed
+      .groupBy(keyCols.map(col): _*)
+      .agg(kmv(col("h")).as("hs"))
+      .select(keyCols.map(col) :+ posexplode(col("hs")): _*)
+      .select(keyCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+ col("col").as("h"): _*)
+  }
+
+  /** The KMV estimate per key, integer-exact: with n = stored hashes
+    * and h_k = the largest (k-th minimum), est = (k−1)·2^60 DIV h_k
+    * when the sketch is full, else n EXACTLY (an unfull sketch saw the
+    * whole distinct set — KMV's small-range regime needs no
+    * bias-corrected branch, unlike HLL's documented raw-estimator
+    * bias). DECIMAL(38,0) for the (k−1)·2^60 product (exceeds BIGINT
+    * from k ≥ 10), DIV to the identical integer in both engines. */
+  def kmvEstimateOf(registers: DataFrame, keyCols: Seq[String],
+                    k: Int = 256): DataFrame =
+    registers.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), max(col("h")).as("hk"))
+      .select(keyCols.map(col) :+
+        expr(s"CAST(CASE WHEN n < $k THEN n ELSE " +
+          s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+          s" DIV greatest(hk, CAST(1 AS BIGINT)) END AS BIGINT)")
+          .as("est_distinct"): _*)
+
+  /** Fixture: the weekly KMV register table over the same user-day
+    * base as the HLL fixtures — the sketch partial a warehouse would
+    * persist. */
+  def kmvRegisters(s: SparkSession, d: String): DataFrame =
+    kmvRegistersOf(hllBase(s, d), Seq("week"), "v", k = 256)
+      .orderBy(col("week"), col("rank"))
+
+  private val kmvRegistersOracle =
+    s"""WITH $hllBaseSql,
+       |dh AS (SELECT DISTINCT week, h FROM hh),
+       |krk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM dh)
+       |SELECT week, CAST(rk AS INT) AS rank, h
+       |FROM krk WHERE rk <= 256 ORDER BY week, rank""".stripMargin
+
+  /** Fixture: per week, the integer-exact KMV estimate next to the
+    * exact distinct count — deterministic arithmetic, whole row
+    * oracle-checks (the kmv face of hll_weekly_estimate). */
+  def kmvWeeklyEstimate(s: SparkSession, d: String): DataFrame = {
+    val base = hllBase(s, d).localCheckpoint()
+    val est = kmvEstimateOf(
+      kmvRegistersOf(base, Seq("week"), "v", k = 256), Seq("week"), k = 256)
+    val exact = base.groupBy(col("week"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("week"))
+  }
+
+  private val kmvWeeklyEstimateOracle =
+    s"""WITH $hllBaseSql,
+       |dh AS (SELECT DISTINCT week, h FROM hh),
+       |krk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM dh),
+       |e AS (SELECT week, count(*) AS n, max(h) AS hk
+       |  FROM krk WHERE rk <= 256 GROUP BY 1),
+       |est AS (SELECT week,
+       |    CAST(CASE WHEN n < 256 THEN n ELSE
+       |      255::HUGEINT * 1152921504606846976::HUGEINT
+       |        // greatest(hk, 1) END AS BIGINT) AS est_distinct
+       |  FROM e),
+       |ex AS (SELECT week, count(DISTINCT v) AS exact_distinct
+       |  FROM v GROUP BY 1)
+       |SELECT week, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (week) ORDER BY week""".stripMargin
+
+  /** Fixture: the UP-GRAIN merge path under the oracle — weekly KMV
+    * partials re-sketched to month (week belongs to the month of its
+    * start, as in hll_monthly_estimate), estimated, compared to the
+    * month's exact distinct. The oracle mirrors the same
+    * weekly-partials-first dataflow, so this row failing while
+    * kmv_weekly_estimate passes isolates a MERGE defect. */
+  def kmvMonthlyEstimate(s: SparkSession, d: String): DataFrame = {
+    val base = hllBase(s, d).localCheckpoint()
+    val weekly = kmvRegistersOf(base, Seq("week"), "v", k = 256)
+    val monthly = kmvMergeOf(
+      weekly.withColumn("month",
+        date_trunc("month", col("week")).cast("date")), Seq("month"), k = 256)
+    val est = kmvEstimateOf(monthly, Seq("month"), k = 256)
+    val exact = base
+      .withColumn("month", date_trunc("month", col("week")).cast("date"))
+      .groupBy(col("month"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("month"))
+      .select(col("month"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("month"))
+  }
+
+  private val kmvMonthlyEstimateOracle =
+    s"""WITH $hllBaseSql,
+       |dh AS (SELECT DISTINCT week, h FROM hh),
+       |krk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM dh),
+       |wreg AS (SELECT week, h FROM krk WHERE rk <= 256),
+       |mdh AS (SELECT DISTINCT CAST(date_trunc('month', week) AS DATE)
+       |    AS month, h FROM wreg),
+       |mrk AS (SELECT month, h,
+       |    row_number() OVER (PARTITION BY month ORDER BY h) AS rk
+       |  FROM mdh),
+       |e AS (SELECT month, count(*) AS n, max(h) AS hk
+       |  FROM mrk WHERE rk <= 256 GROUP BY 1),
+       |est AS (SELECT month,
+       |    CAST(CASE WHEN n < 256 THEN n ELSE
+       |      255::HUGEINT * 1152921504606846976::HUGEINT
+       |        // greatest(hk, 1) END AS BIGINT) AS est_distinct
+       |  FROM e),
+       |ex AS (SELECT CAST(date_trunc('month', week) AS DATE) AS month,
+       |    count(DISTINCT v) AS exact_distinct
+       |  FROM v GROUP BY 1)
+       |SELECT month, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (month) ORDER BY month""".stripMargin
+
+  /** KMV audience overlap — the DIRECT-intersection face the HLL
+    * registers cannot offer: per unordered channel pair, re-sketch the
+    * union of the two channels' registers, count how many of the
+    * union's k minima appear in BOTH sketches (`matches`), and
+    * estimate |A∩B| = matches·est(A∪B) DIV k (Beyer et al. 2007; when
+    * the union sketch is unfull it saw everything, so the overlap is
+    * `matches` EXACTLY). Integer-exact end to end — the whole row
+    * oracle-checks. Same batched shape as hllChannelOverlap: the
+    * bounded channel list is enumerated on the driver, pairs explode
+    * to members and broadcast-join the registers, and ALL pair
+    * sketches build in one relational job; per-pair candidate sets
+    * are ≤ 2k rows, so the pair-keyed window rank is bounded, never
+    * corpus-sized. */
+  def kmvChannelOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val touches = Events.withChannel(Tables.events(s, d))
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
+      .select(col("channel"), col("user_id").cast("string").as("v"))
+    val regs = kmvRegistersOf(touches, Seq("channel"), "v", k)
+      .localCheckpoint()
+    val channels = regs.select(col("channel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(channels.length <= 100,
+      s"channel vocabulary too large for pairwise overlap: ${channels.length}")
+    import s.implicits._
+    val pairs = (for {
+      i <- channels.indices; j <- (i + 1) until channels.length
+    } yield (channels(i), channels(j))).toDF("channel_a", "channel_b")
+    val pairRegs = broadcast(pairs)
+      .withColumn("channel", explode(array(col("channel_a"), col("channel_b"))))
+      .join(regs.select(col("channel"), col("h")), Seq("channel"))
+    // nsrc = 2 ⟺ the hash is in both channels' sketches
+    val byHash = pairRegs.groupBy(col("channel_a"), col("channel_b"), col("h"))
+      .agg(count(lit(1)).as("nsrc"))
+    val ranked = byHash.withColumn("rk", row_number().over(
+        Window.partitionBy(col("channel_a"), col("channel_b"))
+          .orderBy(col("h"))))
+      .filter(col("rk") <= k)
+    val uAgg = ranked.groupBy(col("channel_a"), col("channel_b"))
+      .agg(count(lit(1)).as("nu"), max(col("h")).as("hk"),
+        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("matches"))
+      .select(col("channel_a"), col("channel_b"), col("matches"),
+        expr(s"CAST(CASE WHEN nu < $k THEN nu ELSE " +
+          s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+          s" DIV greatest(hk, CAST(1 AS BIGINT)) END AS BIGINT)")
+          .as("est_union"),
+        col("nu"))
+    val est1 = kmvEstimateOf(regs, Seq("channel"), k)
+      .withColumnRenamed("est_distinct", "est")
+    uAgg
+      .join(broadcast(est1.select(col("channel").as("channel_a"),
+        col("est").as("est_a"))), Seq("channel_a"))
+      .join(broadcast(est1.select(col("channel").as("channel_b"),
+        col("est").as("est_b"))), Seq("channel_b"))
+      .select(col("channel_a"), col("channel_b"), col("est_a"),
+        col("est_b"), col("est_union"), col("matches"),
+        expr(s"CAST(CASE WHEN nu < $k THEN matches ELSE " +
+          s"CAST(matches AS DECIMAL(38,0)) * est_union DIV $k END AS BIGINT)")
+          .as("est_overlap"))
+      .orderBy(col("channel_a"), col("channel_b"))
+  }
+
+  private val kmvChannelOverlapOracle =
+    """WITH t AS (SELECT
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel,
+      |    CAST(user_id AS VARCHAR) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |hh AS (SELECT channel, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      |  FROM t WHERE channel IS NOT NULL),
+      |dh AS (SELECT DISTINCT channel, h FROM hh),
+      |krk AS (SELECT channel, h,
+      |    row_number() OVER (PARTITION BY channel ORDER BY h) AS rk
+      |  FROM dh),
+      |regs AS (SELECT channel, h FROM krk WHERE rk <= 256),
+      |e1 AS (SELECT channel, count(*) AS n, max(h) AS hk
+      |  FROM regs GROUP BY 1),
+      |est1 AS (SELECT channel,
+      |    CAST(CASE WHEN n < 256 THEN n ELSE
+      |      255::HUGEINT * 1152921504606846976::HUGEINT
+      |        // greatest(hk, 1) END AS BIGINT) AS est
+      |  FROM e1),
+      |pairs AS (SELECT a.channel AS ca, b.channel AS cb
+      |  FROM (SELECT DISTINCT channel FROM regs) a
+      |  JOIN (SELECT DISTINCT channel FROM regs) b ON a.channel < b.channel),
+      |pr AS (SELECT p.ca, p.cb, r.h, count(*) AS nsrc
+      |  FROM pairs p JOIN regs r ON r.channel IN (p.ca, p.cb)
+      |  GROUP BY 1, 2, 3),
+      |urk AS (SELECT ca, cb, h, nsrc,
+      |    row_number() OVER (PARTITION BY ca, cb ORDER BY h) AS rk
+      |  FROM pr),
+      |ua AS (SELECT ca, cb, count(*) AS nu, max(h) AS hk,
+      |    sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS matches
+      |  FROM urk WHERE rk <= 256 GROUP BY 1, 2),
+      |ue AS (SELECT ca, cb, nu, matches,
+      |    CAST(CASE WHEN nu < 256 THEN nu ELSE
+      |      255::HUGEINT * 1152921504606846976::HUGEINT
+      |        // greatest(hk, 1) END AS BIGINT) AS est_union
+      |  FROM ua)
+      |SELECT u.ca AS channel_a, u.cb AS channel_b,
+      |  ea.est AS est_a, eb.est AS est_b, u.est_union,
+      |  CAST(u.matches AS BIGINT) AS matches,
+      |  CAST(CASE WHEN u.nu < 256 THEN u.matches ELSE
+      |    u.matches::HUGEINT * u.est_union // 256 END AS BIGINT)
+      |    AS est_overlap
+      |FROM ue u JOIN est1 ea ON u.ca = ea.channel
+      |  JOIN est1 eb ON u.cb = eb.channel
+      |ORDER BY channel_a, channel_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_registers"           -> (hllRegisters _),
     "hll_channel_overlap"     -> (hllChannelOverlap _),
     "hll_weekly_estimate"     -> (hllWeeklyEstimate _),
     "hll_monthly_estimate"    -> (hllMonthlyEstimate _),
+    "hll_trailing_distinct"   -> (hllTrailingDistinct _),
+    "kmv_registers"           -> (kmvRegisters _),
+    "kmv_weekly_estimate"     -> (kmvWeeklyEstimate _),
+    "kmv_monthly_estimate"    -> (kmvMonthlyEstimate _),
+    "kmv_overlap"             -> (kmvChannelOverlap _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -937,6 +1323,11 @@ object AdvancedOps {
     "hll_channel_overlap"     -> hllChannelOverlapOracle,
     "hll_weekly_estimate"     -> hllWeeklyEstimateOracle,
     "hll_monthly_estimate"    -> hllMonthlyEstimateOracle,
+    "hll_trailing_distinct"   -> hllTrailingDistinctOracle,
+    "kmv_registers"           -> kmvRegistersOracle,
+    "kmv_weekly_estimate"     -> kmvWeeklyEstimateOracle,
+    "kmv_monthly_estimate"    -> kmvMonthlyEstimateOracle,
+    "kmv_overlap"             -> kmvChannelOverlapOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,

@@ -1807,6 +1807,106 @@ object Events {
       |    (SELECT count(*) FROM s3), (SELECT count(DISTINCT user_id) FROM s3))
       |ORDER BY step_idx""".stripMargin
 
+  /** Channel path of every CONVERTING session — which acquisition
+    * channels carried a user through the funnel, step by step: per
+    * (user, session) whose ordered reach covers the LAST step, one row
+    * (user_id, first_step_us, channel_path) where channel_path joins
+    * the channel of each step's first-reach event with '>'. The reach
+    * recurrence is [[reachTimesOf]]'s, with the fold's accumulator
+    * widened from a time to a (time, channel) struct — same single
+    * shuffle, same one aggregation job; ties at equal (time, step)
+    * resolve to the MINIMUM channel string (the struct sort order),
+    * which the oracle mirrors with min(channel) at the min time. NULL
+    * channels read 'unknown' so a null never silently drops out of the
+    * joined path. */
+  def funnelChannelPathOf(events: DataFrame, steps: Seq[String],
+                          gap: String = "30 MINUTES",
+                          channelCol: String = "channel"): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"funnel wants 1..8 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
+    val n = steps.size
+    val idx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i + 1)).otherwise(acc) }
+    val fold = expr(
+      s"""aggregate(
+         |  evs,
+         |  array_repeat(named_struct(
+         |    'us', 9223372036854775807L, 'ch', CAST(NULL AS STRING)), $n),
+         |  (acc, e) -> transform(acc, (v, i) -> IF(
+         |    i = e.idx - 1
+         |    AND (e.idx = 1 OR element_at(acc, e.idx - 1).us < e.us)
+         |    AND e.us < v.us,
+         |    named_struct('us', e.us, 'ch', e.ch), v)))""".stripMargin)
+    withSessionIds(events, gap)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), col("sid"),
+        struct(unix_micros(col("ts")).as("us"), idx.as("idx"),
+          coalesce(col(channelCol).cast("string"), lit("unknown")).as("ch"))
+          .as("ev"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(col("ev"))).as("evs"))
+      .select(col("user_id"), fold.as("reach"))
+      .filter(expr(s"element_at(reach, $n).us") =!= lit(Long.MaxValue))
+      .select(col("user_id"),
+        expr("element_at(reach, 1).us").as("first_step_us"),
+        expr("concat_ws('>', transform(reach, x -> x.ch))").as("channel_path"))
+  }
+
+  def funnelChannelPath(s: SparkSession, d: String): DataFrame =
+    funnelChannelPathOf(withChannel(Tables.events(s, d)),
+        Seq("signup", "click", "purchase"), gap = "1 DAY")
+      .orderBy(col("user_id"), col("first_step_us"), col("channel_path"))
+
+  /** The funnelSessionizedOracle session chain, carrying each step's
+    * first-reach channel: c_i = min(channel) among the session's
+    * step-i events AT the step's first-reach time (the Spark fold's
+    * struct-sort tie rule). */
+  private val funnelChannelPathOracle =
+    """WITH t AS (SELECT user_id, event_id, ts, event_type,
+      |    coalesce(list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1],
+      |      'unknown') AS channel
+      |  FROM events),
+      |flagged AS (SELECT user_id, event_id, ts, event_type, channel,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts >= lag(ts) OVER w + INTERVAL 1 DAY
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM t
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (SELECT user_id, ts, event_type, channel,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged),
+      |s1 AS (SELECT user_id, sid, min(ts) AS t FROM sess
+      |  WHERE event_type = 'signup' GROUP BY 1, 2),
+      |c1 AS (SELECT s1.user_id, s1.sid, s1.t, min(e.channel) AS ch
+      |  FROM sess e JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid
+      |    AND e.ts = s1.t AND e.event_type = 'signup'
+      |  GROUP BY 1, 2, 3),
+      |s2 AS (SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      |  JOIN s1 ON e.user_id = s1.user_id AND e.sid = s1.sid AND e.ts > s1.t
+      |  WHERE e.event_type = 'click' GROUP BY 1, 2),
+      |c2 AS (SELECT s2.user_id, s2.sid, s2.t, min(e.channel) AS ch
+      |  FROM sess e JOIN s2 ON e.user_id = s2.user_id AND e.sid = s2.sid
+      |    AND e.ts = s2.t AND e.event_type = 'click'
+      |  GROUP BY 1, 2, 3),
+      |s3 AS (SELECT e.user_id, e.sid, min(e.ts) AS t FROM sess e
+      |  JOIN s2 ON e.user_id = s2.user_id AND e.sid = s2.sid AND e.ts > s2.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+      |c3 AS (SELECT s3.user_id, s3.sid, s3.t, min(e.channel) AS ch
+      |  FROM sess e JOIN s3 ON e.user_id = s3.user_id AND e.sid = s3.sid
+      |    AND e.ts = s3.t AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3)
+      |SELECT c1.user_id AS user_id, epoch_us(c1.t) AS first_step_us,
+      |  c1.ch || '>' || c2.ch || '>' || c3.ch AS channel_path
+      |FROM c3
+      |JOIN c2 ON c3.user_id = c2.user_id AND c3.sid = c2.sid
+      |JOIN c1 ON c3.user_id = c1.user_id AND c3.sid = c1.sid
+      |ORDER BY c1.user_id, first_step_us, channel_path""".stripMargin
+
   /** Gaps-and-islands sessionization shared by the session-grain
     * family (funnels, waits, transitions, paths): flag gaps >= the
     * inactivity timeout, running-sum the flags into per-user session
@@ -2840,8 +2940,14 @@ object Events {
         col("t").as("tb")), Seq("week"))
       .groupBy(col("week"))
       .agg(
-        expr("CAST(sum(abs(coalesce(a, 0L) * tb - coalesce(b, 0L) * ta))" +
-          " * 1000 DIV (2 * max(ta) * max(tb)) AS BIGINT)").as("tv_permille"),
+        // cross-multiplied terms in DECIMAL(38,0): the DuckDB oracle
+        // sums a*T' − b*T into HUGEINT, while BIGINT here would wrap
+        // silently (non-ANSI) once weekly credit totals push T*T'
+        // toward 2^63 — same headroom convention as hllEstimateOf
+        expr("CAST(sum(abs(CAST(coalesce(a, 0L) AS DECIMAL(38,0)) * tb" +
+          " - CAST(coalesce(b, 0L) AS DECIMAL(38,0)) * ta))" +
+          " * 1000 DIV (2 * CAST(max(ta) AS DECIMAL(38,0)) * max(tb))" +
+          " AS BIGINT)").as("tv_permille"),
         max(col("ta")).as("credit_total"),
         max(col("tb")).as("prev_total"))
   }
@@ -2879,8 +2985,12 @@ object Events {
       .join(tb, Seq("week"))
       .groupBy(col("week"))
       .agg(
-        expr("CAST(sum(abs(coalesce(a, 0L) * tb - coalesce(b, 0L) * ta))" +
-          " * 1000 DIV (2 * max(ta) * max(tb)) AS BIGINT)").as("tv_permille"),
+        // DECIMAL(38,0) cross-terms for the same overflow headroom as
+        // the week-on-week drift above (oracle sums into HUGEINT)
+        expr("CAST(sum(abs(CAST(coalesce(a, 0L) AS DECIMAL(38,0)) * tb" +
+          " - CAST(coalesce(b, 0L) AS DECIMAL(38,0)) * ta))" +
+          " * 1000 DIV (2 * CAST(max(ta) AS DECIMAL(38,0)) * max(tb))" +
+          " AS BIGINT)").as("tv_permille"),
         max(col("ta")).as("credit_total"),
         max(col("tb")).as("trailing_total"))
   }
@@ -3180,6 +3290,7 @@ object Events {
     "funnel_session_latency" -> (funnelSessionLatency _),
     "funnel_session_latency_agreement" -> (funnelSessionLatencyAgreement _),
     "funnel_sessionized"     -> (funnelSessionized _),
+    "funnel_channel_path"    -> (funnelChannelPath _),
     "session_stats"          -> (sessionStats _),
     "funnel_cohorts"         -> (funnelCohorts _),
     "funnel_dropoff"         -> (funnelDropoff _),
@@ -3245,6 +3356,7 @@ object Events {
     "funnel_latency_agreement" -> funnelLatencyAgreementOracle,
     "funnel_session_latency_agreement" -> funnelSessionLatencyAgreementOracle,
     "funnel_sessionized"     -> funnelSessionizedOracle,
+    "funnel_channel_path"    -> funnelChannelPathOracle,
     "session_stats"          -> sessionStatsOracle,
     "funnel_cohorts"         -> funnelCohortsOracle,
     "funnel_dropoff"         -> funnelDropoffOracle,

@@ -161,7 +161,7 @@ object EventStreams {
                           watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     sessionReachFold(spark, events, steps, gapMs, watermark) {
-      (userId, b, acc) => Iterator.single((userId, b.firstUs,
+      (userId, b, acc, _) => Iterator.single((userId, b.firstUs,
         acc.lastIndexWhere(_ != Long.MaxValue) + 1))
     }
       .toDF("user_id", "first_us", "max_step")
@@ -180,7 +180,7 @@ object EventStreams {
                                watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     sessionReachFold(spark, events, steps, gapMs, watermark) {
-      (userId, b, acc) => (1 until acc.length).iterator
+      (userId, b, acc, _) => (1 until acc.length).iterator
         .filter(i => acc(i) != Long.MaxValue)
         .map(i => (userId, b.firstUs, i + 1, acc(i) - acc(i - 1)))
     }
@@ -191,12 +191,17 @@ object EventStreams {
     * faces: sessionize (gap split on arrival + event-time timeout for
     * the open tail), run the batch reach recurrence over the closed
     * session's step events, and render rows via `emit(userId, buf,
-    * reach)` — reach(i) = first time step i+1 was reached in order,
-    * Long.MaxValue = never. */
+    * reach, reachCh)` — reach(i) = first time step i+1 was reached in
+    * order (Long.MaxValue = never), reachCh(i) = that first-reach
+    * event's channel (faces without a channelCol see "unknown"). The
+    * recurrence processes step events sorted by (us, idx, ch) — the
+    * batch fold's struct sort — so equal-time ties resolve to the
+    * minimum channel string on both sides. */
   private def sessionReachFold[T: org.apache.spark.sql.Encoder](
       spark: org.apache.spark.sql.SparkSession, events: DataFrame,
-      steps: Seq[String], gapMs: Long, watermark: String)(
-      emit: (Long, SessFunnelBuf, Array[Long]) => Iterator[T]):
+      steps: Seq[String], gapMs: Long, watermark: String,
+      channelCol: Option[String] = None)(
+      emit: (Long, SessFunnelBuf, Array[Long], Array[String]) => Iterator[T]):
       org.apache.spark.sql.Dataset[T] = {
     require(steps.nonEmpty && steps.size <= 8,
       s"funnel wants 1..8 steps, got ${steps.size}")
@@ -206,13 +211,18 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val stepIdx = steps.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val gapUs = gapMs * 1000L
+    val ch = channelCol.map(c =>
+        coalesce(col(c).cast("string"), lit("unknown")))
+      .getOrElse(lit("unknown"))
     events.withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .as[(Long, java.sql.Timestamp, Long, String)]
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        ch.as("ch"))
+      .as[(Long, java.sql.Timestamp, Long, String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        (userId: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String, String)],
          state: org.apache.spark.sql.streaming.GroupState[SessFunnelBuf]) =>
           val n = steps.size
           def close(b: SessFunnelBuf): Iterator[T] = {
@@ -220,28 +230,32 @@ object EventStreams {
             // events (buffered in arrival order = (ts, event_id)
             // order per the CDC contract + in-batch sort)
             val acc = Array.fill(n)(Long.MaxValue)
-            for ((us, idx) <- b.stepEvs.sortBy(identity)) {
-              if (idx == 1) { if (us < acc(0)) acc(0) = us }
-              else if (acc(idx - 2) < us && us < acc(idx - 1)) acc(idx - 1) = us
+            val accCh = Array.fill[String](n)(null)
+            for ((us, idx, c) <- b.stepEvs.sortBy(identity)) {
+              if (idx == 1) {
+                if (us < acc(0)) { acc(0) = us; accCh(0) = c }
+              } else if (acc(idx - 2) < us && us < acc(idx - 1)) {
+                acc(idx - 1) = us; accCh(idx - 1) = c
+              }
             }
-            emit(userId, b, acc)
+            emit(userId, b, acc, accCh)
           }
           if (state.hasTimedOut) {
             val b = state.get; state.remove(); close(b)
           } else {
             def us(ts: java.sql.Timestamp): Long =
               ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
-            val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4))
+            val sorted = rows.toSeq.map(r => (us(r._2), r._3, r._4, r._5))
               .sortBy(r => (r._1, r._2))
             var buf = state.getOption.orNull
             val out = Seq.newBuilder[T]
-            for ((eUs, _, typ) <- sorted) {
+            for ((eUs, _, typ, c) <- sorted) {
               if (buf != null && eUs >= buf.lastUs + gapUs) {
                 out ++= close(buf); buf = null
               }
               if (buf == null) buf = SessFunnelBuf(eUs, eUs, Nil)
               buf = SessFunnelBuf(buf.firstUs, math.max(buf.lastUs, eUs),
-                stepIdx.get(typ).fold(buf.stepEvs)(i => buf.stepEvs :+ ((eUs, i))))
+                stepIdx.get(typ).fold(buf.stepEvs)(i => buf.stepEvs :+ ((eUs, i, c))))
             }
             if (buf != null) {
               state.update(buf)
@@ -250,6 +264,29 @@ object EventStreams {
             out.result().iterator
           }
       }
+  }
+
+  /** Streaming face of `Events.funnelChannelPathOf` — the CONVERTING
+    * session's channel path, emitted the moment the session closes:
+    * one row (user_id, first_step_us, channel_path) per closed session
+    * whose ordered reach covers the last step, channel_path = the
+    * per-step first-reach channels joined with '>'. Shares
+    * [[sessionReachFold]]'s keyed state with the reach/waits faces, so
+    * the paths are exactly the batch fold's — spec-pinned. */
+  def sessionFunnelChannelStream(spark: org.apache.spark.sql.SparkSession,
+                                 events: DataFrame, steps: Seq[String],
+                                 gapMs: Long = 30 * 60 * 1000L,
+                                 watermark: String = "10 minutes",
+                                 channelCol: String = "channel"): DataFrame = {
+    import spark.implicits._
+    sessionReachFold(spark, events, steps, gapMs, watermark,
+        channelCol = Some(channelCol)) {
+      (userId, _, acc, accCh) =>
+        if (acc(steps.size - 1) != Long.MaxValue)
+          Iterator.single((userId, acc(0), accCh.mkString(">")))
+        else Iterator.empty
+    }
+      .toDF("user_id", "first_step_us", "channel_path")
   }
 
   /** Streaming HLL sketch ingest — the streaming face of
@@ -1468,11 +1505,13 @@ case class QuotaUsed(n: Long)
 /** State record for EventStreams.closedSessions. */
 case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)
 
-/** Open-session state for [[EventStreams.sessionFunnelStream]]: the
-  * session's first/last event times plus its (epoch-micros, step-idx)
-  * step events in time order. */
+/** Open-session state for [[EventStreams.sessionFunnelStream]] and
+  * siblings: the session's first/last event times plus its
+  * (epoch-micros, step-idx, channel) step events in time order
+  * (channel = "unknown" for faces that don't carry one — a constant,
+  * so their sort/fold behavior is unchanged). */
 case class SessFunnelBuf(firstUs: Long, lastUs: Long,
-                         stepEvs: Seq[(Long, Int)])
+                         stepEvs: Seq[(Long, Int, String)])
 
 /** Trailing-window touch buffer for [[EventStreams.attributionStream]]:
   * (epoch-micros, event_id) ascending, pruned to one window's span. */

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.KmvAgg
+
+/** KMV sketch contracts: the aggregator's k-smallest-distinct buffer
+  * discipline, the merge==direct rollup identity (the property that
+  * makes partials persistable), the exact small-range branch, and the
+  * headline accuracy claim — direct KMV intersections beat HLL
+  * inclusion–exclusion on the same channel pairs. */
+class KmvSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("KmvAgg keeps the k smallest DISTINCT values, sorted ascending") {
+    val agg = KmvAgg(4)
+    var buf = agg.zero
+    Seq(50L, 10L, 30L, 10L, 20L, 40L, 5L, 50L).foreach(v => buf = agg.reduce(buf, v))
+    assert(buf.toSeq == Seq(5L, 10L, 20L, 30L), s"got ${buf.toSeq}")
+    // merge: distinct union, k smallest, duplicates collapse
+    val other = agg.reduce(agg.reduce(agg.reduce(agg.zero, 7L), 20L), 1L)
+    assert(agg.merge(buf, other).toSeq == Seq(1L, 5L, 7L, 10L))
+    assert(agg.merge(agg.zero, buf).toSeq == buf.toSeq)
+    assert(agg.merge(buf, agg.zero).toSeq == buf.toSeq)
+    // finish preserves ascending order (posexplode rank contract)
+    assert(agg.finish(buf) == buf.toSeq)
+  }
+
+  test("merge == direct: monthly rollup of weekly partials is bit-identical " +
+       "to sketching the month directly") {
+    // user-DAY values (the hllBase convention) — enough distincts per
+    // week at sf0.001 that a small k actually truncates
+    val base = Tables.events(spark, sf).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      concat(col("user_id").cast("string"), lit("-"),
+        date_trunc("day", col("ts")).cast("date").cast("string")).as("v"))
+    val k = 8 // small k so the cutoff actually bites at sf0.001
+    val weekly = AdvancedOps.kmvRegistersOf(base, Seq("week"), "v", k)
+    val merged = AdvancedOps.kmvMergeOf(
+      weekly.withColumn("month", date_trunc("month", col("week")).cast("date")),
+      Seq("month"), k)
+    val direct = AdvancedOps.kmvRegistersOf(
+      base.withColumn("month", date_trunc("month", col("week")).cast("date")),
+      Seq("month"), "v", k)
+    val m = merged.collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    val d = direct.collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSet
+    assert(m == d, "rolled-up partials must equal the direct sketch, rank for rank")
+    assert(m.nonEmpty)
+    // and the weekly cutoff actually dropped rows (the property is
+    // only interesting when the sketch is full)
+    val fullWeeks = weekly.groupBy(col("week")).count()
+      .filter(col("count") === k).count()
+    assert(fullWeeks > 0, s"k=$k never filled at $sf — property untested")
+  }
+
+  test("estimator: unfull sketch returns the EXACT distinct count") {
+    import spark.implicits._
+    val tiny = Seq("a", "b", "c", "a", "b").toDF("v")
+    val regs = AdvancedOps.kmvRegistersOf(tiny, Nil, "v", k = 256)
+    val est = AdvancedOps.kmvEstimateOf(regs, Nil, k = 256).collect()
+    assert(est.head.getLong(0) == 3L, "n < k must count exactly")
+  }
+
+  test("direct KMV intersection beats HLL inclusion-exclusion on the same pairs") {
+    // exact pairwise channel overlaps (ground truth)
+    val touches = Events.withChannel(Tables.events(spark, sf))
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
+      .select(col("channel"), col("user_id").cast("string").as("v"))
+      .distinct().collect()
+    val byChannel = touches.groupBy(_.getString(0))
+      .map { case (c, rows) => c -> rows.map(_.getString(1)).toSet }
+    val chans = byChannel.keys.toSeq.sorted
+    val exact = (for {
+      i <- chans.indices; j <- (i + 1) until chans.length
+    } yield (chans(i), chans(j)) ->
+        (byChannel(chans(i)) intersect byChannel(chans(j))).size.toLong).toMap
+    assert(exact.nonEmpty)
+    def errSum(rows: Array[org.apache.spark.sql.Row]): Long = rows.map { r =>
+      val key = (r.getAs[String]("channel_a"), r.getAs[String]("channel_b"))
+      math.abs(r.getAs[Long]("est_overlap") - exact(key))
+    }.sum
+    val kmvErr = errSum(AdvancedOps.kmvChannelOverlap(spark, sf).collect())
+    val hllErr = errSum(AdvancedOps.hllChannelOverlap(spark, sf).collect())
+    assert(kmvErr <= hllErr,
+      s"KMV direct intersection (err=$kmvErr) should not lose to " +
+        s"HLL inclusion-exclusion (err=$hllErr) at k=256 vs m=64")
+  }
+
+  test("hllTrailingDistinctOf at windowWeeks=1 equals the plain weekly estimate") {
+    val base = Tables.events(spark, sf).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("user_id").cast("string").as("v"))
+    val regs = AdvancedOps.hllRegistersOf(base, Seq("week"), "v", m = 64)
+    val trailing1 = AdvancedOps.hllTrailingDistinctOf(regs, windowWeeks = 1, m = 64)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val weekly = AdvancedOps.hllEstimateOf(regs, Seq("week"), m = 64)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(trailing1 == weekly)
+    assert(weekly.nonEmpty)
+  }
+}

@@ -1221,6 +1221,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotWaits == wantWaits,
       s"stream waits (${gotWaits.take(3)}...) != batch (${wantWaits.take(3)}...)")
     assert(wantWaits.exists(_._2 == 3), "fixture must have step-3 waits")
+    // the CHANNEL-PATH face over the same feed (each event tagged with
+    // a pseudo-random channel): converting sessions' channel paths
+    // equal the batch operator's (user, first_step_us, path) multiset
+    val chOf = (eid: Long) => Seq("email", "search", "social")((eid % 3).toInt)
+    val evsCh = (evs :+ flush1 :+ flush2).map(e => (e._1, e._2, e._3, e._4, chOf(e._1)))
+    val in3 = MemoryStream[(Long, Long, Timestamp, String, String)]
+    val q3 = EventStreams.sessionFunnelChannelStream(spark,
+        in3.toDF().toDF("event_id", "user_id", "ts", "event_type", "channel"),
+        steps, gapMs = gapMs)
+      .writeStream.format("memory").queryName("sess_funnel_ch")
+      .outputMode("append").start()
+    for (chunk <- evsCh.grouped(120)) {
+      in3.addData(chunk: _*)
+      q3.processAllAvailable()
+    }
+    q3.stop()
+    val gotPaths = spark.table("sess_funnel_ch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val wantPaths = graft.operators.Events.funnelChannelPathOf(
+        evsCh.toDF("event_id", "user_id", "ts", "event_type", "channel")
+          .selectExpr("user_id", "ts", "event_id", "event_type", "channel"),
+        steps, gap = "15 MINUTES")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted.toSeq
+    assert(gotPaths == wantPaths,
+      s"stream paths (${gotPaths.take(3)}...) != batch (${wantPaths.take(3)}...)")
+    assert(wantPaths.nonEmpty, "fixture must convert sessions with channel paths")
+    assert(wantPaths.map(_._3).distinct.size > 1,
+      "fixture must exercise more than one channel path")
+    // restart safety: stop mid-feed, restart on the same checkpoint,
+    // finish the feed — the union of both runs' emissions must equal
+    // the same batch recompute (open-session state survives the crash)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fch_ckpt").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft_fch_sink").toString
+    val in4 = MemoryStream[(Long, Long, Timestamp, String, String)]
+    // memory sinks cannot recover a checkpoint — land emissions via
+    // foreachBatch parquet appends, the recoverable-sink mold
+    def startQ() = EventStreams.sessionFunnelChannelStream(spark,
+        in4.toDF().toDF("event_id", "user_id", "ts", "event_type", "channel"),
+        steps, gapMs = gapMs)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("append").parquet(sink): Unit
+      }
+      .outputMode("append").start()
+    val (half1, half2) = evsCh.splitAt(evsCh.length / 2)
+    val qa = startQ()
+    for (chunk <- half1.grouped(120)) { in4.addData(chunk: _*); qa.processAllAvailable() }
+    qa.stop() // "crash": checkpoint + state remain
+    val qb = startQ()
+    for (chunk <- half2.grouped(120)) { in4.addData(chunk: _*); qb.processAllAvailable() }
+    qb.stop()
+    val restarted = spark.read.parquet(sink).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(restarted == wantPaths,
+      s"restarted paths (${restarted.take(3)}...) != batch (${wantPaths.take(3)}...)")
   }
 
   test("bucketed SCD2 ingest: fold equals one-shot; untouched buckets stay byte-stable; vacuum keeps the newest per bucket") {
