@@ -607,11 +607,17 @@ object GraphOps {
     * mass into the next raw sum — the requires are tripwires, not
     * branches. Only the two raw sums checkpoint (they bound lineage
     * and back the total aggs); the normalized frames are narrow
-    * projections over them with the total baked in as a literal, so
-    * a round costs 4 jobs, and an in-plan broadcast-scalar variant
-    * measured SLOWER than these two 1-row head()s (the broadcast
-    * build is itself a job plus exchange machinery, paid again when
-    * the final join re-evaluates the projections). */
+    * projections over them with the total baked in as a literal.
+    * The checkpoints are LAZY (r17, the Louvain probeAll discipline
+    * applied here): the total agg's own action materializes the
+    * checkpoint blocks as it runs, so a round costs 2 driver-paced
+    * actions, not 4 — at fixture scale the family is pure scheduler
+    * latency, and this halved it (5.9 s → 2.8 s measured). An in-plan
+    * broadcast-scalar variant (zero scalar actions) measured SLOWER
+    * still (the broadcast build is itself a job plus exchange
+    * machinery, paid again when the final join re-evaluates the
+    * projections). Integer semantics are untouched — same sums, same
+    * DIV-after-total — so the oracle rows stay hash-identical. */
   private def hitsRaw(e: DataFrame, nodes: DataFrame, n: Long,
                       iters: Int): DataFrame = {
     var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
@@ -621,7 +627,7 @@ object GraphOps {
       val araw = e
         .join(hubs.select(col("node").as("src"), col("hub_e9")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub_e9")).as("araw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val atot = Option(araw.agg(sum(col("araw"))).head()
         .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
       require(atot > 0, "hits: authority mass vanished (degenerate graph)")
@@ -631,7 +637,7 @@ object GraphOps {
       val hraw = e
         .join(auths.select(col("node").as("dst"), col("auth_e9")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth_e9")).as("hraw"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val htot = Option(hraw.agg(sum(col("hraw"))).head()
         .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
       require(htot > 0, "hits: hub mass vanished (degenerate graph)")
@@ -728,8 +734,12 @@ object GraphOps {
     val e = normalizedEdges(edges).localCheckpoint()
     val indeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val totA = indeg.count()
-    val totH = outdeg.count()
+    // both side totals in ONE action (probeAll discipline): distinct
+    // dst count == indeg's row count, distinct src count == outdeg's
+    val totRow = e.agg(count_distinct(col("dst")).as("ta"),
+      count_distinct(col("src")).as("th")).head()
+    val totA = totRow.getLong(0)
+    val totH = totRow.getLong(1)
     val comps = componentsOf(e.select(
       concat(lit("h:"), col("src")).as("src"),
       concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint()

@@ -221,6 +221,12 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(pos, sx, n))), x -> CAST(x.sx / 1e7 / x.n AS FLOAT))").as("cv"))
       .select(col("cell").as("cid"), col("cv"))
       .collect().toSeq.map(r => (r.getInt(0), r.getSeq[Float](1)))
+      // cell-id order: the collect's arrival order varies with the
+      // session's partitioning, and the seq embeds as a plan literal —
+      // unsorted it was the one remaining partition-count leak in the
+      // bench fingerprints (results never depended on the order; every
+      // downstream consumer tie-breaks on cid)
+      .sortBy(_._1)
     val cells = e.join(assign(refined), Seq("vec_id")).localCheckpoint()
     // queries probe their nProbe nearest refined cells
     val probes = e.filter(isQuery)
@@ -266,8 +272,11 @@ object Similarity {
     * driver-resident literals (the blessed tiny-state pattern shared
     * with IVF centroids). No SQL oracle (approximate by design); the
     * spec pins recall vs bruteTopk. */
-  def ivfpqTopk(s: SparkSession, d: String): DataFrame =
-    ivfpqTopkOf(s, Tables.embeddings(s, d), col("vec_id") < 20)
+  def ivfpqTopk(s: SparkSession, d: String): DataFrame = {
+    VectorOps.registerVecDot(s)
+    ivfpqQueryOf(s, sharedIvfpqPrep(s, d),
+      sharedIvfpqIndex(s, d), col("vec_id") < 20)
+  }
       .orderBy(col("qid"), col("rk"))
 
   /** nProbe defaults wider than exact-IVF's (8 vs 4): PQ compression
@@ -340,6 +349,55 @@ object Similarity {
     * materializing the whole corpus on every query call. */
   private[graft] def ivfpqPrepLazy(s: SparkSession, emb: DataFrame): DataFrame =
     withNorm(s, emb).select(col("vec_id"), col("embedding"), col("nrm"))
+
+  /** Session memo of the default-geometry trained index per sf dir.
+    * `similarity_topk_ivfpq` and `ivfpq_index_roundtrip` each need the
+    * SAME index (identical by construction — training is
+    * deterministic: hash-picked seeds, integer-scaled Lloyd sums), so
+    * training twice ran the distributed Lloyd pass twice per bench rep
+    * (~5 s of pure duplicate work in r16's driver artifact). Mirrors
+    * SessionMemo's lifecycle contract: strong values (codes is
+    * localCheckpointed — a rebuild would re-train, not re-read),
+    * cleared by Bench at rep boundaries, warmed under the dedicated
+    * `_memo_warmup_sim` bench entry so the one-time cost has a stable
+    * name. Build runs OUTSIDE the lock (it triggers Spark jobs);
+    * first-put wins on a racing duplicate. */
+  private val idxMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.Map[String, IvfpqIndex]]()
+
+  private def idxBySession(s: SparkSession) = idxMemo.synchronized {
+    idxMemo.computeIfAbsent(s, _ => scala.collection.mutable.Map.empty)
+  }
+
+  /** The prep frame both consumers ALSO share (it is an eager
+    * checkpoint of the whole corpus — materializing it twice doubles
+    * that scan). getOrBuildMaterialized: ivfpqPrep already ends in
+    * localCheckpoint, so the memo must not stack a .cache() on top. */
+  private val prepMemo = new graft.SessionMemo
+
+  private[graft] def sharedIvfpqPrep(s: SparkSession, d: String): DataFrame =
+    prepMemo.getOrBuildMaterialized(s, s"$d/ivfpq_prep")(
+      ivfpqPrep(s, Tables.embeddings(s, d)))
+
+  private[graft] def sharedIvfpqIndex(s: SparkSession, d: String): IvfpqIndex = {
+    val m = idxBySession(s)
+    m.synchronized(m.get(d)).getOrElse {
+      val idx = ivfpqTrainOf(s, sharedIvfpqPrep(s, d))
+      m.synchronized(m.getOrElseUpdate(d, idx))
+    }
+  }
+
+  def warmMemos(s: SparkSession, d: String): Unit = { sharedIvfpqIndex(s, d); () }
+
+  def clearMemo(s: SparkSession): Unit = {
+    idxMemo.synchronized {
+      Option(idxMemo.get(s)).foreach { m =>
+        m.values.foreach(_.codes.unpersist())
+        m.clear()
+      }
+    }
+    prepMemo.clear(s)
+  }
 
   /** Training half: seed + Lloyd-refine the PQ codebook, refine the
     * coarse quantizer, encode the corpus. See ivfpqTopk scaladoc for
@@ -775,8 +833,8 @@ object Similarity {
 
   def ivfpqIndexRoundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = ivfpqRoundtripDir(d)
-    val e = ivfpqPrep(s, Tables.embeddings(s, d))
-    ivfpqSaveIndex(ivfpqTrainOf(s, e), dir)
+    val e = sharedIvfpqPrep(s, d)
+    ivfpqSaveIndex(sharedIvfpqIndex(s, d), dir)
     ivfpqQueryOf(s, e, ivfpqLoadIndex(s, dir), col("vec_id") < 20)
       .orderBy(col("qid"), col("rk"))
   }
