@@ -142,15 +142,79 @@ object Bench {
     out.mkString("\n")
   }
 
+  /** Canonicalize a multi-distinct aggregate line:
+    * RewriteDistinctAggregates numbers its distinct branches (gid) by
+    * iterating a hash-keyed collection of expressions, so the SAME
+    * query plans `FILTER (WHERE (gid# = 1))` on one build and
+    * `(gid# = 2)` on the next, with the Expand projections and
+    * grouping keys permuted to match — semantically identical,
+    * textually different (the last fingerprint leak of r17's audit;
+    * it wobbles with the session's exprId counter, so WHICH queries
+    * show it changes run to run). Normalize by (a) erasing the gid
+    * literal, and (b) recursively sorting the top-level comma
+    * segments of every bracket/paren group on aggregate-family lines
+    * — a key-SET change still changes the sorted text, so real plan
+    * changes remain visible. Applied only to Expand/HashAggregate/
+    * ObjectHashAggregate/SortAggregate/hashpartitioning lines; Sort/
+    * Window orderings (where order IS semantics) are untouched. */
+  private[graft] def canonAggLine(line: String): String = {
+    def canon(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '[' || c == '(') {
+          val close = if (c == '[') ']' else ')'
+          var depth = 1; var j = i + 1
+          while (j < s.length && depth > 0) {
+            val cj = s.charAt(j)
+            if (cj == '[' || cj == '(') depth += 1
+            else if (cj == ']' || cj == ')') depth -= 1
+            j += 1
+          }
+          // j is one past the matching close (or end if malformed)
+          val inner = s.substring(i + 1, math.max(i + 1, j - 1))
+          val canonInner = canon(inner)
+          // split at top-level commas
+          val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+          var d = 0; var start = 0; var k = 0
+          while (k < canonInner.length) {
+            val ck = canonInner.charAt(k)
+            if (ck == '[' || ck == '(') d += 1
+            else if (ck == ']' || ck == ')') d -= 1
+            else if (ck == ',' && d == 0) { segs += canonInner.substring(start, k); start = k + 1 }
+            k += 1
+          }
+          segs += canonInner.substring(start)
+          sb.append(c).append(segs.map(_.trim).sorted.mkString(", ")).append(close)
+          i = j
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    val pre = line.replaceAll("gid# = \\d+", "gid# = _")
+    // Expand projections carry the branch id as a BARE trailing int
+    // literal ([day#, null, user#, 2]); erase it before sorting, else
+    // the swapped numbering still distinguishes the sorted lists.
+    // Scoped to Expand lines, where trailing ints are always the
+    // gid/grouping-id by construction of the rewrite rules.
+    val pre2 = if (line.contains("Expand ["))
+      pre.replaceAll(",\\s*\\d+\\]", ", _g]") else pre
+    canon(pre2)
+  }
+
+  private val aggLineMarkers = Seq("Expand [", "HashAggregate(",
+    "ObjectHashAggregate(", "SortAggregate(", "Exchange hashpartitioning")
+
   /** The ONE plan-text normalizer behind every fingerprint (Bench,
     * BenchRef, DevFp — r16 shipped a stale copy in DevFp and paid for
     * it). Strips every token that varies with run-local state rather
     * than plan shape: expression/codegen/plan ids, session-global
     * lambda/CSE counters, scan paths, catalog suffixes, truncation
-    * remnants, partition counts, and cached-relation stored-plan
-    * bodies. */
-  private[graft] def normalizePlan(plan: String): String =
-    stripPartitionCounts(stripCachedBodies(plan)
+    * remnants, partition counts, cached-relation stored-plan bodies,
+    * and distinct-rewrite branch numbering. */
+  private[graft] def normalizePlan(plan: String): String = {
+    val base = stripPartitionCounts(stripCachedBodies(plan)
     .replaceAll("#\\d+", "#")
     .replaceAll("plan_id=\\d+", "plan_id=")
     .replaceAll("\\[id=#?\\d*\\]", "")
@@ -179,6 +243,29 @@ object Bench {
     // plan shape (9 of r16's residual cross-JVM mismatches)
     .replaceAll("Lambda\\$\\d+/0x[0-9a-fA-F]+", "Lambda\\$")
     .replaceAll("@[0-9a-fA-F]{4,16}\\b", "@"))
+    // distinct-rewrite branch numbering permutes with exprId hash
+    // order — canonicalize aggregate-family lines LAST (after the
+    // partition-count strip: sorting must never move a still-present
+    // numPartitions off the tail position that strip keys on)
+    base.split("\n", -1).map(l =>
+      if (aggLineMarkers.exists(l.contains)) canonAggLine(l) else l)
+      // the broadcast SIDE is cost-based and flips with cache-stats
+      // timing (dedup_keep_best planned BuildLeft fresh, BuildRight
+      // once the quality cache had materialized — same shape, same
+      // children). Erase the side token and the BroadcastExchange
+      // wrapper line; a broadcast→shuffle STRATEGY change still shows
+      // (the join node line itself changes), only which-side-builds
+      // is treated as noise.
+      .filterNot(_.contains("BroadcastExchange"))
+      .map(_.replaceAll("Build(Left|Right)", "Build"))
+      // and strip the leading tree art: the erased exchange wrapper
+      // also shifted its child subtree one level, so depth prefixes
+      // would still distinguish the flipped plans. Node ORDER is
+      // preserved (children render in logical order), and any real
+      // change adds/edits whole lines, which the hash still sees.
+      .map(_.replaceFirst("^[\\s:+\\-|]+", ""))
+      .mkString("\n")
+  }
 
   /** Fingerprint render pins: planning reads these confs lazily at
     * `executedPlan` access, so setting them here (and restoring after)

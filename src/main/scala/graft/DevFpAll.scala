@@ -32,14 +32,22 @@ object DevFpAll {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     LogHygiene.drainBoundedWindowWarn()
+    // The fingerprint CONTRACT is "post-warmMemos session state": both
+    // real fp producers (Bench's end-of-run fpOf and BenchRef) compute
+    // with every memo family warm, and memo-cache substitution is a
+    // REAL plan difference (a query planned before its shared frame is
+    // cached aggregates inline; planned after, it reads the
+    // InMemoryTableScan — corpus_pipeline, r17 audit). So the memo
+    // warmup always runs here; --warm additionally simulates the
+    // END-of-bench counter state on top.
+    try {
+      graft.operators.Dedup.warmMemos(spark, sfDir)
+      graft.operators.TextAnalysis.warmMemos(spark, sfDir)
+      graft.operators.NgramLm.warmMemos(spark, sfDir)
+      graft.operators.PublicSuffix.warmMemos(spark, sfDir)
+      graft.operators.Similarity.warmMemos(spark, sfDir)
+    } catch { case e: Throwable => println(s"[warm] memo warmup: $e") }
     if (warm) {
-      try {
-        graft.operators.Dedup.warmMemos(spark, sfDir)
-        graft.operators.TextAnalysis.warmMemos(spark, sfDir)
-        graft.operators.NgramLm.warmMemos(spark, sfDir)
-        graft.operators.PublicSuffix.warmMemos(spark, sfDir)
-        graft.operators.Similarity.warmMemos(spark, sfDir)
-      } catch { case e: Throwable => println(s"[warm] memo warmup: $e") }
       // inflate session-global counters: build (don't run) every frame
       // and render each plan once, exactly the state a fingerprint
       // sees at the END of a bench run rather than the start
@@ -58,7 +66,17 @@ object DevFpAll {
         java.nio.file.Paths.get(s"/tmp/fpdump_${q}_c${cpus}_warm$warm.txt"), txt)
     }
     val fps = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (k, fn) =>
-      try Some(k -> Bench.planFingerprint(fn(spark, sfDir)))
+      try {
+        // for --dump targets, capture the EXACT bytes hashed AT the
+        // query's position in the sweep (state accumulates as earlier
+        // fps build frames, so a post-sweep dump can miss the drift)
+        if (dumpQs.contains(k)) {
+          val txt = Bench.renderNormalized(fn(spark, sfDir))
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(
+            s"/tmp/fpdump_${k}_c${cpus}_warm${warm}_insweep.txt"), txt)
+        }
+        Some(k -> Bench.planFingerprint(fn(spark, sfDir)))
+      }
       catch { case e: Throwable => println(s"[err] $k: ${e.getClass.getSimpleName}"); None }
     }
     // second dump AFTER the sweep: state accumulated by computing 290

@@ -173,6 +173,27 @@ class BenchSpec extends AnyFunSuite {
       "sibling branches after the cached body must survive")
   }
 
+  test("canonAggLine equates RewriteDistinctAggregates' permuted gid branches") {
+    // the real permutation captured in the r17 audit: the same
+    // dau_wau_stickiness plan with the two distinct branches numbered
+    // (and their Expand projections / grouping keys ordered) both ways
+    val runA = Seq(
+      "+- HashAggregate(keys=[day#], functions=[partial_count(CW#L) FILTER (WHERE (gid# = 1)), partial_count(user_id#L) FILTER (WHERE (gid# = 2))], output=[day#, count#L, count#L])",
+      "   +- HashAggregate(keys=[day#, CW#L, user_id#L, gid#], functions=[], output=[day#, CW#L, user_id#L, gid#])",
+      "      +- Expand [[day#, CW#L, null, 1], [day#, null, user_id#L, 2]], [day#, CW#L, user_id#L, gid#]")
+    val runB = Seq(
+      "+- HashAggregate(keys=[day#], functions=[partial_count(CW#L) FILTER (WHERE (gid# = 2)), partial_count(user_id#L) FILTER (WHERE (gid# = 1))], output=[day#, count#L, count#L])",
+      "   +- HashAggregate(keys=[day#, user_id#L, CW#L, gid#], functions=[], output=[day#, user_id#L, CW#L, gid#])",
+      "      +- Expand [[day#, user_id#L, null, 1], [day#, null, CW#L, 2]], [day#, user_id#L, CW#L, gid#]")
+    runA.zip(runB).foreach { case (a, b) =>
+      assert(Bench.canonAggLine(a) == Bench.canonAggLine(b),
+        s"permuted agg lines must canonicalize equal:\nA=${Bench.canonAggLine(a)}\nB=${Bench.canonAggLine(b)}")
+    }
+    // a REAL change (different key set) must stay visible
+    assert(Bench.canonAggLine("HashAggregate(keys=[day#, x#], functions=[])")
+      != Bench.canonAggLine("HashAggregate(keys=[day#, y#], functions=[])"))
+  }
+
   test("BenchRef time merge: min while the plan is unchanged, reset on fp change") {
     val dir = java.nio.file.Files.createTempDirectory("graft_refmerge")
     val ref = dir.resolve("bench_ref.json")
