@@ -246,25 +246,53 @@ object Bench {
     // distinct-rewrite branch numbering permutes with exprId hash
     // order — canonicalize aggregate-family lines LAST (after the
     // partition-count strip: sorting must never move a still-present
-    // numPartitions off the tail position that strip keys on)
-    base.split("\n", -1).map(l =>
-      if (aggLineMarkers.exists(l.contains)) canonAggLine(l) else l)
+    // numPartitions off the tail position that strip keys on).
+    // Gated on a gid token (r18, ADVICE): only RewriteDistinctAggregates
+    // output actually permutes, and the recursive segment sort would
+    // otherwise also equate REAL operand reorders (a swapped
+    // subtraction, permuted coalesce args) on every other
+    // aggregate-family line — a false-negative channel.
+    reindentDropBroadcast(
+      base.split("\n", -1).toSeq.map(l =>
+        if (aggLineMarkers.exists(l.contains) && l.contains("gid#"))
+          canonAggLine(l)
+        else l)
       // the broadcast SIDE is cost-based and flips with cache-stats
       // timing (dedup_keep_best planned BuildLeft fresh, BuildRight
       // once the quality cache had materialized — same shape, same
-      // children). Erase the side token and the BroadcastExchange
-      // wrapper line; a broadcast→shuffle STRATEGY change still shows
-      // (the join node line itself changes), only which-side-builds
-      // is treated as noise.
-      .filterNot(_.contains("BroadcastExchange"))
-      .map(_.replaceAll("Build(Left|Right)", "Build"))
-      // and strip the leading tree art: the erased exchange wrapper
-      // also shifted its child subtree one level, so depth prefixes
-      // would still distinguish the flipped plans. Node ORDER is
-      // preserved (children render in logical order), and any real
-      // change adds/edits whole lines, which the hash still sees.
-      .map(_.replaceFirst("^[\\s:+\\-|]+", ""))
+      // children). Erase the side token; the BroadcastExchange wrapper
+      // line is dropped by reindentDropBroadcast below, which also
+      // shifts the wrapper's subtree back up one level so the flipped
+      // plans render identically WITHOUT erasing nesting depth
+      // globally. A broadcast→shuffle STRATEGY change still shows
+      // (the join node line itself changes).
+      .map(_.replaceAll("Build(Left|Right)", "Build")))
       .mkString("\n")
+  }
+
+  /** Drop BroadcastExchange wrapper lines and re-emit every other line
+    * at a CANONICAL two-space-per-level indent, decrementing the depth
+    * of a dropped wrapper's descendants by one level. This keeps
+    * nesting depth load-bearing in the fingerprint (r18, ADVICE: the
+    * old strip-all-tree-art pass hashed two structurally different
+    * plans equal whenever their pre-order node-line sequences
+    * coincided) while still absorbing the build-side flip that moves
+    * the broadcast wrapper from one join child to the other. Depth =
+    * tree-art prefix length / 3 — Spark's generateTreeString emits
+    * exactly one 3-char unit ("   ", ":  ", "+- ", ":- ") per
+    * ancestor level. */
+  private[graft] def reindentDropBroadcast(lines: Seq[String]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var removed = List.empty[Int] // indents of still-open dropped wrappers
+    lines.foreach { l =>
+      val i = l.indexWhere(c => !" :+-".contains(c))
+      val ind = if (i < 0) 0 else i
+      val body = if (i < 0) "" else l.substring(ind)
+      removed = removed.dropWhile(ind <= _) // left those subtrees
+      if (body.startsWith("BroadcastExchange")) removed ::= ind
+      else out += ("  " * math.max(0, ind / 3 - removed.size)) + body
+    }
+    out.result()
   }
 
   /** Fingerprint render pins: planning reads these confs lazily at

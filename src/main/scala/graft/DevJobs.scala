@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: count the Spark JOBS (driver actions) a query costs —
+  * the deterministic complement to DevTime for driver-paced iterative
+  * operators, where scheduler round-trips, not data, dominate fixture
+  * wall clock and host noise drowns single-shot timings.
+  * Usage: dev/run.sh graft.DevJobs <q>[,<q>...] [sfDir] */
+object DevJobs {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.getOrElse("q1_agg").split(",").toSeq
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size): Unit
+        }
+      })
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    names.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      fn(spark, sfDir).count() // warmup (memo/JIT); not counted below
+      Thread.sleep(200)        // let straggler listener events drain
+      jobs.set(0); stages.set(0)
+      fn(spark, sfDir).count()
+      Thread.sleep(200)
+      println(f"$q%-28s jobs=${jobs.get}%4d stages=${stages.get}%4d")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-ladder audit: time queries at sf0.001 / sf0.01 / sf0.1 and
+  * report per-query scaling exponents, so every "sound at 100 TB"
+  * plan-shape argument gets MEASURED evidence — the failure class this
+  * catches is an accidentally superlinear candidate set (quadratic
+  * pair blowup, re-planned subtree, per-row driver action) that plan
+  * hygiene budgets cannot see because the plan SHAPE is fine.
+  *
+  * Method: one warm session; per query per SF, one warmup run then
+  * min-of-`reps` wall seconds of a `count()` action. The headline
+  * exponent is the LAST decade, slope = log10(t(sf0.1)/t(sf0.01)) —
+  * the two largest fixtures, where per-job scheduler latency (~0.1 s
+  * per driver action, which DOMINATES sf0.001 and biases any fit that
+  * includes it toward zero) distorts least. slope ≈ 1 = linear,
+  * ≤ 0.5 = overhead/fixture-bound, ≳ 1.3 = adjudicate in PLANS.
+  * A full 2-decade fit is printed alongside for context.
+  *
+  * Query set: explicit comma list, or `--top N` = the N most
+  * expensive non-warmup entries of the committed driver bench
+  * artifact (bench_out.json).
+  *
+  * Usage: dev/run.sh graft.DevScale [--top 30 | q1,q2,...] [reps]
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val (names0, reps) = args.toList match {
+      case "--top" :: n :: rest =>
+        (topFromBench(n.toInt), rest.headOption.map(_.toInt).getOrElse(2))
+      case qs :: rest if !qs.startsWith("--") =>
+        (qs.split(",").toSeq, rest.headOption.map(_.toInt).getOrElse(2))
+      case _ => (topFromBench(30), 2)
+    }
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // warm the shared memos per SF so a query's first timed rep does
+    // not pay another query's one-time training/caching bill
+    sfs.foreach { d =>
+      try graft.operators.Similarity.warmMemos(spark, d)
+      catch { case _: Throwable => () }
+    }
+    val names = names0.filter { q =>
+      val ok = SparkEntry.queries.contains(q)
+      if (!ok) println(s"SKIP unknown query: $q")
+      ok
+    }
+    println(f"${"query"}%-30s ${"t(.001)"}%8s ${"t(.01)"}%8s ${"t(.1)"}%8s ${"slope"}%6s ${"fit2"}%6s  flag")
+    val rows = names.map { q =>
+      val fn = SparkEntry.queries(q)
+      val ts = sfs.map { d =>
+        try {
+          fn(spark, d).count() // warmup (plan + JIT + memo)
+          (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, d).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => Double.NaN }
+      }
+      val slope =
+        if (ts(1) > 0 && !ts(2).isNaN) math.log10(ts(2) / ts(1)) else Double.NaN
+      val fit2 =
+        if (ts(0) > 0 && !ts(2).isNaN) math.log10(ts(2) / ts(0)) / 2.0
+        else Double.NaN
+      val flag = if (slope >= 1.3) "SUPERLINEAR" else ""
+      println(f"$q%-30s ${ts(0)}%8.3f ${ts(1)}%8.3f ${ts(2)}%8.3f $slope%6.2f $fit2%6.2f  $flag")
+      (q, ts, slope, fit2)
+    }
+    val bad = rows.filter(_._3 >= 1.3)
+    println(s"== ${rows.size} queries, ${bad.size} with last-decade slope >= 1.3" +
+      (if (bad.nonEmpty) ": " + bad.map(_._1).mkString(", ") else ""))
+    spark.stop()
+  }
+
+  private def topFromBench(n: Int): Seq[String] = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_out.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sec = {
+      val i = txt.indexOf("\"queries\":{")
+      val rest = txt.substring(i + 11)
+      rest.take(math.max(rest.indexOf('}'), 0))
+    }
+    """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(sec)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot(_._1.startsWith("_memo_warmup"))
+      .toSeq.sortBy(-_._2).take(n).map(_._1)
+  }
+}

@@ -66,8 +66,30 @@ final class SessionMemo {
   /** Unpersist and forget every frame memoized for `s`. */
   def clear(s: SparkSession): Unit = synchronized {
     Option(memo.get(s)).foreach { m =>
-      m.values.foreach(_.unpersist())
+      m.values.foreach(SessionMemo.releaseFrame)
       m.clear()
+    }
+  }
+}
+
+object SessionMemo {
+  /** Release a frame's backing storage, whatever kind it is:
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * tracked a localCheckpoint's RDD blocks — calling it on a
+    * checkpoint-backed frame is a silent no-op and the blocks linger
+    * until the RDD is GC'd (they can stack up across bench reps). So
+    * also walk the analyzed plan for LogicalRDD leaves (the node a
+    * checkpoint plants at the root — and anywhere a checkpointed
+    * sub-frame was composed into a bigger plan) and unpersist their
+    * RDDs directly, which drops the blocks through the BlockManager
+    * immediately. Unpersisting a never-persisted RDD is a no-op, so
+    * over-matching leaves is harmless. */
+  private[graft] def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false): Unit
+      case _ => ()
     }
   }
 }

@@ -20,6 +20,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * a SORTED ASCENDING array with binary-search insert — present values
   * are dropped, and the largest value falls off once length == k.
   *
+  * The insert is O(k) (arraycopy) per ACCEPTED value, and that is the
+  * right trade at this k: once the buffer is full, an incoming uniform
+  * hash is accepted with probability ≈ k/n_distinct_so_far, so over a
+  * stream of n distinct values the expected arraycopy count is
+  * ≈ k·ln(n/k) — at k=256 over a billion distinct values that is
+  * ~3,900 copies of 2 KB, microseconds total, while the other
+  * n−O(k log n) values pay ONE binary search (the reject test is the
+  * hot path). A heap would make accepted inserts O(log k) but turn
+  * the membership test from binary search into a hash set (extra O(k)
+  * memory + boxing) and surrender the sorted-output invariant that
+  * merge and posexplode rely on; a skiplist/tree boxes every Long.
+  * O(k) arraycopy on a primitive array is the fastest real-world
+  * shape until k is tens of thousands.
+  *
   * Output: the ≤ k smallest distinct hashes, ascending — so
   * `posexplode` downstream yields (rank−1, h) directly, and the last
   * element is the k-th minimum the estimator divides by. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1206,19 +1206,7 @@ object AdvancedOps {
     val pairs = (for {
       i <- channels.indices; j <- (i + 1) until channels.length
     } yield (channels(i), channels(j))).toDF("channel_a", "channel_b")
-    val pairRegs = broadcast(pairs)
-      .withColumn("channel", explode(array(col("channel_a"), col("channel_b"))))
-      .join(regs.select(col("channel"), col("h")), Seq("channel"))
-    // nsrc = 2 ⟺ the hash is in both channels' sketches
-    val byHash = pairRegs.groupBy(col("channel_a"), col("channel_b"), col("h"))
-      .agg(count(lit(1)).as("nsrc"))
-    val ranked = byHash.withColumn("rk", row_number().over(
-        Window.partitionBy(col("channel_a"), col("channel_b"))
-          .orderBy(col("h"))))
-      .filter(col("rk") <= k)
-    val uAgg = ranked.groupBy(col("channel_a"), col("channel_b"))
-      .agg(count(lit(1)).as("nu"), max(col("h")).as("hk"),
-        sum(when(col("nsrc") === 2, 1L).otherwise(0L)).as("matches"))
+    val uAgg = kmvPairAgg(regs, pairs, k)
       .select(col("channel_a"), col("channel_b"), col("matches"),
         expr(s"CAST(CASE WHEN nu < $k THEN nu ELSE " +
           s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
@@ -1287,6 +1275,207 @@ object AdvancedOps {
       |  JOIN est1 eb ON u.cb = eb.channel
       |ORDER BY channel_a, channel_b""".stripMargin
 
+  /** Trailing-window distinct from the weekly KMV partials — the KMV
+    * twin of [[hllTrailingDistinctOf]] (same shifted-projection mold:
+    * each weekly register row projects onto its k emission weeks,
+    * never a range join; input is the REGISTER table at ≤ k rows/week,
+    * so the fan-out is windowWeeks·k rows per week — constant, not
+    * corpus-sized). Per emission week the projected rows RE-SKETCH
+    * ([[kmvMergeOf]]): k smallest of a union of per-week k-smallest IS
+    * the window's global k smallest, so the trailing estimate is
+    * bit-identical to sketching the window directly. Emission weeks
+    * cap at the last observed week (bounded 1-row driver scalar, the
+    * hllTrailingDistinctOf argument). */
+  def kmvTrailingDistinctOf(registers: DataFrame, windowWeeks: Int = 4,
+                            k: Int = 256): DataFrame = {
+    require(windowWeeks >= 1 && windowWeeks <= 52,
+      s"unreasonable windowWeeks: $windowWeeks")
+    val regs = registers.localCheckpoint()
+    val maxWeek = regs.agg(max(col("week"))).head.getDate(0)
+    val shifted = (0 until windowWeeks).map(i => regs.select(
+        date_add(col("week"), i * 7).as("week"), col("h")))
+      .reduce(_ unionByName _)
+      .filter(col("week") <= lit(maxWeek))
+    kmvEstimateOf(kmvMergeOf(shifted, Seq("week"), k), Seq("week"), k)
+  }
+
+  /** Fixture: trailing 4-week distinct user-days per week — KMV
+    * estimate (integer-exact, whole row oracle-checks) next to the
+    * exact trailing distinct and the permille error, mirroring
+    * hll_trailing_distinct so the two sketch families' trailing
+    * faces are directly comparable. */
+  def kmvTrailingDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = 4
+    val base = hllBase(s, d).localCheckpoint()
+    val est = kmvTrailingDistinctOf(
+      kmvRegistersOf(base, Seq("week"), "v", k = 256), windowWeeks = w, k = 256)
+    val maxWeek = base.agg(max(col("week"))).head.getDate(0)
+    val exact = (0 until w).map(i => base.select(
+        date_add(col("week"), i * 7).as("week"), col("v")))
+      .reduce(_ unionByName _)
+      .filter(col("week") <= lit(maxWeek))
+      .groupBy(col("week"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    est.join(exact, Seq("week"))
+      .select(col("week"), col("est_distinct"), col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("week"))
+  }
+
+  private val kmvTrailingDistinctOracle =
+    s"""WITH $hllBaseSql,
+       |mx AS (SELECT max(week) AS mw FROM v),
+       |off AS (SELECT unnest(range(0, 4)) AS i),
+       |dh AS (SELECT DISTINCT week, h FROM hh),
+       |krk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM dh),
+       |wreg AS (SELECT week, h FROM krk WHERE rk <= 256),
+       |sh AS (SELECT DISTINCT
+       |    CAST(r.week + INTERVAL (o.i * 7) DAY AS DATE) AS week, r.h
+       |  FROM wreg r CROSS JOIN off o),
+       |mrk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM sh WHERE week <= (SELECT mw FROM mx)),
+       |e AS (SELECT week, count(*) AS n, max(h) AS hk
+       |  FROM mrk WHERE rk <= 256 GROUP BY 1),
+       |est AS (SELECT week,
+       |    CAST(CASE WHEN n < 256 THEN n ELSE
+       |      255::HUGEINT * 1152921504606846976::HUGEINT
+       |        // greatest(hk, 1) END AS BIGINT) AS est_distinct
+       |  FROM e),
+       |sx AS (SELECT DISTINCT
+       |    CAST(vv.week + INTERVAL (o.i * 7) DAY AS DATE) AS week, vv.v
+       |  FROM v vv CROSS JOIN off o),
+       |ex AS (SELECT week, count(DISTINCT v) AS exact_distinct FROM sx
+       |  WHERE week <= (SELECT mw FROM mx) GROUP BY 1)
+       |SELECT week, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM est JOIN ex USING (week) ORDER BY week""".stripMargin
+
+  /** Shared pair-sketch aggregate behind [[kmvChannelOverlap]]-style
+    * set algebra: for each (channel_a, channel_b) pair, re-sketch the
+    * union of the two channels' registers and count, among the union's
+    * k minima, how many came from both sides (`matches`), only the A
+    * side (`only_a`), and only the B side (`only_b`) — plus `nu` and
+    * the k-th minimum `hk` for the union estimate. Broadcast-exploded
+    * pairs ⋈ registers, ONE relational job for all pairs; per-pair
+    * candidate sets are ≤ 2k rows so the pair-keyed window rank is
+    * bounded, never corpus-sized. */
+  private[operators] def kmvPairAgg(regs: DataFrame, pairs: DataFrame,
+                                    k: Int): DataFrame = {
+    val pairRegs = broadcast(pairs)
+      .withColumn("channel", explode(array(col("channel_a"), col("channel_b"))))
+      .join(regs.select(col("channel"), col("h")), Seq("channel"))
+    val byHash = pairRegs.groupBy(col("channel_a"), col("channel_b"), col("h"))
+      .agg(max(when(col("channel") === col("channel_a"), 1).otherwise(0)).as("ia"),
+        max(when(col("channel") === col("channel_b"), 1).otherwise(0)).as("ib"))
+    byHash.withColumn("rk", row_number().over(
+        Window.partitionBy(col("channel_a"), col("channel_b"))
+          .orderBy(col("h"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("channel_a"), col("channel_b"))
+      .agg(count(lit(1)).as("nu"), max(col("h")).as("hk"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("matches"),
+        sum(when(col("ia") === 1 && col("ib") === 0, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when(col("ia") === 0 && col("ib") === 1, 1L).otherwise(0L))
+          .as("only_b"))
+  }
+
+  /** KMV audience DIFFERENCE — "users who touched X but NOT Y", the
+    * one audience-algebra face that previously still required HLL
+    * inclusion–exclusion (est(X∪Y) − est(Y), two stacked errors).
+    * KMV estimates it DIRECTLY: among the union sketch's k minima,
+    * `only_a` carry membership "in A only", so |A\B| ≈ only_a ·
+    * est_union DIV k (the Beyer et al. 2007 proportion estimator
+    * applied to the difference slice; when the union sketch is unfull
+    * it saw everything and only_a is EXACT). Integer-exact end to end
+    * — whole row oracle-checks. Output is ORDERED pairs (both
+    * directions from the one unordered union sketch). */
+  def kmvAnb(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val touches = Events.withChannel(Tables.events(s, d))
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
+      .select(col("channel"), col("user_id").cast("string").as("v"))
+    val regs = kmvRegistersOf(touches, Seq("channel"), "v", k)
+      .localCheckpoint()
+    val channels = regs.select(col("channel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(channels.length <= 100,
+      s"channel vocabulary too large for pairwise difference: ${channels.length}")
+    import s.implicits._
+    val pairs = (for {
+      i <- channels.indices; j <- (i + 1) until channels.length
+    } yield (channels(i), channels(j))).toDF("channel_a", "channel_b")
+    val uAgg = kmvPairAgg(regs, pairs, k)
+    def face(a: Column, b: Column, only: Column) =
+      uAgg.select(a.as("channel_a"), b.as("channel_b"),
+        only.as("only_cnt"), col("nu"), col("hk"))
+    face(col("channel_a"), col("channel_b"), col("only_a"))
+      .unionByName(face(col("channel_b"), col("channel_a"), col("only_b")))
+      .select(col("channel_a"), col("channel_b"), col("only_cnt"),
+        expr(s"CAST(CASE WHEN nu < $k THEN nu ELSE " +
+          s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+          s" DIV greatest(hk, CAST(1 AS BIGINT)) END AS BIGINT)")
+          .as("est_union"),
+        col("nu"))
+      .select(col("channel_a"), col("channel_b"), col("only_cnt"),
+        col("est_union"),
+        expr(s"CAST(CASE WHEN nu < $k THEN only_cnt ELSE " +
+          s"CAST(only_cnt AS DECIMAL(38,0)) * est_union DIV $k END AS BIGINT)")
+          .as("est_anb"))
+      .orderBy(col("channel_a"), col("channel_b"))
+  }
+
+  private val kmvAnbOracle =
+    """WITH t AS (SELECT
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel,
+      |    CAST(user_id AS VARCHAR) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |hh AS (SELECT channel, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      |  FROM t WHERE channel IS NOT NULL),
+      |dh AS (SELECT DISTINCT channel, h FROM hh),
+      |krk AS (SELECT channel, h,
+      |    row_number() OVER (PARTITION BY channel ORDER BY h) AS rk
+      |  FROM dh),
+      |regs AS (SELECT channel, h FROM krk WHERE rk <= 256),
+      |pairs AS (SELECT a.channel AS ca, b.channel AS cb
+      |  FROM (SELECT DISTINCT channel FROM regs) a
+      |  JOIN (SELECT DISTINCT channel FROM regs) b ON a.channel < b.channel),
+      |pr AS (SELECT p.ca, p.cb, r.h,
+      |    max(CASE WHEN r.channel = p.ca THEN 1 ELSE 0 END) AS ia,
+      |    max(CASE WHEN r.channel = p.cb THEN 1 ELSE 0 END) AS ib
+      |  FROM pairs p JOIN regs r ON r.channel IN (p.ca, p.cb)
+      |  GROUP BY 1, 2, 3),
+      |urk AS (SELECT ca, cb, h, ia, ib,
+      |    row_number() OVER (PARTITION BY ca, cb ORDER BY h) AS rk
+      |  FROM pr),
+      |ua AS (SELECT ca, cb, count(*) AS nu, max(h) AS hk,
+      |    sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS only_a,
+      |    sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS only_b
+      |  FROM urk WHERE rk <= 256 GROUP BY 1, 2),
+      |both_dir AS (
+      |  SELECT ca AS channel_a, cb AS channel_b, only_a AS only_cnt, nu, hk
+      |    FROM ua
+      |  UNION ALL
+      |  SELECT cb, ca, only_b, nu, hk FROM ua),
+      |ue AS (SELECT channel_a, channel_b, only_cnt, nu,
+      |    CAST(CASE WHEN nu < 256 THEN nu ELSE
+      |      255::HUGEINT * 1152921504606846976::HUGEINT
+      |        // greatest(hk, 1) END AS BIGINT) AS est_union
+      |  FROM both_dir)
+      |SELECT channel_a, channel_b, CAST(only_cnt AS BIGINT) AS only_cnt,
+      |  est_union,
+      |  CAST(CASE WHEN nu < 256 THEN only_cnt ELSE
+      |    only_cnt::HUGEINT * est_union // 256 END AS BIGINT) AS est_anb
+      |FROM ue ORDER BY channel_a, channel_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_registers"           -> (hllRegisters _),
     "hll_channel_overlap"     -> (hllChannelOverlap _),
@@ -1297,6 +1486,8 @@ object AdvancedOps {
     "kmv_weekly_estimate"     -> (kmvWeeklyEstimate _),
     "kmv_monthly_estimate"    -> (kmvMonthlyEstimate _),
     "kmv_overlap"             -> (kmvChannelOverlap _),
+    "kmv_trailing_distinct"   -> (kmvTrailingDistinct _),
+    "kmv_anb"                 -> (kmvAnb _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -1328,6 +1519,8 @@ object AdvancedOps {
     "kmv_weekly_estimate"     -> kmvWeeklyEstimateOracle,
     "kmv_monthly_estimate"    -> kmvMonthlyEstimateOracle,
     "kmv_overlap"             -> kmvChannelOverlapOracle,
+    "kmv_trailing_distinct"   -> kmvTrailingDistinctOracle,
+    "kmv_anb"                 -> kmvAnbOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,

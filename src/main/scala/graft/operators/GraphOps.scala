@@ -608,39 +608,73 @@ object GraphOps {
     * branches. Only the two raw sums checkpoint (they bound lineage
     * and back the total aggs); the normalized frames are narrow
     * projections over them with the total baked in as a literal.
-    * The checkpoints are LAZY (r17, the Louvain probeAll discipline
-    * applied here): the total agg's own action materializes the
-    * checkpoint blocks as it runs, so a round costs 2 driver-paced
-    * actions, not 4 — at fixture scale the family is pure scheduler
-    * latency, and this halved it (5.9 s → 2.8 s measured). An in-plan
-    * broadcast-scalar variant (zero scalar actions) measured SLOWER
-    * still (the broadcast build is itself a job plus exchange
-    * machinery, paid again when the final join re-evaluates the
-    * projections). Integer semantics are untouched — same sums, same
-    * DIV-after-total — so the oracle rows stay hash-identical. */
+    *
+    * A round is ONE edges-scale barrier + ONE node-scale probe (r18,
+    * finishing the r16/r17 probe-fusion handoff): the authority-total
+    * action is the barrier — its lazy checkpoint materializes araw
+    * (and, en route, the PREVIOUS round's still-lazy hraw checkpoint,
+    * so each round pays both edge joins under a single driver
+    * action). The hub total then needs NO second edges pass: htot =
+    * Σ_edges auth_e9(dst) = Σ_dst auth_e9(dst)·indeg(dst), and
+    * indeg(dst) is exactly the araw group's row count, emitted by the
+    * SAME aggregate — the probe is a join-free scalar scan over the
+    * just-materialized ≤n-row araw checkpoint (a broadcast-joined
+    * static-indeg variant measured WORSE: AQE schedules the broadcast
+    * build as its own job per round). The per-node floor divisions
+    * happen BEFORE that weighted sum (exact DIV after sum applies
+    * only to the total, never the per-node values), so every hub_e9 —
+    * and the oracle hash — is bit-identical to the two-action
+    * formulation. Wall clock at fixture scale is driver-action-bound:
+    * 4 actions/round (r16) → 2 (r17, lazy checkpoints) → 1 heavy +
+    * 1 tiny (r18); at scale the heavy-barrier count per round halves.
+    * An in-plan broadcast-scalar variant (zero scalar actions)
+    * measured SLOWER still in r17 (the broadcast build is itself a
+    * job plus exchange machinery, paid again when the final join
+    * re-evaluates the projections). */
   private def hitsRaw(e: DataFrame, nodes: DataFrame, n: Long,
                       iters: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
       .localCheckpoint()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
+      // the raw agg ALSO emits the group size — dst's in-degree —
+      // which the hub-total probe below needs; it rides the same
+      // map-side combine for free
       val araw = e
         .join(hubs.select(col("node").as("src"), col("hub_e9")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("hub_e9")).as("araw"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub_e9")).as("araw"), count(lit(1)).as("ind"))
         .localCheckpoint(eager = false)
+      // BARRIER: the round's one edges-scale action — materializes
+      // araw AND (en route, through hubs' lineage) the previous
+      // round's still-lazy hraw checkpoint, so both edge joins of a
+      // round run under a single driver-paced action
       val atot = Option(araw.agg(sum(col("araw"))).head()
         .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
       require(atot > 0, "hits: authority mass vanished (degenerate graph)")
       auths = araw.select(col("node"),
         expr(s"CAST(CAST(araw AS DECIMAL(38,0)) * 1000000000 DIV $atot" +
           " AS BIGINT)").as("auth_e9"))
+      // PROBE: htot = Σ_dst auth_e9·indeg over the just-materialized
+      // ≤n-row checkpoint — identical to Σ_src hraw(src) with NO
+      // second edges pass (each edge (src,dst) contributes
+      // auth_e9(dst) exactly once to both formulations; the per-node
+      // floor divisions happen BEFORE this weighted sum, so values
+      // are bit-identical to the two-action formulation). DECIMAL
+      // accumulator: Σ auth·ind can pass 2^63 where Σ hraw could not.
+      val htotDec = araw.select(
+          (expr(s"CAST(CAST(araw AS DECIMAL(38,0)) * 1000000000 DIV $atot" +
+            " AS BIGINT)") * col("ind")).cast(dec).as("c"))
+        .agg(sum(col("c"))).head().getDecimal(0)
+      val htotBig = if (htotDec == null) BigInt(0) else BigInt(htotDec.toBigInteger)
+      require(htotBig > 0, "hits: hub mass vanished (degenerate graph)")
+      require(htotBig.isValidLong, s"hits: hub total overflows BIGINT ($htotBig)")
+      val htot = htotBig.toLong
       val hraw = e
         .join(auths.select(col("node").as("dst"), col("auth_e9")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth_e9")).as("hraw"))
-        .localCheckpoint(eager = false)
-      val htot = Option(hraw.agg(sum(col("hraw"))).head()
-        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
-      require(htot > 0, "hits: hub mass vanished (degenerate graph)")
+        .localCheckpoint(eager = false) // materialized by the NEXT barrier
       hubs = hraw.select(col("node"),
         expr(s"CAST(CAST(hraw AS DECIMAL(38,0)) * 1000000000 DIV $htot" +
           " AS BIGINT)").as("hub_e9"))
@@ -1489,7 +1523,13 @@ object GraphOps {
                              maxRounds: Int): (DataFrame, Int) = {
     require(maxRounds >= 1 && maxRounds <= 50,
       s"unreasonable maxRounds: $maxRounds")
-    var labels = init.localCheckpoint()
+    // LAZY checkpoints throughout the loop (r18, the hitsRaw barrier
+    // discipline): each round's ONE driver action is the changed-count
+    // probe, whose plan reads the new labels through their checkpoint
+    // and so materializes the blocks as it runs — 2 actions/round
+    // (eager checkpoint + probe) becomes 1. Values are untouched;
+    // only scheduling changes.
+    var labels = init.localCheckpoint(eager = false)
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -1503,7 +1543,7 @@ object GraphOps {
             .orderBy(col("cnt").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = labels
         .join(next.withColumnRenamed("lbl", "nl"), Seq("node"))
         .filter(col("lbl") =!= col("nl"))
@@ -1567,7 +1607,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by round 1's probe
     lpaLoop(adj, maxRounds)
   }
 
@@ -1594,7 +1634,7 @@ object GraphOps {
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
     val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by round 1's probe
     lpaLoop(adj, maxRounds)
   }
 
@@ -1963,10 +2003,12 @@ object GraphOps {
   def communityRefineOf(edges: DataFrame, maxRounds: Int = 10,
                         maxSweeps: Int = 3): DataFrame = {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    // lazy: the LPA seed's own (first) checkpoint action computes und
+    // and materializes these blocks en route — one action, not two
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
       .withColumn("w", lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val seed = labelPropagationOf(
         und.select(col("u").as("src"), col("v").as("dst")), maxRounds)
       .select(col("node"), col("community").as("lbl"))
@@ -1994,7 +2036,8 @@ object GraphOps {
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("w"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).cast(dec).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the seed's
+                                      // first LPA probe
     val seed = labelPropagationWeightedOf(
         und.select(col("u").as("src"), col("v").as("dst"),
           col("w").as("weight")), maxRounds)
@@ -2018,16 +2061,23 @@ object GraphOps {
     require(maxSweeps >= 1 && maxSweeps <= 10,
       s"unreasonable maxSweeps: $maxSweeps")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // LAZY checkpoints (r18): adj/deg/seed/prop all cut lineage but
+    // let the loop's probe actions materialize the blocks as a side
+    // effect — the first q4m2 probe (or the identity-seed constants
+    // job) computes adj→deg→labels in ONE driver action instead of
+    // three eager checkpoints + a probe. Louvain's fixture cost is
+    // job-count-bound, not data-bound, so halving actions is the
+    // whole lever; values are untouched.
     val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val degBase = adj.groupBy(col("node"))
       .agg(sum(col("w")).cast(dec).as("k"))
     val deg = selfW.fold(degBase)(sw => degBase
         .join(sw.select(col("node"), col("sw")), Seq("node"), "left")
         .select(col("node"),
           (col("k") + lit(2) * coalesce(col("sw"), lit(0))).cast(dec).as("k")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // Collect several 1-row decimal aggregates in ONE Spark action (a
     // tagged union): the loop's driver scalars are tiny but each
@@ -2072,7 +2122,7 @@ object GraphOps {
       m4 * p("i") - p("s")
     }
 
-    var labels = seed.localCheckpoint()
+    var labels = seed.localCheckpoint(eager = false)
     // Identity seeds (each node its own community — the upper Louvain
     // levels) have a CLOSED-FORM probe value: internal_between = 0 (no
     // two distinct nodes share a community) and Σvol² = Σk², so the
@@ -2117,7 +2167,7 @@ object GraphOps {
       val prop = labels
         .join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // materialized by the q probe
       val qn = q4m2(prop)
       if (qn > qo) { labels = prop; qo = qn; rejects = 0 } else rejects += 1
       sweep += 1
@@ -2252,9 +2302,10 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val labels = communityRefineOf(edges, maxRounds, maxSweeps)
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // both materialized by the
+                                      // caller's action on the result
     und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
       .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
@@ -2370,9 +2421,10 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val labels = communityRefineOf(edges, maxRounds, maxSweeps)
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // both materialized by the super
+                                      // level's first LPA probe
     val cg = und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
       .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
@@ -2448,17 +2500,20 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = communityRefineOf(edges, maxRounds, maxSweeps)
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized when cg is
     for (_ <- 2 to levels) {
+      // lazy: the next refineLoop's constants probe reads cg through
+      // BOTH wund and selfW — its one action computes cg (and the
+      // incoming labels) and plants the blocks both faces then reuse
       val cg = und
         .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
         .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
         .select(least(col("lu"), col("lv")).as("cu"),
           greatest(col("lu"), col("lv")).as("cv"))
         .groupBy(col("cu"), col("cv")).agg(count(lit(1)).cast(dec).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val wund = cg.filter(col("cu") =!= col("cv"))
         .select(col("cu").as("u"), col("cv").as("v"), col("w"))
       val selfW = cg.filter(col("cu") === col("cv"))
@@ -2472,7 +2527,8 @@ object GraphOps {
       labels = labels.join(superL, Seq("community"), "left")
         .select(col("node"),
           coalesce(col("c2"), col("community")).as("community"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // next level's cg (or the
+                                        // caller's action) materializes
     }
     labels
   }

@@ -392,7 +392,11 @@ object Similarity {
   def clearMemo(s: SparkSession): Unit = {
     idxMemo.synchronized {
       Option(idxMemo.get(s)).foreach { m =>
-        m.values.foreach(_.codes.unpersist())
+        // codes is localCheckpoint-backed: Dataset.unpersist alone is
+        // a CacheManager no-op for checkpoint blocks — releaseFrame
+        // also unpersists the underlying LogicalRDD so per-rep index
+        // blocks don't pile up until GC (r17 ADVICE finding).
+        m.values.foreach(idx => graft.SessionMemo.releaseFrame(idx.codes))
         m.clear()
       }
     }

@@ -334,6 +334,55 @@ object EventStreams {
       spark.read.parquet(dirs: _*), keyCols))
   }
 
+  /** Streaming KMV sketch ingest — the streaming face of
+    * `AdvancedOps.kmvRegistersOf`, completing the sketch-family
+    * symmetry with [[hllIngest]]: each micro-batch's k-smallest
+    * register partial (keys…, rank, h) lands as a committed batch dir.
+    * The merge contract is the same rollup trump card re-sketching
+    * gives KMV: the k smallest of a union of per-batch k-smallest
+    * DISTINCT hashes IS the feed's global k smallest (any hash among
+    * the union's k minima is among its own batch's k minima), and
+    * because the aggregator collapses duplicate hashes, even a
+    * hypothetical double-merge of a replayed partial is idempotent —
+    * the reader's fold is bit-identical to the one-shot sketch of the
+    * whole feed, spec-pinned including across stop-and-restart
+    * replays. Per-batch cost is the batch's keyed agg (O(k) state per
+    * key per partition); state lives in the artifact, not the state
+    * store. */
+  def kmvIngest(spark: org.apache.spark.sql.SparkSession,
+                rows: DataFrame, outDir: String, checkpoint: String,
+                keyCols: Seq[String], valueCol: String,
+                k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = CommittedBatchSink.streamTag(checkpoint)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lazy val regs = graft.operators.AdvancedOps
+          .kmvRegistersOf(batch, keyCols, valueCol, k)
+          .localCheckpoint()
+        CommittedBatchSink.commitBatch(outDir, tag, batchId,
+          empty = regs.isEmpty,
+          write = dir => regs.write.mode("overwrite")
+            .parquet(dir.resolve("regs").toString)): Unit
+      }
+      .outputMode("append").start()
+  }
+
+  /** The merged KMV register table under `outDir` — the reader face
+    * of [[kmvIngest]]; feed to `AdvancedOps.kmvEstimateOf` (or merge
+    * further up-grain with `kmvMergeOf`, or set-algebra it with
+    * `kmvPairAgg`-backed faces). None with no committed partials. */
+  def readKmvRegisters(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String, keyCols: Seq[String],
+                       k: Int = 256): Option[DataFrame] = {
+    val dirs = CommittedBatchSink.committedDirs(outDir)
+      .filter(d => java.nio.file.Files.isDirectory(d.resolve("regs")))
+      .map(_.resolve("regs").toString)
+    if (dirs.isEmpty) None
+    else Some(graft.operators.AdvancedOps.kmvMergeOf(
+      spark.read.parquet(dirs: _*), keyCols, k))
+  }
+
   /** Streaming weekly event counts — the ingest side of the
     * `weekly_growth` panel: each micro-batch's per-week counts fold
     * ADDITIVELY into a committed versioned totals table (the additive
@@ -1509,7 +1558,18 @@ case class SessionBuf(n: Long, firstSec: Long, lastSec: Long)
   * siblings: the session's first/last event times plus its
   * (epoch-micros, step-idx, channel) step events in time order
   * (channel = "unknown" for faces that don't carry one — a constant,
-  * so their sort/fold behavior is unchanged). */
+  * so their sort/fold behavior is unchanged).
+  *
+  * STATE-FORMAT NOTE: r17 widened stepEvs from (Long, Int) to
+  * (Long, Int, String) to carry the channel; the encoding is shared
+  * by every sessionReachFold face (funnel, waits, channel path), so a
+  * streaming checkpoint written BEFORE that widening cannot restore —
+  * restarting such a query needs a fresh checkpoint dir (one-time
+  * replay from the source, the standard Spark state-schema-evolution
+  * trade; the committed-artifact sinks themselves are replay-safe).
+  * Any future widening of this case class breaks old checkpoints the
+  * same way — prefer adding a NEW state class + face over mutating
+  * this one if long-lived production checkpoints must survive. */
 case class SessFunnelBuf(firstUs: Long, lastUs: Long,
                          stepEvs: Seq[(Long, Int, String)])
 

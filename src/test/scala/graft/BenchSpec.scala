@@ -194,6 +194,50 @@ class BenchSpec extends AnyFunSuite {
       != Bench.canonAggLine("HashAggregate(keys=[day#, y#], functions=[])"))
   }
 
+  test("normalizePlan keeps nesting depth but absorbs the broadcast-side flip") {
+    // the r17 dedup_keep_best flip: same join, same children, the
+    // BroadcastExchange wrapper on the other child — must render equal
+    val buildRight = Seq(
+      "*(5) BroadcastHashJoin [k#1], [k#2], Inner, BuildRight, false",
+      ":- *(5) Project [a#3]",
+      ":  +- FileScan parquet [a#3]",
+      "+- BroadcastExchange HashedRelationBroadcastMode(List(k))",
+      "   +- *(2) Project [b#4]",
+      "      +- FileScan parquet [b#4]").mkString("\n")
+    val buildLeft = Seq(
+      "*(5) BroadcastHashJoin [k#1], [k#2], Inner, BuildLeft, false",
+      ":- BroadcastExchange HashedRelationBroadcastMode(List(k))",
+      ":  +- *(5) Project [a#3]",
+      ":     +- FileScan parquet [a#3]",
+      "+- *(2) Project [b#4]",
+      "   +- FileScan parquet [b#4]").mkString("\n")
+    assert(Bench.normalizePlan(buildRight) == Bench.normalizePlan(buildLeft),
+      "which side builds is cost-based noise, not plan shape")
+    // but two structurally DIFFERENT trees whose pre-order node-line
+    // sequences coincide must stay distinguishable (r18 ADVICE: the
+    // old strip-all-tree-art pass hashed these equal)
+    val nested = Seq("Union", ":- Filter (x# > 0)", ":  +- Scan s")
+    val flat   = Seq("Union", ":- Filter (x# > 0)", "+- Scan s")
+    assert(Bench.reindentDropBroadcast(nested)
+        != Bench.reindentDropBroadcast(flat),
+      "nesting depth is plan shape and must survive normalization")
+  }
+
+  test("normalizePlan sorts only gid-bearing aggregate lines (operand order stays load-bearing)") {
+    // a REAL operand reorder on a non-gid aggregate line must change
+    // the normalized text (r18 ADVICE: the unconditional segment sort
+    // equated swapped non-commutative operands)
+    val p1 = "HashAggregate(keys=[k#1], functions=[sum((a#2 - b#3))])"
+    val p2 = "HashAggregate(keys=[k#1], functions=[sum((b#3 - a#2))])"
+    assert(Bench.normalizePlan(p1) != Bench.normalizePlan(p2),
+      "swapped subtraction operands are a real plan change")
+    // while the distinct-rewrite gid permutation still normalizes away
+    val gidA = "HashAggregate(keys=[day#1], functions=[partial_count(a#2) FILTER (WHERE (gid#9 = 1)), partial_count(b#3) FILTER (WHERE (gid#9 = 2))])"
+    val gidB = "HashAggregate(keys=[day#1], functions=[partial_count(b#3) FILTER (WHERE (gid#9 = 2)), partial_count(a#2) FILTER (WHERE (gid#9 = 1))])"
+    assert(Bench.normalizePlan(gidA) == Bench.normalizePlan(gidB),
+      "gid branch numbering is session noise, not plan shape")
+  }
+
   test("BenchRef time merge: min while the plan is unchanged, reset on fp change") {
     val dir = java.nio.file.Files.createTempDirectory("graft_refmerge")
     val ref = dir.resolve("bench_ref.json")

@@ -89,6 +89,63 @@ class KmvSpec extends AnyFunSuite {
         s"HLL inclusion-exclusion (err=$hllErr) at k=256 vs m=64")
   }
 
+  test("kmvTrailingDistinctOf at windowWeeks=1 equals the plain weekly estimate") {
+    val base = Tables.events(spark, sf).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("user_id").cast("string").as("v"))
+    val regs = AdvancedOps.kmvRegistersOf(base, Seq("week"), "v", k = 64)
+    val trailing1 = AdvancedOps.kmvTrailingDistinctOf(regs, windowWeeks = 1, k = 64)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val weekly = AdvancedOps.kmvEstimateOf(regs, Seq("week"), k = 64)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(trailing1 == weekly)
+    assert(weekly.nonEmpty)
+  }
+
+  test("a-not-b of a set with itself is zero (kmvPairAgg only-counts vanish)") {
+    import spark.implicits._
+    val vs = (1 to 500).map(i => s"u$i")
+    // two "channels" with IDENTICAL membership
+    val touches = vs.flatMap(v => Seq(("x", v), ("y", v))).toDF("channel", "v")
+    val regs = AdvancedOps.kmvRegistersOf(touches, Seq("channel"), "v", k = 32)
+    val pairs = Seq(("x", "y")).toDF("channel_a", "channel_b")
+    val row = AdvancedOps.kmvPairAgg(regs, pairs, 32).collect().head
+    assert(row.getAs[Long]("only_a") == 0L && row.getAs[Long]("only_b") == 0L,
+      s"identical sets must have empty difference slices: $row")
+    assert(row.getAs[Long]("matches") == 32L,
+      "every union minimum must be a match when the sets coincide")
+  }
+
+  test("direct KMV a-not-b beats the HLL union-minus-B path on the same pairs") {
+    // exact ordered-pair differences (ground truth)
+    val touches = Events.withChannel(Tables.events(spark, sf))
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
+      .select(col("channel"), col("user_id").cast("string").as("v"))
+      .distinct().collect()
+    val byChannel = touches.groupBy(_.getString(0))
+      .map { case (c, rows) => c -> rows.map(_.getString(1)).toSet }
+    val exact = (for {
+      a <- byChannel.keys; b <- byChannel.keys if a != b
+    } yield (a, b) -> (byChannel(a) diff byChannel(b)).size.toLong).toMap
+    assert(exact.nonEmpty)
+    val kmvErr = AdvancedOps.kmvAnb(spark, sf).collect().map { r =>
+      val key = (r.getAs[String]("channel_a"), r.getAs[String]("channel_b"))
+      math.abs(r.getAs[Long]("est_anb") - exact(key))
+    }.sum
+    // the HLL register tables have no membership, so their best
+    // difference is |A\B| = est(A∪B) − est(B) — two stacked errors
+    val hllErr = AdvancedOps.hllChannelOverlap(spark, sf).collect().flatMap { r =>
+      val (a, b) = (r.getAs[String]("channel_a"), r.getAs[String]("channel_b"))
+      val (ea, eb, eu) = (r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+        r.getAs[Long]("est_union"))
+      Seq(math.abs(math.max(0L, eu - eb) - exact((a, b))),
+        math.abs(math.max(0L, eu - ea) - exact((b, a))))
+    }.sum
+    assert(kmvErr <= hllErr,
+      s"KMV direct difference (err=$kmvErr) should not lose to " +
+        s"HLL union-minus-B (err=$hllErr) at k=256 vs m=64")
+  }
+
   test("hllTrailingDistinctOf at windowWeeks=1 equals the plain weekly estimate") {
     val base = Tables.events(spark, sf).select(
       date_trunc("week", col("ts")).cast("date").as("week"),

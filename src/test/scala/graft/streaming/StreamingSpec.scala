@@ -1056,6 +1056,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.readHllRegisters(spark, fresh, Seq("week")).isEmpty)
   }
 
+  test("streaming KMV ingest: committed partials re-sketch bit-identically to the one-shot sketch; restart-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kmv_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_kmv_out").toString
+    val rnd = new scala.util.Random(67)
+    // 3 keys × ~400 distinct values at k=16 so the cutoff bites hard
+    // (every batch's sketch is full — the merge has real dropping to do)
+    val rows = (1 to 900).map(_ => (s"w${rnd.nextInt(3)}", s"u${rnd.nextInt(400)}"))
+    val k = 16
+    val in = MemoryStream[(String, String)]
+    def start() = EventStreams.kmvIngest(spark,
+      in.toDF().toDF("week", "v"), out, ckpt, Seq("week"), "v", k)
+    val q1 = start()
+    in.addData(rows.take(300): _*)
+    q1.processAllAvailable()
+    q1.stop() // crash between batches
+    val q2 = start()
+    in.addData(rows.slice(300, 700): _*)
+    q2.processAllAvailable()
+    in.addData(rows.drop(700): _*)
+    q2.processAllAvailable()
+    q2.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = EventStreams.readKmvRegisters(spark, out, Seq("week"), k).get
+    val oneShot = graft.operators.AdvancedOps.kmvRegistersOf(
+      rows.toDF("week", "v"), Seq("week"), "v", k)
+    assert(shape(streamed) == shape(oneShot),
+      "merged committed KMV partials != one-shot sketch, rank for rank")
+    // replay after restart adds nothing
+    val nDirs = CommittedBatchSink.committedDirs(out).size
+    val q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert(CommittedBatchSink.committedDirs(out).size == nDirs)
+    assert(shape(EventStreams.readKmvRegisters(spark, out, Seq("week"), k).get)
+      == shape(oneShot))
+    // estimates downstream agree too, and each batch partial was full
+    // (the cutoff demonstrably bit per batch, not just at the end)
+    val estS = graft.operators.AdvancedOps
+      .kmvEstimateOf(streamed, Seq("week"), k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val estB = graft.operators.AdvancedOps
+      .kmvEstimateOf(oneShot, Seq("week"), k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estS == estB && estS.size == 3)
+    assert(CommittedBatchSink.committedDirs(out).size >= 2,
+      "feed must span several committed batches")
+    val fresh = java.nio.file.Files.createTempDirectory("graft_kmv_none").toString
+    assert(EventStreams.readKmvRegisters(spark, fresh, Seq("week"), k).isEmpty)
+  }
+
   test("streaming weekly counts fold additively; growth reader equals the batch panel; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
