@@ -20,11 +20,21 @@ object DevJobs {
     LogHygiene.drainBoundedWindowWarn()
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stageMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size): Unit
+        }
+        // executed-stage wall time (submission → completion, summed):
+        // ranks WHICH stage family a fusion actually moved, where the
+        // deterministic counts alone can't tell heavy from trivial
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          for (s <- si.submissionTime; c <- si.completionTime)
+            stageMs.addAndGet(c - s): Unit
         }
       })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -32,10 +42,11 @@ object DevJobs {
       val fn = SparkEntry.queries(q)
       fn(spark, sfDir).count() // warmup (memo/JIT); not counted below
       Thread.sleep(200)        // let straggler listener events drain
-      jobs.set(0); stages.set(0)
+      jobs.set(0); stages.set(0); stageMs.set(0L)
       fn(spark, sfDir).count()
       Thread.sleep(200)
-      println(f"$q%-28s jobs=${jobs.get}%4d stages=${stages.get}%4d")
+      println(f"$q%-28s jobs=${jobs.get}%4d stages=${stages.get}%4d " +
+        f"stage_ms=${stageMs.get}%6d")
     }
     spark.stop()
   }

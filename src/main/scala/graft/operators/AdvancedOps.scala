@@ -1366,18 +1366,24 @@ object AdvancedOps {
     * candidate sets are ≤ 2k rows so the pair-keyed window rank is
     * bounded, never corpus-sized. */
   private[operators] def kmvPairAgg(regs: DataFrame, pairs: DataFrame,
-                                    k: Int): DataFrame = {
+                                    k: Int,
+                                    extraKeys: Seq[String] = Nil): DataFrame = {
+    // extraKeys (e.g. an emission week) ride every join/group key, so
+    // one relational job computes the pair stats for EVERY slice — the
+    // trailing faces need (pair, week) without a per-week driver loop
+    val pairKeys = Seq("channel_a", "channel_b") ++ extraKeys
     val pairRegs = broadcast(pairs)
       .withColumn("channel", explode(array(col("channel_a"), col("channel_b"))))
-      .join(regs.select(col("channel"), col("h")), Seq("channel"))
-    val byHash = pairRegs.groupBy(col("channel_a"), col("channel_b"), col("h"))
+      .join(regs.select((Seq("channel", "h") ++ extraKeys).map(col): _*),
+        Seq("channel"))
+    val byHash = pairRegs.groupBy((pairKeys :+ "h").map(col): _*)
       .agg(max(when(col("channel") === col("channel_a"), 1).otherwise(0)).as("ia"),
         max(when(col("channel") === col("channel_b"), 1).otherwise(0)).as("ib"))
     byHash.withColumn("rk", row_number().over(
-        Window.partitionBy(col("channel_a"), col("channel_b"))
+        Window.partitionBy(pairKeys.map(col): _*)
           .orderBy(col("h"))))
       .filter(col("rk") <= k)
-      .groupBy(col("channel_a"), col("channel_b"))
+      .groupBy(pairKeys.map(col): _*)
       .agg(count(lit(1)).as("nu"), max(col("h")).as("hk"),
         sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
           .as("matches"),
@@ -1476,6 +1482,117 @@ object AdvancedOps {
       |    only_cnt::HUGEINT * est_union // 256 END AS BIGINT) AS est_anb
       |FROM ue ORDER BY channel_a, channel_b""".stripMargin
 
+  /** Trailing-window audience DIFFERENCE — the [[kmvAnb]] and
+    * [[kmvTrailingDistinctOf]] faces COMPOSED: per emission week, per
+    * ordered channel pair, "users who touched X but not Y in the
+    * trailing `w` weeks". The (channel, week) register table shifts
+    * onto its emission weeks (register-sized fan-out, never a range
+    * join), re-sketches per (channel, week), and ONE [[kmvPairAgg]]
+    * with `week` riding the keys computes every (pair, week) slice in
+    * a single relational job — no per-week driver loop. Integer-exact
+    * end to end; whole rows oracle-check. */
+  def kmvTrailingAnb(s: SparkSession, d: String): DataFrame = {
+    val k = 256
+    val w = 4
+    val touches = Events.withChannel(Tables.events(s, d))
+      .filter(col("event_type") === "click" && col("channel").isNotNull)
+      .select(col("channel"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        col("user_id").cast("string").as("v"))
+    val weekly = kmvRegistersOf(touches, Seq("channel", "week"), "v", k)
+      .localCheckpoint()
+    val maxWeek = weekly.agg(max(col("week"))).head.getDate(0)
+    val shifted = (0 until w).map(i => weekly.select(col("channel"),
+        date_add(col("week"), i * 7).as("week"), col("h")))
+      .reduce(_ unionByName _)
+      .filter(col("week") <= lit(maxWeek))
+    val regs = kmvMergeOf(shifted, Seq("channel", "week"), k)
+      .localCheckpoint()
+    val channels = regs.select(col("channel")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(channels.length <= 100,
+      s"channel vocabulary too large for pairwise difference: ${channels.length}")
+    import s.implicits._
+    val pairs = (for {
+      i <- channels.indices; j <- (i + 1) until channels.length
+    } yield (channels(i), channels(j))).toDF("channel_a", "channel_b")
+    val uAgg = kmvPairAgg(regs, pairs, k, extraKeys = Seq("week"))
+    def face(a: Column, b: Column, only: Column) =
+      uAgg.select(col("week"), a.as("channel_a"), b.as("channel_b"),
+        only.as("only_cnt"), col("nu"), col("hk"))
+    face(col("channel_a"), col("channel_b"), col("only_a"))
+      .unionByName(face(col("channel_b"), col("channel_a"), col("only_b")))
+      .select(col("week"), col("channel_a"), col("channel_b"),
+        col("only_cnt"),
+        expr(s"CAST(CASE WHEN nu < $k THEN nu ELSE " +
+          s"CAST(${k - 1} AS DECIMAL(38,0)) * CAST($HashSpace AS DECIMAL(38,0))" +
+          s" DIV greatest(hk, CAST(1 AS BIGINT)) END AS BIGINT)")
+          .as("est_union"),
+        col("nu"))
+      .select(col("week"), col("channel_a"), col("channel_b"),
+        col("only_cnt"), col("est_union"),
+        expr(s"CAST(CASE WHEN nu < $k THEN only_cnt ELSE " +
+          s"CAST(only_cnt AS DECIMAL(38,0)) * est_union DIV $k END AS BIGINT)")
+          .as("est_anb"))
+      .orderBy(col("week"), col("channel_a"), col("channel_b"))
+  }
+
+  private val kmvTrailingAnbOracle =
+    """WITH t AS (SELECT
+      |    list_value('email', 'search', 'social')[
+      |      CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 + 1] AS channel,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week,
+      |    CAST(user_id AS VARCHAR) AS v
+      |  FROM events WHERE event_type = 'click'),
+      |hh AS (SELECT channel, week,
+      |    ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+      |  FROM t WHERE channel IS NOT NULL),
+      |dh AS (SELECT DISTINCT channel, week, h FROM hh),
+      |krk AS (SELECT channel, week, h,
+      |    row_number() OVER (PARTITION BY channel, week ORDER BY h) AS rk
+      |  FROM dh),
+      |wreg AS (SELECT channel, week, h FROM krk WHERE rk <= 256),
+      |mx AS (SELECT max(week) AS mw FROM hh),
+      |off AS (SELECT unnest(range(0, 4)) AS i),
+      |sh AS (SELECT DISTINCT r.channel,
+      |    CAST(r.week + INTERVAL (o.i * 7) DAY AS DATE) AS week, r.h
+      |  FROM wreg r CROSS JOIN off o),
+      |mrk AS (SELECT channel, week, h,
+      |    row_number() OVER (PARTITION BY channel, week ORDER BY h) AS rk
+      |  FROM sh WHERE week <= (SELECT mw FROM mx)),
+      |regs AS (SELECT channel, week, h FROM mrk WHERE rk <= 256),
+      |pairs AS (SELECT a.channel AS ca, b.channel AS cb
+      |  FROM (SELECT DISTINCT channel FROM regs) a
+      |  JOIN (SELECT DISTINCT channel FROM regs) b ON a.channel < b.channel),
+      |pr AS (SELECT p.ca, p.cb, r.week, r.h,
+      |    max(CASE WHEN r.channel = p.ca THEN 1 ELSE 0 END) AS ia,
+      |    max(CASE WHEN r.channel = p.cb THEN 1 ELSE 0 END) AS ib
+      |  FROM pairs p JOIN regs r ON r.channel IN (p.ca, p.cb)
+      |  GROUP BY 1, 2, 3, 4),
+      |urk AS (SELECT ca, cb, week, h, ia, ib,
+      |    row_number() OVER (PARTITION BY ca, cb, week ORDER BY h) AS rk
+      |  FROM pr),
+      |ua AS (SELECT ca, cb, week, count(*) AS nu, max(h) AS hk,
+      |    sum(CASE WHEN ia = 1 AND ib = 0 THEN 1 ELSE 0 END) AS only_a,
+      |    sum(CASE WHEN ia = 0 AND ib = 1 THEN 1 ELSE 0 END) AS only_b
+      |  FROM urk WHERE rk <= 256 GROUP BY 1, 2, 3),
+      |both_dir AS (
+      |  SELECT week, ca AS channel_a, cb AS channel_b,
+      |      only_a AS only_cnt, nu, hk
+      |    FROM ua
+      |  UNION ALL
+      |  SELECT week, cb, ca, only_b, nu, hk FROM ua),
+      |ue AS (SELECT week, channel_a, channel_b, only_cnt, nu,
+      |    CAST(CASE WHEN nu < 256 THEN nu ELSE
+      |      255::HUGEINT * 1152921504606846976::HUGEINT
+      |        // greatest(hk, 1) END AS BIGINT) AS est_union
+      |  FROM both_dir)
+      |SELECT week, channel_a, channel_b,
+      |  CAST(only_cnt AS BIGINT) AS only_cnt, est_union,
+      |  CAST(CASE WHEN nu < 256 THEN only_cnt ELSE
+      |    only_cnt::HUGEINT * est_union // 256 END AS BIGINT) AS est_anb
+      |FROM ue ORDER BY week, channel_a, channel_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_registers"           -> (hllRegisters _),
     "hll_channel_overlap"     -> (hllChannelOverlap _),
@@ -1488,6 +1605,7 @@ object AdvancedOps {
     "kmv_overlap"             -> (kmvChannelOverlap _),
     "kmv_trailing_distinct"   -> (kmvTrailingDistinct _),
     "kmv_anb"                 -> (kmvAnb _),
+    "kmv_trailing_anb"        -> (kmvTrailingAnb _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -1521,6 +1639,7 @@ object AdvancedOps {
     "kmv_overlap"             -> kmvChannelOverlapOracle,
     "kmv_trailing_distinct"   -> kmvTrailingDistinctOracle,
     "kmv_anb"                 -> kmvAnbOracle,
+    "kmv_trailing_anb"        -> kmvTrailingAnbOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,

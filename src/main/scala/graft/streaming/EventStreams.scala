@@ -383,6 +383,18 @@ object EventStreams {
       spark.read.parquet(dirs: _*), keyCols, k))
   }
 
+  /** The per-key distinct-count ESTIMATE series off the committed KMV
+    * partials — the dashboard consumable (the reader face most
+    * consumers actually want; [[readKmvRegisters]] is the composable
+    * half for set algebra / further up-grain merges). Integer-exact:
+    * equals `kmvEstimateOf` of the one-shot sketch, spec-pinned via
+    * the ingest agreement. */
+  def readKmvEstimates(spark: org.apache.spark.sql.SparkSession,
+                       outDir: String, keyCols: Seq[String],
+                       k: Int = 256): Option[DataFrame] =
+    readKmvRegisters(spark, outDir, keyCols, k)
+      .map(r => graft.operators.AdvancedOps.kmvEstimateOf(r, keyCols, k))
+
   /** Streaming weekly event counts — the ingest side of the
     * `weekly_growth` panel: each micro-batch's per-week counts fold
     * ADDITIVELY into a committed versioned totals table (the additive

@@ -1103,6 +1103,10 @@ class StreamingSpec extends AnyFunSuite {
       .kmvEstimateOf(oneShot, Seq("week"), k).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(estS == estB && estS.size == 3)
+    // the packaged estimate reader agrees too (the dashboard face)
+    val estR = EventStreams.readKmvEstimates(spark, out, Seq("week"), k).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estR == estB)
     assert(CommittedBatchSink.committedDirs(out).size >= 2,
       "feed must span several committed batches")
     val fresh = java.nio.file.Files.createTempDirectory("graft_kmv_none").toString
