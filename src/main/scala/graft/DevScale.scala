@@ -18,23 +18,30 @@ import org.apache.spark.sql.SparkSession
   * ≤ 0.5 = overhead/fixture-bound, ≳ 1.3 = adjudicate in PLANS.
   * A full 2-decade fit is printed alongside for context.
   *
-  * Query set: explicit comma list, or `--top N` = the N most
-  * expensive non-warmup entries of the committed driver bench
-  * artifact (bench_out.json).
+  * Query set: explicit comma list, `--top N` = the N most expensive
+  * non-warmup entries of the committed driver bench artifact
+  * (bench_out.json), or `--all` = EVERY query, timed on the last
+  * decade only (sf0.01 → sf0.1) — the cheap long-tail sweep that
+  * catches a superlinear regression before it climbs into the top 30.
   *
-  * Usage: dev/run.sh graft.DevScale [--top 30 | q1,q2,...] [reps]
+  * Usage: dev/run.sh graft.DevScale [--top 30 | --all | q1,q2,...] [reps]
   */
 object DevScale {
   def main(args: Array[String]): Unit = {
-    val (names0, reps) = args.toList match {
+    val (names0, reps, allMode) = args.toList match {
       case "--top" :: n :: rest =>
-        (topFromBench(n.toInt), rest.headOption.map(_.toInt).getOrElse(2))
+        (topFromBench(n.toInt), rest.headOption.map(_.toInt).getOrElse(2), false)
+      case "--all" :: rest =>
+        (SparkEntry.queries.keys.toSeq.sorted,
+          rest.headOption.map(_.toInt).getOrElse(2), true)
       case qs :: rest if !qs.startsWith("--") =>
-        (qs.split(",").toSeq, rest.headOption.map(_.toInt).getOrElse(2))
-      case _ => (topFromBench(30), 2)
+        (qs.split(",").toSeq, rest.headOption.map(_.toInt).getOrElse(2), false)
+      case _ => (topFromBench(30), 2, false)
     }
-    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-      "/root/testdata/sf0.1")
+    val sfs =
+      if (allMode) Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,7 +61,11 @@ object DevScale {
       if (!ok) println(s"SKIP unknown query: $q")
       ok
     }
-    println(f"${"query"}%-30s ${"t(.001)"}%8s ${"t(.01)"}%8s ${"t(.1)"}%8s ${"slope"}%6s ${"fit2"}%6s  flag")
+    val hdr = sfs.map { d =>
+      val lbl = "t(" + d.stripPrefix("/root/testdata/sf0") + ")"
+      f"$lbl%8s"
+    }.mkString(" ")
+    println(f"${"query"}%-30s $hdr ${"slope"}%6s ${"fit2"}%6s  flag")
     val rows = names.map { q =>
       val fn = SparkEntry.queries(q)
       val ts = sfs.map { d =>
@@ -67,13 +78,15 @@ object DevScale {
           }.min
         } catch { case _: Throwable => Double.NaN }
       }
-      val slope =
-        if (ts(1) > 0 && !ts(2).isNaN) math.log10(ts(2) / ts(1)) else Double.NaN
+      val (tA, tB) = (ts(ts.size - 2), ts.last) // last decade
+      val slope = if (tA > 0 && !tB.isNaN) math.log10(tB / tA) else Double.NaN
       val fit2 =
-        if (ts(0) > 0 && !ts(2).isNaN) math.log10(ts(2) / ts(0)) / 2.0
+        if (ts.size >= 3 && ts.head > 0 && !tB.isNaN)
+          math.log10(tB / ts.head) / (ts.size - 1).toDouble
         else Double.NaN
       val flag = if (slope >= 1.3) "SUPERLINEAR" else ""
-      println(f"$q%-30s ${ts(0)}%8.3f ${ts(1)}%8.3f ${ts(2)}%8.3f $slope%6.2f $fit2%6.2f  $flag")
+      val tsStr = ts.map(t => f"$t%8.3f").mkString(" ")
+      println(f"$q%-30s $tsStr $slope%6.2f $fit2%6.2f  $flag")
       (q, ts, slope, fit2)
     }
     val bad = rows.filter(_._3 >= 1.3)
