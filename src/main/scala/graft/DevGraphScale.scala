@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale ladder for the GRAPH KERNELS over corpus-derived edges that
+  * actually grow with SF — the complement DevScale cannot provide:
+  * every graph QUERY runs on the deliberately SF-independent 20-node
+  * oracle fixtures, so its slope reads ≈ 0 by construction and says
+  * nothing about edge-volume scaling. Here the edge frame is built
+  * from the events table (src = the event's user, dst = a derived
+  * item id; |edges| = |events|, |nodes| grows with SF), and the four
+  * iterative kernels run at fixed iteration counts — the measured
+  * slope is then a data-scaling exponent, not a fixture floor.
+  *
+  * Usage: dev/run.sh graft.DevGraphScale [iters] [reps]
+  */
+object DevGraphScale {
+  def main(args: Array[String]): Unit = {
+    val iters = args.headOption.map(_.toInt).getOrElse(5)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    def edgesOf(d: String) = Tables.events(spark, d).select(
+      concat(lit("u"), col("user_id")).as("src"),
+      // item id off the event id: ~1 item per 10 events keeps the
+      // graph connected enough that the kernels do real work
+      concat(lit("i"), (col("event_id") / 10).cast("long")).as("dst"))
+    val kernels: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
+      "pagerank" -> (d => operators.GraphOps.pageRankOf(edgesOf(d), iters)),
+      "label_propagation" -> (d =>
+        operators.GraphOps.labelPropagationOf(edgesOf(d), iters)),
+      "components" -> (d => operators.GraphOps.componentsOf(edgesOf(d))),
+      "hits" -> (d => operators.GraphOps.hitsOf(edgesOf(d), iters)))
+    println(f"${"kernel"}%-20s ${"t(.001)"}%8s ${"t(.01)"}%8s ${"t(.1)"}%8s ${"slope"}%6s  (iters=$iters)")
+    kernels.foreach { case (name, fn) =>
+      val ts = sfs.map { d =>
+        try {
+          fn(d).count() // warmup
+          (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            fn(d).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        } catch { case _: Throwable => Double.NaN }
+      }
+      val slope =
+        if (ts(1) > 0 && !ts(2).isNaN) math.log10(ts(2) / ts(1)) else Double.NaN
+      val flag = if (slope >= 1.3) "SUPERLINEAR" else ""
+      println(f"$name%-20s ${ts(0)}%8.3f ${ts(1)}%8.3f ${ts(2)}%8.3f $slope%6.2f  $flag")
+    }
+    // scale context: edge counts per SF
+    sfs.foreach(d => println(s"edges($d) = ${edgesOf(d).count()}"))
+    spark.stop()
+  }
+}
