@@ -1482,6 +1482,58 @@ object AdvancedOps {
       |    only_cnt::HUGEINT * est_union // 256 END AS BIGINT) AS est_anb
       |FROM ue ORDER BY channel_a, channel_b""".stripMargin
 
+  /** The k-sweep accuracy row — "how big should k be": the SAME
+    * weekly distinct estimated at k ∈ {64, 256, 1024} side by side
+    * with the exact count and the permille error, so the std-err ≈
+    * 1/√k trade is a TABLE a pipeline user reads, not a formula they
+    * trust (≈125‰ / 62‰ / 31‰ expected 1-sigma; the spec pins the
+    * monotone-on-average improvement, this row pins the exact
+    * integers). One pass per k over the same checkpointed base —
+    * integer-exact, whole rows oracle-check. */
+  def kmvKSweep(s: SparkSession, d: String): DataFrame = {
+    val base = hllBase(s, d).localCheckpoint()
+    val exact = base.groupBy(col("week"))
+      .agg(count_distinct(col("v")).as("exact_distinct"))
+    Seq(64, 256, 1024).map { k =>
+      kmvEstimateOf(kmvRegistersOf(base, Seq("week"), "v", k), Seq("week"), k)
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+      .join(exact, Seq("week"))
+      .select(col("k"), col("week"), col("est_distinct"),
+        col("exact_distinct"),
+        expr("CAST(abs(est_distinct - exact_distinct) * 1000" +
+          " DIV exact_distinct AS BIGINT)").as("err_permille"))
+      .orderBy(col("k"), col("week"))
+  }
+
+  private val kmvKSweepOracle = {
+    def arm(k: Int) =
+      s"""e$k AS (SELECT week, count(*) AS n, max(h) AS hk
+         |  FROM krk WHERE rk <= $k GROUP BY 1),
+         |est$k AS (SELECT $k AS k, week,
+         |    CAST(CASE WHEN n < $k THEN n ELSE
+         |      ${k - 1}::HUGEINT * 1152921504606846976::HUGEINT
+         |        // greatest(hk, 1) END AS BIGINT) AS est_distinct
+         |  FROM e$k)""".stripMargin
+    s"""WITH $hllBaseSql,
+       |dh AS (SELECT DISTINCT week, h FROM hh),
+       |krk AS (SELECT week, h,
+       |    row_number() OVER (PARTITION BY week ORDER BY h) AS rk
+       |  FROM dh),
+       |${arm(64)},
+       |${arm(256)},
+       |${arm(1024)},
+       |un AS (SELECT * FROM est64 UNION ALL SELECT * FROM est256
+       |  UNION ALL SELECT * FROM est1024),
+       |ex AS (SELECT week, count(DISTINCT v) AS exact_distinct
+       |  FROM v GROUP BY 1)
+       |SELECT CAST(u.k AS INT) AS k, week, est_distinct,
+       |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       |  CAST(abs(est_distinct - exact_distinct) * 1000 // exact_distinct
+       |    AS BIGINT) AS err_permille
+       |FROM un u JOIN ex USING (week) ORDER BY k, week""".stripMargin
+  }
+
   /** Trailing-window audience DIFFERENCE — the [[kmvAnb]] and
     * [[kmvTrailingDistinctOf]] faces COMPOSED: per emission week, per
     * ordered channel pair, "users who touched X but not Y in the
@@ -1606,6 +1658,7 @@ object AdvancedOps {
     "kmv_trailing_distinct"   -> (kmvTrailingDistinct _),
     "kmv_anb"                 -> (kmvAnb _),
     "kmv_trailing_anb"        -> (kmvTrailingAnb _),
+    "kmv_k_sweep"             -> (kmvKSweep _),
     "skyline_parts"           -> (skylineParts _),
     "topk_aggregate"          -> (topkAggregate _),
     "asof_join_events_orders" -> (asofJoin _),
@@ -1640,6 +1693,7 @@ object AdvancedOps {
     "kmv_trailing_distinct"   -> kmvTrailingDistinctOracle,
     "kmv_anb"                 -> kmvAnbOracle,
     "kmv_trailing_anb"        -> kmvTrailingAnbOracle,
+    "kmv_k_sweep"             -> kmvKSweepOracle,
     "skyline_parts"           -> skylineOracle,
     "topk_aggregate"          -> topkAggOracle,
     "asof_join_events_orders" -> asofOracle,

@@ -395,6 +395,30 @@ object EventStreams {
     readKmvRegisters(spark, outDir, keyCols, k)
       .map(r => graft.operators.AdvancedOps.kmvEstimateOf(r, keyCols, k))
 
+  /** Trailing-window distinct series off the committed partials — the
+    * streaming face of the batch trailing estimators: the merged
+    * register table feeds the same shifted-projection trailing merge,
+    * so the stream-fed series is bit-identical to recomputing from
+    * the one-shot sketch (spec-pinned). Requires the ingest to have
+    * keyed on a DATE `week` column (the trailing shift is calendar
+    * arithmetic). KMV face; [[readHllTrailingDistinct]] is the HLL
+    * sibling. */
+  def readKmvTrailingDistinct(spark: org.apache.spark.sql.SparkSession,
+                              outDir: String, windowWeeks: Int = 4,
+                              k: Int = 256): Option[DataFrame] =
+    readKmvRegisters(spark, outDir, Seq("week"), k)
+      .map(r => graft.operators.AdvancedOps
+        .kmvTrailingDistinctOf(r, windowWeeks, k))
+
+  /** HLL sibling of [[readKmvTrailingDistinct]], off [[hllIngest]]'s
+    * committed partials. */
+  def readHllTrailingDistinct(spark: org.apache.spark.sql.SparkSession,
+                              outDir: String, windowWeeks: Int = 4,
+                              m: Int = 64): Option[DataFrame] =
+    readHllRegisters(spark, outDir, Seq("week"))
+      .map(r => graft.operators.AdvancedOps
+        .hllTrailingDistinctOf(r, windowWeeks, m))
+
   /** Streaming weekly event counts — the ingest side of the
     * `weekly_growth` panel: each micro-batch's per-week counts fold
     * ADDITIVELY into a committed versioned totals table (the additive

@@ -146,6 +146,17 @@ class KmvSpec extends AnyFunSuite {
         s"HLL union-minus-B (err=$hllErr) at k=256 vs m=64")
   }
 
+  test("k-sweep: larger k is at least as accurate on the fixed corpus") {
+    // sf0.01 so the k=64 arm is genuinely full while k=1024 may not
+    // be — deterministic data + hash, so the comparison cannot flake
+    val rows = AdvancedOps.kmvKSweep(spark, "/root/testdata/sf0.01").collect()
+    val avgErr = rows.groupBy(_.getInt(0)).map { case (k, rs) =>
+      k -> rs.map(_.getLong(4)).sum.toDouble / rs.size }
+    assert(avgErr.keySet == Set(64, 256, 1024))
+    assert(avgErr(1024) <= avgErr(64),
+      s"k=1024 must not be less accurate than k=64 on average: $avgErr")
+  }
+
   test("hllTrailingDistinctOf at windowWeeks=1 equals the plain weekly estimate") {
     val base = Tables.events(spark, sf).select(
       date_trunc("week", col("ts")).cast("date").as("week"),

@@ -1113,6 +1113,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(EventStreams.readKmvRegisters(spark, fresh, Seq("week"), k).isEmpty)
   }
 
+  test("trailing-distinct readers off committed partials equal the batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val ckptK = java.nio.file.Files.createTempDirectory("graft_ktr_ck").toString
+    val outK = java.nio.file.Files.createTempDirectory("graft_ktr_out").toString
+    val ckptH = java.nio.file.Files.createTempDirectory("graft_htr_ck").toString
+    val outH = java.nio.file.Files.createTempDirectory("graft_htr_out").toString
+    val rnd = new scala.util.Random(71)
+    // 6 calendar weeks (the trailing shift is DATE arithmetic), ~250
+    // distinct users at k=16 so the sketches truncate
+    val base = java.sql.Date.valueOf("2024-01-01")
+    val rows = (1 to 800).map { _ =>
+      (new java.sql.Date(base.getTime + rnd.nextInt(6) * 7L * 86400000L),
+        s"u${rnd.nextInt(250)}")
+    }
+    val k = 16
+    val inK = MemoryStream[(java.sql.Date, String)]
+    val qK = EventStreams.kmvIngest(spark,
+      inK.toDF().toDF("week", "v"), outK, ckptK, Seq("week"), "v", k)
+    inK.addData(rows.take(400): _*)
+    qK.processAllAvailable()
+    inK.addData(rows.drop(400): _*)
+    qK.processAllAvailable()
+    qK.stop()
+    val inH = MemoryStream[(java.sql.Date, String)]
+    val qH = EventStreams.hllIngest(spark,
+      inH.toDF().toDF("week", "v"), outH, ckptH, Seq("week"), "v")
+    inH.addData(rows: _*)
+    qH.processAllAvailable()
+    qH.stop()
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val batchDf = rows.toDF("week", "v")
+    val kmvStream = shape(EventStreams
+      .readKmvTrailingDistinct(spark, outK, windowWeeks = 3, k).get)
+    val kmvBatch = shape(graft.operators.AdvancedOps.kmvTrailingDistinctOf(
+      graft.operators.AdvancedOps.kmvRegistersOf(batchDf, Seq("week"), "v", k),
+      windowWeeks = 3, k))
+    assert(kmvStream == kmvBatch && kmvStream.size >= 6,
+      s"KMV trailing series: stream=$kmvStream batch=$kmvBatch")
+    val hllStream = shape(EventStreams
+      .readHllTrailingDistinct(spark, outH, windowWeeks = 3).get)
+    val hllBatch = shape(graft.operators.AdvancedOps.hllTrailingDistinctOf(
+      graft.operators.AdvancedOps.hllRegistersOf(batchDf, Seq("week"), "v"),
+      windowWeeks = 3))
+    assert(hllStream == hllBatch && hllStream.size >= 6,
+      s"HLL trailing series: stream=$hllStream batch=$hllBatch")
+  }
+
   test("streaming weekly counts fold additively; growth reader equals the batch panel; restart-safe") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
