@@ -13,12 +13,18 @@ import org.apache.spark.sql.functions._
   * iterative kernels run at fixed iteration counts — the measured
   * slope is then a data-scaling exponent, not a fixture floor.
   *
-  * Usage: dev/run.sh graft.DevGraphScale [iters] [reps]
+  * An optional edge MULTIPLIER explodes each event into `mult`
+  * distinct edges (src unchanged, dst salted by the copy index) so
+  * the ladder reaches 1M+ edges where the per-round data term clearly
+  * dominates the driver-action floor.
+  *
+  * Usage: dev/run.sh graft.DevGraphScale [iters] [reps] [mult]
   */
 object DevGraphScale {
   def main(args: Array[String]): Unit = {
     val iters = args.headOption.map(_.toInt).getOrElse(5)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val mult = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,11 +34,15 @@ object DevGraphScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     LogHygiene.drainBoundedWindowWarn()
-    def edgesOf(d: String) = Tables.events(spark, d).select(
-      concat(lit("u"), col("user_id")).as("src"),
-      // item id off the event id: ~1 item per 10 events keeps the
-      // graph connected enough that the kernels do real work
-      concat(lit("i"), (col("event_id") / 10).cast("long")).as("dst"))
+    def edgesOf(d: String) = Tables.events(spark, d)
+      .withColumn("c", explode(array((0 until mult).map(lit): _*)))
+      .select(
+        concat(lit("u"), col("user_id")).as("src"),
+        // item id off the event id: ~1 item per 10 events keeps the
+        // graph connected enough that the kernels do real work;
+        // the copy index salts dst so multiplied edges are distinct
+        concat(lit("i"), (col("event_id") / 10).cast("long"),
+          lit("x"), col("c")).as("dst"))
     val kernels: Seq[(String, String => org.apache.spark.sql.DataFrame)] = Seq(
       "pagerank" -> (d => operators.GraphOps.pageRankOf(edgesOf(d), iters)),
       "label_propagation" -> (d =>
