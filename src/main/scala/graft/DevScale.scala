@@ -92,6 +92,19 @@ object DevScale {
     val bad = rows.filter(_._3 >= 1.3)
     println(s"== ${rows.size} queries, ${bad.size} with last-decade slope >= 1.3" +
       (if (bad.nonEmpty) ": " + bad.map(_._1).mkString(", ") else ""))
+    // persist the slopes so round-over-round DRIFT is diffable — a
+    // slope climbing 0.5 → 0.9 between rounds is the early warning
+    // the 1.3 flag alone never fires
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
+    val body = rows.filterNot(_._3.isNaN).sortBy(_._1)
+      .map { case (q, ts, slope, _) =>
+        s"${JsonUtil.jstr(q)}:{" +
+          s""""slope":${f"$slope%.3f"},""" +
+          s""""t":[${ts.map(t => f"$t%.3f").mkString(",")}]}""" }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $outFile (${rows.size} queries)")
     spark.stop()
   }
 
