@@ -89,6 +89,24 @@ class GraftOpsSpec extends AnyFunSuite {
     assert(df.storageLevel == StorageLevel.NONE) // released
   }
 
+  test("clear() releases localCheckpoint blocks, not just CacheManager entries") {
+    // Dataset.unpersist is a CacheManager no-op for checkpoint-backed
+    // frames (r17 ADVICE): the blocks live as a persisted RDD the
+    // CacheManager never tracked. releaseFrame must drop THOSE — the
+    // observable is the RDD leaving sparkContext.getPersistentRDDs.
+    val m = new graft.SessionMemo
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = m.getOrBuildMaterialized(spark, "ckpt")(
+      spark.range(500).toDF("v").localCheckpoint())
+    assert(df.count() == 500)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "localCheckpoint must register a persistent RDD")
+    m.clear(spark)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((added & after).isEmpty,
+      s"checkpoint RDD blocks must be unpersisted by clear(): lingering ${added & after}")
+  }
+
   test("SessionMemo entries survive GC (strong values; weak refs re-ran eager builds)") {
     val m = new graft.SessionMemo
     var builds = 0
