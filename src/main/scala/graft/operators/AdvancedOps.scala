@@ -252,12 +252,12 @@ object AdvancedOps {
   // would need a full range-exchange sort or a driver-sized top-k.
   // Bisection needs NEITHER: binary-search the INTEGER value domain
   // (the house fixed-point convention makes every metric integral),
-  // where each round answers "how many values ≤ mid" for EVERY still-
-  // unresolved quantile in ONE batched aggregate — a map-side-
-  // combined scan whose only exchange is the 1-row gather. ≤ 64
-  // rounds by int64 width (log2 of the actual min..max span in
-  // practice; ~24 for cents-scaled prices); driver state is a pair
-  // of bounds per quantile. Complements [[Sketches]]' t-digest (one
+  // where each round answers "how many values ≤ m" at fanout−1 probe
+  // points for EVERY still-unresolved quantile in ONE batched
+  // aggregate — a map-side-combined scan whose only exchange is the
+  // 1-row gather. ≤ 16 rounds by int64 width at fanout 16 (log16 of
+  // the actual min..max span in practice; ~6 for cents-scaled
+  // prices); driver state is a pair of bounds per quantile. Complements [[Sketches]]' t-digest (one
   // pass, approximate) with the exact answer when the audit needs
   // one, the way harmonicExactOf anchors hyperBall.
   // ---------------------------------------------------------------
@@ -281,18 +281,47 @@ object AdvancedOps {
     val ks = psPermille.map(p => p -> (1L + (n - 1) * p / 1000L)).toMap
     var lo = psPermille.map(p => p -> head.getLong(1)).toMap
     var hi = psPermille.map(p => p -> head.getLong(2)).toMap
+    // Multi-way refinement (r18 optimization round): probe fanout−1
+    // evenly spaced split points per open quantile per round instead
+    // of one midpoint, shrinking the round count from log2(span) to
+    // log_fanout(span) (~24 → ~6 for cents-scaled prices) — each round
+    // is still ONE map-side-combined scan of the checkpointed column,
+    // just with more conditional sums in the same pass (guide §1.2:
+    // remove passes before tuning the pass). Probe values are deduped
+    // ACROSS quantiles (round 1 shares all of them — every quantile
+    // starts at [min, max]), so the widest round carries at most
+    // open·(fanout−1) sum columns, comfortably inside codegen limits
+    // at fanout 16. BigInt for the split arithmetic: span·j overflows
+    // int64 for adversarial [min, max] ranges of a generic long column.
+    val fanout = 16
     while (psPermille.exists(p => lo(p) < hi(p))) {
       val open = psPermille.filter(p => lo(p) < hi(p))
-      // floorDiv keeps the midpoint exact for negative-spanning domains
-      val mids = open.map(p =>
-        p -> (lo(p) + Math.floorDiv(hi(p) - lo(p), 2L))).toMap
-      val row = vals.agg(
-        sum(when(col("v") <= lit(mids(open.head)), 1L).otherwise(0L)),
-        open.tail.map(p =>
-          sum(when(col("v") <= lit(mids(p)), 1L).otherwise(0L))): _*).head()
-      open.zipWithIndex.foreach { case (p, i) =>
-        if (row.getLong(i) >= ks(p)) hi += p -> mids(p)
-        else lo += p -> (mids(p) + 1L)
+      val probesPerP: Map[Int, Seq[Long]] = open.map { p =>
+        val span = BigInt(hi(p)) - BigInt(lo(p)) // >= 1 while open
+        // ascending interior points in [lo, hi): exact floor split,
+        // collapsing duplicates when span < fanout (then the points
+        // enumerate every integer in [lo, hi−1] and one round closes)
+        p -> (1 until fanout)
+          .map(j => (BigInt(lo(p)) + span * j / fanout).toLong)
+          .distinct
+      }.toMap
+      val allProbes: Seq[Long] = probesPerP.values.flatten.toSeq.distinct.sorted
+      val aggs = allProbes.map(m =>
+        sum(when(col("v") <= lit(m), 1L).otherwise(0L)))
+      val row = vals.agg(aggs.head, aggs.tail: _*).head()
+      val cnt: Map[Long, Long] = allProbes.zipWithIndex
+        .map { case (m, i) => m -> row.getLong(i) }.toMap
+      open.foreach { p =>
+        val pts = probesPerP(p)
+        // first probe with count ≥ k bounds the answer above; the
+        // probe before it (all counts < k) bounds it below — the same
+        // invariant as binary search, fanout−1 decisions per scan
+        val j = pts.indexWhere(m => cnt(m) >= ks(p))
+        if (j < 0) lo += p -> (pts.last + 1L)
+        else {
+          hi += p -> pts(j)
+          if (j > 0) lo += p -> (pts(j - 1) + 1L)
+        }
       }
     }
     val sp = df.sparkSession

@@ -633,11 +633,11 @@ object Curation {
   // in hash order.
   //
   // Scale shape: no global sort and no corpus-sized window. The
-  // selection is a DENSITY THRESHOLD, found by bisection over the
-  // integer density domain (the exact_quantiles trick): each round
-  // answers "how many tokens sit at density ≥ mid" with one
-  // map-side-combined filtered aggregate whose only exchange is the
-  // 1-row gather; ≤ ~40 rounds by the e6 density width. Docs tied at
+  // selection is a DENSITY THRESHOLD, found by multi-way descent over
+  // the integer density domain (the exact_quantiles trick): each round
+  // answers "how many tokens sit at density ≥ m" at fanout−1 probe
+  // points with one map-side-combined aggregate whose only exchange is
+  // the 1-row gather; ~5 rounds by the e6 density width. Docs tied at
   // the threshold are all-or-none (selection is a pure per-row
   // predicate), so the budget is respected from below by
   // construction: the chosen threshold is the SMALLEST whose selected
@@ -665,15 +665,33 @@ object Curation {
     val maxD = Option(d.agg(max(col("density_e6"))).head.getAs[java.lang.Long](0))
       .map(_.toLong).getOrElse(-1L)
     // minimal threshold t with tokens(density >= t) <= budget; the
-    // interval [0, maxD + 1] always contains one (F(maxD + 1) = 0)
+    // interval [0, maxD + 1] always contains one (F(maxD + 1) = 0).
+    // Multi-way refinement (r18 optimization round, the same move as
+    // quantileSelectOf): probe fanout−1 evenly spaced thresholds per
+    // round in ONE map-side-combined aggregate — used(t) is
+    // non-increasing in t, so the smallest probe that fits the budget
+    // bounds the threshold above and its predecessor bounds it below.
+    // Rounds drop from log2(maxD) (~20 at the e6 density width) to
+    // log_fanout(maxD) (~5), each still a single scan + 1-row gather.
     var lo = 0L
     var hi = maxD + 1
+    val fanout = 16
     while (lo < hi) {
-      val mid = lo + (hi - lo) / 2
-      val used = Option(d.filter(col("density_e6") >= mid)
-          .agg(sum(col("n_tokens"))).head.getAs[java.lang.Long](0))
-        .map(_.toLong).getOrElse(0L)
-      if (used <= budgetTokens) hi = mid else lo = mid + 1
+      val span = BigInt(hi) - BigInt(lo)
+      val pts = (1 until fanout)
+        .map(j => (BigInt(lo) + span * j / fanout).toLong).distinct
+      val aggs = pts.map(m =>
+        sum(when(col("density_e6") >= lit(m), col("n_tokens")).otherwise(0L)))
+      val row = d.agg(aggs.head, aggs.tail: _*).head()
+      val used: Seq[Long] = pts.indices.map(i =>
+        Option(row.getAs[java.lang.Long](i)).map(_.toLong).getOrElse(0L))
+      val j = pts.indices.find(i => used(i) <= budgetTokens)
+      j match {
+        case Some(i) =>
+          hi = pts(i)
+          if (i > 0) lo = pts(i - 1) + 1L
+        case None => lo = pts.last + 1L
+      }
     }
     d.withColumn("selected", col("density_e6") >= lo)
   }
