@@ -43,6 +43,36 @@ object DevProfile {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
           s"{${JsonUtil.jstr(name)}: ${JsonUtil.jstr(SparkEntry.oracleSql(name))}}")
+      case "warm" =>
+        // time each memo-warmup family in isolation, clearing memos at
+        // every rep boundary exactly as Bench does — the quiet
+        // iteration loop for warmup-schedule work:
+        // dev/run.sh graft.DevProfile warm [sfDir] [reps]
+        val d = dirs.head
+        val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+        val fams: Seq[(String, String => Unit)] = Seq(
+          "dedup" -> (dir => operators.Dedup.warmMemos(spark, dir)),
+          "text" -> (dir => operators.TextAnalysis.warmMemos(spark, dir)),
+          "lm" -> (dir => operators.NgramLm.warmMemos(spark, dir)),
+          "psl" -> (dir => operators.PublicSuffix.warmMemos(spark, dir)),
+          "sim" -> (dir => operators.Similarity.warmMemos(spark, dir)))
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]]
+        for (_ <- 1 to reps) {
+          operators.Dedup.clearMemo(spark)
+          operators.NgramLm.clearMemo(spark)
+          operators.Similarity.clearMemo(spark)
+          Tables.memo.clear(spark)
+          fams.foreach { case (nm, f) =>
+            val t0 = System.nanoTime()
+            f(d)
+            val dt = (System.nanoTime() - t0) / 1e9
+            acc(nm) = dt :: acc.getOrElse(nm, Nil)
+          }
+        }
+        fams.foreach { case (nm, _) =>
+          val ts = acc(nm)
+          println(f"warm_$nm%-6s min=${ts.min}%6.2f runs=${ts.reverse.map(v => f"$v%.2f").mkString(",")}")
+        }
       case "cosparts" =>
         import org.apache.spark.sql.functions._
         val d = dirs.head

@@ -661,7 +661,7 @@ object Curation {
         "CASE WHEN score >= 0 THEN score" +
           " ELSE raise_error('budgetSelect needs score >= 0') END"))
       .withColumn("density_e6", expr("1000000 * score DIV n_tokens"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val maxD = Option(d.agg(max(col("density_e6"))).head.getAs[java.lang.Long](0))
       .map(_.toLong).getOrElse(-1L)
     // minimal threshold t with tokens(density >= t) <= budget; the

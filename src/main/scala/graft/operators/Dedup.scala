@@ -82,9 +82,33 @@ object Dedup {
     * materialized memos (shingles, clusters) build eagerly via
     * localCheckpoint; the cache()-backed ones need an action. */
   def warmMemos(s: SparkSession, d: String): Unit = {
-    pairCountsMemo(s, d).count()
-    minhashPairs(s, d).count()
-    clustersUnsorted(s, d).count()
+    // r18 optimization round: the three builds form a diamond —
+    // pairCounts and minhashPairs both consume the shingle checkpoint,
+    // clusters consumes minhashPairs. Materialize the shared shingle
+    // frame once, then overlap the two independent branches from a
+    // 2-thread pool (guide §2.6: actions are only sequential because
+    // the driver calls them sequentially — the cluster loop's
+    // driver-paced star-contraction rounds leave executors idle that
+    // the pairCounts scan back-fills). Memo keys, frames, and values
+    // are unchanged; only the action schedule moved. SessionMemo is
+    // explicitly safe under concurrent getOrBuild (first-put wins).
+    shingles(s, d, 50) // localCheckpoint-backed: build IS materialization
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val branches: Seq[() => Unit] = Seq(
+        () => { pairCountsMemo(s, d).count(): Unit },
+        () => { minhashPairs(s, d).count()
+                clustersUnsorted(s, d).count(): Unit })
+      pool.invokeAll(java.util.Arrays.asList(
+          branches.map(b => new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = b()
+          }): _*))
+        .forEach(f => try f.get()
+          catch { // surface the branch's own failure, not the wrapper
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+    } finally pool.shutdown()
   }
 
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
@@ -105,7 +129,7 @@ object Dedup {
     * makes anyway. */
   private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
     memo.getOrBuildMaterialized(s, s"shingles:$d#$maxDf")(
-      shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint())
+      shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint(eager = false))
 
   /** Distinct word-trigram shingles per doc, uncapped. */
   private def rawShinglesOf(docs: DataFrame): DataFrame =
@@ -377,7 +401,7 @@ object Dedup {
     * stoplist artifacts — without the cut, the corpus's most expensive
     * stage (split+explode+hash) would run twice. */
   def dedupIndexes(existing: DataFrame, maxDf: Int = 50): DedupIndexes = {
-    val wdf = shinglesWithDf(existing).localCheckpoint()
+    val wdf = shinglesWithDf(existing).localCheckpoint(eager = false)
     DedupIndexes(
       existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
       bandKeys(minhashSigsFromShingles(wdf.filter(col("df") <= maxDf)))
@@ -405,7 +429,7 @@ object Dedup {
       // batchKeep feeds both the band computation and the final
       // anti-join — without the cut its window+anti subtree plans and
       // runs twice
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // batch shingles are filtered by the CORPUS stoplist (see
     // DedupIndexes scaladoc), not a batch-local df cap that a small
     // batch could never trigger
@@ -441,7 +465,7 @@ object Dedup {
                       maxDf: Int = 50): DataFrame = {
     // stoplist from the big side; tiny by construction, cut eagerly so
     // the two signature pipelines below don't replay the corpus scan
-    val stop = hotShinglesOf(corpus, maxDf).localCheckpoint()
+    val stop = hotShinglesOf(corpus, maxDf).localCheckpoint(eager = false)
     def bandsOf(docs: DataFrame) =
       bandKeys(minhashSigsFromShingles(
         rawShinglesOf(docs).join(stop, Seq("sh"), "left_anti")))
@@ -519,7 +543,7 @@ object Dedup {
       .select(col("doc_id"), graft.functions.Portable.hash60(col("ng")).as("h"))
       .distinct()
     val benchSet = gramHashes(benchmark).select(col("h")).distinct()
-    val cg = gramHashes(corpus).localCheckpoint()
+    val cg = gramHashes(corpus).localCheckpoint(eager = false)
     val totals = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
     val hits = cg.join(benchSet, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -633,7 +657,7 @@ object Dedup {
     // branches consume it twice; unlike cache(), its blocks are GC'd
     // with the frame, so repeated library calls don't accumulate
     // pinned storage.
-    val sig = minhashSigsFromShingles(shf, nPerm).localCheckpoint()
+    val sig = minhashSigsFromShingles(shf, nPerm).localCheckpoint(eager = false)
     val bands = bandKeys(sig, plan)
     // candidate rows repeat once per shared band (<= 4x): score every
     // occurrence and dedupe only the survivors — a distinct over the
@@ -710,7 +734,7 @@ object Dedup {
   def simhashPairsOf(docs: DataFrame): DataFrame = {
     // eager single materialization before the two-sided bucket join;
     // GC-cleaned blocks (see minhashPairsFromShingles note)
-    val sigs = simhashSignaturesOf(docs).localCheckpoint()
+    val sigs = simhashSignaturesOf(docs).localCheckpoint(eager = false)
     val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
         struct(lit(0).as("b"), expr("sim & 65535").as("h")),
         struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
@@ -860,7 +884,7 @@ object Dedup {
     val s = emb.sparkSession
     // eager single materialization; GC-cleaned blocks (see
     // minhashPairsFromShingles note)
-    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint()
+    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint(eager = false)
     val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
       explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
     val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
@@ -1024,7 +1048,9 @@ object Dedup {
     // contraction seed, so a doc whose only pair is reflexive still
     // labels to itself per the contract.
     val p0 = pairs.select(col("i").as("u"), col("j").as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false) // materialized by the
+      // seed count below (r18: the count action was already paying for
+      // the pass — the eager flag only added a second job)
     var edges = p0.filter(col("u") =!= col("v"))
     var cnt = edges.count()
     var rounds = 0
@@ -1033,7 +1059,9 @@ object Dedup {
       rounds += 1
       require(rounds <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
-      val next = smallStarRound(largeStarRound(edges)).localCheckpoint()
+      val next = smallStarRound(largeStarRound(edges))
+        .localCheckpoint(eager = false) // the convergence count below
+        // materializes the round's blocks — one action per round (r18)
       val nextCnt = next.count()
       // both sides are distinct sets, so equal count + empty one-sided
       // difference = set equality; at the fixpoint every component is a
@@ -1053,7 +1081,7 @@ object Dedup {
         Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(min(coalesce(col("cluster"), col("doc_id"))).as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     (labels, rounds)
   }
 

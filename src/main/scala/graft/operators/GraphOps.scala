@@ -47,7 +47,21 @@ object GraphOps {
 
   /** The shared seed of every graph face: (src, dst) as strings,
     * multi-edges collapsed, materialized once (the iterative loops and
-    * the node/degree aggregates all re-read it). */
+    * the node/degree aggregates all re-read it).
+    *
+    * Checkpoint policy (r18 optimization round): setup/loop
+    * checkpoints in this file are `eager = false` — the action that
+    * already follows it (a node count, a convergence probe, the
+    * consumer's own job) materializes the blocks, and Spark's
+    * LocalRDDCheckpointData computes any partitions that action missed
+    * before truncating lineage, so laziness costs nothing and saves
+    * one scheduling barrier per checkpoint. Three exceptions stay
+    * eager on purpose: THIS frame (consumed by many separate driver
+    * actions across every kernel — an A/B at sf0.1 measured lazy as
+    * parity-at-best here, and eager keeps the one materialization
+    * up front), pageRankWeightedOf's edge-validation checkpoint (its
+    * raise_error must fire at call time), and the unexecuted
+    * plan-audit hooks. */
   private def normalizedEdges(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("string").as("src"),
       col("dst").cast("string").as("dst")).distinct().localCheckpoint()
@@ -79,14 +93,14 @@ object GraphOps {
     import spark.implicits._
     nodes.orderBy(col("node")).rdd.zipWithIndex()
       .map { case (r, i) => (r.getString(0), i) }
-      .toDF("node", "nid").localCheckpoint()
+      .toDF("node", "nid").localCheckpoint(eager = false)
   }
 
   /** (src, dst) re-keyed through a node dictionary. */
   private def encodeEdges(e: DataFrame, dict: DataFrame): DataFrame =
     e.join(dict.select(col("node").as("src"), col("nid").as("s")), Seq("src"))
       .join(dict.select(col("node").as("dst"), col("nid").as("d")), Seq("dst"))
-      .select(col("s").as("src"), col("d").as("dst")).localCheckpoint()
+      .select(col("s").as("src"), col("d").as("dst")).localCheckpoint(eager = false)
 
   /** Ranks after `iters` rounds over an (src, dst) edge frame:
     * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph.
@@ -99,7 +113,7 @@ object GraphOps {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"damping out of permille range: $dampingPermille")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     if (n >= dictEncodeThreshold) pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
@@ -111,7 +125,7 @@ object GraphOps {
   private[graft] def pageRankEncoded(edges: DataFrame, iters: Int = 10,
                                      dampingPermille: Int = 850): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
@@ -132,7 +146,7 @@ object GraphOps {
   private def pageRankRaw(e: DataFrame, nodes: DataFrame, n: Long,
                           iters: Int, dampingPermille: Int): DataFrame = {
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
     // Sink nodes force a per-round driver scalar (the dangling mass
     // depends on the evolving ranks) and therefore a per-round
@@ -142,24 +156,30 @@ object GraphOps {
     val hasSinks = nodes.join(outdeg, Seq("node"), "left_anti")
       .limit(1).count() > 0
     var ranks = nodes.select(col("node"),
-      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
-      // rank of sink nodes this round — 1-row agg, driver scalar (see
-      // scaladoc); statically zero when the graph has no sinks
-      val dangShare =
-        if (!hasSinks) 0L
-        else Option(ranks.join(outdeg, Seq("node"), "left_anti")
-            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
-          .map(_.toLong).getOrElse(0L) / n
-      ranks = rankRound(e, nodes, outdeg, ranks,
-        teleportE9, dampingPermille, dangShare)
-      round += 1
-      sinceCut += 1
-      if (hasSinks || sinceCut == 4 || round == iters) {
-        ranks = ranks.localCheckpoint(); sinceCut = 0
+      if (hasSinks) {
+        // r18 optimization round: the dangling mass rides the plan as
+        // a broadcast 1-row frame ([[dangShareDfOf]]) instead of a
+        // per-round driver scalar, so sink-ful rounds stay LAZY — the
+        // per-round checkpoint is eager=false (it must still cut every
+        // round: the dang branch reads `ranks` a second time, and an
+        // uncut lineage would double per round), materialized by the
+        // consumer's one action. Same integer values.
+        ranks = rankRoundDang(e, nodes, outdeg, ranks,
+          teleportE9, dampingPermille, dangShareDfOf(ranks, outdeg, n))
+          .localCheckpoint(eager = false)
+      } else {
+        ranks = rankRound(e, nodes, outdeg, ranks,
+          teleportE9, dampingPermille, 0L)
+        sinceCut += 1
+        if (sinceCut == 4 || round == iters - 1) {
+          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+        }
       }
+      round += 1
     }
     ranks
   }
@@ -185,33 +205,75 @@ object GraphOps {
       .withColumn("w", expr(
         "CASE WHEN w > 0 THEN w ELSE raise_error('non-positive edge weight') END"))
       .localCheckpoint()
-    val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint()
+    val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint(eager = false)
     val outw = e.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("outw")).localCheckpoint()
+      .agg(sum(col("w")).as("outw")).localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
     val hasSinks = nodes.join(outw, Seq("node"), "left_anti")
       .limit(1).count() > 0
     var ranks = nodes.select(col("node"),
-      lit(1000000000L / n).as("rank_e9")).localCheckpoint()
+      lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
-      val dangShare =
-        if (!hasSinks) 0L
-        else Option(ranks.join(outw, Seq("node"), "left_anti")
-            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
-          .map(_.toLong).getOrElse(0L) / n
-      ranks = weightedRankRound(e, nodes, outw, ranks,
-        teleportE9, dampingPermille, dangShare)
-      round += 1
-      sinceCut += 1
-      if (hasSinks || sinceCut == 4 || round == iters) {
-        ranks = ranks.localCheckpoint(); sinceCut = 0
+      if (hasSinks) {
+        // relational dangling mass, lazy per-round cut — see
+        // [[dangShareDfOf]] and the pageRankRaw loop note (r18)
+        ranks = weightedRankRoundDang(e, nodes, outw, ranks,
+          teleportE9, dampingPermille, dangShareDfOf(ranks, outw, n))
+          .localCheckpoint(eager = false)
+      } else {
+        ranks = weightedRankRound(e, nodes, outw, ranks,
+          teleportE9, dampingPermille, 0L)
+        sinceCut += 1
+        if (sinceCut == 4 || round == iters - 1) {
+          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+        }
       }
+      round += 1
     }
     ranks
+  }
+
+  /** Dangling mass of the current ranks as a 1-row broadcastable frame
+    * ((Σ rank_e9 over sink nodes) DIV divisor) — the relational twin of
+    * the old per-round DRIVER scalar (r18 optimization round). With
+    * the mass riding the plan as a broadcast cross join, a sink-ful
+    * graph's rounds no longer need a driver action each (the scalar
+    * head() plus the eager per-round checkpoint it forced):
+    * registered_domain_rank measured 146 Spark jobs under the scalar
+    * schedule vs 51 for the sink-free path on the same kernel. Values
+    * are bit-identical — same Σ, same integer DIV, only the schedule
+    * of the division moved into the plan. */
+  private def dangShareDfOf(ranks: DataFrame, outFrame: DataFrame,
+                            divisor: Long): DataFrame =
+    ranks.join(outFrame, Seq("node"), "left_anti")
+      .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("_dsum"))
+      .select(expr(s"_dsum DIV ${divisor}L").as("_dang_e9"))
+
+  /** [[rankRound]] with the dangling share attached as a broadcast
+    * 1-row frame instead of a driver literal — the sink-ful loop's
+    * round. Same arithmetic (`_dang_e9` is LongType; the DIV chain is
+    * unchanged). */
+  private def rankRoundDang(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+                            ranks: DataFrame, teleportE9: Long,
+                            dampingPermille: Int, dang: DataFrame): DataFrame = {
+    val inflow = e
+      .join(ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"),
+          expr("rank_e9 DIV outdeg").as("contrib")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("inflow"))
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .crossJoin(broadcast(dang)) // 1-row scalar attach (house pattern)
+      .select(col("node"),
+        expr(s"CAST($teleportE9 + $dampingPermille * " +
+          "(coalesce(inflow, 0L) + _dang_e9) DIV 1000 AS BIGINT)")
+          .as("rank_e9"))
   }
 
   /** One power-iteration round: two keyed joins (ranks⋈outdeg on node,
@@ -234,6 +296,30 @@ object GraphOps {
       .select(col("node"),
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
+          .as("rank_e9"))
+  }
+
+  /** [[weightedRankRound]] with the dangling share as a broadcast
+    * 1-row frame — the sink-ful weighted loop's round (r18, see
+    * [[rankRoundDang]]). */
+  private def weightedRankRoundDang(e: DataFrame, nodes: DataFrame,
+                                    outw: DataFrame, ranks: DataFrame,
+                                    teleportE9: Long, dampingPermille: Int,
+                                    dang: DataFrame): DataFrame = {
+    val inflow = e
+      .join(ranks.join(outw, Seq("node"))
+        .select(col("node").as("src"), col("rank_e9"), col("outw")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(expr(
+        "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
+        .as("inflow"))
+    nodes
+      .join(inflow, Seq("node"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("node"),
+        expr(s"CAST($teleportE9 + $dampingPermille * " +
+          "(coalesce(inflow, 0L) + _dang_e9) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
   }
 
@@ -445,9 +531,9 @@ object GraphOps {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"damping out of permille range: $dampingPermille")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
     val sSet = seeds.distinct
     val isSeed = col("node").isInCollection(sSet)
     val present = nodes.filter(isSeed).count()
@@ -458,15 +544,10 @@ object GraphOps {
       .limit(1).count() > 0
     var ranks = nodes.select(col("node"),
       when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
-      val dangShare =
-        if (!hasSinks) 0L
-        else Option(ranks.join(outdeg, Seq("node"), "left_anti")
-            .agg(sum(col("rank_e9"))).head().getAs[java.lang.Long](0))
-          .map(_.toLong).getOrElse(0L) / m
       val inflow = e
         .join(ranks.join(outdeg, Seq("node"))
           .select(col("node").as("src"),
@@ -474,18 +555,31 @@ object GraphOps {
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
-            s"$dampingPermille * (coalesce(inflow, 0L) + $dangShare) DIV 1000, " +
-            s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
-            .as("rank_e9"))
-      round += 1
-      sinceCut += 1
-      if (hasSinks || sinceCut == 4 || round == iters) {
-        ranks = ranks.localCheckpoint(); sinceCut = 0
+      val base = nodes.join(inflow, Seq("node"), "left")
+      if (hasSinks) {
+        // relational dangling mass (→ seeds, DIV m), lazy per-round
+        // cut — see [[dangShareDfOf]] and the pageRankRaw loop (r18)
+        ranks = base
+          .crossJoin(broadcast(dangShareDfOf(ranks, outdeg, m)))
+          .select(col("node"),
+            expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
+              s"$dampingPermille * (coalesce(inflow, 0L) + _dang_e9) DIV 1000, " +
+              s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
+              .as("rank_e9"))
+          .localCheckpoint(eager = false)
+      } else {
+        ranks = base
+          .select(col("node"),
+            expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
+              s"$dampingPermille * (coalesce(inflow, 0L) + 0) DIV 1000, " +
+              s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
+              .as("rank_e9"))
+        sinceCut += 1
+        if (sinceCut == 4 || round == iters - 1) {
+          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+        }
       }
+      round += 1
     }
     ranks
   }
@@ -573,7 +667,7 @@ object GraphOps {
   def hitsOf(edges: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"unreasonable iters: $iters")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "hits over an empty edge frame")
     require(n <= 1000000000L, s"hits needs n <= 1e9 nodes (got $n)")
@@ -585,7 +679,7 @@ object GraphOps {
     * [[hitsRaw]] over long keys → decode. */
   private[graft] def hitsEncoded(edges: DataFrame, iters: Int = 10): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "hits over an empty edge frame")
     hitsEncodedRaw(e, nodes, n, iters)
@@ -635,7 +729,7 @@ object GraphOps {
                       iters: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       // the raw agg ALSO emits the group size — dst's in-degree —
@@ -765,7 +859,7 @@ object GraphOps {
     * (no in-links / no out-links) score 0 on it. Edge multiplicity is
     * ignored ([[normalizedEdges]]), matching the paper's 0/1 matrix. */
   def salsaOf(edges: DataFrame): DataFrame = {
-    val e = normalizedEdges(edges).localCheckpoint()
+    val e = normalizedEdges(edges).localCheckpoint(eager = false)
     val indeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // both side totals in ONE action (probeAll discipline): distinct
@@ -776,7 +870,7 @@ object GraphOps {
     val totH = totRow.getLong(1)
     val comps = componentsOf(e.select(
       concat(lit("h:"), col("src")).as("src"),
-      concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint()
+      concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint(eager = false)
     // per-component counts ride a component-keyed window (one
     // exchange) instead of an agg + back-join; the two sides then
     // merge through ONE node-keyed sum — every node has at least one
@@ -892,9 +986,9 @@ object GraphOps {
   def harmonicExactOf(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 256, s"unreasonable maxDepth: $maxDepth")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     var reached = nodes.select(col("node").as("root"), col("node"),
-      lit(0).as("dist")).localCheckpoint()
+      lit(0).as("dist")).localCheckpoint(eager = false)
     var frontier = reached
     var depth = 0
     var more = true
@@ -905,11 +999,11 @@ object GraphOps {
         .distinct()
         .join(reached, Seq("root", "node"), "left_anti")
         .select(col("root"), col("node"), lit(depth).as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       more = next.limit(1).count() > 0
       if (more) {
         frontier = next
-        reached = reached.union(next).localCheckpoint()
+        reached = reached.union(next).localCheckpoint(eager = false)
       }
     }
     nodes.join(
@@ -946,7 +1040,7 @@ object GraphOps {
     // node count, which would pay a distinct). nodes ≤ 2·edges and the
     // threshold is a heuristic, so edge count is the same order.
     if (e.count() >= dictEncodeThreshold)
-      hyperBallEncodedRaw(e, nodesOf(e).localCheckpoint(), maxIters, registers)
+      hyperBallEncodedRaw(e, nodesOf(e).localCheckpoint(eager = false), maxIters, registers)
     else hyperBallRaw(e, nodesOf(e), maxIters, registers)
   }
 
@@ -959,7 +1053,7 @@ object GraphOps {
                                               maxIters: Int = 16,
                                               registers: Int = 32): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint()
+    val nodes = nodesOf(e).localCheckpoint(eager = false)
     hyperBallEncodedRaw(e, nodes, maxIters, registers)
   }
 
@@ -1038,7 +1132,7 @@ object GraphOps {
       .drop("ra", "invSum", "zeros")
     var cur = withEstimates(seeded)
       .withColumn("harm", lit(0.0))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // empty graph: no rounds, no head() on an empty aggregate
     if (cur.limit(1).count() == 0)
       return cur.select(col("node"), lit(0L).as("harm_e6"))
@@ -1069,7 +1163,7 @@ object GraphOps {
         .withColumn("grew",
           when(col("regsum") > col("regsumPrev"), 1).otherwise(0))
         .drop("ballPrev", "harmPrev", "regsumPrev")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       more = next.agg(max("grew")).head().getInt(0) == 1
       cur = next.drop("grew")
     }
@@ -1317,7 +1411,7 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v")).distinct()
     var adj = und.select(col("u").as("src"), col("v").as("dst"))
       .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prev = adj.count()
     var peel = 0
     var done = prev == 0L
@@ -1329,7 +1423,7 @@ object GraphOps {
         .join(alive.select(col("node").as("src")), Seq("src"))
         .join(alive.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val now = adj.count()
       done = now == prev
       prev = now
@@ -1397,10 +1491,10 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // orient u—v from the (deg, node)-smaller endpoint to the larger;
     // each edge carries its HEAD's degree so wedges can be deduped in
     // the SAME total order the orientation uses (name order alone
@@ -1416,7 +1510,7 @@ object GraphOps {
           .otherwise(struct(col("v").as("a"), col("u").as("b"),
             col("du").as("dh"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.dh").as("dh"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // wedges a→b, a→c with (deg, name)(b) < (deg, name)(c): the
     // closing edge b—c is then oriented b→c by construction, so ONE
     // keyed join probes it
@@ -1573,7 +1667,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val init = adj.select(col("node")).distinct()
       .join(seed.select(col("node"), col("community").as("s")),
         Seq("node"), "left")
@@ -1591,7 +1685,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     lpaLoopCounted(adj,
       adj.select(col("node")).distinct()
         .select(col("node"), col("node").as("lbl")),
@@ -1745,9 +1839,9 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val labels = labelPropagationOf(und.select(col("u").as("src"),
-      col("v").as("dst")), maxRounds).localCheckpoint()
+      col("v").as("dst")), maxRounds).localCheckpoint(eager = false)
     val m = und.count()
     require(m > 0, "community profile over an empty graph")
     // BigInt, not Long: 4·m² overflows Long past m ≈ 1.5e9 edges and
@@ -1810,7 +1904,7 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -1862,11 +1956,11 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v")).distinct()
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val okNbr = adj.groupBy(col("nbr").as("w")).agg(count(lit(1)).as("wdeg"))
       .filter(col("wdeg") <= maxDeg).select(col("w"))
     val capped = adj.join(okNbr.select(col("w").as("nbr")), Seq("nbr"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = capped.groupBy(col("node")).agg(count(lit(1)).as("n"))
     val shared = capped.select(col("node").as("i"), col("nbr"))
       .join(capped.select(col("node").as("j"), col("nbr")), Seq("nbr"))

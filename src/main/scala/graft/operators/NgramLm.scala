@@ -110,16 +110,24 @@ object NgramLm {
         graft.functions.Portable.hash60(col("t.g1")).as("h1"))
       .groupBy(col("doc_id"), col("h3"), col("h2"), col("h1"))
       .agg(count(lit(1)).as("cnt"))
-    val lvl = occ.select(col("h3"), col("h2"), col("h1")).distinct()
+    // r18 optimization round: score occ DIRECTLY against the three
+    // pre-distinct gram-hash tables and fold the backoff level inline.
+    // The previous shape deduped (h3,h2,h1) into a separate `lvl`
+    // frame and joined it back, which computed the occ subtree (the
+    // corpus explode+hash+agg — the expensive pass) TWICE and paid an
+    // extra distinct + join-back; trigram triples are mostly unique at
+    // per-doc grain, so the dedup bought nothing. The level is a pure
+    // function of table membership per row — values identical.
+    val scored = occ
       .join(lm3.withColumn("m3", lit(1)), Seq("h3"), "left")
       .join(lm2.withColumn("m2", lit(1)), Seq("h2"), "left")
       .join(lm1.withColumn("m1", lit(1)), Seq("h1"), "left")
-      .select(col("h3"), col("h2"), col("h1"),
+      .withColumn("lv",
         when(col("m3") === 1, 3).when(col("m2") === 1, 2)
-          .when(col("m1") === 1, 1).otherwise(0).as("lv"))
+          .when(col("m1") === 1, 1).otherwise(0))
     def lvlSum(l: Int, out: String) =
       sum(when(col("lv") === l, col("cnt")).otherwise(0L)).as(out)
-    val perDoc = occ.join(lvl, Seq("h3", "h2", "h1"))
+    val perDoc = scored
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_trigrams"), lvlSum(3, "hits3"),
         lvlSum(2, "hits2"), lvlSum(1, "hits1"), lvlSum(0, "oov"))
@@ -354,7 +362,7 @@ object NgramLm {
       val docs = Tables.documents(s, d)
       lmTierAssignmentsOf(docs,
         docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
 
   /** Oracle-checked fixture: same LM slice as lm_backoff_hits
@@ -812,7 +820,7 @@ object NgramLm {
   def ppmiCoocOf(docs: DataFrame, window: Int = 2, minCount: Int = 5,
                  k: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be positive: $minCount")
-    val pairs = skipgramPairsOf(docs, window).localCheckpoint()
+    val pairs = skipgramPairsOf(docs, window).localCheckpoint(eager = false)
     val nTot = Option(pairs.agg(sum(col("cnt"))).head()
         .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
     val m1 = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("m1"))
