@@ -1157,14 +1157,23 @@ object Similarity {
     * vec_id-keyed rank-1 window (WindowGroupLimit). The long dot holds
     * to ~10⁸ members per cell at 1e4 scaling; widen to decimal past
     * that (as [[centroidClassifyOf]] notes). */
-  def kmeansAssignOf(emb: DataFrame, centroids: DataFrame): DataFrame = {
+  def kmeansAssignOf(emb: DataFrame, centroids: DataFrame): DataFrame =
+    kmeansAssignFromX4(x4Of(emb), centroids)
+
+  /** [[kmeansAssignOf]] over a precomputed exploded view — the shared
+    * entry for compositions that touch the corpus several times (the
+    * train+assign fixture recomputed the posexplode four times; one
+    * lazy checkpoint now feeds seed slice, per-iteration assignment,
+    * centroid update, and the final assignment — r18 optimization
+    * round, values identical). */
+  private def kmeansAssignFromX4(x4: DataFrame, centroids: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val norms = centroids.groupBy(col("cell"))
       .agg(sum(col("s4").cast(dec38) * col("s4")).as("n2"))
       .filter(col("n2") > 0)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("cell").asc)
-    x4Of(emb).join(broadcast(centroids), Seq("pos"))
+    x4.join(broadcast(centroids), Seq("pos"))
       .groupBy(col("vec_id"), col("cell")).agg(sum(col("x4") * col("s4")).as("dot"))
       .join(broadcast(norms), Seq("cell"))
       .withColumn("score", col("dot").cast("double") / sqrt(col("n2").cast("double")))
@@ -1186,20 +1195,23 @@ object Similarity {
     * its members; cosine never needs the mean). The k·dim round output
     * is localCheckpoint'd so iteration keeps a flat lineage. A cell
     * that loses all members simply leaves the table. */
-  def kmeansTrainOf(emb: DataFrame, k: Int = 4, iters: Int = 1): DataFrame = {
+  def kmeansTrainOf(emb: DataFrame, k: Int = 4, iters: Int = 1): DataFrame =
+    kmeansTrainFromX4(emb, x4Of(emb), k, iters)
+
+  private def kmeansTrainFromX4(emb: DataFrame, x4: DataFrame,
+                                k: Int, iters: Int): DataFrame = {
     require(k > 0, s"k must be positive (got $k)")
     require(iters >= 0, s"iters must be non-negative (got $iters)")
     val seeds = emb.select(col("vec_id"))
       .orderBy(Portable.hash60(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
       .select(col("vec_id").as("cell"))
-    var cent = x4Of(emb.join(broadcast(seeds), col("vec_id") === col("cell"))
-        .select(col("vec_id"), col("embedding")))
-      .select(col("vec_id").as("cell"), col("pos"), col("x4").as("s4"))
+    var cent = x4.join(broadcast(seeds), col("vec_id") === col("cell"))
+      .select(col("cell"), col("pos"), col("x4").as("s4"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
-      val asg = kmeansAssignOf(emb, cent)
-      cent = x4Of(emb).join(asg, Seq("vec_id"))
+      val asg = kmeansAssignFromX4(x4, cent)
+      cent = x4.join(asg, Seq("vec_id"))
         .groupBy(col("cell"), col("pos")).agg(sum(col("x4")).as("s4"))
         .localCheckpoint(eager = false)
     }
@@ -1207,10 +1219,12 @@ object Similarity {
   }
 
   /** Oracle fixture: k=4, one Lloyd refinement, assign the whole
-    * embeddings table. */
+    * embeddings table — train and assign share ONE checkpointed
+    * exploded view (see [[kmeansAssignFromX4]]). */
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    kmeansAssignOf(e, kmeansTrainOf(e, k = 4, iters = 1))
+    val x4 = x4Of(e).localCheckpoint(eager = false)
+    kmeansAssignFromX4(x4, kmeansTrainFromX4(e, x4, k = 4, iters = 1))
       .orderBy(col("vec_id"))
   }
 
