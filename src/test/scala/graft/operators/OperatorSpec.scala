@@ -1743,6 +1743,28 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("exact quantiles: multi-way descent is exact on a near-int64-wide domain") {
+    // r18: the fanout-16 probe points are computed in BigInt because
+    // span·j overflows int64 on adversarial ranges — this domain spans
+    // ~1.8e19 (Long.MinValue/2 to Long.MaxValue/2 plus extremes), so a
+    // long-multiplied split would wrap and the descent would either
+    // diverge or return a wrong order statistic. Also exercises many
+    // descent rounds (log16 of a 2^63 span ≈ 16) and the no-probe-
+    // qualifies branch (k near n on a skewed tail).
+    import spark.implicits._
+    val vs: Seq[Long] = Seq(Long.MinValue / 2, -1234567890123L, -7L, 0L,
+      42L, 999L, 88888888888L, Long.MaxValue / 2, Long.MaxValue / 2 - 1,
+      3L, 3L, 3L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val ps = Seq(0, 91, 250, 500, 750, 917, 1000)
+    val got = AdvancedOps.quantileSelectOf(df, "x", ps).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sorted = vs.sorted
+    val want = ps.map(p =>
+      p -> sorted(((vs.size - 1).toLong * p / 1000L).toInt)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("blob headers: hand-built containers parse; guards null out malformed ones") {
     import spark.implicits._
     def blob(hexStr: String, tail: String = "") =
