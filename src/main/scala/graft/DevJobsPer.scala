@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: per-JOB breakdown of a query — one line per Spark job
+  * with its stage count, wall ms, and call site, so driver-paced
+  * iterative operators can be audited action by action (which probe
+  * owns which jobs) instead of only in aggregate (DevJobs).
+  * Usage: dev/run.sh graft.DevJobsPer <q> [sfDir] */
+object DevJobsPer {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q1_agg")
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    LogHygiene.drainBoundedWindowWarn()
+    case class J(id: Int, stages: Int, site: String,
+                 var t0: Long = 0L, var t1: Long = 0L)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+    val on = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (on.get) {
+            val site = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))
+                .orElse(Option(p.getProperty("callSite.short"))))
+              .getOrElse("?")
+            jobs.put(j.jobId, J(j.jobId, j.stageInfos.size, site,
+              t0 = j.time)): Unit
+          }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val e = jobs.get(j.jobId)
+          if (e != null) e.t1 = j.time
+        }
+      })
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warmup; not recorded
+    Thread.sleep(300)
+    on.set(true)
+    val w0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val wall = (System.nanoTime() - w0) / 1e9
+    on.set(false)
+    Thread.sleep(300)
+    import scala.jdk.CollectionConverters._
+    val js = jobs.values.asScala.toSeq.sortBy(_.id)
+    js.foreach { j =>
+      println(f"job=${j.id}%5d stages=${j.stages}%3d ms=${j.t1 - j.t0}%5d  ${j.site}")
+    }
+    val bySite = js.groupBy(_.site).view.mapValues(v =>
+      (v.size, v.map(_.stages).sum, v.map(j => j.t1 - j.t0).sum)).toSeq
+      .sortBy(-_._2._3)
+    println("-- by call site --")
+    bySite.foreach { case (s, (n, st, ms)) =>
+      println(f"n=$n%4d stages=$st%4d ms=$ms%6d  $s")
+    }
+    println(f"$name total jobs=${js.size} stages=${js.map(_.stages).sum} wall=${wall}%.2fs")
+    spark.stop()
+  }
+}

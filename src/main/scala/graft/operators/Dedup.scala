@@ -78,21 +78,26 @@ object Dedup {
     * dedicated `_memo_warmup` entry after each memo clear, so the
     * one-time build cost carries a stable name in the per-query map
     * instead of landing on whichever consumer query runs first (which
-    * made r06's source_overlap number incomparable to r05's). The
-    * materialized memos (shingles, clusters) build eagerly via
-    * localCheckpoint; the cache()-backed ones need an action. */
+    * made r06's source_overlap number incomparable to r05's). All the
+    * memoized checkpoints are lazy (r18), so every build here needs an
+    * explicit action to materialize. */
   def warmMemos(s: SparkSession, d: String): Unit = {
     // r18 optimization round: the three builds form a diamond —
     // pairCounts and minhashPairs both consume the shingle checkpoint,
     // clusters consumes minhashPairs. Materialize the shared shingle
-    // frame once, then overlap the two independent branches from a
-    // 2-thread pool (guide §2.6: actions are only sequential because
-    // the driver calls them sequentially — the cluster loop's
-    // driver-paced star-contraction rounds leave executors idle that
-    // the pairCounts scan back-fills). Memo keys, frames, and values
-    // are unchanged; only the action schedule moved. SessionMemo is
-    // explicitly safe under concurrent getOrBuild (first-put wins).
-    shingles(s, d, 50) // localCheckpoint-backed: build IS materialization
+    // frame once (its memoized checkpoint is lazy, so an explicit
+    // count() here is what persists the blocks — without it the two
+    // branches race to compute the same partitions twice, seen as
+    // "Block already exists" warnings), then overlap the two
+    // independent branches from a 2-thread pool (guide §2.6: actions
+    // are only sequential because the driver calls them sequentially —
+    // the cluster loop's driver-paced star-contraction rounds leave
+    // executors idle that the pairCounts scan back-fills). Memo keys,
+    // frames, and values are unchanged; only the action schedule
+    // moved. SessionMemo is explicitly safe under concurrent
+    // getOrBuild (first-put wins).
+    shingles(s, d, 50).count(): Unit
+    if (s.sparkContext.isStopped) return // session torn down mid-suite
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
       val branches: Seq[() => Unit] = Seq(
@@ -106,9 +111,14 @@ object Dedup {
         .forEach(f => try f.get()
           catch { // surface the branch's own failure, not the wrapper
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              // A session stopped underneath an in-flight branch (test
+              // teardown) is a lifecycle signal, not a warmup failure.
+              if (!s.sparkContext.isStopped) throw e.getCause
           })
-    } finally pool.shutdown()
+    } finally {
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
   }
 
   private def memoized(s: SparkSession, key: String)(build: => DataFrame): DataFrame =

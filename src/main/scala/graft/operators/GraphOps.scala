@@ -427,8 +427,14 @@ object GraphOps {
     * nodes, deterministic. */
   private[graft] def fixtureEdges(s: SparkSession, d: String): DataFrame = {
     val srcn = substring(col("source"), 4, 10).cast("int")
+    // The tiny distinct-source base is checkpointed so the union arms
+    // below read its materialized blocks instead of each replaying the
+    // scan+distinct subtree (guide §2.4: a shared subplan under a
+    // union is otherwise planned once PER ARM — at fixture scale each
+    // replay is a whole extra AQE stage-job chain). Lazy: the query's
+    // first action materializes it.
     val base = Tables.documents(s, d).select(col("source").as("src"),
-      srcn.as("k")).distinct()
+      srcn.as("k")).distinct().localCheckpoint(eager = false)
     base.select(col("src"),
         concat(lit("src"), ((col("k") * 3 + 1) % 20).cast("string")).as("dst"))
       .union(base.filter(col("k") =!= 0)
@@ -2279,8 +2285,11 @@ object GraphOps {
     * weighted face covers rejection). Data-derived (distinct source numbers),
     * deterministic, SF-independent like [[fixtureEdges]]. */
   private[graft] def blockFixtureEdges(s: SparkSession, d: String): DataFrame = {
+    // checkpointed so the 3 union arms don't each replay scan+distinct
+    // (see fixtureEdges)
     val base = Tables.documents(s, d)
       .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
+      .localCheckpoint(eager = false)
     def n(e: Column) = concat(lit("src"), e.cast("string"))
     base.filter(col("k") % 4 =!= 3)
       .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))
@@ -2636,8 +2645,11 @@ object GraphOps {
     * both levels exercise every accept-test face). Data-derived,
     * deterministic, SF-independent like [[fixtureEdges]]. */
   private[graft] def metaFixtureEdges(s: SparkSession, d: String): DataFrame = {
+    // checkpointed so the 6 union arms don't each replay scan+distinct
+    // (see fixtureEdges)
     val base = Tables.documents(s, d)
       .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
+      .localCheckpoint(eager = false)
     def n(e: Column) = concat(lit("src"), e.cast("string"))
     val intra = base.filter(col("k") % 4 =!= 3)
       .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))
