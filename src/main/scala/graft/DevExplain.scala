@@ -10,7 +10,20 @@ object DevExplain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    // pseudo-names for the iterative kernels' unexecuted ROUND plans
+    // (the loops checkpoint per round, so the query's own final frame
+    // is only the last checkpoint stub)
+    val frame = name match {
+      case "trust_rank/round" => operators.GraphOps.trustRankRoundPlanOf(
+        operators.GraphOps.fixtureEdges(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("src") =!=
+            org.apache.spark.sql.functions.lit("src0")),
+        Seq("src0", "src1"))
+      case "domain_pagerank/round" => operators.GraphOps.pageRankRoundPlanOf(
+        operators.GraphOps.fixtureEdges(spark, sfDir))
+      case _ => SparkEntry.queries(name)(spark, sfDir)
+    }
+    frame.explain("formatted")
     spark.stop()
   }
 }

@@ -55,6 +55,12 @@ object PlanAudit {
     auditRow("domain_pagerank/round", graft.operators.GraphOps
       .pageRankRoundPlanOf(
         graft.operators.GraphOps.fixtureEdges(spark, sfDir)))
+    auditRow("trust_rank/round", graft.operators.GraphOps
+      .trustRankRoundPlanOf(
+        graft.operators.GraphOps.fixtureEdges(spark, sfDir)
+          .filter(col("src") =!= org.apache.spark.sql.functions.lit("src0")),
+        Seq("src0", "src1"))) // src0 kept sink-ful so the dangling
+                              // broadcast shows in the round plan
     auditRow("harmonic_hyperball/round", graft.operators.GraphOps
       .hyperBallRoundPlanOf(
         graft.operators.GraphOps.fixtureEdges(spark, sfDir)))

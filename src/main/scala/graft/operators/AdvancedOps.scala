@@ -274,13 +274,59 @@ object AdvancedOps {
       s"ps must be distinct permilles in [0,1000]: $psPermille")
     val vals = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull).localCheckpoint(eager = false)
-    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
-      max(col("v")).as("hi")).head()
-    val n = head.getLong(0)
+    // Fused head + decade-grid round (r19, guide §1.2: remove passes):
+    // ONE map-side-combined aggregate keyed on the value's signed
+    // DIGIT-COUNT bucket yields count/min/max (the old separate head
+    // scan) AND a cumulative count at every decade boundary, which
+    // brackets each quantile inside one decade before the descent even
+    // starts — the head scan is gone and the opening bracket is
+    // tighter than [min, max], so total scans drop by ~1. Digit count
+    // via string length, never log10: floating log underflows at
+    // decade edges (10^15 can floor to 14) and would corrupt the
+    // bracket; string length is exact, and handles Long.MinValue where
+    // abs() overflows. Bucket b > 0 holds v in [10^(b-1), 10^b − 1];
+    // bucket −b holds the negation; bucket 0 holds v = 0 — so the
+    // cumulative count over ascending buckets IS cnt(upper(bucket)),
+    // the same "how many values ≤ m" the descent probes.
+    val bucketCnt = vals
+      .groupBy(expr("CASE WHEN v = 0 THEN 0" +
+          " WHEN v > 0 THEN length(CAST(v AS STRING))" +
+          " ELSE -(length(CAST(v AS STRING)) - 1) END").as("b"))
+      .agg(count(lit(1)).as("c"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val n = bucketCnt.values.map(_._1).sum
     require(n > 0, s"quantileSelect over an empty/all-null column $valueCol")
+    val mnAll = bucketCnt.values.map(_._2).min
+    val mxAll = bucketCnt.values.map(_._3).max
+    // cnt(m) at every bucket's upper bound m, ascending (absent
+    // buckets probe too — their boundary carries the same cumulative
+    // and may bound tighter); BigInt upper bounds since 10^19 − 1
+    // overflows int64, clamped into [min, max] below.
+    val cumAtUpper: Seq[(BigInt, Long)] = {
+      var cum = 0L
+      (-19 to 19).map { b =>
+        cum += bucketCnt.get(b).map(_._1).getOrElse(0L)
+        val upper = if (b == 0) BigInt(0)
+                    else if (b > 0) BigInt(10).pow(b) - 1
+                    else -BigInt(10).pow(-b - 1)
+        (upper, cum)
+      }
+    }
     val ks = psPermille.map(p => p -> (1L + (n - 1) * p / 1000L)).toMap
-    var lo = psPermille.map(p => p -> head.getLong(1)).toMap
-    var hi = psPermille.map(p => p -> head.getLong(2)).toMap
+    var lo = psPermille.map { p =>
+      // the largest decade boundary with cnt < k bounds below (+1)
+      val below = cumAtUpper.filter(_._2 < ks(p)).map(_._1)
+      p -> (if (below.isEmpty) mnAll
+            else (below.max + 1).max(BigInt(mnAll)).toLong)
+    }.toMap
+    var hi = psPermille.map { p =>
+      // the smallest decade boundary with cnt >= k bounds above
+      val atOrAbove = cumAtUpper.filter(_._2 >= ks(p)).map(_._1)
+      p -> (if (atOrAbove.isEmpty) mxAll
+            else atOrAbove.min.min(BigInt(mxAll)).toLong)
+    }.toMap
     // Multi-way refinement (r18 optimization round): probe fanout−1
     // evenly spaced split points per open quantile per round instead
     // of one midpoint, shrinking the round count from log2(span) to
@@ -288,21 +334,29 @@ object AdvancedOps {
     // is still ONE map-side-combined scan of the checkpointed column,
     // just with more conditional sums in the same pass (guide §1.2:
     // remove passes before tuning the pass). Probe values are deduped
-    // ACROSS quantiles (round 1 shares all of them — every quantile
-    // starts at [min, max]), so the widest round carries at most
-    // open·(fanout−1) sum columns, comfortably inside codegen limits
-    // at fanout 16. BigInt for the split arithmetic: span·j overflows
+    // ACROSS quantiles (brackets landing in the same decade share
+    // them), and the probeBudget cap below bounds the round's total
+    // sum-column width regardless of how many permilles the caller
+    // asks for. BigInt for the split arithmetic: span·j overflows
     // int64 for adversarial [min, max] ranges of a generic long column.
     val fanout = 16
+    // Probe-width cap (r19, ADVICE): with many open quantiles the
+    // per-round aggregate would otherwise carry open·(fanout−1)
+    // conditional sums (~15k for a 1001-permille caller) — enough to
+    // blow codegen method limits. Shrink the per-quantile fanout so
+    // the round's total probe count stays bounded; ≤ 17 open
+    // quantiles (every declared caller) keep fanout 16 unchanged.
+    val probeBudget = 256
     while (psPermille.exists(p => lo(p) < hi(p))) {
       val open = psPermille.filter(p => lo(p) < hi(p))
+      val ef = math.max(2, math.min(fanout, 1 + probeBudget / open.size))
       val probesPerP: Map[Int, Seq[Long]] = open.map { p =>
         val span = BigInt(hi(p)) - BigInt(lo(p)) // >= 1 while open
         // ascending interior points in [lo, hi): exact floor split,
         // collapsing duplicates when span < fanout (then the points
         // enumerate every integer in [lo, hi−1] and one round closes)
-        p -> (1 until fanout)
-          .map(j => (BigInt(lo(p)) + span * j / fanout).toLong)
+        p -> (1 until ef)
+          .map(j => (BigInt(lo(p)) + span * j / ef).toLong)
           .distinct
       }.toMap
       val allProbes: Seq[Long] = probesPerP.values.flatten.toSeq.distinct.sorted

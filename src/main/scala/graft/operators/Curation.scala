@@ -662,19 +662,45 @@ object Curation {
           " ELSE raise_error('budgetSelect needs score >= 0') END"))
       .withColumn("density_e6", expr("1000000 * score DIV n_tokens"))
       .localCheckpoint(eager = false)
-    val maxD = Option(d.agg(max(col("density_e6"))).head.getAs[java.lang.Long](0))
-      .map(_.toLong).getOrElse(-1L)
+    // Fused head + decade-grid round (r19, the same move as
+    // quantileSelectOf): ONE aggregate keyed on the density's
+    // digit-count bucket yields maxD AND the token mass per decade,
+    // whose top-down cumulative is used(10^(b−1)) at every decade
+    // boundary — the separate max() scan is gone and the descent
+    // opens inside one decade instead of [0, maxD]. Digit count via
+    // string length (exact; densities are >= 0 here by the score/
+    // n_tokens guards). Bucket b >= 1 holds density in
+    // [10^(b-1), 10^b − 1]; bucket 0 holds density = 0.
+    val bucketTok = d
+      .groupBy(expr("CASE WHEN density_e6 = 0 THEN 0" +
+          " ELSE length(CAST(density_e6 AS STRING)) END").as("b"))
+      .agg(sum(col("n_tokens")).as("t"), max(col("density_e6")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val maxD = if (bucketTok.isEmpty) -1L else bucketTok.values.map(_._2).max
     // minimal threshold t with tokens(density >= t) <= budget; the
     // interval [0, maxD + 1] always contains one (F(maxD + 1) = 0).
-    // Multi-way refinement (r18 optimization round, the same move as
-    // quantileSelectOf): probe fanout−1 evenly spaced thresholds per
-    // round in ONE map-side-combined aggregate — used(t) is
-    // non-increasing in t, so the smallest probe that fits the budget
-    // bounds the threshold above and its predecessor bounds it below.
-    // Rounds drop from log2(maxD) (~20 at the e6 density width) to
-    // log_fanout(maxD) (~5), each still a single scan + 1-row gather.
+    // Multi-way refinement (r18 optimization round): probe fanout−1
+    // evenly spaced thresholds per round in ONE map-side-combined
+    // aggregate — used(t) is non-increasing in t, so the smallest
+    // probe that fits the budget bounds the threshold above and its
+    // predecessor bounds it below. Each round is a single scan +
+    // 1-row gather.
     var lo = 0L
     var hi = maxD + 1
+    // Tighten from the decade grid before the first scan: walking the
+    // buckets top-down, the running token mass after bucket b is
+    // exactly used(10^(b−1)) — probe every decade boundary with the
+    // identical descent invariant (<= budget bounds above, > budget
+    // bounds below). Absent buckets still probe: their boundary
+    // carries the same cumulative and may bound tighter.
+    var cumTok = 0L
+    (19 to 1 by -1).foreach { b =>
+      cumTok += bucketTok.get(b).map(_._1).getOrElse(0L)
+      val m = math.pow(10, b - 1).toLong // exact: 10^18 < 2^53 scale
+      if (cumTok <= budgetTokens) { if (m < hi) hi = math.max(m, lo) }
+      else if (m + 1 > lo) lo = math.min(m + 1, hi)
+    }
     val fanout = 16
     while (lo < hi) {
       val span = BigInt(hi) - BigInt(lo)

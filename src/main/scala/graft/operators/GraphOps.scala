@@ -246,7 +246,16 @@ object GraphOps {
     * registered_domain_rank measured 146 Spark jobs under the scalar
     * schedule vs 51 for the sink-free path on the same kernel. Values
     * are bit-identical — same Σ, same integer DIV, only the schedule
-    * of the division moved into the plan. */
+    * of the division moved into the plan.
+    *
+    * Operational dependency, stated plainly (r19, ADVICE): riding as a
+    * BroadcastExchange puts each sink-ful round's rank scan under
+    * `spark.sql.broadcastTimeout` (default 300 s). The old driver-side
+    * head() had no such bound, so a graph whose single round runs
+    * longer than the timeout now fails with a broadcast-timeout
+    * SparkException instead of just running long — raise the conf for
+    * such graphs (it is a limit on ONE round's 1-row aggregate, not on
+    * the whole loop). */
   private def dangShareDfOf(ranks: DataFrame, outFrame: DataFrame,
                             divisor: Long): DataFrame =
     ranks.join(outFrame, Seq("node"), "left_anti")
@@ -588,6 +597,40 @@ object GraphOps {
       round += 1
     }
     ranks
+  }
+
+  /** UNEXECUTED single SINK-FUL trustRank round over checkpointed
+    * seeds, for the plan-hygiene audit (r19: the dangling-mass
+    * rework's round-plan evidence — one ranks⋈outdeg join, one
+    * edges-keyed join, one dst-keyed combine-heavy sum, and the 1-row
+    * dangling aggregate riding as a broadcast cross join). Mirrors the
+    * [[trustRankOf]] sink-ful round body exactly. */
+  def trustRankRoundPlanOf(edges: DataFrame, seeds: Seq[String]): DataFrame = {
+    val e = normalizedEdges(edges)
+    val nodes = nodesOf(e).localCheckpoint()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val sSet = seeds.distinct
+    val isSeed = col("node").isInCollection(sSet)
+    val m = math.max(nodes.filter(isSeed).count(), 1L)
+    val teleportE9 = 150L * 1000000000L / 1000L / m
+    val ranks = nodes.select(col("node"),
+      when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
+      .localCheckpoint()
+    val inflow = e
+      .join(ranks.join(outdeg, Seq("node"))
+        .select(col("node").as("src"),
+          expr("rank_e9 DIV outdeg").as("contrib")),
+        Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("contrib")).as("inflow"))
+    nodes.join(inflow, Seq("node"), "left")
+      .crossJoin(broadcast(dangShareDfOf(ranks, outdeg, m)))
+      .select(col("node"),
+        expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
+          s"850 * (coalesce(inflow, 0L) + _dang_e9) DIV 1000, " +
+          s"850 * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
+          .as("rank_e9"))
   }
 
   /** `node IN (...)` as SQL text for the seed set — shared by the
@@ -1842,12 +1885,8 @@ object GraphOps {
     * pattern). */
   def communityProfileOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
-    val labels = labelPropagationOf(und.select(col("u").as("src"),
-      col("v").as("dst")), maxRounds).localCheckpoint(eager = false)
+    val und = undOf(edges)
+    val labels = lpaFromUnd(und, maxRounds).localCheckpoint(eager = false)
     val m = und.count()
     require(m > 0, "community profile over an empty graph")
     // BigInt, not Long: 4·m² overflows Long past m ≈ 1.5e9 edges and
@@ -2097,23 +2136,49 @@ object GraphOps {
   // state is two BigInt scalars per sweep.
   // ---------------------------------------------------------------
 
+  /** The shared simple-undirected base of the community family:
+    * (u, v) with u < v, multi-edges collapsed, lazily checkpointed.
+    * r19: communityRefine/Contract/Louvain/Louvain2/Profile each
+    * normalized the SAME edge frame two-to-three times (their own copy,
+    * the refinement's copy, and the LPA seed's copy — three eager
+    * checkpoint actions over identical rows); they now all derive from
+    * this one frame. The LPA seed built from it skips
+    * [[normalizedEdges]]' cast/distinct/self-loop-filter re-run too:
+    * und rows are already distinct strings with u < v, so every one of
+    * those steps is a row-level no-op (values unchanged by
+    * construction, oracle-pinned). */
+  private def undOf(edges: DataFrame): DataFrame = {
+    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    d.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .localCheckpoint(eager = false)
+  }
+
+  /** Unweighted LPA straight off an [[undOf]] frame (no re-normalize). */
+  private def lpaFromUnd(und: DataFrame, maxRounds: Int): DataFrame = {
+    val adj = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+      .withColumn("w", lit(1L))
+      .localCheckpoint(eager = false) // materialized by round 1's probe
+    lpaLoop(adj, maxRounds)
+  }
+
+  /** The refinement pipeline from a shared [[undOf]] frame. */
+  private def communityRefineFromUnd(und: DataFrame, maxRounds: Int,
+                                     maxSweeps: Int): DataFrame = {
+    val undW = und.withColumn("w",
+      lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val seed = lpaFromUnd(und, maxRounds)
+      .select(col("node"), col("community").as("lbl"))
+    refineLoop(undW, seed, maxSweeps)
+  }
+
   /** LPA partition refined by accepted synchronous greedy sweeps:
     * (node, community). Deterministic: gains tie-break on the
     * smallest target label; acceptance is an exact integer compare. */
   def communityRefineOf(edges: DataFrame, maxRounds: Int = 10,
-                        maxSweeps: Int = 3): DataFrame = {
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    // lazy: the LPA seed's own (first) checkpoint action computes und
-    // and materializes these blocks en route — one action, not two
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-      .withColumn("w", lit(1L).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-      .localCheckpoint(eager = false)
-    val seed = labelPropagationOf(
-        und.select(col("u").as("src"), col("v").as("dst")), maxRounds)
-      .select(col("node"), col("community").as("lbl"))
-    refineLoop(und, seed, maxSweeps)
-  }
+                        maxSweeps: Int = 3): DataFrame =
+    communityRefineFromUnd(undOf(edges), maxRounds, maxSweeps)
 
   /** The WEIGHTED face: gains and Q run on edge weights (strengths
     * replace degrees, 4W² replaces 4m²) — with w = 1 the sums equal
@@ -2193,15 +2258,40 @@ object GraphOps {
                                      else BigInt(r.getDecimal(1).toBigInteger)))
         .toMap
 
+    // The two 1-row faces of the Q probe (assembled by q4m2 below, and
+    // folded straight into the constants job for the seed partition)
+    def internalOf(lbls: DataFrame): DataFrame = und
+      .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
+      .join(lbls.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .agg(coalesce(sum(col("w")), lit(0)).cast(dec).as("v"))
+    def volsqOf(lbls: DataFrame): DataFrame = lbls
+      .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
+      .agg(coalesce(sum(col("vol") * col("vol")), lit(0)).cast(dec).as("v"))
+
+    // The label frame carries each node's strength k for the whole
+    // loop (r19): every sweep's vol aggregate, the gains assembly, and
+    // every probe's Σvol² face used to re-join `deg` for it — three
+    // broadcast builds per sweep for a column that never changes. One
+    // inner join at seed time attaches it; the join drops no rows
+    // (seed nodes ARE adj's nodes — LPA labels / wund endpoints — and
+    // deg is keyed by exactly those), so values are untouched.
+    var labels = seed.join(deg, Seq("node")).localCheckpoint(eager = false)
     // One fused constants job: total edge weight, self-loop weight,
-    // and (for identity seeds) Σk² — the seed Q, see below.
+    // and the SEED partition's Q faces — for identity seeds the
+    // closed form (internal_between = 0, Σvol² = Σk², so seed Q =
+    // −Σk²) rides as one Σk² aggregate; for LPA seeds the full
+    // internal/Σvol² pair rides along (r19: it was a separate probe
+    // action — same aggregates, one driver round-trip fewer). The Q
+    // arithmetic happens driver-side after the probe, so m4 needing
+    // "undw" from the same probe is fine.
     val consts = probeAll(Seq(
         "undw" -> und.agg(coalesce(sum(col("w")), lit(0)).cast(dec).as("v"))) ++
       selfW.map(sw => "sw" ->
         sw.agg(coalesce(sum(col("sw")), lit(0)).cast(dec).as("v"))) ++
       (if (identitySeed) Seq("k2" ->
         deg.agg(coalesce(sum(col("k") * col("k")), lit(0)).cast(dec).as("v")))
-       else Nil))
+       else Seq("si" -> internalOf(labels), "ss" -> volsqOf(labels))))
     val undW = consts("undw")
     val selfWSum = consts.getOrElse("sw", BigInt(0))
     require(undW + selfWSum > 0, "community refinement over an empty graph")
@@ -2210,25 +2300,12 @@ object GraphOps {
     // Q×4W² of a partition (up to the constant self-loop internal
     // term) — internal weight and Σvol², fused into one probe job
     def q4m2(lbls: DataFrame): BigInt = {
-      val internal = und
-        .join(lbls.select(col("node").as("u"), col("lbl").as("lu")), Seq("u"))
-        .join(lbls.select(col("node").as("v"), col("lbl").as("lv")), Seq("v"))
-        .filter(col("lu") === col("lv"))
-        .agg(coalesce(sum(col("w")), lit(0)).cast(dec).as("v"))
-      val volsq = lbls.join(deg, Seq("node"))
-        .groupBy(col("lbl")).agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0)).cast(dec).as("v"))
-      val p = probeAll(Seq("i" -> internal, "s" -> volsq))
+      val p = probeAll(Seq("i" -> internalOf(lbls), "s" -> volsqOf(lbls)))
       m4 * p("i") - p("s")
     }
 
-    var labels = seed.localCheckpoint(eager = false)
-    // Identity seeds (each node its own community — the upper Louvain
-    // levels) have a CLOSED-FORM probe value: internal_between = 0 (no
-    // two distinct nodes share a community) and Σvol² = Σk², so the
-    // seed Q is −Σk² — already collected in the constants job, no
-    // label-joined recompute needed.
-    var qo = if (identitySeed) -consts("k2") else q4m2(labels)
+    var qo = if (identitySeed) -consts("k2")
+             else m4 * consts("si") - consts("ss")
     var sweep = 0
     var rejects = 0
     // early exit only after BOTH directions reject at the same labels
@@ -2237,7 +2314,7 @@ object GraphOps {
     // mean every later sweep alternates the same two rejected
     // proposals, so the bounded unroll equals this exit.
     while (sweep < maxSweeps && rejects < 2) {
-      val vol = labels.join(deg, Seq("node"))
+      val vol = labels
         .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("vol"))
       val eic = adj
         .join(labels.select(col("node").as("nbr"), col("lbl").as("c")), Seq("nbr"))
@@ -2248,10 +2325,9 @@ object GraphOps {
           col("node") === col("onode") && col("lbl") === col("oc"), "left")
         .select(col("node"), coalesce(col("e"), lit(0).cast(dec)).as("ea"))
       val gains = eic
-        .join(labels, Seq("node"))
+        .join(labels, Seq("node")) // brings lbl AND the carried k
         .filter(if (sweep % 2 == 0) col("c") < col("lbl")
                 else col("c") > col("lbl"))
-        .join(deg, Seq("node"))
         .join(vol.select(col("c").as("lbl"), col("vol").as("vola")), Seq("lbl"))
         .join(vol.select(col("c"), col("vol").as("volc")), Seq("c"))
         .join(own, Seq("node"))
@@ -2266,7 +2342,8 @@ object GraphOps {
         .select(col("node"), col("c"))
       val prop = labels
         .join(best, Seq("node"), "left")
-        .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"))
+        .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"),
+          col("k"))
         .localCheckpoint(eager = false) // materialized by the q probe
       val qn = q4m2(prop)
       if (qn > qo) { labels = prop; qo = qn; rejects = 0 } else rejects += 1
@@ -2402,13 +2479,10 @@ object GraphOps {
     * scale shape. */
   def communityContractOf(edges: DataFrame, maxRounds: Int = 10,
                           maxSweeps: Int = 3): DataFrame = {
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
-    val labels = communityRefineOf(edges, maxRounds, maxSweeps)
-      .localCheckpoint(eager = false) // both materialized by the
-                                      // caller's action on the result
+    val und = undOf(edges) // one normalize shared with the refinement
+    val labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
+      .localCheckpoint(eager = false) // materialized by the caller's
+                                      // action on the result
     und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
       .join(labels.select(col("node").as("v"), col("community").as("lv")), Seq("v"))
@@ -2521,12 +2595,9 @@ object GraphOps {
   def communityLouvain2Of(edges: DataFrame, maxRounds: Int = 10,
                           maxSweeps: Int = 3,
                           superRounds: Int = 5): DataFrame = {
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
-    val labels = communityRefineOf(edges, maxRounds, maxSweeps)
-      .localCheckpoint(eager = false) // both materialized by the super
+    val und = undOf(edges) // one normalize shared with the refinement
+    val labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
+      .localCheckpoint(eager = false) // materialized by the super
                                       // level's first LPA probe
     val cg = und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
@@ -2600,11 +2671,8 @@ object GraphOps {
                          superSweeps: Int = 3): DataFrame = {
     require(levels >= 1 && levels <= 6, s"unreasonable levels: $levels")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
-    val und = d.select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
-    var labels = communityRefineOf(edges, maxRounds, maxSweeps)
+    val und = undOf(edges) // one normalize shared with the refinement
+    var labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
       .localCheckpoint(eager = false) // materialized when cg is
     for (_ <- 2 to levels) {
       // lazy: the next refineLoop's constants probe reads cg through

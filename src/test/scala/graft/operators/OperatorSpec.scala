@@ -1331,6 +1331,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("n_tokens"), s"${e.getMessage}")
   }
 
+  test("budgetSelect decade-grid opening: thresholds ON and NEXT TO decade boundaries stay exact") {
+    import spark.implicits._
+    // r19: the head max() scan was fused into a digit-bucket grid
+    // aggregate whose top-down cumulative pre-brackets the threshold.
+    // Pin the grid's boundary arithmetic: densities straddling decade
+    // boundaries (9/10/11, 99/100/101, 1000), each row carrying 1e6
+    // tokens so density_e6 = score exactly; expected threshold by
+    // brute force over the full integer domain.
+    val ds = Seq(9L, 10L, 11L, 99L, 100L, 101L, 1000L)
+    val scored = ds.zipWithIndex.map { case (s, i) =>
+      (i.toLong, 1000000L, s) }.toDF("doc_id", "n_tokens", "score")
+    def usedAt(t: Long): Long = ds.filter(_ >= t).size * 1000000L
+    for (budget <- Seq(0L, 1000000L, 2000000L, 3000000L, 4000000L,
+        5000000L, 6000000L, 7000000L, 10000000L)) {
+      val tStar = (0L to 1001L).find(usedAt(_) <= budget).get
+      val got = Curation.budgetSelectOf(scored, budget).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+      val want = ds.zipWithIndex.map { case (s, i) =>
+        i.toLong -> (s >= tStar) }.toMap
+      assert(got == want, s"budget=$budget tStar=$tStar got=$got")
+    }
+  }
+
+  test("exact quantiles: decade-boundary values and the many-permille probe cap stay exact") {
+    import spark.implicits._
+    // r19: the head scan was fused into a signed digit-bucket grid
+    // round, and the per-round probe width is capped when many
+    // quantiles are open (ADVICE: 1001 permilles would otherwise emit
+    // ~15k conditional sums). Values hug the grid's own boundaries
+    // (±10^k and 10^k−1); 501 permilles force the capped fanout path.
+    val vs: Seq[Long] = Seq(1L, 9L, 10L, 11L, 99L, 100L, 101L, 999L,
+      1000L, 9999L, 10000L, -1L, -9L, -10L, -100L, 0L, 123456789L)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val ps = (0 to 1000 by 2)
+    val got = AdvancedOps.quantileSelectOf(df, "x", ps).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sorted = vs.sorted
+    val want = ps.map(p =>
+      p -> sorted(((vs.size - 1).toLong * p / 1000L).toInt)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("termDivergence ranks the shifted terms; shared terms at equal rate score 0") {
     import spark.implicits._
     // ref rates: aa 0.5, bb 0.5; cur rates: aa 0.5, cc 0.5 — aa is
