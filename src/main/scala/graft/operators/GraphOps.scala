@@ -147,32 +147,36 @@ object GraphOps {
                           iters: Int, dampingPermille: Int): DataFrame = {
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
+    // the static per-node frame CARRIES the out-degree (null = sink);
+    // rounds filter the carried column instead of re-joining outdeg
+    // (and, sink-ful, anti-joining it) every round — two n-sized
+    // keyed joins per round removed at any scale (r19)
+    val nd = nodes.join(outdeg, Seq("node"), "left")
+      .localCheckpoint(eager = false)
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
-    // Sink nodes force a per-round driver scalar (the dangling mass
-    // depends on the evolving ranks) and therefore a per-round
-    // checkpoint; a sink-free graph needs neither — rounds stay lazy
-    // and the lineage cut runs on the BPE stride instead, collapsing
-    // ~3 jobs per iteration into ~1 per 4 iterations.
-    val hasSinks = nodes.join(outdeg, Seq("node"), "left_anti")
-      .limit(1).count() > 0
-    var ranks = nodes.select(col("node"),
+    // Sink nodes force a per-round dangling aggregate and therefore a
+    // per-round checkpoint; a sink-free graph needs neither — rounds
+    // stay lazy and the lineage cut runs on the BPE stride instead,
+    // collapsing ~3 jobs per iteration into ~1 per 4 iterations.
+    val hasSinks = nd.filter(col("outdeg").isNull).limit(1).count() > 0
+    var ranks = nd.select(col("node"), col("outdeg"),
       lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
       if (hasSinks) {
         // r18 optimization round: the dangling mass rides the plan as
-        // a broadcast 1-row frame ([[dangShareDfOf]]) instead of a
-        // per-round driver scalar, so sink-ful rounds stay LAZY — the
-        // per-round checkpoint is eager=false (it must still cut every
-        // round: the dang branch reads `ranks` a second time, and an
-        // uncut lineage would double per round), materialized by the
+        // a broadcast 1-row frame instead of a per-round driver
+        // scalar, so sink-ful rounds stay LAZY — the per-round
+        // checkpoint is eager=false (it must still cut every round:
+        // the dang branch reads `ranks` a second time, and an uncut
+        // lineage would double per round), materialized by the
         // consumer's one action. Same integer values.
-        ranks = rankRoundDang(e, nodes, outdeg, ranks,
-          teleportE9, dampingPermille, dangShareDfOf(ranks, outdeg, n))
+        ranks = rankRoundDang(e, nd, ranks,
+          teleportE9, dampingPermille, n)
           .localCheckpoint(eager = false)
       } else {
-        ranks = rankRound(e, nodes, outdeg, ranks,
+        ranks = rankRound(e, nd, ranks,
           teleportE9, dampingPermille, 0L)
         sinceCut += 1
         if (sinceCut == 4 || round == iters - 1) {
@@ -181,7 +185,7 @@ object GraphOps {
       }
       round += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank_e9"))
   }
 
   /** Weighted PageRank over an (src, dst, weight) frame — link
@@ -208,24 +212,26 @@ object GraphOps {
     val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint(eager = false)
     val outw = e.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("outw")).localCheckpoint(eager = false)
+    // carried strength (null = sink) — see pageRankRaw (r19)
+    val nd = nodes.join(outw, Seq("node"), "left")
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
-    val hasSinks = nodes.join(outw, Seq("node"), "left_anti")
-      .limit(1).count() > 0
-    var ranks = nodes.select(col("node"),
+    val hasSinks = nd.filter(col("outw").isNull).limit(1).count() > 0
+    var ranks = nd.select(col("node"), col("outw"),
       lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
       if (hasSinks) {
         // relational dangling mass, lazy per-round cut — see
-        // [[dangShareDfOf]] and the pageRankRaw loop note (r18)
-        ranks = weightedRankRoundDang(e, nodes, outw, ranks,
-          teleportE9, dampingPermille, dangShareDfOf(ranks, outw, n))
+        // [[rankRoundDang]] and the pageRankRaw loop note (r18/r19)
+        ranks = weightedRankRoundDang(e, nd, ranks,
+          teleportE9, dampingPermille, n)
           .localCheckpoint(eager = false)
       } else {
-        ranks = weightedRankRound(e, nodes, outw, ranks,
+        ranks = weightedRankRound(e, nd, ranks,
           teleportE9, dampingPermille, 0L)
         sinceCut += 1
         if (sinceCut == 4 || round == iters - 1) {
@@ -234,19 +240,19 @@ object GraphOps {
       }
       round += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank_e9"))
   }
 
-  /** Dangling mass of the current ranks as a 1-row broadcastable frame
-    * ((Σ rank_e9 over sink nodes) DIV divisor) — the relational twin of
-    * the old per-round DRIVER scalar (r18 optimization round). With
-    * the mass riding the plan as a broadcast cross join, a sink-ful
-    * graph's rounds no longer need a driver action each (the scalar
-    * head() plus the eager per-round checkpoint it forced):
-    * registered_domain_rank measured 146 Spark jobs under the scalar
-    * schedule vs 51 for the sink-free path on the same kernel. Values
-    * are bit-identical — same Σ, same integer DIV, only the schedule
-    * of the division moved into the plan.
+  /** [[rankRound]] with the dangling share attached as a broadcast
+    * 1-row frame instead of a driver literal — the sink-ful loop's
+    * round. Same arithmetic (`_dang_e9` is LongType; the DIV chain is
+    * unchanged). The dangling mass riding the plan (r18) is what lets
+    * sink-ful rounds stay lazy — no per-round driver scalar, no eager
+    * per-round checkpoint (registered_domain_rank measured 146 Spark
+    * jobs under the old scalar schedule vs 51 for the sink-free path
+    * on the same kernel); r19 additionally computes it as a FILTER
+    * over the carried outdeg column, not a per-round n-sized
+    * anti-join.
     *
     * Operational dependency, stated plainly (r19, ADVICE): riding as a
     * BroadcastExchange puts each sink-ful round's rank scan under
@@ -256,53 +262,50 @@ object GraphOps {
     * SparkException instead of just running long — raise the conf for
     * such graphs (it is a limit on ONE round's 1-row aggregate, not on
     * the whole loop). */
-  private def dangShareDfOf(ranks: DataFrame, outFrame: DataFrame,
-                            divisor: Long): DataFrame =
-    ranks.join(outFrame, Seq("node"), "left_anti")
+  private def rankRoundDang(e: DataFrame, nd: DataFrame,
+                            ranks: DataFrame, teleportE9: Long,
+                            dampingPermille: Int, divisor: Long): DataFrame = {
+    val dang = ranks.filter(col("outdeg").isNull)
       .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("_dsum"))
       .select(expr(s"_dsum DIV ${divisor}L").as("_dang_e9"))
-
-  /** [[rankRound]] with the dangling share attached as a broadcast
-    * 1-row frame instead of a driver literal — the sink-ful loop's
-    * round. Same arithmetic (`_dang_e9` is LongType; the DIV chain is
-    * unchanged). */
-  private def rankRoundDang(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
-                            ranks: DataFrame, teleportE9: Long,
-                            dampingPermille: Int, dang: DataFrame): DataFrame = {
     val inflow = e
-      .join(ranks.join(outdeg, Seq("node"))
+      .join(ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("src"),
           expr("rank_e9 DIV outdeg").as("contrib")),
         Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("contrib")).as("inflow"))
-    nodes
+    nd
       .join(inflow, Seq("node"), "left")
       .crossJoin(broadcast(dang)) // 1-row scalar attach (house pattern)
-      .select(col("node"),
+      .select(col("node"), col("outdeg"),
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           "(coalesce(inflow, 0L) + _dang_e9) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
   }
 
-  /** One power-iteration round: two keyed joins (ranks⋈outdeg on node,
-    * edges⋈contribs on src) and one dst-keyed combine-heavy sum — the
-    * plan that dominates pageRankOf's runtime. Factored out so the
-    * audit can see it: the loop checkpoints per round, so the returned
+  /** One power-iteration round: ONE keyed join (edges⋈contribs on src)
+    * and one dst-keyed combine-heavy sum — the plan that dominates
+    * pageRankOf's runtime. The rank frame CARRIES each node's static
+    * out-degree (r19): the old per-round ranks⋈outdeg join (and the
+    * sink-ful variant's per-round anti-join) were n-sized joins re-
+    * attaching a column that never changes; carrying it costs 8 bytes
+    * per row per round-checkpoint instead. Factored out so the audit
+    * can see it: the loop checkpoints per round, so the returned
     * frame's plan is only the last checkpoint stub. */
-  private def rankRound(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+  private def rankRound(e: DataFrame, nd: DataFrame,
                         ranks: DataFrame, teleportE9: Long,
                         dampingPermille: Int, dangShare: Long): DataFrame = {
     val inflow = e
-      .join(ranks.join(outdeg, Seq("node"))
+      .join(ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("src"),
           expr("rank_e9 DIV outdeg").as("contrib")),
         Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("contrib")).as("inflow"))
-    nodes
+    nd
       .join(inflow, Seq("node"), "left")
-      .select(col("node"),
+      .select(col("node"), col("outdeg"),
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
@@ -310,47 +313,50 @@ object GraphOps {
 
   /** [[weightedRankRound]] with the dangling share as a broadcast
     * 1-row frame — the sink-ful weighted loop's round (r18, see
-    * [[rankRoundDang]]). */
-  private def weightedRankRoundDang(e: DataFrame, nodes: DataFrame,
-                                    outw: DataFrame, ranks: DataFrame,
+    * [[rankRoundDang]]; r19: strength carried, no per-round joins). */
+  private def weightedRankRoundDang(e: DataFrame, nd: DataFrame,
+                                    ranks: DataFrame,
                                     teleportE9: Long, dampingPermille: Int,
-                                    dang: DataFrame): DataFrame = {
+                                    divisor: Long): DataFrame = {
+    val dang = ranks.filter(col("outw").isNull)
+      .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("_dsum"))
+      .select(expr(s"_dsum DIV ${divisor}L").as("_dang_e9"))
     val inflow = e
-      .join(ranks.join(outw, Seq("node"))
+      .join(ranks.filter(col("outw").isNotNull)
         .select(col("node").as("src"), col("rank_e9"), col("outw")),
         Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(expr(
         "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
         .as("inflow"))
-    nodes
+    nd
       .join(inflow, Seq("node"), "left")
       .crossJoin(broadcast(dang))
-      .select(col("node"),
+      .select(col("node"), col("outw"),
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           "(coalesce(inflow, 0L) + _dang_e9) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
   }
 
-  /** One weighted power-iteration round — same two-keyed-joins +
+  /** One weighted power-iteration round — same one-keyed-join +
     * dst-keyed map-side-combined sum shape as [[rankRound]], with the
     * per-edge share rank·w DIV outw in DECIMAL(38,0). Shared by the
     * iteration loop and the unexecuted plan-audit hook. */
-  private def weightedRankRound(e: DataFrame, nodes: DataFrame,
-                                outw: DataFrame, ranks: DataFrame,
+  private def weightedRankRound(e: DataFrame, nd: DataFrame,
+                                ranks: DataFrame,
                                 teleportE9: Long, dampingPermille: Int,
                                 dangShare: Long): DataFrame = {
     val inflow = e
-      .join(ranks.join(outw, Seq("node"))
+      .join(ranks.filter(col("outw").isNotNull)
         .select(col("node").as("src"), col("rank_e9"), col("outw")),
         Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(expr(
         "CAST(CAST(rank_e9 AS DECIMAL(38,0)) * w DIV outw AS BIGINT)"))
         .as("inflow"))
-    nodes
+    nd
       .join(inflow, Seq("node"), "left")
-      .select(col("node"),
+      .select(col("node"), col("outw"),
         expr(s"CAST($teleportE9 + $dampingPermille * " +
           s"(coalesce(inflow, 0L) + $dangShare) DIV 1000 AS BIGINT)")
           .as("rank_e9"))
@@ -367,10 +373,11 @@ object GraphOps {
     val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint()
     val outw = e.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("outw")).localCheckpoint()
+    val nd = nodes.join(outw, Seq("node"), "left").localCheckpoint()
     val n = math.max(nodes.count(), 1L)
-    val ranks = nodes.select(col("node"),
+    val ranks = nd.select(col("node"), col("outw"),
       lit(1000000000L / n).as("rank_e9")).localCheckpoint()
-    weightedRankRound(e, nodes, outw, ranks, 150000000L / n, 850, 0L)
+    weightedRankRound(e, nd, ranks, 150000000L / n, 850, 0L)
   }
 
   /** [[pageRankWeightedOf]]'s rounds unrolled as chained DuckDB CTEs —
@@ -421,10 +428,11 @@ object GraphOps {
     val nodes = nodesOf(e).localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nd = nodes.join(outdeg, Seq("node"), "left").localCheckpoint()
     val n = math.max(nodes.count(), 1L)
-    val ranks = nodes.select(col("node"),
+    val ranks = nd.select(col("node"), col("outdeg"),
       lit(1000000000L / n).as("rank_e9")).localCheckpoint()
-    rankRound(e, nodes, outdeg, ranks, 150000000L / n, 850, 0L)
+    rankRound(e, nd, ranks, 150000000L / n, 850, 0L)
   }
 
   /** Fixture domain graph from the documents table: each source domain
@@ -549,34 +557,39 @@ object GraphOps {
     val nodes = nodesOf(e).localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
+    // carried out-degree (null = sink) — see pageRankRaw (r19)
+    val nd = nodes.join(outdeg, Seq("node"), "left")
+      .localCheckpoint(eager = false)
     val sSet = seeds.distinct
     val isSeed = col("node").isInCollection(sSet)
-    val present = nodes.filter(isSeed).count()
+    val present = nd.filter(isSeed).count()
     require(present > 0, "no trust seed present in the graph")
     val m = present
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / m
-    val hasSinks = nodes.join(outdeg, Seq("node"), "left_anti")
-      .limit(1).count() > 0
-    var ranks = nodes.select(col("node"),
+    val hasSinks = nd.filter(col("outdeg").isNull).limit(1).count() > 0
+    var ranks = nd.select(col("node"), col("outdeg"),
       when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
       .localCheckpoint(eager = false)
     var round = 0
     var sinceCut = 0
     while (round < iters) {
       val inflow = e
-        .join(ranks.join(outdeg, Seq("node"))
+        .join(ranks.filter(col("outdeg").isNotNull)
           .select(col("node").as("src"),
             expr("rank_e9 DIV outdeg").as("contrib")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("contrib")).as("inflow"))
-      val base = nodes.join(inflow, Seq("node"), "left")
+      val base = nd.join(inflow, Seq("node"), "left")
       if (hasSinks) {
-        // relational dangling mass (→ seeds, DIV m), lazy per-round
-        // cut — see [[dangShareDfOf]] and the pageRankRaw loop (r18)
+        // relational dangling mass (→ seeds, DIV m) off the carried
+        // outdeg, lazy per-round cut — see [[rankRoundDang]] (r18/r19)
+        val dang = ranks.filter(col("outdeg").isNull)
+          .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("_dsum"))
+          .select(expr(s"_dsum DIV ${m}L").as("_dang_e9"))
         ranks = base
-          .crossJoin(broadcast(dangShareDfOf(ranks, outdeg, m)))
-          .select(col("node"),
+          .crossJoin(broadcast(dang))
+          .select(col("node"), col("outdeg"),
             expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
               s"$dampingPermille * (coalesce(inflow, 0L) + _dang_e9) DIV 1000, " +
               s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
@@ -584,7 +597,7 @@ object GraphOps {
           .localCheckpoint(eager = false)
       } else {
         ranks = base
-          .select(col("node"),
+          .select(col("node"), col("outdeg"),
             expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
               s"$dampingPermille * (coalesce(inflow, 0L) + 0) DIV 1000, " +
               s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
@@ -596,7 +609,7 @@ object GraphOps {
       }
       round += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank_e9"))
   }
 
   /** UNEXECUTED single SINK-FUL trustRank round over checkpointed
@@ -610,22 +623,26 @@ object GraphOps {
     val nodes = nodesOf(e).localCheckpoint()
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val nd = nodes.join(outdeg, Seq("node"), "left").localCheckpoint()
     val sSet = seeds.distinct
     val isSeed = col("node").isInCollection(sSet)
-    val m = math.max(nodes.filter(isSeed).count(), 1L)
+    val m = math.max(nd.filter(isSeed).count(), 1L)
     val teleportE9 = 150L * 1000000000L / 1000L / m
-    val ranks = nodes.select(col("node"),
+    val ranks = nd.select(col("node"), col("outdeg"),
       when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
       .localCheckpoint()
+    val dang = ranks.filter(col("outdeg").isNull)
+      .agg(coalesce(sum(col("rank_e9")), lit(0L)).as("_dsum"))
+      .select(expr(s"_dsum DIV ${m}L").as("_dang_e9"))
     val inflow = e
-      .join(ranks.join(outdeg, Seq("node"))
+      .join(ranks.filter(col("outdeg").isNotNull)
         .select(col("node").as("src"),
           expr("rank_e9 DIV outdeg").as("contrib")),
         Seq("src"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("contrib")).as("inflow"))
-    nodes.join(inflow, Seq("node"), "left")
-      .crossJoin(broadcast(dangShareDfOf(ranks, outdeg, m)))
+    nd.join(inflow, Seq("node"), "left")
+      .crossJoin(broadcast(dang))
       .select(col("node"),
         expr(s"CAST(IF(${isSeedSql(sSet)}, $teleportE9 + " +
           s"850 * (coalesce(inflow, 0L) + _dang_e9) DIV 1000, " +
