@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev helper: replay the Bench rep loop (same memo clears, same
+  * warmup order, same sorted query order) with each query's name
+  * printed to stderr BEFORE it runs, so Spark's own WARN/ERROR lines
+  * (Block already exists, accumulator-GC spam) can be attributed to a
+  * query by position in the interleaved log.
+  * Usage: [SPARK_GRAFT_CPUS=n] dev/run.sh graft.DevBenchTrace [sfDir] [reps] */
+object DevBenchTrace {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    LogHygiene.drainBoundedWindowWarn()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    for (rep <- 1 to reps) {
+      System.err.println(s"### rep $rep: memo clear")
+      graft.operators.Dedup.clearMemo(spark)
+      graft.operators.NgramLm.clearMemo(spark)
+      graft.operators.Similarity.clearMemo(spark)
+      Tables.memo.clear(spark)
+      val warmups: Seq[(String, () => Unit)] = Seq(
+        "_memo_warmup_dedup" -> (() => graft.operators.Dedup.warmMemos(spark, sfDir)),
+        "_memo_warmup_text" -> (() => graft.operators.TextAnalysis.warmMemos(spark, sfDir)),
+        "_memo_warmup_lm" -> (() => graft.operators.NgramLm.warmMemos(spark, sfDir)),
+        "_memo_warmup_psl" -> (() => graft.operators.PublicSuffix.warmMemos(spark, sfDir)),
+        "_memo_warmup_sim" -> (() => graft.operators.Similarity.warmMemos(spark, sfDir)))
+      warmups.foreach { case (nm, f) =>
+        System.err.println(s"### rep $rep query $nm")
+        try f() catch { case e: Throwable =>
+          System.err.println(s"### ERROR in $nm: ${e.getMessage}") }
+      }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        System.err.println(s"### rep $rep query $name")
+        try { fn(spark, sfDir).count(): Unit } catch { case e: Throwable =>
+          System.err.println(s"### ERROR in $name: ${e.getMessage}") }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** `localCheckpoint(eager = false)` with the source plan PINNED until
+  * materialization.
+  *
+  * A lazy local checkpoint defers computing the RDD, but the builder
+  * that called it almost always discards the pre-checkpoint Dataset
+  * immediately (the checkpoint call sits at the end of an expression
+  * chain). The discarded Dataset's QueryExecution owns the physical
+  * plan's SQL-metric accumulators, which Spark's AccumulatorContext
+  * only holds WEAKLY — so a GC in the window between plan build and
+  * the checkpoint's first materialization collects them, and every
+  * stage of the materializing job then logs
+  * `ERROR DAGScheduler: Failed to update accumulator … (Unknown
+  * class)` / `WARN AccumulatorContext: … garbage collected` (bursts of
+  * these appeared in driver-captured bench tails after the r18 lazy
+  * sweep; r19 traced them to exactly this window via DevBenchTrace).
+  *
+  * The pin: a WeakHashMap keyed by the CHECKPOINT RDD, valued by the
+  * source QueryExecution. Lifecycle is exactly right by construction:
+  *  - while any downstream plan references the checkpoint RDD, the
+  *    entry keeps the source plan (and its accumulators) alive, so
+  *    materialization always finds them;
+  *  - RDD dependencies point upward only — the source QueryExecution
+  *    references the checkpoint RDD's PARENT, never the checkpoint
+  *    RDD itself — so there is no value→key strong cycle, and the
+  *    entry is collected as soon as downstream lineage lets go of the
+  *    RDD (a later checkpoint's truncation, a memo release, or plain
+  *    garbage collection of the query).
+  * No explicit clear() is needed or provided. */
+object LazyCheckpoint {
+  private val pins = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef, AnyRef]())
+
+  def apply(df: DataFrame): DataFrame = {
+    val qe = df.queryExecution
+    val out = df.localCheckpoint(eager = false)
+    out.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        pins.put(l.rdd, qe): Unit
+      case _ => ()
+    }
+    out
+  }
+
+  /** Number of live pins — dev/spec visibility only. */
+  private[graft] def livePins: Int = pins.size
+}

@@ -273,7 +273,7 @@ object AdvancedOps {
       psPermille.forall(p => p >= 0 && p <= 1000),
       s"ps must be distinct permilles in [0,1000]: $psPermille")
     val vals = df.select(col(valueCol).cast("long").as("v"))
-      .filter(col("v").isNotNull).localCheckpoint(eager = false)
+      .filter(col("v").isNotNull).transform(graft.LazyCheckpoint(_))
     // Fused head + decade-grid round (r19, guide §1.2: remove passes):
     // ONE map-side-combined aggregate keyed on the value's signed
     // DIGIT-COUNT bucket yields count/min/max (the old separate head
@@ -339,6 +339,11 @@ object AdvancedOps {
     // sum-column width regardless of how many permilles the caller
     // asks for. BigInt for the split arithmetic: span·j overflows
     // int64 for adversarial [min, max] ranges of a generic long column.
+    // fanout 16 — MEASURED, do not widen: an r19 attempt at fanout 64
+    // (378 conditional sums per round on the 6-quantile fixture) blew
+    // the aggregate out of efficient codegen and ran the fixture 9×
+    // slower (13.5 s vs 1.5 s quiet min-of-5) despite saving one scan;
+    // 15 sums per open quantile stays comfortably vectorizable.
     val fanout = 16
     // Probe-width cap (r19, ADVICE): with many open quantiles the
     // per-round aggregate would otherwise carry open·(fanout−1)
@@ -589,7 +594,7 @@ object AdvancedOps {
   def heavyHittersAgreement(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("tok")).limit(10)
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -834,7 +839,7 @@ object AdvancedOps {
     * row oracle-checks exactly in both engines (the estimate is
     * deterministic arithmetic, not a confidence interval). */
   def hllWeeklyEstimate(s: SparkSession, d: String): DataFrame = {
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val est = hllEstimateOf(
       hllRegistersOf(base, Seq("week"), "v", m = 64), Seq("week"), m = 64)
     val exact = base.groupBy(col("week"))
@@ -872,7 +877,7 @@ object AdvancedOps {
     * passes would isolate a MERGE defect — the reason the rollup
     * deserves its own oracle row, not just the property spec. */
   def hllMonthlyEstimate(s: SparkSession, d: String): DataFrame = {
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val weekly = hllRegistersOf(base, Seq("week"), "v", m = 64)
     val monthly = hllMergeOf(
       weekly.withColumn("month",
@@ -935,7 +940,7 @@ object AdvancedOps {
     // otherwise replan (and re-shuffle) the register aggregation k
     // times — 17 exchanges at k=4 vs 4 after the checkpoint (in
     // production the partials are a persisted table anyway)
-    val regs = registers.localCheckpoint(eager = false)
+    val regs = registers.transform(graft.LazyCheckpoint(_))
     val maxWeek = regs.agg(max(col("week"))).head.getDate(0)
     val shifted = (0 until windowWeeks).map(i => regs.select(
         date_add(col("week"), i * 7).as("week"),
@@ -951,7 +956,7 @@ object AdvancedOps {
     * same shifted-projection shape over (week, v). */
   def hllTrailingDistinct(s: SparkSession, d: String): DataFrame = {
     val w = 4
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val est = hllTrailingDistinctOf(
       hllRegistersOf(base, Seq("week"), "v", m = 64), windowWeeks = w, m = 64)
     val maxWeek = base.agg(max(col("week"))).head.getDate(0)
@@ -1019,7 +1024,7 @@ object AdvancedOps {
       .filter(col("event_type") === "click" && col("channel").isNotNull)
       .select(col("channel"), col("user_id").cast("string").as("v"))
     val regs = hllRegistersOf(touches, Seq("channel"), "v", m = 64)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val channels = regs.select(col("channel")).distinct()
       .collect().map(_.getString(0)).sorted
     require(channels.length <= 100,
@@ -1176,7 +1181,7 @@ object AdvancedOps {
     * exact distinct count — deterministic arithmetic, whole row
     * oracle-checks (the kmv face of hll_weekly_estimate). */
   def kmvWeeklyEstimate(s: SparkSession, d: String): DataFrame = {
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val est = kmvEstimateOf(
       kmvRegistersOf(base, Seq("week"), "v", k = 256), Seq("week"), k = 256)
     val exact = base.groupBy(col("week"))
@@ -1216,7 +1221,7 @@ object AdvancedOps {
     * weekly-partials-first dataflow, so this row failing while
     * kmv_weekly_estimate passes isolates a MERGE defect. */
   def kmvMonthlyEstimate(s: SparkSession, d: String): DataFrame = {
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val weekly = kmvRegistersOf(base, Seq("week"), "v", k = 256)
     val monthly = kmvMergeOf(
       weekly.withColumn("month",
@@ -1280,7 +1285,7 @@ object AdvancedOps {
       .filter(col("event_type") === "click" && col("channel").isNotNull)
       .select(col("channel"), col("user_id").cast("string").as("v"))
     val regs = kmvRegistersOf(touches, Seq("channel"), "v", k)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val channels = regs.select(col("channel")).distinct()
       .collect().map(_.getString(0)).sorted
     require(channels.length <= 100,
@@ -1373,7 +1378,7 @@ object AdvancedOps {
                             k: Int = 256): DataFrame = {
     require(windowWeeks >= 1 && windowWeeks <= 52,
       s"unreasonable windowWeeks: $windowWeeks")
-    val regs = registers.localCheckpoint(eager = false)
+    val regs = registers.transform(graft.LazyCheckpoint(_))
     val maxWeek = regs.agg(max(col("week"))).head.getDate(0)
     val shifted = (0 until windowWeeks).map(i => regs.select(
         date_add(col("week"), i * 7).as("week"), col("h")))
@@ -1389,7 +1394,7 @@ object AdvancedOps {
     * faces are directly comparable. */
   def kmvTrailingDistinct(s: SparkSession, d: String): DataFrame = {
     val w = 4
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val est = kmvTrailingDistinctOf(
       kmvRegistersOf(base, Seq("week"), "v", k = 256), windowWeeks = w, k = 256)
     val maxWeek = base.agg(max(col("week"))).head.getDate(0)
@@ -1492,7 +1497,7 @@ object AdvancedOps {
       .filter(col("event_type") === "click" && col("channel").isNotNull)
       .select(col("channel"), col("user_id").cast("string").as("v"))
     val regs = kmvRegistersOf(touches, Seq("channel"), "v", k)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val channels = regs.select(col("channel")).distinct()
       .collect().map(_.getString(0)).sorted
     require(channels.length <= 100,
@@ -1574,7 +1579,7 @@ object AdvancedOps {
     * integers). One pass per k over the same checkpointed base —
     * integer-exact, whole rows oracle-check. */
   def kmvKSweep(s: SparkSession, d: String): DataFrame = {
-    val base = hllBase(s, d).localCheckpoint(eager = false)
+    val base = hllBase(s, d).transform(graft.LazyCheckpoint(_))
     val exact = base.groupBy(col("week"))
       .agg(count_distinct(col("v")).as("exact_distinct"))
     Seq(64, 256, 1024).map { k =>
@@ -1635,14 +1640,14 @@ object AdvancedOps {
         date_trunc("week", col("ts")).cast("date").as("week"),
         col("user_id").cast("string").as("v"))
     val weekly = kmvRegistersOf(touches, Seq("channel", "week"), "v", k)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val maxWeek = weekly.agg(max(col("week"))).head.getDate(0)
     val shifted = (0 until w).map(i => weekly.select(col("channel"),
         date_add(col("week"), i * 7).as("week"), col("h")))
       .reduce(_ unionByName _)
       .filter(col("week") <= lit(maxWeek))
     val regs = kmvMergeOf(shifted, Seq("channel", "week"), k)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val channels = regs.select(col("channel")).distinct()
       .collect().map(_.getString(0)).sorted
     require(channels.length <= 100,

@@ -52,7 +52,7 @@ object Bpe {
   def bpeMergesOf(docs: DataFrame, nMerges: Int = 8,
                   minFreq: Long = 2L): DataFrame = {
     val s = docs.sparkSession
-    var types = wordTypes(docs).localCheckpoint(eager = false)
+    var types = wordTypes(docs).transform(graft.LazyCheckpoint(_))
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
     var done = false
     var rank = 1
@@ -80,7 +80,7 @@ object Bpe {
         types = types.select(col("word"), col("freq"),
           applyMerge("sym", l, r).as("sym"))
         sinceCut += 1
-        if (sinceCut == 4) { types = types.localCheckpoint(eager = false); sinceCut = 0 }
+        if (sinceCut == 4) { types = types.transform(graft.LazyCheckpoint(_)); sinceCut = 0 }
         rank += 1
       }
     }

@@ -661,7 +661,7 @@ object Curation {
         "CASE WHEN score >= 0 THEN score" +
           " ELSE raise_error('budgetSelect needs score >= 0') END"))
       .withColumn("density_e6", expr("1000000 * score DIV n_tokens"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // Fused head + decade-grid round (r19, the same move as
     // quantileSelectOf): ONE aggregate keyed on the density's
     // digit-count bucket yields maxD AND the token mass per decade,
@@ -701,6 +701,9 @@ object Curation {
       if (cumTok <= budgetTokens) { if (m < hi) hi = math.max(m, lo) }
       else if (m + 1 > lo) lo = math.min(m + 1, hi)
     }
+    // fanout 16 — MEASURED, do not widen (see quantileSelectOf: the
+    // r19 fanout-64 attempt ran slower despite one scan fewer; the
+    // wide conditional-sum row falls out of efficient codegen)
     val fanout = 16
     while (lo < hi) {
       val span = BigInt(hi) - BigInt(lo)

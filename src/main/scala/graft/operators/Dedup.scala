@@ -139,7 +139,7 @@ object Dedup {
     * makes anyway. */
   private def shingles(s: SparkSession, d: String, maxDf: Int): DataFrame =
     memo.getOrBuildMaterialized(s, s"shingles:$d#$maxDf")(
-      shinglesOf(Tables.documents(s, d), maxDf).localCheckpoint(eager = false))
+      shinglesOf(Tables.documents(s, d), maxDf).transform(graft.LazyCheckpoint(_)))
 
   /** Distinct word-trigram shingles per doc, uncapped. */
   private def rawShinglesOf(docs: DataFrame): DataFrame =
@@ -411,7 +411,7 @@ object Dedup {
     * stoplist artifacts — without the cut, the corpus's most expensive
     * stage (split+explode+hash) would run twice. */
   def dedupIndexes(existing: DataFrame, maxDf: Int = 50): DedupIndexes = {
-    val wdf = shinglesWithDf(existing).localCheckpoint(eager = false)
+    val wdf = shinglesWithDf(existing).transform(graft.LazyCheckpoint(_))
     DedupIndexes(
       existing.select(Portable.hash60(col("text")).as("thash")).distinct(),
       bandKeys(minhashSigsFromShingles(wdf.filter(col("df") <= maxDf)))
@@ -439,7 +439,7 @@ object Dedup {
       // batchKeep feeds both the band computation and the final
       // anti-join — without the cut its window+anti subtree plans and
       // runs twice
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // batch shingles are filtered by the CORPUS stoplist (see
     // DedupIndexes scaladoc), not a batch-local df cap that a small
     // batch could never trigger
@@ -475,7 +475,7 @@ object Dedup {
                       maxDf: Int = 50): DataFrame = {
     // stoplist from the big side; tiny by construction, cut eagerly so
     // the two signature pipelines below don't replay the corpus scan
-    val stop = hotShinglesOf(corpus, maxDf).localCheckpoint(eager = false)
+    val stop = hotShinglesOf(corpus, maxDf).transform(graft.LazyCheckpoint(_))
     def bandsOf(docs: DataFrame) =
       bandKeys(minhashSigsFromShingles(
         rawShinglesOf(docs).join(stop, Seq("sh"), "left_anti")))
@@ -553,7 +553,7 @@ object Dedup {
       .select(col("doc_id"), graft.functions.Portable.hash60(col("ng")).as("h"))
       .distinct()
     val benchSet = gramHashes(benchmark).select(col("h")).distinct()
-    val cg = gramHashes(corpus).localCheckpoint(eager = false)
+    val cg = gramHashes(corpus).transform(graft.LazyCheckpoint(_))
     val totals = cg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ngrams"))
     val hits = cg.join(benchSet, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
@@ -667,7 +667,7 @@ object Dedup {
     // branches consume it twice; unlike cache(), its blocks are GC'd
     // with the frame, so repeated library calls don't accumulate
     // pinned storage.
-    val sig = minhashSigsFromShingles(shf, nPerm).localCheckpoint(eager = false)
+    val sig = minhashSigsFromShingles(shf, nPerm).transform(graft.LazyCheckpoint(_))
     val bands = bandKeys(sig, plan)
     // candidate rows repeat once per shared band (<= 4x): score every
     // occurrence and dedupe only the survivors — a distinct over the
@@ -744,7 +744,7 @@ object Dedup {
   def simhashPairsOf(docs: DataFrame): DataFrame = {
     // eager single materialization before the two-sided bucket join;
     // GC-cleaned blocks (see minhashPairsFromShingles note)
-    val sigs = simhashSignaturesOf(docs).localCheckpoint(eager = false)
+    val sigs = simhashSignaturesOf(docs).transform(graft.LazyCheckpoint(_))
     val bands = sigs.select(col("doc_id"), col("sim"), explode(array(
         struct(lit(0).as("b"), expr("sim & 65535").as("h")),
         struct(lit(1).as("b"), expr("shiftright(sim, 16) & 65535").as("h")))).as("bd"))
@@ -894,7 +894,7 @@ object Dedup {
     val s = emb.sparkSession
     // eager single materialization; GC-cleaned blocks (see
     // minhashPairsFromShingles note)
-    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).localCheckpoint(eager = false)
+    val sigs = Similarity.signaturesOf(s, emb, nTables, bits).transform(graft.LazyCheckpoint(_))
     val probes = sigs.select(col("vec_id").as("i"), col("tbl"),
       explode(expr(s"concat(array(sig), transform(sequence(0, ${bits - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
     val idx = sigs.select(col("vec_id").as("j"), col("tbl"), col("sig").as("bucket"))
@@ -1058,7 +1058,7 @@ object Dedup {
     // contraction seed, so a doc whose only pair is reflexive still
     // labels to itself per the contract.
     val p0 = pairs.select(col("i").as("u"), col("j").as("v"))
-      .distinct().localCheckpoint(eager = false) // materialized by the
+      .distinct().transform(graft.LazyCheckpoint(_)) // materialized by the
       // seed count below (r18: the count action was already paying for
       // the pass — the eager flag only added a second job)
     var edges = p0.filter(col("u") =!= col("v"))
@@ -1070,7 +1070,7 @@ object Dedup {
       require(rounds <= maxRounds,
         s"star contraction did not converge in $maxRounds rounds")
       val next = smallStarRound(largeStarRound(edges))
-        .localCheckpoint(eager = false) // the convergence count below
+        .transform(graft.LazyCheckpoint(_)) // the convergence count below
         // materializes the round's blocks — one action per round (r18)
       val nextCnt = next.count()
       // both sides are distinct sets, so equal count + empty one-sided
@@ -1091,7 +1091,7 @@ object Dedup {
         Seq("doc_id"), "left")
       .groupBy(col("doc_id"))
       .agg(min(coalesce(col("cluster"), col("doc_id"))).as("cluster"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     (labels, rounds)
   }
 

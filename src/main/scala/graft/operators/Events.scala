@@ -1015,7 +1015,8 @@ object Events {
       .withColumn("pf", lag(col("valid_from"), 1).over(w))
       .withColumn("pvt", lag(col("valid_to"), 1).over(w))
       .withColumn("nf", lead(col("valid_from"), 1).over(w))
-      .localCheckpoint(eager = false)
+      .localCheckpoint() // EAGER: opens AND dels consume it in one
+                         // union — lazy re-ran the window pass per leg
     val opens = rows.select(
       date_trunc(grain, col("valid_from")).as("bucket"),
       when(col("pf").isNull || col("pvt") < col("valid_from"), "added")
@@ -1238,7 +1239,7 @@ object Events {
     val ud = events.select(col("user_id"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val end = ud.agg(max(col("day"))).head.getDate(0)
     ud.groupBy(col("user_id"))
       .agg(min(col("day")).as("f"), max(col("day")).as("l"))
@@ -1263,7 +1264,7 @@ object Events {
     val ud = events.select(col("user_id"),
         date_trunc("day", col("ts")).cast("date").as("day"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val end = ud.agg(max(col("day"))).head.getDate(0)
     ud.groupBy(col("user_id"))
       .agg(min(col("day")).as("f"), max(col("day")).as("l"))
@@ -1445,7 +1446,7 @@ object Events {
     * offset-0 slice; cohort_size rides along for auditability. */
   def retentionRate(s: SparkSession, d: String): DataFrame = {
     val base = retentionCohortsOf(Tables.events(s, d), grain = "week")
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val sizes = base.filter(col("offset") === 0L)
       .select(col("cohort"), col("n_users").as("cohort_size"))
     base.join(sizes, Seq("cohort"))
@@ -1675,7 +1676,7 @@ object Events {
       s"maxWait must look like '24 HOURS', got '$w'"))
     var reached = events.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var waits: DataFrame = null
     for ((step, i) <- steps.tail.zipWithIndex) {
       val within = maxWait
@@ -1687,7 +1688,7 @@ object Events {
         .filter(col("ts") > col("prev_t") && within)
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t"), min(col("prev_t")).as("prev_t"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val w = next.select(lit(i + 2).as("step_idx"), lit(step).as("step"),
         col("user_id"),
         (unix_micros(col("t")) - unix_micros(col("prev_t"))).as("wait_us"))
@@ -1723,7 +1724,7 @@ object Events {
         Seq("signup", "click", "purchase"))
       .select(col("step_idx"), col("step"),
         col("wait_us").cast("double").as("v"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val ests = waits.groupBy(col("step_idx"), col("step"))
       .agg(expr("tdigest_quantiles(v)").as("qs"))
       .select(col("step_idx"), col("step"),
@@ -1941,10 +1942,10 @@ object Events {
     require(gap.matches("\\d+ [A-Za-z]+"), s"gap must look like '30 MINUTES', got '$gap'")
     val sess = withSessionIds(events, gap)
       .select(col("user_id"), col("sid"), col("ts"), col("event_type"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var reached = sess.filter(col("event_type") === steps.head)
       .groupBy(col("user_id"), col("sid")).agg(min(col("ts")).as("t"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var waits: DataFrame = null
     for ((step, i) <- steps.tail.zipWithIndex) {
       val next = sess.filter(col("event_type") === step)
@@ -1953,7 +1954,7 @@ object Events {
         .filter(col("ts") > col("prev_t"))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("ts")).as("t"), min(col("prev_t")).as("prev_t"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val w = next.select(lit(i + 2).as("step_idx"), lit(step).as("step"),
         col("user_id"), col("sid"),
         (unix_micros(col("t")) - unix_micros(col("prev_t"))).as("wait_us"))
@@ -1989,7 +1990,7 @@ object Events {
         Seq("signup", "click", "purchase"), gap = "1 DAY")
       .select(col("step_idx"), col("step"),
         col("wait_us").cast("double").as("v"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val ests = waits.groupBy(col("step_idx"), col("step"))
       .agg(expr("tdigest_quantiles(v)").as("qs"))
       .select(col("step_idx"), col("step"),
@@ -2371,7 +2372,7 @@ object Events {
       col("event_type"))
     var reached = evs.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var out: DataFrame = null
     for ((step, i) <- steps.tail.zipWithIndex) {
       val within = maxWait
@@ -2382,7 +2383,7 @@ object Events {
           Seq("user_id"))
         .filter(col("ts") > col("prev_t") && within)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val dropped = reached.join(next.select(col("user_id")),
         Seq("user_id"), "left_anti")
       val w = org.apache.spark.sql.expressions.Window
@@ -2401,7 +2402,7 @@ object Events {
         .agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("step_idx"), lit(steps(i)).as("step"),
           col("next_type"), col("n_users"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       out = if (out == null) agg else out.unionByName(agg)
       reached = next
     }
@@ -2525,7 +2526,7 @@ object Events {
     graft.functions.TDigestAgg.register(s, 100.0, Seq(0.5, 0.9, 0.99))
     val durs = sessionDurationsOf(Tables.events(s, d), gap = "1 DAY")
       .select(col("dur_us").cast("double").as("v"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val ests = durs.agg(expr("tdigest_quantiles(v)")).head.getSeq[Double](0)
     val qs = Seq(500, 900, 990)
     val aggs = ests.zipWithIndex.flatMap { case (e, i) => Seq(
@@ -2610,7 +2611,7 @@ object Events {
         count(lit(1)).as("frequency"),
         coalesce(sum(when(col("event_type") === "purchase",
           round(col("value") * 100).cast("long"))), lit(0L)).as("monetary_cents"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val t = perUser.agg(count(lit(1)), sum(col("recency_hours")),
       sum(col("frequency")), sum(col("monetary_cents"))).head
     val n = t.getLong(0)
@@ -2925,7 +2926,7 @@ object Events {
                         channelCol: String): DataFrame = {
     val weekly = channelWeeklyOf(events, convType, touchType, maxAgeUs,
         channelCol)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val totals = weekly.groupBy(col("week"))
       .agg(sum(col("credit_permille")).as("t"))
     val cur = weekly.select(col("week"), col("channel"),
@@ -2969,7 +2970,7 @@ object Events {
       s"unreasonable windowWeeks: $windowWeeks")
     val weekly = channelWeeklyOf(events, convType, touchType, maxAgeUs,
         channelCol)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val cur = weekly.select(col("week"), col("channel"),
       col("credit_permille").as("a"))
     val pooled = (1 to windowWeeks).map(k => weekly.select(

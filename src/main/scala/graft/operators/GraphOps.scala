@@ -93,14 +93,14 @@ object GraphOps {
     import spark.implicits._
     nodes.orderBy(col("node")).rdd.zipWithIndex()
       .map { case (r, i) => (r.getString(0), i) }
-      .toDF("node", "nid").localCheckpoint(eager = false)
+      .toDF("node", "nid").transform(graft.LazyCheckpoint(_))
   }
 
   /** (src, dst) re-keyed through a node dictionary. */
   private def encodeEdges(e: DataFrame, dict: DataFrame): DataFrame =
     e.join(dict.select(col("node").as("src"), col("nid").as("s")), Seq("src"))
       .join(dict.select(col("node").as("dst"), col("nid").as("d")), Seq("dst"))
-      .select(col("s").as("src"), col("d").as("dst")).localCheckpoint(eager = false)
+      .select(col("s").as("src"), col("d").as("dst")).transform(graft.LazyCheckpoint(_))
 
   /** Ranks after `iters` rounds over an (src, dst) edge frame:
     * (node, rank_e9), Σ rank_e9 ≈ 10⁹. Requires a non-empty graph.
@@ -113,7 +113,7 @@ object GraphOps {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"damping out of permille range: $dampingPermille")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     if (n >= dictEncodeThreshold) pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
@@ -125,7 +125,7 @@ object GraphOps {
   private[graft] def pageRankEncoded(edges: DataFrame, iters: Int = 10,
                                      dampingPermille: Int = 850): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     pageRankEncodedRaw(e, nodes, n, iters, dampingPermille)
@@ -146,13 +146,13 @@ object GraphOps {
   private def pageRankRaw(e: DataFrame, nodes: DataFrame, n: Long,
                           iters: Int, dampingPermille: Int): DataFrame = {
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
+      .agg(count(lit(1)).as("outdeg")).transform(graft.LazyCheckpoint(_))
     // the static per-node frame CARRIES the out-degree (null = sink);
     // rounds filter the carried column instead of re-joining outdeg
     // (and, sink-ful, anti-joining it) every round — two n-sized
     // keyed joins per round removed at any scale (r19)
     val nd = nodes.join(outdeg, Seq("node"), "left")
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
     // Sink nodes force a per-round dangling aggregate and therefore a
     // per-round checkpoint; a sink-free graph needs neither — rounds
@@ -160,7 +160,7 @@ object GraphOps {
     // collapsing ~3 jobs per iteration into ~1 per 4 iterations.
     val hasSinks = nd.filter(col("outdeg").isNull).limit(1).count() > 0
     var ranks = nd.select(col("node"), col("outdeg"),
-      lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
+      lit(1000000000L / n).as("rank_e9")).transform(graft.LazyCheckpoint(_))
     var round = 0
     var sinceCut = 0
     while (round < iters) {
@@ -174,13 +174,13 @@ object GraphOps {
         // consumer's one action. Same integer values.
         ranks = rankRoundDang(e, nd, ranks,
           teleportE9, dampingPermille, n)
-          .localCheckpoint(eager = false)
+          .transform(graft.LazyCheckpoint(_))
       } else {
         ranks = rankRound(e, nd, ranks,
           teleportE9, dampingPermille, 0L)
         sinceCut += 1
         if (sinceCut == 4 || round == iters - 1) {
-          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+          ranks = ranks.transform(graft.LazyCheckpoint(_)); sinceCut = 0
         }
       }
       round += 1
@@ -209,18 +209,18 @@ object GraphOps {
       .withColumn("w", expr(
         "CASE WHEN w > 0 THEN w ELSE raise_error('non-positive edge weight') END"))
       .localCheckpoint()
-    val nodes = nodesOf(e.select(col("src"), col("dst"))).localCheckpoint(eager = false)
+    val nodes = nodesOf(e.select(col("src"), col("dst"))).transform(graft.LazyCheckpoint(_))
     val outw = e.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("outw")).localCheckpoint(eager = false)
+      .agg(sum(col("w")).as("outw")).transform(graft.LazyCheckpoint(_))
     // carried strength (null = sink) — see pageRankRaw (r19)
     val nd = nodes.join(outw, Seq("node"), "left")
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val n = nodes.count()
     require(n > 0, "pageRank over an empty edge frame")
     val teleportE9 = (1000L - dampingPermille) * 1000000000L / 1000L / n
     val hasSinks = nd.filter(col("outw").isNull).limit(1).count() > 0
     var ranks = nd.select(col("node"), col("outw"),
-      lit(1000000000L / n).as("rank_e9")).localCheckpoint(eager = false)
+      lit(1000000000L / n).as("rank_e9")).transform(graft.LazyCheckpoint(_))
     var round = 0
     var sinceCut = 0
     while (round < iters) {
@@ -229,13 +229,13 @@ object GraphOps {
         // [[rankRoundDang]] and the pageRankRaw loop note (r18/r19)
         ranks = weightedRankRoundDang(e, nd, ranks,
           teleportE9, dampingPermille, n)
-          .localCheckpoint(eager = false)
+          .transform(graft.LazyCheckpoint(_))
       } else {
         ranks = weightedRankRound(e, nd, ranks,
           teleportE9, dampingPermille, 0L)
         sinceCut += 1
         if (sinceCut == 4 || round == iters - 1) {
-          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+          ranks = ranks.transform(graft.LazyCheckpoint(_)); sinceCut = 0
         }
       }
       round += 1
@@ -448,10 +448,13 @@ object GraphOps {
     // below read its materialized blocks instead of each replaying the
     // scan+distinct subtree (guide §2.4: a shared subplan under a
     // union is otherwise planned once PER ARM — at fixture scale each
-    // replay is a whole extra AQE stage-job chain). Lazy: the query's
-    // first action materializes it.
+    // replay is a whole extra AQE stage-job chain). EAGER on purpose:
+    // the union consumes it several times inside ONE stage, so a lazy
+    // checkpoint would be recomputed once per arm ("Block already
+    // exists" spam, r19-measured) — multi-reference-in-one-action
+    // frames follow the normalizedEdges eager policy.
     val base = Tables.documents(s, d).select(col("source").as("src"),
-      srcn.as("k")).distinct().localCheckpoint(eager = false)
+      srcn.as("k")).distinct().localCheckpoint()
     base.select(col("src"),
         concat(lit("src"), ((col("k") * 3 + 1) % 20).cast("string")).as("dst"))
       .union(base.filter(col("k") =!= 0)
@@ -554,12 +557,12 @@ object GraphOps {
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"damping out of permille range: $dampingPermille")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint(eager = false)
+      .agg(count(lit(1)).as("outdeg")).transform(graft.LazyCheckpoint(_))
     // carried out-degree (null = sink) — see pageRankRaw (r19)
     val nd = nodes.join(outdeg, Seq("node"), "left")
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val sSet = seeds.distinct
     val isSeed = col("node").isInCollection(sSet)
     val present = nd.filter(isSeed).count()
@@ -569,7 +572,7 @@ object GraphOps {
     val hasSinks = nd.filter(col("outdeg").isNull).limit(1).count() > 0
     var ranks = nd.select(col("node"), col("outdeg"),
       when(isSeed, lit(1000000000L / m)).otherwise(lit(0L)).as("rank_e9"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var round = 0
     var sinceCut = 0
     while (round < iters) {
@@ -594,7 +597,7 @@ object GraphOps {
               s"$dampingPermille * (coalesce(inflow, 0L) + _dang_e9) DIV 1000, " +
               s"$dampingPermille * coalesce(inflow, 0L) DIV 1000) AS BIGINT)")
               .as("rank_e9"))
-          .localCheckpoint(eager = false)
+          .transform(graft.LazyCheckpoint(_))
       } else {
         ranks = base
           .select(col("node"), col("outdeg"),
@@ -604,7 +607,7 @@ object GraphOps {
               .as("rank_e9"))
         sinceCut += 1
         if (sinceCut == 4 || round == iters - 1) {
-          ranks = ranks.localCheckpoint(eager = false); sinceCut = 0
+          ranks = ranks.transform(graft.LazyCheckpoint(_)); sinceCut = 0
         }
       }
       round += 1
@@ -733,7 +736,7 @@ object GraphOps {
   def hitsOf(edges: DataFrame, iters: Int = 10): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"unreasonable iters: $iters")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     val n = nodes.count()
     require(n > 0, "hits over an empty edge frame")
     require(n <= 1000000000L, s"hits needs n <= 1e9 nodes (got $n)")
@@ -745,7 +748,7 @@ object GraphOps {
     * [[hitsRaw]] over long keys → decode. */
   private[graft] def hitsEncoded(edges: DataFrame, iters: Int = 10): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     val n = nodes.count()
     require(n > 0, "hits over an empty edge frame")
     hitsEncodedRaw(e, nodes, n, iters)
@@ -795,7 +798,7 @@ object GraphOps {
                       iters: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var hubs = nodes.select(col("node"), lit(1000000000L / n).as("hub_e9"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
       // the raw agg ALSO emits the group size — dst's in-degree —
@@ -805,7 +808,7 @@ object GraphOps {
         .join(hubs.select(col("node").as("src"), col("hub_e9")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub_e9")).as("araw"), count(lit(1)).as("ind"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       // BARRIER: the round's one edges-scale action — materializes
       // araw AND (en route, through hubs' lineage) the previous
       // round's still-lazy hraw checkpoint, so both edge joins of a
@@ -834,7 +837,7 @@ object GraphOps {
       val hraw = e
         .join(auths.select(col("node").as("dst"), col("auth_e9")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("auth_e9")).as("hraw"))
-        .localCheckpoint(eager = false) // materialized by the NEXT barrier
+        .transform(graft.LazyCheckpoint(_)) // materialized by the NEXT barrier
       hubs = hraw.select(col("node"),
         expr(s"CAST(CAST(hraw AS DECIMAL(38,0)) * 1000000000 DIV $htot" +
           " AS BIGINT)").as("hub_e9"))
@@ -925,7 +928,7 @@ object GraphOps {
     * (no in-links / no out-links) score 0 on it. Edge multiplicity is
     * ignored ([[normalizedEdges]]), matching the paper's 0/1 matrix. */
   def salsaOf(edges: DataFrame): DataFrame = {
-    val e = normalizedEdges(edges).localCheckpoint(eager = false)
+    val e = normalizedEdges(edges) // already an eager checkpoint
     val indeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     // both side totals in ONE action (probeAll discipline): distinct
@@ -934,9 +937,10 @@ object GraphOps {
       count_distinct(col("src")).as("th")).head()
     val totA = totRow.getLong(0)
     val totH = totRow.getLong(1)
+    // EAGER: both side() branches of the final union consume it
     val comps = componentsOf(e.select(
       concat(lit("h:"), col("src")).as("src"),
-      concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint(eager = false)
+      concat(lit("a:"), col("dst")).as("dst"))).localCheckpoint()
     // per-component counts ride a component-keyed window (one
     // exchange) instead of an agg + back-join; the two sides then
     // merge through ONE node-keyed sum — every node has at least one
@@ -1052,9 +1056,9 @@ object GraphOps {
   def harmonicExactOf(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 256, s"unreasonable maxDepth: $maxDepth")
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     var reached = nodes.select(col("node").as("root"), col("node"),
-      lit(0).as("dist")).localCheckpoint(eager = false)
+      lit(0).as("dist")).transform(graft.LazyCheckpoint(_))
     var frontier = reached
     var depth = 0
     var more = true
@@ -1065,11 +1069,11 @@ object GraphOps {
         .distinct()
         .join(reached, Seq("root", "node"), "left_anti")
         .select(col("root"), col("node"), lit(depth).as("dist"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       more = next.limit(1).count() > 0
       if (more) {
         frontier = next
-        reached = reached.union(next).localCheckpoint(eager = false)
+        reached = reached.union(next).transform(graft.LazyCheckpoint(_))
       }
     }
     nodes.join(
@@ -1106,7 +1110,7 @@ object GraphOps {
     // node count, which would pay a distinct). nodes ≤ 2·edges and the
     // threshold is a heuristic, so edge count is the same order.
     if (e.count() >= dictEncodeThreshold)
-      hyperBallEncodedRaw(e, nodesOf(e).localCheckpoint(eager = false), maxIters, registers)
+      hyperBallEncodedRaw(e, nodesOf(e).transform(graft.LazyCheckpoint(_)), maxIters, registers)
     else hyperBallRaw(e, nodesOf(e), maxIters, registers)
   }
 
@@ -1119,7 +1123,7 @@ object GraphOps {
                                               maxIters: Int = 16,
                                               registers: Int = 32): DataFrame = {
     val e = normalizedEdges(edges)
-    val nodes = nodesOf(e).localCheckpoint(eager = false)
+    val nodes = nodesOf(e).transform(graft.LazyCheckpoint(_))
     hyperBallEncodedRaw(e, nodes, maxIters, registers)
   }
 
@@ -1198,7 +1202,7 @@ object GraphOps {
       .drop("ra", "invSum", "zeros")
     var cur = withEstimates(seeded)
       .withColumn("harm", lit(0.0))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // empty graph: no rounds, no head() on an empty aggregate
     if (cur.limit(1).count() == 0)
       return cur.select(col("node"), lit(0L).as("harm_e6"))
@@ -1229,7 +1233,7 @@ object GraphOps {
         .withColumn("grew",
           when(col("regsum") > col("regsumPrev"), 1).otherwise(0))
         .drop("ballPrev", "harmPrev", "regsumPrev")
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       more = next.agg(max("grew")).head().getInt(0) == 1
       cur = next.drop("grew")
     }
@@ -1477,7 +1481,7 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v")).distinct()
     var adj = und.select(col("u").as("src"), col("v").as("dst"))
       .union(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     var prev = adj.count()
     var peel = 0
     var done = prev == 0L
@@ -1489,7 +1493,7 @@ object GraphOps {
         .join(alive.select(col("node").as("src")), Seq("src"))
         .join(alive.select(col("node").as("dst")), Seq("dst"))
         .select(col("src"), col("dst"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val now = adj.count()
       done = now == prev
       prev = now
@@ -1555,12 +1559,16 @@ object GraphOps {
     * degree < 2. */
   def clusteringCoefficientOf(edges: DataFrame): DataFrame = {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    // und and oriented are EAGER: each is consumed by several branches
+    // of one downstream action (deg's union legs; wedges' self-join
+    // sides + closure), which under a lazy checkpoint re-compute the
+    // narrow tail once per branch ("Block already exists" spam)
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val deg = und.select(col("u").as("node")).union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // orient u—v from the (deg, node)-smaller endpoint to the larger;
     // each edge carries its HEAD's degree so wedges can be deduped in
     // the SAME total order the orientation uses (name order alone
@@ -1576,7 +1584,7 @@ object GraphOps {
           .otherwise(struct(col("v").as("a"), col("u").as("b"),
             col("du").as("dh"))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), col("e.dh").as("dh"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     // wedges a→b, a→c with (deg, name)(b) < (deg, name)(c): the
     // closing edge b—c is then oriented b→c by construction, so ONE
     // keyed join probes it
@@ -1689,7 +1697,7 @@ object GraphOps {
     // and so materializes the blocks as it runs — 2 actions/round
     // (eager checkpoint + probe) becomes 1. Values are untouched;
     // only scheduling changes.
-    var labels = init.localCheckpoint(eager = false)
+    var labels = init.transform(graft.LazyCheckpoint(_))
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -1703,7 +1711,7 @@ object GraphOps {
             .orderBy(col("cnt").desc, col("lbl").asc)))
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val changed = labels
         .join(next.withColumnRenamed("lbl", "nl"), Seq("node"))
         .filter(col("lbl") =!= col("nl"))
@@ -1733,7 +1741,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val init = adj.select(col("node")).distinct()
       .join(seed.select(col("node"), col("community").as("s")),
         Seq("node"), "left")
@@ -1751,7 +1759,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     lpaLoopCounted(adj,
       adj.select(col("node")).distinct()
         .select(col("node"), col("node").as("lbl")),
@@ -1767,7 +1775,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint(eager = false) // materialized by round 1's probe
+      .transform(graft.LazyCheckpoint(_)) // materialized by round 1's probe
     lpaLoop(adj, maxRounds)
   }
 
@@ -1794,7 +1802,7 @@ object GraphOps {
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
     val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
-      .localCheckpoint(eager = false) // materialized by round 1's probe
+      .transform(graft.LazyCheckpoint(_)) // materialized by round 1's probe
     lpaLoop(adj, maxRounds)
   }
 
@@ -1903,7 +1911,7 @@ object GraphOps {
   def communityProfileOf(edges: DataFrame, maxRounds: Int = 10): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val und = undOf(edges)
-    val labels = lpaFromUnd(und, maxRounds).localCheckpoint(eager = false)
+    val labels = lpaFromUnd(und, maxRounds).transform(graft.LazyCheckpoint(_))
     val m = und.count()
     require(m > 0, "community profile over an empty graph")
     // BigInt, not Long: 4·m² overflows Long past m ≈ 1.5e9 edges and
@@ -1966,7 +1974,7 @@ object GraphOps {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -2018,11 +2026,11 @@ object GraphOps {
         greatest(col("src"), col("dst")).as("v")).distinct()
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val okNbr = adj.groupBy(col("nbr").as("w")).agg(count(lit(1)).as("wdeg"))
       .filter(col("wdeg") <= maxDeg).select(col("w"))
     val capped = adj.join(okNbr.select(col("w").as("nbr")), Seq("nbr"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val sizes = capped.groupBy(col("node")).agg(count(lit(1)).as("n"))
     val shared = capped.select(col("node").as("i"), col("nbr"))
       .join(capped.select(col("node").as("j"), col("nbr")), Seq("nbr"))
@@ -2166,9 +2174,12 @@ object GraphOps {
     * construction, oracle-pinned). */
   private def undOf(edges: DataFrame): DataFrame = {
     val d = normalizedEdges(edges).filter(col("src") =!= col("dst"))
+    // EAGER: consumed twice inside one stage (the adj union's two
+    // legs), so a lazy checkpoint would be computed once per leg
+    // ("Block already exists"; the fixtureEdges base policy)
     d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
   }
 
   /** Unweighted LPA straight off an [[undOf]] frame (no re-normalize). */
@@ -2176,7 +2187,7 @@ object GraphOps {
     val adj = und.select(col("u").as("node"), col("v").as("nbr"))
       .union(und.select(col("v").as("node"), col("u").as("nbr")))
       .withColumn("w", lit(1L))
-      .localCheckpoint(eager = false) // materialized by round 1's probe
+      .transform(graft.LazyCheckpoint(_)) // materialized by round 1's probe
     lpaLoop(adj, maxRounds)
   }
 
@@ -2218,7 +2229,7 @@ object GraphOps {
     val und = d.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"), col("w"))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).cast(dec).as("w"))
-      .localCheckpoint(eager = false) // materialized by the seed's
+      .transform(graft.LazyCheckpoint(_)) // materialized by the seed's
                                       // first LPA probe
     val seed = labelPropagationWeightedOf(
         und.select(col("u").as("src"), col("v").as("dst"),
@@ -2252,14 +2263,14 @@ object GraphOps {
     // whole lever; values are untouched.
     val adj = und.select(col("u").as("node"), col("v").as("nbr"), col("w"))
       .union(und.select(col("v").as("node"), col("u").as("nbr"), col("w")))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val degBase = adj.groupBy(col("node"))
       .agg(sum(col("w")).cast(dec).as("k"))
     val deg = selfW.fold(degBase)(sw => degBase
         .join(sw.select(col("node"), col("sw")), Seq("node"), "left")
         .select(col("node"),
           (col("k") + lit(2) * coalesce(col("sw"), lit(0))).cast(dec).as("k")))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
 
     // Collect several 1-row decimal aggregates in ONE Spark action (a
     // tagged union): the loop's driver scalars are tiny but each
@@ -2293,7 +2304,7 @@ object GraphOps {
     // inner join at seed time attaches it; the join drops no rows
     // (seed nodes ARE adj's nodes — LPA labels / wund endpoints — and
     // deg is keyed by exactly those), so values are untouched.
-    var labels = seed.join(deg, Seq("node")).localCheckpoint(eager = false)
+    var labels = seed.join(deg, Seq("node")).transform(graft.LazyCheckpoint(_))
     // One fused constants job: total edge weight, self-loop weight,
     // and the SEED partition's Q faces — for identity seeds the
     // closed form (internal_between = 0, Σvol² = Σk², so seed Q =
@@ -2361,7 +2372,7 @@ object GraphOps {
         .join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("lbl")).as("lbl"),
           col("k"))
-        .localCheckpoint(eager = false) // materialized by the q probe
+        .transform(graft.LazyCheckpoint(_)) // materialized by the q probe
       val qn = q4m2(prop)
       if (qn > qo) { labels = prop; qo = qn; rejects = 0 } else rejects += 1
       sweep += 1
@@ -2379,11 +2390,11 @@ object GraphOps {
     * weighted face covers rejection). Data-derived (distinct source numbers),
     * deterministic, SF-independent like [[fixtureEdges]]. */
   private[graft] def blockFixtureEdges(s: SparkSession, d: String): DataFrame = {
-    // checkpointed so the 3 union arms don't each replay scan+distinct
-    // (see fixtureEdges)
+    // checkpointed EAGERLY so the 3 union arms read persisted blocks
+    // instead of each replaying scan+distinct (see fixtureEdges)
     val base = Tables.documents(s, d)
       .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     def n(e: Column) = concat(lit("src"), e.cast("string"))
     base.filter(col("k") % 4 =!= 3)
       .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))
@@ -2498,7 +2509,7 @@ object GraphOps {
                           maxSweeps: Int = 3): DataFrame = {
     val und = undOf(edges) // one normalize shared with the refinement
     val labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
-      .localCheckpoint(eager = false) // materialized by the caller's
+      .transform(graft.LazyCheckpoint(_)) // materialized by the caller's
                                       // action on the result
     und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
@@ -2614,7 +2625,7 @@ object GraphOps {
                           superRounds: Int = 5): DataFrame = {
     val und = undOf(edges) // one normalize shared with the refinement
     val labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
-      .localCheckpoint(eager = false) // materialized by the super
+      .transform(graft.LazyCheckpoint(_)) // materialized by the super
                                       // level's first LPA probe
     val cg = und
       .join(labels.select(col("node").as("u"), col("community").as("lu")), Seq("u"))
@@ -2690,7 +2701,7 @@ object GraphOps {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val und = undOf(edges) // one normalize shared with the refinement
     var labels = communityRefineFromUnd(und, maxRounds, maxSweeps)
-      .localCheckpoint(eager = false) // materialized when cg is
+      .transform(graft.LazyCheckpoint(_)) // materialized when cg is
     for (_ <- 2 to levels) {
       // lazy: the next refineLoop's constants probe reads cg through
       // BOTH wund and selfW — its one action computes cg (and the
@@ -2701,7 +2712,7 @@ object GraphOps {
         .select(least(col("lu"), col("lv")).as("cu"),
           greatest(col("lu"), col("lv")).as("cv"))
         .groupBy(col("cu"), col("cv")).agg(count(lit(1)).cast(dec).as("w"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
       val wund = cg.filter(col("cu") =!= col("cv"))
         .select(col("cu").as("u"), col("cv").as("v"), col("w"))
       val selfW = cg.filter(col("cu") === col("cv"))
@@ -2715,7 +2726,7 @@ object GraphOps {
       labels = labels.join(superL, Seq("community"), "left")
         .select(col("node"),
           coalesce(col("c2"), col("community")).as("community"))
-        .localCheckpoint(eager = false) // next level's cg (or the
+        .transform(graft.LazyCheckpoint(_)) // next level's cg (or the
                                         // caller's action) materializes
     }
     labels
@@ -2730,11 +2741,11 @@ object GraphOps {
     * both levels exercise every accept-test face). Data-derived,
     * deterministic, SF-independent like [[fixtureEdges]]. */
   private[graft] def metaFixtureEdges(s: SparkSession, d: String): DataFrame = {
-    // checkpointed so the 6 union arms don't each replay scan+distinct
-    // (see fixtureEdges)
+    // checkpointed EAGERLY so the 6 union arms read persisted blocks
+    // instead of each replaying scan+distinct (see fixtureEdges)
     val base = Tables.documents(s, d)
       .select(substring(col("source"), 4, 10).cast("int").as("k")).distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     def n(e: Column) = concat(lit("src"), e.cast("string"))
     val intra = base.filter(col("k") % 4 =!= 3)
       .select(n(col("k")).as("src"), n(col("k") + 1).as("dst"))

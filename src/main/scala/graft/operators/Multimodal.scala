@@ -870,7 +870,7 @@ object Multimodal {
     * bits / distance 2). 20-bit band values keep buckets selective:
     * expected bucket size is n / 2^20 per band. */
   def phashDedupOf(docs: DataFrame, maxHamming: Int = 2): DataFrame = {
-    val sigs = phashSignaturesOf(docs).localCheckpoint(eager = false)
+    val sigs = phashSignaturesOf(docs).transform(graft.LazyCheckpoint(_))
     val bands = phashBandsOf(sigs)
     bands.select(col("doc_id").as("i"), col("phash").as("pi"), col("b"), col("v"))
       .join(bands.select(col("doc_id").as("j"), col("phash").as("pj"), col("b"), col("v")),
@@ -885,7 +885,7 @@ object Multimodal {
   /** The pre-verification candidate set (band-bucket collisions) —
     * exposed so specs can assert it stays far below n^2/2. */
   private[operators] def phashCandidatesOf(docs: DataFrame): DataFrame = {
-    val bands = phashBandsOf(phashSignaturesOf(docs).localCheckpoint(eager = false))
+    val bands = phashBandsOf(phashSignaturesOf(docs).transform(graft.LazyCheckpoint(_)))
     bands.select(col("doc_id").as("i"), col("b"), col("v"))
       .join(bands.select(col("doc_id").as("j"), col("b"), col("v")), Seq("b", "v"))
       .filter(col("i") < col("j"))

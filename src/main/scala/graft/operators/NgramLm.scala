@@ -362,7 +362,7 @@ object NgramLm {
       val docs = Tables.documents(s, d)
       lmTierAssignmentsOf(docs,
         docs.filter(substring(col("source"), 4, 10).cast("int") < 10))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
     }
 
   /** Oracle-checked fixture: same LM slice as lm_backoff_hits
@@ -820,7 +820,7 @@ object NgramLm {
   def ppmiCoocOf(docs: DataFrame, window: Int = 2, minCount: Int = 5,
                  k: Int = 20): DataFrame = {
     require(minCount >= 1, s"minCount must be positive: $minCount")
-    val pairs = skipgramPairsOf(docs, window).localCheckpoint(eager = false)
+    val pairs = skipgramPairsOf(docs, window).transform(graft.LazyCheckpoint(_))
     val nTot = Option(pairs.agg(sum(col("cnt"))).head()
         .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
     val m1 = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("m1"))

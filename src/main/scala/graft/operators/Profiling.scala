@@ -607,8 +607,8 @@ object Profiling {
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as(cname))
-    val rc = counts(ref, "c_ref").localCheckpoint(eager = false)
-    val cc = counts(cur, "c_cur").localCheckpoint(eager = false)
+    val rc = counts(ref, "c_ref").transform(graft.LazyCheckpoint(_))
+    val cc = counts(cur, "c_cur").transform(graft.LazyCheckpoint(_))
     // corpus totals: two 1-row driver scalars (the tfidf N pattern)
     val n1 = Option(rc.agg(sum("c_ref")).head.getAs[java.lang.Long](0))
       .map(_.toLong).getOrElse(0L)

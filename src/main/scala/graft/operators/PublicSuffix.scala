@@ -241,7 +241,7 @@ object PublicSuffix {
     // policy): it feeds the distinct-host union AND both endpoint
     // joins — un-checkpointed, the page-body regex extraction would
     // re-run three times and the plan triples its exchanges
-    val g = UrlOps.linkGraphOf(pages).localCheckpoint(eager = false)
+    val g = UrlOps.linkGraphOf(pages).transform(graft.LazyCheckpoint(_))
     val map = registeredDomainMapOf(
       g.select(col("src").as("host"))
         .union(g.select(col("dst").as("host"))), rules)
@@ -300,7 +300,7 @@ object PublicSuffix {
   private def fixtureGraph(s: SparkSession, d: String): DataFrame =
     memo.getOrBuildMaterialized(s, s"reggraph:$d")(
       registeredLinkGraphOf(fixturePages(s, d), suffixRules(s))
-        .localCheckpoint(eager = false))
+        .transform(graft.LazyCheckpoint(_)))
 
   def registeredLinkGraph(s: SparkSession, d: String): DataFrame =
     fixtureGraph(s, d).orderBy(col("src"), col("dst"))

@@ -138,14 +138,14 @@ object Similarity {
     // localCheckpoint, not cache: eager single materialization whose
     // blocks are GC'd with the frame, so repeated library calls don't
     // accumulate pinned storage (same policy as Dedup's intermediates)
-    val sigs = signatures(s, d, nTables, k).localCheckpoint(eager = false)
+    val sigs = signatures(s, d, nTables, k).transform(graft.LazyCheckpoint(_))
     // probe buckets: own sig + each one-bit flip, per table
     val probes = sigs
       .filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("tbl"),
         explode(expr(s"concat(array(sig), transform(sequence(0, ${k - 1}), b -> sig ^ shiftleft(1L, b)))")).as("bucket"))
     val cands = sigs.select(col("vec_id").as("nid"), col("tbl"), col("sig").as("bucket"))
-    val vecs = withNorm(s, Tables.embeddings(s, d)).localCheckpoint(eager = false)
+    val vecs = withNorm(s, Tables.embeddings(s, d)).transform(graft.LazyCheckpoint(_))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_raw").desc, col("nid").asc)
     probes.join(cands, Seq("tbl", "bucket"))
@@ -183,7 +183,7 @@ object Similarity {
                                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     VectorOps.registerVecDot(s)
     // localCheckpoint, not cache: eager, GC-cleaned blocks (see lshTopk)
-    val e = withNorm(s, emb).localCheckpoint(eager = false)
+    val e = withNorm(s, emb).transform(graft.LazyCheckpoint(_))
     // The centroid table is driver-resident by design (k-means
     // centroids are the canonical tiny broadcast state; nCells rows).
     // Attaching it as an exploded literal keeps the assignment plan a
@@ -227,7 +227,7 @@ object Similarity {
       // bench fingerprints (results never depended on the order; every
       // downstream consumer tie-breaks on cid)
       .sortBy(_._1)
-    val cells = e.join(assign(refined), Seq("vec_id")).localCheckpoint(eager = false)
+    val cells = e.join(assign(refined), Seq("vec_id")).transform(graft.LazyCheckpoint(_))
     // queries probe their nProbe nearest refined cells
     val probes = e.filter(isQuery)
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -341,7 +341,7 @@ object Similarity {
     * passes over it, so the eager checkpoint pays for itself. */
   private[graft] def ivfpqPrep(s: SparkSession, emb: DataFrame): DataFrame =
     withNorm(s, emb)
-      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint(eager = false)
+      .select(col("vec_id"), col("embedding"), col("nrm")).transform(graft.LazyCheckpoint(_))
 
   /** Lazy prep for query-time callers (GraftOps.ivfpqQuery): no
     * checkpoint — the returned plan scans the corpus on demand (twice,
@@ -449,7 +449,7 @@ object Similarity {
     // residuals per (vector, assigned cell) — the training set AND the
     // encode input; checkpointed once, every pass below reads it
     val res = residualsOf(e, coarse, assignCells(e, coarse, spill))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // per-subspace seed codebook from the ksub hash-lowest residual
     // rows' slices (one TakeOrdered feeds all subspaces; decorrelation
     // comes from the Lloyd pass, not the seeds)
@@ -496,7 +496,7 @@ object Similarity {
     // nProbe; the index grows spill×, trivial at 8 bytes/entry)
     val codes = pqEncode(res, refined, m, ksub, sub)
       .select(col("vec_id"), col("cluster"), col("codes"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     IvfpqIndex(coarse, refined, m, ksub, dim, codes)
   }
 
@@ -791,7 +791,7 @@ object Similarity {
   def indexDrift(s: SparkSession, d: String): DataFrame = {
     VectorOps.registerVecDot(s)
     val e = withNorm(s, Tables.embeddings(s, d))
-      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint(eager = false)
+      .select(col("vec_id"), col("embedding"), col("nrm")).transform(graft.LazyCheckpoint(_))
     val ref = e.filter(col("vec_id") % 2 === 0)
     val bat = e.filter(col("vec_id") % 2 === 1)
     val seeds = pickSeeds(ref, 8)
@@ -922,7 +922,7 @@ object Similarity {
     // localCheckpoint: e feeds seeds, assignment, and both pair-join
     // sides — eager single materialization, GC-cleaned (see lshTopk)
     val e = withNorm(s, emb)
-      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint(eager = false)
+      .select(col("vec_id"), col("embedding"), col("nrm")).transform(graft.LazyCheckpoint(_))
     val asg = assignClusters(e, k)
     val ea = asg.join(e, Seq("vec_id"))
     val a = ea.select(col("vec_id").as("ida"), col("cluster"),
@@ -946,7 +946,7 @@ object Similarity {
       // eager once: the assignment feeds both pair-join sides and the
       // final anti-join — without the cut its explode+window subtree
       // executes three times (same policy as e)
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
 
   /** The k hash-lowest vectors of a normed frame as driver-resident
     * (id, vector, norm) seed literals — the deterministic,
@@ -1033,7 +1033,7 @@ object Similarity {
   private[graft] def semanticAssignmentsOf(s: SparkSession, emb: DataFrame,
                                            k: Int): DataFrame =
     assignClusters(withNorm(s, emb)
-      .select(col("vec_id"), col("embedding"), col("nrm")).localCheckpoint(eager = false), k)
+      .select(col("vec_id"), col("embedding"), col("nrm")).transform(graft.LazyCheckpoint(_)), k)
 
   private val semanticDedupOracle =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1208,12 +1208,12 @@ object Similarity {
       .select(col("vec_id").as("cell"))
     var cent = x4.join(broadcast(seeds), col("vec_id") === col("cell"))
       .select(col("cell"), col("pos"), col("x4").as("s4"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     for (_ <- 1 to iters) {
       val asg = kmeansAssignFromX4(x4, cent)
       cent = x4.join(asg, Seq("vec_id"))
         .groupBy(col("cell"), col("pos")).agg(sum(col("x4")).as("s4"))
-        .localCheckpoint(eager = false)
+        .transform(graft.LazyCheckpoint(_))
     }
     cent
   }
@@ -1223,7 +1223,7 @@ object Similarity {
     * exploded view (see [[kmeansAssignFromX4]]). */
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-    val x4 = x4Of(e).localCheckpoint(eager = false)
+    val x4 = x4Of(e).transform(graft.LazyCheckpoint(_))
     kmeansAssignFromX4(x4, kmeansTrainFromX4(e, x4, k = 4, iters = 1))
       .orderBy(col("vec_id"))
   }
@@ -1380,19 +1380,19 @@ object Similarity {
     * (re-selecting an exhausted corpus would duplicate centers). */
   def kcenterSelectOf(emb: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024] (got $k)")
-    val e = emb.select(col("vec_id"), v4Col.as("v4")).localCheckpoint(eager = false)
+    val e = emb.select(col("vec_id"), v4Col.as("v4")).transform(graft.LazyCheckpoint(_))
     val n = e.count()
     require(n >= k, s"k-center needs k <= corpus size (k=$k, n=$n)")
     val first = e.orderBy(col("vec_id")).head()
     var centers = Vector[(Int, Long, Seq[Long])](
       (1, first.getLong(0), first.getSeq[Long](1)))
-    var m = e.withColumn("d2", d2To(centers.head._3)).localCheckpoint(eager = false)
+    var m = e.withColumn("d2", d2To(centers.head._3)).transform(graft.LazyCheckpoint(_))
     for (r <- 2 to k) {
       val row = m.orderBy(col("d2").desc, col("vec_id").asc).head()
       centers = centers :+ ((r, row.getLong(0), row.getSeq[Long](1)))
       if (r < k)
         m = m.withColumn("d2", least(col("d2"), d2To(centers.last._3)))
-          .localCheckpoint(eager = false)
+          .transform(graft.LazyCheckpoint(_))
     }
     e.select(col("vec_id"), col("v4"), explode(typedlit(centers)).as("c"))
       .select(col("vec_id"), col("c._2").as("center_id"),

@@ -1072,7 +1072,7 @@ object TextAnalysis {
     val tf = hashedTfOf(docs, dim)
       .select(col("doc_id"), col("bucket"),
         round(col("weight") * 10000).cast("long").as("w4"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val lbl = labels.getOrElse(
       gopherFilterOf(docs).select(col("doc_id"), col("keep")))
     val classCounts = lbl.groupBy(col("keep")).agg(count(lit(1)).as("n"))

@@ -225,7 +225,7 @@ object Unigram {
     val types = docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     // seed: every substring occurrence up to seedMaxLen, weighted by
     // type frequency — full-length substrings only (the sequence bound
     // stops at the word end, so no boundary-truncated duplicates)
@@ -234,7 +234,7 @@ object Unigram {
            |  transform(sequence(1, least($seedMaxLen, length(word) - i + 1)),
            |    l -> substring(word, i, l))))""".stripMargin)).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      .localCheckpoint(eager = false)
+      .transform(graft.LazyCheckpoint(_))
     val charRows = subCounts.filter(length(col("piece")) === 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nChars = charRows.size

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The pinned lazy checkpoint (r19): values pass through unchanged,
+  * laziness is preserved (no job at call time), and the source plan's
+  * QueryExecution is pinned under the checkpoint RDD so its SQL-metric
+  * accumulators cannot be GC'd before materialization (the
+  * `ERROR DAGScheduler: Failed to update accumulator` bursts in the
+  * r18 driver tails). */
+class LazyCheckpointSpec extends SparkSpec {
+
+  test("LazyCheckpoint is value-identical and registers a pin") {
+    import spark.implicits._
+    val src = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag")
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val before = LazyCheckpoint.livePins
+    val cp = LazyCheckpoint(src)
+    // a pin was registered for the checkpoint RDD
+    assert(LazyCheckpoint.livePins > before, "source plan must be pinned")
+    // values identical to the un-checkpointed frame
+    val got = cp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+}
